@@ -1,0 +1,9 @@
+from hive_udf_spark.functions.sketch import (  # noqa: F401
+    HLL_DEFAULT_B,
+    LC_DEFAULT_SIZE,
+    approx_distinct,
+    sketch_estimate,
+    sketch_intersect_estimate,
+    sketch_merge_agg,
+    sketch_union,
+)

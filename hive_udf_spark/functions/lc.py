@@ -1,0 +1,209 @@
+"""Linear Counting — custom estimator (no Spark built-in).
+
+Re-implements the reference's LC mode (UDAFCardinalityEstimator.java:
+LC_DEFAULT_SIZE=1_000_000 at :90; init at :358-359; deserialization at
+:383-384; algorithm: Whang, Vander-Zanden & Taylor 1990, cited at :50-51)
+Spark-first rather than as a port of stream-lib's Java:
+
+  estimate = -m * ln(V_empty / m)
+  where m = number of bitmap bits and V_empty = m − (occupied bits).
+
+Execution design (SURVEY.md §4.3):
+  * **Scale path (Tier B, pure JVM)** — ``lc_cardinality``: the occupied-
+    bit count is exactly ``count_distinct(pmod(xxhash64(x), m))``.
+    Catalyst plans a two-phase distinct aggregate (map-side partial
+    distinct → shuffle of bucket ids ≤ m per group → final count), which
+    is the same memory bound as the reference's per-group bitmap, with no
+    Python anywhere. This is the 100 TB path.
+  * **Facade path** — ``lc_agg``: additionally materializes the bitmap
+    bytes (the re-aggregable ``binary`` field of the reference's result
+    struct) via ``collect_set(bucket)`` + one Arrow-batched scalar pandas
+    UDF per *group result row* (not per input row). Use when sketches are
+    persisted for later rollup; prefer ``lc_cardinality`` when only the
+    number is needed.
+
+Serialized format (explicit + versioned, unlike the reference's
+BytesWritable padding that needs ``.trim()`` at :308/:372):
+
+    magic b"SGLC" | version u8=1 | size_bytes u32 LE | bitmap[size_bytes]
+
+Merge algebra: bitwise OR of same-size bitmaps; merging different sizes
+raises (preserves the reference's strict incompatible-merge error,
+UDAFCardinalityEstimator.java:399-414).
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b"SGLC"
+_VERSION = 1
+_HEADER = len(_MAGIC) + 1 + 4  # magic + version + size_bytes
+
+
+# ---------------------------------------------------------------------------
+# Python-side sketch (tests, UDF internals, driver-side tooling)
+# ---------------------------------------------------------------------------
+class LCSketch:
+    """A Linear Counting bitmap with the reference's merge/estimate algebra."""
+
+    def __init__(self, size_bytes: int):
+        if size_bytes <= 0:
+            raise ValueError("size_bytes must be positive")
+        self.size_bytes = int(size_bytes)
+        self.bits = np.zeros(self.size_bytes, dtype=np.uint8)
+
+    @property
+    def m(self) -> int:
+        return self.size_bytes * 8
+
+    def set_bucket(self, bucket: int) -> None:
+        self.bits[bucket >> 3] |= 1 << (bucket & 7)
+
+    def set_buckets(self, buckets: np.ndarray) -> None:
+        np.bitwise_or.at(self.bits, buckets >> 3, (1 << (buckets & 7)).astype(np.uint8))
+
+    def occupied(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+    def estimate(self) -> int:
+        return lc_estimate_from_occupied(self.occupied(), self.m)
+
+    def merge(self, other: "LCSketch") -> "LCSketch":
+        if other.size_bytes != self.size_bytes:
+            raise ValueError(
+                f"cannot merge LC sketches of different sizes ({self.size_bytes} vs {other.size_bytes})"
+            )
+        out = LCSketch(self.size_bytes)
+        np.bitwise_or(self.bits, other.bits, out=out.bits)
+        return out
+
+    def to_bytes(self) -> bytes:
+        return _MAGIC + bytes([_VERSION]) + _struct.pack("<I", self.size_bytes) + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "LCSketch":
+        if data[: len(_MAGIC)] != _MAGIC:
+            raise ValueError("not an SGLC sketch (bad magic)")
+        version = data[len(_MAGIC)]
+        if version != _VERSION:
+            raise ValueError(f"unsupported SGLC version {version}")
+        (size_bytes,) = _struct.unpack_from("<I", data, len(_MAGIC) + 1)
+        sk = cls(size_bytes)
+        sk.bits = np.frombuffer(data[_HEADER : _HEADER + size_bytes], dtype=np.uint8).copy()
+        return sk
+
+
+def lc_estimate_from_occupied(occupied: int, m: int) -> int:
+    """-m * ln(V_empty/m), saturating at m when the bitmap is full."""
+    empty = m - occupied
+    if empty <= 0:
+        return m  # bitmap saturated; LC is out of its operating range
+    return int(round(-m * math.log(empty / m)))
+
+
+# ---------------------------------------------------------------------------
+# Tier B — pure-JVM estimate (the scale path)
+# ---------------------------------------------------------------------------
+def lc_bucket(col: Column | str, size_bytes: int) -> Column:
+    """Deterministic bitmap bucket index: pmod(xxhash64(x), 8*size_bytes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(int(size_bytes) * 8))
+
+
+def lc_cardinality(col: Column | str, size_bytes: int = 1_000_000) -> Column:
+    """Aggregate: Linear-Counting estimate as a pure Catalyst expression.
+
+    ``count_distinct(bucket)`` is the occupied-bit count; Catalyst runs it
+    with map-side partial distinct, so at most m bucket ids per group cross
+    the shuffle regardless of input size — the same O(m) bound as the
+    reference's bitmap. NULL for empty groups (reference :329-331).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = int(size_bytes) * 8
+    occupied = F.count_distinct(lc_bucket(c, size_bytes))
+    est = F.when(
+        occupied >= F.lit(m), F.lit(m).cast("long")  # saturated
+    ).otherwise(
+        F.round(-F.lit(float(m)) * F.log((F.lit(m).cast("double") - occupied) / F.lit(float(m)))).cast("long")
+    )
+    return F.when(F.count(c) > F.lit(0), est).otherwise(F.lit(None)).alias("lc_cardinality")
+
+
+# ---------------------------------------------------------------------------
+# Facade — full {type, cardinality, binary} struct with materialized bitmap
+# ---------------------------------------------------------------------------
+def _buckets_to_sketch_bytes(size_bytes: int):
+    @F.pandas_udf(T.BinaryType())
+    def to_bytes(bucket_sets: pd.Series) -> pd.Series:
+        out = []
+        for buckets in bucket_sets:
+            sk = LCSketch(size_bytes)
+            if buckets is not None and len(buckets):
+                sk.set_buckets(np.asarray(buckets, dtype=np.int64))
+            out.append(sk.to_bytes())
+        return pd.Series(out)
+
+    return to_bytes
+
+
+def lc_agg(col: Column | str, size_bytes: int = 1_000_000) -> Column:
+    """Aggregate: LC result struct ``{type:'LC', cardinality, binary}``.
+
+    cardinality is computed fully JVM-side (``lc_cardinality``); only the
+    bitmap serialization crosses to Python, once per group. The binary
+    field is re-aggregable via ``lc_merge_agg``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    est = lc_cardinality(c, size_bytes)
+    buckets = F.collect_set(lc_bucket(c, size_bytes))
+    sketch_bytes = _buckets_to_sketch_bytes(size_bytes)(buckets)
+    struct = F.struct(
+        F.lit("LC").alias("type"),
+        est.cast("long").alias("cardinality"),
+        sketch_bytes.alias("binary"),
+    )
+    return F.when(F.count(c) > F.lit(0), struct).otherwise(F.lit(None)).alias("approx_distinct")
+
+
+@F.pandas_udf(T.BinaryType())
+def _lc_merge_bytes_agg(sketches: pd.Series) -> bytes:
+    merged: LCSketch | None = None
+    for raw in sketches:
+        if raw is None:
+            continue
+        sk = LCSketch.from_bytes(bytes(raw))
+        merged = sk if merged is None else merged.merge(sk)
+    return merged.to_bytes() if merged is not None else None
+
+
+@F.pandas_udf(T.LongType())
+def lc_estimate_bytes(sketches: pd.Series) -> pd.Series:
+    """Scalar: estimate from serialized LC sketch bytes."""
+    return pd.Series(
+        [None if raw is None else LCSketch.from_bytes(bytes(raw)).estimate() for raw in sketches],
+        dtype="Int64",
+    )
+
+
+def lc_merge_agg(sketch_binary: Column | str) -> Column:
+    """Aggregate: OR-merge serialized LC sketches (grouped-agg pandas UDF).
+
+    Note: Python grouped aggregates do not get map-side partial aggregation
+    (SURVEY.md §4.3) — but the rows being shuffled here are already-reduced
+    sketches (one per group per day, say), so the shuffle volume is tiny.
+    """
+    c = F.col(sketch_binary) if isinstance(sketch_binary, str) else sketch_binary
+    merged = _lc_merge_bytes_agg(c)
+    return F.struct(
+        F.lit("LC").alias("type"),
+        lc_estimate_bytes(merged).alias("cardinality"),
+        merged.alias("binary"),
+    ).alias("sketch_merge")

@@ -1,0 +1,140 @@
+"""Cardinality-estimation sketch functions (reference-parity surface).
+
+Re-expresses the Hive UDAF ``approx_distinct`` of the reference
+(UDAFCardinalityEstimator.java:58-68 declares the function; :69-423 the
+evaluator) as Spark Catalyst aggregate expressions.
+
+Semantics preserved from the reference (SURVEY.md §2.1):
+  * result is a first-class re-aggregable struct
+    ``{type: string, cardinality: bigint, binary: binary}``
+    (UDAFCardinalityEstimator.java:91-93, :212-221, :327-344);
+  * an aggregation that saw no (non-null) rows yields NULL, not a
+    zero-cardinality struct (:329-331); null input rows are skipped
+    (:238-240);
+  * the sketch is data: a column of previously produced sketch structs can
+    be re-aggregated (merged) without rescanning raw rows (:259-265);
+  * per-call configuration ``(x, kind, b)`` with defaults b=16 for HLL
+    (HLL_DEFAULT_B, :89) and 1_000_000 for LC (LC_DEFAULT_SIZE, :90).
+
+Deliberate departures (documented, not silent — SURVEY.md §7):
+  * binary format: HLL sketches use Spark/DataSketches bytes (portable
+    across Spark's own hll_* functions), NOT stream-lib 2.2.0 bytes; LC
+    sketches use our explicit versioned header (hive_udf_spark.functions.lc)
+    instead of the length-ambiguous BytesWritable encoding the reference
+    has to ``.trim()`` around (:308, :372).
+  * arity/validation is strict (the reference's ``> 4`` guard at :140
+    admits 4-arg calls; we reject).
+
+Execution tiers:
+  * HLL — Tier A: pure JVM ``TypedImperativeAggregate`` via
+    ``F.hll_sketch_agg``; Catalyst emits partial→shuffle→final
+    automatically, which is exactly the PARTIAL1/PARTIAL2/FINAL protocol
+    the reference hand-implements (:276-317). Constant memory per group
+    (O(2^b)), so a 100 TB group-by shuffles kilobyte sketches, not rows.
+  * LC — Tier B/C: see hive_udf_spark.functions.lc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Defaults mirrored from UDAFCardinalityEstimator.java:89-90.
+HLL_DEFAULT_B = 16
+LC_DEFAULT_SIZE = 1_000_000
+
+_KINDS = ("hll", "lc")
+
+# DataSketches HLL accepts lgConfigK in [4, 21].
+_HLL_B_MIN, _HLL_B_MAX = 4, 21
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def approx_distinct(col: Column | str, kind: str = "hll", b: int | None = None) -> Column:
+    """Aggregate: approximate COUNT(DISTINCT col) as a re-aggregable sketch.
+
+    Returns a struct column ``{type, cardinality, binary}`` — use inside
+    ``df.agg(...)`` / ``groupBy(...).agg(...)``. NULL for empty groups
+    (reference semantics, UDAFCardinalityEstimator.java:329-331).
+
+    kind='hll': Tier-A native DataSketches HLL, b = lgConfigK (default 16).
+    kind='lc':  Linear Counting, b = bitmap size in bytes (default 1e6);
+                implemented in hive_udf_spark.functions.lc (grouped-agg
+                pandas UDF — correctness tier; use lc.lc_distinct for the
+                JVM plan-level path at scale).
+    """
+    kind = kind.lower()
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    c = _col(col)
+    if kind == "hll":
+        b = HLL_DEFAULT_B if b is None else int(b)
+        if not (_HLL_B_MIN <= b <= _HLL_B_MAX):
+            raise ValueError(f"HLL b (lgConfigK) must be in [{_HLL_B_MIN},{_HLL_B_MAX}], got {b}")
+        sketch = F.hll_sketch_agg(c, F.lit(b))
+        struct = F.struct(
+            F.lit("HLL").alias("type"),
+            F.hll_sketch_estimate(sketch).alias("cardinality"),
+            sketch.alias("binary"),
+        )
+        # Empty group (or all-null input) → NULL, like the reference.
+        return F.when(F.count(c) > F.lit(0), struct).otherwise(F.lit(None)).alias("approx_distinct")
+    from hive_udf_spark.functions import lc
+
+    return lc.lc_agg(c, size_bytes=b or LC_DEFAULT_SIZE)
+
+
+def sketch_merge_agg(sketch_struct: Column | str) -> Column:
+    """Aggregate: union previously produced HLL sketch structs.
+
+    The reference's struct-input re-aggregation path
+    (UDAFCardinalityEstimator.java:259-265, :399-414): per-day sketches
+    roll up to per-month cardinalities without rescanning raw data.
+    Only the ``binary`` field participates; ``allowDifferentLgConfigK``
+    is enabled so unions across precisions degrade gracefully instead of
+    failing mid-job (the reference instead raises on incompatible merges —
+    our LC path keeps that strictness, see lc.merge).
+    """
+    s = _col(sketch_struct)
+    merged = F.hll_union_agg(s.getField("binary"), True)
+    struct = F.struct(
+        F.lit("HLL").alias("type"),
+        F.hll_sketch_estimate(merged).alias("cardinality"),
+        merged.alias("binary"),
+    )
+    return F.when(F.count(s) > F.lit(0), struct).otherwise(F.lit(None)).alias("sketch_merge")
+
+
+def sketch_estimate(sketch_binary: Column | str) -> Column:
+    """Scalar: cardinality estimate from a serialized HLL sketch.
+
+    Completes the reference's stub scalar UDF surface
+    (UDFCardinalityEstimator.java:30-48 — all methods return null; the
+    TODO at :30 names "set intersection and other utils" as the intent).
+    """
+    return F.hll_sketch_estimate(_col(sketch_binary))
+
+
+def sketch_union(a: Column | str, b: Column | str) -> Column:
+    """Scalar: union two serialized HLL sketches → merged sketch bytes."""
+    return F.hll_union(_col(a), _col(b), True)
+
+
+def sketch_intersect_estimate(a: Column | str, b: Column | str) -> Column:
+    """Scalar: estimated |A ∩ B| via inclusion–exclusion.
+
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL supports union natively but
+    not intersection; inclusion–exclusion is the standard estimator (error
+    grows when |A∩B| << |A∪B| — callers should treat small/negative results
+    as ≈0). Fulfils the reference's declared-but-unimplemented intent
+    (UDFCardinalityEstimator.java:30).
+    """
+    ca, cb = _col(a), _col(b)
+    return (
+        F.hll_sketch_estimate(ca)
+        + F.hll_sketch_estimate(cb)
+        - F.hll_sketch_estimate(F.hll_union(ca, cb, True))
+    )

@@ -1,0 +1,64 @@
+"""SparkSession construction tuned for this engine.
+
+Local-mode defaults follow the driver environment (local[32], single JVM).
+At cluster scale the same settings remain correct: AQE handles runtime
+re-planning (partition coalescing, skew-join splitting), and shuffle
+partition counts should be overridden per deployment via --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    - AQE on: runtime coalescing + skew-join handling (LSH band joins skew).
+    - Arrow on: every Python-boundary crossing is batched, never per-row.
+    - UTC session timezone: parity with DuckDB's UTC-naive timestamps.
+    - shuffle.partitions ~ cores in local mode; at cluster scale set to
+      ~2-3x total executor cores via submit conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Corpus parquet carries TIMESTAMP(NANOS); Spark's vectorized reader
+        # rejects it. Read as long nanos; sources.tables converts to
+        # micro-truncated timestamps (same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make hive_udf_spark importable on executors regardless of cwd.
+
+    Pandas-UDF closures reference this package by module name; cloudpickle
+    serializes them by reference, so workers must be able to import it.
+    Zipping the package and ``addPyFile``-ing it is the same mechanism as
+    ``spark-submit --py-files`` on a real cluster.
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="hive_udf_spark_"), "hive_udf_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)

@@ -1,0 +1,93 @@
+"""Linear Counting estimator tests (reference LC mode, SURVEY.md §2.1 #2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.lc import (
+    LCSketch,
+    lc_agg,
+    lc_cardinality,
+    lc_estimate_bytes,
+    lc_merge_agg,
+)
+from hive_udf_spark.sources import load_table
+
+
+def test_lcsketch_roundtrip_and_algebra():
+    a, b = LCSketch(1024), LCSketch(1024)
+    a.set_buckets(np.array([1, 5, 9, 8191]))
+    b.set_buckets(np.array([5, 100]))
+    m = a.merge(b)
+    assert m.occupied() == 5
+    back = LCSketch.from_bytes(m.to_bytes())
+    assert back.occupied() == 5
+    assert back.size_bytes == 1024
+    # merge is commutative
+    assert b.merge(a).to_bytes() == m.to_bytes()
+
+
+def test_lcsketch_incompatible_merge_raises():
+    with pytest.raises(ValueError, match="different sizes"):
+        LCSketch(1024).merge(LCSketch(2048))
+
+
+def test_lc_estimate_accuracy_small_cardinality():
+    # LC's home turf: cardinality << m
+    sk = LCSketch(4096)  # m = 32768 bits
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**62, size=5000)
+    sk.set_buckets(np.unique(vals) % sk.m)
+    est = sk.estimate()
+    assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_lc_cardinality_jvm_path(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        lc_cardinality("o_custkey", size_bytes=100_000).alias("lc"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.lc - row.exact) / row.exact < 0.02
+
+
+def test_lc_agg_struct_facade(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.groupBy("event_type")
+        .agg(lc_agg("user_id", size_bytes=10_000).alias("s"), F.count_distinct("user_id").alias("exact"))
+        .collect()
+    )
+    for r in rows:
+        assert r.s.type == "LC"
+        assert abs(r.s.cardinality - r.exact) <= max(1, 0.05 * r.exact)
+        sk = LCSketch.from_bytes(bytes(r.s.binary))
+        assert sk.estimate() == r.s.cardinality  # binary round-trips to same estimate
+
+
+def test_lc_merge_agg_rollup(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    per_day = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        lc_agg("user_id", size_bytes=10_000).alias("s")
+    )
+    rolled = per_day.agg(lc_merge_agg(F.col("s.binary")).alias("m")).collect()[0].m
+    exact = events.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert rolled.type == "LC"
+    assert abs(rolled.cardinality - exact) <= max(1, 0.05 * exact)
+
+
+def test_lc_null_semantics(spark):
+    df = spark.createDataFrame([(1, None), (2, "a")], "k int, v string")
+    rows = {r.k: r.s for r in df.groupBy("k").agg(lc_agg("v", 1000).alias("s")).collect()}
+    assert rows[1] is None
+    assert rows[2].cardinality == 1
+
+
+def test_lc_estimate_bytes_scalar(spark):
+    sk = LCSketch(2048)
+    sk.set_buckets(np.arange(50))
+    df = spark.createDataFrame([(sk.to_bytes(),)], "b binary")
+    got = df.select(lc_estimate_bytes("b").alias("e")).collect()[0].e
+    assert got == sk.estimate()

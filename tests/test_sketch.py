@@ -1,0 +1,112 @@
+"""Sketch algebra and accuracy tests (SURVEY.md §5.3-5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions import (
+    approx_distinct,
+    sketch_estimate,
+    sketch_intersect_estimate,
+    sketch_merge_agg,
+    sketch_union,
+)
+from hive_udf_spark.sources import load_table
+
+# FIXTURES.md exact cardinalities at sf0.001.
+EXACT = {
+    ("lineitem", "l_orderkey"): 1473,
+    ("lineitem", "l_suppkey"): 10,
+    ("orders", "o_custkey"): 150,
+    ("events", "user_id"): 15,
+}
+
+
+def test_hll_global_accuracy(spark, sf_dir):
+    for (table, col), exact in EXACT.items():
+        df = load_table(spark, sf_dir, table)
+        row = df.agg(approx_distinct(col).alias("s")).collect()[0]
+        assert row.s.type == "HLL"
+        assert abs(row.s.cardinality - exact) / exact < 0.02, (table, col, row.s.cardinality, exact)
+        assert row.s.binary is not None
+
+
+def test_hll_grouped_matches_exact_per_group(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    got = (
+        events.groupBy("event_type")
+        .agg(approx_distinct("user_id").alias("s"), F.count_distinct("user_id").alias("exact"))
+        .collect()
+    )
+    assert len(got) == 5
+    for r in got:
+        assert abs(r.s.cardinality - r.exact) / r.exact < 0.02
+
+
+def test_null_semantics_empty_group_is_null(spark):
+    df = spark.createDataFrame([(1, None), (1, None), (2, "a")], "k int, v string")
+    rows = {r.k: r.s for r in df.groupBy("k").agg(approx_distinct("v").alias("s")).collect()}
+    assert rows[1] is None  # all-null group → NULL (reference :329-331)
+    assert rows[2].cardinality == 1
+
+
+def test_merge_of_partials_equals_single_pass(spark, sf_dir):
+    """The reference's PARTIAL1→FINAL invariant (:276-317): sketch per
+    partition then merged ≡ one global sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    direct = orders.agg(approx_distinct("o_custkey").alias("s")).collect()[0].s
+    per_day = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(approx_distinct("o_custkey").alias("s"))
+    )
+    merged = per_day.agg(sketch_merge_agg("s").alias("m")).collect()[0].m
+    assert merged.type == "HLL"
+    assert merged.cardinality == direct.cardinality  # same hashes, same registers
+
+
+def test_sketch_union_and_intersect_scalars(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    segs = (
+        customer.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_mktsegment")
+        .agg(approx_distinct("c_custkey").alias("s"))
+        .collect()
+    )
+    by_seg = {r.c_mktsegment: r.s for r in segs}
+    a, b = by_seg["BUILDING"], by_seg["AUTOMOBILE"]
+    df = spark.createDataFrame([(a.binary, b.binary)], "a binary, b binary")
+    row = df.select(
+        sketch_estimate("a").alias("ea"),
+        sketch_estimate(sketch_union("a", "b")).alias("eu"),
+        sketch_intersect_estimate("a", "b").alias("ei"),
+    ).collect()[0]
+    assert row.ea == a.cardinality
+    # segments partition the customers: union = sum, intersection ≈ 0
+    assert abs(row.eu - (a.cardinality + b.cardinality)) / (a.cardinality + b.cardinality) < 0.05
+    assert abs(row.ei) <= max(2.0, 0.02 * row.eu)
+
+
+def test_reaggregation_roundtrip_through_storage(spark, sf_dir, tmp_path):
+    """Sketches are data: persist per-day sketches, read back, roll up
+    (the reference's whole reason for the struct output, :259-265)."""
+    events = load_table(spark, sf_dir, "events")
+    per_day = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        approx_distinct("user_id").alias("s")
+    )
+    path = str(tmp_path / "daily_sketches")
+    per_day.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    rolled = back.agg(sketch_merge_agg("s").alias("m")).collect()[0].m
+    exact = events.agg(F.count_distinct("user_id").alias("e")).collect()[0].e
+    assert abs(rolled.cardinality - exact) / exact < 0.02
+
+
+def test_invalid_kind_and_b_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        approx_distinct("x", kind="nope")
+    with _pytest.raises(ValueError):
+        approx_distinct("x", kind="hll", b=3)
+    with _pytest.raises(ValueError):
+        approx_distinct("x", kind="hll", b=22)

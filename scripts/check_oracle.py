@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Mini-driver: replicate the round driver's correctness gate locally.
+
+Runs every ``__spark_entry__.queries()`` entry in Spark and its
+``oracle_sql()`` in DuckDB over the same parquet tables, then compares
+row count, sorted column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [--only name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: sort columns by name, normalize
+    dtypes, sort rows by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean").astype("object")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        else:
+            df[c] = s.astype("string")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from hive_udf_spark.session import get_spark
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if args.only and name != args.only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, args.sf).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(got) == 0:
+                failures.append(name)
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        g, w = _canon(got), _canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures.append(name)
+        elif len(g) != len(w):
+            print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            failures.append(name)
+        elif not g.equals(w):
+            diff = (g != w) & ~(g.isna() & w.isna())
+            ncell = int(diff.to_numpy().sum())
+            print(f"FAIL  {name}: {ncell} mismatched cells")
+            idx = diff.any(axis=1)
+            print("  spark:", g[idx].head(3).to_dict("records"))
+            print("  duckdb:", w[idx].head(3).to_dict("records"))
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(g)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

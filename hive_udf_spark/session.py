@@ -39,6 +39,7 @@ def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | 
         # micro-truncated timestamps (same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

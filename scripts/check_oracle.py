@@ -33,6 +33,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
+        if s.dtype == object:
+            # DuckDB returns HUGEINT (int128) / Decimal as object dtype.
+            coerced = pd.to_numeric(s, errors="coerce")
+            if coerced.notna().eq(s.notna()).all():
+                s = df[c] = coerced
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
         elif pd.api.types.is_bool_dtype(s):
@@ -62,9 +67,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if args.only and name != args.only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             got = fn(spark, args.sf).toPandas()
@@ -84,6 +91,13 @@ def main() -> int:
             failures.append(name)
             continue
         g, w = _canon(got), _canon(want)
+        # Align residual numeric dtype splits (e.g. Int64 vs float64).
+        for c in set(g.columns) & set(w.columns):
+            if g[c].dtype != w[c].dtype and all(
+                pd.api.types.is_numeric_dtype(x[c]) for x in (g, w)
+            ):
+                g[c] = np.round(g[c].astype("float64"), 6)
+                w[c] = np.round(w[c].astype("float64"), 6)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
             failures.append(name)
@@ -101,7 +115,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(g)} rows [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 
 

@@ -1,0 +1,203 @@
+"""Dedup-operator queries with engine-portable oracles.
+
+The MinHash and SimHash oracles are *generated SQL* that reproduces our
+signatures exactly in DuckDB: both engines hash tokens with the top 60
+bits of a standard md5 (functions/hashing.py), so LSH candidates — not
+just verified outputs — match bit-for-bit. This is a stronger check than
+comparing against brute force: it pins the whole pipeline, including band
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.hashing import portable_hash60_sql
+from hive_udf_spark.functions.text import word_set
+from hive_udf_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pair_stats,
+    near_dup_pairs,
+    simhash,
+)
+from hive_udf_spark.plans.registry import register
+from hive_udf_spark.sources import load_table
+
+# Shared CTE: distinct word sets per document (DuckDB mirror of
+# functions.text.word_set).
+_WS_CTE = r"""
+ws AS (
+  SELECT doc_id,
+         list_distinct([t for t in string_split_regex(text, '\s+') if t != '']) AS w
+  FROM documents
+)
+"""
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 8
+_MINHASH_R = 2
+_JACCARD_T_PPM = 500_000  # threshold 0.5 as parts-per-million (integer math)
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n      ".join(
+        f"list_min([{portable_hash60_sql('t', seed)} for t in w])" for seed in range(_MINHASH_K)
+    )
+    return f"""
+    WITH {_WS_CTE},
+    sig AS (
+      SELECT doc_id, w, [
+      {sig_exprs}
+      ] AS sig FROM ws
+    ),
+    bands AS (
+      SELECT doc_id,
+             band,
+             sig[{_MINHASH_R}*band + 1]::VARCHAR || '_' || sig[{_MINHASH_R}*band + 2]::VARCHAR AS bkey
+      FROM sig, unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS t(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS BIGINT) AS union_size
+    FROM cands
+      JOIN ws wa ON wa.doc_id = id_a
+      JOIN ws wb ON wb.doc_id = id_b
+    WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+          >= {_JACCARD_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) → LSH(8 bands × 2 rows) → exact-Jaccard verify ≥ 0.5,
+    portable-hash mode. The oracle regenerates the identical pipeline in
+    SQL, so candidate generation itself is checked, not just the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        portable=True,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+@register(
+    "dedup_exact_content_hash",
+    oracle="""
+    WITH aug AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM aug GROUP BY md5(text)
+    """,
+)
+def dedup_exact_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with injected duplicates
+    (the raw corpus has none — FIXTURES.md): survivor = lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    aug = docs.unionByName(dupes)
+    return exact_dedup(aug, "text", "doc_id").select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_brute",
+    oracle=f"""
+    WITH {_WS_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(a.w, b.w))) AS BIGINT) AS union_size
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+      AND len(list_intersect(a.w, b.w)) * 1000000
+          >= 400000 * len(list_distinct(list_concat(a.w, b.w)))
+    """,
+)
+def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact word-set Jaccard ≥ 0.4 over a doc_id%5 sample —
+    the ground-truth oracle the LSH path approximates. Quadratic by
+    construction; the sample bound keeps it so only on purpose."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ws = docs.select(F.col("doc_id"), word_set("text").alias("w"))
+    a, b = ws.alias("a"), ws.alias("b")
+    joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter, union = jaccard_pair_stats(F.col("a.w"), F.col("b.w"))
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1_000_000 >= 400_000 * F.col("union_size"))
+    )
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_MAXD = 20
+
+
+def _simhash_oracle() -> str:
+    bit_terms = "\n        + ".join(
+        f"(CASE WHEN list_sum([((h >> {j}) & 1) * 2 - 1 for h in hs]) > 0 THEN {2**j} ELSE 0 END)::BIGINT"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_WS_CTE},
+    hs AS (
+      SELECT doc_id, [{portable_hash60_sql('t', 0)} for t in w] AS hs FROM ws
+    ),
+    sh AS (
+      SELECT doc_id,
+        ({bit_terms}) AS sh
+      FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+      AND bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAXD}
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit, portable) near-pairs (Hamming ≤ 20) over the same
+    doc_id%5 sample — signatures reproduced bit-for-bit by the generated
+    SQL oracle. The scalable candidate generator (pigeonhole blocking)
+    is `operators.dedup.simhash_block_pairs`; it feeds the same verify."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sigs = docs.select(
+        F.col("doc_id"), simhash(word_set("text"), _SIMHASH_BITS, portable=True).alias("sh")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAXD)
+    )

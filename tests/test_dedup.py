@@ -1,0 +1,63 @@
+"""Dedup operator property tests (beyond the oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.text import word_set
+from hive_udf_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    simhash_block_pairs,
+    simhash_near_pairs,
+)
+from hive_udf_spark.sources import load_table
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_lsh_finds_all_exact_duplicate_pairs(spark, sf_dir):
+    """Identical texts have identical signatures → every band collides →
+    guaranteed candidates regardless of banding. Recall on exact dups is 1."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    aug = docs.unionByName(dupes)
+    pairs = near_dup_pairs(aug, "doc_id", "text", threshold=0.99, num_hashes=16, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.doc_id, r.doc_id + 10_000) for r in docs.select("doc_id").collect()}
+    assert want <= got  # all exact-dup pairs found (plus any true near-dups)
+
+
+def test_simhash_block_pairs_equals_brute_force(spark, sf_dir):
+    """Pigeonhole blocking is exact for distance ≤ max_hamming: block-join
+    candidates must yield the same final pair set as the all-pairs pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=14, portable=False).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_block_pairs(docs, "doc_id", "text", max_hamming=14, portable=False).collect()
+    }
+    assert blocked == brute
+    assert len(brute) > 0  # corpus has near pairs at this radius
+
+
+def test_near_dup_threshold_monotone(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    lo = near_dup_pairs(docs, "doc_id", "text", threshold=0.3).count()
+    hi = near_dup_pairs(docs, "doc_id", "text", threshold=0.7).count()
+    assert hi <= lo
+
+
+def test_word_set_distinct_and_no_empties(spark):
+    df = spark.createDataFrame([("a  b a   c ",)], "text string")
+    ws = df.select(word_set("text").alias("w")).collect()[0].w
+    assert sorted(ws) == ["a", "b", "c"]

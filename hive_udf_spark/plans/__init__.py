@@ -9,4 +9,9 @@ check). Importing this package populates the registry.
 from hive_udf_spark.plans.registry import QUERIES, oracle_sql_map, queries_map, register  # noqa: F401
 
 # Import for registration side effects.
-from hive_udf_spark.plans import dedup_queries, relational_queries, sketch_queries  # noqa: E402,F401
+from hive_udf_spark.plans import (  # noqa: E402,F401
+    dedup_queries,
+    relational_queries,
+    similarity_queries,
+    sketch_queries,
+)

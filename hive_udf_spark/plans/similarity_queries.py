@@ -1,0 +1,93 @@
+"""Similarity-search queries.
+
+``similarity_topk_dot`` and ``similarity_near_pairs`` are decided in exact
+integer space (quantized vectors), so DuckDB reproduces them exactly —
+rank comparisons included. The float-cosine and LSH variants are
+rows-only here and accuracy/recall-tested against numpy in
+tests/test_similarity.py (float ranks are not portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.similarity import (
+    ann_hyperplane_lsh,
+    embedding_near_pairs,
+    topk_dot_quantized,
+)
+from hive_udf_spark.plans.registry import register
+from hive_udf_spark.sources import load_table
+
+_QV_CTE = """
+qv AS (
+  SELECT vec_id,
+         [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) for e in embedding] AS q
+  FROM embeddings
+)
+"""
+
+_DOT = "list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i]))"
+
+
+@register(
+    "similarity_topk_dot",
+    oracle=f"""
+    WITH {_QV_CTE},
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST({_DOT} AS BIGINT) AS dot_q
+      FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+      WHERE a.vec_id % 10 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS "rank"
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 neighbors by exact quantized dot product for the
+    vec_id%10 query subset; deterministic ranks (dot desc, id asc)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return topk_dot_quantized(emb, queries, k=5)
+
+
+@register(
+    "similarity_near_pairs",
+    oracle=f"""
+    WITH {_QV_CTE},
+    nv AS (
+      SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qv
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST({_DOT} AS BIGINT) AS dot_q,
+             a.n2 AS na, b.n2 AS nb
+      FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot_q FROM pairs
+    WHERE dot_q > 0
+      AND CAST(dot_q * dot_q AS DOUBLE) >= 0.1225 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    """,
+)
+def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35) decided by
+    integer cross-multiplication — exact in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, min_cosine=0.35)
+
+
+@register("similarity_ann_lsh", oracle=None)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 cosine neighbors (vec_id%10
+    queries). Approximate by design → rows-only check here; recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4)

@@ -1,0 +1,182 @@
+"""Text-analysis + multimodal queries with exact oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.langid import CORPUS_MARKERS, lang_id, lang_id_sql
+from hive_udf_spark.functions.text import (
+    BPEISH_PATTERN,
+    bpeish_token_count,
+    doc_fingerprint,
+    quality_features,
+    tokenize,
+)
+from hive_udf_spark.operators.multimodal import attach_blob_columns, decode_image_features
+from hive_udf_spark.plans.registry import register
+from hive_udf_spark.sources import load_table
+
+_TOKS_SQL = r"[t for t in string_split_regex(text, '\s+') if t != '']"
+
+
+@register(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                   AS n_chars,
+           CAST(len(toks) AS BIGINT)                      AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)       AS n_unique_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6)  AS uniq_ratio,
+           round(list_sum([length(t) for t in toks]) * 1.0 / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / diversity heuristics) —
+    all integer-derived, so cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["n_unique_tokens"].cast("long").alias("n_unique_tokens"),
+        feats["uniq_ratio"].alias("uniq_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle=rf"""
+    WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+    stats AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+             CAST(max(len(toks)) AS BIGINT) AS max_tokens
+      FROM t GROUP BY lang
+    ),
+    vocab AS (
+      SELECT lang, CAST(count(DISTINCT u.tok) AS BIGINT) AS vocab_size
+      FROM t, unnest(toks) AS u(tok) GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens, max_tokens, vocab_size
+    FROM stats JOIN vocab USING (lang)
+    """,
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: doc counts, token volume, vocabulary
+    size. The explode→distinct vocab count is the exact analogue of the
+    sketch use-case (swap count_distinct for approx_distinct at scale)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    vocab = (
+        docs.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").cast("long").alias("vocab_size"))
+    )
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+        F.max(F.size("toks")).cast("long").alias("max_tokens"),
+    )
+    return stats.join(vocab, "lang").select(
+        "lang", "n_docs", "total_tokens", "max_tokens", "vocab_size"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           {lang_id_sql('toks', CORPUS_MARKERS)} AS predicted_lang,
+           lang AS labeled_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (deterministic scoring + argmax; see
+    functions/langid.py for why accuracy is untestable on this corpus —
+    the mechanism, not the lists, is what's verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(tokenize("text"), CORPUS_MARKERS).alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@register(
+    "text_fingerprint_whitespace_invariance",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || replace(text, ' ', '   ') || ' '
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM aug GROUP BY 1
+    """,
+)
+def text_fingerprint_whitespace_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-mangled copies collapse to the
+    canonical doc's fingerprint (normalize → md5, engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(mangled)
+    return aug.groupBy(doc_fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("n_variants"), F.min("doc_id").cast("long").alias("canonical_doc")
+    )
+
+
+@register(
+    "text_bpeish_token_counts",
+    oracle=rf"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{BPEISH_PATTERN}'))) AS BIGINT) AS total_bpeish_tokens,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_ws_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and BPE-ish regex pre-tokens —
+    the budget numbers an LLM-corpus audit needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(bpeish_token_count("text")).cast("long").alias("total_bpeish_tokens"),
+        F.sum(F.size(tokenize("text"))).cast("long").alias("total_ws_tokens"),
+    )
+
+
+@register(
+    "multimodal_blob_features",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             length(text) AS n_bytes,
+             list_sum([unicode(c) for c in string_split(text, '')]) AS byte_sum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           round(byte_sum * 1.0 / n_bytes, 6) AS mean_byte
+    FROM per_doc
+    """,
+)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text→blob (stand-in for encoded media) →
+    mapInPandas feature extraction (operators/multimodal.py). mean_byte is
+    an exact integer sum / count — portable. The corpus is ASCII, so
+    DuckDB's per-character codepoints equal our bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob_columns(docs)
+    feats = decode_image_features(blobs, fake=True)
+    return feats.select("doc_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte"))

@@ -14,5 +14,6 @@ from hive_udf_spark.plans import (  # noqa: E402,F401
     relational_queries,
     similarity_queries,
     sketch_queries,
+    streaming_queries,
     text_queries,
 )

@@ -1,0 +1,61 @@
+"""Structured Streaming: batch equivalence + watermark/window behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.sources import load_table
+from hive_udf_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_distinct_users,
+    windowed_event_stats,
+)
+
+
+def test_stream_equals_batch_for_exact_aggs(spark, sf_dir):
+    stream_out = run_stream_to_memory(
+        windowed_event_stats(read_events_stream(spark, sf_dir)), "t_stats"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    batch_out = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want
+
+
+def test_stream_distinct_users_accuracy(spark, sf_dir):
+    out = run_stream_to_memory(
+        windowed_distinct_users(read_events_stream(spark, sf_dir)), "t_distinct"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.window_start, r.event_type): r.n
+        for r in batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    rows = out.collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[(r.window_start, r.event_type)]
+        assert abs(r.approx_users - e) <= max(1, 0.05 * e)
+
+
+def test_sliding_windows_multiply_rows(spark, sf_dir):
+    """A 2-day window sliding by 1 day assigns each event to 2 windows."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n")),
+        "t_sliding",
+    )
+    total_assigned = sum(r.n for r in out.collect())
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total_assigned == 2 * n_events

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Queries are forced end-to-end with the noop sink (full computation, no
+driver collect cost). Scale-path variants are benchmarked (fast xxhash64
+hashes, LSH instead of brute force) — the oracle gate covers correctness;
+this measures throughput of the plans we'd run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from hive_udf_spark.functions import approx_distinct, sketch_merge_agg
+    from hive_udf_spark.functions.lc import lc_cardinality
+    from hive_udf_spark.operators.dedup import near_dup_pairs, simhash_block_pairs
+    from hive_udf_spark.operators.similarity import ann_hyperplane_lsh, topk_dot_quantized
+    from hive_udf_spark.plans import QUERIES
+    from hive_udf_spark.sources import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def q_hll_lineitem():
+        _force(
+            lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+                approx_distinct("l_orderkey").alias("s")
+            )
+        )
+
+    def q_hll_exact_compare():
+        _force(
+            events.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact"),
+                approx_distinct("user_id").alias("s"),
+            )
+        )
+
+    def q_lc_orders():
+        _force(
+            orders.groupBy("o_orderpriority").agg(
+                lc_cardinality("o_custkey", 1_000_000).alias("lc")
+            )
+        )
+
+    def q_sketch_rollup():
+        daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            approx_distinct("user_id").alias("s")
+        )
+        _force(daily.agg(sketch_merge_agg("s").alias("m")))
+
+    def q_tpch_q1():
+        QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_tpch_q5():
+        QUERIES["tpch_q5_regional_volume"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_window_topk():
+        QUERIES["window_topk_parts_per_brand"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_minhash_lsh_fast():
+        _force(
+            near_dup_pairs(
+                docs,
+                "doc_id",
+                "text",
+                threshold=0.7,
+                num_hashes=16,
+                bands=4,  # r=4: right s-curve for t=0.7
+                portable=False,
+                sig_prefilter_margin=0.25,
+            )
+        )
+
+    def q_dedup_clusters():
+        from hive_udf_spark.operators.dedup import dedup_clusters
+
+        _force(dedup_clusters(docs, "doc_id", "text", threshold=0.7))
+
+    def q_simhash_blocked_fast():
+        _force(simhash_block_pairs(docs, "doc_id", "text", max_hamming=6, portable=False))
+
+    def q_topk_dot():
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        _force(topk_dot_quantized(emb, queries, k=5))
+
+    def q_ann_lsh():
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        _force(ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4))
+
+    def q_text_profile():
+        QUERIES["text_token_stats_by_lang"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    benches = {
+        "hll_grouped_lineitem": q_hll_lineitem,
+        "hll_vs_exact_events": q_hll_exact_compare,
+        "lc_grouped_orders": q_lc_orders,
+        "sketch_rollup": q_sketch_rollup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "window_topk": q_window_topk,
+        "minhash_lsh_dedup": q_minhash_lsh_fast,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_blocked": q_simhash_blocked_fast,
+        "topk_dot_bruteforce": q_topk_dot,
+        "ann_lsh": q_ann_lsh,
+        "text_profile": q_text_profile,
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in benches.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from hive_udf_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM/session so timings measure the queries, not startup
+    spark.range(1000).select(F.sum("id")).collect()
+
+    times = bench_queries(spark, sf_dir)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

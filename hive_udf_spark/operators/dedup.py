@@ -128,11 +128,24 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     portable: bool = False,
+    sig_prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline.
 
     Returns (id_a, id_b, inter_size, union_size) for candidate pairs whose
     *exact* word-set Jaccard ≥ threshold. bands×rows must equal num_hashes.
+
+    Choose bands for the threshold: collision probability at similarity s
+    is 1-(1-s^r)^b with r = num_hashes/bands. For t≈0.5 use r=2; for
+    t≈0.7+ use r=4 — too-small r floods the verify join with low-sim
+    candidates on boilerplate-heavy corpora.
+
+    sig_prefilter_margin (e.g. 0.25): before shipping token arrays,
+    estimate Jaccard as the fraction of agreeing signature components
+    (an unbiased MinHash estimate) and drop candidates whose estimate is
+    below threshold − margin. Cuts the expensive verify-join payload;
+    margin ≥ ~3σ = 3·√(t(1−t)/k) keeps it effectively lossless. The
+    portable/oracle path leaves this off so the SQL mirror stays simple.
     """
     rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
@@ -142,6 +155,25 @@ def near_dup_pairs(
         word_set(text_col).alias("__ws"),
     ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
     cands = lsh_candidate_pairs(with_sig, "__id", "sig", bands, rows_per_band)
+
+    if sig_prefilter_margin is not None:
+        sigs = with_sig.select(F.col("__id"), F.col("sig"))
+        cands = (
+            cands.join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("sig", "__sa"), "id_a")
+            .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("sig", "__sb"), "id_b")
+            .withColumn(
+                "__est",
+                F.aggregate(
+                    F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.lit(float(num_hashes)),
+            )
+            .filter(F.col("__est") >= F.lit(float(threshold) - float(sig_prefilter_margin)))
+            .select("id_a", "id_b")
+        )
+
     toks = with_sig.select(F.col("__id"), F.col("__ws"))
     joined = (
         cands.join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__ws", "__wsa"), "id_a")
@@ -157,6 +189,93 @@ def near_dup_pairs(
         )
         # integer cross-multiplication: inter/union >= t  ⟺  inter*K >= t*K*union
         .filter(F.col("inter_size") * F.lit(1_000_000) >= F.lit(int(threshold * 1_000_000)) * F.col("union_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-based dedup (linear output)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Min-label propagation connected components on (id_a, id_b) edges.
+
+    Returns (id, component) where component = min node id reachable.
+    Iterates until fixpoint (or max_iters); near-dup graphs are near-clique
+    unions, so 2-4 rounds typically converge. Each round is one shuffle
+    join edges⋈labels + one min-aggregate — linear in |E|, no quadratic
+    blowup, which is why dedup at 100 TB reports clusters, not pair lists.
+    """
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # materialize the edge list once — otherwise its (possibly expensive)
+    # upstream pipeline re-executes every iteration AND every convergence
+    # check; at cluster scale use .checkpoint() to reliable storage instead
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup dedup with linear output: (doc_id, cluster, is_canonical).
+
+    Pipeline: MinHash→LSH→verify (near_dup_pairs) → connected components →
+    canonical = min id per cluster. The pair list is an intermediate that
+    never leaves the job; output size = corpus size regardless of how
+    boilerplate-heavy the corpus is.
+    """
+    pairs = near_dup_pairs(
+        docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        portable=portable,
+        sig_prefilter_margin=0.25,
+    ).select("id_a", "id_b")
+    nodes = docs.select(F.col(id_col).alias("id"))
+    comps = connected_components(pairs, nodes)
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
     )
 
 
@@ -191,6 +310,40 @@ def simhash(tokens: Column, bits: int = 60, portable: bool = True) -> Column:
     return acc
 
 
+def simhash_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, simhash) for a corpus — the scalable formulation.
+
+    Explodes to (id, token_hash) rows, then ONE wide hash-aggregate with
+    `bits` conditional sums (each map-side partially aggregated), then
+    packs sign bits. One pass over tokens, one doc-count-sized shuffle of
+    60 longs per doc — versus the naive expression form which re-folds the
+    token array per bit (60× the hash work). Same output as ``simhash``.
+    """
+    if not (1 <= bits <= 60):
+        raise ValueError("bits must be in [1, 60]")
+    h = (lambda t: portable_hash60(t, 0)) if portable else (lambda t: fast_hash64(t, 0))
+    exploded = docs.select(
+        F.col(id_col).alias("__id"), F.explode(word_set(text_col)).alias("__t")
+    ).select("__id", h(F.col("__t")).alias("__h"))
+    votes = [
+        F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    agg = exploded.groupBy("__id").agg(*votes)
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed + F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("__id", packed.alias("__sh"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str,
@@ -207,9 +360,7 @@ def simhash_near_pairs(
     pair within distance d shares ≥1 exact block) before the pairwise pass;
     `simhash_block_pairs` below implements that candidate generator.
     """
-    sigs = docs.select(
-        F.col(id_col).alias("__id"), simhash(word_set(text_col), bits, portable).alias("__sh")
-    )
+    sigs = simhash_table(docs, id_col, text_col, bits, portable)
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
     return (
@@ -240,9 +391,7 @@ def simhash_block_pairs(
     """
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
-    sigs = docs.select(
-        F.col(id_col).alias("__id"), simhash(word_set(text_col), bits, portable).alias("__sh")
-    )
+    sigs = simhash_table(docs, id_col, text_col, bits, portable)
     blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
     mask = F.lit((1 << block_bits) - 1).cast("long")
     banded = sigs.select(

@@ -153,6 +153,19 @@ def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_linear", oracle=None)
+def dedup_clusters_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based near-dedup: (doc_id, cluster, is_canonical) — linear
+    output even on boilerplate-heavy corpora (pair lists are quadratic
+    there). Iterative connected components is not single-statement SQL →
+    rows-only check; validated against union-find ground truth in
+    tests/test_dedup_clusters.py."""
+    from hive_udf_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "doc_id", "text", threshold=0.7)
+
+
 _SIMHASH_BITS = 60
 _SIMHASH_MAXD = 20
 

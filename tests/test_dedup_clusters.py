@@ -1,0 +1,74 @@
+"""Connected-components dedup vs a Python union-find ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.dedup import connected_components, dedup_clusters, near_dup_pairs
+from hive_udf_spark.sources import load_table
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    nodes = list(range(1, 4)) + [10, 11] + list(range(20, 23)) + [99]  # 99 isolated
+    e_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    n_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {r.id: r.component for r in connected_components(e_df, n_df).collect()}
+    uf = _UF()
+    for n in nodes:
+        uf.find(n)
+    for a, b in edges:
+        uf.union(a, b)
+    want = {n: uf.find(n) for n in nodes}
+    # canonical root: min of each component
+    comp_min = {}
+    for n in nodes:
+        r = uf.find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[uf.find(n)] for n in nodes}
+    assert got == want
+
+
+def test_dedup_clusters_on_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    clusters = dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    rows = clusters.collect()
+    assert len(rows) == docs.count()  # linear output: one row per doc
+    by_id = {r.doc_id: r for r in rows}
+    # cluster representative is a member and is canonical
+    for r in rows:
+        assert by_id[r.cluster].cluster == r.cluster
+        assert by_id[r.cluster].is_canonical
+    # consistency vs the pair graph (same params as dedup_clusters)
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=16, bands=4,
+        sig_prefilter_margin=0.25,
+    ).collect()
+    uf = _UF()
+    for r in rows:
+        uf.find(r.doc_id)
+    for p in pairs:
+        uf.union(p.id_a, p.id_b)
+    comp_min = {}
+    for r in rows:
+        root = uf.find(r.doc_id)
+        comp_min[root] = min(comp_min.get(root, r.doc_id), r.doc_id)
+    for r in rows:
+        assert r.cluster == comp_min[uf.find(r.doc_id)]

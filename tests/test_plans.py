@@ -1,0 +1,99 @@
+"""Physical-plan audits: the properties that make queries survive 100 TB.
+
+These assert on .explain output, so regressions in pushdown/broadcast/
+partial-aggregation are caught by CI, not by a slow cluster run.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions import approx_distinct
+from hive_udf_spark.plans import QUERIES
+from hive_udf_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: scan reads only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_hll_aggregate_is_partial_final(spark, sf_dir):
+    """The reference's PARTIAL1→FINAL protocol must appear as two
+    ObjectHashAggregate phases (map-side partial sketch, merge after
+    shuffle) — the property that makes 100 TB group-bys shuffle sketches
+    instead of rows (SURVEY.md §4.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(approx_distinct("user_id").alias("s"))
+    plan = plan_of(q)
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "partial_hll_sketch_agg" in plan or "partial_" in plan
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q5_regional_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join must NOT broadcast lineitem/orders at scale;
+    # here we just require that broadcast exists for dims and the plan has
+    # at most one shuffle-based join for the facts
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_no_python_udfs_in_jvm_operators(spark, sf_dir):
+    """Sketch/relational/dedup query plans must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython stages (Python appears only in
+    explicitly-Python operators: LC facade binary, multimodal, ANN sig)."""
+    jvm_only = [
+        "approx_distinct_hll_grouped",
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "similarity_topk_dot",
+        "text_quality_scores",
+    ]
+    for name in jvm_only:
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} crosses into Python"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE's pre-execution explain hides codegen stage markers; disable it
+    # for this one assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # formatted mode marks codegen'd operators with a '*' prefix
+    assert "* HashAggregate" in plan and "* Project" in plan
+
+
+def test_lc_distinct_is_two_phase(spark, sf_dir):
+    from hive_udf_spark.functions.lc import lc_cardinality
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(lc_cardinality("o_custkey", 10_000).alias("lc"))
+    plan = plan_of(q)
+    # distinct-aggregate rewrite: partial distinct on (key, bucket) before
+    # the final count — bucket ids shuffle, not raw rows
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan

@@ -15,5 +15,6 @@ from hive_udf_spark.plans import (  # noqa: E402,F401
     similarity_queries,
     sketch_queries,
     streaming_queries,
+    temporal_queries,
     text_queries,
 )

@@ -1,0 +1,146 @@
+"""Temporal join queries: as-of joins and range joins with exact oracles.
+
+DuckDB's native ASOF JOIN is the oracle for ``asof_join`` (same semantics:
+closest right row at-or-before the left timestamp per key); the range join
+oracle is a plain inequality join. Our Spark implementations avoid the
+range cross-product entirely (union+window / bucketed equi-join — see
+operators/temporal.py scale notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.temporal import asof_join, interval_join
+from hive_udf_spark.plans.registry import register
+from hive_udf_spark.sources import load_table
+
+
+@register(
+    "asof_latest_order_before_event",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey)                    AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey)  AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey, r.o_orderdate, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    """,
+)
+def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event matched to the user's most recent
+    order at-or-before the event timestamp. Right side deduped to one row
+    per (custkey, orderdate) with max-orderkey-wins, so the match is
+    deterministic. One shuffle; no range cross-product."""
+    events = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="backward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "asof_prev_event_gap",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.event_id AS prev_event_id,
+           CASE WHEN p.event_id IS NULL THEN NULL
+                ELSE date_diff('microsecond', p.ts, e.ts) END AS gap_us
+    FROM events e ASOF LEFT JOIN events p
+      ON e.user_id = p.user_id
+     AND p.ts <= e.ts - INTERVAL 1 MICROSECOND
+    """,
+)
+def asof_prev_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self as-of join: time since the same user's previous event (strictly
+    earlier, via a 1-microsecond left shift). event_id tiebreak makes
+    equal-timestamp matches deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.select(
+        "event_id", "user_id", "ts", (F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")).alias("__q")
+    )
+    right = events.select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("prev_event_id"),
+        F.col("ts").alias("prev_ts"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        left_on="user_id",
+        right_on="p_user",
+        left_ts="__q",
+        right_ts="prev_ts",
+        direction="backward",
+        right_tiebreak="prev_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "prev_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_events_next_hour",
+    oracle="""
+    SELECT e.event_id,
+           count(p.event_id)                          AS n_next_hour,
+           round(coalesce(sum(p.value), 0), 2)        AS sum_value_next_hour
+    FROM events e LEFT JOIN events p
+      ON p.user_id = e.user_id AND p.event_id != e.event_id
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def range_join_events_next_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per event, the same user's activity (count, value sum)
+    in the following hour [ts, ts+1h). Bucketed equi-join (1h epochs,
+    explode factor ≤ 2) instead of Spark's nested-loop range join."""
+    events = load_table(spark, sf_dir, "events")
+    anchors = events.select(
+        F.col("event_id").alias("anchor_id"), F.col("user_id").alias("anchor_user"),
+        F.col("ts").alias("anchor_ts"),
+    )
+    matches = interval_join(
+        points=events.select("event_id", "user_id", "ts", "value"),
+        intervals=anchors,
+        point_key="user_id",
+        interval_key="anchor_user",
+        point_ts="ts",
+        start_ts="anchor_ts",
+        end_ts=F.col("anchor_ts") + F.expr("INTERVAL 1 HOUR"),
+        bucket_width="1 hour",
+    ).filter(F.col("event_id") != F.col("anchor_id"))
+    agg = matches.groupBy("anchor_id").agg(
+        F.count("event_id").alias("n_next_hour"),
+        F.round(F.sum("value"), 2).alias("sum_value_next_hour"),
+    )
+    return (
+        events.select(F.col("event_id"))
+        .join(agg, events.event_id == agg.anchor_id, "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_next_hour"), F.lit(0)).alias("n_next_hour"),
+            F.coalesce(F.col("sum_value_next_hour"), F.lit(0.0)).alias("sum_value_next_hour"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""As-of join and interval join operator semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00")),
+            (2, "a", _ts("2024-01-01 12:00:00")),
+            (3, "b", _ts("2024-01-01 11:00:00")),
+            (4, "c", _ts("2024-01-01 11:00:00")),  # key with no right rows
+        ],
+        "lid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 09:00:00"), 90),
+            ("a", _ts("2024-01-01 11:30:00"), 115),
+            ("b", _ts("2024-01-01 11:00:00"), 110),  # exact tie with left ts
+            ("b", _ts("2024-01-01 23:00:00"), 230),
+        ],
+        "k string, rts timestamp, val int",
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "k", "ts", "rts", direction="backward")
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    # lid=1: 09:00 row; lid=2: 11:30 row; lid=3: tie at 11:00 matches; lid=4: none
+    assert got == {1: 90, 2: 115, 3: 110, 4: None}
+    assert out.count() == left.count()  # left-outer: one row per left row
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "k", "ts", "rts", direction="forward")
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    assert got == {1: 115, 2: None, 3: 110, 4: None}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "k", "ts", "rts", direction="backward", tolerance="45 minutes")
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    # lid=1's only earlier match (09:00) is 1h away -> nulled by tolerance
+    assert got == {1: None, 2: 115, 3: 110, 4: None}
+
+
+def test_asof_tiebreak_and_struct_consistency(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 12:00:00"))], "lid int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 11:00:00"), 7, "low"),
+            ("a", _ts("2024-01-01 11:00:00"), 9, "high"),
+        ],
+        "k string, rts timestamp, seq int, tag string",
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", direction="backward", right_tiebreak="seq"
+    ).collect()[0]
+    # greatest tiebreak wins, and all matched fields come from THAT row
+    assert out["seq"] == 9 and out["tag"] == "high"
+
+
+def test_asof_column_collision_suffix(spark):
+    left, right = _frames(spark)
+    right2 = right.withColumnRenamed("rts", "ts")  # collide with left's ts
+    out = asof_join(left, right2, "k", "k", "ts", "ts", direction="backward")
+    assert "ts_r" in out.columns and "ts" in out.columns
+
+
+def test_interval_join_half_open(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00")),
+            (2, "a", _ts("2024-01-01 10:59:59")),
+            (3, "a", _ts("2024-01-01 11:00:00")),  # == end -> excluded
+            (4, "b", _ts("2024-01-01 10:30:00")),  # other key
+        ],
+        "pid int, k string, ts timestamp",
+    )
+    ivls = spark.createDataFrame(
+        [(100, "a", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iid int, ik string, s timestamp, e timestamp",
+    )
+    out = interval_join(points, ivls, "k", "ik", "ts", "s", "e", bucket_width="15 minutes")
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    points = spark.createDataFrame(
+        [(i, "a", _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=17 * i)) for i in range(40)],
+        "pid int, k string, ts timestamp",
+    )
+    ivls = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 04:00:00")),
+            (2, "a", _ts("2024-01-01 06:30:00"), _ts("2024-01-01 06:45:00")),
+        ],
+        "iid int, ik string, s timestamp, e timestamp",
+    )
+    results = []
+    for bw in ("7 minutes", "1 hour", "1 day"):
+        out = interval_join(points, ivls, "k", "ik", "ts", "s", "e", bucket_width=bw)
+        results.append(sorted((r["iid"], r["pid"]) for r in out.collect()))
+    assert results[0] == results[1] == results[2] and len(results[0]) > 0

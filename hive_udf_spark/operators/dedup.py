@@ -154,6 +154,11 @@ def near_dup_pairs(
         F.col(id_col).alias("__id"),
         word_set(text_col).alias("__ws"),
     ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
+    # The signature table feeds the band self-join (×2), the prefilter
+    # (×2), and the verify join (×2) — without materialization the corpus
+    # is re-tokenized and re-hashed once per plan branch. At 100 TB this is
+    # "write the signature table once, then join against it".
+    with_sig = with_sig.persist()
     cands = lsh_candidate_pairs(with_sig, "__id", "sig", bands, rows_per_band)
 
     if sig_prefilter_margin is not None:
@@ -206,13 +211,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15
     join edges⋈labels + one min-aggregate — linear in |E|, no quadratic
     blowup, which is why dedup at 100 TB reports clusters, not pair lists.
     """
+    # materialize the edge list BEFORE symmetrizing — the union has two
+    # branches over `edges`, so checkpointing after would execute the
+    # (possibly expensive) upstream pipeline twice; and without any
+    # materialization it would re-execute every iteration AND every
+    # convergence check. At cluster scale use .checkpoint() to reliable
+    # storage instead.
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    # materialize the edge list once — otherwise its (possibly expensive)
-    # upstream pipeline re-executes every iteration AND every convergence
-    # check; at cluster scale use .checkpoint() to reliable storage instead
-    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
@@ -341,7 +349,9 @@ def simhash_table(
         packed = packed + F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return agg.select("__id", packed.alias("__sh"))
+    # both self-join sides read this table — materialize the (id, sig)
+    # pairs instead of re-running the explode + 60-column aggregate twice
+    return agg.select("__id", packed.alias("__sh")).persist()
 
 
 def simhash_near_pairs(

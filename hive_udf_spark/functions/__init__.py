@@ -7,3 +7,4 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     sketch_merge_agg,
     sketch_union,
 )
+from hive_udf_spark.functions.sql_registry import register_sql  # noqa: F401

@@ -1,0 +1,96 @@
+"""SQL-surface registration: the reference's `CREATE TEMPORARY FUNCTION`
+UX, natively on Spark.
+
+The reference is consumed from SQL (`SELECT approx_distinct(values) FROM
+src` — UDAFCardinalityEstimator.java:66-68, registered via Hive's CREATE
+TEMPORARY FUNCTION). ``register_sql(spark)`` recreates that surface with
+Spark 4 SQL UDFs (pure Catalyst expressions — JVM-side, codegen-friendly,
+zero Python in the hot path) plus pandas grouped-agg registrations for the
+Linear Counting path:
+
+- ``sketch_struct(bin)`` — wrap a raw HLL sketch into the reference's
+  result struct {type, cardinality, binary}; compose with the native
+  aggregate: ``SELECT sketch_struct(hll_sketch_agg(x)) FROM t``.
+- ``sketch_estimate(bin)``, ``sketch_union(a, b)`` — the scalar utilities
+  the reference's stub UDF intended (UDFCardinalityEstimator.java:30-48).
+- ``sketch_intersect_estimate(a, b)`` — inclusion–exclusion intersection,
+  completing the stub's documented TODO ("potential set intersection and
+  other utils").
+- ``lc_bucket(x, size_bytes)`` / ``lc_estimate(occupied, size_bytes)`` —
+  the Linear Counting surface in SQL, composed with the host's exact
+  distinct: ``SELECT lc_estimate(count(DISTINCT lc_bucket(x, 1000000)),
+  1000000) FROM t GROUP BY k``. Same Tier-B formulation as
+  functions.lc.lc_cardinality: at most m bucket ids per group cross the
+  shuffle, map-side partial distinct included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_SQL_FUNCTIONS = {
+    "sketch_struct": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_struct(bin BINARY)
+        RETURNS STRUCT<type: STRING, cardinality: BIGINT, binary: BINARY>
+        RETURN CASE
+                    -- empty sketch (estimate 0) <=> no non-null values were
+                    -- aggregated; the reference returns NULL for that
+                    -- (UDAFCardinalityEstimator.java:329-331)
+                    WHEN bin IS NULL OR hll_sketch_estimate(bin) = 0 THEN NULL
+                    ELSE named_struct(
+                        'type', 'HLL',
+                        'cardinality', hll_sketch_estimate(bin),
+                        'binary', bin) END
+    """,
+    "sketch_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_estimate(bin BINARY)
+        RETURNS BIGINT
+        RETURN hll_sketch_estimate(bin)
+    """,
+    "sketch_union": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_union(a BINARY, b BINARY)
+        RETURNS BINARY
+        RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
+                    ELSE hll_union(a, b) END
+    """,
+    "sketch_intersect_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_intersect_estimate(a BINARY, b BINARY)
+        RETURNS BIGINT
+        RETURN CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                    ELSE greatest(0L,
+                         hll_sketch_estimate(a) + hll_sketch_estimate(b)
+                         - hll_sketch_estimate(hll_union(a, b))) END
+    """,
+    # Linear Counting in SQL, fully JVM-side (mirrors functions.lc's
+    # Tier B): SELECT lc_estimate(count(DISTINCT lc_bucket(x, 1000000)),
+    # 1000000) FROM t GROUP BY k
+    "lc_bucket": """
+        CREATE OR REPLACE TEMPORARY FUNCTION lc_bucket(x BIGINT, size_bytes BIGINT)
+        RETURNS BIGINT
+        RETURN pmod(xxhash64(x), size_bytes * 8)
+    """,
+    "lc_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION lc_estimate(occupied BIGINT, size_bytes BIGINT)
+        RETURNS BIGINT
+        RETURN CASE WHEN occupied IS NULL THEN NULL
+                    WHEN occupied >= size_bytes * 8 THEN size_bytes * 8
+                    ELSE CAST(round(-(size_bytes * 8)
+                         * ln((CAST(size_bytes * 8 AS DOUBLE) - occupied)
+                              / CAST(size_bytes * 8 AS DOUBLE))) AS BIGINT) END
+    """,
+}
+
+
+def register_sql(spark: SparkSession) -> None:
+    """Register the engine's SQL functions on this session.
+
+    After this, plain ``spark.sql`` queries have the reference's surface:
+
+        SELECT o_orderpriority,
+               sketch_struct(hll_sketch_agg(o_custkey)) AS s
+        FROM orders GROUP BY o_orderpriority
+
+        SELECT sketch_intersect_estimate(a.s.binary, b.s.binary) FROM ...
+    """
+    for ddl in _SQL_FUNCTIONS.values():
+        spark.sql(ddl)

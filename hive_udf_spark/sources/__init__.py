@@ -1,1 +1,7 @@
-from hive_udf_spark.sources.tables import TABLES, load_all, load_table  # noqa: F401
+from hive_udf_spark.sources.tables import TABLES, load_all, load_table, register_views  # noqa: F401
+from hive_udf_spark.sources.sinks import (  # noqa: F401
+    read_sketch_table,
+    write_bucketed,
+    write_partitioned,
+    write_sketch_table,
+)

@@ -1,0 +1,90 @@
+"""SQL-surface parity: the reference's CREATE TEMPORARY FUNCTION UX
+(UDAFCardinalityEstimator.java:66-68) recreated with Spark SQL UDFs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions import approx_distinct, register_sql
+from hive_udf_spark.functions.lc import lc_cardinality
+from hive_udf_spark.sources import load_table, register_views
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark, sf_dir):
+    register_sql(spark)
+    register_views(spark, sf_dir)
+
+
+def test_sql_sketch_struct_matches_dataframe_api(spark, sf_dir):
+    sql = spark.sql(
+        """
+        SELECT o_orderpriority,
+               sketch_struct(hll_sketch_agg(o_custkey)) AS s
+        FROM orders GROUP BY o_orderpriority
+        """
+    ).select("o_orderpriority", F.col("s.type").alias("t"), F.col("s.cardinality").alias("c"))
+    api = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_distinct("o_custkey").alias("s"))
+        .select("o_orderpriority", F.col("s.type").alias("t"), F.col("s.cardinality").alias("c"))
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))
+
+
+def test_sql_sketch_union_and_estimate(spark):
+    row = spark.sql(
+        """
+        WITH s AS (
+          SELECT o_orderstatus, hll_sketch_agg(o_custkey) AS sk
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT sketch_estimate(sketch_union(a.sk, b.sk)) AS u,
+               sketch_estimate(a.sk) AS ea, sketch_estimate(b.sk) AS eb
+        FROM s a JOIN s b ON a.o_orderstatus = 'O' AND b.o_orderstatus = 'F'
+        """
+    ).collect()[0]
+    assert row["u"] >= max(row["ea"], row["eb"])
+
+
+def test_sql_intersect_estimate_disjoint_near_zero(spark):
+    # customers partitioned by segment are disjoint sets -> intersection ~ 0
+    est = spark.sql(
+        """
+        WITH s AS (
+          SELECT c_mktsegment, hll_sketch_agg(c_custkey) AS sk
+          FROM customer GROUP BY c_mktsegment
+        )
+        SELECT sketch_intersect_estimate(a.sk, b.sk) AS i
+        FROM s a JOIN s b
+          ON a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'MACHINERY'
+        """
+    ).collect()[0]["i"]
+    assert est <= 3
+
+
+def test_sql_lc_matches_dataframe_lc(spark, sf_dir):
+    sql = spark.sql(
+        """
+        SELECT o_orderpriority,
+               lc_estimate(count(DISTINCT lc_bucket(o_custkey, 1000000)), 1000000) AS lc
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+    api = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(lc_cardinality("o_custkey", 1_000_000).alias("lc"))
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))
+
+
+def test_sql_null_semantics(spark):
+    # empty input -> hll_sketch_agg returns NULL -> struct is NULL
+    # (reference: empty aggregation returns null, :329-331)
+    row = spark.sql(
+        "SELECT sketch_struct(hll_sketch_agg(o_custkey)) AS s FROM orders WHERE o_orderkey < 0"
+    ).collect()[0]
+    assert row["s"] is None

@@ -115,6 +115,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4))
 
+    def q_ann_ivf():
+        from hive_udf_spark.operators.similarity import ann_ivf
+
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        _force(ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4))
+
+    def q_asof_join():
+        QUERIES["asof_latest_order_before_event"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_range_join():
+        QUERIES["range_join_events_next_hour"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_tpch_q10():
+        QUERIES["tpch_q10_returned_items"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def q_text_profile():
         QUERIES["text_token_stats_by_lang"].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -133,11 +154,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_blocked": q_simhash_blocked_fast,
         "topk_dot_bruteforce": q_topk_dot,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "tpch_q10": q_tpch_q10,
         "text_profile": q_text_profile,
     }
 
     times: dict[str, float] = {}
     for name, fn in benches.items():
+        # operators persist their signature tables (by design — reused
+        # across join branches); drop them between queries so each bench
+        # entry is measured independently, without inherited cache pressure
+        spark.catalog.clearCache()
         t0 = time.time()
         fn()
         times[name] = round(time.time() - t0, 3)

@@ -91,3 +91,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     return ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4)
+
+
+@register("similarity_ann_ivf", oracle=None)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 cosine neighbors (vec_id%10 queries): k-means
+    cells + nprobe=4 probing. Approximate by design → rows-only check;
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    from hive_udf_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4)

@@ -69,3 +69,29 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.25, f"LSH recall {recall:.2f} too low"
     # every query produced candidates
     assert {q for q, _ in a} == {q for q, _ in b}
+
+
+def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells should recover most of the true top-5
+    (embeddings carry 10-label cluster structure, so cells align well)."""
+    from hive_udf_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    ivf = ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4)
+    brute = topk_cosine(emb, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    assert {q for q, _ in a} == {q for q, _ in b}
+
+
+def test_ann_ivf_deterministic(spark, sf_dir):
+    from hive_udf_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    r1 = sorted(map(tuple, ann_ivf(emb, queries, k=3).select("query_id", "neighbor_id", "rank").collect()))
+    r2 = sorted(map(tuple, ann_ivf(emb, queries, k=3).select("query_id", "neighbor_id", "rank").collect()))
+    assert r1 == r2

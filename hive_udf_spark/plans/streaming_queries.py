@@ -83,3 +83,23 @@ def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the event stream duplicated 2x (at-least-once
+    delivery), deduplicated by event_id with watermark-bounded state
+    (dropDuplicatesWithinWatermark). Result counts equal the clean batch
+    table exactly — the exactly-once claim, oracle-checked."""
+    from hive_udf_spark.streaming.dedup import dedup_stream, duplicate_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(duplicate_stream(stream, copies=2), key="event_id")
+    materialized = run_stream_to_memory(deduped, "stream_dedup", mode="append")
+    return materialized.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))

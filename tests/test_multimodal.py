@@ -41,3 +41,28 @@ def test_frame_sampling_explodes_metadata(spark):
     )
     out = sample_frames(df, every_nth=3)
     assert [r.frame_idx for r in out.collect()] == [0, 3, 6, 9]
+
+
+def test_resize_images_fake_path(spark, sf_dir):
+    from hive_udf_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    blobs = attach_blob_columns(docs)
+    out = resize_images(blobs, width=8, height=8, fake=True)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.blob) == 64 and r.width == 8 and r.height == 8 and r.n_bytes == 64
+    # deterministic
+    again = {r.doc_id: bytes(r.blob) for r in resize_images(blobs, 8, 8, fake=True).collect()}
+    assert {r.doc_id: bytes(r.blob) for r in rows} == again
+
+
+def test_resize_real_path_raises(spark, sf_dir):
+    from hive_udf_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    blobs = attach_blob_columns(docs)
+    with pytest.raises(Exception) as ei:
+        resize_images(blobs, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

@@ -97,3 +97,41 @@ def test_lc_distinct_is_two_phase(spark, sf_dir):
     # the final count — bucket ids shuffle, not raw rows
     assert "HashAggregate" in plan
     assert "EvalPython" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join's whole point: one Exchange (the window partitioning),
+    never a range cross-product or per-row join."""
+    plan = plan_of(QUERIES["asof_prev_event_gap"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # window hash + AQE final coalesce
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Bucketed interval join must plan as a hash/sort-merge equi-join —
+    Spark's default for a pure range predicate is a nested-loop join that
+    dies at scale."""
+    plan = plan_of(QUERIES["range_join_events_next_hour"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_broadcasts_queries(spark, sf_dir):
+    """IVF candidate generation: query side broadcast, corpus never
+    replicated."""
+    plan = plan_of(QUERIES["similarity_ann_ivf"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_discount" in plan and "l_quantity" in plan
+    # column pruning: o_orderkey etc. not read; only the 4 needed columns
+    assert "ReadSchema" in plan
+
+
+def test_q10_broadcasts_nation(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q10_returned_items"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

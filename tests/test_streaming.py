@@ -59,3 +59,22 @@ def test_sliding_windows_multiply_rows(spark, sf_dir):
     total_assigned = sum(r.n for r in out.collect())
     n_events = load_table(spark, sf_dir, "events").count()
     assert total_assigned == 2 * n_events
+
+
+def test_streaming_dedup_exactly_once(spark, sf_dir):
+    """2x-duplicated stream deduped by event_id == clean batch counts."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.plans import QUERIES
+    from hive_udf_spark.sources import load_table
+
+    got = {
+        r.event_type: r.n_unique_events
+        for r in QUERIES["streaming_dedup_exactly_once"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

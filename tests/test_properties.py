@@ -1,0 +1,111 @@
+"""Property-based sketch-algebra tests (SURVEY.md §5.3) and estimator
+accuracy sweeps (§5.4).
+
+The merge algebra of the reference (UDAFCardinalityEstimator.java:399-414)
+must be associative, commutative, and idempotent — that is exactly what
+licenses Catalyst to partial-aggregate, combine in any order, and retry
+tasks. Hypothesis drives the driver-side LCSketch (fast, no JVM);
+Spark-level protocol equivalences are covered in test_sketch/test_lc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_udf_spark.functions.lc import LCSketch
+
+SIZE = 256  # small bitmap → saturation & collision regimes get exercised
+
+buckets = st.lists(st.integers(min_value=0, max_value=SIZE * 8 - 1), max_size=200)
+
+
+def sk(bs: list[int]) -> LCSketch:
+    s = LCSketch(SIZE)
+    if bs:
+        s.set_buckets(np.asarray(bs, dtype=np.int64))
+    return s
+
+
+@given(buckets)
+@settings(max_examples=200, deadline=None)
+def test_bytes_roundtrip(bs):
+    s = sk(bs)
+    back = LCSketch.from_bytes(s.to_bytes())
+    assert np.array_equal(back.bits, s.bits) and back.size_bytes == s.size_bytes
+
+
+@given(buckets, buckets)
+@settings(max_examples=200, deadline=None)
+def test_merge_commutative(a, b):
+    assert np.array_equal(sk(a).merge(sk(b)).bits, sk(b).merge(sk(a)).bits)
+
+
+@given(buckets, buckets, buckets)
+@settings(max_examples=200, deadline=None)
+def test_merge_associative(a, b, c):
+    left = sk(a).merge(sk(b)).merge(sk(c))
+    right = sk(a).merge(sk(b).merge(sk(c)))
+    assert np.array_equal(left.bits, right.bits)
+
+
+@given(buckets)
+@settings(max_examples=100, deadline=None)
+def test_merge_idempotent_and_identity(bs):
+    s = sk(bs)
+    assert np.array_equal(s.merge(s).bits, s.bits)
+    assert np.array_equal(s.merge(LCSketch(SIZE)).bits, s.bits)
+
+
+@given(buckets, buckets)
+@settings(max_examples=100, deadline=None)
+def test_merge_estimate_monotone(a, b):
+    m = sk(a).merge(sk(b))
+    assert m.estimate() >= max(sk(a).estimate(), sk(b).estimate())
+
+
+@given(buckets)
+@settings(max_examples=100, deadline=None)
+def test_estimate_lower_bounded_by_nothing_below_occupied_uniques(bs):
+    # LC estimate >= number of occupied bits (collision correction only
+    # adds), and == 0 iff empty
+    s = sk(bs)
+    assert s.estimate() >= s.occupied()
+    assert (s.estimate() == 0) == (len(bs) == 0)
+
+
+# ---------------------------------------------------------------------------
+# Accuracy sweeps (Spark, known cardinalities)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("b", [8, 12, 16])
+def test_hll_error_within_published_bounds(spark, b):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions import approx_distinct
+
+    n = 50_000
+    est = (
+        spark.range(n)
+        .agg(approx_distinct(F.col("id"), kind="hll", b=b).alias("s"))
+        .select("s.cardinality")
+        .collect()[0][0]
+    )
+    rse = 1.04 / (2 ** (b / 2))
+    assert abs(est - n) / n < 3 * rse, f"b={b}: est {est} vs {n}"
+
+
+@pytest.mark.parametrize("size_bytes,n", [(4096, 2_000), (65536, 30_000)])
+def test_lc_error_small_cardinality_regime(spark, size_bytes, n):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.lc import lc_cardinality
+
+    est = (
+        spark.range(n).agg(lc_cardinality(F.col("id"), size_bytes).alias("c")).collect()[0][0]
+    )
+    # LC keeps ~1% error while load factor is moderate
+    assert abs(est - n) / n < 0.03, f"m={size_bytes * 8}: est {est} vs {n}"

@@ -104,6 +104,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(dedup_clusters(docs, "doc_id", "text", threshold=0.7))
 
+    def q_dedup_clusters_star():
+        from hive_udf_spark.operators.dedup import dedup_clusters_star
+
+        _force(dedup_clusters_star(docs, "doc_id", "text", threshold=0.7))
+
     def q_simhash_blocked_fast():
         _force(simhash_block_pairs(docs, "doc_id", "text", max_hamming=6, portable=False))
 
@@ -151,6 +156,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "window_topk": q_window_topk,
         "minhash_lsh_dedup": q_minhash_lsh_fast,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_blocked": q_simhash_blocked_fast,
         "topk_dot_bruteforce": q_topk_dot,
         "ann_lsh": q_ann_lsh,

@@ -214,3 +214,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _SIMHASH_MAXD)
     )
+
+
+@register("dedup_clusters_star", oracle=None)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-reduction cluster dedup: O(bucket) edges instead of O(bucket²)
+    — the corpus-scale path for boilerplate-heavy data. Approximate
+    cluster recall (measured vs the exact variant in
+    tests/test_dedup_clusters.py) → rows-only check."""
+    from hive_udf_spark.operators.dedup import dedup_clusters_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters_star(docs, "doc_id", "text", threshold=0.7)

@@ -72,3 +72,34 @@ def test_dedup_clusters_on_corpus(spark, sf_dir):
         comp_min[root] = min(comp_min.get(root, r.doc_id), r.doc_id)
     for r in rows:
         assert r.cluster == comp_min[uf.find(r.doc_id)]
+
+
+def test_dedup_clusters_star_close_to_exact(spark, sf_dir):
+    """Star reduction preserves almost all cluster structure: pairwise
+    same-cluster agreement vs the exact variant stays high, and every
+    doc appears exactly once."""
+    from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r.cluster for r in dedup_clusters(docs, "doc_id", "text", 0.7).collect()}
+    star = {r.doc_id: r.cluster for r in dedup_clusters_star(docs, "doc_id", "text", 0.7).collect()}
+    assert set(exact) == set(star)
+
+    # compare the partitions via pairwise same-cluster agreement on the
+    # docs that the exact variant groups (recall of merges)
+    from collections import defaultdict
+
+    def pairs(assign):
+        groups = defaultdict(list)
+        for d, c in assign.items():
+            groups[c].append(d)
+        out = set()
+        for members in groups.values():
+            members.sort()
+            out.update((a, b) for i, a in enumerate(members) for b in members[i + 1 :])
+        return out
+
+    pe, ps = pairs(exact), pairs(star)
+    if pe:
+        recall = len(pe & ps) / len(pe)
+        assert recall >= 0.8, f"star cluster recall {recall:.3f}"

@@ -159,3 +159,38 @@ def sketch_intersect_disjoint_segments(spark: SparkSession, sf_dir: str) -> Data
             <= F.greatest(F.lit(2.0), F.lit(0.02) * F.col("n_exact_union"))
         ).alias("intersect_near_zero"),
     )
+
+
+@register(
+    "approx_percentile_verdict",
+    oracle="""
+    SELECT event_type, true AS median_within_bounds, true AS p90_within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald–Khanna summaries — the other
+    mergeable-sketch family Spark ships) with the §5.2 bounded-error
+    verdict: the approx percentile must land inside the exact
+    [p−ε, p+ε] rank window (ε = 1/accuracy, here 0.01). The algorithm
+    guarantees the bound, so the verdict column is deterministically true
+    and hash-matches a literal oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 100  # ε = 1/100 rank error
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("med_a"),
+        F.percentile_approx("value", 0.9, acc).alias("p90_a"),
+        F.percentile("value", 0.49).alias("med_lo"),
+        F.percentile("value", 0.51).alias("med_hi"),
+        F.percentile("value", 0.89).alias("p90_lo"),
+        F.percentile("value", 0.91).alias("p90_hi"),
+    )
+    return agg.select(
+        "event_type",
+        ((F.col("med_a") >= F.col("med_lo")) & (F.col("med_a") <= F.col("med_hi"))).alias(
+            "median_within_bounds"
+        ),
+        ((F.col("p90_a") >= F.col("p90_lo")) & (F.col("p90_a") <= F.col("p90_hi"))).alias(
+            "p90_within_bounds"
+        ),
+    )

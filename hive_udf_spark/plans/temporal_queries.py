@@ -144,3 +144,57 @@ def range_join_events_next_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_value_next_hour"), F.lit(0.0)).alias("sum_value_next_hour"),
         )
     )
+
+
+@register(
+    "asof_next_event_within_hour",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_id, user_id, ts,
+             lead(event_id) OVER w AS next_event_id,
+             lead(ts)       OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN next_ts <= ts + INTERVAL 1 HOUR THEN next_event_id END AS next_event_id,
+           CASE WHEN next_ts <= ts + INTERVAL 1 HOUR
+                THEN date_diff('microsecond', ts, next_ts) END AS gap_us
+    FROM nxt
+    """,
+)
+def asof_next_event_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each event matched to the same
+    user's NEXT event, but only if it arrives within 1 hour. Exercises
+    direction='forward' + tolerance; oracle is the equivalent lead()
+    window query ((user_id, ts) is unique in this corpus, so lead ==
+    earliest strictly-later event)."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.select(
+        "event_id", "user_id", "ts",
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("__q"),
+    )
+    right = events.select(
+        F.col("user_id").alias("n_user"), F.col("event_id").alias("next_event_id"),
+        F.col("ts").alias("next_ts"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        left_on="user_id",
+        right_on="n_user",
+        left_ts="__q",
+        right_ts="next_ts",
+        direction="forward",
+        # left ts is shifted +1us (strict-after); shrink the tolerance by
+        # 1us so the match window is exactly (ts, ts + 1 hour]
+        tolerance="3599999999 microseconds",
+        right_tiebreak="next_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_event_id",
+        (F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )

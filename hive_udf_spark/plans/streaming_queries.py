@@ -103,3 +103,38 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(duplicate_stream(stream, copies=2), key="event_id")
     materialized = run_stream_to_memory(deduped, "stream_dedup", mode="append")
     return materialized.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap, merging state, append mode):
+    per-user session count and event total. An end-of-stream sentinel
+    advances the watermark so every session flushes; the oracle is the
+    batch gaps-and-islands query with the same >=gap split convention
+    session_window uses."""
+    from hive_udf_spark.streaming.windows import (
+        read_events_stream_with_flush,
+        session_window_stats,
+    )
+
+    stream = read_events_stream_with_flush(spark, sf_dir)
+    sessions = run_stream_to_memory(
+        session_window_stats(stream), "stream_sessions", mode="append"
+    ).filter(F.col("user_id") >= 0)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )

@@ -78,3 +78,58 @@ def run_stream_to_memory(result: DataFrame, name: str, mode: str = "complete") -
     finally:
         q.stop()
     return spark.table(name)
+
+
+def read_events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, flush_ts: str = "2030-01-01 00:00:00"
+) -> DataFrame:
+    """events.parquet as a stream plus a far-future sentinel row.
+
+    Session windows (and any append-mode event-time agg) only emit once
+    the watermark passes the window's END — so on a bounded replay the
+    last session of every key would sit in state forever. The sentinel
+    advances the global watermark past all real data, flushing every
+    window: the streaming equivalent of an end-of-stream marker. Filter
+    ``user_id >= 0`` downstream to drop the sentinel itself.
+    """
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_flush_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "a_events.parquet"))
+    sentinel_ns = int(
+        spark.sql(f"SELECT unix_micros(TIMESTAMP '{flush_ts}')").collect()[0][0]
+    ) * 1000
+    spark.createDataFrame(
+        [(-1, sentinel_ns, -1, "__flush__", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "z_sentinel"))
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")  # data batch first, sentinel after
+        .option("recursiveFileLookup", "true")
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based, merging) — counts and bounds
+    per session. Works on a streaming DataFrame in append mode; state per
+    in-flight session, closed and emitted when the watermark passes
+    session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -78,3 +78,22 @@ def test_streaming_dedup_exactly_once(spark, sf_dir):
         .groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_session_windows_flush_everything(spark, sf_dir):
+    """The end-of-stream sentinel must flush every session: total events
+    across emitted sessions equals the corpus row count."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.windows import (
+        read_events_stream_with_flush,
+        run_stream_to_memory,
+        session_window_stats,
+    )
+
+    stream = read_events_stream_with_flush(spark, sf_dir)
+    out = run_stream_to_memory(
+        session_window_stats(stream), "sess_flush_test", mode="append"
+    ).filter(F.col("user_id") >= 0)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == load_table(spark, sf_dir, "events").count()

@@ -75,29 +75,32 @@ def lsh_candidate_pairs(
     sig_col: str = "sig",
     bands: int = 8,
     rows_per_band: int = 2,
+    hashed_band_key: bool = False,
 ) -> DataFrame:
     """Self-join documents whose signatures collide in ≥1 LSH band.
 
     Emits distinct (id_a, id_b) with id_a < id_b. The only shuffle is on
     (band_index, band_signature); dedup of multi-band collisions happens
     on (id_a, id_b) — both partial-aggregatable.
+
+    hashed_band_key=True joins on xxhash64(band, slice) — an 8-byte key
+    instead of a multi-component string, shrinking the band shuffle and
+    speeding key comparison. Hash collisions only ADD candidates, which
+    the exact-Jaccard verify removes, so semantics are unchanged; the
+    portable/oracle path keeps strings (its SQL mirror reproduces them).
     """
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    band_slice = F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band)
+    bkey = (
+        F.xxhash64(F.col("__band"), band_slice)
+        if hashed_band_key
+        else F.array_join(F.transform(band_slice, lambda x: x.cast("string")), "_")
+    )
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(band_idx).alias("__band"),
         F.col(sig_col).alias("__sig"),
-    ).select(
-        "__id",
-        "__band",
-        F.array_join(
-            F.transform(
-                F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-            "_",
-        ).alias("__bkey"),
-    )
+    ).select("__id", "__band", bkey.alias("__bkey"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -159,7 +162,9 @@ def near_dup_pairs(
     # is re-tokenized and re-hashed once per plan branch. At 100 TB this is
     # "write the signature table once, then join against it".
     with_sig = with_sig.persist()
-    cands = lsh_candidate_pairs(with_sig, "__id", "sig", bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        with_sig, "__id", "sig", bands, rows_per_band, hashed_band_key=not portable
+    )
 
     if sig_prefilter_margin is not None:
         sigs = with_sig.select(F.col("__id"), F.col("sig"))
@@ -468,21 +473,17 @@ def dedup_clusters_star(
     ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
     with_sig = with_sig.persist()
 
+    band_slice = F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band)
+    bkey = (
+        F.array_join(F.transform(band_slice, lambda x: x.cast("string")), "_")
+        if portable
+        else F.xxhash64(F.col("__band"), band_slice)
+    )
     banded = with_sig.select(
         "__id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
         F.col("sig").alias("__sig"),
-    ).select(
-        "__id",
-        "__band",
-        F.array_join(
-            F.transform(
-                F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-            "_",
-        ).alias("__bkey"),
-    )
+    ).select("__id", "__band", bkey.alias("__bkey"))
     # star edges: every member -> bucket minimum (skip singleton buckets)
     bucket_min = banded.groupBy("__band", "__bkey").agg(F.min("__id").alias("__hub"))
     star = (

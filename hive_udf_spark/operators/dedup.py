@@ -228,6 +228,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    # labels only ever DECREASE under min-propagation, so the fixpoint test
+    # is "sum of labels unchanged" — one cheap aggregate per round instead
+    # of a labels⋈labels comparison join
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -244,16 +248,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -433,3 +433,128 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "tpch_q7ish_nation_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def tpch_q7ish_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style: cross-nation trade volume through a 5-way star join. Both
+    nation legs and supplier broadcast; lineitem⋈orders is the only big
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        # integer-cents sum: order-independent and engine-exact (float sums
+        # of ~1e6 over 60k rows differ in the 2nd decimal between engines)
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).alias("volume_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q19ish_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 30)
+    """,
+)
+def tpch_q19ish_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style: OR-of-ANDs across both join sides. Catalyst pushes the
+    common sub-predicates (brand IN (...), quantity >= 10) below the join
+    via constraint propagation; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "cube_event_activity",
+    oracle="""
+    SELECT coalesce(event_type, '__all__') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '__all__') AS day,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+)
+def cube_event_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping-set combinations in
+    one pass (Catalyst expands to a single Expand+aggregate — one shuffle,
+    not four scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__all__")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("__all__")).alias("day"),
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+@register(
+    "window_running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue: frame-bounded window aggregate +
+    row_number with a deterministic (date, key) ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )

@@ -118,9 +118,15 @@ def sketch_estimate(sketch_binary: Column | str) -> Column:
     return F.hll_sketch_estimate(_col(sketch_binary))
 
 
-def sketch_union(a: Column | str, b: Column | str) -> Column:
-    """Scalar: union two serialized HLL sketches → merged sketch bytes."""
-    return F.hll_union(_col(a), _col(b), True)
+def sketch_union(a: Column | str, b: Column | str, strict: bool = False) -> Column:
+    """Scalar: union two serialized HLL sketches → merged sketch bytes.
+
+    strict=True reproduces the reference's incompatible-merge behavior
+    (UDAFCardinalityEstimator.java:399-414 raises CardinalityMergeException
+    on mismatched configurations): mixed-lgConfigK unions fail the job.
+    The default is lenient — unions across precisions degrade to the
+    smaller lgConfigK instead of failing mid-pipeline."""
+    return F.hll_union(_col(a), _col(b), not strict)
 
 
 def sketch_intersect_estimate(a: Column | str, b: Column | str) -> Column:

@@ -110,3 +110,36 @@ def test_invalid_kind_and_b_rejected():
         approx_distinct("x", kind="hll", b=3)
     with _pytest.raises(ValueError):
         approx_distinct("x", kind="hll", b=22)
+
+
+def test_incompatible_precision_merge_raises(spark, sf_dir):
+    """Reference parity: merging sketches of different configurations must
+    raise, not silently degrade (UDAFCardinalityEstimator.java:399-414 →
+    CardinalityMergeException). Spark's hll_union rejects mismatched
+    lgConfigK unless explicitly allowed."""
+    import pytest as _pytest
+
+    from hive_udf_spark.functions import approx_distinct, sketch_union
+    from hive_udf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.agg(approx_distinct("o_custkey", b=12).alias("s")).select(
+        F.col("s.binary").alias("ba")
+    )
+    b = orders.agg(approx_distinct("o_custkey", b=16).alias("s")).select(
+        F.col("s.binary").alias("bb")
+    )
+    # strict mode: reference parity — incompatible merge raises
+    with _pytest.raises(Exception) as ei:
+        a.crossJoin(b).select(
+            sketch_union(F.col("ba"), F.col("bb"), strict=True).alias("u")
+        ).collect()
+    assert "lgConfigK" in str(ei.value) or "HLL" in str(ei.value)
+    # lenient default: union degrades to the smaller precision, still sane
+    est = (
+        a.crossJoin(b)
+        .select(F.hll_sketch_estimate(sketch_union(F.col("ba"), F.col("bb"))).alias("e"))
+        .collect()[0]["e"]
+    )
+    n = 150  # distinct o_custkey at sf0.001
+    assert abs(est - n) / n < 0.1

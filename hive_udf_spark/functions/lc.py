@@ -207,3 +207,74 @@ def lc_merge_agg(sketch_binary: Column | str) -> Column:
         lc_estimate_bytes(merged).alias("cardinality"),
         merged.alias("binary"),
     ).alias("sketch_merge")
+
+
+# ---------------------------------------------------------------------------
+# Tier C' — explicit two-phase protocol for custom Python state at scale
+# ---------------------------------------------------------------------------
+def lc_two_phase(
+    df,
+    key_cols: list[str],
+    value_col: str,
+    size_bytes: int = 65536,
+):
+    """Grouped LC distinct-count via the explicit PARTIAL1→FINAL protocol.
+
+    Spark's Python grouped aggregates have no map-side combine (SURVEY.md
+    §4.3): a naive pandas UDAF ships every raw row to its group's reducer.
+    This operator reproduces the reference's partial-aggregation contract
+    (UDAFCardinalityEstimator.java:276-317) in DataFrame operations:
+
+      phase 1 (mapInPandas): each INPUT PARTITION builds one LC bitmap per
+        key it sees locally and emits (key, sketch_bytes) — at most
+        n_partitions × n_keys sketch rows ever cross the shuffle;
+      phase 2 (groupBy + pandas agg): OR-merge the partials per key and
+        estimate.
+
+    Raw rows never shuffle — the same reduction `terminatePartial` gives a
+    Hive UDAF. Use when the estimator itself must stay custom Python;
+    `lc_cardinality` (pure JVM) is still preferred where it applies.
+    Buckets are computed JVM-side (pmod(xxhash64)) so the estimate is
+    IDENTICAL to lc_cardinality's.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql import functions as FF
+
+    keyed = df.select(
+        *[FF.col(k) for k in key_cols],
+        lc_bucket(FF.col(value_col), size_bytes).alias("__bucket"),
+    ).filter(FF.col("__bucket").isNotNull())
+
+    key_fields = ", ".join(f"`{k}` {dict(df.dtypes)[k]}" for k in key_cols)
+    partial_schema = f"{key_fields}, __sketch binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[tuple, LCSketch] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(key_cols, sort=False, dropna=False):
+                k = key if isinstance(key, tuple) else (key,)
+                sk = sketches.get(k)
+                if sk is None:
+                    sk = sketches[k] = LCSketch(size_bytes)
+                sk.set_buckets(grp["__bucket"].to_numpy(dtype=np.int64))
+        if sketches:
+            keys = list(sketches)
+            out = {c: [k[i] for k in keys] for i, c in enumerate(key_cols)}
+            out["__sketch"] = [sketches[k].to_bytes() for k in keys]
+            yield pd.DataFrame(out)
+
+    partials = keyed.mapInPandas(partial, schema=partial_schema)
+
+    @F.pandas_udf(T.BinaryType())
+    def merge_bytes(blobs: pd.Series) -> bytes:
+        merged: LCSketch | None = None
+        for raw in blobs:
+            sk = LCSketch.from_bytes(bytes(raw))
+            merged = sk if merged is None else merged.merge(sk)
+        return merged.to_bytes() if merged is not None else None
+
+    merged = partials.groupBy(*key_cols).agg(merge_bytes(F.col("__sketch")).alias("__m"))
+    return merged.select(
+        *key_cols, lc_estimate_bytes(F.col("__m")).alias("lc_estimate")
+    )

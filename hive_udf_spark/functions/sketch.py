@@ -63,8 +63,9 @@ def approx_distinct(col: Column | str, kind: str = "hll", b: int | None = None) 
     kind='hll': Tier-A native DataSketches HLL, b = lgConfigK (default 16).
     kind='lc':  Linear Counting, b = bitmap size in bytes (default 1e6);
                 implemented in hive_udf_spark.functions.lc (grouped-agg
-                pandas UDF — correctness tier; use lc.lc_distinct for the
-                JVM plan-level path at scale).
+                pandas UDF — correctness tier; use lc.lc_cardinality for
+                the JVM plan-level path, or lc.lc_two_phase for custom
+                Python state with explicit partial aggregation at scale).
     """
     kind = kind.lower()
     if kind not in _KINDS:

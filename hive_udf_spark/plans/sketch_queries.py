@@ -194,3 +194,27 @@ def approx_percentile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_within_bounds"
         ),
     )
+
+
+@register(
+    "approx_distinct_lc_two_phase",
+    oracle="""
+    SELECT event_type, true AS within_bounds FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_lc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier C' two-phase custom aggregation (SURVEY.md §4.3): mapInPandas
+    per-partition LC partials → sketch-merge final. Verdict: estimate
+    within 5% of the exact per-group distinct count."""
+    from hive_udf_spark.functions.lc import lc_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    est = lc_two_phase(ev, ["event_type"], "user_id", 1_000_000)
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("lc_estimate").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("within_bounds"),
+    )

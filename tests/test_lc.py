@@ -91,3 +91,33 @@ def test_lc_estimate_bytes_scalar(spark):
     df = spark.createDataFrame([(sk.to_bytes(),)], "b binary")
     got = df.select(lc_estimate_bytes("b").alias("e")).collect()[0].e
     assert got == sk.estimate()
+
+
+def test_lc_two_phase_matches_jvm_lc(spark, sf_dir):
+    """Tier C' (mapInPandas partials -> merge agg) computes the IDENTICAL
+    estimate to the pure-JVM lc_cardinality — same buckets, same bitmap,
+    different execution strategy."""
+    from hive_udf_spark.functions.lc import lc_cardinality, lc_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    two_phase = {
+        (r.event_type,): r.lc_estimate
+        for r in lc_two_phase(ev, ["event_type"], "user_id", 65536).collect()
+    }
+    jvm = {
+        (r.event_type,): r.lc
+        for r in ev.groupBy("event_type").agg(lc_cardinality("user_id", 65536).alias("lc")).collect()
+    }
+    assert two_phase == jvm and len(two_phase) == 5
+
+
+def test_lc_two_phase_shuffles_sketches_not_rows(spark, sf_dir):
+    """The partial phase must reduce BEFORE the shuffle: the aggregate's
+    input is the mapInPandas output (sketch rows), never the raw table."""
+    from hive_udf_spark.functions.lc import lc_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = lc_two_phase(ev, ["event_type"], "user_id", 4096)._jdf.queryExecution().executedPlan().toString()
+    # mapInPandas (partial) appears below the exchange feeding the final agg
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Exchange")  # printed top-down: map phase is deeper

@@ -180,3 +180,56 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_blob_columns(docs)
     feats = decode_image_features(blobs, fake=True)
     return feats.select("doc_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte"))
+
+
+@register(
+    "multimodal_join_text_vector_events",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id,
+             CAST(list_sum([CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                            * CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                            for e in embedding]) AS BIGINT) AS norm2_q,
+             label
+      FROM embeddings
+    ),
+    act AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT d.doc_id, d.lang, length(d.text) AS n_chars_text,
+           e.norm2_q, e.label,
+           coalesce(a.n_events, 0) AS n_events
+    FROM documents d
+    JOIN emb e ON d.doc_id = e.vec_id
+    LEFT JOIN act a ON d.doc_id % 150 = a.user_id
+    """,
+)
+def multimodal_join_text_vector_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns in one DataFrame (SURVEY §2.3): text (documents)
+    ⋈ vectors (embeddings, quantized-integer norm — engine-exact) ⋈
+    time-series activity (events), keyed by doc/vec id and a derived user
+    key. Vector math stays in integer space so the join output
+    hash-matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    from hive_udf_spark.operators.similarity import dot_int, quantize_vec
+
+    emb_q = emb.select(
+        "vec_id",
+        dot_int(quantize_vec("embedding"), quantize_vec("embedding")).alias("norm2_q"),
+        "label",
+    )
+    act = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        docs.join(emb_q, docs.doc_id == emb_q.vec_id)
+        .join(act, (docs.doc_id % 150) == act.user_id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars_text"),
+            "norm2_q",
+            "label",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )

@@ -558,3 +558,28 @@ def window_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
     )
+
+
+@register(
+    "salted_join_event_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def salted_join_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through salted_join (operators/skew.py): events carry
+    few, very hot user_ids (150 distinct across the corpus); the salt
+    spreads each hot key over 8 tasks. Result is exactly the plain join —
+    the oracle proves it."""
+    from hive_udf_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal")
+    )
+    return salted_join(ev, cust, on="user_id", salt_factor=8, big_unique_col="event_id").select(
+        "event_id", "user_id", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )

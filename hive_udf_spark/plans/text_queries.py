@@ -233,3 +233,49 @@ def multimodal_join_text_vector_events(spark: SparkSession, sf_dir: str) -> Data
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "text_top_distinctive_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest([t for t in string_split_regex(text, '\s+') if t != '']) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS "rank"
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df, "rank" FROM ranked WHERE "rank" <= 3
+    """,
+)
+def text_top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms, ranked by (term frequency
+    desc, corpus document-frequency asc, token) — a TF-IDF-shaped ranking
+    kept in pure integers so it is engine-exact (float log-weights differ
+    between libm implementations). Two hash aggregates + one window; the
+    token explode is the only row expansion and it partial-aggregates
+    before any shuffle."""
+    from pyspark.sql import Window
+
+    from hive_udf_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        tf.join(df, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )

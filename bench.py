@@ -136,6 +136,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
 
+    def q_tpch_q7():
+        QUERIES["tpch_q7ish_nation_trade_volume"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_lc_two_phase():
+        QUERIES["approx_distinct_lc_two_phase"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def q_tpch_q10():
         QUERIES["tpch_q10_returned_items"].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -163,7 +173,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_ivf": q_ann_ivf,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        "lc_two_phase": q_lc_two_phase,
         "text_profile": q_text_profile,
     }
 

@@ -132,11 +132,17 @@ def near_dup_pairs(
     bands: int = 8,
     portable: bool = False,
     sig_prefilter_margin: float | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline.
 
     Returns (id_a, id_b, inter_size, union_size) for candidate pairs whose
-    *exact* word-set Jaccard ≥ threshold. bands×rows must equal num_hashes.
+    *exact* shingle-set Jaccard ≥ threshold. bands×rows must equal
+    num_hashes. The shingle unit is the distinct word set by default;
+    shingle_n=k switches to word k-gram shingles (the classic
+    shingle→minhash formulation — order-sensitive, so reordered text stops
+    matching; note that on bag-of-words corpora k-gram similarity is near
+    zero and word-set shingles are the meaningful signal).
 
     Choose bands for the threshold: collision probability at similarity s
     is 1-(1-s^r)^b with r = num_hashes/bands. For t≈0.5 use r=2; for
@@ -153,9 +159,15 @@ def near_dup_pairs(
     rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
         raise ValueError("num_hashes must equal bands * rows_per_band")
+    if shingle_n is None:
+        shingles = word_set(text_col)
+    else:
+        from hive_udf_spark.functions.text import ngrams, tokenize
+
+        shingles = F.array_distinct(ngrams(tokenize(text_col), shingle_n))
     with_sig = docs.select(
         F.col(id_col).alias("__id"),
-        word_set(text_col).alias("__ws"),
+        shingles.alias("__ws"),
     ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
     # The signature table feeds the band self-join (×2), the prefilter
     # (×2), and the verify join (×2) — without materialization the corpus

@@ -61,3 +61,30 @@ def test_word_set_distinct_and_no_empties(spark):
     df = spark.createDataFrame([("a  b a   c ",)], "text string")
     ws = df.select(word_set("text").alias("w")).collect()[0].w
     assert sorted(ws) == ["a", "b", "c"]
+
+
+def test_minhash_ngram_shingles_order_sensitive(spark):
+    """shingle_n=2: word-bigram shingles match only when word ORDER is
+    shared — a reordering of the same words falls below threshold while
+    the word-set mode still pairs them."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # same order, 1 word off
+        (3, "dog lazy the over jumps fox brown quick the"),  # same words, reordered
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ngram_pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8, shingle_n=2
+        ).collect()
+    }
+    assert (1, 2) in ngram_pairs          # shared prefix bigrams
+    assert (1, 3) not in ngram_pairs      # reordered -> no shared bigrams
+    word_pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (1, 3) in word_pairs           # word-set mode ignores order

@@ -41,6 +41,12 @@ def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | 
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Deliberate input/shuffle sizing (spill-aware defaults): 128 MiB
+        # scan splits keep a partition's decompressed batch well inside
+        # executor memory at any SF; AQE's advisory size governs post-
+        # shuffle coalescing so reducers see ~64 MiB, not 32 slivers.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -86,6 +86,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ).save()
 
     def q_minhash_lsh_fast():
+        caches: list = []
         _force(
             near_dup_pairs(
                 docs,
@@ -96,8 +97,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                 bands=4,  # r=4: right s-curve for t=0.7
                 portable=False,
                 sig_prefilter_margin=0.25,
+                caches=caches,
             )
         )
+        for c in caches:
+            c.unpersist()
 
     def q_dedup_clusters():
         from hive_udf_spark.operators.dedup import dedup_clusters
@@ -110,7 +114,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(dedup_clusters_star(docs, "doc_id", "text", threshold=0.7))
 
     def q_simhash_blocked_fast():
-        _force(simhash_block_pairs(docs, "doc_id", "text", max_hamming=6, portable=False))
+        caches: list = []
+        _force(
+            simhash_block_pairs(
+                docs, "doc_id", "text", max_hamming=6, portable=False, caches=caches
+            )
+        )
+        for c in caches:
+            c.unpersist()
 
     def q_topk_dot():
         queries = emb.filter(F.col("vec_id") % 10 == 0)

@@ -47,11 +47,21 @@ _SQL_FUNCTIONS = {
         RETURNS BIGINT
         RETURN hll_sketch_estimate(bin)
     """,
+    # allowDifferentLgConfigK=true: same lenient default as the Python
+    # sketch_union (mixed-precision unions degrade instead of failing
+    # mid-query); sketch_union_strict mirrors the reference's raise-on-
+    # incompatible-merge behavior (UDAFCardinalityEstimator.java:399-414).
     "sketch_union": """
         CREATE OR REPLACE TEMPORARY FUNCTION sketch_union(a BINARY, b BINARY)
         RETURNS BINARY
         RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
-                    ELSE hll_union(a, b) END
+                    ELSE hll_union(a, b, true) END
+    """,
+    "sketch_union_strict": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_union_strict(a BINARY, b BINARY)
+        RETURNS BINARY
+        RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
+                    ELSE hll_union(a, b, false) END
     """,
     "sketch_intersect_estimate": """
         CREATE OR REPLACE TEMPORARY FUNCTION sketch_intersect_estimate(a BINARY, b BINARY)

@@ -36,7 +36,13 @@ def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
         raise ValueError("n must be >= 1")
     if n == 1:
         return tokens
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
+    # Guarded: sequence(1, 0) would materialize DESCENDING [1, 0] and the
+    # slice(tokens, 0, n) would raise INVALID_PARAMETER_VALUE.START, so short
+    # arrays must short-circuit to an empty index list, not an empty range.
+    idx = F.when(
+        F.size(tokens) >= n,
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), sep))
 
 

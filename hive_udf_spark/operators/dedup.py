@@ -38,15 +38,22 @@ from hive_udf_spark.functions.text import word_set
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per distinct content hash (lowest id wins — deterministic).
 
-    The winner choice is a min-by aggregation on (hash → id): one shuffle
-    of (hash, id) pairs, then a semi-join back to the rows. At 100 TB the
-    documents themselves never shuffle.
+    Plan: project (hash, id), min-by aggregate id per hash (map-side
+    partial min, so the shuffle carries one (hash, id) pair per
+    partition×hash, never documents), then a semi-join of the original
+    rows against the survivor-id set. The semi-join shuffles only the
+    compact unique id (and is shuffle-free entirely when the source is
+    bucketed by id — sources.sinks.write_bucketed); the window
+    formulation this replaces shuffled whole document rows on the
+    content hash.
     """
-    from pyspark.sql import Window
-
-    hashed = df.withColumn("__h", F.sha2(F.col(text_col), 256))
-    w = Window.partitionBy("__h").orderBy(F.col(id_col))
-    return hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__h", "__rn")
+    survivors = (
+        df.select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "leftsemi")
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +140,7 @@ def near_dup_pairs(
     portable: bool = False,
     sig_prefilter_margin: float | None = None,
     shingle_n: int | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline.
 
@@ -155,6 +163,15 @@ def near_dup_pairs(
     below threshold − margin. Cuts the expensive verify-join payload;
     margin ≥ ~3σ = 3·√(t(1−t)/k) keeps it effectively lossless. The
     portable/oracle path leaves this off so the SQL mirror stays simple.
+
+    caches: the signature table feeds the band self-join (×2), the
+    prefilter (×2), and the verify join (×2) — materializing it avoids
+    re-tokenizing and re-hashing the corpus once per plan branch (at
+    100 TB: "write the signature table once, then join against it").
+    Pass a list to opt in: persisted frames are appended to it and the
+    CALLER unpersists them after its final action. The default (None)
+    never persists, so repeated calls in a long-lived session cannot
+    leak executor storage.
     """
     rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
@@ -165,15 +182,21 @@ def near_dup_pairs(
         from hive_udf_spark.functions.text import ngrams, tokenize
 
         shingles = F.array_distinct(ngrams(tokenize(text_col), shingle_n))
-    with_sig = docs.select(
-        F.col(id_col).alias("__id"),
-        shingles.alias("__ws"),
-    ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
-    # The signature table feeds the band self-join (×2), the prefilter
-    # (×2), and the verify join (×2) — without materialization the corpus
-    # is re-tokenized and re-hashed once per plan branch. At 100 TB this is
-    # "write the signature table once, then join against it".
-    with_sig = with_sig.persist()
+    # Empty shingle sets are excluded up front: their Jaccard is 0/0
+    # (undefined — and the integer verify `0 >= t·0` would pass it), and
+    # their all-null signatures collide in every band, so N empty docs
+    # would otherwise form an N² candidate clique.
+    with_sig = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            shingles.alias("__ws"),
+        )
+        .filter(F.size("__ws") > 0)
+        .withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
+    )
+    if caches is not None:
+        with_sig = with_sig.persist()
+        caches.append(with_sig)
     cands = lsh_candidate_pairs(
         with_sig, "__id", "sig", bands, rows_per_band, hashed_band_key=not portable
     )
@@ -276,6 +299,7 @@ def dedup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
+    sig_prefilter_margin: float | None = 0.25,
 ) -> DataFrame:
     """Near-dup dedup with linear output: (doc_id, cluster, is_canonical).
 
@@ -283,7 +307,12 @@ def dedup_clusters(
     canonical = min id per cluster. The pair list is an intermediate that
     never leaves the job; output size = corpus size regardless of how
     boilerplate-heavy the corpus is.
+
+    The signature cache is scoped: materialized for the edge build, then
+    unpersisted as soon as the edge list is checkpointed — nothing stays
+    cached after this returns.
     """
+    caches: list[DataFrame] = []
     pairs = near_dup_pairs(
         docs,
         id_col,
@@ -292,8 +321,15 @@ def dedup_clusters(
         num_hashes=num_hashes,
         bands=bands,
         portable=portable,
-        sig_prefilter_margin=0.25,
+        sig_prefilter_margin=sig_prefilter_margin,
+        caches=caches,
     ).select("id_a", "id_b")
+    # materialize edges now so the signature cache can be released before
+    # the CC loop (connected_components re-checkpoints a checkpointed edge
+    # list cheaply — it is (id, id) pairs, tiny next to signatures)
+    pairs = pairs.localCheckpoint(eager=True)
+    for cached in caches:
+        cached.unpersist()
     nodes = docs.select(F.col(id_col).alias("id"))
     comps = connected_components(pairs, nodes)
     return comps.select(
@@ -340,6 +376,7 @@ def simhash_table(
     text_col: str,
     bits: int = 60,
     portable: bool = False,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, simhash) for a corpus — the scalable formulation.
 
@@ -348,6 +385,10 @@ def simhash_table(
     packs sign bits. One pass over tokens, one doc-count-sized shuffle of
     60 longs per doc — versus the naive expression form which re-folds the
     token array per bit (60× the hash work). Same output as ``simhash``.
+
+    caches: both sides of a downstream self-join read this table; pass a
+    list to persist it (appended for the caller to unpersist after its
+    final action). Default None never persists — no session-lifetime leak.
     """
     if not (1 <= bits <= 60):
         raise ValueError("bits must be in [1, 60]")
@@ -365,9 +406,11 @@ def simhash_table(
         packed = packed + F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    # both self-join sides read this table — materialize the (id, sig)
-    # pairs instead of re-running the explode + 60-column aggregate twice
-    return agg.select("__id", packed.alias("__sh")).persist()
+    out = agg.select("__id", packed.alias("__sh"))
+    if caches is not None:
+        out = out.persist()
+        caches.append(out)
+    return out
 
 
 def simhash_near_pairs(
@@ -377,6 +420,7 @@ def simhash_near_pairs(
     max_hamming: int = 6,
     bits: int = 60,
     portable: bool = True,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -386,7 +430,7 @@ def simhash_near_pairs(
     pair within distance d shares ≥1 exact block) before the pairwise pass;
     `simhash_block_pairs` below implements that candidate generator.
     """
-    sigs = simhash_table(docs, id_col, text_col, bits, portable)
+    sigs = simhash_table(docs, id_col, text_col, bits, portable, caches=caches)
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
     return (
@@ -407,6 +451,7 @@ def simhash_block_pairs(
     max_hamming: int = 6,
     bits: int = 60,
     portable: bool = False,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Scalable SimHash near-pair generator: pigeonhole blocking.
 
@@ -417,7 +462,7 @@ def simhash_block_pairs(
     """
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
-    sigs = simhash_table(docs, id_col, text_col, bits, portable)
+    sigs = simhash_table(docs, id_col, text_col, bits, portable, caches=caches)
     blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
     mask = F.lit((1 << block_bits) - 1).cast("long")
     banded = sigs.select(
@@ -478,10 +523,17 @@ def dedup_clusters_star(
     rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
         raise ValueError("num_hashes must equal bands * rows_per_band")
-    with_sig = docs.select(
-        F.col(id_col).alias("__id"),
-        word_set(text_col).alias("__ws"),
-    ).withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
+    with_sig = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            word_set(text_col).alias("__ws"),
+        )
+        # empty word sets: undefined Jaccard + all-null signatures that
+        # bucket together — excluded, as in near_dup_pairs
+        .filter(F.size("__ws") > 0)
+        .withColumn("sig", minhash_signature(F.col("__ws"), num_hashes, portable))
+    )
+    # scoped cache: released below, right after the star edges materialize
     with_sig = with_sig.persist()
 
     band_slice = F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band)
@@ -513,6 +565,10 @@ def dedup_clusters_star(
     edges = joined.select("id_a", "id_b", inter.alias("__i"), union.alias("__u")).filter(
         F.col("__i") * F.lit(1_000_000) >= F.lit(int(threshold * 1_000_000)) * F.col("__u")
     ).select("id_a", "id_b")
+    # materialize the (small) verified edge list, then drop the signature
+    # cache before the CC loop — nothing stays cached after this returns
+    edges = edges.localCheckpoint(eager=True)
+    with_sig.unpersist()
 
     nodes = docs.select(F.col(id_col).alias("id"))
     comps = connected_components(edges, nodes)

@@ -150,8 +150,12 @@ def interval_join(
     """
     s = F.col(start_ts) if isinstance(start_ts, str) else start_ts
     e = F.col(end_ts) if isinstance(end_ts, str) else end_ts
-    bucket_us = F.lit(0).cast("long") + F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket_width}")
+    # Timezone-independent width: the 'Z'-suffixed epoch literal parses as
+    # UTC regardless of spark.sql.session.timeZone, so unix_micros(epoch +
+    # interval) equals the interval in microseconds under any session tz
+    # (a bare epoch literal would shift the width by the session offset).
+    bucket_us = F.lit(0).cast("long") + F.expr(
+        f"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL {bucket_width})"
     )
 
     ivl = intervals.select(

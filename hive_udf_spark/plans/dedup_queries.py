@@ -47,9 +47,11 @@ def _minhash_oracle() -> str:
     return f"""
     WITH {_WS_CTE},
     sig AS (
+      -- empty word sets are excluded (mirrors near_dup_pairs: undefined
+      -- 0/0 Jaccard, and null signatures would bucket together)
       SELECT doc_id, w, [
       {sig_exprs}
-      ] AS sig FROM ws
+      ] AS sig FROM ws WHERE len(w) > 0
     ),
     bands AS (
       SELECT doc_id,

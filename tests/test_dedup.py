@@ -88,3 +88,52 @@ def test_minhash_ngram_shingles_order_sensitive(spark):
         ).collect()
     }
     assert (1, 3) in word_pairs           # word-set mode ignores order
+
+
+def test_ngrams_short_and_empty_docs_do_not_crash(spark):
+    """Regression: token arrays shorter than n must yield an EMPTY n-gram
+    array — the unguarded sequence(1, 0) materialized descending [1, 0]
+    and slice(tokens, 0, n) raised INVALID_PARAMETER_VALUE.START, aborting
+    any shingled corpus run containing one short/empty doc."""
+    from hive_udf_spark.functions.text import ngrams, tokenize
+
+    rows = [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.g
+        for r in docs.select("doc_id", ngrams(tokenize("text"), 3).alias("g")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three", "two three four"]
+    # end-to-end: the shingled near-dup pipeline survives short docs
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8, shingle_n=3
+    )
+    assert pairs.count() == 0
+
+
+def test_dedup_clusters_leave_no_cached_frames(spark, sf_dir):
+    """The signature tables are scoped caches: after the clustering ops
+    complete, the session's DataFrame cache manager must be empty (the
+    round-1 implementation leaked one persisted frame per call)."""
+    from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    dedup_clusters(docs, "doc_id", "text", threshold=0.7).collect()
+    dedup_clusters_star(docs, "doc_id", "text", threshold=0.7).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_near_dup_pairs_caches_param_contract(spark, sf_dir):
+    """caches=None never persists; caches=[] persists and hands the frames
+    to the caller for release."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    near_dup_pairs(docs, "doc_id", "text", threshold=0.7).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    handles: list = []
+    near_dup_pairs(docs, "doc_id", "text", threshold=0.7, caches=handles).count()
+    assert len(handles) == 1
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    for h in handles:
+        h.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -2,6 +2,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     HLL_DEFAULT_B,
     LC_DEFAULT_SIZE,
     approx_distinct,
+    approx_distinct_on,
     sketch_estimate,
     sketch_intersect_estimate,
     sketch_merge_agg,

@@ -88,25 +88,79 @@ def approx_distinct(col: Column | str, kind: str = "hll", b: int | None = None) 
     return lc.lc_agg(c, size_bytes=b or LC_DEFAULT_SIZE)
 
 
-def sketch_merge_agg(sketch_struct: Column | str) -> Column:
+def sketch_merge_agg(sketch_struct: Column | str, strict: bool = False) -> Column:
     """Aggregate: union previously produced HLL sketch structs.
 
     The reference's struct-input re-aggregation path
     (UDAFCardinalityEstimator.java:259-265, :399-414): per-day sketches
     roll up to per-month cardinalities without rescanning raw data.
-    Only the ``binary`` field participates; ``allowDifferentLgConfigK``
-    is enabled so unions across precisions degrade gracefully instead of
-    failing mid-job (the reference instead raises on incompatible merges —
-    our LC path keeps that strictness, see lc.merge).
+    Only the ``binary`` field participates. By default
+    ``allowDifferentLgConfigK`` is enabled so unions across precisions
+    degrade gracefully instead of failing mid-job; ``strict=True``
+    reproduces the reference's behavior — an aggregation over sketches
+    with mixed lgConfigK raises (CardinalityMergeException →
+    HiveException at :411-413), matching ``sketch_union(strict=True)``
+    and the LC path's always-strict merge (lc.merge).
     """
     s = _col(sketch_struct)
-    merged = F.hll_union_agg(s.getField("binary"), True)
+    merged = F.hll_union_agg(s.getField("binary"), not strict)
     struct = F.struct(
         F.lit("HLL").alias("type"),
         F.hll_sketch_estimate(merged).alias("cardinality"),
         merged.alias("binary"),
     )
     return F.when(F.count(s) > F.lit(0), struct).otherwise(F.lit(None)).alias("sketch_merge")
+
+
+def approx_distinct_on(
+    df,
+    col: str,
+    kind: str = "hll",
+    b: int | None = None,
+    strict: bool = False,
+) -> Column:
+    """``approx_distinct`` with the reference's dual input dispatch.
+
+    The reference's single entry point accepts EITHER a raw primitive
+    column (build sketches from values) OR a column of previously
+    produced sketch structs (merge them) — the choice is made at compile
+    time from the input's type (UDAFCardinalityEstimator.java:104-109
+    type check; :176-199 dual ObjectInspector wiring; :252-265 dual
+    iterate path). Spark's analog of that compile-time information is
+    the DataFrame schema, so this dispatcher takes the frame the
+    aggregation will run over::
+
+        df.groupBy("k").agg(approx_distinct_on(df, "x"))        # raw
+        daily.agg(approx_distinct_on(daily, "sketch"))          # merge
+
+    Raw columns route to :func:`approx_distinct`; sketch-struct columns
+    (struct with ``type``/``cardinality``/``binary`` fields) route to
+    :func:`sketch_merge_agg`. Like the reference, extra parameters are
+    rejected on the merge path — "we can only merge compatible data
+    structures" (:190-193); ``strict=True`` additionally reproduces the
+    raise-on-incompatible-merge semantics (:399-414).
+    """
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.StructType):
+        fields = [f.name for f in dtype.fields]
+        if fields != ["type", "cardinality", "binary"]:
+            raise ValueError(
+                f"struct column {col!r} is not a sketch struct "
+                f"{{type, cardinality, binary}}; got fields {fields}"
+            )
+        if b is not None:
+            # reference parity: the sketch-input path takes no extra
+            # params (UDAFCardinalityEstimator.java:190-193)
+            raise ValueError("b is not accepted when merging sketch structs")
+        return sketch_merge_agg(F.col(col), strict=strict)
+    if isinstance(dtype, T.AtomicType):
+        return approx_distinct(F.col(col), kind=kind, b=b)
+    raise ValueError(
+        f"approx_distinct accepts primitive or sketch-struct columns; "
+        f"{col!r} has type {dtype.simpleString()}"
+    )
 
 
 def sketch_estimate(sketch_binary: Column | str) -> Column:

@@ -143,3 +143,60 @@ def test_incompatible_precision_merge_raises(spark, sf_dir):
     )
     n = 150  # distinct o_custkey at sf0.001
     assert abs(est - n) / n < 0.1
+
+
+def test_approx_distinct_on_dispatches_by_schema(spark, sf_dir):
+    """Dual-input parity (UDAFCardinalityEstimator.java:104-109): raw
+    columns build sketches, sketch-struct columns merge — same single
+    entry point, dispatched from the frame's schema."""
+    from hive_udf_spark.functions import approx_distinct_on
+
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.agg(approx_distinct_on(orders, "o_custkey").alias("s")).collect()[0].s
+    direct = orders.agg(approx_distinct("o_custkey").alias("s")).collect()[0].s
+    assert raw.cardinality == direct.cardinality
+
+    per_day = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        approx_distinct("o_custkey").alias("s")
+    )
+    merged = per_day.agg(approx_distinct_on(per_day, "s").alias("m")).collect()[0].m
+    assert merged.type == "HLL"
+    assert merged.cardinality == direct.cardinality
+
+
+def test_approx_distinct_on_rejects_bad_inputs(spark, sf_dir):
+    """Merge path takes no precision param (reference :190-193), and
+    non-sketch structs / non-atomic types are rejected at dispatch."""
+    import pytest as _pytest
+
+    from hive_udf_spark.functions import approx_distinct_on
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        approx_distinct("o_custkey").alias("s")
+    )
+    with _pytest.raises(ValueError, match="not accepted when merging"):
+        approx_distinct_on(per_day, "s", b=12)
+    other_struct = orders.select(F.struct("o_custkey", "o_orderstatus").alias("st"))
+    with _pytest.raises(ValueError, match="not a sketch struct"):
+        approx_distinct_on(other_struct, "st")
+    arr = orders.select(F.array("o_custkey").alias("a"))
+    with _pytest.raises(ValueError, match="primitive or sketch-struct"):
+        approx_distinct_on(arr, "a")
+
+
+def test_sketch_merge_agg_strict_raises_on_mixed_precision(spark, sf_dir):
+    """strict=True reproduces the reference's incompatible-merge error on
+    the AGGREGATE path (UDAFCardinalityEstimator.java:399-414); the
+    lenient default degrades to the smaller lgConfigK instead."""
+    import pytest as _pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    mixed = orders.agg(approx_distinct("o_custkey", b=12).alias("s")).unionByName(
+        orders.agg(approx_distinct("o_custkey", b=16).alias("s"))
+    )
+    # lenient default: succeeds
+    lenient = mixed.agg(sketch_merge_agg("s").alias("m")).collect()[0].m
+    assert lenient.cardinality > 0
+    with _pytest.raises(Exception, match="(?i)lgConfigK|union|merge"):
+        mixed.agg(sketch_merge_agg("s", strict=True).alias("m")).collect()

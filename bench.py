@@ -127,6 +127,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(topk_dot_quantized(emb, queries, k=5))
 
+    # (brute embedding_near_pairs is the oracle baseline, not an engine
+    # path: measured 56.8 s vs 6.3 s for the LSH path at sf0.1 — 9× —
+    # recorded in SCALE_NOTES.md, not re-run every round)
+    def q_near_pairs_lsh():
+        from hive_udf_spark.operators.similarity import embedding_near_pairs_lsh
+
+        caches: list = []
+        _force(embedding_near_pairs_lsh(emb, min_cosine=0.35, nbits=32, bands=8, caches=caches))
+        for c in caches:
+            c.unpersist()
+
     def q_ann_lsh():
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4))
@@ -180,6 +191,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_blocked": q_simhash_blocked_fast,
         "topk_dot_bruteforce": q_topk_dot,
+        "near_pairs_lsh": q_near_pairs_lsh,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "asof_join": q_asof_join,

@@ -114,7 +114,11 @@ def embedding_near_pairs(
 
     Operands stay ≤ ~3e17 (64 dims, |x|≲3, scale 1000): inside int64 in
     both engines; the final comparison is IEEE-identical everywhere.
-    Embedding-cosine near-dup detection for dedup pipelines.
+
+    This is the O(n²) exact BASELINE (it joins on id inequality alone) —
+    use it as the oracle/ground truth at test scale. The scale path is
+    ``embedding_near_pairs_lsh`` below: same verify, LSH-bucketed
+    candidate generation instead of all pairs.
     """
     q = vecs.select(F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__qv"))
     a, b = q.alias("a"), q.alias("b")
@@ -152,6 +156,122 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((nbits, dim))
     return H / np.linalg.norm(H, axis=1, keepdims=True)
+
+
+def int_hyperplanes(
+    dim: int, nbits: int, seed: int = 42, scale: int = DEFAULT_QUANT_SCALE
+) -> list[list[int]]:
+    """Hyperplanes quantized to integers: sign tests become exact integer
+    comparisons, reproducible bit-for-bit by any engine (the portable
+    analogue of functions.hashing.portable_hash60 for the vector world)."""
+    H = hyperplanes(dim, nbits, seed)
+    return [[int(v) for v in row] for row in np.round(H * scale).astype(np.int64)]
+
+
+def embedding_near_pairs_lsh(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.35,
+    nbits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    scale: int = DEFAULT_QUANT_SCALE,
+    seed: int = 42,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Near-pairs with cosine ≥ threshold via hyperplane-LSH candidate
+    buckets + exact integer-cosine verify — the scale path that replaces
+    ``embedding_near_pairs``'s all-pairs self-join.
+
+    Pipeline (everything JVM-side Catalyst expressions, zero Python):
+
+    1. signature: ``nbits`` sign bits of integer dot products against
+       quantized hyperplanes, packed into a BIGINT — computed at scan.
+    2. candidates: explode ``bands`` bit-bands, equi-join on
+       (band, band-key). Only (band_key, id) pairs shuffle — the same
+       join shape as MinHash LSH bands (dedup.lsh_candidate_pairs).
+    3. verify: candidates are re-checked with the exact quantized
+       cosine test of ``embedding_near_pairs``, so every emitted pair
+       is exact; LSH only generates candidates.
+
+    Because both signatures and verify are integer-exact, a SQL oracle
+    reproduces the ENTIRE pipeline (plans/similarity_queries.py), not
+    just the verified output.
+
+    Recall is threshold-dependent (sign-bit collision probability is
+    1 − θ/π): at near-duplicate thresholds (cos ≥ 0.8, the dedup use
+    case) a (32, 8) config catches ~95%+ of pairs while pruning most of
+    the O(n²) candidate space; at loose thresholds like 0.35 the sign
+    bits carry little signal (θ ≈ 70° → p ≈ 0.61 vs 0.5 random) and
+    pruning weakens — measured in tests/test_similarity.py. Tune
+    (nbits, bands): more bands → recall; more bits/band → pruning.
+
+    caches: as in dedup.near_dup_pairs — pass a list to persist the
+    signature table across the join branches; caller unpersists.
+    """
+    if nbits % bands:
+        raise ValueError("nbits must be divisible by bands")
+    if not (1 <= nbits <= 62):
+        raise ValueError("nbits must fit a signed BIGINT (1..62)")
+    r = nbits // bands
+    mask = F.lit((1 << r) - 1).cast("long")
+    planes = int_hyperplanes(dim, nbits, seed, scale)
+
+    q = vecs.select(F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__qv"))
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        h = F.array(*[F.lit(v) for v in row])
+        sig = sig + F.when(
+            dot_int(F.col("__qv"), h) > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = q.withColumn("__sig", sig)
+    if caches is not None:
+        sigs = sigs.persist()
+        caches.append(sigs)
+
+    banded = sigs.select(
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+        F.col("__sig"),
+    ).withColumn(
+        "__bkey", F.expr(f"shiftright(__sig, __band * {r})").bitwiseAND(mask)
+    ).select("__id", "__band", "__bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bkey") == F.col("b.__bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+    qv = sigs.select("__id", "__qv")
+    nrm = dot_int(F.col("__qv"), F.col("__qv"))
+    side_a = qv.select(
+        F.col("__id").alias("id_a"), F.col("__qv").alias("__qa"), nrm.alias("__na")
+    )
+    side_b = qv.select(
+        F.col("__id").alias("id_b"), F.col("__qv").alias("__qb"), nrm.alias("__nb")
+    )
+    dq = dot_int(F.col("__qa"), F.col("__qb"))
+    t2 = float(min_cosine) ** 2
+    return (
+        cands.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select("id_a", "id_b", dq.alias("__dq"), F.col("__na"), F.col("__nb"))
+        .filter(
+            (F.col("__dq") > 0)
+            & (
+                (F.col("__dq") * F.col("__dq")).cast("double")
+                >= F.lit(t2) * (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+            )
+        )
+        .select("id_a", "id_b", F.col("__dq").alias("dot_q"))
+    )
 
 
 def _signature_udf(planes: np.ndarray):

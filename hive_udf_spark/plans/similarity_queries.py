@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from hive_udf_spark.operators.similarity import (
     ann_hyperplane_lsh,
     embedding_near_pairs,
+    embedding_near_pairs_lsh,
+    int_hyperplanes,
     topk_dot_quantized,
 )
 from hive_udf_spark.plans.registry import register
@@ -81,6 +83,73 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication — exact in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, min_cosine=0.35)
+
+
+_NP_LSH_NBITS = 32
+_NP_LSH_BANDS = 8
+_NP_LSH_T = 0.35
+
+
+def _near_pairs_lsh_oracle() -> str:
+    """Generated SQL reproducing the FULL hyperplane-LSH near-pair
+    pipeline (signatures → bands → candidates → exact verify) in DuckDB.
+    Like the MinHash oracle, this pins candidate generation itself, not
+    just the verified output — both engines agree bit-for-bit because
+    hyperplanes and vectors are quantized to integers."""
+    r = _NP_LSH_NBITS // _NP_LSH_BANDS
+    mask = (1 << r) - 1
+    planes = int_hyperplanes(64, _NP_LSH_NBITS, seed=42)
+    h_lit = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in planes) + "]"
+    t2 = float(_NP_LSH_T) ** 2
+    return f"""
+    WITH {_QV_CTE},
+    h AS (SELECT {h_lit} AS hh),
+    sig AS (
+      SELECT vec_id, q,
+        CAST(list_sum(list_transform(generate_series(1, {_NP_LSH_NBITS}), j ->
+          CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> q[i] * hh[j][i])) > 0
+               THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS sig
+      FROM qv, h
+    ),
+    bands AS (
+      SELECT vec_id, band, (sig >> (band * {r})) & {mask} AS bkey
+      FROM sig, unnest(generate_series(0, {_NP_LSH_BANDS - 1})) AS t(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    nv AS (
+      SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qv
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q,
+             a.n2 AS na, b.n2 AS nb
+      FROM cands c
+        JOIN nv a ON a.vec_id = c.id_a
+        JOIN nv b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, dot_q FROM pairs
+    WHERE dot_q > 0
+      AND CAST(dot_q * dot_q AS DOUBLE) >= {t2!r} * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    """
+
+
+@register("similarity_near_pairs_lsh", oracle=_near_pairs_lsh_oracle())
+def similarity_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-pairs (cos ≥ 0.35) via hyperplane-LSH candidate
+    buckets + exact integer-cosine verify — the scale path replacing the
+    all-pairs self-join of ``similarity_near_pairs``. The generated
+    oracle reproduces the whole pipeline (integer signatures, banding,
+    bucket join, verify), so candidate generation is hash-checked too;
+    recall vs the exact pair set is measured in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_lsh(
+        emb, min_cosine=_NP_LSH_T, nbits=_NP_LSH_NBITS, bands=_NP_LSH_BANDS
+    )
 
 
 @register("similarity_ann_lsh", oracle=None)

@@ -95,3 +95,61 @@ def test_ann_ivf_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, ann_ivf(emb, queries, k=3).select("query_id", "neighbor_id", "rank").collect()))
     r2 = sorted(map(tuple, ann_ivf(emb, queries, k=3).select("query_id", "neighbor_id", "rank").collect()))
     assert r1 == r2
+
+
+def test_near_pairs_lsh_subset_of_exact_with_recall(spark):
+    """LSH near-pairs = candidates ∩ exact-verify, so precision is exactly
+    1.0 (output ⊆ brute-force pair set); recall at the loose 0.35
+    threshold is bounded below (sign bits carry weak signal at θ≈70° —
+    see operator docstring). sf0.01 corpus."""
+    from hive_udf_spark.operators.dedup import (  # noqa: F401 (style parity)
+        exact_dedup,
+    )
+    from hive_udf_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_near_pairs(emb, min_cosine=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs_lsh(
+            emb, min_cosine=0.35, nbits=32, bands=8
+        ).collect()
+    }
+    assert lsh <= exact                      # exact verify → perfect precision
+    assert len(lsh) / len(exact) >= 0.70     # measured 0.76 at (32, 8)
+
+
+def test_near_pairs_lsh_high_threshold_planted_dups(spark):
+    """The dedup regime LSH is built for: planted near-duplicates at
+    cos≈0.95 are recovered with ≥0.9 recall while candidate generation
+    prunes most of the pair space."""
+    from hive_udf_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 64
+    X = rng.standard_normal((n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # plant 30 near-dups: small perturbations of the first 30 vectors
+    # per-dim noise 0.03 → noise norm ≈ 0.24 → cos ≈ 0.97 with the original
+    planted = X[:30] + 0.03 * rng.standard_normal((30, dim))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    allv = np.vstack([X, planted]).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(allv)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b) for r in embedding_near_pairs(df, min_cosine=0.8).collect()}
+    assert len(exact) >= 25  # the planted pairs are there
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs_lsh(df, min_cosine=0.8, nbits=32, bands=8).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.9

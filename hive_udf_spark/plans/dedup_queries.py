@@ -155,17 +155,90 @@ def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_linear", oracle=None)
+# --- cluster oracles: recursive-CTE connected components -------------------
+#
+# Min-label propagation CC is deterministic, and DuckDB's WITH RECURSIVE
+# computes the same fixpoint as transitive closure over the symmetrized
+# verified edge set: reach(node, r) enumerates reachable ids, min(r) per
+# node IS the min-label component. The edge pipeline itself is the same
+# generated portable-hash MinHash SQL as the pair oracle, so these checks
+# pin signatures → bands → candidates → verify → clustering end-to-end.
+
+_CLUST_K = 16
+_CLUST_BANDS = 4
+_CLUST_R = _CLUST_K // _CLUST_BANDS
+_CLUST_T_PPM = 700_000  # threshold 0.7
+
+
+def _minhash_edges_cte(bands_src: str = "bands") -> str:
+    """CTE chain ws→sig→bands shared by both cluster oracles."""
+    sig_exprs = ",\n      ".join(
+        f"list_min([{portable_hash60_sql('t', seed)} for t in w])" for seed in range(_CLUST_K)
+    )
+    bkey = " || '_' || ".join(
+        f"sig[{_CLUST_R}*band + {i}]::VARCHAR" for i in range(1, _CLUST_R + 1)
+    )
+    return f"""{_WS_CTE},
+    sig AS (
+      SELECT doc_id, w, [
+      {sig_exprs}
+      ] AS sig FROM ws WHERE len(w) > 0
+    ),
+    {bands_src} AS (
+      SELECT doc_id, band, {bkey} AS bkey
+      FROM sig, unnest(generate_series(0, {_CLUST_BANDS - 1})) AS t(band)
+    )"""
+
+
+_CLUSTER_CCSQL = """
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster, (node = min(r)) AS is_canonical
+    FROM reach GROUP BY node
+"""
+
+
+def _clusters_linear_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_edges_cte()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM cands
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+      WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+            >= {_CLUST_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    ),
+    {_CLUSTER_CCSQL}
+    """
+
+
+@register("dedup_clusters_linear", oracle=_clusters_linear_oracle())
 def dedup_clusters_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-based near-dedup: (doc_id, cluster, is_canonical) — linear
     output even on boilerplate-heavy corpora (pair lists are quadratic
-    there). Iterative connected components is not single-statement SQL →
-    rows-only check; validated against union-find ground truth in
-    tests/test_dedup_clusters.py."""
+    there). Portable-hash mode so the recursive-CTE oracle reproduces the
+    whole pipeline including the CC fixpoint; additionally validated
+    against union-find ground truth in tests/test_dedup_clusters.py."""
     from hive_udf_spark.operators.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(docs, "doc_id", "text", threshold=0.7)
+    return dedup_clusters(
+        docs, "doc_id", "text", threshold=0.7, portable=True, sig_prefilter_margin=None
+    )
 
 
 _SIMHASH_BITS = 60
@@ -218,13 +291,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_star", oracle=None)
+def _clusters_star_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_edges_cte()},
+    bucket_min AS (
+      SELECT band, bkey, min(doc_id) AS hub FROM bands GROUP BY band, bkey
+    ),
+    star AS (
+      SELECT DISTINCT bm.hub AS id_a, b.doc_id AS id_b
+      FROM bands b JOIN bucket_min bm ON b.band = bm.band AND b.bkey = bm.bkey
+      WHERE b.doc_id != bm.hub
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM star
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+      WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+            >= {_CLUST_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    ),
+    {_CLUSTER_CCSQL}
+    """
+
+
+@register("dedup_clusters_star", oracle=_clusters_star_oracle())
 def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-reduction cluster dedup: O(bucket) edges instead of O(bucket²)
-    — the corpus-scale path for boilerplate-heavy data. Approximate
-    cluster recall (measured vs the exact variant in
-    tests/test_dedup_clusters.py) → rows-only check."""
+    — the corpus-scale path for boilerplate-heavy data. The star
+    reduction (member→bucket-min edges) is deterministic, so the
+    recursive-CTE oracle reproduces it exactly in portable-hash mode;
+    cluster recall vs the exact variant is measured in
+    tests/test_dedup_clusters.py."""
     from hive_udf_spark.operators.dedup import dedup_clusters_star
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters_star(docs, "doc_id", "text", threshold=0.7)
+    return dedup_clusters_star(docs, "doc_id", "text", threshold=0.7, portable=True)

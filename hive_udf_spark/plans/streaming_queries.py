@@ -41,17 +41,41 @@ def streaming_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_stateful_running_distinct", oracle=None)
+@register(
+    "streaming_stateful_running_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def streaming_stateful_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op: per-key LC sketch state maintained
-    across micro-batches via applyInPandasWithState. Not SQL-expressible
-    (explicit cross-batch state) → rows-only check; accuracy vs exact
-    counts is asserted in tests/test_stateful_streaming.py."""
+    across micro-batches via applyInPandasWithState. The cross-batch
+    state itself is not SQL-expressible, but its END state is verdict-
+    checkable (SURVEY.md §5.2): the final running estimate per key must
+    land within 5% of the exact batch distinct count — hash-checked
+    against the constant-true oracle. Per-batch accuracy is additionally
+    asserted in tests/test_stateful_streaming.py."""
     from hive_udf_spark.streaming.stateful import running_distinct_users
 
     stream = read_events_stream(spark, sf_dir)
-    return run_stream_to_memory(
+    updates = run_stream_to_memory(
         running_distinct_users(stream), "stream_stateful_distinct", mode="update"
+    )
+    # update mode may emit one row per (key, micro-batch): keep the final
+    # state per key = the row with the highest batches_seen
+    w_latest = updates.groupBy("event_type").agg(
+        F.max_by("est_distinct_users", "batches_seen").alias("est")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return w_latest.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_bounds"),
     )
 
 

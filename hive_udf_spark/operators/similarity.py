@@ -380,10 +380,19 @@ def kmeans_centroids(
     """Deterministic spherical k-means centroids (unit rows), trained on a
     bounded driver-side sample — the FAISS recipe: IVF coarse quantizers
     are trained on ~100k vectors regardless of corpus size, so training
-    cost is O(1) in corpus scale. Sample is orderBy(id).limit(n) →
-    deterministic across runs and partitionings."""
+    cost is O(1) in corpus scale.
+
+    The sample is a seeded hash filter (xxhash64(id) mod K == 0 with K
+    sized from a metadata-cheap count), then a sort of the ≈train_size
+    SAMPLE for determinism — not a global orderBy of the corpus, which
+    at 100 TB would be a full sort just to take the first 100k rows.
+    Deterministic across runs and partitionings: membership depends only
+    on id hashes, order only on ids."""
+    n_total = vecs.count()  # parquet metadata count — no scan
+    k_mod = max(1, int(n_total) // int(train_size))
     rows = (
         vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .filter(F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(k_mod)) == 0)
         .orderBy("i")
         .limit(int(train_size))
         .collect()

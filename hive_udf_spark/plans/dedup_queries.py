@@ -19,7 +19,6 @@ from hive_udf_spark.operators.dedup import (
     exact_dedup,
     jaccard_pair_stats,
     near_dup_pairs,
-    simhash,
 )
 from hive_udf_spark.plans.registry import register
 from hive_udf_spark.sources import load_table
@@ -272,11 +271,17 @@ def _simhash_oracle() -> str:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, portable) near-pairs (Hamming ≤ 20) over the same
     doc_id%5 sample — signatures reproduced bit-for-bit by the generated
-    SQL oracle. The scalable candidate generator (pigeonhole blocking)
-    is `operators.dedup.simhash_block_pairs`; it feeds the same verify."""
+    SQL oracle. Signatures come from the one-pass ``simhash_table``
+    formulation (explode + single wide aggregate) rather than the naive
+    per-bit expression fold, which re-hashed the token array once per
+    bit — identical output, 60× less hash work. The scalable candidate
+    generator (pigeonhole blocking) is
+    `operators.dedup.simhash_block_pairs`; it feeds the same verify."""
+    from hive_udf_spark.operators.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    sigs = docs.select(
-        F.col("doc_id"), simhash(word_set("text"), _SIMHASH_BITS, portable=True).alias("sh")
+    sigs = simhash_table(docs, "doc_id", "text", _SIMHASH_BITS, portable=True).select(
+        F.col("__id").alias("doc_id"), F.col("__sh").alias("sh")
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))

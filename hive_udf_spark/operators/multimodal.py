@@ -3,13 +3,15 @@
 Treats media as opaque ``binary`` columns with a typed metadata struct,
 processed by Arrow-batched ``mapInPandas`` operators — the Spark-side
 shape (schema, partitioning, batch processing, UDF signatures) is real and
-tested; the actual codec step is stubbed because no image/audio libraries
-exist in this container:
+tested. The codec step is dual-path:
 
-* If PIL/librosa were present, ``decode_image`` would decode; instead it
-  raises ``NotImplementedError`` unless ``fake=True``, in which case a
-  deterministic byte-level feature extractor stands in. Every downstream
-  stage (batching, schema, aggregation) is identical either way.
+* ``fake=False`` (default): REAL decode via PIL (grayscale pixels through
+  the same feature/resize pipeline, identical schemas and size
+  contracts). Where pillow is not installed — e.g. this container — the
+  task raises ``NotImplementedError`` explicitly rather than silently
+  falling back; the real path is covered by tests that skip without PIL.
+* ``fake=True``: a deterministic byte-level stand-in with the same batch
+  shape and output contract, used by the engine-portable oracle queries.
 
 At 100 TB: blobs stay in parquet binary columns (or are pointers into an
 object store — ``blob_ref`` mode); mapInPandas streams Arrow batches so a
@@ -49,13 +51,10 @@ def attach_blob_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_image_features(blob: bytes) -> tuple[int, float, int, float]:
-    """Deterministic stand-in for a decoder: byte-level statistics.
-
-    mean_byte is an exact integer sum divided once — bit-identical in any
-    engine that sums the same integers.
-    """
-    arr = np.frombuffer(blob, dtype=np.uint8)
+def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
+    """Deterministic statistics over a uint8 array (raw bytes or decoded
+    pixels). mean is an exact integer sum divided once — bit-identical in
+    any engine that sums the same integers."""
     n = arr.size
     if n == 0:
         return 0, 0.0, 0, 0.0
@@ -65,25 +64,47 @@ def _fake_image_features(blob: bytes) -> tuple[int, float, int, float]:
     return n, float(int(arr.sum(dtype=np.int64)) / n), int(arr.max()), entropy
 
 
+def _require_pil():
+    try:
+        import PIL.Image as Image
+
+        return Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real image decode needs PIL (pip install pillow; not in this "
+            "container); pass fake=True for the deterministic byte-level "
+            "stand-in"
+        ) from exc
+
+
 def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     """Per-blob feature extraction via mapInPandas (Arrow batch iterator).
 
-    fake=False attempts a real decode and raises NotImplementedError —
-    PIL/opencv are not available in this environment; the call site chooses
-    explicitly. fake=True runs the deterministic byte-statistics stand-in.
+    fake=True: deterministic byte-level statistics over the raw blob —
+    the engine-portable stand-in used by the oracle query. fake=False:
+    REAL decode — PIL opens the blob, converts to 8-bit grayscale, and
+    the same statistics run over the decoded PIXELS (n_bytes is then the
+    pixel count). Raises NotImplementedError at task time when PIL is
+    absent, so the failure is explicit, not a silent fallback. Both
+    paths share batch shape, schema, and downstream plumbing; the real
+    path is exercised by tests/test_multimodal.py::test_real_codec_*
+    wherever pillow is installed (skipped in containers without it).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as exc:  # pragma: no cover - env-dependent
-                raise NotImplementedError(
-                    "real image decode needs PIL/opencv (not in this container); "
-                    "pass fake=True for the deterministic byte-feature stand-in"
-                ) from exc
+        if fake:
+            to_array = lambda b: np.frombuffer(b, dtype=np.uint8)  # noqa: E731
+        else:
+            import io
+
+            Image = _require_pil()
+
+            def to_array(b: bytes) -> np.ndarray:
+                with Image.open(io.BytesIO(b)) as im:
+                    return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+
         for pdf in batches:
-            feats = [_fake_image_features(b) for b in pdf["blob"]]
+            feats = [_byte_stats(to_array(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -117,13 +138,14 @@ def resize_images(
     """Image resize plumbing via mapInPandas: (doc_id, blob, meta) →
     (doc_id, resized blob, width, height, n_bytes).
 
-    fake=False attempts a real decode+resize and raises
-    NotImplementedError (PIL is not in this container). fake=True runs a
-    deterministic stand-in: the blob's bytes are nearest-neighbor
-    resampled to exactly width*height bytes — same batch shape, output
-    schema, and size contract as a real thumbnailer, so the Spark-side
-    plumbing (Arrow batching, binary output column, downstream size
-    accounting) is fully exercised.
+    fake=True runs a deterministic stand-in: the blob's bytes are
+    nearest-neighbor resampled to exactly width*height bytes — same
+    batch shape, output schema, and size contract as a real
+    thumbnailer. fake=False is the REAL path: PIL decodes the blob,
+    nearest-neighbor resizes to (width, height), and emits the raw 8-bit
+    grayscale pixel bytes — the SAME width*height size contract, so
+    downstream size accounting is identical; raises NotImplementedError
+    when PIL is absent (explicit, never a silent fallback).
 
     At 100 TB: output size is bounded (width*height per row) regardless of
     input blob size, so the post-resize shuffle/write is predictable; put
@@ -133,24 +155,30 @@ def resize_images(
     target = int(width) * int(height)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as exc:  # pragma: no cover - env-dependent
-                raise NotImplementedError(
-                    "real image resize needs PIL (not in this container); "
-                    "pass fake=True for the deterministic byte-resample stand-in"
-                ) from exc
-        for pdf in batches:
-            out_blobs = []
-            for b in pdf["blob"]:
+        if fake:
+
+            def to_thumb(b: bytes) -> bytes:
                 arr = np.frombuffer(b, dtype=np.uint8)
                 if arr.size == 0:
-                    out_blobs.append(bytes(target))
-                    continue
+                    return bytes(target)
                 # nearest-neighbor resample to the target byte count
                 idx = (np.arange(target) * arr.size // target).clip(0, arr.size - 1)
-                out_blobs.append(arr[idx].tobytes())
+                return arr[idx].tobytes()
+
+        else:
+            import io
+
+            Image = _require_pil()
+
+            def to_thumb(b: bytes) -> bytes:
+                with Image.open(io.BytesIO(b)) as im:
+                    small = im.convert("L").resize(
+                        (int(width), int(height)), Image.Resampling.NEAREST
+                    )
+                    return np.asarray(small, dtype=np.uint8).tobytes()
+
+        for pdf in batches:
+            out_blobs = [to_thumb(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

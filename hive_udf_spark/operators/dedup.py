@@ -242,7 +242,12 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 15,
+    edges_materialized: bool = False,
+) -> DataFrame:
     """Min-label propagation connected components on (id_a, id_b) edges.
 
     Returns (id, component) where component = min node id reachable.
@@ -250,18 +255,54 @@ def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15
     unions, so 2-4 rounds typically converge. Each round is one shuffle
     join edges⋈labels + one min-aggregate — linear in |E|, no quadratic
     blowup, which is why dedup at 100 TB reports clusters, not pair lists.
+
+    edges_materialized=True: the caller already checkpointed the edge
+    list (e.g. to release upstream caches first) — skip re-materializing
+    it, which would copy a possibly multi-million-row pair list twice.
     """
-    # materialize the edge list BEFORE symmetrizing — the union has two
-    # branches over `edges`, so checkpointing after would execute the
-    # (possibly expensive) upstream pipeline twice; and without any
-    # materialization it would re-execute every iteration AND every
-    # convergence check. At cluster scale use .checkpoint() to reliable
-    # storage instead.
-    edges = edges.localCheckpoint(eager=True)
+    if not edges_materialized:
+        # materialize the edge list BEFORE symmetrizing — the union has two
+        # branches over `edges`, so checkpointing after would execute the
+        # (possibly expensive) upstream pipeline twice; and without any
+        # materialization it would re-execute every iteration AND every
+        # convergence check. At cluster scale use .checkpoint() to reliable
+        # storage instead.
+        edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+
+    # One-pass contraction before iterating (the expensive part of CC is
+    # joining the FULL edge list per round): map every node to the min of
+    # its closed neighborhood (one edge-list aggregate, no join), then
+    # build the contracted graph between those representatives. On
+    # near-dup graphs — near-clique unions — the contracted graph is tiny
+    # (inter-clique links only), so the iterative fixpoint below joins
+    # thousands of rows per round instead of millions. Correct because
+    # contraction by an in-component representative preserves
+    # connectivity, and each component's global min maps to itself.
+    nbr_min = sym.groupBy("src").agg(F.min("dst").alias("__nm"))
+    label1 = (
+        nodes.join(nbr_min, nodes.id == nbr_min.src, "left")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce(F.col("__nm"), F.col("id"))).alias("__l1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    l_src = label1.select(F.col("id").alias("src"), F.col("__l1").alias("__la"))
+    l_dst = label1.select(F.col("id").alias("dst"), F.col("__l1").alias("__lb"))
+    contracted = (
+        sym.join(l_src, "src")
+        .join(l_dst, "dst")
+        .select(F.col("__la").alias("src"), F.col("__lb").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = contracted.localCheckpoint(eager=True)
+    labels = label1.select(F.col("__l1").alias("id")).distinct().select(
+        F.col("id"), F.col("id").alias("component")
+    )
     labels = labels.localCheckpoint(eager=True)
     # labels only ever DECREASE under min-propagation, so the fixpoint test
     # is "sum of labels unchanged" — one cheap aggregate per round instead
@@ -288,7 +329,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 15
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+    # expand back: node → representative → component
+    rep = labels.select(F.col("id").alias("__l1"), F.col("component"))
+    return label1.join(rep, "__l1").select("id", "component")
 
 
 def dedup_clusters(
@@ -325,13 +368,13 @@ def dedup_clusters(
         caches=caches,
     ).select("id_a", "id_b")
     # materialize edges now so the signature cache can be released before
-    # the CC loop (connected_components re-checkpoints a checkpointed edge
-    # list cheaply — it is (id, id) pairs, tiny next to signatures)
+    # the CC loop; CC is told not to re-checkpoint the (possibly
+    # multi-million-row) pair list a second time
     pairs = pairs.localCheckpoint(eager=True)
     for cached in caches:
         cached.unpersist()
     nodes = docs.select(F.col(id_col).alias("id"))
-    comps = connected_components(pairs, nodes)
+    comps = connected_components(pairs, nodes, edges_materialized=True)
     return comps.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),
@@ -571,7 +614,7 @@ def dedup_clusters_star(
     with_sig.unpersist()
 
     nodes = docs.select(F.col(id_col).alias("id"))
-    comps = connected_components(edges, nodes)
+    comps = connected_components(edges, nodes, edges_materialized=True)
     return comps.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),

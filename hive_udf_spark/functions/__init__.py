@@ -8,4 +8,10 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     sketch_merge_agg,
     sketch_union,
 )
+from hive_udf_spark.functions.freq import (  # noqa: F401
+    approx_top_k_agg,
+    cms_lookup,
+    cms_table,
+    top_k_exploded,
+)
 from hive_udf_spark.functions.sql_registry import register_sql  # noqa: F401

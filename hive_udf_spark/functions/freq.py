@@ -1,0 +1,138 @@
+"""Frequency sketches: heavy hitters and Count-Min — the frequency side
+of the reference's sketching theme.
+
+The reference's stub scalar UDF names "potential set intersection and
+other utils" as intended follow-ups (UDFCardinalityEstimator.java:30);
+alongside cardinality (HLL/LC) and quantiles (percentile_approx), the
+remaining classic mergeable-summary family is frequency estimation:
+
+* ``approx_top_k_agg`` — Tier A: Spark's native ``approx_top_k``
+  aggregate (a TypedImperativeAggregate like ``hll_sketch_agg``):
+  Catalyst plans partial→shuffle→final automatically, per-group state is
+  bounded by ``max_items_tracked``, and when ``max_items_tracked`` ≥ the
+  true distinct count the result is EXACT (that regime is what the
+  DuckDB oracle hash-checks; the approximate regime is pytest-bounded).
+* ``cms_table`` / ``cms_lookup`` — Tier B: a Count-Min sketch (Cormode &
+  Muthukrishnan 2005) built entirely from DataFrame ops. The "sketch" is
+  literally a relation: ``depth × width`` counter cells produced by one
+  partially-aggregated group-by, so it shuffles at most depth·width rows
+  regardless of input size, merges by unioning tables and summing cells
+  (the same re-aggregation algebra as the cardinality sketches), and its
+  estimates — min over rows of the hashed cell, the standard CMS upper
+  bound — are reproducible bit-for-bit by any engine when built with the
+  portable hash family (functions.hashing.portable_hash60).
+
+100 TB posture: both paths are one scan + one bounded-size shuffle; no
+Python anywhere. CMS lookups are a broadcast-friendly join of the probe
+list against the (tiny) counter table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
+
+
+def approx_top_k_agg(col: Column | str, k: int = 10, max_items_tracked: int = 10000) -> Column:
+    """Aggregate: top-k items with approximate counts as
+    ``array<struct<item, count>>`` (exact when ``max_items_tracked`` ≥
+    distinct count). Native JVM aggregate — use inside ``agg``/window."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_function("approx_top_k", c, F.lit(int(k)), F.lit(int(max_items_tracked)))
+
+
+def top_k_exploded(
+    df: DataFrame, col: str, k: int, max_items_tracked: int = 10000
+) -> DataFrame:
+    """(item, cnt, rank) rows for the top-k of ``col`` by count with a
+    DETERMINISTIC (count desc, item asc) tie-break: the sketch fetches
+    ``max_items_tracked``-bounded candidates, then rows are re-ranked so
+    tied counts cannot reorder across runs or engines. For an exact
+    hash-checkable result keep ``max_items_tracked`` ≥ distinct count
+    and fetch all items before re-ranking (the registry query does)."""
+    from pyspark.sql import Window
+
+    fetched = df.agg(
+        approx_top_k_agg(col, k=max_items_tracked, max_items_tracked=max_items_tracked).alias(
+            "__tk"
+        )
+    ).select(F.explode("__tk").alias("__e"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (
+        fetched.select(
+            F.col("__e.item").alias("item"), F.col("__e.count").alias("cnt")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Count-Min sketch as a relation: (d, idx, cnt) with
+    ``depth`` hash rows and ``width`` counters per row.
+
+    One pass over the input; the group-by partially aggregates map-side,
+    so at most depth·width counter rows cross the shuffle regardless of
+    input size. Merge sketches by unioning tables and summing cnt per
+    (d, idx); serialize by writing the table. portable=True hashes with
+    the md5-derived family so a SQL oracle reproduces every cell.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    c = F.col(col)
+    exploded = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), c.alias("__x")
+    )
+    idx = _cms_idx(F.col("__x"), F.col("d"), width, portable)
+    return exploded.select("d", idx.alias("idx")).groupBy("d", "idx").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# pairwise-independent row family: (h0 + d·h1) mod width, with both hashes
+# first reduced mod 2^31 so d·h1 cannot overflow a signed 64-bit under
+# ANSI arithmetic (full-range xxhash64 · depth would)
+_CMS_HASH_MOD = 1 << 31
+
+
+def _cms_idx(x: Column, d: Column, width: int, portable: bool) -> Column:
+    h = portable_hash60 if portable else fast_hash64
+    h0 = F.pmod(h(x, 0), F.lit(_CMS_HASH_MOD))
+    h1 = F.pmod(h(x, 1), F.lit(_CMS_HASH_MOD))
+    return F.pmod(h0 + d * h1, F.lit(width))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Estimate each probe item's frequency from a ``cms_table`` result:
+    est = min over d of the item's counter (0 if the cell is empty) —
+    the classic CMS point query; an upper bound on the true count, exact
+    when no hash collisions land in the item's cells.
+
+    The probe side explodes to depth rows and LEFT-joins the counter
+    table (tiny — broadcast by AQE); output is (item, est).
+    """
+    p = probes.select(F.col(probe_col).alias("item")).distinct()
+    pd_ = p.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    idx = _cms_idx(F.col("item"), F.col("d"), width, portable)
+    pd_ = pd_.select("item", "d", idx.alias("idx"))
+    joined = pd_.join(cms, ["d", "idx"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -11,6 +11,7 @@ from hive_udf_spark.plans.registry import QUERIES, oracle_sql_map, queries_map, 
 # Import for registration side effects.
 from hive_udf_spark.plans import (  # noqa: E402,F401
     dedup_queries,
+    freq_queries,
     relational_queries,
     similarity_queries,
     sketch_queries,

@@ -583,3 +583,137 @@ def salted_join_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, cust, on="user_id", salt_factor=8, big_unique_col="event_id").select(
         "event_id", "user_id", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes: EXISTS / NOT EXISTS / correlated scalar — the remaining
+# host-engine join semantics a reference user would expect (semi/anti joins
+# and decorrelated scalar subqueries in Spark; literal subqueries in the
+# DuckDB oracle, so BOTH decorrelation strategies are pinned to agree).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4ish_exists_late_ship",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4ish_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join (orders with any line item
+    shipped after the order date), counted per priority. Catalyst plans a
+    semi join — no row duplication, no distinct needed — while the oracle
+    runs the literal EXISTS subquery."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q13ish_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13ish_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram INCLUDING the
+    zero bucket — the left outer join + count(non-null) idiom that inner
+    joins silently get wrong."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q17ish_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity * 2 * (
+      SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    ) < (
+      SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def tpch_q17ish_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    half the part's average — a correlated scalar subquery, decorrelated
+    in Spark as a per-part aggregate + join. The threshold comparison is
+    cross-multiplied (qty·2·count < sum) so both engines compare the
+    same exact integral doubles instead of a division result."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.count("*").alias("__cnt"), F.sum("l_quantity").alias("__qty_sum")
+    )
+    joined = lineitem.join(per_part, "l_partkey")
+    small = joined.filter(
+        F.col("l_quantity") * 2 * F.col("__cnt") < F.col("__qty_sum")
+    )
+    return small.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+@register(
+    "tpch_q22ish_idle_rich_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, thresh t
+    WHERE c.c_acctbal > t.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22ish_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    order — scalar subquery threshold (broadcast single-row cross join)
+    + NOT EXISTS with a correlated filter (LEFT ANTI join over the
+    filtered build side), grouped per market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__a")
+    )
+    rich = customer.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("__a")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "leftanti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -1,0 +1,103 @@
+"""Frequency-sketch property tests (heavy hitters + Count-Min)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.freq import cms_lookup, cms_table, top_k_exploded
+from hive_udf_spark.functions.text import tokenize
+from hive_udf_spark.sources import load_table
+
+
+def _token_frame(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(tokenize("text")).alias("token"))
+
+
+def _exact_counts(toks) -> dict[str, int]:
+    return {
+        r.token: r.c
+        for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def test_cms_estimates_upper_bound_true_counts(spark, sf_dir):
+    """CMS point queries never underestimate (min over hashed cells each
+    of which counts a superset of the item's occurrences)."""
+    toks = _token_frame(spark, sf_dir)
+    exact = _exact_counts(toks)
+    cms = cms_table(toks, "token", depth=4, width=64)
+    est = {
+        r.item: r.est
+        for r in cms_lookup(cms, toks, "token", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_cms_exact_when_width_large(spark, sf_dir):
+    """With width >> distinct count, collisions vanish and every estimate
+    equals the true count."""
+    toks = _token_frame(spark, sf_dir)
+    exact = _exact_counts(toks)
+    cms = cms_table(toks, "token", depth=4, width=1 << 15)
+    est = {
+        r.item: r.est
+        for r in cms_lookup(cms, toks, "token", depth=4, width=1 << 15).collect()
+    }
+    assert est == exact
+
+
+def test_cms_merge_by_cell_sum(spark, sf_dir):
+    """Sketches merge like the cardinality sketches: union the counter
+    tables and sum per cell ≡ one sketch over the concatenated input."""
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    t_a = half_a.select(F.explode(tokenize("text")).alias("token"))
+    t_b = half_b.select(F.explode(tokenize("text")).alias("token"))
+    cms_a = cms_table(t_a, "token", depth=4, width=64)
+    cms_b = cms_table(t_b, "token", depth=4, width=64)
+    merged = (
+        cms_a.unionByName(cms_b)
+        .groupBy("d", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(_token_frame(spark, sf_dir), "token", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_top_k_exact_regime_matches_exact_counts(spark, sf_dir):
+    """max_items_tracked ≥ vocabulary ⇒ sketch counts are exact and the
+    deterministic re-rank reproduces the exact top-k."""
+    toks = _token_frame(spark, sf_dir)
+    exact = _exact_counts(toks)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.item, r.cnt)
+        for r in top_k_exploded(toks, "token", k=10, max_items_tracked=10000)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_top_k_heavy_hitter_survives_small_budget(spark):
+    """The heavy-hitter guarantee needs a skewed stream (the corpus's
+    token counts are near-uniform, where no bounded-memory summary can
+    promise anything): on zipf-like data the dominant items survive a
+    sketch budget far below the distinct count."""
+    rows = []
+    for rank in range(1, 101):  # item_1 appears 1000x ... item_100 10x
+        rows.extend((f"item_{rank}",) for _ in range(10_000 // rank // 10 + 10))
+    df = spark.createDataFrame(rows, "token string")
+    # track=50 < 100 distinct: genuinely approximate regime (note Spark's
+    # approx_top_k returns EMPTY when the budget saturates far below the
+    # distinct count, e.g. track=10 here — it refuses rather than guesses)
+    got = [
+        r.item
+        for r in top_k_exploded(df, "token", k=3, max_items_tracked=50)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[:3] == ["item_1", "item_2", "item_3"]

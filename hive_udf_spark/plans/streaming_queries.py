@@ -130,6 +130,30 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS src_event, b.event_id AS dst_event, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (view → purchase funnel within 1 h per
+    user): both sides watermarked, event-time bound in the join condition
+    so state expires — the scalable stream-join shape. On the bounded
+    replay the emitted pair set equals the batch join exactly (the
+    oracle)."""
+    from hive_udf_spark.streaming.joins import followup_join
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = followup_join(stream, "view", "purchase", within="1 hour")
+    out = run_stream_to_memory(joined, "stream_funnel_join", mode="append")
+    return out.select("src_event", "dst_event", "user_id")
+
+
+@register(
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (

@@ -97,3 +97,25 @@ def test_session_windows_flush_everything(spark, sf_dir):
         session_window_stats(stream), "sess_flush_test", mode="append"
     ).filter(F.col("user_id") >= 0)
     assert out.agg(F.sum("n_events")).collect()[0][0] == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """followup_join runs identically on a streaming and a batch frame:
+    the bounded replay must emit exactly the batch join's pair set."""
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.joins import followup_join
+    from hive_udf_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        followup_join(stream, "view", "purchase", within="1 hour"),
+        "t_funnel",
+        mode="append",
+    )
+    batch = followup_join(
+        load_table(spark, sf_dir, "events"), "view", "purchase", within="1 hour"
+    )
+    got = sorted((r.src_event, r.dst_event) for r in streamed.collect())
+    want = sorted((r.src_event, r.dst_event) for r in batch.collect())
+    assert got == want
+    assert len(want) > 0

@@ -135,3 +135,65 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
 def test_q10_broadcasts_nation(spark, sf_dir):
     plan = plan_of(QUERIES["tpch_q10_returned_items"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_pairs_lsh_no_cartesian_no_python(spark, sf_dir):
+    """The LSH near-pair plan must be equi-join shaped (band bucket join),
+    never a nested-loop pair enumeration, with zero Python stages."""
+    from hive_udf_spark.operators.similarity import embedding_near_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(embedding_near_pairs_lsh(emb, min_cosine=0.35, nbits=32, bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_approx_top_k_is_partial_final(spark, sf_dir):
+    """The heavy-hitter aggregate must partially aggregate map-side like
+    every TypedImperativeAggregate — sketches shuffle, not rows."""
+    from hive_udf_spark.functions.freq import approx_top_k_agg
+    from hive_udf_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    plan = plan_of(toks.agg(approx_top_k_agg("token", 10, 1000).alias("tk")))
+    assert plan.count("ObjectHashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_cms_build_is_partial_final_bounded_shuffle(spark, sf_dir):
+    """CMS construction is one group-by over (d, idx): partial aggregation
+    bounds the shuffle at depth*width counter rows, and the whole build is
+    JVM-side."""
+    from hive_udf_spark.functions.freq import cms_table
+    from hive_udf_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    plan = plan_of(cms_table(toks, "token", depth=4, width=64))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exists_shape_plans_semi_join(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q4ish_exists_late_ship"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_shape_plans_anti_join(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q22ish_idle_rich_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_exact_dedup_aggregates_before_semi_join(spark, sf_dir):
+    """exact_dedup's shuffle payload is (hash, id) pairs with map-side
+    partial min — documents never shuffle on the content hash (the old
+    window formulation did)."""
+    from hive_udf_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(exact_dedup(docs, "text", "doc_id"))
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final min per hash
+    assert "Window" not in plan

@@ -1,0 +1,140 @@
+"""Training-data preparation operators: chunking, packing, sampling.
+
+The operations an LLM training-data pipeline runs after dedup/quality
+filtering (BASELINE north star), all pure Catalyst expressions:
+
+* ``chunk_documents`` — split each document into fixed-token windows
+  with overlap (the context-window chunking step before tokenization).
+  Computed at scan: one ``posexplode`` over per-doc window starts, no
+  shuffle at all — output partitioning inherits the scan.
+* ``pack_documents`` — assign documents to fixed-budget context windows
+  by cumulative token count in a deterministic stream order ("concat
+  the corpus, cut every B tokens, a doc belongs to the window where it
+  starts"). A window cumulative sum; at corpus scale pack per shard
+  (pass ``shard_col``) so the sort is per-shard, not global.
+* ``stratified_sample`` — per-stratum deterministic hash sampling:
+  membership depends only on (seed, id) so samples are reproducible
+  across runs, engines, and partitionings — portable mode is
+  reproduced exactly by the DuckDB oracle. No ``rand()`` anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
+from hive_udf_spark.functions.text import tokenize
+
+SAMPLE_DENOM = 1_000_000
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens) — fixed-size token
+    windows with ``overlap`` tokens shared between consecutive chunks.
+
+    Chunk starts are multiples of ``stride = chunk_tokens − overlap``
+    strictly below the document's token count; the last chunk may be
+    short; empty documents produce no chunks (guarded — a naive
+    ``sequence(0, −1)`` would materialize DESCENDING and crash slice,
+    the functions.text.ngrams lesson).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, offset, bin_id): concatenate documents in
+    ``id_col`` order and cut the stream every ``budget`` tokens — each
+    document lands in the window containing its first token.
+
+    One window cumulative sum. Without ``shard_col`` the order is global
+    (a single-partition sort — fine for bounded corpora, NOT for 100 TB);
+    pass ``shard_col`` to pack independently per shard, which keeps the
+    sort partition-local and is how a production packing job shards.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    n = F.size(tokenize(text_col))
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        if shard_col is not None
+        else Window.orderBy(id_col)
+    )
+    cum = F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offset = (cum - n).cast("long")
+    out_cols = [F.col(id_col)]
+    if shard_col is not None:
+        out_cols.append(F.col(shard_col))
+    return docs.select(
+        *out_cols,
+        n.cast("long").alias("n_tokens"),
+        offset.alias("offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    ``hash(seed, id) mod 1e6 < fraction(stratum)·1e6``.
+
+    Reproducible by construction (no rand()): re-running, repartitioning,
+    or re-executing on another engine selects the SAME rows — portable
+    mode uses the md5-derived hash family so a SQL oracle reproduces the
+    sample exactly. Fractions are exact rationals over 1e6, so engine
+    float parsing cannot move the threshold.
+    """
+    h = portable_hash60 if portable else fast_hash64
+    bucket = F.pmod(h(F.col(id_col), seed), F.lit(SAMPLE_DENOM))
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cut = int(round(float(frac) * SAMPLE_DENOM))
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, F.lit(cut)) if expr is None else expr.when(cond, F.lit(cut))
+    thresh = (
+        expr.otherwise(F.lit(int(round(default_fraction * SAMPLE_DENOM))))
+        if expr is not None
+        else F.lit(int(round(default_fraction * SAMPLE_DENOM)))
+    )
+    return df.filter(bucket < thresh)

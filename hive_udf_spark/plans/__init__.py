@@ -12,6 +12,7 @@ from hive_udf_spark.plans.registry import QUERIES, oracle_sql_map, queries_map, 
 from hive_udf_spark.plans import (  # noqa: E402,F401
     dedup_queries,
     freq_queries,
+    pipeline_queries,
     relational_queries,
     similarity_queries,
     sketch_queries,

@@ -1,0 +1,82 @@
+"""Chunking / packing / sampling operator properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.chunking import (
+    chunk_documents,
+    pack_documents,
+    stratified_sample,
+)
+from hive_udf_spark.sources import load_table
+
+
+def test_chunks_reconstruct_token_stream(spark, sf_dir):
+    """Dropping each chunk's leading overlap (except chunk 0) and
+    concatenating in chunk order reproduces the document's exact token
+    stream — no token lost or duplicated."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+    rebuilt: dict[int, list[str]] = {}
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        rebuilt.setdefault(r.doc_id, []).extend(toks if r.chunk_idx == 0 else toks[8:])
+    originals = {
+        r.doc_id: [t for t in r.text.split() if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert rebuilt == {k: v for k, v in originals.items() if v}
+
+
+def test_chunk_short_and_empty_docs(spark):
+    rows = [(1, ""), (2, "a b"), (3, " ".join(f"t{i}" for i in range(40)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc                       # empty doc → no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+    assert len(by_doc[3]) == 2                   # starts 0 and 24 cover 40 tokens
+    assert by_doc[3][1].n_tokens == 16
+
+
+def test_pack_offsets_are_exact_prefix_sums(spark, sf_dir):
+    """offset(doc) = sum of token counts of all earlier docs in the shard;
+    bin = offset // budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "text", budget=512, shard_col="lang")
+    rows = sorted(packed.collect(), key=lambda r: (r.lang, r.doc_id))
+    running: dict[str, int] = {}
+    for r in rows:
+        want = running.get(r.lang, 0)
+        assert r.offset == want, (r.doc_id, r.offset, want)
+        assert r.bin_id == want // 512
+        running[r.lang] = want + r.n_tokens
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {"en": 0.5, "de": 0.25}
+    a = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", frac, seed=7).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", frac, seed=7).collect()}
+    assert a == b  # reruns select the same rows
+    half = {
+        r.doc_id
+        for r in stratified_sample(docs, "lang", "doc_id", {"en": 0.25}, seed=7).collect()
+    }
+    full = {
+        r.doc_id
+        for r in stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, seed=7).collect()
+    }
+    assert half <= full  # smaller fraction is a subset at the same seed
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert abs(len(full) / n_en - 0.5) < 0.25  # rough rate sanity
+
+
+def test_stratified_sample_excludes_unlisted_strata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = stratified_sample(docs, "lang", "doc_id", {"en": 1.0}, seed=7).select("lang").distinct()
+    assert [r.lang for r in got.collect()] == ["en"]

@@ -5,6 +5,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     approx_distinct_on,
     sketch_estimate,
     sketch_intersect_estimate,
+    sketch_jaccard_estimate,
     sketch_merge_agg,
     sketch_union,
 )

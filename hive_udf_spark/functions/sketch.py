@@ -184,6 +184,24 @@ def sketch_union(a: Column | str, b: Column | str, strict: bool = False) -> Colu
     return F.hll_union(_col(a), _col(b), not strict)
 
 
+def sketch_jaccard_estimate(a: Column | str, b: Column | str) -> Column:
+    """Scalar: estimated Jaccard similarity |A∩B| / |A∪B| of two HLL
+    sketches via inclusion–exclusion (clamped to [0, 1] — the
+    intersection estimator can go slightly negative on near-disjoint
+    sets). Set-similarity over sketches without the raw data: the last
+    of the "set intersection and other utils" the reference's stub UDF
+    declared (UDFCardinalityEstimator.java:30)."""
+    ca, cb = _col(a), _col(b)
+    union = F.hll_sketch_estimate(F.hll_union(ca, cb, True))
+    inter = F.hll_sketch_estimate(ca) + F.hll_sketch_estimate(cb) - union
+    return F.when(union <= 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), inter.cast("double") / union.cast("double")),
+        )
+    )
+
+
 def sketch_intersect_estimate(a: Column | str, b: Column | str) -> Column:
     """Scalar: estimated |A ∩ B| via inclusion–exclusion.
 

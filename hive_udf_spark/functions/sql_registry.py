@@ -63,6 +63,16 @@ _SQL_FUNCTIONS = {
         RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
                     ELSE hll_union(a, b, false) END
     """,
+    "sketch_jaccard_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_jaccard_estimate(a BINARY, b BINARY)
+        RETURNS DOUBLE
+        RETURN CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                    WHEN hll_sketch_estimate(hll_union(a, b, true)) <= 0 THEN 0.0D
+                    ELSE least(1.0D, greatest(0.0D,
+                         CAST(hll_sketch_estimate(a) + hll_sketch_estimate(b)
+                              - hll_sketch_estimate(hll_union(a, b, true)) AS DOUBLE)
+                         / CAST(hll_sketch_estimate(hll_union(a, b, true)) AS DOUBLE))) END
+    """,
     "sketch_intersect_estimate": """
         CREATE OR REPLACE TEMPORARY FUNCTION sketch_intersect_estimate(a BINARY, b BINARY)
         RETURNS BIGINT

@@ -55,6 +55,43 @@ def freq_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_exploded(toks, "token", k=20, max_items_tracked=10000)
 
 
+@register(
+    "freq_top_tokens_per_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, t FROM documents, unnest({_TOKS_SQL}) AS u(t)
+    ),
+    counts AS (SELECT lang, t AS item, count(*) AS cnt FROM tok GROUP BY lang, t),
+    ranked AS (
+      SELECT lang, item, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item) AS "rank"
+      FROM counts
+    )
+    SELECT lang, item, cnt, "rank" FROM ranked WHERE "rank" <= 5
+    """,
+)
+def freq_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED heavy hitters: top-5 tokens per language via one
+    approx_top_k aggregate per group (bounded state per group — the
+    shape that holds when `lang` is a million-valued key), exploded and
+    re-ranked with the deterministic (count desc, item) tie-break."""
+    from pyspark.sql import Window
+
+    from hive_udf_spark.functions.freq import approx_top_k_agg
+    from hive_udf_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokenize("text")).alias("token"))
+    fetched = (
+        toks.groupBy("lang")
+        .agg(approx_top_k_agg("token", k=10000, max_items_tracked=10000).alias("__tk"))
+        .select("lang", F.explode("__tk").alias("__e"))
+        .select("lang", F.col("__e.item").alias("item"), F.col("__e.count").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return fetched.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 64  # deliberately small: collisions happen and must match too
 

@@ -200,3 +200,27 @@ def test_sketch_merge_agg_strict_raises_on_mixed_precision(spark, sf_dir):
     assert lenient.cardinality > 0
     with _pytest.raises(Exception, match="(?i)lgConfigK|union|merge"):
         mixed.agg(sketch_merge_agg("s", strict=True).alias("m")).collect()
+
+
+def test_sketch_jaccard_estimate(spark, sf_dir):
+    """Jaccard over sketches: disjoint segments ≈ 0; identical sets = 1;
+    a half-overlap built from order keys lands near 1/3 (|A∩B|/|A∪B|
+    with |A|=|B|=2|A∩B|)."""
+    from hive_udf_spark.functions import sketch_jaccard_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 4 < 2)     # residues {0,1}
+    hi = orders.filter(F.col("o_orderkey") % 4 >= 2)    # residues {2,3}
+    mid = orders.filter((F.col("o_orderkey") % 4 >= 1) & (F.col("o_orderkey") % 4 < 3))  # {1,2}
+    def sk(df):
+        return df.agg(approx_distinct("o_orderkey").alias("s")).collect()[0].s.binary
+    a, b, c = sk(lo), sk(hi), sk(mid)
+    df = spark.createDataFrame([(a, b, c)], "a binary, b binary, c binary")
+    row = df.select(
+        sketch_jaccard_estimate("a", "b").alias("j_disjoint"),
+        sketch_jaccard_estimate("a", "a").alias("j_same"),
+        sketch_jaccard_estimate("a", "c").alias("j_half"),
+    ).collect()[0]
+    assert row.j_disjoint < 0.05
+    assert row.j_same == 1.0
+    assert abs(row.j_half - 1 / 3) < 0.05

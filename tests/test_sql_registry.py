@@ -88,3 +88,21 @@ def test_sql_null_semantics(spark):
         "SELECT sketch_struct(hll_sketch_agg(o_custkey)) AS s FROM orders WHERE o_orderkey < 0"
     ).collect()[0]
     assert row["s"] is None
+
+
+def test_sql_jaccard_matches_python_api(spark, sf_dir):
+    from hive_udf_spark.functions import approx_distinct, sketch_jaccard_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 3 == 0)
+    a = lo.agg(approx_distinct("o_orderkey").alias("s")).collect()[0].s.binary
+    b = hi.agg(approx_distinct("o_orderkey").alias("s")).collect()[0].s.binary
+    df = spark.createDataFrame([(a, b)], "a binary, b binary")
+    df.createOrReplaceTempView("jacc_pair")
+    got_sql = spark.sql(
+        "SELECT sketch_jaccard_estimate(a, b) AS j FROM jacc_pair"
+    ).collect()[0].j
+    got_api = df.select(sketch_jaccard_estimate("a", "b").alias("j")).collect()[0].j
+    assert got_sql == got_api
+    assert 0.0 <= got_api <= 1.0

@@ -343,6 +343,52 @@ def ann_hyperplane_lsh(
     )
 
 
+def embedding_dedup_clusters(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.35,
+    nbits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    scale: int = DEFAULT_QUANT_SCALE,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate dedup with linear output:
+    (id, cluster, is_canonical) — the vector-side twin of
+    ``dedup.dedup_clusters``. Edges come from the LSH-bucketed near-pair
+    generator (exact integer-cosine verified), components from the
+    contracted min-label propagation, so the whole pipeline inherits
+    both scale paths. Deterministic end to end (integer signatures,
+    fixed seed): an exact SQL oracle reproduces it including the
+    clustering fixpoint."""
+    from hive_udf_spark.operators.dedup import connected_components
+
+    caches: list[DataFrame] = []
+    pairs = embedding_near_pairs_lsh(
+        vecs,
+        id_col,
+        vec_col,
+        min_cosine=min_cosine,
+        nbits=nbits,
+        bands=bands,
+        dim=dim,
+        scale=scale,
+        seed=seed,
+        caches=caches,
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    for cached in caches:
+        cached.unpersist()
+    nodes = vecs.select(F.col(id_col).alias("id"))
+    comps = connected_components(pairs, nodes, edges_materialized=True)
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,

@@ -90,19 +90,16 @@ _NP_LSH_BANDS = 8
 _NP_LSH_T = 0.35
 
 
-def _near_pairs_lsh_oracle() -> str:
-    """Generated SQL reproducing the FULL hyperplane-LSH near-pair
-    pipeline (signatures → bands → candidates → exact verify) in DuckDB.
-    Like the MinHash oracle, this pins candidate generation itself, not
-    just the verified output — both engines agree bit-for-bit because
-    hyperplanes and vectors are quantized to integers."""
+def _np_lsh_ctes() -> tuple[str, str]:
+    """(CTE chain, verify predicate) for the integer hyperplane-LSH
+    near-pair pipeline — shared by the pair oracle and the cluster
+    oracle so both pin the identical construction."""
     r = _NP_LSH_NBITS // _NP_LSH_BANDS
     mask = (1 << r) - 1
     planes = int_hyperplanes(64, _NP_LSH_NBITS, seed=42)
     h_lit = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in planes) + "]"
     t2 = float(_NP_LSH_T) ** 2
-    return f"""
-    WITH {_QV_CTE},
+    ctes = f"""{_QV_CTE},
     h AS (SELECT {h_lit} AS hh),
     sig AS (
       SELECT vec_id, q,
@@ -131,10 +128,25 @@ def _near_pairs_lsh_oracle() -> str:
       FROM cands c
         JOIN nv a ON a.vec_id = c.id_a
         JOIN nv b ON b.vec_id = c.id_b
+    )"""
+    verify = (
+        f"dot_q > 0 AND CAST(dot_q * dot_q AS DOUBLE) >= {t2!r} "
+        f"* (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
     )
+    return ctes, verify
+
+
+def _near_pairs_lsh_oracle() -> str:
+    """Generated SQL reproducing the FULL hyperplane-LSH near-pair
+    pipeline (signatures → bands → candidates → exact verify) in DuckDB.
+    Like the MinHash oracle, this pins candidate generation itself, not
+    just the verified output — both engines agree bit-for-bit because
+    hyperplanes and vectors are quantized to integers."""
+    ctes, verify = _np_lsh_ctes()
+    return f"""
+    WITH {ctes}
     SELECT id_a, id_b, dot_q FROM pairs
-    WHERE dot_q > 0
-      AND CAST(dot_q * dot_q AS DOUBLE) >= {t2!r} * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    WHERE {verify}
     """
 
 
@@ -148,6 +160,41 @@ def similarity_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact pair set is measured in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs_lsh(
+        emb, min_cosine=_NP_LSH_T, nbits=_NP_LSH_NBITS, bands=_NP_LSH_BANDS
+    )
+
+
+def _embedding_clusters_oracle() -> str:
+    ctes, verify = _np_lsh_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (SELECT id_a, id_b FROM pairs WHERE {verify}),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    )
+    SELECT node AS vec_id, min(r) AS cluster, (node = min(r)) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+
+@register("similarity_dedup_clusters", oracle=_embedding_clusters_oracle())
+def similarity_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS (cos ≥ 0.35): LSH-bucketed
+    verified near-pairs → contracted connected components → linear
+    (id, cluster, is_canonical) output — the vector-side twin of
+    dedup_clusters_linear, with the same recursive-CTE oracle pattern
+    pinning signatures, banding, verify, and the CC fixpoint."""
+    from hive_udf_spark.operators.similarity import embedding_dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup_clusters(
         emb, min_cosine=_NP_LSH_T, nbits=_NP_LSH_NBITS, bands=_NP_LSH_BANDS
     )
 

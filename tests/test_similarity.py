@@ -153,3 +153,21 @@ def test_near_pairs_lsh_high_threshold_planted_dups(spark):
     }
     assert lsh <= exact
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_embedding_dedup_clusters_no_cache_leak_and_valid_partition(spark):
+    """Cluster output covers every vector exactly once, canonical = min
+    id per cluster, and no cached frames survive the call."""
+    from hive_udf_spark.operators.similarity import embedding_dedup_clusters
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = embedding_dedup_clusters(emb, min_cosine=0.35).collect()
+    assert len(out) == emb.count()
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+    canon = {r.vec_id for r in out if r.is_canonical}
+    assert canon == set(by_cluster)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

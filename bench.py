@@ -148,6 +148,33 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4))
 
+    def q_vec_dedup_clusters():
+        from hive_udf_spark.operators.similarity import embedding_dedup_clusters
+
+        _force(embedding_dedup_clusters(emb, min_cosine=0.35, nbits=32, bands=8))
+
+    def q_pipeline_prep():
+        from hive_udf_spark.operators.chunking import (
+            chunk_documents,
+            pack_documents,
+            stratified_sample,
+        )
+
+        _force(chunk_documents(docs, "doc_id", "text", chunk_tokens=128, overlap=16))
+        _force(pack_documents(docs, "doc_id", "text", budget=2048, shard_col="lang"))
+        _force(
+            stratified_sample(docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, seed=7)
+        )
+
+    def q_freq_sketches():
+        from hive_udf_spark.functions.freq import cms_lookup, cms_table, top_k_exploded
+        from hive_udf_spark.functions.text import tokenize
+
+        toks = docs.select(F.explode(tokenize("text")).alias("token"))
+        _force(top_k_exploded(toks, "token", k=20, max_items_tracked=10000))
+        cms = cms_table(toks, "token", depth=4, width=1024)
+        _force(cms_lookup(cms, toks, "token", depth=4, width=1024))
+
     def q_asof_join():
         QUERIES["asof_latest_order_before_event"].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -192,8 +219,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_blocked": q_simhash_blocked_fast,
         "topk_dot_bruteforce": q_topk_dot,
         "near_pairs_lsh": q_near_pairs_lsh,
+        "vec_dedup_clusters": q_vec_dedup_clusters,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "pipeline_prep": q_pipeline_prep,
+        "freq_sketches": q_freq_sketches,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tpch_q7": q_tpch_q7,

@@ -103,3 +103,25 @@ def test_dedup_clusters_star_close_to_exact(spark, sf_dir):
     if pe:
         recall = len(pe & ps) / len(pe)
         assert recall >= 0.8, f"star cluster recall {recall:.3f}"
+
+
+def test_distributed_and_driver_cc_paths_agree(spark, sf_dir):
+    """connected_components' driver-side union-find (small contracted
+    remainder) and distributed min-label fixpoint must produce identical
+    components."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.dedup import connected_components, near_dup_pairs
+    from hive_udf_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    edges = near_dup_pairs(docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    drv = sorted(map(tuple, connected_components(edges, nodes).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(edges, nodes, driver_solve_max_edges=0).collect(),
+        )
+    )
+    assert drv == dist and len(drv) == 200

@@ -80,3 +80,32 @@ def test_stratified_sample_excludes_unlisted_strata(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     got = stratified_sample(docs, "lang", "doc_id", {"en": 1.0}, seed=7).select("lang").distinct()
     assert [r.lang for r in got.collect()] == ["en"]
+
+
+def test_chunk_exhaustive_lengths_reconstruct(spark):
+    """Exhaustive doc lengths 0..3*chunk for several (chunk, overlap)
+    configs: chunk starts are exactly 0, stride, 2*stride, ... < n; every
+    token appears; overlap-stripped concatenation reconstructs the doc."""
+    for chunk, overlap in [(8, 0), (8, 3), (5, 4), (16, 8)]:
+        stride = chunk - overlap
+        rows = [
+            (n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 3 * chunk + 1)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = chunk_documents(docs, "doc_id", "text", chunk_tokens=chunk, overlap=overlap)
+        by_doc: dict[int, list] = {}
+        for r in got.collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n, _ in rows:
+            chunks = sorted(by_doc.get(n, []), key=lambda r: r.chunk_idx)
+            if n == 0:
+                assert chunks == []
+                continue
+            expected_starts = list(range(0, n, stride))
+            assert [c.chunk_idx for c in chunks] == list(range(len(expected_starts)))
+            rebuilt: list[str] = []
+            for c in chunks:
+                toks = c.chunk_text.split(" ")
+                assert len(toks) == c.n_tokens <= chunk
+                rebuilt.extend(toks if c.chunk_idx == 0 else toks[overlap:])
+            assert rebuilt == [f"w{i}" for i in range(n)], (chunk, overlap, n)

@@ -166,6 +166,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             stratified_sample(docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, seed=7)
         )
 
+    def q_decontaminate():
+        from hive_udf_spark.functions.text import tokenize
+        from hive_udf_spark.operators.decontam import contamination_report
+
+        bench_set = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(tokenize("text"), 1, 12), " ").alias("prompt"),
+        )
+        _force(
+            contamination_report(
+                docs, bench_set, "doc_id", "text", "bench_id", "prompt", n=8
+            )
+        )
+
     def q_freq_sketches():
         from hive_udf_spark.functions.freq import cms_lookup, cms_table, top_k_exploded
         from hive_udf_spark.functions.text import tokenize
@@ -223,6 +237,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "pipeline_prep": q_pipeline_prep,
+        "decontaminate": q_decontaminate,
         "freq_sketches": q_freq_sketches,
         "asof_join": q_asof_join,
         "range_join": q_range_join,

@@ -9,14 +9,17 @@ reproduces value-for-value in DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.hashing import portable_hash60_sql
+from hive_udf_spark.functions.text import tokenize
 from hive_udf_spark.operators.chunking import (
     SAMPLE_DENOM,
     chunk_documents,
     pack_documents,
     stratified_sample,
 )
+from hive_udf_spark.operators.decontam import contamination_report
 from hive_udf_spark.plans.registry import register
 from hive_udf_spark.sources import load_table
 
@@ -89,6 +92,71 @@ def _sample_oracle() -> str:
     FROM documents
     WHERE ({h}) % {SAMPLE_DENOM} < (CASE lang {cases} ELSE 0 END)
     """
+
+
+_DECON_N = 8  # classic exact-overlap decontamination n-gram size regime
+_DECON_PROMPT_TOKENS = 12
+
+
+def _decontam_oracle() -> str:
+    h = portable_hash60_sql("g", _DECON_N)
+    grams = (
+        f"[array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ') "
+        f"for i in generate_series(1, len(w) - {_DECON_N - 1})]"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    bench AS (
+      SELECT doc_id AS bench_id, list_slice(w, 1, {_DECON_PROMPT_TOKENS}) AS w
+      FROM t WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+      SELECT DISTINCT bench_id, {h} AS gh
+      FROM (SELECT bench_id, unnest({grams}) AS g FROM bench)
+    ),
+    btot AS (SELECT bench_id, count(*) AS bench_ngrams FROM bg GROUP BY bench_id),
+    dg AS (
+      SELECT DISTINCT doc_id, {h} AS gh
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM t)
+    ),
+    hits AS (
+      SELECT d.doc_id, b.bench_id, count(*) AS overlap_ngrams
+      FROM dg d JOIN bg b USING (gh)
+      GROUP BY d.doc_id, b.bench_id
+    )
+    SELECT h.doc_id, h.bench_id, h.overlap_ngrams, t.bench_ngrams,
+           (h.overlap_ngrams * 1000000) // t.bench_ngrams AS overlap_ppm
+    FROM hits h JOIN btot t USING (bench_id)
+    """
+
+
+@register("pipeline_decontaminate", oracle=_decontam_oracle())
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every (document, benchmark-prompt) pair
+    sharing ≥1 exact word 8-gram, with overlap counts and ppm fraction.
+    The benchmark set is the first 12 tokens of every 97th document (a
+    deterministic stand-in for an eval suite); the corpus probe is a
+    broadcast hash join on 60-bit portable n-gram hashes — the corpus
+    side never shuffles its n-grams. The oracle re-derives every hash,
+    hit, and ppm value in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokenize("text"), 1, _DECON_PROMPT_TOKENS), " ").alias(
+            "prompt"
+        ),
+    )
+    return contamination_report(
+        docs,
+        bench,
+        doc_id="doc_id",
+        doc_text="text",
+        bench_id="bench_id",
+        bench_text="prompt",
+        n=_DECON_N,
+        min_overlap=1,
+        portable=True,
+    )
 
 
 @register("pipeline_stratified_sample", oracle=_sample_oracle())

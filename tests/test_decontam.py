@@ -1,0 +1,108 @@
+"""Decontamination operator: planted-overlap semantics + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.decontam import (
+    contaminated_doc_ids,
+    contamination_report,
+    ngram_hash_set,
+)
+
+
+def _docs(spark):
+    # doc 1 contains bench 10's 3-gram run; doc 2 is clean; doc 3 is
+    # a verbatim copy of bench 11; doc 4 is too short for any 3-gram.
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "one two three four"),
+            (4, "mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [
+            (10, "beta gamma delta"),
+            (11, "one two three four"),
+            (12, "unseen tokens entirely here"),
+        ],
+        "bench_id long, prompt string",
+    )
+
+
+def test_planted_overlaps(spark):
+    rep = contamination_report(
+        _docs(spark), _bench(spark), "doc_id", "text", "bench_id", "prompt", n=3
+    )
+    rows = {(r.doc_id, r.bench_id): r for r in rep.collect()}
+    # doc1 shares exactly the one 3-gram bench10 has
+    assert rows[(1, 10)].overlap_ngrams == 1
+    assert rows[(1, 10)].bench_ngrams == 1
+    assert rows[(1, 10)].overlap_ppm == 1_000_000
+    # doc3 == bench11 verbatim: both 3-grams hit
+    assert rows[(3, 11)].overlap_ngrams == 2
+    assert rows[(3, 11)].overlap_ppm == 1_000_000
+    # nothing else: doc2/doc4 clean, bench12 unseen
+    assert set(rows) == {(1, 10), (3, 11)}
+
+
+def test_min_overlap_threshold(spark):
+    rep = contamination_report(
+        _docs(spark), _bench(spark), "doc_id", "text", "bench_id", "prompt",
+        n=3, min_overlap=2,
+    )
+    assert {(r.doc_id, r.bench_id) for r in rep.collect()} == {(3, 11)}
+
+
+def test_contaminated_ids_distinct(spark):
+    ids = contaminated_doc_ids(
+        _docs(spark), _bench(spark), "doc_id", "text", "bench_id", "prompt", n=3
+    )
+    assert sorted(r.doc_id for r in ids.collect()) == [1, 3]
+
+
+def test_short_and_empty_docs_no_crash(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "only two"), (3, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    out = contamination_report(
+        docs, _bench(spark), "doc_id", "text", "bench_id", "prompt", n=8
+    )
+    assert out.count() == 0  # no 8-gram can match; must not raise
+
+
+def test_ngram_hash_set_distinct(spark):
+    df = spark.createDataFrame([("x y x y x y",)], "text string")
+    # 3-grams: "x y x","y x y","x y x","y x y" -> 2 distinct hashes
+    n = df.select(F.size(ngram_hash_set("text", 3)).alias("k")).first().k
+    assert n == 2
+
+
+def test_plan_broadcast_and_jvm_only(spark):
+    rep = contamination_report(
+        _docs(spark), _bench(spark), "doc_id", "text", "bench_id", "prompt", n=3
+    )
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    # bench side broadcast: the corpus probe is a map-side hash join
+    assert "BroadcastHashJoin" in plan
+    # pure Catalyst — no Python in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_portable_matches_fast_semantics(spark):
+    # same pairs/counts regardless of hash family (hashes differ, sets agree)
+    kw = dict(doc_id="doc_id", doc_text="text", bench_id="bench_id",
+              bench_text="prompt", n=3)
+    a = contamination_report(_docs(spark), _bench(spark), portable=False, **kw)
+    b = contamination_report(_docs(spark), _bench(spark), portable=True, **kw)
+    key = lambda r: (r.doc_id, r.bench_id, r.overlap_ngrams, r.bench_ngrams)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))

@@ -717,3 +717,324 @@ def tpch_q22ish_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: the remaining classic TPC-H plan shapes, adapted to the
+# fixture schema (no partsupp/shipmode/receiptdate columns — FIXTURES.md).
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+def _rev_cents(li_prefix: str = "") -> "F.Column":
+    ep = F.col(f"{li_prefix}l_extendedprice")
+    disc = F.col(f"{li_prefix}l_discount")
+    return F.round(ep * (1 - disc) * 100, 0).cast("long")
+
+
+@register(
+    "tpch_q2ish_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS u
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, round(u.u, 6) AS unit_price
+    FROM unit u
+      JOIN part p ON p.p_partkey = u.l_partkey
+      JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    WHERE p.p_size < 20 AND p.p_type = 'STANDARD'
+      AND u.u = (SELECT min(u2.u) FROM unit u2 WHERE u2.l_partkey = u.l_partkey)
+    """,
+)
+def tpch_q2ish_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    the minimum unit price — a correlated scalar-min subquery, decorrelated
+    as a per-part min aggregate joined back on equality. Unit price is a
+    single IEEE division both engines compute identically, so the equality
+    join is exact. part and supplier are broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 20) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__u")
+    )
+    per_part_min = unit.groupBy("l_partkey").agg(F.min("__u").alias("__umin"))
+    return (
+        unit.join(per_part_min, "l_partkey")
+        .filter(F.col("__u") == F.col("__umin"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", F.round("__u", 6).alias("unit_price"))
+    )
+
+
+@register(
+    "tpch_q8ish_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             n2.n_name AS supp_nation,
+             {_CENTS} AS cents
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 1000000)
+             // sum(cents) AS BIGINT) AS share_ppm
+    FROM rev GROUP BY o_year
+    """,
+)
+def tpch_q8ish_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    order revenue — 7-table star join, conditional aggregation, and an
+    integer-ppm share ((nation·1e6) div total) so the ratio is exact in
+    both engines. All dims broadcast; lineitem⋈orders is the only big
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+            _rev_cents().alias("__cents"),
+        )
+    )
+    is_cn = F.when(F.col("supp_nation") == "NATION_3", F.col("__cents")).otherwise(F.lit(0))
+    return rev.groupBy("o_year").agg(
+        F.sum(is_cn).alias("nation_cents"),
+        F.sum("__cents").alias("total_cents"),
+        F.expr(
+            "(sum(CASE WHEN supp_nation = 'NATION_3' THEN __cents ELSE 0 END) * 1000000)"
+            " div sum(__cents)"
+        ).alias("share_ppm"),
+    )
+
+
+@register(
+    "tpch_q9ish_nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                - 0.1 * p.p_retailprice * l.l_quantity) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9ish_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name LIKE filter. partsupp's supplycost doesn't exist in the
+    fixture schema, so cost is modeled as 10% of retail price × quantity
+    (stated, deterministic). Per-row cents rounding keeps the sum exact.
+    The LIKE filter prunes part before the broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.round(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            )
+            * 100,
+            0,
+        )
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+@register(
+    "tpch_q12ish_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12ish_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus, the fixture's analogue):
+    conditional counts of high/low-priority orders per line status over a
+    one-year shipdate window. The filter pushes to the lineitem scan;
+    counts are exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15ish_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_CENTS}) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def tpch_q15ish_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter —
+    an aggregated view consumed twice (per-supplier revenue + its global
+    max as a scalar subquery). Integer-cents revenue makes the max-equality
+    exact; the single-row max side is a broadcast cross join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents()).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@register(
+    "tpch_q20ish_bulk_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 120.0
+    )
+    """,
+)
+def tpch_q20ish_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved bulk volume of some part — an
+    IN-subquery over a grouped HAVING, planned as a semi-join against the
+    aggregated build side. Quantities are integral doubles, so the HAVING
+    sum is exact. supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    bulk = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 120.0)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "tpch_q21ish_sole_returned_supplier",
+    oracle="""
+    WITH returned AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    members AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM returned r
+      JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM members m
+                  WHERE m.l_orderkey = r.l_orderkey AND m.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM returned r2
+                      WHERE r2.l_orderkey = r.l_orderkey
+                        AND r2.l_suppkey <> r.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21ish_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, orders where it was the ONLY supplier
+    with a returned item although other suppliers participated — the
+    classic doubly-correlated EXISTS + NOT EXISTS, planned as a semi-join
+    then an anti-join with non-equi correlation conditions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    members = li.select("l_orderkey", "l_suppkey").distinct()
+    r = returned.alias("r")
+    exists_other = r.join(
+        members.alias("m"),
+        (F.col("r.l_orderkey") == F.col("m.l_orderkey"))
+        & (F.col("r.l_suppkey") != F.col("m.l_suppkey")),
+        "leftsemi",
+    )
+    sole = exists_other.alias("r").join(
+        returned.alias("r2"),
+        (F.col("r.l_orderkey") == F.col("r2.l_orderkey"))
+        & (F.col("r.l_suppkey") != F.col("r2.l_suppkey")),
+        "leftanti",
+    )
+    return (
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -54,8 +54,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names, or a prefix ending in '*'",
+    )
     args = ap.parse_args()
+
+    def selected(name: str) -> bool:
+        if not args.only:
+            return True
+        for pat in args.only.split(","):
+            if pat.endswith("*") and name.startswith(pat[:-1]):
+                return True
+            if name == pat:
+                return True
+        return False
 
     import __spark_entry__ as E
     from hive_udf_spark.session import get_spark
@@ -69,7 +83,7 @@ def main() -> int:
     failures = []
     n_run = 0
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if not selected(name):
             continue
         n_run += 1
         t0 = time.time()

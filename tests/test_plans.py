@@ -197,3 +197,37 @@ def test_exact_dedup_aggregates_before_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final min per hash
     assert "Window" not in plan
+
+
+def test_q21_shape_plans_semi_then_anti(spark, sf_dir):
+    """The doubly-correlated EXISTS/NOT EXISTS decorrelates to one semi
+    and one anti join — no cartesian product despite the non-equi
+    (suppkey <>) correlation terms."""
+    plan = plan_of(QUERIES["tpch_q21ish_sole_returned_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_is_broadcast(spark, sf_dir):
+    """The single-row max side of the q15 scalar subquery broadcasts;
+    the revenue view is aggregated with map-side partials."""
+    plan = plan_of(QUERIES["tpch_q15ish_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_part_filter_pushed_to_scan(spark, sf_dir):
+    """The p_name LIKE filter prunes part before its broadcast."""
+    plan = plan_of(QUERIES["tpch_q9ish_nation_profit"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan or "Filter" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_decontam_corpus_side_never_shuffles_ngrams(spark, sf_dir):
+    """Decontamination probes the corpus with a broadcast hash join: the
+    only Exchange in the plan is the post-join hit aggregation (plus the
+    tiny bench-total join), never the exploded corpus n-grams."""
+    plan = plan_of(QUERIES["pipeline_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

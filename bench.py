@@ -156,6 +156,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     def q_pipeline_prep():
         from hive_udf_spark.operators.chunking import (
             chunk_documents,
+            mixture_weighted_repeat,
             pack_documents,
             stratified_sample,
         )
@@ -164,6 +165,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(pack_documents(docs, "doc_id", "text", budget=2048, shard_col="lang"))
         _force(
             stratified_sample(docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, seed=7)
+        )
+        _force(
+            mixture_weighted_repeat(docs, "lang", "doc_id", {"en": 2.5, "de": 0.4})
         )
 
     def q_decontaminate():

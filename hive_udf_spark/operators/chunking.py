@@ -138,3 +138,57 @@ def stratified_sample(
         else F.lit(int(round(default_fraction * SAMPLE_DENOM)))
     )
     return df.filter(bucket < thresh)
+
+
+def mixture_weighted_repeat(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Epoch-weighted source mixing: repeat each row ``weight(stratum)``
+    times in expectation — the "this source is seen 2.5× per epoch,
+    that one 0.4×" knob of an LLM data-mixture recipe.
+
+    weight = k + f (k integral, f fractional): every row emits k copies,
+    plus one more iff ``hash(seed, id) mod 1e6 < f·1e6`` — so the
+    realized copy count is deterministic per id (no rand()), the
+    expected multiplicity is exactly the weight, and subsampling
+    (weight < 1) and oversampling (weight > 1) are the same mechanism.
+    Output adds ``copy_idx`` (0-based) so downstream shuffles/packing
+    can distinguish copies.
+
+    Pure scan-side expressions: one CASE for the weight, one hash
+    compare, one guarded ``sequence``/``explode`` — no shuffle, no
+    Python; output partitioning inherits the scan. Weights are exact
+    ppm rationals so engine float parsing cannot move a threshold.
+    """
+    h = portable_hash60 if portable else fast_hash64
+    bucket = F.pmod(h(F.col(id_col), seed), F.lit(SAMPLE_DENOM))
+    expr = None
+    for stratum, wgt in sorted(weights.items()):
+        if wgt < 0:
+            raise ValueError(f"negative weight for {stratum!r}")
+        ppm = int(round(float(wgt) * SAMPLE_DENOM))
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, F.lit(ppm)) if expr is None else expr.when(cond, F.lit(ppm))
+    default_ppm = int(round(float(default_weight) * SAMPLE_DENOM))
+    wppm = (
+        expr.otherwise(F.lit(default_ppm)) if expr is not None else F.lit(default_ppm)
+    )
+    n_copies = (wppm / F.lit(SAMPLE_DENOM)).cast("long") + F.when(
+        bucket < wppm % F.lit(SAMPLE_DENOM), F.lit(1)
+    ).otherwise(F.lit(0))
+    # guarded: sequence(0, -1) materializes DESCENDING — short-circuit
+    # zero-copy rows to an empty list (the functions.text.ngrams lesson)
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.explode(copies).alias("copy_idx"),
+    )

@@ -16,6 +16,7 @@ from hive_udf_spark.functions.text import tokenize
 from hive_udf_spark.operators.chunking import (
     SAMPLE_DENOM,
     chunk_documents,
+    mixture_weighted_repeat,
     pack_documents,
     stratified_sample,
 )
@@ -92,6 +93,48 @@ def _sample_oracle() -> str:
     FROM documents
     WHERE ({h}) % {SAMPLE_DENOM} < (CASE lang {cases} ELSE 0 END)
     """
+
+
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "zh": 0.4}
+_MIX_SEED = 11
+
+
+def _mixture_oracle() -> str:
+    h = portable_hash60_sql("doc_id", _MIX_SEED)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(w * SAMPLE_DENOM))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             (CASE lang {cases} ELSE 0 END) AS wppm,
+             ({h}) % {SAMPLE_DENOM} AS bucket
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             wppm // {SAMPLE_DENOM}
+               + (CASE WHEN bucket < wppm % {SAMPLE_DENOM} THEN 1 ELSE 0 END) AS k
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_idx
+    FROM n, unnest(generate_series(0, k - 1)) AS u(i)
+    WHERE k > 0
+    """
+
+
+@register("pipeline_mixture_weights", oracle=_mixture_oracle())
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted source mixing: en docs repeated 2.5× in expectation,
+    de 1×, zh 0.4×, the rest dropped — integral copies always emitted,
+    the fractional copy decided by deterministic hash membership per doc.
+    Scan-side only (CASE + hash compare + guarded sequence/explode); the
+    oracle reproduces every (doc, copy_idx) row exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weighted_repeat(
+        docs, "lang", "doc_id", _MIX_WEIGHTS, seed=_MIX_SEED, portable=True
+    ).select("doc_id", "lang", "copy_idx")
 
 
 _DECON_N = 8  # classic exact-overlap decontamination n-gram size regime

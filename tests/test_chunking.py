@@ -109,3 +109,69 @@ def test_chunk_exhaustive_lengths_reconstruct(spark):
                 assert len(toks) == c.n_tokens <= chunk
                 rebuilt.extend(toks if c.chunk_idx == 0 else toks[overlap:])
             assert rebuilt == [f"w{i}" for i in range(n)], (chunk, overlap, n)
+
+
+# ---------------------------------------------------------------------------
+# mixture_weighted_repeat
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_integral_weights_exact(spark):
+    from hive_udf_spark.operators.chunking import mixture_weighted_repeat
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, src string",
+    )
+    out = mixture_weighted_repeat(df, "src", "id", {"a": 3.0, "b": 0.0})
+    rows = out.collect()
+    # every 'a' row exactly 3 copies (0,1,2); every 'b' row dropped
+    assert len(rows) == 50 * 3
+    by_id = {}
+    for r in rows:
+        assert r.src == "a"
+        by_id.setdefault(r.id, []).append(r.copy_idx)
+    assert all(sorted(v) == [0, 1, 2] for v in by_id.values())
+
+
+def test_mixture_fractional_expectation_and_determinism(spark):
+    from hive_udf_spark.operators.chunking import mixture_weighted_repeat
+
+    df = spark.createDataFrame([(i, "s") for i in range(2000)], "id long, src string")
+    out = mixture_weighted_repeat(df, "src", "id", {"s": 1.5}, seed=3)
+    n1 = out.count()
+    # expectation 3000; hash-uniform tolerance
+    assert 2800 < n1 < 3200
+    # deterministic: same seed -> identical multiset of (id, copy_idx)
+    out2 = mixture_weighted_repeat(df, "src", "id", {"s": 1.5}, seed=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # weight < 1 subsamples (same mechanism)
+    n_sub = mixture_weighted_repeat(df, "src", "id", {"s": 0.25}, seed=3).count()
+    assert 400 < n_sub < 600
+
+
+def test_mixture_default_weight_and_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.chunking import mixture_weighted_repeat
+
+    df = spark.createDataFrame([(1, "x")], "id long, src string")
+    assert mixture_weighted_repeat(df, "src", "id", {"y": 2.0}).count() == 0
+    assert (
+        mixture_weighted_repeat(df, "src", "id", {"y": 2.0}, default_weight=1.0).count()
+        == 1
+    )
+    with _pytest.raises(ValueError):
+        mixture_weighted_repeat(df, "src", "id", {"y": -0.5})
+
+
+def test_mixture_plan_is_scan_side(spark):
+    from hive_udf_spark.operators.chunking import mixture_weighted_repeat
+
+    df = spark.range(10).selectExpr("id", "'s' AS src")
+    out = mixture_weighted_repeat(df, "src", "id", {"s": 2.5})
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # no shuffle: generate over the scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -97,6 +97,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                 bands=4,  # r=4: right s-curve for t=0.7
                 portable=False,
                 sig_prefilter_margin=0.25,
+                hashed_tokens=True,  # 8-byte set ops on the fast path
                 caches=caches,
             )
         )
@@ -106,7 +107,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     def q_dedup_clusters():
         from hive_udf_spark.operators.dedup import dedup_clusters
 
-        _force(dedup_clusters(docs, "doc_id", "text", threshold=0.7))
+        _force(dedup_clusters(docs, "doc_id", "text", threshold=0.7, hashed_tokens=True))
 
     def q_dedup_clusters_star():
         from hive_udf_spark.operators.dedup import dedup_clusters_star

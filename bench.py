@@ -185,6 +185,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             )
         )
 
+    def q_bloom_prefilter():
+        from hive_udf_spark.functions.bloom import bloom_prefilter_join
+
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+        _force(
+            bloom_prefilter_join(
+                lineitem, part, "l_partkey", "p_partkey", m_bits=1 << 16, k=5
+            )
+        )
+
     def q_freq_sketches():
         from hive_udf_spark.functions.freq import cms_lookup, cms_table, top_k_exploded
         from hive_udf_spark.functions.text import tokenize
@@ -243,6 +253,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_ivf": q_ann_ivf,
         "pipeline_prep": q_pipeline_prep,
         "decontaminate": q_decontaminate,
+        "bloom_prefilter": q_bloom_prefilter,
         "freq_sketches": q_freq_sketches,
         "asof_join": q_asof_join,
         "range_join": q_range_join,

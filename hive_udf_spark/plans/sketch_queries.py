@@ -218,3 +218,40 @@ def approx_distinct_lc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "sketch_bloom_prefilter_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_brand
+    """,
+)
+def sketch_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch as a join prefilter: small-part revenue by
+    brand, with lineitem rows dropped by a Bloom over the qualifying part
+    keys BEFORE the join. False positives are removed by the join itself,
+    so the result is EXACTLY the plain join's — which is the oracle. This
+    is the 100 TB semi-join reduction pattern (completes the sketch
+    family: membership alongside cardinality/frequency/quantile —
+    reference theme, UDAFCardinalityEstimator.java:50-55)."""
+    from hive_udf_spark.functions.bloom import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    joined = bloom_prefilter_join(
+        li, part, "l_partkey", "p_partkey", m_bits=1 << 16, k=5
+    )
+    return joined.groupBy("p_brand").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "long"
+            )
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )

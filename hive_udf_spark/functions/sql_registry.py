@@ -98,6 +98,55 @@ _SQL_FUNCTIONS = {
                          * ln((CAST(size_bytes * 8 AS DOUBLE) - occupied)
                               / CAST(size_bytes * 8 AS DOUBLE))) AS BIGINT) END
     """,
+    # ---- text-analysis scalar family (mirrors functions.text exactly;
+    # SQL users get the LLM-pipeline primitives without a Python import) --
+    "token_count": """
+        CREATE OR REPLACE TEMPORARY FUNCTION token_count(text STRING)
+        RETURNS INT
+        RETURN size(filter(split(text, '\\\\s+'), t -> t != ''))
+    """,
+    "bpeish_token_count": """
+        CREATE OR REPLACE TEMPORARY FUNCTION bpeish_token_count(text STRING)
+        RETURNS INT
+        RETURN regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+')
+    """,
+    "uniq_token_ratio": """
+        CREATE OR REPLACE TEMPORARY FUNCTION uniq_token_ratio(text STRING)
+        RETURNS DOUBLE
+        RETURN CASE WHEN token_count(text) = 0 THEN NULL
+                    ELSE round(CAST(size(array_distinct(
+                             filter(split(text, '\\\\s+'), t -> t != ''))) AS DOUBLE)
+                         / CAST(token_count(text) AS DOUBLE), 6) END
+    """,
+    "doc_fingerprint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(text STRING)
+        RETURNS STRING
+        RETURN md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))
+    """,
+    "jaccard_tokens": """
+        CREATE OR REPLACE TEMPORARY FUNCTION jaccard_tokens(a STRING, b STRING)
+        RETURNS DOUBLE
+        RETURN CASE
+            WHEN size(array_union(array_distinct(filter(split(a, '\\\\s+'), t -> t != '')),
+                                  array_distinct(filter(split(b, '\\\\s+'), t -> t != '')))) = 0
+            THEN NULL
+            ELSE CAST(size(array_intersect(
+                         array_distinct(filter(split(a, '\\\\s+'), t -> t != '')),
+                         array_distinct(filter(split(b, '\\\\s+'), t -> t != '')))) AS DOUBLE)
+                 / CAST(size(array_union(
+                         array_distinct(filter(split(a, '\\\\s+'), t -> t != '')),
+                         array_distinct(filter(split(b, '\\\\s+'), t -> t != '')))) AS DOUBLE) END
+    """,
+    # deterministic hash-sampling membership (the chunking.stratified_sample
+    # / mixture predicate, callable from SQL; seed pinned per call site)
+    # seed is INT (not BIGINT): xxhash64 folds the argument TYPE into the
+    # hash, and the Python surface (functions.hashing.fast_hash64) seeds
+    # with an IntegerType literal — mismatched widths hash differently.
+    "sample_bucket_ppm": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sample_bucket_ppm(id BIGINT, seed INT)
+        RETURNS BIGINT
+        RETURN pmod(xxhash64(seed, id), 1000000)
+    """,
 }
 
 

@@ -106,3 +106,51 @@ def test_sql_jaccard_matches_python_api(spark, sf_dir):
     got_api = df.select(sketch_jaccard_estimate("a", "b").alias("j")).collect()[0].j
     assert got_sql == got_api
     assert 0.0 <= got_api <= 1.0
+
+
+def test_sql_text_functions_match_dataframe_api(spark, sf_dir):
+    from hive_udf_spark.functions.text import (
+        bpeish_token_count,
+        doc_fingerprint,
+        token_count,
+    )
+
+    sql = spark.sql(
+        """
+        SELECT doc_id, token_count(text) AS tc, bpeish_token_count(text) AS bc,
+               doc_fingerprint(text) AS fp
+        FROM documents
+        """
+    )
+    api = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        bpeish_token_count("text").alias("bc"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))
+
+
+def test_sql_uniq_ratio_and_jaccard(spark):
+    row = spark.sql(
+        """
+        SELECT uniq_token_ratio('a b a c') AS r,
+               uniq_token_ratio('   ') AS r_empty,
+               jaccard_tokens('a b c', 'b c d') AS j,
+               jaccard_tokens('', '') AS j_empty
+        """
+    ).collect()[0]
+    assert row["r"] == 0.75
+    assert row["r_empty"] is None
+    assert abs(row["j"] - 0.5) < 1e-12
+    assert row["j_empty"] is None
+
+
+def test_sql_sample_bucket_matches_python(spark):
+    from hive_udf_spark.functions.hashing import fast_hash64
+
+    sql = spark.sql("SELECT id, sample_bucket_ppm(id, 7) AS b FROM range(100)")
+    api = spark.range(100).select(
+        "id", F.pmod(fast_hash64(F.col("id"), 7), F.lit(1_000_000)).alias("b")
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))

@@ -186,3 +186,49 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
     )
+
+
+@register(
+    "streaming_incremental_sketch_table",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT user_id) AS n_exact, true AS within_bounds
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_incremental_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-on-write sketch table: the stream maintains one
+    re-aggregable HLL row per day (raw events never stored); the final
+    table's estimates are verdict-checked against the batch exact counts.
+    Exercises the full sink path — per-batch reduction, associative merge
+    into parquet, atomic swap (streaming/sketch_sink.py)."""
+    import tempfile
+
+    from hive_udf_spark.streaming.sketch_sink import daily_user_sketch_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/daily_sketches"
+        q = daily_user_sketch_sink(
+            read_events_stream(spark, sf_dir), table, f"{tmp}/ckpt"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        est = (
+            spark.read.parquet(table)
+            .select("day", F.col("s.cardinality").alias("__est"))
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("__est").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_bounds"),
+    )

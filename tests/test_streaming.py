@@ -119,3 +119,108 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     want = sorted((r.src_event, r.dst_event) for r in batch.collect())
     assert got == want
     assert len(want) > 0
+
+
+def test_incremental_sketch_table_multi_batch(spark, sf_dir, tmp_path):
+    """Merging per-batch sketches batch-by-batch must equal one sketch of
+    the whole corpus per day (associative merge — batch boundaries are
+    invisible), and the table holds one row per day."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions import approx_distinct
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_sketch_table
+
+    events = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "daily_sketches")
+    # three uneven "micro-batches" by event_id ranges
+    for lo, hi in ((0, 300), (300, 301), (301, 10**9)):
+        batch = events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        sketches = (
+            batch.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(approx_distinct("user_id").alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
+        merge_sketch_table(spark, sketches, table, ["day"], "s")
+
+    got = {
+        r.day: r.est
+        for r in spark.read.parquet(table)
+        .select("day", F.col("s.cardinality").alias("est"))
+        .collect()
+    }
+    want = {
+        r.day: r.est
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(approx_distinct("user_id").alias("s"))
+        .select("day", F.col("s.cardinality").alias("est"))
+        .collect()
+    }
+    assert got == want  # b=16 on ≤15 distinct users: exact and merge-stable
+
+
+def test_incremental_sketch_table_remerge_idempotent(spark, sf_dir, tmp_path):
+    """Re-merging the same batch (foreachBatch retry semantics) must not
+    change any estimate — sketch union is idempotent per element."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions import approx_distinct
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_sketch_table
+
+    events = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "daily_sketches")
+    sketches = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(approx_distinct("user_id").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    merge_sketch_table(spark, sketches, table, ["day"], "s")
+    first = sorted(
+        (r.day, r.est)
+        for r in spark.read.parquet(table)
+        .select("day", F.col("s.cardinality").alias("est")).collect()
+    )
+    merge_sketch_table(spark, sketches, table, ["day"], "s")  # retry replay
+    second = sorted(
+        (r.day, r.est)
+        for r in spark.read.parquet(table)
+        .select("day", F.col("s.cardinality").alias("est")).collect()
+    )
+    assert first == second
+
+
+def test_daily_user_sketch_sink_stream(spark, sf_dir, tmp_path):
+    """End-to-end streaming smoke: the foreachBatch sink over the events
+    file stream produces the same table as the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions import approx_distinct
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import daily_user_sketch_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    table = str(tmp_path / "stream_sketches")
+    q = daily_user_sketch_sink(
+        read_events_stream(spark, sf_dir), table, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.day: r.est
+        for r in spark.read.parquet(table)
+        .select("day", F.col("s.cardinality").alias("est")).collect()
+    }
+    want = {
+        r.day: r.est
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(approx_distinct("user_id").alias("s"))
+        .select("day", F.col("s.cardinality").alias("est"))
+        .collect()
+    }
+    assert got == want

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "time_bucket_gapfill"]
 
 
 def asof_join(
@@ -185,3 +185,59 @@ def interval_join(
         for c in points.columns
     ]
     return ivl.alias("i").join(pts.alias("p"), cond, "inner").select(*out_cols)
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    bucket: str = "1 hour",
+    agg_exprs: dict[str, Column] | None = None,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Hypertable-style resample: aggregate into fixed time buckets and
+    emit EVERY bucket in each key's [min, max] range, filling buckets
+    with no rows (the gap-fill every time-series rollup needs — Spark's
+    groupBy(window(...)) emits only non-empty windows).
+
+    Plan: one hash-aggregate into buckets, then a per-key min/max
+    aggregate (tiny: key-count rows) whose bucket range is expanded with
+    ``sequence``/``explode`` — the dense axis is generated from the
+    SMALL aggregated side, never by scanning raw rows — and left-joined
+    back. ``fill`` maps output columns to constants for empty buckets
+    (default: NULL, the gap marker).
+
+    agg_exprs: output name -> aggregate Column; default counts rows as
+    ``n``. Buckets are ``date_trunc`` epochs of width ``bucket``
+    (calendar-stable: '1 hour'/'1 day'/'1 week').
+    """
+    unit = bucket.strip().split()[-1].rstrip("s")  # '1 hour' -> 'hour'
+    if bucket.strip().split()[0] != "1":
+        raise ValueError("only unit-width buckets supported ('1 hour', '1 day', ...)")
+    aggs = agg_exprs if agg_exprs is not None else {"n": F.count("*")}
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    per_bucket = df.groupBy(*key_cols, b).agg(
+        *[e.alias(name) for name, e in aggs.items()]
+    )
+    spans = per_bucket.groupBy(*key_cols).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    axis = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket"),
+    )
+    out = axis.join(per_bucket, [*key_cols, "bucket"], "left")
+    if fill:
+        out = out.select(
+            *key_cols,
+            "bucket",
+            *[
+                F.coalesce(F.col(name), F.lit(fill[name])).alias(name)
+                if name in fill
+                else F.col(name)
+                for name in aggs
+            ],
+        )
+    return out

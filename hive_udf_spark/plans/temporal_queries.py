@@ -198,3 +198,48 @@ def asof_next_event_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_event_id",
         (F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
     )
+
+
+@register(
+    "timeseries_gapfill_hourly",
+    oracle="""
+    WITH pb AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM pb GROUP BY 1
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT a.event_type, a.bucket,
+           coalesce(pb.n, 0) AS n,
+           coalesce(pb.value_cents, 0) AS value_cents
+    FROM axis a LEFT JOIN pb ON a.event_type = pb.event_type AND a.bucket = pb.bucket
+    """,
+)
+def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup with gap-fill: every hour in each
+    event type's active range appears, empty hours filled with zeros.
+    The dense time axis is generated from the (tiny) aggregated side —
+    never by scanning raw events — and left-joined back; the oracle
+    rebuilds the same axis with generate_series."""
+    from hive_udf_spark.operators.temporal import time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        ["event_type"],
+        bucket="1 hour",
+        agg_exprs={
+            "n": F.count("*"),
+            "value_cents": F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+        },
+        fill={"n": 0, "value_cents": 0},
+    )
+    return out.select("event_type", "bucket", "n", "value_cents")

@@ -119,3 +119,43 @@ def test_interval_join_bucket_width_invariance(spark):
         out = interval_join(points, ivls, "k", "ik", "ts", "s", "e", bucket_width=bw)
         results.append(sorted((r["iid"], r["pid"]) for r in out.collect()))
     assert results[0] == results[1] == results[2] and len(results[0]) > 0
+
+
+def test_gapfill_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    from hive_udf_spark.operators.temporal import time_bucket_gapfill
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+            ("a", datetime(2024, 1, 1, 3, 10), 2.0),  # hours 1-2 are gaps
+            ("b", datetime(2024, 1, 1, 5, 0), 3.0),   # single bucket
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = time_bucket_gapfill(
+        df, "ts", ["k"], bucket="1 hour",
+        agg_exprs={"n": F.count("*")}, fill={"n": 0},
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, {})[r.bucket.hour] = r.n
+    assert by_key["a"] == {0: 1, 1: 0, 2: 0, 3: 1}  # gaps present, zero-filled
+    assert by_key["b"] == {5: 1}
+    # default fill is NULL (gap marker)
+    out2 = time_bucket_gapfill(df, "ts", ["k"], bucket="1 hour").collect()
+    nulls = [r for r in out2 if r.n is None]
+    assert len(nulls) == 2
+
+
+def test_gapfill_rejects_multi_unit_bucket(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.temporal import time_bucket_gapfill
+
+    df = spark.createDataFrame([("a",)], "k string").selectExpr(
+        "k", "timestamp'2024-01-01' AS ts"
+    )
+    with _pytest.raises(ValueError):
+        time_bucket_gapfill(df, "ts", ["k"], bucket="2 hours")

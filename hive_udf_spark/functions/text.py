@@ -89,3 +89,47 @@ def doc_fingerprint(text: Column | str) -> Column:
     lowercased text. Engine-portable (DuckDB: md5(lower(...)))."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns chosen for cross-engine regex compatibility
+# (Java regex and RE2 agree on these constructs — no backrefs/lookarounds).
+REDACTION_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(
+    text: Column | str,
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4", "ssn_like"),
+    token_fmt: str = "<{kind}>",
+) -> Column:
+    """Replace PII-shaped substrings with typed placeholder tokens — the
+    standard scrub step before text enters a training corpus.
+
+    Chained ``regexp_replace`` (JVM-side, codegen): one pass per kind in
+    the declared order (email before phone, so digit runs inside an
+    address aren't half-eaten). Deterministic and engine-portable; each
+    pattern avoids constructs where regex dialects diverge.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        if kind not in REDACTION_PATTERNS:
+            raise ValueError(f"unknown redaction kind {kind!r}")
+        c = F.regexp_replace(c, REDACTION_PATTERNS[kind], token_fmt.format(kind=kind))
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (corpus audit: how much is there to
+    scrub?). ``regexp_count`` over the same patterns."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(c, F.lit(pat)) for kind, pat in REDACTION_PATTERNS.items()
+    }

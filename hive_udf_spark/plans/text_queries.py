@@ -279,3 +279,49 @@ def text_top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "df", "rank")
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or call +1 555 010 '
+                  || (doc_id % 90 + 10) || ' from 10.0.' || (doc_id % 250) || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(length(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<phone>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<ipv4>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with deterministically injected PII (the
+    raw corpus is clean word soup): per-doc match counts plus the fully
+    redacted text. Chained JVM regexp_replace in a fixed kind order —
+    email, then phone, then ipv4 — reproduced verbatim by the oracle
+    (patterns restricted to the Java∩RE2 regex dialect)."""
+    from hive_udf_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 010 "),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 250).cast("string"), F.lit(".7"),
+    )
+    aug = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        redact_pii(F.col("t"), kinds=("email", "phone", "ipv4")).alias("redacted"),
+    )

@@ -149,6 +149,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4))
 
+    def q_ann_pq():
+        from hive_udf_spark.operators.similarity import ann_pq
+
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        _force(ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=64, refine=50))
+
     def q_vec_dedup_clusters():
         from hive_udf_spark.operators.similarity import embedding_dedup_clusters
 
@@ -251,6 +257,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "vec_dedup_clusters": q_vec_dedup_clusters,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "pipeline_prep": q_pipeline_prep,
         "decontaminate": q_decontaminate,
         "bloom_prefilter": q_bloom_prefilter,

@@ -526,3 +526,165 @@ def ann_ivf(
     return _two_phase_topk(scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_size: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (n_subspaces, n_codes,
+    sub_dim) — Jégou et al. 2011 product quantization. Trained on the
+    same bounded, hash-sampled driver-side set as the IVF coarse
+    quantizer (O(1) in corpus scale); deterministic via seeded init.
+    """
+    n_total = vecs.count()
+    k_mod = max(1, int(n_total) // int(train_size))
+    rows = (
+        vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .filter(F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(k_mod)) == 0)
+        .orderBy("i")
+        .limit(int(train_size))
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, min(n_codes, len(X)), sub), dtype=np.float64)
+    for s in range(n_subspaces):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=books.shape[1], replace=False)]
+        for _ in range(max_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """pandas UDF: vector → per-subspace nearest-code ids (array<int>)."""
+    n_sub, _, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        M = np.asarray(embs.tolist(), dtype=np.float64)
+        codes = np.empty((len(M), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            Xs = M[:, s * sub : (s + 1) * sub]
+            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_lut_udf(books: np.ndarray):
+    """pandas UDF: query vector → flattened inner-product lookup table
+    (array<double>, n_subspaces × n_codes): lut[s·n_codes + j] =
+    ⟨q_sub[s], codebook[s][j]⟩. Computed once per QUERY (the tiny side);
+    corpus-side scoring is then pure JVM table lookups."""
+    n_sub, n_codes, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(embs: pd.Series) -> pd.Series:
+        M = np.asarray(embs.tolist(), dtype=np.float64)
+        out = np.empty((len(M), n_sub * n_codes), dtype=np.float64)
+        for s in range(n_sub):
+            Qs = M[:, s * sub : (s + 1) * sub]
+            out[:, s * n_codes : (s + 1) * n_codes] = Qs @ books[s].T
+        return pd.Series(list(out))
+
+    return lut
+
+
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    refine: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via product quantization with
+    asymmetric distance computation (ADC) and exact re-rank.
+
+    The corpus is ENCODED once — n_subspaces small ints per vector
+    (the 100 TB point: the ADC scan reads ~8-byte codes instead of
+    dim×4-byte vectors, a ~32× IO reduction at dim 64). Each query
+    precomputes an inner-product lookup table over the codebooks (tiny,
+    broadcast with the query); approximate scores are then pure JVM
+    ``zip_with`` lookups over the codes — no Python in the corpus scan.
+    The ADC top-``refine`` per query is re-ranked by exact cosine for
+    the final top-k. Returns (query_id, neighbor_id, cos_sim, rank);
+    recall is measured in tests against brute force.
+    """
+    books = pq_codebooks(
+        corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
+    )
+    n_codes_eff = books.shape[1]
+    encode = _pq_encode_udf(books)
+    lut = _pq_lut_udf(books)
+
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("__codes")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lut(F.col(vec_col)).alias("__lut"),
+    )
+    # ADC: approx_ip = Σ_s lut[s·n_codes + codes[s]] — JVM-side lookups
+    approx = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__qv",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__codes"),
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda code, s: F.element_at(
+                        F.col("__lut"), (s * n_codes_eff + code + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__adc"),
+        )
+    )
+    cand = _two_phase_topk(
+        approx, "query_id", [F.desc("__adc"), F.asc("neighbor_id")], refine
+    ).drop("rank")
+    # exact re-rank of the refine-sized candidate set
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    rescored = cand.join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

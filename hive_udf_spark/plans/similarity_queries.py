@@ -252,3 +252,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     ann = ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4)
     return _ann_containment_verdict(spark, sf_dir, ann)
+
+
+@register("similarity_ann_pq", oracle=_ANN_VERDICT_ORACLE)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 64 codes, ADC scan over
+    8-int codes, exact re-rank of the top-50) — hash-checked via the same
+    top-100 containment verdict as the LSH/IVF variants; recall@5 vs
+    brute force is asserted in tests/test_similarity.py."""
+    from hive_udf_spark.operators.similarity import ann_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    ann = ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=64, refine=50)
+    return _ann_containment_verdict(spark, sf_dir, ann)

@@ -171,3 +171,50 @@ def test_embedding_dedup_clusters_no_cache_leak_and_valid_partition(spark):
     canon = {r.vec_id for r in out if r.is_canonical}
     assert canon == set(by_cluster)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    from hive_udf_spark.operators.similarity import ann_pq, topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    pq = ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=32, refine=50)
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in topk_cosine(emb, queries, k=5).collect()}
+    assert len(got & exact) / len(exact) >= 0.6  # ADC + re-rank recall floor
+    again = {(r.query_id, r.neighbor_id) for r in
+             ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=32, refine=50).collect()}
+    assert got == again  # seeded training + tie-broken ranks
+
+
+def test_pq_codebook_shapes_and_validation(spark, sf_dir):
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.similarity import pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, n_subspaces=8, n_codes=16)
+    assert books.shape == (8, 16, 8)  # dim 64 -> 8 subspaces of 8
+    assert np.isfinite(books).all()
+    with _pytest.raises(ValueError):
+        pq_codebooks(emb, n_subspaces=7)  # 64 % 7 != 0
+
+
+def test_pq_adc_scan_is_jvm_side(spark, sf_dir):
+    """Python appears only in encode/LUT (Arrow-batched, scan-side); the
+    ADC scoring join itself is JVM expressions over broadcast LUTs."""
+    from hive_udf_spark.operators.similarity import ann_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=16, refine=20)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # encode/lut are the only Python operators; each appears once per
+    # plan branch (ADC probe + re-rank re-read), never in the scoring
+    # fold itself
+    assert 1 <= plan.count("ArrowEvalPython") <= 4
+    assert "zip_with" in plan or "aggregate" in plan  # JVM ADC fold
+    assert "CartesianProduct" not in plan

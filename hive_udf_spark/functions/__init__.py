@@ -3,6 +3,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     LC_DEFAULT_SIZE,
     approx_distinct,
     approx_distinct_on,
+    approx_distinct_tuple,
     sketch_estimate,
     sketch_intersect_estimate,
     sketch_jaccard_estimate,

@@ -217,3 +217,32 @@ def sketch_intersect_estimate(a: Column | str, b: Column | str) -> Column:
         + F.hll_sketch_estimate(cb)
         - F.hll_sketch_estimate(F.hll_union(ca, cb, True))
     )
+
+
+def approx_distinct_tuple(
+    *cols: Column | str, b: int | None = None
+) -> Column:
+    """Approximate COUNT(DISTINCT (c1, c2, …)) — composite keys.
+
+    The reference accepts one primitive column per call
+    (UDAFCardinalityEstimator.java:104-109); composite distincts are the
+    natural extension a host query would otherwise emulate with manual
+    concatenation. Each component hashes with a position salt
+    (``xxhash64(i, cᵢ)``) — a NULL component yields that position's
+    constant hash, so (NULL, x) and (x, NULL) stay distinct — and the
+    component hashes combine into one 64-bit key fed to the Tier-A HLL
+    aggregate. All-NULL tuples are skipped, mirroring the reference's
+    null-row skip (:238-240). Tuple identity is 64-bit-hash identity:
+    collisions fold two tuples with probability ~n²·2⁻⁶⁴ — far below
+    the sketch's own error.
+    """
+    if not cols:
+        raise ValueError("at least one column required")
+    cs = [_col(c) for c in cols]
+    parts = [F.xxhash64(F.lit(i), c) for i, c in enumerate(cs)]
+    combined = F.xxhash64(*parts) if len(parts) > 1 else parts[0]
+    all_null = cs[0].isNull()
+    for c in cs[1:]:
+        all_null = all_null & c.isNull()
+    key = F.when(~all_null, combined)
+    return approx_distinct(key, kind="hll", b=b)

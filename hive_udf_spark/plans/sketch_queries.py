@@ -255,3 +255,33 @@ def sketch_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "approx_distinct_tuple_grouped",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT (user_id, event_type)) AS n_exact,
+           true AS within_bounds
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_tuple_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key distinct: (user_id, event_type) pairs per day via
+    position-salted tuple hashing into the Tier-A sketch, verdict-checked
+    against the exact tuple distinct (SURVEY.md §5.2 pattern)."""
+    from hive_udf_spark.functions import approx_distinct_tuple
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        approx_distinct_tuple("user_id", "event_type").alias("s"),
+        F.count_distinct("user_id", "event_type").alias("n_exact"),
+    )
+    return out.select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("s.cardinality").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_bounds"),
+    )

@@ -232,3 +232,36 @@ def streaming_incremental_sketch_table(spark: SparkSession, sf_dir: str) -> Data
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "streaming_window_hopping",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest(generate_series(
+               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600 - 64800)::TIMESTAMP,
+               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP,
+               INTERVAL 6 HOUR)) AS window_start
+      FROM events
+    )
+    SELECT event_type, window_start, count(*) AS n_events
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def streaming_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-day windows every 6 hours — each
+    event lands in 4 overlapping windows. Streaming groupBy(window(ts,
+    '1 day', '6 hours')) with watermark; the oracle re-derives each
+    event's 4 window starts with generate_series over the 6-hour grid.
+    Exact counts, so the hash match is exact (no verdict needed)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_stream_to_memory(agg, "stream_hopping", mode="complete").select(
+        "event_type", "window_start", "n_events"
+    )

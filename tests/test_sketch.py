@@ -224,3 +224,37 @@ def test_sketch_jaccard_estimate(spark, sf_dir):
     assert row.j_disjoint < 0.05
     assert row.j_same == 1.0
     assert abs(row.j_half - 1 / 3) < 0.05
+
+
+def test_tuple_distinct_null_positions_distinct(spark):
+    from hive_udf_spark.functions import approx_distinct_tuple
+
+    df = spark.createDataFrame(
+        [(None, 5), (5, None), (5, 5), (None, None), (None, None)],
+        "a int, b int",
+    )
+    # 3 distinct non-all-null tuples; all-null rows skipped (reference
+    # null-row semantics); small cardinality -> sketch exact
+    est = df.agg(approx_distinct_tuple("a", "b").alias("s")).first().s.cardinality
+    assert est == 3
+
+
+def test_tuple_distinct_matches_exact_small(spark, sf_dir):
+    from hive_udf_spark.functions import approx_distinct_tuple
+    from hive_udf_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        approx_distinct_tuple("user_id", "event_type").alias("s"),
+        F.count_distinct("user_id", "event_type").alias("x"),
+    ).first()
+    assert row.s.cardinality == row.x  # 75 tuples at sf0.001: sketch-exact
+
+
+def test_tuple_distinct_requires_cols(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.functions import approx_distinct_tuple
+
+    with _pytest.raises(ValueError):
+        approx_distinct_tuple()

@@ -5,4 +5,4 @@ from hive_udf_spark.sources.sinks import (  # noqa: F401
     write_partitioned,
     write_sketch_table,
 )
-from hive_udf_spark.sources.text_files import read_csv, read_jsonl  # noqa: F401
+from hive_udf_spark.sources.text_files import read_csv, read_jsonl, read_orc, write_orc  # noqa: F401

@@ -50,3 +50,28 @@ def test_jsonl_feeds_dedup_pipeline(spark, tmp_path):
     df = read_jsonl(spark, str(p), DOCUMENTS_SCHEMA, quarantine_corrupt=False)
     kept = exact_dedup(df, "text", "doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources import load_table, read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by="lang")
+    back = read_orc(spark, path)
+    # round-trip (lang becomes a partition column; values preserved)
+    a = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
+    b = sorted((r.doc_id, r.text, r.lang) for r in docs.collect())
+    assert a == b
+    # partition pruning: a lang filter must prune partitions at scan
+    plan = back.filter(F.col("lang") == "en")._sc._jvm.PythonSQLUtils.explainString(
+        back.filter(F.col("lang") == "en")._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # predicate pushdown on a data column
+    plan2 = back.filter(F.col("doc_id") > 100)._sc._jvm.PythonSQLUtils.explainString(
+        back.filter(F.col("doc_id") > 100)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id" in plan2

@@ -4,6 +4,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     approx_distinct,
     approx_distinct_on,
     approx_distinct_tuple,
+    sketch_difference_estimate,
     sketch_estimate,
     sketch_intersect_estimate,
     sketch_jaccard_estimate,

@@ -246,3 +246,17 @@ def approx_distinct_tuple(
         all_null = all_null & c.isNull()
     key = F.when(~all_null, combined)
     return approx_distinct(key, kind="hll", b=b)
+
+
+def sketch_difference_estimate(a: Column | str, b: Column | str) -> Column:
+    """Scalar: estimated |A \\ B| (a-not-b) via inclusion–exclusion:
+    |A\\B| = |A∪B| − |B|. Clamped at 0 like the intersection estimate;
+    with the intersection and union this completes the set-algebra
+    surface the reference's stub UDF declared
+    (UDFCardinalityEstimator.java:30)."""
+    ca, cb = _col(a), _col(b)
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.hll_sketch_estimate(F.hll_union(ca, cb, True))
+        - F.hll_sketch_estimate(cb),
+    )

@@ -73,6 +73,14 @@ _SQL_FUNCTIONS = {
                               - hll_sketch_estimate(hll_union(a, b, true)) AS DOUBLE)
                          / CAST(hll_sketch_estimate(hll_union(a, b, true)) AS DOUBLE))) END
     """,
+    "sketch_difference_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sketch_difference_estimate(a BINARY, b BINARY)
+        RETURNS BIGINT
+        RETURN CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                    ELSE greatest(0L,
+                         hll_sketch_estimate(hll_union(a, b, true))
+                         - hll_sketch_estimate(b)) END
+    """,
     "sketch_intersect_estimate": """
         CREATE OR REPLACE TEMPORARY FUNCTION sketch_intersect_estimate(a BINARY, b BINARY)
         RETURNS BIGINT

@@ -258,3 +258,25 @@ def test_tuple_distinct_requires_cols(spark):
 
     with _pytest.raises(ValueError):
         approx_distinct_tuple()
+
+
+def test_difference_estimate_disjoint_and_subset(spark):
+    from hive_udf_spark.functions import sketch_difference_estimate
+
+    df = spark.range(1000).selectExpr(
+        "hll_sketch_agg(id) FILTER (WHERE id < 600) AS a",     # 0..599
+        "hll_sketch_agg(id) FILTER (WHERE id >= 400) AS b",    # 400..999
+        "hll_sketch_agg(id) FILTER (WHERE id < 200) AS sub",   # subset of a
+    )
+    row = df.select(
+        sketch_difference_estimate("a", "b").alias("ab"),      # ~400
+        sketch_difference_estimate("sub", "a").alias("sub_a"), # ~0
+    ).first()
+    assert abs(row.ab - 400) <= 400 * 0.05
+    assert row.sub_a <= 1000 * 0.02  # clamped near zero
+    # SQL surface parity
+    sql = spark.sql(
+        "SELECT sketch_difference_estimate(hll_sketch_agg(id) FILTER (WHERE id < 600), "
+        "hll_sketch_agg(id) FILTER (WHERE id >= 400)) AS d FROM range(1000)"
+    ).first()
+    assert abs(sql.d - 400) <= 400 * 0.05

@@ -890,10 +890,10 @@ def tpch_q9ish_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12ish_priority_by_linestatus",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -924,7 +924,7 @@ def tpch_q12ish_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> Data
     "tpch_q15ish_top_supplier",
     oracle=f"""
     WITH rev AS (
-      SELECT l_suppkey, sum({_CENTS}) AS total_cents
+      SELECT l_suppkey, CAST(sum({_CENTS}) AS BIGINT) AS total_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'

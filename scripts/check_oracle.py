@@ -27,13 +27,18 @@ TABLES = (
 ).split()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df: pd.DataFrame, lenient: bool = False) -> pd.DataFrame:
     """Order-insensitive canonical form: sort columns by name, normalize
-    dtypes, sort rows by all columns."""
+    dtypes, sort rows by all columns.
+
+    Strict by default: DuckDB HUGEINT/Decimal (object dtype) is NOT coerced
+    to numeric, mirroring the round driver's hasher — an oracle whose sum()
+    returns HUGEINT must CAST to BIGINT or it fails here too (the r2
+    tpch_q12ish/q15ish lesson)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
+        if lenient and s.dtype == object:
             # DuckDB returns HUGEINT (int128) / Decimal as object dtype.
             coerced = pd.to_numeric(s, errors="coerce")
             if coerced.notna().eq(s.notna()).all():
@@ -58,6 +63,12 @@ def main() -> int:
         "--only",
         default=None,
         help="comma-separated query names, or a prefix ending in '*'",
+    )
+    ap.add_argument(
+        "--lenient",
+        action="store_true",
+        help="coerce DuckDB HUGEINT/Decimal and align int-vs-float dtype "
+        "splits (hides typing mismatches the round driver would fail)",
     )
     args = ap.parse_args()
 
@@ -104,14 +115,15 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
             continue
-        g, w = _canon(got), _canon(want)
-        # Align residual numeric dtype splits (e.g. Int64 vs float64).
-        for c in set(g.columns) & set(w.columns):
-            if g[c].dtype != w[c].dtype and all(
-                pd.api.types.is_numeric_dtype(x[c]) for x in (g, w)
-            ):
-                g[c] = np.round(g[c].astype("float64"), 6)
-                w[c] = np.round(w[c].astype("float64"), 6)
+        g, w = _canon(got, args.lenient), _canon(want, args.lenient)
+        if args.lenient:
+            # Align residual numeric dtype splits (e.g. Int64 vs float64).
+            for c in set(g.columns) & set(w.columns):
+                if g[c].dtype != w[c].dtype and all(
+                    pd.api.types.is_numeric_dtype(x[c]) for x in (g, w)
+                ):
+                    g[c] = np.round(g[c].astype("float64"), 6)
+                    w[c] = np.round(w[c].astype("float64"), 6)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
             failures.append(name)

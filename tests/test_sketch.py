@@ -2,16 +2,25 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_udf_spark.functions import (
     approx_distinct,
+    register_sql,
     sketch_estimate,
     sketch_intersect_estimate,
     sketch_merge_agg,
     sketch_union,
 )
 from hive_udf_spark.sources import load_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _sql_registered(spark):
+    # The SQL-surface assertions below (sketch_difference_estimate) need the
+    # temp functions registered in THIS session regardless of test order.
+    register_sql(spark)
 
 # FIXTURES.md exact cardinalities at sf0.001.
 EXACT = {

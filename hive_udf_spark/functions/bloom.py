@@ -113,7 +113,18 @@ def bloom_prefilter_join(
     result is EXACTLY the plain join's. At 100 TB this cuts the big
     side's shuffle volume by the key selectivity while the bloom itself
     is a broadcast of ≤ m/64 packed words.
+
+    Only ``inner`` and (left-)``semi`` joins are accepted: the exactness
+    guarantee relies on every dropped big-side row being absent from the
+    plain join's result, which holds iff unmatched big rows don't appear
+    in the output. A left/full outer join would silently LOSE the
+    prefiltered unmatched rows — rejected rather than wrong.
     """
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(
+            "bloom_prefilter_join supports how='inner'/'semi' only: outer "
+            f"joins would drop prefiltered unmatched rows (got {how!r})"
+        )
     bf = bloom_build(small, small_key, m_bits, k, portable)
     pref = big.crossJoin(F.broadcast(bf)).filter(
         bloom_might_contain(F.col(big_key), m_bits, k, portable)

@@ -48,24 +48,35 @@ def top_k_exploded(
 ) -> DataFrame:
     """(item, cnt, rank) rows for the top-k of ``col`` by count with a
     DETERMINISTIC (count desc, item asc) tie-break: the sketch fetches
-    ``max_items_tracked``-bounded candidates, then rows are re-ranked so
-    tied counts cannot reorder across runs or engines. For an exact
-    hash-checkable result keep ``max_items_tracked`` ≥ distinct count
-    and fetch all items before re-ranking (the registry query does)."""
-    from pyspark.sql import Window
+    ``max_items_tracked``-bounded candidates, then the single result ARRAY
+    is re-sorted with an explicit comparator and posexploded — rank = array
+    position. No WindowExec anywhere (the previous formulation ranked via a
+    no-partition window: bounded rows, but still a single-partition sort
+    stage); everything after the partially-aggregated sketch is expression
+    work on one row. For an exact hash-checkable result keep
+    ``max_items_tracked`` ≥ distinct count (the registry query does)."""
+
+    def by_cnt_desc_item_asc(l: Column, r: Column) -> Column:  # noqa: E741
+        return (
+            F.when(l["count"] > r["count"], F.lit(-1))
+            .when(l["count"] < r["count"], F.lit(1))
+            .when(l["item"] < r["item"], F.lit(-1))
+            .when(l["item"] > r["item"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
 
     fetched = df.agg(
         approx_top_k_agg(col, k=max_items_tracked, max_items_tracked=max_items_tracked).alias(
             "__tk"
         )
-    ).select(F.explode("__tk").alias("__e"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
-    return (
-        fetched.select(
-            F.col("__e.item").alias("item"), F.col("__e.count").alias("cnt")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    )
+    ranked = fetched.select(
+        F.posexplode(F.array_sort("__tk", by_cnt_desc_item_asc)).alias("__pos", "__e")
+    ).filter(F.col("__pos") < k)
+    return ranked.select(
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("cnt"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
     )
 
 

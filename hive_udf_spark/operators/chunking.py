@@ -39,9 +39,12 @@ def chunk_documents(
     """(doc_id, chunk_idx, chunk_text, n_tokens) — fixed-size token
     windows with ``overlap`` tokens shared between consecutive chunks.
 
-    Chunk starts are multiples of ``stride = chunk_tokens − overlap``
-    strictly below the document's token count; the last chunk may be
-    short; empty documents produce no chunks (guarded — a naive
+    Chunk starts are multiples of ``stride = chunk_tokens − overlap`` up
+    to ``n − overlap − 1`` (not ``n − 1``): a start in ``[n − overlap, n)``
+    would yield a chunk wholly contained in its predecessor (every token
+    already emitted as the predecessor's overlap tail), i.e. a redundant
+    duplicate chunk contributing no new tokens. The last emitted chunk may
+    be short; empty documents produce no chunks (guarded — a naive
     ``sequence(0, −1)`` would materialize DESCENDING and crash slice,
     the functions.text.ngrams lesson).
     """
@@ -52,8 +55,9 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = tokenize(text_col)
     n = F.size(toks)
+    last_start = F.greatest(n - F.lit(overlap + 1), F.lit(0))
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+        n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     exploded = docs.select(
         F.col(id_col),
@@ -69,38 +73,96 @@ def chunk_documents(
     )
 
 
+# Sentinel for pack_documents: explicit opt-in to the single-partition
+# global-order window (test scale only — never the default).
+GLOBAL_PACK = "__global__"
+
+
 def pack_documents(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     budget: int = 2048,
     shard_col: str | None = None,
+    num_shards: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """(doc_id, n_tokens, offset, bin_id): concatenate documents in
-    ``id_col`` order and cut the stream every ``budget`` tokens — each
-    document lands in the window containing its first token.
+    """(doc_id, n_tokens, offset, bin_id): concatenate documents in a
+    deterministic stream order and cut the stream every ``budget`` tokens —
+    each document lands in the window containing its first token.
 
-    One window cumulative sum. Without ``shard_col`` the order is global
-    (a single-partition sort — fine for bounded corpora, NOT for 100 TB);
-    pass ``shard_col`` to pack independently per shard, which keeps the
-    sort partition-local and is how a production packing job shards.
+    Sharding (default is scale-safe — no single-partition window):
+
+    * ``shard_col=None`` (default) — auto-shard by
+      ``hash(id) mod num_shards``; the cumulative sum runs per shard
+      (partition-local window), then per-shard base offsets (one
+      ``num_shards``-row prefix sum, broadcast back) splice the shards
+      into one global token stream in (shard, id) order. Offsets are
+      globally contiguous; bins may span shard boundaries — exactly as if
+      the corpus were concatenated in that order. ``portable=True`` uses
+      the md5 hash family so a SQL oracle reproduces the sharding.
+    * ``shard_col="col"`` — pack independently per user shard: offsets
+      and bins restart per shard (the per-source packing a production
+      job runs); output includes the shard column.
+    * ``shard_col=GLOBAL_PACK`` — the old global ``ORDER BY id`` window:
+      a single-partition sort, test scale only.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
     n = F.size(tokenize(text_col))
-    w = (
-        Window.partitionBy(shard_col).orderBy(id_col)
-        if shard_col is not None
-        else Window.orderBy(id_col)
-    )
-    cum = F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offset = (cum - n).cast("long")
-    out_cols = [F.col(id_col)]
+    if shard_col == GLOBAL_PACK:
+        w = Window.orderBy(id_col)
+        cum = F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        offset = (cum - n).cast("long")
+        return docs.select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            offset.alias("offset"),
+            F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
+        )
     if shard_col is not None:
-        out_cols.append(F.col(shard_col))
-    return docs.select(
-        *out_cols,
-        n.cast("long").alias("n_tokens"),
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+        cum = F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        offset = (cum - n).cast("long")
+        return docs.select(
+            F.col(id_col),
+            F.col(shard_col),
+            n.cast("long").alias("n_tokens"),
+            offset.alias("offset"),
+            F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
+        )
+    # auto-shard: per-shard local cumsum + tiny cross-shard reconciliation
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    h = portable_hash60 if portable else fast_hash64
+    shard = F.pmod(h(F.col(id_col), 0), F.lit(num_shards))
+    base_rows = docs.select(shard.alias("__shard"), n.alias("__n"))
+    # per-shard totals → prefix-summed base offsets. The prefix sum runs as
+    # a triangular self-join over ≤ num_shards² tiny rows instead of a
+    # no-partition window, so the plan contains ZERO single-partition
+    # window stages (WindowExec would warn even on 64 rows).
+    shard_tot = base_rows.groupBy("__shard").agg(F.sum("__n").alias("__tot"))
+    earlier = shard_tot.select(
+        F.col("__shard").alias("__s2"), F.col("__tot").alias("__tot2")
+    )
+    shard_base = (
+        shard_tot.join(F.broadcast(earlier), F.col("__s2") < F.col("__shard"), "left")
+        .groupBy("__shard")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).cast("long").alias("__base"))
+    )
+    wloc = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs.select(F.col(id_col), shard.alias("__shard"), n.alias("__n")).withColumn(
+        "__cum", F.sum("__n").over(wloc)
+    )
+    joined = local.join(F.broadcast(shard_base), "__shard")
+    offset = (F.col("__base") + F.col("__cum") - F.col("__n")).cast("long")
+    return joined.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
         offset.alias("offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
     )

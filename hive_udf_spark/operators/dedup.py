@@ -24,11 +24,15 @@ oracle can reproduce signatures bit-for-bit; the default xxhash64 path is
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
 from hive_udf_spark.functions.text import word_set
+
+_LOG = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -384,6 +388,7 @@ def connected_components(
     # is "sum of labels unchanged" — one cheap aggregate per round instead
     # of a labels⋈labels comparison join
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         lbl = F.broadcast(labels) if bcast else labels
         neighbor_min = (
@@ -404,8 +409,18 @@ def connected_components(
         labels = new_labels
         new_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a contracted remainder with diameter > max_iters would silently
+        # return split components — surface it instead
+        _LOG.warning(
+            "connected_components: min-label fixpoint NOT reached after "
+            "max_iters=%d (labels still changing) — components may be "
+            "split; raise max_iters for high-diameter graphs.",
+            max_iters,
+        )
     # expand back: node → representative → component (representatives are
     # a subset of nodes — broadcast under the same cap)
     rep = labels.select(F.col("id").alias("__l1"), F.col("component"))
@@ -424,18 +439,45 @@ def dedup_clusters(
     portable: bool = False,
     sig_prefilter_margin: float | None = 0.25,
     hashed_tokens: bool = False,
+    mode: str = "exact",
+    warn_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup dedup with linear output: (doc_id, cluster, is_canonical).
 
-    Pipeline: MinHash→LSH→verify (near_dup_pairs) → connected components →
-    canonical = min id per cluster. The pair list is an intermediate that
-    never leaves the job; output size = corpus size regardless of how
-    boilerplate-heavy the corpus is.
+    One entry point, two cost regimes (``mode``):
+
+    * ``"exact"`` — MinHash→LSH→verify every candidate pair
+      (near_dup_pairs) → connected components. Exact pair semantics, but a
+      bucket of B near-identical docs contributes O(B²) candidates: on
+      boilerplate-heavy corpora the candidate join dominates (measured
+      6.4M candidates from 5k docs). Right when pair-level fidelity
+      matters more than cost.
+    * ``"star"`` — delegate to :func:`dedup_clusters_star`: within each
+      LSH bucket connect members only to the bucket minimum (B−1 edges,
+      each still exact-Jaccard verified). Linear candidate volume — the
+      100 TB default for corpus-scale dedup; cluster recall is
+      approximate (pytest-measured ≥0.8 vs exact).
+
+    In ``"exact"`` mode a warning is logged when the verified edge list
+    exceeds ``warn_edges`` — the signal that the corpus is in the regime
+    where ``mode="star"`` is the right call.
 
     The signature cache is scoped: materialized for the edge build, then
     unpersisted as soon as the edge list is checkpointed — nothing stays
     cached after this returns.
     """
+    if mode not in ("exact", "star"):
+        raise ValueError(f"mode must be 'exact' or 'star', got {mode!r}")
+    if mode == "star":
+        return dedup_clusters_star(
+            docs,
+            id_col,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            portable=portable,
+        )
     caches: list[DataFrame] = []
     pairs = near_dup_pairs(
         docs,
@@ -455,6 +497,16 @@ def dedup_clusters(
     pairs = pairs.localCheckpoint(eager=True)
     for cached in caches:
         cached.unpersist()
+    n_edges = pairs.count()  # checkpointed — counting is cheap
+    if n_edges > warn_edges:
+        _LOG.warning(
+            "dedup_clusters(mode='exact'): %d verified pairs exceed "
+            "warn_edges=%d — this corpus is in the quadratic-bucket regime; "
+            "mode='star' computes the same clusters with linear candidate "
+            "volume (approximate recall).",
+            n_edges,
+            warn_edges,
+        )
     nodes = docs.select(F.col(id_col).alias("id"))
     comps = connected_components(pairs, nodes, edges_materialized=True)
     return comps.select(

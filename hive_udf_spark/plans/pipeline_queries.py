@@ -36,9 +36,11 @@ _STRIDE = _CHUNK - _OVERLAP
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
     starts AS (
-      -- chunk_idx = start/stride (starts are exact stride multiples)
+      -- chunk_idx = start/stride (starts are exact stride multiples);
+      -- upper bound n - overlap - 1: a start past it yields a chunk wholly
+      -- contained in its predecessor (no new tokens), so it is not emitted
       SELECT doc_id, w, CAST(u.s // {_STRIDE} AS INT) AS chunk_idx, CAST(u.s AS INT) AS start
-      FROM t, unnest(generate_series(0, len(w) - 1, {_STRIDE})) AS u(s)
+      FROM t, unnest(generate_series(0, greatest(len(w) - {_OVERLAP + 1}, 0), {_STRIDE})) AS u(s)
       WHERE len(w) > 0
     )
     SELECT doc_id, chunk_idx,
@@ -77,6 +79,51 @@ def pipeline_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local sort a production packing job uses)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_documents(docs, "doc_id", "text", budget=_BUDGET, shard_col="lang")
+
+
+_PACK_SHARDS = 16
+
+
+def _pack_auto_oracle() -> str:
+    h = portable_hash60_sql("doc_id", 0)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n, ({h}) % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    loc AS (
+      SELECT doc_id, shard, n,
+             CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS local_off
+      FROM t
+    ),
+    tot AS (SELECT shard, sum(n) AS tot FROM t GROUP BY shard),
+    b AS (
+      SELECT shard,
+             CAST(coalesce(sum(tot) OVER (ORDER BY shard
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS base
+      FROM tot
+    )
+    SELECT l.doc_id,
+           CAST(l.n AS BIGINT) AS n_tokens,
+           CAST(b.base + l.local_off AS BIGINT) AS offset,
+           CAST((b.base + l.local_off) // {_BUDGET} AS BIGINT) AS bin_id
+    FROM loc l JOIN b USING (shard)
+    """
+
+
+@register("pipeline_pack_documents_auto", oracle=_pack_auto_oracle())
+def pipeline_pack_documents_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with the scale-safe default: no shard column given,
+    so documents are auto-sharded by hash(id) mod 16, cumulative sums run
+    per shard (partition-local windows), and 16 per-shard base offsets —
+    the only global window, 16 rows — splice the shards into one contiguous
+    token stream. The oracle re-derives every shard, offset, and bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, "doc_id", "text", budget=_BUDGET, num_shards=_PACK_SHARDS, portable=True
+    )
 
 
 _FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}

@@ -82,8 +82,9 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     # Oracle typing fixed this round — need a green driver row.
     "tpch_q12ish_priority_by_linestatus",
     "tpch_q15ish_top_supplier",
-    # Implementation touched this round.
+    # Implementation touched this round (incl. the new auto-shard pack).
     "pipeline_pack_documents",
+    "pipeline_pack_documents_auto",
     "pipeline_chunk_documents",
     "freq_top_tokens",
     "dedup_clusters_linear",
@@ -99,7 +100,6 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "salted_join_event_enrichment",
     "events_sessionize",
     "window_topk_parts_per_brand",
-    "pipeline_decontaminate",
 )
 
 

@@ -43,6 +43,13 @@ def test_join_equivalence_and_outer_how(spark):
     out = bloom_prefilter_join(big, small, "id", "sid")
     plain = big.join(small, big.id == small.sid)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # semi keeps only big-side columns, same matched row set
+    semi = bloom_prefilter_join(big, small, "id", "sid", how="semi")
+    assert sorted(r.id for r in semi.collect()) == sorted(r.id for r in plain.collect())
+    # outer joins would silently drop prefiltered unmatched rows — rejected
+    for bad in ("left", "full", "right", "left_outer"):
+        with pytest.raises(ValueError):
+            bloom_prefilter_join(big, small, "id", "sid", how=bad)
 
 
 def test_param_validation(spark):

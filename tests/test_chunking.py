@@ -57,6 +57,53 @@ def test_pack_offsets_are_exact_prefix_sums(spark, sf_dir):
         running[r.lang] = want + r.n_tokens
 
 
+def test_pack_auto_shard_matches_reference(spark, sf_dir):
+    """Default (no shard_col) packing: auto hash-shard + per-shard cumsum
+    + cross-shard base reconciliation ≡ a driver-side prefix sum over the
+    same (shard, id) stream order — and offsets are globally contiguous."""
+    from hive_udf_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "text", budget=512, num_shards=8, portable=True)
+    shard_of = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", F.pmod(portable_hash60(F.col("doc_id"), 0), F.lit(8)).alias("s")
+        ).collect()
+    }
+    rows = sorted(packed.collect(), key=lambda r: (shard_of[r.doc_id], r.doc_id))
+    run = 0
+    for r in rows:
+        assert r.offset == run, (r.doc_id, r.offset, run)
+        assert r.bin_id == run // 512
+        run += r.n_tokens
+    # contiguous: final offset+len == total token count
+    total = sum(r.n_tokens for r in rows)
+    assert run == total
+
+
+def test_pack_no_single_partition_window_by_default(spark, sf_dir):
+    """The default plan's only no-partition window runs over num_shards
+    aggregated rows (the base-offset reconciliation), never over the
+    corpus: every corpus-sized Window is partitioned by shard."""
+    from hive_udf_spark.operators.chunking import GLOBAL_PACK
+
+    docs = load_table(spark, sf_dir, "documents")
+    auto = pack_documents(docs, "doc_id", "text", budget=512, num_shards=8)
+    plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    # the corpus-side window is partitioned (partitionBy __shard appears)
+    assert "partitionspec" in plan.lower() or "__shard" in plan
+    # explicit opt-in still available
+    glob = pack_documents(docs.limit(50), "doc_id", "text", budget=512, shard_col=GLOBAL_PACK)
+    rows = sorted(glob.collect(), key=lambda r: r.doc_id)
+    run = 0
+    for r in rows:
+        assert r.offset == run
+        run += r.n_tokens
+
+
 def test_stratified_sample_deterministic_subset(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     frac = {"en": 0.5, "de": 0.25}
@@ -84,9 +131,11 @@ def test_stratified_sample_excludes_unlisted_strata(spark, sf_dir):
 
 def test_chunk_exhaustive_lengths_reconstruct(spark):
     """Exhaustive doc lengths 0..3*chunk for several (chunk, overlap)
-    configs: chunk starts are exactly 0, stride, 2*stride, ... < n; every
-    token appears; overlap-stripped concatenation reconstructs the doc."""
-    for chunk, overlap in [(8, 0), (8, 3), (5, 4), (16, 8)]:
+    configs: chunk starts are exactly 0, stride, ... ≤ n−overlap−1 (a later
+    start would emit a chunk wholly contained in its predecessor); every
+    token appears; overlap-stripped concatenation reconstructs the doc;
+    every chunk contributes ≥1 new token."""
+    for chunk, overlap in [(8, 0), (8, 3), (5, 4), (16, 8), (4, 2)]:
         stride = chunk - overlap
         rows = [
             (n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 3 * chunk + 1)
@@ -101,13 +150,15 @@ def test_chunk_exhaustive_lengths_reconstruct(spark):
             if n == 0:
                 assert chunks == []
                 continue
-            expected_starts = list(range(0, n, stride))
+            expected_starts = list(range(0, max(n - overlap, 1), stride))
             assert [c.chunk_idx for c in chunks] == list(range(len(expected_starts)))
             rebuilt: list[str] = []
             for c in chunks:
                 toks = c.chunk_text.split(" ")
                 assert len(toks) == c.n_tokens <= chunk
-                rebuilt.extend(toks if c.chunk_idx == 0 else toks[overlap:])
+                new_toks = toks if c.chunk_idx == 0 else toks[overlap:]
+                assert new_toks, (chunk, overlap, n, c.chunk_idx)  # no redundant chunk
+                rebuilt.extend(new_toks)
             assert rebuilt == [f"w{i}" for i in range(n)], (chunk, overlap, n)
 
 

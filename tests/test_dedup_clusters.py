@@ -105,6 +105,21 @@ def test_dedup_clusters_star_close_to_exact(spark, sf_dir):
         assert recall >= 0.8, f"star cluster recall {recall:.3f}"
 
 
+def test_dedup_clusters_mode_dispatch(spark, sf_dir):
+    """mode='star' through the single entry point ≡ dedup_clusters_star;
+    unknown modes are rejected."""
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    via_mode = sorted(map(tuple, dedup_clusters(docs, "doc_id", "text", 0.7, mode="star").collect()))
+    direct = sorted(map(tuple, dedup_clusters_star(docs, "doc_id", "text", 0.7).collect()))
+    assert via_mode == direct
+    with _pytest.raises(ValueError):
+        dedup_clusters(docs, "doc_id", "text", mode="fast")
+
+
 def test_distributed_and_driver_cc_paths_agree(spark, sf_dir):
     """connected_components' driver-side union-find (small contracted
     remainder) and distributed min-label fixpoint must produce identical

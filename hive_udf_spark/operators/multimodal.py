@@ -3,15 +3,18 @@
 Treats media as opaque ``binary`` columns with a typed metadata struct,
 processed by Arrow-batched ``mapInPandas`` operators — the Spark-side
 shape (schema, partitioning, batch processing, UDF signatures) is real and
-tested. The codec step is dual-path:
+tested. The codec step:
 
-* ``fake=False`` (default): REAL decode via PIL (grayscale pixels through
-  the same feature/resize pipeline, identical schemas and size
-  contracts). Where pillow is not installed — e.g. this container — the
-  task raises ``NotImplementedError`` explicitly rather than silently
-  falling back; the real path is covered by tests that skip without PIL.
+* ``fake=False`` (default): REAL decode. Binary netpbm (P5/P6) and
+  uncompressed 8/24-bit BMP blobs are decoded by the vendored
+  dependency-free codec (``operators.imagecodec`` — deterministic
+  integer-only gray conversion and resampling, so results are
+  library-independent and testable in any environment); every other
+  format routes to PIL when installed, else the task raises
+  ``NotImplementedError`` explicitly rather than silently falling back.
 * ``fake=True``: a deterministic byte-level stand-in with the same batch
-  shape and output contract, used by the engine-portable oracle queries.
+  shape and output contract, used by the engine-portable oracle queries
+  (raw bytes ARE the "pixels", so a SQL oracle can reproduce features).
 
 At 100 TB: blobs stay in parquet binary columns (or are pointers into an
 object store — ``blob_ref`` mode); mapInPandas streams Arrow batches so a
@@ -64,17 +67,26 @@ def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     return n, float(int(arr.sum(dtype=np.int64)) / n), int(arr.max()), entropy
 
 
-def _require_pil():
-    try:
-        import PIL.Image as Image
+def _decode_gray(b: bytes) -> np.ndarray:
+    """REAL decode to a 2-D uint8 grayscale array: vendored codec for
+    netpbm/uncompressed-BMP, PIL for everything else, explicit
+    NotImplementedError when neither applies (never a silent fallback)."""
+    from hive_udf_spark.operators import imagecodec
 
-        return Image
+    if imagecodec.supported_magic(b):
+        return imagecodec.decode_to_gray(b)
+    try:
+        import io
+
+        import PIL.Image as Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "real image decode needs PIL (pip install pillow; not in this "
-            "container); pass fake=True for the deterministic byte-level "
-            "stand-in"
+            "blob is not netpbm/BMP (vendored codec) and PIL is not "
+            "installed (pip install pillow); pass fake=True for the "
+            "deterministic byte-level stand-in"
         ) from exc
+    with Image.open(io.BytesIO(b)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
@@ -82,26 +94,22 @@ def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
 
     fake=True: deterministic byte-level statistics over the raw blob —
     the engine-portable stand-in used by the oracle query. fake=False:
-    REAL decode — PIL opens the blob, converts to 8-bit grayscale, and
+    REAL decode — the blob is decoded to 8-bit grayscale (vendored
+    netpbm/BMP codec, PIL for other formats — see ``_decode_gray``) and
     the same statistics run over the decoded PIXELS (n_bytes is then the
-    pixel count). Raises NotImplementedError at task time when PIL is
-    absent, so the failure is explicit, not a silent fallback. Both
-    paths share batch shape, schema, and downstream plumbing; the real
-    path is exercised by tests/test_multimodal.py::test_real_codec_*
-    wherever pillow is installed (skipped in containers without it).
+    pixel count). Both paths share batch shape, schema, and downstream
+    plumbing; the real path runs dependency-free in this container via
+    the vendored codec (tests/test_multimodal.py real-codec tests +
+    the ``multimodal_real_decode`` registry query).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fake:
             to_array = lambda b: np.frombuffer(b, dtype=np.uint8)  # noqa: E731
         else:
-            import io
-
-            Image = _require_pil()
 
             def to_array(b: bytes) -> np.ndarray:
-                with Image.open(io.BytesIO(b)) as im:
-                    return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+                return _decode_gray(b).ravel()
 
         for pdf in batches:
             feats = [_byte_stats(to_array(b)) for b in pdf["blob"]]
@@ -141,11 +149,12 @@ def resize_images(
     fake=True runs a deterministic stand-in: the blob's bytes are
     nearest-neighbor resampled to exactly width*height bytes — same
     batch shape, output schema, and size contract as a real
-    thumbnailer. fake=False is the REAL path: PIL decodes the blob,
-    nearest-neighbor resizes to (width, height), and emits the raw 8-bit
-    grayscale pixel bytes — the SAME width*height size contract, so
-    downstream size accounting is identical; raises NotImplementedError
-    when PIL is absent (explicit, never a silent fallback).
+    thumbnailer. fake=False is the REAL path: the blob is decoded to
+    grayscale (vendored netpbm/BMP codec, PIL otherwise), resampled
+    nearest-neighbor by the vendored integer resampler (deterministic
+    regardless of which library decoded), and emitted as raw 8-bit
+    pixel bytes — the SAME width*height size contract, so downstream
+    size accounting is identical.
 
     At 100 TB: output size is bounded (width*height per row) regardless of
     input blob size, so the post-resize shuffle/write is predictable; put
@@ -166,16 +175,12 @@ def resize_images(
                 return arr[idx].tobytes()
 
         else:
-            import io
-
-            Image = _require_pil()
+            from hive_udf_spark.operators.imagecodec import nearest_resize
 
             def to_thumb(b: bytes) -> bytes:
-                with Image.open(io.BytesIO(b)) as im:
-                    small = im.convert("L").resize(
-                        (int(width), int(height)), Image.Resampling.NEAREST
-                    )
-                    return np.asarray(small, dtype=np.uint8).tobytes()
+                return nearest_resize(
+                    _decode_gray(b), int(width), int(height)
+                ).tobytes()
 
         for pdf in batches:
             out_blobs = [to_thumb(b) for b in pdf["blob"]]

@@ -77,6 +77,7 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "text_pii_redaction",
     "multimodal_blob_features",
     "multimodal_join_text_vector_events",
+    "multimodal_real_decode",
     # ANN variant cut off at slot 50 in round 2.
     "similarity_ann_pq",
     # Oracle typing fixed this round — need a green driver row.
@@ -99,7 +100,6 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "tpch_q21ish_sole_returned_supplier",
     "salted_join_event_enrichment",
     "events_sessionize",
-    "window_topk_parts_per_brand",
 )
 
 

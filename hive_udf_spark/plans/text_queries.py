@@ -183,6 +183,43 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no fake stand-in): each document's
+    first 64 chars become the pixel payload of a binary 8x8 PGM blob,
+    decoded inside mapInPandas by the vendored dependency-free codec
+    (operators/imagecodec.py) — exercising the production fake=False
+    path. The oracle recomputes the pixel stats from the same (ASCII)
+    chars; mean_byte = sum/64 divides by a power of two, so the float is
+    bit-identical in both engines. byte_entropy is intentionally not
+    selected: its float summation order is engine-dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"P5\n8 8\n255\n"),
+            F.encode(F.rpad(F.substring("text", 1, 64), 64, " "), "UTF-8"),
+        ).alias("blob"),
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_join_text_vector_events",
     oracle="""
     WITH emb AS (

@@ -311,6 +311,15 @@ def ann_hyperplane_lsh(
     candidates collide in ≥1 of `bands` bit-bands; exact cosine re-ranks.
     Returns (query_id, neighbor_id, cos_sim, rank). Tune nbits/bands for
     the recall/cost point; recall is measured in tests.
+
+    Shuffle discipline: the band explode and the candidate ``distinct``
+    carry (id, band, bkey) rows ONLY — never embeddings. Vectors join
+    back onto the deduplicated id-pair stream afterwards (query side
+    broadcast, corpus side one equi-join), so the bands× blow-up and the
+    distinct's shuffle+compare both run on fixed-width keys. The earlier
+    formulation shipped both 64-float arrays through the explode and
+    compared them inside distinct — bands×·2·dim floats of dead shuffle
+    weight per candidate.
     """
     if nbits % bands:
         raise ValueError("nbits must be divisible by bands")
@@ -319,31 +328,43 @@ def ann_hyperplane_lsh(
     planes = hyperplanes(dim, nbits, seed)
     sig = _signature_udf(planes)
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        s = df.select(
-            F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias(f"__{role}_v"), sig(F.col(vec_col)).alias("__sig")
+    def band_keys(df: DataFrame, role: str) -> DataFrame:
+        s = df.select(F.col(id_col).alias(f"{role}_id"), sig(F.col(vec_col)).alias("__sig"))
+        return (
+            s.select(
+                f"{role}_id",
+                F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+                F.col("__sig").alias("__s"),
+            )
+            .withColumn(
+                "__bkey",
+                F.expr(f"shiftright(__s, __band * {band_bits})").bitwiseAND(F.lit(mask)),
+            )
+            .select(f"{role}_id", "__band", "__bkey")
         )
-        return s.select(
-            f"{role}_id",
-            f"__{role}_v",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
-            F.col("__sig").alias("__s"),
-        ).withColumn("__bkey", F.expr(f"shiftright(__s, __band * {band_bits})").bitwiseAND(F.lit(mask)))
 
-    cq = banded(queries, "query")
-    cc = banded(corpus, "neighbor")
+    qk = band_keys(queries, "query")
+    ck = band_keys(corpus, "neighbor")
     cands = (
-        cc.join(
-            F.broadcast(cq),
-            (cc["__band"] == cq["__band"]) & (cc["__bkey"] == cq["__bkey"]) & (F.col("neighbor_id") != F.col("query_id")),
+        ck.join(
+            F.broadcast(qk),
+            (ck["__band"] == qk["__band"])
+            & (ck["__bkey"] == qk["__bkey"])
+            & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "__query_v", "__neighbor_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("__query_v"), F.col("__neighbor_v")).alias("cos_sim"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
     )
     return _two_phase_topk(scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k).select(
         "query_id", "neighbor_id", "cos_sim", "rank"

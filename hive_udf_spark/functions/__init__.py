@@ -17,4 +17,13 @@ from hive_udf_spark.functions.freq import (  # noqa: F401
     cms_table,
     top_k_exploded,
 )
+from hive_udf_spark.functions.kmv import (  # noqa: F401
+    KMV_DEFAULT_K,
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_jaccard,
+    kmv_merge_table,
+    kmv_table,
+    kmv_union,
+)
 from hive_udf_spark.functions.sql_registry import register_sql  # noqa: F401

@@ -52,6 +52,10 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "sketch_intersect_disjoint_segments",
     "sketch_bloom_prefilter_join",
     "approx_percentile_verdict",
+    # KMV bottom-k family (new in round 3 — estimates hash-matched exactly).
+    "approx_distinct_kmv_grouped",
+    "sketch_kmv_rollup_exact_merge",
+    "sketch_kmv_jaccard_segments",
     # Streaming (never driver-sampled before round 3).
     "streaming_window_event_stats",
     "streaming_window_distinct_users",
@@ -91,15 +95,13 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_clusters_linear",
     "dedup_clusters_star",
     "similarity_ann_lsh",
-    # Flagships / hardest shapes, one per family.
+    # Flagships / hardest shapes, one per family (r2-green entries beyond
+    # these yielded their slots to the round-3 additions).
     "dedup_minhash_lsh",
-    "dedup_exact_content_hash",
-    "similarity_topk_dot",
     "similarity_near_pairs_lsh",
     "tpch_q1_pricing_summary",
     "tpch_q21ish_sole_returned_supplier",
     "salted_join_event_enrichment",
-    "events_sessionize",
 )
 
 

@@ -285,3 +285,168 @@ def approx_distinct_tuple_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("within_bounds"),
     )
+
+
+# --- KMV (bottom-k) family: estimates hash-matched EXACTLY (functions/kmv.py) ---
+
+_KMV_K = 64
+_KMV_SEED = 7
+
+
+def _kmv_grouped_oracle() -> str:
+    from hive_udf_spark.functions.kmv import kmv_estimate_sql, kmv_sketch_sql
+
+    sketch = kmv_sketch_sql("events", "event_type", "user_id", _KMV_K, _KMV_SEED)
+    return f"""
+    WITH sk AS ({sketch}),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+    SELECT ex.event_type, ex.n_exact,
+           {kmv_estimate_sql('sk.kmv', _KMV_K)} AS est_kmv
+    FROM ex JOIN sk USING (event_type)
+    """
+
+
+@register("approx_distinct_kmv_grouped", oracle=_kmv_grouped_oracle())
+def approx_distinct_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k estimator, grouped. Unlike the HLL/LC rows (bounds
+    verdicts), the ESTIMATE ITSELF hash-matches: both engines take the
+    k smallest distinct portable hashes and apply (k-1)·2^60/kth — the
+    whole sketch pipeline is pinned bit-for-bit, the strongest §5.2
+    oracle form. Third algorithm behind the reference's approx_distinct
+    surface (enum of estimators, UDAFCardinalityEstimator.java:71-86)."""
+    from hive_udf_spark.functions.kmv import kmv_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_table(ev, ["event_type"], "user_id", k=_KMV_K, seed=_KMV_SEED)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return exact.join(sk, "event_type").select("event_type", "n_exact", "est_kmv")
+
+
+def _kmv_rollup_oracle() -> str:
+    from hive_udf_spark.functions.kmv import kmv_estimate_sql, kmv_sketch_sql
+
+    sketch = kmv_sketch_sql(
+        "events", "date_trunc('month', ts)", "user_id", _KMV_K, _KMV_SEED, group_alias="month"
+    )
+    return f"""
+    WITH sk AS ({sketch})
+    SELECT month,
+           {kmv_estimate_sql('kmv', _KMV_K)} AS est_kmv,
+           true AS merge_equals_direct
+    FROM sk
+    """
+
+
+@register("sketch_kmv_rollup_exact_merge", oracle=_kmv_rollup_oracle())
+def sketch_kmv_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV re-aggregation (the sketch-as-data path,
+    UDAFCardinalityEstimator.java:259-265): per-day sketches merged to
+    months. Bottom-k merge is LOSSLESS — the merged sketch is
+    array-identical to a direct single-pass month sketch, asserted as a
+    column and implied by the hash-matched estimate."""
+    from hive_udf_spark.functions.kmv import kmv_merge_table, kmv_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = kmv_table(
+        ev.withColumn("month", F.date_trunc("month", "ts")).withColumn(
+            "day", F.date_trunc("day", "ts")
+        ),
+        ["month", "day"],
+        "user_id",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    )
+    rolled = kmv_merge_table(daily, ["month"], "kmv", _KMV_K)
+    direct = kmv_table(
+        ev.withColumn("month", F.date_trunc("month", "ts")),
+        ["month"],
+        "user_id",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    ).select(F.col("month"), F.col("kmv").alias("__direct"))
+    return (
+        rolled.join(direct, "month")
+        .select(
+            "month",
+            "est_kmv",
+            (F.col("kmv") == F.col("__direct")).alias("merge_equals_direct"),
+        )
+    )
+
+
+def _kmv_jaccard_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+
+    hv = portable_hash60_sql("o_custkey", _KMV_SEED)
+    k = _KMV_K
+    return f"""
+    WITH seg AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    ha AS (SELECT {hv} AS hv FROM seg WHERE in_a = 1),
+    hb AS (SELECT {hv} AS hv FROM seg WHERE in_b = 1),
+    ska AS (SELECT list(hv ORDER BY hv) AS a FROM (SELECT DISTINCT hv FROM ha ORDER BY hv LIMIT {k})),
+    skb AS (SELECT list(hv ORDER BY hv) AS b FROM (SELECT DISTINCT hv FROM hb ORDER BY hv LIMIT {k})),
+    x AS (SELECT a, b, list_sort(list_distinct(a || b))[1:{k}] AS u FROM ska, skb),
+    est AS (
+      SELECT len(list_intersect(u, list_intersect(a, b)))::DOUBLE / len(u) AS jaccard_kmv
+      FROM x
+    ),
+    exact AS (
+      SELECT CAST(floor(1000000.0 * sum(in_a * in_b) / count(*)) AS BIGINT) AS exact_jaccard_ppm
+      FROM seg
+    )
+    SELECT est.jaccard_kmv, exact.exact_jaccard_ppm FROM est, exact
+    """
+
+
+@register("sketch_kmv_jaccard_segments", oracle=_kmv_jaccard_oracle())
+def sketch_kmv_jaccard_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set similarity over KMV sketches (Beyer et al. 2007): Jaccard of
+    URGENT-vs-HIGH-priority customer sets, estimate hash-matched exactly
+    against DuckDB running the identical bottom-k algebra, alongside the
+    exact Jaccard (ppm). Completes the stub UDF's 'set intersection and
+    other utils' intent (UDFCardinalityEstimator.java:30) with a sketch
+    whose set ops are engine-portable."""
+    from hive_udf_spark.functions.kmv import kmv_jaccard, kmv_table
+
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & F.col("o_custkey").isNotNull()
+    )
+    seg = ords.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("in_a"),
+        F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("in_b"),
+    )
+    a = kmv_table(seg.filter("in_a = 1"), [], "o_custkey", k=_KMV_K, seed=_KMV_SEED).select(
+        F.col("kmv").alias("a")
+    )
+    b = kmv_table(seg.filter("in_b = 1"), [], "o_custkey", k=_KMV_K, seed=_KMV_SEED).select(
+        F.col("kmv").alias("b")
+    )
+    exact = seg.agg(
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.col("in_a") * F.col("in_b"))
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("exact_jaccard_ppm")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(exact)
+        .select(
+            kmv_jaccard("a", "b", _KMV_K).alias("jaccard_kmv"),
+            "exact_jaccard_ppm",
+        )
+    )

@@ -133,3 +133,120 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
     return {
         kind: F.regexp_count(c, F.lit(pat)) for kind, pat in REDACTION_PATTERNS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filtering (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "of", "and", "to", "a", "in", "that", "with")
+
+# Thresholds shared by the Spark filter and the DuckDB oracle. The corpus
+# has no newlines, so the rules are word-level (doc-level repetition via
+# n-gram statistics rather than duplicate lines).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_X100_MIN = 200   # mean word length in [2, 7] chars
+GOPHER_MEAN_LEN_X100_MAX = 700
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_TOP_BIGRAM_PPM_MAX = 100_000   # most frequent bigram ≤ 10% of bigrams
+GOPHER_DUP_TRIGRAM_PPM_MAX = 100_000  # repeated-trigram occurrence share
+GOPHER_SYMBOL_PPM_MAX = 100_000       # '#'/'…' per word
+
+
+def _top_run_count(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array: one
+    ``F.aggregate`` fold tracking (prev, current run, best run) — O(m),
+    and crucially the array expression is evaluated ONCE per row (an
+    earlier index-based formulation referenced the array inside a lambda
+    over ``sequence(...)``, which re-evaluates the whole sort-and-ngram
+    subtree per ELEMENT — O(m³) per row, ~0.8 s/doc). Shuffle-free
+    alternative to explode+groupBy for per-document mode counts."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"), F.greatest(acc["best"], cur).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def gopher_quality(text: Column | str) -> dict[str, Column]:
+    """Gopher-style per-document quality metrics as named columns.
+
+    Every metric is an integer (counts, x100 fixed-point, ppm) so results
+    hash-match across engines; every expression is map-side Catalyst —
+    the full filter is a PROJECTION: at 100 TB it runs at scan speed with
+    zero shuffle (the reason the per-doc mode count uses the sorted-run
+    trick in :func:`_top_run_count` instead of explode+groupBy).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n = F.size(toks)
+    sum_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    bg = ngrams(toks, 2)
+    n_bg = F.size(bg)
+    tg = ngrams(toks, 3)
+    n_tg = F.size(tg)
+    d_tg = F.size(F.array_distinct(tg))
+    sym = F.regexp_count(c, F.lit(r"[#…]"))
+    return {
+        "n_words": n,
+        "mean_word_len_x100": F.when(n > 0, F.floor(F.lit(100.0) * sum_chars / n))
+        .otherwise(F.lit(0))
+        .cast("int"),
+        "stopword_count": F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))),
+        "top_bigram_ppm": F.when(
+            n_bg > 0, F.floor(F.lit(1000000.0) * _top_run_count(F.array_sort(bg)) / n_bg)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+        "dup_trigram_ppm": F.when(n_tg > 0, F.floor(F.lit(1000000.0) * (n_tg - d_tg) / n_tg))
+        .otherwise(F.lit(0))
+        .cast("int"),
+        "symbol_ppm": F.when(n > 0, F.floor(F.lit(1000000.0) * sym / n))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    }
+
+
+# (rule name, metric, predicate builder) — order defines the reasons string.
+def _gopher_rules(m: dict[str, Column]) -> list[tuple[str, Column]]:
+    return [
+        ("too_short", m["n_words"] < GOPHER_MIN_WORDS),
+        ("too_long", m["n_words"] > GOPHER_MAX_WORDS),
+        (
+            "word_len",
+            (m["mean_word_len_x100"] < GOPHER_MEAN_LEN_X100_MIN)
+            | (m["mean_word_len_x100"] > GOPHER_MEAN_LEN_X100_MAX),
+        ),
+        ("few_stopwords", m["stopword_count"] < GOPHER_MIN_STOPWORDS),
+        ("top_bigram", m["top_bigram_ppm"] > GOPHER_TOP_BIGRAM_PPM_MAX),
+        ("dup_trigram", m["dup_trigram_ppm"] > GOPHER_DUP_TRIGRAM_PPM_MAX),
+        ("symbols", m["symbol_ppm"] > GOPHER_SYMBOL_PPM_MAX),
+    ]
+
+
+def gopher_filter(text: Column | str) -> dict[str, Column]:
+    """Metrics + ``keep`` boolean + comma-joined ``reasons`` (empty string
+    when kept). One projection over the corpus; thresholds are the module
+    constants above."""
+    m = gopher_quality(text)
+    rules = _gopher_rules(m)
+    keep = F.lit(True)
+    for _, failed in rules:
+        keep = keep & ~failed
+    reasons = F.array_join(
+        F.filter(
+            F.array(*[F.when(failed, F.lit(name)) for name, failed in rules]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return {**m, "keep": keep, "reasons": reasons}

@@ -95,11 +95,12 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_clusters_linear",
     "dedup_clusters_star",
     "similarity_ann_lsh",
-    # Flagships / hardest shapes, one per family (r2-green entries beyond
-    # these yielded their slots to the round-3 additions).
+    # New operators this round — first driver row needed.
+    "tpch_q11ish_important_part_values",
+    "text_gopher_quality_filter",
+    # Flagships / hardest shapes (r2-green entries beyond these yielded
+    # their slots to the round-3 additions).
     "dedup_minhash_lsh",
-    "similarity_near_pairs_lsh",
-    "tpch_q1_pricing_summary",
     "tpch_q21ish_sole_returned_supplier",
     "salted_join_event_enrichment",
 )

@@ -1038,3 +1038,49 @@ def tpch_q21ish_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "tpch_q11ish_important_part_values",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l.l_partkey, CAST(sum({_CENTS}) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM per_part
+    WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM per_part)
+    """,
+)
+def tpch_q11ish_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (the last classic TPC-H query form in the suite):
+    per-part value held by one nation's suppliers, HAVING value greater
+    than a fixed fraction (0.1%) of the nation's TOTAL value — a grouped
+    aggregate filtered against a global scalar aggregate of itself.
+
+    Scale: nation+supplier are broadcast (dimension tables); lineitem
+    aggregates once into per_part, which is reused for both the HAVING
+    input and the scalar total — the total is a one-row broadcast cross
+    join, not a recomputation. The fraction test is pure integer math
+    (value·1000 > total), exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = supp.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("__tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__tot"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )

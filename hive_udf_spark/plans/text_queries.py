@@ -362,3 +362,96 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         redact_pii(F.col("t"), kinds=("email", "phone", "ipv4")).alias("redacted"),
     )
+
+
+def _gopher_oracle() -> str:
+    from hive_udf_spark.functions.text import (
+        GOPHER_DUP_TRIGRAM_PPM_MAX,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_X100_MAX,
+        GOPHER_MEAN_LEN_X100_MIN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        GOPHER_SYMBOL_PPM_MAX,
+        GOPHER_TOP_BIGRAM_PPM_MAX,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w, text FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS INT) AS n_words,
+        CAST(CASE WHEN len(w) > 0 THEN floor(
+          100.0 * (SELECT coalesce(sum(len(x)), 0) FROM unnest(w) AS u(x)) / len(w)
+        ) ELSE 0 END AS INT) AS mean_word_len_x100,
+        CAST(len([x for x in w if list_contains([{stops}], x)]) AS INT) AS stopword_count,
+        CAST(CASE WHEN len(w) >= 2 THEN floor(1000000.0 * (
+          SELECT max(c) FROM (
+            SELECT count(*) AS c
+            FROM unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g(x)
+            GROUP BY x)
+        ) / (len(w) - 1)) ELSE 0 END AS INT) AS top_bigram_ppm,
+        CAST(CASE WHEN len(w) >= 3 THEN floor(1000000.0 * (
+          (len(w) - 2) - (SELECT count(DISTINCT x)
+            FROM unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS g(x))
+        ) / (len(w) - 2)) ELSE 0 END AS INT) AS dup_trigram_ppm,
+        CAST(CASE WHEN len(w) > 0 THEN floor(
+          1000000.0 * len(regexp_extract_all(text, '[#…]')) / len(w)
+        ) ELSE 0 END AS INT) AS symbol_ppm
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+        n_words < {GOPHER_MIN_WORDS} AS f_short,
+        n_words > {GOPHER_MAX_WORDS} AS f_long,
+        mean_word_len_x100 < {GOPHER_MEAN_LEN_X100_MIN}
+          OR mean_word_len_x100 > {GOPHER_MEAN_LEN_X100_MAX} AS f_wlen,
+        stopword_count < {GOPHER_MIN_STOPWORDS} AS f_stop,
+        top_bigram_ppm > {GOPHER_TOP_BIGRAM_PPM_MAX} AS f_bg,
+        dup_trigram_ppm > {GOPHER_DUP_TRIGRAM_PPM_MAX} AS f_tg,
+        symbol_ppm > {GOPHER_SYMBOL_PPM_MAX} AS f_sym
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len_x100, stopword_count,
+           top_bigram_ppm, dup_trigram_ppm, symbol_ppm,
+           NOT (f_short OR f_long OR f_wlen OR f_stop OR f_bg OR f_tg OR f_sym) AS keep,
+           concat_ws(',',
+             CASE WHEN f_short THEN 'too_short' END,
+             CASE WHEN f_long THEN 'too_long' END,
+             CASE WHEN f_wlen THEN 'word_len' END,
+             CASE WHEN f_stop THEN 'few_stopwords' END,
+             CASE WHEN f_bg THEN 'top_bigram' END,
+             CASE WHEN f_tg THEN 'dup_trigram' END,
+             CASE WHEN f_sym THEN 'symbols' END) AS reasons
+    FROM r
+    """
+
+
+@register("text_gopher_quality_filter", oracle=_gopher_oracle())
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter (Rae et al. 2021 §A1.1)
+    over the documents corpus: word-count bounds, mean word length,
+    stopword floor, top-bigram and duplicated-trigram repetition shares,
+    symbol density — every metric integer fixed-point, every rule coded
+    into a reasons string. The whole filter is ONE map-side projection
+    (no shuffle; the per-doc mode count is the sorted-run trick in
+    functions/text.py:_top_run_count), so it runs at scan speed on a
+    100 TB corpus."""
+    from hive_udf_spark.functions.text import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_filter(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len_x100"].alias("mean_word_len_x100"),
+        g["stopword_count"].alias("stopword_count"),
+        g["top_bigram_ppm"].alias("top_bigram_ppm"),
+        g["dup_trigram_ppm"].alias("dup_trigram_ppm"),
+        g["symbol_ppm"].alias("symbol_ppm"),
+        g["keep"].alias("keep"),
+        g["reasons"].alias("reasons"),
+    )

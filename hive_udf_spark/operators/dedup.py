@@ -754,3 +754,112 @@ def dedup_clusters_star(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash index + batch probe
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    portable: bool = False,
+    hashed_tokens: bool = False,
+) -> DataFrame:
+    """The persistable MinHash index: one row per document with
+    ``(id_col, tokens, sig)``.
+
+    This is the 100 TB incremental-dedup contract: build (and sink —
+    sources/sinks.py writes partitioned/bucketed tables) the index over
+    the existing corpus ONCE; every new ingest batch then probes it via
+    :func:`probe_minhash_index` without rescanning or re-hashing corpus
+    text. Storing the distinct token set alongside the signature makes
+    the index self-contained for exact verification. Empty token sets
+    are excluded (undefined 0/0 Jaccard; see near_dup_pairs).
+    """
+    shingles = word_set(text_col)
+    if hashed_tokens:
+        if portable:
+            raise ValueError("hashed_tokens is a fast-path option; portable keeps exact strings")
+        shingles = F.transform(shingles, lambda t: F.xxhash64(t))
+    return (
+        docs.select(F.col(id_col), shingles.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .withColumn("sig", minhash_signature(F.col("tokens"), num_hashes, portable))
+    )
+
+
+def _band_key(sig: Column, band: Column, rows_per_band: int, hashed: bool) -> Column:
+    band_slice = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+    if hashed:
+        return F.xxhash64(band, band_slice)
+    return F.array_join(F.transform(band_slice, lambda x: x.cast("string")), "_")
+
+
+def probe_minhash_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = False,
+    hashed_tokens: bool = False,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an existing corpus index:
+    (batch_id, corpus_id, inter_size, union_size) where the exact
+    token-set Jaccard ≥ threshold.
+
+    Scale shape: both sides explode to fixed-width (id, band, bkey) rows
+    — the shuffle carries band keys only, never tokens or signatures;
+    token sets attach to the deduplicated candidate pair stream with one
+    join per side (the near_dup_pairs discipline). The corpus side is
+    the pre-built index — the only corpus scan is of the index table
+    itself, and with the index bucketed by ``id_col`` the verify join on
+    corpus_id is shuffle-free on that side. Batch-vs-batch pairs are NOT
+    emitted (use near_dup_pairs on the batch for those).
+    """
+    rows_per_band = num_hashes // bands
+    if bands * rows_per_band != num_hashes:
+        raise ValueError("num_hashes must equal bands * rows_per_band")
+    hashed_key = not portable
+    probe = build_minhash_index(
+        batch, id_col, text_col, num_hashes, portable, hashed_tokens
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
+
+    def banded(side: DataFrame, role: str) -> DataFrame:
+        s = side.select(F.col(id_col).alias(f"{role}_id"), band_idx, F.col("sig").alias("__s"))
+        return s.select(
+            f"{role}_id",
+            "__band",
+            _band_key(F.col("__s"), F.col("__band"), rows_per_band, hashed_key).alias("__bkey"),
+        )
+
+    cands = (
+        banded(probe, "batch")
+        .join(banded(index, "corpus"), ["__band", "__bkey"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bt = probe.select(F.col(id_col).alias("batch_id"), F.col("tokens").alias("__ta"))
+    ct = index.select(F.col(id_col).alias("corpus_id"), F.col("tokens").alias("__tb"))
+    inter, union = jaccard_pair_stats(F.col("__ta"), F.col("__tb"))
+    return (
+        cands.join(bt, "batch_id")
+        .join(ct, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * F.lit(1_000_000)
+            >= F.lit(int(threshold * 1_000_000)) * F.col("union_size")
+        )
+    )

@@ -331,3 +331,70 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_clusters_star(docs, "doc_id", "text", threshold=0.7, portable=True)
+
+
+def _incremental_minhash_oracle() -> str:
+    sig_exprs = ",\n      ".join(
+        f"list_min([{portable_hash60_sql('t', seed)} for t in w])" for seed in range(_MINHASH_K)
+    )
+    return f"""
+    WITH {_WS_CTE},
+    sig AS (
+      SELECT doc_id, w, [
+      {sig_exprs}
+      ] AS sig FROM ws WHERE len(w) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             band,
+             sig[{_MINHASH_R}*band + 1]::VARCHAR || '_' || sig[{_MINHASH_R}*band + 2]::VARCHAR AS bkey
+      FROM sig, unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS t(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    )
+    SELECT batch_id, corpus_id,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS BIGINT) AS union_size
+    FROM cands
+      JOIN ws wa ON wa.doc_id = batch_id
+      JOIN ws wb ON wb.doc_id = corpus_id
+    WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+          >= {_JACCARD_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a 10% 'new batch' (doc_id % 10 = 0) probed
+    against the MinHash index built over the other 90% — the
+    build-the-index-once, probe-per-ingest contract that avoids any
+    corpus rescan at 100 TB (operators/dedup.py:build_minhash_index /
+    probe_minhash_index). Portable-hash mode: the oracle regenerates
+    signatures, band keys, the asymmetric candidate join, and the exact
+    verify in SQL."""
+    from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_minhash_index(corpus, "doc_id", "text", _MINHASH_K, portable=True)
+    out = probe_minhash_index(
+        index,
+        batch,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        portable=True,
+    )
+    return out.select(
+        "batch_id",
+        "corpus_id",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )

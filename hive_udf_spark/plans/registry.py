@@ -98,11 +98,11 @@ DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
     # New operators this round — first driver row needed.
     "tpch_q11ish_important_part_values",
     "text_gopher_quality_filter",
+    "dedup_incremental_minhash",
     # Flagships / hardest shapes (r2-green entries beyond these yielded
     # their slots to the round-3 additions).
     "dedup_minhash_lsh",
     "tpch_q21ish_sole_returned_supplier",
-    "salted_join_event_enrichment",
 )
 
 

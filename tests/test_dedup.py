@@ -137,3 +137,39 @@ def test_near_dup_pairs_caches_param_contract(spark, sf_dir):
     for h in handles:
         h.unpersist()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_probe_matches_self_join_cross_pairs(spark, sf_dir):
+    """probe_minhash_index(batch vs corpus-index) must emit exactly the
+    batch-corpus pairs of the full self-join pipeline (same bands, same
+    verify) — the incremental path may not add or lose pairs."""
+    from hive_udf_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_pairs,
+        probe_minhash_index,
+    )
+    from hive_udf_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_minhash_index(corpus, "doc_id", "text", 16, portable=True)
+    inc = probe_minhash_index(
+        index, batch, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8, portable=True
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"], r["inter_size"], r["union_size"])
+        for r in inc.collect()
+    }
+    full = near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8, portable=True
+    )
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 0 and b % 10 != 0:
+            want.add((a, b, r["inter_size"], r["union_size"]))
+        elif b % 10 == 0 and a % 10 != 0:
+            want.add((b, a, r["inter_size"], r["union_size"]))
+    assert got == want
+    assert got  # non-trivial on the near-dup-seeded corpus

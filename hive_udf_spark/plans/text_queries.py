@@ -440,18 +440,7 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle; the per-doc mode count is the sorted-run trick in
     functions/text.py:_top_run_count), so it runs at scan speed on a
     100 TB corpus."""
-    from hive_udf_spark.functions.text import gopher_filter
+    from hive_udf_spark.functions.text import gopher_filter_table
 
     docs = load_table(spark, sf_dir, "documents")
-    g = gopher_filter(F.col("text"))
-    return docs.select(
-        "doc_id",
-        g["n_words"].alias("n_words"),
-        g["mean_word_len_x100"].alias("mean_word_len_x100"),
-        g["stopword_count"].alias("stopword_count"),
-        g["top_bigram_ppm"].alias("top_bigram_ppm"),
-        g["dup_trigram_ppm"].alias("dup_trigram_ppm"),
-        g["symbol_ppm"].alias("symbol_ppm"),
-        g["keep"].alias("keep"),
-        g["reasons"].alias("reasons"),
-    )
+    return gopher_filter_table(docs, "text", id_cols=("doc_id",))

@@ -155,6 +155,38 @@ _SQL_FUNCTIONS = {
         RETURNS BIGINT
         RETURN pmod(xxhash64(seed, id), 1000000)
     """,
+    # ---- KMV bottom-k sketch scalar family (mirrors functions.kmv; the
+    # BUILD is relational (kmv_table) since SQL UDFs can't aggregate, but
+    # estimate/merge/set-algebra over stored sketches are plain SQL) ----
+    "kmv_hash60": """
+        CREATE OR REPLACE TEMPORARY FUNCTION kmv_hash60(x STRING, seed INT)
+        RETURNS BIGINT
+        RETURN CAST(conv(substr(md5(concat(seed, ':', x)), 1, 15), 16, 10) AS BIGINT)
+    """,
+    "kmv_estimate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION kmv_estimate(sk ARRAY<BIGINT>, k INT)
+        RETURNS BIGINT
+        RETURN CASE WHEN sk IS NULL THEN NULL
+                    WHEN size(sk) < k THEN CAST(size(sk) AS BIGINT)
+                    ELSE CAST(floor((k - 1) * 1152921504606846976.0D
+                              / CAST(element_at(sk, k) AS DOUBLE)) AS BIGINT) END
+    """,
+    "kmv_union": """
+        CREATE OR REPLACE TEMPORARY FUNCTION kmv_union(a ARRAY<BIGINT>, b ARRAY<BIGINT>, k INT)
+        RETURNS ARRAY<BIGINT>
+        RETURN CASE WHEN a IS NULL THEN slice(array_sort(b), 1, k)
+                    WHEN b IS NULL THEN slice(array_sort(a), 1, k)
+                    ELSE slice(array_sort(array_distinct(concat(a, b))), 1, k) END
+    """,
+    "kmv_jaccard": """
+        CREATE OR REPLACE TEMPORARY FUNCTION kmv_jaccard(a ARRAY<BIGINT>, b ARRAY<BIGINT>, k INT)
+        RETURNS DOUBLE
+        RETURN CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                    WHEN size(kmv_union(a, b, k)) = 0 THEN NULL
+                    ELSE CAST(size(array_intersect(kmv_union(a, b, k),
+                                                   array_intersect(a, b))) AS DOUBLE)
+                         / CAST(size(kmv_union(a, b, k)) AS DOUBLE) END
+    """,
 }
 
 

@@ -154,3 +154,45 @@ def test_sql_sample_bucket_matches_python(spark):
         "id", F.pmod(fast_hash64(F.col("id"), 7), F.lit(1_000_000)).alias("b")
     )
     assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))
+
+
+def test_kmv_sql_surface_matches_python(spark):
+    """SQL kmv_hash60/kmv_estimate/kmv_union/kmv_jaccard reproduce the
+    functions.kmv results over the same built sketches."""
+    from hive_udf_spark.functions.kmv import kmv_estimate, kmv_jaccard, kmv_table
+
+    register_sql(spark)
+    df = spark.range(3000).selectExpr("CAST(id AS STRING) AS v", "id % 2 AS g")
+    sk = kmv_table(df, ["g"], "v", k=128, seed=7)
+    sk.createOrReplaceTempView("kmv_sketches")
+
+    # hash parity: SQL kmv_hash60 == portable_hash60
+    from hive_udf_spark.functions.hashing import portable_hash60
+
+    hp = df.limit(100).select(
+        portable_hash60(F.col("v"), 7).alias("py"),
+        F.expr("kmv_hash60(v, 7)").alias("sql"),
+    )
+    assert hp.filter("py != sql").count() == 0
+
+    rows = spark.sql(
+        """
+        SELECT g, kmv, kmv_estimate(kmv, 128) AS est_sql FROM kmv_sketches
+        """
+    ).collect()
+    py = {r["g"]: r["est_kmv"] for r in sk.collect()}
+    for r in rows:
+        assert r["est_sql"] == py[r["g"]]
+
+    pair = spark.sql(
+        """
+        SELECT kmv_estimate(kmv_union(a.kmv, b.kmv, 128), 128) AS u_est,
+               kmv_jaccard(a.kmv, b.kmv, 128) AS j
+        FROM (SELECT kmv FROM kmv_sketches WHERE g = 0) a,
+             (SELECT kmv FROM kmv_sketches WHERE g = 1) b
+        """
+    ).collect()[0]
+    both = kmv_table(df, [], "v", k=128, seed=7).collect()[0]["est_kmv"]
+    assert pair["u_est"] == both
+    # disjoint halves: jaccard estimate must be (near) zero
+    assert pair["j"] <= 0.05

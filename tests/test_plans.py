@@ -231,3 +231,52 @@ def test_decontam_corpus_side_never_shuffles_ngrams(spark, sf_dir):
     plan = plan_of(QUERIES["pipeline_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_filter_is_shuffle_free_projection(spark, sf_dir):
+    """The quality filter must be pure map-side work: no Exchange of any
+    kind in the plan — at 100 TB it runs at scan speed."""
+    from hive_udf_spark.functions.text import gopher_filter_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(gopher_filter_table(docs, "text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_table_shuffles_partials_not_values(spark, sf_dir):
+    """kmv_table's relational PARTIAL->FINAL: the partial bottom-k
+    aggregates on (group, partition id) BEFORE the exchange, so the
+    shuffle carries <=k-element arrays per (group, input partition), not
+    raw hashes. Assert a partial aggregate precedes the exchange and no
+    Python appears."""
+    from hive_udf_spark.functions.kmv import kmv_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(kmv_table(ev, ["event_type"], "user_id", k=64))
+    assert "Exchange" in plan
+    first_exchange = plan.index("Exchange")
+    assert "ObjectHashAggregate" in plan[:first_exchange] or "HashAggregate" in plan[:first_exchange]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
+    """probe_minhash_index: the candidate join's exchanges must carry
+    (id, band, bkey) rows only — token arrays and signatures may never
+    appear in an exchange's input schema."""
+    from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_minhash_index(corpus, "doc_id", "text", 16, hashed_tokens=True)
+    out = probe_minhash_index(
+        index, batch, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8,
+        hashed_tokens=True,
+    )
+    plan = plan_of(out)
+    # formatted explain lists each Exchange's child output columns in the
+    # operator details; token/sig payloads must not be among them
+    for section in plan.split("\n\n"):
+        if section.strip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section

@@ -28,6 +28,7 @@ def _prepare(spark: SparkSession) -> None:
     """Session prerequisites when the driver supplies its own session:
     nanos-timestamp parquet compat + package shipping for pandas UDFs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from hive_udf_spark.session import _ship_package
 

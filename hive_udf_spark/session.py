@@ -34,10 +34,16 @@ def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Corpus parquet carries TIMESTAMP(NANOS); Spark's vectorized reader
-        # rejects it. Read as long nanos; sources.tables converts to
-        # micro-truncated timestamps (same truncation DuckDB applies).
+        # Corpus parquet has carried TIMESTAMP(NANOS) in some generations;
+        # Spark's vectorized reader rejects it. Read as long nanos;
+        # sources.tables converts to micro-truncated timestamps (same
+        # truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Other generations write TIMESTAMP(MICROS, isAdjustedToUTC=false),
+        # which Spark 4 infers as TIMESTAMP_NTZ — breaking unix_micros &c.
+        # Read as session-tz TIMESTAMP (session tz is UTC, so wall-clock
+        # values are identical to DuckDB's naive timestamps).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Corpus generations that write TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # surface as TIMESTAMP_NTZ when the reading session didn't disable NTZ
+    # inference. Normalize to session-tz TIMESTAMP (session tz is UTC →
+    # identical wall-clock to DuckDB's naive timestamps) so every operator
+    # sees one timestamp type regardless of who built the session.
+    for c, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

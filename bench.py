@@ -105,9 +105,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             c.unpersist()
 
     def q_dedup_clusters():
+        # default mode (star since r4): the no-thought call is scale-safe
         from hive_udf_spark.operators.dedup import dedup_clusters
 
         _force(dedup_clusters(docs, "doc_id", "text", threshold=0.7, hashed_tokens=True))
+
+    def q_dedup_clusters_exact():
+        # opt-in quadratic regime, kept measured so the cost stays visible
+        from hive_udf_spark.operators.dedup import dedup_clusters
+
+        _force(
+            dedup_clusters(
+                docs, "doc_id", "text", threshold=0.7, hashed_tokens=True, mode="exact"
+            )
+        )
 
     def q_dedup_clusters_star():
         from hive_udf_spark.operators.dedup import dedup_clusters_star
@@ -280,6 +291,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "window_topk": q_window_topk,
         "minhash_lsh_dedup": q_minhash_lsh_fast,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
         "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_blocked": q_simhash_blocked_fast,
         "topk_dot_bruteforce": q_topk_dot,

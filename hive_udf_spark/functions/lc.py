@@ -160,6 +160,15 @@ def lc_agg(col: Column | str, size_bytes: int = 1_000_000) -> Column:
     cardinality is computed fully JVM-side (``lc_cardinality``); only the
     bitmap serialization crosses to Python, once per group. The binary
     field is re-aggregable via ``lc_merge_agg``.
+
+    SCALE NOTE: as a Column aggregate this carries
+    ``collect_set(bucket_id)`` (8 bytes per occupied bit) through the
+    shuffle — a 64× inflation over the bitmap it ends up serializing. At
+    a near-saturated default map (8M bits) that is ~64 MB per group.
+    Fine for the small-cardinality regime LC targets; for corpus-scale
+    grouped sketch tables use :func:`lc_table`, whose relational
+    PARTIAL→FINAL plan packs bits into words BEFORE the exchange and
+    never leaves the JVM.
     """
     c = F.col(col) if isinstance(col, str) else col
     est = lc_cardinality(c, size_bytes)
@@ -171,6 +180,95 @@ def lc_agg(col: Column | str, size_bytes: int = 1_000_000) -> Column:
         sketch_bytes.alias("binary"),
     )
     return F.when(F.count(c) > F.lit(0), struct).otherwise(F.lit(None)).alias("approx_distinct")
+
+
+def _word_le_hex(word: Column) -> Column:
+    """16 hex chars of a BIGINT in little-endian byte order (bitmap order:
+    byte k of word w is bitmap byte 8w+k, bit j of a byte is bucket bit j —
+    the same layout LCSketch.set_bucket writes)."""
+    h = F.lpad(F.hex(word), 16, "0")
+    # hex() is big-endian: chars [1..2] are byte 7, [15..16] are byte 0
+    return F.concat(*[F.substring(h, 15 - 2 * i, 2) for i in range(8)])
+
+
+def lc_table(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    size_bytes: int = 1_000_000,
+):
+    """Grouped LC facade as a relational PARTIAL→FINAL plan — the scale
+    path for persisting ``{type:'LC', cardinality, binary}`` sketch tables
+    (same Tier-B discipline as ``kmv.kmv_table``; word packing follows
+    ``bloom.bloom_build``).
+
+    Plan shape:
+      1. project ``(groups, bucket)`` — one row per input row, map-side;
+      2. ``groupBy(groups, bucket div 64).agg(bit_or(mask))`` — Catalyst's
+         partial aggregate ORs masks BEFORE the exchange, so the shuffle
+         carries at most m/64 packed-word rows per (group, map partition)
+         instead of 8 bytes per occupied bit (the 64× inflation of the
+         Column-form ``lc_agg``);
+      3. final per-group assembly: occupied = Σ bit_count(word) (exact),
+         estimate = −m·ln((m−occupied)/m) — identical to
+         ``lc_cardinality`` — and the dense serialized bitmap built
+         entirely from JVM expressions (hex/unhex; no Python worker
+         anywhere in the plan).
+
+    Groups whose values are all NULL produce no output row (the
+    relational analogue of the reference's NULL-for-empty-group,
+    UDAFCardinalityEstimator.java:329-331: the group simply has no
+    sketch).
+
+    Output: ``group_cols + [approx_distinct: struct{type, cardinality,
+    binary}]`` with bytes identical to ``LCSketch.to_bytes()``.
+    """
+    if size_bytes <= 0 or size_bytes % 8 != 0:
+        raise ValueError("size_bytes must be a positive multiple of 8 (whole 64-bit words)")
+    m = int(size_bytes) * 8
+    n_words = size_bytes // 8
+    gcols = [F.col(g) for g in group_cols]
+    buckets = df.select(
+        *gcols, lc_bucket(F.col(value_col), size_bytes).alias("__b")
+    ).filter(F.col("__b").isNotNull())
+    words = (
+        buckets.withColumn("__w", (F.col("__b") / 64).cast("long"))
+        .withColumn("__m", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__b % 64 AS INT))"))
+        .groupBy(*group_cols, "__w")
+        .agg(F.bit_or("__m").alias("__word"))
+    )
+    per_group = words.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("__word")).alias("__occupied"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__w", "__word")))
+        ).alias("__wm"),
+    )
+    est = F.when(
+        F.col("__occupied") >= F.lit(m), F.lit(m).cast("long")
+    ).otherwise(
+        F.round(
+            -F.lit(float(m))
+            * F.log((F.lit(m).cast("double") - F.col("__occupied")) / F.lit(float(m)))
+        ).cast("long")
+    )
+    header = _MAGIC + bytes([_VERSION]) + _struct.pack("<I", int(size_bytes))
+    dense_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: _word_le_hex(
+                F.coalesce(F.element_at(F.col("__wm"), i), F.lit(0).cast("long"))
+            ),
+        ),
+        "",
+    )
+    return per_group.select(
+        *group_cols,
+        F.struct(
+            F.lit("LC").alias("type"),
+            est.alias("cardinality"),
+            F.concat(F.lit(header), F.unhex(dense_hex)).alias("binary"),
+        ).alias("approx_distinct"),
+    )
 
 
 @F.pandas_udf(T.BinaryType())

@@ -439,28 +439,29 @@ def dedup_clusters(
     portable: bool = False,
     sig_prefilter_margin: float | None = 0.25,
     hashed_tokens: bool = False,
-    mode: str = "exact",
+    mode: str = "star",
     warn_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup dedup with linear output: (doc_id, cluster, is_canonical).
 
     One entry point, two cost regimes (``mode``):
 
+    * ``"star"`` (DEFAULT) — delegate to :func:`dedup_clusters_star`:
+      within each LSH bucket connect members only to the bucket minimum
+      (B−1 edges, each still exact-Jaccard verified). Linear candidate
+      volume — the 100 TB path for corpus-scale dedup; cluster recall is
+      approximate (pytest-measured ≥0.8 vs exact). The default is the
+      scale-safe regime: the no-thought call must survive a 100× corpus.
     * ``"exact"`` — MinHash→LSH→verify every candidate pair
       (near_dup_pairs) → connected components. Exact pair semantics, but a
       bucket of B near-identical docs contributes O(B²) candidates: on
       boilerplate-heavy corpora the candidate join dominates (measured
-      6.4M candidates from 5k docs). Right when pair-level fidelity
+      6.4M candidates from 5k docs). Opt in when pair-level fidelity
       matters more than cost.
-    * ``"star"`` — delegate to :func:`dedup_clusters_star`: within each
-      LSH bucket connect members only to the bucket minimum (B−1 edges,
-      each still exact-Jaccard verified). Linear candidate volume — the
-      100 TB default for corpus-scale dedup; cluster recall is
-      approximate (pytest-measured ≥0.8 vs exact).
 
     In ``"exact"`` mode a warning is logged when the verified edge list
     exceeds ``warn_edges`` — the signal that the corpus is in the regime
-    where ``mode="star"`` is the right call.
+    where the default ``mode="star"`` is the right call.
 
     The signature cache is scoped: materialized for the edge build, then
     unpersisted as soon as the edge list is checkpointed — nothing stays
@@ -477,6 +478,8 @@ def dedup_clusters(
             num_hashes=num_hashes,
             bands=bands,
             portable=portable,
+            sig_prefilter_margin=sig_prefilter_margin,
+            hashed_tokens=hashed_tokens,
         )
     caches: list[DataFrame] = []
     pairs = near_dup_pairs(
@@ -679,13 +682,16 @@ def dedup_clusters_star(
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
+    sig_prefilter_margin: float | None = None,
+    hashed_tokens: bool = False,
 ) -> DataFrame:
     """Approximate cluster dedup with O(bucket) edges — the 100 TB path.
 
-    ``dedup_clusters`` enumerates every verified pair: exact, but a bucket
-    of B near-identical documents contributes B² candidate pairs — on
-    boilerplate-heavy corpora the candidate join dwarfs everything else
-    (measured: 6.4M candidates from 5k docs on the test corpus).
+    ``dedup_clusters(mode="exact")`` enumerates every verified pair:
+    exact, but a bucket of B near-identical documents contributes B²
+    candidate pairs — on boilerplate-heavy corpora the candidate join
+    dwarfs everything else (measured: 6.4M candidates from 5k docs on the
+    test corpus).
 
     This variant applies the standard star reduction: within each LSH band
     bucket, connect members only to the bucket's minimum id — B−1 edges
@@ -693,17 +699,29 @@ def dedup_clusters_star(
     exact Jaccard ≥ threshold. Connectivity is preserved through bucket
     overlap, but a pair whose similarity routes only *through* an
     unverified hub may split — so cluster recall is approximate (measured
-    against the exact variant in tests/test_dedup_clusters.py). Use this
-    for corpus-scale dedup; use ``dedup_clusters`` when exact pair
-    semantics matter more than cost.
+    against the exact variant in tests/test_dedup_clusters.py). This is
+    the ``dedup_clusters`` default; opt into ``mode="exact"`` when exact
+    pair semantics matter more than cost.
+
+    ``sig_prefilter_margin`` / ``hashed_tokens`` carry the same semantics
+    as in :func:`near_dup_pairs` (signature-estimate prune before the
+    exact verify; 8-byte hashed shingles instead of strings) so the fast
+    paths requested through ``dedup_clusters(mode="star", ...)`` are
+    honored rather than silently dropped.
     """
     rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
         raise ValueError("num_hashes must equal bands * rows_per_band")
+    if hashed_tokens and portable:
+        raise ValueError("hashed_tokens is a fast-path option; portable mode keeps exact strings")
+    shingles = word_set(text_col)
+    if hashed_tokens:
+        # distinct is preserved under hashing (modulo 64-bit collisions)
+        shingles = F.transform(shingles, lambda t: F.xxhash64(t))
     with_sig = (
         docs.select(
             F.col(id_col).alias("__id"),
-            word_set(text_col).alias("__ws"),
+            shingles.alias("__ws"),
         )
         # empty word sets: undefined Jaccard + all-null signatures that
         # bucket together — excluded, as in near_dup_pairs
@@ -732,13 +750,27 @@ def dedup_clusters_star(
         .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verification of the (linear-sized) star edge set
-    toks = with_sig.select(F.col("__id"), F.col("__ws"))
+    # exact-Jaccard verification of the (linear-sized) star edge set; with
+    # a prefilter margin the signature rides along and prunes the payload
+    # join the same way near_dup_pairs does
+    need_sig = sig_prefilter_margin is not None
+    payload = [F.col("__ws")] + ([F.col("sig")] if need_sig else [])
+    side = with_sig.select(F.col("__id"), F.struct(*payload).alias("__pl"))
     joined = (
-        star.join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__ws", "__wsa"), "id_a")
-        .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__ws", "__wsb"), "id_b")
+        star.join(side.withColumnRenamed("__id", "id_a").withColumnRenamed("__pl", "__pa"), "id_a")
+        .join(side.withColumnRenamed("__id", "id_b").withColumnRenamed("__pl", "__pb"), "id_b")
     )
-    inter, union = jaccard_pair_stats(F.col("__wsa"), F.col("__wsb"))
+    if need_sig:
+        est_num = F.aggregate(
+            F.zip_with(
+                F.col("__pa.sig"), F.col("__pb.sig"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        cut_ppm = int(round((float(threshold) - float(sig_prefilter_margin)) * 1_000_000))
+        joined = joined.filter(est_num * F.lit(1_000_000) >= F.lit(cut_ppm * num_hashes))
+    inter, union = jaccard_pair_stats(F.col("__pa.__ws"), F.col("__pb.__ws"))
     edges = joined.select("id_a", "id_b", inter.alias("__i"), union.alias("__u")).filter(
         F.col("__i") * F.lit(1_000_000) >= F.lit(int(threshold * 1_000_000)) * F.col("__u")
     ).select("id_a", "id_b")

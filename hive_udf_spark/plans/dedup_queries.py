@@ -236,7 +236,13 @@ def dedup_clusters_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_clusters(
-        docs, "doc_id", "text", threshold=0.7, portable=True, sig_prefilter_margin=None
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.7,
+        portable=True,
+        sig_prefilter_margin=None,
+        mode="exact",  # the oracle mirrors the exact pair graph
     )
 
 

@@ -31,95 +31,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The round driver's correctness gate samples the FIRST 50 registry entries
-# (verified: CORRECTNESS_r02 is exactly the first 50 names in dict order).
-# With >50 registered queries, registration order decides which operators get
-# an auditable per-round row. This list curates the front of the dict:
-# every §2.1 reference-parity query (approx_distinct / sketch algebra), all
-# streaming / temporal / text / multimodal queries that had never been
-# sampled through round 2, then the queries whose implementation changed
-# this round (they need a fresh green row) and one flagship per family.
-# Unlisted queries keep registration order after these — all 82 still run
-# under scripts/check_oracle.py; this only chooses the driver's window.
-DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
-    # §2.1 reference parity — the reference's entire operator surface.
-    "approx_distinct_hll_global",
-    "approx_distinct_hll_grouped",
-    "approx_distinct_lc_grouped",
-    "approx_distinct_lc_two_phase",
-    "approx_distinct_tuple_grouped",
-    "sketch_rollup_daily_to_month",
-    "sketch_intersect_disjoint_segments",
-    "sketch_bloom_prefilter_join",
-    "approx_percentile_verdict",
-    # KMV bottom-k family (new in round 3 — estimates hash-matched exactly).
-    "approx_distinct_kmv_grouped",
-    "sketch_kmv_rollup_exact_merge",
-    "sketch_kmv_jaccard_segments",
-    # Streaming (never driver-sampled before round 3).
-    "streaming_window_event_stats",
-    "streaming_window_distinct_users",
-    "streaming_window_hopping",
-    "streaming_session_windows",
-    "streaming_dedup_exactly_once",
-    "streaming_stateful_running_distinct",
-    "streaming_stream_stream_join",
-    "streaming_incremental_sketch_table",
-    # Temporal (never driver-sampled before round 3).
-    "asof_latest_order_before_event",
-    "asof_prev_event_gap",
-    "asof_next_event_within_hour",
-    "range_join_events_next_hour",
-    "timeseries_gapfill_hourly",
-    # Text + multimodal (never driver-sampled before round 3).
-    "text_quality_scores",
-    "text_token_stats_by_lang",
-    "text_lang_id",
-    "text_fingerprint_whitespace_invariance",
-    "text_bpeish_token_counts",
-    "text_top_distinctive_terms",
-    "text_pii_redaction",
-    "multimodal_blob_features",
-    "multimodal_join_text_vector_events",
-    "multimodal_real_decode",
-    # ANN variant cut off at slot 50 in round 2.
-    "similarity_ann_pq",
-    # Oracle typing fixed this round — need a green driver row.
-    "tpch_q12ish_priority_by_linestatus",
-    "tpch_q15ish_top_supplier",
-    # Implementation touched this round (incl. the new auto-shard pack).
-    "pipeline_pack_documents",
-    "pipeline_pack_documents_auto",
-    "pipeline_chunk_documents",
-    "freq_top_tokens",
-    "dedup_clusters_linear",
-    "dedup_clusters_star",
-    "similarity_ann_lsh",
-    # New operators this round — first driver row needed.
-    "tpch_q11ish_important_part_values",
-    "text_gopher_quality_filter",
-    "dedup_incremental_minhash",
-    # Flagships / hardest shapes (r2-green entries beyond these yielded
-    # their slots to the round-3 additions).
-    "dedup_minhash_lsh",
-    "tpch_q21ish_sole_returned_supplier",
-)
-
-
-def _ordered_names() -> list[str]:
-    rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_ORDER)}
-    names = list(QUERIES)
-    order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (rank.get(n, len(rank)), order[n]))
+# The registry is exposed in natural registration order. The round driver
+# samples a window of it; rather than curating which queries land in that
+# window (round-3's DRIVER_SAMPLE_ORDER, removed on advisor direction), the
+# FULL registry is verified every round by scripts/check_oracle.py and the
+# results are committed as ORACLE_FULL_r{N}.json so every query stays
+# externally auditable regardless of the driver's sampling.
 
 
 def queries_map() -> dict[str, QueryFn]:
-    return {name: QUERIES[name].fn for name in _ordered_names()}
+    return {name: spec.fn for name, spec in QUERIES.items()}
 
 
 def oracle_sql_map() -> dict[str, str]:
     return {
-        name: QUERIES[name].oracle
-        for name in _ordered_names()
-        if QUERIES[name].oracle is not None
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }

@@ -85,6 +85,42 @@ def approx_distinct_lc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_lc_struct_grouped",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+           true AS within_bounds,
+           65545 AS binary_len,
+           true AS magic_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_lc_struct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LC struct facade via the relational PARTIAL→FINAL ``lc_table``
+    (r4): packed words cross the shuffle (bit_or before the exchange —
+    1 bit per bucket, not collect_set's 8 bytes), and the serialized
+    bitmap {magic,version,size,bits} is assembled from JVM expressions —
+    no Python worker in the plan (asserted in tests/test_plans.py).
+    Verdict: estimate within bounds + serialized header well-formed."""
+    from hive_udf_spark.functions.lc import lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=65536)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    s = F.col("approx_distinct")
+    return sketches.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        _within(s.getField("cardinality"), F.col("n_exact"), _LC_REL_BOUND),
+        F.length(s.getField("binary")).alias("binary_len"),
+        (F.hex(F.substring(s.getField("binary"), 1, 5)) == F.lit("53474C4301")).alias(
+            "magic_ok"
+        ),
+    )
+
+
+@register(
     "sketch_rollup_daily_to_month",
     oracle="""
     SELECT date_trunc('month', ts) AS month,

@@ -60,6 +60,9 @@ def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | 
     return spark
 
 
+_SHIPPED_APP_IDS: set[str] = set()
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make hive_udf_spark importable on executors regardless of cwd.
 
@@ -67,11 +70,21 @@ def _ship_package(spark: SparkSession) -> None:
     serializes them by reference, so workers must be able to import it.
     Zipping the package and ``addPyFile``-ing it is the same mechanism as
     ``spark-submit --py-files`` on a real cluster.
+
+    Idempotent per SparkContext: addPyFile is keyed by file NAME, so
+    shipping a freshly built zip twice into one context makes executors
+    reject the second copy ("exists and does not match") whenever the
+    package source changed between the two calls — every task needing a
+    Python worker then fails. Ship exactly once per application.
     """
     import shutil
     import tempfile
 
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_base = os.path.join(tempfile.mkdtemp(prefix="hive_udf_spark_"), "hive_udf_spark")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APP_IDS.add(app_id)

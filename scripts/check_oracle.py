@@ -70,6 +70,12 @@ def main() -> int:
         help="coerce DuckDB HUGEINT/Decimal and align int-vs-float dtype "
         "splits (hides typing mismatches the round driver would fail)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query results to this JSON file (committed per round "
+        "as ORACLE_FULL_r{N}.json so the full registry stays auditable)",
+    )
     args = ap.parse_args()
 
     def selected(name: str) -> bool:
@@ -92,27 +98,42 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     n_run = 0
     for name, fn in qs.items():
         if not selected(name):
             continue
         n_run += 1
         t0 = time.time()
+        rec = results[name] = {
+            "match": False,
+            "mode": "oracle" if name in oracles else "rows_only",
+            "spark_rows": None,
+            "seconds": None,
+            "err": None,
+        }
         try:
             got = fn(spark, args.sf).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            rec["err"] = f"spark: {ex}"
             failures.append(name)
             continue
+        rec["spark_rows"] = len(got)
+        rec["seconds"] = round(time.time() - t0, 2)
         if name not in oracles:
             print(f"ROWS  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
             if len(got) == 0:
+                rec["err"] = "0 rows"
                 failures.append(name)
+            else:
+                rec["match"] = True
             continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            rec["err"] = f"duckdb: {ex}"
             failures.append(name)
             continue
         g, w = _canon(got, args.lenient), _canon(want, args.lenient)
@@ -126,9 +147,11 @@ def main() -> int:
                     w[c] = np.round(w[c].astype("float64"), 6)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            rec["err"] = f"columns {list(g.columns)} != {list(w.columns)}"
             failures.append(name)
         elif len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            rec["err"] = f"rows {len(g)} != {len(w)}"
             failures.append(name)
         elif not g.equals(w):
             diff = (g != w) & ~(g.isna() & w.isna())
@@ -137,11 +160,28 @@ def main() -> int:
             idx = diff.any(axis=1)
             print("  spark:", g[idx].head(3).to_dict("records"))
             print("  duckdb:", w[idx].head(3).to_dict("records"))
+            rec["err"] = f"{ncell} mismatched cells"
             failures.append(name)
         else:
             print(f"OK    {name}: {len(g)} rows [{time.time()-t0:.1f}s]")
+            rec["match"] = True
 
     print(f"\n{n_run - len(failures)}/{n_run} queries match")
+    if args.json:
+        import json
+
+        payload = {
+            "sf": args.sf,
+            "lenient": args.lenient,
+            "n_run": n_run,
+            "n_match": n_run - len(failures),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 

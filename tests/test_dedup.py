@@ -119,7 +119,7 @@ def test_dedup_clusters_leave_no_cached_frames(spark, sf_dir):
     from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
 
     docs = load_table(spark, sf_dir, "documents").limit(100)
-    dedup_clusters(docs, "doc_id", "text", threshold=0.7).collect()
+    dedup_clusters(docs, "doc_id", "text", threshold=0.7, mode="exact").collect()
     dedup_clusters_star(docs, "doc_id", "text", threshold=0.7).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 

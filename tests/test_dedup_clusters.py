@@ -48,7 +48,7 @@ def test_connected_components_matches_union_find(spark):
 
 def test_dedup_clusters_on_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    clusters = dedup_clusters(docs, "doc_id", "text", threshold=0.6)
+    clusters = dedup_clusters(docs, "doc_id", "text", threshold=0.6, mode="exact")
     rows = clusters.collect()
     assert len(rows) == docs.count()  # linear output: one row per doc
     by_id = {r.doc_id: r for r in rows}
@@ -81,7 +81,10 @@ def test_dedup_clusters_star_close_to_exact(spark, sf_dir):
     from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = {r.doc_id: r.cluster for r in dedup_clusters(docs, "doc_id", "text", 0.7).collect()}
+    exact = {
+        r.doc_id: r.cluster
+        for r in dedup_clusters(docs, "doc_id", "text", 0.7, mode="exact").collect()
+    }
     star = {r.doc_id: r.cluster for r in dedup_clusters_star(docs, "doc_id", "text", 0.7).collect()}
     assert set(exact) == set(star)
 
@@ -113,11 +116,32 @@ def test_dedup_clusters_mode_dispatch(spark, sf_dir):
     from hive_udf_spark.operators.dedup import dedup_clusters, dedup_clusters_star
 
     docs = load_table(spark, sf_dir, "documents").limit(120)
-    via_mode = sorted(map(tuple, dedup_clusters(docs, "doc_id", "text", 0.7, mode="star").collect()))
+    via_mode = sorted(
+        map(
+            tuple,
+            dedup_clusters(
+                docs, "doc_id", "text", 0.7, mode="star", sig_prefilter_margin=None
+            ).collect(),
+        )
+    )
     direct = sorted(map(tuple, dedup_clusters_star(docs, "doc_id", "text", 0.7).collect()))
     assert via_mode == direct
+    # star mode honors the fast-path kwargs instead of silently dropping
+    # them: hashed-token star produces the same partition on this corpus
+    hashed = sorted(
+        map(
+            tuple,
+            dedup_clusters(
+                docs, "doc_id", "text", 0.7, mode="star", hashed_tokens=True,
+                sig_prefilter_margin=0.25,
+            ).collect(),
+        )
+    )
+    assert {t[0] for t in hashed} == {t[0] for t in direct}
     with _pytest.raises(ValueError):
         dedup_clusters(docs, "doc_id", "text", mode="fast")
+    with _pytest.raises(ValueError):
+        dedup_clusters_star(docs, "doc_id", "text", 0.7, portable=True, hashed_tokens=True)
 
 
 def test_distributed_and_driver_cc_paths_agree(spark, sf_dir):

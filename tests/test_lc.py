@@ -93,6 +93,49 @@ def test_lc_estimate_bytes_scalar(spark):
     assert got == sk.estimate()
 
 
+def test_lc_table_bytes_exact_vs_python_sketch(spark, sf_dir):
+    """The relational facade's serialized bitmap is byte-identical to
+    LCSketch (same layout, header, and estimate), and its binaries merge
+    through the existing lc_merge_agg path."""
+    from hive_udf_spark.functions.lc import lc_bucket, lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = {
+        r[0]: r.approx_distinct
+        for r in lc_table(orders, ["o_orderpriority"], "o_custkey", 4096).collect()
+    }
+    truth: dict[str, LCSketch] = {}
+    for r in orders.select(
+        "o_orderpriority", lc_bucket(F.col("o_custkey"), 4096).alias("b")
+    ).collect():
+        truth.setdefault(r.o_orderpriority, LCSketch(4096)).set_bucket(r.b)
+    assert set(out) == set(truth)
+    for k, s in out.items():
+        assert s.type == "LC"
+        assert bytes(s.binary) == truth[k].to_bytes()
+        assert s.cardinality == truth[k].estimate()
+    # binaries are first-class sketches: OR-merge across groups ≡ global
+    merged = (
+        lc_table(orders, ["o_orderpriority"], "o_custkey", 4096)
+        .agg(lc_merge_agg(F.col("approx_distinct.binary")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    global_direct = lc_table(
+        orders.withColumn("__g", F.lit(1)), ["__g"], "o_custkey", 4096
+    ).collect()[0].approx_distinct
+    assert merged.cardinality == global_direct.cardinality
+    assert bytes(merged.binary) == bytes(global_direct.binary)
+
+
+def test_lc_table_validates_size(spark, sf_dir):
+    from hive_udf_spark.functions.lc import lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=100)
+
+
 def test_lc_two_phase_matches_jvm_lc(spark, sf_dir):
     """Tier C' (mapInPandas partials -> merge agg) computes the IDENTICAL
     estimate to the pure-JVM lc_cardinality — same buckets, same bitmap,

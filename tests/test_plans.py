@@ -260,10 +260,32 @@ def test_kmv_table_shuffles_partials_not_values(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_lc_table_packs_words_before_exchange_no_python(spark, sf_dir):
+    """lc_table (the LC struct facade's scale path): the bit_or word
+    packing must run as a partial aggregate BEFORE the first exchange —
+    the shuffle carries (group, word, packed bits), 1 bit per bucket, not
+    collect_set's 8 bytes per bucket — and the whole plan (including
+    bitmap serialization) stays JVM-side."""
+    from hive_udf_spark.functions.lc import lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = plan_of(lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=8192))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the word-packing bit_or runs in PARTIAL mode (map-side, before its
+    # exchange) — the formatted details name partial agg functions as
+    # partial_<fn>
+    assert "partial_bit_or" in plan
+    assert "collect_set" not in plan
+
+
 def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
-    """probe_minhash_index: the candidate join's exchanges must carry
-    (id, band, bkey) rows only — token arrays and signatures may never
-    appear in an exchange's input schema."""
+    """probe_minhash_index: the candidate join's SHUFFLE exchanges must
+    carry (id, band, bkey) rows only — token arrays and signatures may
+    never ride a hash-partitioned exchange. A BroadcastExchange of the
+    small batch side MAY carry its tokens: broadcast is size-gated
+    (spark.sql.autoBroadcastJoinThreshold), so at scale Spark falls back
+    to the shuffle plan this test pins, and at small batch sizes shipping
+    the payload once per executor is the correct plan."""
     from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
 
     docs = load_table(spark, sf_dir, "documents")
@@ -276,7 +298,17 @@ def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
     )
     plan = plan_of(out)
     # formatted explain lists each Exchange's child output columns in the
-    # operator details; token/sig payloads must not be among them
-    for section in plan.split("\n\n"):
-        if section.strip().startswith("(") and "Exchange" in section.splitlines()[0]:
-            assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section
+    # operator details; token/sig payloads must not be among them for
+    # shuffle (hashpartitioning) exchanges. Broadcast exchanges are exempt
+    # (see docstring).
+    shuffle_sections = [
+        s
+        for s in plan.split("\n\n")
+        if s.strip().startswith("(")
+        and "Exchange" in s.splitlines()[0]
+        and "Broadcast" not in s.splitlines()[0]
+        and "hashpartitioning" in s
+    ]
+    assert shuffle_sections, "expected at least one shuffle exchange in the probe plan"
+    for section in shuffle_sections:
+        assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section

@@ -19,4 +19,5 @@ Design tiers (SURVEY.md §3):
 
 __version__ = "0.1.0"
 
+from hive_udf_spark.functions.sql_registry import sql  # noqa: F401
 from hive_udf_spark.session import get_spark  # noqa: F401

@@ -26,4 +26,7 @@ from hive_udf_spark.functions.kmv import (  # noqa: F401
     kmv_table,
     kmv_union,
 )
-from hive_udf_spark.functions.sql_registry import register_sql  # noqa: F401
+from hive_udf_spark.functions.sql_registry import (  # noqa: F401
+    expand_approx_distinct,
+    register_sql,
+)

@@ -203,3 +203,116 @@ def register_sql(spark: SparkSession) -> None:
     """
     for ddl in _SQL_FUNCTIONS.values():
         spark.sql(ddl)
+
+
+# ---------------------------------------------------------------------------
+# One-name SQL aggregate: the reference's exact UX,
+#   SELECT approx_distinct(values) FROM src
+# (UDAFCardinalityEstimator.java:66-68). Spark SQL UDFs cannot declare
+# aggregates, so the one-name form is provided as a macro expansion over
+# the registered JVM surface: approx_distinct(x[, 'hll'[, b]]) rewrites to
+# sketch_struct(hll_sketch_agg(x, b)) BEFORE parsing — the executed plan
+# is the native Tier-A aggregate (partial+final ObjectHashAggregate), not
+# a Python UDAF. Re-aggregation of stored sketches stays the documented
+# composed form sketch_struct(hll_union_agg(s.binary)).
+# ---------------------------------------------------------------------------
+
+_HLL_DEFAULT_B = 16
+
+
+def _split_top_level_args(argstr: str) -> list[str]:
+    out, depth, cur, quote = [], 0, [], None
+    for ch in argstr:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or out:
+        out.append("".join(cur).strip())
+    return out
+
+
+def expand_approx_distinct(query: str) -> str:
+    """Rewrite every top-level ``approx_distinct(...)`` call in ``query``
+    into the composed JVM aggregate, mirroring the reference's parameter
+    contract ``(x[, type[, precision]])`` with type defaulting to 'hll'
+    and b (lgConfigK) to 16 (UDAFCardinalityEstimator.java:89, :100-148).
+
+    'lc' mode is rejected here: an LC bitmap cannot be assembled by a
+    scalar macro — use functions.lc.lc_table (relational facade) or the
+    registered lc_bucket/lc_estimate SQL pair for the estimate.
+    """
+    import re
+
+    out, pos = [], 0
+    pat = re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(query, pos)
+        if not m:
+            out.append(query[pos:])
+            return "".join(out)
+        out.append(query[pos : m.start()])
+        # find the balanced close paren (quote-aware)
+        depth, i, quote = 1, m.end(), None
+        while i < len(query) and depth:
+            ch = query[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in approx_distinct(...) call")
+        args = _split_top_level_args(query[m.end() : i - 1])
+        if not 1 <= len(args) <= 3:
+            raise ValueError(
+                f"approx_distinct takes (x[, type[, precision]]), got {len(args)} args"
+            )
+        x = args[0]
+        kind = "hll"
+        if len(args) >= 2:
+            k = args[1].strip().strip("'\"").lower()
+            if k not in ("hll", "lc"):
+                raise ValueError(f"approx_distinct type must be 'hll' or 'lc', got {args[1]!r}")
+            kind = k
+        if kind == "lc":
+            raise ValueError(
+                "approx_distinct(..., 'lc') has no scalar-macro form: build LC "
+                "sketch tables with hive_udf_spark.functions.lc.lc_table, or "
+                "compose lc_estimate(count(DISTINCT lc_bucket(x, m)), m) in SQL"
+            )
+        b = int(args[2]) if len(args) == 3 else _HLL_DEFAULT_B
+        out.append(f"sketch_struct(hll_sketch_agg({x}, {b}))")
+        pos = i
+
+
+def sql(spark: SparkSession, query: str):
+    """``spark.sql`` with the reference's one-name aggregate available:
+
+        hive_udf_spark.sql(spark, "SELECT approx_distinct(values) FROM src")
+
+    Registers the SQL function surface, expands approx_distinct calls to
+    the native composed aggregate, and executes. The resulting plan is
+    pure Tier A (no Python)."""
+    register_sql(spark)
+    return spark.sql(expand_approx_distinct(query))

@@ -85,6 +85,36 @@ def approx_distinct_lc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_sql_one_name",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, true AS within_bounds
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_sql_one_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact SQL UX — ``SELECT approx_distinct(values)
+    FROM src`` (UDAFCardinalityEstimator.java:66-68) — through the
+    one-name macro surface (hive_udf_spark.sql): the call expands to the
+    composed native aggregate before parsing, so the executed plan is
+    Tier A (partial+final ObjectHashAggregate, zero Python)."""
+    import hive_udf_spark as hus
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    got = hus.sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_exact,
+               approx_distinct(o_custkey) AS s
+        FROM orders_v GROUP BY o_orderpriority
+        """,
+    )
+    return got.select(
+        "o_orderpriority", "n_exact", _within(F.col("s.cardinality"), F.col("n_exact"), _HLL_REL_BOUND)
+    )
+
+
+@register(
     "approx_distinct_lc_struct_grouped",
     oracle="""
     SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,

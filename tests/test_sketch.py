@@ -289,3 +289,129 @@ def test_difference_estimate_disjoint_and_subset(spark):
         "hll_sketch_agg(id) FILTER (WHERE id >= 400)) AS d FROM range(1000)"
     ).first()
     assert abs(sql.d - 400) <= 400 * 0.05
+
+
+def test_expand_approx_distinct_macro():
+    """One-name SQL aggregate (reference UX, UDAFCardinalityEstimator.java
+    :66-68): macro expansion into the composed Tier-A aggregate."""
+    from hive_udf_spark.functions import expand_approx_distinct as ex
+
+    assert (
+        ex("SELECT approx_distinct(values) FROM src")
+        == "SELECT sketch_struct(hll_sketch_agg(values, 16)) FROM src"
+    )
+    # explicit type + precision; case-insensitive name; nested call args
+    assert (
+        ex("SELECT APPROX_DISTINCT(coalesce(a, b), 'hll', 12) AS s FROM t")
+        == "SELECT sketch_struct(hll_sketch_agg(coalesce(a, b), 12)) AS s FROM t"
+    )
+    # a comma inside nested parens is not an argument separator
+    assert (
+        ex("SELECT approx_distinct(concat(a, ',', b)) FROM t")
+        == "SELECT sketch_struct(hll_sketch_agg(concat(a, ',', b), 16)) FROM t"
+    )
+    # multiple calls in one statement
+    out = ex("SELECT approx_distinct(x), approx_distinct(y, 'hll', 8) FROM t")
+    assert out == (
+        "SELECT sketch_struct(hll_sketch_agg(x, 16)), "
+        "sketch_struct(hll_sketch_agg(y, 8)) FROM t"
+    )
+    # statements without the call pass through untouched
+    assert ex("SELECT count(*) FROM t") == "SELECT count(*) FROM t"
+    with pytest.raises(ValueError, match="'lc'"):
+        ex("SELECT approx_distinct(x, 'lc') FROM t")
+    with pytest.raises(ValueError, match="type must be"):
+        ex("SELECT approx_distinct(x, 'cms') FROM t")
+    with pytest.raises(ValueError, match="args"):
+        ex("SELECT approx_distinct(x, 'hll', 12, 9) FROM t")
+
+
+def test_one_name_sql_runs_tier_a(spark, sf_dir):
+    """hive_udf_spark.sql executes the reference's one-name form with a
+    native (Python-free) aggregate plan and a sketch mergeable with the
+    DataFrame-API surface."""
+    import hive_udf_spark as hus
+    from hive_udf_spark.functions import approx_distinct as ad
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_one_name")
+    df = hus.sql(
+        spark,
+        "SELECT o_orderpriority, approx_distinct(o_custkey) AS s "
+        "FROM t_one_name GROUP BY o_orderpriority",
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.o_orderpriority: r.s for r in df.collect()}
+    direct = {
+        r.o_orderpriority: r.s
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(ad("o_custkey").alias("s"))
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for k in rows:
+        assert rows[k].type == direct[k].type == "HLL"
+        assert rows[k].cardinality == direct[k].cardinality
+        assert bytes(rows[k].binary) == bytes(direct[k].binary)
+
+
+def test_hll_estimator_policy_divergence_pinned(spark):
+    """Estimate-policy parity bound (SURVEY.md §6): the reference computes
+    HLL estimates with long-range correction DISABLED
+    (UDAFCardinalityEstimator.java:335-337 — cardinality(false)); our
+    Tier A rides DataSketches' estimator instead (documented departure,
+    functions/sketch.py). This pins how far the two policies diverge at
+    high cardinality: at n = 10^7 with b=16, both the DataSketches
+    estimate and a faithful classic-Flajolet estimator with the
+    reference's policy (small-range linear-counting correction only, no
+    long-range term) must sit within 2*RSE of truth — hence within 4*RSE
+    of each other. RSE(b=16) = 1.04/sqrt(2^16) ~ 0.41%.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as FF
+
+    n = 10_000_000
+    b = 16
+    m = 1 << b
+    rse = 1.04 / math.sqrt(m)
+
+    # --- reference-policy estimator over an ideal 64-bit hash ----------
+    # n distinct values through a uniform hash are n uniform 64-bit
+    # words; registers are the max rank per bucket (classic HLL).
+    rng = np.random.default_rng(20260813)
+    h = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    suffix = h & np.uint64((1 << (64 - b)) - 1)
+    # rank = position of the leftmost 1-bit in the (64-b)-bit suffix,
+    # counting from 1; all-zero suffix -> (64-b)+1
+    bits = np.zeros(n, dtype=np.int64)
+    nz = suffix > 0
+    bits[nz] = np.floor(np.log2(suffix[nz].astype(np.float64))).astype(np.int64) + 1
+    rank = (64 - b) - bits + 1
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:  # small-range correction
+        ref_est = m * math.log(m / zeros)
+    else:  # NO long-range correction — the reference's cardinality(false)
+        ref_est = raw
+    assert abs(ref_est - n) / n < 2 * rse, f"reference-policy estimate off: {ref_est}"
+
+    # --- our Tier A (DataSketches) over n true distinct values ---------
+    ds_est = (
+        spark.range(n)
+        .agg(FF.hll_sketch_estimate(FF.hll_sketch_agg("id", FF.lit(b))).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(ds_est - n) / n < 2 * rse, f"DataSketches estimate off: {ds_est}"
+    # divergence between the two policies is bounded by the triangle
+    # inequality; assert it directly as the documented bound
+    assert abs(ds_est - ref_est) / n < 4 * rse

@@ -12,9 +12,14 @@ Three tiers:
   accuracy-tested against numpy in tests, not oracle-hashed (float ranks
   are not portable across engines).
 * ``ann_hyperplane_lsh`` — random-hyperplane LSH: sign-bit signatures
-  (one Arrow-batched numpy matmul per batch — the justified pandas-UDF
-  case), banded bucket join for candidates, exact cosine re-rank.
-  Approximate; recall is measured in tests against brute force.
+  as a single parsed JVM expression over a literal hyperplane matrix,
+  banded bucket join for candidates, exact cosine re-rank. Approximate;
+  recall is measured in tests against brute force.
+
+As of round 4 NO operator in this module has a Python stage: hyperplane
+signatures, IVF assignment/probing, and PQ encode/LUT all compile to
+literal-matrix transform/aggregate expressions (numpy appears only in
+driver-side training of centroids/codebooks on bounded samples).
 
 At 100 TB: the corpus side stays partitioned; the query side is small and
 broadcast. LSH bucket joins shuffle (band, bucket) keys only. For IVF-style
@@ -24,10 +29,8 @@ sharding, partition the corpus by bucket prefix so probes prune partitions.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 DEFAULT_QUANT_SCALE = 1000
 
@@ -63,12 +66,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _two_phase_topk(scored: DataFrame, query_key: str, order_cols: list[Column], k: int) -> DataFrame:
-    """Partition-local top-k then global top-k: the shuffle after phase 1
-    carries ≤ k rows per (query, input-partition) instead of the corpus."""
-    local_w = Window.partitionBy(query_key, F.spark_partition_id()).orderBy(*order_cols)
-    pruned = scored.withColumn("__lrn", F.row_number().over(local_w)).filter(F.col("__lrn") <= k)
-    final_w = Window.partitionBy(query_key).orderBy(*order_cols)
-    return pruned.withColumn("rank", F.row_number().over(final_w)).filter(F.col("rank") <= k).drop("__lrn")
+    """Two-phase top-k per query: ≤ k rows per (query, input partition)
+    cross the shuffle, never the scored corpus.
+
+    On Spark 4 a single rank-filtered window IS the two-phase plan:
+    the optimizer inserts WindowGroupLimit in Partial mode before the
+    exchange and Final mode after (plan-asserted in tests/test_plans.py),
+    the exact analogue of partial aggregation for rank pruning. The
+    r1-r3 formulation built the partial phase by hand with a second
+    window over (query, spark_partition_id()) — one extra full sort and
+    shuffle of the whole scored stream that the native group-limit makes
+    redundant (measured ~1.4 s of the ann_pq critical path at sf0.1)."""
+    w = Window.partitionBy(query_key).orderBy(*order_cols)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def topk_dot_quantized(
@@ -281,17 +291,71 @@ def embedding_near_pairs_lsh(
     )
 
 
-def _signature_udf(planes: np.ndarray):
+# ---------------------------------------------------------------------------
+# Literal-matrix JVM expression builders (the single-parsed-SQL-expr trick):
+# constants (hyperplanes, centroids, codebooks) become ONE literal
+# array-of-arrays inside a transform/aggregate lambda, so per-row math runs
+# entirely in codegen'd JVM expressions — no Python worker in the plan, no
+# per-session Arrow/worker spin-up, and only O(1) parsed expressions
+# regardless of matrix size (vs thousands of py4j-built Column objects).
+# ---------------------------------------------------------------------------
+
+
+def _dvec_sql(row) -> str:
+    # string→double cast: Double.parseDouble round-trips repr(float) exactly
+    return "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row) + ")"
+
+
+def _dmat_sql(M) -> str:
+    return "array(" + ", ".join(_dvec_sql(r) for r in M) + ")"
+
+
+def _dots_sql(vec_sql: str, mat_sql: str) -> str:
+    """array<double>: inner product of ``vec_sql`` with every row of the
+    literal matrix."""
+    return (
+        f"transform({mat_sql}, __p -> aggregate(zip_with({vec_sql}, __p, "
+        f"(__x, __y) -> __x * __y), CAST(0 AS DOUBLE), (__a, __x) -> __a + __x))"
+    )
+
+
+def _argbest_sql(arr_sql: str, n: int, minimize: bool = False) -> str:
+    """INT index of the max (or min) element — first occurrence on ties,
+    matching np.argmax/argmin — in one fold over the array."""
+    cmp = "<" if minimize else ">"
+    init = "'Infinity'" if minimize else "'-Infinity'"
+    return (
+        f"aggregate(zip_with({arr_sql}, sequence(0, {n - 1}), "
+        f"(__d, __i) -> named_struct('d', __d, 'i', __i)), "
+        f"named_struct('d', CAST({init} AS DOUBLE), 'i', -1), "
+        f"(__acc, __x) -> IF(__x.d {cmp} __acc.d, __x, __acc)).i"
+    )
+
+
+def _topn_idx_sql(arr_sql: str, n: int, topn: int) -> str:
+    """array<int>: indices of the ``topn`` largest elements, ties broken by
+    lower index (np.argsort(-arr) order)."""
+    pairs = (
+        f"zip_with({arr_sql}, sequence(0, {n - 1}), "
+        f"(__d, __i) -> named_struct('d', __d, 'i', __i))"
+    )
+    sorted_ = (
+        f"array_sort({pairs}, (l, r) -> CASE WHEN l.d > r.d THEN -1 "
+        f"WHEN l.d < r.d THEN 1 WHEN l.i < r.i THEN -1 WHEN l.i > r.i THEN 1 "
+        f"ELSE 0 END)"
+    )
+    return f"transform(slice({sorted_}, 1, {topn}), __s -> CAST(__s.i AS INT))"
+
+
+def _signature_expr(planes: np.ndarray, vec_col: str) -> Column:
+    """Hyperplane sign-bit signature packed into a BIGINT, all JVM."""
     nbits = planes.shape[0]
-    weights = (1 << np.arange(nbits, dtype=np.int64))
-
-    @F.pandas_udf(T.LongType())
-    def sig(embs: pd.Series) -> pd.Series:
-        M = np.asarray(embs.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (M @ planes.T) > 0  # (batch, nbits)
-        return pd.Series(bits.astype(np.int64) @ weights)
-
-    return sig
+    dots = _dots_sql(f"`{vec_col}`", _dmat_sql(planes))
+    return F.expr(
+        f"aggregate(zip_with({dots}, sequence(0, {nbits - 1}), "
+        f"(__d, __j) -> IF(__d > 0, shiftleft(CAST(1 AS BIGINT), CAST(__j AS INT)), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (__a, __x) -> __a + __x)"
+    )
 
 
 def ann_hyperplane_lsh(
@@ -307,10 +371,14 @@ def ann_hyperplane_lsh(
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via hyperplane-LSH banding.
 
-    Signature = nbits sign bits (one numpy matmul per Arrow batch);
-    candidates collide in ≥1 of `bands` bit-bands; exact cosine re-ranks.
-    Returns (query_id, neighbor_id, cos_sim, rank). Tune nbits/bands for
-    the recall/cost point; recall is measured in tests.
+    Signature = nbits sign bits, computed by a single parsed JVM
+    expression over a literal hyperplane matrix (r4: replaced the
+    pandas-UDF matmul — the plan now has NO Python stage, so the
+    per-session Arrow-worker spin-up the round-3 bench attributed to
+    this operator is gone); candidates collide in ≥1 of `bands`
+    bit-bands; exact cosine re-ranks. Returns (query_id, neighbor_id,
+    cos_sim, rank). Tune nbits/bands for the recall/cost point; recall
+    is measured in tests.
 
     Shuffle discipline: the band explode and the candidate ``distinct``
     carry (id, band, bkey) rows ONLY — never embeddings. Vectors join
@@ -326,10 +394,10 @@ def ann_hyperplane_lsh(
     band_bits = nbits // bands
     mask = (1 << band_bits) - 1
     planes = hyperplanes(dim, nbits, seed)
-    sig = _signature_udf(planes)
+    sig = _signature_expr(planes, vec_col)
 
     def band_keys(df: DataFrame, role: str) -> DataFrame:
-        s = df.select(F.col(id_col).alias(f"{role}_id"), sig(F.col(vec_col)).alias("__sig"))
+        s = df.select(F.col(id_col).alias(f"{role}_id"), sig.alias("__sig"))
         return (
             s.select(
                 f"{role}_id",
@@ -485,18 +553,19 @@ def kmeans_centroids(
     return C
 
 
-def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
-    """pandas UDF: top-nprobe centroid ids per vector (cosine argmax)."""
+def _ivf_cell_expr(centroids: np.ndarray, vec_col: str) -> Column:
+    """INT nearest-centroid id, all JVM. Centroids are unit rows (spherical
+    k-means), so argmax of the raw dot product equals argmax of cosine —
+    no per-row normalization needed."""
+    dots = _dots_sql(f"`{vec_col}`", _dmat_sql(centroids))
+    return F.expr(f"CAST({_argbest_sql(dots, len(centroids))} AS INT)")
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe(embs: pd.Series) -> pd.Series:
-        M = np.asarray(embs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ centroids.T  # (batch, K)
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(top))
 
-    return probe
+def _ivf_probe_expr(centroids: np.ndarray, vec_col: str, nprobe: int) -> Column:
+    """array<int> of the nprobe nearest centroid ids (cosine order, ties
+    to lower id — np.argsort(-sims) order), all JVM."""
+    dots = _dots_sql(f"`{vec_col}`", _dmat_sql(centroids))
+    return F.expr(_topn_idx_sql(dots, len(centroids), nprobe))
 
 
 def ann_ivf(
@@ -508,32 +577,41 @@ def ann_ivf(
     n_centroids: int = 32,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF index.
+
+    ``centroids``: pass a pre-trained ``kmeans_centroids`` result to skip
+    the two training jobs (count + bounded collect) — the FAISS
+    train-once / search-many pattern for repeated query batches against
+    one corpus.
 
     Corpus vectors are assigned to their nearest k-means cell (ONE cell
     each — the inverted file); queries probe their ``nprobe`` nearest
     cells; candidates meet in a hash equi-join on cell id and are re-ranked
     by exact cosine. Returns (query_id, neighbor_id, cos_sim, rank).
 
-    Scale path: centroids are a small broadcast closure (K×dim floats);
+    Scale path: centroids are a small literal expression (K×dim floats);
     the corpus shuffles once on cell id — 1/K of the corpus lands in each
     cell, so per-cell candidate lists stay bounded; recall tunes with
-    nprobe (tests measure it against brute-force cosine).
+    nprobe (tests measure it against brute-force cosine). Cell assignment
+    and query probing are single parsed JVM expressions over the literal
+    centroid matrix (r4) — no Python stage anywhere in the plan, so the
+    pandas-worker spin-up the round-3 bench measured is gone.
     """
-    C = kmeans_centroids(corpus, id_col, vec_col, n_centroids, seed)
-    assign1 = _ivf_assign_udf(C, 1)
-    probe_n = _ivf_assign_udf(C, nprobe)
+    C = centroids if centroids is not None else kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, seed
+    )
 
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nv"),
-        F.explode(assign1(F.col(vec_col))).alias("__cell"),
+        _ivf_cell_expr(C, vec_col).alias("__cell"),
     )
     cq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(probe_n(F.col(vec_col))).alias("__cell"),
+        F.explode(_ivf_probe_expr(C, vec_col, nprobe)).alias("__cell"),
     )
     scored = (
         cc.join(F.broadcast(cq), ["__cell"])
@@ -599,40 +677,34 @@ def pq_codebooks(
     return books
 
 
-def _pq_encode_udf(books: np.ndarray):
-    """pandas UDF: vector → per-subspace nearest-code ids (array<int>)."""
-    n_sub, _, sub = books.shape
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(embs: pd.Series) -> pd.Series:
-        M = np.asarray(embs.tolist(), dtype=np.float64)
-        codes = np.empty((len(M), n_sub), dtype=np.int32)
-        for s in range(n_sub):
-            Xs = M[:, s * sub : (s + 1) * sub]
-            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
-
-    return encode
-
-
-def _pq_lut_udf(books: np.ndarray):
-    """pandas UDF: query vector → flattened inner-product lookup table
-    (array<double>, n_subspaces × n_codes): lut[s·n_codes + j] =
-    ⟨q_sub[s], codebook[s][j]⟩. Computed once per QUERY (the tiny side);
-    corpus-side scoring is then pure JVM table lookups."""
+def _pq_encode_expr(books: np.ndarray, vec_col: str) -> Column:
+    """array<int>: per-subspace nearest-code ids (L2 argmin against each
+    literal subspace codebook), all JVM — the corpus-scan side of PQ has
+    no Python stage."""
     n_sub, n_codes, sub = books.shape
+    codes = []
+    for s in range(n_sub):
+        sub_vec = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
+        d2 = (
+            f"transform({_dmat_sql(books[s])}, __c -> aggregate("
+            f"zip_with({sub_vec}, __c, (__x, __y) -> (CAST(__x AS DOUBLE) - __y) * "
+            f"(CAST(__x AS DOUBLE) - __y)), CAST(0 AS DOUBLE), (__a, __x) -> __a + __x))"
+        )
+        codes.append(f"CAST({_argbest_sql(d2, n_codes, minimize=True)} AS INT)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def lut(embs: pd.Series) -> pd.Series:
-        M = np.asarray(embs.tolist(), dtype=np.float64)
-        out = np.empty((len(M), n_sub * n_codes), dtype=np.float64)
-        for s in range(n_sub):
-            Qs = M[:, s * sub : (s + 1) * sub]
-            out[:, s * n_codes : (s + 1) * n_codes] = Qs @ books[s].T
-        return pd.Series(list(out))
 
-    return lut
+def _pq_lut_expr(books: np.ndarray, vec_col: str) -> Column:
+    """array<double>: flattened inner-product lookup table
+    (n_subspaces × n_codes): lut[s·n_codes + j] = ⟨q_sub[s],
+    codebook[s][j]⟩. One parsed expression per QUERY row (the tiny
+    side); corpus-side scoring is pure JVM table lookups."""
+    n_sub, n_codes, sub = books.shape
+    parts = []
+    for s in range(n_sub):
+        sub_vec = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
+        parts.append(_dots_sql(sub_vec, _dmat_sql(books[s])))
+    return F.expr("flatten(array(" + ", ".join(parts) + "))")
 
 
 def ann_pq(
@@ -645,6 +717,7 @@ def ann_pq(
     n_codes: int = 256,
     refine: int = 50,
     seed: int = 42,
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via product quantization with
     asymmetric distance computation (ADC) and exact re-rank.
@@ -658,49 +731,53 @@ def ann_pq(
     The ADC top-``refine`` per query is re-ranked by exact cosine for
     the final top-k. Returns (query_id, neighbor_id, cos_sim, rank);
     recall is measured in tests against brute force.
+
+    ``books``: pass a pre-trained ``pq_codebooks`` result to skip the
+    training jobs on repeated query batches (train-once/search-many).
     """
-    books = pq_codebooks(
-        corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
-    )
+    if books is None:
+        books = pq_codebooks(
+            corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
+        )
     n_codes_eff = books.shape[1]
-    encode = _pq_encode_udf(books)
-    lut = _pq_lut_udf(books)
 
     codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("__codes")
+        F.col(id_col).alias("neighbor_id"),
+        _pq_encode_expr(books, vec_col).alias("__codes"),
     )
+    # the ADC stream carries (query_id, neighbor_id, adc) ONLY — query
+    # vectors re-join at the refine-sized re-rank, not through the top-k
+    # shuffle (dim×8 bytes of dead weight per scored pair otherwise)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        lut(F.col(vec_col)).alias("__lut"),
+        _pq_lut_expr(books, vec_col).alias("__lut"),
     )
-    # ADC: approx_ip = Σ_s lut[s·n_codes + codes[s]] — JVM-side lookups
+    # ADC: approx_ip = Σ_s lut[s·n_codes + codes[s]]. Unrolled into plain
+    # element_at additions (n_subspaces is small and known at plan time):
+    # unlike an aggregate/zip_with fold, this stays inside whole-stage
+    # codegen — it is the expression evaluated once per (corpus × query)
+    # candidate, the hottest row count in the operator.
+    adc = None
+    for s in range(n_subspaces):
+        term = F.element_at(
+            F.col("__lut"),
+            (F.lit(s * n_codes_eff) + F.element_at(F.col("__codes"), s + 1) + 1).cast(
+                "int"
+            ),
+        )
+        adc = term if adc is None else adc + term
     approx = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "__qv",
-            F.aggregate(
-                F.zip_with(
-                    F.col("__codes"),
-                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
-                    lambda code, s: F.element_at(
-                        F.col("__lut"), (s * n_codes_eff + code + 1).cast("int")
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("__adc"),
-        )
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
     )
     cand = _two_phase_topk(
         approx, "query_id", [F.desc("__adc"), F.asc("neighbor_id")], refine
     ).drop("rank")
     # exact re-rank of the refine-sized candidate set
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-    rescored = cand.join(nv, "neighbor_id").select(
+    rescored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id").select(
         "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim")
     )
     final_w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

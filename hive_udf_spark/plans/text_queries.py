@@ -190,6 +190,7 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
     )
     SELECT doc_id,
            CAST(64 AS BIGINT) AS n_bytes,
@@ -203,17 +204,23 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 64 chars become the pixel payload of a binary 8x8 PGM blob,
     decoded inside mapInPandas by the vendored dependency-free codec
     (operators/imagecodec.py) — exercising the production fake=False
-    path. The oracle recomputes the pixel stats from the same (ASCII)
-    chars; mean_byte = sum/64 divides by a power of two, so the float is
+    path. The oracle recomputes the pixel stats from the same chars;
+    mean_byte = sum/64 divides by a power of two, so the float is
     bit-identical in both engines. byte_entropy is intentionally not
-    selected: its float summation order is engine-dependent."""
+    selected: its float summation order is engine-dependent.
+
+    The char↔byte equivalence only holds for ASCII (a multi-byte char
+    would shift every later pixel in UTF-8, and unicode(c) can exceed
+    255), so BOTH engines filter the payload to ASCII explicitly — a
+    non-ASCII stratum in a future corpus drops out identically on both
+    sides instead of silently diverging (round-3 advisor finding)."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select(
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select(
         "doc_id",
-        F.concat(
-            F.lit(b"P5\n8 8\n255\n"),
-            F.encode(F.rpad(F.substring("text", 1, 64), 64, " "), "UTF-8"),
-        ).alias("blob"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
     )
     feats = decode_image_features(blobs, fake=False)
     return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")

@@ -278,6 +278,20 @@ def test_lc_table_packs_words_before_exchange_no_python(spark, sf_dir):
     assert "collect_set" not in plan
 
 
+def test_topk_uses_native_partial_window_group_limit(spark, sf_dir):
+    """Top-k per query must prune map-side: Spark 4's WindowGroupLimit in
+    Partial mode before the exchange (the rank analogue of partial
+    aggregation), so ≤ k rows per (query, partition) shuffle — the manual
+    two-window formulation this replaced cost an extra full sort+shuffle
+    of the scored stream."""
+    from hive_udf_spark.operators.similarity import topk_dot_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    plan = plan_of(topk_dot_quantized(emb, queries, k=5))
+    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
+
+
 def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
     """probe_minhash_index: the candidate join's SHUFFLE exchanges must
     carry (id, band, bkey) rows only — token arrays and signatures may

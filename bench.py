@@ -281,6 +281,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             )
         )
 
+    def q_incremental_dedup_shuffle():
+        # broadcast disabled + 50/50 split: the batch is too big to ship
+        # to executors, proving the shuffle-only probe plan (SMJ/shuffled
+        # hash on the verify joins; band-key-only candidate exchange) —
+        # r3 verdict item 7. Timing recorded alongside the broadcast
+        # regime above.
+        from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            corpus = docs.filter(F.col("doc_id") % 2 != 0)
+            batch = docs.filter(F.col("doc_id") % 2 == 0)
+            index = build_minhash_index(corpus, "doc_id", "text", 16, hashed_tokens=True)
+            _force(
+                probe_minhash_index(
+                    index, batch, "doc_id", "text", threshold=0.5, num_hashes=16,
+                    bands=8, hashed_tokens=True,
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -313,6 +336,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "gopher_filter": q_gopher_filter,
         "kmv_grouped": q_kmv_grouped,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_shuffle": q_incremental_dedup_shuffle,
     }
 
     times: dict[str, float] = {}

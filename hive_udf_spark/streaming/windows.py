@@ -16,31 +16,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# File-source schema: corpus parquet stores ts as TIMESTAMP(NANOS), which
-# surfaces as long under nanosAsLong (see sources/tables.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# File-source schema: corpus generations differ in how events.ts is
+# stored — TIMESTAMP(NANOS) (surfaces as long under nanosAsLong; needs
+# ns→µs conversion) or TIMESTAMP(MICROS, NTZ) (reads directly as a
+# session-tz timestamp; session tz is UTC, matching DuckDB's naive
+# values). Streaming sources require an explicit schema, so probe the
+# batch-read schema of the same file once (driver-side, metadata-only)
+# and build the matching stream schema + converter.
+def _events_schema_and_cast(spark: SparkSession, sf_dir: str):
+    import os
+
+    ts_batch = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    )
+    nanos_as_long = isinstance(ts_batch, T.LongType)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if nanos_as_long else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def conv(df: DataFrame) -> DataFrame:
+        if nanos_as_long:
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    return schema, conv, nanos_as_long
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming source (ns→µs ts conversion applied)."""
+    """events.parquet as a streaming source (ts normalized to µs
+    timestamps regardless of the corpus generation's physical type)."""
     # File stream sources require a directory basePath; glob-filter to the
     # events file within the sf dir.
+    schema, conv, _ = _events_schema_and_cast(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return conv(raw)
 
 
 def windowed_event_stats(events: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
@@ -92,27 +113,39 @@ def read_events_stream_with_flush(
     window: the streaming equivalent of an end-of-stream marker. Filter
     ``user_id >= 0`` downstream to drop the sentinel itself.
     """
+    import datetime as _dt
     import os
     import tempfile
 
+    schema, conv, nanos_as_long = _events_schema_and_cast(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix="events_stream_flush_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "a_events.parquet"))
-    sentinel_ns = int(
-        spark.sql(f"SELECT unix_micros(TIMESTAMP '{flush_ts}')").collect()[0][0]
-    ) * 1000
+    if nanos_as_long:
+        sentinel_ts = int(
+            spark.sql(f"SELECT unix_micros(TIMESTAMP '{flush_ts}')").collect()[0][0]
+        ) * 1000
+        sentinel_schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+    else:
+        sentinel_ts = _dt.datetime.strptime(flush_ts, "%Y-%m-%d %H:%M:%S")
+        sentinel_schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
     spark.createDataFrame(
-        [(-1, sentinel_ns, -1, "__flush__", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        [(-1, sentinel_ts, -1, "__flush__", 0.0, "{}")], sentinel_schema
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "z_sentinel"))
 
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")  # data batch first, sentinel after
         .option("recursiveFileLookup", "true")
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return conv(raw)
 
 
 def session_window_stats(

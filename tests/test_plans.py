@@ -326,3 +326,42 @@ def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
     assert shuffle_sections, "expected at least one shuffle exchange in the probe plan"
     for section in shuffle_sections:
         assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section
+
+
+def test_incremental_probe_no_broadcast_regime(spark, sf_dir):
+    """The probe's shuffle-only plan (batch too big to broadcast — here
+    forced via autoBroadcastJoinThreshold=-1): the verify joins become
+    sort-merge/shuffled-hash joins where token arrays cross an exchange
+    exactly ONCE PER SIDE, keyed by the single doc id (volume O(corpus),
+    not O(candidates)); the candidate-generation exchange still carries
+    band keys only."""
+    from hive_udf_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 2 != 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 0)
+        index = build_minhash_index(corpus, "doc_id", "text", 16, hashed_tokens=True)
+        out = probe_minhash_index(
+            index, batch, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8,
+            hashed_tokens=True,
+        )
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        for section in plan.split("\n\n"):
+            lines = section.splitlines()
+            if not (lines and lines[0].strip().startswith("(") and "Exchange" in lines[0]):
+                continue
+            if "__ta" in section or "__tb" in section or "tokens" in section:
+                # a token-carrying exchange must be keyed by a doc id
+                # (the once-per-side attach join), never by band keys
+                assert "hashpartitioning(batch_id" in section or "hashpartitioning(corpus_id" in section, section
+            if "__bkey" in section and "hashpartitioning(__band" in section:
+                assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section
+        # rows still come out correct in this regime
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -36,6 +36,7 @@ __all__ = [
     "encode_ppm",
     "encode_bmp24",
     "nearest_resize",
+    "split_netpbm_frames",
 ]
 
 _NETPBM_HEADER = re.compile(
@@ -75,6 +76,36 @@ def _decode_netpbm(b: bytes) -> np.ndarray:
     if channels == 1:
         return data.reshape(h, w)
     return _gray_601(data.reshape(h, w, 3))
+
+
+def split_netpbm_frames(b: bytes) -> list[bytes]:
+    """Parse a concatenated-netpbm container (consecutive P5/P6 images —
+    the netpbm "animation" convention, the raw-stream analogue of MJPEG)
+    into its per-frame blobs.
+
+    This is a REAL container parse: each frame's extent is computed from
+    its own header (width × height × channels after the matched header),
+    so frames of different sizes coexist in one container. Trailing
+    garbage or a truncated last frame raises — a malformed container is
+    an error, not a silent short read.
+    """
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(b):
+        m = _NETPBM_HEADER.match(b[pos:])
+        if not m:
+            raise ValueError(
+                f"container byte {pos}: not a netpbm frame header"
+                + (" (trailing garbage?)" if frames else "")
+            )
+        kind, w, h = m.group(1), int(m.group(2)), int(m.group(3))
+        channels = 1 if kind == b"P5" else 3
+        end = pos + m.end() + w * h * channels
+        if end > len(b):
+            raise ValueError(f"frame {len(frames)} truncated ({end - len(b)} bytes short)")
+        frames.append(b[pos:end])
+        pos = end
+    return frames
 
 
 def _decode_bmp(b: bytes) -> np.ndarray:

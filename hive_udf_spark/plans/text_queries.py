@@ -227,6 +227,60 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(64 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL within-container frame sampling (r4): each document's first
+    192 chars become a 3-frame concatenated-PGM container (the raw-stream
+    analogue of MJPEG); ``sample_container_frames`` parses the container
+    frame-by-frame inside mapInPandas — each frame's extent computed from
+    its own header — decodes every 2nd frame (indices 0 and 2), and
+    emits per-frame pixel stats. mean_px = sum/64 divides by a power of
+    two, so floats are bit-identical across engines; the ASCII filter is
+    symmetric with the oracle (see multimodal_real_decode)."""
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    header = F.lit(b"P5\n8 8\n255\n")
+    framed = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select(
+        "doc_id",
+        F.concat(
+            *[
+                p
+                for i in range(3)
+                for p in (header, F.encode(F.substring("__s", i * 64 + 1, 64), "UTF-8"))
+            ]
+        ).alias("blob"),
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_join_text_vector_events",
     oracle="""
     WITH emb AS (

@@ -236,3 +236,53 @@ def test_real_codec_decodes_png_with_pil(spark):
     assert feat.max_byte == 224
     resized = resize_images(blobs, width=2, height=2, fake=False).collect()[0]
     assert resized.n_bytes == 4 and len(resized.blob) == 4
+
+
+def test_split_netpbm_frames_unit():
+    """Real container parse: frame extents come from each frame's own
+    header (mixed sizes OK); malformed containers raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import (
+        encode_pgm,
+        encode_ppm,
+        split_netpbm_frames,
+    )
+
+    f0 = encode_pgm(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    f1 = encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8))  # different size+kind
+    f2 = encode_pgm(np.full((4, 4), 7, dtype=np.uint8))
+    frames = split_netpbm_frames(f0 + f1 + f2)
+    assert frames == [f0, f1, f2]
+    with _pytest.raises(ValueError, match="truncated"):
+        split_netpbm_frames(f0 + f1[:-1])
+    with _pytest.raises(ValueError, match="not a netpbm frame"):
+        split_netpbm_frames(f0 + b"garbage")
+
+
+def test_sample_container_frames_real(spark):
+    """Within-blob frame sampling through Spark: every_nth picks frame
+    indices 0, n, 2n...; stats are per decoded frame."""
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import encode_pgm
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    frames = [np.full((8, 8), 10 * i, dtype=np.uint8) for i in range(5)]
+    container = b"".join(encode_pgm(f) for f in frames)
+    blobs = spark.createDataFrame([(1, bytearray(container))], "doc_id long, blob binary")
+    got = {
+        r.frame_idx: r
+        for r in sample_container_frames(blobs, every_nth=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for i, r in got.items():
+        assert r.n_frames == 5
+        assert r.n_pixels == 64
+        assert r.mean_px == float(10 * i)
+        assert r.max_px == 10 * i
+    # sampled frame blobs round-trip through the codec
+    from hive_udf_spark.operators.imagecodec import decode_to_gray
+
+    assert (decode_to_gray(bytes(got[2].frame)) == frames[2]).all()

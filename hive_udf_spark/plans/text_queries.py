@@ -281,6 +281,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           (list_sum(cps) - 8192) / 64.0 AS mean_amp,
+           CAST(list_max([abs(c - 128) for c in cps]) AS INT) AS max_abs
+    FROM b
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (r4): each document's first 64 chars
+    become the 8-bit PCM payload of a mono 8 kHz WAV blob; the vendored
+    RIFF parser (operators/audiocodec.py) walks the container chunks
+    inside mapInPandas and emits integer-exact amplitude stats. mean_amp
+    = (Σ samples)/64 divides by a power of two — bit-identical in both
+    engines; ASCII filter symmetric with the oracle."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    # fixed 44-byte canonical header for 64 bytes of 8-bit mono PCM @8kHz
+    hdr = encode_wav_pcm(np.zeros(64, dtype=np.int32), sample_rate=8000, bits=8)[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select("doc_id", F.concat(F.lit(hdr), F.encode(F.col("__s"), "UTF-8")).alias("blob"))
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
     "multimodal_join_text_vector_events",
     oracle="""
     WITH emb AS (

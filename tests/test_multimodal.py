@@ -286,3 +286,57 @@ def test_sample_container_frames_real(spark):
     from hive_udf_spark.operators.imagecodec import decode_to_gray
 
     assert (decode_to_gray(bytes(got[2].frame)) == frames[2]).all()
+
+
+def test_wav_codec_roundtrip_unit():
+    """RIFF walk + PCM decode: 8/16-bit, mono/stereo, tolerant of extra
+    chunks; loud errors for non-RIFF/truncated/non-PCM blobs."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.audiocodec import decode_wav, encode_wav_pcm, wav_info
+
+    mono = np.array([-128, -1, 0, 1, 127], dtype=np.int32)
+    b8 = encode_wav_pcm(mono, sample_rate=8000, bits=8)
+    x, rate = decode_wav(b8)
+    assert rate == 8000 and x.shape == (5, 1)
+    assert (x[:, 0] == mono).all()
+
+    stereo = np.array([[1000, -1000], [32767, -32768]], dtype=np.int32)
+    b16 = encode_wav_pcm(stereo, sample_rate=44100, bits=16)
+    x, rate = decode_wav(b16)
+    assert rate == 44100 and x.shape == (2, 2) and (x == stereo).all()
+
+    # extra chunk before fmt/data is walked over, not tripped over
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    with_extra = b16[:12] + extra + b16[12:]
+    patched = bytearray(with_extra)
+    struct.pack_into("<I", patched, 4, len(with_extra) - 8)
+    x2, _ = decode_wav(bytes(patched))
+    assert (x2 == stereo).all()
+    assert wav_info(bytes(patched))["n_samples"] == 2
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(b16[:-3])
+    nonpcm = bytearray(b16)
+    struct.pack_into("<H", nonpcm, 20, 3)  # audio_format = IEEE float
+    with _pytest.raises(ValueError, match="only PCM"):
+        decode_wav(bytes(nonpcm))
+
+
+def test_decode_audio_features_through_spark(spark):
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    samples = np.array([0, 10, -10, 40], dtype=np.int32)
+    blob = encode_wav_pcm(samples, sample_rate=16000, bits=16)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, blob binary")
+    r = decode_audio_features(df).collect()[0]
+    assert r.n_samples == 4 and r.n_channels == 1 and r.sample_rate == 16000
+    assert r.mean_amp == 10.0 and r.max_abs == 40

@@ -1,0 +1,170 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Implements the hashed n-gram importance-resampling score of Xie et al.
+2023 ("Data Selection for Language Models via Importance Resampling"):
+documents are featurized as hashed word n-gram counts, a bag-of-buckets
+unigram model is fit to a TARGET corpus (the distribution you want more
+of) and to the SOURCE corpus (what you have), and each source document
+is scored by the log-likelihood ratio of its features under the two
+models. High weight ⇒ the document looks like the target.
+
+Spark-first execution shape (100 TB discipline):
+
+* featurization is a pure JVM expression (tokenize → hash → pmod) — no
+  Python, no shuffle;
+* the two bucket-count models are partial-aggregated counts over the
+  exploded feature stream (fixed-width bucket ids cross the shuffle);
+* the fitted model is a ``buckets``-row log-ratio table (a few thousand
+  rows regardless of corpus size) broadcast onto the feature stream;
+* per-document weights are one partial-aggregated integer sum.
+
+Determinism/oracle: with ``portable=True`` the hash is the md5-based
+``portable_hash60`` and every arithmetic step is either integer-exact or
+a ``round(x·10⁶)``-quantized log — the registry query's DuckDB oracle
+reproduces the full pipeline (model fit included) bit-for-bit.
+
+No reference analogue (the reference is a cardinality UDAF); this is
+part of the mandated LLM-data-pipeline extension surface (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
+from hive_udf_spark.functions.text import tokenize
+
+
+def hashed_ngram_buckets(
+    text_col: Column | str,
+    buckets: int = 8192,
+    n_max: int = 2,
+    portable: bool = False,
+    seed: int = 11,
+) -> Column:
+    """array<long>: hashed n-gram feature buckets (with repeats — DSIR
+    scores use occurrence counts, not sets). n_max=1 → unigrams only;
+    n_max=2 adds adjacent-word bigrams (joined with a single space)."""
+    if n_max not in (1, 2):
+        raise ValueError("n_max must be 1 or 2 (unigrams, +bigrams)")
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    h = portable_hash60 if portable else fast_hash64
+    toks = tokenize(text_col)
+    uni = F.transform(toks, lambda t: F.pmod(h(t, seed), F.lit(buckets)))
+    if n_max == 1:
+        return uni
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.pmod(h(F.concat(a, F.lit(" "), b), seed), F.lit(buckets)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def _feature_stream(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, n_max: int,
+    portable: bool, seed: int,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), buckets, n_max, portable, seed)
+        ).alias("__b"),
+    )
+
+
+def dsir_logratio_table(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 8192,
+    n_max: int = 2,
+    portable: bool = False,
+    seed: int = 11,
+) -> DataFrame:
+    """The fitted model: a DENSE ``buckets``-row table (every bucket id,
+    occupied or not) with the add-one-smoothed log-likelihood ratio,
+    quantized to micro-nats (``round(lr·10⁶)`` as BIGINT — integer
+    arithmetic from here on, so document weights hash-match across
+    engines). Dense means scoring is a plain inner/left join with no
+    absent-bucket special case; B rows are broadcastable at any corpus
+    size.
+
+    Output: (``__b``, ``lr_micro``, ``__cs``, ``__ct``).
+    """
+    def bucket_stream(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, n_max, portable, seed)
+            ).alias("__b")
+        )
+
+    axis = source.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    sc = bucket_stream(source).groupBy("__b").agg(F.count("*").alias("__cs"))
+    tc = bucket_stream(target).groupBy("__b").agg(F.count("*").alias("__ct"))
+    dense = (
+        axis.join(sc, "__b", "left")
+        .join(tc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__cs", F.lit(0)).alias("__cs"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    totals = dense.agg(F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt"))
+    b = F.lit(float(buckets))
+    lr = F.log(
+        (F.col("__ct") + F.lit(1.0)) / (F.col("__nt").cast("double") + b)
+    ) - F.log((F.col("__cs") + F.lit(1.0)) / (F.col("__ns").cast("double") + b))
+    return dense.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(lr * F.lit(1_000_000.0)).cast("long").alias("lr_micro"),
+        "__cs",
+        "__ct",
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    n_max: int = 2,
+    portable: bool = False,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-document DSIR importance weight: (id_col, n_features,
+    weight_micro) where weight_micro = Σ over the document's hashed
+    n-gram occurrences of the quantized log-likelihood ratio
+    (micro-nats; positive ⇒ target-like). Documents with no features
+    (empty text) get weight 0 with n_features 0 — they stay addressable
+    for downstream filtering rather than silently vanishing.
+
+    Plan shape: model fit = two partial-aggregated bucket counts; score
+    = feature stream ⋈ broadcast(B-row ratio table) → per-id integer
+    sum with map-side partial aggregation. The only corpus-sized
+    shuffles carry (bucket id) and (id, partial sum).
+    """
+    ratio = dsir_logratio_table(
+        docs.select(F.col(text_col)), target.select(F.col(text_col)),
+        text_col, buckets, n_max, portable, seed,
+    ).select("__b", "lr_micro")
+    feats = _feature_stream(docs, id_col, text_col, buckets, n_max, portable, seed)
+    scored = (
+        feats.join(F.broadcast(ratio), "__b")  # dense table: never misses
+        .groupBy("__id")
+        .agg(F.sum("lr_micro").alias("__w"), F.count("*").alias("__n"))
+    )
+    base = docs.select(F.col(id_col).alias("__id"))
+    return base.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_features"),
+        F.coalesce("__w", F.lit(0)).cast("long").alias("weight_micro"),
+    )

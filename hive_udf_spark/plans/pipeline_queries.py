@@ -259,3 +259,70 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", "doc_id", _FRACTIONS, seed=7, portable=True
     ).select("doc_id", "lang")
+
+
+_DSIR_B = 4096
+_DSIR_SEED = 11
+
+
+def _dsir_oracle() -> str:
+    h = "('0x' || substr(md5('11:' || {x}), 1, 15))::BIGINT % 4096"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             [t for t in string_split_regex(text, '\\s+') if t != ''] AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             list_concat(
+               list_transform(w, t -> {h.format(x='t')}),
+               CASE WHEN len(w) >= 2 THEN
+                 list_transform(generate_series(1, len(w) - 1),
+                                i -> {h.format(x="(w[i] || ' ' || w[i+1])")})
+               ELSE [] END
+             ) AS bs
+      FROM tok
+    ),
+    fx AS (SELECT doc_id, lang, unnest(bs) AS b FROM feat),
+    scnt AS (SELECT b, count(*) AS cs FROM fx GROUP BY b),
+    tcnt AS (SELECT b, count(*) AS ct FROM fx WHERE lang = 'en' GROUP BY b),
+    axis AS (SELECT i AS b FROM generate_series(0, 4095) t(i)),
+    dense AS (
+      SELECT axis.b, coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+      FROM axis LEFT JOIN scnt ON axis.b = scnt.b
+                LEFT JOIN tcnt ON axis.b = tcnt.b
+    ),
+    tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM dense),
+    ratio AS (
+      SELECT b,
+             CAST(round((ln((ct + 1.0) / (nt + 4096.0))
+                         - ln((cs + 1.0) / (ns + 4096.0))) * 1000000) AS BIGINT) AS lr
+      FROM dense, tot
+    ),
+    w AS (
+      SELECT fx.doc_id, count(*) AS n_features, sum(lr) AS weight_micro
+      FROM fx JOIN ratio ON fx.b = ratio.b GROUP BY fx.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+           CAST(coalesce(weight_micro, 0) AS BIGINT) AS weight_micro
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    """
+
+
+@register("pipeline_dsir_weights", oracle=_dsir_oracle())
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023) against the 'en'
+    stratum as target: hashed unigram+bigram bucket models with add-one
+    smoothing, per-document log-likelihood-ratio scores in micro-nats.
+    Every step is integer-exact or 10^-6-quantized, so the DuckDB oracle
+    reproduces the ENTIRE pipeline — model fit included — bit-for-bit."""
+    from hive_udf_spark.operators.importance import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(
+        docs, target, "doc_id", "text",
+        buckets=_DSIR_B, n_max=2, portable=True, seed=_DSIR_SEED,
+    )

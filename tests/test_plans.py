@@ -328,6 +328,36 @@ def test_incremental_probe_shuffles_band_keys_only(spark, sf_dir):
         assert "tokens" not in section and "__ta" not in section and "__tb" not in section, section
 
 
+def test_multimodal_decode_is_map_side(spark, sf_dir):
+    """Every multimodal decode/extract op must be pure map work — no
+    Exchange anywhere: at 100 TB blobs never cross a shuffle; only the
+    tiny feature rows do (and only if a later op groups them)."""
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import (
+        attach_blob_columns,
+        decode_audio_features,
+        decode_image_features,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob_columns(docs)
+    import numpy as np
+
+    hdr = encode_wav_pcm(np.zeros(4, dtype=np.int32), bits=8)
+    wavs = docs.select(
+        "doc_id",
+        F.concat(F.lit(hdr[:-4]), F.encode(F.substring("text", 1, 4), "UTF-8")).alias("blob"),
+    )
+    for df in (
+        decode_image_features(blobs, fake=True),
+        sample_container_frames(blobs.select("doc_id", "blob"), every_nth=2, fake=True),
+        decode_audio_features(wavs),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan.splitlines()[:15]
+
+
 def test_incremental_probe_no_broadcast_regime(spark, sf_dir):
     """The probe's shuffle-only plan (batch too big to broadcast — here
     forced via autoBroadcastJoinThreshold=-1): the verify joins become

@@ -678,11 +678,20 @@ def pq_codebooks(
 
 
 def _pq_encode_expr(books: np.ndarray, vec_col: str) -> Column:
-    """array<int>: per-subspace nearest-code ids (L2 argmin against each
-    literal subspace codebook), all JVM — the corpus-scan side of PQ has
-    no Python stage."""
+    """BIGINT: per-subspace nearest-code ids (L2 argmin against each
+    literal subspace codebook) packed 8 bits per subspace — literally the
+    8-byte PQ code, as one long. All JVM (no Python stage), and the
+    packed scalar means the ADC candidate stream carries a single
+    fixed-width value per corpus row instead of allocating an int array
+    per joined candidate. Requires n_codes ≤ 256 and n_subspaces ≤ 8
+    (the canonical byte-code configuration)."""
     n_sub, n_codes, sub = books.shape
-    codes = []
+    if n_codes > 256 or n_sub > 8:
+        raise ValueError(
+            f"packed PQ codes need n_codes <= 256 and n_subspaces <= 8, "
+            f"got ({n_sub}, {n_codes})"
+        )
+    terms = []
     for s in range(n_sub):
         sub_vec = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
         d2 = (
@@ -690,8 +699,9 @@ def _pq_encode_expr(books: np.ndarray, vec_col: str) -> Column:
             f"zip_with({sub_vec}, __c, (__x, __y) -> (CAST(__x AS DOUBLE) - __y) * "
             f"(CAST(__x AS DOUBLE) - __y)), CAST(0 AS DOUBLE), (__a, __x) -> __a + __x))"
         )
-        codes.append(f"CAST({_argbest_sql(d2, n_codes, minimize=True)} AS INT)")
-    return F.expr("array(" + ", ".join(codes) + ")")
+        code = f"CAST({_argbest_sql(d2, n_codes, minimize=True)} AS BIGINT)"
+        terms.append(f"shiftleft({code}, {8 * s})" if s else code)
+    return F.expr(" + ".join(terms))
 
 
 def _pq_lut_expr(books: np.ndarray, vec_col: str) -> Column:
@@ -753,17 +763,16 @@ def ann_pq(
         _pq_lut_expr(books, vec_col).alias("__lut"),
     )
     # ADC: approx_ip = Σ_s lut[s·n_codes + codes[s]]. Unrolled into plain
-    # element_at additions (n_subspaces is small and known at plan time):
-    # unlike an aggregate/zip_with fold, this stays inside whole-stage
-    # codegen — it is the expression evaluated once per (corpus × query)
-    # candidate, the hottest row count in the operator.
+    # element_at additions over the PACKED code long (n_subspaces is
+    # small and known at plan time): unlike an aggregate/zip_with fold,
+    # this stays inside whole-stage codegen with zero per-candidate
+    # allocations — it is the expression evaluated once per
+    # (corpus × query) candidate, the hottest row count in the operator.
     adc = None
     for s in range(n_subspaces):
+        code_s = F.shiftright(F.col("__codes"), 8 * s).bitwiseAND(F.lit(255))
         term = F.element_at(
-            F.col("__lut"),
-            (F.lit(s * n_codes_eff) + F.element_at(F.col("__codes"), s + 1) + 1).cast(
-                "int"
-            ),
+            F.col("__lut"), (F.lit(s * n_codes_eff) + code_s + 1).cast("int")
         )
         adc = term if adc is None else adc + term
     approx = (

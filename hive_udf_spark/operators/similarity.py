@@ -65,6 +65,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_double(a, b) / (norm_double(a) * norm_double(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine when each side's norm is already a column: on a candidate
+    stream this replaces two per-candidate norm folds (interpreted HOFs,
+    re-run for every pair a vector appears in) with per-VECTOR values
+    computed once before the join."""
+    return dot_double(a, b) / (na * nb)
+
+
 def _two_phase_topk(scored: DataFrame, query_key: str, order_cols: list[Column], k: int) -> DataFrame:
     """Two-phase top-k per query: ≤ k rows per (query, input partition)
     cross the shuffle, never the scored corpus.
@@ -423,15 +431,25 @@ def ann_hyperplane_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_double(F.col(vec_col)).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_double(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     return _two_phase_topk(scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k).select(
@@ -493,12 +511,26 @@ def topk_cosine(
     k: int = 5,
 ) -> DataFrame:
     """Brute-force float-cosine top-k (JVM fold; numpy-verified in tests)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_double(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_double(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
+        )
     )
     return _two_phase_topk(scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
@@ -606,11 +638,13 @@ def ann_ivf(
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nv"),
+        norm_double(F.col(vec_col)).alias("__nn"),
         _ivf_cell_expr(C, vec_col).alias("__cell"),
     )
     cq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm_double(F.col(vec_col)).alias("__qn"),
         F.explode(_ivf_probe_expr(C, vec_col, nprobe)).alias("__cell"),
     )
     scored = (
@@ -619,7 +653,9 @@ def ann_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+            ).alias("cos_sim"),
         )
     )
     return _two_phase_topk(scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k).select(
@@ -784,10 +820,22 @@ def ann_pq(
         approx, "query_id", [F.desc("__adc"), F.asc("neighbor_id")], refine
     ).drop("rank")
     # exact re-rank of the refine-sized candidate set
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_double(F.col(vec_col)).alias("__qn"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        norm_double(F.col(vec_col)).alias("__nn"),
+    )
     rescored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id").select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+        ).alias("cos_sim"),
     )
     final_w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

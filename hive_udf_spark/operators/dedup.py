@@ -128,10 +128,29 @@ def lsh_candidate_pairs(
 
 def jaccard_pair_stats(tokens_a: Column, tokens_b: Column) -> tuple[Column, Column]:
     """(|A∩B|, |A∪B|) over distinct-token arrays — integer-exact, so the
-    threshold comparison is engine-portable with no float ambiguity."""
+    threshold comparison is engine-portable with no float ambiguity.
+
+    The arrays are distinct sets, so |A∪B| = |A| + |B| − |A∩B|: one
+    array_intersect per pair instead of intersect + union (array_union
+    builds and materializes a merged array per candidate just to take
+    its size — measured dead weight on the verify join, the heaviest
+    stream in the dedup pipeline). When the per-document sizes are
+    already hoisted onto the pair stream use
+    :func:`jaccard_pair_stats_hoisted` and skip the F.size calls too.
+    """
     inter = F.size(F.array_intersect(tokens_a, tokens_b))
-    union = F.size(F.array_union(tokens_a, tokens_b))
+    union = F.size(tokens_a) + F.size(tokens_b) - inter
     return inter, union
+
+
+def jaccard_pair_stats_hoisted(
+    tokens_a: Column, tokens_b: Column, size_a: Column, size_b: Column
+) -> tuple[Column, Column]:
+    """(|A∩B|, |A∪B|) with the per-document set sizes precomputed BEFORE
+    the candidate join (they depend only on the document): per pair only
+    the intersect remains."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    return inter, size_a + size_b - inter
 
 
 def near_dup_pairs(
@@ -226,7 +245,11 @@ def near_dup_pairs(
     # joins, not four. The prefilter then runs as an inline filter between
     # the joins — same pruning, zero extra shuffles of the pair stream.
     need_sig = sig_prefilter_margin is not None
-    payload = [F.col("__ws")] + ([F.col("sig")] if need_sig else [])
+    # set size rides the payload: it depends only on the document, so it
+    # is computed once per doc here instead of once per candidate pair
+    payload = [F.col("__ws"), F.size("__ws").alias("__n")] + (
+        [F.col("sig")] if need_sig else []
+    )
     side = with_sig.select(F.col("__id"), F.struct(*payload).alias("__pl"))
     joined = (
         cands.join(
@@ -250,9 +273,16 @@ def near_dup_pairs(
         cut_ppm = int(round((float(threshold) - float(sig_prefilter_margin)) * 1_000_000))
         joined = joined.filter(est_num * F.lit(1_000_000) >= F.lit(cut_ppm * num_hashes))
     joined = joined.select(
-        "id_a", "id_b", F.col("__pa.__ws").alias("__wsa"), F.col("__pb.__ws").alias("__wsb")
+        "id_a",
+        "id_b",
+        F.col("__pa.__ws").alias("__wsa"),
+        F.col("__pb.__ws").alias("__wsb"),
+        F.col("__pa.__n").alias("__na"),
+        F.col("__pb.__n").alias("__nb"),
     )
-    inter, union = jaccard_pair_stats(F.col("__wsa"), F.col("__wsb"))
+    inter, union = jaccard_pair_stats_hoisted(
+        F.col("__wsa"), F.col("__wsb"), F.col("__na"), F.col("__nb")
+    )
     return (
         joined.select(
             "id_a",
@@ -754,7 +784,9 @@ def dedup_clusters_star(
     # a prefilter margin the signature rides along and prunes the payload
     # join the same way near_dup_pairs does
     need_sig = sig_prefilter_margin is not None
-    payload = [F.col("__ws")] + ([F.col("sig")] if need_sig else [])
+    payload = [F.col("__ws"), F.size("__ws").alias("__n")] + (
+        [F.col("sig")] if need_sig else []
+    )
     side = with_sig.select(F.col("__id"), F.struct(*payload).alias("__pl"))
     joined = (
         star.join(side.withColumnRenamed("__id", "id_a").withColumnRenamed("__pl", "__pa"), "id_a")
@@ -770,7 +802,9 @@ def dedup_clusters_star(
         )
         cut_ppm = int(round((float(threshold) - float(sig_prefilter_margin)) * 1_000_000))
         joined = joined.filter(est_num * F.lit(1_000_000) >= F.lit(cut_ppm * num_hashes))
-    inter, union = jaccard_pair_stats(F.col("__pa.__ws"), F.col("__pb.__ws"))
+    inter, union = jaccard_pair_stats_hoisted(
+        F.col("__pa.__ws"), F.col("__pb.__ws"), F.col("__pa.__n"), F.col("__pb.__n")
+    )
     edges = joined.select("id_a", "id_b", inter.alias("__i"), union.alias("__u")).filter(
         F.col("__i") * F.lit(1_000_000) >= F.lit(int(threshold * 1_000_000)) * F.col("__u")
     ).select("id_a", "id_b")
@@ -878,9 +912,19 @@ def probe_minhash_index(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    bt = probe.select(F.col(id_col).alias("batch_id"), F.col("tokens").alias("__ta"))
-    ct = index.select(F.col(id_col).alias("corpus_id"), F.col("tokens").alias("__tb"))
-    inter, union = jaccard_pair_stats(F.col("__ta"), F.col("__tb"))
+    bt = probe.select(
+        F.col(id_col).alias("batch_id"),
+        F.col("tokens").alias("__ta"),
+        F.size("tokens").alias("__na"),
+    )
+    ct = index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("tokens").alias("__tb"),
+        F.size("tokens").alias("__nb"),
+    )
+    inter, union = jaccard_pair_stats_hoisted(
+        F.col("__ta"), F.col("__tb"), F.col("__na"), F.col("__nb")
+    )
     return (
         cands.join(bt, "batch_id")
         .join(ct, "corpus_id")

@@ -247,11 +247,18 @@ def _split_top_level_args(argstr: str) -> list[str]:
     return out
 
 
-def expand_approx_distinct(query: str) -> str:
+def expand_approx_distinct(query: str, merge: bool = False) -> str:
     """Rewrite every top-level ``approx_distinct(...)`` call in ``query``
     into the composed JVM aggregate, mirroring the reference's parameter
     contract ``(x[, type[, precision]])`` with type defaulting to 'hll'
     and b (lgConfigK) to 16 (UDAFCardinalityEstimator.java:89, :100-148).
+
+    ``merge=True`` produces the reference's STRUCT-input re-aggregation
+    path instead (UDAFCardinalityEstimator.java:259-265): the argument is
+    a previously produced sketch struct and the expansion unions the
+    ``binary`` fields. Extra parameters are rejected on this path, as in
+    the reference ("we can only merge compatible data structures",
+    :190-193).
 
     'lc' mode is rejected here: an LC bitmap cannot be assembled by a
     scalar macro — use functions.lc.lc_table (relational facade) or the
@@ -284,6 +291,16 @@ def expand_approx_distinct(query: str) -> str:
         if depth:
             raise ValueError("unbalanced parentheses in approx_distinct(...) call")
         args = _split_top_level_args(query[m.end() : i - 1])
+        if merge:
+            if len(args) != 1:
+                raise ValueError(
+                    "approx_distinct over stored sketches takes no extra "
+                    "parameters — only compatible sketches merge "
+                    "(UDAFCardinalityEstimator.java:190-193)"
+                )
+            out.append(f"sketch_struct(hll_union_agg(({args[0]}).binary, true))")
+            pos = i
+            continue
         if not 1 <= len(args) <= 3:
             raise ValueError(
                 f"approx_distinct takes (x[, type[, precision]]), got {len(args)} args"
@@ -307,12 +324,29 @@ def expand_approx_distinct(query: str) -> str:
 
 
 def sql(spark: SparkSession, query: str):
-    """``spark.sql`` with the reference's one-name aggregate available:
+    """``spark.sql`` with the reference's one-name aggregate available,
+    including its input-type dispatch:
 
         hive_udf_spark.sql(spark, "SELECT approx_distinct(values) FROM src")
+        hive_udf_spark.sql(spark, "SELECT approx_distinct(s) FROM daily_sketches")
 
     Registers the SQL function surface, expands approx_distinct calls to
-    the native composed aggregate, and executes. The resulting plan is
-    pure Tier A (no Python)."""
+    the native composed aggregate, and executes; the plan is pure Tier A
+    (no Python). Type dispatch mirrors the reference's resolver
+    (raw primitive → build sketch; sketch struct → merge,
+    UDAFCardinalityEstimator.java:104-109): the raw-value expansion is
+    tried first, and if Catalyst's analyzer rejects it because the
+    argument is a sketch struct, the merge expansion runs instead. A
+    statement mixing raw and struct arguments in one query is not
+    supported (neither form analyzes) — split it into two queries.
+    """
+    from pyspark.errors import AnalysisException
+
     register_sql(spark)
-    return spark.sql(expand_approx_distinct(query))
+    try:
+        return spark.sql(expand_approx_distinct(query))
+    except AnalysisException as primary_err:
+        try:
+            return spark.sql(expand_approx_distinct(query, merge=True))
+        except (AnalysisException, ValueError):
+            raise primary_err from None

@@ -115,6 +115,40 @@ def approx_distinct_sql_one_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_sql_merge_one_name",
+    oracle="""
+    SELECT date_trunc('month', ts) AS month,
+           count(DISTINCT user_id) AS n_exact,
+           true AS within_bounds
+    FROM events GROUP BY date_trunc('month', ts)
+    """,
+)
+def approx_distinct_sql_merge_one_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD entry point through the one-name SQL
+    surface — ``SELECT approx_distinct(sketch) FROM daily_sketches``
+    (struct-input re-aggregation, UDAFCardinalityEstimator.java:259-265):
+    the macro's type dispatch notices the argument is a sketch struct and
+    expands to the union aggregate. Daily sketches built once, rolled up
+    to months without rescanning raw events."""
+    import hive_udf_spark as hus
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"), F.date_trunc("day", "ts").alias("day")
+    ).agg(approx_distinct("user_id").alias("s")).createOrReplaceTempView("daily_sketches_v")
+    rolled = hus.sql(
+        spark,
+        "SELECT month, approx_distinct(s) AS m FROM daily_sketches_v GROUP BY month",
+    )
+    exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return rolled.join(exact, "month").select(
+        "month", "n_exact", _within(F.col("m.cardinality"), F.col("n_exact"), _HLL_REL_BOUND)
+    )
+
+
+@register(
     "approx_distinct_lc_struct_grouped",
     oracle="""
     SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,

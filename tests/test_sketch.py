@@ -415,3 +415,37 @@ def test_hll_estimator_policy_divergence_pinned(spark):
     # divergence between the two policies is bounded by the triangle
     # inequality; assert it directly as the documented bound
     assert abs(ds_est - ref_est) / n < 4 * rse
+
+
+def test_one_name_sql_merge_dispatch(spark, sf_dir):
+    """Input-type dispatch of the one-name macro (the reference's
+    struct-input branch, UDAFCardinalityEstimator.java:104-109): the same
+    SQL text merges stored sketches, and merged estimates equal the
+    DataFrame-API union path."""
+    import hive_udf_spark as hus
+    from hive_udf_spark.functions import approx_distinct as ad
+    from hive_udf_spark.functions import sketch_merge_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        ad("user_id").alias("s")
+    )
+    daily.createOrReplaceTempView("t_daily_sketches")
+    merged = hus.sql(
+        spark, "SELECT approx_distinct(s) AS m FROM t_daily_sketches"
+    ).collect()[0].m
+    direct = daily.agg(sketch_merge_agg("s").alias("m")).collect()[0].m
+    assert merged.type == "HLL"
+    assert merged.cardinality == direct.cardinality
+    # merge path rejects extra parameters (reference :190-193)
+    import pytest as _pytest
+
+    from hive_udf_spark.functions import expand_approx_distinct as ex
+
+    with _pytest.raises(ValueError, match="no extra"):
+        ex("SELECT approx_distinct(s, 'hll') FROM t", merge=True)
+    # a genuinely broken query re-raises its ORIGINAL analysis error
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        hus.sql(spark, "SELECT approx_distinct(no_such_col) FROM t_daily_sketches")

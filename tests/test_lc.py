@@ -164,3 +164,23 @@ def test_lc_two_phase_shuffles_sketches_not_rows(spark, sf_dir):
     # mapInPandas (partial) appears below the exchange feeding the final agg
     assert "MapInPandas" in plan
     assert plan.index("MapInPandas") > plan.index("Exchange")  # printed top-down: map phase is deeper
+
+
+def test_lc_table_storage_roundtrip(spark, sf_dir, tmp_path):
+    """lc_table output is a persistable sketch table: write to parquet,
+    read back, merge across groups — same estimate as the direct global
+    sketch (the reference's store-and-reaggregate lifecycle)."""
+    from hive_udf_spark.functions.lc import lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "lc_sketches")
+    lc_table(orders, ["o_orderpriority"], "o_custkey", 4096).write.parquet(path)
+    back = spark.read.parquet(path)
+    merged = back.agg(lc_merge_agg(F.col("approx_distinct.binary")).alias("m")).collect()[0].m
+    direct = (
+        lc_table(orders.withColumn("__g", F.lit(1)), ["__g"], "o_custkey", 4096)
+        .collect()[0]
+        .approx_distinct
+    )
+    assert merged.cardinality == direct.cardinality
+    assert bytes(merged.binary) == bytes(direct.binary)

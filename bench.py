@@ -304,6 +304,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
+    def q_lc_struct_table():
+        # packed-word relational LC facade (r4): bit_or words before the
+        # exchange, JVM-serialized bitmaps
+        from hive_udf_spark.functions.lc import lc_table
+
+        _force(lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=65536))
+
     def q_dsir_weights():
         # fast path: xxhash64 features (the oracle covers portable mode)
         from hive_udf_spark.operators.importance import dsir_weights
@@ -343,6 +350,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "lc_two_phase": q_lc_two_phase,
+        "lc_struct_table": q_lc_struct_table,
         "text_profile": q_text_profile,
         "gopher_filter": q_gopher_filter,
         "kmv_grouped": q_kmv_grouped,

@@ -340,3 +340,57 @@ def test_decode_audio_features_through_spark(spark):
     r = decode_audio_features(df).collect()[0]
     assert r.n_samples == 4 and r.n_channels == 1 and r.sample_rate == 16000
     assert r.mean_amp == 10.0 and r.max_abs == 40
+
+
+def test_codec_roundtrip_properties():
+    """Property tests: any uint8 image round-trips PGM encode→decode and
+    any int16 sample block round-trips WAV encode→decode; containers of
+    random frames split back to the exact frames."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hive_udf_spark.operators.audiocodec import decode_wav, encode_wav_pcm
+    from hive_udf_spark.operators.imagecodec import (
+        decode_to_gray,
+        encode_pgm,
+        split_netpbm_frames,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 16),
+        st.integers(1, 16),
+        st.integers(0, 2**32 - 1),
+    )
+    def pgm_roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (decode_to_gray(encode_pgm(img)) == img).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 64),
+        st.integers(1, 3),
+        st.integers(0, 2**32 - 1),
+    )
+    def wav_roundtrip(frames, nch, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(-32768, 32768, size=(frames, nch), dtype=np.int64)
+        got, rate = decode_wav(encode_wav_pcm(x, sample_rate=8000, bits=16))
+        assert rate == 8000 and (got == x).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8)), min_size=1, max_size=5),
+           st.integers(0, 2**32 - 1))
+    def container_roundtrip(shapes, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            encode_pgm(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+            for (w, h) in shapes
+        ]
+        assert split_netpbm_frames(b"".join(frames)) == frames
+
+    pgm_roundtrip()
+    wav_roundtrip()
+    container_roundtrip()

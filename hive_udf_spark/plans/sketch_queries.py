@@ -550,3 +550,102 @@ def sketch_kmv_jaccard_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_jaccard_ppm",
         )
     )
+
+
+_QS_K = 256
+_QS_SRC = """
+    qsrc AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             ('0x' || substr(md5('5:' || o_orderkey), 1, 15))::BIGINT AS h
+      FROM orders
+    )
+"""
+
+
+def _qs_pick(vs: str, q: str) -> str:
+    return f"{vs}[CAST(floor({q} * (len({vs}) - 1)) AS INT) + 1]"
+
+
+@register(
+    "approx_quantile_sketch_grouped",
+    oracle=f"""
+    WITH {_QS_SRC},
+    rk AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+      FROM qsrc
+    ),
+    samp AS (
+      SELECT g, list(v ORDER BY v) AS vs FROM rk WHERE rn <= {_QS_K} GROUP BY g
+    ),
+    n AS (SELECT g, count(*) AS n_rows FROM qsrc GROUP BY g)
+    SELECT samp.g AS o_orderpriority,
+           CAST(n.n_rows AS BIGINT) AS n_rows,
+           {_qs_pick('vs', '0.25')} AS q25_cents,
+           {_qs_pick('vs', '0.5')} AS q50_cents,
+           {_qs_pick('vs', '0.9')} AS q90_cents
+    FROM samp JOIN n ON samp.g = n.g
+    """,
+)
+def approx_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sample sketch (functions/qsketch.py, r4): the
+    fourth sketch family — re-aggregable QUANTILE state, filling the gap
+    that percentile_approx's internal summary is not exportable data.
+    Coordinated bottom-k row sample by portable hash ⇒ the DuckDB oracle
+    reproduces sketch and quantiles bit-for-bit (strongest §5.2 form)."""
+    from hive_udf_spark.functions.qsketch import qsketch_quantile, quantile_sketch_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    sk = quantile_sketch_table(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", k=_QS_K, portable=True
+    )
+    return sk.select(
+        "o_orderpriority",
+        "n_rows",
+        qsketch_quantile("qs", 0.25).alias("q25_cents"),
+        qsketch_quantile("qs", 0.5).alias("q50_cents"),
+        qsketch_quantile("qs", 0.9).alias("q90_cents"),
+    )
+
+
+@register(
+    "sketch_quantile_rollup_exact_merge",
+    oracle=f"""
+    WITH {_QS_SRC},
+    rk AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM qsrc),
+    samp AS (SELECT list(v ORDER BY v) AS vs FROM rk WHERE rn <= {_QS_K})
+    SELECT CAST((SELECT count(*) FROM qsrc) AS BIGINT) AS n_rows,
+           {_qs_pick('vs', '0.5')} AS q50_merged_cents,
+           true AS merge_exact
+    FROM samp
+    """,
+)
+def sketch_quantile_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-state rollup without raw rescans: per-priority sketches
+    merge to the global sketch, and the merge is LOSSLESS (bottom-k
+    semilattice) — merge_exact compares the rolled-up sample to a direct
+    global build, element by element. The oracle computes the direct
+    global sketch; equality makes both paths emit identical rows."""
+    from hive_udf_spark.functions.qsketch import (
+        qsketch_quantile,
+        qsketch_merge_table,
+        quantile_sketch_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    per_group = quantile_sketch_table(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", k=_QS_K, portable=True
+    )
+    rolled = qsketch_merge_table(per_group, [], "qs", "n_rows", _QS_K)
+    direct = quantile_sketch_table(
+        orders, [], "cents", "o_orderkey", k=_QS_K, portable=True
+    ).select(F.col("qs").alias("__dqs"))
+    return rolled.crossJoin(direct).select(
+        "n_rows",
+        qsketch_quantile("qs", 0.5).alias("q50_merged_cents"),
+        (F.col("qs") == F.col("__dqs")).alias("merge_exact"),
+    )

@@ -311,6 +311,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=65536))
 
+    def q_quantile_sketch():
+        # fast path: xxhash64 row sample (oracle covers portable mode)
+        from hive_udf_spark.functions.qsketch import qsketch_quantile, quantile_sketch_table
+
+        cents = orders.withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        )
+        _force(
+            quantile_sketch_table(
+                cents, ["o_orderpriority"], "cents", "o_orderkey", k=256
+            ).select("o_orderpriority", qsketch_quantile("qs", 0.5))
+        )
+
     def q_dsir_weights():
         # fast path: xxhash64 features (the oracle covers portable mode)
         from hive_udf_spark.operators.importance import dsir_weights
@@ -351,6 +364,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "tpch_q10": q_tpch_q10,
         "lc_two_phase": q_lc_two_phase,
         "lc_struct_table": q_lc_struct_table,
+        "quantile_sketch": q_quantile_sketch,
         "text_profile": q_text_profile,
         "gopher_filter": q_gopher_filter,
         "kmv_grouped": q_kmv_grouped,

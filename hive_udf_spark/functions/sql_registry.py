@@ -187,6 +187,28 @@ _SQL_FUNCTIONS = {
                                                    array_intersect(a, b))) AS DOUBLE)
                          / CAST(size(kmv_union(a, b, k)) AS DOUBLE) END
     """,
+    # ---- quantile-sample sketch scalars (mirrors functions.qsketch: the
+    # BUILD is relational (quantile_sketch_table); quantile reads and
+    # lossless unions over stored sketches are plain SQL) ----
+    "qsketch_quantile": """
+        CREATE OR REPLACE TEMPORARY FUNCTION qsketch_quantile(
+            qs ARRAY<STRUCT<h: BIGINT, v: BIGINT>>, q DOUBLE)
+        RETURNS BIGINT
+        RETURN CASE
+            WHEN qs IS NULL OR size(qs) = 0 THEN NULL
+            ELSE element_at(
+                array_sort(transform(qs, p -> p.v)),
+                CAST(floor(q * CAST(size(qs) - 1 AS DOUBLE)) AS INT) + 1) END
+    """,
+    "qsketch_union": """
+        CREATE OR REPLACE TEMPORARY FUNCTION qsketch_union(
+            a ARRAY<STRUCT<h: BIGINT, v: BIGINT>>,
+            b ARRAY<STRUCT<h: BIGINT, v: BIGINT>>, k INT)
+        RETURNS ARRAY<STRUCT<h: BIGINT, v: BIGINT>>
+        RETURN CASE WHEN a IS NULL THEN slice(array_sort(b), 1, k)
+                    WHEN b IS NULL THEN slice(array_sort(a), 1, k)
+                    ELSE slice(array_sort(concat(a, b)), 1, k) END
+    """,
 }
 
 

@@ -95,3 +95,43 @@ def test_qsketch_plan_partial_before_exchange_no_python(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_collect_list" in plan  # map-side combine of the pair stream
+
+
+def test_qsketch_sql_scalars_parity(spark, sf_dir):
+    """SQL surface ≡ DataFrame API: qsketch_quantile and qsketch_union
+    registered as CREATE TEMPORARY FUNCTIONs give the same values as the
+    Python helpers (and union matches the lossless merge)."""
+    from hive_udf_spark.functions import register_sql
+
+    register_sql(spark)
+    orders = _orders_cents(spark, sf_dir)
+    per_group = quantile_sketch_table(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", k=64, portable=True
+    )
+    per_group.createOrReplaceTempView("qs_groups")
+    sql_rows = {
+        r.g: r.q50
+        for r in spark.sql(
+            "SELECT o_orderpriority AS g, qsketch_quantile(qs, 0.5) AS q50 FROM qs_groups"
+        ).collect()
+    }
+    api_rows = {
+        r.o_orderpriority: r.q50
+        for r in per_group.select(
+            "o_orderpriority", qsketch_quantile("qs", 0.5).alias("q50")
+        ).collect()
+    }
+    assert sql_rows == api_rows and len(sql_rows) == 5
+    # pairwise union through SQL equals the relational merge of two groups
+    two = spark.sql(
+        """
+        SELECT qsketch_union(a.qs, b.qs, 64) AS u
+        FROM qs_groups a JOIN qs_groups b
+          ON a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW'
+        """
+    ).collect()[0].u
+    direct = qsketch_merge_table(
+        per_group.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+        [], "qs", "n_rows", 64,
+    ).collect()[0].qs
+    assert [ (p.h, p.v) for p in two ] == [ (p.h, p.v) for p in direct ]

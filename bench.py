@@ -311,6 +311,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=65536))
 
+    def q_lc_struct_table_default():
+        # same facade at the reference's 1 MB default map (131,072 words):
+        # linearity proof for the r5 run-length serializer — cost must stay
+        # flat vs the 64 KiB entry, not grow 16x with the map size
+        from hive_udf_spark.functions.lc import lc_table
+
+        _force(lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=1_000_000))
+
     def q_quantile_sketch():
         # fast path: xxhash64 row sample (oracle covers portable mode)
         from hive_udf_spark.functions.qsketch import qsketch_quantile, quantile_sketch_table
@@ -364,6 +372,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "tpch_q10": q_tpch_q10,
         "lc_two_phase": q_lc_two_phase,
         "lc_struct_table": q_lc_struct_table,
+        "lc_struct_table_default": q_lc_struct_table_default,
         "quantile_sketch": q_quantile_sketch,
         "text_profile": q_text_profile,
         "gopher_filter": q_gopher_filter,

@@ -128,6 +128,26 @@ def test_lc_table_bytes_exact_vs_python_sketch(spark, sf_dir):
     assert bytes(merged.binary) == bytes(global_direct.binary)
 
 
+def test_lc_table_serializer_is_linear_not_map_scan(spark, sf_dir):
+    """Regression for the r4 quadratic-assembly finding: the dense-bitmap
+    stage must run-length-fold over the sorted entries ARRAY (O(occupied +
+    n_words)), never probe a MapType per word index (GetMapValue is a
+    linear scan, making the old plan O(n_words x occupied))."""
+    from hive_udf_spark.functions.lc import lc_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = (
+        lc_table(orders, ["o_orderpriority"], "o_custkey", 65536)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "map_from_entries" not in plan
+    # the per-index probe was element_at over a sequence(); the linear form
+    # has no sequence() generator at all
+    assert "sequence(" not in plan
+
+
 def test_lc_table_validates_size(spark, sf_dir):
     from hive_udf_spark.functions.lc import lc_table
 

@@ -140,44 +140,67 @@ def lc_cardinality(col: Column | str, size_bytes: int = 1_000_000) -> Column:
 # ---------------------------------------------------------------------------
 # Facade — full {type, cardinality, binary} struct with materialized bitmap
 # ---------------------------------------------------------------------------
-def _buckets_to_sketch_bytes(size_bytes: int):
-    @F.pandas_udf(T.BinaryType())
-    def to_bytes(bucket_sets: pd.Series) -> pd.Series:
-        out = []
-        for buckets in bucket_sets:
-            sk = LCSketch(size_bytes)
-            if buckets is not None and len(buckets):
-                sk.set_buckets(np.asarray(buckets, dtype=np.int64))
-            out.append(sk.to_bytes())
-        return pd.Series(out)
-
-    return to_bytes
+# Spark's native bitmap aggregate works on fixed 32768-bit (4096-byte)
+# buckets; its byte/bit layout (position p -> byte p>>3, bit p&7,
+# LSB-first) is IDENTICAL to LCSketch.set_bucket's, verified by the
+# byte-exact facade test.
+_CHUNK_BITS = 32768
+_CHUNK_BYTES = _CHUNK_BITS // 8
 
 
 def lc_agg(col: Column | str, size_bytes: int = 1_000_000) -> Column:
     """Aggregate: LC result struct ``{type:'LC', cardinality, binary}``.
 
-    cardinality is computed fully JVM-side (``lc_cardinality``); only the
-    bitmap serialization crosses to Python, once per group. The binary
-    field is re-aggregable via ``lc_merge_agg``.
+    Fully JVM-side since r5: the bitmap is built as
+    ``ceil(size_bytes/4096)`` native ``bitmap_construct_agg`` chunks —
+    ``TypedImperativeAggregate``s whose fixed 4 KiB buffers OR-merge
+    map-side, so the shuffle carries exactly ``size_bytes`` of packed
+    bitmap per (group, map partition), the reference UDAF's own memory
+    bound (UDAFCardinalityEstimator.java:358-359), never the 8-bytes-
+    per-occupied-bit ``collect_set`` inflation of the r3/r4 facade.
+    occupied = Σ ``bitmap_count(chunk)`` and the estimate formula is
+    identical to ``lc_cardinality``; the serialized ``binary`` is the
+    chunk concat behind the SGLC header, byte-identical to
+    ``LCSketch.to_bytes()`` and re-aggregable via ``lc_merge_agg``.
 
-    SCALE NOTE: as a Column aggregate this carries
-    ``collect_set(bucket_id)`` (8 bytes per occupied bit) through the
-    shuffle — a 64× inflation over the bitmap it ends up serializing. At
-    a near-saturated default map (8M bits) that is ~64 MB per group.
-    Fine for the small-cardinality regime LC targets; for corpus-scale
-    grouped sketch tables use :func:`lc_table`, whose relational
-    PARTIAL→FINAL plan packs bits into words BEFORE the exchange and
-    never leaves the JVM.
+    Note the per-group state is the DENSE size_bytes bitmap regardless of
+    occupancy; for sparse corpus-scale sketch tables :func:`lc_table`
+    (occupied-words-only shuffle) is still the lighter relational path.
     """
     c = F.col(col) if isinstance(col, str) else col
-    est = lc_cardinality(c, size_bytes)
-    buckets = F.collect_set(lc_bucket(c, size_bytes))
-    sketch_bytes = _buckets_to_sketch_bytes(size_bytes)(buckets)
+    size_bytes = int(size_bytes)
+    if size_bytes <= 0:
+        raise ValueError("size_bytes must be positive")
+    m = size_bytes * 8
+    bucket = lc_bucket(c, size_bytes)
+    chunks = []
+    occupied = None
+    for i in range(0, size_bytes, _CHUNK_BYTES):
+        lo = i * 8
+        nbytes = min(_CHUNK_BYTES, size_bytes - i)
+        pos = F.when(
+            (bucket >= F.lit(lo)) & (bucket < F.lit(lo + _CHUNK_BITS)),
+            bucket - F.lit(lo),
+        )
+        bm = F.bitmap_construct_agg(pos)
+        if nbytes < _CHUNK_BYTES:
+            bm = F.substring(bm, 1, nbytes)
+        chunks.append(bm)
+        cnt = F.bitmap_count(chunks[-1])
+        occupied = cnt if occupied is None else occupied + cnt
+    est = F.when(
+        occupied >= F.lit(m), F.lit(m).cast("long")
+    ).otherwise(
+        F.round(
+            -F.lit(float(m))
+            * F.log((F.lit(m).cast("double") - occupied) / F.lit(float(m)))
+        ).cast("long")
+    )
+    header = _MAGIC + bytes([_VERSION]) + _struct.pack("<I", size_bytes)
     struct = F.struct(
         F.lit("LC").alias("type"),
         est.cast("long").alias("cardinality"),
-        sketch_bytes.alias("binary"),
+        F.concat(F.lit(header), *chunks).alias("binary"),
     )
     return F.when(F.count(c) > F.lit(0), struct).otherwise(F.lit(None)).alias("approx_distinct")
 

@@ -62,10 +62,12 @@ def approx_distinct(col: Column | str, kind: str = "hll", b: int | None = None) 
 
     kind='hll': Tier-A native DataSketches HLL, b = lgConfigK (default 16).
     kind='lc':  Linear Counting, b = bitmap size in bytes (default 1e6);
-                implemented in hive_udf_spark.functions.lc (grouped-agg
-                pandas UDF — correctness tier; use lc.lc_cardinality for
-                the JVM plan-level path, or lc.lc_two_phase for custom
-                Python state with explicit partial aggregation at scale).
+                fully JVM since r5 — chunked native bitmap aggregates
+                whose packed 4 KiB buffers merge map-side, so the shuffle
+                carries the dense bitmap (the reference's own per-group
+                bound), never per-occupied-bit rows. ``lc.lc_cardinality``
+                remains the estimate-only fast path and ``lc.lc_table``
+                the sparse occupied-words-only relational path.
     """
     kind = kind.lower()
     if kind not in _KINDS:

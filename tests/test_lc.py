@@ -128,6 +128,23 @@ def test_lc_table_bytes_exact_vs_python_sketch(spark, sf_dir):
     assert bytes(merged.binary) == bytes(global_direct.binary)
 
 
+def test_lc_agg_facade_is_packed_jvm_no_collect_set(spark, sf_dir):
+    """The no-thought grouped call approx_distinct(kind='lc') must get the
+    packed-bitmap plan: native bitmap aggregates (4 KiB buffers, map-side
+    merge), no collect_set bucket-id inflation, no Python stage (r4
+    verdict item 2)."""
+    from hive_udf_spark.functions.sketch import approx_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.groupBy("o_orderpriority").agg(
+        approx_distinct("o_custkey", kind="lc", b=65536).alias("s")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    assert "bitmap_construct_agg" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
 def test_lc_table_serializer_is_linear_not_map_scan(spark, sf_dir):
     """Regression for the r4 quadratic-assembly finding: the dense-bitmap
     stage must run-length-fold over the sorted entries ARRAY (O(occupied +

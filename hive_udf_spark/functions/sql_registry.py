@@ -97,6 +97,19 @@ _SQL_FUNCTIONS = {
         RETURNS BIGINT
         RETURN pmod(xxhash64(x), size_bytes * 8)
     """,
+    # estimate-only LC result struct (binary NULL — a scalar macro cannot
+    # assemble the dense bitmap; lc_table persists real ones). A SQL UDF
+    # rather than inline named_struct: the analyzer hoists foldable args
+    # of post-aggregation projections into the Aggregate, turning inline
+    # literal field names into attributes it then rejects; UDF bodies
+    # inline after that pass.
+    "lc_struct": """
+        CREATE OR REPLACE TEMPORARY FUNCTION lc_struct(card BIGINT)
+        RETURNS STRUCT<type: STRING, cardinality: BIGINT, binary: BINARY>
+        RETURN CASE WHEN card IS NULL THEN NULL
+                    ELSE named_struct('type', 'LC', 'cardinality', card,
+                                      'binary', CAST(NULL AS BINARY)) END
+    """,
     "lc_estimate": """
         CREATE OR REPLACE TEMPORARY FUNCTION lc_estimate(occupied BIGINT, size_bytes BIGINT)
         RETURNS BIGINT
@@ -240,6 +253,7 @@ def register_sql(spark: SparkSession) -> None:
 # ---------------------------------------------------------------------------
 
 _HLL_DEFAULT_B = 16
+_LC_DEFAULT_SIZE = 1_000_000  # UDAFCardinalityEstimator.java:90
 
 
 def _split_top_level_args(argstr: str) -> list[str]:
@@ -269,11 +283,53 @@ def _split_top_level_args(argstr: str) -> list[str]:
     return out
 
 
+def _masked_spans(query: str) -> list[bool]:
+    """Per-character mask: True where the character sits inside a quoted
+    string literal (single or double, with doubled-quote escapes) or a SQL
+    comment (``-- …`` to end of line, ``/* … */``). The macro expander
+    skips ``approx_distinct(`` occurrences at masked positions so literals
+    like ``SELECT 'approx_distinct(x)'`` pass through untouched."""
+    n = len(query)
+    mask = [False] * n
+    i = 0
+    while i < n:
+        ch = query[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if query[j] == ch:
+                    if j + 1 < n and query[j + 1] == ch:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            for k in range(i, end):
+                mask[k] = True
+            i = end
+        elif ch == "-" and i + 1 < n and query[i + 1] == "-":
+            j = query.find("\n", i)
+            end = n if j == -1 else j
+            for k in range(i, end):
+                mask[k] = True
+            i = end
+        elif ch == "/" and i + 1 < n and query[i + 1] == "*":
+            j = query.find("*/", i + 2)
+            end = n if j == -1 else j + 2
+            for k in range(i, end):
+                mask[k] = True
+            i = end
+        else:
+            i += 1
+    return mask
+
+
 def expand_approx_distinct(query: str, merge: bool = False) -> str:
     """Rewrite every top-level ``approx_distinct(...)`` call in ``query``
     into the composed JVM aggregate, mirroring the reference's parameter
     contract ``(x[, type[, precision]])`` with type defaulting to 'hll'
     and b (lgConfigK) to 16 (UDAFCardinalityEstimator.java:89, :100-148).
+    Occurrences inside string literals or comments are left untouched.
 
     ``merge=True`` produces the reference's STRUCT-input re-aggregation
     path instead (UDAFCardinalityEstimator.java:259-265): the argument is
@@ -282,19 +338,30 @@ def expand_approx_distinct(query: str, merge: bool = False) -> str:
     the reference ("we can only merge compatible data structures",
     :190-193).
 
-    'lc' mode is rejected here: an LC bitmap cannot be assembled by a
-    scalar macro — use functions.lc.lc_table (relational facade) or the
-    registered lc_bucket/lc_estimate SQL pair for the estimate.
+    'lc' mode (``approx_distinct(x, 'lc'[, size_bytes])``, reference LC
+    branch UDAFCardinalityEstimator.java:112-124 with LC_DEFAULT_SIZE at
+    :90) expands to the registered lc_estimate/lc_bucket composition —
+    the same pure-JVM two-phase distinct plan as
+    ``functions.lc.lc_cardinality``. The result struct is ESTIMATE-ONLY:
+    its ``binary`` field is NULL, because a scalar macro cannot assemble
+    the dense bitmap; for persisted re-aggregable LC sketch tables use
+    ``functions.lc.lc_table`` (relational facade) or the DataFrame
+    ``approx_distinct(kind='lc')`` aggregate.
     """
     import re
 
     out, pos = [], 0
     pat = re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE)
+    masked = _masked_spans(query)
     while True:
         m = pat.search(query, pos)
         if not m:
             out.append(query[pos:])
             return "".join(out)
+        if masked[m.start()]:
+            out.append(query[pos : m.end()])
+            pos = m.end()
+            continue
         out.append(query[pos : m.start()])
         # find the balanced close paren (quote-aware)
         depth, i, quote = 1, m.end(), None
@@ -335,11 +402,19 @@ def expand_approx_distinct(query: str, merge: bool = False) -> str:
                 raise ValueError(f"approx_distinct type must be 'hll' or 'lc', got {args[1]!r}")
             kind = k
         if kind == "lc":
-            raise ValueError(
-                "approx_distinct(..., 'lc') has no scalar-macro form: build LC "
-                "sketch tables with hive_udf_spark.functions.lc.lc_table, or "
-                "compose lc_estimate(count(DISTINCT lc_bucket(x, m)), m) in SQL"
+            size = int(args[2]) if len(args) == 3 else _LC_DEFAULT_SIZE
+            if size <= 0:
+                raise ValueError(f"LC size_bytes must be positive, got {size}")
+            m_bits = size * 8
+            # NULL-for-empty-group (reference :329-331): count(x)=0 makes
+            # the CASE yield NULL, which lc_struct maps to a NULL struct.
+            out.append(
+                "lc_struct(CASE WHEN count({x}) > 0 THEN "
+                "lc_estimate(count(DISTINCT pmod(xxhash64({x}), {m})), {s}) "
+                "END)".format(x=x, m=m_bits, s=size)
             )
+            pos = i
+            continue
         b = int(args[2]) if len(args) == 3 else _HLL_DEFAULT_B
         out.append(f"sketch_struct(hll_sketch_agg({x}, {b}))")
         pos = i

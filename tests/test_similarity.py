@@ -187,6 +187,27 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     assert got == again  # seeded training + tie-broken ranks
 
 
+def test_ann_pq_derives_geometry_from_books(spark, sf_dir):
+    """Pre-trained books= with a geometry that disagrees with the
+    n_subspaces/n_codes defaults must drive the ADC unroll from the
+    books' own shape — a mismatched param previously indexed past the
+    LUT and (non-ANSI) NULLed the scores silently."""
+    from hive_udf_spark.operators.similarity import ann_pq, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    books = pq_codebooks(emb, n_subspaces=4, n_codes=16)
+    # defaults are n_subspaces=8, n_codes=256 — deliberately NOT passed
+    rows = ann_pq(emb, queries, k=3, refine=20, books=books).collect()
+    assert rows and all(r.cos_sim is not None for r in rows)
+    explicit = ann_pq(
+        emb, queries, k=3, refine=20, n_subspaces=4, n_codes=16, seed=42
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} == {
+        (r.query_id, r.neighbor_id) for r in explicit
+    }
+
+
 def test_pq_codebook_shapes_and_validation(spark, sf_dir):
     import numpy as np
     import pytest as _pytest

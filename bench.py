@@ -42,6 +42,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    # trained + encoded once, outside any timed body: q_ann_pq_pretrained
+    # measures steady-state per-batch search cost with the index build
+    # (training + corpus encoding, both write-once in production)
+    # amortized away
+    from hive_udf_spark.operators.similarity import pq_codebooks, pq_encode
+
+    _PQ_BOOKS = pq_codebooks(emb, n_subspaces=8, n_codes=64)
+    _PQ_CODES = pq_encode(emb, _PQ_BOOKS).localCheckpoint(eager=True)
+
     def q_hll_lineitem():
         _force(
             lineitem.groupBy("l_returnflag", "l_linestatus").agg(
@@ -165,6 +174,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         _force(ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=64, refine=50))
+
+    def q_ann_pq_pretrained():
+        # steady-state regime (r4 verdict item 4): train-once/search-many.
+        # Codebook training runs OUTSIDE the timed body, so this entry is
+        # the warm per-batch search cost alone; q_ann_pq keeps the
+        # cold train+search cost on record.
+        from hive_udf_spark.operators.similarity import ann_pq
+
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        _force(ann_pq(emb, queries, k=5, refine=50, books=_PQ_BOOKS, codes=_PQ_CODES))
 
     def q_vec_dedup_clusters():
         from hive_udf_spark.operators.similarity import embedding_dedup_clusters
@@ -362,6 +381,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_pq_pretrained": q_ann_pq_pretrained,
         "pipeline_prep": q_pipeline_prep,
         "decontaminate": q_decontaminate,
         "bloom_prefilter": q_bloom_prefilter,

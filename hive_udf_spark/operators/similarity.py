@@ -740,6 +740,26 @@ def _pq_encode_expr(books: np.ndarray, vec_col: str) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus against trained PQ codebooks: (id, pq_code BIGINT).
+
+    The PQ INDEX-BUILD step, split out of :func:`ann_pq` so the
+    train-once/encode-once/search-many lifecycle is first-class: encode
+    the corpus when the codebooks are trained, persist the 8-byte codes
+    as a table, and pass it to ``ann_pq(codes=...)`` for each query
+    batch. The encode expression compiles the literal codebooks into one
+    parsed JVM expression (no Python stage); its plan-compilation cost is
+    paid once here instead of once per search."""
+    return corpus.select(
+        F.col(id_col), _pq_encode_expr(books, vec_col).alias("pq_code")
+    )
+
+
 def _pq_lut_expr(books: np.ndarray, vec_col: str) -> Column:
     """array<double>: flattened inner-product lookup table
     (n_subspaces × n_codes): lut[s·n_codes + j] = ⟨q_sub[s],
@@ -764,6 +784,7 @@ def ann_pq(
     refine: int = 50,
     seed: int = 42,
     books: np.ndarray | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via product quantization with
     asymmetric distance computation (ADC) and exact re-rank.
@@ -780,7 +801,12 @@ def ann_pq(
 
     ``books``: pass a pre-trained ``pq_codebooks`` result to skip the
     training jobs on repeated query batches (train-once/search-many).
+    ``codes``: pass a persisted :func:`pq_encode` result (id, pq_code)
+    alongside ``books`` to also skip corpus encoding — the steady-state
+    search regime, where only the per-batch LUT + ADC scan runs.
     """
+    if codes is not None and books is None:
+        raise ValueError("codes= requires books= (the codebooks that encoded them)")
     if books is None:
         books = pq_codebooks(
             corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
@@ -792,10 +818,15 @@ def ann_pq(
     # corruption)
     n_subspaces, n_codes_eff = int(books.shape[0]), int(books.shape[1])
 
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _pq_encode_expr(books, vec_col).alias("__codes"),
-    )
+    if codes is not None:
+        codes = codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col("pq_code").alias("__codes")
+        )
+    else:
+        codes = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _pq_encode_expr(books, vec_col).alias("__codes"),
+        )
     # the ADC stream carries (query_id, neighbor_id, adc) ONLY — query
     # vectors re-join at the refine-sized re-rank, not through the top-k
     # shuffle (dim×8 bytes of dead weight per scored pair otherwise)

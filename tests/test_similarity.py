@@ -208,6 +208,28 @@ def test_ann_pq_derives_geometry_from_books(spark, sf_dir):
     }
 
 
+def test_ann_pq_precomputed_codes_match_inline_encode(spark, sf_dir):
+    """pq_encode + ann_pq(codes=...) — the steady-state index lifecycle —
+    returns exactly the inline-encode results, and codes= without books=
+    is rejected (codes are meaningless without their codebooks)."""
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.similarity import ann_pq, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    books = pq_codebooks(emb, n_subspaces=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    assert codes.columns == ["vec_id", "pq_code"]
+    got = ann_pq(emb, queries, k=3, refine=20, books=books, codes=codes).collect()
+    inline = ann_pq(emb, queries, k=3, refine=20, books=books).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in inline
+    }
+    with _pytest.raises(ValueError, match="books"):
+        ann_pq(emb, queries, codes=codes)
+
+
 def test_pq_codebook_shapes_and_validation(spark, sf_dir):
     import numpy as np
     import pytest as _pytest

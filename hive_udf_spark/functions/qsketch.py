@@ -55,6 +55,7 @@ def quantile_sketch_table(
     k: int = QSKETCH_DEFAULT_K,
     portable: bool = False,
     seed: int = 5,
+    bounded_buffer: bool = False,
 ) -> DataFrame:
     """Per-group quantile sketches: ``group_cols + (qs: array<struct<h,v>>,
     n_rows: bigint)``.
@@ -63,6 +64,21 @@ def quantile_sketch_table(
     sample); ``value_col`` must be integral. NULL values are skipped
     (reference null-row semantics). ``group_cols=[]`` builds one global
     sketch.
+
+    Memory contract (r4 verdict finding 3): the default single-pass plan
+    buffers every (group, partition) pair in the partial
+    ``collect_list`` before trimming to k — the SHUFFLE is bounded (≤k
+    pairs per group per input partition) but the map-side aggregation
+    buffer is O(rows in the partition), degrading via
+    ObjectHashAggregate's sort-based spill fallback on fat partitions
+    rather than staying in memory. ``bounded_buffer=True`` trades one
+    extra scan for a strict bound: a rank-filtered window per (group,
+    partition) that Spark plans as a map-side Partial WindowGroupLimit
+    (spillable external sort keeping only k rows per cell), with the
+    exact row count taken by a separate scalar aggregation. Both modes
+    produce IDENTICAL sketches (pytest-pinned); prefer the default when
+    partitions are parquet-sized (~128 MB), the bounded mode when
+    feeding unsplittable fat partitions.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -72,6 +88,29 @@ def quantile_sketch_table(
         F.struct(h.alias("h"), F.col(value_col).cast("bigint").alias("v")).alias("__p"),
         F.spark_partition_id().alias("__pid"),
     )
+    if bounded_buffer:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*group_cols, "__pid").orderBy("__p")
+        trimmed = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        sample = (
+            trimmed.groupBy(*group_cols, "__pid")
+            .agg(F.collect_list("__p").alias("__s"))  # already ≤k per cell
+            .groupBy(*group_cols)
+            .agg(_bottom_k_pairs(F.flatten(F.collect_list("__s")), k).alias("qs"))
+        )
+        counts = base.groupBy(*group_cols).agg(
+            F.count("*").cast("bigint").alias("n_rows")
+        )
+        if group_cols:
+            return sample.join(counts, group_cols).select(*group_cols, "qs", "n_rows")
+        # global form: both sides are exactly one row (counts is 0 on
+        # empty input, sample an empty array — same contract as default)
+        return sample.crossJoin(counts).select("qs", "n_rows")
     partials = base.groupBy(*group_cols, "__pid").agg(
         _bottom_k_pairs(F.collect_list("__p"), k).alias("__s"),
         F.count("*").alias("__n"),

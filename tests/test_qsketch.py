@@ -135,3 +135,36 @@ def test_qsketch_sql_scalars_parity(spark, sf_dir):
         [], "qs", "n_rows", 64,
     ).collect()[0].qs
     assert [ (p.h, p.v) for p in two ] == [ (p.h, p.v) for p in direct ]
+
+
+def test_bounded_buffer_mode_identical_and_windowgrouplimit(spark, sf_dir):
+    """bounded_buffer=True (r4 verdict finding 3) must produce the
+    bit-identical sketch via a map-side Partial WindowGroupLimit plan —
+    strict O(k) per-cell state instead of the default's O(partition-rows)
+    collect_list buffer — including over an artificially fat single
+    partition and on empty global input."""
+    orders = _orders_cents(spark, sf_dir)
+    a = quantile_sketch_table(orders, ["o_orderpriority"], "cents", "o_orderkey", k=64)
+    b = quantile_sketch_table(
+        orders, ["o_orderpriority"], "cents", "o_orderkey", k=64, bounded_buffer=True
+    )
+    key = lambda df: {
+        r.o_orderpriority: ([(p.h, p.v) for p in r.qs], r.n_rows) for r in df.collect()
+    }
+    assert key(a) == key(b)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    fat = orders.repartition(1)
+    fa = quantile_sketch_table(fat, [], "cents", "o_orderkey", k=32).collect()[0]
+    fb = quantile_sketch_table(
+        fat, [], "cents", "o_orderkey", k=32, bounded_buffer=True
+    ).collect()[0]
+    assert [(p.h, p.v) for p in fa.qs] == [(p.h, p.v) for p in fb.qs]
+    assert fa.n_rows == fb.n_rows > 0
+
+    empty = orders.filter(F.lit(False))
+    row = quantile_sketch_table(
+        empty, [], "cents", "o_orderkey", k=8, bounded_buffer=True
+    ).collect()
+    assert len(row) == 1 and list(row[0].qs) == [] and row[0].n_rows == 0

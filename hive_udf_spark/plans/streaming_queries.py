@@ -235,6 +235,69 @@ def streaming_incremental_sketch_table(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "streaming_incremental_quantile_table",
+    oracle="""
+    WITH src AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             ('0x' || substr(md5('5:' || event_id), 1, 15))::BIGINT AS h
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY h, v) AS rn
+      FROM src
+    ),
+    samp AS (
+      SELECT day, list(v ORDER BY v) AS vs FROM rk WHERE rn <= 128 GROUP BY day
+    ),
+    n AS (SELECT day, count(*) AS n_rows FROM src GROUP BY day)
+    SELECT samp.day,
+           CAST(n.n_rows AS BIGINT) AS n_rows,
+           vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1] AS q50_cents,
+           vs[CAST(floor(0.9 * (len(vs) - 1)) AS INT) + 1] AS q90_cents
+    FROM samp JOIN n ON samp.day = n.day
+    """,
+)
+def streaming_incremental_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-on-write QUANTILE state (r4 verdict item 7):
+    the stream maintains one re-aggregable bottom-k quantile sketch per
+    day (streaming/sketch_sink.py daily_value_quantile_sink). The
+    bottom-k merge is lossless, so the streamed table is BIT-IDENTICAL
+    to a direct batch build — with portable (md5) hashing the DuckDB
+    oracle reproduces sample, count, and quantiles exactly (strongest
+    §5.2 form; no error bound involved)."""
+    import tempfile
+
+    from hive_udf_spark.functions.qsketch import qsketch_quantile
+    from hive_udf_spark.streaming.sketch_sink import daily_value_quantile_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/daily_quantiles"
+        q = daily_value_quantile_sink(
+            read_events_stream(spark, sf_dir),
+            table,
+            f"{tmp}/ckpt",
+            k=128,
+            portable=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "day",
+                "n_rows",
+                qsketch_quantile("qs", 0.5).alias("q50_cents"),
+                qsketch_quantile("qs", 0.9).alias("q90_cents"),
+            )
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out
+
+
+@register(
     "streaming_window_hopping",
     oracle="""
     WITH starts AS (

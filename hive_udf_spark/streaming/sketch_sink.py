@@ -38,6 +38,19 @@ from pyspark.sql import functions as F
 from hive_udf_spark.functions import approx_distinct, sketch_merge_agg
 
 
+def _atomic_swap(merged: DataFrame, table_path: str) -> None:
+    """Write ``merged`` to a scratch dir and rename it over ``table_path``
+    — readers see the old table or the new one, never a torn mix."""
+    tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(table_path):
+        os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_sketch_table(
     spark: SparkSession,
     batch_sketches: DataFrame,
@@ -56,14 +69,7 @@ def merge_sketch_table(
     merged = all_rows.groupBy(*key_cols).agg(
         sketch_merge_agg(sketch_col).alias(sketch_col)
     )
-    tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    _atomic_swap(merged, table_path)
 
 
 def daily_user_sketch_sink(
@@ -86,6 +92,99 @@ def daily_user_sketch_sink(
             .filter(F.col("s").isNotNull())
         )
         merge_sketch_table(batch_df.sparkSession, sketches, table_path, ["day"], "s")
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def merge_quantile_table(
+    spark: SparkSession,
+    batch_sketches: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    k: int,
+    batch_id: int | None = None,
+    sketch_col: str = "qs",
+    n_col: str = "n_rows",
+) -> None:
+    """Merge per-key quantile-sample sketches (functions/qsketch.py) into
+    the stored table — the fourth sketch family on the same
+    merge-on-write machinery.
+
+    The bottom-k union is the lossless KMV-style semilattice, with
+    ``array_distinct`` before the trim: a pair (h, v) names one source
+    row (h hashes its unique key), so re-merging rows already present in
+    the stored sketch cannot inflate the sample. Unlike distinct-count
+    union, the exact ``n_rows`` counter is NOT idempotent — so the table
+    carries a ``__last_batch`` high-water mark, updated in the same
+    atomic swap as the data: a foreachBatch retry of an already-merged
+    batch (same batch_id) is skipped entirely, keeping counts exact
+    under at-least-once delivery.
+    """
+    existing = None
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path)
+        if batch_id is not None:
+            hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
+            if hwm is not None and hwm >= batch_id:
+                return  # retry of an already-merged batch
+        all_rows = existing.select(*key_cols, sketch_col, n_col).unionByName(
+            batch_sketches.select(*key_cols, sketch_col, n_col)
+        )
+    else:
+        all_rows = batch_sketches.select(*key_cols, sketch_col, n_col)
+    merged = (
+        all_rows.groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+                1,
+                k,
+            ).alias(sketch_col),
+            F.sum(n_col).cast("bigint").alias(n_col),
+        )
+        .withColumn(
+            "__last_batch",
+            F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
+        )
+    )
+    _atomic_swap(merged, table_path)
+
+
+def daily_value_quantile_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    portable: bool = False,
+):
+    """Streaming query maintaining a per-day quantile-sample sketch table
+    over the event ``value`` (quantized to cents), keyed by the unique
+    ``event_id`` — re-aggregable quantile state for streams (r4 verdict
+    item 7).
+
+    Each micro-batch reduces to per-day bottom-k sketches
+    (quantile_sketch_table — raw events never stored), then OR-merges
+    into the cumulative table, one row per day. Because the bottom-k
+    merge is lossless, the streamed table is BIT-IDENTICAL to a batch
+    build over the same events — the oracle checks that, not a bound.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from hive_udf_spark.functions.qsketch import quantile_sketch_table
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        cents = batch_df.withColumn("day", F.date_trunc("day", "ts")).withColumn(
+            "__cents", F.round(F.col("value") * 100).cast("bigint")
+        )
+        sketches = quantile_sketch_table(
+            cents, ["day"], "__cents", "event_id", k=k, portable=portable
+        )
+        merge_quantile_table(
+            batch_df.sparkSession, sketches, table_path, ["day"], k, batch_id
+        )
 
     return (
         events.writeStream.foreachBatch(_merge)

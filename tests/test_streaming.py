@@ -224,3 +224,94 @@ def test_daily_user_sketch_sink_stream(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_quantile_sink_multi_batch_equals_direct_build(spark, sf_dir, tmp_path):
+    """Batch-by-batch bottom-k merges equal one direct build per day
+    (lossless semilattice — batch boundaries invisible), bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.qsketch import quantile_sketch_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_quantile_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    ).withColumn("__cents", F.round(F.col("value") * 100).cast("bigint"))
+    table = str(tmp_path / "daily_quantiles")
+    for i, (lo, hi) in enumerate(((0, 300), (300, 301), (301, 10**9))):
+        batch = events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        sk = quantile_sketch_table(batch, ["day"], "__cents", "event_id", k=64)
+        merge_quantile_table(spark, sk, table, ["day"], 64, batch_id=i)
+    got = {
+        r.day: ([(p.h, p.v) for p in r.qs], r.n_rows)
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        r.day: ([(p.h, p.v) for p in r.qs], r.n_rows)
+        for r in quantile_sketch_table(
+            events, ["day"], "__cents", "event_id", k=64
+        ).collect()
+    }
+    assert got == want
+
+
+def test_quantile_sink_batch_retry_idempotent(spark, sf_dir, tmp_path):
+    """A foreachBatch retry (same batch_id) must be a no-op: the sample is
+    protected by array_distinct and the exact n_rows counter by the
+    __last_batch high-water mark written in the same atomic swap."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.qsketch import quantile_sketch_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_quantile_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    ).withColumn("__cents", F.round(F.col("value") * 100).cast("bigint"))
+    table = str(tmp_path / "daily_quantiles")
+    sk = quantile_sketch_table(events, ["day"], "__cents", "event_id", k=64)
+    merge_quantile_table(spark, sk, table, ["day"], 64, batch_id=0)
+    snap = lambda: sorted(
+        (r.day, tuple((p.h, p.v) for p in r.qs), r.n_rows)
+        for r in spark.read.parquet(table).collect()
+    )
+    first = snap()
+    merge_quantile_table(spark, sk, table, ["day"], 64, batch_id=0)  # retry
+    assert snap() == first  # skipped entirely: counts did not double
+    # a NEW batch with the same rows would still keep the sample exact
+    # (distinct pairs), though counts legitimately move — not asserted here
+
+
+def test_daily_value_quantile_sink_stream(spark, sf_dir, tmp_path):
+    """End-to-end streaming: the foreachBatch quantile sink produces the
+    BIT-IDENTICAL table to a direct batch build (lossless merge)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.qsketch import quantile_sketch_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import daily_value_quantile_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    table = str(tmp_path / "stream_quantiles")
+    q = daily_value_quantile_sink(
+        read_events_stream(spark, sf_dir), table, str(tmp_path / "ckpt"), k=64
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.day: ([(p.h, p.v) for p in r.qs], r.n_rows)
+        for r in spark.read.parquet(table).collect()
+    }
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    ).withColumn("__cents", F.round(F.col("value") * 100).cast("bigint"))
+    want = {
+        r.day: ([(p.h, p.v) for p in r.qs], r.n_rows)
+        for r in quantile_sketch_table(
+            events, ["day"], "__cents", "event_id", k=64
+        ).collect()
+    }
+    assert got == want

@@ -35,8 +35,11 @@ __all__ = [
     "encode_pgm",
     "encode_ppm",
     "encode_bmp24",
+    "encode_avi",
     "nearest_resize",
     "split_netpbm_frames",
+    "split_avi_frames",
+    "split_container_frames",
 ]
 
 _NETPBM_HEADER = re.compile(
@@ -229,3 +232,139 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
     rows[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)  # RGB→BGR
     return header + rows[::-1].tobytes()  # bottom-up row order
+
+
+# ---------------------------------------------------------------------------
+# RIFF-AVI container (vendored-MJPEG convention: each ##dc/##db chunk is a
+# self-contained image blob in a vendored still format — netpbm/BMP — the
+# way each MJPEG frame is an independent JPEG). Same chunk-walk machinery
+# as the WAV parser (operators/audiocodec.py _chunks).
+# ---------------------------------------------------------------------------
+import struct as _struct
+
+_AVI_VIDEO_SUFFIXES = (b"dc", b"db")
+_HEX2 = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _is_stream2(s: bytes) -> bool:
+    return len(s) == 2 and all(c in _HEX2 for c in s)
+
+
+def _riff_subchunks(b: bytes, pos: int, end: int):
+    """Yield (chunk_id, payload_offset, payload_size) for RIFF sub-chunks
+    in b[pos:end], validating extents; chunks are word-aligned."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", b, pos + 4)
+        payload = pos + 8
+        if payload + size > end:
+            raise ValueError(
+                f"chunk {cid!r} truncated ({payload + size - end} bytes past extent)"
+            )
+        yield cid, payload, size
+        pos = payload + size + (size & 1)
+
+
+def split_avi_frames(b: bytes) -> list[bytes]:
+    """Parse a RIFF-AVI container into its per-frame video blobs.
+
+    A REAL index walk: top-level RIFF chunks are enumerated, the
+    ``LIST movi`` body's ``##dc``/``##db`` stream chunks (two hex stream
+    digits + compressed/uncompressed suffix) are the frames, and when an
+    ``idx1`` index chunk is present its video entries must agree with the
+    movi walk (count and per-frame length) — a lying index is an error,
+    not a silent preference for either side. Offsets are not checked:
+    both the movi-relative and absolute-file conventions exist in the
+    wild, and the movi walk is authoritative for extents.
+
+    Frame payloads are returned verbatim; under the vendored-MJPEG
+    convention each is an independent still (netpbm/BMP) decodable by
+    :func:`decode_to_gray`.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    (riff_size,) = _struct.unpack_from("<I", b, 4)
+    end = min(len(b), 8 + riff_size)
+    frames: list[bytes] = []
+    idx_video: list[tuple[bytes, int]] | None = None
+    for cid, off, size in _riff_subchunks(b, 12, end):
+        if cid == b"LIST" and b[off : off + 4] == b"movi":
+            for scid, soff, ssize in _riff_subchunks(b, off + 4, off + size):
+                if scid[2:] in _AVI_VIDEO_SUFFIXES and _is_stream2(scid[:2]):
+                    frames.append(b[soff : soff + ssize])
+        elif cid == b"idx1":
+            idx_video = []
+            for i in range(off, off + size - 15, 16):
+                ckid, _flags, _coff, clen = _struct.unpack_from("<4sIII", b, i)
+                if ckid[2:] in _AVI_VIDEO_SUFFIXES and _is_stream2(ckid[:2]):
+                    idx_video.append((ckid, clen))
+    if not frames:
+        raise ValueError("no video frames (##dc/##db) in a movi list")
+    if idx_video is not None:
+        if len(idx_video) != len(frames) or any(
+            ln != len(f) for (_, ln), f in zip(idx_video, frames)
+        ):
+            raise ValueError(
+                f"idx1 disagrees with movi ({len(idx_video)} indexed vs "
+                f"{len(frames)} walked video chunks)"
+            )
+    return frames
+
+
+def encode_avi(frames: list[bytes], fps: int = 25) -> bytes:
+    """Assemble still-image blobs into a canonical RIFF-AVI container
+    (LIST hdrl with avih/strh/strf, LIST movi of 00dc chunks, idx1 index
+    with movi-relative offsets) — the test-fixture twin of
+    :func:`split_avi_frames`. Frame dimensions for the headers come from
+    decoding the first frame."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    h, w = decode_to_gray(frames[0]).shape
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (
+            cid
+            + _struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # offset convention: position of the chunk id relative to the
+        # start of the 'movi' fourcc; 0x10 = AVIIF_KEYFRAME
+        idx += _struct.pack("<4sIII", b"00dc", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", bytes(f))
+    avih = _struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIII",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0,
+    ) + _struct.pack("<4h", 0, 0, w, h)
+    strf = _struct.pack(
+        "<Iii2H4sIiiII", 40, w, h, 1, 8, b"MJPG", w * h, 0, 0, 0, 0
+    )
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + b"LIST" + _struct.pack("<I", len(strl)) + strl
+    body = (
+        b"AVI "
+        + b"LIST" + _struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + _struct.pack("<I", len(movi_body)) + movi_body
+        + chunk(b"idx1", idx)
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def split_container_frames(b: bytes) -> list[bytes]:
+    """Format-dispatching frame extraction: RIFF-AVI (``split_avi_frames``)
+    or concatenated netpbm (``split_netpbm_frames``). Anything else raises
+    explicitly — never a silent fallback."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return split_avi_frames(b)
+    if b[:2] in (b"P5", b"P6"):
+        return split_netpbm_frames(b)
+    raise ValueError(
+        "unsupported container format (vendored: RIFF-AVI, concatenated netpbm)"
+    )

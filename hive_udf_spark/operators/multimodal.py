@@ -148,9 +148,11 @@ def sample_container_frames(
     blobs: DataFrame, every_nth: int = 1, fake: bool = False
 ) -> DataFrame:
     """REAL within-blob frame sampling: each blob is a multi-frame
-    container (concatenated netpbm P5/P6 — the raw-stream analogue of
-    MJPEG), parsed frame-by-frame inside mapInPandas; every ``nth`` frame
-    is decoded and emitted with its per-frame pixel stats.
+    container — RIFF-AVI (``imagecodec.split_avi_frames``, r5) or
+    concatenated netpbm P5/P6 (the raw-stream analogue of MJPEG),
+    dispatched by magic — parsed frame-by-frame inside mapInPandas;
+    every ``nth`` frame is decoded and emitted with its per-frame pixel
+    stats.
 
     One output row per sampled frame: (doc_id, frame_idx, n_frames,
     frame blob, n_pixels, mean_px, max_px); mean_px is the exact integer
@@ -181,7 +183,7 @@ def sample_container_frames(
                 if fake:
                     frames = [b[i : i + 64] for i in range(0, len(b), 64)]
                 else:
-                    frames = imagecodec.split_netpbm_frames(b)
+                    frames = imagecodec.split_container_frames(b)
                 for i in range(0, len(frames), every_nth):
                     if fake:
                         px = np.frombuffer(frames[i], dtype=np.uint8)

@@ -281,6 +281,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avi_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(64 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF-AVI container walk end-to-end (r5, r4 verdict item 8): each
+    document's first 192 chars become three 8x8 PGM frames inside a REAL
+    AVI container (LIST hdrl / LIST movi with 00dc chunks / idx1 index,
+    built by imagecodec.encode_avi under the vendored-MJPEG convention);
+    ``sample_container_frames`` dispatches on the RIFF magic, walks the
+    movi list, cross-checks idx1, decodes every 2nd frame and emits the
+    same per-frame stats as the concatenated-netpbm query — the oracle
+    is identical because the container format must not change the
+    frames. The constant container scaffolding (headers, chunk sizes,
+    index) is computed ONCE from an encode_avi template and interleaved
+    with the per-document payloads as Spark literals."""
+    from hive_udf_spark.operators.imagecodec import encode_avi
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    hdr = b"P5\n8 8\n255\n"
+    dummies = [hdr + bytes([17 * (i + 1)]) * 64 for i in range(3)]
+    template = encode_avi(dummies, fps=5)
+    pieces, pos = [], 0
+    for d in dummies:
+        j = template.index(d, pos)
+        pieces.append(template[pos:j])
+        pos = j + len(d)
+    pieces.append(template[pos:])
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    parts: list = []
+    for i in range(3):
+        parts += [
+            F.lit(pieces[i]),
+            F.lit(hdr),
+            F.encode(F.substring("__s", i * 64 + 1, 64), "UTF-8"),
+        ]
+    parts.append(F.lit(pieces[3]))
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", F.concat(*parts).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

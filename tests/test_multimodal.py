@@ -399,3 +399,66 @@ def test_codec_roundtrip_properties():
     pgm_roundtrip()
     wav_roundtrip()
     container_roundtrip()
+
+
+def test_avi_container_roundtrip_and_validation():
+    """encode_avi ↔ split_avi_frames roundtrip (mixed P5/P6 frame sizes),
+    magic dispatch, idx1 cross-validation, and explicit failures."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import (
+        encode_avi,
+        encode_pgm,
+        encode_ppm,
+        split_avi_frames,
+        split_container_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        encode_pgm(rng.integers(0, 256, (8, 8)).astype(np.uint8)) for _ in range(3)
+    ] + [encode_ppm(rng.integers(0, 256, (6, 10, 3)).astype(np.uint8))]
+    avi = encode_avi(frames, fps=5)
+    assert split_avi_frames(avi) == frames
+    # dispatcher routes by magic; netpbm still works; garbage raises
+    assert split_container_frames(avi) == frames
+    assert split_container_frames(b"".join(frames[:2])) == frames[:2]
+    with _pytest.raises(ValueError, match="unsupported container"):
+        split_container_frames(b"GARBAGE123")
+    # a lying idx1 (frame length tampered) is an error, not a preference
+    bad = bytearray(avi)
+    i = avi.rfind(b"idx1")
+    bad[i + 8 + 12 : i + 8 + 16] = (999).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="idx1 disagrees"):
+        split_avi_frames(bytes(bad))
+    # truncated movi chunk is an explicit error
+    with _pytest.raises(ValueError, match="truncated"):
+        split_avi_frames(avi[:-40] )
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        split_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sample_container_frames_avi(spark, sf_dir):
+    """sample_container_frames over an AVI container emits the same rows
+    as over the equivalent concatenated-netpbm container — the format
+    changes, the frames must not."""
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import encode_avi, encode_pgm
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    rng = np.random.default_rng(11)
+    frames = [
+        encode_pgm(rng.integers(0, 256, (4, 4)).astype(np.uint8)) for _ in range(5)
+    ]
+    rows = [(1, bytearray(encode_avi(frames, fps=3))), (2, bytearray(b"".join(frames)))]
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = sample_container_frames(blobs, every_nth=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.frame_idx, r.n_frames, bytes(r.frame), r.n_pixels, r.mean_px, r.max_px)
+        )
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+    assert [i for i, *_ in sorted(by_doc[1])] == [0, 2, 4]

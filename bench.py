@@ -362,6 +362,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             )
         )
 
+    def q_strip_spans():
+        # full span pipeline at xxhash64 speed: postings -> mark (join
+        # mode, AQE-skew-splittable) -> islands -> O(len) strip fold
+        from hive_udf_spark.operators.spandedup import strip_duplicate_spans
+
+        _force(strip_duplicate_spans(docs, n=5, min_count=2, keep_first=True))
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -400,6 +407,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_shuffle": q_incremental_dedup_shuffle,
         "dsir_weights": q_dsir_weights,
+        "strip_spans": q_strip_spans,
     }
 
     times: dict[str, float] = {}

@@ -404,3 +404,147 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter_size").cast("long").alias("inter_size"),
         F.col("union_size").cast("long").alias("union_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-level duplicated spans (ExactSubstr dedup, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+_SPAN_MIN_COUNT = 2
+
+# Ordered-token CTE (mirror of functions.text.tokenize — keeps duplicates
+# and order, unlike _WS_CTE's distinct word sets) plus the posting list:
+# one (key, doc_id, pos) row per token 5-gram, pos 0-based.
+def _span_posting_cte(keep_first: bool) -> str:
+    gram = f"array_to_string(tk[i + 1 : i + {_SPAN_N}], ' ')"
+    first_sel = (
+        ",\n      min(struct_pack(i := doc_id, p := pos)) OVER (PARTITION BY key) AS first_occ"
+        if keep_first
+        else ""
+    )
+    first_filter = (
+        "AND NOT (doc_id = first_occ.i AND pos = first_occ.p)" if keep_first else ""
+    )
+    return f"""
+tok AS (
+  SELECT doc_id,
+         [t for t in string_split_regex(text, '\\s+') if t != ''] AS tk
+  FROM documents
+),
+posting AS (
+  SELECT doc_id,
+         i AS pos,
+         {portable_hash60_sql(gram, 0)} AS key
+  FROM tok, unnest(generate_series(0, len(tk) - {_SPAN_N})) AS g(i)
+  WHERE len(tk) >= {_SPAN_N}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      count(*) OVER (PARTITION BY key) AS cnt{first_sel}
+    FROM posting
+  ) WHERE cnt >= {_SPAN_MIN_COUNT} {first_filter}
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos > coalesce(prev_end, -1) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + {_SPAN_N}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM marked
+  )
+),
+spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {_SPAN_N} AS span_end
+  FROM islands GROUP BY doc_id, grp
+)
+"""
+
+
+def _span_oracle() -> str:
+    return f"""
+    WITH {_span_posting_cte(keep_first=False)}
+    SELECT s.doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_end - span_start AS BIGINT) AS span_tokens,
+           array_to_string(tk[span_start + 1 : span_end], ' ') AS span_text
+    FROM spans s JOIN tok USING (doc_id)
+    """
+
+
+@register("dedup_duplicate_spans", oracle=_span_oracle())
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token 5-gram spans across the corpus
+    (operators/spandedup.py — ExactSubstr dedup at token granularity).
+    Portable-hash mode: the oracle reproduces postings, the corpus-wide
+    count mark, the gaps-and-islands merge, and every span's text."""
+    from hive_udf_spark.operators.spandedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_spans(
+        docs, n=_SPAN_N, min_count=_SPAN_MIN_COUNT, portable=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        "span_text",
+    )
+
+
+def _strip_oracle() -> str:
+    # keep_first=True: the corpus-wide first occurrence of each 5-gram
+    # stays, so one canonical copy of every duplicated passage survives.
+    return f"""
+    WITH {_span_posting_cte(keep_first=True)},
+    covered AS (
+      SELECT doc_id, unnest(generate_series(span_start + 1, span_end)) AS idx
+      FROM spans
+    ),
+    toks_pos AS (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+      FROM tok
+    ),
+    kept AS (
+      SELECT tp.doc_id,
+             string_agg(tp.tok, ' ' ORDER BY tp.i) AS clean_text,
+             count(*) AS n_kept
+      FROM toks_pos tp
+        ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.idx = tp.i
+      GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(t.tk) AS BIGINT) AS total_tokens,
+           CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS dup_tokens
+    FROM tok t LEFT JOIN kept k USING (doc_id)
+    """
+
+
+@register("dedup_strip_spans", oracle=_strip_oracle())
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with duplicated 5-gram spans removed, keep_first policy
+    (one canonical copy of each passage survives corpus-wide). The
+    engine rebuilds docs with an O(len) fold over sorted spans; the
+    oracle rebuilds them by anti-joining covered token positions —
+    independent formulations, identical strings."""
+    from hive_udf_spark.operators.spandedup import strip_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = strip_duplicate_spans(
+        docs, n=_SPAN_N, min_count=_SPAN_MIN_COUNT, keep_first=True, portable=True
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+    )

@@ -328,3 +328,67 @@ def streaming_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "stream_hopping", mode="complete").select(
         "event_type", "window_start", "n_events"
     )
+
+
+_SCMS_DEPTH = 4
+_SCMS_WIDTH = 64  # small enough that collisions occur and must match too
+
+
+def _streaming_cms_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+
+    m = 1 << 31
+    h0 = f"({portable_hash60_sql('user_id', 0)} % {m})"
+    h1 = f"({portable_hash60_sql('user_id', 1)} % {m})"
+    return f"""
+    WITH cells AS (
+      SELECT d, ({h0} + d * {h1}) % {_SCMS_WIDTH} AS idx
+      FROM events, unnest(generate_series(0, {_SCMS_DEPTH - 1})) AS s(d)
+      WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(d AS INT) AS d, CAST(idx AS BIGINT) AS idx,
+           count(*) AS cnt
+    FROM cells GROUP BY d, idx
+    """
+
+
+@register("streaming_incremental_cms_table", oracle=_streaming_cms_oracle())
+def streaming_incremental_cms_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-on-write FREQUENCY state: the stream maintains
+    a Count-Min sketch over user_id (streaming/sketch_sink.py
+    user_frequency_cms_sink), merged cell-additively across micro-
+    batches under a retry-skipping high-water mark. The additive merge
+    is lossless, so the streamed counter table is CELL-IDENTICAL to a
+    batch build — the DuckDB oracle reproduces every (d, idx, cnt) cell
+    of the deliberately small 4x64 portable-hash sketch, collisions
+    included (the freq_cms_token_counts discipline, now as streaming
+    state)."""
+    import tempfile
+
+    from hive_udf_spark.streaming.sketch_sink import user_frequency_cms_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/user_cms"
+        q = user_frequency_cms_sink(
+            read_events_stream(spark, sf_dir),
+            table,
+            f"{tmp}/ckpt",
+            depth=_SCMS_DEPTH,
+            width=_SCMS_WIDTH,
+            portable=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(table)
+            .select(
+                F.col("d").cast("int").alias("d"),
+                F.col("idx").cast("long").alias("idx"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

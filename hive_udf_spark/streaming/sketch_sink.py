@@ -192,3 +192,78 @@ def daily_value_quantile_sink(
         .outputMode("update")
         .start()
     )
+
+
+def merge_cms_table(
+    spark: SparkSession,
+    batch_cells: DataFrame,
+    table_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Merge a micro-batch's Count-Min cells (d, idx, cnt —
+    functions/freq.py cms_table) into the stored counter table: union +
+    sum per (d, idx), the CMS's lossless additive merge. Like the exact
+    quantile-sample counter (merge_quantile_table) and unlike distinct-
+    count union, cell sums are NOT idempotent — a ``__last_batch``
+    high-water mark written in the same atomic swap skips foreachBatch
+    retries whole, keeping counts exact under at-least-once delivery."""
+    existing = None
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path)
+        if batch_id is not None:
+            hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
+            if hwm is not None and hwm >= batch_id:
+                return  # retry of an already-merged batch
+        all_cells = existing.select("d", "idx", "cnt").unionByName(
+            batch_cells.select("d", "idx", "cnt")
+        )
+    else:
+        all_cells = batch_cells.select("d", "idx", "cnt")
+    merged = (
+        all_cells.groupBy("d", "idx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn(
+            "__last_batch",
+            F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
+        )
+    )
+    _atomic_swap(merged, table_path)
+
+
+def user_frequency_cms_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+):
+    """Streaming query maintaining a Count-Min frequency sketch over
+    ``user_id`` — per-user event counts queryable at any moment via
+    ``functions.freq.cms_lookup``, in depth×width fixed space however
+    long the stream runs (the heavy-hitters streaming state the batch
+    ``freq_*`` family stores as a relation).
+
+    Each micro-batch reduces to ≤ depth·width cells BEFORE touching
+    storage (cms_table partially aggregates map-side); the additive
+    merge makes the streamed table cell-identical to a batch build over
+    the same events, so the oracle can check every cell exactly.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from hive_udf_spark.functions.freq import cms_table
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_table(
+            batch_df.filter(F.col("user_id").isNotNull()),
+            "user_id",
+            depth=depth,
+            width=width,
+            portable=portable,
+        )
+        merge_cms_table(batch_df.sparkSession, cells, table_path, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

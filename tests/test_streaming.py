@@ -315,3 +315,82 @@ def test_daily_value_quantile_sink_stream(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cms_sink_multi_batch_equals_direct_build(spark, sf_dir, tmp_path):
+    """Cell-additive CMS merges across batches equal one direct build
+    (lossless additive merge — batch boundaries invisible)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.freq import cms_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_cms_table
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    table = str(tmp_path / "user_cms")
+    for i, (lo, hi) in enumerate(((0, 300), (300, 301), (301, 10**9))):
+        batch = events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        cells = cms_table(batch, "user_id", depth=4, width=64)
+        merge_cms_table(spark, cells, table, batch_id=i)
+    got = sorted(
+        (r.d, r.idx, r.cnt) for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        (r.d, r.idx, r.cnt)
+        for r in cms_table(events, "user_id", depth=4, width=64).collect()
+    )
+    assert got == want
+
+
+def test_cms_sink_batch_retry_idempotent(spark, sf_dir, tmp_path):
+    """A foreachBatch retry (same batch_id) is a no-op: cell sums are
+    protected by the __last_batch high-water mark."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.freq import cms_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_cms_table
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    table = str(tmp_path / "user_cms")
+    cells = cms_table(events, "user_id", depth=4, width=64)
+    merge_cms_table(spark, cells, table, batch_id=0)
+    snap = lambda: sorted(
+        (r.d, r.idx, r.cnt) for r in spark.read.parquet(table).collect()
+    )
+    first = snap()
+    merge_cms_table(spark, cells, table, batch_id=0)  # retry
+    assert snap() == first
+
+
+def test_cms_sink_stream_lookup_upper_bounds(spark, sf_dir, tmp_path):
+    """End-to-end streaming CMS: point queries from the streamed table
+    are >= the true per-user counts (CMS guarantee), and exact for
+    users without cell collisions at a wide sketch."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.freq import cms_lookup
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import user_frequency_cms_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    table = str(tmp_path / "stream_cms")
+    q = user_frequency_cms_sink(
+        read_events_stream(spark, sf_dir), table, str(tmp_path / "ckpt"),
+        depth=4, width=4096,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    truth = events.groupBy("user_id").count()
+    est = cms_lookup(
+        spark.read.parquet(table), events, "user_id", depth=4, width=4096
+    )
+    joined = est.join(truth, est.item == truth.user_id).select("est", "count")
+    rows = joined.collect()
+    assert rows and all(r.est >= r["count"] for r in rows)
+    # wide sketch, few users: the vast majority of estimates are exact
+    exact = sum(1 for r in rows if r.est == r["count"])
+    assert exact / len(rows) > 0.9

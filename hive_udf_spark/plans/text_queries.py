@@ -614,3 +614,86 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_filter_table(docs, "text", id_cols=("doc_id",))
+
+
+# ---------------------------------------------------------------------------
+# Learned BPE tokenizer (functions/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 8
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Reproduce the ENTIRE k-merge BPE training loop in DuckDB.
+
+    Words are held as wrapped-symbol strings ``\\x1f s \\x1f`` per symbol,
+    where SQL replace()'s left-to-right non-overlapping scan is exactly
+    BPE's greedy merge application, and a match can only align with a
+    full adjacent symbol pair (symbols never contain the separator).
+    Each iteration is one CTE block: pair counts from the current
+    segmentation, the deterministic argmax (count desc, pair asc) as a
+    scalar subquery, and the merge as a replace. Data-dependent merges,
+    no precomputed constants — the oracle trains independently."""
+    u = "chr(31)"
+    blocks = []
+    for i in range(1, k + 1):
+        p = i - 1
+        blocks.append(f"""
+    syms{p} AS MATERIALIZED (
+      SELECT word, cnt, string_split(trim(repr, chr(31)), {u} || {u}) AS syms
+      FROM v{p}
+    ),
+    pc{i} AS (
+      SELECT p.a AS a, p.b AS b, sum(cnt) AS c
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(generate_series(1, len(syms) - 1),
+                 j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS p
+        FROM syms{p}
+      ) GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (SELECT a, b FROM pc{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    v{i} AS MATERIALIZED (
+      SELECT word, cnt,
+        replace(repr,
+          coalesce((SELECT {u}||a||{u}||{u}||b||{u} FROM best{i}), chr(1)),
+          coalesce((SELECT {u}||a||b||{u} FROM best{i}), chr(1))) AS repr
+      FROM v{p}
+    )""")
+    return f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, count(*) AS cnt,
+             regexp_replace(word, '(.)', {u} || '\\1' || {u}, 'g') AS repr
+      FROM (
+        SELECT unnest([t for t in string_split_regex(text, '\\s+') if t != '']) AS word
+        FROM documents
+      ) GROUP BY word
+    ),{','.join(blocks)}
+    SELECT word,
+           CAST(cnt AS BIGINT) AS n_occurrences,
+           array_to_string(string_split(trim(repr, chr(31)), {u} || {u}), ' ') AS segmentation,
+           CAST(len(string_split(trim(repr, chr(31)), {u} || {u})) AS BIGINT) AS n_subtokens
+    FROM v{k}
+    """
+
+
+@register("text_bpe_train_segment", oracle=_bpe_oracle())
+def text_bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED byte-pair encoding: train 8 merges on the documents
+    corpus (functions/bpe.py — vocab-reduced iteration, JVM pair counts
+    and greedy merge folds, one collected argmax row per iteration) and
+    emit every word's final segmentation. The oracle re-trains
+    independently in DuckDB via 8 chained CTE blocks whose replace()
+    scan reproduces greedy merging — training, tie-breaks, and
+    segmentations must match end-to-end (strongest §5.2 form for an
+    iterative algorithm)."""
+    from hive_udf_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", num_merges=_BPE_K)
+    return vocab.select(
+        "word",
+        F.col("cnt").cast("long").alias("n_occurrences"),
+        F.array_join("syms", " ").alias("segmentation"),
+        F.size("syms").cast("long").alias("n_subtokens"),
+    )

@@ -1,0 +1,126 @@
+"""Learned BPE tokenizer (functions/bpe.py) vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.bpe import (
+    apply_merge_expr,
+    apply_merges_expr,
+    bpe_doc_token_counts,
+    bpe_train,
+    word_vocab,
+)
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest widest widest"),
+]
+
+
+def ref_bpe(words: list[str], k: int):
+    """The classic Sennrich et al. trainer: overlapping pair counts,
+    greedy left-to-right merge, (count desc, pair asc) tie-break."""
+    vocab = {w: list(w) for w in set(words)}
+    cnt = collections.Counter(words)
+    merges = []
+    for _ in range(k):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_train_matches_python_reference(docs):
+    merges, vocab = bpe_train(docs, num_merges=6)
+    words = [w for _, t in CORPUS for w in t.split()]
+    ref_merges, ref_vocab = ref_bpe(words, 6)
+    assert [tuple(m) for m in merges] == ref_merges
+    assert {r.word: r.syms for r in vocab.collect()} == ref_vocab
+
+
+def test_greedy_nonoverlapping_merge(spark):
+    """'aaaa' + (a,a) -> ['aa','aa']; 'aaa' -> ['aa','a'] (left-to-right)."""
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("ba",)], ["w"])
+    out = {
+        r.w: r.m
+        for r in df.select(
+            "w", apply_merge_expr(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["ba"] == ["b", "a"]
+
+
+def test_merge_chain_matches_vocab(docs):
+    """Applying the learned merge sequence to raw characters reproduces
+    the trained vocab's segmentation (the unseen-word inference path)."""
+    merges, vocab = bpe_train(docs, num_merges=6)
+    replayed = word_vocab(docs).select(
+        "word", apply_merges_expr(F.split("word", ""), merges).alias("syms")
+    )
+    assert {r.word: r.syms for r in replayed.collect()} == {
+        r.word: r.syms for r in vocab.collect()
+    }
+
+
+def test_early_stop_when_no_pairs(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    merges, vocab = bpe_train(df, num_merges=10)
+    assert merges == []  # all words single-char: nothing to merge
+    assert all(len(r.syms) == 1 for r in vocab.collect())
+
+
+def test_doc_token_counts(docs):
+    _, vocab = bpe_train(docs, num_merges=6)
+    seg = {r.word: len(r.syms) for r in vocab.collect()}
+    got = {r.doc_id: r.n_subtokens for r in bpe_doc_token_counts(docs, vocab).collect()}
+    want = {
+        d: sum(seg[w] for w in t.split()) for d, t in CORPUS
+    }
+    assert got == want
+
+
+def test_no_python_in_plans(docs):
+    _, vocab = bpe_train(docs, num_merges=3)
+    for df in (vocab, bpe_doc_token_counts(docs, vocab)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sf_corpus_deterministic(spark, sf_dir):
+    """Two trainings over the parquet corpus give identical merges
+    (deterministic tie-break) — and every corpus word stays covered."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1, v1 = bpe_train(docs, "text", num_merges=4)
+    m2, _ = bpe_train(docs, "text", num_merges=4)
+    assert m1 == m2 and len(m1) == 4
+    counted = bpe_doc_token_counts(docs, v1)
+    n_docs = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) > 0).count()
+    assert counted.count() == n_docs

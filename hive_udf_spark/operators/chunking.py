@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
+from hive_udf_spark.functions.hashing import (
+    PORTABLE_HASH_BITS,
+    fast_hash64,
+    portable_hash60,
+)
 from hive_udf_spark.functions.text import tokenize
 
 SAMPLE_DENOM = 1_000_000
@@ -254,3 +258,84 @@ def mixture_weighted_repeat(
         F.col(strata_col),
         F.explode(copies).alias("copy_idx"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-k by
+    priority q = w / u (Duffield, Lund & Thorup 2007 priority sampling;
+    the PPS-without-replacement scheme a quality-weighted corpus sample
+    needs — heavier documents proportionally likelier, no row ever
+    drawn twice).
+
+    The uniform is hash-derived — u = (hash(seed, id) mod 2^60) + 1,
+    an integer in [1, 2^60] — so the sample is reproducible across
+    runs, partitionings, and engines; ``q = w / u`` is ONE IEEE-754
+    division of exact integers, which every engine rounds identically
+    (unlike ln/exp, whose libm variation would make a float-keyed
+    sample engine-dependent — why this scheme, not u^(1/w) A-ES).
+    Ties (impossible in practice, 2^60 space) break by id.
+
+    Output adds ``priority`` and the Horvitz-Thompson estimation weight
+    ``est_weight = max(w, tau)`` where tau is the (k+1)-th priority —
+    sums of est_weight over the sample unbiasedly estimate population
+    weight totals (the paper's estimator). With ``strata_col``, top-k
+    runs per stratum (tau per stratum).
+
+    Scale: global top-k is Spark's TakeOrdered (per-partition partial
+    top-k, driver merges k·partitions rows); per-stratum is a
+    WindowGroupLimit rank — both spill-free and shuffle-light. Weights
+    must be non-negative integers (quantize upstream — e.g. token
+    counts or ppm-scaled quality scores); rows with NULL or zero weight
+    can only be drawn after every positive-weight row.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = portable_hash60 if portable else fast_hash64
+    m = 1 << PORTABLE_HASH_BITS
+    u = (F.pmod(h(F.col(id_col), seed), F.lit(m)) + 1).cast("double")
+    w = F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).cast("double")
+    # q = w / (u/2^60): normalized u in (0,1] puts tau in weight units.
+    # (w * 2^60) is an exact power-of-two scale and the division is one
+    # correctly-rounded IEEE op -> bit-identical across engines; keep the
+    # oracle's parenthesization identical
+    scored = df.withColumn("priority", (w * F.lit(float(m))) / u)
+    order = [F.col("priority").desc(), F.col(id_col).asc()]
+    if strata_col:
+        # per-stratum: rank window -> WindowGroupLimit partial top-k
+        win = Window.partitionBy(strata_col).orderBy(*order)
+        ranked = scored.withColumn("__rk", F.row_number().over(win))
+        tau_df = ranked.filter(F.col("__rk") == k + 1).select(
+            F.col(strata_col), F.col("priority").alias("__tau")
+        )
+        top = ranked.filter(F.col("__rk") <= k).drop("__rk")
+        out = top.join(F.broadcast(tau_df), strata_col, "left")
+    else:
+        # global: TakeOrdered top-(k+1) (per-partition partial top-k,
+        # driver merge) — then rank the <= k+1 survivors on one tiny
+        # partition to split sample from tau
+        limited = scored.orderBy(*order).limit(k + 1)
+        ranked = limited.withColumn(
+            "__rk", F.row_number().over(Window.orderBy(*order))
+        )
+        tau_df = ranked.filter(F.col("__rk") == k + 1).select(
+            F.lit(1).alias("__j"), F.col("priority").alias("__tau")
+        )
+        top = ranked.filter(F.col("__rk") <= k).drop("__rk")
+        out = top.withColumn("__j", F.lit(1)).join(
+            F.broadcast(tau_df), "__j", "left"
+        ).drop("__j")
+    return out.withColumn(
+        "est_weight",
+        F.greatest(
+            F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)),
+            F.coalesce(F.col("__tau"), F.lit(0.0)),
+        ),
+    ).drop("__tau")

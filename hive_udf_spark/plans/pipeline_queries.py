@@ -326,3 +326,55 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target, "doc_id", "text",
         buckets=_DSIR_B, n_max=2, portable=True, seed=_DSIR_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup PPS-without-replacement)
+# ---------------------------------------------------------------------------
+
+_PS_K = 50
+_PS_SEED = 7
+_PS_M = 1 << 60
+
+
+def _priority_sample_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("doc_id", _PS_SEED)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (coalesce(n_chars, 0) * {float(_PS_M)!r})
+               / (({h} % {_PS_M}) + 1) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM s
+    ),
+    tau AS (SELECT priority AS t FROM r WHERE rk = {_PS_K + 1})
+    SELECT doc_id, n_chars, priority,
+           greatest(coalesce(n_chars, 0)::DOUBLE,
+                    coalesce((SELECT t FROM tau), 0.0)) AS est_weight
+    FROM r WHERE rk <= {_PS_K}
+    """
+
+
+@register("pipeline_priority_sample", oracle=_priority_sample_oracle())
+def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: top-50 documents by
+    priority q = w / u with w = n_chars and a hash-derived uniform
+    (operators/chunking.py priority_sample). q is one IEEE-exact
+    division of exact integers, so the sample — AND the float priority
+    and Horvitz-Thompson est_weight columns — hash-match the DuckDB
+    oracle bit-for-bit; no rand(), no libm."""
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=_PS_K,
+        seed=_PS_SEED,
+        portable=True,
+    )

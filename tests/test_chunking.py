@@ -226,3 +226,106 @@ def test_mixture_plan_is_scan_side(spark):
     )
     assert "Exchange" not in plan  # no shuffle: generate over the scan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# priority_sample
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_deterministic_and_exact_k(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("w")
+    )
+    a = sorted(r.doc_id for r in priority_sample(df, "doc_id", "w", k=25).collect())
+    b = sorted(
+        r.doc_id
+        for r in priority_sample(df.repartition(7), "doc_id", "w", k=25).collect()
+    )
+    assert a == b and len(a) == 25  # partitioning-independent, exactly k
+
+
+def test_priority_sample_weight_bias(spark):
+    """Heavier rows must be sampled at a higher rate (PPS property):
+    with half the rows at weight 100 and half at weight 1, the heavy
+    half dominates the sample."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 100).otherwise(1).alias("w"),
+    )
+    got = priority_sample(df, "doc_id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy > 90
+
+
+def test_priority_sample_ht_estimator_unbiasedish(spark):
+    """Sum of est_weight over the sample approximates the population
+    weight total (Duffield et al. estimator) within PPS noise."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    total = df.agg(F.sum("w")).collect()[0][0]
+    est = (
+        priority_sample(df, "doc_id", "w", k=200)
+        .agg(F.sum("est_weight"))
+        .collect()[0][0]
+    )
+    assert abs(est - total) / total < 0.25
+
+
+def test_priority_sample_strata(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 + 1).alias("w"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+    got = priority_sample(df, "doc_id", "w", k=10, strata_col="src").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.src, []).append(r)
+    assert set(by) == {"0", "1", "2"} and all(len(v) == 10 for v in by.values())
+    # per-stratum tau: est_weight >= w within each stratum
+    assert all(r.est_weight >= r.w for r in got)
+
+
+def test_priority_sample_small_population(spark):
+    """Population <= k: everything sampled, est_weight falls back to w
+    (no (k+1)-th priority exists)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(3).alias("w"))
+    got = priority_sample(df, "doc_id", "w", k=10).collect()
+    assert len(got) == 5 and all(r.est_weight == 3.0 for r in got)
+
+
+def test_priority_sample_global_plan_is_take_ordered(spark):
+    """The global path must be TakeOrdered (partial per-partition top-k),
+    not a single-partition global sort/window."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+    plan = (
+        priority_sample(df, "doc_id", "w", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

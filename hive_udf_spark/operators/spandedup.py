@@ -75,6 +75,8 @@ def ngram_postings(
     """(key, id, pos) posting per token n-gram; pos is the 0-based start
     token index. Built at scan time (tokenize → ngrams → posexplode);
     no shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
     toks = tokenize(text_col)
     return df.select(
         F.col(id_col).alias("__id"),

@@ -17,9 +17,17 @@ that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_bucketed", "write_sketch_table", "read_sketch_table"]
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "write_sketch_table",
+    "read_sketch_table",
+    "zorder_key",
+    "write_zordered",
+]
 
 
 def write_partitioned(
@@ -77,3 +85,78 @@ def write_sketch_table(df: DataFrame, path: str, mode: str = "overwrite") -> Non
 def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
     """Load a persisted sketch table for re-aggregation."""
     return spark.read.parquet(path)
+
+
+def zorder_key(
+    cols: list[Column | str],
+    mins: list[int],
+    maxs: list[int],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key interleaving ``bits`` bits from each column,
+    linearly scaled from [min, max] to [0, 2^bits) — one JVM fold, no
+    Python. Columns must be numeric (ints, dates/timestamps cast to
+    epoch units upstream); out-of-range values clamp to the edge cells.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if not (1 <= bits <= 63 // len(cols)):
+        raise ValueError(f"bits must be in [1, {63 // len(cols)}] for {len(cols)} cols")
+    ncols = len(cols)
+    cell = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs, strict=True):
+        cc = F.col(c) if isinstance(c, str) else c
+        span = max(int(hi) - int(lo), 1)
+        s = ((cc.cast("double") - F.lit(int(lo))) * F.lit(float(cell)) / F.lit(float(span)))
+        scaled.append(
+            F.least(F.greatest(s.cast("bigint"), F.lit(0)), F.lit(cell))
+        )
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, s in enumerate(scaled):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * ncols + j)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order curve of ``cols`` — the
+    multi-dimensional layout (Morton 1966; Delta/Iceberg OPTIMIZE
+    ZORDER) that makes parquet min/max footer stats selective for
+    predicates on ANY prefix-free subset of the clustered columns, where
+    a plain sort only serves its leading column.
+
+    Column ranges come from one tiny min/max aggregate (driver-side,
+    2·|cols| scalars); rows are then range-partitioned AND sorted within
+    partitions by the interleaved key, so each output file covers a
+    compact hyper-rectangle and readers (Spark parquet filter pushdown,
+    anything footer-aware) skip files/row-groups on every clustered
+    dimension. tests/test_sinks.py measures the footer-stats narrowing
+    directly. Linear scaling assumes roughly uniform dimensions (ids,
+    timestamps); pre-bucket by approx quantiles upstream for heavily
+    skewed columns.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("bigint").alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("bigint").alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"lo_{i}"] for i in range(len(cols))]
+    maxs = [stats[f"hi_{i}"] for i in range(len(cols))]
+    key = zorder_key(cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -66,3 +66,94 @@ def test_sketch_table_roundtrip_reaggregates(spark, sf_dir, tmp_path):
     est = merged.collect()[0]["est"]
     exact = events.select("user_id").distinct().count()
     assert est == pytest.approx(exact, rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered writes
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges(path, col):
+    """(min, max) per parquet file for col, from footer stats only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            out.append((min(los), max(his)))
+    return out
+
+
+def test_zorder_write_narrows_both_dims_and_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import write_zordered
+
+    # two independent uniform dims — a single-column sort leaves the
+    # second dim spanning the full range in every file
+    df = spark.range(40000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.pmod(F.xxhash64("id"), F.lit(200))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted_x")
+    write_zordered(df, zpath, ["x", "y"], num_files=16, bits=8)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    # round-trip: clustering must not lose or duplicate rows
+    got = spark.read.parquet(zpath)
+    assert got.count() == 40000
+    assert got.agg(F.sum("payload")).collect()[0][0] == sum(range(40000))
+
+    span = lambda ranges: sum(hi - lo for lo, hi in ranges) / len(ranges)
+    z_x, z_y = _file_ranges(zpath, "x"), _file_ranges(zpath, "y")
+    s_y = _file_ranges(spath, "y")
+    # z-order: BOTH dims narrowed well below the global span (200);
+    # x-sorted: y spans ~everything per file
+    assert span(z_x) < 120 and span(z_y) < 120
+    assert span(s_y) > 180
+
+
+def test_zorder_files_skippable_for_box_predicate(spark, tmp_path):
+    """A small box predicate on (x, y) must be satisfiable-by-footer in
+    only a minority of z-ordered files (the data-skipping payoff)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import write_zordered
+
+    df = spark.range(40000).select(
+        (F.col("id") % 256).alias("x"),
+        (F.pmod(F.xxhash64("id"), F.lit(256))).alias("y"),
+    )
+    path = str(tmp_path / "z2")
+    write_zordered(df, path, ["x", "y"], num_files=16, bits=8)
+    xr, yr = _file_ranges(path, "x"), _file_ranges(path, "y")
+    assert len(xr) == len(yr) >= 8
+    # ~12% box in each dim
+    box = lambda r, lo, hi: not (r[1] < lo or r[0] > hi)
+    hits = sum(1 for rx, ry in zip(xr, yr) if box(rx, 0, 31) and box(ry, 0, 31))
+    assert hits <= len(xr) // 2
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.sources.sinks import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key([], [], [])
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b"], [0, 0], [1, 1], bits=40)  # 2*40 > 63

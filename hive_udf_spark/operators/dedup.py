@@ -680,14 +680,34 @@ def simhash_block_pairs(
     equi-join per block finds all such pairs without an all-pairs pass —
     the same join-shuffle shape as MinHash LSH bands.
     """
+    sigs = simhash_table(docs, id_col, text_col, bits, portable, caches=caches)
+    return hamming_block_pairs(sigs, "__id", "__sh", max_hamming=max_hamming, bits=bits)
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 6,
+    bits: int = 60,
+) -> DataFrame:
+    """Generic pigeonhole-blocked near-pair generator over ANY integer
+    signature column (SimHash, image aHash/dHash, audio fingerprints):
+    split the signature into (max_hamming+1) bit-blocks; a pair within
+    Hamming distance ≤ max_hamming agrees exactly on ≥1 block, so one
+    equi-join per block finds every such pair with a band-key-only
+    shuffle — never an all-pairs pass. Emits (id_a, id_b, hamming) with
+    id_a < id_b, exact distances (candidates verified by bit_count of
+    xor)."""
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
-    sigs = simhash_table(docs, id_col, text_col, bits, portable, caches=caches)
+    if block_bits < 1:
+        raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
     blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
     mask = F.lit((1 << block_bits) - 1).cast("long")
     banded = sigs.select(
-        "__id",
-        "__sh",
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sh"),
         F.explode(blocks).alias("__blk"),
     ).withColumn(
         # F.shiftright only takes a literal shift; the SQL form accepts exprs

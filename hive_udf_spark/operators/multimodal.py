@@ -312,3 +312,47 @@ def resize_images(
             )
 
     return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AHASH_BITS = 60  # matches the 60-bit signature convention (simhash, portable hash)
+
+
+def image_ahash(gray: "np.ndarray", bits: int = AHASH_BITS) -> int:
+    """Average-hash of a grayscale image: resample to 8×8 (integer NN —
+    operators/imagecodec.nearest_resize), threshold each of the first
+    ``bits`` pixels against the 64-pixel mean, pack MSB-first.
+
+    Every comparison is the integer form ``64·px > sum`` (no float
+    mean), so the hash is bit-identical in any engine that sees the
+    same pixels — including a SQL oracle. 60 bits keeps the signature
+    a non-negative BIGINT everywhere (the simhash convention)."""
+    from hive_udf_spark.operators.imagecodec import nearest_resize
+
+    cells = nearest_resize(gray, 8, 8).ravel().astype(np.int64)
+    total = int(cells.sum())
+    h = 0
+    for i in range(bits):
+        if 64 * int(cells[i]) > total:
+            h |= 1 << (bits - 1 - i)
+    return h
+
+
+def image_ahash_table(blobs: DataFrame, bits: int = AHASH_BITS) -> DataFrame:
+    """(doc_id, ahash) per blob via REAL decode (vendored codec / PIL —
+    _decode_gray) inside mapInPandas. Map-side only: one Arrow batch
+    pass, no shuffle; feed the result to
+    operators.dedup.hamming_block_pairs for near-duplicate IMAGES —
+    the dedup discipline extended to the image modality."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": [
+                        image_ahash(_decode_gray(b), bits) for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema="doc_id bigint, ahash bigint")

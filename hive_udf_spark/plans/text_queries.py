@@ -697,3 +697,53 @@ def text_bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("syms", " ").alias("segmentation"),
         F.size("syms").cast("long").alias("n_subtokens"),
     )
+
+
+@register(
+    "multimodal_image_near_dup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\x00-\x7f]*$')
+    ),
+    h AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, 60),
+          i -> CASE WHEN 64 * cps[i] > list_sum(cps)
+               THEN (1::BIGINT << (60 - i)) ELSE 0::BIGINT END)) AS BIGINT) AS ahash
+      FROM b
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS BIGINT) AS hamming
+    FROM h a JOIN h c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.ahash, c.ahash)) <= 6
+    """,
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the dedup discipline extended to
+    the image modality: binary 8x8 PGM blobs are REALLY decoded
+    (vendored codec, fake=False), average-hashed with integer-only
+    thresholds (operators/multimodal.py image_ahash: 64·px > sum — no
+    float mean), and paired by the generic pigeonhole Hamming blocker
+    (operators/dedup.py hamming_block_pairs — band-key-only shuffle,
+    never all-pairs). The oracle recomputes every 60-bit hash from the
+    same chars and brute-forces distances: the engine's blocked plan
+    must find exactly the pairs the exhaustive pass finds (pigeonhole
+    completeness, checked end-to-end)."""
+    from hive_udf_spark.operators.dedup import hamming_block_pairs
+    from hive_udf_spark.operators.multimodal import image_ahash_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+    )
+    sigs = image_ahash_table(blobs)
+    pairs = hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6, bits=60)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

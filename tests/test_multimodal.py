@@ -462,3 +462,84 @@ def test_sample_container_frames_avi(spark, sf_dir):
         )
     assert sorted(by_doc[1]) == sorted(by_doc[2])
     assert [i for i, *_ in sorted(by_doc[1])] == [0, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# image aHash near-dup (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_integer_threshold_and_packing():
+    import numpy as np
+
+    from hive_udf_spark.operators.multimodal import image_ahash
+
+    # constant image: no pixel exceeds the mean -> hash 0
+    assert image_ahash(np.full((8, 8), 7, dtype=np.uint8)) == 0
+    # first pixel bright, rest dark -> only bit 0 (MSB) set
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[0, 0] = 255
+    assert image_ahash(img) == 1 << 59
+    # resample path: 16x16 blow-up of the same pattern hashes identically
+    big = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    assert image_ahash(big) == image_ahash(img)
+
+
+def test_image_ahash_table_and_blocked_pairs(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.dedup import hamming_block_pairs
+    from hive_udf_spark.operators.imagecodec import encode_pgm
+    from hive_udf_spark.operators.multimodal import image_ahash_table
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (8, 8), dtype=np.uint8).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[7, 7] = 255 - tweaked[7, 7]  # flips at most a few threshold bits
+    other = rng.integers(0, 256, (8, 8), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_pgm(base))),
+        (2, bytearray(encode_pgm(base))),     # exact dup -> distance 0
+        (3, bytearray(encode_pgm(tweaked))),  # near dup
+        (4, bytearray(encode_pgm(other))),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    sigs = image_ahash_table(blobs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0
+
+
+def test_hamming_block_pairs_equals_bruteforce(spark):
+    """Pigeonhole completeness of the generic blocker on random sigs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.dedup import hamming_block_pairs
+
+    random.seed(5)
+    base = random.getrandbits(60)
+    sigs = [(0, base)]
+    for i in range(1, 40):
+        s = base
+        for _ in range(random.randint(0, 12)):
+            s ^= 1 << random.randrange(60)
+        sigs.append((i, s))
+    df = spark.createDataFrame(sigs, "id bigint, sig bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_block_pairs(df, "id", "sig", max_hamming=6).collect()
+    }
+    want = {}
+    for i, a in sigs:
+        for j, b in sigs:
+            if i < j and bin(a ^ b).count("1") <= 6:
+                want[(i, j)] = bin(a ^ b).count("1")
+    assert got == want

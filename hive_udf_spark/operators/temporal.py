@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "time_bucket_gapfill"]
+__all__ = ["asof_join", "interval_join", "time_bucket_gapfill", "funnel_steps", "cohort_retention"]
 
 
 def asof_join(
@@ -241,3 +241,131 @@ def time_bucket_gapfill(
             ],
         )
     return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_hours: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest chain of
+    ``steps`` events with strictly increasing timestamps, plus a
+    ``completed`` flag (all steps present, and — when ``within_hours``
+    is set — last minus first inside the window).
+
+    Earliest-chain semantics: step i's timestamp is the minimum ts of a
+    ``steps[i]`` event after step i−1's timestamp. This equals a greedy
+    left-to-right scan, so the whole funnel is ONE pass per user: sort
+    the user's events once, fold them through a k-slot state. One
+    shuffle by user (partial collect_list map-side), no joins, no
+    window — the plan that holds when users × events is 100 TB but each
+    user's history fits a task (the same per-key contract as
+    sessionization). Equivalent nested-min SQL is what the oracle runs.
+
+    Output: (user, step_1_ts .. step_k_ts, completed).
+    """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    ).filter(F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+    sorted_evs = F.sort_array(
+        F.collect_list(F.struct(F.col("__ts").alias("t"), F.col("__et").alias("e")))
+    )
+    zero = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    def step_fold(st: Column, ev_: Column) -> Column:
+        # fill the first empty slot whose step type matches and whose
+        # predecessor slot is already filled (first match wins). The
+        # slot write is concat(prefix, [t], suffix) — NOT a nested
+        # transform lambda, which cannot reference the outer fold
+        # variables reliably
+        upd = None
+        for i in reversed(range(k)):
+            fillable = (
+                F.element_at(st, i + 1).isNull()
+                & (ev_["e"] == F.lit(steps[i]))
+                & (
+                    F.lit(i == 0)
+                    # strictly after the previous step (ties never chain
+                    # — identical to the oracle's nested ts > prev mins,
+                    # independent of how sort_array breaks ts ties)
+                    | (ev_["t"] > F.element_at(st, i))
+                )
+            )
+            slot_set = F.concat(
+                F.slice(st, 1, i),
+                F.array(ev_["t"]),
+                F.slice(st, i + 2, k - i - 1),
+            )
+            upd = F.when(fillable, slot_set) if upd is None else F.when(
+                fillable, slot_set
+            ).otherwise(upd)
+        return F.coalesce(upd, st)
+
+    folded = F.aggregate(sorted_evs, zero, step_fold)
+    agg = ev.groupBy(F.col("__u").alias(user_col)).agg(folded.alias("__slots"))
+    cols = [
+        F.element_at("__slots", i + 1).alias(f"step_{i + 1}_ts") for i in range(k)
+    ]
+    done = F.element_at("__slots", k).isNotNull()
+    if within_hours is not None:
+        done = done & (
+            F.element_at("__slots", k).cast("long")
+            - F.element_at("__slots", 1).cast("long")
+            <= within_hours * 3600
+        )
+    return agg.select(user_col, *cols, done.alias("completed"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity bucket,
+    counted in every later bucket they return in.
+
+    One pass: per user, (first bucket, distinct activity buckets) —
+    single shuffle by user with map-side partial collect_set over the
+    (bounded) bucket domain — then explode to (cohort, offset) and a
+    second small aggregate. Output: (cohort, offset, n_users) where
+    offset counts buckets since the cohort's start (0 = the cohort
+    bucket itself, so offset 0 row = cohort size).
+    """
+    seconds = {"day": 86400, "week": 7 * 86400}
+    if bucket not in seconds:
+        raise ValueError("bucket must be 'day' or 'week'")
+    per_user = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.min("__b").alias("__first"),
+            F.collect_set("__b").alias("__active"),
+        )
+    )
+    offset = (
+        (F.col("__a").cast("long") - F.col("__first").cast("long"))
+        / seconds[bucket]
+    ).cast("long")
+    return (
+        per_user.select("__u", "__first", F.explode("__active").alias("__a"))
+        .select(
+            F.col("__first").alias("cohort"),
+            offset.alias("offset"),
+            "__u",
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1084,3 +1084,76 @@ def tpch_q11ish_important_part_values(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("value_cents") * 1000 > F.col("__tot"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT base.user_id,
+           s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
+           coalesce(s3.t3 IS NOT NULL
+                    AND epoch(s3.t3)::BIGINT - epoch(s1.t1)::BIGINT <= 72 * 3600,
+                    false) AS completed
+    FROM base
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase within 72 h
+    (operators/temporal.py funnel_steps): ONE sorted fold per user —
+    single shuffle, no joins — whose earliest-chain semantics provably
+    equal the oracle's nested strictly-after mins (three agg-join
+    rounds). Timestamps and the completion flag must match exactly."""
+    from hive_udf_spark.operators.temporal import funnel_steps
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_hours=72,
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, date_trunc('week', ts) AS b FROM events
+      WHERE ts IS NOT NULL
+    ),
+    fu AS (SELECT user_id, min(b) AS first FROM w GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, b FROM w)
+    SELECT fu.first AS cohort,
+           CAST((epoch(act.b)::BIGINT - epoch(fu.first)::BIGINT) // 604800 AS BIGINT) AS "offset",
+           count(*) AS n_users
+    FROM act JOIN fu USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/temporal.py
+    cohort_retention): per user one (first-week, distinct-weeks) row —
+    single shuffle with map-side partial aggregation over the bounded
+    week domain — exploded to (cohort, offset) counts. offset 0 is the
+    cohort size; exact integer counts, exact hash match."""
+    from hive_udf_spark.operators.temporal import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts", bucket="week")

@@ -159,3 +159,90 @@ def test_gapfill_rejects_multi_unit_bucket(spark):
     )
     with _pytest.raises(ValueError):
         time_bucket_gapfill(df, "ts", ["k"], bucket="2 hours")
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps / cohort_retention (r5)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_fixture(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10), "view"), (1, T(2024, 1, 1, 11), "click"),
+        (1, T(2024, 1, 2, 9), "purchase"),
+        # purchase precedes click -> chain incomplete
+        (2, T(2024, 1, 1, 10), "view"), (2, T(2024, 1, 1, 9), "purchase"),
+        (2, T(2024, 1, 1, 11), "click"),
+        # complete but outside the 24h window
+        (3, T(2024, 1, 1, 0), "view"), (3, T(2024, 1, 1, 1), "click"),
+        (3, T(2024, 1, 3, 2), "purchase"),
+        (4, T(2024, 1, 5, 0), "view"),
+        # simultaneous click: strictly-after never chains on ties
+        (5, T(2024, 1, 1, 0), "view"), (5, T(2024, 1, 1, 0), "click"),
+        (5, T(2024, 1, 1, 1), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+
+def test_funnel_earliest_chain_and_window(spark):
+    from hive_udf_spark.operators.temporal import funnel_steps
+
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.completed)
+        for r in funnel_steps(
+            _funnel_fixture(spark), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_hours=24,
+        ).collect()
+    }
+    assert got[1][3] is True and got[1][2] is not None
+    assert got[2][2] is None and got[2][3] is False  # purchase before click
+    assert got[3][2] is not None and got[3][3] is False  # outside window
+    assert got[4][1] is None and got[4][3] is False
+    assert got[5][1] is None  # tie does not chain (strictly after)
+
+
+def test_funnel_single_shuffle_plan(spark):
+    from hive_udf_spark.operators.temporal import funnel_steps
+
+    df = funnel_steps(
+        _funnel_fixture(spark), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shuffle by user, no joins
+    assert "Join" not in plan
+
+
+def test_cohort_retention_counts(spark):
+    import datetime as dt
+
+    from hive_udf_spark.operators.temporal import cohort_retention
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 5)), (1, T(2024, 1, 9, 5)),   # w0 + w1
+        (2, T(2024, 1, 2, 5)),                            # w0 only
+        (3, T(2024, 1, 10, 5)), (3, T(2024, 1, 22, 5)),  # w1 cohort, back w3
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r.cohort.date().isoformat(), r.offset): r.n_users
+        for r in cohort_retention(ev, "user_id", "ts", bucket="week").collect()
+    }
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    assert got[("2024-01-08", 2)] == 1
+    assert len(got) == 4
+
+
+def test_funnel_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.temporal import funnel_steps
+
+    with _pytest.raises(ValueError):
+        funnel_steps(_funnel_fixture(spark), "user_id", "ts", "event_type", [])

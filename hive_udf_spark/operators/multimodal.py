@@ -356,3 +356,51 @@ def image_ahash_table(blobs: DataFrame, bits: int = AHASH_BITS) -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema="doc_id bigint, ahash bigint")
+
+
+AFP_BITS = 60
+
+
+def audio_fingerprint(samples: "np.ndarray", bits: int = AFP_BITS) -> int:
+    """Magnitude-contour fingerprint of a PCM sample array: split the
+    first channel into ``bits``+1 equal windows, bit w = window w's
+    absolute-amplitude sum exceeds window w+1's (the temporal-gradient
+    bit shape of production audio fingerprints, on dependency-free
+    integer energy sums — every comparison integer-exact, so the
+    60-bit signature reproduces in SQL). Needs ≥ bits+1 samples."""
+    if samples.ndim == 2:
+        samples = samples[:, 0]
+    n_windows = bits + 1
+    wlen = samples.size // n_windows
+    if wlen < 1:
+        raise ValueError(f"need >= {n_windows} samples, got {samples.size}")
+    amps = np.abs(samples[: wlen * n_windows].astype(np.int64))
+    e = amps.reshape(n_windows, wlen).sum(axis=1)
+    h = 0
+    for w in range(bits):
+        if e[w] > e[w + 1]:
+            h |= 1 << (bits - 1 - w)
+    return h
+
+
+def audio_fingerprint_table(blobs: DataFrame, bits: int = AFP_BITS) -> DataFrame:
+    """(doc_id, afp) per WAV blob via the vendored RIFF/PCM decoder
+    inside mapInPandas — map-side only. Feed to
+    operators.dedup.hamming_block_pairs for near-duplicate AUDIO:
+    with image_ahash_table this closes the modality set — text,
+    image, and audio dedup all share one blocked-pairs discipline."""
+    from hive_udf_spark.operators.audiocodec import decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "afp": [
+                        audio_fingerprint(decode_wav(b)[0], bits)
+                        for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema="doc_id bigint, afp bigint")

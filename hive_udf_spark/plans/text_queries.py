@@ -747,3 +747,52 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = image_ahash_table(blobs)
     pairs = hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6, bits=60)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "multimodal_audio_near_dup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [abs(unicode(c) - 128) for c in string_split(s, '')] AS amps
+      FROM t WHERE regexp_matches(s, '^[\x00-\x7f]*$')
+    ),
+    h AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, 60),
+          w -> CASE WHEN amps[w] > amps[w + 1]
+               THEN (1::BIGINT << (60 - w)) ELSE 0::BIGINT END)) AS BIGINT) AS afp
+      FROM b
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, c.afp)) AS BIGINT) AS hamming
+    FROM h a JOIN h c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.afp, c.afp)) <= 14
+    """,
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection closing the modality set: WAV
+    blobs are really decoded (vendored RIFF/PCM walker), fingerprinted
+    by integer magnitude-contour gradients (operators/multimodal.py
+    audio_fingerprint — 8-bit mono fixture makes each window one
+    centered sample), and paired by the same generic pigeonhole
+    Hamming blocker as image aHash and text SimHash. Oracle recomputes
+    every fingerprint from the payload chars and brute-forces all pair
+    distances."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.dedup import hamming_block_pairs
+    from hive_udf_spark.operators.multimodal import audio_fingerprint_table
+
+    hdr = encode_wav_pcm(np.zeros(64, dtype=np.int32), sample_rate=8000, bits=8)[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select("doc_id", F.concat(F.lit(hdr), F.encode(F.col("__s"), "UTF-8")).alias("blob"))
+    sigs = audio_fingerprint_table(blobs)
+    pairs = hamming_block_pairs(sigs, "doc_id", "afp", max_hamming=14, bits=60)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -543,3 +543,60 @@ def test_hamming_block_pairs_equals_bruteforce(spark):
             if i < j and bin(a ^ b).count("1") <= 6:
                 want[(i, j)] = bin(a ^ b).count("1")
     assert got == want
+
+
+def test_audio_fingerprint_windows_and_gradient():
+    import numpy as np
+
+    from hive_udf_spark.operators.multimodal import audio_fingerprint
+
+    # monotone rising magnitude -> no window exceeds its successor -> 0
+    assert audio_fingerprint(np.arange(61, dtype=np.int32)) == 0
+    # strictly falling magnitude -> every gradient bit set
+    falling = np.arange(61, 0, -1, dtype=np.int32)
+    assert audio_fingerprint(falling) == (1 << 60) - 1
+    # multi-sample windows: 122 samples -> windows of 2, same contour
+    doubled = np.repeat(falling, 2)
+    assert audio_fingerprint(doubled) == (1 << 60) - 1
+    # stereo: first channel used
+    stereo = np.stack([falling, np.zeros(61, dtype=np.int32)], axis=1)
+    assert audio_fingerprint(stereo) == (1 << 60) - 1
+
+
+def test_audio_fingerprint_too_short_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.multimodal import audio_fingerprint
+
+    with _pytest.raises(ValueError):
+        audio_fingerprint(np.zeros(60, dtype=np.int32))
+
+
+def test_audio_fingerprint_table_near_pairs(spark):
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.dedup import hamming_block_pairs
+    from hive_udf_spark.operators.multimodal import audio_fingerprint_table
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(-100, 100, 61, dtype=np.int64).astype(np.int32)
+    tweak = base.copy()
+    tweak[60] = -tweak[60]
+    other = rng.integers(-100, 100, 61, dtype=np.int64).astype(np.int32)
+    rows = [
+        (1, bytearray(encode_wav_pcm(base, 8000, bits=8))),
+        (2, bytearray(encode_wav_pcm(base, 8000, bits=8))),
+        (3, bytearray(encode_wav_pcm(tweak, 8000, bits=8))),
+        (4, bytearray(encode_wav_pcm(other, 8000, bits=8))),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    sigs = audio_fingerprint_table(blobs)
+    assert "Exchange" not in sigs._jdf.queryExecution().executedPlan().toString()
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_block_pairs(sigs, "doc_id", "afp", max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-sample tweak flips at most the last bits

@@ -369,6 +369,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(strip_duplicate_spans(docs, n=5, min_count=2, keep_first=True))
 
+    def q_bpe_train():
+        # iterative trainer: 8 Spark jobs over the vocab-reduced corpus
+        from hive_udf_spark.functions.bpe import bpe_doc_token_counts, bpe_train
+
+        _, vocab = bpe_train(docs, "text", num_merges=8)
+        _force(bpe_doc_token_counts(docs, vocab))
+
+    def q_image_near_dup():
+        # mapInPandas decode + aHash + blocked Hamming pairs over 8x8
+        # PGM blobs built from each doc's first 64 chars
+        from hive_udf_spark.operators.dedup import hamming_block_pairs
+        from hive_udf_spark.operators.multimodal import image_ahash_table
+
+        payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+        blobs = docs.select("doc_id", payload.alias("__s")).filter(
+            F.col("__s").rlike("^[\\x00-\\x7F]*$")
+        ).select(
+            "doc_id",
+            F.concat(F.lit(b"P5\n8 8\n255\n"), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+        )
+        sigs = image_ahash_table(blobs)
+        _force(hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6))
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -408,6 +431,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "incremental_dedup_shuffle": q_incremental_dedup_shuffle,
         "dsir_weights": q_dsir_weights,
         "strip_spans": q_strip_spans,
+        "bpe_train": q_bpe_train,
+        "image_near_dup": q_image_near_dup,
     }
 
     times: dict[str, float] = {}

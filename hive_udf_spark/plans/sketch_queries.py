@@ -687,3 +687,60 @@ def sketch_quantile_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> Data
         qsketch_quantile("qs", 0.5).alias("q50_merged_cents"),
         (F.col("qs") == F.col("__dqs")).alias("merge_exact"),
     )
+
+
+def _kmv_sliding_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+    from hive_udf_spark.functions.kmv import kmv_estimate_sql
+
+    hv = portable_hash60_sql("user_id", _KMV_SEED)
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ),
+    h AS (
+      SELECT date_trunc('day', ts) AS sday, {hv} AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT d.day,
+             (list_sort(list_distinct(list(hv))))[1:{_KMV_K}] AS kmv
+      FROM days d JOIN h
+        ON h.sday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, {kmv_estimate_sql('kmv', _KMV_K)} AS est_users_7d
+    FROM sk
+    """
+
+
+@register("sketch_kmv_sliding_distinct", oracle=_kmv_sliding_oracle())
+def sketch_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct count from STORED sketches — the
+    sketch-as-data theme (UDAFCardinalityEstimator.java:259-265) as a
+    trailing 7-day rollup: one KMV sketch per day, then each day's
+    window estimate from a range self-join over the ~|days|-row SKETCH
+    TABLE and a lossless bottom-k merge. Raw events are scanned once
+    ever; every extra window shape (7-day, 30-day, month-to-date) costs
+    only sketch-table joins — the reason sketch tables exist. Lossless
+    merge ⇒ the estimate is bit-equal to a direct per-window build,
+    which is what the oracle computes."""
+    from hive_udf_spark.functions.kmv import kmv_merge_table, kmv_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = kmv_table(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["day"],
+        "user_id",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    )
+    src = daily.select(F.col("day").alias("src_day"), "kmv")
+    days = daily.select("day")
+    joined = days.join(
+        src,
+        (F.col("src_day") <= F.col("day"))
+        & (F.col("src_day") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+    )
+    rolled = kmv_merge_table(joined, ["day"], "kmv", _KMV_K)
+    return rolled.select("day", F.col("est_kmv").alias("est_users_7d"))

@@ -392,3 +392,63 @@ def streaming_incremental_cms_table(spark: SparkSession, sf_dir: str) -> DataFra
             .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
         )
     return out
+
+
+@register(
+    "streaming_funnel_state",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT base.user_id,
+           s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
+           coalesce(s3.t3 IS NOT NULL
+                    AND epoch(s3.t3)::BIGINT - epoch(s1.t1)::BIGINT <= 72 * 3600,
+                    false) AS completed
+    FROM base
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    """,
+)
+def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stateful streaming funnel (streaming/funnel.py): per-user
+    step-timestamp state under applyInPandasWithState, arrival-order
+    independent, whose END state equals the batch funnel computation
+    row-for-row — so the oracle is the SAME nested strictly-after-min
+    SQL as the batch events_funnel_conversion query (stream ≡ batch,
+    hash-exact; stronger than a verdict bound)."""
+    from hive_udf_spark.streaming.funnel import streaming_funnel
+
+    stream = read_events_stream(spark, sf_dir)
+    updates = run_stream_to_memory(
+        streaming_funnel(stream, ["view", "click", "purchase"], within_hours=72),
+        "stream_funnel",
+        mode="update",
+    )
+    final = updates.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("step_1_ts", "step_2_ts", "step_3_ts", "completed"),
+            "batches_seen",
+        ).alias("__f")
+    )
+    return final.select(
+        "user_id",
+        F.col("__f.step_1_ts").alias("step_1_ts"),
+        F.col("__f.step_2_ts").alias("step_2_ts"),
+        F.col("__f.step_3_ts").alias("step_3_ts"),
+        F.col("__f.completed").alias("completed"),
+    )

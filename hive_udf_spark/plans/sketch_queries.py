@@ -744,3 +744,65 @@ def sketch_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rolled = kmv_merge_table(joined, ["day"], "kmv", _KMV_K)
     return rolled.select("day", F.col("est_kmv").alias("est_users_7d"))
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+    WITH ex AS (
+      SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_null,
+             count(DISTINCT o_orderkey) AS n_exact,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+      FROM orders
+    )
+    SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           min_value, max_value, true AS within_bounds
+    FROM ex
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profile.py): nulls, typed
+    min/max, and per-column HLL distinct estimates for four orders
+    columns in ONE wide aggregate — the pre-flight statistics pass of a
+    100 TB ingest. Exact fields hash-match; the distinct estimate is
+    verdict-checked within 5% of exact (§5.2)."""
+    from hive_udf_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"]
+    prof = profile_table(orders, cols)
+    exact = None
+    for c in cols:
+        e = orders.agg(F.count_distinct(c).alias("n_exact")).select(
+            F.lit(c).alias("column"), "n_exact"
+        )
+        exact = e if exact is None else exact.unionByName(e)
+    return prof.join(exact, "column").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "min_value",
+        "max_value",
+        (
+            F.abs(F.col("n_distinct_est").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_bounds"),
+    )

@@ -27,6 +27,7 @@ __all__ = [
     "read_sketch_table",
     "zorder_key",
     "write_zordered",
+    "compact_parquet",
 ]
 
 
@@ -160,3 +161,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    maintenance pass every merge-on-write sink needs (each incremental
+    swap writes shuffle-partition-many small files; scan cost at 100 TB
+    is dominated by file count and footer overhead, not bytes).
+
+    File count comes from on-disk bytes / target (≥1); optional
+    ``sort_cols`` re-clusters while compacting (range partition + sort
+    within, so footer stats stay selective — pair with ``write_zordered``
+    for multi-dim layouts). The rewrite reuses the sink's atomic
+    write-then-rename swap: readers see the old or the new directory,
+    never a mix. Returns (files_before, files_after)."""
+    import math
+    import os
+
+    names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    bytes_total = sum(os.path.getsize(os.path.join(path, n)) for n in names)
+    n_files = max(1, math.ceil(bytes_total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    tmp = f"{path}.compact-{os.getpid()}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old, ignore_errors=True)
+    after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
+    return len(names), after

@@ -157,3 +157,68 @@ def test_zorder_key_validation(spark):
         zorder_key([], [], [])
     with _pytest.raises(ValueError):
         zorder_key(["a", "b"], [0, 0], [1, 1], bits=40)  # 2*40 > 63
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).select("id", (F.col("id") % 7).alias("k")).repartition(
+        32
+    ).write.parquet(path)
+    before, after = compact_parquet(spark, path, target_file_mb=128)
+    assert before >= 32 and after == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
+
+
+def test_compact_parquet_with_sort_clusters_footers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag2")
+    spark.range(40000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"), "id"
+    ).repartition(16).write.parquet(path)
+    # force multiple output files via a tiny target
+    before, after = compact_parquet(spark, path, target_file_mb=1, sort_cols=["k"])
+    assert after >= 1
+    ranges = _file_ranges(path, "k")
+    # sorted-compacted files must not all span the full k range
+    if len(ranges) >= 2:
+        spans = sorted(hi - lo for lo, hi in ranges)
+        assert spans[0] < 600
+
+
+def test_profile_table_single_pass(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.profile import profile_table
+    from hive_udf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = {r.column: r for r in profile_table(
+        orders, ["o_orderkey", "o_orderpriority"]).collect()}
+    n = orders.count()
+    assert prof["o_orderkey"].n_rows == n and prof["o_orderkey"].n_null == 0
+    exact = orders.agg(F.count_distinct("o_orderkey")).collect()[0][0]
+    assert abs(prof["o_orderkey"].n_distinct_est - exact) <= max(1, 0.05 * exact)
+    # typed bounds, not lexicographic: numeric min of 0..n is "0"
+    assert prof["o_orderkey"].min_value == "0"
+    assert prof["o_orderpriority"].min_value.startswith("1-")
+    # ONE scan: a single aggregate over the file, no joins/extra scans
+    plan = profile_table(orders, ["o_orderkey", "o_orderpriority"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_profile_table_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.profile import profile_table
+
+    with _pytest.raises(ValueError):
+        profile_table(spark.range(1), [])

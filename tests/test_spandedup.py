@@ -139,3 +139,77 @@ def test_mark_join_partial_aggregates_before_exchange(docs):
     df = duplicate_spans(docs, n=5, min_count=2, mark_mode="join", with_text=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# property: random corpora vs a brute-force Python reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_spans(corpus: dict[int, list[str]], n: int, min_count: int, keep_first: bool):
+    """O(corpus²) reference: count every n-gram, mark positions, merge
+    islands per doc."""
+    from collections import Counter
+
+    occ = Counter()
+    postings = []
+    for d in sorted(corpus):
+        toks = corpus[d]
+        for p in range(len(toks) - n + 1):
+            g = tuple(toks[p : p + n])
+            occ[g] += 1
+            postings.append((d, p, g))
+    firsts = {}
+    for d, p, g in postings:  # postings are in (doc, pos) order already
+        if g not in firsts:
+            firsts[g] = (d, p)
+    marked = {}
+    for d, p, g in postings:
+        if occ[g] >= min_count and not (keep_first and firsts[g] == (d, p)):
+            marked.setdefault(d, []).append(p)
+    spans = {}
+    for d, ps in marked.items():
+        out, s, e = [], None, None
+        for p in sorted(ps):
+            if s is None:
+                s, e = p, p + n
+            elif p > e:
+                out.append((s, e))
+                s, e = p, p + n
+            else:
+                e = p + n
+        out.append((s, e))
+        spans[d] = out
+    return spans
+
+
+def test_random_corpora_match_reference(spark):
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(0, 10**6))
+    def run(seed):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        corpus = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+            for d in range(6)
+        }
+        keep_first = bool(seed % 2)
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()], ["doc_id", "text"]
+        )
+        got = {}
+        for r in duplicate_spans(
+            df, n=3, min_count=2, keep_first=keep_first, with_text=False
+        ).collect():
+            got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        for d in got:
+            got[d].sort()
+        want = _ref_spans(corpus, 3, 2, keep_first)
+        assert got == want, (seed, got, want)
+
+    run()

@@ -113,9 +113,20 @@ def lc_estimate_from_occupied(occupied: int, m: int) -> int:
 # Tier B — pure-JVM estimate (the scale path)
 # ---------------------------------------------------------------------------
 def lc_bucket(col: Column | str, size_bytes: int) -> Column:
-    """Deterministic bitmap bucket index: pmod(xxhash64(x), 8*size_bytes)."""
+    """Deterministic bitmap bucket index: pmod(xxhash64(x), 8*size_bytes).
+
+    NULL-propagating: Spark's xxhash64 maps NULL to a CONSTANT (the
+    seed), not to NULL — left unguarded, every NULL row would set one
+    phantom bucket, inflating mixed groups by one distinct and giving
+    all-NULL groups a cardinality-1 sketch. The reference skips NULL
+    rows (UDAFCardinalityEstimator.java:238-240), so the bucket of a
+    NULL value is NULL and every downstream consumer (count_distinct,
+    bitmap_construct_agg, the isNotNull filters in lc_table /
+    lc_two_phase) drops it."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.xxhash64(c), F.lit(int(size_bytes) * 8))
+    return F.when(
+        c.isNotNull(), F.pmod(F.xxhash64(c), F.lit(int(size_bytes) * 8))
+    )
 
 
 def lc_cardinality(col: Column | str, size_bytes: int = 1_000_000) -> Column:

@@ -95,7 +95,8 @@ _SQL_FUNCTIONS = {
     "lc_bucket": """
         CREATE OR REPLACE TEMPORARY FUNCTION lc_bucket(x BIGINT, size_bytes BIGINT)
         RETURNS BIGINT
-        RETURN pmod(xxhash64(x), size_bytes * 8)
+        -- NULL-propagating: xxhash64(NULL) is a constant, not NULL
+        RETURN CASE WHEN x IS NOT NULL THEN pmod(xxhash64(x), size_bytes * 8) END
     """,
     # estimate-only LC result struct (binary NULL — a scalar macro cannot
     # assemble the dense bitmap; lc_table persists real ones). A SQL UDF
@@ -410,7 +411,8 @@ def expand_approx_distinct(query: str, merge: bool = False) -> str:
             # the CASE yield NULL, which lc_struct maps to a NULL struct.
             out.append(
                 "lc_struct(CASE WHEN count({x}) > 0 THEN "
-                "lc_estimate(count(DISTINCT pmod(xxhash64({x}), {m})), {s}) "
+                "lc_estimate(count(DISTINCT CASE WHEN {x} IS NOT NULL "
+                "THEN pmod(xxhash64({x}), {m}) END), {s}) "
                 "END)".format(x=x, m=m_bits, s=size)
             )
             pos = i

@@ -316,7 +316,13 @@ def priority_sample(
             F.col(strata_col), F.col("priority").alias("__tau")
         )
         top = ranked.filter(F.col("__rk") <= k).drop("__rk")
-        out = top.join(F.broadcast(tau_df), strata_col, "left")
+        # null-SAFE stratum match: a NULL stratum is a real stratum and
+        # must still receive its tau for the HT est_weight
+        out = top.join(
+            F.broadcast(tau_df),
+            top[strata_col].eqNullSafe(tau_df[strata_col]),
+            "left",
+        ).drop(tau_df[strata_col])
     else:
         # global: TakeOrdered top-(k+1) (per-partition partial top-k,
         # driver merge) — then rank the <= k+1 survivors on one tiny

@@ -340,8 +340,8 @@ def cohort_retention(
     offset counts buckets since the cohort's start (0 = the cohort
     bucket itself, so offset 0 row = cohort size).
     """
-    seconds = {"day": 86400, "week": 7 * 86400}
-    if bucket not in seconds:
+    days_per = {"day": 1, "week": 7}
+    if bucket not in days_per:
         raise ValueError("bucket must be 'day' or 'week'")
     per_user = (
         events.filter(F.col(ts_col).isNotNull())
@@ -355,9 +355,13 @@ def cohort_retention(
             F.collect_set("__b").alias("__active"),
         )
     )
+    # CALENDAR day difference, not epoch seconds: bucket starts are
+    # local-time truncations, so a DST transition makes their epoch gap
+    # a non-multiple of 86400 and integer-truncated division would shift
+    # users into the wrong retention cell; datediff on dates is
+    # DST-immune (bucket starts are exact multiples of 1/7 days apart)
     offset = (
-        (F.col("__a").cast("long") - F.col("__first").cast("long"))
-        / seconds[bucket]
+        F.datediff(F.to_date("__a"), F.to_date("__first")) / days_per[bucket]
     ).cast("long")
     return (
         per_user.select("__u", "__first", F.explode("__active").alias("__a"))

@@ -1141,7 +1141,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fu AS (SELECT user_id, min(b) AS first FROM w GROUP BY user_id),
     act AS (SELECT DISTINCT user_id, b FROM w)
     SELECT fu.first AS cohort,
-           CAST((epoch(act.b)::BIGINT - epoch(fu.first)::BIGINT) // 604800 AS BIGINT) AS "offset",
+           CAST(date_diff('day', fu.first::DATE, act.b::DATE) // 7 AS BIGINT) AS "offset",
            count(*) AS n_users
     FROM act JOIN fu USING (user_id)
     GROUP BY 1, 2

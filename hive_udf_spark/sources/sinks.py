@@ -28,6 +28,7 @@ __all__ = [
     "zorder_key",
     "write_zordered",
     "compact_parquet",
+    "atomic_swap_parquet",
 ]
 
 
@@ -111,7 +112,12 @@ def zorder_key(
         span = max(int(hi) - int(lo), 1)
         s = ((cc.cast("double") - F.lit(int(lo))) * F.lit(float(cell)) / F.lit(float(span)))
         scaled.append(
-            F.least(F.greatest(s.cast("bigint"), F.lit(0)), F.lit(cell))
+            # NULL values land in cell 0 (clustered together) rather
+            # than producing a NULL key
+            F.coalesce(
+                F.least(F.greatest(s.cast("bigint"), F.lit(0)), F.lit(cell)),
+                F.lit(0),
+            )
         )
     key = F.lit(0).cast("bigint")
     for b in range(bits):
@@ -152,6 +158,11 @@ def write_zordered(
     ).collect()[0]
     mins = [stats[f"lo_{i}"] for i in range(len(cols))]
     maxs = [stats[f"hi_{i}"] for i in range(len(cols))]
+    if any(lo is None or hi is None for lo, hi in zip(mins, maxs)):
+        # empty input or an all-NULL clustered column: nothing to
+        # cluster on — write as-is instead of crashing the job
+        df.write.mode(mode).parquet(path)
+        return
     key = zorder_key(cols, mins, maxs, bits=bits)
     (
         df.withColumn("__zkey", key)
@@ -191,13 +202,45 @@ def compact_parquet(
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_files)
-    tmp = f"{path}.compact-{os.getpid()}"
-    out.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{os.getpid()}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    import shutil
-
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_parquet(out, path)
     after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
     return len(names), after
+
+
+def atomic_swap_parquet(df: DataFrame, table_path: str) -> None:
+    """Replace the parquet table at ``table_path`` with ``df`` so that
+    the path is readable at EVERY instant — symlink indirection, not
+    rename-away-then-rename-in (whose two renames leave a crash/read
+    window where the path does not exist and an incremental sink would
+    silently restart from one batch).
+
+    Layout: data lives in versioned sibling dirs ``<path>.v-XXXX``;
+    ``table_path`` is a symlink to the current one. The swap writes the
+    new version, creates a scratch symlink, and ``os.rename``s it over
+    the live one — atomic on POSIX for link-over-link — then removes
+    the previous version dir. A plain directory from an older layout is
+    migrated on first swap (its replacement passes through one legacy
+    rename). At deployment scale this job belongs to a transactional
+    table format (MERGE INTO / snapshot commit); this keeps the same
+    update contract dependency-free.
+    """
+    import os
+    import shutil
+    import uuid
+
+    parent = os.path.dirname(os.path.abspath(table_path))
+    new_dir = f"{table_path}.v-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(new_dir)
+    old_target: str | None = None
+    if os.path.islink(table_path):
+        old_target = os.path.join(parent, os.readlink(table_path))
+    elif os.path.isdir(table_path):
+        # legacy plain-dir layout: move it aside (df was already fully
+        # materialized into new_dir, so nothing reads it after this)
+        old_target = f"{table_path}.v-legacy-{uuid.uuid4().hex[:8]}"
+        os.rename(table_path, old_target)
+    tmp_link = f"{table_path}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(new_dir), tmp_link)
+    os.rename(tmp_link, table_path)  # atomic: readers see old or new
+    if old_target and os.path.isdir(old_target):
+        shutil.rmtree(old_target, ignore_errors=True)

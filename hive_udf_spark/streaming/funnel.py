@@ -43,8 +43,11 @@ def streaming_funnel(
     k = len(steps)
     if k < 1:
         raise ValueError("steps must be non-empty")
+    # the user column keeps its source type (string/bigint device or
+    # session ids all work) — hardcoding bigint would break string keys
+    user_type = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} bigint, "
+        f"{user_col} {user_type}, "
         + ", ".join(f"step_{i + 1}_ts timestamp" for i in range(k))
         + ", completed boolean, batches_seen int"
     )

@@ -29,26 +29,48 @@ state in the first place.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_udf_spark.functions import approx_distinct, sketch_merge_agg
+from hive_udf_spark.sources.sinks import atomic_swap_parquet
 
 
-def _atomic_swap(merged: DataFrame, table_path: str) -> None:
-    """Write ``merged`` to a scratch dir and rename it over ``table_path``
-    — readers see the old table or the new one, never a torn mix."""
-    tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+# The swap is the symlink-indirection one shared with sources.sinks —
+# the table path resolves at EVERY instant (the earlier rename-away/
+# rename-in pair left a crash window where the path vanished and the
+# next merge would silently restart from one batch).
+_atomic_swap = atomic_swap_parquet
+
+
+def _merge_with_hwm(
+    spark: SparkSession,
+    batch_rows: DataFrame,
+    table_path: str,
+    cols: list[str],
+    merge_fn,
+    batch_id: int | None,
+) -> None:
+    """Shared merge-on-write skeleton for NON-idempotent merge algebras
+    (exact counters): read the stored table, skip the batch entirely if
+    its batch_id is at or below the stored ``__last_batch`` high-water
+    mark (a foreachBatch retry), union, re-aggregate via ``merge_fn``,
+    stamp the new mark in the same swap."""
     if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+        existing = spark.read.parquet(table_path)
+        if batch_id is not None:
+            hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
+            if hwm is not None and hwm >= batch_id:
+                return  # retry of an already-merged batch
+        all_rows = existing.select(*cols).unionByName(batch_rows.select(*cols))
+    else:
+        all_rows = batch_rows.select(*cols)
+    merged = merge_fn(all_rows).withColumn(
+        "__last_batch",
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
+    )
+    _atomic_swap(merged, table_path)
 
 
 def merge_sketch_table(
@@ -125,21 +147,8 @@ def merge_quantile_table(
     batch (same batch_id) is skipped entirely, keeping counts exact
     under at-least-once delivery.
     """
-    existing = None
-    if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path)
-        if batch_id is not None:
-            hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
-            if hwm is not None and hwm >= batch_id:
-                return  # retry of an already-merged batch
-        all_rows = existing.select(*key_cols, sketch_col, n_col).unionByName(
-            batch_sketches.select(*key_cols, sketch_col, n_col)
-        )
-    else:
-        all_rows = batch_sketches.select(*key_cols, sketch_col, n_col)
-    merged = (
-        all_rows.groupBy(*key_cols)
-        .agg(
+    def merge(all_rows: DataFrame) -> DataFrame:
+        return all_rows.groupBy(*key_cols).agg(
             F.slice(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
                 1,
@@ -147,12 +156,10 @@ def merge_quantile_table(
             ).alias(sketch_col),
             F.sum(n_col).cast("bigint").alias(n_col),
         )
-        .withColumn(
-            "__last_batch",
-            F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
-        )
+
+    _merge_with_hwm(
+        spark, batch_sketches, table_path, [*key_cols, sketch_col, n_col], merge, batch_id
     )
-    _atomic_swap(merged, table_path)
 
 
 def daily_value_quantile_sink(
@@ -207,27 +214,12 @@ def merge_cms_table(
     count union, cell sums are NOT idempotent — a ``__last_batch``
     high-water mark written in the same atomic swap skips foreachBatch
     retries whole, keeping counts exact under at-least-once delivery."""
-    existing = None
-    if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path)
-        if batch_id is not None:
-            hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
-            if hwm is not None and hwm >= batch_id:
-                return  # retry of an already-merged batch
-        all_cells = existing.select("d", "idx", "cnt").unionByName(
-            batch_cells.select("d", "idx", "cnt")
+    def merge(all_cells: DataFrame) -> DataFrame:
+        return all_cells.groupBy("d", "idx").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
         )
-    else:
-        all_cells = batch_cells.select("d", "idx", "cnt")
-    merged = (
-        all_cells.groupBy("d", "idx")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .withColumn(
-            "__last_batch",
-            F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
-        )
-    )
-    _atomic_swap(merged, table_path)
+
+    _merge_with_hwm(spark, batch_cells, table_path, ["d", "idx", "cnt"], merge, batch_id)
 
 
 def user_frequency_cms_sink(

@@ -329,3 +329,24 @@ def test_priority_sample_global_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_null_stratum_gets_tau(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import priority_sample
+
+    df = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") + 1).alias("w"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise(F.lit(None)).alias("src"),
+    )
+    got = priority_sample(df, "doc_id", "w", k=2, strata_col="src").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.src, []).append(r)
+    assert set(by) == {"a", None} and len(by[None]) == 2
+    # both strata have > k rows, so tau exists and est_weight >= tau > 0
+    # with est_weight strictly above w for at least the light rows
+    assert all(r.est_weight >= r.w for r in got)
+    assert any(r.est_weight > r.w for r in by[None])

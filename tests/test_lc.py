@@ -221,3 +221,35 @@ def test_lc_table_storage_roundtrip(spark, sf_dir, tmp_path):
     )
     assert merged.cardinality == direct.cardinality
     assert bytes(merged.binary) == bytes(direct.binary)
+
+
+def test_lc_null_skipping_semantics(spark):
+    """NULL rows never set a bucket (reference :238-240): mixed groups
+    don't gain a phantom distinct, all-NULL groups produce no lc_table
+    row / a NULL lc_agg struct, and the SQL macro agrees."""
+    import hive_udf_spark as hus
+    from hive_udf_spark.functions.lc import lc_agg, lc_cardinality, lc_table
+
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", 7), ("g2", None), ("g2", None)],
+        "g string, x bigint",
+    )
+    est = {
+        r.g: r.e
+        for r in df.groupBy("g").agg(lc_cardinality("x", 1024).alias("e")).collect()
+    }
+    assert est == {"g1": 1, "g2": None}
+    rows = {r.g: r.approx_distinct for r in
+            df.groupBy("g").agg(lc_agg("x", 1024).alias("approx_distinct")).collect()}
+    assert rows["g1"].cardinality == 1 and rows["g2"] is None
+    t = lc_table(df, ["g"], "x", size_bytes=1024)
+    got = {r.g: r.approx_distinct.cardinality for r in t.collect()}
+    assert got == {"g1": 1}  # all-NULL group emits no row
+    df.createOrReplaceTempView("lc_null_t")
+    sql_rows = {
+        r.g: r.s
+        for r in hus.sql(
+            spark, "SELECT g, approx_distinct(x, 'lc', 1024) AS s FROM lc_null_t GROUP BY g"
+        ).collect()
+    }
+    assert sql_rows["g1"].cardinality == 1 and sql_rows["g2"] is None

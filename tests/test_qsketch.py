@@ -168,3 +168,22 @@ def test_bounded_buffer_mode_identical_and_windowgrouplimit(spark, sf_dir):
         empty, [], "cents", "o_orderkey", k=8, bounded_buffer=True
     ).collect()
     assert len(row) == 1 and list(row[0].qs) == [] and row[0].n_rows == 0
+
+
+def test_bounded_buffer_keeps_null_group(spark):
+    """A NULL group-key value is a real group in BOTH modes (the
+    bounded mode's sample-counts join must be null-safe)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.qsketch import quantile_sketch_table
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 3, 30), ("a", 4, 40)],
+        "g string, id bigint, v bigint",
+    )
+    out_default = quantile_sketch_table(df, ["g"], "v", "id", k=8)
+    out_bounded = quantile_sketch_table(df, ["g"], "v", "id", k=8, bounded_buffer=True)
+    d = {r.g: (tuple((p.h, p.v) for p in r.qs), r.n_rows) for r in out_default.collect()}
+    b = {r.g: (tuple((p.h, p.v) for p in r.qs), r.n_rows) for r in out_bounded.collect()}
+    assert set(d) == set(b) == {None, "a"}
+    assert d == b

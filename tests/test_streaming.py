@@ -394,3 +394,26 @@ def test_cms_sink_stream_lookup_upper_bounds(spark, sf_dir, tmp_path):
     # wide sketch, few users: the vast majority of estimates are exact
     exact = sum(1 for r in rows if r.est == r["count"])
     assert exact / len(rows) > 0.9
+
+
+def test_atomic_swap_path_always_resolvable(spark, tmp_path):
+    """The symlink swap keeps the table path readable at every instant
+    and survives repeated merges; a legacy plain-dir table migrates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import atomic_swap_parquet
+
+    path = str(tmp_path / "t")
+    # legacy layout: a plain directory
+    spark.range(5).write.parquet(path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+    atomic_swap_parquet(spark.range(10).select(F.col("id")), path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 10
+    atomic_swap_parquet(spark.range(3).select(F.col("id")), path)
+    assert spark.read.parquet(path).count() == 3
+    # exactly one live version dir remains
+    vs = [n for n in os.listdir(tmp_path) if n.startswith("t.v-")]
+    assert len(vs) == 1

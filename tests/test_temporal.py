@@ -246,3 +246,31 @@ def test_funnel_validation(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(_funnel_fixture(spark), "user_id", "ts", "event_type", [])
+
+
+def test_cohort_retention_dst_safe(spark):
+    """Offsets are calendar-bucket differences, immune to DST: a return
+    2 days after first activity across the US spring-forward lands in
+    day-offset 2, not 1."""
+    import datetime as dt
+
+    from hive_udf_spark.operators.temporal import cohort_retention
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        T = dt.datetime
+        ev = spark.createDataFrame(
+            [(1, T(2026, 3, 7, 12)), (1, T(2026, 3, 9, 12)),
+             (2, T(2026, 3, 7, 12)), (2, T(2026, 3, 8, 12))],
+            "user_id bigint, ts timestamp",
+        )
+        got = {
+            (r.cohort.date().isoformat(), r.offset): r.n_users
+            for r in cohort_retention(ev, "user_id", "ts", bucket="day").collect()
+        }
+        assert got[("2026-03-07", 0)] == 2
+        assert got[("2026-03-07", 2)] == 1  # not offset 1
+        assert got[("2026-03-07", 1)] == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -796,3 +796,68 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = audio_fingerprint_table(blobs)
     pairs = hamming_block_pairs(sigs, "doc_id", "afp", max_hamming=14, bits=60)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "multimodal_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\x00-\x7f]*$')
+    ),
+    h AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, 60),
+          i -> CASE WHEN 64 * cps[i] > list_sum(cps)
+               THEN (1::BIGINT << (60 - i)) ELSE 0::BIGINT END)) AS BIGINT) AS ahash
+      FROM b
+    ),
+    edges AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM h a JOIN h c ON a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.ahash, c.ahash)) <= 6
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM h
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster, (node = min(r)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup end-to-end: really-decoded aHash signatures → blocked
+    Hamming pairs → contracted connected components (the same
+    bounded-driver CC discipline as text dedup) → (doc_id, cluster,
+    is_canonical). The oracle brute-forces the pairs and re-derives the
+    min-label components with a recursive CTE — candidate generation,
+    verification, AND clustering pinned in one hash."""
+    from hive_udf_spark.operators.dedup import connected_components, hamming_block_pairs
+    from hive_udf_spark.operators.multimodal import image_ahash_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+    )
+    sigs = image_ahash_table(blobs).localCheckpoint(eager=True)
+    pairs = hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6, bits=60)
+    nodes = sigs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -806,3 +806,73 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("within_bounds"),
     )
+
+
+
+_PCSA_M = 64
+_PCSA_SEED = 7
+
+
+def _pcsa_oracle() -> str:
+    from hive_udf_spark.functions.pcsa import pcsa_estimate_sql
+
+    return pcsa_estimate_sql(
+        "orders", "o_orderpriority", "o_custkey", _PCSA_M, _PCSA_SEED,
+        group_alias="o_orderpriority",
+    )
+
+
+@register("approx_distinct_pcsa_grouped", oracle=_pcsa_oracle())
+def approx_distinct_pcsa_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCSA (Flajolet-Martin 1985) grouped cardinality — the FIFTH
+    estimator family, the ancestor of both of the reference's
+    algorithms and part of stream-lib's own palette
+    (UDAFCardinalityEstimator.java:71-86 exposes only HLL/LC). The
+    Tier-B relational build bit_or-packs bitmap words map-side; the
+    transcendental 2^(S/m) estimate is made engine-portable with an
+    m-entry literal table, so S AND the final estimate hash-match the
+    DuckDB oracle bit-for-bit (the KMV discipline extended to a
+    transcendental estimator)."""
+    from hive_udf_spark.functions.pcsa import pcsa_estimate, pcsa_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = pcsa_table(orders, ["o_orderpriority"], "o_custkey", m=_PCSA_M, seed=_PCSA_SEED)
+    return pcsa_estimate(sk, ["o_orderpriority"], m=_PCSA_M)
+
+
+def _pcsa_rollup_oracle() -> str:
+    from hive_udf_spark.functions.pcsa import pcsa_estimate_sql
+
+    inner = pcsa_estimate_sql(
+        "events", "date_trunc('month', ts)", "user_id", _PCSA_M, _PCSA_SEED,
+        group_alias="month",
+    )
+    return f"SELECT month, s_sum, est_pcsa AS est_users FROM ({inner})"
+
+
+@register("sketch_pcsa_rollup_exact_merge", oracle=_pcsa_rollup_oracle())
+def sketch_pcsa_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCSA re-aggregation (the :259-265 sketch-as-data path): per-day
+    bitmap relations OR-merged to months. The OR merge is LOSSLESS, so
+    the merged estimate is bit-equal to a direct month build — which is
+    what the oracle computes."""
+    from hive_udf_spark.functions.pcsa import (
+        pcsa_estimate,
+        pcsa_merge_table,
+        pcsa_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = pcsa_table(
+        ev.withColumn("month", F.date_trunc("month", "ts")).withColumn(
+            "day", F.date_trunc("day", "ts")
+        ),
+        ["month", "day"],
+        "user_id",
+        m=_PCSA_M,
+        seed=_PCSA_SEED,
+    )
+    rolled = pcsa_merge_table(daily, ["month"], m=_PCSA_M)
+    return pcsa_estimate(rolled, ["month"], m=_PCSA_M).select(
+        "month", "s_sum", F.col("est_pcsa").alias("est_users")
+    )

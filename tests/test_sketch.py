@@ -322,7 +322,12 @@ def test_expand_approx_distinct_macro():
     # UDAFCardinalityEstimator.java:112-124): lc_estimate over the
     # two-phase distinct bucket count, binary NULL
     lc_out = ex("SELECT approx_distinct(x, 'lc', 65536) FROM t")
-    assert "lc_estimate(count(DISTINCT pmod(xxhash64(x), 524288)), 65536)" in lc_out
+    # NULL-guarded bucket: xxhash64(NULL) is a constant, not NULL, so the
+    # expansion must skip NULL rows explicitly (reference :238-240)
+    assert (
+        "lc_estimate(count(DISTINCT CASE WHEN x IS NOT NULL "
+        "THEN pmod(xxhash64(x), 524288) END), 65536)" in lc_out
+    )
     assert lc_out.startswith("SELECT lc_struct(CASE WHEN count(x) > 0")
     # default LC size is the reference's LC_DEFAULT_SIZE = 1e6 (:90)
     assert "8000000" in ex("SELECT approx_distinct(x, 'lc') FROM t")

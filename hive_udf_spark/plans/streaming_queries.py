@@ -452,3 +452,43 @@ def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__f.step_3_ts").alias("step_3_ts"),
         F.col("__f.completed").alias("completed"),
     )
+
+
+def _streaming_pcsa_oracle() -> str:
+    from hive_udf_spark.functions.pcsa import pcsa_estimate_sql
+
+    inner = pcsa_estimate_sql(
+        "events", "date_trunc('day', ts)", "user_id", 64, 7, group_alias="day"
+    )
+    return f"SELECT day, s_sum, est_pcsa AS est_users FROM ({inner})"
+
+
+@register("streaming_incremental_pcsa_table", oracle=_streaming_pcsa_oracle())
+def streaming_incremental_pcsa_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-on-write FM-BITMAP state: per-day PCSA
+    sketches OR-merged across micro-batches — idempotent under
+    retries with no high-water mark (the OR semilattice is the
+    simplest streaming sketch state). Lossless merge ⇒ the streamed
+    table's S sums and estimates are bit-identical to a batch build,
+    which is what the DuckDB oracle computes."""
+    import tempfile
+
+    from hive_udf_spark.functions.pcsa import pcsa_estimate
+    from hive_udf_spark.streaming.sketch_sink import daily_user_pcsa_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/daily_pcsa"
+        q = daily_user_pcsa_sink(
+            read_events_stream(spark, sf_dir), table, f"{tmp}/ckpt", m=64, seed=7
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            pcsa_estimate(spark.read.parquet(table), ["day"], m=64)
+            .select("day", "s_sum", F.col("est_pcsa").alias("est_users"))
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

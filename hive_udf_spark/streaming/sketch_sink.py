@@ -259,3 +259,56 @@ def user_frequency_cms_sink(
         .outputMode("update")
         .start()
     )
+
+
+def merge_pcsa_table(
+    spark: SparkSession,
+    batch_sketch: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+) -> None:
+    """Merge a micro-batch's PCSA bitmap rows (functions/pcsa.py
+    pcsa_table: key_cols + (bucket, bits)) into the stored sketch:
+    bit_or per (key, bucket). Like distinct-count union and UNLIKE the
+    exact quantile/CMS counters, the OR merge is IDEMPOTENT per element
+    — a foreachBatch retry re-ORs the same bits harmlessly, so no
+    high-water mark is needed; this is the simplest possible
+    merge-on-write state."""
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path).select(*key_cols, "bucket", "bits")
+        all_rows = existing.unionByName(batch_sketch.select(*key_cols, "bucket", "bits"))
+    else:
+        all_rows = batch_sketch.select(*key_cols, "bucket", "bits")
+    merged = all_rows.groupBy(*key_cols, "bucket").agg(F.bit_or("bits").alias("bits"))
+    _atomic_swap(merged, table_path)
+
+
+def daily_user_pcsa_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    m: int = 64,
+    seed: int = 7,
+):
+    """Streaming query maintaining per-day PCSA distinct-user sketches —
+    the fourth merge-on-write sketch family (HLL struct, quantile
+    sample, CMS counters, FM bitmaps). Lossless OR merge ⇒ the streamed
+    table is bit-identical to a batch build, estimates included."""
+    from hive_udf_spark.functions.pcsa import pcsa_table
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        sk = pcsa_table(
+            batch_df.withColumn("day", F.date_trunc("day", "ts")),
+            ["day"],
+            "user_id",
+            m=m,
+            seed=seed,
+        )
+        merge_pcsa_table(batch_df.sparkSession, sk, table_path, ["day"])
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -417,3 +417,32 @@ def test_atomic_swap_path_always_resolvable(spark, tmp_path):
     # exactly one live version dir remains
     vs = [n for n in os.listdir(tmp_path) if n.startswith("t.v-")]
     assert len(vs) == 1
+
+
+def test_pcsa_sink_idempotent_and_equals_batch(spark, sf_dir, tmp_path):
+    """OR-merge is idempotent: re-merging the SAME batch changes
+    nothing (no high-water mark needed), and the streamed table equals
+    a direct batch build bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.pcsa import pcsa_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_pcsa_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    table = str(tmp_path / "pcsa")
+    for lo, hi in ((0, 300), (300, 10**9)):
+        batch = events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        sk = pcsa_table(batch, ["day"], "user_id")
+        merge_pcsa_table(spark, sk, table, ["day"])
+        merge_pcsa_table(spark, sk, table, ["day"])  # retry: no-op by algebra
+    got = sorted(
+        (r.day, r.bucket, r.bits) for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        (r.day, r.bucket, r.bits)
+        for r in pcsa_table(events, ["day"], "user_id").collect()
+    )
+    assert got == want

@@ -274,3 +274,53 @@ def test_cohort_retention_dst_safe(spark):
         assert got[("2026-03-07", 1)] == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_funnel_random_events_match_reference(spark):
+    """Random event streams vs a brute-force nested-min reference."""
+    import datetime as dt
+    import random
+
+    from hive_udf_spark.operators.temporal import funnel_steps
+
+    def ref(events, steps, within_hours):
+        by_user = {}
+        for u, ts, et in events:
+            by_user.setdefault(u, []).append((ts, et))
+        out = {}
+        for u, evs in by_user.items():
+            if not any(et in steps for _, et in evs):
+                continue
+            chain, prev = [], None
+            for s in steps:
+                cands = [t for t, et in evs if et == s and (prev is None or t > prev)]
+                nxt = min(cands) if cands else None
+                chain.append(nxt)
+                if nxt is None:
+                    chain += [None] * (len(steps) - len(chain))
+                    break
+                prev = nxt
+            done = chain[-1] is not None and (
+                within_hours is None
+                or (chain[-1] - chain[0]).total_seconds() <= within_hours * 3600
+            )
+            out[u] = (tuple(chain), done)
+        return out
+
+    rng = random.Random(17)
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (
+            rng.randint(1, 8),
+            base + dt.timedelta(minutes=rng.randint(0, 5000)),
+            rng.choice(steps + ["error", "signup"]),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(events, "user_id bigint, ts timestamp, event_type string")
+    got = {
+        r.user_id: ((r.step_1_ts, r.step_2_ts, r.step_3_ts), r.completed)
+        for r in funnel_steps(df, "user_id", "ts", "event_type", steps, within_hours=24).collect()
+    }
+    assert got == ref(events, steps, 24)

@@ -30,3 +30,17 @@ from hive_udf_spark.functions.sql_registry import (  # noqa: F401
     expand_approx_distinct,
     register_sql,
 )
+from hive_udf_spark.functions.qsketch import (  # noqa: F401
+    qsketch_quantile,
+    quantile_sketch_table,
+)
+from hive_udf_spark.functions.pcsa import (  # noqa: F401
+    PCSA_DEFAULT_M,
+    pcsa_estimate,
+    pcsa_merge_table,
+    pcsa_table,
+)
+from hive_udf_spark.functions.bpe import (  # noqa: F401
+    bpe_doc_token_counts,
+    bpe_train,
+)

@@ -58,7 +58,14 @@ from pyspark.sql import functions as F
 from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
 from hive_udf_spark.functions.text import ngrams, tokenize
 
-__all__ = ["ngram_postings", "duplicate_spans", "strip_duplicate_spans"]
+__all__ = [
+    "ngram_postings",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "build_ngram_index",
+    "probe_duplicate_spans",
+    "update_ngram_index",
+]
 
 
 def _gram_key(gram: Column, portable: bool) -> Column:
@@ -126,6 +133,40 @@ def _marked_positions(
     return marked.select("__id", "__pos")
 
 
+def _spans_from_marked(marked, n: int, id_col: str):
+    """Distinct duplicated (__id, __pos) rows → maximal spans per doc
+    (the gaps-and-islands merge shared by the batch and incremental
+    paths). One shuffle by doc id."""
+    w = Window.partitionBy("__id").orderBy("__pos")
+    prev_max_end = F.max(F.col("__pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "__id",
+        "__pos",
+        (F.col("__pos") > F.coalesce(prev_max_end, F.lit(-1)))
+        .cast("int")
+        .alias("__new"),
+    ).select(
+        "__id",
+        "__pos",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__grp"),
+    )
+    return (
+        islands.groupBy("__id", "__grp")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + n).alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,35 +187,7 @@ def duplicate_spans(
     """
     postings = ngram_postings(df, id_col, text_col, n=n, portable=portable)
     marked = _marked_positions(postings, min_count, keep_first, mark_mode)
-
-    w = Window.partitionBy("__id").orderBy("__pos")
-    prev_max_end = F.max(F.col("__pos") + n).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = marked.select(
-        "__id",
-        "__pos",
-        (F.col("__pos") > F.coalesce(prev_max_end, F.lit(-1)))
-        .cast("int")
-        .alias("__new"),
-    ).select(
-        "__id",
-        "__pos",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__grp"),
-    )
-    spans = (
-        islands.groupBy("__id", "__grp")
-        .agg(
-            F.min("__pos").alias("span_start"),
-            (F.max("__pos") + n).alias("span_end"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-        )
-    )
+    spans = _spans_from_marked(marked, n, id_col)
     if not with_text:
         return spans
     toks = df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
@@ -238,4 +251,66 @@ def strip_duplicate_spans(
             F.size(toks).alias("total_tokens"),
             (F.size(toks) - F.size(kept)).alias("dup_tokens"),
         )
+    )
+
+
+def build_ngram_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """Persistable corpus n-gram index: one (key, cnt) row per DISTINCT
+    n-gram — the span-dedup analogue of operators/dedup.py's
+    build_minhash_index. Counts merge additively (union + sum per key),
+    so per-ingest batches extend the index without ever rescanning or
+    re-tokenizing the corpus — the no-rescan-at-100 TB contract."""
+    return (
+        ngram_postings(df, id_col, text_col, n=n, portable=portable)
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def probe_duplicate_spans(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental ExactSubstr: mark spans of a NEW ingest batch that
+    duplicate the indexed corpus OR repeat within the batch itself —
+    total occurrences (index count + batch count) ≥ ``min_count``.
+
+    Only the batch is tokenized; the corpus participates as its (key,
+    cnt) index. The probe joins batch postings to batch-key counts
+    (partial-aggregated) left-joined against the index — fixed-width
+    keys, AQE-skew-splittable, no corpus rescan per ingest. Returns
+    batch spans (id, span_start, span_end, span_tokens)."""
+    postings = ngram_postings(batch, id_col, text_col, n=n, portable=portable)
+    batch_counts = postings.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__bc")
+    )
+    totals = batch_counts.join(
+        index.select(F.col("__key"), F.col("cnt").alias("__ic")), "__key", "left"
+    ).select(
+        "__key",
+        (F.col("__bc") + F.coalesce(F.col("__ic"), F.lit(0))).alias("__total"),
+    )
+    dup_keys = totals.filter(F.col("__total") >= min_count).select("__key")
+    marked = postings.join(dup_keys, "__key").select("__id", "__pos")
+    return _spans_from_marked(marked, n, id_col)
+
+
+def update_ngram_index(index: DataFrame, batch_index: DataFrame) -> DataFrame:
+    """Merged index after an ingest: union + sum per key (additive,
+    order-independent — the CMS merge algebra on posting counts)."""
+    return (
+        index.unionByName(batch_index)
+        .groupBy("__key")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )

@@ -548,3 +548,77 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").cast("long").alias("total_tokens"),
         F.col("dup_tokens").cast("long").alias("dup_tokens"),
     )
+
+
+def _incremental_span_oracle() -> str:
+    gram = f"array_to_string(tk[i + 1 : i + {_SPAN_N}], ' ')"
+    key = portable_hash60_sql(gram, 0)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             [t for t in string_split_regex(text, '\\s+') if t != ''] AS tk
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, i AS pos, {key} AS key
+      FROM tok, unnest(generate_series(0, len(tk) - {_SPAN_N})) AS g(i)
+      WHERE len(tk) >= {_SPAN_N}
+    ),
+    idx AS (
+      SELECT key, count(*) AS ic FROM posting WHERE doc_id % 10 != 0 GROUP BY key
+    ),
+    bp AS (SELECT doc_id, pos, key FROM posting WHERE doc_id % 10 = 0),
+    bc AS (SELECT key, count(*) AS bc FROM bp GROUP BY key),
+    dup AS (
+      SELECT bc.key FROM bc LEFT JOIN idx USING (key)
+      WHERE bc.bc + coalesce(idx.ic, 0) >= {_SPAN_MIN_COUNT}
+    ),
+    marked AS (SELECT doc_id, pos FROM bp JOIN dup USING (key)),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos > coalesce(prev_end, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + {_SPAN_N}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM marked
+      )
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_N} AS BIGINT) AS span_end,
+           CAST(max(pos) + {_SPAN_N} - min(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, grp
+    """
+
+
+@register("dedup_incremental_spans", oracle=_incremental_span_oracle())
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr: a 10% 'new batch' (doc_id % 10 = 0)
+    probed against the n-gram index built over the other 90%
+    (operators/spandedup.py build_ngram_index / probe_duplicate_spans)
+    — span-level dedup of incoming data with NO corpus rescan per
+    ingest, the same contract as dedup_incremental_minhash. Spans mark
+    where batch text duplicates the corpus or repeats within the batch;
+    the oracle recomputes index counts, the probe join, and the island
+    merge."""
+    from hive_udf_spark.operators.spandedup import (
+        build_ngram_index,
+        probe_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_ngram_index(corpus, n=_SPAN_N, portable=True)
+    out = probe_duplicate_spans(
+        index, batch, n=_SPAN_N, min_count=_SPAN_MIN_COUNT, portable=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )

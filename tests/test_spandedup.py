@@ -213,3 +213,54 @@ def test_random_corpora_match_reference(spark):
         assert got == want, (seed, got, want)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# incremental index + probe (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_probe_equals_full_rebuild(spark, sf_dir):
+    """Index(corpus) + probe(batch) finds exactly the batch's spans that
+    a full-corpus duplicate_spans run would report for those docs."""
+    from hive_udf_spark.operators.spandedup import (
+        build_ngram_index,
+        probe_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_ngram_index(corpus, n=5)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in probe_duplicate_spans(index, batch, n=5, min_count=2).collect()
+    )
+    full = duplicate_spans(docs, n=5, min_count=2, with_text=False)
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in full.filter(F.col("doc_id") % 10 == 0).collect()
+    )
+    # probe marks batch-vs-corpus AND batch-internal duplicates; a full
+    # rebuild additionally counts corpus-internal-only n-grams, which
+    # cannot change BATCH span marking (all counts >= probe totals come
+    # from the same postings) — the sets must be identical
+    assert got == want
+
+
+def test_index_update_additive(spark):
+    from hive_udf_spark.operators.spandedup import (
+        build_ngram_index,
+        update_ngram_index,
+    )
+
+    a = spark.createDataFrame([(1, "x y z w q")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "x y z w q")], ["doc_id", "text"])
+    both = spark.createDataFrame(
+        [(1, "x y z w q"), (2, "x y z w q")], ["doc_id", "text"]
+    )
+    merged = update_ngram_index(build_ngram_index(a), build_ngram_index(b))
+    direct = build_ngram_index(both)
+    assert sorted((r["__key"], r.cnt) for r in merged.collect()) == sorted(
+        (r["__key"], r.cnt) for r in direct.collect()
+    )

@@ -24,9 +24,10 @@ doubles baked into both the Spark expression and the SQL oracle — the
 remaining two multiplications and the floor are IEEE-exact, so the
 full estimate hash-matches DuckDB bit-for-bit (the KMV discipline
 extended to a transcendental estimator). Standard error ≈ 0.78/√m.
-No small-cardinality correction is applied (the classic estimator is
-biased low when n ≲ m; use LC there — the same regime guidance as the
-reference's two-algorithm split).
+No small-cardinality correction is applied: the classic estimator is
+biased HIGH when n ≲ m (empty-ish bitmaps still give E ≈ m/φ — measured
+est 83 for n=1 at m=64); use LC in that regime — the same two-algorithm
+split the reference encodes.
 """
 
 from __future__ import annotations
@@ -50,8 +51,12 @@ __all__ = [
 
 PCSA_PHI = 0.77351
 PCSA_DEFAULT_M = 64
-# rank bits available after bucket reduction of a 60-bit hash
-_RANK_BITS = PORTABLE_HASH_BITS - 6
+
+
+def _rank_bits(m: int) -> int:
+    """Rank bits available after bucket reduction of a 60-bit hash —
+    the saturation rank for the reduced==0 case (depends on m)."""
+    return PORTABLE_HASH_BITS - (m.bit_length() - 1)
 
 
 def _frac_pow2_literals(m: int) -> list[float]:
@@ -67,10 +72,10 @@ def _bucket_rank(col: Column, m: int, seed: int) -> tuple[Column, Column]:
     k = m.bit_length() - 1
     bucket = h.bitwiseAND(F.lit(m - 1))
     reduced = F.shiftright(h, k)
-    # rho = trailing zeros of reduced, capped at _RANK_BITS (the all-zero
-    # case); lowest set bit as power of two = reduced & -reduced
+    # rho = trailing zeros of reduced, capped at _rank_bits(m) (the
+    # all-zero case); lowest set bit as power of two = reduced & -reduced
     low = reduced.bitwiseAND(-reduced)
-    rank = F.when(reduced == 0, F.lit(_RANK_BITS)).otherwise(
+    rank = F.when(reduced == 0, F.lit(_rank_bits(m))).otherwise(
         F.bit_count(low - F.lit(1))
     )
     return bucket, rank
@@ -109,13 +114,18 @@ def pcsa_merge_table(
 ) -> DataFrame:
     """Re-aggregate sketch relations to coarser groups: bit_or per
     (group, bucket) — the lossless OR-semilattice merge (identical bits
-    to a direct build; the :259-265 rollup path)."""
+    to a direct build; the :259-265 rollup path). Only sketches built
+    with the SAME m may merge (mismatched m buckets values differently;
+    the relation carries no m header, so this cannot be detected here —
+    the caller's m is validated to keep the contract visible)."""
+    if m < 2 or m & (m - 1):
+        raise ValueError("m must be a power of two >= 2")
     return df.groupBy(*group_cols, "bucket").agg(F.bit_or("bits").alias("bits"))
 
 
 def _lowest_unset(bits: Column) -> Column:
     """Index of the lowest 0 bit of a non-negative word (rank capped at
-    _RANK_BITS by construction, so the +1 never overflows)."""
+    _rank_bits(m) < 60 by construction, so the +1 never overflows)."""
     t = F.bitwise_not(bits).bitwiseAND(bits + F.lit(1))
     return F.bit_count(t - F.lit(1))
 
@@ -158,7 +168,7 @@ def pcsa_estimate_sql(
     ),
     bm AS (
       SELECT {group_alias}, bucket,
-             bit_or(CASE WHEN reduced = 0 THEN (1::BIGINT << {_RANK_BITS})
+             bit_or(CASE WHEN reduced = 0 THEN (1::BIGINT << {_rank_bits(m)})
                     ELSE (1::BIGINT << bit_count((reduced & -reduced) - 1)) END) AS bits
       FROM pr GROUP BY 1, 2
     ),

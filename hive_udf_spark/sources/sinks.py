@@ -231,6 +231,16 @@ def atomic_swap_parquet(df: DataFrame, table_path: str) -> None:
     parent = os.path.dirname(os.path.abspath(table_path))
     new_dir = f"{table_path}.v-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(new_dir)
+    if os.name == "nt":  # pragma: no cover - POSIX container
+        # Windows: symlinks need elevation and rename cannot overwrite —
+        # fall back to the rename pair (brief unreadable window, the
+        # pre-symlink behavior)
+        old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(new_dir, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return
     old_target: str | None = None
     if os.path.islink(table_path):
         old_target = os.path.join(parent, os.readlink(table_path))

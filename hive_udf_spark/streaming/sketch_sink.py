@@ -274,13 +274,15 @@ def merge_pcsa_table(
     — a foreachBatch retry re-ORs the same bits harmlessly, so no
     high-water mark is needed; this is the simplest possible
     merge-on-write state."""
-    if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path).select(*key_cols, "bucket", "bits")
-        all_rows = existing.unionByName(batch_sketch.select(*key_cols, "bucket", "bits"))
-    else:
-        all_rows = batch_sketch.select(*key_cols, "bucket", "bits")
-    merged = all_rows.groupBy(*key_cols, "bucket").agg(F.bit_or("bits").alias("bits"))
-    _atomic_swap(merged, table_path)
+    def merge(all_rows: DataFrame) -> DataFrame:
+        return all_rows.groupBy(*key_cols, "bucket").agg(
+            F.bit_or("bits").alias("bits")
+        )
+
+    # batch_id=None: the OR merge needs no retry guard
+    _merge_with_hwm(
+        spark, batch_sketch, table_path, [*key_cols, "bucket", "bits"], merge, None
+    )
 
 
 def daily_user_pcsa_sink(

@@ -392,6 +392,53 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         sigs = image_ahash_table(blobs)
         _force(hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6))
 
+    def q_pcsa_grouped():
+        from hive_udf_spark.functions.pcsa import pcsa_estimate, pcsa_table
+
+        _force(
+            pcsa_estimate(
+                pcsa_table(lineitem, ["l_returnflag"], "l_orderkey", m=256),
+                ["l_returnflag"],
+                m=256,
+            )
+        )
+
+    def q_kmv_sliding():
+        # trailing 7-day distinct from the daily sketch table alone
+        from hive_udf_spark.functions.kmv import kmv_merge_table, kmv_table
+
+        daily = kmv_table(
+            events.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id", k=256
+        )
+        src = daily.select(F.col("day").alias("src_day"), "kmv")
+        joined = daily.select("day").join(
+            src,
+            (F.col("src_day") <= F.col("day"))
+            & (F.col("src_day") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        _force(kmv_merge_table(joined, ["day"], "kmv", 256))
+
+    def q_funnel_cohort():
+        from hive_udf_spark.operators.temporal import cohort_retention, funnel_steps
+
+        _force(
+            funnel_steps(
+                events, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"], within_hours=72,
+            )
+        )
+        _force(cohort_retention(events, "user_id", "ts"))
+
+    def q_incremental_spans():
+        from hive_udf_spark.operators.spandedup import (
+            build_ngram_index,
+            probe_duplicate_spans,
+        )
+
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        _force(probe_duplicate_spans(build_ngram_index(corpus, n=5), batch, n=5))
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -433,6 +480,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "strip_spans": q_strip_spans,
         "bpe_train": q_bpe_train,
         "image_near_dup": q_image_near_dup,
+        "pcsa_grouped": q_pcsa_grouped,
+        "kmv_sliding_7d": q_kmv_sliding,
+        "funnel_cohort": q_funnel_cohort,
+        "incremental_spans": q_incremental_spans,
     }
 
     times: dict[str, float] = {}

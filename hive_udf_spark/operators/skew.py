@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "skew_report"]
 
 
 def salted_join(
@@ -52,3 +52,94 @@ def salted_join(
     )
     out = b.join(s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+    max_salt: int = 64,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the numbers that decide
+    whether a key needs ``salted_join`` before the job runs at 100 TB.
+
+    One partial-aggregated pass builds the per-key count relation (#keys
+    rows — far smaller than the data); everything after runs on it: the
+    top-k heaviest keys (count desc, key asc — deterministic), exact
+    count quantiles at the fixed index floor(q·(n_keys−1)) of the
+    ascending count order, and a recommended salt factor =
+    ceil(max_count / floor-average), capped at ``max_salt`` — "how many
+    times hotter than average is the hottest key", the fan-out
+    ``salted_join``'s salt parameter should absorb. All integer math,
+    so the whole report is oracle-exact.
+
+    Output: one row per top key (rank, key, cnt) with the summary
+    columns (n_rows, n_keys, p50_count, p99_count, max_count,
+    recommended_salt) repeated on each row.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_count"),
+    )
+    w_asc = Window.orderBy(F.col("cnt").asc(), F.col("key").asc())
+    ranked_asc = counts.withColumn("__rn", F.row_number().over(w_asc))
+    # exact deterministic quantile: value at 1-based index
+    # floor(q*(n_keys-1)) + 1 of the ascending count order
+    quant = (
+        ranked_asc.withColumn("__j", F.lit(1))
+        .join(F.broadcast(summary.withColumn("__j", F.lit(1))), "__j")
+        .select(
+            # explicit floor: Spark's double->bigint cast truncates but
+            # DuckDB's CAST rounds, so the raw cast diverges at *.5
+            F.when(
+                F.col("__rn")
+                == F.floor(F.lit(0.5) * (F.col("n_keys") - 1)).cast("bigint") + 1,
+                F.col("cnt"),
+            ).alias("__p50"),
+            F.when(
+                F.col("__rn")
+                == F.floor(F.lit(0.99) * (F.col("n_keys") - 1)).cast("bigint") + 1,
+                F.col("cnt"),
+            ).alias("__p99"),
+        )
+        .agg(
+            F.max("__p50").cast("bigint").alias("p50_count"),
+            F.max("__p99").cast("bigint").alias("p99_count"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = counts.withColumn("rank", F.row_number().over(w_desc)).filter(
+        F.col("rank") <= top_k
+    )
+    # integer div (not double-divide-then-truncate): exact at any scale
+    salt = F.least(
+        F.lit(max_salt).cast("bigint"),
+        F.expr(f"(max_count + greatest(n_rows div n_keys, 1) - 1) div greatest(n_rows div n_keys, 1)"),
+    )
+    return (
+        top.withColumn("__j", F.lit(1))
+        .join(F.broadcast(summary.withColumn("__j", F.lit(1))), "__j")
+        .join(F.broadcast(quant.withColumn("__j", F.lit(1))), "__j")
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            "n_rows",
+            "n_keys",
+            "p50_count",
+            "p99_count",
+            "max_count",
+            salt.alias("recommended_salt"),
+        )
+    )

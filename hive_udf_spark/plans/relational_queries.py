@@ -1157,3 +1157,51 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cohort_retention(events, "user_id", "ts", bucket="week")
+
+
+@register(
+    "skew_report_lineitem",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    summary AS (
+      SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_count
+      FROM counts
+    ),
+    asc_r AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt ASC, key ASC) AS rn
+      FROM counts
+    ),
+    quant AS (
+      SELECT
+        max(CASE WHEN rn = CAST(floor(0.5 * (s.n_keys - 1)) AS BIGINT) + 1 THEN cnt END) AS p50_count,
+        max(CASE WHEN rn = CAST(floor(0.99 * (s.n_keys - 1)) AS BIGINT) + 1 THEN cnt END) AS p99_count
+      FROM asc_r, summary s
+    ),
+    top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+      FROM counts
+    )
+    SELECT CAST(rank AS INT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(s.n_rows AS BIGINT) AS n_rows, CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(q.p50_count AS BIGINT) AS p50_count,
+           CAST(q.p99_count AS BIGINT) AS p99_count,
+           CAST(s.max_count AS BIGINT) AS max_count,
+           CAST(least(64, (s.max_count + greatest(s.n_rows // s.n_keys, 1) - 1)
+                 // greatest(s.n_rows // s.n_keys, 1)) AS BIGINT) AS recommended_salt
+    FROM top, summary s, quant q
+    WHERE rank <= 10
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/skew.py skew_report): the
+    pre-flight report that decides whether l_suppkey needs salted_join —
+    top-10 heaviest keys, exact deterministic count quantiles, and a
+    recommended salt factor, all from one partial-aggregated pass over
+    the key-count relation. Integer math end to end: hash-exact."""
+    from hive_udf_spark.operators.skew import skew_report
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return skew_report(lineitem, ["l_suppkey"], top_k=10)

@@ -222,3 +222,40 @@ def test_profile_table_validation(spark):
 
     with _pytest.raises(ValueError):
         profile_table(spark.range(1), [])
+
+
+def test_skew_report_hot_key_and_salt(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.skew import skew_report
+
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 100 == 0, F.lit(7)).otherwise(F.col("id") % 500).alias("k")
+    )
+    rows = skew_report(df, ["k"], top_k=3).collect()
+    assert len(rows) == 3
+    top = {r.rank: r for r in rows}
+    assert top[1].key == "7" and top[1].cnt == 120  # 100 extra + own 20
+    r = rows[0]
+    assert r.n_rows == 10000 and r.n_keys == 495
+    assert r.p50_count == 20 and r.max_count == 120
+    assert r.recommended_salt == 6  # ceil(120 / avg 20)
+
+
+def test_skew_report_uniform_salt_one(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.skew import skew_report
+
+    df = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    r = skew_report(df, ["k"], top_k=1).collect()[0]
+    assert r.cnt == 100 and r.recommended_salt == 1
+
+
+def test_skew_report_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.skew import skew_report
+
+    with _pytest.raises(ValueError):
+        skew_report(spark.range(1), [])

@@ -969,3 +969,95 @@ def probe_minhash_index(
             >= F.lit(int(threshold * 1_000_000)) * F.col("union_size")
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    portable: bool = False,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007) — the deterministic complement to MinHash-LSH:
+    every pair with word-set Jaccard ≥ ``threshold`` is found, no
+    probabilistic recall.
+
+    Principle: order all tokens by ascending global frequency (rarest
+    first, ties by token). A pair with J ≥ t needs overlap ≥ ⌈t·|s|⌉ on
+    both sides, so each side must hit the other inside its first
+    |s| − ⌈t·|s|⌉ + 1 tokens of that order — the *prefix*. Candidates =
+    pairs sharing ≥ 1 prefix token; because prefixes hold the RAREST
+    tokens, candidate volume collapses (boilerplate tokens are everyone's
+    suffix, never joined on). A size filter (t·|B| ≤ |A|) prunes further;
+    exact Jaccard verification makes the output exact.
+
+    Plan: one token-frequency aggregate (partial-counted), a broadcast
+    rank join at scan, prefix explode, token-keyed self-join (the only
+    big shuffle — fixed-width (token-rank, id) rows), then the shared
+    hoisted-Jaccard verify. Hot tokens cannot skew the join: by
+    construction the join keys are the rare tokens. Emits (id_a, id_b,
+    inter_size, union_size).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t_ppm = int(round(threshold * 1_000_000))
+    ws = docs.select(
+        F.col(id_col).alias("__id"), word_set(text_col).alias("__w")
+    ).filter(F.size("__w") > 0)
+    if caches is not None:
+        ws = ws.persist()
+        caches.append(ws)
+    tokens = ws.select(F.explode("__w").alias("__t"))
+    freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    from pyspark.sql import Window as _W
+
+    rank = freq.select(
+        "__t",
+        F.row_number()
+        .over(_W.orderBy(F.col("__f").asc(), F.col("__t").asc()))
+        .alias("__r"),
+    )
+    # per doc: tokens as ranks, ascending (rarest first), prefix slice
+    ranked = (
+        ws.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
+        .join(F.broadcast(rank), "__t")
+        .groupBy("__id", "__n")
+        .agg(F.sort_array(F.collect_list("__r")).alias("__rs"))
+    )
+    # prefix length = n - ceil(t*n) + 1; integer ceil via (n*t_ppm + 999999) div 1e6
+    plen = (
+        F.col("__n")
+        - F.expr(f"CAST((__n * {t_ppm} + 999999) div 1000000 AS INT)")
+        + F.lit(1)
+    )
+    prefixes = ranked.select(
+        "__id", "__n", F.explode(F.slice("__rs", 1, plen)).alias("__r")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__r") == F.col("b.__r"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # size filter: t*max(|A|,|B|) <= min(|A|,|B|) is necessary
+            & (F.col("a.__n") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("b.__n"))
+            & (F.col("b.__n") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("a.__n")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    joined = cands.join(wa, "id_a").join(wb, "id_b")
+    inter, union = jaccard_pair_stats(F.col("__wa"), F.col("__wb"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1_000_000 >= t_ppm * F.col("union_size"))
+    )

@@ -622,3 +622,29 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
+
+
+@register(
+    "dedup_prefix_filter_exact_join",
+    oracle=f"""
+    WITH {_WS_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(a.w, b.w))) AS BIGINT) AS union_size
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE len(a.w) > 0 AND len(b.w) > 0
+      AND len(list_intersect(a.w, b.w)) * 1000000
+          >= 750000 * len(list_distinct(list_concat(a.w, b.w)))
+    """,
+)
+def dedup_prefix_filter_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join, Jaccard ≥ 0.75, via prefix filtering
+    (operators/dedup.py prefix_filter_pairs — AllPairs/PPJoin). Unlike
+    MinHash-LSH the result is deterministic and complete, so the oracle
+    is the BRUTE-FORCE pair enumeration itself: algorithmic equivalence,
+    not a pipeline mirror. The engine only ever joins on each doc's
+    rarest-token prefix — boilerplate tokens are never join keys."""
+    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.75)

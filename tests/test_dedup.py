@@ -173,3 +173,76 @@ def test_incremental_probe_matches_self_join_cross_pairs(spark, sf_dir):
             want.add((b, a, r["inter_size"], r["union_size"]))
     assert got == want
     assert got  # non-trivial on the near-dup-seeded corpus
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact similarity join (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """Algorithmic completeness: exactly the brute-force pair set, on a
+    corpus engineered with shared rare and common tokens."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.text import word_set
+    from hive_udf_spark.operators.dedup import jaccard_pair_stats, prefix_filter_pairs
+
+    rows = [
+        (1, "common alpha beta gamma delta"),
+        (2, "common alpha beta gamma epsilon"),
+        (3, "common zeta eta theta iota"),
+        (4, "common zeta eta theta kappa"),
+        (5, "totally different words here now"),
+        (6, "common alpha beta gamma delta"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.5, 0.6, 0.8, 1.0):
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in prefix_filter_pairs(docs, "doc_id", "text", threshold=t).collect()
+        )
+        ws = docs.select("doc_id", word_set("text").alias("w"))
+        a, b = ws.alias("a"), ws.alias("b")
+        inter, union = jaccard_pair_stats(F.col("a.w"), F.col("b.w"))
+        want = sorted(
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                inter.alias("i"),
+                union.alias("u"),
+            )
+            .filter(F.col("i") * 1_000_000 >= int(t * 1_000_000) * F.col("u"))
+            .collect()
+        )
+        assert got == want, t
+
+
+def test_prefix_filter_candidate_reduction(spark, sf_dir):
+    """The prefix join must generate far fewer candidates than the
+    all-token join would (the rare-tokens-first payoff)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caches: list = []
+    got = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9, caches=caches)
+    n_pairs = got.count()
+    for c in caches:
+        c.unpersist()
+    n_docs = docs.count()
+    # at t=0.9 output is small although the corpus is duplicate-dense
+    assert n_pairs < n_docs * n_docs / 8
+
+
+def test_prefix_filter_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        prefix_filter_pairs(docs, "doc_id", "text", threshold=0.0)

@@ -392,6 +392,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         sigs = image_ahash_table(blobs)
         _force(hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6))
 
+    def q_prefix_filter():
+        # EXACT similarity join (no LSH recall): complete pair set at
+        # J >= 0.9 — contract-bound to true-pair volume like the other
+        # pair emitters
+        from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+        caches: list = []
+        _force(prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9, caches=caches))
+        for c in caches:
+            c.unpersist()
+
     def q_pcsa_grouped():
         from hive_udf_spark.functions.pcsa import pcsa_estimate, pcsa_table
 
@@ -480,6 +491,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "strip_spans": q_strip_spans,
         "bpe_train": q_bpe_train,
         "image_near_dup": q_image_near_dup,
+        "prefix_filter_join": q_prefix_filter,
         "pcsa_grouped": q_pcsa_grouped,
         "kmv_sliding_7d": q_kmv_sliding,
         "funnel_cohort": q_funnel_cohort,

@@ -1011,20 +1011,21 @@ def prefix_filter_pairs(
         caches.append(ws)
     tokens = ws.select(F.explode("__w").alias("__t"))
     freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
-    from pyspark.sql import Window as _W
-
-    rank = freq.select(
-        "__t",
-        F.row_number()
-        .over(_W.orderBy(F.col("__f").asc(), F.col("__t").asc()))
-        .alias("__r"),
-    )
-    # per doc: tokens as ranks, ascending (rarest first), prefix slice
+    # No dense rank materialization: the frequency order is realized by
+    # sorting (freq, token) STRUCTS per doc and the join key stays the
+    # token itself. A global row_number over the vocabulary would be a
+    # single-partition window (and broadcasting the vocab table assumes
+    # it fits an executor) — neither survives a billion-token corpus;
+    # the freq join below is an ordinary shuffle join AQE can size.
     ranked = (
         ws.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
-        .join(F.broadcast(rank), "__t")
+        .join(freq, "__t")
         .groupBy("__id", "__n")
-        .agg(F.sort_array(F.collect_list("__r")).alias("__rs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__f"), F.col("__t")))
+            ).alias("__rs")
+        )
     )
     # prefix length = n - ceil(t*n) + 1; integer ceil via (n*t_ppm + 999999) div 1e6
     plen = (
@@ -1033,7 +1034,9 @@ def prefix_filter_pairs(
         + F.lit(1)
     )
     prefixes = ranked.select(
-        "__id", "__n", F.explode(F.slice("__rs", 1, plen)).alias("__r")
+        "__id",
+        "__n",
+        F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cands = (

@@ -92,35 +92,38 @@ def skew_report(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.max("cnt").cast("bigint").alias("max_count"),
     )
-    w_asc = Window.orderBy(F.col("cnt").asc(), F.col("key").asc())
-    ranked_asc = counts.withColumn("__rn", F.row_number().over(w_asc))
-    # exact deterministic quantile: value at 1-based index
-    # floor(q*(n_keys-1)) + 1 of the ascending count order
-    quant = (
-        ranked_asc.withColumn("__j", F.lit(1))
-        .join(F.broadcast(summary.withColumn("__j", F.lit(1))), "__j")
-        .select(
-            # explicit floor: Spark's double->bigint cast truncates but
-            # DuckDB's CAST rounds, so the raw cast diverges at *.5
-            F.when(
-                F.col("__rn")
-                == F.floor(F.lit(0.5) * (F.col("n_keys") - 1)).cast("bigint") + 1,
-                F.col("cnt"),
-            ).alias("__p50"),
-            F.when(
-                F.col("__rn")
-                == F.floor(F.lit(0.99) * (F.col("n_keys") - 1)).cast("bigint") + 1,
-                F.col("cnt"),
-            ).alias("__p99"),
-        )
-        .agg(
-            F.max("__p50").cast("bigint").alias("p50_count"),
-            F.max("__p99").cast("bigint").alias("p99_count"),
-        )
+    # Exact deterministic quantile WITHOUT a global row_number over the
+    # key relation (a single-partition window; keys can be billions):
+    # the selected value is the smallest count c whose cumulative key
+    # count reaches 1-based index floor(q*(n_keys-1)) + 1 — and ties in
+    # the ascending (cnt, key) order all carry the same cnt, so the
+    # key tiebreak cannot change the selected VALUE. The cumsum runs
+    # over DISTINCT count values (a tiny relation: distinct counts <<
+    # keys), which a window can hold.
+    cc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("__k"))
+    w_cc = Window.orderBy(F.col("cnt").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w_desc = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
-    top = counts.withColumn("rank", F.row_number().over(w_desc)).filter(
-        F.col("rank") <= top_k
+    cum = cc.withColumn("__cum", F.sum("__k").over(w_cc))
+
+    def _q_at(q: float):
+        # explicit floor: Spark's double->bigint cast truncates but
+        # DuckDB's CAST rounds, so the raw cast diverges at *.5
+        idx = F.floor(F.lit(q) * (F.col("n_keys") - 1)).cast("bigint") + 1
+        return F.min(F.when(F.col("__cum") >= idx, F.col("cnt"))).cast("bigint")
+
+    quant = (
+        cum.withColumn("__j", F.lit(1))
+        .join(F.broadcast(summary.withColumn("__j", F.lit(1))), "__j")
+        .agg(_q_at(0.5).alias("p50_count"), _q_at(0.99).alias("p99_count"))
+    )
+    # top-k via TakeOrdered (per-partition partial top-k), then rank the
+    # <= top_k survivors on one tiny partition
+    order = [F.col("cnt").desc(), F.col("key").asc()]
+    top = (
+        counts.orderBy(*order)
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
     # integer div (not double-divide-then-truncate): exact at any scale
     salt = F.least(

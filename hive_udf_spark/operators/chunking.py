@@ -345,3 +345,39 @@ def priority_sample(
             F.coalesce(F.col("__tau"), F.lit(0.0)),
         ),
     ).drop("__tau")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    test_fraction: float = 0.1,
+    seed: int = 13,
+    portable: bool = False,
+) -> DataFrame:
+    """Train/eval split that near-duplicates cannot straddle: the split
+    decision hashes the CLUSTER id (from ``dedup_clusters`` /
+    ``embedding_dedup_clusters`` / ``multimodal`` clusters), so every
+    member of a near-dup cluster lands on the same side — the
+    contamination-prevention step a benchmark split needs AFTER dedup
+    (a doc-level random split leaks eval content through its train-side
+    near-duplicates; decontam then reports what this op prevents).
+
+    Deterministic (no rand()): side = hash(seed, cluster) mod 1e6 <
+    test_fraction·1e6 — reproducible across runs, partitionings, and
+    engines (portable mode md5). Realized test share converges to
+    test_fraction over clusters, weighted by cluster size. Output:
+    docs' (id, cluster, split) with split ∈ {'train', 'test'}.
+    """
+    if not (0.0 <= test_fraction <= 1.0):
+        raise ValueError("test_fraction must be in [0, 1]")
+    cut = int(round(test_fraction * SAMPLE_DENOM))
+    h = portable_hash60 if portable else fast_hash64
+    bucket = F.pmod(h(F.col(cluster_col).cast("string"), seed), F.lit(SAMPLE_DENOM))
+    side = F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train"))
+    return (
+        docs.select(id_col)
+        .join(clusters.select(id_col, cluster_col), id_col)
+        .select(id_col, cluster_col, side.alias("split"))
+    )

@@ -648,3 +648,59 @@ def dedup_prefix_filter_exact_join(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.75)
+
+
+def _leakage_split_oracle() -> str:
+    cl_hash = portable_hash60_sql("min(r)::VARCHAR", 13)
+    return f"""
+    WITH RECURSIVE {_minhash_edges_cte()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM cands
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+      WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+            >= {_CLUST_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    )
+    SELECT node AS doc_id,
+           min(r) AS cluster,
+           CASE WHEN ({cl_hash}) % 1000000 < 100000
+                THEN 'test' ELSE 'train' END AS split
+    FROM reach GROUP BY node
+    """
+
+
+@register("pipeline_leakage_safe_split", oracle=_leakage_split_oracle())
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (operators/chunking.py
+    leakage_safe_split): the split decision hashes the near-dup CLUSTER
+    id, so duplicates can never straddle the boundary — the
+    contamination-prevention step after dedup that a doc-level random
+    split misses. Deterministic (no rand()); the oracle re-derives the
+    cluster graph (recursive-CTE CC) and the hash threshold."""
+    from hive_udf_spark.operators.chunking import leakage_safe_split
+    from hive_udf_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, "doc_id", "text", threshold=0.7, portable=True,
+        sig_prefilter_margin=None, mode="exact",
+    )
+    return leakage_safe_split(
+        docs, clusters, test_fraction=0.1, seed=13, portable=True
+    )

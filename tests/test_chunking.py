@@ -350,3 +350,39 @@ def test_priority_sample_null_stratum_gets_tau(spark):
     # with est_weight strictly above w for at least the light rows
     assert all(r.est_weight >= r.w for r in got)
     assert any(r.est_weight > r.w for r in by[None])
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import leakage_safe_split
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    clusters = docs.select("doc_id", (F.col("doc_id") % 40).alias("cluster"))
+    out = leakage_safe_split(docs, clusters, test_fraction=0.3, seed=5)
+    # every cluster entirely on one side
+    sides = out.groupBy("cluster").agg(F.count_distinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in sides)
+    # both sides populated, share in the right ballpark
+    frac = out.filter(F.col("split") == "test").count() / 200
+    assert 0.05 < frac < 0.6
+    # deterministic
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in leakage_safe_split(docs, clusters, test_fraction=0.3, seed=5).collect()
+    )
+    assert a == b
+
+
+def test_leakage_safe_split_validation(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import leakage_safe_split
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    cl = docs.select("doc_id", F.lit(0).alias("cluster"))
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, cl, test_fraction=1.5)

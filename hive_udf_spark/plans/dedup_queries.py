@@ -704,3 +704,89 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         docs, clusters, test_fraction=0.1, seed=13, portable=True
     )
+
+
+_SINC_T_PPM = 800_000  # streaming incremental threshold 0.8
+
+
+def _streaming_incremental_dedup_oracle() -> str:
+    sig_exprs = ",\n      ".join(
+        f"list_min([{portable_hash60_sql('t', seed)} for t in w])" for seed in range(_MINHASH_K)
+    )
+    return f"""
+    WITH {_WS_CTE},
+    sig AS (
+      SELECT doc_id, w, [
+      {sig_exprs}
+      ] AS sig FROM ws WHERE len(w) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             band,
+             sig[{_MINHASH_R}*band + 1]::VARCHAR || '_' || sig[{_MINHASH_R}*band + 2]::VARCHAR AS bkey
+      FROM sig, unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS t(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 5 > b.doc_id % 5
+    )
+    SELECT batch_id, corpus_id,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS BIGINT) AS union_size
+    FROM cands
+      JOIN ws wa ON wa.doc_id = batch_id
+      JOIN ws wb ON wb.doc_id = corpus_id
+    WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+          >= {_SINC_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    """
+
+
+@register(
+    "streaming_incremental_dedup", oracle=_streaming_incremental_dedup_oracle()
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup detection (streaming/dedup_sink.py): the
+    corpus arrives in 5 deterministic micro-batches (doc_id % 5, one
+    file per batch); each batch probes the MinHash index accumulated
+    from all earlier batches, appends the flagged cross-batch pairs,
+    and extends the index — index AND pairs committed together in one
+    atomic state swap per batch. The union over batches equals the
+    batch-mode set "all pairs with batch(a) > batch(b), J ≥ 0.8",
+    which the oracle computes with the full portable pipeline
+    (signatures, band candidacy, exact verify)."""
+    import tempfile
+
+    from hive_udf_spark.streaming.dedup_sink import incremental_dedup_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(5):  # sequential writes -> deterministic file order
+            docs.filter(F.col("doc_id") % 5 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = incremental_dedup_sink(
+            stream,
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+            threshold=0.8,
+            num_hashes=_MINHASH_K,
+            bands=_MINHASH_BANDS,
+            portable=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(f"{tmp}/state/pairs")
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

@@ -1,0 +1,150 @@
+"""Streaming incremental near-dup detection: probe each micro-batch
+against the accumulated MinHash index, flag cross-batch pairs, extend
+the index — dedup of an arriving corpus as STREAMING STATE.
+
+The batch-mode contract (operators/dedup.py build_minhash_index /
+probe_minhash_index — no corpus rescan per ingest) driven by
+foreachBatch: every batch's documents are signature-hashed once, probed
+against the index built from all EARLIER batches (cross-batch pairs
+only; run near_dup_pairs inside a batch for intra-batch dups), and
+appended to the index.
+
+Exactly-once across TWO tables with ONE commit: the state directory
+holds ``index/`` and ``pairs/`` sub-tables plus the batch high-water
+mark, and is replaced as a WHOLE through the symlink swap
+(sources/sinks.atomic_swap_parquet's mechanism, applied to the parent
+dir) — a crash can never leave the pairs table ahead of the index or
+vice versa, and a foreachBatch retry (hwm check) skips the whole batch.
+
+Determinism: with a deterministic batch order (e.g. one file per batch,
+FileStreamSource order), the final pairs table equals the batch-mode
+computation "all pairs (a, b) with batch(a) < batch(b), J ≥ t" — which
+is what the registry oracle computes in SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAIRS_SCHEMA = (
+    "batch_id bigint, corpus_id bigint, inter_size bigint, union_size bigint"
+)
+
+
+def _resolve(state_path: str) -> str | None:
+    if os.path.islink(state_path):
+        return os.path.join(
+            os.path.dirname(os.path.abspath(state_path)), os.readlink(state_path)
+        )
+    if os.path.isdir(state_path):
+        return state_path
+    return None
+
+
+def _read_state(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame | None, DataFrame | None, int]:
+    cur = _resolve(state_path)
+    if cur is None:
+        return None, None, -1
+    hwm = -1
+    meta = os.path.join(cur, "meta.json")
+    if os.path.exists(meta):
+        hwm = json.load(open(meta)).get("last_batch", -1)
+    index = spark.read.parquet(os.path.join(cur, "index"))
+    pairs_dir = os.path.join(cur, "pairs")
+    pairs = spark.read.parquet(pairs_dir) if os.path.exists(pairs_dir) else None
+    return index, pairs, hwm
+
+
+def _commit_state(
+    state_path: str, index: DataFrame, pairs: DataFrame | None, batch_id: int
+) -> None:
+    new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
+    index.write.parquet(os.path.join(new_dir, "index"))
+    if pairs is not None:
+        pairs.write.parquet(os.path.join(new_dir, "pairs"))
+    with open(os.path.join(new_dir, "meta.json"), "w") as f:
+        json.dump({"last_batch": int(batch_id)}, f)
+    old = _resolve(state_path)
+    tmp_link = f"{state_path}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(new_dir), tmp_link)
+    if os.path.isdir(state_path) and not os.path.islink(state_path):
+        legacy = f"{state_path}.v-legacy-{uuid.uuid4().hex[:8]}"
+        os.rename(state_path, legacy)
+        old = legacy
+    os.rename(tmp_link, state_path)  # atomic: whole state commits at once
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def incremental_dedup_sink(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = False,
+):
+    """Streaming query maintaining (index, cross-batch near-dup pairs)
+    state under the one-commit contract above. Returns the started
+    StreamingQuery (caller awaits/stops); read results with
+    ``spark.read.parquet(f"{state_path}/pairs")``."""
+    from hive_udf_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index, pairs, hwm = _read_state(spark, state_path)
+        if hwm >= batch_id:
+            return  # retry of a committed batch
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if index is not None:
+            new_pairs = probe_minhash_index(
+                index,
+                batch_df,
+                id_col,
+                text_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                portable=portable,
+            ).select(
+                F.col("batch_id").cast("long"),
+                F.col("corpus_id").cast("long"),
+                F.col("inter_size").cast("long"),
+                F.col("union_size").cast("long"),
+            )
+            all_pairs = (
+                pairs.unionByName(new_pairs) if pairs is not None else new_pairs
+            )
+        else:
+            all_pairs = spark.createDataFrame([], PAIRS_SCHEMA)
+        batch_index = build_minhash_index(
+            batch_df, id_col, text_col, num_hashes, portable=portable
+        )
+        new_index = (
+            index.unionByName(batch_index) if index is not None else batch_index
+        )
+        # materialize BEFORE the swap deletes the old state they read from
+        new_index = new_index.localCheckpoint(eager=True)
+        all_pairs = all_pairs.localCheckpoint(eager=True)
+        _commit_state(state_path, new_index, all_pairs, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -246,3 +246,21 @@ def test_prefix_filter_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         prefix_filter_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
+def test_prefix_filter_plan_shape(spark):
+    """No Python, no cartesian product, and the dup-key freq aggregate
+    partially combines map-side."""
+    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 11} common") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

@@ -368,16 +368,22 @@ def leakage_safe_split(
     test_fraction·1e6 — reproducible across runs, partitionings, and
     engines (portable mode md5). Realized test share converges to
     test_fraction over clusters, weighted by cluster size. Output:
-    docs' (id, cluster, split) with split ∈ {'train', 'test'}.
+    docs' (id, cluster, split) with split ∈ {'train', 'test'} — EVERY
+    doc of ``docs`` appears exactly once: a doc without a row in
+    ``clusters`` (e.g. clusters computed from an earlier corpus
+    snapshot) is treated as its own singleton cluster (cluster = its
+    id, the same convention ``dedup_clusters`` uses for singletons)
+    rather than silently dropped from both sides.
     """
     if not (0.0 <= test_fraction <= 1.0):
         raise ValueError("test_fraction must be in [0, 1]")
     cut = int(round(test_fraction * SAMPLE_DENOM))
     h = portable_hash60 if portable else fast_hash64
-    bucket = F.pmod(h(F.col(cluster_col).cast("string"), seed), F.lit(SAMPLE_DENOM))
+    cluster = F.coalesce(F.col(cluster_col), F.col(id_col))
+    bucket = F.pmod(h(cluster.cast("string"), seed), F.lit(SAMPLE_DENOM))
     side = F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train"))
     return (
         docs.select(id_col)
-        .join(clusters.select(id_col, cluster_col), id_col)
-        .select(id_col, cluster_col, side.alias("split"))
+        .join(clusters.select(id_col, cluster_col), id_col, "left")
+        .select(id_col, cluster.alias(cluster_col), side.alias("split"))
     )

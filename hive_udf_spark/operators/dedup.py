@@ -1009,6 +1009,29 @@ def prefix_filter_pairs(
     if caches is not None:
         ws = ws.persist()
         caches.append(ws)
+    cands = prefix_filter_candidates(ws, threshold)
+    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    joined = cands.join(wa, "id_a").join(wb, "id_b")
+    inter, union = jaccard_pair_stats(F.col("__wa"), F.col("__wb"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1_000_000 >= t_ppm * F.col("union_size"))
+    )
+
+
+def prefix_filter_candidates(ws: DataFrame, threshold: float) -> DataFrame:
+    """Candidate stage of :func:`prefix_filter_pairs`: distinct id pairs
+    sharing at least one prefix token and passing the size filter, from
+    a prepared ``(__id, __w)`` word-set relation. Exposed separately so
+    the candidate volume (the quantity prefix filtering exists to
+    collapse) is measurable without the verify join."""
+    t_ppm = int(round(threshold * 1_000_000))
     tokens = ws.select(F.explode("__w").alias("__t"))
     freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
     # No dense rank materialization: the frequency order is realized by
@@ -1027,10 +1050,13 @@ def prefix_filter_pairs(
             ).alias("__rs")
         )
     )
-    # prefix length = n - ceil(t*n) + 1; integer ceil via (n*t_ppm + 999999) div 1e6
+    # prefix length = n - ceil(t*n) + 1; integer ceil via (n*t_ppm + 999999) div 1e6.
+    # __n is widened to BIGINT first: n * t_ppm overflows 32-bit int for
+    # n > ~2147483/t_ppm (ANSI mode throws; legacy mode wraps negative and
+    # silently drops pairs — either way the EXACT contract breaks).
     plen = (
         F.col("__n")
-        - F.expr(f"CAST((__n * {t_ppm} + 999999) div 1000000 AS INT)")
+        - F.expr(f"CAST((CAST(__n AS BIGINT) * {t_ppm} + 999999) div 1000000 AS INT)")
         + F.lit(1)
     )
     prefixes = ranked.select(
@@ -1039,28 +1065,16 @@ def prefix_filter_pairs(
         F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.__r") == F.col("b.__r"))
             & (F.col("a.__id") < F.col("b.__id"))
-            # size filter: t*max(|A|,|B|) <= min(|A|,|B|) is necessary
-            & (F.col("a.__n") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("b.__n"))
-            & (F.col("b.__n") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("a.__n")),
+            # size filter: t*max(|A|,|B|) <= min(|A|,|B|) is necessary.
+            # Long-widened: int32 n * 1e6 overflows for n >= 2148.
+            & (F.col("a.__n").cast("long") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("b.__n").cast("long"))
+            & (F.col("b.__n").cast("long") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("a.__n").cast("long")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
-    )
-    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
-    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
-    joined = cands.join(wa, "id_a").join(wb, "id_b")
-    inter, union = jaccard_pair_stats(F.col("__wa"), F.col("__wb"))
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            inter.cast("long").alias("inter_size"),
-            union.cast("long").alias("union_size"),
-        )
-        .filter(F.col("inter_size") * 1_000_000 >= t_ppm * F.col("union_size"))
     )

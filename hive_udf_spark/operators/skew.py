@@ -83,9 +83,20 @@ def skew_report(
         raise ValueError("top_k must be >= 1")
     from pyspark.sql import Window
 
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    counts = df.select(key.alias("key")).groupBy("key").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # Group on the RAW columns, not a rendered string: concat_ws folds
+    # NULL into '' — merging ('a', NULL) with ('a', '') and hiding the
+    # null-heavy key that is the classic skew culprit this report exists
+    # to expose. groupBy treats NULL as its own key natively; the display
+    # string is rendered only afterwards (NULL shown as ∅).
+    raw = [f"__k{i}" for i in range(len(key_cols))]
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(r).cast("string"), F.lit("∅")) for r in raw]
+    )
+    counts = (
+        df.select(*[F.col(c).alias(r) for c, r in zip(key_cols, raw)])
+        .groupBy(*raw)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(key.alias("key"), "cnt")
     )
     summary = counts.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),

@@ -224,13 +224,26 @@ def atomic_swap_parquet(df: DataFrame, table_path: str) -> None:
     table format (MERGE INTO / snapshot commit); this keeps the same
     update contract dependency-free.
     """
+    import uuid
+
+    new_dir = f"{table_path}.v-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(new_dir)
+    swap_dir(table_path, new_dir)
+
+
+def swap_dir(table_path: str, new_dir: str) -> None:
+    """Point ``table_path`` at the fully-written directory ``new_dir``
+    (a ``<table_path>.v-XXXX`` sibling) atomically via link-over-link
+    rename, migrating a legacy plain directory and removing the
+    previous version. The swap half of :func:`atomic_swap_parquet`,
+    shared by every sink that commits multi-file state in one step
+    (streaming dedup state commits ``index/`` + ``pairs/`` + meta as a
+    whole through this)."""
     import os
     import shutil
     import uuid
 
     parent = os.path.dirname(os.path.abspath(table_path))
-    new_dir = f"{table_path}.v-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(new_dir)
     if os.name == "nt":  # pragma: no cover - POSIX container
         # Windows: symlinks need elevation and rename cannot overwrite —
         # fall back to the rename pair (brief unreadable window, the
@@ -245,8 +258,8 @@ def atomic_swap_parquet(df: DataFrame, table_path: str) -> None:
     if os.path.islink(table_path):
         old_target = os.path.join(parent, os.readlink(table_path))
     elif os.path.isdir(table_path):
-        # legacy plain-dir layout: move it aside (df was already fully
-        # materialized into new_dir, so nothing reads it after this)
+        # legacy plain-dir layout: move it aside (new_dir was already fully
+        # materialized, so nothing reads the old data after this)
         old_target = f"{table_path}.v-legacy-{uuid.uuid4().hex[:8]}"
         os.rename(table_path, old_target)
     tmp_link = f"{table_path}.lnk-{uuid.uuid4().hex[:8]}"

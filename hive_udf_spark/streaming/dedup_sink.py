@@ -26,11 +26,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from hive_udf_spark.sources.sinks import swap_dir
 
 PAIRS_SCHEMA = (
     "batch_id bigint, corpus_id bigint, inter_size bigint, union_size bigint"
@@ -63,6 +64,27 @@ def _read_state(
     return index, pairs, hwm
 
 
+def _hwm_skip(hwm: int, batch_id: int, state_path: str) -> bool:
+    """True iff this batch is a foreachBatch RETRY of the committed last
+    batch (state ahead of checkpoint) and must be skipped whole.
+
+    foreachBatch only ever retries the LAST batch, so an id strictly
+    below the high-water mark means the checkpoint lineage does not
+    match this state dir (e.g. a fresh checkpoint_dir pointed at an
+    existing state_path — batch ids restart at 0). Silently skipping
+    would drop every incoming batch; fail loudly instead."""
+    if hwm == batch_id:
+        return True
+    if hwm > batch_id:
+        raise ValueError(
+            f"state at {state_path} has last_batch={hwm} but the stream "
+            f"delivered batch_id={batch_id}: checkpoint lineage mismatch. "
+            "Resume with the original checkpoint_dir, or start a new "
+            "state_path for a new checkpoint."
+        )
+    return False
+
+
 def _commit_state(
     state_path: str, index: DataFrame, pairs: DataFrame | None, batch_id: int
 ) -> None:
@@ -72,16 +94,7 @@ def _commit_state(
         pairs.write.parquet(os.path.join(new_dir, "pairs"))
     with open(os.path.join(new_dir, "meta.json"), "w") as f:
         json.dump({"last_batch": int(batch_id)}, f)
-    old = _resolve(state_path)
-    tmp_link = f"{state_path}.lnk-{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.basename(new_dir), tmp_link)
-    if os.path.isdir(state_path) and not os.path.islink(state_path):
-        legacy = f"{state_path}.v-legacy-{uuid.uuid4().hex[:8]}"
-        os.rename(state_path, legacy)
-        old = legacy
-    os.rename(tmp_link, state_path)  # atomic: whole state commits at once
-    if old and os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+    swap_dir(state_path, new_dir)  # atomic: whole state commits at once
 
 
 def incremental_dedup_sink(
@@ -107,8 +120,8 @@ def incremental_dedup_sink(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         index, pairs, hwm = _read_state(spark, state_path)
-        if hwm >= batch_id:
-            return  # retry of a committed batch
+        if _hwm_skip(hwm, batch_id, state_path):
+            return  # retry of a committed batch (state ahead of checkpoint)
         batch_df = batch_df.localCheckpoint(eager=True)
         if index is not None:
             new_pairs = probe_minhash_index(

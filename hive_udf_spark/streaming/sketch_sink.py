@@ -61,8 +61,20 @@ def _merge_with_hwm(
         existing = spark.read.parquet(table_path)
         if batch_id is not None:
             hwm = existing.agg(F.max("__last_batch")).collect()[0][0]
-            if hwm is not None and hwm >= batch_id:
+            if hwm is not None and hwm == batch_id:
                 return  # retry of an already-merged batch
+            if hwm is not None and hwm > batch_id:
+                # foreachBatch only retries the LAST batch; a strictly
+                # lower id means this stream's checkpoint lineage does
+                # not match the stored table (fresh checkpoint_dir over
+                # an existing table_path restarts ids at 0). Skipping
+                # would silently drop every batch — fail loudly.
+                raise ValueError(
+                    f"table at {table_path} has __last_batch={hwm} but the "
+                    f"stream delivered batch_id={batch_id}: checkpoint "
+                    "lineage mismatch. Resume with the original "
+                    "checkpoint_dir, or start a new table_path."
+                )
         all_rows = existing.select(*cols).unionByName(batch_rows.select(*cols))
     else:
         all_rows = batch_rows.select(*cols)

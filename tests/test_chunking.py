@@ -386,3 +386,33 @@ def test_leakage_safe_split_validation(spark):
     cl = docs.select("doc_id", F.lit(0).alias("cluster"))
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, cl, test_fraction=1.5)
+
+
+def test_leakage_safe_split_uncovered_docs_become_singletons(spark):
+    """Docs without a row in clusters (e.g. clusters from an earlier
+    corpus snapshot) must not vanish: they split as singleton clusters
+    (cluster = own id, dedup_clusters' singleton convention)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import leakage_safe_split
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    clusters = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id", (F.col("doc_id") % 2).alias("cluster")
+    )
+    out = leakage_safe_split(docs, clusters, test_fraction=0.5, seed=7)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert sorted(rows) == list(range(10))  # every doc present exactly once
+    for i in range(5, 10):
+        assert rows[i].cluster == i
+    # uncovered docs split exactly as if they had explicit singleton rows
+    full = clusters.unionByName(
+        docs.filter(F.col("doc_id") >= 5).select(
+            "doc_id", F.col("doc_id").alias("cluster")
+        )
+    )
+    want = {
+        r.doc_id: (r.cluster, r.split)
+        for r in leakage_safe_split(docs, full, test_fraction=0.5, seed=7).collect()
+    }
+    assert {k: (v.cluster, v.split) for k, v in rows.items()} == want

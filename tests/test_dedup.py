@@ -220,22 +220,47 @@ def test_prefix_filter_equals_bruteforce(spark):
         assert got == want, t
 
 
-def test_prefix_filter_candidate_reduction(spark, sf_dir):
-    """The prefix join must generate far fewer candidates than the
-    all-token join would (the rare-tokens-first payoff)."""
+def test_prefix_filter_candidate_reduction(spark):
+    """The prefix join must generate far fewer CANDIDATES (pre-verify
+    pairs) than the all-token join would — measured on the candidate
+    relation itself, not the verified output (which any correct verify
+    stage would shrink regardless of how candidates were generated).
+    Zipfian fixture: a handful of boilerplate tokens everyone shares,
+    rare tokens identifying small groups."""
     from pyspark.sql import functions as F
 
-    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+    from hive_udf_spark.operators.dedup import (
+        prefix_filter_candidates,
+        word_set,
+    )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    caches: list = []
-    got = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9, caches=caches)
-    n_pairs = got.count()
-    for c in caches:
-        c.unpersist()
-    n_docs = docs.count()
-    # at t=0.9 output is small although the corpus is duplicate-dense
-    assert n_pairs < n_docs * n_docs / 8
+    rows = []
+    for i in range(200):
+        # 5 boilerplate tokens + 2 rare tokens per doc (group of ~4 docs)
+        rare = f"rare{i // 4} rarer{i // 2}"
+        rows.append((i, f"the quick brown fox jumps {rare}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ws = docs.select(
+        F.col("doc_id").alias("__id"), word_set("text").alias("__w")
+    ).filter(F.size("__w") > 0)
+    # t=0.9 over 7-token docs: prefix length 1 = each doc's single
+    # rarest token; boilerplate never becomes a join key
+    n_prefix_cands = prefix_filter_candidates(ws, 0.9).count()
+    all_token = ws.select("__id", F.explode("__w").alias("__t"))
+    n_alltoken_cands = (
+        all_token.alias("a")
+        .join(
+            all_token.alias("b"),
+            (F.col("a.__t") == F.col("b.__t")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select("a.__id", "b.__id")
+        .distinct()
+        .count()
+    )
+    # boilerplate joins everyone with everyone: ~200*199/2 all-token
+    # candidates; prefixes hold only the rare tokens
+    assert n_alltoken_cands > 15_000
+    assert n_prefix_cands < n_alltoken_cands / 20
 
 
 def test_prefix_filter_validation(spark):
@@ -264,3 +289,17 @@ def test_prefix_filter_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_prefix_filter_large_doc_no_overflow(spark):
+    """n * t_ppm and n * 1e6 must be computed in 64-bit: a single
+    3000-distinct-token doc overflowed int32 under ANSI mode."""
+    from hive_udf_spark.operators.dedup import prefix_filter_pairs
+
+    big = " ".join(f"tok{i}" for i in range(3000))
+    docs = spark.createDataFrame(
+        [(1, big), (2, big), (3, "unrelated words here")],
+        ["doc_id", "text"],
+    )
+    got = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]

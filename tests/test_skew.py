@@ -42,3 +42,29 @@ def test_salt_spreads_hot_key(spark):
     salted = big.withColumn("__salt", F.pmod(F.xxhash64("rid"), F.lit(8)).cast("int"))
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_skew_report_null_keys_not_folded(spark):
+    """NULL keys (the classic skew culprit) must rank as their own key,
+    not fold into '' and merge with genuine empty-string keys."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.skew import skew_report
+
+    rows = [(None,)] * 50 + [("",)] * 20 + [("a",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, ["k"], top_k=3).collect()
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].key == "∅" and by_rank[1].cnt == 50
+    assert by_rank[2].key == "" and by_rank[2].cnt == 20
+    assert by_rank[1].n_keys == 3 and by_rank[1].max_count == 50
+
+
+def test_skew_report_multicol_null_vs_empty(spark):
+    """('a', NULL) and ('a', '') are distinct keys with distinct counts."""
+    from hive_udf_spark.operators.skew import skew_report
+
+    rows = [("a", None)] * 7 + [("a", "")] * 3
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    got = skew_report(df, ["k1", "k2"], top_k=2).collect()
+    assert {(r.key, r.cnt) for r in got} == {("a|∅", 7), ("a|", 3)}

@@ -505,16 +505,11 @@ def test_incremental_dedup_sink_stream_and_retry(spark, sf_dir, tmp_path):
         want += [(r.batch_id, r.corpus_id) for r in out.collect()]
     assert got == sorted(want)
     # retry of the committed last batch: whole-batch skip, state unchanged
-    from hive_udf_spark.streaming import dedup_sink as ds
-
     before = sorted((r.batch_id, r.corpus_id) for r in pairs.collect())
-    last_batch = docs.filter(F.col("doc_id") % 3 == 2)
-    # simulate foreachBatch retry by invoking the merge body via a fresh sink
-    # on the same state path with the same batch id
-    index2, pairs2, hwm2 = _read_state(spark, state)
+    _, _, hwm2 = _read_state(spark, state)
     assert hwm2 == 2
-    # direct _commit-free check: hwm guard lives in the closure; emulate by
-    # asserting a second stream run over the SAME checkpoint does nothing
+    # hwm guard lives in the closure; exercise it by asserting a second
+    # stream run over the SAME checkpoint does nothing
     q2 = incremental_dedup_sink(
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -531,3 +526,36 @@ def test_incremental_dedup_sink_stream_and_retry(spark, sf_dir, tmp_path):
     _, pairs3, hwm3 = _read_state(spark, state)
     assert hwm3 == 2
     assert sorted((r.batch_id, r.corpus_id) for r in pairs3.collect()) == before
+
+
+def test_incremental_dedup_sink_lineage_mismatch_raises():
+    """batch_id strictly below the high-water mark = a fresh checkpoint
+    pointed at existing state; must raise, not silently drop batches."""
+    import pytest as _pytest
+
+    from hive_udf_spark.streaming.dedup_sink import _hwm_skip
+
+    assert _hwm_skip(-1, 0, "s") is False  # fresh state
+    assert _hwm_skip(3, 4, "s") is False  # next batch
+    assert _hwm_skip(4, 4, "s") is True  # retry of committed batch
+    with _pytest.raises(ValueError, match="lineage mismatch"):
+        _hwm_skip(4, 0, "s")
+
+
+def test_sketch_sink_lineage_mismatch_raises(spark, tmp_path):
+    """Same guard on the shared merge-on-write skeleton."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.streaming.sketch_sink import _merge_with_hwm
+
+    path = str(tmp_path / "tbl")
+    rows = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    merge = lambda df: df.groupBy("k").agg(F.sum("v").alias("v"))  # noqa: E731
+    _merge_with_hwm(spark, rows, path, ["k", "v"], merge, batch_id=5)
+    # retry of batch 5: skipped, table unchanged
+    _merge_with_hwm(spark, rows, path, ["k", "v"], merge, batch_id=5)
+    assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == 3
+    with _pytest.raises(ValueError, match="lineage mismatch"):
+        _merge_with_hwm(spark, rows, path, ["k", "v"], merge, batch_id=0)

@@ -440,6 +440,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         )
         _force(cohort_retention(events, "user_id", "ts"))
 
+    def q_bm25_search():
+        from hive_udf_spark.operators.retrieval import bm25_topk, build_tfidf_index
+
+        index = build_tfidf_index(docs)
+        queries = docs.filter(F.col("doc_id") % 97 == 0)
+        _force(bm25_topk(index, queries, k=10))
+
     def q_incremental_spans():
         from hive_udf_spark.operators.spandedup import (
             build_ngram_index,
@@ -496,6 +503,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "kmv_sliding_7d": q_kmv_sliding,
         "funnel_cohort": q_funnel_cohort,
         "incremental_spans": q_incremental_spans,
+        "bm25_search": q_bm25_search,
     }
 
     times: dict[str, float] = {}

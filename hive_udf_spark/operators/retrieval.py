@@ -1,0 +1,187 @@
+"""Sparse lexical retrieval: inverted-index TF-IDF / BM25 top-k search.
+
+The sparse complement to the dense-vector ANN operators
+(operators/similarity.py): queries and documents are bags of words, the
+index is the classic IR inverted file (term → postings), and scoring is
+term-at-a-time accumulation — explode the query terms, join the postings
+on term, partial-sum the per-term contributions, window-top-k per query.
+Where the reference engine's theme is sketch-based approximation
+(UDAFCardinalityEstimator.java), retrieval joins the LLM-pipeline set as
+the standard way to mine a 100 TB corpus for query-relevant documents
+(eval-set contamination lookup, hard-negative mining, corpus search).
+
+All scoring is INTEGER arithmetic so results are bit-exact across
+engines (the repo's oracle discipline):
+
+- idf is the LINEAR rational surrogate ``w_milli = (N*1000) div df``
+  (SMART "n/df" without the log; monotone in rarity, integer-exact).
+  At N = 1e9 docs, w_milli ≤ 1e12 and the BM25 numerator
+  w·tf·(k1+1000) stays < 2^63 for tf ≤ ~4000.
+- BM25 uses milli-scaled k1/b and one integer division per term:
+  dnorm_milli = ((1000-b)·T + b·dl·N) div T            (≈1000·(1-b+b·dl/avgdl))
+  denom       = 1000·tf + (k1·dnorm_milli) div 1000
+  contrib     = tf_q · ((w_milli·tf·(k1+1000)) div denom)
+  The divisions are DEFINED into the scoring function, so both engines
+  compute identical integers (floor division of positives ≡ Spark div).
+
+Scale: the only large shuffles are the postings build (one groupBy
+keyed by (doc, term)) and the term join; ``max_df`` drops terms that
+appear in more than a fraction/count of docs — the classic stopword cut
+that both bounds per-term posting lists (join skew: no term fans out
+more than max_df postings) and removes the near-useless high-df terms
+(w_milli → 1000). The index is a plain parquet relation: persist it
+once, probe it per query batch — no corpus rescan per search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_udf_spark.functions.text import tokenize
+
+__all__ = ["build_tfidf_index", "tfidf_topk", "bm25_topk"]
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl, term, tf) in ONE shuffle: doc length rides along as a
+    group key (functionally dependent on id), so no second doc-keyed
+    join is needed."""
+    toks = docs.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
+    return (
+        toks.filter(F.size("__t") > 0)
+        .select(
+            "__id",
+            F.size("__t").cast("long").alias("__dl"),
+            F.explode("__t").alias("__term"),
+        )
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+
+
+def build_tfidf_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build the inverted index: one row per (term, doc) posting with
+    the precomputed integer weight.
+
+    Columns: ``term, doc_id, tf, dl, df, w_milli, n_docs, total_tokens``
+    (corpus constants repeated per row — parquet RLE stores them once).
+    ``max_df``: drop terms appearing in more than this many documents
+    (stopword cut / join-skew bound). The index is an ordinary
+    DataFrame: write it to parquet partitioned however the probe joins
+    want it, reload and search without touching the raw corpus again.
+    """
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    tf = _postings(docs, id_col, text_col)
+    dft = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df is not None:
+        dft = dft.filter(F.col("df") <= F.lit(max_df))
+    stats = (
+        tf.select("__id", "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__dl").cast("long").alias("total_tokens"),
+        )
+    )
+    return (
+        tf.join(dft, "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("__term").alias("term"),
+            F.col("__id").alias("doc_id"),
+            F.col("__tf").alias("tf"),
+            F.col("__dl").alias("dl"),
+            "df",
+            F.expr("(n_docs * 1000L) div df").alias("w_milli"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _probe(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    contrib,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    qtf = _postings(queries, id_col, text_col).select(
+        F.col("__id").alias("query_id"),
+        F.col("__term").alias("term"),
+        F.col("__tf").alias("qtf"),
+    )
+    joined = qtf.join(index, "term")
+    if exclude_self:
+        joined = joined.filter(F.col("doc_id") != F.col("query_id"))
+    scored = joined.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).cast("long").alias("score")
+    )
+    return _topk(scored, k)
+
+
+def tfidf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k documents per query by the linear-idf weighted dot product
+    ``score = Σ_t tf_q(t) · tf_d(t) · w_milli(t)`` — integer-exact.
+    Ties break by ascending doc_id (deterministic). Output:
+    (query_id, doc_id, score, rank)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    contrib = F.col("qtf") * F.col("tf") * F.col("w_milli")
+    return _probe(index, queries, id_col, text_col, contrib, k, exclude_self)
+
+
+def bm25_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k documents per query by integer-rational BM25 (Robertson/
+    Sparck Jones; k1 = k1_milli/1000, b = b_milli/1000, defaults 1.2 /
+    0.75) with the linear-idf surrogate ``w_milli``. The per-term
+    saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is computed with the
+    integer divisions documented in the module docstring, so scores are
+    bit-exact across engines. Output: (query_id, doc_id, score, rank)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0 <= b_milli <= 1000) or k1_milli < 0:
+        raise ValueError("k1_milli must be >= 0 and b_milli in [0, 1000]")
+    # dnorm_milli = ((1000-b)*T + b*dl*N) div T; denom = 1000*tf + (k1*dnorm) div 1000
+    contrib = F.col("qtf") * F.expr(
+        f"(w_milli * tf * {k1_milli + 1000}L) div"
+        f" (1000L * tf + ({k1_milli}L * ((({1000 - b_milli}L * total_tokens) +"
+        f" ({b_milli}L * dl * n_docs)) div total_tokens)) div 1000)"
+    )
+    return _probe(index, queries, id_col, text_col, contrib, k, exclude_self)

@@ -14,6 +14,7 @@ from hive_udf_spark.plans import (  # noqa: E402,F401
     freq_queries,
     pipeline_queries,
     relational_queries,
+    retrieval_queries,
     similarity_queries,
     sketch_queries,
     streaming_queries,

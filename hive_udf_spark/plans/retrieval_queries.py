@@ -1,0 +1,111 @@
+"""Sparse-retrieval registry queries: inverted-index TF-IDF and BM25
+top-k search over the documents table, with bit-exact integer-scoring
+oracles (operators/retrieval.py documents the arithmetic).
+
+Queries = every 97th document searching the whole corpus (self
+excluded) — the eval-contamination-lookup / hard-negative-mining shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_spark.plans.registry import register
+from hive_udf_spark.sources import load_table
+
+_K = 10
+_QMOD = 97
+
+# Shared oracle CTE chain: postings, doc freq, corpus stats, weights,
+# query-side postings. DuckDB `//` on positive BIGINTs == Spark `div`.
+_BASE_CTES = f"""
+    t AS (
+      SELECT doc_id, [x for x in string_split_regex(text, '\\s+') if x != ''] AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM t WHERE len(toks) > 0
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt
+      FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    w AS (SELECT term, (s.n * 1000) // df AS w, s.n AS n, s.tt AS tt
+          FROM dft, stats s),
+    qtf AS (
+      SELECT doc_id AS query_id, term, tf AS qtf FROM tf
+      WHERE doc_id % {_QMOD} = 0
+    )
+"""
+
+_RANKED = f"""
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "retrieval_tfidf_topk",
+    oracle=f"""
+    WITH {_BASE_CTES},
+    scored AS (
+      SELECT q.query_id, i.doc_id,
+             CAST(sum(q.qtf * i.tf * w.w) AS BIGINT) AS score
+      FROM qtf q JOIN w ON w.term = q.term JOIN tf i ON i.term = q.term
+      WHERE i.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    {_RANKED}
+    """,
+)
+def retrieval_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index TF-IDF top-10 (operators/retrieval.py): linear-idf
+    integer dot product, term-at-a-time accumulation, native window
+    group limit for the per-query top-k. Bit-exact oracle."""
+    from hive_udf_spark.operators.retrieval import build_tfidf_index, tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_tfidf_index(docs)
+    queries = docs.filter(F.col("doc_id") % _QMOD == 0)
+    return tfidf_topk(index, queries, k=_K)
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH {_BASE_CTES},
+    scored AS (
+      SELECT q.query_id, i.doc_id,
+             CAST(sum(q.qtf * ((w.w * i.tf * 2200) //
+                   (1000 * i.tf + (1200 * ((250 * w.tt + 750 * i.dl * w.n) // w.tt)) // 1000)
+                 )) AS BIGINT) AS score
+      FROM qtf q JOIN w ON w.term = q.term JOIN tf i ON i.term = q.term
+      WHERE i.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    {_RANKED}
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-rational BM25 top-10 (k1=1.2, b=0.75) over the same
+    inverted index — per-term saturation via one integer division,
+    reproduced verbatim in the oracle (250·tt = (1000−750)·tt)."""
+    from hive_udf_spark.operators.retrieval import bm25_topk, build_tfidf_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_tfidf_index(docs)
+    queries = docs.filter(F.col("doc_id") % _QMOD == 0)
+    return bm25_topk(index, queries, k=_K)

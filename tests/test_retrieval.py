@@ -1,0 +1,152 @@
+"""Sparse retrieval (inverted-index TF-IDF / BM25) property tests."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.retrieval import (
+    bm25_topk,
+    build_tfidf_index,
+    tfidf_topk,
+)
+
+_DOCS = [
+    (1, "apple banana apple cherry"),
+    (2, "banana cherry cherry durian durian durian"),
+    (3, "apple apple apple apple"),
+    (4, "elderberry fig grape elderberry"),
+    (5, "apple banana cherry durian elderberry fig grape"),
+    (6, "banana banana"),
+    (7, ""),
+]
+
+
+def _reference(docs, queries, k, mode, k1=1200, b=750, max_df=None):
+    """Pure-Python mirror of the documented integer scoring."""
+    tf = {i: Counter(t.split()) for i, t in docs if t.split()}
+    dl = {i: sum(c.values()) for i, c in tf.items()}
+    n, tt = len(tf), sum(dl.values())
+    df = Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    if max_df is not None:
+        df = {t: d for t, d in df.items() if d <= max_df}
+    w = {t: (n * 1000) // d for t, d in df.items()}
+    out = []
+    for qid, qtext in queries:
+        qc = Counter(qtext.split())
+        scores = {}
+        for did, c in tf.items():
+            if did == qid:
+                continue
+            s = 0
+            for term, qf in qc.items():
+                if term not in w or term not in c:
+                    continue
+                if mode == "tfidf":
+                    s += qf * c[term] * w[term]
+                else:
+                    dnorm = ((1000 - b) * tt + b * dl[did] * n) // tt
+                    denom = 1000 * c[term] + (k1 * dnorm) // 1000
+                    s += qf * ((w[term] * c[term] * (k1 + 1000)) // denom)
+            if s > 0:
+                scores[did] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out += [(qid, did, s, r + 1) for r, (did, s) in enumerate(ranked)]
+    return sorted(out)
+
+
+def test_tfidf_matches_reference(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    queries = [(1, _DOCS[0][1]), (5, _DOCS[4][1])]
+    qdf = spark.createDataFrame(queries, "doc_id long, text string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in tfidf_topk(index, qdf, k=3).collect()
+    )
+    assert got == _reference(_DOCS, queries, 3, "tfidf")
+
+
+def test_bm25_matches_reference(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    queries = [(1, _DOCS[0][1]), (2, _DOCS[1][1]), (5, _DOCS[4][1])]
+    qdf = spark.createDataFrame(queries, "doc_id long, text string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(index, qdf, k=4).collect()
+    )
+    assert got == _reference(_DOCS, queries, 4, "bm25")
+
+
+def test_bm25_saturates_vs_tfidf(spark):
+    """BM25's tf saturation: doc 3 (apple x4) must not dominate a
+    one-apple query the way it does under the linear tf dot product."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    qdf = spark.createDataFrame([(99, "apple")], "doc_id long, text string")
+    tf_scores = {r.doc_id: r.score for r in tfidf_topk(index, qdf, k=10).collect()}
+    bm_scores = {r.doc_id: r.score for r in bm25_topk(index, qdf, k=10).collect()}
+    # linear: doc3 = 4x doc5's score; saturated: well under 4x
+    assert tf_scores[3] == 4 * tf_scores[5]
+    assert bm_scores[3] < 3 * bm_scores[5]
+
+
+def test_max_df_drops_stopwords(spark):
+    """A term in > max_df docs must vanish from the index and scoring."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs, max_df=2)
+    terms = {r.term for r in index.select("term").distinct().collect()}
+    assert "apple" not in terms and "banana" not in terms  # df 4, 4
+    assert "durian" in terms  # df 2
+    queries = [(1, _DOCS[0][1])]
+    qdf = spark.createDataFrame(queries, "doc_id long, text string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in tfidf_topk(index, qdf, k=5).collect()
+    )
+    assert got == _reference(_DOCS, queries, 5, "tfidf", max_df=2)
+
+
+def test_index_parquet_round_trip(spark, tmp_path):
+    """The index is a persistable relation: write, reload, search — no
+    corpus rescan, identical results."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    path = str(tmp_path / "inv_index")
+    index.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    qdf = spark.createDataFrame([(5, _DOCS[4][1])], "doc_id long, text string")
+    a = sorted(map(tuple, bm25_topk(index, qdf, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(reloaded, qdf, k=5).collect()))
+    assert a == b
+
+
+def test_retrieval_plan_no_python_partial_agg(spark):
+    """All-JVM: no Python eval nodes; the score aggregation partially
+    combines before the exchange; top-k uses the native window group
+    limit (rank filter pushed into the window)."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    qdf = spark.createDataFrame([(1, "apple banana")], "doc_id long, text string")
+    plan = bm25_topk(index, qdf, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_retrieval_validation(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(_DOCS[:2], "doc_id long, text string")
+    index = build_tfidf_index(docs)
+    with _pytest.raises(ValueError):
+        build_tfidf_index(docs, max_df=0)
+    with _pytest.raises(ValueError):
+        tfidf_topk(index, docs, k=0)
+    with _pytest.raises(ValueError):
+        bm25_topk(index, docs, b_milli=2000)

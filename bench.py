@@ -447,6 +447,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = docs.filter(F.col("doc_id") % 97 == 0)
         _force(bm25_topk(index, queries, k=10))
 
+    def q_semantic_decontam():
+        from hive_udf_spark.operators.decontam import semantic_decontam
+
+        ev = emb.filter(F.col("vec_id") % 41 == 0)
+        corpus = emb.filter(F.col("vec_id") % 41 != 0)
+        _force(semantic_decontam(corpus, ev, min_cosine=0.35))
+
     def q_incremental_spans():
         from hive_udf_spark.operators.spandedup import (
             build_ngram_index,
@@ -504,6 +511,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "funnel_cohort": q_funnel_cohort,
         "incremental_spans": q_incremental_spans,
         "bm25_search": q_bm25_search,
+        "semantic_decontam": q_semantic_decontam,
     }
 
     times: dict[str, float] = {}

@@ -114,3 +114,121 @@ def contaminated_doc_ids(
         docs, bench, doc_id, doc_text, bench_id, bench_text, n, min_overlap, portable
     )
     return report.select("doc_id").distinct()
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.8,
+    nbits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    scale: int = 1000,
+    seed: int = 42,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus items whose EMBEDDING is
+    within cosine ≥ ``min_cosine`` of any eval-set embedding — catches
+    the paraphrased/reformatted benchmark leakage that exact n-gram
+    overlap (``contamination_report`` above) misses. The embedding-space
+    sibling of the n-gram operator, composing the hyperplane-LSH
+    machinery of operators/similarity.py across two tables.
+
+    Pipeline (all JVM, zero Python):
+
+    1. both sides quantize + integer sign-bit signatures
+       (``int_signature_expr`` — bit-reproducible, so a SQL oracle pins
+       the whole pipeline, not just the verified output);
+    2. candidates: band keys equi-join. The eval side is the small one
+       (a benchmark suite), so its banded keys are **broadcast** —
+       corpus rows never shuffle, the probe is map-side at scan speed
+       (the same asymmetry as the n-gram decontam broadcast);
+       ``broadcast_eval=False`` degrades to a shuffled join keyed on
+       (band, bkey) when the eval side outgrows an executor.
+    3. verify: exact quantized integer-cosine test; only verified hits
+       aggregate.
+
+    Output: one row per CONTAMINATED corpus id —
+    (vec_id, n_hits, best_eval_id, best_dot_q) where n_hits counts
+    distinct verified eval neighbors and best_* is the strongest hit
+    (max dot, ties to the lower eval id). Anti-join the corpus against
+    this to drop leaked items. Recall is the LSH band recall at the
+    chosen threshold (high at the near-dup cosines that matter for
+    leakage); candidates are verified exactly, so precision is 1.
+    """
+    from hive_udf_spark.operators.similarity import (
+        dot_int,
+        int_hyperplanes,
+        int_signature_expr,
+        quantize_vec,
+    )
+
+    if nbits % bands:
+        raise ValueError("nbits must be divisible by bands")
+    if not (1 <= nbits <= 62):
+        raise ValueError("nbits must fit a signed BIGINT (1..62)")
+    r = nbits // bands
+    mask = F.lit((1 << r) - 1).cast("long")
+    planes = int_hyperplanes(dim, nbits, seed, scale)
+
+    def prep(df: DataFrame, role: str) -> DataFrame:
+        q = df.select(
+            F.col(id_col).alias(f"__{role}_id"),
+            quantize_vec(vec_col, scale).alias("__qv"),
+        )
+        nrm = dot_int(F.col("__qv"), F.col("__qv"))
+        return q.select(
+            f"__{role}_id",
+            F.col("__qv").alias(f"__{role}_qv"),
+            nrm.alias(f"__{role}_n2"),
+            int_signature_expr(planes).alias("__sig"),
+        )
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            f"__{role}_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+            F.expr(f"shiftright(__sig, __band * {r})").bitwiseAND(mask).alias("__bkey"),
+        )
+
+    c = prep(corpus, "c")
+    e = prep(eval_set, "e")
+    e_bands = banded(e, "e")
+    if broadcast_eval:
+        e_bands = F.broadcast(e_bands)
+    cands = (
+        banded(c, "c")
+        .join(e_bands, ["__band", "__bkey"])
+        .select("__c_id", "__e_id")
+        .distinct()
+    )
+    dq = dot_int(F.col("__c_qv"), F.col("__e_qv"))
+    t2 = float(min_cosine) ** 2
+    verified = (
+        cands.join(c.select("__c_id", "__c_qv", "__c_n2"), "__c_id")
+        .join(
+            F.broadcast(e.select("__e_id", "__e_qv", "__e_n2"))
+            if broadcast_eval
+            else e.select("__e_id", "__e_qv", "__e_n2"),
+            "__e_id",
+        )
+        .select("__c_id", "__e_id", dq.alias("__dq"), "__c_n2", "__e_n2")
+        .filter(
+            (F.col("__dq") > 0)
+            & (
+                (F.col("__dq") * F.col("__dq")).cast("double")
+                >= F.lit(t2)
+                * (F.col("__c_n2").cast("double") * F.col("__e_n2").cast("double"))
+            )
+        )
+    )
+    best = F.max(F.struct(F.col("__dq"), (-F.col("__e_id")).alias("__neg")))
+    return verified.groupBy("__c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        (-best.getField("__neg")).cast("long").alias("best_eval_id"),
+        best.getField("__dq").cast("long").alias("best_dot_q"),
+    ).select(
+        F.col("__c_id").alias(id_col), "n_hits", "best_eval_id", "best_dot_q"
+    )

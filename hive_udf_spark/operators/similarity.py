@@ -186,6 +186,27 @@ def int_hyperplanes(
     return [[int(v) for v in row] for row in np.round(H * scale).astype(np.int64)]
 
 
+def int_signature_expr(planes: list[list[int]], qv_col: str = "__qv") -> Column:
+    """Integer-plane sign-bit signature packed into a BIGINT, over a
+    quantized vector column — bit-reproducible by any engine.
+
+    One SQL string for the whole signature instead of nbits×dim Column
+    objects: building the equivalent expression tree through the Python
+    API costs thousands of py4j round trips (~3.5 s of pure plan
+    CONSTRUCTION at nbits=32, dim=64); a single parsed expr is
+    milliseconds and yields the identical Catalyst plan.
+    """
+    terms = []
+    for j, row in enumerate(planes):
+        vals = ", ".join(str(v) for v in row)
+        dot = (
+            f"aggregate(zip_with({qv_col}, array({vals}), (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        terms.append(f"IF({dot} > 0, CAST({2 ** j} AS BIGINT), CAST(0 AS BIGINT))")
+    return F.expr(" + ".join(terms))
+
+
 def embedding_near_pairs_lsh(
     vecs: DataFrame,
     id_col: str = "vec_id",
@@ -237,20 +258,7 @@ def embedding_near_pairs_lsh(
     planes = int_hyperplanes(dim, nbits, seed, scale)
 
     q = vecs.select(F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__qv"))
-    # One SQL string for the whole signature instead of nbits×dim Column
-    # objects: building the equivalent expression tree through the Python
-    # API costs thousands of py4j round trips (~3.5 s of pure plan
-    # CONSTRUCTION at nbits=32, dim=64); a single parsed expr is
-    # milliseconds and yields the identical Catalyst plan.
-    terms = []
-    for j, row in enumerate(planes):
-        vals = ", ".join(str(v) for v in row)
-        dot = (
-            f"aggregate(zip_with(__qv, array({vals}), (x, y) -> x * y), "
-            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
-        )
-        terms.append(f"IF({dot} > 0, CAST({2 ** j} AS BIGINT), CAST(0 AS BIGINT))")
-    sigs = q.withColumn("__sig", F.expr(" + ".join(terms)))
+    sigs = q.withColumn("__sig", int_signature_expr(planes))
     if caches is not None:
         sigs = sigs.persist()
         caches.append(sigs)

@@ -378,3 +378,96 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_PS_SEED,
         portable=True,
     )
+
+
+_SD_T = 0.35
+_SD_NBITS = 32
+_SD_BANDS = 8
+_SD_EMOD = 41
+
+
+def _semantic_decontam_oracle() -> str:
+    """Generated SQL reproducing the FULL semantic-decontam pipeline
+    (integer quantize → integer hyperplane signatures → band keys →
+    cross-probe candidates → exact integer-cosine verify → per-corpus
+    aggregate) — the same construction-pinning discipline as the
+    near-pairs-LSH oracle."""
+    from hive_udf_spark.operators.similarity import int_hyperplanes
+
+    r = _SD_NBITS // _SD_BANDS
+    mask = (1 << r) - 1
+    planes = int_hyperplanes(64, _SD_NBITS, seed=42)
+    h_lit = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in planes
+    ) + "]"
+    t2 = float(_SD_T) ** 2
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) for e in embedding] AS q
+      FROM embeddings
+    ),
+    h AS (SELECT {h_lit} AS hh),
+    sig AS (
+      SELECT vec_id, q,
+        CAST(list_sum(list_transform(generate_series(1, {_SD_NBITS}), j ->
+          CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> q[i] * hh[j][i])) > 0
+               THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS sig
+      FROM qv, h
+    ),
+    bands AS (
+      SELECT vec_id, band, (sig >> (band * {r})) & {mask} AS bkey
+      FROM sig, unnest(generate_series(0, {_SD_BANDS - 1})) AS t(band)
+    ),
+    cands AS (
+      SELECT DISTINCT c.vec_id AS c_id, e.vec_id AS e_id
+      FROM bands c JOIN bands e ON c.band = e.band AND c.bkey = e.bkey
+      WHERE c.vec_id % {_SD_EMOD} <> 0 AND e.vec_id % {_SD_EMOD} = 0
+    ),
+    nv AS (
+      SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qv
+    ),
+    pairs AS (
+      SELECT c_id, e_id,
+             CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q,
+             a.n2 AS na, b.n2 AS nb
+      FROM cands
+        JOIN nv a ON a.vec_id = c_id
+        JOIN nv b ON b.vec_id = e_id
+    ),
+    hits AS (
+      SELECT * FROM pairs
+      WHERE dot_q > 0
+        AND CAST(dot_q * dot_q AS DOUBLE) >= {t2!r} * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    ),
+    agg AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1),
+    best AS (
+      SELECT c_id, e_id, dot_q,
+             row_number() OVER (PARTITION BY c_id ORDER BY dot_q DESC, e_id ASC) AS rn
+      FROM hits
+    )
+    SELECT a.c_id AS vec_id, a.n_hits,
+           CAST(b.e_id AS BIGINT) AS best_eval_id,
+           CAST(b.dot_q AS BIGINT) AS best_dot_q
+    FROM agg a JOIN best b ON b.c_id = a.c_id AND b.rn = 1
+    """
+
+
+@register("pipeline_semantic_decontam", oracle=_semantic_decontam_oracle())
+def pipeline_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/decontam.py semantic_decontam): corpus vectors within
+    cosine ≥ 0.35 of any eval-set vector (vec_id % 41 == 0 plays the
+    benchmark), found via broadcast hyperplane-LSH probe + exact
+    integer-cosine verify — the paraphrase-robust complement to the
+    n-gram ``pipeline_decontaminate``. The oracle re-derives the whole
+    pipeline including candidate generation."""
+    from hive_udf_spark.operators.decontam import semantic_decontam
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % _SD_EMOD == 0)
+    corpus = emb.filter(F.col("vec_id") % _SD_EMOD != 0)
+    return semantic_decontam(
+        corpus, ev, min_cosine=_SD_T, nbits=_SD_NBITS, bands=_SD_BANDS
+    )

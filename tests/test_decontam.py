@@ -106,3 +106,110 @@ def test_portable_matches_fast_semantics(spark):
     b = contamination_report(_docs(spark), _bench(spark), portable=True, **kw)
     key = lambda r: (r.doc_id, r.bench_id, r.overlap_ngrams, r.bench_ngrams)
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_semantic_decontam_finds_exact_copies(spark, sf_dir):
+    """Eval items that are exact copies of corpus vectors have identical
+    signatures — every band collides, so recall on true copies is 1 and
+    each hit carries the maximal dot (self-similarity)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = (
+        emb.filter(F.col("vec_id") % 17 == 0)
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    )
+    out = semantic_decontam(emb, ev, min_cosine=0.99)
+    got = {r.vec_id: r.best_eval_id for r in out.collect()}
+    want_ids = {r.vec_id for r in emb.filter(F.col("vec_id") % 17 == 0).collect()}
+    assert want_ids <= set(got)
+    for cid in want_ids:
+        assert got[cid] == cid + 100_000  # strongest hit is the copy
+
+
+def test_semantic_decontam_precision_exact(spark, sf_dir):
+    """Every flagged (corpus, eval) hit must pass the exact cosine test:
+    flagged rows are a subset of the brute-force cross pairs, with the
+    same n_hits wherever LSH found all of a corpus item's neighbors."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.operators.similarity import dot_int, quantize_vec
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 41 == 0)
+    corpus = emb.filter(F.col("vec_id") % 41 != 0)
+    out = {r.vec_id: r.n_hits for r in semantic_decontam(corpus, ev, min_cosine=0.35).collect()}
+    q = emb.select("vec_id", quantize_vec("embedding").alias("qv"))
+    a = q.filter(F.col("vec_id") % 41 != 0).select(F.col("vec_id").alias("c"), F.col("qv").alias("qa"))
+    b = q.filter(F.col("vec_id") % 41 == 0).select(F.col("vec_id").alias("e"), F.col("qv").alias("qb"))
+    dq = dot_int(F.col("qa"), F.col("qb"))
+    na = dot_int(F.col("qa"), F.col("qa"))
+    nb = dot_int(F.col("qb"), F.col("qb"))
+    brute = {
+        r.c: r.n
+        for r in a.crossJoin(b)
+        .select("c", dq.alias("d"), na.alias("na"), nb.alias("nb"))
+        .filter(
+            (F.col("d") > 0)
+            & ((F.col("d") * F.col("d")).cast("double")
+               >= 0.1225 * (F.col("na").cast("double") * F.col("nb").cast("double")))
+        )
+        .groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) <= set(brute)  # no false positives, ever
+    for cid, n in out.items():
+        assert n <= brute[cid]  # LSH may miss candidates, never invent
+
+
+def test_semantic_decontam_shuffle_mode_equivalent(spark, sf_dir):
+    """broadcast_eval=False (eval side too big for an executor) must
+    produce the identical result through the shuffled join."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 41 == 0)
+    corpus = emb.filter(F.col("vec_id") % 41 != 0)
+    a = sorted(map(tuple, semantic_decontam(corpus, ev, min_cosine=0.35).collect()))
+    b = sorted(map(tuple, semantic_decontam(
+        corpus, ev, min_cosine=0.35, broadcast_eval=False
+    ).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_semantic_decontam_plan_broadcast_no_python(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 41 == 0)
+    corpus = emb.filter(F.col("vec_id") % 41 != 0)
+    plan = (
+        semantic_decontam(corpus, ev, min_cosine=0.35)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontam_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError):
+        semantic_decontam(emb, emb, nbits=33, bands=8)
+    with _pytest.raises(ValueError):
+        semantic_decontam(emb, emb, nbits=64, bands=8)

@@ -447,6 +447,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = docs.filter(F.col("doc_id") % 97 == 0)
         _force(bm25_topk(index, queries, k=10))
 
+    def q_quantile_sliding():
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sketch_quantile_sliding_window"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -512,6 +517,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "incremental_spans": q_incremental_spans,
         "bm25_search": q_bm25_search,
         "semantic_decontam": q_semantic_decontam,
+        "quantile_sliding_7d": q_quantile_sliding,
     }
 
     times: dict[str, float] = {}

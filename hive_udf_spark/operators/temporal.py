@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "time_bucket_gapfill", "funnel_steps", "cohort_retention"]
+__all__ = ["asof_join", "interval_join", "time_bucket_gapfill", "funnel_steps", "cohort_retention", "mad_anomalies"]
 
 
 def asof_join(
@@ -372,4 +372,73 @@ def cohort_retention(
         )
         .groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def mad_anomalies(
+    series: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k_milli: int = 3500,
+) -> DataFrame:
+    """Robust time-series anomaly detection: flag points whose deviation
+    from their group's MEDIAN exceeds ``k_milli/1000`` times the group's
+    MAD (median absolute deviation) — the standard outlier rule that,
+    unlike mean/stddev z-scores, is not dragged by the outliers it is
+    trying to find (breakdown point 50% vs 0%).
+
+    ``series`` is an already-aggregated metric relation (e.g. per-day
+    event counts): one row per point, integral ``value_col``. The input
+    to this operator is SMALL by construction — the heavy reduction
+    (raw rows → series) happens upstream in a partial-aggregated
+    groupBy; the two window passes here run per group in parallel, never
+    a global single partition.
+
+    Exactness: medians use the deterministic nearest-lower rank
+    floor(0.5·(n−1)) of the ascending order (the skew_report quantile
+    rule) and the flag is the integer comparison
+    1000·|x − med| > k_milli·MAD, so every output column is
+    engine-exact. With MAD = 0 (over half the points identical) any
+    deviation flags, matching the rule's convention.
+
+    Output: every input column + (med, mad, is_anomaly).
+    """
+    if k_milli < 0:
+        raise ValueError("k_milli must be >= 0")
+    from pyspark.sql import Window
+
+    keep = list(series.columns)
+    base = series.select(*keep, F.col(value_col).cast("long").alias("__x"))
+
+    def med_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Attach each group's deterministic median of ``col`` as ``out``."""
+        w = Window.partitionBy(*group_cols).orderBy(F.col(col).asc())
+        wn = Window.partitionBy(*group_cols)
+        ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wn)
+        )
+        pick = ranked.filter(
+            F.col("__rn") == F.floor(F.lit(0.5) * (F.col("__n") - 1)).cast("long") + 1
+        ).select(*group_cols, F.col(col).alias(out))
+        if not group_cols:
+            return df.crossJoin(pick)
+        # null-SAFE equi-join: a NULL group key is a real series (the
+        # window partition kept it) — a plain name join would drop it
+        cond = None
+        for g in group_cols:
+            c = df[g].eqNullSafe(pick[g])
+            cond = c if cond is None else cond & c
+        return df.join(pick, cond).select(df["*"], pick[out])
+
+    with_med = med_of(base, "__x", "med")
+    dev = with_med.withColumn("__d", F.abs(F.col("__x") - F.col("med")))
+    with_mad = med_of(dev, "__d", "mad")
+    return with_mad.select(
+        *keep,
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        (
+            F.lit(1000).cast("long") * F.abs(F.col("__x") - F.col("med"))
+            > F.lit(int(k_milli)).cast("long") * F.col("mad")
+        ).alias("is_anomaly"),
     )

@@ -876,3 +876,73 @@ def sketch_pcsa_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFram
     return pcsa_estimate(rolled, ["month"], m=_PCSA_M).select(
         "month", "s_sum", F.col("est_pcsa").alias("est_users")
     )
+
+
+def _qs_sliding_oracle() -> str:
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ),
+    src AS (
+      SELECT date_trunc('day', ts) AS sday,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             ('0x' || substr(md5('5:' || event_id), 1, 15))::BIGINT AS h
+      FROM events WHERE value IS NOT NULL
+    ),
+    win AS (
+      SELECT d.day, s.v, s.h FROM days d JOIN src s
+        ON s.sday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    ),
+    rk AS (
+      SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY h, v) AS rn
+      FROM win
+    ),
+    samp AS (
+      SELECT day, list(v ORDER BY v) AS vs FROM rk WHERE rn <= {_QS_K} GROUP BY day
+    ),
+    n AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows_7d FROM win GROUP BY day)
+    SELECT samp.day, n.n_rows_7d,
+           {_qs_pick('vs', '0.5')} AS p50_cents,
+           {_qs_pick('vs', '0.95')} AS p95_cents
+    FROM samp JOIN n ON samp.day = n.day
+    """
+
+
+@register("sketch_quantile_sliding_window", oracle=_qs_sliding_oracle())
+def sketch_quantile_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day value quantiles from STORED quantile sketches —
+    the sliding-window rollup (sketch_kmv_sliding_distinct) on the
+    quantile-sample family: one bottom-k sketch per day, each day's
+    window state from a range self-join over the ~|days|-row sketch
+    table + the lossless bottom-k merge. Raw events are scanned once
+    ever; any window shape afterwards costs only sketch-table joins.
+    Lossless merge ⇒ every window's sample (hence p50/p95) is bit-equal
+    to a direct build over the window's rows, which the oracle computes."""
+    from hive_udf_spark.functions.qsketch import (
+        qsketch_merge_table,
+        qsketch_quantile,
+        quantile_sketch_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    daily = quantile_sketch_table(
+        ev, ["day"], "cents", "event_id", k=_QS_K, portable=True
+    )
+    src = daily.select(F.col("day").alias("src_day"), "qs", "n_rows")
+    days = daily.select("day")
+    joined = days.join(
+        src,
+        (F.col("src_day") <= F.col("day"))
+        & (F.col("src_day") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+    )
+    rolled = qsketch_merge_table(joined, ["day"], "qs", "n_rows", _QS_K)
+    return rolled.select(
+        "day",
+        F.col("n_rows").alias("n_rows_7d"),
+        qsketch_quantile("qs", 0.5).alias("p50_cents"),
+        qsketch_quantile("qs", 0.95).alias("p95_cents"),
+    )

@@ -243,3 +243,57 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill={"n": 0, "value_cents": 0},
     )
     return out.select("event_type", "bucket", "n", "value_cents")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n_events ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM c
+    ),
+    med AS (
+      SELECT event_type, n_events AS med FROM r
+      WHERE rn = CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1
+    ),
+    d AS (
+      SELECT c.event_type, c.day, c.n_events, m.med,
+             abs(c.n_events - m.med) AS dd
+      FROM c JOIN med m ON m.event_type = c.event_type
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dd ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, dd AS mad FROM r2
+      WHERE rn = CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           CAST(d.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+           (1000 * abs(d.n_events - d.med) > 3500 * mad.mad) AS is_anomaly
+    FROM d JOIN mad ON mad.event_type = d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection
+    (operators/temporal.py mad_anomalies): per event type, flag days
+    whose event count deviates from the type's median by more than
+    3.5× the MAD. Median/MAD use the deterministic nearest-lower rank
+    rule and the flag is an integer comparison — every column exact.
+    The heavy reduction (raw events → daily counts) is the partial-
+    aggregated groupBy; the MAD windows run on the tiny series."""
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return mad_anomalies(series, ["event_type"], "n_events", k_milli=3500)

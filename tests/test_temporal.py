@@ -324,3 +324,64 @@ def test_funnel_random_events_match_reference(spark):
         for r in funnel_steps(df, "user_id", "ts", "event_type", steps, within_hours=24).collect()
     }
     assert got == ref(events, steps, 24)
+
+
+def test_mad_anomalies_planted_outlier(spark):
+    """A single spike in an otherwise flat series is the only flag."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    rows = [("a", d, 100 + (d % 3)) for d in range(30)] + [("a", 30, 500)]
+    df = spark.createDataFrame(rows, "g string, day int, n long")
+    out = {r.day: r for r in mad_anomalies(df, ["g"], "n").collect()}
+    assert out[30].is_anomaly
+    flagged = [d for d, r in out.items() if r.is_anomaly]
+    assert flagged == [30]
+    assert out[30].med == 101  # median of 100/101/102 runs + spike
+    assert out[30].mad == 1
+
+
+def test_mad_anomalies_zero_mad_convention(spark):
+    """Over half the points identical -> MAD 0: any deviation flags,
+    identical points do not."""
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    rows = [("a", i, 7) for i in range(10)] + [("a", 10, 8)]
+    df = spark.createDataFrame(rows, "g string, day int, n long")
+    out = {r.day: r.is_anomaly for r in mad_anomalies(df, ["g"], "n").collect()}
+    assert out[10] is True and not any(out[d] for d in range(10))
+
+
+def test_mad_anomalies_null_group_and_identity_cols(spark):
+    """NULL group keys are real series (not dropped), and every input
+    column survives to the output."""
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    rows = [(None, i, 10) for i in range(5)] + [(None, 5, 99), ("b", 0, 1)]
+    df = spark.createDataFrame(rows, "g string, day int, n long")
+    out = mad_anomalies(df, ["g"], "n").collect()
+    assert len(out) == 7
+    assert set(out[0].asDict()) == {"g", "day", "n", "med", "mad", "is_anomaly"}
+    null_rows = {r.day: r for r in out if r.g is None}
+    assert len(null_rows) == 6 and null_rows[5].is_anomaly
+
+
+def test_mad_anomalies_global_series(spark):
+    """group_cols=[] treats the whole input as one series."""
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    rows = [(i, 50) for i in range(9)] + [(9, 5000)]
+    df = spark.createDataFrame(rows, "day int, n long")
+    out = {r.day: r.is_anomaly for r in mad_anomalies(df, [], "n").collect()}
+    assert out[9] is True and sum(out.values()) == 1
+
+
+def test_mad_anomalies_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    df = spark.createDataFrame([(1, 1)], "day int, n long")
+    with _pytest.raises(ValueError):
+        mad_anomalies(df, [], "n", k_milli=-1)

@@ -387,3 +387,72 @@ def leakage_safe_split(
         .join(clusters.select(id_col, cluster_col), id_col, "left")
         .select(id_col, cluster.alias(cluster_col), side.alias("split"))
     )
+
+
+def percentile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ADAPTIVE quality filtering: keep rows whose integral ``value_col``
+    lies inside the [lo_q, hi_q] percentile band of their group's own
+    distribution — the data-driven alternative to fixed thresholds
+    (a "too short / too long" cut that tracks each source's distribution
+    instead of hard-coding one corpus's constants; per-source bands are
+    the standard guard against one boilerplate-heavy source defining
+    "normal" for all).
+
+    Thresholds are the deterministic nearest-lower-rank values
+    (value at 0-based rank floor(q·(n−1)) of the ascending order — the
+    mad_anomalies / skew_report quantile rule), so the kept set is
+    engine-exact. Plan (the skew_report cumulative-count trick): rows
+    never sort — a partial-aggregated (group, value) count relation is
+    cumsum'd over DISTINCT values per group (a tiny window: distinct
+    values << rows), the two thresholds are the smallest values whose
+    cumulative count reaches each rank, and the thresholds null-safe
+    join back onto the scan for a map-side filter.
+
+    Output: every input column + (lo_value, hi_value); rows with NULL
+    ``value_col`` are dropped (no percentile membership).
+    """
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    base = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("long")
+    vc = base.groupBy(*gcols, v.alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    w_cc = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*gcols)
+    cum = vc.withColumn("__cum", F.sum("__k").over(w_cc)).withColumn(
+        "__n", F.sum("__k").over(wn)
+    )
+
+    def pick_at(q: float):
+        rank = F.floor(F.lit(float(q)) * (F.col("__n") - 1)).cast("long") + 1
+        return F.min(F.when(F.col("__cum") >= rank, F.col("__v")))
+
+    picks = cum.groupBy(*gcols).agg(
+        pick_at(lo_q).alias("lo_value"), pick_at(hi_q).alias("hi_value")
+    )
+    if gcols:
+        cond = None
+        for g in gcols:
+            c = base[g].eqNullSafe(picks[g])
+            cond = c if cond is None else cond & c
+        joined = base.join(picks, cond).select(
+            base["*"], picks["lo_value"], picks["hi_value"]
+        )
+    else:
+        joined = base.crossJoin(picks)
+    v = F.col(value_col).cast("long")
+    return joined.filter((v >= F.col("lo_value")) & (v <= F.col("hi_value")))

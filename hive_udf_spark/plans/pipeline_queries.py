@@ -471,3 +471,46 @@ def pipeline_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontam(
         corpus, ev, min_cosine=_SD_T, nbits=_SD_NBITS, bands=_SD_BANDS
     )
+
+
+@register(
+    "pipeline_percentile_band_filter",
+    oracle="""
+    WITH vc AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS k
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, v, k,
+             sum(k) OVER (PARTITION BY source ORDER BY v ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(k) OVER (PARTITION BY source) AS n
+      FROM vc
+    ),
+    picks AS (
+      SELECT source,
+             CAST(min(CASE WHEN cum >= CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+                           THEN v END) AS BIGINT) AS lo_value,
+             CAST(min(CASE WHEN cum >= CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                           THEN v END) AS BIGINT) AS hi_value
+      FROM cum GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars, p.lo_value, p.hi_value
+    FROM documents d JOIN picks p ON p.source = d.source
+    WHERE d.n_chars BETWEEN p.lo_value AND p.hi_value
+    """,
+)
+def pipeline_percentile_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source length filtering
+    (operators/chunking.py percentile_band_filter): keep documents whose
+    n_chars lies inside their own source's [p5, p95] band — data-driven
+    thresholds instead of one corpus-wide constant. Thresholds come from
+    a cumulative count over DISTINCT values (rows never sort), so the
+    kept set and both threshold columns are engine-exact."""
+    from hive_udf_spark.operators.chunking import percentile_band_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = percentile_band_filter(
+        docs, "n_chars", lo_q=0.05, hi_q=0.95, group_cols=["source"]
+    )
+    return out.select("doc_id", "source", "n_chars", "lo_value", "hi_value")

@@ -416,3 +416,53 @@ def test_leakage_safe_split_uncovered_docs_become_singletons(spark):
         for r in leakage_safe_split(docs, full, test_fraction=0.5, seed=7).collect()
     }
     assert {k: (v.cluster, v.split) for k, v in rows.items()} == want
+
+
+def _band_reference(rows, lo_q, hi_q):
+    """Python mirror of the nearest-lower-rank band rule."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in rows:
+        if v is not None:
+            groups[g].append(v)
+    kept = []
+    bands = {}
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[int(lo_q * (n - 1))]
+        hi = vs[int(hi_q * (n - 1))]
+        bands[g] = (lo, hi)
+        kept += [(g, v) for v in vs if lo <= v <= hi]
+    return kept, bands
+
+
+def test_percentile_band_filter_matches_reference(spark):
+    from hive_udf_spark.operators.chunking import percentile_band_filter
+
+    rows = [("a", v) for v in [1, 5, 5, 7, 9, 100, 3, 8, 2, 6]] + [
+        ("b", v) for v in [10, 20, 30, 40, 1000]
+    ] + [(None, v) for v in [4, 5, 6]] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = percentile_band_filter(df, "v", lo_q=0.1, hi_q=0.8, group_cols=["g"])
+    keyf = lambda gv: (gv[0] is None, gv[0], gv[1])  # noqa: E731
+    got = sorted(((r.g, r.v) for r in out.collect()), key=keyf)
+    want, bands = _band_reference(rows, 0.1, 0.8)
+    assert got == sorted(want, key=keyf)
+    for r in out.collect():
+        assert (r.lo_value, r.hi_value) == bands[r.g]
+
+
+def test_percentile_band_filter_ungrouped_and_validation(spark):
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.chunking import percentile_band_filter
+
+    rows = [(i, v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = percentile_band_filter(df, "v", lo_q=0.0, hi_q=0.9)
+    got = sorted(r.v for r in out.collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9]  # 1000 above the p90 value
+    with _pytest.raises(ValueError):
+        percentile_band_filter(df, "v", lo_q=0.9, hi_q=0.1)

@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.text import tokenize
 
-__all__ = ["build_tfidf_index", "tfidf_topk", "bm25_topk"]
+__all__ = [
+    "build_tfidf_index",
+    "doc_postings",
+    "index_from_postings",
+    "tfidf_topk",
+    "bm25_topk",
+]
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -76,33 +82,56 @@ def build_tfidf_index(
     DataFrame: write it to parquet partitioned however the probe joins
     want it, reload and search without touching the raw corpus again.
     """
+    return index_from_postings(doc_postings(docs, id_col, text_col), max_df)
+
+
+def doc_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The raw postings relation ``(term, doc_id, tf, dl)`` — the
+    append-only part of the index. New documents contribute DISJOINT
+    rows, so an incremental ingest (streaming/retrieval_sink.py) just
+    appends per-batch postings; the derived statistics
+    (:func:`index_from_postings`) are recomputed from this already-
+    reduced relation, never from raw text."""
+    return _postings(docs, id_col, text_col).select(
+        F.col("__term").alias("term"),
+        F.col("__id").alias("doc_id"),
+        F.col("__tf").alias("tf"),
+        F.col("__dl").alias("dl"),
+    )
+
+
+def index_from_postings(
+    postings: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """Derive the searchable index (weights + corpus stats) from a
+    stored postings relation — one aggregate over postings (already
+    orders of magnitude smaller than the corpus), one broadcast of the
+    2-value stats row."""
     if max_df is not None and max_df < 1:
         raise ValueError("max_df must be >= 1")
-    tf = _postings(docs, id_col, text_col)
-    dft = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf = postings.select("term", "doc_id", "tf", "dl")
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     if max_df is not None:
         dft = dft.filter(F.col("df") <= F.lit(max_df))
     stats = (
-        tf.select("__id", "__dl")
+        tf.select("doc_id", "dl")
         .distinct()
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__dl").cast("long").alias("total_tokens"),
+            F.sum("dl").cast("long").alias("total_tokens"),
         )
     )
-    return (
-        tf.join(dft, "__term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("__term").alias("term"),
-            F.col("__id").alias("doc_id"),
-            F.col("__tf").alias("tf"),
-            F.col("__dl").alias("dl"),
-            "df",
-            F.expr("(n_docs * 1000L) div df").alias("w_milli"),
-            "n_docs",
-            "total_tokens",
-        )
+    return tf.join(dft, "term").crossJoin(F.broadcast(stats)).select(
+        "term",
+        "doc_id",
+        "tf",
+        "dl",
+        "df",
+        F.expr("(n_docs * 1000L) div df").alias("w_milli"),
+        "n_docs",
+        "total_tokens",
     )
 
 

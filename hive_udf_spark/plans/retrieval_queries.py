@@ -83,9 +83,7 @@ def retrieval_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(index, queries, k=_K)
 
 
-@register(
-    "retrieval_bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH {_BASE_CTES},
     scored AS (
       SELECT q.query_id, i.doc_id,
@@ -97,8 +95,10 @@ def retrieval_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     {_RANKED}
-    """,
-)
+    """
+
+
+@register("retrieval_bm25_topk", oracle=_BM25_ORACLE)
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-rational BM25 top-10 (k1=1.2, b=0.75) over the same
     inverted index — per-term saturation via one integer division,
@@ -109,3 +109,41 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_tfidf_index(docs)
     queries = docs.filter(F.col("doc_id") % _QMOD == 0)
     return bm25_topk(index, queries, k=_K)
+
+
+@register("streaming_incremental_bm25_search", oracle=_BM25_ORACLE)
+def streaming_incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance (streaming/retrieval_sink.py): the
+    corpus arrives in 3 deterministic micro-batches; each batch's
+    postings merge into the stored inverted file under the lineage-
+    guarded high-water mark, and the final search over the streamed
+    table — weights and corpus stats derived at query time by
+    index_from_postings — returns EXACTLY the batch-build BM25 result
+    (same oracle as retrieval_bm25_topk; postings of disjoint doc
+    batches union losslessly)."""
+    import tempfile
+
+    from hive_udf_spark.operators.retrieval import bm25_topk, index_from_postings
+    from hive_udf_spark.streaming.retrieval_sink import incremental_postings_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(3):  # sequential writes -> deterministic file order
+            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = incremental_postings_sink(stream, f"{tmp}/postings", f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        index = index_from_postings(spark.read.parquet(f"{tmp}/postings"))
+        queries = docs.filter(F.col("doc_id") % _QMOD == 0)
+        out = bm25_topk(index, queries, k=_K).localCheckpoint(eager=True)
+    return out

@@ -150,3 +150,30 @@ def test_retrieval_validation(spark):
         tfidf_topk(index, docs, k=0)
     with _pytest.raises(ValueError):
         bm25_topk(index, docs, b_milli=2000)
+
+
+def test_incremental_postings_multi_batch_equals_direct(spark, tmp_path):
+    """Batch-by-batch postings merges == one direct build; a retry of
+    the committed batch changes nothing; a fresh-lineage id raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.retrieval import doc_postings
+    from hive_udf_spark.streaming.retrieval_sink import merge_postings_table
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    table = str(tmp_path / "postings")
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        merge_postings_table(spark, doc_postings(batch), table, batch_id=b)
+    got = sorted(map(tuple, spark.read.parquet(table).drop("__last_batch").collect()))
+    want = sorted(map(tuple, doc_postings(docs).collect()))
+    assert got == want
+    merge_postings_table(
+        spark, doc_postings(docs.filter(F.col("doc_id") % 3 == 2)), table, batch_id=2
+    )  # retry: skipped
+    again = sorted(map(tuple, spark.read.parquet(table).drop("__last_batch").collect()))
+    assert again == want
+    with _pytest.raises(ValueError, match="lineage mismatch"):
+        merge_postings_table(spark, doc_postings(docs), table, batch_id=0)

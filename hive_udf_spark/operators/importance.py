@@ -168,3 +168,127 @@ def dsir_weights(
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_features"),
         F.coalesce("__w", F.lit(0)).cast("long").alias("weight_micro"),
     )
+
+
+def _bigram_pair_stream(
+    df: DataFrame, id_col: str | None, text_col: str, buckets: int,
+    portable: bool, seed: int,
+) -> DataFrame:
+    """One row per adjacent-bigram occurrence: (ctx bucket, bigram
+    bucket) — ctx is the hashed FIRST word (its count as a context),
+    bigram the hashed joined pair."""
+    h = portable_hash60 if portable else fast_hash64
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(
+                F.pmod(h(a, seed), F.lit(buckets)).alias("c"),
+                F.pmod(h(F.concat(a, F.lit(" "), b), seed), F.lit(buckets)).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<c:bigint,g:bigint>>"))
+    cols = [F.col(id_col).alias("__id")] if id_col else []
+    return df.select(*cols, F.explode(pairs).alias("__p")).select(
+        *(["__id"] if id_col else []),
+        F.col("__p.c").alias("__c"),
+        F.col("__p.g").alias("__g"),
+    )
+
+
+def bigram_lm_tables(
+    model_docs: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 13,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the hashed-bigram language model (CCNet-style perplexity
+    filtering, Wenzek et al. 2020): two DENSE ``buckets``-row tables —
+    bigram-bucket counts and context-bucket counts — each carrying its
+    add-one-smoothed log term pre-quantized to micro-nats:
+
+        lp_g_micro = round(ln(c_g + 1) · 1e6)
+        lp_c_micro = round(ln(c_c + buckets) · 1e6)
+
+    so a bigram occurrence's log-probability contribution is the integer
+    ``lp_g_micro − lp_c_micro`` (ln((c_g+1)/(c_c+B)) to micro-nat
+    rounding — the dsir_logratio_table quantization discipline; both
+    engines round the same libm doubles at 1e-6, far coarser than any
+    ulp divergence). Dense ⇒ scoring is two plain broadcast joins with
+    no absent-bucket branch; 2·B rows broadcast at any corpus size.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    pairs = _bigram_pair_stream(model_docs, None, text_col, buckets, portable, seed)
+    axis = model_docs.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    gc = pairs.groupBy(F.col("__g").alias("__b")).agg(F.count("*").alias("__n"))
+    cc = pairs.groupBy(F.col("__c").alias("__b")).agg(F.count("*").alias("__n"))
+
+    def dense(counts: DataFrame, add: Column, out: str) -> DataFrame:
+        return (
+            axis.join(counts, "__b", "left")
+            .select("__b", F.coalesce("__n", F.lit(0)).alias("__n"))
+            .select(
+                "__b",
+                "__n",
+                F.round(F.log(F.col("__n").cast("double") + add) * 1_000_000.0)
+                .cast("long")
+                .alias(out),
+            )
+        )
+
+    return (
+        dense(gc, F.lit(1.0), "lp_g_micro"),
+        dense(cc, F.lit(float(buckets)), "lp_c_micro"),
+    )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 13,
+) -> DataFrame:
+    """Score every document under the hashed-bigram LM fitted on
+    ``model_docs`` (typically a trusted/clean subset): output
+    (id, n_bigrams, logprob_micro) where logprob_micro is the integer
+    micro-nat sum of per-bigram log P(w_i | w_{i-1}) contributions.
+    Low (very negative per-bigram) scores ⇔ high perplexity — the
+    CCNet selection signal; compose with percentile_band_filter on
+    e.g. logprob_micro div n_bigrams for an adaptive keep band.
+    Documents with fewer than 2 tokens score (0, 0).
+
+    Plan: model fit is two partial-aggregated bucket counts; scoring is
+    the doc bigram stream joined against two broadcast B-row tables and
+    one groupBy(id) — no Python anywhere, exact integers after the two
+    quantized logs.
+    """
+    g_tab, c_tab = bigram_lm_tables(model_docs, text_col, buckets, portable, seed)
+    pairs = _bigram_pair_stream(docs, id_col, text_col, buckets, portable, seed)
+    scored = (
+        pairs.join(F.broadcast(g_tab.select(F.col("__b").alias("__g"), "lp_g_micro")), "__g")
+        .join(F.broadcast(c_tab.select(F.col("__b").alias("__c"), "lp_c_micro")), "__c")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.col("lp_g_micro") - F.col("lp_c_micro"))
+            .cast("long")
+            .alias("logprob_micro"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logprob_micro", F.lit(0)).cast("long").alias("logprob_micro"),
+        )
+    )

@@ -514,3 +514,66 @@ def pipeline_percentile_band_filter(spark: SparkSession, sf_dir: str) -> DataFra
         docs, "n_chars", lo_q=0.05, hi_q=0.95, group_cols=["source"]
     )
     return out.select("doc_id", "source", "n_chars", "lo_value", "hi_value")
+
+
+_LM_B = 4096
+_LM_SEED = 13
+
+
+def _lm_perplexity_oracle() -> str:
+    hc = portable_hash60_sql("a", _LM_SEED)
+    hg = portable_hash60_sql("a || ' ' || b", _LM_SEED)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS w FROM documents),
+    pairs AS (
+      SELECT doc_id, lang, w[u.i] AS a, w[u.i + 1] AS b
+      FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    hp AS (
+      SELECT doc_id, lang,
+             ({hc}) % {_LM_B} AS c, ({hg}) % {_LM_B} AS g
+      FROM pairs
+    ),
+    axis AS (SELECT unnest(generate_series(0, {_LM_B - 1})) AS b),
+    gcnt AS (SELECT g AS b, count(*) AS n FROM hp WHERE lang = 'en' GROUP BY 1),
+    ccnt AS (SELECT c AS b, count(*) AS n FROM hp WHERE lang = 'en' GROUP BY 1),
+    gtab AS (
+      SELECT axis.b,
+             CAST(round(ln(coalesce(gcnt.n, 0) + 1.0) * 1000000) AS BIGINT) AS lp_g
+      FROM axis LEFT JOIN gcnt ON gcnt.b = axis.b
+    ),
+    ctab AS (
+      SELECT axis.b,
+             CAST(round(ln(coalesce(ccnt.n, 0) + {_LM_B}.0) * 1000000) AS BIGINT) AS lp_c
+      FROM axis LEFT JOIN ccnt ON ccnt.b = axis.b
+    ),
+    scored AS (
+      SELECT hp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(g.lp_g - c.lp_c) AS BIGINT) AS logprob_micro
+      FROM hp JOIN gtab g ON g.b = hp.g JOIN ctab c ON c.b = hp.c
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.logprob_micro, 0) AS logprob_micro
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+@register("pipeline_lm_perplexity", oracle=_lm_perplexity_oracle())
+def pipeline_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring
+    (operators/importance.py lm_perplexity_scores): a hashed-bigram LM
+    with add-one smoothing is fitted on the 'en' slice (the trusted
+    subset) and every document gets its integer micro-nat log-prob sum
+    — low per-bigram scores ⇔ high perplexity, the classic quality
+    selection signal. Model fit, both quantized log tables, and every
+    score are reproduced in the oracle (the DSIR micro-nat discipline)."""
+    from hive_udf_spark.operators.importance import lm_perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = docs.filter(F.col("lang") == "en")
+    return lm_perplexity_scores(
+        docs, model, buckets=_LM_B, portable=True, seed=_LM_SEED
+    )

@@ -76,3 +76,73 @@ def test_dsir_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan  # weight sum combines map-side
+
+
+def test_lm_perplexity_matches_python_reference(spark):
+    """Integer micro-nat scores equal a pure-Python mirror (same hashes,
+    same quantized logs)."""
+    import hashlib
+    import math
+
+    from hive_udf_spark.operators.importance import lm_perplexity_scores
+
+    def py_portable_hash60(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    model = [(100 + i, "the cat sat on the mat") for i in range(3)]
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "mat the on sat cat the"),
+        (3, "one"),
+        (4, ""),
+    ]
+    B, seed = 64, 13
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    mdf = spark.createDataFrame(model, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob_micro)
+        for r in lm_perplexity_scores(ddf, mdf, buckets=B, portable=True, seed=seed).collect()
+    }
+
+    def pairs(text):
+        w = text.split()
+        return [(w[i], w[i] + " " + w[i + 1]) for i in range(len(w) - 1)]
+
+    gcnt, ccnt = {}, {}
+    for _, t in model:
+        for a, g in pairs(t):
+            gcnt[py_portable_hash60(g, seed) % B] = gcnt.get(py_portable_hash60(g, seed) % B, 0) + 1
+            ccnt[py_portable_hash60(a, seed) % B] = ccnt.get(py_portable_hash60(a, seed) % B, 0) + 1
+    want = {}
+    for did, t in docs:
+        s, n = 0, 0
+        for a, g in pairs(t):
+            lg = round(math.log(gcnt.get(py_portable_hash60(g, seed) % B, 0) + 1.0) * 1e6)
+            lc = round(math.log(ccnt.get(py_portable_hash60(a, seed) % B, 0) + float(B)) * 1e6)
+            s += lg - lc
+            n += 1
+        want[did] = (n, s)
+    assert got == want
+
+
+def test_lm_perplexity_separation(spark, sf_dir):
+    """In-distribution docs (the model's own slice) must average higher
+    per-bigram log-prob than out-of-distribution docs."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.importance import lm_perplexity_scores
+    from hive_udf_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = docs.filter(F.col("lang") == "en")
+    out = lm_perplexity_scores(docs, model, buckets=2048)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id").filter(
+        F.col("n_bigrams") > 0
+    )
+    means = {
+        r.lang: r.m
+        for r in joined.groupBy("lang")
+        .agg(F.avg(F.col("logprob_micro") / F.col("n_bigrams")).alias("m"))
+        .collect()
+    }
+    assert means["en"] > means["zh"]

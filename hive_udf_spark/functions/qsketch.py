@@ -107,14 +107,9 @@ def quantile_sketch_table(
             F.count("*").cast("bigint").alias("n_rows")
         )
         if group_cols:
-            # null-SAFE equi-join: a NULL group-key value is a real group
-            # (the default mode keeps it via plain groupBy) and a non-safe
-            # join would silently drop its sketch and count
-            cond = None
-            for g in group_cols:
-                c = sample[g].eqNullSafe(counts[g])
-                cond = c if cond is None else cond & c
-            return sample.join(counts, cond).select(
+            from hive_udf_spark.operators.util import null_safe_cond
+
+            return sample.join(counts, null_safe_cond(sample, counts, group_cols)).select(
                 *[sample[g] for g in group_cols], sample["qs"], counts["n_rows"]
             )
         # global form: both sides are exactly one row (counts is 0 on

@@ -445,14 +445,11 @@ def percentile_band_filter(
         pick_at(lo_q).alias("lo_value"), pick_at(hi_q).alias("hi_value")
     )
     if gcols:
-        cond = None
-        for g in gcols:
-            c = base[g].eqNullSafe(picks[g])
-            cond = c if cond is None else cond & c
-        joined = base.join(picks, cond).select(
+        from hive_udf_spark.operators.util import null_safe_cond
+
+        joined = base.join(picks, null_safe_cond(base, picks, gcols)).select(
             base["*"], picks["lo_value"], picks["hi_value"]
         )
     else:
         joined = base.crossJoin(picks)
-    v = F.col(value_col).cast("long")
     return joined.filter((v >= F.col("lo_value")) & (v <= F.col("hi_value")))

@@ -128,6 +128,7 @@ def semantic_decontam(
     scale: int = 1000,
     seed: int = 42,
     broadcast_eval: bool = True,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SEMANTIC decontamination: flag corpus items whose EMBEDDING is
     within cosine ≥ ``min_cosine`` of any eval-set embedding — catches
@@ -157,6 +158,11 @@ def semantic_decontam(
     this to drop leaked items. Recall is the LSH band recall at the
     chosen threshold (high at the near-dup cosines that matter for
     leakage); candidates are verified exactly, so precision is 1.
+
+    caches: as in embedding_near_pairs_lsh — pass a list to persist the
+    prepped (quantized + signed) side tables across the band-probe and
+    verify branches instead of re-scanning and re-quantizing the corpus
+    twice; caller unpersists the handed-back frames.
     """
     from hive_udf_spark.operators.similarity import (
         dot_int,
@@ -195,6 +201,10 @@ def semantic_decontam(
 
     c = prep(corpus, "c")
     e = prep(eval_set, "e")
+    if caches is not None:
+        c = c.persist()
+        e = e.persist()
+        caches += [c, e]
     e_bands = banded(e, "e")
     if broadcast_eval:
         e_bands = F.broadcast(e_bands)

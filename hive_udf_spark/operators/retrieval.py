@@ -166,7 +166,10 @@ def _probe(
     scored = joined.groupBy("query_id", "doc_id").agg(
         F.sum(contrib).cast("long").alias("score")
     )
-    return _topk(scored, k)
+    # score 0 = every shared term's saturated contribution floored to
+    # nothing (huge dl vs avgdl) — not a meaningful match; ranking it
+    # would pad top-k with noise rows
+    return _topk(scored.filter(F.col("score") > 0), k)
 
 
 def tfidf_topk(

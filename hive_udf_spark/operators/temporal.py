@@ -401,14 +401,20 @@ def mad_anomalies(
     engine-exact. With MAD = 0 (over half the points identical) any
     deviation flags, matching the rule's convention.
 
-    Output: every input column + (med, mad, is_anomaly).
+    Output: every input column + (med, mad, is_anomaly); rows with NULL
+    ``value_col`` are dropped (no deviation information).
     """
     if k_milli < 0:
         raise ValueError("k_milli must be >= 0")
     from pyspark.sql import Window
 
     keep = list(series.columns)
-    base = series.select(*keep, F.col(value_col).cast("long").alias("__x"))
+    # NULL values carry no deviation information and would otherwise sort
+    # first, occupying the low ranks and corrupting the group's median
+    # (the percentile_band_filter convention: drop them)
+    base = series.filter(F.col(value_col).isNotNull()).select(
+        *keep, F.col(value_col).cast("long").alias("__x")
+    )
 
     def med_of(df: DataFrame, col: str, out: str) -> DataFrame:
         """Attach each group's deterministic median of ``col`` as ``out``."""
@@ -422,13 +428,11 @@ def mad_anomalies(
         ).select(*group_cols, F.col(col).alias(out))
         if not group_cols:
             return df.crossJoin(pick)
-        # null-SAFE equi-join: a NULL group key is a real series (the
-        # window partition kept it) — a plain name join would drop it
-        cond = None
-        for g in group_cols:
-            c = df[g].eqNullSafe(pick[g])
-            cond = c if cond is None else cond & c
-        return df.join(pick, cond).select(df["*"], pick[out])
+        from hive_udf_spark.operators.util import null_safe_cond
+
+        return df.join(pick, null_safe_cond(df, pick, group_cols)).select(
+            df["*"], pick[out]
+        )
 
     with_med = med_of(base, "__x", "med")
     dev = with_med.withColumn("__d", F.abs(F.col("__x") - F.col("med")))

@@ -496,7 +496,7 @@ def pipeline_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY 1
     )
     SELECT d.doc_id, d.source, d.n_chars, p.lo_value, p.hi_value
-    FROM documents d JOIN picks p ON p.source = d.source
+    FROM documents d JOIN picks p ON p.source IS NOT DISTINCT FROM d.source
     WHERE d.n_chars BETWEEN p.lo_value AND p.hi_value
     """,
 )

@@ -50,7 +50,7 @@ _RANKED = f"""
       SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id ASC) AS rank
-      FROM scored
+      FROM scored WHERE score > 0
     )
     SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {_K}

@@ -881,7 +881,10 @@ def sketch_pcsa_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFram
 def _qs_sliding_oracle() -> str:
     return f"""
     WITH days AS (
-      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+      -- only days with >=1 non-NULL value have a daily sketch row, so
+      -- only those days appear in the engine's window axis
+      SELECT DISTINCT date_trunc('day', ts) AS day
+      FROM events WHERE value IS NOT NULL
     ),
     src AS (
       SELECT date_trunc('day', ts) AS sday,

@@ -213,3 +213,25 @@ def test_semantic_decontam_validation(spark, sf_dir):
         semantic_decontam(emb, emb, nbits=33, bands=8)
     with _pytest.raises(ValueError):
         semantic_decontam(emb, emb, nbits=64, bands=8)
+
+
+def test_semantic_decontam_caches_contract(spark, sf_dir):
+    """caches=None never persists; caches=[] persists both prepped side
+    tables and hands them back for release."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.decontam import semantic_decontam
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 41 == 0)
+    corpus = emb.filter(F.col("vec_id") % 41 != 0)
+    semantic_decontam(corpus, ev, min_cosine=0.35).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    handles: list = []
+    semantic_decontam(corpus, ev, min_cosine=0.35, caches=handles).count()
+    assert len(handles) == 2
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    for h in handles:
+        h.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -385,3 +385,16 @@ def test_mad_anomalies_validation(spark):
     df = spark.createDataFrame([(1, 1)], "day int, n long")
     with _pytest.raises(ValueError):
         mad_anomalies(df, [], "n", k_milli=-1)
+
+
+def test_mad_anomalies_null_values_dropped(spark):
+    """NULL metric rows must not enter the rank windows (they sorted
+    first and corrupted the whole group's median) — they are dropped."""
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    rows = [("a", 0, None), ("a", 1, 100), ("a", 2, 101), ("a", 3, 102)]
+    df = spark.createDataFrame(rows, "g string, day int, n long")
+    out = {r.day: r for r in mad_anomalies(df, ["g"], "n").collect()}
+    assert sorted(out) == [1, 2, 3]  # NULL row dropped, not scored
+    assert out[2].med == 101 and out[2].mad == 1
+    assert not any(r.is_anomaly for r in out.values())

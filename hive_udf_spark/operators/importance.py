@@ -292,3 +292,138 @@ def lm_perplexity_scores(
             F.coalesce("logprob_micro", F.lit(0)).cast("long").alias("logprob_micro"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 17,
+) -> DataFrame:
+    """Per-group token-distribution divergence: KL(P_group ‖ P_corpus)
+    over the hashed-unigram bucket space with add-one smoothing — "how
+    far does each source's language drift from the corpus", the
+    diagnostic that informs mixture weights and flags contaminated or
+    off-domain sources.
+
+    Exactness: each bucket's term is quantized independently —
+    ``round(p_g · ln(p_g / p) · 1e6)`` with p_g = (c_g+1)/(n_g+B),
+    p = (c+1)/(n+B) — then summed as integers (order-independent), the
+    DSIR micro-nat discipline. Plan: ONE hashed-token aggregate keyed
+    (group, bucket) partially combined map-side; everything after runs
+    on the |groups|·B relation. Output: (group, n_tokens, kl_micro),
+    kl_micro ≥ 0 up to quantization (±B/2 micro-nats worst case).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    h = portable_hash60 if portable else fast_hash64
+    toks = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.transform(
+                tokenize(text_col), lambda t: F.pmod(h(t, seed), F.lit(buckets))
+            )
+        ).alias("__b"),
+    )
+    gc = toks.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    groups = gc.select("__g").distinct()
+    axis = docs.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    dense = (
+        groups.crossJoin(axis)
+        .join(gc, ["__g", "__b"], "left")
+        .select("__g", "__b", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    ng = dense.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    corpus = dense.groupBy("__b").agg(F.sum("__c").alias("__cc"))
+    tot = corpus.agg(F.sum("__cc").alias("__n"))
+    b = F.lit(float(buckets))
+    joined = (
+        dense.join(F.broadcast(ng), "__g")
+        .join(F.broadcast(corpus), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pg = (F.col("__c") + F.lit(1.0)) / (F.col("__ng").cast("double") + b)
+    p = (F.col("__cc") + F.lit(1.0)) / (F.col("__n").cast("double") + b)
+    term = F.round(pg * F.log(pg / p) * F.lit(1_000_000.0)).cast("long")
+    return (
+        joined.select("__g", F.col("__ng").alias("__ngv"), term.alias("__t"))
+        .groupBy("__g", "__ngv")
+        .agg(F.sum("__t").cast("long").alias("kl_micro"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__ngv").cast("long").alias("n_tokens"),
+            "kl_micro",
+        )
+    )
+
+
+def top_pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) ), bigrams
+    with fewer than ``min_count`` occurrences dropped (the classic PMI
+    low-count-noise guard). Quantized to micro-nats; deterministic
+    ranking (pmi desc, bigram asc). Counts are exact corpus aggregates
+    (two partial-combined groupBys — unigrams and bigrams); the top-k
+    is a TakeOrdered over the min_count-pruned bigram relation.
+    Output: (bigram, c_ab, pmi_micro, rank)."""
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    uni = docs.select(F.explode(toks).alias("__w"))
+    bi = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    uc = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__cu"))
+    bc = (
+        bi.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__cab"))
+        .filter(F.col("__cab") >= min_count)
+    )
+    nu = uni.agg(F.count(F.lit(1)).alias("__nu"))
+    nb = bi.agg(F.count(F.lit(1)).alias("__nb"))
+    joined = (
+        bc.join(uc.select(F.col("__w").alias("__a"), F.col("__cu").alias("__ca")), "__a")
+        .join(uc.select(F.col("__w").alias("__b"), F.col("__cu").alias("__cb")), "__b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("__cab").cast("double") / F.col("__nb").cast("double"))
+            / (
+                (F.col("__ca").cast("double") / F.col("__nu").cast("double"))
+                * (F.col("__cb").cast("double") / F.col("__nu").cast("double"))
+            )
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = joined.select(
+        F.concat(F.col("__a"), F.lit(" "), F.col("__b")).alias("bigram"),
+        F.col("__cab").cast("long").alias("c_ab"),
+        pmi.alias("pmi_micro"),
+    )
+    w = Window.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+    return (
+        scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -861,3 +861,115 @@ def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+_KL_B = 4096
+_KL_SEED = 17
+
+
+def _source_kl_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("t", _KL_SEED)
+    return f"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    hb AS (SELECT g, ({h}) % {_KL_B} AS b FROM toks),
+    gc AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+    ga AS (
+      SELECT g, axis.b
+      FROM (SELECT DISTINCT g FROM gc),
+           (SELECT unnest(generate_series(0, {_KL_B - 1})) AS b) axis
+    ),
+    dense AS (
+      SELECT ga.g, ga.b, coalesce(gc.c, 0) AS c
+      FROM ga LEFT JOIN gc ON gc.g = ga.g AND gc.b = ga.b
+    ),
+    ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM dense GROUP BY 1),
+    cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM dense GROUP BY 1),
+    tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM cb),
+    terms AS (
+      SELECT d.g, ng.ng,
+             CAST(round(
+               ((d.c + 1.0) / (ng.ng + {_KL_B}.0))
+               * ln( ((d.c + 1.0) / (ng.ng + {_KL_B}.0))
+                     / ((cb.cc + 1.0) / (tot.n + {_KL_B}.0)) )
+               * 1000000.0
+             ) AS BIGINT) AS term
+      FROM dense d
+        JOIN ng ON ng.g = d.g
+        JOIN cb ON cb.b = d.b, tot
+    )
+    SELECT g AS source, CAST(ng AS BIGINT) AS n_tokens,
+           CAST(sum(term) AS BIGINT) AS kl_micro
+    FROM terms GROUP BY 1, 2
+    """
+
+
+@register("text_source_kl_divergence", oracle=_source_kl_oracle())
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift
+    (operators/importance.py source_kl_divergence): KL(source ‖ corpus)
+    over hashed-unigram buckets with add-one smoothing, each bucket's
+    term independently micro-nat-quantized so the integer sum is
+    order-independent and engine-exact — the mixture-design /
+    off-domain-source diagnostic."""
+    from hive_udf_spark.operators.importance import source_kl_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_kl_divergence(
+        docs, "source", "text", buckets=_KL_B, portable=True, seed=_KL_SEED
+    )
+
+
+_PMI_K = 20
+_PMI_MIN = 5
+
+
+@register(
+    "text_top_pmi_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS w FROM t),
+    bi AS (
+      SELECT w[u.i] AS a, w[u.i + 1] AS b
+      FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+    bc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN}
+    ),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+    scored AS (
+      SELECT bc.a || ' ' || bc.b AS bigram, bc.cab AS c_ab,
+             CAST(round(ln(
+               (CAST(bc.cab AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+               / ((CAST(ua.cu AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+                  * (CAST(ub.cu AS DOUBLE) / CAST(nu.nu AS DOUBLE)))
+             ) * 1000000.0) AS BIGINT) AS pmi_micro
+      FROM bc
+        JOIN uc ua ON ua.w = bc.a
+        JOIN uc ub ON ub.w = bc.b, nu, nb
+    ),
+    ranked AS (
+      SELECT bigram, c_ab, pmi_micro,
+             row_number() OVER (ORDER BY pmi_micro DESC, bigram ASC) AS rank
+      FROM scored
+    )
+    SELECT bigram, c_ab, pmi_micro, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_PMI_K}
+    """,
+)
+def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by micro-nat PMI with a min-count-5 noise
+    guard (operators/importance.py top_pmi_bigrams) — exact corpus
+    counts, one quantized log per surviving bigram, deterministic
+    (pmi desc, bigram asc) ranking."""
+    from hive_udf_spark.operators.importance import top_pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_pmi_bigrams(docs, "text", k=_PMI_K, min_count=_PMI_MIN)

@@ -146,3 +146,36 @@ def test_lm_perplexity_separation(spark, sf_dir):
         .collect()
     }
     assert means["en"] > means["zh"]
+
+
+def test_source_kl_divergence_orders_drift(spark):
+    """A group drawn from the corpus-typical distribution scores near
+    zero; a group with its own private vocabulary scores higher."""
+    from hive_udf_spark.operators.importance import source_kl_divergence
+
+    common = "alpha beta gamma delta epsilon"
+    rows = [("typical", common) for _ in range(20)] + [
+        ("drifted", "zeta eta theta iota kappa") for _ in range(20)
+    ] + [("typical2", common) for _ in range(20)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in source_kl_divergence(df, buckets=512).collect()}
+    assert got["typical"].n_tokens == 100
+    # typical groups match the mixture better than the minority vocab
+    assert got["drifted"].kl_micro > got["typical"].kl_micro
+    # quantization can dip a hair below zero, never materially
+    assert all(r.kl_micro > -512 for r in got.values())
+
+
+def test_top_pmi_bigrams_planted_collocation(spark):
+    """A pair that only ever occurs together tops the PMI ranking; a
+    pair below min_count never appears."""
+    from hive_udf_spark.operators.importance import top_pmi_bigrams
+
+    rows = [(f"w{i % 7} sticky pair w{(i + 3) % 7}",) for i in range(40)] + [
+        ("rare once",)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = top_pmi_bigrams(df, k=5, min_count=5).collect()
+    assert got[0].bigram == "sticky pair" and got[0].rank == 1
+    assert all(r.bigram != "rare once" for r in got)
+    assert all(r.c_ab >= 5 for r in got)

@@ -466,3 +466,27 @@ def test_percentile_band_filter_ungrouped_and_validation(spark):
     assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9]  # 1000 above the p90 value
     with _pytest.raises(ValueError):
         percentile_band_filter(df, "v", lo_q=0.9, hi_q=0.1)
+
+
+def test_percentile_band_filter_random_match(spark):
+    """Randomized groups/values (negatives, ties, NULLs, tiny groups)
+    match the Python rank-rule mirror on every seed."""
+    import random
+
+    from hive_udf_spark.operators.chunking import percentile_band_filter
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(120):
+            g = rng.choice(["a", "b", "c", None])
+            v = rng.choice([None, rng.randint(-50, 50), rng.randint(-5, 5)])
+            rows.append((g, v))
+        # every group needs >= 1 non-null value for a band to exist
+        rows += [("a", 0), ("b", 0), ("c", 0), (None, 0)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = percentile_band_filter(df, "v", lo_q=0.2, hi_q=0.7, group_cols=["g"])
+        keyf = lambda gv: (gv[0] is None, gv[0], gv[1])  # noqa: E731
+        got = sorted(((r.g, r.v) for r in out.collect()), key=keyf)
+        want, _ = _band_reference(rows, 0.2, 0.7)
+        assert got == sorted(want, key=keyf), seed

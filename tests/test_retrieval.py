@@ -177,3 +177,27 @@ def test_incremental_postings_multi_batch_equals_direct(spark, tmp_path):
     assert again == want
     with _pytest.raises(ValueError, match="lineage mismatch"):
         merge_postings_table(spark, doc_postings(docs), table, batch_id=0)
+
+
+def test_bm25_tfidf_random_corpora_match_reference(spark):
+    """Randomized corpora (shared vocab, skewed lengths, empty docs):
+    both scoring modes equal the Python mirror on every seed."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(20)]
+        docs = []
+        for i in range(30):
+            n = rng.choice([0, 1, 3, 8, 25, 60])
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        index = build_tfidf_index(ddf)
+        queries = [d for d in docs if d[0] % 7 == 0 and d[1]]
+        qdf = spark.createDataFrame(queries, "doc_id long, text string")
+        for mode, fn in (("tfidf", tfidf_topk), ("bm25", bm25_topk)):
+            got = sorted(
+                (r.query_id, r.doc_id, r.score, r.rank)
+                for r in fn(index, qdf, k=4).collect()
+            )
+            assert got == _reference(docs, queries, 4, mode), (seed, mode)

@@ -398,3 +398,40 @@ def test_mad_anomalies_null_values_dropped(spark):
     assert sorted(out) == [1, 2, 3]  # NULL row dropped, not scored
     assert out[2].med == 101 and out[2].mad == 1
     assert not any(r.is_anomaly for r in out.values())
+
+
+def test_mad_anomalies_random_match_reference(spark):
+    """Randomized series match a Python median/MAD mirror per seed."""
+    import random
+
+    from hive_udf_spark.operators.temporal import mad_anomalies
+
+    def ref(rows, k_milli):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for g, d, v in rows:
+            if v is not None:
+                groups[g].append((d, v))
+        out = {}
+        for g, pts in groups.items():
+            vs = sorted(v for _, v in pts)
+            med = vs[(len(vs) - 1) // 2]
+            ds = sorted(abs(v - med) for _, v in pts)
+            mad = ds[(len(ds) - 1) // 2]
+            for d, v in pts:
+                out[(g, d)] = (v, med, mad, 1000 * abs(v - med) > k_milli * mad)
+        return out
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = [
+            (rng.choice(["a", "b", None]), i, rng.choice([None, rng.randint(-20, 20)]))
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "g string, day int, n long")
+        got = {
+            (r.g, r.day): (r.n, r.med, r.mad, r.is_anomaly)
+            for r in mad_anomalies(df, ["g"], "n", k_milli=2500).collect()
+        }
+        assert got == ref(rows, 2500), seed

@@ -447,6 +447,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         queries = docs.filter(F.col("doc_id") % 97 == 0)
         _force(bm25_topk(index, queries, k=10))
 
+    def q_lm_perplexity():
+        from hive_udf_spark.operators.importance import lm_perplexity_scores
+
+        _force(lm_perplexity_scores(docs, docs.filter(F.col("lang") == "en")))
+
     def q_quantile_sliding():
         from hive_udf_spark.plans import QUERIES
 
@@ -518,6 +523,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_search": q_bm25_search,
         "semantic_decontam": q_semantic_decontam,
         "quantile_sliding_7d": q_quantile_sliding,
+        "lm_perplexity": q_lm_perplexity,
     }
 
     times: dict[str, float] = {}

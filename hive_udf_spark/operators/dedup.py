@@ -1078,3 +1078,30 @@ def prefix_filter_candidates(ws: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    **cluster_kwargs,
+) -> DataFrame:
+    """Keep-one-per-cluster dedup WITH multiplicity: one representative
+    document per near-dup cluster (the cluster's minimum id — the
+    canonical member ``dedup_clusters`` already marks) and the cluster
+    size as ``multiplicity`` — the "dedup but keep the counts" contract
+    training pipelines want when duplicates should up-weight a kept
+    example (e.g. loss weighting or epoch repetition by popularity)
+    instead of silently biasing the corpus toward boilerplate.
+
+    ``cluster_kwargs`` pass through to :func:`dedup_clusters` (mode,
+    threshold, portable, ...). Output: (cluster, rep_id, multiplicity);
+    singletons appear with multiplicity 1, so Σ multiplicity = |docs|.
+    One extra aggregate over the cluster relation beyond the clustering
+    itself — nothing rescans text.
+    """
+    clusters = dedup_clusters(docs, id_col, text_col, **cluster_kwargs)
+    return clusters.groupBy("cluster").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("multiplicity"),
+    )

@@ -790,3 +790,56 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
         )
     return out
+
+
+def _dedup_representatives_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_edges_cte()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM cands
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+      WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+            >= {_CLUST_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT cluster, CAST(min(node) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM clusters GROUP BY cluster
+    """
+
+
+@register(
+    "pipeline_dedup_representatives", oracle=_dedup_representatives_oracle()
+)
+def pipeline_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup with multiplicity
+    (operators/dedup.py dedup_representatives): one canonical doc per
+    near-dup cluster plus the cluster size — the "dedup but keep the
+    counts" step that lets kept examples be up-weighted instead of
+    silently biasing the corpus. Exact-mode clustering so the oracle's
+    recursive-CTE transitive closure reproduces every (cluster, rep,
+    count) row; Σ multiplicity = |docs|."""
+    from hive_udf_spark.operators.dedup import dedup_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_representatives(
+        docs, "doc_id", "text", threshold=0.7, portable=True,
+        sig_prefilter_margin=None, mode="exact",
+    )

@@ -164,3 +164,20 @@ def test_distributed_and_driver_cc_paths_agree(spark, sf_dir):
         )
     )
     assert drv == dist and len(drv) == 200
+
+
+def test_dedup_representatives_conservation(spark, sf_dir):
+    """One row per cluster; representatives are cluster minima;
+    multiplicities sum to the corpus size (nothing lost or repeated)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.dedup import dedup_representatives
+    from hive_udf_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    reps = dedup_representatives(docs, "doc_id", "text", threshold=0.7, mode="exact")
+    rows = reps.collect()
+    assert len({r.cluster for r in rows}) == len(rows)
+    assert all(r.rep_id == r.cluster for r in rows)  # canonical = min id
+    assert sum(r.multiplicity for r in rows) == docs.count()
+    assert any(r.multiplicity > 1 for r in rows)  # corpus is duplicate-dense

@@ -179,3 +179,35 @@ def test_top_pmi_bigrams_planted_collocation(spark):
     assert got[0].bigram == "sticky pair" and got[0].rank == 1
     assert all(r.bigram != "rare once" for r in got)
     assert all(r.c_ab >= 5 for r in got)
+
+
+def test_corpus_stats_plan_shapes(spark, sf_dir):
+    """Scale shape for the r5 scoring/statistics ops: zero Python
+    stages; model/summary tables broadcast onto the streams; the heavy
+    aggregates partially combine map-side."""
+    from hive_udf_spark.operators.importance import (
+        lm_perplexity_scores,
+        source_kl_divergence,
+        top_pmi_bigrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    lm = fmt(lm_perplexity_scores(docs, docs.filter(F.col("lang") == "en")))
+    assert "EvalPython" not in lm
+    assert lm.count("BroadcastHashJoin") >= 2  # both dense log tables
+    assert "partial_sum" in lm  # per-doc score combines map-side
+
+    kl = fmt(source_kl_divergence(docs))
+    assert "EvalPython" not in kl
+    assert "partial_count" in kl  # (group, bucket) counts combine map-side
+
+    pmi = fmt(top_pmi_bigrams(docs))
+    assert "EvalPython" not in pmi
+    assert "partial_count" in pmi
+    assert "TakeOrderedAndProject" in pmi  # top-k never global-sorts

@@ -29,6 +29,8 @@ __all__ = [
     "write_zordered",
     "compact_parquet",
     "atomic_swap_parquet",
+    "swap_dir",
+    "expire_rows",
 ]
 
 
@@ -267,3 +269,26 @@ def swap_dir(table_path: str, new_dir: str) -> None:
     os.rename(tmp_link, table_path)  # atomic: readers see old or new
     if old_target and os.path.isdir(old_target):
         shutil.rmtree(old_target, ignore_errors=True)
+
+
+def expire_rows(
+    spark,
+    table_path: str,
+    predicate: str,
+) -> tuple[int, int]:
+    """Retention maintenance: atomically replace the parquet table at
+    ``table_path`` with only the rows SATISFYING ``predicate`` (a SQL
+    boolean over the table's columns — e.g. ``"ts >= timestamp
+    '2026-01-01'"`` for a TTL cut). Readers see the old or the new table
+    at every instant (the compact_parquet swap discipline); returns
+    (rows_before, rows_after). At deployment scale this job is a
+    transactional-format DELETE; this keeps the same contract
+    dependency-free, and partition-pruned scans make the rewrite cost
+    proportional to surviving data.
+    """
+    df = spark.read.parquet(table_path)
+    before = df.count()
+    kept = df.filter(predicate)
+    atomic_swap_parquet(kept, table_path)
+    after = spark.read.parquet(table_path).count()
+    return before, after

@@ -259,3 +259,21 @@ def test_skew_report_validation(spark):
 
     with _pytest.raises(ValueError):
         skew_report(spark.range(1), [])
+
+
+def test_expire_rows_ttl(spark, tmp_path):
+    """Rows failing the retention predicate are gone, the table path is
+    readable throughout, repeated expiry is idempotent."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.sources.sinks import expire_rows
+
+    path = str(tmp_path / "events_tbl")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("day")
+    ).write.parquet(path)
+    before, after = expire_rows(spark, path, "day >= 3")
+    assert (before, after) == (100, 70)
+    got = spark.read.parquet(path)
+    assert got.filter("day < 3").count() == 0 and got.count() == 70
+    assert expire_rows(spark, path, "day >= 3") == (70, 70)  # idempotent

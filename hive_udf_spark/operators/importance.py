@@ -359,6 +359,166 @@ def source_kl_divergence(
     )
 
 
+def nb_model_tables(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 19,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a multinomial Naive Bayes classifier over hashed unigram
+    buckets (the fastText/CCNet-style quality- or language-classifier
+    shape, trained closed-form from counts — no gradient loop).
+
+    Returns two DENSE broadcastable tables:
+
+    * token table: one row per (class, bucket) — C·B rows regardless of
+      corpus size — with ``lp_micro = round(ln((c_cb+1)/(n_c+B))·1e6)``,
+      the add-one-smoothed token log-likelihood in integer micro-nats;
+    * prior table: one row per class with
+      ``prior_micro = round(ln(n_docs_c / N_docs)·1e6)``.
+
+    Dense ⇒ scoring is plain joins with no absent-bucket branch; the
+    micro-nat quantization (the dsir_logratio_table discipline) makes
+    every downstream score integer-exact across engines. Training rows
+    with a NULL label are excluded from the fit (they cannot vote for a
+    class); NULL/empty text simply contributes no token counts but still
+    counts toward its class prior.
+
+    Plan shape: ONE partial-aggregated (class, bucket) count over the
+    exploded token stream + one C-row doc count — the only corpus-sized
+    shuffle carries fixed-width (class, bucket id) keys.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    lab = labeled.filter(F.col(label_col).isNotNull())
+    toks = lab.select(
+        F.col(label_col).alias("__l"),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), buckets, 1, portable, seed)
+        ).alias("__b"),
+    )
+    counts = toks.groupBy("__l", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    classes = lab.select(F.col(label_col).alias("__l")).distinct()
+    axis = labeled.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    dense = (
+        classes.crossJoin(axis)
+        .join(counts, ["__l", "__b"], "left")
+        .select("__l", "__b", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    nc = dense.groupBy("__l").agg(F.sum("__c").alias("__nc"))
+    b = F.lit(float(buckets))
+    token_table = (
+        dense.join(F.broadcast(nc), "__l")
+        .select(
+            "__l",
+            "__b",
+            F.round(
+                F.log(
+                    (F.col("__c") + F.lit(1.0))
+                    / (F.col("__nc").cast("double") + b)
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    dc = lab.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    nd = dc.agg(F.sum("__nd").alias("__n"))
+    prior_table = dc.crossJoin(F.broadcast(nd)).select(
+        "__l",
+        F.round(
+            F.log(F.col("__nd").cast("double") / F.col("__n").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    return token_table, prior_table
+
+
+def nb_classify(
+    docs: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 19,
+) -> DataFrame:
+    """Classify every document under the Naive Bayes model fitted on
+    ``labeled``: output (id, n_tokens, pred_label, score_micro,
+    margin_micro) where score_micro = prior + Σ count_b · lp_micro(c,b)
+    in integer micro-nats, pred_label is the argmax class with a
+    deterministic tie-break (score desc, label asc), and margin_micro is
+    the gap to the runner-up class (0 when the model has one class) —
+    the standard selection-confidence signal for threshold filtering.
+    Documents with no tokens are scored on priors alone, so every input
+    row stays addressable downstream.
+
+    Plan shape: per-doc token counts reduce on (id, bucket) BEFORE
+    touching the model (each distinct bucket scores once, not each
+    occurrence); the C·B model and C-row priors broadcast; per-(doc,
+    class) scores partial-sum on fixed-width keys; the final argmax is a
+    C-row window per doc riding the same hash partitioning.
+    """
+    token_table, prior_table = nb_model_tables(
+        labeled, label_col, text_col, buckets, portable, seed
+    )
+    feats = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, 1, portable, seed)
+            ).alias("__b"),
+        )
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    contrib = (
+        feats.join(F.broadcast(token_table), "__b")  # dense: never misses
+        .groupBy("__id", "__l")
+        .agg(
+            F.sum(F.col("__k") * F.col("lp_micro")).alias("__ts"),
+            F.sum("__k").alias("__nt"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("__id")).crossJoin(
+        F.broadcast(prior_table)
+    )
+    scored = base.join(contrib, ["__id", "__l"], "left").select(
+        "__id",
+        "__l",
+        F.coalesce("__nt", F.lit(0)).alias("__nt"),
+        (F.col("prior_micro") + F.coalesce("__ts", F.lit(0))).alias("__s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(F.col("__s").desc(), F.col("__l").asc())
+    ranked = scored.select(
+        "__id",
+        "__l",
+        "__nt",
+        "__s",
+        F.row_number().over(w).alias("__r"),
+        F.lead("__s", 1).over(w).alias("__s2"),
+    )
+    return ranked.filter(F.col("__r") == 1).select(
+        F.col("__id").alias(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.col("__l").alias("pred_label"),
+        F.col("__s").cast("long").alias("score_micro"),
+        (F.col("__s") - F.coalesce("__s2", F.col("__s")))
+        .cast("long")
+        .alias("margin_micro"),
+    )
+
+
 def top_pmi_bigrams(
     docs: DataFrame,
     text_col: str = "text",

@@ -577,3 +577,91 @@ def pipeline_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(
         docs, model, buckets=_LM_B, portable=True, seed=_LM_SEED
     )
+
+
+_NB_B = 4096
+_NB_SEED = 19
+_NB_TRAIN_MOD = 5  # doc_id % 5 != 0 → training split
+
+
+def _nb_classifier_oracle() -> str:
+    h = portable_hash60_sql("u.t", _NB_SEED)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS w FROM documents),
+    tok AS (
+      SELECT doc_id, lang, ({h}) % {_NB_B} AS b
+      FROM t, unnest(w) AS u(t)
+    ),
+    counts AS (
+      SELECT lang AS l, b, count(*) AS c FROM tok
+      WHERE doc_id % {_NB_TRAIN_MOD} != 0 AND lang IS NOT NULL GROUP BY 1, 2
+    ),
+    classes AS (
+      SELECT DISTINCT lang AS l FROM documents
+      WHERE doc_id % {_NB_TRAIN_MOD} != 0 AND lang IS NOT NULL
+    ),
+    axis AS (SELECT unnest(generate_series(0, {_NB_B - 1})) AS b),
+    dense AS (
+      SELECT cl.l, a.b, coalesce(c.c, 0) AS c
+      FROM classes cl CROSS JOIN axis a
+      LEFT JOIN counts c ON c.l = cl.l AND c.b = a.b
+    ),
+    nc AS (SELECT l, sum(c) AS nc FROM dense GROUP BY 1),
+    tt AS (
+      SELECT d.l, d.b,
+             CAST(round(ln((d.c + 1.0) / (nc.nc + {_NB_B}.0)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM dense d JOIN nc ON nc.l = d.l
+    ),
+    dc AS (
+      SELECT lang AS l, count(*) AS ndc FROM documents
+      WHERE doc_id % {_NB_TRAIN_MOD} != 0 AND lang IS NOT NULL GROUP BY 1
+    ),
+    nd AS (SELECT sum(ndc) AS n FROM dc),
+    pri AS (
+      SELECT l, CAST(round(ln(CAST(ndc AS DOUBLE) / n) * 1000000) AS BIGINT)
+                AS prior
+      FROM dc, nd
+    ),
+    feats AS (SELECT doc_id, b, count(*) AS k FROM tok GROUP BY 1, 2),
+    contrib AS (
+      SELECT f.doc_id, tt.l, sum(f.k * tt.lp) AS ts, sum(f.k) AS nt
+      FROM feats f JOIN tt ON tt.b = f.b GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, p.l, coalesce(c.nt, 0) AS nt,
+             p.prior + coalesce(c.ts, 0) AS s
+      FROM documents d CROSS JOIN pri p
+      LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.l = p.l
+    ),
+    ranked AS (
+      SELECT doc_id, l, nt, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS r,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS s2
+      FROM scored
+    )
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, l AS pred_label,
+           CAST(s AS BIGINT) AS score_micro,
+           CAST(s - coalesce(s2, s) AS BIGINT) AS margin_micro
+    FROM ranked WHERE r = 1
+    """
+
+
+@register("pipeline_nb_classifier", oracle=_nb_classifier_oracle())
+def pipeline_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed multinomial Naive Bayes classification
+    (operators/importance.py nb_classify): the fastText-style linear
+    classifier shape used for quality/language filtering, trained
+    closed-form on the doc_id %% 5 != 0 split with lang as the class and
+    applied to EVERY document — outputs the argmax class, its integer
+    micro-nat score, and the runner-up margin (the confidence signal a
+    threshold filter consumes). Model fit (dense C·B token table +
+    priors), scoring, and the deterministic argmax are all reproduced in
+    the oracle."""
+    from hive_udf_spark.operators.importance import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_TRAIN_MOD != 0)
+    return nb_classify(
+        docs, train, buckets=_NB_B, portable=True, seed=_NB_SEED
+    )

@@ -211,3 +211,100 @@ def test_corpus_stats_plan_shapes(spark, sf_dir):
     assert "EvalPython" not in pmi
     assert "partial_count" in pmi
     assert "TakeOrderedAndProject" in pmi  # top-k never global-sorts
+
+
+def test_nb_classify_matches_python_reference(spark):
+    """NB scores and argmax equal a pure-Python mirror (same hashes,
+    same quantized logs, same tie-break)."""
+    import hashlib
+    import math
+
+    from hive_udf_spark.operators.importance import nb_classify
+
+    def ph(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    labeled = [
+        (1, "cat", "cats purr and meow loudly"),
+        (2, "cat", "a cat naps on the mat"),
+        (3, "dog", "dogs bark and fetch sticks"),
+        (4, "dog", "a dog runs in the park"),
+        (5, "dog", "the dog chews a bone"),
+    ]
+    docs = [
+        (10, "the cat naps"),
+        (11, "a dog runs and barks"),
+        (12, ""),
+        (13, "zebra zebra"),
+    ]
+    B, seed = 32, 19
+    ldf = spark.createDataFrame(labeled, "doc_id long, label string, text string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pred_label, r.score_micro, r.margin_micro)
+        for r in nb_classify(
+            ddf, ldf, label_col="label", buckets=B, portable=True, seed=seed
+        ).collect()
+    }
+
+    counts, ndocs = {}, {}
+    for _, lab, t in labeled:
+        ndocs[lab] = ndocs.get(lab, 0) + 1
+        for w in t.split():
+            counts[(lab, ph(w, seed) % B)] = counts.get((lab, ph(w, seed) % B), 0) + 1
+    classes = sorted(ndocs)
+    nc = {c: sum(v for (l, _), v in counts.items() if l == c) for c in classes}
+    n_total = sum(ndocs.values())
+    want = {}
+    for did, t in docs:
+        toks = t.split()
+        scores = []
+        for c in classes:
+            s = round(math.log(ndocs[c] / n_total) * 1e6)
+            for w in toks:
+                b = ph(w, seed) % B
+                s += round(math.log((counts.get((c, b), 0) + 1.0) / (nc[c] + float(B))) * 1e6)
+            scores.append((s, c))
+        # argmax: score desc, label asc
+        ranked = sorted(scores, key=lambda x: (-x[0], x[1]))
+        margin = ranked[0][0] - (ranked[1][0] if len(ranked) > 1 else ranked[0][0])
+        want[did] = (len(toks), ranked[0][1], ranked[0][0], margin)
+    assert got == want
+    # sanity: the separable docs classify correctly with positive margin
+    assert got[10][1] == "cat" and got[11][1] == "dog"
+    assert got[10][3] > 0 and got[11][3] > 0
+    # empty doc: prior-only argmax (dog has the larger prior)
+    assert got[12] == want[12] and got[12][1] == "dog" and got[12][0] == 0
+
+
+def test_nb_classify_single_class_margin_zero(spark):
+    from hive_udf_spark.operators.importance import nb_classify
+
+    ldf = spark.createDataFrame([(1, "x", "a b")], "doc_id long, label string, text string")
+    ddf = spark.createDataFrame([(2, "a")], "doc_id long, text string")
+    rows = nb_classify(ddf, ldf, label_col="label", buckets=16, portable=True).collect()
+    assert len(rows) == 1 and rows[0].pred_label == "x" and rows[0].margin_micro == 0
+
+
+def test_nb_classify_null_label_rows_excluded_from_fit(spark):
+    """NULL-label training rows must not create a NULL class."""
+    from hive_udf_spark.operators.importance import nb_classify
+
+    ldf = spark.createDataFrame(
+        [(1, "x", "a a"), (2, None, "b b b")],
+        "doc_id long, label string, text string",
+    )
+    ddf = spark.createDataFrame([(3, "b")], "doc_id long, text string")
+    rows = nb_classify(ddf, ldf, label_col="label", buckets=16, portable=True).collect()
+    assert [r.pred_label for r in rows] == ["x"]
+
+
+def test_nb_classify_plan_shape(spark, sf_dir):
+    """Model tables broadcast; no row-at-a-time Python; the corpus-sized
+    aggregations are partial (map-side combine before the exchange)."""
+    from hive_udf_spark.operators.importance import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = nb_classify(docs, docs, label_col="lang")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

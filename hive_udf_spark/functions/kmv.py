@@ -166,6 +166,26 @@ def kmv_intersect_estimate(a: Column | str, b: Column | str, k: int) -> Column:
     )
 
 
+def kmv_difference_estimate(a: Column | str, b: Column | str, k: int) -> Column:
+    """Scalar: |A \\ B| estimate (bigint) — the a-not-b set operation
+    (Beyer et al. 2007's multiset framework; the theta-sketch AnotB
+    analogue). With X = bottom-k of A∪B, the fraction of X's members
+    that lie in A but not B estimates |A\\B| / |A∪B|, so
+
+        est = floor( |X ∩ (A − B)| / |X| · est(A∪B) ).
+
+    Non-negative by construction, deterministic given the sketches, and
+    a ratio of small exact integers times the portable union estimate —
+    engine-reproducible bit-for-bit like the other KMV ops."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    x = kmv_union(ca, cb, k)
+    frac = F.size(F.array_intersect(x, F.array_except(ca, cb))).cast(
+        "double"
+    ) / F.size(x).cast("double")
+    return F.floor(frac * kmv_estimate(x, k)).cast("bigint")
+
+
 def kmv_sketch_sql(
     source_cte: str,
     group_expr: str,

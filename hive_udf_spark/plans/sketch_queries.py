@@ -590,6 +590,86 @@ def sketch_kmv_jaccard_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_difference_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+    from hive_udf_spark.functions.kmv import kmv_estimate_sql
+
+    hv = portable_hash60_sql("o_custkey", _KMV_SEED)
+    k = _KMV_K
+    est_u = kmv_estimate_sql("u", k)
+    return f"""
+    WITH seg AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    ha AS (SELECT {hv} AS hv FROM seg WHERE in_a = 1),
+    hb AS (SELECT {hv} AS hv FROM seg WHERE in_b = 1),
+    ska AS (SELECT list(hv ORDER BY hv) AS a FROM (SELECT DISTINCT hv FROM ha ORDER BY hv LIMIT {k})),
+    skb AS (SELECT list(hv ORDER BY hv) AS b FROM (SELECT DISTINCT hv FROM hb ORDER BY hv LIMIT {k})),
+    x AS (SELECT a, b, list_sort(list_distinct(a || b))[1:{k}] AS u FROM ska, skb),
+    est AS (
+      SELECT
+        CAST(floor(len(list_intersect(u, list_filter(a, v -> NOT list_contains(b, v))))::DOUBLE
+                   / len(u) * ({est_u})) AS BIGINT) AS est_a_not_b,
+        CAST(floor(len(list_intersect(u, list_filter(b, v -> NOT list_contains(a, v))))::DOUBLE
+                   / len(u) * ({est_u})) AS BIGINT) AS est_b_not_a
+      FROM x
+    ),
+    exact AS (
+      SELECT CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS exact_a_not_b,
+             CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS exact_b_not_a
+      FROM seg
+    )
+    SELECT est.est_a_not_b, est.est_b_not_a, exact.exact_a_not_b, exact.exact_b_not_a
+    FROM est, exact
+    """
+
+
+@register("sketch_kmv_difference_segments", oracle=_kmv_difference_oracle())
+def sketch_kmv_difference_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set DIFFERENCE over KMV sketches — the a-not-b operation
+    (theta-sketch AnotB analogue; Beyer et al. 2007 multiset algebra):
+    customers with URGENT but never HIGH orders and vice versa, each
+    estimated from the two bottom-k sketches alone and hash-matched
+    against DuckDB running the identical algebra, next to the exact
+    counts. With union/intersect/jaccard this completes the stub UDF's
+    intended sketch set-utility surface
+    (UDFCardinalityEstimator.java:30)."""
+    from hive_udf_spark.functions.kmv import kmv_difference_estimate, kmv_table
+
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & F.col("o_custkey").isNotNull()
+    )
+    seg = ords.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("in_a"),
+        F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("in_b"),
+    )
+    a = kmv_table(seg.filter("in_a = 1"), [], "o_custkey", k=_KMV_K, seed=_KMV_SEED).select(
+        F.col("kmv").alias("a")
+    )
+    b = kmv_table(seg.filter("in_b = 1"), [], "o_custkey", k=_KMV_K, seed=_KMV_SEED).select(
+        F.col("kmv").alias("b")
+    )
+    exact = seg.agg(
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("exact_a_not_b"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("bigint").alias("exact_b_not_a"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(exact)
+        .select(
+            kmv_difference_estimate("a", "b", _KMV_K).alias("est_a_not_b"),
+            kmv_difference_estimate("b", "a", _KMV_K).alias("est_b_not_a"),
+            "exact_a_not_b",
+            "exact_b_not_a",
+        )
+    )
+
+
 _QS_K = 256
 _QS_SRC = """
     qsrc AS (

@@ -106,3 +106,34 @@ def test_k_validation(spark):
 
 def test_default_k():
     assert KMV_DEFAULT_K == 64
+
+
+def test_difference_estimate(spark):
+    """A = [0, 3000), B = [1500, 4500): |A\\B| = |B\\A| = 1500; below
+    saturation the estimate is exact, saturated it lands within RSE."""
+    from hive_udf_spark.functions.kmv import kmv_difference_estimate
+
+    base = spark.range(4500).select(F.col("id").alias("v"))
+    a = kmv_table(base.filter("v < 3000"), [], "v", k=512).select(F.col("kmv").alias("a"))
+    b = kmv_table(base.filter("v >= 1500"), [], "v", k=512).select(F.col("kmv").alias("b"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            kmv_difference_estimate("a", "b", 512).alias("ab"),
+            kmv_difference_estimate("b", "a", 512).alias("ba"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["ab"] - 1500) / 1500 < 0.2
+    assert abs(row["ba"] - 1500) / 1500 < 0.2
+    # unsaturated regime: sketches ARE the sets, estimate is exact
+    sa = kmv_table(base.filter("v < 30"), [], "v", k=64).select(F.col("kmv").alias("a"))
+    sb = kmv_table(base.filter("v >= 15 and v < 45"), [], "v", k=64).select(
+        F.col("kmv").alias("b")
+    )
+    srow = (
+        sa.crossJoin(sb)
+        .select(kmv_difference_estimate("a", "b", 64).alias("ab"))
+        .collect()[0]
+    )
+    assert srow["ab"] == 15

@@ -1105,3 +1105,53 @@ def dedup_representatives(
         F.min(id_col).alias("rep_id"),
         F.count(F.lit(1)).cast("long").alias("multiplicity"),
     )
+
+
+def shared_signature_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    min_shared: int = 1,
+    max_sig_freq: int | None = None,
+) -> DataFrame:
+    """Pairs of items sharing at least ``min_shared`` distinct signature
+    values from an (id, signature) relation — the shared-keyframe video
+    dedup shape, and generally any "two containers overlap on >= m
+    exact members" join (shared frame hashes, shared shingle
+    fingerprints, shared attachment digests).
+
+    Plan shape (100 TB discipline): candidate generation is a bucketed
+    equi-self-join on the signature value — a fixed-width (sig, id)
+    shuffle, never an all-pairs pass; pair multiplicity is then one
+    partial-aggregated count. Pair volume is Σ_s f_s² over signature
+    frequencies, so ``max_sig_freq`` caps the hot buckets (the black
+    frame / empty page problem): signatures shared by more items are
+    dropped from candidate generation BEFORE the join, the same max_df
+    discipline as retrieval's posting-list cut. Capped signatures can
+    only remove evidence, so output pairs remain true >=min_shared
+    pairs under the cap's contract (documented, like star-mode recall).
+
+    Emits (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_sig_freq is not None and max_sig_freq < 2:
+        raise ValueError("max_sig_freq must be >= 2 (pairs need two members)")
+    s = sigs.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__s")
+    ).distinct()
+    if max_sig_freq is not None:
+        freq = s.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
+        s = s.join(
+            F.broadcast(freq.filter(F.col("__f") > max_sig_freq)),
+            "__s",
+            "left_anti",
+        )
+    a = s.select(F.col("__id").alias("id_a"), "__s")
+    b = s.select(F.col("__id").alias("id_b"), "__s")
+    pairs = a.join(b, "__s").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -973,3 +973,71 @@ def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return top_pmi_bigrams(docs, "text", k=_PMI_K, min_count=_PMI_MIN)
+
+
+@register(
+    "multimodal_video_near_dup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text FROM documents
+      WHERE regexp_matches(substr(text, 1, 160), '^[\x00-\x7f]*$')
+    ),
+    fr AS (
+      SELECT doc_id, rpad(substr(text, 32 * u.i + 1, 64), 64, ' ') AS s
+      FROM t, unnest([0, 2]) AS u(i)
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM fr
+    ),
+    h AS (
+      SELECT DISTINCT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, 60),
+          i -> CASE WHEN 64 * cps[i] > list_sum(cps)
+               THEN (1::BIGINT << (60 - i)) ELSE 0::BIGINT END)) AS BIGINT) AS ahash
+      FROM b
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS n_shared
+      FROM h a JOIN h c ON a.ahash = c.ahash AND a.doc_id < c.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p WHERE n_shared >= 2
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection end-to-end — container build, REAL
+    frame walk, per-frame hash, shared-keyframe join: each doc becomes a
+    4-frame concatenated-netpbm container (overlapping 64-char text
+    windows as 8x8 PGM frames), operators/multimodal.py
+    sample_container_frames parses it frame-by-frame and keeps every 2nd
+    frame, each sampled frame is average-hashed (integer-only
+    thresholds), and operators/dedup.py shared_signature_pairs emits
+    video pairs sharing BOTH sampled frame hashes — the shared-keyframe
+    dedup design (bucketed equi-join on frame hash, never all-pairs).
+    The oracle recomputes sampled-frame payloads and hashes straight
+    from the text and brute-forces the >=2-shared-hash pairs, so
+    container encode -> parse -> decode must round-trip exactly."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+    from hive_udf_spark.operators.multimodal import (
+        image_ahash_table,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
+    )
+    hdr = F.lit(b"P5\n8 8\n255\n")
+    frames = [
+        F.concat(
+            hdr,
+            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
+        )
+        for i in range(4)
+    ]
+    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
+    sampled = sample_container_frames(blobs, every_nth=2)
+    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    return shared_signature_pairs(
+        sigs, id_col="doc_id", sig_col="ahash", min_shared=2
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.text import word_set
@@ -303,3 +304,65 @@ def test_prefix_filter_large_doc_no_overflow(spark):
     )
     got = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+
+
+def test_shared_signature_pairs_basic(spark):
+    """Pair multiplicity counts DISTINCT shared values; min_shared
+    filters; ordering id_a < id_b."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+
+    rows = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),          # shares {10, 11} with 1
+        (3, 12),                   # shares {12} with 1 only
+        (4, 99), (4, 99),          # duplicate (id, sig) rows collapse
+        (5, 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_signature_pairs(df, "doc_id", "sig", min_shared=1).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (4, 5): 1}
+    got2 = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_signature_pairs(df, "doc_id", "sig", min_shared=2).collect()
+    }
+    assert got2 == {(1, 2): 2}
+
+
+def test_shared_signature_pairs_hot_bucket_cap(spark):
+    """max_sig_freq drops signatures shared by too many items BEFORE the
+    join (the black-frame guard); remaining evidence still pairs."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+
+    rows = [(i, 7) for i in range(10)] + [(0, 1), (1, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_signature_pairs(
+            df, "doc_id", "sig", min_shared=1, max_sig_freq=5
+        ).collect()
+    }
+    assert got == {(0, 1): 1}  # sig 7 (freq 10) capped out; sig 1 survives
+    with pytest.raises(ValueError, match="max_sig_freq"):
+        shared_signature_pairs(df, "doc_id", "sig", max_sig_freq=1)
+    with pytest.raises(ValueError, match="min_shared"):
+        shared_signature_pairs(df, "doc_id", "sig", min_shared=0)
+
+
+def test_shared_signature_pairs_plan_shape(spark):
+    """Candidate generation is an equi-join on the signature (shuffle or
+    broadcast hash join — never a cartesian product) and the pair count
+    partially aggregates before its exchange."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("sig")
+    )
+    plan = (
+        shared_signature_pairs(df, "doc_id", "sig", min_shared=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan

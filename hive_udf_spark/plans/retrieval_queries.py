@@ -147,3 +147,44 @@ def streaming_incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataF
         queries = docs.filter(F.col("doc_id") % _QMOD == 0)
         out = bm25_topk(index, queries, k=_K).localCheckpoint(eager=True)
     return out
+
+
+_FORGET_MOD = 113
+_FORGET_ORACLE = _BM25_ORACLE.replace(
+    "FROM documents", f"FROM documents WHERE doc_id % {_FORGET_MOD} != 0"
+)
+
+
+@register("retrieval_forget_then_search", oracle=_FORGET_ORACLE)
+def retrieval_forget_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation (sources/sinks.py propagate_deletes): the
+    corpus and its stored postings index forget doc_id % 113 == 0 via
+    one delete list (anti-join + atomic swap per table), WITHOUT
+    touching raw text again; BM25 over the post-delete index — corpus
+    stats re-derived from surviving postings by index_from_postings —
+    must equal a from-scratch build on the filtered corpus (the oracle
+    is the retrieval_bm25_topk SQL with the deletion filter applied at
+    the source). Proves forgotten documents neither appear as results
+    nor haunt df/n_docs/total_tokens."""
+    import tempfile
+
+    from hive_udf_spark.operators.retrieval import (
+        bm25_topk,
+        doc_postings,
+        index_from_postings,
+    )
+    from hive_udf_spark.sources.sinks import propagate_deletes
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus_path, postings_path = f"{tmp}/corpus", f"{tmp}/postings"
+        docs.write.parquet(corpus_path)
+        doc_postings(docs).write.parquet(postings_path)
+        deletes = docs.filter(F.col("doc_id") % _FORGET_MOD == 0).select("doc_id")
+        propagate_deletes(
+            spark, deletes, {corpus_path: "doc_id", postings_path: "doc_id"}
+        )
+        index = index_from_postings(spark.read.parquet(postings_path))
+        queries = spark.read.parquet(corpus_path).filter(F.col("doc_id") % _QMOD == 0)
+        out = bm25_topk(index, queries, k=_K).localCheckpoint(eager=True)
+    return out

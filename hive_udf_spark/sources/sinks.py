@@ -31,6 +31,8 @@ __all__ = [
     "atomic_swap_parquet",
     "swap_dir",
     "expire_rows",
+    "forget_rows",
+    "propagate_deletes",
 ]
 
 
@@ -292,3 +294,55 @@ def expire_rows(
     atomic_swap_parquet(kept, table_path)
     after = spark.read.parquet(table_path).count()
     return before, after
+
+
+def forget_rows(
+    spark: SparkSession,
+    table_path: str,
+    ids: DataFrame,
+    id_col: str,
+) -> tuple[int, int]:
+    """Targeted deletion (the right-to-be-forgotten maintenance pass):
+    atomically replace the parquet table at ``table_path`` with only the
+    rows whose ``id_col`` is NOT in ``ids`` — a left-anti join, so one
+    delete list removes EVERY row keyed by a forgotten id (a document's
+    posting rows, signature rows, chunk rows alike). Readers see the old
+    or the new table at every instant (the atomic_swap_parquet
+    contract); returns (rows_before, rows_after).
+
+    The join is left as a plain anti-join: AQE broadcasts a small delete
+    list at runtime, while a bulk purge list still executes as a shuffle
+    join — no collect, no hard broadcast that would cap the list size.
+    At deployment scale this is a transactional-format anti-join MERGE;
+    the rewrite cost is proportional to surviving data.
+    """
+    keys = ids.select(F.col(id_col)).distinct()
+    df = spark.read.parquet(table_path)
+    before = df.count()
+    kept = df.join(keys, id_col, "left_anti")
+    atomic_swap_parquet(kept, table_path)
+    after = spark.read.parquet(table_path).count()
+    return before, after
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    ids: DataFrame,
+    tables: dict[str, str],
+) -> list[tuple[str, int, int]]:
+    """Apply ONE delete list consistently across a corpus table and all
+    its derived tables (``{path: id_col}``) — the cross-table half of
+    deletion: raw docs, stored postings, signature indexes, and chunk
+    tables must forget the same ids or derived artifacts resurrect
+    deleted content. Each table swaps atomically in turn (per-table
+    atomicity, eventual cross-table consistency — the contract a
+    non-transactional lake can honor; pair with derived-stat
+    recomputation at read time, e.g. retrieval.index_from_postings,
+    so corpus-level statistics reflect the post-delete corpus).
+    Returns [(path, rows_before, rows_after), ...] in application
+    order."""
+    report = []
+    for path, id_col in tables.items():
+        before, after = forget_rows(spark, path, ids, id_col)
+        report.append((path, before, after))
+    return report

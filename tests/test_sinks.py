@@ -277,3 +277,56 @@ def test_expire_rows_ttl(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.filter("day < 3").count() == 0 and got.count() == 70
     assert expire_rows(spark, path, "day >= 3") == (70, 70)  # idempotent
+
+
+def test_forget_rows_removes_all_rows_for_id(spark, tmp_path):
+    """One forgotten id removes EVERY row keyed by it (posting-shaped
+    multi-row tables), the swap leaves the path readable, and the
+    report counts are exact."""
+    from hive_udf_spark.sources.sinks import forget_rows
+
+    path = str(tmp_path / "postings")
+    rows = [(d, t) for d in range(10) for t in range(d % 3 + 1)]
+    spark.createDataFrame(rows, "doc_id long, term_no long").write.parquet(path)
+    deletes = spark.createDataFrame([(3,), (7,), (99,)], "doc_id long")
+    before, after = forget_rows(spark, path, deletes, "doc_id")
+    assert before == len(rows)
+    kept = spark.read.parquet(path)
+    ids = {r.doc_id for r in kept.select("doc_id").distinct().collect()}
+    assert ids == set(range(10)) - {3, 7}
+    assert after == kept.count() == len([r for r in rows if r[0] not in (3, 7)])
+
+
+def test_propagate_deletes_spans_tables_and_rederives_stats(spark, tmp_path):
+    """The same delete list applies to corpus + postings; BM25 stats
+    re-derived from surviving postings equal a from-scratch build on
+    the filtered corpus (no ghost df/n_docs)."""
+    from hive_udf_spark.operators.retrieval import (
+        bm25_topk,
+        doc_postings,
+        index_from_postings,
+    )
+    from hive_udf_spark.sources.sinks import propagate_deletes
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common tail{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus, postings = str(tmp_path / "c"), str(tmp_path / "p")
+    docs.write.parquet(corpus)
+    doc_postings(docs).write.parquet(postings)
+    deletes = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    report = propagate_deletes(spark, deletes, {corpus: "doc_id", postings: "doc_id"})
+    assert [(b > a2) for (_, b, a2) in report] == [True, True]
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+    queries = survivors.limit(3)
+    got = bm25_topk(
+        index_from_postings(spark.read.parquet(postings)), queries, k=5
+    ).collect()
+    want = bm25_topk(
+        index_from_postings(doc_postings(survivors)), queries, k=5
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # forgotten docs never appear as results
+    assert all(r.doc_id % 3 != 0 for r in got)

@@ -390,18 +390,67 @@ def nb_model_tables(
     exploded token stream + one C-row doc count — the only corpus-sized
     shuffle carries fixed-width (class, bucket id) keys.
     """
+    return nb_tables_from_counts(
+        nb_count_cells(labeled, label_col, text_col, buckets, portable, seed),
+        buckets,
+    )
+
+
+def nb_count_cells(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 19,
+) -> DataFrame:
+    """The NB sufficient statistics as an ADDITIVE cell relation —
+    (label, bucket, cnt) hashed-token counts plus per-label document
+    counts stored as ``bucket = -1`` rows. Cells of disjoint corpora
+    sum losslessly per (label, bucket), so the model state is mergeable
+    exactly like a Count-Min table: a streaming sink
+    (streaming/model_sink.py) can maintain it micro-batch by
+    micro-batch and :func:`nb_tables_from_counts` derives the identical
+    classifier a one-shot fit would build. NULL-label rows are excluded
+    (they cannot vote for a class)."""
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     lab = labeled.filter(F.col(label_col).isNotNull())
-    toks = lab.select(
-        F.col(label_col).alias("__l"),
-        F.explode(
-            hashed_ngram_buckets(F.col(text_col), buckets, 1, portable, seed)
-        ).alias("__b"),
+    tok_cells = (
+        lab.select(
+            F.col(label_col).alias("label"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, 1, portable, seed)
+            ).alias("bucket"),
+        )
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    counts = toks.groupBy("__l", "__b").agg(F.count(F.lit(1)).alias("__c"))
-    classes = lab.select(F.col(label_col).alias("__l")).distinct()
-    axis = labeled.sparkSession.range(buckets).select(F.col("id").alias("__b"))
+    doc_cells = lab.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).select("label", F.lit(-1).cast("long").alias("bucket"), "cnt")
+    return tok_cells.unionByName(doc_cells)
+
+
+def nb_tables_from_counts(
+    cells: DataFrame, buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Derive the dense quantized model tables from a (possibly stored
+    and incrementally merged) :func:`nb_count_cells` relation — the
+    read-time half of the split, mirroring
+    retrieval.index_from_postings: the persisted state is raw additive
+    counts; smoothing and micro-nat quantization happen on the
+    already-reduced C·B relation at derivation time."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    counts = cells.filter(F.col("bucket") >= 0).select(
+        F.col("label").alias("__l"), F.col("bucket").alias("__b"), F.col("cnt").alias("__c")
+    )
+    dc = cells.filter(F.col("bucket") == -1).select(
+        F.col("label").alias("__l"), F.col("cnt").alias("__nd")
+    )
+    classes = dc.select("__l").distinct()
+    axis = cells.sparkSession.range(buckets).select(F.col("id").alias("__b"))
     dense = (
         classes.crossJoin(axis)
         .join(counts, ["__l", "__b"], "left")
@@ -424,9 +473,6 @@ def nb_model_tables(
             .cast("long")
             .alias("lp_micro"),
         )
-    )
-    dc = lab.groupBy(F.col(label_col).alias("__l")).agg(
-        F.count(F.lit(1)).alias("__nd")
     )
     nd = dc.agg(F.sum("__nd").alias("__n"))
     prior_table = dc.crossJoin(F.broadcast(nd)).select(
@@ -470,6 +516,25 @@ def nb_classify(
     token_table, prior_table = nb_model_tables(
         labeled, label_col, text_col, buckets, portable, seed
     )
+    return nb_classify_with_tables(
+        docs, token_table, prior_table, id_col, text_col, buckets, portable, seed
+    )
+
+
+def nb_classify_with_tables(
+    docs: DataFrame,
+    token_table: DataFrame,
+    prior_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    portable: bool = False,
+    seed: int = 19,
+) -> DataFrame:
+    """Score documents against pre-built model tables (the output of
+    :func:`nb_model_tables` or :func:`nb_tables_from_counts` over a
+    stored count-cell state) — the serving half of the split, same
+    output contract as :func:`nb_classify`."""
     feats = (
         docs.select(
             F.col(id_col).alias("__id"),

@@ -492,3 +492,67 @@ def streaming_incremental_pcsa_table(spark: SparkSession, sf_dir: str) -> DataFr
             .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
         )
     return out
+
+
+def _nb_stream_oracle() -> str:
+    # the streamed model must be bit-identical to the batch fit, so the
+    # oracle IS the batch classifier oracle
+    from hive_udf_spark.plans.pipeline_queries import _nb_classifier_oracle
+
+    return _nb_classifier_oracle()
+
+
+@register("streaming_incremental_nb_model", oracle=_nb_stream_oracle())
+def streaming_incremental_nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model training (streaming/model_sink.py nb_model_sink):
+    the labeled training split (doc_id % 5 != 0) arrives in 3
+    deterministic micro-batches; each batch's Naive Bayes count cells
+    merge additively into the stored model state under the retry-
+    skipping high-water mark, and classifying the full corpus with
+    tables derived from the STORED state (nb_tables_from_counts — the
+    read-time smoothing/quantization split) returns EXACTLY the batch
+    fit's predictions: the oracle is pipeline_nb_classifier's SQL
+    verbatim. "Train the quality classifier as data arrives" without
+    re-reading raw text."""
+    import tempfile
+
+    from hive_udf_spark.operators.importance import (
+        nb_classify_with_tables,
+        nb_tables_from_counts,
+    )
+    from hive_udf_spark.plans.pipeline_queries import _NB_B, _NB_SEED, _NB_TRAIN_MOD
+    from hive_udf_spark.streaming.model_sink import nb_model_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_TRAIN_MOD != 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(3):  # sequential writes -> deterministic file order
+            train.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = nb_model_sink(
+            stream,
+            f"{tmp}/nb_counts",
+            f"{tmp}/ckpt",
+            label_col="lang",
+            buckets=_NB_B,
+            portable=True,
+            seed=_NB_SEED,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        tok, pri = nb_tables_from_counts(
+            spark.read.parquet(f"{tmp}/nb_counts"), _NB_B
+        )
+        out = nb_classify_with_tables(
+            docs, tok, pri, buckets=_NB_B, portable=True, seed=_NB_SEED
+        ).localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+    return out

@@ -559,3 +559,61 @@ def test_sketch_sink_lineage_mismatch_raises(spark, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == 3
     with _pytest.raises(ValueError, match="lineage mismatch"):
         _merge_with_hwm(spark, rows, path, ["k", "v"], merge, batch_id=0)
+
+
+def test_nb_model_sink_incremental_equals_batch_fit(spark, tmp_path):
+    """Merging NB count cells batch-by-batch yields a stored state whose
+    derived tables classify IDENTICALLY to a one-shot fit."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.importance import (
+        nb_classify,
+        nb_classify_with_tables,
+        nb_count_cells,
+        nb_tables_from_counts,
+    )
+    from hive_udf_spark.streaming.model_sink import merge_nb_counts
+
+    docs = spark.createDataFrame(
+        [(i, "cat" if i % 2 else "dog", f"w{i % 5} w{i % 3} common") for i in range(30)],
+        "doc_id long, label string, text string",
+    )
+    table = str(tmp_path / "nb_counts")
+    B = 64
+    for b in range(3):
+        cells = nb_count_cells(
+            docs.filter(F.col("doc_id") % 3 == b), "label", "text", B, portable=True
+        )
+        merge_nb_counts(spark, cells, table, batch_id=b)
+    tok, pri = nb_tables_from_counts(spark.read.parquet(table), B)
+    got = nb_classify_with_tables(docs, tok, pri, buckets=B, portable=True)
+    want = nb_classify(docs, docs, label_col="label", buckets=B, portable=True)
+    key = lambda r: r.doc_id
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_nb_model_sink_batch_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch_id) is a no-op for the additive
+    count cells (high-water-mark guard)."""
+    from hive_udf_spark.operators.importance import nb_count_cells
+    from hive_udf_spark.streaming.model_sink import merge_nb_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a b a"), (2, "y", "b c")], "doc_id long, label string, text string"
+    )
+    table = str(tmp_path / "nb_counts")
+    cells = nb_count_cells(docs, "label", "text", 16, portable=True)
+    merge_nb_counts(spark, cells, table, batch_id=0)
+    snap = lambda: sorted(
+        (r.label, r.bucket, r.cnt)
+        for r in spark.read.parquet(table).filter("bucket >= -1").collect()
+    )
+    first = snap()
+    merge_nb_counts(spark, cells, table, batch_id=0)  # retry
+    assert snap() == first
+    # a genuinely new batch DOES merge
+    merge_nb_counts(spark, cells, table, batch_id=1)
+    doubled = {
+        (label, bucket): cnt for (label, bucket, cnt) in snap()
+    }
+    assert all(doubled[(l, bk)] == c * 2 for (l, bk, c) in first)

@@ -474,6 +474,50 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         batch = docs.filter(F.col("doc_id") % 10 == 0)
         _force(probe_duplicate_spans(build_ngram_index(corpus, n=5), batch, n=5))
 
+    def q_hllp_grouped():
+        # portable HLL: relational register build + bit-exact estimate
+        from hive_udf_spark.functions.hllp import hllp_estimate, hllp_table
+
+        _force(
+            hllp_estimate(
+                hllp_table(lineitem, ["l_returnflag"], "l_orderkey", m=256),
+                ["l_returnflag"],
+                m=256,
+            )
+        )
+
+    def q_nb_classify():
+        # fast path: xxhash64 buckets (the oracle covers portable mode);
+        # closed-form fit on the 4/5 split + full-corpus argmax scoring
+        from hive_udf_spark.operators.importance import nb_classify
+
+        _force(
+            nb_classify(docs, docs.filter(F.col("doc_id") % 5 != 0), buckets=4096)
+        )
+
+    def q_video_near_dup():
+        # container build -> real frame walk (2:1 sampled) -> per-frame
+        # aHash -> shared-keyframe pair join
+        from hive_udf_spark.operators.dedup import shared_signature_pairs
+        from hive_udf_spark.operators.multimodal import (
+            image_ahash_table,
+            sample_container_frames,
+        )
+
+        vdocs = docs.filter(F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$"))
+        hdr = F.lit(b"P5\n8 8\n255\n")
+        frames = [
+            F.concat(
+                hdr,
+                F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
+            )
+            for i in range(4)
+        ]
+        blobs = vdocs.select("doc_id", F.concat(*frames).alias("blob"))
+        sampled = sample_container_frames(blobs, every_nth=2)
+        sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+        _force(shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2))
+
     benches = {
         "hll_grouped_lineitem": q_hll_lineitem,
         "hll_vs_exact_events": q_hll_exact_compare,
@@ -524,6 +568,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "semantic_decontam": q_semantic_decontam,
         "quantile_sliding_7d": q_quantile_sliding,
         "lm_perplexity": q_lm_perplexity,
+        "hllp_grouped": q_hllp_grouped,
+        "nb_classify": q_nb_classify,
+        "video_near_dup": q_video_near_dup,
     }
 
     times: dict[str, float] = {}

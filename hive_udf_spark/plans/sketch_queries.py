@@ -1029,3 +1029,87 @@ def sketch_quantile_sliding_window(spark: SparkSession, sf_dir: str) -> DataFram
         qsketch_quantile("qs", 0.5).alias("p50_cents"),
         qsketch_quantile("qs", 0.95).alias("p95_cents"),
     )
+
+
+_HLLP_M = 256
+_HLLP_SEED = 7
+
+
+def _hllp_oracle() -> str:
+    from hive_udf_spark.functions.hllp import hllp_estimate_sql
+
+    inner = hllp_estimate_sql(
+        "lineitem", "l_returnflag", "l_orderkey", _HLLP_M, _HLLP_SEED,
+        group_alias="l_returnflag",
+    )
+    return f"""
+    WITH est AS ({inner}),
+    exact AS (
+      SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+      FROM lineitem GROUP BY 1
+    )
+    SELECT e.l_returnflag, e.n_zero, e.est_hllp, x.exact_orders
+    FROM est e JOIN exact x ON x.l_returnflag = e.l_returnflag
+    """
+
+
+@register("approx_distinct_hllp_grouped", oracle=_hllp_oracle())
+def approx_distinct_hllp_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog grouped cardinality — the reference's
+    PRIMARY algorithm (UDAFCardinalityEstimator.java:50) at the
+    strongest check tier: the Tier-B relational build max-aggregates
+    (bucket, rank) registers map-side, and the estimate applies the
+    REFERENCE'S exact policy — small-range linear-counting correction,
+    long-range correction disabled (stream-lib cardinality(false),
+    :335-337). The harmonic sum is computed as an exact dyadic BIGINT,
+    so the raw estimate is one literal x one int64->double conversion x
+    one division — the estimate hash-matches DuckDB BIT-FOR-BIT, the
+    check form the DataSketches facade can only bound (BASELINE.md r4).
+    Shown next to the exact count (measured |err| within ~1.04/sqrt(m))."""
+    from hive_udf_spark.functions.hllp import hllp_estimate, hllp_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hllp_table(li, ["l_returnflag"], "l_orderkey", m=_HLLP_M, seed=_HLLP_SEED)
+    est = hllp_estimate(sk, ["l_returnflag"], m=_HLLP_M)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+def _hllp_rollup_oracle() -> str:
+    from hive_udf_spark.functions.hllp import hllp_estimate_sql
+
+    inner = hllp_estimate_sql(
+        "events", "date_trunc('month', ts)", "user_id", _HLLP_M, _HLLP_SEED,
+        group_alias="month",
+    )
+    return f"SELECT month, n_zero, est_hllp AS est_users FROM ({inner})"
+
+
+@register("sketch_hllp_rollup_exact_merge", oracle=_hllp_rollup_oracle())
+def sketch_hllp_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL re-aggregation (the :259-265 sketch-as-data path):
+    per-day register relations max-merged to months. The max merge is a
+    LOSSLESS idempotent semilattice, so the merged estimate is bit-equal
+    to a direct month build — which is what the oracle computes."""
+    from hive_udf_spark.functions.hllp import (
+        hllp_estimate,
+        hllp_merge_table,
+        hllp_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = hllp_table(
+        ev.withColumn("month", F.date_trunc("month", "ts")).withColumn(
+            "day", F.date_trunc("day", "ts")
+        ),
+        ["month", "day"],
+        "user_id",
+        m=_HLLP_M,
+        seed=_HLLP_SEED,
+    )
+    rolled = hllp_merge_table(daily, ["month"])
+    return hllp_estimate(rolled, ["month"], m=_HLLP_M).select(
+        "month", "n_zero", F.col("est_hllp").alias("est_users")
+    )

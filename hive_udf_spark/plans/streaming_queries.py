@@ -556,3 +556,45 @@ def streaming_incremental_nb_model(spark: SparkSession, sf_dir: str) -> DataFram
             docs, tok, pri, buckets=_NB_B, portable=True, seed=_NB_SEED
         ).localCheckpoint(eager=True)  # outlives the TemporaryDirectory
     return out
+
+
+def _streaming_hllp_oracle() -> str:
+    from hive_udf_spark.functions.hllp import hllp_estimate_sql
+
+    inner = hllp_estimate_sql(
+        "events", "date_trunc('day', ts)", "user_id", 256, 7, group_alias="day"
+    )
+    return f"SELECT day, n_zero, est_hllp AS est_users FROM ({inner})"
+
+
+@register("streaming_incremental_hllp_table", oracle=_streaming_hllp_oracle())
+def streaming_incremental_hllp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-on-write state with the reference's PRIMARY
+    algorithm: the stream maintains per-day portable-HLL registers
+    (streaming/sketch_sink.py daily_user_hllp_sink), max-merged across
+    micro-batches — idempotent, so no high-water mark, like PCSA's OR
+    and unlike the exact counters. The max merge is lossless: the
+    streamed register table is bit-identical to a batch build, so the
+    DuckDB oracle reproduces every estimate EXACTLY (the strongest
+    check form, now on streaming HLL state)."""
+    import tempfile
+
+    from hive_udf_spark.functions.hllp import hllp_estimate
+    from hive_udf_spark.streaming.sketch_sink import daily_user_hllp_sink
+    from hive_udf_spark.streaming.windows import read_events_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/daily_hllp"
+        q = daily_user_hllp_sink(
+            read_events_stream(spark, sf_dir), table, f"{tmp}/ckpt", m=256, seed=7
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            hllp_estimate(spark.read.parquet(table), ["day"], m=256)
+            .select("day", "n_zero", F.col("est_hllp").alias("est_users"))
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

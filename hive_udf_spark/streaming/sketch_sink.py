@@ -326,3 +326,57 @@ def daily_user_pcsa_sink(
         .outputMode("update")
         .start()
     )
+
+
+def merge_hllp_table(
+    spark: SparkSession,
+    batch_sketch: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+) -> None:
+    """Merge a micro-batch's portable-HLL register rows
+    (functions/hllp.py hllp_table: key_cols + (bucket, rank)) into the
+    stored sketch: max per (key, bucket). Like PCSA's OR and unlike the
+    exact counters, the max merge is IDEMPOTENT per element — a
+    foreachBatch retry re-maxes the same ranks harmlessly, so no
+    high-water mark is needed."""
+    def merge(all_rows: DataFrame) -> DataFrame:
+        return all_rows.groupBy(*key_cols, "bucket").agg(
+            F.max("rank").alias("rank")
+        )
+
+    # batch_id=None: the max merge needs no retry guard
+    _merge_with_hwm(
+        spark, batch_sketch, table_path, [*key_cols, "bucket", "rank"], merge, None
+    )
+
+
+def daily_user_hllp_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    m: int = 256,
+    seed: int = 7,
+):
+    """Streaming query maintaining per-day PORTABLE-HLL distinct-user
+    registers — the reference's primary algorithm as merge-on-write
+    streaming state (fifth family). Lossless max merge ⇒ the streamed
+    table is bit-identical to a batch build, estimates included."""
+    from hive_udf_spark.functions.hllp import hllp_table
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        sk = hllp_table(
+            batch_df.withColumn("day", F.date_trunc("day", "ts")),
+            ["day"],
+            "user_id",
+            m=m,
+            seed=seed,
+        )
+        merge_hllp_table(batch_df.sparkSession, sk, table_path, ["day"])
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

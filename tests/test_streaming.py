@@ -617,3 +617,39 @@ def test_nb_model_sink_batch_retry_idempotent(spark, tmp_path):
         (label, bucket): cnt for (label, bucket, cnt) in snap()
     }
     assert all(doubled[(l, bk)] == c * 2 for (l, bk, c) in first)
+
+
+def test_hllp_sink_merge_idempotent_and_equals_direct(spark, sf_dir, tmp_path):
+    """max-merge of per-batch register tables ≡ direct build, and
+    re-merging the same batch (foreachBatch retry) is a no-op — no
+    high-water mark needed."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.hllp import hllp_table
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.sketch_sink import merge_hllp_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    table = str(tmp_path / "daily_hllp")
+    for b in range(2):
+        sk = hllp_table(
+            events.filter(F.col("event_id") % 2 == b), ["day"], "user_id", m=64
+        )
+        merge_hllp_table(spark, sk, table, ["day"])
+    snap = lambda: sorted(
+        (r.day, r.bucket, r.rank)
+        for r in spark.read.parquet(table).select("day", "bucket", "rank").collect()
+    )
+    direct = sorted(
+        (r.day, r.bucket, r.rank)
+        for r in hllp_table(events, ["day"], "user_id", m=64).collect()
+    )
+    assert snap() == direct
+    # retry: re-merge batch 0 — idempotent
+    sk0 = hllp_table(
+        events.filter(F.col("event_id") % 2 == 0), ["day"], "user_id", m=64
+    )
+    merge_hllp_table(spark, sk0, table, ["day"])
+    assert snap() == direct

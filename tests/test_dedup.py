@@ -366,3 +366,40 @@ def test_shared_signature_pairs_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_shared_signature_pairs_random_match_brute_force(spark):
+    """Randomized (id, sig) relations with hot signatures: output with
+    and without the frequency cap equals a brute-force reference."""
+    import itertools
+    import random
+
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(15), rng.randrange(8)) for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, sig long")
+
+        def brute(min_shared, cap):
+            sigs = {}
+            for i, s in set(rows):
+                sigs.setdefault(s, set()).add(i)
+            if cap is not None:
+                sigs = {s: ids for s, ids in sigs.items() if len(ids) <= cap}
+            pairs = {}
+            for s, ids in sigs.items():
+                for a, b in itertools.combinations(sorted(ids), 2):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            return {p: n for p, n in pairs.items() if n >= min_shared}
+
+        for min_shared, cap in ((1, None), (2, None), (1, 3)):
+            got = {
+                (r.id_a, r.id_b): r.n_shared
+                for r in shared_signature_pairs(
+                    df, "doc_id", "sig", min_shared=min_shared, max_sig_freq=cap
+                ).collect()
+            }
+            assert got == brute(min_shared, cap), (seed, min_shared, cap)

@@ -109,3 +109,23 @@ def test_plan_shape_partial_max(spark, sf_dir):
     )
     assert "partial_max" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_random_sets_match_reference_across_m_and_seed(spark):
+    """Randomized value sets × m ∈ {16, 64, 256} × hash seeds: register
+    relation AND estimate equal the Python mirror everywhere (both
+    correction branches exercised by the size spread)."""
+    import random
+
+    for case_seed in (0, 1):
+        rng = random.Random(case_seed)
+        for m in (16, 64, 256):
+            for hseed in (7, 11):
+                n = rng.choice([3, 50, 800])
+                vals = [f"s{case_seed}v{rng.randrange(10 * n)}" for _ in range(n)]
+                df = spark.createDataFrame([(v,) for v in vals], "x string")
+                got = hllp_estimate(
+                    hllp_table(df, [], "x", m=m, seed=hseed), [], m=m
+                ).collect()[0]
+                nz, est = _py_hllp(vals, m, hseed)
+                assert (got.n_zero, got.est_hllp) == (nz, est), (case_seed, m, hseed)

@@ -308,3 +308,65 @@ def test_nb_classify_plan_shape(spark, sf_dir):
     plan = nb_classify(docs, docs, label_col="lang")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nb_classify_random_corpora_match_reference(spark):
+    """Randomized labeled corpora (skewed class sizes, shared vocab,
+    empty docs, unlabeled rows): predictions, scores, and margins equal
+    the Python mirror on every seed."""
+    import hashlib
+    import math
+    import random
+
+    from hive_udf_spark.operators.importance import nb_classify
+
+    def ph(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    B, hseed = 32, 19
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(15)]
+        labels = ["a", "b", "c"]
+        rows = []
+        for i in range(40):
+            lab = rng.choice(labels) if rng.random() > 0.1 else None
+            n = rng.choice([0, 1, 4, 12])
+            rows.append((i, lab, " ".join(rng.choice(vocab) for _ in range(n))))
+        ldf = spark.createDataFrame(rows, "doc_id long, label string, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.pred_label, r.score_micro, r.margin_micro)
+            for r in nb_classify(
+                ldf, ldf, label_col="label", buckets=B, portable=True, seed=hseed
+            ).collect()
+        }
+        # python mirror
+        counts, ndocs = {}, {}
+        for _, lab, t in rows:
+            if lab is None:
+                continue
+            ndocs[lab] = ndocs.get(lab, 0) + 1
+            for w in t.split():
+                key = (lab, ph(w, hseed) % B)
+                counts[key] = counts.get(key, 0) + 1
+        classes = sorted(ndocs)
+        nc = {c: sum(v for (l, _), v in counts.items() if l == c) for c in classes}
+        n_total = sum(ndocs.values())
+        for did, _, t in rows:
+            toks = t.split()
+            scores = []
+            for c in classes:
+                s = round(math.log(ndocs[c] / n_total) * 1e6)
+                for w in toks:
+                    b = ph(w, hseed) % B
+                    s += round(
+                        math.log((counts.get((c, b), 0) + 1.0) / (nc[c] + float(B)))
+                        * 1e6
+                    )
+                scores.append((s, c))
+            ranked = sorted(scores, key=lambda x: (-x[0], x[1]))
+            margin = ranked[0][0] - (ranked[1][0] if len(ranked) > 1 else ranked[0][0])
+            assert got[did] == (len(toks), ranked[0][1], ranked[0][0], margin), (
+                seed,
+                did,
+            )

@@ -137,3 +137,38 @@ def test_difference_estimate(spark):
         .collect()[0]
     )
     assert srow["ab"] == 15
+
+
+def test_difference_random_sets_match_reference(spark):
+    """Randomized overlapping sets: a-not-b estimates equal a Python
+    bottom-k algebra mirror on every seed (exact hash reproduction)."""
+    import hashlib
+    import random
+
+    from hive_udf_spark.functions.kmv import kmv_difference_estimate
+
+    def ph(v, seed=7):
+        return int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+
+    k = 32
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        universe = list(range(300))
+        sa = set(rng.sample(universe, rng.choice([10, 60, 150])))
+        sb = set(rng.sample(universe, rng.choice([10, 60, 150])))
+        da = spark.createDataFrame([(v,) for v in sa], "v long")
+        db = spark.createDataFrame([(v,) for v in sb], "v long")
+        a = kmv_table(da, [], "v", k=k).select(F.col("kmv").alias("a"))
+        b = kmv_table(db, [], "v", k=k).select(F.col("kmv").alias("b"))
+        got = (
+            a.crossJoin(b)
+            .select(kmv_difference_estimate("a", "b", k).alias("d"))
+            .collect()[0]["d"]
+        )
+        ha = sorted(ph(v) for v in sa)[:k]
+        hb = sorted(ph(v) for v in sb)[:k]
+        x = sorted(set(ha) | set(hb))[:k]
+        in_diff = len([h for h in x if h in set(ha) and h not in set(hb)])
+        est_u = len(x) if len(x) < k else int((k - 1) * 2**60 / x[k - 1])
+        want = int(in_diff / len(x) * est_u)
+        assert got == want, seed

@@ -474,6 +474,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         batch = docs.filter(F.col("doc_id") % 10 == 0)
         _force(probe_duplicate_spans(build_ngram_index(corpus, n=5), batch, n=5))
 
+    def q_hybrid_rrf():
+        # BM25 leg + brute vector leg + integer RRF fusion
+        from hive_udf_spark.operators.retrieval import build_tfidf_index, hybrid_rrf_topk
+
+        queries = docs.filter(F.col("doc_id") % 97 == 0)
+        qvecs = emb.filter(F.col("vec_id") % 97 == 0)
+        _force(
+            hybrid_rrf_topk(build_tfidf_index(docs), queries, emb, qvecs, k=10)
+        )
+
     def q_hllp_grouped():
         # portable HLL: relational register build + bit-exact estimate
         from hive_udf_spark.functions.hllp import hllp_estimate, hllp_table
@@ -568,6 +578,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "semantic_decontam": q_semantic_decontam,
         "quantile_sliding_7d": q_quantile_sliding,
         "lm_perplexity": q_lm_perplexity,
+        "hybrid_rrf": q_hybrid_rrf,
         "hllp_grouped": q_hllp_grouped,
         "nb_classify": q_nb_classify,
         "video_near_dup": q_video_near_dup,

@@ -217,3 +217,89 @@ def bm25_topk(
         f" ({b_milli}L * dl * n_docs)) div total_tokens)) div 1000)"
     )
     return _probe(index, queries, id_col, text_col, contrib, k, exclude_self)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of ANY ranked lists:
+    each input is a (query_id, doc_id, rank) relation (extra columns
+    ignored); a doc's fused score is Σ over the lists that rank it of
+    ``round(1e6 / (rrf_k + rank))`` — integer micro-points, so the fused
+    ranking is engine-exact (the divisions are exact small-int doubles;
+    no denominator ≤ rrf_k + list length lands on a .5 rounding
+    boundary for the defaults). Output: (query_id, doc_id, rrf_micro,
+    n_sources, rank), top k per query, ties broken by doc_id.
+
+    Plan shape: the fusion input is ≤ Σ list_k rows per query (already
+    reduced by each retriever's own top-k), one partial-aggregated sum
+    on (query, doc), one small window per query. The retrievers bound
+    the cost; fusion itself is corpus-size-independent.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1 or rrf_k < 1:
+        raise ValueError("k and rrf_k must be >= 1")
+    contrib = F.round(F.lit(1_000_000.0) / (F.lit(rrf_k) + F.col("rank"))).cast(
+        "long"
+    )
+    parts = [
+        r.select("query_id", "doc_id", contrib.alias("__c")) for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.sum("__c").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_micro",
+            "n_sources",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hybrid_rrf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    corpus_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    lex_k: int = 20,
+    vec_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HYBRID search: BM25 over the inverted index fused with quantized
+    dot-product vector retrieval by RRF — the standard
+    lexical+semantic ensemble (keyword precision + paraphrase recall).
+    Both legs are the engine's exact-oracle retrievers (integer BM25,
+    integer dot ranks), so the fused ranking is engine-exact too.
+
+    The vector leg here is the brute-force scorer (exact ranks, the
+    oracle-checkable baseline); at corpus scale pass an ANN result
+    instead — :func:`rrf_fuse` accepts ANY (query_id, doc_id, rank)
+    relations, so ann_lsh/ann_ivf/ann_pq top-k plug in unchanged.
+    """
+    from hive_udf_spark.operators.similarity import topk_dot_quantized
+
+    lex = bm25_topk(index, queries, k=lex_k, id_col=id_col, text_col=text_col)
+    vec = topk_dot_quantized(
+        corpus_vecs, query_vecs, id_col=vec_id_col, vec_col=vec_col, k=vec_k
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=k, rrf_k=rrf_k)

@@ -188,3 +188,91 @@ def retrieval_forget_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = spark.read.parquet(corpus_path).filter(F.col("doc_id") % _QMOD == 0)
         out = bm25_topk(index, queries, k=_K).localCheckpoint(eager=True)
     return out
+
+
+_RRF_K = 60
+_HY_K = 10
+_HY_LEG_K = 20
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_BASE_CTES},
+    scored AS (
+      SELECT q.query_id, i.doc_id,
+             CAST(sum(q.qtf * ((w.w * i.tf * 2200) //
+                   (1000 * i.tf + (1200 * ((250 * w.tt + 750 * i.dl * w.n) // w.tt)) // 1000)
+                 )) AS BIGINT) AS score
+      FROM qtf q JOIN w ON w.term = q.term JOIN tf i ON i.term = q.term
+      WHERE i.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    lexr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS r
+      FROM scored WHERE score > 0
+    ),
+    qv AS (
+      SELECT vec_id,
+             [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) for e in embedding] AS q
+      FROM embeddings
+    ),
+    vpairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q
+      FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+      WHERE a.vec_id % {_QMOD} = 0
+    ),
+    vecr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, doc_id ASC) AS r
+      FROM vpairs
+    ),
+    contribs AS (
+      SELECT query_id, doc_id,
+             CAST(round(1000000.0 / ({_RRF_K} + r)) AS BIGINT) AS c
+      FROM lexr WHERE r <= {_HY_LEG_K}
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(round(1000000.0 / ({_RRF_K} + r)) AS BIGINT) AS c
+      FROM vecr WHERE r <= {_HY_LEG_K}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum(c) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM contribs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rrf_micro, n_sources,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf_micro, n_sources, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_HY_K}
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search (operators/retrieval.py hybrid_rrf_topk): BM25 over
+    the inverted index and quantized-dot vector retrieval over the
+    aligned embeddings table, fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009) in integer micro-points — keyword precision +
+    semantic recall, every leg and the fusion itself engine-exact. The
+    oracle recomputes BOTH retrievers and the fusion; rrf_fuse accepts
+    any (query_id, doc_id, rank) relation, so ANN legs plug in at
+    corpus scale."""
+    from hive_udf_spark.operators.retrieval import build_tfidf_index, hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") % _QMOD == 0)
+    qvecs = emb.filter(F.col("vec_id") % _QMOD == 0)
+    return hybrid_rrf_topk(
+        build_tfidf_index(docs), queries, emb, qvecs,
+        k=_HY_K, rrf_k=_RRF_K, lex_k=_HY_LEG_K, vec_k=_HY_LEG_K,
+    )

@@ -201,3 +201,95 @@ def test_bm25_tfidf_random_corpora_match_reference(spark):
                 for r in fn(index, qdf, k=4).collect()
             )
             assert got == _reference(docs, queries, 4, mode), (seed, mode)
+
+
+def test_rrf_fuse_semantics(spark):
+    """Fusion math, n_sources, deterministic tie-break, validation."""
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)], "query_id long, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 21, 1)], "query_id long, doc_id long, rank int"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_micro, r.n_sources, r.rank)
+        for r in rrf_fuse([lex, vec], k=10, rrf_k=60).collect()
+    }
+    c1, c2 = round(1e6 / 61), round(1e6 / 62)
+    # doc 11 appears in both lists (ranks 2 and 1) -> fused to the top
+    assert got[(1, 11)] == (c2 + c1, 2, 1)
+    assert got[(1, 10)] == (c1, 1, 2)
+    assert got[(1, 12)] == (c2, 1, 3)
+    # query 2: equal single-source scores -> doc_id tie-break
+    assert got[(2, 20)][2] == 1 and got[(2, 21)][2] == 2
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([lex], k=1, rrf_k=0)
+
+
+def test_hybrid_rrf_random_match_reference(spark):
+    """Randomized corpora + vectors: the hybrid ranking equals a Python
+    mirror fusing brute-force BM25 and dot ranks on every seed."""
+    import random
+
+    from hive_udf_spark.operators.retrieval import hybrid_rrf_topk
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(12)]
+        docs, vecs = [], []
+        for i in range(25):
+            docs.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.choice([2, 6, 15]))))
+            )
+            vecs.append((i, [round(rng.uniform(-1, 1), 3) for _ in range(8)]))
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        queries = ddf.filter("doc_id % 5 = 0")
+        qvecs = vdf.filter("vec_id % 5 = 0")
+        index = build_tfidf_index(ddf)
+        got = sorted(
+            (r.query_id, r.doc_id, r.rrf_micro, r.n_sources, r.rank)
+            for r in hybrid_rrf_topk(
+                index, queries, vdf, qvecs, k=5, lex_k=4, vec_k=4
+            ).collect()
+        )
+        # python mirror
+        lex_ref = _reference(docs, [d for d in docs if d[0] % 5 == 0], 4, "bm25")
+        qvq = {i: [round(x * 1000) for x in v] for i, v in vecs}
+        vec_ranks = []
+        for qid in [i for i, _ in vecs if i % 5 == 0]:
+            scored = sorted(
+                (
+                    (-sum(a * b for a, b in zip(qvq[qid], qvq[j])), j)
+                    for j, _ in vecs
+                    if j != qid
+                ),
+            )[:4]
+            vec_ranks += [(qid, j, r + 1) for r, (_, j) in enumerate(scored)]
+        contribs: dict = {}
+        for qid, did, r, *_ in [(q, d, r) for (q, d, _, r) in lex_ref]:
+            key = (qid, did)
+            contribs[key] = (
+                contribs.get(key, (0, 0))[0] + round(1e6 / (60 + r)),
+                contribs.get(key, (0, 0))[1] + 1,
+            )
+        for qid, did, r in vec_ranks:
+            key = (qid, did)
+            contribs[key] = (
+                contribs.get(key, (0, 0))[0] + round(1e6 / (60 + r)),
+                contribs.get(key, (0, 0))[1] + 1,
+            )
+        want = []
+        byq: dict = {}
+        for (qid, did), (s, n) in contribs.items():
+            byq.setdefault(qid, []).append((-s, did, n))
+        for qid, lst in byq.items():
+            for rank, (negs, did, n) in enumerate(sorted(lst)[:5], start=1):
+                want.append((qid, did, -negs, n, rank))
+        assert got == sorted(want), seed

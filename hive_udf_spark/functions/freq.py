@@ -147,3 +147,41 @@ def cms_lookup(
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def cms_join_size_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join output-size estimate from two Count-Min sketches of the
+    join keys — the classic AMS/CMS inner-product estimator
+    (Alon-Matias-Szegedy 1996; Cormode-Muthukrishnan 2005 §4.2):
+
+        |A ⋈ B| = Σ_k a_k·b_k  ≈  min_d Σ_idx cntA[d,idx]·cntB[d,idx]
+
+    Each row's inner product equals the true join size plus
+    non-negative collision cross-terms, so the estimate is an UPPER
+    BOUND that the min over depth rows tightens — the safe direction
+    for the decisions it feeds (broadcast-vs-shuffle choice, skew
+    pre-flight next to skew_report, join reordering). Exact integer
+    arithmetic over the two ≤ depth·width cell relations: with
+    portable sketches the estimate reproduces bit-for-bit in a SQL
+    oracle. Sketch the keys once (cms_table, one pass, map-side
+    partial agg), estimate ANY pairwise join size from the stored
+    cells without touching the tables again. Output: one row
+    (est_join_rows). Both sketches must share (depth, width,
+    portable); cells carry no header, so that contract is the
+    caller's (the pcsa_merge_table caveat)."""
+    ja = a.select("d", "idx", F.col("cnt").alias("__ca"))
+    jb = b.select("d", "idx", F.col("cnt").alias("__cb"))
+    per_d = (
+        ja.join(jb, ["d", "idx"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    # a depth row whose cell sets don't overlap has inner product 0 and
+    # proves the join is empty — it must participate in the min, not
+    # vanish from the inner join (the zero-overlap row is the TIGHTEST
+    # bound); rebuild the depth axis from sketch A and coalesce
+    axis = ja.select("d").distinct()
+    full = axis.join(per_d, "d", "left").select(
+        F.coalesce("__ip", F.lit(0)).alias("__ip")
+    )
+    return full.agg(F.min("__ip").cast("long").alias("est_join_rows"))

@@ -139,3 +139,72 @@ def freq_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_lookup(
         cms, toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH, portable=True
     )
+
+
+_JS_D = 4
+_JS_W = 256  # small enough that collisions occur: the upper bound must still hold
+
+
+def _cms_join_size_oracle() -> str:
+    m = 1 << 31
+
+    def cells(src: str, key: str, alias: str) -> str:
+        h0 = f"({portable_hash60_sql(key, 0)} % {m})"
+        h1 = f"({portable_hash60_sql(key, 1)} % {m})"
+        return f"""
+    {alias} AS (
+      SELECT d, ({h0} + d * {h1}) % {_JS_W} AS idx, count(*) AS cnt
+      FROM {src}, unnest(generate_series(0, {_JS_D - 1})) AS s(d)
+      WHERE {key} IS NOT NULL
+      GROUP BY 1, 2
+    )"""
+
+    return f"""
+    WITH {cells("orders", "o_orderkey", "ca")},
+    {cells("lineitem", "l_orderkey", "cb")},
+    ip AS (
+      SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
+      FROM ca JOIN cb ON cb.d = ca.d AND cb.idx = ca.idx
+      GROUP BY 1
+    ),
+    axis AS (SELECT DISTINCT d FROM ca),
+    est AS (
+      SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_rows
+      FROM axis LEFT JOIN ip ON ip.d = axis.d
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT est.est_join_rows, exact.exact_join_rows,
+           est.est_join_rows >= exact.exact_join_rows AS is_upper_bound
+    FROM est, exact
+    """
+
+
+@register("sketch_cms_join_size", oracle=_cms_join_size_oracle())
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from stored sketches (functions/freq.py
+    cms_join_size_estimate): the AMS/CMS inner-product estimate of
+    |orders ⋈ lineitem on orderkey| from two 4x256 portable Count-Min
+    sketches of the join keys — an always-upper-bound feeding
+    broadcast/shuffle and reorder decisions without touching the
+    tables (the optimizer-statistics story next to skew_report). The
+    oracle rebuilds both sketches cell-for-cell, so the estimate is
+    bit-exact, and asserts the upper-bound invariant next to the true
+    join size."""
+    from hive_udf_spark.functions.freq import cms_join_size_estimate, cms_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey").isNotNull())
+    ca = cms_table(orders, "o_orderkey", depth=_JS_D, width=_JS_W, portable=True)
+    cb = cms_table(li, "l_orderkey", depth=_JS_D, width=_JS_W, portable=True)
+    est = cms_join_size_estimate(ca, cb)
+    exact = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_rows")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("is_upper_bound"),
+    )

@@ -101,3 +101,47 @@ def test_top_k_heavy_hitter_survives_small_budget(spark):
         .collect()
     ]
     assert got[:3] == ["item_1", "item_2", "item_3"]
+
+
+def test_cms_join_size_upper_bound_and_exact_regime(spark):
+    """Inner-product estimate >= true join size always; with a
+    collision-free width it is EXACT. Randomized multiplicities over
+    three seeds."""
+    import random
+
+    from hive_udf_spark.functions.freq import cms_join_size_estimate, cms_table
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        a_rows = [(k,) for k in range(30) for _ in range(rng.randrange(1, 6))]
+        b_rows = [(k,) for k in range(15, 45) for _ in range(rng.randrange(1, 4))]
+        da = spark.createDataFrame(a_rows, "k long")
+        db = spark.createDataFrame(b_rows, "k long")
+        exact = (
+            da.join(db, "k").count()
+        )
+        # tight regime: wide sketch, no collisions expected -> exact
+        wide_a = cms_table(da, "k", depth=4, width=4096, portable=True)
+        wide_b = cms_table(db, "k", depth=4, width=4096, portable=True)
+        est_w = cms_join_size_estimate(wide_a, wide_b).collect()[0].est_join_rows
+        assert est_w == exact, seed
+        # collision regime: tiny width -> still an upper bound
+        tiny_a = cms_table(da, "k", depth=4, width=8, portable=True)
+        tiny_b = cms_table(db, "k", depth=4, width=8, portable=True)
+        est_t = cms_join_size_estimate(tiny_a, tiny_b).collect()[0].est_join_rows
+        assert est_t >= exact, seed
+
+
+def test_cms_join_size_disjoint_keys_small(spark):
+    """Disjoint key ranges: the true join is empty; a wide sketch
+    estimates 0 (no shared cells)."""
+    from hive_udf_spark.functions.freq import cms_join_size_estimate, cms_table
+
+    da = spark.range(100).select(F.col("id").alias("k"))
+    db = spark.range(1000, 1100).select(F.col("id").alias("k"))
+    ca = cms_table(da, "k", depth=4, width=4096, portable=True)
+    cb = cms_table(db, "k", depth=4, width=4096, portable=True)
+    est = cms_join_size_estimate(ca, cb).collect()[0].est_join_rows
+    # any depth row with zero cell overlap proves the join empty and
+    # must win the min (it may not vanish from the inner join)
+    assert est == 0

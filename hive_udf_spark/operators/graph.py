@@ -1,0 +1,88 @@
+"""Relational graph analytics beyond connected components.
+
+Connected components (the dedup clustering workhorse) lives in
+operators/dedup.py; this module adds centrality. PageRank over the
+near-dup pair graph is the canonical-document signal that upgrades
+"keep the min id per cluster" (dedup_representatives) to "keep the most
+central exemplar", and at web scale link-graph PageRank is a classic
+corpus quality feature.
+
+Design for engine-exact iteration (the BPE-trainer discipline applied
+to linear algebra): ranks are integer MICRO-points and each step uses
+only integer sums and ONE defined floor division —
+
+    r_{k+1}(v) = (1e6 − 1000·damping_milli)
+               + Σ_{u→v} (damping_milli · r_k(u)) div (1000 · deg(u))
+
+so a fixed number of iterations reproduces bit-for-bit in any engine
+with integer division (DuckDB ``//`` on non-negative operands). This is
+the standard damped power iteration up to the per-edge floor (error
+< 1 micro-point per edge per step) on the unnormalized "mass"
+formulation (r_0 = 1e6 per node; total mass ≈ n·1e6, not 1).
+
+Scale shape: each iteration is edges ⋈ ranks on the source key (a
+fixed-width (node, rank) shuffle), one partial-aggregated in-mass sum
+keyed by destination, one left join back to the node axis. Degrees are
+computed once. Dangling mass (nodes with no out-edges) is DROPPED, not
+redistributed — irrelevant for symmetrized similarity graphs (every
+node has out-edges), documented for directed use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixed", "symmetrize_edges"]
+
+
+def symmetrize_edges(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Undirected pair relation → directed edge relation (both
+    directions), deduplicated — the adapter from any ``*_pairs``
+    operator (near-dup, shared-signature, Hamming-blocked) to the graph
+    ops."""
+    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    return a.unionByName(b).distinct()
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_milli: int = 850,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank: (node, rank_micro) after
+    ``iters`` damped power steps (see module docstring for the exact
+    recurrence and its engine-portability argument). Duplicate edges
+    are collapsed; ranks are comparable within one run (unnormalized
+    mass formulation)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 <= damping_milli <= 1000:
+        raise ValueError("damping_milli must be in [0, 1000]")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .unionByName(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    ew = e.join(deg, "__s")
+    base = F.lit(1_000_000 - 1000 * damping_milli).cast("long")
+    r = nodes.select("__n", F.lit(1_000_000).cast("long").alias("__r"))
+    for _ in range(iters):
+        mass = (
+            ew.join(r, ew["__s"] == r["__n"])
+            .select(
+                "__d",
+                F.expr(f"({damping_milli} * __r) div (1000 * __deg)").alias("__m"),
+            )
+            .groupBy("__d")
+            .agg(F.sum("__m").alias("__mass"))
+        )
+        r = nodes.join(mass, nodes["__n"] == mass["__d"], "left").select(
+            "__n", (base + F.coalesce("__mass", F.lit(0))).cast("long").alias("__r")
+        )
+    return r.select(F.col("__n").alias("node"), F.col("__r").alias("rank_micro"))

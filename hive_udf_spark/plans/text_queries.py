@@ -975,10 +975,10 @@ def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_pmi_bigrams(docs, "text", k=_PMI_K, min_count=_PMI_MIN)
 
 
-@register(
-    "multimodal_video_near_dup",
-    oracle=r"""
-    WITH t AS (
+# shared by multimodal_video_near_dup and graph_pagerank_video_dups:
+# sampled-frame hashes + shared-keyframe pair CTE chain
+_VIDEO_PAIRS_CTES = r"""
+    t AS (
       SELECT doc_id, text FROM documents
       WHERE regexp_matches(substr(text, 1, 160), '^[\x00-\x7f]*$')
     ),
@@ -1001,6 +1001,13 @@ def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h a JOIN h c ON a.ahash = c.ahash AND a.doc_id < c.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "multimodal_video_near_dup",
+    oracle=f"""
+    WITH {_VIDEO_PAIRS_CTES}
     SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
     FROM p WHERE n_shared >= 2
     """,
@@ -1040,4 +1047,76 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
     return shared_signature_pairs(
         sigs, id_col="doc_id", sig_col="ahash", min_shared=2
+    )
+
+
+_PR_ITERS = 5
+_PR_DAMP = 850
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = "r0" if k == 1 else f"it{k - 1}"
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.n,
+             150000 + coalesce(m.mass, 0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS n,
+               CAST(sum(({_PR_DAMP} * p.r) // (1000 * deg.c)) AS BIGINT) AS mass
+        FROM e JOIN {prev} p ON p.n = e.src JOIN deg ON deg.s = e.src
+        GROUP BY 1
+      ) m ON m.n = nodes.n
+    )""")
+    return f"""
+    WITH {_VIDEO_PAIRS_CTES},
+    vp AS (SELECT id_a, id_b FROM p WHERE n_shared >= 2),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vp
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+    deg AS (SELECT src AS s, count(*) AS c FROM e GROUP BY 1),
+    r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {','.join(its)}
+    SELECT n AS node, CAST(r AS BIGINT) AS rank_micro FROM it{_PR_ITERS}
+    """
+
+
+@register("graph_pagerank_video_dups", oracle=_pagerank_oracle())
+def graph_pagerank_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph (operators/graph.py
+    pagerank_fixed): 5 damped integer power-iterations over the
+    symmetrized shared-keyframe pairs — the canonical-document signal
+    that upgrades min-id representative selection to most-central
+    exemplar (and, on link graphs, the classic corpus quality feature).
+    Every step is integer sums plus one defined floor division, so all
+    5 iterations reproduce bit-for-bit in the oracle's chained CTEs
+    (the BPE-trainer discipline applied to iterative linear algebra)."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+    from hive_udf_spark.operators.graph import pagerank_fixed, symmetrize_edges
+    from hive_udf_spark.operators.multimodal import (
+        image_ahash_table,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
+    )
+    hdr = F.lit(b"P5\n8 8\n255\n")
+    frames = [
+        F.concat(
+            hdr,
+            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
+        )
+        for i in range(4)
+    ]
+    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
+    sampled = sample_container_frames(blobs, every_nth=2)
+    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    pairs = shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2)
+    return pagerank_fixed(
+        symmetrize_edges(pairs), iters=_PR_ITERS, damping_milli=_PR_DAMP
     )

@@ -1,0 +1,85 @@
+"""Graph centrality tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_spark.operators.graph import pagerank_fixed, symmetrize_edges
+
+
+def _py_pagerank(edges, iters, damping_milli=850):
+    """Pure-Python mirror of the integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    base = 1_000_000 - 1000 * damping_milli
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for u, v in e:
+            nxt[v] += (damping_milli * r[u]) // (1000 * deg[u])
+        r = nxt
+    return r
+
+
+def test_matches_python_reference_random_graphs(spark):
+    """Random sparse directed graphs, three seeds: every node's integer
+    rank equals the mirror after 5 iterations."""
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        edges = list(
+            {(rng.randrange(20), rng.randrange(20)) for _ in range(50)}
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank_fixed(df, iters=5).collect()
+        }
+        assert got == _py_pagerank(edges, 5), seed
+
+
+def test_regular_graph_uniform_and_star_ranks_center_highest(spark):
+    """A directed cycle (regular) gives every node the same rank; a star
+    ranks the hub above the leaves."""
+    n = 6
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank_micro for r in pagerank_fixed(cycle, iters=8).collect()}
+    assert len(set(ranks.values())) == 1
+    star_pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    sranks = {
+        r.node: r.rank_micro
+        for r in pagerank_fixed(symmetrize_edges(star_pairs), iters=8).collect()
+    }
+    hub = sranks.pop(0)
+    assert all(hub > v for v in sranks.values())
+    assert len(set(sranks.values())) == 1  # leaves symmetric
+
+
+def test_symmetrize_and_validation(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 1), (1, 2)], "id_a long, id_b long")
+    e = sorted((r.src, r.dst) for r in symmetrize_edges(pairs).collect())
+    assert e == [(1, 2), (2, 1)]
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_fixed(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_fixed(df, damping_milli=1500)
+
+
+def test_plan_no_cartesian_and_partial_agg(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    plan = pagerank_fixed(df, iters=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan

@@ -1113,3 +1113,48 @@ def sketch_hllp_rollup_exact_merge(spark: SparkSession, sf_dir: str) -> DataFram
     return hllp_estimate(rolled, ["month"], m=_HLLP_M).select(
         "month", "n_zero", F.col("est_hllp").alias("est_users")
     )
+
+
+_HIST_BINS = 8
+
+
+@register(
+    "profile_histogram_totalprice",
+    oracle=f"""
+    WITH vc AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS k
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, k,
+             sum(k) OVER (ORDER BY v ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k AS lo,
+             sum(k) OVER () AS n
+      FROM vc
+    ),
+    binned AS (
+      SELECT CAST((lo * {_HIST_BINS}) // n + 1 AS INT) AS bin, v, k FROM cum
+    )
+    SELECT bin,
+           CAST(min(v) AS BIGINT) AS lo_value,
+           CAST(max(v) AS BIGINT) AS hi_value,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM binned GROUP BY bin
+    """,
+)
+def profile_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/profile.py equi_depth_histogram):
+    8 ~equal-row bins of o_totalprice in integer cents — the
+    selectivity statistic that stays accurate under skew, computed
+    without ever sorting rows (partial-aggregated value counts cumsum'd
+    over DISTINCT values). Integer bin assignment reproduces
+    bit-for-bit in the oracle: boundaries, depths, and per-bin distinct
+    counts all hash-match."""
+    from hive_udf_spark.operators.profile import equi_depth_histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return equi_depth_histogram(orders, "cents", bins=_HIST_BINS)

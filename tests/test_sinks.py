@@ -330,3 +330,47 @@ def test_propagate_deletes_spans_tables_and_rederives_stats(spark, tmp_path):
     assert sorted(got, key=key) == sorted(want, key=key)
     # forgotten docs never appear as results
     assert all(r.doc_id % 3 != 0 for r in got)
+
+
+def test_equi_depth_histogram_semantics(spark):
+    """Depths near-equal, heavy values never split, boundaries exact vs
+    a Python mirror, randomized over seeds."""
+    import random
+
+    from hive_udf_spark.operators.profile import equi_depth_histogram
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vals = [rng.randrange(40) for _ in range(300)] + [7] * 100  # heavy 7
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        bins = 4
+        got = sorted(
+            (r.bin, r.lo_value, r.hi_value, r.n_rows, r.n_distinct)
+            for r in equi_depth_histogram(df, "x", bins=bins).collect()
+        )
+        # python mirror
+        from collections import Counter
+
+        vc = sorted(Counter(vals).items())
+        n = len(vals)
+        lo = 0
+        agg: dict = {}
+        for v, k in vc:
+            b = (lo * bins) // n + 1
+            cur = agg.setdefault(b, [v, v, 0, 0])
+            cur[0] = min(cur[0], v)
+            cur[1] = max(cur[1], v)
+            cur[2] += k
+            cur[3] += 1
+            lo += k
+        want = sorted((b, *vals_) for b, vals_ in agg.items())
+        assert got == want, seed
+        # conservation + each value in exactly one bin
+        assert sum(r[3] for r in got) == n
+        assert sum(r[4] for r in got) == len(vc)
+    from hive_udf_spark.operators.profile import equi_depth_histogram as h
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        h(df, "x", bins=0)

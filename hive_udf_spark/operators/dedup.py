@@ -1155,3 +1155,110 @@ def shared_signature_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int | None = None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT join: ordered pairs (a, b) where
+    C(a→b) = |Wa ∩ Wb| / |Wa| ≥ ``threshold`` — "b covers a" — the
+    dedup signal Jaccard misses: a short document embedded verbatim in
+    a longer one has high containment but low Jaccard (the union is
+    dominated by the container). Classic uses: quote/boilerplate
+    absorption, subset-document removal, near-superset detection.
+
+    Candidate generation adapts prefix filtering (Bayardo 2007) to the
+    asymmetric measure: the PROBE side (a) needs overlap ≥ ⌈t·|a|⌉, so
+    in ascending global-frequency token order it must hit b inside its
+    first |a| − ⌈t·|a|⌉ + 1 tokens — a's prefix; the CONTAINER side (b)
+    could match on any token, so b's full token set is indexed. Join
+    keys are therefore a's RAREST tokens — hot tokens sit in probes'
+    suffixes and never become keys, bounding the candidate volume the
+    way the symmetric prefix join does. A size filter (|b| ≥ t·|a|)
+    prunes before the verify; exact intersection verification makes the
+    output exact. Self-pairs are excluded.
+
+    The containment unit defaults to the distinct word set;
+    ``shingle_n=k`` switches to word k-gram shingles — on small-
+    vocabulary corpora word SETS of different documents are near-
+    subsets of each other and containment degenerates, while k-gram
+    shingles keep word order and stay discriminative (the
+    near_dup_pairs shingle_n contract).
+
+    Emits (id_a, id_b, inter_size, size_a, size_b, containment_ppm)
+    with containment_ppm = (inter·1e6) div |a| — integer-exact, so the
+    whole relation reproduces in a SQL oracle.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t_ppm = int(round(threshold * 1_000_000))
+    if shingle_n is None:
+        unit = word_set(text_col)
+    else:
+        from hive_udf_spark.functions.text import ngrams, tokenize
+
+        unit = F.array_distinct(ngrams(tokenize(text_col), shingle_n))
+    ws = docs.select(
+        F.col(id_col).alias("__id"), unit.alias("__w")
+    ).filter(F.size("__w") > 0)
+    if caches is not None:
+        ws = ws.persist()
+        caches.append(ws)
+    tokens = ws.select(F.explode("__w").alias("__t"))
+    freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = (
+        ws.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
+        .join(freq, "__t")
+        .groupBy("__id", "__n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__f"), F.col("__t")))
+            ).alias("__rs")
+        )
+    )
+    plen = (
+        F.col("__n")
+        - F.expr(f"CAST((CAST(__n AS BIGINT) * {t_ppm} + 999999) div 1000000 AS INT)")
+        + F.lit(1)
+    )
+    probe = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
+    )
+    container = ws.select(
+        F.col("__id").alias("id_b"),
+        F.size("__w").alias("__nb"),
+        F.explode("__w").alias("__r"),
+    )
+    cands = (
+        probe.join(
+            container,
+            (probe["__r"] == container["__r"])
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("__nb").cast("long") * F.lit(1_000_000)
+               >= F.lit(t_ppm) * F.col("__na").cast("long")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    joined = cands.join(wa, "id_a").join(wb, "id_b")
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("inter_size"),
+        F.size("__wa").cast("long").alias("size_a"),
+        F.size("__wb").cast("long").alias("size_b"),
+    ).filter(F.col("inter_size") * 1_000_000 >= F.lit(t_ppm) * F.col("size_a"))
+    return out.select(
+        "*",
+        F.expr("(inter_size * 1000000) div size_a").alias("containment_ppm"),
+    )

@@ -843,3 +843,48 @@ def pipeline_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFram
         docs, "doc_id", "text", threshold=0.7, portable=True,
         sig_prefilter_margin=None, mode="exact",
     )
+
+
+_CONT_T_PPM = 800_000
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             [x for x in string_split_regex(text, '\s+') if x != ''] AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                            for i in generate_series(1, len(toks) - 2)]) AS w
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter_size,
+           CAST(len(a.w) AS BIGINT) AS size_a,
+           CAST(len(b.w) AS BIGINT) AS size_b,
+           CAST((len(list_intersect(a.w, b.w)) * 1000000) // len(a.w) AS BIGINT)
+             AS containment_ppm
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE len(list_intersect(a.w, b.w)) * 1000000 >= {_CONT_T_PPM} * len(a.w)
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment join (operators/dedup.py
+    containment_pairs): ordered pairs where ≥ 80% of a's word 3-gram
+    shingle set lies inside b — the subset/boilerplate-absorption
+    signal Jaccard misses (short doc inside long doc: high containment,
+    low Jaccard). Shingles, not word sets: on this small-vocabulary
+    corpus word sets are near-subsets of each other and the measure
+    degenerates (documented in the operator). The probe side joins
+    only on its rarest-shingle prefix; the container side indexes all
+    shingles, so hot shingles never become join keys. The oracle is
+    the brute-force enumeration itself — algorithmic equivalence, like
+    the symmetric prefix-filter query."""
+    from hive_udf_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", threshold=0.8, shingle_n=3)

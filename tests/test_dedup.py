@@ -403,3 +403,66 @@ def test_shared_signature_pairs_random_match_brute_force(spark):
                 ).collect()
             }
             assert got == brute(min_shared, cap), (seed, min_shared, cap)
+
+
+def test_containment_pairs_random_match_brute_force(spark):
+    """Randomized corpora incl. planted subset docs: the prefix-probed
+    join finds EXACTLY the brute-force ordered pair set, word-set and
+    shingle modes, two thresholds."""
+    import random
+
+    from hive_udf_spark.operators.dedup import containment_pairs
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(40)]
+        docs = []
+        for i in range(25):
+            n = rng.choice([3, 8, 20])
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # plant subsets: doc 100+i = prefix of doc i's text
+        for i in range(0, 25, 5):
+            words = docs[i][1].split()
+            docs.append((100 + i, " ".join(words[: max(3, len(words) * 3 // 4)])))
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def brute(threshold, shingle_n):
+            t_ppm = round(threshold * 1_000_000)
+            units = {}
+            for did, txt in docs:
+                toks = txt.split()
+                if shingle_n is None:
+                    u = set(toks)
+                else:
+                    u = {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                if u:
+                    units[did] = u
+            out = {}
+            for a, ua in units.items():
+                for b, ub in units.items():
+                    if a == b:
+                        continue
+                    inter = len(ua & ub)
+                    if inter * 1_000_000 >= t_ppm * len(ua):
+                        out[(a, b)] = (
+                            inter,
+                            len(ua),
+                            len(ub),
+                            inter * 1_000_000 // len(ua),
+                        )
+            return out
+
+        for threshold, sn in ((0.8, None), (0.7, 3)):
+            got = {
+                (r.id_a, r.id_b): (r.inter_size, r.size_a, r.size_b, r.containment_ppm)
+                for r in containment_pairs(
+                    ddf, "doc_id", "text", threshold=threshold, shingle_n=sn
+                ).collect()
+            }
+            assert got == brute(threshold, sn), (seed, threshold, sn)
+            # planted subsets must be found as contained-in pairs
+            if sn is None and threshold == 0.8:
+                assert any(a >= 100 for (a, b) in got), seed

@@ -384,6 +384,7 @@ def ann_hyperplane_lsh(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via hyperplane-LSH banding.
 
@@ -404,17 +405,31 @@ def ann_hyperplane_lsh(
     formulation shipped both 64-float arrays through the explode and
     compared them inside distinct — bands×·2·dim floats of dead shuffle
     weight per candidate.
+
+    ``probes`` > 0 enables MULTI-PROBE LSH (Lv et al. 2007, simplified):
+    besides its exact band key, each QUERY also probes the keys with one
+    of the band's first ``probes`` bits flipped — Hamming-1 buckets,
+    where near-misses land when a vector sits close to a hyperplane.
+    Recall rises without more hash tables (more bands = more corpus-side
+    state; more probes = query-side work only — the right trade at
+    corpus scale, since the query side is the broadcast side here). The
+    literature version orders probes by query-to-hyperplane margin;
+    this deterministic variant probes fixed positions, which is
+    query-plan-static and oracle-friendly — hyperplane order is random,
+    so fixed positions are an unbiased choice. probes ≤ band bits.
     """
     if nbits % bands:
         raise ValueError("nbits must be divisible by bands")
     band_bits = nbits // bands
+    if not 0 <= probes <= band_bits:
+        raise ValueError("probes must be in [0, nbits/bands]")
     mask = (1 << band_bits) - 1
     planes = hyperplanes(dim, nbits, seed)
     sig = _signature_expr(planes, vec_col)
 
-    def band_keys(df: DataFrame, role: str) -> DataFrame:
+    def band_keys(df: DataFrame, role: str, n_probes: int = 0) -> DataFrame:
         s = df.select(F.col(id_col).alias(f"{role}_id"), sig.alias("__sig"))
-        return (
+        keyed = (
             s.select(
                 f"{role}_id",
                 F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
@@ -424,10 +439,27 @@ def ann_hyperplane_lsh(
                 "__bkey",
                 F.expr(f"shiftright(__s, __band * {band_bits})").bitwiseAND(F.lit(mask)),
             )
-            .select(f"{role}_id", "__band", "__bkey")
         )
+        if n_probes:
+            # probe 0 = the exact key; probe j flips bit j-1
+            keyed = keyed.select(
+                f"{role}_id",
+                "__band",
+                F.explode(
+                    F.concat(
+                        F.array(F.col("__bkey")),
+                        F.array(
+                            *[
+                                F.col("__bkey").bitwiseXOR(F.lit(1 << j))
+                                for j in range(n_probes)
+                            ]
+                        ),
+                    )
+                ).alias("__bkey"),
+            )
+        return keyed.select(f"{role}_id", "__band", "__bkey")
 
-    qk = band_keys(queries, "query")
+    qk = band_keys(queries, "query", probes)
     ck = band_keys(corpus, "neighbor")
     cands = (
         ck.join(

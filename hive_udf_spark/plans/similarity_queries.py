@@ -266,3 +266,18 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     ann = ann_pq(emb, queries, k=5, n_subspaces=8, n_codes=64, refine=50)
     return _ann_containment_verdict(spark, sf_dir, ann)
+
+
+@register("similarity_ann_lsh_multiprobe", oracle=_ANN_VERDICT_ORACLE)
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE hyperplane-LSH (Lv et al. 2007, deterministic
+    variant): each query also probes Hamming-1 band buckets (2 flipped
+    bits per band) — recall rises with query-side work only, no extra
+    corpus-side hash state (the right trade at 100 TB where bands
+    multiply index size). Same top-100 containment verdict as the
+    single-probe query; the recall improvement over probes=0 is
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    ann = ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4, probes=2)
+    return _ann_containment_verdict(spark, sf_dir, ann)

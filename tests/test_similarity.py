@@ -277,3 +277,53 @@ def test_ann_plans_have_no_python_stage(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multiprobe_recall_improves_and_plan_stays_jvm(spark, sf_dir):
+    """probes=2 recall@5 >= probes=0 recall@5 (strictly more candidate
+    buckets), and the plan still has no Python stage."""
+    import numpy as np
+
+    from hive_udf_spark.operators.similarity import ann_hyperplane_lsh
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    rows = emb.collect()
+    mat = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def exact_top5(qid):
+        q = mat[qid]
+        qn = np.linalg.norm(q)
+        sims = [
+            (float(q @ v) / (qn * np.linalg.norm(v)), vid)
+            for vid, v in mat.items()
+            if vid != qid
+        ]
+        return {vid for _, vid in sorted(sims, reverse=True)[:5]}
+
+    def recall(probes):
+        ann = ann_hyperplane_lsh(
+            emb, queries, k=5, nbits=16, bands=4, probes=probes
+        ).collect()
+        byq: dict = {}
+        for r in ann:
+            byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = tot = 0
+        for qid, got in byq.items():
+            want = exact_top5(qid)
+            hits += len(got & want)
+            tot += len(want)
+        return hits / tot
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    plan = (
+        ann_hyperplane_lsh(emb, queries, k=5, probes=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probes"):
+        ann_hyperplane_lsh(emb, queries, nbits=16, bands=4, probes=9)

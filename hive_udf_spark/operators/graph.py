@@ -52,12 +52,23 @@ def pagerank_fixed(
     dst: str = "dst",
     iters: int = 5,
     damping_milli: int = 850,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank: (node, rank_micro) after
     ``iters`` damped power steps (see module docstring for the exact
     recurrence and its engine-portability argument). Duplicate edges
     are collapsed; ranks are comparable within one run (unnormalized
-    mass formulation)."""
+    mass formulation).
+
+    ``seeds`` (a one-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: teleport mass lands only on seed nodes
+    (base term and initial rank are seed-only), so ranks measure
+    decayed reachability FROM the seeds — the transitive-expansion
+    primitive: start from known-contaminated / known-high-quality
+    docs and spread through the near-dup graph to score everything a
+    few similarity hops away (direct-match decontamination catches
+    hop 1; this scores the chain). Non-seed nodes unreachable from
+    any seed score exactly 0."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0 <= damping_milli <= 1000:
@@ -70,8 +81,26 @@ def pagerank_fixed(
     )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     ew = e.join(deg, "__s")
-    base = F.lit(1_000_000 - 1000 * damping_milli).cast("long")
-    r = nodes.select("__n", F.lit(1_000_000).cast("long").alias("__r"))
+    base_val = F.lit(1_000_000 - 1000 * damping_milli).cast("long")
+    if seeds is None:
+        base = base_val
+        r = nodes.select("__n", F.lit(1_000_000).cast("long").alias("__r"))
+    else:
+        seed_col = seeds.columns[0]
+        sd = seeds.select(F.col(seed_col).alias("__n")).distinct().withColumn(
+            "__is_seed", F.lit(1)
+        )
+        nodes = nodes.join(sd, "__n", "left").select(
+            "__n", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed")
+        )
+        base = F.when(F.col("__is_seed") == 1, base_val).otherwise(F.lit(0).cast("long"))
+        r = nodes.select(
+            "__n",
+            F.when(F.col("__is_seed") == 1, F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__r"),
+        )
     for _ in range(iters):
         mass = (
             ew.join(r, ew["__s"] == r["__n"])

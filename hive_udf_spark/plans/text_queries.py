@@ -1120,3 +1120,81 @@ def graph_pagerank_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(
         symmetrize_edges(pairs), iters=_PR_ITERS, damping_milli=_PR_DAMP
     )
+
+
+_PPR_SEED_MOD = 7
+
+
+def _ppr_oracle() -> str:
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = "r0" if k == 1 else f"it{k - 1}"
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.n,
+             (CASE WHEN nodes.n % {_PPR_SEED_MOD} = 0 THEN 150000 ELSE 0 END)
+               + coalesce(m.mass, 0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS n,
+               CAST(sum(({_PR_DAMP} * p.r) // (1000 * deg.c)) AS BIGINT) AS mass
+        FROM e JOIN {prev} p ON p.n = e.src JOIN deg ON deg.s = e.src
+        GROUP BY 1
+      ) m ON m.n = nodes.n
+    )""")
+    return f"""
+    WITH {_VIDEO_PAIRS_CTES},
+    vp AS (SELECT id_a, id_b FROM p WHERE n_shared >= 2),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vp
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+    deg AS (SELECT src AS s, count(*) AS c FROM e GROUP BY 1),
+    r0 AS (
+      SELECT n, CAST(CASE WHEN n % {_PPR_SEED_MOD} = 0 THEN 1000000 ELSE 0 END
+                AS BIGINT) AS r
+      FROM nodes
+    ),
+    {','.join(its)}
+    SELECT n AS node, CAST(r AS BIGINT) AS rank_micro FROM it{_PR_ITERS}
+    """
+
+
+@register("graph_seeded_expansion_video_dups", oracle=_ppr_oracle())
+def graph_seeded_expansion_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the near-dup graph
+    (operators/graph.py pagerank_fixed(seeds=)): teleport mass lands
+    only on seed docs (doc_id % 7 == 0 plays the known-contaminated
+    list), so each node's score is decayed reachability FROM the seeds
+    — the transitive-expansion step direct-match decontamination lacks
+    (hop-2+ paraphrase chains score > 0; unreachable docs score exactly
+    0). Same integer recurrence as graph_pagerank_video_dups, so all 5
+    iterations hash-match the chained-CTE oracle."""
+    from hive_udf_spark.operators.dedup import shared_signature_pairs
+    from hive_udf_spark.operators.graph import pagerank_fixed, symmetrize_edges
+    from hive_udf_spark.operators.multimodal import (
+        image_ahash_table,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
+    )
+    hdr = F.lit(b"P5\n8 8\n255\n")
+    frames = [
+        F.concat(
+            hdr,
+            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
+        )
+        for i in range(4)
+    ]
+    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
+    sampled = sample_container_frames(blobs, every_nth=2)
+    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    pairs = shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2)
+    edges = symmetrize_edges(pairs)
+    seeds = edges.select(F.col("src").alias("doc_id")).filter(
+        F.col("doc_id") % _PPR_SEED_MOD == 0
+    )
+    return pagerank_fixed(edges, iters=_PR_ITERS, damping_milli=_PR_DAMP, seeds=seeds)

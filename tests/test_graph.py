@@ -83,3 +83,43 @@ def test_plan_no_cartesian_and_partial_agg(spark):
     plan = pagerank_fixed(df, iters=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_personalized_pagerank_seeded(spark):
+    """Seeded mode: unreachable nodes score exactly 0, seeds dominate,
+    and every rank equals a Python mirror across seeds."""
+    def py_ppr(edges, seeds, iters, damping_milli=850):
+        e = sorted(set(edges))
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        deg = {}
+        for u, _ in e:
+            deg[u] = deg.get(u, 0) + 1
+        base = 1_000_000 - 1000 * damping_milli
+        r = {n: (1_000_000 if n in seeds else 0) for n in nodes}
+        for _ in range(iters):
+            nxt = {n: (base if n in seeds else 0) for n in nodes}
+            for u, v in e:
+                nxt[v] += (damping_milli * r[u]) // (1000 * deg[u])
+            r = nxt
+        return r
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        # two disconnected components: seeds only in component A
+        comp_a = [(rng.randrange(10), rng.randrange(10)) for _ in range(25)]
+        comp_b = [
+            (100 + rng.randrange(10), 100 + rng.randrange(10)) for _ in range(25)
+        ]
+        edges = [(u, v) for u, v in set(comp_a + comp_b) if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seed_ids = sorted({u for u, _ in edges if u < 100})[:3]
+        sdf = spark.createDataFrame([(s,) for s in seed_ids], "doc_id long")
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank_fixed(df, iters=5, seeds=sdf).collect()
+        }
+        assert got == py_ppr(edges, set(seed_ids), 5), seed
+        # component B (no seeds) scores exactly 0 everywhere
+        assert all(v == 0 for n, v in got.items() if n >= 100)
+        # seeds hold teleport mass
+        assert all(got[s] > 0 for s in seed_ids)

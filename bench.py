@@ -474,6 +474,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         batch = docs.filter(F.col("doc_id") % 10 == 0)
         _force(probe_duplicate_spans(build_ngram_index(corpus, n=5), batch, n=5))
 
+    def q_containment_join():
+        # EXACT asymmetric containment (3-gram shingles): prefix-probed
+        # candidates vs the quadratic brute oracle — contract-bound to
+        # true subset-pair volume
+        from hive_udf_spark.operators.dedup import containment_pairs
+
+        _force(containment_pairs(docs, "doc_id", "text", threshold=0.8, shingle_n=3))
+
+    def q_pagerank_1m():
+        # pure iteration throughput: 5 integer power-iterations over a
+        # deterministic 1M-edge graph (200k nodes, out-degree 5) —
+        # graph CONSTRUCTION cost is a different operator's bench
+        # (simhash_blocked / minhash_lsh_dedup generate the pair sets)
+        from hive_udf_spark.operators.graph import pagerank_fixed
+
+        n, m = 200_000, 5
+        edges = spark.range(n * m).selectExpr(
+            f"id % {n} AS src",
+            f"(id * 2654435761 + id div {n} * 40503 + 7) % {n} AS dst",
+        ).filter("src != dst")
+        _force(pagerank_fixed(edges, iters=5))
+
     def q_hybrid_rrf():
         # BM25 leg + brute vector leg + integer RRF fusion
         from hive_udf_spark.operators.retrieval import build_tfidf_index, hybrid_rrf_topk
@@ -578,6 +600,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "semantic_decontam": q_semantic_decontam,
         "quantile_sliding_7d": q_quantile_sliding,
         "lm_perplexity": q_lm_perplexity,
+        "containment_join": q_containment_join,
+        "pagerank_1m": q_pagerank_1m,
         "hybrid_rrf": q_hybrid_rrf,
         "hllp_grouped": q_hllp_grouped,
         "nb_classify": q_nb_classify,

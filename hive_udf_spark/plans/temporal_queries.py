@@ -297,3 +297,93 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     return mad_anomalies(series, ["event_type"], "n_events", k_milli=3500)
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, ts AS cts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    touch AS (
+      SELECT user_id AS u, ts AS tts, event_type AS tty FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    qual AS (
+      SELECT c.u, c.cid, c.cts, t.tts, t.tty
+      FROM conv c JOIN touch t ON t.u = c.u
+      WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 72 HOUR
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tty ASC) AS rf,
+             row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tty DESC) AS rl,
+             count(*) OVER (PARTITION BY cid) AS nt
+      FROM qual
+    ),
+    fl AS (
+      SELECT cid,
+             min(CASE WHEN rf = 1 THEN tty END) AS first_touch_type,
+             min(CASE WHEN rf = 1 THEN tts END) AS first_touch_ts,
+             min(CASE WHEN rl = 1 THEN tty END) AS last_touch_type,
+             min(CASE WHEN rl = 1 THEN tts END) AS last_touch_ts,
+             CAST(min(nt) AS BIGINT) AS n_touches
+      FROM rk GROUP BY cid
+    )
+    SELECT c.u AS user_id, c.cid AS conversion_id, c.cts AS conversion_ts,
+           fl.first_touch_type, fl.first_touch_ts,
+           fl.last_touch_type, fl.last_touch_ts,
+           coalesce(fl.n_touches, 0) AS n_touches
+    FROM conv c LEFT JOIN fl ON fl.cid = c.cid
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/temporal.py
+    attribution): every purchase gets its earliest and latest
+    view/click within a 72-hour lookback, plus the touch count;
+    touchless conversions survive as direct with NULLs. One
+    (user)-keyed range join + one partial-aggregated struct min/max per
+    conversion — no window over raw events. Tie-break (ts, type) is
+    deterministic, so every column hash-matches."""
+    from hive_udf_spark.operators.temporal import attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution(
+        ev, "purchase", ["view", "click"], lookback_hours=72
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS y,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS y2
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    counts AS (
+      SELECT y AS from_type, y2 AS to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM t WHERE y2 IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, sum(n_transitions) AS nf FROM counts GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST((c.n_transitions * 1000) // t.nf AS BIGINT) AS p_milli
+    FROM counts c JOIN totals t ON t.from_type = c.from_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov behavioral model (operators/temporal.py
+    transition_matrix): per-user adjacent event-type pairs in (ts,
+    event_id) order — ONE sorted fold per user (the funnel_steps
+    discipline), then a partial-aggregated global count and integer
+    milli-probabilities. The oracle forms the same pairs with lead()
+    over the identical deterministic order."""
+    from hive_udf_spark.operators.temporal import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)

@@ -435,3 +435,97 @@ def test_mad_anomalies_random_match_reference(spark):
             for r in mad_anomalies(df, ["g"], "n", k_milli=2500).collect()
         }
         assert got == ref(rows, 2500), seed
+
+
+def test_attribution_semantics(spark):
+    """First/last picks, lookback cut, touchless conversions survive,
+    same-timestamp tie-break by type."""
+    import datetime as dt
+
+    from hive_udf_spark.operators.temporal import attribution
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, ty, mins):
+        return (eid, uid, ty, t0 + dt.timedelta(minutes=mins))
+
+    rows = [
+        ev(1, 1, "view", 0),
+        ev(2, 1, "click", 30),
+        ev(3, 1, "purchase", 60),       # first=view@0, last=click@30, n=2
+        ev(4, 2, "view", -73 * 60),     # outside 72h lookback
+        ev(5, 2, "purchase", 0),        # direct (no qualifying touch)
+        ev(6, 3, "view", 10),
+        ev(7, 3, "click", 10),          # tie ts: first=click (type asc), last=view (type desc)
+        ev(8, 3, "purchase", 20),
+        ev(9, 4, "purchase", 0),        # user with no touches at all
+        ev(10, 5, "view", 100),         # touch AFTER conversion: not attributed
+        ev(11, 5, "purchase", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.conversion_id: (
+            r.first_touch_type,
+            r.last_touch_type,
+            r.n_touches,
+        )
+        for r in attribution(
+            df, "purchase", ["view", "click"], lookback_hours=72
+        ).collect()
+    }
+    assert got[3] == ("view", "click", 2)
+    assert got[5] == (None, None, 0)
+    assert got[8] == ("click", "view", 2)
+    assert got[9] == (None, None, 0)
+    assert got[11] == (None, None, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="touch_types"):
+        attribution(df, "purchase", [])
+
+
+def test_transition_matrix_matches_reference(spark):
+    """Random event streams over seeds: counts and milli-probs equal a
+    Python mirror following the same (ts, id) order."""
+    import datetime as dt
+    import random
+
+    from hive_udf_spark.operators.temporal import transition_matrix
+
+    t0 = dt.datetime(2026, 1, 1)
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(120):
+            rows.append(
+                (
+                    eid,
+                    rng.randrange(8),
+                    rng.choice(["a", "b", "c"]),
+                    t0 + dt.timedelta(minutes=rng.randrange(30)),  # ts ties happen
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r.from_type, r.to_type): (r.n_transitions, r.p_milli)
+            for r in transition_matrix(df).collect()
+        }
+        byu: dict = {}
+        for eid, uid, ty, ts in rows:
+            byu.setdefault(uid, []).append((ts, eid, ty))
+        counts: dict = {}
+        for seq in byu.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        totals: dict = {}
+        for (a, _), n in counts.items():
+            totals[a] = totals.get(a, 0) + n
+        want = {
+            (a, b): (n, n * 1000 // totals[a]) for (a, b), n in counts.items()
+        }
+        assert got == want, seed

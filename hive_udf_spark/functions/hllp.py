@@ -49,6 +49,7 @@ __all__ = [
     "hllp_merge_table",
     "hllp_estimate",
     "hllp_estimate_sql",
+    "hllp_intersect_estimate",
     "hllp_alpha",
     "HLLP_DEFAULT_M",
 ]
@@ -208,3 +209,38 @@ def hllp_estimate_sql(
                 ELSE raw END) AS BIGINT) AS est_hllp
     FROM est
     """
+
+
+def hllp_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    m: int = HLLP_DEFAULT_M,
+) -> DataFrame:
+    """Intersection estimate for two GLOBAL portable-HLL sketches via
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    union sketch the lossless max-merge of the two register relations.
+    Output: one row (est_a, est_b, est_union, est_intersect), the
+    intersect clamped at 0 (inclusion–exclusion can go negative for
+    near-disjoint sets — the same caveat as the HLL struct facade's
+    sketch_intersect_estimate; KMV's sample-based intersect is the
+    non-negative alternative). Every term is the bit-exact portable
+    estimate, so the whole row reproduces in a SQL oracle."""
+    ea = hllp_estimate(a, [], m).select(F.col("est_hllp").alias("est_a"))
+    eb = hllp_estimate(b, [], m).select(F.col("est_hllp").alias("est_b"))
+    eu = hllp_estimate(
+        hllp_merge_table(a.unionByName(b), []), [], m
+    ).select(F.col("est_hllp").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            )
+            .cast("long")
+            .alias("est_intersect"),
+        )
+    )

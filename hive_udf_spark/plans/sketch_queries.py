@@ -1158,3 +1158,47 @@ def profile_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     return equi_depth_histogram(orders, "cents", bins=_HIST_BINS)
+
+
+def _hllp_intersect_oracle() -> str:
+    from hive_udf_spark.functions.hllp import hllp_estimate_sql
+
+    def est(where: str, alias: str) -> str:
+        inner = hllp_estimate_sql(
+            f"(SELECT o_custkey FROM orders WHERE {where})",
+            "'g'", "o_custkey", _HLLP_M, _HLLP_SEED,
+        )
+        return f"{alias} AS (SELECT est_hllp AS e FROM ({inner}))"
+
+    a = est("o_orderpriority = '1-URGENT'", "ea")
+    b = est("o_orderpriority = '2-HIGH'", "eb")
+    u = est("o_orderpriority IN ('1-URGENT', '2-HIGH')", "eu")
+    return f"""
+    WITH {a}, {b}, {u}
+    SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           CAST(greatest(ea.e + eb.e - eu.e, 0) AS BIGINT) AS est_intersect
+    FROM ea, eb, eu
+    """
+
+
+@register("sketch_hllp_intersect_segments", oracle=_hllp_intersect_oracle())
+def sketch_hllp_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL set intersection via inclusion–exclusion
+    (functions/hllp.py hllp_intersect_estimate): URGENT ∩ HIGH customer
+    overlap from the two register relations plus their lossless
+    max-merge union — every term bit-exact in the oracle (the union
+    sketch over concatenated rows ≡ the merge, the :259-265 property).
+    Completes the portable family's set algebra next to KMV's
+    sample-based union/intersect/jaccard/difference."""
+    from hive_udf_spark.functions.hllp import hllp_intersect_estimate, hllp_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = hllp_table(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        [], "o_custkey", m=_HLLP_M, seed=_HLLP_SEED,
+    )
+    b = hllp_table(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        [], "o_custkey", m=_HLLP_M, seed=_HLLP_SEED,
+    )
+    return hllp_intersect_estimate(a, b, m=_HLLP_M)

@@ -129,3 +129,22 @@ def test_random_sets_match_reference_across_m_and_seed(spark):
                 ).collect()[0]
                 nz, est = _py_hllp(vals, m, hseed)
                 assert (got.n_zero, got.est_hllp) == (nz, est), (case_seed, m, hseed)
+
+
+def test_intersect_estimate_overlapping_sets(spark):
+    """A = [0, 3000), B = [1500, 4500): |A∩B| = 1500 within combined
+    RSE; disjoint sets clamp at >= 0."""
+    from hive_udf_spark.functions.hllp import hllp_intersect_estimate
+
+    base = spark.range(4500).select(F.col("id").cast("string").alias("v"))
+    a = hllp_table(base.filter("id < 3000"), [], "v", m=256)
+    b = hllp_table(base.filter("id >= 1500"), [], "v", m=256)
+    row = hllp_intersect_estimate(a, b, m=256).collect()[0]
+    assert abs(row.est_a - 3000) / 3000 < 0.3
+    assert abs(row.est_union - 4500) / 4500 < 0.3
+    assert abs(row.est_intersect - 1500) / 1500 < 0.5  # I-E compounds error
+    d1 = hllp_table(base.filter("id < 1000"), [], "v", m=256)
+    d2 = hllp_table(base.filter("id >= 3500"), [], "v", m=256)
+    drow = hllp_intersect_estimate(d1, d2, m=256).collect()[0]
+    assert drow.est_intersect >= 0  # clamped
+    assert drow.est_intersect < 200

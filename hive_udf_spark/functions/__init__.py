@@ -13,6 +13,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
 )
 from hive_udf_spark.functions.freq import (  # noqa: F401
     approx_top_k_agg,
+    cms_join_size_estimate,
     cms_lookup,
     cms_table,
     top_k_exploded,
@@ -20,6 +21,7 @@ from hive_udf_spark.functions.freq import (  # noqa: F401
 from hive_udf_spark.functions.kmv import (  # noqa: F401
     KMV_DEFAULT_K,
     kmv_estimate,
+    kmv_difference_estimate,
     kmv_intersect_estimate,
     kmv_jaccard,
     kmv_merge_table,
@@ -43,4 +45,11 @@ from hive_udf_spark.functions.pcsa import (  # noqa: F401
 from hive_udf_spark.functions.bpe import (  # noqa: F401
     bpe_doc_token_counts,
     bpe_train,
+)
+from hive_udf_spark.functions.hllp import (  # noqa: F401
+    HLLP_DEFAULT_M,
+    hllp_estimate,
+    hllp_intersect_estimate,
+    hllp_merge_table,
+    hllp_table,
 )

@@ -1205,3 +1205,120 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return skew_report(lineitem, ["l_suppkey"], top_k=10)
+
+
+@register(
+    "maintenance_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN round(o_totalprice + 1, 2) ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    v1 AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+    j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.o_orderkey IS NULL AS added,
+             v2.o_orderkey IS NULL AS removed,
+             (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice)
+             OR (v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority) AS changed
+      FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN added THEN 'added'
+                WHEN removed THEN 'removed'
+                WHEN changed THEN 'changed' END AS change_type
+    FROM j
+    WHERE added OR removed OR changed
+    """,
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection (sources/sinks.py snapshot_diff): v2
+    simulates an ingest cycle — every 97th order deleted, every 13th
+    repriced, every 41st re-ingested under a new key — and the diff
+    emits exactly the added/removed/changed keys (unchanged rows
+    excluded), null-safe per column. One full-outer key join; the audit
+    primitive for incremental pipelines."""
+    from hive_udf_spark.sources.sinks import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 41 == 0).select(
+            (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    return snapshot_diff(orders, v2, ["o_orderkey"])
+
+
+@register(
+    "maintenance_scd2_apply",
+    oracle="""
+    WITH fl AS (
+      SELECT o_custkey,
+             arg_min(o_orderpriority, o_orderkey) AS first_p,
+             arg_max(o_orderpriority, o_orderkey) AS last_p
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, first_p AS o_orderpriority,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM fl WHERE first_p = last_p
+    UNION ALL
+    SELECT o_custkey, first_p,
+           TIMESTAMP '2026-01-01 00:00:00',
+           TIMESTAMP '2026-02-01 00:00:00'
+    FROM fl WHERE first_p != last_p
+    UNION ALL
+    SELECT o_custkey, last_p,
+           TIMESTAMP '2026-02-01 00:00:00',
+           CAST(NULL AS TIMESTAMP)
+    FROM fl WHERE first_p != last_p
+    """,
+)
+def maintenance_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py scd2_apply):
+    a customer-priority dimension seeded from each customer's earliest
+    order receives a change batch carrying the latest order's priority
+    — keys whose attribute changed get their current row closed at the
+    batch's effective timestamp and a new current row opened; unchanged
+    keys stay untouched. The oracle derives the expected post-apply
+    table from scratch (first/last attributes via arg_min/arg_max over
+    the same deterministic order), so intervals, attributes, and row
+    multiplicity all hash-match."""
+    from hive_udf_spark.operators.scd import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    t1 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    t2 = F.to_timestamp(F.lit("2026-02-01 00:00:00"))
+    dim = orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("o_orderpriority")
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("o_orderpriority")
+    ).select("o_custkey", "o_orderpriority", t2.alias("effective_ts"))
+    return scd2_apply(dim, changes, ["o_custkey"], ["o_orderpriority"])

@@ -33,6 +33,7 @@ __all__ = [
     "expire_rows",
     "forget_rows",
     "propagate_deletes",
+    "snapshot_diff",
 ]
 
 
@@ -346,3 +347,53 @@ def propagate_deletes(
         before, after = forget_rows(spark, path, ids, id_col)
         report.append((path, before, after))
     return report
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change detection between two table snapshots: one row per key
+    whose state differs — ``change_type`` ∈ {'added', 'removed',
+    'changed'} — unchanged keys excluded. The audit primitive for
+    incremental pipelines (what did this ingest/compaction/forget pass
+    actually do?) and the input to CDC-style downstream updates.
+
+    Comparison is null-safe per column (NULL == NULL is "unchanged",
+    NULL vs value is "changed" — ``eqNullSafe``), so the relation is
+    engine-exact. ``compare_cols`` defaults to every shared non-key
+    column. Duplicate keys within a snapshot are the caller's bug, not
+    detected here (a keyed snapshot's contract).
+
+    Plan shape: ONE full-outer shuffle join on the key columns; hashes
+    are not pre-computed — Catalyst compares columns directly, so the
+    scan prunes to key + compared columns only.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
+        ]
+    o = old.select(*key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, key_cols, "full_outer")
+    # presence flags: an all-NULL compare side is ambiguous, so probe a
+    # dedicated marker column from each side
+    o = o.withColumn("__o_present", F.lit(1))
+    n = n.withColumn("__n_present", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__o_present").isNull(), F.lit("added"))
+        .when(F.col("__n_present").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -374,3 +374,86 @@ def test_equi_depth_histogram_semantics(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         h(df, "x", bins=0)
+
+
+def test_snapshot_diff_semantics(spark):
+    """added/removed/changed partitioning, NULL-safe comparison,
+    unchanged rows excluded, compare_cols defaulting."""
+    from hive_udf_spark.sources.sinks import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 22), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v int",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 NULL->22 changed, 3 removed, 4 NULL==NULL
+    # in s and equal v -> unchanged, 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    # explicit compare_cols restricts the comparison
+    got_s = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert got_s == {3: "removed", 5: "added"}  # s unchanged for 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(old, new, [])
+
+
+def test_scd2_apply_semantics(spark):
+    """Changed keys close+open, unchanged keys untouched, new keys
+    insert, history rows pass through, NULL attrs compare null-safely."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.scd import scd2_apply
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    t2 = dt.datetime(2026, 3, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", t0, t1),    # history row: must pass through
+            (1, "plat", t1, None),  # current, will change
+            (2, "silver", t0, None),  # current, unchanged in batch
+            (3, None, t0, None),    # current with NULL attr
+            (5, "iron", t0, None),  # current, not in batch
+        ],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "diamond", t2),
+            (2, "silver", t2),   # equal -> no-op
+            (3, None, t2),       # NULL == NULL -> no-op
+            (4, "new", t2),      # unseen key -> insert
+        ],
+        "k long, tier string, effective_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, ["k"], ["tier"])
+    rows = sorted(
+        (r.k, r.tier, r.valid_from, r.valid_to) for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "gold", t0, t1),
+            (1, "plat", t1, t2),
+            (1, "diamond", t2, None),
+            (2, "silver", t0, None),
+            (3, None, t0, None),
+            (4, "new", t2, None),
+            (5, "iron", t0, None),
+        ]
+    )
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_apply(out, changes, ["k"], ["tier"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    with pytest.raises(ValueError, match="key_cols"):
+        scd2_apply(dim, changes, [], ["tier"])

@@ -598,3 +598,90 @@ def streaming_incremental_hllp_table(spark: SparkSession, sf_dir: str) -> DataFr
             .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
         )
     return out
+
+
+@register(
+    "streaming_scd2_dimension",
+    oracle="""
+    WITH per_batch AS (
+      SELECT o_custkey, o_orderkey % 3 AS i,
+             arg_min(o_orderpriority, o_orderkey) AS v
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey, o_orderkey % 3
+    ),
+    vals AS (
+      SELECT o_custkey, i, v,
+             TIMESTAMP '2026-01-01 00:00:00' + to_days(CAST(i * 31 AS INT)) AS t
+      FROM per_batch
+    ),
+    chg AS (
+      SELECT *, lag(v) OVER (PARTITION BY o_custkey ORDER BY i) AS pv
+      FROM vals
+    ),
+    opened AS (
+      SELECT o_custkey, i, v, t FROM chg
+      WHERE pv IS NULL OR v IS DISTINCT FROM pv
+    )
+    SELECT o_custkey, v AS o_orderpriority,
+           t AS valid_from,
+           lead(t) OVER (PARTITION BY o_custkey ORDER BY i) AS valid_to
+    FROM opened
+    """,
+)
+def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 maintenance (streaming/scd_sink.py
+    scd2_dimension_sink): three change batches (per-customer priority
+    of orderkey %% 3 == i orders, effective a month apart) stream into
+    the stored dimension under the one-swap lineage-guarded state
+    contract; the final dimension must equal the run-length fold of
+    each customer's present-value sequence — consecutive equal values
+    collapse to one interval, changes close and open rows at the
+    batch's effective timestamp. The oracle derives that fold directly
+    with lag()/lead(), so intervals, attributes, and multiplicity all
+    hash-match."""
+    import datetime
+    import tempfile
+
+    from hive_udf_spark.streaming.scd_sink import scd2_dimension_sink
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(3):  # sequential writes -> deterministic file order
+            eff = datetime.datetime(2026, 1, 1) + datetime.timedelta(days=31 * b)
+            batch = (
+                orders.filter(F.col("o_orderkey") % 3 == b)
+                .groupBy("o_custkey")
+                .agg(F.min_by("o_orderpriority", "o_orderkey").alias("o_orderpriority"))
+                .select(
+                    "o_custkey",
+                    "o_orderpriority",
+                    F.lit(eff).alias("effective_ts"),
+                )
+            )
+            batch.coalesce(1).write.parquet(f"{src}/b{b}")
+        schema = spark.read.parquet(f"{src}/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = scd2_dimension_sink(
+            stream,
+            f"{tmp}/dim_state",
+            f"{tmp}/ckpt",
+            ["o_custkey"],
+            ["o_orderpriority"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(f"{tmp}/dim_state/dim")
+            .select("o_custkey", "o_orderpriority", "valid_from", "valid_to")
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

@@ -653,3 +653,58 @@ def test_hllp_sink_merge_idempotent_and_equals_direct(spark, sf_dir, tmp_path):
     )
     merge_hllp_table(spark, sk0, table, ["day"])
     assert snap() == direct
+
+
+def test_scd2_sink_sequential_batches_and_retry(spark, tmp_path):
+    """Batch-by-batch application folds value sequences into intervals;
+    a same-batch retry is skipped by the mark; an old batch id raises
+    the lineage-mismatch error."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.streaming.scd_sink import _commit_dim, _read_dim
+    from hive_udf_spark.operators.scd import scd2_apply
+
+    # drive the sink's _apply logic via its building blocks (the
+    # registry query drives the real foreachBatch end-to-end)
+    from hive_udf_spark.streaming.scd_sink import scd2_dimension_sink  # noqa: F401
+
+    state = str(tmp_path / "dim_state")
+    t = [dt.datetime(2026, 1, 1 + i) for i in range(3)]
+    seqs = {1: ["a", "a", "b"], 2: ["x", None, "x"], 3: [None, "q", "q"]}
+    for b in range(3):
+        rows = [
+            (k, v[b], t[b]) for k, v in seqs.items() if v[b] is not None
+        ]
+        batch = spark.createDataFrame(
+            rows, "k long, attr string, effective_ts timestamp"
+        )
+        dim, hwm = _read_dim(spark, state)
+        assert hwm == b - 1
+        if dim is None:
+            dim = batch.select(
+                "k", "attr",
+                F.col("effective_ts").alias("valid_from"),
+                F.col("effective_ts").alias("valid_to"),
+            ).limit(0)
+        new_dim = scd2_apply(dim, batch, ["k"], ["attr"]).localCheckpoint(eager=True)
+        _commit_dim(state, new_dim, b)
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(f"{state}/dim").collect()
+    )
+    assert got == sorted(
+        [
+            (1, "a", t[0], t[2]),
+            (1, "b", t[2], None),
+            (2, "x", t[0], None),   # absent in batch 1, same value batch 2
+            (3, "q", t[1], None),
+        ]
+    )
+    from hive_udf_spark.streaming.dedup_sink import _hwm_skip
+
+    assert _hwm_skip(2, 2, state) is True  # retry skipped
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        _hwm_skip(2, 0, state)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply"]
+__all__ = ["scd2_apply", "point_in_time_join"]
 
 
 def scd2_apply(
@@ -94,3 +94,56 @@ def scd2_apply(
         )
     )
     return history.unionByName(kept).unionByName(closed).unionByName(opened)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """AS-OF lookup against an SCD2 dimension: each fact row joins the
+    dimension version valid at its own timestamp —
+    ``valid_from ≤ ts < valid_to`` (open current rows match everything
+    from their valid_from on). The consumer side of :func:`scd2_apply`:
+    facts replayed against history resolve to the attributes that were
+    true WHEN THE FACT HAPPENED, not today's.
+
+    SCD2 intervals for one key never overlap (the scd2_apply
+    invariant), so each fact matches at most one version and the join
+    cannot fan out. Plan shape: one equi-join on the key columns with
+    the interval predicate as a join condition — Spark's range-join
+    shape; the key equality keeps the shuffle keyed and AQE-skew-
+    splittable (the interval_join discipline; band by time at 100 TB
+    if a single key's fact volume dominates).
+
+    Output: every fact column + the dimension's attribute columns
+    (key/validity columns not duplicated). ``how='left'`` keeps facts
+    predating any version (NULL attributes); 'inner' drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    attr_cols = [
+        c
+        for c in dim.columns
+        if c not in set(key_cols) | {valid_from_col, valid_to_col}
+    ]
+    d = dim.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+        *attr_cols,
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+    cond = (
+        cond
+        & (F.col(ts_col) >= F.col("__vf"))
+        & (F.col("__vt").isNull() | (F.col(ts_col) < F.col("__vt")))
+    )
+    joined = facts.join(d, cond, how)
+    return joined.select(*facts.columns, *attr_cols)

@@ -1322,3 +1322,68 @@ def maintenance_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", "o_orderkey").alias("o_orderpriority")
     ).select("o_custkey", "o_orderpriority", t2.alias("effective_ts"))
     return scd2_apply(dim, changes, ["o_custkey"], ["o_orderpriority"])
+
+
+@register(
+    "maintenance_scd2_point_in_time",
+    oracle="""
+    WITH fl AS (
+      SELECT o_custkey,
+             arg_min(o_orderpriority, o_orderkey) AS first_p,
+             arg_max(o_orderpriority, o_orderkey) AS last_p
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    dim AS (
+      SELECT o_custkey, first_p AS tracked_priority,
+             TIMESTAMP '1995-01-01 00:00:00' AS vf,
+             CASE WHEN first_p != last_p
+                  THEN TIMESTAMP '1998-01-01 00:00:00' END AS vt
+      FROM fl
+      UNION ALL
+      SELECT o_custkey, last_p,
+             TIMESTAMP '1998-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      FROM fl WHERE first_p != last_p
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+           d.tracked_priority
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_custkey IS NOT NULL) f
+    LEFT JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.o_orderdate >= d.vf
+     AND (d.vt IS NULL OR f.o_orderdate < d.vt)
+    """,
+)
+def maintenance_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension
+    (operators/scd.py point_in_time_join): each sampled order resolves
+    the priority version valid AT ITS OWN o_orderdate — facts replayed
+    against history see what was true when they happened (orders before
+    the 1998 change date get the first version, later ones the
+    current). Non-overlapping intervals mean no fan-out; one custkey-
+    keyed equi-join with the interval predicate. The oracle rebuilds
+    dim + lookup from scratch."""
+    from hive_udf_spark.operators.scd import point_in_time_join, scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    t1 = F.to_timestamp(F.lit("1995-01-01 00:00:00"))
+    t2 = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    dim0 = orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("tracked_priority")
+    ).select(
+        "o_custkey",
+        "tracked_priority",
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("tracked_priority")
+    ).select("o_custkey", "tracked_priority", t2.alias("effective_ts"))
+    dim = scd2_apply(dim0, changes, ["o_custkey"], ["tracked_priority"])
+    facts = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return point_in_time_join(facts, dim, ["o_custkey"], "o_orderdate")

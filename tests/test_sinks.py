@@ -457,3 +457,44 @@ def test_scd2_apply_semantics(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
     with pytest.raises(ValueError, match="key_cols"):
         scd2_apply(dim, changes, [], ["tier"])
+
+
+def test_point_in_time_join_semantics(spark):
+    """Each fact resolves the version valid at its own ts; facts before
+    any version keep NULLs on left join and drop on inner; no fan-out."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hive_udf_spark.operators.scd import point_in_time_join
+
+    t = [dt.datetime(2026, 1, 1 + i) for i in range(4)]
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", t[1], t[2]),
+            (1, "v2", t[2], None),
+            (2, "w1", t[1], None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, t[0]),  # before any version -> NULL
+            (11, 1, t[1]),  # v1 (inclusive start)
+            (12, 1, t[2]),  # v2 (exclusive end of v1)
+            (13, 1, t[3]),  # v2 (open interval)
+            (14, 3, t[2]),  # unknown key -> NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    got = {
+        r.fid: r.attr
+        for r in point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert got == {10: None, 11: "v1", 12: "v2", 13: "v2", 14: None}
+    inner = point_in_time_join(facts, dim, ["k"], "ts", how="inner")
+    assert sorted(r.fid for r in inner.collect()) == [11, 12, 13]
+    assert point_in_time_join(facts, dim, ["k"], "ts").count() == 5  # no fan-out
+    with pytest.raises(ValueError, match="how"):
+        point_in_time_join(facts, dim, ["k"], "ts", how="outer")

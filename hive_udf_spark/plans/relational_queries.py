@@ -1387,3 +1387,94 @@ def maintenance_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     return point_in_time_join(facts, dim, ["o_custkey"], "o_orderdate")
+
+
+@register(
+    "quality_checks_tpch",
+    oracle="""
+    WITH dup_src AS (
+      SELECT o_orderkey FROM orders
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    u AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT o_orderkey FROM dup_src GROUP BY 1 HAVING count(*) > 1
+      )
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey % 97 != 0)
+        GROUP BY 1
+      )
+    ),
+    f1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT l_orderkey FROM lineitem GROUP BY 1
+        HAVING count(DISTINCT l_returnflag) > 1
+      )
+    ),
+    f2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT o_orderkey FROM orders GROUP BY 1
+        HAVING count(DISTINCT o_orderdate) > 1
+      )
+    ),
+    n_dup AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dup_src),
+    n_li AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    n_ord AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT 'unique_orderkey' AS check, u.v AS n_violations, n_dup.n AS n_checked
+    FROM u, n_dup
+    UNION ALL
+    SELECT 'fk_lineitem_orders', r.v, n_li.n FROM r, n_li
+    UNION ALL
+    SELECT 'fd_orderkey_returnflag', f1.v, n_li.n FROM f1, n_li
+    UNION ALL
+    SELECT 'fd_orderkey_orderdate', f2.v, n_ord.n FROM f2, n_ord
+    """,
+)
+def quality_checks_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite (operators/quality.py): four checks with both
+    outcomes planted — uniqueness over orders with a duplicated %101
+    slice (FAILS with exactly those keys), lineitem→orders referential
+    integrity against a parent table missing %97 keys (FAILS with the
+    orphaned orders), the false dependency orderkey→returnflag (FAILS
+    naturally: multi-line orders mix flags), and the true dependency
+    orderkey→orderdate (PASSES: one date per order). One uniform
+    report row per check; every count exact in the oracle."""
+    from hive_udf_spark.operators.quality import (
+        fd_violations,
+        quality_report,
+        referential_violations,
+        uniqueness_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dup_src = orders.select("o_orderkey").unionByName(
+        orders.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+    )
+    parent = orders.filter(F.col("o_orderkey") % 97 != 0)
+    return quality_report(
+        {
+            "unique_orderkey": (
+                uniqueness_violations(dup_src, ["o_orderkey"]),
+                dup_src,
+            ),
+            "fk_lineitem_orders": (
+                referential_violations(li, parent, {"l_orderkey": "o_orderkey"}),
+                li,
+            ),
+            "fd_orderkey_returnflag": (
+                fd_violations(li, ["l_orderkey"], ["l_returnflag"]),
+                li,
+            ),
+            "fd_orderkey_orderdate": (
+                fd_violations(orders, ["o_orderkey"], ["o_orderdate"]),
+                orders,
+            ),
+        }
+    )

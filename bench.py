@@ -531,23 +531,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         # container build -> real frame walk (2:1 sampled) -> per-frame
         # aHash -> shared-keyframe pair join
         from hive_udf_spark.operators.dedup import shared_signature_pairs
-        from hive_udf_spark.operators.multimodal import (
-            image_ahash_table,
-            sample_container_frames,
-        )
+        from hive_udf_spark.operators.multimodal import video_frame_signatures
 
-        vdocs = docs.filter(F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$"))
-        hdr = F.lit(b"P5\n8 8\n255\n")
-        frames = [
-            F.concat(
-                hdr,
-                F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
-            )
-            for i in range(4)
-        ]
-        blobs = vdocs.select("doc_id", F.concat(*frames).alias("blob"))
-        sampled = sample_container_frames(blobs, every_nth=2)
-        sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+        sigs = video_frame_signatures(docs)
         _force(shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2))
 
     benches = {

@@ -184,4 +184,9 @@ def cms_join_size_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
     full = axis.join(per_d, "d", "left").select(
         F.coalesce("__ip", F.lit(0)).alias("__ip")
     )
-    return full.agg(F.min("__ip").cast("long").alias("est_join_rows"))
+    # empty sketch A ⇒ empty axis ⇒ min over nothing: the join is
+    # provably empty, report 0 (symmetric with an empty B, whose
+    # missing cells already coalesce to 0)
+    return full.agg(
+        F.coalesce(F.min("__ip"), F.lit(0)).cast("long").alias("est_join_rows")
+    )

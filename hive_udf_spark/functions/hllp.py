@@ -147,8 +147,12 @@ def hllp_estimate(
     k = _max_rank(m)
     per_group = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__nb"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rank)")
+        # coalesce: a global (group_cols=[]) aggregate over an EMPTY
+        # sketch relation yields one row with sum NULL — all registers
+        # empty means S = m·2^K and the LC branch gives the correct 0
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rank)")),
+            F.lit(0),
         ).alias("__sp"),
     )
     # empty registers contribute 2^(K-0) each; S is an exact BIGINT

@@ -183,7 +183,12 @@ def kmv_difference_estimate(a: Column | str, b: Column | str, k: int) -> Column:
     frac = F.size(F.array_intersect(x, F.array_except(ca, cb))).cast(
         "double"
     ) / F.size(x).cast("double")
-    return F.floor(frac * kmv_estimate(x, k)).cast("bigint")
+    # both sketches empty ⇒ 0/0 division: |A\B| is provably 0, not NULL
+    return (
+        F.when(F.size(x) > 0, F.floor(frac * kmv_estimate(x, k)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
 
 
 def kmv_sketch_sql(

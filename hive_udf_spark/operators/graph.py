@@ -68,7 +68,8 @@ def pagerank_fixed(
     docs and spread through the near-dup graph to score everything a
     few similarity hops away (direct-match decontamination catches
     hop 1; this scores the chain). Non-seed nodes unreachable from
-    any seed score exactly 0."""
+    any seed score exactly 0; seeds absent from the edge relation
+    (isolated docs) still appear, scoring their teleport base."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0 <= damping_milli <= 1000:
@@ -99,6 +100,10 @@ def pagerank_fixed(
         sd = seeds.select(F.col(seed_col).alias("__n")).distinct().withColumn(
             "__is_seed", F.lit(1)
         )
+        # seeds with no edges still carry teleport mass: extend the node
+        # axis with isolated seeds so they appear in the output (scoring
+        # their base each iteration) instead of silently vanishing
+        nodes = nodes.unionByName(sd.select("__n")).distinct()
         nodes = nodes.join(sd, "__n", "left").select(
             "__n", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed")
         )

@@ -404,3 +404,41 @@ def audio_fingerprint_table(blobs: DataFrame, bits: int = AFP_BITS) -> DataFrame
             )
 
     return blobs.mapInPandas(extract, schema="doc_id bigint, afp bigint")
+
+
+def video_frame_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_frames: int = 4,
+    stride: int = 32,
+    frame_chars: int = 64,
+    every_nth: int = 2,
+) -> DataFrame:
+    """The shared video-dedup front half used by the registry's video
+    queries and the bench: build a concatenated-netpbm container per doc
+    (``n_frames`` overlapping ``frame_chars``-char text windows as 8x8
+    PGM frames), REALLY walk it frame-by-frame keeping every
+    ``every_nth`` frame, and aHash each sampled frame. Docs whose
+    covered prefix is not pure ASCII are excluded (multi-byte chars
+    would break the fixed frame extents). Output: (doc_id, ahash) —
+    one row per sampled frame, ready for shared_signature_pairs or any
+    Hamming blocker. Change the frame layout HERE and in the
+    `_VIDEO_PAIRS_CTES` oracle together."""
+    span = stride * (n_frames - 1) + frame_chars
+    ascii_docs = docs.filter(
+        F.substring(text_col, 1, span).rlike("^[\\x00-\\x7F]*$")
+    )
+    hdr = F.lit(b"P5\n8 8\n255\n")
+    frames = [
+        F.concat(
+            hdr,
+            F.encode(
+                F.rpad(F.substring(text_col, stride * i + 1, frame_chars), frame_chars, " "),
+                "UTF-8",
+            ),
+        )
+        for i in range(n_frames)
+    ]
+    blobs = ascii_docs.select("doc_id", F.concat(*frames).alias("blob"))
+    sampled = sample_container_frames(blobs, every_nth=every_nth)
+    return image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))

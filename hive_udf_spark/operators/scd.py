@@ -51,17 +51,31 @@ def scd2_apply(
     O(|current| + |batch|) regardless of history depth; partition the
     stored table on ``valid_to IS NULL`` and the rewrite prunes to the
     current partition.
+
+    The dimension must carry EXACTLY key + attr + validity columns
+    (extra columns raise rather than silently vanish from the rebuilt
+    table); change rows with a NULL effective timestamp raise too — an
+    unplaceable change must not be silently dropped.
     """
     if not key_cols or not attr_cols:
         raise ValueError("key_cols and attr_cols must be non-empty")
     dim_cols = [*key_cols, *attr_cols, valid_from_col, valid_to_col]
+    extra = [c for c in dim.columns if c not in set(dim_cols)]
+    if extra:
+        raise ValueError(
+            f"dim carries columns {extra} outside key/attr/validity — "
+            "they would be silently dropped; project them away or add "
+            "them to attr_cols"
+        )
     history = dim.filter(F.col(valid_to_col).isNotNull()).select(*dim_cols)
-    current = dim.filter(F.col(valid_to_col).isNull()).select(*dim_cols)
+    current = dim.filter(F.col(valid_to_col).isNull()).select(
+        *dim_cols
+    ).withColumn("__in_dim", F.lit(1))
     ch = changes.select(
         *key_cols,
         *[F.col(c).alias(f"__c_{c}") for c in attr_cols],
         F.col(effective_col).alias("__eff"),
-    )
+    ).withColumn("__in_batch", F.lit(1))
     j = current.join(ch, key_cols, "full_outer")
 
     def _same() -> Column:
@@ -70,8 +84,11 @@ def scd2_apply(
             same = same & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
         return same
 
-    in_dim = F.col(valid_from_col).isNotNull()
-    in_batch = F.col("__eff").isNotNull()
+    # presence via dedicated markers, NOT data-column nullability — the
+    # snapshot_diff lesson: a NULL valid_from or effective_ts must not
+    # make a row vanish from every branch
+    in_dim = F.col("__in_dim").isNotNull()
+    in_batch = F.col("__in_batch").isNotNull()
     # current rows: untouched (no change row, or attrs equal) keep their
     # open interval; changed ones close at the effective timestamp
     kept = j.filter(in_dim & (~in_batch | _same())).select(*dim_cols)
@@ -89,7 +106,13 @@ def scd2_apply(
         .select(
             *key_cols,
             *[F.col(f"__c_{c}").alias(c) for c in attr_cols],
-            F.col("__eff").alias(valid_from_col),
+            # NULL effective timestamps fail loudly instead of opening
+            # an unanchored interval (assert_true evaluates per row)
+            F.when(
+                F.col("__eff").isNotNull(), F.col("__eff")
+            ).otherwise(
+                F.raise_error(F.lit("scd2_apply: NULL effective timestamp"))
+            ).alias(valid_from_col),
             F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
         )
     )

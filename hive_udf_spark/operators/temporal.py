@@ -455,6 +455,7 @@ def attribution(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    event_id_col: str = "event_id",
     lookback_hours: int | None = None,
 ) -> DataFrame:
     """Conversion attribution: for each conversion event, the FIRST and
@@ -482,7 +483,7 @@ def attribution(
     ).select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__cts"),
-        F.col("event_id").alias("__cid"),
+        F.col(event_id_col).alias("__cid"),
     )
     touch = events.filter(
         F.col(type_col).isin(*touch_types)
@@ -531,6 +532,7 @@ def transition_matrix(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """Per-user event-type transition counts and probabilities — the
     first-order Markov behavioral model over the event stream:
@@ -545,9 +547,15 @@ def transition_matrix(
     then a partial-aggregated global pair count. No window over the
     raw stream.
     """
+    # NULL event types are not states: they are excluded up front so the
+    # matrix covers exactly the typed transitions (a NULL from_type would
+    # otherwise be counted into totals yet silently dropped by the
+    # equi-join on from_type — asymmetric and wrong)
     seq = (
         events.filter(
-            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+            F.col(ts_col).isNotNull()
+            & F.col(user_col).isNotNull()
+            & F.col(type_col).isNotNull()
         )
         .groupBy(F.col(user_col).alias("__u"))
         .agg(
@@ -555,7 +563,7 @@ def transition_matrix(
                 F.collect_list(
                     F.struct(
                         F.col(ts_col).alias("t"),
-                        F.col("event_id").alias("i"),
+                        F.col(event_id_col).alias("i"),
                         F.col(type_col).alias("y"),
                     )
                 )

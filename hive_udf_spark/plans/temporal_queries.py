@@ -363,6 +363,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts ASC, event_id ASC) AS y2
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
     ),
     counts AS (
       SELECT y AS from_type, y2 AS to_type, CAST(count(*) AS BIGINT) AS n_transitions

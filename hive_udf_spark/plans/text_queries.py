@@ -1026,25 +1026,9 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the text and brute-forces the >=2-shared-hash pairs, so
     container encode -> parse -> decode must round-trip exactly."""
     from hive_udf_spark.operators.dedup import shared_signature_pairs
-    from hive_udf_spark.operators.multimodal import (
-        image_ahash_table,
-        sample_container_frames,
-    )
+    from hive_udf_spark.operators.multimodal import video_frame_signatures
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
-    )
-    hdr = F.lit(b"P5\n8 8\n255\n")
-    frames = [
-        F.concat(
-            hdr,
-            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
-        )
-        for i in range(4)
-    ]
-    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
-    sampled = sample_container_frames(blobs, every_nth=2)
-    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    sigs = video_frame_signatures(load_table(spark, sf_dir, "documents"))
     return shared_signature_pairs(
         sigs, id_col="doc_id", sig_col="ahash", min_shared=2
     )
@@ -1097,25 +1081,9 @@ def graph_pagerank_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the BPE-trainer discipline applied to iterative linear algebra)."""
     from hive_udf_spark.operators.dedup import shared_signature_pairs
     from hive_udf_spark.operators.graph import pagerank_fixed, symmetrize_edges
-    from hive_udf_spark.operators.multimodal import (
-        image_ahash_table,
-        sample_container_frames,
-    )
+    from hive_udf_spark.operators.multimodal import video_frame_signatures
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
-    )
-    hdr = F.lit(b"P5\n8 8\n255\n")
-    frames = [
-        F.concat(
-            hdr,
-            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
-        )
-        for i in range(4)
-    ]
-    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
-    sampled = sample_container_frames(blobs, every_nth=2)
-    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    sigs = video_frame_signatures(load_table(spark, sf_dir, "documents"))
     pairs = shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2)
     return pagerank_fixed(
         symmetrize_edges(pairs), iters=_PR_ITERS, damping_milli=_PR_DAMP
@@ -1173,25 +1141,9 @@ def graph_seeded_expansion_video_dups(spark: SparkSession, sf_dir: str) -> DataF
     iterations hash-match the chained-CTE oracle."""
     from hive_udf_spark.operators.dedup import shared_signature_pairs
     from hive_udf_spark.operators.graph import pagerank_fixed, symmetrize_edges
-    from hive_udf_spark.operators.multimodal import (
-        image_ahash_table,
-        sample_container_frames,
-    )
+    from hive_udf_spark.operators.multimodal import video_frame_signatures
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.substring("text", 1, 160).rlike("^[\\x00-\\x7F]*$")
-    )
-    hdr = F.lit(b"P5\n8 8\n255\n")
-    frames = [
-        F.concat(
-            hdr,
-            F.encode(F.rpad(F.substring("text", 32 * i + 1, 64), 64, " "), "UTF-8"),
-        )
-        for i in range(4)
-    ]
-    blobs = docs.select("doc_id", F.concat(*frames).alias("blob"))
-    sampled = sample_container_frames(blobs, every_nth=2)
-    sigs = image_ahash_table(sampled.select("doc_id", F.col("frame").alias("blob")))
+    sigs = video_frame_signatures(load_table(spark, sf_dir, "documents"))
     pairs = shared_signature_pairs(sigs, "doc_id", "ahash", min_shared=2)
     edges = symmetrize_edges(pairs)
     seeds = edges.select(F.col("src").alias("doc_id")).filter(

@@ -377,13 +377,14 @@ def snapshot_diff(
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
         ]
-    o = old.select(*key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
-    n = new.select(*key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
-    j = o.join(n, key_cols, "full_outer")
     # presence flags: an all-NULL compare side is ambiguous, so probe a
     # dedicated marker column from each side
-    o = o.withColumn("__o_present", F.lit(1))
-    n = n.withColumn("__n_present", F.lit(1))
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    ).withColumn("__o_present", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    ).withColumn("__n_present", F.lit(1))
     j = o.join(n, key_cols, "full_outer")
     same = F.lit(True)
     for c in compare_cols:

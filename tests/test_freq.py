@@ -145,3 +145,14 @@ def test_cms_join_size_disjoint_keys_small(spark):
     # any depth row with zero cell overlap proves the join empty and
     # must win the min (it may not vanish from the inner join)
     assert est == 0
+
+
+def test_cms_join_size_empty_sketch_symmetric_zero(spark):
+    """Review-caught: an empty sketch on EITHER side estimates 0, not
+    NULL (empty A previously produced an empty axis -> NULL min)."""
+    from hive_udf_spark.functions.freq import cms_join_size_estimate, cms_table
+
+    empty = cms_table(spark.createDataFrame([], "k long"), "k", depth=4, width=64)
+    some = cms_table(spark.range(100).select(F.col("id").alias("k")), "k", depth=4, width=64)
+    assert cms_join_size_estimate(empty, some).collect()[0].est_join_rows == 0
+    assert cms_join_size_estimate(some, empty).collect()[0].est_join_rows == 0

@@ -123,3 +123,14 @@ def test_personalized_pagerank_seeded(spark):
         assert all(v == 0 for n, v in got.items() if n >= 100)
         # seeds hold teleport mass
         assert all(got[s] > 0 for s in seed_ids)
+
+
+def test_isolated_seed_keeps_teleport_mass(spark):
+    """Review-caught: a seed absent from the edge relation still appears
+    in the output with its teleport base, not silently dropped."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "doc_id long")
+    got = {r.node: r.rank_micro for r in pagerank_fixed(edges, iters=3, seeds=seeds).collect()}
+    assert 99 in got and got[99] == 150_000  # base only, every iteration
+    # cycle mass oscillates between 1 and 2; both must hold positive rank
+    assert got[1] > 0 and got[2] > 0 and got[1] + got[2] > 150_000

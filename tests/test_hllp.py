@@ -148,3 +148,20 @@ def test_intersect_estimate_overlapping_sets(spark):
     drow = hllp_intersect_estimate(d1, d2, m=256).collect()[0]
     assert drow.est_intersect >= 0  # clamped
     assert drow.est_intersect < 200
+
+
+def test_empty_sketch_estimates_zero(spark):
+    """Review-caught: a global estimate over an EMPTY sketch relation is
+    0 (all registers empty -> LC branch), not NULL; an empty segment in
+    the intersect yields integer rows."""
+    from hive_udf_spark.functions.hllp import hllp_intersect_estimate
+
+    empty = hllp_table(
+        spark.createDataFrame([], "x string"), [], "x", m=64
+    )
+    row = hllp_estimate(empty, [], m=64).collect()[0]
+    assert (row.n_zero, row.est_hllp) == (64, 0)
+    some = hllp_table(spark.range(50).selectExpr("CAST(id AS STRING) x"), [], "x", m=64)
+    irow = hllp_intersect_estimate(empty, some, m=64).collect()[0]
+    assert irow.est_a == 0 and irow.est_intersect == 0
+    assert irow.est_b == irow.est_union and irow.est_b > 0

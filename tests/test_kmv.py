@@ -172,3 +172,13 @@ def test_difference_random_sets_match_reference(spark):
         est_u = len(x) if len(x) < k else int((k - 1) * 2**60 / x[k - 1])
         want = int(in_diff / len(x) * est_u)
         assert got == want, seed
+
+
+def test_difference_empty_sketches_zero(spark):
+    """Review-caught: both sketches empty -> 0, not NULL (0/0 guard)."""
+    from hive_udf_spark.functions.kmv import kmv_difference_estimate
+
+    e = kmv_table(spark.createDataFrame([], "v long"), [], "v", k=8).select(
+        F.col("kmv").alias("a"), F.col("kmv").alias("b")
+    )
+    assert e.select(kmv_difference_estimate("a", "b", 8).alias("d")).collect()[0].d == 0

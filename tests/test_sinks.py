@@ -498,3 +498,47 @@ def test_point_in_time_join_semantics(spark):
     assert point_in_time_join(facts, dim, ["k"], "ts").count() == 5  # no fan-out
     with pytest.raises(ValueError, match="how"):
         point_in_time_join(facts, dim, ["k"], "ts", how="outer")
+
+
+def test_scd2_apply_rejects_extra_dim_columns_and_null_effective(spark):
+    """Review-caught: extra dim columns raise instead of silently
+    vanishing; a NULL effective timestamp raises instead of dropping or
+    misfiling the change."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hive_udf_spark.operators.scd import scd2_apply
+
+    t0 = dt.datetime(2026, 1, 1)
+    dim_extra = spark.createDataFrame(
+        [(1, "a", "audit", t0, None)],
+        "k long, attr string, extra string, valid_from timestamp, valid_to timestamp",
+    )
+    ch = spark.createDataFrame(
+        [(1, "b", t0)], "k long, attr string, effective_ts timestamp"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        scd2_apply(dim_extra, ch, ["k"], ["attr"])
+    dim = dim_extra.drop("extra")
+    null_eff = spark.createDataFrame(
+        [(2, "x", None)], "k long, attr string, effective_ts timestamp"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        scd2_apply(dim, null_eff, ["k"], ["attr"]).collect()
+    # NULL valid_from on a current row no longer makes it vanish
+    dim_nvf = spark.createDataFrame(
+        [(3, "z", None, None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    out = scd2_apply(
+        dim_nvf,
+        spark.createDataFrame([(9, "q", t0)], "k long, attr string, effective_ts timestamp"),
+        ["k"],
+        ["attr"],
+    ).collect()
+    assert sorted(r.k for r in out) == [3, 9]

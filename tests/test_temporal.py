@@ -529,3 +529,28 @@ def test_transition_matrix_matches_reference(spark):
             (a, b): (n, n * 1000 // totals[a]) for (a, b), n in counts.items()
         }
         assert got == want, seed
+
+
+def test_transition_matrix_null_types_excluded(spark):
+    """Review-caught: NULL event types are not states — excluded from
+    both sides (previously counted into totals but dropped from output
+    by the equi-join, asymmetrically)."""
+    import datetime as dt
+
+    from hive_udf_spark.operators.temporal import transition_matrix
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, "a", t0),
+        (2, 1, None, dt.datetime(2026, 1, 1, 1)),
+        (3, 1, "b", dt.datetime(2026, 1, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_milli)
+        for r in transition_matrix(df).collect()
+    }
+    # the NULL row is skipped entirely: a -> b is the one transition
+    assert got == {("a", "b"): (1, 1000)}

@@ -242,3 +242,73 @@ def semantic_decontam(
     ).select(
         F.col("__c_id").alias(id_col), "n_hits", "best_eval_id", "best_dot_q"
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of a doc's distinct word n-grams that appear nowhere in
+    the reference — the memorization/novelty metric (novelty 0 ⇒ every
+    n-gram already exists in the reference; low novelty flags
+    regurgitation, high novelty flags out-of-distribution text). The
+    scoring complement of ``contamination_report``: that one FILTERS on
+    overlap with an eval set, this one SCORES every document against a
+    (typically much larger) reference.
+
+    Output: (id, n_ngrams, novel_ngrams, novelty_ppm) with novelty_ppm
+    = (novel·1e6) div n_ngrams, integer-exact; docs with fewer than n
+    tokens score (0, 0, 0) and stay addressable.
+
+    Plan shape: both sides reduce to DISTINCT n-gram relations before
+    the membership probe (one left join on the gram string — the only
+    corpus-sized shuffle, fixed-width after hashing the gram if the
+    caller pre-hashes); per-doc integer sums partial-aggregate. The
+    reference side is |distinct reference grams| rows ONCE, reusable
+    across scoring batches when persisted.
+    """
+    from hive_udf_spark.functions.text import ngrams, tokenize
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(ngrams(tokenize(text_col), n))
+        ).alias("__g"),
+    )
+    ref_grams = (
+        reference.select(F.explode(ngrams(tokenize(text_col), n)).alias("__g"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    scored = (
+        doc_grams.join(ref_grams, "__g", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.count(F.when(F.col("__seen").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("novel_ngrams"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("__id"))
+    return (
+        base.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("novel_ngrams", F.lit(0)).alias("novel_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.expr("(novel_ngrams * 1000000) div n_ngrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -665,3 +665,47 @@ def pipeline_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classify(
         docs, train, buckets=_NB_B, portable=True, seed=_NB_SEED
     )
+
+
+@register(
+    "pipeline_novelty_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM t, unnest(generate_series(1, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    rg AS (
+      SELECT DISTINCT g FROM dg WHERE doc_id % 5 != 0
+    ),
+    scored AS (
+      SELECT dg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(count(CASE WHEN rg.g IS NULL THEN 1 END) AS BIGINT) AS novel_ngrams
+      FROM dg LEFT JOIN rg ON rg.g = dg.g
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_ngrams, 0) AS n_ngrams,
+           coalesce(s.novel_ngrams, 0) AS novel_ngrams,
+           CAST(CASE WHEN coalesce(s.n_ngrams, 0) > 0
+                THEN (s.novel_ngrams * 1000000) // s.n_ngrams
+                ELSE 0 END AS BIGINT) AS novelty_ppm
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def pipeline_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (operators/decontam.py novelty_scores):
+    every document's fraction of distinct word 3-grams unseen in the
+    doc_id %% 5 != 0 reference slice — the memorization/novelty metric
+    (reference members score 0 by construction; held-out docs score
+    their genuine novelty). Both sides reduce to distinct-gram
+    relations before the single membership join; integer ppm exact in
+    the oracle."""
+    from hive_udf_spark.operators.decontam import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    return novelty_scores(docs, ref, n=3)

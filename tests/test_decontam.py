@@ -235,3 +235,35 @@ def test_semantic_decontam_caches_contract(spark, sf_dir):
     for h in handles:
         h.unpersist()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_novelty_scores_semantics(spark):
+    """Reference members score 0; disjoint docs score 1e6; partial
+    overlap is the exact novel fraction; short docs score (0,0,0)."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hive_udf_spark.operators.decontam import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),     # all 3 trigrams seen -> 0
+            (2, "x y z w"),       # 2 trigrams, both novel -> 1e6
+            (3, "a b c q r"),     # trigrams: abc(seen), bcq, cqr -> 2/3
+            (4, "a b"),           # too short -> (0,0,0)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.novel_ngrams, r.novelty_ppm)
+        for r in novelty_scores(docs, ref, n=3).collect()
+    }
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (2, 2, 1_000_000)
+    assert got[3] == (3, 2, 666_666)
+    assert got[4] == (0, 0, 0)
+    with pytest.raises(ValueError, match="n must"):
+        novelty_scores(docs, ref, n=0)

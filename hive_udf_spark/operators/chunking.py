@@ -453,3 +453,41 @@ def percentile_band_filter(
     else:
         joined = base.crossJoin(picks)
     return joined.filter((v >= F.col("lo_value")) & (v <= F.col("hi_value")))
+
+
+def source_quota_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quota capping (the RefinedWeb/C4 per-domain cap): keep
+    at most ``cap`` rows per group, ranked by ``order_by`` (Column list,
+    best first; default: ``id_col`` ascending — pure determinism), so no
+    single boilerplate-heavy source dominates the mixture. Output:
+    every kept input column + ``quota_rank`` (1-based).
+
+    The anti-bias complement to mixture_weighted_repeat: that one
+    up/down-weights sources multiplicatively, this one hard-bounds them.
+    Always pair the ranking with a deterministic final key (the id) so
+    the kept set is stable run-to-run.
+
+    Plan shape: one window partitioned by the group — Spark ≥3.5 pushes
+    the rank ≤ cap filter into a WindowGroupLimit partial top-(cap)
+    BEFORE the exchange, so the shuffle carries at most cap rows per
+    (group, map partition), not the group's full volume. NULL groups
+    form their own capped group (the null-source bucket is exactly the
+    one that tends to explode)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    order = list(order_by) if order_by else []
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= cap)
+        .withColumn("quota_rank", F.col("quota_rank").cast("int"))
+    )

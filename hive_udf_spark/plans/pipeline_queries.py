@@ -709,3 +709,34 @@ def pipeline_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 5 != 0)
     return novelty_scores(docs, ref, n=3)
+
+
+@register(
+    "pipeline_source_quota_cap",
+    oracle="""
+    WITH rk AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS quota_rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(quota_rank AS INT) AS quota_rank
+    FROM rk WHERE quota_rank <= 15
+    """,
+)
+def pipeline_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (operators/chunking.py
+    source_quota_cap): at most 15 docs per source, best-first by
+    (n_chars desc, doc_id asc) — the hard bound against any one source
+    dominating the mixture (the RefinedWeb per-domain cap). The rank
+    filter lowers to a WindowGroupLimit partial top-k before the
+    exchange (plan-asserted in pytest); every kept row and rank is
+    oracle-exact."""
+    from hive_udf_spark.operators.chunking import source_quota_cap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return source_quota_cap(
+        docs, "source", cap=15, order_by=[F.col("n_chars").desc()]
+    )

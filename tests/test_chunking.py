@@ -490,3 +490,37 @@ def test_percentile_band_filter_random_match(spark):
         got = sorted(((r.g, r.v) for r in out.collect()), key=keyf)
         want, _ = _band_reference(rows, 0.2, 0.7)
         assert got == sorted(want, key=keyf), seed
+
+
+def test_source_quota_cap_semantics_and_plan(spark, sf_dir):
+    """Cap per group incl. the NULL group, deterministic ranking, and
+    the WindowGroupLimit partial top-k before the exchange."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.operators.chunking import source_quota_cap
+
+    rows = [(i, "a" if i < 6 else ("b" if i < 8 else None), 100 - i) for i in range(11)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score int")
+    got = {
+        (r.source, r.quota_rank): r.doc_id
+        for r in source_quota_cap(
+            df, "source", cap=2, order_by=[F.col("score").desc()]
+        ).collect()
+    }
+    # best-by-score (score = 100 - id, so lowest ids win) per group
+    assert got == {
+        ("a", 1): 0, ("a", 2): 1,
+        ("b", 1): 6, ("b", 2): 7,
+        (None, 1): 8, (None, 2): 9,
+    }
+    with pytest.raises(ValueError, match="cap"):
+        source_quota_cap(df, "source", cap=0)
+    from hive_udf_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        source_quota_cap(docs, "source", cap=15, order_by=[F.col("n_chars").desc()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange

@@ -99,7 +99,9 @@ def cms_table(
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     c = F.col(col)
-    exploded = df.select(
+    # NULL inputs are skipped (the reference UDAF's iterate null contract,
+    # UDAFCardinalityEstimator.java:238-240 — matching hllp_table/kmv_table)
+    exploded = df.filter(c.isNotNull()).select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), c.alias("__x")
     )
     idx = _cms_idx(F.col("__x"), F.col("d"), width, portable)

@@ -146,23 +146,35 @@ def kmv_jaccard(a: Column | str, b: Column | str, k: int) -> Column:
 
     Beyer et al. 2007 §4: with X = bottom-k of A∪B,
     J ≈ |X ∩ A ∩ B| / |X|. Deterministic given the sketches; ratio of
-    two small exact integers, so engine-portable bit-for-bit."""
+    two small exact integers, so engine-portable bit-for-bit. Both
+    sketches empty ⇒ 0/0: J(∅, ∅) is defined as 0 here (matching
+    kmv_difference_estimate's empty-sketch contract), never NULL."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     x = kmv_union(ca, cb, k)
     inter = F.size(F.array_intersect(x, F.array_intersect(ca, cb)))
-    return inter.cast("double") / F.size(x).cast("double")
+    return F.when(
+        F.size(x) > 0, inter.cast("double") / F.size(x).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def kmv_intersect_estimate(a: Column | str, b: Column | str, k: int) -> Column:
     """Scalar: |A ∩ B| estimate = Jaccard · |A ∪ B| estimate (bigint).
 
     Unlike HLL inclusion–exclusion (sketch.sketch_intersect_estimate),
-    this is non-negative by construction."""
+    this is non-negative by construction. Both sketches empty ⇒ the
+    intersection is provably 0 — returned as 0, not NULL (the module's
+    uniform empty-sketch contract)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return F.floor(kmv_jaccard(ca, cb, k) * kmv_estimate(kmv_union(ca, cb, k), k)).cast(
-        "bigint"
+    x = kmv_union(ca, cb, k)
+    return (
+        F.when(
+            F.size(x) > 0,
+            F.floor(kmv_jaccard(ca, cb, k) * kmv_estimate(x, k)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
     )
 
 

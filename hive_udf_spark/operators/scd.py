@@ -98,7 +98,24 @@ def scd2_apply(
             *key_cols,
             *attr_cols,
             F.col(valid_from_col),
-            F.col("__eff").alias(valid_to_col),
+            # an out-of-order change (effective before the current row
+            # opened) would close the row with valid_to < valid_from AND
+            # open a new current row overlapping older history — breaking
+            # point_in_time_join's at-most-one-match invariant. Fail
+            # loudly instead (mirroring the NULL-effective-ts raise).
+            F.when(
+                F.col(valid_from_col).isNull()
+                | (F.col("__eff") >= F.col(valid_from_col)),
+                F.col("__eff"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "scd2_apply: effective timestamp precedes the "
+                        "current row's valid_from (out-of-order change "
+                        "batch) — apply batches in effective-time order"
+                    )
+                )
+            ).alias(valid_to_col),
         )
     )
     opened = (
@@ -144,8 +161,11 @@ def point_in_time_join(
     if a single key's fact volume dominates).
 
     Output: every fact column + the dimension's attribute columns
-    (key/validity columns not duplicated). ``how='left'`` keeps facts
-    predating any version (NULL attributes); 'inner' drops them.
+    (key/validity columns not duplicated). A dim attribute sharing a
+    name with a fact column comes back with an ``_r`` suffix (the
+    asof_join rename discipline) instead of raising an
+    ambiguous-reference error. ``how='left'`` keeps facts predating any
+    version (NULL attributes); 'inner' drops them.
     """
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
@@ -154,9 +174,13 @@ def point_in_time_join(
         for c in dim.columns
         if c not in set(key_cols) | {valid_from_col, valid_to_col}
     ]
+    # avoid collisions: dim attributes that clash with a fact column get
+    # an _r suffix (temporal.asof_join:68's rename pattern)
+    rename = {c: (c + "_r" if c in facts.columns else c) for c in attr_cols}
+    attr_cols = [rename[c] for c in attr_cols]
     d = dim.select(
         *[F.col(c).alias(f"__k_{c}") for c in key_cols],
-        *attr_cols,
+        *[F.col(c).alias(out) for c, out in rename.items()],
         F.col(valid_from_col).alias("__vf"),
         F.col(valid_to_col).alias("__vt"),
     )

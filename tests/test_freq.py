@@ -156,3 +156,21 @@ def test_cms_join_size_empty_sketch_symmetric_zero(spark):
     some = cms_table(spark.range(100).select(F.col("id").alias("k")), "k", depth=4, width=64)
     assert cms_join_size_estimate(empty, some).collect()[0].est_join_rows == 0
     assert cms_join_size_estimate(some, empty).collect()[0].est_join_rows == 0
+
+
+def test_cms_table_skips_nulls(spark):
+    """Advisor-caught (r5): NULL inputs are skipped (the reference
+    UDAF's iterate null contract, UDAFCardinalityEstimator.java:238-240)
+    — no (d, NULL-idx) counter rows, and cell totals per hash row equal
+    the non-null input count exactly."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.freq import cms_table
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("a",)], "v string"
+    )
+    cms = cms_table(df, "v", depth=3, width=16)
+    assert cms.filter(F.col("idx").isNull()).count() == 0
+    totals = cms.groupBy("d").agg(F.sum("cnt").alias("t")).collect()
+    assert len(totals) == 3 and all(r.t == 3 for r in totals)

@@ -182,3 +182,18 @@ def test_difference_empty_sketches_zero(spark):
         F.col("kmv").alias("a"), F.col("kmv").alias("b")
     )
     assert e.select(kmv_difference_estimate("a", "b", 8).alias("d")).collect()[0].d == 0
+
+
+def test_jaccard_intersect_empty_sketches_zero(spark):
+    """Advisor-caught (r5): kmv_jaccard and kmv_intersect_estimate on two
+    empty sketches return 0, not NULL — the same 0/0 guard
+    kmv_difference_estimate already had (uniform empty-sketch contract)."""
+    e = kmv_table(spark.createDataFrame([], "v long"), [], "v", k=8).select(
+        F.col("kmv").alias("a"), F.col("kmv").alias("b")
+    )
+    row = e.select(
+        kmv_jaccard("a", "b", 8).alias("j"),
+        kmv_intersect_estimate("a", "b", 8).alias("i"),
+    ).collect()[0]
+    assert row.j == 0.0
+    assert row.i == 0

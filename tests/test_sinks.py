@@ -542,3 +542,54 @@ def test_scd2_apply_rejects_extra_dim_columns_and_null_effective(spark):
         ["attr"],
     ).collect()
     assert sorted(r.k for r in out) == [3, 9]
+
+
+def test_scd2_apply_rejects_out_of_order_effective_ts(spark):
+    """Advisor-caught (r5): a change whose effective_ts precedes the
+    current row's valid_from would close the row with valid_to <
+    valid_from and open an overlapping current row — breaking
+    point_in_time_join's at-most-one-match invariant. It raises now."""
+    import datetime as dt
+
+    import pytest
+
+    from hive_udf_spark.operators.scd import scd2_apply
+
+    t0, t1 = dt.datetime(2026, 2, 1), dt.datetime(2026, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "a", t0, None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    stale = spark.createDataFrame(
+        [(1, "b", t1)], "k long, attr string, effective_ts timestamp"
+    )
+    with pytest.raises(Exception, match="out-of-order|SparkRuntimeException|USER_RAISED"):
+        scd2_apply(dim, stale, ["k"], ["attr"]).collect()
+    # boundary: effective == valid_from is allowed (zero-width close)
+    ok = spark.createDataFrame(
+        [(1, "b", t0)], "k long, attr string, effective_ts timestamp"
+    )
+    assert scd2_apply(dim, ok, ["k"], ["attr"]).count() == 2
+
+
+def test_point_in_time_join_renames_colliding_dim_attrs(spark):
+    """Advisor-caught (r5): a dim attribute sharing a name with a fact
+    column comes back with an _r suffix (asof_join's rename pattern)
+    instead of raising an ambiguous-reference AnalysisException."""
+    import datetime as dt
+
+    from hive_udf_spark.operators.scd import point_in_time_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "dim-status", t0, None)],
+        "k long, status string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, "fact-status", dt.datetime(2026, 1, 5))],
+        "fid long, k long, status string, ts timestamp",
+    )
+    out = point_in_time_join(facts, dim, ["k"], "ts")
+    assert "status_r" in out.columns
+    row = out.collect()[0]
+    assert row.status == "fact-status" and row.status_r == "dim-status"

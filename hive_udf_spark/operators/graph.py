@@ -115,7 +115,7 @@ def pagerank_fixed(
             .cast("long")
             .alias("__r"),
         )
-    for _ in range(iters):
+    for i in range(iters):
         mass = (
             ew.join(r, ew["__s"] == r["__n"])
             .select(
@@ -128,4 +128,12 @@ def pagerank_fixed(
         r = nodes.join(mass, nodes["__n"] == mass["__d"], "left").select(
             "__n", (base + F.coalesce("__mass", F.lit(0))).cast("long").alias("__r")
         )
+        # The loop invariants are checkpointed above, but r itself chains
+        # two joins per iteration onto one lazy plan — at iters=30+ the
+        # analyzer/codegen cost of the O(iters)-deep tree explodes before
+        # any data moves. Truncate lineage every few iterations so `iters`
+        # is a free parameter; r is a fixed-width (node, rank) relation,
+        # so the checkpoint materializes |V| longs, never the join tree.
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            r = r.localCheckpoint(eager=True)
     return r.select(F.col("__n").alias("node"), F.col("__r").alias("rank_micro"))

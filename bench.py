@@ -3,7 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "queries_cold": {name: sec, ...},
+   "warm_runs": 3, "sf": 0.1}
+
+"queries" (and the headline total) are the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS warm runs per entry (default 3) — robust to the
+machine-contention windows that inflated six entries in the r5 driver
+artifact with git-verified unchanged code. "queries_cold" keeps each
+entry's first (cold) run on record.
 
 Queries are forced end-to-end with the noop sink (full computation, no
 driver collect cost). Scale-path variants are benchmarked (fast xxhash64
@@ -594,16 +601,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "video_near_dup": q_video_near_dup,
     }
 
+    # Contention-robust protocol (r5 verdict item 1): a single-shot run
+    # lets one OS/contention window inflate whatever entry it overlaps —
+    # r5's official artifact showed 6 entries at 2-6x with git-verified
+    # unchanged code. Per entry: one COLD run (recorded separately), then
+    # SPARK_GRAFT_BENCH_RUNS warm runs (default 3) whose MEDIAN is the
+    # headline number. Cache is cleared before every run so "warm" means
+    # JIT/codegen-warm, never inherited cached data.
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
-    for name, fn in benches.items():
-        # operators persist their signature tables (by design — reused
-        # across join branches); drop them between queries so each bench
-        # entry is measured independently, without inherited cache pressure
+    cold: dict[str, float] = {}
+
+    def _timed(fn) -> float:
         spark.catalog.clearCache()
         t0 = time.time()
         fn()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        return round(time.time() - t0, 3)
+
+    for name, fn in benches.items():
+        cold[name] = _timed(fn)
+        warm = sorted(_timed(fn) for _ in range(n_warm))
+        times[name] = warm[len(warm) // 2]
+    return times, cold, n_warm
 
 
 def main() -> None:
@@ -628,7 +647,7 @@ def main() -> None:
         _noop, schema="id long"
     ).count()
 
-    times = bench_queries(spark, sf_dir)
+    times, cold, n_warm = bench_queries(spark, sf_dir)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -637,6 +656,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
+                "warm_runs": n_warm,
                 "sf": sf,
             }
         )

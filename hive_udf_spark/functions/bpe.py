@@ -48,6 +48,7 @@ __all__ = [
     "bpe_train",
     "apply_merge_expr",
     "apply_merges_expr",
+    "apply_merge_batch_expr",
     "bpe_doc_token_counts",
 ]
 
@@ -125,33 +126,138 @@ def apply_merges_expr(syms: Column, merges: list[tuple[str, str]]) -> Column:
     return syms
 
 
+# key separator for the fused batch fold: symbols come from tokenize()
+# (word characters) and their concatenations, so NUL can never occur in
+# a symbol and (carry NUL s) uniquely identifies the adjacent pair
+_SEP = "\x00"
+
+
+def apply_merge_batch_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Apply a SYMBOL-DISJOINT set of merges in one left-to-right fold.
+
+    Precondition (enforced by bpe_train's greedy selection): no pair's
+    ``a``/``b``/merged token appears in another selected pair. Under
+    that, sequential greedy application of the pairs is equivalent to a
+    single simultaneous pass — at any position at most one pair can
+    match (each symbol belongs to one pair), and no pair's output can
+    create or destroy another's match sites (outputs are disjoint from
+    all other pairs' symbols). One O(len) fold with an O(|pairs|) map
+    lookup per step replaces |pairs| nested folds — the fused path that
+    makes batched training's per-round cost independent of batch width.
+    """
+    if not pairs:
+        return syms
+    entries: list[Column] = []
+    for a, b in pairs:
+        entries.extend([F.lit(a + _SEP + b), F.lit(a + b)])
+    m = F.create_map(*entries)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+    return F.aggregate(
+        syms,
+        zero,
+        lambda st, s: F.when(
+            st["carry"].isNotNull()
+            & F.element_at(m, F.concat(st["carry"], F.lit(_SEP), s)).isNotNull(),
+            F.struct(
+                F.concat(
+                    st["acc"],
+                    F.array(F.element_at(m, F.concat(st["carry"], F.lit(_SEP), s))),
+                ).alias("acc"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    st["carry"].isNotNull(), F.concat(st["acc"], F.array(st["carry"]))
+                )
+                .otherwise(st["acc"])
+                .alias("acc"),
+                s.alias("carry"),
+            )
+        ),
+        lambda st: F.when(
+            st["carry"].isNotNull(), F.concat(st["acc"], F.array(st["carry"]))
+        ).otherwise(st["acc"]),
+    )
+
+
 def bpe_train(
-    df: DataFrame, text_col: str = "text", num_merges: int = 8
+    df: DataFrame, text_col: str = "text", num_merges: int = 8, batch: int = 1
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges on the corpus.
 
     Returns (merges in training order, final vocab (word, cnt, syms)).
-    Stops early when no adjacent pair remains. Each iteration collects
-    exactly one argmax row; ties break (count desc, a asc, b asc) so
-    training is deterministic."""
+    Stops early when no adjacent pair remains. Candidate ordering is
+    (count desc, a asc, b asc) everywhere, so training is deterministic.
+
+    ``batch`` (r5 verdict item 3) bounds the SCHEDULER cost, the real
+    wall-clock limit of job-per-merge training: a realistic 32k-merge
+    vocab at batch=1 is 32k sequential Spark jobs — hours of scheduler
+    overhead regardless of data size. Each round counts pairs ONCE,
+    collects a bounded candidate prefix, greedily selects up to
+    ``batch`` pairs whose symbol sets are mutually disjoint (no selected
+    pair's ``a``/``b``/merged token ``a+b`` appears in another's — such
+    merges cannot feed or starve one another within the round, so their
+    fresh-count ranks are simultaneously valid), and applies them as one
+    fused fold chain with a single checkpoint. 32k merges at batch=16 ≈
+    2k rounds. batch=1 is exactly the classic sequential algorithm;
+    batch>1 is the standard batched approximation (merge ORDER can
+    differ from sequential BPE where a round's later picks would have
+    been outranked by pairs formed by its earlier picks — deterministic
+    and mirrored bit-for-bit by the pure-Python reference in tests)."""
     if num_merges < 0:
         raise ValueError("num_merges must be >= 0")
-    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    # AQE coalesces the (small) vocab shuffle to ONE partition, which
+    # would serialize every subsequent merge fold and pair count on a
+    # single core for the whole training run. Spread it once; the
+    # per-round selects are narrow, so the width sticks across
+    # checkpoints. Row placement cannot affect results (pair counts are
+    # global aggregates, folds are per-row).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    vocab = word_vocab(df, text_col).repartition(par).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        best = (
+    while len(merges) < num_merges:
+        j = min(batch, num_merges - len(merges))
+        # bounded driver state: j=1 collects exactly the argmax row (the
+        # pre-batch behavior); otherwise a fixed candidate prefix — greedy
+        # disjoint selection can skip at most |used-symbols| ~ 3j of them
+        cand_n = 1 if j == 1 else max(64, 4 * j)
+        cand = (
             _pair_counts(vocab)
             .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(cand_n)
             .collect()
         )
-        if not best:
+        if not cand:
             break
-        a, b = best[0].a, best[0].b
-        merges.append((a, b))
-        vocab = vocab.select(
-            "word", "cnt", apply_merge_expr(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        used: set[str] = set()
+        sel: list[tuple[str, str]] = []
+        for r in cand:
+            if len(sel) == j:
+                break
+            toks = {r.a, r.b, r.a + r.b}
+            if used & toks:
+                continue
+            sel.append((r.a, r.b))
+            used |= toks
+        merges.extend(sel)
+        # single-pair rounds keep the classic fold (bit-identical plans
+        # to the pre-batch trainer); multi-pair rounds use the fused
+        # one-pass fold, equivalent by symbol-disjointness (see
+        # apply_merge_batch_expr)
+        syms: Column = (
+            apply_merge_expr(F.col("syms"), *sel[0])
+            if len(sel) == 1
+            else apply_merge_batch_expr(F.col("syms"), sel)
+        )
+        vocab = vocab.select("word", "cnt", syms.alias("syms")).localCheckpoint(
+            eager=True
+        )
     return merges, vocab
 
 

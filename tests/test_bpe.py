@@ -124,3 +124,97 @@ def test_sf_corpus_deterministic(spark, sf_dir):
     counted = bpe_doc_token_counts(docs, v1)
     n_docs = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) > 0).count()
     assert counted.count() == n_docs
+
+
+def ref_bpe_batched(words: list[str], k: int, batch: int):
+    """Pure-Python mirror of the batched trainer (r5 verdict item 3):
+    per round, rank pairs (count desc, pair asc), greedily select up to
+    ``batch`` pairs with mutually disjoint symbol sets ({a, b, a+b}),
+    apply them sequentially in selection order."""
+    vocab = {w: list(w) for w in set(words)}
+    cnt = collections.Counter(words)
+
+    def apply(a, b):
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    merges = []
+    while len(merges) < k:
+        j = min(batch, k - len(merges))
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt[w]
+        if not pairs:
+            break
+        cand_n = 1 if j == 1 else max(64, 4 * j)
+        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:cand_n]
+        used, sel = set(), []
+        for (a, b), _ in cand:
+            if len(sel) == j:
+                break
+            toks = {a, b, a + b}
+            if used & toks:
+                continue
+            sel.append((a, b))
+            used |= toks
+        merges.extend(sel)
+        for a, b in sel:
+            apply(a, b)
+    return merges, vocab
+
+
+def test_batched_train_matches_python_mirror(docs):
+    """Spark batched trainer == pure-Python mirror of the same batched
+    rule, merges AND final segmentation, at several batch widths."""
+    words = []
+    for _, text in CORPUS:
+        words.extend(text.split())
+    for batch in (2, 4, 16):
+        merges, vocab = bpe_train(docs, num_merges=10, batch=batch)
+        ref_m, ref_v = ref_bpe_batched(words, 10, batch)
+        assert merges == ref_m, batch
+        got = {r.word: list(r.syms) for r in vocab.collect()}
+        assert got == ref_v, batch
+
+
+def test_batch_one_is_exact_sequential(docs):
+    """batch=1 is bit-identical to the classic sequential trainer."""
+    words = []
+    for _, text in CORPUS:
+        words.extend(text.split())
+    merges, _ = bpe_train(docs, num_merges=6, batch=1)
+    assert merges == ref_bpe(words, 6)[0]
+    with pytest.raises(ValueError, match="batch"):
+        bpe_train(docs, num_merges=2, batch=0)
+
+
+def test_batched_random_corpora(spark):
+    """Random small corpora: Spark batched == Python mirror (merge list
+    and segmentation) — catches ordering/disjointness drift."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        alphabet = "abcd"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 7)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, " ".join(words[i::4])) for i in range(4)], ["doc_id", "text"]
+        )
+        corpus_words = [w for i in range(4) for w in words[i::4]]
+        merges, vocab = bpe_train(df, num_merges=8, batch=4)
+        ref_m, ref_v = ref_bpe_batched(corpus_words, 8, 4)
+        assert merges == ref_m, seed
+        got = {r.word: list(r.syms) for r in vocab.collect()}
+        assert got == ref_v, seed

@@ -66,3 +66,26 @@ def test_partial_bit_or_before_exchange(vals):
 def test_m_validation(vals):
     with pytest.raises(ValueError):
         pcsa_table(vals, ["g"], "x", m=48)  # not a power of two
+
+
+def test_small_range_correction_accuracy(spark):
+    """r5 verdict item 4: the Scheuermann–Mauve correction term fixes
+    the classic estimator's small-n bias — the uncorrected formula
+    floors at m/phi (~83 for m=64) no matter how few values it saw."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.pcsa import pcsa_estimate, pcsa_table
+
+    m = 64
+    for n, lo, hi in [(1, 0, 6), (3, 1, 10), (10, 3, 25), (30, 9, 60), (60, 20, 110)]:
+        df = (
+            spark.range(max(n, 1))
+            .select(F.col("id").cast("string").alias("v"))
+            .limit(n)
+        )
+        est = pcsa_estimate(pcsa_table(df, [], "v", m=m), [], m=m).collect()[0]
+        assert lo <= est.est_pcsa <= hi, (n, est.est_pcsa)
+    # n = 0 (global agg over empty input): exactly 0, never m/phi
+    empty = spark.createDataFrame([], "v string")
+    row = pcsa_estimate(pcsa_table(empty, [], "v", m=m), [], m=m).collect()[0]
+    assert row.s_sum == 0 and row.est_pcsa == 0

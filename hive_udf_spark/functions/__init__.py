@@ -3,6 +3,7 @@ from hive_udf_spark.functions.sketch import (  # noqa: F401
     LC_DEFAULT_SIZE,
     approx_distinct,
     approx_distinct_on,
+    approx_distinct_table,
     approx_distinct_tuple,
     sketch_difference_estimate,
     sketch_estimate,

@@ -165,6 +165,62 @@ def approx_distinct_on(
     )
 
 
+# Grouped LC sketch-table builds at/above this map size route to
+# lc_table's sparse packed-word path: below it, lc_agg's fixed dense
+# buffers are cheap and fuse into one hash aggregate; at the reference's
+# 1 MB default, groups-in-flight × 1 MB of dense per-group state is the
+# wrong trade when the shuffle can carry only the OCCUPIED 64-bit words
+# (r5 verdict finding 4).
+LC_TABLE_ROUTE_BYTES = 65536
+
+
+def approx_distinct_table(
+    df,
+    group_cols: list[str],
+    col: str,
+    kind: str = "hll",
+    b: int | None = None,
+):
+    """Grouped sketch-table build with size-aware physical routing:
+    ``group_cols + [approx_distinct: {type, cardinality, binary}]``.
+
+    The logical operation is always ``df.groupBy(*group_cols)
+    .agg(approx_distinct(col, kind, b))``; this facade picks the
+    physical plan the way an optimizer would:
+
+    * ``kind='hll'`` (any b) and ``kind='lc'`` with ``size_bytes <
+      LC_TABLE_ROUTE_BYTES`` → the Column aggregate (native
+      TypedImperativeAggregate state; small fixed buffers merge
+      map-side);
+    * ``kind='lc'`` with ``size_bytes >= LC_TABLE_ROUTE_BYTES`` (and a
+      word-aligned size) → :func:`hive_udf_spark.functions.lc.lc_table`,
+      whose shuffle carries only the OCCUPIED packed words per (group,
+      map partition) instead of the dense ``size_bytes`` buffer per
+      group in flight — the sparse path a 1 MB-default grouped build
+      needs at scale. Sketch bytes are IDENTICAL on both routes
+      (byte-exact facade test).
+
+    One contract difference from the Column form, inherent to the
+    relational route and applied uniformly here: groups whose values
+    are all NULL produce NO output row (rather than a NULL struct) —
+    the relational analogue of the reference's NULL-for-empty-group
+    (UDAFCardinalityEstimator.java:329-331).
+    """
+    kind = kind.lower()
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    if kind == "lc":
+        size = int(b) if b is not None else LC_DEFAULT_SIZE
+        if size >= LC_TABLE_ROUTE_BYTES and size % 8 == 0:
+            from hive_udf_spark.functions import lc
+
+            return lc.lc_table(df, group_cols, col, size_bytes=size)
+    c = F.col(col)
+    out = df.groupBy(*group_cols).agg(approx_distinct(c, kind=kind, b=b))
+    # uniform empty-group contract across routes: drop all-NULL groups
+    return out.filter(F.col("approx_distinct").isNotNull())
+
+
 def sketch_estimate(sketch_binary: Column | str) -> Column:
     """Scalar: cardinality estimate from a serialized HLL sketch.
 

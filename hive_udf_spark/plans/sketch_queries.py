@@ -202,11 +202,16 @@ def approx_distinct_lc_struct_grouped(spark: SparkSession, sf_dir: str) -> DataF
     1 bit per bucket, not collect_set's 8 bytes), and the serialized
     bitmap {magic,version,size,bits} is assembled from JVM expressions —
     no Python worker in the plan (asserted in tests/test_plans.py).
+    Reached through ``approx_distinct_table``'s size-aware auto-routing
+    (r6: grouped LC builds ≥ 64 KiB dispatch to the sparse packed-word
+    path; the route choice is plan-asserted in tests/test_plans.py).
     Verdict: estimate within bounds + serialized header well-formed."""
-    from hive_udf_spark.functions.lc import lc_table
+    from hive_udf_spark.functions.sketch import approx_distinct_table
 
     orders = load_table(spark, sf_dir, "orders")
-    sketches = lc_table(orders, ["o_orderpriority"], "o_custkey", size_bytes=65536)
+    sketches = approx_distinct_table(
+        orders, ["o_orderpriority"], "o_custkey", kind="lc", b=65536
+    )
     exact = orders.groupBy("o_orderpriority").agg(
         F.count_distinct("o_custkey").alias("n_exact")
     )

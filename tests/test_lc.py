@@ -253,3 +253,48 @@ def test_lc_null_skipping_semantics(spark):
         ).collect()
     }
     assert sql_rows["g1"].cardinality == 1 and sql_rows["g2"] is None
+
+
+def test_approx_distinct_table_routes_agree_byte_exact(spark, sf_dir):
+    """Both physical routes of the grouped LC facade produce IDENTICAL
+    sketch structs (cardinality AND serialized bytes) at a word-aligned
+    size valid for both, and the empty-group contract is uniform (no
+    row, rather than a NULL struct, on either route)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.sketch import approx_distinct_table
+    from hive_udf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    size = 65536  # exactly at the routing threshold -> lc_table path
+    routed = approx_distinct_table(
+        orders, ["o_orderpriority"], "o_custkey", kind="lc", b=size
+    )
+    column_form = (
+        orders.groupBy("o_orderpriority")
+        .agg(lc_agg("o_custkey", size_bytes=size))
+        .filter(F.col("approx_distinct").isNotNull())
+    )
+    a = {
+        r.o_orderpriority: (
+            r.approx_distinct.cardinality,
+            bytes(r.approx_distinct.binary),
+        )
+        for r in routed.collect()
+    }
+    b = {
+        r.o_orderpriority: (
+            r.approx_distinct.cardinality,
+            bytes(r.approx_distinct.binary),
+        )
+        for r in column_form.collect()
+    }
+    assert a == b
+    # all-NULL group: no row on either route
+    df = spark.createDataFrame(
+        [("g1", 1), ("g2", None)], "k string, v int"
+    )
+    small = approx_distinct_table(df, ["k"], "v", kind="lc", b=4096)
+    big = approx_distinct_table(df, ["k"], "v", kind="lc", b=65536)
+    assert [r.k for r in small.collect()] == ["g1"]
+    assert [r.k for r in big.collect()] == ["g1"]

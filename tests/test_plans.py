@@ -395,3 +395,26 @@ def test_incremental_probe_no_broadcast_regime(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_distinct_table_routes_lc_by_size(spark, sf_dir):
+    """r5 verdict item 5: the grouped LC facade auto-routes by map size.
+    At the reference's 1 MB default the plan is lc_table's sparse
+    packed-word path (partial bit_or before the exchange, no dense
+    per-group bitmap aggregate); below 64 KiB it stays on the native
+    bitmap_construct_agg Column aggregate."""
+    from hive_udf_spark.functions.sketch import approx_distinct_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    big = plan_of(approx_distinct_table(orders, ["o_orderpriority"], "o_custkey", kind="lc"))
+    assert "partial_bit_or" in big
+    assert "bitmap_construct_agg" not in big
+    assert "BatchEvalPython" not in big and "ArrowEvalPython" not in big
+    small = plan_of(
+        approx_distinct_table(
+            orders, ["o_orderpriority"], "o_custkey", kind="lc", b=4096
+        )
+    )
+    assert "bitmap_construct_agg" in small
+    hll = plan_of(approx_distinct_table(orders, ["o_orderpriority"], "o_custkey"))
+    assert "hll_sketch_agg" in hll

@@ -55,7 +55,7 @@ def quantile_sketch_table(
     k: int = QSKETCH_DEFAULT_K,
     portable: bool = False,
     seed: int = 5,
-    bounded_buffer: bool = False,
+    bounded_buffer: bool = True,
 ) -> DataFrame:
     """Per-group quantile sketches: ``group_cols + (qs: array<struct<h,v>>,
     n_rows: bigint)``.
@@ -65,20 +65,21 @@ def quantile_sketch_table(
     (reference null-row semantics). ``group_cols=[]`` builds one global
     sketch.
 
-    Memory contract (r4 verdict finding 3): the default single-pass plan
-    buffers every (group, partition) pair in the partial
-    ``collect_list`` before trimming to k — the SHUFFLE is bounded (≤k
-    pairs per group per input partition) but the map-side aggregation
-    buffer is O(rows in the partition), degrading via
-    ObjectHashAggregate's sort-based spill fallback on fat partitions
-    rather than staying in memory. ``bounded_buffer=True`` trades one
-    extra scan for a strict bound: a rank-filtered window per (group,
+    Memory contract (r4 verdict finding 3; default flipped r6 per r5
+    verdict item 6): the DEFAULT ``bounded_buffer=True`` plan holds a
+    strict map-side bound — a rank-filtered window per (group,
     partition) that Spark plans as a map-side Partial WindowGroupLimit
     (spillable external sort keeping only k rows per cell), with the
-    exact row count taken by a separate scalar aggregation. Both modes
-    produce IDENTICAL sketches (pytest-pinned); prefer the default when
-    partitions are parquet-sized (~128 MB), the bounded mode when
-    feeding unsplittable fat partitions.
+    exact row count taken by a separate scalar aggregation. Its extra
+    scan benched 0.95× the single-pass mode on parquet-sized partitions
+    at sf0.1 (SCALE_NOTES r6), i.e. free. ``bounded_buffer=False``
+    keeps the single-pass plan: one scan, but the partial
+    ``collect_list`` buffers every (group, partition) pair before
+    trimming to k — the SHUFFLE is still bounded (≤k pairs per group
+    per input partition) while the map-side aggregation buffer is
+    O(rows in the partition), degrading via ObjectHashAggregate's
+    sort-based spill fallback on fat partitions. Both modes produce
+    IDENTICAL sketches (pytest-pinned).
     """
     if k < 1:
         raise ValueError("k must be >= 1")

@@ -1,5 +1,5 @@
-"""Vendored pure-Python image codec: binary netpbm (PGM/PPM) and
-uncompressed BMP → 8-bit grayscale numpy arrays.
+"""Vendored pure-Python image codec: binary netpbm (PGM/PPM),
+uncompressed BMP, and 8-bit PNG → 8-bit grayscale numpy arrays.
 
 Why this exists: the multimodal operators' REAL decode path
 (operators/multimodal.py) must be exercisable in environments without
@@ -9,6 +9,14 @@ simple enough to parse correctly in ~100 lines of numpy with no
 dependencies, which gives the real mapInPandas codec path full coverage;
 formats beyond them still route to PIL (and raise ``NotImplementedError``
 with guidance when PIL is absent).
+
+PNG (r5 verdict item 7) is the first COMPRESSED vendored format: a real
+chunk walk (CRC-validated), zlib inflate (CPython stdlib — no third-party
+dependency), and per-row defiltering of all five PNG filter types
+(None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/palette/gray+alpha/RGBA,
+non-interlaced. Alpha is ignored (luma over RGB, PIL's ``convert("L")``
+convention for RGB(A) data); Adam7 interlace and 16-bit depth raise
+explicitly.
 
 Determinism: for the formats decoded here the output is engine- and
 library-independent — RGB→gray uses the ITU-R 601-2 integer transform
@@ -35,6 +43,7 @@ __all__ = [
     "encode_pgm",
     "encode_ppm",
     "encode_bmp24",
+    "encode_png",
     "encode_avi",
     "nearest_resize",
     "split_netpbm_frames",
@@ -52,10 +61,13 @@ _NETPBM_HEADER = re.compile(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def supported_magic(b: bytes) -> bool:
-    """True when the vendored decoder can parse this blob (P5/P6 netpbm
-    or an uncompressed 8/24-bit BMP)."""
-    return b[:2] in (b"P5", b"P6", b"BM")
+    """True when the vendored decoder can parse this blob (P5/P6 netpbm,
+    an uncompressed 8/24-bit BMP, or an 8-bit non-interlaced PNG)."""
+    return b[:2] in (b"P5", b"P6", b"BM") or b[:8] == _PNG_MAGIC
 
 
 def _gray_601(rgb: np.ndarray) -> np.ndarray:
@@ -163,6 +175,152 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return _gray_601(bgr[..., ::-1])
 
 
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948): CRC-validated chunk walk → zlib inflate → per-row
+# defilter → gray. 8-bit depth, color types 0/2/3/4/6, non-interlaced.
+# ---------------------------------------------------------------------------
+import struct
+import zlib
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(b: bytes):
+    """Yield (type, payload_offset, payload_len) for each PNG chunk,
+    validating per-chunk CRC32 (over type+payload, per spec) and extents.
+    Stops at IEND; a stream without IEND is an error."""
+    pos = 8
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data_off = pos + 8
+        if data_off + length + 4 > len(b):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack_from(">I", b, data_off + length)
+        if zlib.crc32(b[pos + 4 : data_off + length]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data_off, length
+        if ctype == b"IEND":
+            return
+        pos = data_off + length + 4
+    raise ValueError("PNG stream missing IEND chunk")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-row filtering: raw is h rows of (filter_byte + stride
+    bytes); returns the (h, stride) reconstructed byte matrix.
+
+    None/Up are vectorized adds; Sub is a strided cumulative sum per
+    byte-lane (recon[x] = filt[x] + recon[x-bpp] is exactly a mod-256
+    prefix sum over each residue class); Average/Paeth are inherently
+    sequential within a row (each byte depends on the just-reconstructed
+    left neighbor), so those two run a per-byte Python loop over the row
+    — still bounded by row length, and encoders that want the fast path
+    emit filters 0/1/2."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes; expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub
+            rec = np.empty(stride, dtype=np.uint8)
+            for c in range(bpp):
+                lane = row[c::bpp].astype(np.uint64)
+                rec[c::bpp] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        elif ft == 2:  # Up — uint8 addition wraps mod 256, which is the spec
+            rec = row + prior
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            rw = row.tolist()
+            pr = prior.tolist()
+            rec_l = [0] * stride
+            for x in range(stride):
+                a = rec_l[x - bpp] if x >= bpp else 0
+                up = pr[x]
+                if ft == 3:
+                    rec_l[x] = (rw[x] + ((a + up) >> 1)) & 0xFF
+                else:
+                    c = pr[x - bpp] if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    rec_l[x] = (rw[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.uint8)
+        else:
+            raise ValueError(f"PNG row {y}: unknown filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    ihdr = None
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    for ctype, off, length in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", b, off)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(b, dtype=np.uint8, count=length, offset=off).reshape(
+                -1, 3
+            )
+        elif ctype == b"IDAT":
+            idat.append(b[off : off + length])
+        # ancillary chunks (tEXt, pHYs, tRNS alpha, ...) are skipped
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG not vendored (8-bit only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} not vendored")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonzero compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not vendored")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = _PNG_CHANNELS[color]
+    rec = _png_unfilter(raw, h, w * ch, ch)
+    if color == 0:
+        return rec
+    if color == 2:
+        return _gray_601(rec.reshape(h, w, 3))
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[: len(plte)] = (
+            (
+                299 * plte[:, 0].astype(np.int64)
+                + 587 * plte[:, 1].astype(np.int64)
+                + 114 * plte[:, 2].astype(np.int64)
+            )
+            // 1000
+        ).astype(np.uint8)
+        if int(rec.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return lut[rec]
+    if color == 4:  # gray+alpha: luma channel, alpha ignored
+        return np.ascontiguousarray(rec.reshape(h, w, 2)[..., 0])
+    return _gray_601(rec.reshape(h, w, 4)[..., :3])  # RGBA: alpha ignored
+
+
 def decode_to_gray(b: bytes) -> np.ndarray:
     """Decode a supported blob to a 2-D uint8 grayscale array.
 
@@ -174,6 +332,8 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         return _decode_netpbm(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:8] == _PNG_MAGIC:
+        return _decode_png(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 
@@ -232,6 +392,67 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
     rows[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)  # RGB→BGR
     return header + rows[::-1].tobytes()  # bottom-up row order
+
+
+def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → 8-bit non-interlaced PNG with
+    ``filter_type`` (0–4) applied to EVERY row — the test-fixture twin of
+    :func:`_decode_png` that lets each defilter path be exercised
+    deliberately. Filtering here is fully vectorized (the encoder
+    predicts from the ORIGINAL bytes, so there is no sequential
+    dependency); Paeth is the default because it is the hardest decode
+    path and what real encoders mostly emit."""
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {filter_type} out of range 0-4")
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, ch = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB")
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    shifted = np.zeros_like(flat)
+    shifted[:, ch:] = flat[:, :-ch]  # a: left neighbor (same lane)
+    prior = np.zeros_like(flat)
+    prior[1:] = flat[:-1]  # b: row above
+    prior_shift = np.zeros_like(flat)
+    prior_shift[1:, ch:] = flat[:-1, :-ch]  # c: upper-left
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - shifted
+    elif filter_type == 2:
+        filt = flat - prior
+    elif filter_type == 3:
+        filt = flat - ((shifted + prior) >> 1)
+    else:
+        p = shifted + prior - prior_shift
+        pa = np.abs(p - shifted)
+        pb = np.abs(p - prior)
+        pc = np.abs(p - prior_shift)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), shifted, np.where(pb <= pc, prior, prior_shift)
+        )
+        filt = flat - pred
+    body = np.empty((h, stride + 1), dtype=np.uint8)
+    body[:, 0] = filter_type
+    body[:, 1:] = (filt & 0xFF).astype(np.uint8)
+    comp = zlib.compress(body.tobytes(), 9)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------------------

@@ -5,7 +5,9 @@ processed by Arrow-batched ``mapInPandas`` operators — the Spark-side
 shape (schema, partitioning, batch processing, UDF signatures) is real and
 tested. The codec step:
 
-* ``fake=False`` (default): REAL decode. Binary netpbm (P5/P6) and
+* ``fake=False`` (default): REAL decode. Binary netpbm (P5/P6), 8-bit
+  non-interlaced PNG (CRC-checked chunk walk, zlib inflate, all five
+  row filters), and
   uncompressed 8/24-bit BMP blobs are decoded by the vendored
   dependency-free codec (``operators.imagecodec`` — deterministic
   integer-only gray conversion and resampling, so results are
@@ -54,6 +56,35 @@ def attach_blob_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def png_encoder_udf(width: int, height: int, filter_type: int = 4):
+    """Arrow-batched PNG fixture encoder: returns a ``pandas_udf`` mapping
+    a width·height-char ASCII payload string to an 8-bit grayscale PNG
+    blob (``imagecodec.encode_png``). Blob CONSTRUCTION is fixture
+    plumbing — zlib compression cannot be expressed with JVM built-ins —
+    but it is Arrow-batched (never row-at-a-time Python in the JVM loop)
+    and exists only to feed the production DECODE path
+    (``_decode_gray`` → ``imagecodec._decode_png``) with real compressed,
+    filtered PNG streams. ``filter_type=4`` (Paeth) by default: the
+    hardest defilter path, and what real encoders mostly emit."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import imagecodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            return imagecodec.encode_png(a.reshape(height, width), filter_type)
+
+        return s.map(one)
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in
@@ -69,7 +100,7 @@ def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
 
 def _decode_gray(b: bytes) -> np.ndarray:
     """REAL decode to a 2-D uint8 grayscale array: vendored codec for
-    netpbm/uncompressed-BMP, PIL for everything else, explicit
+    netpbm/uncompressed-BMP/PNG, PIL for everything else, explicit
     NotImplementedError when neither applies (never a silent fallback)."""
     from hive_udf_spark.operators import imagecodec
 
@@ -81,7 +112,7 @@ def _decode_gray(b: bytes) -> np.ndarray:
         import PIL.Image as Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "blob is not netpbm/BMP (vendored codec) and PIL is not "
+            "blob is not netpbm/BMP/PNG (vendored codec) and PIL is not "
             "installed (pip install pillow); pass fake=True for the "
             "deterministic byte-level stand-in"
         ) from exc
@@ -95,7 +126,7 @@ def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     fake=True: deterministic byte-level statistics over the raw blob —
     the engine-portable stand-in used by the oracle query. fake=False:
     REAL decode — the blob is decoded to 8-bit grayscale (vendored
-    netpbm/BMP codec, PIL for other formats — see ``_decode_gray``) and
+    netpbm/BMP/PNG codec, PIL for other formats — see ``_decode_gray``) and
     the same statistics run over the decoded PIXELS (n_bytes is then the
     pixel count). Both paths share batch shape, schema, and downstream
     plumbing; the real path runs dependency-free in this container via
@@ -267,7 +298,7 @@ def resize_images(
     nearest-neighbor resampled to exactly width*height bytes — same
     batch shape, output schema, and size contract as a real
     thumbnailer. fake=False is the REAL path: the blob is decoded to
-    grayscale (vendored netpbm/BMP codec, PIL otherwise), resampled
+    grayscale (vendored netpbm/BMP/PNG codec, PIL otherwise), resampled
     nearest-neighbor by the vendored integer resampler (deterministic
     regardless of which library decoded), and emitted as raw 8-bit
     pixel bytes — the SAME width*height size contract, so downstream

@@ -227,6 +227,50 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED image decode end-to-end (r6, r5 verdict item 7): each
+    document's first 64 chars become the pixels of a REAL 8-bit grayscale
+    PNG — zlib-deflated, CRC-chunked, Paeth-filtered on every row
+    (imagecodec.encode_png, filter_type=4) — and the production fake=False
+    mapInPandas path decodes it back with the vendored dependency-free PNG
+    decoder (chunk walk + CRC check + inflate + Paeth defilter,
+    imagecodec._decode_png). The oracle is IDENTICAL to
+    multimodal_real_decode's: PNG is lossless, so the container format
+    must not change the pixel statistics — that identity is the point.
+    mean_byte = sum/64 divides by a power of two, so the float is
+    bit-identical across engines; the ASCII filter is symmetric with the
+    oracle (see multimodal_real_decode)."""
+    from hive_udf_spark.operators.multimodal import png_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = png_encoder_udf(8, 8, filter_type=4)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH t AS (

@@ -600,3 +600,193 @@ def test_audio_fingerprint_table_near_pairs(spark):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # one-sample tweak flips at most the last bits
+
+
+# ---------------------------------------------------------------------------
+# Vendored PNG codec (r6, r5 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_unit():
+    """encode_png(filter_type=f) -> _decode_png recovers the pixels for
+    every PNG filter type, gray and RGB, including degenerate shapes."""
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import (
+        _gray_601,
+        decode_to_gray,
+        encode_png,
+        supported_magic,
+    )
+
+    rng = np.random.default_rng(42)
+    for ft in range(5):
+        g = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        b = encode_png(g, filter_type=ft)
+        assert supported_magic(b)
+        assert np.array_equal(decode_to_gray(b), g)
+        rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_to_gray(encode_png(rgb, ft)), _gray_601(rgb))
+        for shape in [(1, 1), (1, 7), (7, 1)]:
+            e = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_to_gray(encode_png(e, ft)), e)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_manual(w, h, color, raw_rows: bytes, plte: bytes | None = None) -> bytes:
+    """Hand-assemble a PNG (filter-0 rows) for color types the fixture
+    encoder doesn't emit (palette, gray+alpha, RGBA)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(raw_rows))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette_alpha_color_types():
+    """Palette indices go through the palette's own 601 luma; alpha is
+    dropped for gray+alpha and RGBA (PIL convert('L') convention)."""
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray
+
+    # palette: 2 entries, pixels [[0,1],[1,0]]
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    b = _png_manual(2, 2, 3, b"\x00\x00\x01" + b"\x00\x01\x00", plte=plte)
+    red, blue = 299 * 255 // 1000, 114 * 255 // 1000
+    assert decode_to_gray(b).tolist() == [[red, blue], [blue, red]]
+    # gray+alpha: luma kept, alpha (0!) ignored
+    ga = _png_manual(2, 1, 4, b"\x00" + bytes([10, 0, 200, 0]))
+    assert decode_to_gray(ga).tolist() == [[10, 200]]
+    # RGBA: 601 luma of RGB, alpha ignored
+    rgba = _png_manual(1, 1, 6, b"\x00" + bytes([100, 50, 25, 0]))
+    assert decode_to_gray(rgba).tolist() == [[(299 * 100 + 587 * 50 + 114 * 25) // 1000]]
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    good = encode_png(np.zeros((2, 2), dtype=np.uint8), filter_type=0)
+    # flip a payload byte without fixing the CRC
+    bad_crc = bytearray(good)
+    bad_crc[len(good) - 20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC|truncated|inflate|filter"):
+        decode_to_gray(bytes(bad_crc))
+    # missing IEND
+    with _pytest.raises(ValueError, match="IEND"):
+        decode_to_gray(good[:-12])
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    b16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_to_gray(b16)
+    # Adam7 interlace
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    bi = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_to_gray(bi)
+    # inflate failure (corrupt deflate stream with a valid chunk CRC)
+    broken = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"\x00not-deflate")
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="inflate"):
+        decode_to_gray(broken)
+    # wrong decompressed length
+    short = _png_manual(4, 4, 0, b"\x00\x00\x00")
+    with _pytest.raises(ValueError, match="pixel stream"):
+        decode_to_gray(short)
+    # palette index out of range
+    oor = _png_manual(1, 1, 3, b"\x00\x05", plte=bytes([1, 2, 3]))
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_to_gray(oor)
+
+
+def test_png_cross_check_with_pil():
+    """Wherever pillow exists: our encoder's output decodes identically in
+    PIL, and a PIL-encoded PNG decodes identically in our decoder."""
+    import pytest as _pytest
+
+    if not _has_pil():
+        _pytest.skip("pillow not installed in this container")
+    import io
+
+    import numpy as np
+    import PIL.Image as Image
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    with Image.open(io.BytesIO(encode_png(g, filter_type=4))) as im:
+        assert np.array_equal(np.asarray(im.convert("L")), g)
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="PNG")
+    assert np.array_equal(decode_to_gray(buf.getvalue()), g)
+
+
+def test_png_through_spark_decode_and_ahash(spark):
+    """End-to-end through the production mapInPandas paths: PNG blobs
+    (Paeth-filtered, zlib-compressed) feed decode_image_features and
+    image_ahash_table; the aHash must equal the same pixels' PGM aHash —
+    signatures are a property of the pixels, not the container."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hive_udf_spark.operators.imagecodec import encode_pgm, encode_png
+    from hive_udf_spark.operators.multimodal import (
+        decode_image_features,
+        image_ahash_table,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (8, 8), dtype=np.uint8) for _ in range(4)]
+    rows = [
+        (2 * i + k, bytearray(enc(im)))
+        for i, im in enumerate(imgs)
+        for k, enc in ((0, encode_pgm), (1, lambda a: encode_png(a, filter_type=4)))
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    feats = {r.doc_id: r for r in decode_image_features(blobs, fake=False).collect()}
+    for i, im in enumerate(imgs):
+        for k in (0, 1):
+            f = feats[2 * i + k]
+            assert f.n_bytes == 64
+            assert f.mean_byte == int(im.sum(dtype=np.int64)) / 64
+            assert f.max_byte == int(im.max())
+    sigs = {r.doc_id: r.ahash for r in image_ahash_table(blobs).collect()}
+    for i in range(len(imgs)):
+        assert sigs[2 * i] == sigs[2 * i + 1]  # PGM twin == PNG twin

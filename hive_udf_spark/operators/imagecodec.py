@@ -4,11 +4,11 @@ uncompressed BMP, and 8-bit PNG → 8-bit grayscale numpy arrays.
 Why this exists: the multimodal operators' REAL decode path
 (operators/multimodal.py) must be exercisable in environments without
 pillow — a stub that always raises leaves the production path untested
-(the round-2 verdict's weakest-plank finding). These three formats are
-simple enough to parse correctly in ~100 lines of numpy with no
-dependencies, which gives the real mapInPandas codec path full coverage;
-formats beyond them still route to PIL (and raise ``NotImplementedError``
-with guidance when PIL is absent).
+(the round-2 verdict's weakest-plank finding). netpbm and BMP parse in
+~100 lines of numpy with no dependencies, which gives the real
+mapInPandas codec path full coverage; formats beyond the vendored set
+still route to PIL (and raise ``NotImplementedError`` with guidance when
+PIL is absent).
 
 PNG (r5 verdict item 7) is the first COMPRESSED vendored format: a real
 chunk walk (CRC-validated), zlib inflate (CPython stdlib — no third-party
@@ -16,7 +16,8 @@ dependency), and per-row defiltering of all five PNG filter types
 (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/palette/gray+alpha/RGBA,
 non-interlaced. Alpha is ignored (luma over RGB, PIL's ``convert("L")``
 convention for RGB(A) data); Adam7 interlace and 16-bit depth raise
-explicitly.
+explicitly. Baseline JPEG (r6) lives in ``operators.jpegcodec`` and is
+dispatched from here by its SOI magic.
 
 Determinism: for the formats decoded here the output is engine- and
 library-independent — RGB→gray uses the ITU-R 601-2 integer transform
@@ -66,8 +67,11 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def supported_magic(b: bytes) -> bool:
     """True when the vendored decoder can parse this blob (P5/P6 netpbm,
-    an uncompressed 8/24-bit BMP, or an 8-bit non-interlaced PNG)."""
-    return b[:2] in (b"P5", b"P6", b"BM") or b[:8] == _PNG_MAGIC
+    an uncompressed 8/24-bit BMP, an 8-bit non-interlaced PNG, or a
+    baseline sequential JPEG)."""
+    return (
+        b[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8") or b[:8] == _PNG_MAGIC
+    )
 
 
 def _gray_601(rgb: np.ndarray) -> np.ndarray:
@@ -334,6 +338,10 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         return _decode_bmp(b)
     if b[:8] == _PNG_MAGIC:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
+
+        return decode_jpeg_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

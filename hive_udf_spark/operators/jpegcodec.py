@@ -1,0 +1,587 @@
+"""Vendored pure-Python baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+The second COMPRESSED vendored image format (after PNG, r6): a real
+marker-segment parse (SOI/APP/DQT/SOF0/DHT/SOS/DRI/RST/EOI), canonical
+Huffman entropy decode with byte-unstuffing, dequantize → de-zigzag →
+8×8 IDCT (orthonormal DCT-III as a numpy matrix product), and a
+multi-component MCU walk with per-component sampling factors (4:4:4 and
+2×2-luma 4:2:0). Output is the 8-bit LUMA plane — JPEG's Y channel IS
+BT.601 luma, the same convention every other decoder in this package
+uses for gray, so chroma components are entropy-decoded (the bitstream
+must be walked to stay in sync) but not color-converted.
+
+``encode_jpeg`` is the fixture twin: grayscale or 4:4:4 YCbCr baseline
+JFIF with IJG-style quality scaling of the Annex-K quantization tables
+and self-built canonical Huffman tables (fixed-length code assignment —
+valid per the DHT grammar, deliberately simple rather than transcribed
+from Annex K, so the decoder's table construction is exercised on
+tables it has never seen). At ``quality=100`` both quant tables are
+all-ones; an image whose 8×8 blocks are each CONSTANT then round-trips
+bit-exactly (a flat block has only a DC coefficient, DC = 8·(c−128) is
+divisible by q=1, and the DC-only IDCT is c−128 to within 1e-13 before
+the final integer rounding) — which is what lets a SQL oracle predict
+the decoded pixel statistics of a lossy format exactly
+(``multimodal_jpeg_decode``).
+
+Scope: baseline sequential DCT, 8-bit precision, Huffman entropy coding.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise ``ValueError`` explicitly — never a silent wrong decode.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated multimodal-columns extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg_gray", "encode_jpeg"]
+
+
+def _zigzag() -> np.ndarray:
+    """Standard JPEG zigzag scan order: position k → raster index r*8+c.
+    Generated, not transcribed (a transposition typo in a 64-entry
+    literal is invisible until the wrong image decodes plausibly)."""
+    out = []
+    r = c = 0
+    for _ in range(64):
+        out.append(r * 8 + c)
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return np.array(out, dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+
+# Annex K example quantization tables (the de-facto standard every
+# encoder scales); raster order.
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100; quality=100 → all-ones (lossless DCT
+    quantization for flat blocks — the oracle-exactness regime)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: F = A·B·Aᵀ, B = Aᵀ·F·A."""
+    x = np.arange(8, dtype=np.float64)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    A[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return A
+
+
+_DCT_A = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman tables (JPEG BITS/HUFFVAL representation)
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, canonical assignment per T.81 C.2."""
+    if len(vals) != sum(bits):
+        raise ValueError("DHT: value count disagrees with BITS")
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("DHT: oversubscribed Huffman code space")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A valid (BITS, HUFFVAL) assigning every symbol the same code
+    length L = ⌈log2(n+1)⌉ — the +1 keeps the all-ones code of length L
+    unassigned (T.81 reserves it so 1-bits padding can never form a
+    valid code). Deliberately simple fixture tables."""
+    n = len(symbols)
+    length = max(2, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, list(symbols)
+
+
+_DC_SYMBOLS = list(range(12))  # DC difference categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # EOB, ZRL, (run,size)
+
+_DC_BITS, _DC_VALS = _fixed_length_table(_DC_SYMBOLS)
+_AC_BITS, _AC_VALS = _fixed_length_table(_AC_SYMBOLS)
+
+
+def _encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code_length, code), inverse of _build_decode_table."""
+    return {sym: lc for lc, sym in _build_decode_table(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O with 0xFF byte stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, stops AT markers (the
+    caller handles RST/EOI)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("JPEG entropy stream truncated")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(b):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = b[self.pos + 1]
+            if nxt == 0x00:  # stuffed
+                self.pos += 2
+            else:  # a real marker: caller must consume it
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy segment"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+    def align_to_marker(self) -> None:
+        """Drop pad bits and position at the next 0xFF marker byte."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos < len(self.buf) and self.buf[self.pos] != 0xFF:
+            raise ValueError("garbage bytes before JPEG marker")
+        # pos now at 0xFF
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to the signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_gray(b: bytes) -> np.ndarray:
+    """Decode a baseline JFIF/JPEG stream to its (h, w) uint8 LUMA plane.
+
+    Raises ``ValueError`` for anything outside baseline sequential
+    Huffman 8-bit (progressive, arithmetic, 12-bit, unsupported sampling
+    factors) and for malformed streams (truncation, bad Huffman codes,
+    marker desync, dimension overrun).
+    """
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("JPEG stream truncated before SOS")
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG stream has no scan (EOI before SOS)")
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF 0x{marker:02X} not baseline sequential Huffman "
+                "(progressive/extended/arithmetic not vendored)"
+            )
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg_end = pos + seglen
+        if seglen < 2 or seg_end > len(b):
+            raise ValueError(f"JPEG segment 0x{marker:02X} truncated")
+        body = pos + 2
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < seg_end:
+                pq, tq = b[p] >> 4, b[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not vendored")
+                qtables[tq] = np.frombuffer(
+                    b, dtype=np.uint8, count=64, offset=p + 1
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < seg_end:
+                tc, th = b[p] >> 4, b[p] & 0x0F
+                bits = list(b[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(b[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", b, body)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not vendored")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", b, body + 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", b, body)
+        elif marker == 0xDA:  # SOS
+            break
+        # APPn / COM / anything else: skip
+        pos = seg_end
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF0")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("JPEG zero dimension")
+    ns = b[pos + 2]
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    for i in range(ns):
+        cs, tda = struct.unpack_from(">BB", b, pos + 3 + 2 * i)
+        ci = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        scan.append((ci, tda >> 4, tda & 0x0F))
+    if len(scan) != len(comps):
+        raise ValueError("multi-scan (non-interleaved) JPEG not vendored")
+    data_start = pos + 3 + 2 * ns + 3  # skip Ss/Se/AhAl
+
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if any(hi not in (1, 2) or vi not in (1, 2) for hi, vi in zip(hs, vs)):
+        raise ValueError("JPEG sampling factors beyond 1-2 not vendored")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for hi, vi in zip(hs, vs)
+    ]
+    for _, _, _, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG quant table {tq} never defined")
+
+    reader = _BitReader(b, data_start)
+    pred = [0] * len(comps)
+    A = _DCT_A
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_to_marker()
+            if reader.buf[reader.pos : reader.pos + 1] != b"\xff" or not (
+                0xD0 <= reader.buf[reader.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected RST marker at restart interval")
+            reader.pos += 2
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, dc_id, ac_id in scan:
+            _, hi, vi, tq = comps[ci]
+            dct = htables.get((0, dc_id))
+            act = htables.get((1, ac_id))
+            if dct is None or act is None:
+                raise ValueError("JPEG scan uses an undefined Huffman table")
+            q = qtables[tq]
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.decode_symbol(dct)
+                    if size > 11:
+                        raise ValueError("JPEG DC category out of range")
+                    diff = _extend(reader.receive(size), size)
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[ZIGZAG] = (zz * q[ZIGZAG]).astype(np.float64)
+                    block = A.T @ coeffs.reshape(8, 8) @ A
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # luma plane only: JPEG Y IS BT.601 luma — chroma was entropy-decoded
+    # above purely to keep the bitstream in sync.
+    luma = planes[0][: vs[0] * mcuy * 8, : hs[0] * mcux * 8]
+    # component plane may itself be subsampled relative to the frame grid
+    ch = -(-h * vs[0] // vmax)
+    cw = -(-w * hs[0] // hmax)
+    luma = luma[:ch, :cw]
+    if (vs[0], hs[0]) != (vmax, hmax):  # upsample Y to frame dims (rare)
+        ys = (np.arange(h, dtype=np.int64) * ch // h).clip(0, ch - 1)
+        xs = (np.arange(w, dtype=np.int64) * cw // w).clip(0, cw - 1)
+        luma = luma[np.ix_(ys, xs)]
+    else:
+        luma = luma[:h, :w]
+    return np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB→YCbCr, float (h, w, 3)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    bl = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _encode_plane(
+    plane: np.ndarray,
+    q: np.ndarray,
+    writer: _BitWriter,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+    pred: int,
+    mcu_order: list[tuple[int, int]],
+) -> int:
+    A = _DCT_A
+    for y0, x0 in mcu_order:
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coeffs = A @ block @ A.T
+        zz = np.round(coeffs.reshape(64)[ZIGZAG] / q[ZIGZAG].astype(np.float64))
+        zz = zz.astype(np.int64)
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size = _category(diff)
+        length, code = dc_enc[size]
+        writer.write(code, length)
+        if size:
+            writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_enc[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            s = _category(v)
+            length, code = ac_enc[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+            if k == last_nz:
+                break
+        if last_nz < 63:
+            length, code = ac_enc[0x00]  # EOB
+            writer.write(code, length)
+    return pred
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF JPEG (4:4:4 for
+    color). quality=100 scales both Annex-K tables to all-ones — the
+    regime where constant 8×8 blocks round-trip exactly.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the error-resilience machinery real camera streams
+    carry; lets the decoder's restart path be exercised deliberately)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise ValueError("encode_jpeg takes (h,w) gray or (h,w,3) RGB")
+    h, w = arr.shape[:2]
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    nc = len(planes)
+
+    # pad planes to multiples of 8 by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(b"\xff\xdb", b"\x00" + qluma.astype(np.uint8).tobytes())
+    if nc == 3:
+        out += seg(b"\xff\xdb", b"\x01" + qchroma.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+    out += seg(b"\xff\xc0", sof)
+    dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += seg(b"\xff\xc4", dht)
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(
+        struct.pack(">BB", i + 1, 0x00) for i in range(nc)
+    ) + b"\x00\x3f\x00"
+    out += seg(b"\xff\xda", sos)
+
+    dc_enc = _encode_table(_DC_BITS, _DC_VALS)
+    ac_enc = _encode_table(_AC_BITS, _AC_VALS)
+    writer = _BitWriter()
+    # interleaved 4:4:4 MCU walk: one block per component per MCU
+    preds = [0] * nc
+    m = 0
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.byte_align()
+                writer.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+                preds = [0] * nc
+            for ci in range(nc):
+                preds[ci] = _encode_plane(
+                    padded[ci],
+                    qluma if ci == 0 else qchroma,
+                    writer,
+                    dc_enc,
+                    ac_enc,
+                    preds[ci],
+                    [(my * 8, mx * 8)],
+                )
+            m += 1
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

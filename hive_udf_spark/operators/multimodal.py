@@ -7,7 +7,8 @@ tested. The codec step:
 
 * ``fake=False`` (default): REAL decode. Binary netpbm (P5/P6), 8-bit
   non-interlaced PNG (CRC-checked chunk walk, zlib inflate, all five
-  row filters), and
+  row filters), baseline JPEG (marker parse, Huffman entropy decode,
+  dequant + IDCT — ``operators.jpegcodec``), and
   uncompressed 8/24-bit BMP blobs are decoded by the vendored
   dependency-free codec (``operators.imagecodec`` — deterministic
   integer-only gray conversion and resampling, so results are
@@ -85,6 +86,42 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4):
     return enc
 
 
+def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
+    """Arrow-batched JPEG fixture encoder: a ``pandas_udf`` mapping an
+    n²-char ASCII payload to a baseline JPEG whose 8×8 blocks are each
+    CONSTANT at one payload char's codepoint (an n·8 × n·8 image). At
+    ``quality=100`` (all-ones quant tables) a flat block carries only a
+    DC coefficient, so the LOSSY format round-trips these images
+    bit-exactly — the construction that lets a SQL oracle predict decoded
+    pixel statistics of a JPEG: mean over pixels = mean over payload
+    chars (each char owns exactly 64 pixels), max likewise. Exists only
+    to feed the production decode path (``operators.jpegcodec``:
+    marker parse, Huffman entropy decode, dequant+IDCT) with real
+    compressed streams."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = n_blocks_side * n_blocks_side
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import jpegcodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            img = np.repeat(
+                np.repeat(a.reshape(n_blocks_side, n_blocks_side), 8, axis=0),
+                8,
+                axis=1,
+            )
+            return jpegcodec.encode_jpeg(img, quality=quality)
+
+        return s.map(one)
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in
@@ -100,7 +137,7 @@ def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
 
 def _decode_gray(b: bytes) -> np.ndarray:
     """REAL decode to a 2-D uint8 grayscale array: vendored codec for
-    netpbm/uncompressed-BMP/PNG, PIL for everything else, explicit
+    netpbm/uncompressed-BMP/PNG/baseline-JPEG, PIL for everything else, explicit
     NotImplementedError when neither applies (never a silent fallback)."""
     from hive_udf_spark.operators import imagecodec
 
@@ -112,7 +149,7 @@ def _decode_gray(b: bytes) -> np.ndarray:
         import PIL.Image as Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "blob is not netpbm/BMP/PNG (vendored codec) and PIL is not "
+            "blob is not netpbm/BMP/PNG/JPEG (vendored codec) and PIL is not "
             "installed (pip install pillow); pass fake=True for the "
             "deterministic byte-level stand-in"
         ) from exc

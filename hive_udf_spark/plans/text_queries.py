@@ -271,6 +271,50 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-format image decode end-to-end (r6): each document's first 64
+    chars become the 8×8 CONSTANT BLOCKS of a 64×64 baseline JPEG at
+    quality 100 (operators/jpegcodec.py — real marker segments, Huffman
+    entropy coding, DCT); the production fake=False mapInPandas path
+    decodes it back through the vendored JPEG decoder. A flat block at
+    all-ones quantization carries only its DC coefficient, which survives
+    quantize→dequantize→IDCT exactly — so even a lossy codec is held to a
+    HASH-EXACT oracle: mean over 4096 decoded pixels = mean over the 64
+    payload chars (each char owns 64 pixels), max likewise; both divide
+    by powers of two, so floats are bit-identical across engines. The
+    ASCII filter is symmetric with the oracle (see
+    multimodal_real_decode)."""
+    from hive_udf_spark.operators.multimodal import jpeg_block_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = jpeg_block_encoder_udf(8, quality=100)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH t AS (

@@ -1,0 +1,193 @@
+"""Vendored baseline JPEG codec (operators/jpegcodec.py, r6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hive_udf_spark.operators.jpegcodec import (
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    ZIGZAG,
+    _build_decode_table,
+    decode_jpeg_gray,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_the_standard_order():
+    # first and last diagonals of the T.81 zigzag, raster indices
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-8:].tolist() == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_huffman_tables_are_valid_and_invertible():
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        table = _build_decode_table(bits, vals)
+        assert len(table) == len(vals)  # no collisions
+        # prefix-free: no code is a prefix of another
+        codes = sorted((l, c) for (l, c) in table)
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                if l2 > l1:
+                    assert (c2 >> (l2 - l1)) != c1, "prefix collision"
+    with pytest.raises(ValueError, match="oversubscribed"):
+        _build_decode_table([3] + [0] * 15, list(range(3)))  # 3 codes len 1
+
+
+def test_constant_block_roundtrip_is_exact():
+    """The oracle-exactness regime: flat 8x8 blocks at quality=100."""
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 256, 64, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1)
+    dec = decode_jpeg_gray(encode_jpeg(img, quality=100))
+    assert np.array_equal(dec, img)
+
+
+def test_random_gray_roundtrip_q100_tight():
+    """All-ones quantization leaves only FDCT/IDCT float rounding: each
+    decoded pixel within 1 of the source."""
+    rng = np.random.default_rng(2)
+    for shape in [(8, 8), (24, 40), (13, 13), (1, 1), (9, 17)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = decode_jpeg_gray(encode_jpeg(g, quality=100))
+        assert d.shape == shape
+        assert int(np.abs(d.astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_lower_quality_is_lossy_but_close_on_smooth_images():
+    x = np.linspace(0, 255, 64)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    d = decode_jpeg_gray(encode_jpeg(smooth, quality=75))
+    assert int(np.abs(d.astype(int) - smooth.astype(int)).max()) <= 16
+    assert float(np.abs(d.astype(int) - smooth.astype(int)).mean()) <= 4.0
+
+
+def test_color_444_luma_matches_bt601():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (17, 9, 3), dtype=np.uint8)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    d = decode_jpeg_gray(encode_jpeg(rgb, quality=100))
+    assert float(np.abs(d.astype(np.float64) - y).max()) <= 2.0
+
+
+def test_restart_interval_roundtrip_and_dc_reset():
+    """DRI/RSTn: byte-aligned restart markers every N MCUs with DC
+    predictor reset — the decoder must resync and still be exact on
+    constant blocks."""
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 256, 64, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1)
+    for ri in (1, 3, 7):
+        b = encode_jpeg(img, quality=100, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI segment present
+        assert any(bytes([0xFF, 0xD0 + k]) in b for k in range(8))
+        assert np.array_equal(decode_jpeg_gray(b), img)
+    # random image too (non-exact regime, bounded error)
+    g = rng.integers(0, 256, (32, 24), dtype=np.uint8)
+    d = decode_jpeg_gray(encode_jpeg(g, quality=100, restart_interval=2))
+    assert int(np.abs(d.astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_byte_stuffing_survives():
+    """Images that force 0xFF bytes into the entropy stream must decode:
+    encode many random images and require at least one stuffed 0xFF00."""
+    rng = np.random.default_rng(5)
+    saw_stuffing = False
+    for _ in range(20):
+        g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        b = encode_jpeg(g, quality=90)
+        sos = b.index(b"\xff\xda")
+        saw_stuffing = saw_stuffing or b"\xff\x00" in b[sos:]
+        d = decode_jpeg_gray(b)
+        assert d.shape == (16, 16)
+    assert saw_stuffing
+
+
+def test_rejects_unsupported_and_malformed():
+    import struct
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"notajpeg")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(good[:20])
+    # progressive SOF2 refused explicitly
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(prog)
+    # 12-bit precision refused: rebuild SOF with precision byte 12
+    i = good.index(b"\xff\xc0")
+    (seglen,) = struct.unpack_from(">H", good, i + 2)
+    bad = bytearray(good)
+    bad[i + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg_gray(bytes(bad))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|Huffman"):
+        decode_jpeg_gray(good[:-4])
+
+
+def test_quality_param_validation():
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="gray or"):
+        encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
+
+
+def test_jpeg_cross_check_with_pil():
+    """Wherever pillow exists: PIL decodes our streams to the same pixels
+    (±1 for its integer IDCT), and our decoder handles PIL's encoder
+    output (Annex-K huffman tables, optimized or not)."""
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        pytest.skip("pillow not installed in this container")
+    import io
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    with Image.open(io.BytesIO(encode_jpeg(g, quality=100))) as im:
+        pil = np.asarray(im.convert("L"), dtype=np.int64)
+    assert int(np.abs(pil - g.astype(np.int64)).max()) <= 2
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="JPEG", quality=100)
+    ours = decode_jpeg_gray(buf.getvalue())
+    assert int(np.abs(ours.astype(np.int64) - g.astype(np.int64)).max()) <= 2
+
+
+def test_jpeg_through_spark_decode_and_ahash(spark):
+    """End-to-end through the production mapInPandas paths: JPEG blobs
+    feed decode_image_features and image_ahash_table via the magic
+    dispatch; constant-block JPEGs must produce the same aHash as the
+    same pixels as PGM (signatures are pixel properties)."""
+    from hive_udf_spark.operators.imagecodec import encode_pgm
+    from hive_udf_spark.operators.multimodal import (
+        decode_image_features,
+        image_ahash_table,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = []
+    for _ in range(3):
+        vals = rng.integers(0, 256, 64, dtype=np.uint8)
+        imgs.append(np.repeat(np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1))
+    rows = [
+        (2 * i + k, bytearray(enc(im)))
+        for i, im in enumerate(imgs)
+        for k, enc in ((0, encode_pgm), (1, lambda a: encode_jpeg(a, quality=100)))
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    feats = {r.doc_id: r for r in decode_image_features(blobs, fake=False).collect()}
+    for i, im in enumerate(imgs):
+        for k in (0, 1):
+            f = feats[2 * i + k]
+            assert f.n_bytes == 4096
+            assert f.mean_byte == int(im.sum(dtype=np.int64)) / 4096
+            assert f.max_byte == int(im.max())
+    sigs = {r.doc_id: r.ahash for r in image_ahash_table(blobs).collect()}
+    for i in range(len(imgs)):
+        assert sigs[2 * i] == sigs[2 * i + 1]

@@ -122,6 +122,52 @@ def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
     return enc
 
 
+def mjpeg_avi_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100):
+    """Arrow-batched MJPEG-AVI fixture encoder: a ``pandas_udf`` mapping a
+    (n_frames·n²)-char ASCII payload to a REAL RIFF-AVI container whose
+    ``00dc`` chunks are independent baseline JPEGs (TRUE Motion-JPEG —
+    the actual format, not the vendored-netpbm stand-in): frame f is the
+    constant-8×8-block JPEG of payload chars [f·n², (f+1)·n²). Unlike the
+    netpbm AVI fixture, frame byte-lengths vary per document (Huffman),
+    so the whole container is assembled per row. Feeds the production
+    container walk (``imagecodec.split_avi_frames`` → per-frame magic
+    dispatch → ``jpegcodec.decode_jpeg_gray``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = n_blocks_side * n_blocks_side
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import imagecodec, jpegcodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * n:
+                raise ValueError(f"payload must be exactly {n_frames * n} ASCII chars")
+            frames = [
+                jpegcodec.encode_jpeg(
+                    np.repeat(
+                        np.repeat(
+                            a[f * n : (f + 1) * n].reshape(
+                                n_blocks_side, n_blocks_side
+                            ),
+                            8,
+                            axis=0,
+                        ),
+                        8,
+                        axis=1,
+                    ),
+                    quality=quality,
+                )
+                for f in range(n_frames)
+            ]
+            return imagecodec.encode_avi(frames, fps=5)
+
+        return s.map(one)
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

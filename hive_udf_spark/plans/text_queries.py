@@ -437,6 +437,59 @@ def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mjpeg_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(4096 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Motion-JPEG end-to-end (r6): each document's first 192 chars
+    become three 64×64 constant-block baseline JPEGs inside a real
+    RIFF-AVI container (00dc chunks + idx1 — the ACTUAL MJPEG format,
+    composable now that the JPEG codec is vendored);
+    ``sample_container_frames`` walks the movi list, dispatches each
+    frame by its SOI magic into the JPEG decoder, samples every 2nd
+    frame, and emits per-frame pixel stats. The flat-block quality-100
+    construction holds the lossy codec to a hash-exact oracle
+    (mean over 4096 decoded pixels = mean over that frame's 64 chars;
+    see multimodal_jpeg_decode); the ASCII filter is symmetric with the
+    oracle (see multimodal_real_decode)."""
+    from hive_udf_spark.operators.multimodal import (
+        mjpeg_avi_encoder_udf,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = mjpeg_avi_encoder_udf(3, 8, quality=100)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

@@ -191,3 +191,32 @@ def test_jpeg_through_spark_decode_and_ahash(spark):
     sigs = {r.doc_id: r.ahash for r in image_ahash_table(blobs).collect()}
     for i in range(len(imgs)):
         assert sigs[2 * i] == sigs[2 * i + 1]
+
+
+def test_mjpeg_avi_container_roundtrip(spark):
+    """TRUE MJPEG: JPEG frames inside RIFF-AVI. The container walk and
+    the per-frame magic dispatch compose with zero glue code."""
+    from hive_udf_spark.operators.imagecodec import encode_avi, split_avi_frames
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    rng = np.random.default_rng(8)
+    frames = []
+    imgs = []
+    for _ in range(4):
+        vals = rng.integers(0, 256, 64, dtype=np.uint8)
+        img = np.repeat(np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, quality=100))
+    avi = encode_avi(frames, fps=10)
+    assert split_avi_frames(avi) == frames
+    blobs = spark.createDataFrame([(1, bytearray(avi))], "doc_id bigint, blob binary")
+    out = {
+        r.frame_idx: r
+        for r in sample_container_frames(blobs, every_nth=2, fake=False).collect()
+    }
+    assert sorted(out) == [0, 2]
+    for i in (0, 2):
+        assert out[i].n_frames == 4
+        assert out[i].n_pixels == 4096
+        assert out[i].mean_px == int(imgs[i].sum(dtype=np.int64)) / 4096
+        assert out[i].max_px == int(imgs[i].max())

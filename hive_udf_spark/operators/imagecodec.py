@@ -67,10 +67,12 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def supported_magic(b: bytes) -> bool:
     """True when the vendored decoder can parse this blob (P5/P6 netpbm,
-    an uncompressed 8/24-bit BMP, an 8-bit non-interlaced PNG, or a
-    baseline sequential JPEG)."""
+    an uncompressed 8/24-bit BMP, an 8-bit non-interlaced PNG, a baseline
+    sequential JPEG, or a GIF87a/89a)."""
     return (
-        b[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8") or b[:8] == _PNG_MAGIC
+        b[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
+        or b[:8] == _PNG_MAGIC
+        or b[:4] == b"GIF8"
     )
 
 
@@ -342,6 +344,10 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
 
         return decode_jpeg_gray(b)
+    if b[:4] == b"GIF8":
+        from hive_udf_spark.operators.gifcodec import decode_gif_gray
+
+        return decode_gif_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 
@@ -587,13 +593,20 @@ def encode_avi(frames: list[bytes], fps: int = 25) -> bytes:
 
 
 def split_container_frames(b: bytes) -> list[bytes]:
-    """Format-dispatching frame extraction: RIFF-AVI (``split_avi_frames``)
-    or concatenated netpbm (``split_netpbm_frames``). Anything else raises
-    explicitly — never a silent fallback."""
+    """Format-dispatching frame extraction: RIFF-AVI (``split_avi_frames``),
+    animated GIF (``gifcodec.split_gif_frames`` — composited frames as
+    canonical PGM blobs), or concatenated netpbm
+    (``split_netpbm_frames``). Anything else raises explicitly — never a
+    silent fallback."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return split_avi_frames(b)
+    if b[:4] == b"GIF8":
+        from hive_udf_spark.operators.gifcodec import split_gif_frames
+
+        return split_gif_frames(b)
     if b[:2] in (b"P5", b"P6"):
         return split_netpbm_frames(b)
     raise ValueError(
-        "unsupported container format (vendored: RIFF-AVI, concatenated netpbm)"
+        "unsupported container format (vendored: RIFF-AVI, animated GIF, "
+        "concatenated netpbm)"
     )

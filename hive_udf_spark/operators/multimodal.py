@@ -168,6 +168,39 @@ def mjpeg_avi_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: in
     return enc
 
 
+def gif_encoder_udf(
+    width: int, height: int, n_frames: int = 1, interlace: bool = False
+):
+    """Arrow-batched GIF fixture encoder: a ``pandas_udf`` mapping a
+    (n_frames·width·height)-char ASCII payload to a grayscale GIF89a
+    (``gifcodec.encode_gif`` — identity gray palette, so 601 luma of
+    entry i is exactly i and LZW losslessness makes the round trip
+    bit-exact). Multiple frames produce a real animated GIF;
+    ``interlace=True`` stores 4-pass interlaced rows so the production
+    decode path must deinterlace."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import gifcodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * n:
+                raise ValueError(f"payload must be exactly {n_frames * n} ASCII chars")
+            frames = [
+                a[f * n : (f + 1) * n].reshape(height, width)
+                for f in range(n_frames)
+            ]
+            return gifcodec.encode_gif(frames, interlace=interlace)
+
+        return s.map(one)
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

@@ -315,6 +315,96 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed image decode end-to-end (r6, third compression
+    family after DEFLATE and Huffman+DCT): each document's first 64 chars
+    become an 8×8 INTERLACED grayscale GIF (gifcodec.encode_gif — 4-pass
+    row order, variable-width LZW, identity gray palette whose integer
+    601 luma is exactly the index); the production fake=False mapInPandas
+    path decodes it back through the vendored GIF decoder (sub-block
+    walk, LZW with clear/EOI, deinterlace, palette luma). Lossless, so
+    the oracle is IDENTICAL to multimodal_real_decode's — the container
+    format must not change pixel statistics."""
+    from hive_udf_spark.operators.multimodal import gif_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = gif_encoder_udf(8, 8, interlace=True)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(64 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF container walk end-to-end (r6): each document's first
+    192 chars become a 3-frame animated GIF89a; ``split_container_frames``
+    dispatches on the GIF magic, LZW-decodes and composites each frame,
+    re-emits them as canonical PGM blobs, and the sampler decodes every
+    2nd frame — the oracle is identical to the netpbm/AVI frame-sample
+    queries because the container format must not change the frames
+    (full-size frames with no transparency composite to themselves)."""
+    from hive_udf_spark.operators.multimodal import (
+        gif_encoder_udf,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = gif_encoder_udf(8, 8, n_frames=3)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH t AS (

@@ -1,12 +1,21 @@
-"""Vendored dependency-free WAV (RIFF PCM) decoder.
+"""Vendored dependency-free WAV (RIFF) decoder: PCM, G.711, IMA ADPCM.
 
 The audio twin of ``operators.imagecodec``: a REAL container parse —
 RIFF header walk, fmt/data chunk discovery by id (not fixed offsets, so
 extra chunks like LIST/INFO are handled), PCM 8-bit unsigned and 16-bit
 signed little-endian, mono or interleaved multi-channel — with explicit
-errors for anything else (compressed codecs are out of scope for a
-sandbox without audio libs; the point is that the CONTAINER math is real
-and the Spark-side plumbing is production-shaped).
+errors for anything else.
+
+Compressed audio (r6): G.711 µ-law (WAV format 7) and A-law (format 6)
+companding — the telephony standard, a pure integer segment/mantissa
+expansion cross-checked bit-exact against CPython's ``audioop`` — and
+IMA/DVI ADPCM (format 0x11): block-structured 4-bit differential coding
+whose decoder is an exact integer state machine (step-size table walk
+from each block header's predictor/index). ADPCM is lossy, but a
+PER-BLOCK-CONSTANT signal encodes to all-zero nibbles at step index 0
+and decodes bit-exactly — the audio analogue of the JPEG flat-block
+construction that lets SQL oracles hold lossy codecs to hash-exact
+answers.
 
 Everything is integer-exact: samples come back as int32 numpy arrays
 (8-bit data is centered by subtracting 128), so downstream statistics
@@ -22,7 +31,15 @@ import struct as _struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "encode_wav_pcm", "wav_info"]
+__all__ = [
+    "decode_wav",
+    "encode_wav_pcm",
+    "encode_wav_g711",
+    "encode_wav_ima_adpcm",
+    "wav_info",
+    "g711_decode",
+    "g711_encode",
+]
 
 
 def _chunks(b: bytes):
@@ -53,11 +70,13 @@ def wav_info(b: bytes) -> dict:
             if size < 16:
                 raise ValueError("fmt chunk too small")
             audio_format, n_channels, sample_rate = _struct.unpack_from("<HHI", b, off)
+            block_align = _struct.unpack_from("<H", b, off + 12)[0]
             bits = _struct.unpack_from("<H", b, off + 14)[0]
             fmt = {
                 "audio_format": audio_format,
                 "n_channels": n_channels,
                 "sample_rate": sample_rate,
+                "block_align": block_align,
                 "bits_per_sample": bits,
             }
         elif cid == b"data" and data_size is None:
@@ -72,32 +91,227 @@ def wav_info(b: bytes) -> dict:
     return fmt
 
 
+# ---------------------------------------------------------------------------
+# G.711 companding (WAV formats 6 = A-law, 7 = µ-law). Pure integer
+# segment/mantissa expansion per the classic reference implementation;
+# cross-checked bit-exact against CPython's audioop in tests.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def _ulaw_decode_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.int64)
+    c = ~codes & 0xFF
+    sign = (c & 0x80) != 0
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int32)
+
+
+def _alaw_decode_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.int64)
+    c = codes ^ 0x55
+    sign = (c & 0x80) != 0
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    t = (mant << 4) + 8
+    t = np.where(seg >= 1, (mant << 4) + 0x108, t)
+    t = np.where(seg >= 2, t << np.maximum(seg - 1, 0), t)
+    # G.711 A-law: sign bit SET means positive (inverted vs µ-law)
+    return np.where(sign, t, -t).astype(np.int32)
+
+
+_ULAW_LUT = _ulaw_decode_lut()
+_ALAW_LUT = _alaw_decode_lut()
+
+
+def g711_decode(codes: np.ndarray | bytes, law: str = "ulaw") -> np.ndarray:
+    """Expand G.711 code bytes to int32 16-bit-range samples (exact
+    integer LUT; ``law`` is 'ulaw' or 'alaw')."""
+    lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT}.get(law)
+    if lut is None:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    idx = np.frombuffer(codes, dtype=np.uint8) if isinstance(codes, bytes) else np.asarray(codes, dtype=np.uint8)
+    return lut[idx]
+
+
+def g711_encode(samples: np.ndarray, law: str = "ulaw") -> np.ndarray:
+    """Compress int16-range samples to G.711 code bytes (uint8).
+
+    Exact vectorized transcriptions of the Sun reference encoders as
+    CPython's ``audioop`` carries them (14-bit µ-law pipeline with
+    arithmetic ``>>2`` pre-shift, 13-bit A-law with ``>>3`` and the
+    ``-x-1`` negative fold, inclusive segment ends) — pytest asserts
+    byte equality against audioop over random samples, and
+    encode∘decode is the identity on codes (modulo µ-law's two zero
+    codes)."""
+    x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    if law == "ulaw":
+        pcm = x >> 2  # arithmetic shift: floor, per the reference
+        mask = np.where(pcm < 0, 0x7F, 0xFF)
+        mag = np.minimum(np.abs(pcm), 8158) + 0x21  # 14-bit CLIP per the reference
+        seg = np.searchsorted(
+            np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64),
+            mag,
+            side="left",
+        )
+        uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+        return ((uval ^ mask) & 0xFF).astype(np.uint8)
+    if law == "alaw":
+        mask = np.where(x >= 0, 0xD5, 0x55)
+        pcm = np.where(x >= 0, x, -x - 1) >> 3  # 13-bit magnitude
+        seg = np.searchsorted(
+            np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF], dtype=np.int64),
+            pcm,
+            side="left",
+        )
+        shift = np.where(seg < 2, 1, seg)
+        aval = (seg << 4) | ((pcm >> shift) & 0x0F)
+        return ((aval ^ mask) & 0xFF).astype(np.uint8)
+    raise ValueError("law must be 'ulaw' or 'alaw'")
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format 0x11): 4-bit differential coding, exact
+# integer state machine, block headers carry (predictor, step index).
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_STEP = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_block(raw: bytes, n_samples: int) -> list[int]:
+    """One mono IMA block: 4-byte header (predictor int16, step index,
+    reserved) + packed nibbles (low nibble first)."""
+    if len(raw) < 4:
+        raise ValueError("IMA ADPCM block shorter than its header")
+    (pred,) = _struct.unpack_from("<h", raw, 0)
+    index = raw[2]
+    if index > 88:
+        raise ValueError(f"IMA ADPCM step index {index} out of range 0-88")
+    out = [pred]
+    steps = _IMA_STEPS
+    for k in range(n_samples - 1):
+        byte = raw[4 + (k >> 1)]
+        nib = (byte >> 4) if k & 1 else (byte & 0x0F)
+        step = int(steps[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        index = max(0, min(88, index + _IMA_INDEX_STEP[nib & 7]))
+    return out
+
+
+def _ima_encode_block(x: list[int], index: int) -> tuple[bytes, int]:
+    """Encode one mono block: header predictor = first sample; returns
+    (block bytes without padding, final step index)."""
+    pred = x[0]
+    out = bytearray(_struct.pack("<hBB", pred, index, 0))
+    nibbles = []
+    steps = _IMA_STEPS
+    for s in x[1:]:
+        step = int(steps[index])
+        delta = s - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_STEP[nib & 7]))
+        nibbles.append(nib)
+    if len(nibbles) & 1:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), index
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """→ (samples int32 array of shape (n_frames, n_channels), rate).
 
-    PCM (format 1) 8-bit unsigned (centered to [-128, 127]) or 16-bit
-    signed LE only; anything else raises explicitly.
+    PCM (format 1, 8-bit unsigned centered / 16-bit signed LE), G.711
+    A-law (6) / µ-law (7), and mono IMA ADPCM (0x11); anything else
+    raises explicitly.
     """
     info = wav_info(b)
-    if info["audio_format"] != 1:
+    afmt, nch = info["audio_format"], info["n_channels"]
+    if afmt not in (1, 6, 7, 0x11):
         raise ValueError(
-            f"unsupported WAV audio format {info['audio_format']} (only PCM=1 is vendored)"
+            f"unsupported WAV audio format {afmt} "
+            "(PCM=1, A-law=6, u-law=7, IMA ADPCM=0x11 vendored)"
         )
-    bits, nch = info["bits_per_sample"], info["n_channels"]
-    if bits not in (8, 16):
-        raise ValueError(f"unsupported PCM bit depth {bits} (8/16 vendored)")
     if nch < 1:
         raise ValueError("channel count must be >= 1")
+    bits = info["bits_per_sample"]
+    if afmt == 1 and bits not in (8, 16):
+        raise ValueError(f"unsupported PCM bit depth {bits} (8/16 vendored)")
+    if afmt in (6, 7) and bits != 8:
+        raise ValueError("G.711 WAV must declare 8 bits per sample")
+    if afmt == 0x11 and nch != 1:
+        raise ValueError("multi-channel IMA ADPCM not vendored (mono only)")
     for cid, off, size in _chunks(b):
-        if cid == b"data":
-            raw = b[off : off + size]
+        if cid != b"data":
+            continue
+        raw = b[off : off + size]
+        if afmt == 1:
             if bits == 8:
                 x = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
             else:
                 n = size // 2
                 x = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int32)
-            frames = x.size // nch
-            return x[: frames * nch].reshape(frames, nch), info["sample_rate"]
+        elif afmt in (6, 7):
+            x = g711_decode(raw, "alaw" if afmt == 6 else "ulaw")
+        else:  # IMA ADPCM, mono
+            block_align = info.get("block_align") or 0
+            if block_align < 5:
+                raise ValueError("IMA ADPCM requires block_align >= 5")
+            spb = 1 + (block_align - 4) * 2
+            out: list[int] = []
+            for p in range(0, len(raw), block_align):
+                block = raw[p : p + block_align]
+                n_s = spb if len(block) == block_align else 1 + (len(block) - 4) * 2
+                out.extend(_ima_decode_block(block, n_s))
+            x = np.array(out, dtype=np.int32)
+        frames = x.size // nch
+        return x[: frames * nch].reshape(frames, nch), info["sample_rate"]
     raise ValueError("no data chunk")  # pragma: no cover - wav_info already checks
 
 
@@ -133,3 +347,74 @@ def encode_wav_pcm(
         + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+
+def _wrap_riff(fmt: bytes, data: bytes) -> bytes:
+    riff = (
+        b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+
+def encode_wav_g711(
+    codes: np.ndarray | bytes, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """Wrap raw G.711 code bytes in a canonical mono WAV (format 7 µ-law
+    or 6 A-law) — the fixture twin of the companded decode path. Taking
+    CODES (not samples) keeps fixtures exactly representable: every byte
+    value is a valid code, so a payload string can BE the stream."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    payload = (
+        codes.astype(np.uint8).tobytes()
+        if isinstance(codes, np.ndarray)
+        else bytes(codes)
+    )
+    afmt = 7 if law == "ulaw" else 6
+    fmt = _struct.pack("<HHIIHH", afmt, 1, sample_rate, sample_rate, 1, 8)
+    return _wrap_riff(fmt, payload)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Encode mono int16-range samples as a WAV-format-0x11 IMA ADPCM
+    stream: each block's header carries (first sample, running step
+    index), followed by 4-bit nibbles. A signal that is CONSTANT within
+    each block (and starts at step index 0) encodes to all-zero nibbles
+    and decodes bit-exactly — the lossy-codec-exact-oracle regime."""
+    if block_align < 5:
+        raise ValueError("block_align must be >= 5")
+    x = [int(v) for v in np.asarray(samples, dtype=np.int64).ravel()]
+    if not x:
+        raise ValueError("at least one sample required")
+    spb = 1 + (block_align - 4) * 2
+    tail = len(x) % spb
+    if tail and (tail - 1) % 2:
+        raise ValueError(
+            "partial final IMA block must hold an odd sample count "
+            "(whole nibble bytes; pad the signal or pick a block_align "
+            "that divides it)"
+        )
+    out = bytearray()
+    index = 0
+    for p in range(0, len(x), spb):
+        block, index = _ima_encode_block(x[p : p + spb], index)
+        out += block
+    fmt = _struct.pack(
+        "<HHIIHH",
+        0x11,
+        1,
+        sample_rate,
+        sample_rate * block_align // spb,
+        block_align,
+        4,
+    )
+    return _wrap_riff(fmt, bytes(out))

@@ -201,6 +201,34 @@ def gif_encoder_udf(
     return enc
 
 
+def adpcm_block_encoder_udf(scale: int = 100, block_align: int = 8):
+    """Arrow-batched IMA-ADPCM fixture encoder: a ``pandas_udf`` mapping a
+    64-char ASCII payload to a WAV-format-0x11 stream where each char
+    owns one BLOCK of constant samples (char·scale repeated 9× for
+    block_align=8). Constant blocks encode to all-zero nibbles at step
+    index 0 and decode bit-exactly through the ADPCM state machine — the
+    audio analogue of the JPEG flat-block construction, holding a lossy
+    differential codec to a hash-exact SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    spb = 1 + (block_align - 4) * 2
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import audiocodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != 64:
+                raise ValueError("payload must be exactly 64 ASCII chars")
+            sig = np.repeat(a.astype(np.int64) * scale, spb)
+            return audiocodec.encode_wav_ima_adpcm(sig, block_align=block_align)
+
+        return s.map(one)
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

@@ -621,6 +621,106 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ulaw_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    m AS (
+      SELECT doc_id,
+             [(((255 - c) % 16) * 8 + 132) * (1 << ((255 - c - 128) // 16)) - 132
+              for c in cps] AS mags
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           -list_sum(mags) / 64.0 AS mean_amp,
+           CAST(list_max(mags) AS INT) AS max_abs
+    FROM m
+    """,
+)
+def multimodal_ulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law (telephony) audio decode end-to-end (r6): each
+    document's first 64 chars ARE the µ-law code bytes of a mono WAV
+    format-7 stream (every byte is a valid code, so the payload needs no
+    Python fixture encoder — the header is one constant literal); the
+    vendored companding expansion (audiocodec.g711_decode, bit-exact vs
+    CPython's audioop over all 65536 inputs) runs inside mapInPandas.
+    The ORACLE re-implements G.711 expansion in SQL — segment/mantissa
+    integer arithmetic per T-REC-G.711 — so the codec itself is
+    cross-checked between two independent implementations. ASCII chars
+    0..127 are all sign-bit-set codes (µ-law stores the complement), so
+    every decoded sample is ≤ 0 and mean_amp = −Σmag/64 divides by a
+    power of two (bit-identical floats)."""
+    from hive_udf_spark.operators.audiocodec import encode_wav_g711
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    hdr = encode_wav_g711(bytes(64), "ulaw", sample_rate=8000)[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select(
+            "doc_id",
+            F.concat(F.lit(hdr), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+        )
+    )
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
+    "multimodal_adpcm_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(576 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           list_sum(cps) * 100.0 / 64.0 AS mean_amp,
+           CAST(list_max(cps) * 100 AS INT) AS max_abs
+    FROM b
+    """,
+)
+def multimodal_adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM audio decode end-to-end (r6): each document's first
+    64 chars become 64 BLOCKS of a WAV-format-0x11 stream (9 constant
+    samples of char·100 per block, block_align=8); the vendored 4-bit
+    differential state machine (step-table walk from each block header)
+    decodes inside mapInPandas. Per-block-constant signals encode to
+    all-zero nibbles whose reconstruction delta is step>>3 = 0 at index
+    0 — so the LOSSY codec round-trips bit-exactly and the SQL oracle
+    predicts the stats: mean_amp = 9·100·Σc/576 = 25·Σc/16 (exact
+    dyadic float in both engines), max_abs = 100·max(c)."""
+    from hive_udf_spark.operators.multimodal import (
+        adpcm_block_encoder_udf,
+        decode_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = adpcm_block_encoder_udf(scale=100, block_align=8)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
     "multimodal_join_text_vector_events",
     oracle="""
     WITH emb AS (

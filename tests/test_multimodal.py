@@ -790,3 +790,143 @@ def test_png_through_spark_decode_and_ahash(spark):
     sigs = {r.doc_id: r.ahash for r in image_ahash_table(blobs).collect()}
     for i in range(len(imgs)):
         assert sigs[2 * i] == sigs[2 * i + 1]  # PGM twin == PNG twin
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding + IMA ADPCM (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_bit_exact_vs_audioop_full_domain():
+    """Decode LUTs and encoders match CPython's audioop (the Sun G.711
+    reference) over every code and every int16 sample."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from hive_udf_spark.operators.audiocodec import g711_decode, g711_encode
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        g711_decode(codes, "ulaw"),
+        np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2").astype(np.int32),
+    )
+    assert np.array_equal(
+        g711_decode(codes, "alaw"),
+        np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2").astype(np.int32),
+    )
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    b16 = x.astype("<i2").tobytes()
+    assert np.array_equal(
+        g711_encode(x, "ulaw"), np.frombuffer(audioop.lin2ulaw(b16, 2), dtype=np.uint8)
+    )
+    assert np.array_equal(
+        g711_encode(x, "alaw"), np.frombuffer(audioop.lin2alaw(b16, 2), dtype=np.uint8)
+    )
+
+
+def test_g711_code_roundtrip_identity():
+    """encode(decode(c)) == c for every code (µ-law's negative zero 0x7F
+    canonicalizes to 0xFF — the one documented exception)."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import g711_decode, g711_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    rt_u = g711_encode(g711_decode(codes, "ulaw"), "ulaw")
+    assert all(rt_u[c] == c for c in range(256) if c != 0x7F)
+    assert rt_u[0x7F] == 0xFF
+    rt_a = g711_encode(g711_decode(codes, "alaw"), "alaw")
+    assert np.array_equal(rt_a, codes)
+
+
+def test_g711_wav_wrap_and_decode():
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav_g711,
+        g711_decode,
+        wav_info,
+    )
+
+    codes = bytes(range(256))
+    for law, afmt in (("ulaw", 7), ("alaw", 6)):
+        b = encode_wav_g711(codes, law, sample_rate=16000)
+        info = wav_info(b)
+        assert info["audio_format"] == afmt and info["sample_rate"] == 16000
+        x, rate = decode_wav(b)
+        assert rate == 16000
+        assert np.array_equal(x.ravel(), g711_decode(codes, law))
+
+
+def test_ima_adpcm_constant_blocks_exact_and_ramp_bounded():
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        wav_info,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(-200, 200, 64) * 100
+    sig = np.repeat(vals, 9)  # block_align=8 -> 9 samples/block
+    b = encode_wav_ima_adpcm(sig, block_align=8)
+    assert wav_info(b)["audio_format"] == 0x11
+    dec, rate = decode_wav(b)
+    assert np.array_equal(dec.ravel(), sig)  # lossy codec, exact regime
+    # smooth signal: the state machine tracks within tolerance
+    t = np.arange(9 * 100)
+    smooth = (2000 * np.sin(t / 25)).astype(np.int64)
+    dec2, _ = decode_wav(encode_wav_ima_adpcm(smooth, block_align=8))
+    err = np.abs(dec2.ravel() - smooth)
+    assert float(err.mean()) < 30 and int(err.max()) < 600
+
+
+def test_ima_adpcm_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.audiocodec import (
+        _ima_decode_block,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    with _pytest.raises(ValueError, match="block_align"):
+        encode_wav_ima_adpcm(np.zeros(9), block_align=4)
+    with _pytest.raises(ValueError, match="odd sample count"):
+        encode_wav_ima_adpcm(np.zeros(11), block_align=8)  # 2-sample tail: half a byte
+    with _pytest.raises(ValueError, match="step index"):
+        _ima_decode_block(b"\x00\x00\x60\x00" + b"\x00" * 4, 9)
+    with _pytest.raises(ValueError, match="header"):
+        _ima_decode_block(b"\x00\x00", 3)
+    good = encode_wav_ima_adpcm(np.zeros(9), block_align=8)
+    bad = bytearray(good)
+    # stereo IMA not vendored: patch n_channels in fmt
+    bad[22] = 2
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(bad))
+
+
+def test_g711_through_spark(spark):
+    """Production mapInPandas path over a G.711 WAV blob."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_g711, g711_decode
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    codes = bytes(range(0, 128))
+    blobs = spark.createDataFrame(
+        [(1, bytearray(encode_wav_g711(codes, "alaw")))], "doc_id bigint, blob binary"
+    )
+    r = decode_audio_features(blobs, fake=False).collect()[0]
+    x = g711_decode(codes, "alaw")
+    assert r.n_samples == 128
+    assert r.mean_amp == int(x.sum(dtype=np.int64)) / 128
+    assert r.max_abs == int(np.abs(x).max())

@@ -415,6 +415,36 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         sigs = image_ahash_table(blobs)
         _force(hamming_block_pairs(sigs, "doc_id", "ahash", max_hamming=6))
 
+    def q_codec_png_decode():
+        # compressed-image decode throughput (r6): Paeth-filtered zlib
+        # PNG fixture encode + full vendored decode, Arrow-batched
+        from hive_udf_spark.operators.multimodal import (
+            decode_image_features,
+            png_encoder_udf,
+        )
+
+        payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+        enc = png_encoder_udf(8, 8, filter_type=4)
+        blobs = docs.select("doc_id", payload.alias("__s")).filter(
+            F.col("__s").rlike("^[\\x00-\\x7F]*$")
+        ).select("doc_id", enc(F.col("__s")).alias("blob"))
+        _force(decode_image_features(blobs, fake=False))
+
+    def q_codec_jpeg_decode():
+        # baseline-JPEG decode throughput (r6): Huffman entropy decode +
+        # dequant + IDCT per 64x64 image, Arrow-batched
+        from hive_udf_spark.operators.multimodal import (
+            decode_image_features,
+            jpeg_block_encoder_udf,
+        )
+
+        payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+        enc = jpeg_block_encoder_udf(8, quality=100)
+        blobs = docs.select("doc_id", payload.alias("__s")).filter(
+            F.col("__s").rlike("^[\\x00-\\x7F]*$")
+        ).select("doc_id", enc(F.col("__s")).alias("blob"))
+        _force(decode_image_features(blobs, fake=False))
+
     def q_prefix_filter():
         # EXACT similarity join (no LSH recall): complete pair set at
         # J >= 0.9 — contract-bound to true-pair volume like the other
@@ -616,6 +646,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "hllp_grouped": q_hllp_grouped,
         "nb_classify": q_nb_classify,
         "video_near_dup": q_video_near_dup,
+        "codec_png_decode": q_codec_png_decode,
+        "codec_jpeg_decode": q_codec_jpeg_decode,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -20,6 +20,17 @@ from hive_udf_spark.sources import load_table
 _TOKS_SQL = r"[t for t in string_split_regex(text, '\s+') if t != '']"
 
 
+def _html_chain_sql(expr: str) -> str:
+    """DuckDB mirror of functions.html.html_to_text, generated from the
+    SAME step list — the two engines cannot drift apart silently."""
+    from hive_udf_spark.functions.html import HTML_TO_TEXT_SQL_STEPS
+
+    for pat, rep in HTML_TO_TEXT_SQL_STEPS:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
 @register(
     "text_quality_scores",
     oracle=rf"""
@@ -153,6 +164,58 @@ def text_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.sum(bpeish_token_count("text")).cast("long").alias("total_bpeish_tokens"),
         F.sum(F.size(tokenize("text"))).cast("long").alias("total_ws_tokens"),
+    )
+
+
+_HTML_PREFIX = (
+    '<html><head><title>doc</title><style type="text/css">p { color: red; }'
+    "</style></head><body><!-- generated -->\n<h1>Doc</h1>\n"
+    '<p class="main">'
+)
+_HTML_SUFFIX = '</p>\n<script>var x = 1 < 2 && "</p>";</script></body></html>'
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || regexp_replace(regexp_replace(regexp_replace(text,
+                  '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           {_html_chain_sql("html")} AS extracted,
+           length({_html_chain_sql("html")}) AS n_chars
+    FROM h
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (r6): the first step of every web-corpus
+    pipeline, as a pure JVM regexp chain (functions/html.py — block
+    strip, tag strip, entity decode, whitespace collapse; zero Python,
+    whole-stage codegen). Each document is wrapped in a realistic page
+    (title/style/comment/heading/script-with-markup-inside-a-string —
+    the classic extraction traps) with its text entity-ESCAPED into the
+    body; extraction must strip everything else and decode the entities
+    back. The oracle is GENERATED from the same (pattern, replacement)
+    list the production code applies (single source of truth), so the
+    two engines execute the identical chain — patterns are restricted
+    to the Java-regex ∩ RE2 dialect (no backreferences, inline flags,
+    non-greedy)."""
+    from hive_udf_spark.functions.html import html_escape_text, html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PREFIX), html_escape_text("text"), F.lit(_HTML_SUFFIX)
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
     )
 
 

@@ -207,6 +207,59 @@ def int_signature_expr(planes: list[list[int]], qv_col: str = "__qv") -> Column:
     return F.expr(" + ".join(terms))
 
 
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    (Achlioptas' database-friendly construction with sign entries):
+    out_dim rows × in_dim columns from a seeded generator, so the Spark
+    expression and the SQL oracle are generated from the SAME matrix."""
+    rng = np.random.default_rng(seed)
+    return [
+        [int(v) for v in row]
+        for row in rng.choice(np.array([-1, 1], dtype=np.int64), size=(out_dim, in_dim))
+    ]
+
+
+def random_projection_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+    scale: int = DEFAULT_QUANT_SCALE,
+) -> DataFrame:
+    """JL dimensionality reduction in EXACT integer space: quantize each
+    component to round(e·scale), then project through a deterministic ±1
+    sign matrix — ``proj[j] = Σ_i ±q_i``, an order-independent integer
+    sum, so any engine reproduces it bit-for-bit (unlike float matrix
+    products, whose summation order is engine-defined).
+
+    Output: (id, proj array<bigint> of out_dim). All JVM: the matrix is
+    one literal expression inside a transform/aggregate lambda (the
+    single-parsed-SQL-expr trick above); per row the cost is
+    out_dim·in_dim integer multiply-adds in codegen.
+
+    At 100 TB: map-only (no shuffle), output is out_dim/in_dim of the
+    input width — project FIRST, then run ANN/near-dup on the short
+    vectors; dot products distort by at most the JL factor for the
+    chosen out_dim. The matrix never leaves the driver (it is
+    O(out·in) ints embedded in the plan), so there is no broadcast and
+    no Python worker anywhere."""
+    S = jl_sign_matrix(in_dim, out_dim, seed)
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(str(v) for v in row) + ")" for row in S
+    ) + ")"
+    q = (
+        f"transform(`{vec_col}`, __e -> "
+        f"CAST(round(CAST(__e AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    proj = (
+        f"transform({mat}, __s -> aggregate(zip_with({q}, __s, "
+        f"(__x, __y) -> __x * __y), CAST(0 AS BIGINT), (__a, __x) -> __a + __x))"
+    )
+    return df.select(F.col(id_col), F.expr(proj).alias("proj"))
+
+
 def embedding_near_pairs_lsh(
     vecs: DataFrame,
     id_col: str = "vec_id",

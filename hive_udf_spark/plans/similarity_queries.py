@@ -281,3 +281,44 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     ann = ann_hyperplane_lsh(emb, queries, k=5, nbits=16, bands=4, probes=2)
     return _ann_containment_verdict(spark, sf_dir, ann)
+
+
+def _jl_oracle_sql() -> str:
+    """Oracle generated from the SAME seeded ±1 matrix the operator
+    embeds in its Spark expression (single source of truth)."""
+    from hive_udf_spark.operators.similarity import jl_sign_matrix
+
+    S = jl_sign_matrix(64, 16, seed=7)
+    cols = []
+    for j, row in enumerate(S):
+        s = "[" + ", ".join(str(v) for v in row) + "]"
+        cols.append(
+            f"CAST(list_sum(list_transform(generate_series(1, 64), "
+            f"i -> q[i] * ({s})[i])) AS BIGINT) AS p{j:02d}"
+        )
+    return f"""
+    WITH {_QV_CTE}
+    SELECT vec_id, {", ".join(cols)}
+    FROM qv
+    """
+
+
+@register("similarity_random_projection", oracle=_jl_oracle_sql())
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64→16 in exact integer
+    space (r6): quantized components flow through a deterministic ±1
+    matrix embedded as ONE literal SQL expression — order-independent
+    integer sums, so DuckDB reproduces every projected coordinate
+    bit-for-bit. This is the scale path for ANN preprocessing: project
+    map-side (no shuffle, no Python), then search in 1/4 the
+    dimensions."""
+    from hive_udf_spark.operators.similarity import random_projection_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection_quantized(
+        emb, in_dim=64, out_dim=16, seed=7
+    )
+    return proj.select(
+        "vec_id",
+        *[F.element_at("proj", j + 1).alias(f"p{j:02d}") for j in range(16)],
+    )

@@ -327,3 +327,49 @@ def test_multiprobe_recall_improves_and_plan_stays_jvm(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="probes"):
         ann_hyperplane_lsh(emb, queries, nbits=16, bands=4, probes=9)
+
+
+def test_random_projection_exact_integers_and_jl_property(spark, sf_dir):
+    """Projected coordinates are exact integer sums (deterministic across
+    engines), the plan is pure JVM, and the JL property holds: projected
+    dot products track original dot products (normalized by out_dim)
+    well enough to rank-correlate strongly."""
+    import numpy as np
+
+    from hive_udf_spark.operators.similarity import (
+        jl_sign_matrix,
+        random_projection_quantized,
+    )
+    from hive_udf_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    proj = random_projection_quantized(emb, in_dim=64, out_dim=16, seed=7)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan  # map-only JVM
+    rows = {r.vec_id: np.array(r.proj, dtype=np.int64) for r in proj.collect()}
+    src = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    S = np.array(jl_sign_matrix(64, 16, seed=7), dtype=np.int64)
+    for vid, q in list(src.items())[:50]:
+        assert np.array_equal(rows[vid], S @ q)  # bit-exact vs numpy
+    # JL concentration: ||Sq||^2 / k estimates ||q||^2 — the mean ratio
+    # over many vectors concentrates near 1 (per-pair dot products at
+    # k=16 are individually noisy; norms are the tight statistic)
+    ratios = np.array(
+        [float(rows[v] @ rows[v]) / 16.0 / float(src[v] @ src[v]) for v in src]
+    )
+    assert abs(float(ratios.mean()) - 1.0) < 0.15, ratios.mean()
+    assert 0.2 < float(ratios.min()) and float(ratios.max()) < 5.0
+    # and dot products still rank-correlate positively
+    ids = sorted(src)[:60]
+    orig, pr = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            orig.append(float(src[ids[i]] @ src[ids[j]]))
+            pr.append(float(rows[ids[i]] @ rows[ids[j]]) / 16.0)
+    c = np.corrcoef(orig, pr)[0, 1]
+    assert c > 0.3, c

@@ -1,0 +1,330 @@
+"""Vendored WARC (Web ARChive, ISO 28500) reader — the container web
+corpora actually ship in (CommonCrawl et al.).
+
+A WARC file is a concatenation of records; each record is a header
+block (``WARC/1.0`` version line + RFC-822-style named fields,
+CRLF-delimited, blank-line terminated) followed by exactly
+``Content-Length`` payload bytes and two CRLFs. In the compressed
+convention each record is an independent GZIP MEMBER (so the file is
+also one valid gzip stream); records are detected per-member by magic,
+so mixed plain/gzip concatenations parse too.
+
+``response`` records carry an HTTP response as payload — status line,
+headers, blank line, body — so extracting web text is a three-layer
+walk: WARC record → HTTP message (status/headers parse, Content-Length
+or chunked transfer-encoding) → content bytes (then e.g.
+``functions.html.html_to_text`` for markup). Every layer here is a
+real parse with explicit errors, never offset guessing.
+
+Spark shape: parsing runs inside ``mapInPandas`` (Arrow-batched blobs
+→ one row per record), the same map-side contract as the image/audio
+containers — at 100 TB, WARC blobs never cross a shuffle; only the
+extracted records do.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated multimodal/text extension surface.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np  # noqa: F401  (kept for parity with sibling codecs)
+import pandas as pd
+
+__all__ = [
+    "split_warc_records",
+    "http_response_body",
+    "encode_warc",
+    "encode_http_response",
+    "warc_records_table",
+]
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _split_gzip_members(b: bytes) -> list[bytes]:
+    """Decompress a concatenation of gzip members into per-member
+    payloads (the WARC-gz convention: one record per member)."""
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(b):
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            data = d.decompress(b[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"gzip member at byte {pos} corrupt: {exc}") from exc
+        if not d.eof:
+            raise ValueError(f"gzip member at byte {pos} truncated")
+        out.append(data)
+        consumed = len(b) - pos - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - defensive
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+    return out
+
+
+def _parse_one_record(b: bytes, pos: int) -> tuple[dict, int]:
+    """Parse one plain WARC record at ``pos``; returns (record, next_pos).
+    record = {"version", "headers" (dict, original case keys), "payload"}.
+    """
+    hdr_end = b.find(_CRLF2, pos)
+    if hdr_end < 0:
+        raise ValueError(f"WARC record at byte {pos}: unterminated header block")
+    lines = b[pos:hdr_end].split(b"\r\n")
+    version = lines[0].decode("ascii", "replace")
+    if not version.startswith("WARC/"):
+        raise ValueError(f"WARC record at byte {pos}: bad version line {version!r}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if not sep:
+            raise ValueError(f"WARC record at byte {pos}: malformed header {ln!r}")
+        headers[k.decode("ascii", "replace").strip()] = v.decode(
+            "utf-8", "replace"
+        ).strip()
+    lower = {k.lower(): v for k, v in headers.items()}
+    if "content-length" not in lower:
+        raise ValueError(f"WARC record at byte {pos}: missing Content-Length")
+    n = int(lower["content-length"])
+    body_start = hdr_end + 4
+    body_end = body_start + n
+    if body_end + 4 > len(b):
+        raise ValueError(
+            f"WARC record at byte {pos}: payload truncated "
+            f"({body_end + 4 - len(b)} bytes short)"
+        )
+    if b[body_end : body_end + 4] != _CRLF2:
+        raise ValueError(
+            f"WARC record at byte {pos}: missing record-separator CRLFCRLF"
+        )
+    return (
+        {"version": version, "headers": headers, "payload": b[body_start:body_end]},
+        body_end + 4,
+    )
+
+
+def split_warc_records(b: bytes) -> list[dict]:
+    """Parse a WARC blob (plain, per-record-gzip, or a mix) into records.
+
+    Each record dict: ``version`` (e.g. 'WARC/1.0'), ``headers`` (dict,
+    original-case keys), ``payload`` (bytes of exactly Content-Length).
+    Malformed streams raise — a truncated crawl chunk is an error, not a
+    silent short read.
+    """
+    records: list[dict] = []
+    if b[:2] == b"\x1f\x8b":
+        for member in _split_gzip_members(b):
+            pos = 0
+            while pos < len(member):
+                rec, pos = _parse_one_record(member, pos)
+                records.append(rec)
+        return records
+    pos = 0
+    while pos < len(b):
+        if b[pos : pos + 2] == b"\x1f\x8b":  # mixed: gzip tail
+            for member in _split_gzip_members(b[pos:]):
+                mp = 0
+                while mp < len(member):
+                    rec, mp = _parse_one_record(member, mp)
+                    records.append(rec)
+            return records
+        rec, pos = _parse_one_record(b, pos)
+        records.append(rec)
+    if not records:
+        raise ValueError("empty WARC blob")
+    return records
+
+
+def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
+    """Parse an HTTP response message: returns (status_code, headers
+    lower-cased, body bytes). Honors Content-Length and chunked
+    transfer-encoding; anything else takes the rest of the payload
+    (HTTP/1.0 close-delimited)."""
+    hdr_end = payload.find(_CRLF2)
+    if hdr_end < 0:
+        raise ValueError("HTTP message: unterminated header block")
+    lines = payload[:hdr_end].split(b"\r\n")
+    status_parts = lines[0].split(None, 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"HTTP message: bad status line {lines[0]!r}")
+    status = int(status_parts[1])
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if not sep:
+            raise ValueError(f"HTTP message: malformed header {ln!r}")
+        headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
+            "utf-8", "replace"
+        ).strip()
+    raw = payload[hdr_end + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = bytearray()
+        pos = 0
+        while True:
+            nl = raw.find(b"\r\n", pos)
+            if nl < 0:
+                raise ValueError("chunked body: missing chunk-size line")
+            size_token = raw[pos:nl].split(b";")[0].strip()  # drop extensions
+            n = int(size_token, 16)
+            if n == 0:
+                return status, headers, bytes(body)
+            start = nl + 2
+            if start + n + 2 > len(raw):
+                raise ValueError("chunked body: chunk truncated")
+            body += raw[start : start + n]
+            if raw[start + n : start + n + 2] != b"\r\n":
+                raise ValueError("chunked body: missing chunk CRLF")
+            pos = start + n + 2
+    if "content-length" in headers:
+        n = int(headers["content-length"])
+        if n > len(raw):
+            raise ValueError(f"HTTP body truncated ({n - len(raw)} bytes short)")
+        return status, headers, raw[:n]
+    return status, headers, raw
+
+
+# ---------------------------------------------------------------------------
+# Encoders (fixture twins)
+# ---------------------------------------------------------------------------
+
+
+def encode_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    chunk_size: int = 512,
+) -> bytes:
+    """Assemble an HTTP/1.1 response message; ``chunked=True`` uses
+    chunked transfer-encoding (exercising the de-chunker)."""
+    reason = {200: "OK", 404: "Not Found"}.get(status, "Status")
+    head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {content_type}\r\n"
+    if chunked:
+        head += "Transfer-Encoding: chunked\r\n\r\n"
+        out = bytearray(head.encode("ascii"))
+        for i in range(0, len(body), chunk_size):
+            chunk = body[i : i + chunk_size]
+            out += f"{len(chunk):x}\r\n".encode("ascii") + chunk + b"\r\n"
+        out += b"0\r\n\r\n"
+        return bytes(out)
+    head += f"Content-Length: {len(body)}\r\n\r\n"
+    return head.encode("ascii") + body
+
+
+def encode_warc(records: list[dict], gzip_records: bool = False) -> bytes:
+    """Assemble WARC records (each: ``headers`` dict + ``payload`` bytes;
+    Content-Length is computed, WARC-Type defaults to 'response').
+    ``gzip_records=True`` writes each record as its own gzip member (the
+    .warc.gz convention)."""
+    out = bytearray()
+    for rec in records:
+        headers = dict(rec.get("headers", {}))
+        headers.setdefault("WARC-Type", "response")
+        payload = rec["payload"]
+        headers["Content-Length"] = str(len(payload))
+        head = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in headers.items()
+        )
+        plain = head.encode("utf-8") + b"\r\n" + payload + _CRLF2
+        if gzip_records:
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            out += co.compress(plain) + co.flush()
+        else:
+            out += plain
+    if not out:
+        raise ValueError("at least one record required")
+    return bytes(out)
+
+
+def warc_page_encoder_udf(
+    prefix: str,
+    suffix: str,
+    uri_prefix: str = "http://corpus.test/doc/",
+    gzip_records: bool = True,
+    chunked: bool = True,
+):
+    """Arrow-batched crawl-chunk fixture encoder: a ``pandas_udf``
+    mapping (doc_id, text) to a one-record .warc.gz blob whose response
+    payload is a chunked HTTP message carrying an HTML page —
+    ``prefix + escape(text) + suffix`` with the SAME &/</> escape order
+    the SQL oracle applies. Exists to feed the production three-layer
+    walk (gzip member → WARC record → HTTP de-chunk → markup) with real
+    crawl-shaped bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(did: int, t: str) -> bytes:
+            esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html = (prefix + esc + suffix).encode("utf-8")
+            http = encode_http_response(html, chunked=chunked, chunk_size=512)
+            return encode_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"{uri_prefix}{did}",
+                        },
+                        "payload": http,
+                    }
+                ],
+                gzip_records=gzip_records,
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+WARC_RECORDS_SCHEMA = (
+    "doc_id bigint, record_idx int, warc_type string, target_uri string, "
+    "http_status int, content_type string, body binary"
+)
+
+
+def warc_records_table(blobs):
+    """(doc_id, blob) → one row per WARC record via mapInPandas:
+    (doc_id, record_idx, warc_type, target_uri, http_status,
+    content_type, body). Response records get their HTTP layer parsed
+    (status/headers/de-chunking); non-response records pass their raw
+    payload through with NULL status.
+
+    At 100 TB: map-side record extraction (the crawl chunk never
+    crosses a shuffle); downstream text extraction operates on bodies,
+    which are the only bytes that leave the scan stage.
+    """
+    from collections.abc import Iterator
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "record_idx", "warc_type", "target_uri",
+                    "http_status", "content_type", "body",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, rec in enumerate(split_warc_records(bytes(blob))):
+                    lower = {k.lower(): v for k, v in rec["headers"].items()}
+                    wtype = lower.get("warc-type", "")
+                    status, ctype, body = None, None, rec["payload"]
+                    if wtype == "response":
+                        st, hh, body = http_response_body(rec["payload"])
+                        status, ctype = st, hh.get("content-type")
+                    rows["doc_id"].append(int(doc_id))
+                    rows["record_idx"].append(i)
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(lower.get("warc-target-uri"))
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["body"].append(body)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=WARC_RECORDS_SCHEMA)

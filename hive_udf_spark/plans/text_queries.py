@@ -220,6 +220,53 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_warc_extract_pipeline",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           'http://corpus.test/doc/' || doc_id AS target_uri,
+           200 AS http_status,
+           {_html_chain_sql("html")} AS extracted,
+           length({_html_chain_sql("html")}) AS n_chars
+    FROM h
+    """,
+)
+def text_warc_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl ingestion shape end-to-end (r6): each document
+    becomes a one-record .warc.gz crawl chunk (gzip member → WARC record
+    with Content-Length accounting → CHUNKED HTTP response → HTML page
+    with the text entity-escaped in); the production path then walks all
+    three container layers back (operators/warc.py: per-member gunzip,
+    record header parse, HTTP status/header parse + de-chunking) and
+    strips the markup with the codegen-pure regexp chain
+    (functions/html.py). The oracle reproduces only the TEXT
+    construction+extraction — the WARC/HTTP/gzip layers are lossless
+    wrappers, so they must be invisible in the output; that invisibility
+    is what the hash check proves."""
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.warc import warc_page_encoder_udf, warc_records_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = warc_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    recs = warc_records_table(blobs).filter(F.col("warc_type") == "response")
+    extracted = html_to_text(F.decode("body", "UTF-8"))
+    return recs.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "multimodal_blob_features",
     oracle="""
     WITH per_doc AS (

@@ -1,0 +1,111 @@
+"""WARC / HTTP container walk (operators/warc.py, r6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_udf_spark.operators.warc import (
+    encode_http_response,
+    encode_warc,
+    http_response_body,
+    split_warc_records,
+)
+
+HTML = b"<html><body><p>Hello &amp; goodbye</p></body></html>"
+
+
+def test_plain_record_roundtrip():
+    http = encode_http_response(HTML)
+    w = encode_warc(
+        [{"headers": {"WARC-Target-URI": "http://x.test/a"}, "payload": http}]
+    )
+    recs = split_warc_records(w)
+    assert len(recs) == 1
+    assert recs[0]["version"] == "WARC/1.0"
+    assert recs[0]["headers"]["WARC-Target-URI"] == "http://x.test/a"
+    assert int(recs[0]["headers"]["Content-Length"]) == len(http)
+    st, hh, body = http_response_body(recs[0]["payload"])
+    assert st == 200 and body == HTML
+    assert hh["content-type"].startswith("text/html")
+
+
+def test_gzip_members_and_mixed_concatenation():
+    http = encode_http_response(HTML)
+    plain = encode_warc([{"headers": {}, "payload": http}])
+    gz = encode_warc(
+        [
+            {"headers": {}, "payload": http},
+            {"headers": {"WARC-Type": "request"}, "payload": b"GET / HTTP/1.1\r\n\r\n"},
+        ],
+        gzip_records=True,
+    )
+    assert gz[:2] == b"\x1f\x8b"
+    assert len(split_warc_records(gz)) == 2
+    assert len(split_warc_records(plain + gz)) == 3  # mixed plain+gz tail
+
+
+def test_chunked_transfer_encoding_reassembles():
+    body = HTML * 57
+    http = encode_http_response(body, chunked=True, chunk_size=100)
+    assert b"Transfer-Encoding: chunked" in http
+    st, hh, got = http_response_body(http)
+    assert st == 200 and got == body
+    # chunk extensions after ';' are ignored per RFC 7230
+    ext = http.replace(b"64\r\n", b"64;ext=1\r\n", 1)
+    assert http_response_body(ext)[2] == body
+
+
+def test_http_content_length_truncates_trailing_bytes():
+    http = encode_http_response(HTML) + b"GARBAGE-AFTER-BODY"
+    assert http_response_body(http)[2] == HTML
+
+
+def test_malformed_streams_raise():
+    http = encode_http_response(HTML)
+    good = encode_warc([{"headers": {}, "payload": http}])
+    with pytest.raises(ValueError, match="truncated|unterminated"):
+        split_warc_records(good[:-6])
+    with pytest.raises(ValueError, match="bad version"):
+        split_warc_records(b"HARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        split_warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n")
+    gz = encode_warc([{"headers": {}, "payload": http}], gzip_records=True)
+    with pytest.raises(ValueError, match="gzip member"):
+        split_warc_records(gz[:-4])
+    with pytest.raises(ValueError, match="status line"):
+        http_response_body(b"NOTHTTP 200 OK\r\n\r\nbody")
+    with pytest.raises(ValueError, match="chunk truncated"):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+        )
+
+
+def test_warc_records_table_through_spark(spark):
+    """Production mapInPandas walk: gzip member -> record -> HTTP parse;
+    non-response records pass payload through with NULL status."""
+    from hive_udf_spark.operators.warc import warc_records_table
+
+    http = encode_http_response(HTML, chunked=True, chunk_size=16)
+    blob = encode_warc(
+        [
+            {
+                "headers": {"WARC-Target-URI": "http://x.test/page"},
+                "payload": http,
+            },
+            {
+                "headers": {"WARC-Type": "metadata", "WARC-Target-URI": "http://x.test/meta"},
+                "payload": b"key: value",
+            },
+        ],
+        gzip_records=True,
+    )
+    blobs = spark.createDataFrame([(7, bytearray(blob))], "doc_id bigint, blob binary")
+    rows = {r.record_idx: r for r in warc_records_table(blobs).collect()}
+    assert len(rows) == 2
+    assert rows[0].warc_type == "response"
+    assert rows[0].http_status == 200
+    assert bytes(rows[0].body) == HTML
+    assert rows[0].target_uri == "http://x.test/page"
+    assert rows[1].warc_type == "metadata"
+    assert rows[1].http_status is None
+    assert bytes(rows[1].body) == b"key: value"

@@ -1,0 +1,184 @@
+"""Vendored ZIP archive reader (PKZIP APPNOTE format).
+
+Document bundles, model artifacts, and scraped-site dumps routinely
+arrive zipped; this is the dependency-free archive walk: End-Of-Central-
+Directory discovery (scanned backward from the tail through a possible
+archive comment), central-directory entry parse, local-header
+cross-check, STORED (method 0) and DEFLATE (method 8, raw zlib
+``wbits=-15``) extraction, and CRC-32 validation of every extracted
+payload — a lying archive is an error, not a silent short read.
+Zip64, encryption, and other compression methods raise explicitly.
+
+The central directory — not a sequential local-header walk — is
+authoritative, exactly like real unzip tools: appended garbage or
+self-extractor prefixes don't break parsing, and entry count comes from
+the directory.
+
+``encode_zip`` is the fixture twin (correct CRCs, central directory,
+both methods). No reference analogue (the reference is a
+cardinality-UDAF package, MLnick/hive-udf UDAFCardinalityEstimator.java)
+— this supports the mandated multimodal/text extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+
+__all__ = ["split_zip_entries", "encode_zip", "zip_entries_table", "zip_doc_encoder_udf"]
+
+_EOCD_MAGIC = b"PK\x05\x06"
+_CDIR_MAGIC = b"PK\x01\x02"
+_LOCAL_MAGIC = b"PK\x03\x04"
+
+
+def split_zip_entries(b: bytes) -> list[tuple[str, bytes]]:
+    """Parse a ZIP archive into ordered (name, data) entries via the
+    central directory, CRC-validating every payload."""
+    # EOCD: fixed 22 bytes + variable comment; scan back for the magic
+    scan_from = max(0, len(b) - 22 - 0xFFFF)
+    eocd = b.rfind(_EOCD_MAGIC, scan_from)
+    if eocd < 0:
+        raise ValueError("ZIP: no end-of-central-directory record")
+    if eocd + 22 > len(b):
+        raise ValueError("ZIP: EOCD truncated")
+    (n_disk, n_total, _cd_size, cd_off, _clen) = struct.unpack_from(
+        "<HHIIH", b, eocd + 8
+    )
+    if n_disk != n_total:
+        raise ValueError("multi-disk ZIP not vendored")
+    entries: list[tuple[str, bytes]] = []
+    pos = cd_off
+    for _ in range(n_total):
+        if b[pos : pos + 4] != _CDIR_MAGIC:
+            raise ValueError(f"ZIP: central directory corrupt at byte {pos}")
+        (
+            _ver_made, _ver_need, flags, method, _mt, _md,
+            crc, csize, usize, nlen, elen, clen2, _disk, _iattr, _eattr, lho,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", b, pos + 4)
+        if flags & 0x01:
+            raise ValueError("encrypted ZIP entry not vendored")
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF or lho == 0xFFFFFFFF:
+            raise ValueError("Zip64 not vendored")
+        name = b[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + clen2
+        # local header cross-check, then the payload
+        if b[lho : lho + 4] != _LOCAL_MAGIC:
+            raise ValueError(f"ZIP entry {name!r}: bad local header offset")
+        lnlen, lelen = struct.unpack_from("<HH", b, lho + 26)
+        data_off = lho + 30 + lnlen + lelen
+        if data_off + csize > len(b):
+            raise ValueError(f"ZIP entry {name!r}: payload truncated")
+        raw = b[data_off : data_off + csize]
+        if method == 0:  # stored
+            if csize != usize:
+                raise ValueError(f"ZIP entry {name!r}: stored sizes disagree")
+            data = raw
+        elif method == 8:  # deflate
+            try:
+                data = zlib.decompress(raw, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(f"ZIP entry {name!r}: inflate failed: {exc}") from exc
+            if len(data) != usize:
+                raise ValueError(
+                    f"ZIP entry {name!r}: inflated to {len(data)} of {usize} bytes"
+                )
+        else:
+            raise ValueError(f"ZIP compression method {method} not vendored (0/8)")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"ZIP entry {name!r}: CRC-32 mismatch")
+        entries.append((name, data))
+    return entries
+
+
+ZIP_ENTRIES_SCHEMA = (
+    "doc_id bigint, entry_idx int, name string, n_bytes bigint, byte_sum bigint"
+)
+
+
+def zip_entries_table(blobs):
+    """(doc_id, blob) → one row per archive entry via mapInPandas:
+    (doc_id, entry_idx, name, n_bytes, byte_sum) — integer-exact stats
+    over the CRC-validated extracted bytes. Map-side only: archives
+    never cross a shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "entry_idx", "name", "n_bytes", "byte_sum")
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, (name, data) in enumerate(split_zip_entries(bytes(blob))):
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["entry_idx"].append(i)
+                    rows["name"].append(name)
+                    rows["n_bytes"].append(len(data))
+                    rows["byte_sum"].append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=ZIP_ENTRIES_SCHEMA)
+
+
+def zip_doc_encoder_udf():
+    """Arrow-batched ZIP fixture encoder: (doc_id, text) → a two-entry
+    archive — ``doc.txt`` (the text, DEFLATE) and ``meta.txt``
+    (``id=<doc_id>``, STORED) — exercising both extraction methods plus
+    the CRC and central-directory paths on every row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(did: int, t: str) -> bytes:
+            return encode_zip(
+                [
+                    ("doc.txt", t.encode("utf-8"), 8),
+                    ("meta.txt", f"id={did}".encode("ascii"), 0),
+                ]
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+def encode_zip(entries: list, method: int = 8) -> bytes:
+    """Assemble entries into a ZIP archive with correct CRCs, sizes, and
+    central directory. Each entry is ``(name, data)`` (compressed with
+    ``method``) or ``(name, data, entry_method)`` — 8 = deflate,
+    0 = stored; mixing methods in one archive is allowed, as in real
+    tools."""
+    out = bytearray()
+    cdir = bytearray()
+    n = 0
+    for entry in entries:
+        name, data = entry[0], entry[1]
+        m = entry[2] if len(entry) > 2 else method
+        if m not in (0, 8):
+            raise ValueError("method must be 0 (stored) or 8 (deflate)")
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if m == 8:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+        else:
+            payload = data
+        lho = len(out)
+        out += _LOCAL_MAGIC + struct.pack(
+            "<HHHHHIIIHH", 20, 0, m, 0, 0, crc, len(payload), len(data),
+            len(nb), 0,
+        ) + nb + payload
+        cdir += _CDIR_MAGIC + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, m, 0, 0, crc, len(payload),
+            len(data), len(nb), 0, 0, 0, 0, 0, lho,
+        ) + nb
+        n += 1
+    cd_off = len(out)
+    out += cdir
+    out += _EOCD_MAGIC + struct.pack("<HHHHIIH", 0, 0, n, n, len(cdir), cd_off, 0)
+    return bytes(out)

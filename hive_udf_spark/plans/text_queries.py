@@ -1591,3 +1591,37 @@ def graph_seeded_expansion_video_dups(spark: SparkSession, sf_dir: str) -> DataF
         F.col("doc_id") % _PPR_SEED_MOD == 0
     )
     return pagerank_fixed(edges, iters=_PR_ITERS, damping_milli=_PR_DAMP, seeds=seeds)
+
+
+@register(
+    "multimodal_zip_extract",
+    oracle="""
+    SELECT doc_id, 0 AS entry_idx, 'doc.txt' AS name,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum([unicode(c) for c in string_split(text, '')]), 0)
+                AS BIGINT) AS byte_sum
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1 AS entry_idx, 'meta.txt' AS name,
+           CAST(length('id=' || doc_id) AS BIGINT) AS n_bytes,
+           CAST(list_sum([unicode(c) for c in string_split('id=' || doc_id, '')])
+                AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+)
+def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive walk end-to-end (r6): each document becomes a
+    two-entry archive — doc.txt DEFLATED, meta.txt STORED — and the
+    production mapInPandas path (operators/zipcodec.py) finds the
+    end-of-central-directory, walks the central directory, cross-checks
+    local headers, inflates/reads both methods, and CRC-32-validates
+    every payload before emitting integer-exact per-entry stats. The
+    archive layers are lossless, so the oracle knows only the text (the
+    corpus is ASCII, so char codes are bytes — the blob_features
+    convention)."""
+    from hive_udf_spark.operators.zipcodec import zip_doc_encoder_udf, zip_entries_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = zip_doc_encoder_udf()
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    return zip_entries_table(blobs)

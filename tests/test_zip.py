@@ -1,0 +1,73 @@
+"""ZIP archive codec (operators/zipcodec.py, r6)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from hive_udf_spark.operators.zipcodec import encode_zip, split_zip_entries
+
+ENTRIES = [("a/doc1.txt", b"hello world " * 100), ("doc2.bin", bytes(range(256)) * 7), ("empty.txt", b"")]
+
+
+def test_roundtrip_both_methods_and_stdlib_cross_check():
+    for m in (0, 8):
+        z = encode_zip(ENTRIES, method=m)
+        assert split_zip_entries(z) == ENTRIES
+        with zipfile.ZipFile(io.BytesIO(z)) as zf:  # stdlib reads ours
+            assert [(i.filename, zf.read(i)) for i in zf.infolist()] == ENTRIES
+    buf = io.BytesIO()  # we read stdlib's
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in ENTRIES:
+            zf.writestr(n, d)
+    assert split_zip_entries(buf.getvalue()) == ENTRIES
+
+
+def test_mixed_methods_one_archive():
+    z = encode_zip([("a.txt", b"x" * 500, 8), ("b.txt", b"stored", 0)])
+    assert split_zip_entries(z) == [("a.txt", b"x" * 500), ("b.txt", b"stored")]
+
+
+def test_archive_comment_and_prefix_garbage():
+    z = encode_zip(ENTRIES)
+    eocd = z.rfind(b"PK\x05\x06")
+    commented = z[: eocd + 20] + struct.pack("<H", 9) + b"a comment"
+    assert split_zip_entries(commented) == ENTRIES
+    # self-extractor-style prefix: central-directory offsets break, and
+    # the walk must say so rather than return wrong payloads
+    with pytest.raises(ValueError, match="local header|central directory"):
+        split_zip_entries(b"#!/bin/sh\n" + z)
+
+
+def test_malformed_archives_raise():
+    z = encode_zip(ENTRIES)
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        split_zip_entries(b"PK\x03\x04 not a real zip")
+    # corrupt one payload byte -> CRC mismatch (or inflate failure)
+    bad = bytearray(z)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32|inflate"):
+        split_zip_entries(bytes(bad))
+    # truncated payload
+    hacked = bytearray(z)
+    # patch EOCD cd_off to point past the end
+    eocd = z.rfind(b"PK\x05\x06")
+    struct.pack_into("<I", hacked, eocd + 16, len(z))
+    with pytest.raises(ValueError, match="central directory"):
+        split_zip_entries(bytes(hacked))
+    with pytest.raises(ValueError, match="method"):
+        encode_zip([("x", b"y", 12)])
+
+
+def test_zip_entries_table_through_spark(spark):
+    from hive_udf_spark.operators.zipcodec import zip_entries_table
+
+    z = encode_zip([("doc.txt", b"abcd", 8), ("m.txt", b"id=9", 0)])
+    blobs = spark.createDataFrame([(9, bytearray(z))], "doc_id bigint, blob binary")
+    rows = {r.entry_idx: r for r in zip_entries_table(blobs).collect()}
+    assert rows[0].name == "doc.txt" and rows[0].n_bytes == 4
+    assert rows[0].byte_sum == sum(b"abcd")
+    assert rows[1].name == "m.txt" and rows[1].byte_sum == sum(b"id=9")

@@ -244,6 +244,7 @@ def warc_page_encoder_udf(
     uri_prefix: str = "http://corpus.test/doc/",
     gzip_records: bool = True,
     chunked: bool = True,
+    n_hosts: int | None = None,
 ):
     """Arrow-batched crawl-chunk fixture encoder: a ``pandas_udf``
     mapping (doc_id, text) to a one-record .warc.gz blob whose response
@@ -260,12 +261,17 @@ def warc_page_encoder_udf(
             esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
             html = (prefix + esc + suffix).encode("utf-8")
             http = encode_http_response(html, chunked=chunked, chunk_size=512)
+            uri = (
+                f"http://h{did % n_hosts}.test/doc/{did}"
+                if n_hosts
+                else f"{uri_prefix}{did}"
+            )
             return encode_warc(
                 [
                     {
                         "headers": {
                             "WARC-Type": "response",
-                            "WARC-Target-URI": f"{uri_prefix}{did}",
+                            "WARC-Target-URI": uri,
                         },
                         "payload": http,
                     }

@@ -1625,3 +1625,60 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = zip_doc_encoder_udf()
     blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
     return zip_entries_table(blobs)
+
+
+@register(
+    "streaming_warc_ingest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             'h' || (doc_id % 7) || '.test' AS host,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    ),
+    e AS (SELECT doc_id, host, {_html_chain_sql("html")} AS extracted FROM h)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(extracted)) AS BIGINT) AS total_chars
+    FROM e GROUP BY host
+    """,
+)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl ingestion (streaming/warc_sink.py, r6): the corpus
+    arrives as .warc.gz chunks in 5 deterministic micro-batches; each
+    batch is container-walked (gunzip → WARC record → HTTP de-chunk),
+    markup-stripped, appended to the docs table, and FOLDED into
+    per-host merge-on-write aggregates — docs and hosts committed
+    together in one atomic state swap per batch, hwm-guarded against
+    foreachBatch retries (the aggregates are additive, so a replayed
+    batch would double-count without the guard; that guard is what the
+    hash check proves). The final hosts table must equal the batch-mode
+    SQL over the text layer regardless of batching."""
+    import tempfile
+
+    from hive_udf_spark.operators.warc import warc_page_encoder_udf
+    from hive_udf_spark.streaming.warc_sink import incremental_warc_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = warc_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX, n_hosts=7)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(5):
+            blobs.filter(F.col("doc_id") % 5 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("doc_id bigint, blob binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = incremental_warc_ingest_sink(stream, f"{tmp}/state", f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(f"{tmp}/state/hosts").localCheckpoint(eager=True)
+    return out

@@ -109,3 +109,79 @@ def test_warc_records_table_through_spark(spark):
     assert rows[1].warc_type == "metadata"
     assert rows[1].http_status is None
     assert bytes(rows[1].body) == b"key: value"
+
+
+def test_streaming_warc_ingest_sink_stream_equals_batch(spark, tmp_path):
+    """5-batch streamed ingestion ends at exactly the batch-mode state;
+    a manual replay of a committed batch is hwm-skipped (additive
+    aggregates stay exactly-once)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.warc import (
+        warc_page_encoder_udf,
+        warc_records_table,
+    )
+    from hive_udf_spark.streaming.warc_sink import incremental_warc_ingest_sink
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} & some <text> here") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    enc = warc_page_encoder_udf("<html><body><p>", "</p></body></html>", n_hosts=3)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    src = str(tmp_path / "src")
+    for b in range(5):
+        blobs.filter(F.col("doc_id") % 5 == b).coalesce(1).write.parquet(f"{src}/b{b}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    state = str(tmp_path / "state")
+    q = incremental_warc_ingest_sink(stream, state, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_docs = spark.read.parquet(f"{state}/docs")
+    assert got_docs.count() == 40
+    # batch-mode equivalent
+    ext = html_to_text(F.decode("body", "UTF-8"))
+    batch = (
+        warc_records_table(blobs)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+            F.length(ext).cast("long").alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    want = {r.host: (r.n_docs, r.total_chars) for r in batch.collect()}
+    got = {
+        r.host: (r.n_docs, r.total_chars)
+        for r in spark.read.parquet(f"{state}/hosts").collect()
+    }
+    assert got == want
+    hwm = json.load(open(f"{state}/meta.json"))
+    assert hwm["last_batch"] == 4
+    # restart on the same checkpoint: nothing new to process, and any
+    # replayed batch is hwm-skipped — additive counts must not move
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q2 = incremental_warc_ingest_sink(stream2, state, str(tmp_path / "ckpt"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {
+        r.host: (r.n_docs, r.total_chars)
+        for r in spark.read.parquet(f"{state}/hosts").collect()
+    }
+    assert got2 == want

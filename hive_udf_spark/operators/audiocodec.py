@@ -31,6 +31,8 @@ import struct as _struct
 
 import numpy as np
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = [
     "decode_wav",
     "encode_wav_pcm",
@@ -60,6 +62,7 @@ def _chunks(b: bytes):
         pos = payload + size + (size & 1)  # chunks are word-aligned
 
 
+@untrusted_decoder
 def wav_info(b: bytes) -> dict:
     """Parsed fmt header: {audio_format, n_channels, sample_rate,
     bits_per_sample, n_samples} (n_samples = per-channel frame count)."""
@@ -264,6 +267,7 @@ def _ima_encode_block(x: list[int], index: int) -> tuple[bytes, int]:
     return bytes(out), index
 
 
+@untrusted_decoder
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """→ (samples int32 array of shape (n_frames, n_channels), rate).
 

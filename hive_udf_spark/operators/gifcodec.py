@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = ["decode_gif_gray", "split_gif_frames", "encode_gif"]
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -225,12 +227,14 @@ def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
         disposal = 0
 
 
+@untrusted_decoder
 def decode_gif_gray(b: bytes) -> np.ndarray:
     """First composited frame of a GIF as a (h, w) uint8 gray array."""
     _, _, frames = _parse_frames(b)
     return frames[0]
 
 
+@untrusted_decoder
 def split_gif_frames(b: bytes) -> list[bytes]:
     """Animated-GIF container surface: each COMPOSITED frame re-encoded
     as a canonical binary PGM blob — individually decodable by

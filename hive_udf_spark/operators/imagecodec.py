@@ -38,6 +38,8 @@ import re
 
 import numpy as np
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = [
     "decode_to_gray",
     "supported_magic",
@@ -101,6 +103,7 @@ def _decode_netpbm(b: bytes) -> np.ndarray:
     return _gray_601(data.reshape(h, w, 3))
 
 
+@untrusted_decoder
 def split_netpbm_frames(b: bytes) -> list[bytes]:
     """Parse a concatenated-netpbm container (consecutive P5/P6 images —
     the netpbm "animation" convention, the raw-stream analogue of MJPEG)
@@ -327,6 +330,7 @@ def _decode_png(b: bytes) -> np.ndarray:
     return _gray_601(rec.reshape(h, w, 4)[..., :3])  # RGBA: alpha ignored
 
 
+@untrusted_decoder
 def decode_to_gray(b: bytes) -> np.ndarray:
     """Decode a supported blob to a 2-D uint8 grayscale array.
 
@@ -500,6 +504,7 @@ def _riff_subchunks(b: bytes, pos: int, end: int):
         pos = payload + size + (size & 1)
 
 
+@untrusted_decoder
 def split_avi_frames(b: bytes) -> list[bytes]:
     """Parse a RIFF-AVI container into its per-frame video blobs.
 
@@ -592,6 +597,7 @@ def encode_avi(frames: list[bytes], fps: int = 25) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+@untrusted_decoder
 def split_container_frames(b: bytes) -> list[bytes]:
     """Format-dispatching frame extraction: RIFF-AVI (``split_avi_frames``),
     animated GIF (``gifcodec.split_gif_frames`` — composited frames as

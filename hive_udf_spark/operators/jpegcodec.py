@@ -38,6 +38,8 @@ import struct
 
 import numpy as np
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = ["decode_jpeg_gray", "encode_jpeg"]
 
 
@@ -277,6 +279,7 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@untrusted_decoder
 def decode_jpeg_gray(b: bytes) -> np.ndarray:
     """Decode a baseline JFIF/JPEG stream to its (h, w) uint8 LUMA plane.
 

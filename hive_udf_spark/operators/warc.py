@@ -33,6 +33,8 @@ import zlib
 import numpy as np  # noqa: F401  (kept for parity with sibling codecs)
 import pandas as pd
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = [
     "split_warc_records",
     "http_response_body",
@@ -105,6 +107,7 @@ def _parse_one_record(b: bytes, pos: int) -> tuple[dict, int]:
     )
 
 
+@untrusted_decoder
 def split_warc_records(b: bytes) -> list[dict]:
     """Parse a WARC blob (plain, per-record-gzip, or a mix) into records.
 
@@ -137,6 +140,7 @@ def split_warc_records(b: bytes) -> list[dict]:
     return records
 
 
+@untrusted_decoder
 def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
     """Parse an HTTP response message: returns (status_code, headers
     lower-cased, body bytes). Honors Content-Length and chunked

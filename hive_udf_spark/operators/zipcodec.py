@@ -27,6 +27,8 @@ import zlib
 
 import pandas as pd
 
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
 __all__ = ["split_zip_entries", "encode_zip", "zip_entries_table", "zip_doc_encoder_udf"]
 
 _EOCD_MAGIC = b"PK\x05\x06"
@@ -34,6 +36,7 @@ _CDIR_MAGIC = b"PK\x01\x02"
 _LOCAL_MAGIC = b"PK\x03\x04"
 
 
+@untrusted_decoder
 def split_zip_entries(b: bytes) -> list[tuple[str, bytes]]:
     """Parse a ZIP archive into ordered (name, data) entries via the
     central directory, CRC-validating every payload."""

@@ -1,0 +1,114 @@
+"""Decoder-boundary fuzzing: every vendored decoder, fed arbitrary or
+corrupted bytes, must either succeed or raise ValueError — never leak
+struct.error / IndexError / zlib.error etc. These decoders run inside
+executor tasks over untrusted corpus bytes at 100 TB; a mechanical
+exception type would surface as an engine bug instead of a routable
+bad-blob signal (operators/_codec_util.untrusted_decoder is the
+boundary under test)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_udf_spark.operators.audiocodec import decode_wav, wav_info
+from hive_udf_spark.operators.gifcodec import decode_gif_gray, split_gif_frames
+from hive_udf_spark.operators.imagecodec import (
+    decode_to_gray,
+    split_container_frames,
+)
+from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
+from hive_udf_spark.operators.warc import http_response_body, split_warc_records
+from hive_udf_spark.operators.zipcodec import split_zip_entries
+
+DECODERS = [
+    decode_to_gray,
+    decode_jpeg_gray,
+    decode_gif_gray,
+    split_gif_frames,
+    split_container_frames,
+    wav_info,
+    decode_wav,
+    split_zip_entries,
+    split_warc_records,
+    http_response_body,
+]
+
+
+def _seed_blobs() -> list[bytes]:
+    """Valid blobs of every vendored format, used as mutation bases."""
+    from hive_udf_spark.operators.audiocodec import (
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+        encode_wav_pcm,
+    )
+    from hive_udf_spark.operators.gifcodec import encode_gif
+    from hive_udf_spark.operators.imagecodec import (
+        encode_avi,
+        encode_bmp24,
+        encode_pgm,
+        encode_png,
+    )
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg
+    from hive_udf_spark.operators.warc import encode_http_response, encode_warc
+    from hive_udf_spark.operators.zipcodec import encode_zip
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    http = encode_http_response(b"<p>x</p>", chunked=True, chunk_size=3)
+    return [
+        encode_pgm(g),
+        encode_bmp24(rgb),
+        encode_png(g, filter_type=4),
+        encode_jpeg(g, quality=90),
+        encode_gif(g, interlace=True),
+        encode_avi([encode_pgm(g)] * 2),
+        encode_wav_pcm(rng.integers(-1000, 1000, 64), bits=16),
+        encode_wav_g711(bytes(range(64)), "ulaw"),
+        encode_wav_ima_adpcm(np.repeat(rng.integers(-99, 99, 8) * 50, 9), block_align=8),
+        encode_zip([("a", b"xyz" * 40, 8), ("b", b"s", 0)]),
+        encode_warc([{"headers": {}, "payload": http}], gzip_records=True),
+    ]
+
+
+SEEDS = _seed_blobs()
+
+
+@pytest.mark.parametrize("decoder", DECODERS, ids=lambda f: f.__name__)
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_decoder_never_leaks_mechanical_exceptions(decoder, data):
+    mode = data.draw(st.sampled_from(["random", "truncate", "flip", "splice"]))
+    if mode == "random":
+        blob = data.draw(st.binary(min_size=0, max_size=200))
+    else:
+        base = bytearray(data.draw(st.sampled_from(SEEDS)))
+        if mode == "truncate":
+            cut = data.draw(st.integers(0, len(base)))
+            blob = bytes(base[:cut])
+        elif mode == "flip":
+            for _ in range(data.draw(st.integers(1, 8))):
+                i = data.draw(st.integers(0, len(base) - 1))
+                base[i] ^= data.draw(st.integers(1, 255))
+            blob = bytes(base)
+        else:  # splice random junk into the middle
+            i = data.draw(st.integers(0, len(base)))
+            junk = data.draw(st.binary(min_size=1, max_size=32))
+            blob = bytes(base[:i]) + junk + bytes(base[i:])
+    try:
+        decoder(blob)
+    except ValueError:
+        pass  # the contract: malformed input is a ValueError
+
+
+def test_guard_preserves_deliberate_errors_and_causes():
+    with pytest.raises(ValueError, match="unsupported image magic"):
+        decode_to_gray(b"\x00\x01\x02")
+    # a mechanical failure is converted, with the original as __cause__
+    try:
+        split_zip_entries(b"PK\x05\x06" + b"\x00" * 10)  # EOCD too short
+    except ValueError as exc:
+        assert exc.__cause__ is not None or "truncated" in str(exc)

@@ -40,6 +40,10 @@ BLOB_META_SCHEMA = "struct<mime:string,width:int,height:int,n_frames:int>"
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, byte_entropy double"
 )
+IMAGE_FEATURES_QUARANTINE_SCHEMA = (
+    "doc_id bigint, ok boolean, n_bytes bigint, mean_byte double, "
+    "max_byte int, byte_entropy double, decode_error string"
+)
 
 
 def attach_blob_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -264,7 +268,9 @@ def _decode_gray(b: bytes) -> np.ndarray:
         return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
-def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image_features(
+    blobs: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Per-blob feature extraction via mapInPandas (Arrow batch iterator).
 
     fake=True: deterministic byte-level statistics over the raw blob —
@@ -276,7 +282,19 @@ def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     plumbing; the real path runs dependency-free in this container via
     the vendored codec (tests/test_multimodal.py real-codec tests +
     the ``multimodal_real_decode`` registry query).
+
+    ``on_error``: ``"raise"`` (default) fails the task on a malformed
+    blob; ``"quarantine"`` emits the row with NULL stats, ``ok = false``,
+    and the decoder's message in ``decode_error`` instead — the corrupt-
+    record-quarantine discipline (sources/text_files) applied to blobs.
+    At 100 TB some blobs WILL be corrupt; one bad byte range must not
+    kill a 1000-executor job, and the quarantined rows are the repair
+    worklist. Only ``ValueError`` (the decoders' malformed-input
+    contract, operators/_codec_util) is quarantined — real bugs still
+    raise.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fake:
@@ -287,18 +305,46 @@ def decode_image_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
                 return _decode_gray(b).ravel()
 
         for pdf in batches:
-            feats = [_byte_stats(to_array(b)) for b in pdf["blob"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": [f[0] for f in feats],
-                    "mean_byte": [f[1] for f in feats],
-                    "max_byte": [f[2] for f in feats],
-                    "byte_entropy": [f[3] for f in feats],
-                }
-            )
+            if on_error == "raise":
+                feats = [_byte_stats(to_array(b)) for b in pdf["blob"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": [f[0] for f in feats],
+                        "mean_byte": [f[1] for f in feats],
+                        "max_byte": [f[2] for f in feats],
+                        "byte_entropy": [f[3] for f in feats],
+                    }
+                )
+                continue
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "ok", "n_bytes", "mean_byte", "max_byte",
+                    "byte_entropy", "decode_error",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    n, mean, mx, ent = _byte_stats(to_array(b))
+                    vals = (True, n, mean, mx, ent, None)
+                except ValueError as exc:
+                    vals = (False, None, None, None, None, str(exc))
+                rows["doc_id"].append(int(doc_id))
+                for k, v in zip(
+                    ("ok", "n_bytes", "mean_byte", "max_byte", "byte_entropy",
+                     "decode_error"),
+                    vals,
+                ):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+    schema = (
+        IMAGE_FEATURES_QUARANTINE_SCHEMA
+        if on_error == "quarantine"
+        else IMAGE_FEATURES_SCHEMA
+    )
+    return blobs.mapInPandas(extract, schema=schema)
 
 
 def sample_frames(blobs: DataFrame, every_nth: int = 1) -> DataFrame:

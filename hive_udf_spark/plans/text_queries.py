@@ -515,6 +515,59 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           (doc_id % 7 != 0) AS ok,
+           CASE WHEN doc_id % 7 != 0 THEN CAST(64 AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 7 != 0 THEN list_sum(cps) / 64.0 END AS mean_byte,
+           CASE WHEN doc_id % 7 != 0 THEN CAST(list_max(cps) AS INT) END AS max_byte
+    FROM b
+    """,
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob quarantine end-to-end (r6): every 7th document's PNG
+    blob is deterministically truncated (its IEND chunk cut off), and
+    ``decode_image_features(on_error="quarantine")`` routes those rows to
+    (ok=false, NULL stats, decode_error) instead of failing the task —
+    the corrupt-record-quarantine discipline applied to binary columns.
+    At 100 TB some blobs WILL be corrupt; this is the difference between
+    a repair worklist and a dead 1000-executor job. The oracle predicts
+    exactly which rows quarantine (the corruption is keyed on doc_id)
+    and the surviving rows' pixel stats; decode_error TEXT is not
+    compared (messages are implementation detail — the boolean is the
+    contract)."""
+    from hive_udf_spark.operators.multimodal import png_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = png_encoder_udf(8, 8, filter_type=4)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("__b"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.expr("substring(__b, 1, length(__b) - 12)"),
+            )
+            .otherwise(F.col("__b"))
+            .alias("blob"),
+        )
+    )
+    feats = decode_image_features(blobs, fake=False, on_error="quarantine")
+    return feats.select("doc_id", "ok", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH t AS (

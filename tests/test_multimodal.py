@@ -930,3 +930,41 @@ def test_g711_through_spark(spark):
     assert r.n_samples == 128
     assert r.mean_amp == int(x.sum(dtype=np.int64)) / 128
     assert r.max_abs == int(np.abs(x).max())
+
+
+def test_decode_quarantine_routes_bad_blobs(spark):
+    """on_error='quarantine': malformed blobs become (ok=false, NULLs,
+    decode_error) rows; good blobs keep exact stats; real bugs (non-
+    ValueError) still raise; on_error='raise' keeps the failing
+    behavior."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from hive_udf_spark.operators.imagecodec import encode_png
+    from hive_udf_spark.operators.multimodal import decode_image_features
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_png(g, filter_type=2)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:-12])),  # IEND cut off
+        (3, bytearray(b"\x89PNG\r\n\x1a\njunk")),  # header only
+        (4, bytearray(good)),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {
+        r.doc_id: r
+        for r in decode_image_features(blobs, fake=False, on_error="quarantine").collect()
+    }
+    assert out[1].ok and out[4].ok
+    assert out[1].n_bytes == 64 and out[1].max_byte == 63
+    for bad in (2, 3):
+        assert not out[bad].ok
+        assert out[bad].n_bytes is None and out[bad].mean_byte is None
+        assert out[bad].decode_error  # message captured for the worklist
+    # default mode still fails the job on the same input
+    with _pytest.raises(PythonException, match="ValueError"):
+        decode_image_features(blobs, fake=False).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        decode_image_features(blobs, fake=False, on_error="skip")

@@ -298,12 +298,21 @@ WARC_RECORDS_SCHEMA = (
 )
 
 
-def warc_records_table(blobs):
+WARC_RECORDS_QUARANTINE_SCHEMA = WARC_RECORDS_SCHEMA + ", decode_error string"
+
+
+def warc_records_table(blobs, on_error: str = "raise"):
     """(doc_id, blob) → one row per WARC record via mapInPandas:
     (doc_id, record_idx, warc_type, target_uri, http_status,
     content_type, body). Response records get their HTTP layer parsed
     (status/headers/de-chunking); non-response records pass their raw
     payload through with NULL status.
+
+    ``on_error="quarantine"``: a malformed crawl chunk (any ValueError
+    from the container/HTTP walk) becomes ONE row with record_idx = -1,
+    NULL fields, and the message in ``decode_error`` — whole-chunk
+    quarantine, since a mid-stream parse failure poisons every later
+    offset in the chunk. Good chunks carry decode_error = NULL.
 
     At 100 TB: map-side record extraction (the crawl chunk never
     crosses a shuffle); downstream text extraction operates on bodies,
@@ -311,30 +320,52 @@ def warc_records_table(blobs):
     """
     from collections.abc import Iterator
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    cols = [
+        "doc_id", "record_idx", "warc_type", "target_uri",
+        "http_status", "content_type", "body",
+    ] + (["decode_error"] if quarantine else [])
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id", "record_idx", "warc_type", "target_uri",
-                    "http_status", "content_type", "body",
-                )
-            }
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(**kv) -> None:
+                for k in cols:
+                    rows[k].append(kv.get(k))
+
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                for i, rec in enumerate(split_warc_records(bytes(blob))):
-                    lower = {k.lower(): v for k, v in rec["headers"].items()}
-                    wtype = lower.get("warc-type", "")
-                    status, ctype, body = None, None, rec["payload"]
-                    if wtype == "response":
-                        st, hh, body = http_response_body(rec["payload"])
-                        status, ctype = st, hh.get("content-type")
-                    rows["doc_id"].append(int(doc_id))
-                    rows["record_idx"].append(i)
-                    rows["warc_type"].append(wtype)
-                    rows["target_uri"].append(lower.get("warc-target-uri"))
-                    rows["http_status"].append(status)
-                    rows["content_type"].append(ctype)
-                    rows["body"].append(body)
+                try:
+                    recs = split_warc_records(bytes(blob))
+                    parsed = []
+                    for i, rec in enumerate(recs):
+                        lower = {k.lower(): v for k, v in rec["headers"].items()}
+                        wtype = lower.get("warc-type", "")
+                        status, ctype, body = None, None, rec["payload"]
+                        if wtype == "response":
+                            st, hh, body = http_response_body(rec["payload"])
+                            status, ctype = st, hh.get("content-type")
+                        parsed.append(
+                            dict(
+                                doc_id=int(doc_id),
+                                record_idx=i,
+                                warc_type=wtype,
+                                target_uri=lower.get("warc-target-uri"),
+                                http_status=status,
+                                content_type=ctype,
+                                body=body,
+                            )
+                        )
+                except ValueError as exc:
+                    if not quarantine:
+                        raise
+                    emit(doc_id=int(doc_id), record_idx=-1, decode_error=str(exc))
+                    continue
+                for kv in parsed:
+                    emit(**kv)
             yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(extract, schema=WARC_RECORDS_SCHEMA)
+    schema = WARC_RECORDS_QUARANTINE_SCHEMA if quarantine else WARC_RECORDS_SCHEMA
+    return blobs.mapInPandas(extract, schema=schema)

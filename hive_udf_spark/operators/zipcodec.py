@@ -99,33 +99,59 @@ def split_zip_entries(b: bytes) -> list[tuple[str, bytes]]:
 ZIP_ENTRIES_SCHEMA = (
     "doc_id bigint, entry_idx int, name string, n_bytes bigint, byte_sum bigint"
 )
+ZIP_ENTRIES_QUARANTINE_SCHEMA = ZIP_ENTRIES_SCHEMA + ", decode_error string"
 
 
-def zip_entries_table(blobs):
+def zip_entries_table(blobs, on_error: str = "raise"):
     """(doc_id, blob) → one row per archive entry via mapInPandas:
     (doc_id, entry_idx, name, n_bytes, byte_sum) — integer-exact stats
     over the CRC-validated extracted bytes. Map-side only: archives
-    never cross a shuffle."""
+    never cross a shuffle.
+
+    ``on_error="quarantine"``: a malformed archive becomes ONE row with
+    entry_idx = -1 and the message in ``decode_error`` (whole-archive
+    quarantine — a corrupt central directory invalidates every entry
+    offset); good archives carry decode_error = NULL."""
     from collections.abc import Iterator
 
     import numpy as np
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    cols = ["doc_id", "entry_idx", "name", "n_bytes", "byte_sum"] + (
+        ["decode_error"] if quarantine else []
+    )
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, list] = {
-                k: [] for k in ("doc_id", "entry_idx", "name", "n_bytes", "byte_sum")
-            }
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(**kv) -> None:
+                for k in cols:
+                    rows[k].append(kv.get(k))
+
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                for i, (name, data) in enumerate(split_zip_entries(bytes(blob))):
+                try:
+                    entries = split_zip_entries(bytes(blob))
+                except ValueError as exc:
+                    if not quarantine:
+                        raise
+                    emit(doc_id=int(doc_id), entry_idx=-1, decode_error=str(exc))
+                    continue
+                for i, (name, data) in enumerate(entries):
                     arr = np.frombuffer(data, dtype=np.uint8)
-                    rows["doc_id"].append(int(doc_id))
-                    rows["entry_idx"].append(i)
-                    rows["name"].append(name)
-                    rows["n_bytes"].append(len(data))
-                    rows["byte_sum"].append(int(arr.sum(dtype=np.int64)))
+                    emit(
+                        doc_id=int(doc_id),
+                        entry_idx=i,
+                        name=name,
+                        n_bytes=len(data),
+                        byte_sum=int(arr.sum(dtype=np.int64)),
+                    )
             yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(extract, schema=ZIP_ENTRIES_SCHEMA)
+    schema = ZIP_ENTRIES_QUARANTINE_SCHEMA if quarantine else ZIP_ENTRIES_SCHEMA
+    return blobs.mapInPandas(extract, schema=schema)
 
 
 def zip_doc_encoder_udf():

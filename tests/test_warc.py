@@ -185,3 +185,26 @@ def test_streaming_warc_ingest_sink_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/hosts").collect()
     }
     assert got2 == want
+
+
+def test_warc_records_table_quarantine(spark):
+    from hive_udf_spark.operators.warc import warc_records_table
+
+    http = encode_http_response(HTML)
+    good = encode_warc([{"headers": {"WARC-Target-URI": "http://x.test/a"}, "payload": http}])
+    rows = [(1, bytearray(good)), (2, bytearray(good[:-6])), (3, bytearray(b"junk"))]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {
+        (r.doc_id, r.record_idx): r
+        for r in warc_records_table(blobs, on_error="quarantine").collect()
+    }
+    assert out[(1, 0)].warc_type == "response" and out[(1, 0)].decode_error is None
+    for bad in (2, 3):
+        r = out[(bad, -1)]
+        assert r.warc_type is None and r.decode_error
+    # default mode still raises on the same input
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="ValueError"):
+        warc_records_table(blobs).collect()

@@ -71,3 +71,21 @@ def test_zip_entries_table_through_spark(spark):
     assert rows[0].name == "doc.txt" and rows[0].n_bytes == 4
     assert rows[0].byte_sum == sum(b"abcd")
     assert rows[1].name == "m.txt" and rows[1].byte_sum == sum(b"id=9")
+
+
+def test_zip_entries_table_quarantine(spark):
+    from hive_udf_spark.operators.zipcodec import zip_entries_table
+
+    good = encode_zip([("doc.txt", b"abcd", 8)])
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # CRC mismatch
+    rows = [(1, bytearray(good)), (2, bad), (3, bytearray(b"PKjunk"))]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {
+        (r.doc_id, r.entry_idx): r
+        for r in zip_entries_table(blobs, on_error="quarantine").collect()
+    }
+    assert out[(1, 0)].name == "doc.txt" and out[(1, 0)].decode_error is None
+    for b in (2, 3):
+        r = out[(b, -1)]
+        assert r.name is None and r.decode_error

@@ -50,20 +50,27 @@ def _split_gzip_members(b: bytes) -> list[bytes]:
     """Decompress a concatenation of gzip members into per-member
     payloads (the WARC-gz convention: one record per member)."""
     out: list[bytes] = []
-    pos = 0
+    view = memoryview(b)  # O(1) views; and members are fed in bounded
+    pos = 0  # chunks — handing decompressobj the whole suffix would make
+    # BOTH the input slice and its unused_data echo O(n) copies per
+    # member (quadratic bytes over a many-record chunk)
+    chunk = 1 << 16
     while pos < len(b):
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        start = pos
+        parts: list[bytes] = []
         try:
-            data = d.decompress(b[pos:])
+            while not d.eof:
+                if pos >= len(b):
+                    raise ValueError(f"gzip member at byte {start} truncated")
+                piece = view[pos : pos + chunk]
+                parts.append(d.decompress(piece))
+                pos += len(piece) - len(d.unused_data)
         except zlib.error as exc:
-            raise ValueError(f"gzip member at byte {pos} corrupt: {exc}") from exc
-        if not d.eof:
-            raise ValueError(f"gzip member at byte {pos} truncated")
-        out.append(data)
-        consumed = len(b) - pos - len(d.unused_data)
-        if consumed <= 0:  # pragma: no cover - defensive
+            raise ValueError(f"gzip member at byte {start} corrupt: {exc}") from exc
+        if pos <= start:  # pragma: no cover - defensive
             raise ValueError("gzip member consumed no bytes")
-        pos += consumed
+        out.append(b"".join(parts))
     return out
 
 

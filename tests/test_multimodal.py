@@ -329,7 +329,7 @@ def test_wav_codec_roundtrip_unit():
         decode_wav(b16[:-3])
     nonpcm = bytearray(b16)
     struct.pack_into("<H", nonpcm, 20, 3)  # audio_format = IEEE float
-    with _pytest.raises(ValueError, match="only PCM"):
+    with _pytest.raises(ValueError, match="unsupported WAV audio format"):
         decode_wav(bytes(nonpcm))
 
 

@@ -606,6 +606,10 @@ def split_container_frames(b: bytes) -> list[bytes]:
     silent fallback."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return split_avi_frames(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from hive_udf_spark.operators.mp4codec import split_mp4_frames
+
+        return split_mp4_frames(b)
     if b[:4] == b"GIF8":
         from hive_udf_spark.operators.gifcodec import split_gif_frames
 
@@ -613,6 +617,6 @@ def split_container_frames(b: bytes) -> list[bytes]:
     if b[:2] in (b"P5", b"P6"):
         return split_netpbm_frames(b)
     raise ValueError(
-        "unsupported container format (vendored: RIFF-AVI, animated GIF, "
-        "concatenated netpbm)"
+        "unsupported container format (vendored: RIFF-AVI, ISO-BMFF/MP4, "
+        "animated GIF, concatenated netpbm)"
     )

@@ -1,0 +1,247 @@
+"""Vendored MP4 / ISO Base Media File Format (ISO 14496-12) reader.
+
+The last of the "real corpora arrive as JPEG/PNG/MP4" trio: a genuine
+box walk — nested size/fourcc boxes (64-bit ``largesize`` and
+to-end-of-file sizes included), ``moov → trak → mdia → minf → stbl``
+descent selecting the first VIDEO track by its ``hdlr`` handler, and
+frame extents reconstructed the way real demuxers do it: ``stsc``
+(sample-to-chunk runs) × ``stco``/``co64`` (chunk offsets) × ``stsz``
+(sample sizes) resolve every sample to an absolute byte range in
+``mdat``. No offset guessing; every table inconsistency raises.
+
+Codec model: samples are returned as opaque per-frame blobs. Under the
+Motion-JPEG-in-MP4 convention (``jpeg`` sample entry) each sample is an
+independent baseline JPEG decodable by ``jpegcodec.decode_jpeg_gray``
+via the standard magic dispatch — the same composition as MJPEG-in-AVI.
+Inter-coded codecs (avc1/hev1) are NOT decodable here and their sample
+entries raise at decode time, not at demux time (the box walk is codec
+agnostic, like a real demuxer).
+
+``encode_mp4_mjpeg`` is the fixture twin: a minimal-but-valid ISO-BMFF
+file (ftyp / mdat / moov with full sample tables, one chunk) that
+stdlib-free tools and this parser agree on.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated multimodal-columns extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
+__all__ = ["split_mp4_frames", "encode_mp4_mjpeg"]
+
+
+def _boxes(b: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for boxes in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        fourcc = b[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:  # 64-bit largesize
+            if payload + 8 > end:
+                raise ValueError(f"MP4 box {fourcc!r}: truncated largesize")
+            (size,) = struct.unpack_from(">Q", b, payload)
+            payload += 8
+            box_end = pos + size
+        elif size == 0:  # to end of enclosing scope
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < payload or box_end > end:
+            raise ValueError(f"MP4 box {fourcc!r}: size {size} exceeds extent")
+        yield fourcc, payload, box_end
+        pos = box_end
+
+
+def _find(b: bytes, pos: int, end: int, fourcc: bytes):
+    for fc, p, e in _boxes(b, pos, end):
+        if fc == fourcc:
+            return p, e
+    return None
+
+
+def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[int], list[tuple[int, int]]]:
+    """Returns (sample_entry_fourcc, sample_sizes, chunk_offsets,
+    stsc runs [(first_chunk, samples_per_chunk)])."""
+    entry_fourcc = None
+    sizes: list[int] | None = None
+    offsets: list[int] | None = None
+    stsc: list[tuple[int, int]] | None = None
+    for fc, p, e in _boxes(b, pos, end):
+        if fc == b"stsd":
+            (count,) = struct.unpack_from(">I", b, p + 4)
+            if count < 1:
+                raise ValueError("MP4 stsd: no sample entries")
+            entry_fourcc = b[p + 12 : p + 16]
+        elif fc == b"stsz":
+            sample_size, count = struct.unpack_from(">II", b, p + 4)
+            if sample_size:
+                sizes = [sample_size] * count
+            else:
+                if p + 12 + 4 * count > e:
+                    raise ValueError("MP4 stsz: size table truncated")
+                sizes = list(struct.unpack_from(f">{count}I", b, p + 12))
+        elif fc in (b"stco", b"co64"):
+            (count,) = struct.unpack_from(">I", b, p + 4)
+            w, f = (4, "I") if fc == b"stco" else (8, "Q")
+            if p + 8 + w * count > e:
+                raise ValueError(f"MP4 {fc.decode()} table truncated")
+            offsets = list(struct.unpack_from(f">{count}{f}", b, p + 8))
+        elif fc == b"stsc":
+            (count,) = struct.unpack_from(">I", b, p + 4)
+            if p + 8 + 12 * count > e:
+                raise ValueError("MP4 stsc table truncated")
+            stsc = [
+                struct.unpack_from(">II", b, p + 8 + 12 * i)  # drop desc index
+                for i in range(count)
+            ]
+    if entry_fourcc is None or sizes is None or offsets is None or stsc is None:
+        raise ValueError("MP4 stbl missing one of stsd/stsz/stco/stsc")
+    return entry_fourcc, sizes, offsets, stsc
+
+
+def _video_stbl(b: bytes, moov_p: int, moov_e: int):
+    """First trak whose hdlr handler is 'vide' → its stbl extents."""
+    for fc, p, e in _boxes(b, moov_p, moov_e):
+        if fc != b"trak":
+            continue
+        mdia = _find(b, p, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(b, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(b, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            raise ValueError("MP4 video trak missing minf")
+        stbl = _find(b, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 video trak missing stbl")
+        return stbl
+    raise ValueError("MP4 has no video track (hdlr 'vide')")
+
+
+@untrusted_decoder
+def split_mp4_frames(b: bytes) -> list[bytes]:
+    """Demux an ISO-BMFF/MP4 blob into its video samples (one blob per
+    frame), resolved through the real sample tables. Samples are opaque
+    — under Motion-JPEG-in-MP4 each is an independent JPEG for the
+    magic dispatch."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 blob (missing ftyp)")
+    moov = _find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    stbl = _video_stbl(b, moov[0], moov[1])
+    _entry, sizes, chunk_offsets, stsc = _parse_stbl(b, stbl[0], stbl[1])
+    # expand stsc runs: samples-per-chunk for each chunk index (1-based)
+    n_chunks = len(chunk_offsets)
+    spc = [0] * n_chunks
+    for i, (first, per) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        if not 1 <= first <= n_chunks or last < first:
+            raise ValueError("MP4 stsc: chunk run out of range")
+        for c in range(first - 1, last):
+            spc[c] = per
+    if sum(spc) != len(sizes):
+        raise ValueError(
+            f"MP4 sample tables disagree: stsc maps {sum(spc)} samples, "
+            f"stsz lists {len(sizes)}"
+        )
+    frames: list[bytes] = []
+    si = 0
+    for c, off in enumerate(chunk_offsets):
+        pos = off
+        for _ in range(spc[c]):
+            size = sizes[si]
+            if pos + size > len(b):
+                raise ValueError(f"MP4 sample {si} extends past end of file")
+            frames.append(b[pos : pos + size])
+            pos += size
+            si += 1
+    if not frames:
+        raise ValueError("MP4 video track has no samples")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Assemble JPEG stills into a minimal valid Motion-JPEG MP4:
+    ftyp / mdat (concatenated samples, one chunk) / moov with real
+    mvhd/tkhd/mdhd/hdlr/vmhd/dinf/stbl sample tables."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    first_sample_off = len(ftyp) + 8  # mdat header is 8 bytes
+
+    n = len(frames)
+    timescale = fps
+    duration = n
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x10000, 0x0100)  # rate, volume
+        + b"\x00" * 10 + matrix + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    sample_entry = (
+        struct.pack(">I", 86)  # VisualSampleEntry size for 'jpeg'
+        + b"jpeg"
+        + b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -126,6 +126,50 @@ def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
     return enc
 
 
+def mp4_mjpeg_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100):
+    """Arrow-batched MP4 fixture encoder: Motion-JPEG-in-MP4 — the same
+    constant-block JPEG frames as the AVI fixture, but inside a real
+    ISO-BMFF file (ftyp/mdat/moov with full stsd/stts/stsc/stsz/stco
+    sample tables). Feeds the production demux
+    (``mp4codec.split_mp4_frames`` — sample-table extent resolution) →
+    per-frame SOI dispatch → JPEG decode."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = n_blocks_side * n_blocks_side
+    side = n_blocks_side * 8
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import jpegcodec, mp4codec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * n:
+                raise ValueError(f"payload must be exactly {n_frames * n} ASCII chars")
+            frames = [
+                jpegcodec.encode_jpeg(
+                    np.repeat(
+                        np.repeat(
+                            a[f * n : (f + 1) * n].reshape(
+                                n_blocks_side, n_blocks_side
+                            ),
+                            8,
+                            axis=0,
+                        ),
+                        8,
+                        axis=1,
+                    ),
+                    quality=quality,
+                )
+                for f in range(n_frames)
+            ]
+            return mp4codec.encode_mp4_mjpeg(frames, side, side, fps=5)
+
+        return s.map(one)
+
+    return enc
+
+
 def mjpeg_avi_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100):
     """Arrow-batched MJPEG-AVI fixture encoder: a ``pandas_udf`` mapping a
     (n_frames·n²)-char ASCII payload to a REAL RIFF-AVI container whose

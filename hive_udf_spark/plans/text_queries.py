@@ -743,6 +743,56 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_mp4_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(4096 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF/MP4 demux end-to-end (r6, closing the JPEG/PNG/MP4 trio):
+    each document's first 192 chars become three constant-block JPEGs
+    inside a REAL MP4 (ftyp/mdat/moov, frame extents resolved through
+    the stsc × stco × stsz sample tables exactly as real demuxers do);
+    ``sample_container_frames`` dispatches on the ftyp magic, demuxes,
+    decodes every 2nd frame via SOI dispatch, and emits per-frame pixel
+    stats — the oracle is identical to the AVI/MJPEG query because the
+    container must not change the frames."""
+    from hive_udf_spark.operators.multimodal import (
+        mp4_mjpeg_encoder_udf,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = mp4_mjpeg_encoder_udf(3, 8, quality=100)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

@@ -1,0 +1,101 @@
+"""ISO-BMFF/MP4 demux (operators/mp4codec.py, r6)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray, encode_jpeg
+from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg, split_mp4_frames
+
+
+def _fixture(n=4, seed=1):
+    rng = np.random.default_rng(seed)
+    imgs, frames = [], []
+    for _ in range(n):
+        vals = rng.integers(0, 256, 64, dtype=np.uint8)
+        img = np.repeat(np.repeat(vals.reshape(8, 8), 8, 0), 8, 1)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, quality=100))
+    return imgs, frames
+
+
+def test_sample_table_roundtrip_and_decode():
+    imgs, frames = _fixture()
+    mp4 = encode_mp4_mjpeg(frames, 64, 64, fps=10)
+    got = split_mp4_frames(mp4)
+    assert got == frames  # byte-identical samples out of the tables
+    for im, f in zip(imgs, got):
+        assert np.array_equal(decode_jpeg_gray(f), im)
+
+
+def test_multi_chunk_stsc_resolution():
+    """Hand-patch the tables into TWO chunks with different
+    samples-per-chunk — the stsc run expansion must place every
+    sample."""
+    _, frames = _fixture(5)
+    mp4 = bytearray(encode_mp4_mjpeg(frames, 64, 64))
+    # original: one chunk of 5; rewrite stsc to runs [(chunk 1, 2/chunk),
+    # (chunk 2, 3/chunk)] and stco to two offsets (samples contiguous,
+    # so chunk 2 starts after the first two)
+    from hive_udf_spark.operators.mp4codec import _full  # type: ignore
+
+    i = bytes(mp4).index(b"stsc") - 4
+    stsc_old = bytes(mp4)[i : i + struct.unpack_from(">I", mp4, i)[0]]
+    # payload: count=2, (first=1, per=2, desc=1), (first=2, per=3, desc=1)
+    stsc_new = _full(b"stsc", 0, 0, struct.pack(">IIIIIII", 2, 1, 2, 1, 2, 3, 1))
+    j = bytes(mp4).index(b"stco") - 4
+    stco_old = bytes(mp4)[j : j + struct.unpack_from(">I", mp4, j)[0]]
+    (first_off,) = struct.unpack_from(">I", stco_old, 16)
+    second_off = first_off + len(frames[0]) + len(frames[1])
+    stco_new = _full(b"stco", 0, 0, struct.pack(">III", 2, first_off, second_off))
+    patched = bytes(mp4).replace(stsc_old, stsc_new).replace(stco_old, stco_new)
+    # fix enclosing box sizes: sizes grew by deltas
+    delta = (len(stsc_new) - len(stsc_old)) + (len(stco_new) - len(stco_old))
+    out = bytearray(patched)
+    for fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        k = out.index(fourcc) - 4
+        (sz,) = struct.unpack_from(">I", out, k)
+        struct.pack_into(">I", out, k, sz + delta)
+    got = split_mp4_frames(bytes(out))
+    assert got == frames
+
+
+def test_malformed_raises():
+    _, frames = _fixture(2)
+    mp4 = encode_mp4_mjpeg(frames, 64, 64)
+    with pytest.raises(ValueError, match="ftyp"):
+        split_mp4_frames(b"\x00\x00\x00\x08freeXXXX")
+    with pytest.raises(ValueError, match="moov|truncated|exceeds"):
+        split_mp4_frames(mp4[:40])
+    # stsz/stsc disagreement
+    bad = bytearray(mp4)
+    i = bytes(bad).index(b"stsz") - 4
+    struct.pack_into(">I", bad, i + 16, 99)  # claim 99 samples
+    with pytest.raises(ValueError, match="disagree|truncated"):
+        split_mp4_frames(bytes(bad))
+    # sample past EOF
+    bad2 = bytearray(mp4)
+    j = bytes(bad2).index(b"stco") - 4
+    struct.pack_into(">I", bad2, j + 16, len(mp4) - 3)
+    with pytest.raises(ValueError, match="past end"):
+        split_mp4_frames(bytes(bad2))
+
+
+def test_mp4_through_spark_frame_sampling(spark):
+    from hive_udf_spark.operators.multimodal import sample_container_frames
+
+    imgs, frames = _fixture(3, seed=7)
+    mp4 = encode_mp4_mjpeg(frames, 64, 64)
+    blobs = spark.createDataFrame([(1, bytearray(mp4))], "doc_id bigint, blob binary")
+    out = {
+        r.frame_idx: r
+        for r in sample_container_frames(blobs, every_nth=2, fake=False).collect()
+    }
+    assert sorted(out) == [0, 2]
+    for i in (0, 2):
+        assert out[i].n_frames == 3
+        assert out[i].n_pixels == 4096
+        assert out[i].mean_px == int(imgs[i].sum(dtype=np.int64)) / 4096

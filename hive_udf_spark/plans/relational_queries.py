@@ -1108,7 +1108,7 @@ def tpch_q11ish_important_part_values(spark: SparkSession, sf_dir: str) -> DataF
     SELECT base.user_id,
            s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
            coalesce(s3.t3 IS NOT NULL
-                    AND epoch(s3.t3)::BIGINT - epoch(s1.t1)::BIGINT <= 72 * 3600,
+                    AND CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 72 * 3600,
                     false) AS completed
     FROM base
       LEFT JOIN s1 USING (user_id)

@@ -303,8 +303,8 @@ def streaming_incremental_quantile_table(spark: SparkSession, sf_dir: str) -> Da
     WITH starts AS (
       SELECT event_type,
              unnest(generate_series(
-               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600 - 64800)::TIMESTAMP,
-               to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP,
+               to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 - 64800)::TIMESTAMP,
+               to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600)::TIMESTAMP,
                INTERVAL 6 HOUR)) AS window_start
       FROM events
     )
@@ -416,7 +416,7 @@ def streaming_incremental_cms_table(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT base.user_id,
            s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
            coalesce(s3.t3 IS NOT NULL
-                    AND epoch(s3.t3)::BIGINT - epoch(s1.t1)::BIGINT <= 72 * 3600,
+                    AND CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 72 * 3600,
                     false) AS completed
     FROM base
       LEFT JOIN s1 USING (user_id)

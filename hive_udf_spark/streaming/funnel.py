@@ -87,7 +87,13 @@ def streaming_funnel(
             prev = nxt
         completed = chain[k - 1] is not None
         if completed and within_hours is not None:
-            completed = (chain[k - 1] - chain[0]) <= within_hours * 3600 * 1_000_000
+            # floor-seconds, matching the batch funnel's ts.cast("long")
+            # (a us-exact comparison disagrees with it when fractional
+            # parts straddle the boundary — the hopping-window lesson)
+            completed = (
+                chain[k - 1] // 1_000_000 - chain[0] // 1_000_000
+                <= within_hours * 3600
+            )
         row = {user_col: [key[0]]}
         for i in range(k):
             row[f"step_{i + 1}_ts"] = [

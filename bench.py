@@ -425,7 +425,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         payload = F.rpad(F.substring("text", 1, 64), 64, " ")
         enc = png_encoder_udf(8, 8, filter_type=4)
-        blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        # repartition to the executor width: sf0.1 documents is ONE
+        # parquet file (2 splits) — at 100 TB the scan has thousands of
+        # splits, so 2-way parallelism would misrepresent the plan
+        blobs = docs.repartition(32).select("doc_id", payload.alias("__s")).filter(
             F.col("__s").rlike("^[\\x00-\\x7F]*$")
         ).select("doc_id", enc(F.col("__s")).alias("blob"))
         _force(decode_image_features(blobs, fake=False))
@@ -440,7 +443,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         payload = F.rpad(F.substring("text", 1, 64), 64, " ")
         enc = jpeg_block_encoder_udf(8, quality=100)
-        blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        blobs = docs.repartition(32).select("doc_id", payload.alias("__s")).filter(
             F.col("__s").rlike("^[\\x00-\\x7F]*$")
         ).select("doc_id", enc(F.col("__s")).alias("blob"))
         _force(decode_image_features(blobs, fake=False))

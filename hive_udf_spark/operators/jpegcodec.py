@@ -373,10 +373,9 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         raise ValueError("JPEG sampling factors beyond 1-2 not vendored")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for hi, vi in zip(hs, vs)
-    ]
+    # only the luma plane is materialized (chroma is entropy-decoded but
+    # never stored — output is the Y plane)
+    plane0 = np.zeros((mcuy * vs[0] * 8, mcux * hs[0] * 8), dtype=np.float64)
     for _, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError(f"JPEG quant table {tq} never defined")
@@ -385,6 +384,15 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     pred = [0] * len(comps)
     A = _DCT_A
     n_mcu = mcux * mcuy
+    # Two-phase decode: the entropy walk is inherently sequential (each
+    # Huffman code's length depends on the bits before it), but the
+    # dequantize→de-zigzag→IDCT of every block is not — LUMA blocks are
+    # collected as plain int lists and transformed in ONE vectorized
+    # einsum at the end (chroma blocks are entropy-decoded purely to
+    # keep the bitstream in sync and never stored: output is the Y
+    # plane). ~2× over per-block matmuls at fixture image sizes.
+    luma_zz: list[list[int]] = []
+    luma_pos: list[tuple[int, int]] = []
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             reader.align_to_marker()
@@ -401,10 +409,9 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
             act = htables.get((1, ac_id))
             if dct is None or act is None:
                 raise ValueError("JPEG scan uses an undefined Huffman table")
-            q = qtables[tq]
             for by in range(vi):
                 for bx in range(hi):
-                    zz = np.zeros(64, dtype=np.int64)
+                    zz = [0] * 64
                     size = reader.decode_symbol(dct)
                     if size > 11:
                         raise ValueError("JPEG DC category out of range")
@@ -425,15 +432,20 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                             raise ValueError("JPEG AC run past block end")
                         zz[k] = _extend(reader.receive(s), s)
                         k += 1
-                    coeffs = np.zeros(64, dtype=np.float64)
-                    coeffs[ZIGZAG] = (zz * q[ZIGZAG]).astype(np.float64)
-                    block = A.T @ coeffs.reshape(8, 8) @ A
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                    if ci == 0:
+                        luma_zz.append(zz)
+                        luma_pos.append(((my * vi + by) * 8, (mx * hi + bx) * 8))
+    # batched dequant + de-zigzag + IDCT over every luma block at once
+    q0 = qtables[comps[0][3]]
+    Z = np.asarray(luma_zz, dtype=np.float64) * q0[ZIGZAG].astype(np.float64)
+    coeffs = np.zeros((len(luma_zz), 64), dtype=np.float64)
+    coeffs[:, ZIGZAG] = Z
+    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs.reshape(-1, 8, 8), A)
+    for (y0, x0), blk in zip(luma_pos, blocks):
+        plane0[y0 : y0 + 8, x0 : x0 + 8] = blk
     # luma plane only: JPEG Y IS BT.601 luma — chroma was entropy-decoded
     # above purely to keep the bitstream in sync.
-    luma = planes[0][: vs[0] * mcuy * 8, : hs[0] * mcux * 8]
+    luma = plane0[: vs[0] * mcuy * 8, : hs[0] * mcux * 8]
     # component plane may itself be subsampled relative to the frame grid
     ch = -(-h * vs[0] // vmax)
     cw = -(-w * hs[0] // hmax)

@@ -70,11 +70,11 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 def supported_magic(b: bytes) -> bool:
     """True when the vendored decoder can parse this blob (P5/P6 netpbm,
     an uncompressed 8/24-bit BMP, an 8-bit non-interlaced PNG, a baseline
-    sequential JPEG, or a GIF87a/89a)."""
+    sequential JPEG, a GIF87a/89a, or a baseline TIFF)."""
     return (
         b[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
         or b[:8] == _PNG_MAGIC
-        or b[:4] == b"GIF8"
+        or b[:4] in (b"GIF8", b"II*\x00", b"MM\x00*")
     )
 
 
@@ -352,6 +352,10 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.gifcodec import decode_gif_gray
 
         return decode_gif_gray(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
+
+        return decode_tiff_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

@@ -90,6 +90,39 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4):
     return enc
 
 
+def tiff_encoder_udf(
+    width: int, height: int, big_endian: bool = True, packbits: bool = True,
+    rows_per_strip: int | None = 2,
+):
+    """Arrow-batched TIFF fixture encoder: a ``pandas_udf`` mapping a
+    width·height-char ASCII payload to a baseline TIFF — big-endian (MM)
+    with PackBits multi-strip by default, so the decoder's IFD
+    byte-order handling, RLE, and strip assembly are all exercised on
+    every row. Lossless, so the standard pixel-stats oracle applies."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import tiffcodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            return tiffcodec.encode_tiff(
+                a.reshape(height, width),
+                big_endian=big_endian,
+                packbits=packbits,
+                rows_per_strip=rows_per_strip,
+            )
+
+        return s.map(one)
+
+    return enc
+
+
 def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
     """Arrow-batched JPEG fixture encoder: a ``pandas_udf`` mapping an
     n²-char ASCII payload to a baseline JPEG whose 8×8 blocks are each

@@ -1,0 +1,299 @@
+"""Vendored TIFF (baseline, TIFF 6.0) reader.
+
+Scanned-document corpora ship as TIFFs; this is the dependency-free
+baseline subset: a real IFD walk in EITHER byte order (``II``
+little-endian and ``MM`` big-endian — a format where endianness is data,
+not convention), strip assembly via StripOffsets × StripByteCounts ×
+RowsPerStrip, uncompressed (1) and PackBits (32773) compression, 8-bit
+grayscale and RGB(A) plus 1-bit bilevel, and both photometric
+interpretations (WhiteIsZero inverts — the classic fax-TIFF trap).
+Multi-IFD files decode their first image. Tiled TIFFs, other
+compressions (LZW/CCITT/JPEG-in-TIFF), and 16-bit samples raise
+explicitly.
+
+``encode_tiff`` is the fixture twin (gray or RGB, either byte order,
+optional PackBits, multi-strip). Gray is lossless end-to-end, so the
+standard pixel-stats SQL oracle applies unchanged
+(``multimodal_tiff_decode``).
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated multimodal-columns extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
+__all__ = ["decode_tiff_gray", "encode_tiff"]
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_tag_values(b: bytes, endian: str, ttype: int, count: int, off: int) -> list[int]:
+    """Values of a SHORT/LONG/BYTE tag; reads inline or from the offset
+    area per the 4-byte rule."""
+    fmt = {1: "B", 3: "H", 4: "I"}.get(ttype)
+    if fmt is None:
+        raise ValueError(f"TIFF tag type {ttype} not vendored (BYTE/SHORT/LONG)")
+    size = _TYPE_SIZES[ttype] * count
+    if size <= 4:
+        pos = off  # the value slot itself
+    else:
+        (pos,) = struct.unpack_from(endian + "I", b, off)
+    if pos + size > len(b):
+        raise ValueError("TIFF tag values out of bounds")
+    return list(struct.unpack_from(f"{endian}{count}{fmt}", b, pos))
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE per TIFF 6.0 §9."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError(
+                f"PackBits stream ended with {len(out)} of {expected} bytes"
+            )
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits produced more bytes than the strip holds")
+    return bytes(out)
+
+
+@untrusted_decoder
+def decode_tiff_gray(b: bytes) -> np.ndarray:
+    """Decode a baseline TIFF's first IFD to a (h, w) uint8 gray array."""
+    if b[:4] == b"II*\x00":
+        endian = "<"
+    elif b[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF stream (bad byte-order/magic header)")
+    (ifd_off,) = struct.unpack_from(endian + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF first IFD offset out of bounds")
+    (n_tags,) = struct.unpack_from(endian + "H", b, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(b):
+            raise ValueError("TIFF IFD truncated")
+        tag, ttype, count = struct.unpack_from(endian + "HHI", b, base)
+        tags[tag] = (ttype, count, base + 8)
+
+    def val(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        ttype, count, off = tags[tag]
+        return _read_tag_values(b, endian, ttype, count, off)[0]
+
+    w = val(256)
+    h = val(257)
+    if w == 0 or h == 0:
+        raise ValueError("TIFF zero dimension")
+    spp = val(277, 1)
+    if 258 in tags:
+        ttype, count, off = tags[258]
+        bps = _read_tag_values(b, endian, ttype, count, off)
+        if any(v != bps[0] for v in bps):
+            raise ValueError("TIFF mixed bits-per-sample not vendored")
+        bits = bps[0]
+    else:
+        bits = 1
+    compression = val(259, 1)
+    photometric = val(262)
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {compression} not vendored (none/PackBits)"
+        )
+    if bits not in (1, 8):
+        raise ValueError(f"{bits}-bit TIFF samples not vendored (1/8)")
+    if bits == 1 and spp != 1:
+        raise ValueError("TIFF bilevel must be single-sample")
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"TIFF photometric {photometric} not vendored")
+    if photometric == 2 and spp not in (3, 4):
+        raise ValueError("TIFF RGB needs 3 or 4 samples per pixel")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not vendored (strips only)")
+    rows_per_strip = val(278, h)
+    ttype, count, off = tags.get(273) or (None, None, None)
+    if ttype is None:
+        raise ValueError("TIFF missing StripOffsets")
+    offsets = _read_tag_values(b, endian, ttype, count, off)
+    ttype2, count2, off2 = tags.get(279) or (None, None, None)
+    if ttype2 is None:
+        raise ValueError("TIFF missing StripByteCounts")
+    counts = _read_tag_values(b, endian, ttype2, count2, off2)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    n_strips = -(-h // rows_per_strip)
+    if len(offsets) != n_strips:
+        raise ValueError(
+            f"TIFF has {len(offsets)} strips; {n_strips} expected for "
+            f"{h} rows at {rows_per_strip}/strip"
+        )
+    row_bytes = (w * spp * bits + 7) // 8
+    raw = bytearray()
+    for s, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(b):
+            raise ValueError(f"TIFF strip {s} extends past end of file")
+        rows = min(rows_per_strip, h - s * rows_per_strip)
+        strip = b[o : o + c]
+        if compression == 32773:
+            strip = _packbits_decode(strip, rows * row_bytes)
+        elif len(strip) < rows * row_bytes:
+            raise ValueError(f"TIFF strip {s} shorter than its rows")
+        raw += strip[: rows * row_bytes]
+    data = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if bits == 1:
+        px = np.unpackbits(data.reshape(h, row_bytes), axis=1)[:, :w]
+        gray = np.where(px == 1, 0 if photometric == 0 else 255,
+                        255 if photometric == 0 else 0).astype(np.uint8)
+        return gray
+    img = data.reshape(h, row_bytes)[:, : w * spp]
+    if photometric == 2:
+        rgb = img.reshape(h, w, spp)[..., :3].astype(np.int64)
+        return (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+        ).astype(np.uint8)
+    gray = img.reshape(h, w)
+    if photometric == 0:  # WhiteIsZero: invert
+        gray = (255 - gray.astype(np.int64)).astype(np.uint8)
+    return gray
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Simple valid PackBits: emit repeat runs ≥ 3, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline TIFF (II or MM byte
+    order, optional PackBits, multi-strip when ``rows_per_strip`` is
+    set)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        spp, photometric = 1, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        spp, photometric = 3, 2
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError("encode_tiff takes (h,w) gray or (h,w,3) RGB")
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    flat = arr.reshape(h, w * spp)
+    strips = []
+    for s in range(0, h, rps):
+        strip = flat[s : s + rps].tobytes()
+        strips.append(_packbits_encode(strip) if packbits else strip)
+
+    data_off = 8
+    strip_offsets = []
+    body = bytearray()
+    for strip in strips:
+        strip_offsets.append(data_off + len(body))
+        body += strip
+    ifd_off = data_off + len(body)
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        e + "I", ifd_off
+    )
+
+    entries = []  # (tag, type, count, packed-value-or-offset bytes)
+
+    def short(tag: int, v: int) -> None:
+        entries.append((tag, 3, 1, struct.pack(e + "H", v) + b"\x00\x00"))
+
+    def long_(tag: int, v: int) -> None:
+        entries.append((tag, 4, 1, struct.pack(e + "I", v)))
+
+    n_extra_offsets = len(strips) if len(strips) > 1 else 0
+    # strip tables: inline when a single strip, else in the post-IFD area
+    short(256, w) if w < 0x10000 else long_(256, w)
+    short(257, h) if h < 0x10000 else long_(257, h)
+    if spp == 3:
+        entries.append((258, 3, 3, None))  # placed in the extra area
+    else:
+        short(258, 8)
+    short(259, 32773 if packbits else 1)
+    short(262, photometric)
+    if len(strips) == 1:
+        long_(273, strip_offsets[0])
+    else:
+        entries.append((273, 4, len(strips), None))
+    short(277, spp)
+    short(278, rps)
+    if len(strips) == 1:
+        long_(279, len(strips[0]))
+    else:
+        entries.append((279, 4, len(strips), None))
+    entries.sort(key=lambda t: t[0])
+
+    ifd = struct.pack(e + "H", len(entries))
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, ttype, count, packed in entries:
+        if packed is not None:
+            ifd += struct.pack(e + "HHI", tag, ttype, count) + packed
+            continue
+        off = extra_base + len(extra)
+        ifd += struct.pack(e + "HHI", tag, ttype, count) + struct.pack(e + "I", off)
+        if tag == 258:
+            extra += struct.pack(e + "3H", 8, 8, 8) + b"\x00\x00"
+        elif tag == 273:
+            extra += struct.pack(f"{e}{len(strips)}I", *strip_offsets)
+        elif tag == 279:
+            extra += struct.pack(f"{e}{len(strips)}I", *[len(s) for s in strips])
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    return header + bytes(body) + ifd + bytes(extra)

@@ -515,6 +515,45 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode end-to-end (r6): each document's first 64
+    chars become an 8x8 BIG-ENDIAN (MM) PackBits multi-strip TIFF —
+    byte order is data in this format, and the fixture deliberately
+    picks the order x86 readers get wrong — decoded by the vendored IFD
+    walk + RLE + strip assembly (operators/tiffcodec.py) inside the
+    production mapInPandas path. Lossless, so the oracle is IDENTICAL
+    to the other lossless formats' pixel-stats SQL."""
+    from hive_udf_spark.operators.multimodal import tiff_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = tiff_encoder_udf(8, 8, big_endian=True, packbits=True, rows_per_strip=2)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_decode_quarantine",
     oracle="""
     WITH t AS (

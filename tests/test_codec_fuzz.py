@@ -21,6 +21,7 @@ from hive_udf_spark.operators.imagecodec import (
 )
 from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
 from hive_udf_spark.operators.mp4codec import split_mp4_frames
+from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
 from hive_udf_spark.operators.zipcodec import split_zip_entries
 
@@ -28,6 +29,7 @@ DECODERS = [
     decode_to_gray,
     decode_jpeg_gray,
     split_mp4_frames,
+    decode_tiff_gray,
     decode_gif_gray,
     split_gif_frames,
     split_container_frames,
@@ -55,6 +57,7 @@ def _seed_blobs() -> list[bytes]:
     )
     from hive_udf_spark.operators.jpegcodec import encode_jpeg
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
     from hive_udf_spark.operators.zipcodec import encode_zip
 
@@ -74,6 +77,7 @@ def _seed_blobs() -> list[bytes]:
         encode_wav_ima_adpcm(np.repeat(rng.integers(-99, 99, 8) * 50, 9), block_align=8),
         encode_zip([("a", b"xyz" * 40, 8), ("b", b"s", 0)]),
         encode_mp4_mjpeg([encode_jpeg(g, quality=90)] * 2, 8, 8),
+        encode_tiff(g, big_endian=True, packbits=True, rows_per_strip=3),
         encode_warc([{"headers": {}, "payload": http}], gzip_records=True),
     ]
 

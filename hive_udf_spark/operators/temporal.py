@@ -595,3 +595,47 @@ def transition_matrix(
         "n_transitions",
         F.expr("(n_transitions * 1000) div __nf").cast("long").alias("p_milli"),
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha_shift: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average in exact integer
+    space: values quantize to round(v·scale), the fold is
+    ``s ← s + floor((q − s) / 2^alpha_shift)`` seeded with the first
+    quantized value in deterministic (ts, order) order — one sorted fold
+    per key (the funnel/transition-matrix discipline), engine-exact
+    because quantization, the power-of-two division, and floor are all
+    reproducible (α = 1/2^shift keeps the decay a dyadic operation).
+
+    Output: (key, n_events, ewma_milli) — the final smoothed level per
+    key, the classic anomaly/trend baseline.
+
+    At 100 TB: one partial-aggregated groupBy; per-key state is the
+    value sequence (bounded by events-per-key, the same contract as the
+    funnel fold), and the fold itself is a codegen'd JVM ``aggregate``
+    lambda — no Python, no window over raw events, no extra shuffle.
+    """
+    denom = float(1 << alpha_shift)
+    q = F.round(F.col(value_col) * scale).cast("long")
+    seq = events.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col), F.col(order_col), q.alias("q")))
+        ).alias("__seq")
+    )
+    fold = F.expr(
+        "aggregate(slice(__seq, 2, size(__seq) - 1), "
+        "CAST(element_at(__seq, 1).q AS BIGINT), "
+        f"(acc, x) -> acc + CAST(floor((x.q - acc) / {denom}) AS BIGINT))"
+    )
+    return seq.select(
+        key_col,
+        F.size("__seq").cast("long").alias("n_events"),
+        fold.alias("ewma_milli"),
+    )

@@ -388,3 +388,36 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return transition_matrix(ev)
+
+
+@register(
+    "events_ewma_level",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id, CAST(round(value * 1000) AS BIGINT) AS qv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, list(qv ORDER BY ts, event_id) AS seq
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(list_reduce(seq,
+                (acc, x) -> acc + CAST(floor((x - acc) / 8.0) AS BIGINT))
+                AS BIGINT) AS ewma_milli
+    FROM s
+    """,
+)
+def events_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA level (r6): the classic trend/anomaly baseline as
+    ONE sorted integer fold per key (operators/temporal.py ewma_smooth —
+    the funnel discipline applied to smoothing). α = 1/8 keeps the decay
+    a dyadic operation, so quantized values + floor make every
+    intermediate state engine-exact: DuckDB re-runs the identical fold
+    with list_reduce over the identically-ordered sequence and must land
+    on the same final level bit-for-bit."""
+    from hive_udf_spark.operators.temporal import ewma_smooth
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return ewma_smooth(events, alpha_shift=3, scale=1000)

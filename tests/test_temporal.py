@@ -554,3 +554,46 @@ def test_transition_matrix_null_types_excluded(spark):
     }
     # the NULL row is skipped entirely: a -> b is the one transition
     assert got == {("a", "b"): (1, 1000)}
+
+
+def test_ewma_smooth_matches_python_fold_and_plan(spark):
+    """Engine fold == pure-Python reference on random data (multi-seed),
+    negative diffs floor correctly, and the plan is a single
+    partial-aggregated groupBy with no Python or window stages."""
+    import numpy as np
+
+    from hive_udf_spark.operators.temporal import ewma_smooth
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for uid in range(20):
+        for i in range(rng.integers(1, 40)):
+            rows.append(
+                (uid, 1_700_000_000_000_000 + int(rng.integers(0, 10**9)), uid * 1000 + i,
+                 float(rng.normal(0, 50)))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts_us bigint, event_id bigint, value double"
+    ).select(
+        "user_id",
+        (F.col("ts_us") / 1_000_000).cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    out = {r.user_id: (r.n_events, r.ewma_milli) for r in ewma_smooth(df).collect()}
+
+    import collections
+    seqs = collections.defaultdict(list)
+    for uid, ts_us, eid, v in rows:
+        seqs[uid].append((ts_us, eid, v))
+    import math
+    for uid, seq in seqs.items():
+        seq.sort()
+        qs = [round(v * 1000) for _, _, v in seq]
+        s = qs[0]
+        for qv in qs[1:]:
+            s += math.floor((qv - s) / 8.0)
+        assert out[uid] == (len(seq), s), uid
+    plan = ewma_smooth(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle: the groupBy

@@ -25,6 +25,7 @@ _PARSE_FAILURES = (
     OverflowError,
     UnicodeDecodeError,
     zlib.error,
+    ZeroDivisionError,  # malformed zero divisors (e.g. TIFF RowsPerStrip=0)
 )
 
 

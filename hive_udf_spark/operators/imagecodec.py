@@ -65,6 +65,9 @@ _NETPBM_HEADER = re.compile(
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# Decode-time allocation guard: 2^26 pixels (8192x8192 gray = 64 MiB) per
+# image. Untrusted headers beyond this are rejected, not allocated.
+_MAX_PIXELS = 1 << 26
 
 
 def supported_magic(b: bytes) -> bool:
@@ -300,11 +303,21 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("Adam7-interlaced PNG not vendored")
     if not idat:
         raise ValueError("PNG missing IDAT")
+    ch = _PNG_CHANNELS[color]
+    # IHDR dimensions are attacker-controlled 32-bit values: cap the pixel
+    # count BEFORE inflating, and bound the inflate to the expected raster
+    # size so a small crafted stream can't balloon to gigabytes (zlib can
+    # amplify ~1000x) ahead of any validation.
+    if w < 1 or h < 1 or w * h > _MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} out of range (cap {_MAX_PIXELS} px)")
+    expected = h * (w * ch + 1)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    ch = _PNG_CHANNELS[color]
+    if len(raw) > expected:
+        raise ValueError("PNG IDAT inflates past the declared dimensions")
     rec = _png_unfilter(raw, h, w * ch, ch)
     if color == 0:
         return rec

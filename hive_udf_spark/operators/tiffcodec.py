@@ -136,6 +136,8 @@ def decode_tiff_gray(b: bytes) -> np.ndarray:
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not vendored (strips only)")
     rows_per_strip = val(278, h)
+    if rows_per_strip < 1:
+        raise ValueError(f"TIFF RowsPerStrip {rows_per_strip} < 1")
     ttype, count, off = tags.get(273) or (None, None, None)
     if ttype is None:
         raise ValueError("TIFF missing StripOffsets")

@@ -44,6 +44,8 @@ __all__ = [
 ]
 
 _CRLF2 = b"\r\n\r\n"
+# Per-gzip-member inflate cap (gzip carries no trustworthy size field).
+_MAX_MEMBER_BYTES = 1 << 30
 
 
 def _split_gzip_members(b: bytes) -> list[bytes]:
@@ -59,12 +61,22 @@ def _split_gzip_members(b: bytes) -> list[bytes]:
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
         start = pos
         parts: list[bytes] = []
+        total = 0
         try:
             while not d.eof:
                 if pos >= len(b):
                     raise ValueError(f"gzip member at byte {start} truncated")
                 piece = view[pos : pos + chunk]
-                parts.append(d.decompress(piece))
+                part = d.decompress(piece)
+                total += len(part)
+                if total > _MAX_MEMBER_BYTES:
+                    # gzip has no declared size; cap the inflate so a
+                    # crafted member can't balloon to gigabytes in one task
+                    raise ValueError(
+                        f"gzip member at byte {start} inflates past the "
+                        f"{_MAX_MEMBER_BYTES}-byte decode cap"
+                    )
+                parts.append(part)
                 pos += len(piece) - len(d.unused_data)
         except zlib.error as exc:
             raise ValueError(f"gzip member at byte {start} corrupt: {exc}") from exc
@@ -97,6 +109,10 @@ def _parse_one_record(b: bytes, pos: int) -> tuple[dict, int]:
     if "content-length" not in lower:
         raise ValueError(f"WARC record at byte {pos}: missing Content-Length")
     n = int(lower["content-length"])
+    if n < 0:
+        raise ValueError(
+            f"WARC record at byte {pos}: negative Content-Length {n}"
+        )
     body_start = hdr_end + 4
     body_end = body_start + n
     if body_end + 4 > len(b):
@@ -178,6 +194,14 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
             if nl < 0:
                 raise ValueError("chunked body: missing chunk-size line")
             size_token = raw[pos:nl].split(b";")[0].strip()  # drop extensions
+            # int(x, 16) accepts '-6' / '+6' / '0x6'; a negative size would
+            # step pos BACKWARDS onto the same size line and loop forever.
+            if not size_token or not all(
+                c in b"0123456789abcdefABCDEF" for c in size_token
+            ):
+                raise ValueError(
+                    f"chunked body: bad chunk-size token {size_token!r}"
+                )
             n = int(size_token, 16)
             if n == 0:
                 return status, headers, bytes(body)
@@ -190,6 +214,8 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
             pos = start + n + 2
     if "content-length" in headers:
         n = int(headers["content-length"])
+        if n < 0:
+            raise ValueError(f"HTTP message: negative Content-Length {n}")
         if n > len(raw):
             raise ValueError(f"HTTP body truncated ({n - len(raw)} bytes short)")
         return status, headers, raw[:n]

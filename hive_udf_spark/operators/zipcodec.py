@@ -32,6 +32,9 @@ from hive_udf_spark.operators._codec_util import untrusted_decoder
 __all__ = ["split_zip_entries", "encode_zip", "zip_entries_table", "zip_doc_encoder_udf"]
 
 _EOCD_MAGIC = b"PK\x05\x06"
+# Per-entry inflate cap: untrusted central-directory sizes beyond this are
+# rejected before any allocation (an executor task holds the whole entry).
+_MAX_ENTRY_BYTES = 1 << 30
 _CDIR_MAGIC = b"PK\x01\x02"
 _LOCAL_MAGIC = b"PK\x03\x04"
 
@@ -80,8 +83,16 @@ def split_zip_entries(b: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError(f"ZIP entry {name!r}: stored sizes disagree")
             data = raw
         elif method == 8:  # deflate
+            if usize > _MAX_ENTRY_BYTES:
+                raise ValueError(
+                    f"ZIP entry {name!r}: declared size {usize} over the "
+                    f"{_MAX_ENTRY_BYTES}-byte decode cap"
+                )
             try:
-                data = zlib.decompress(raw, wbits=-15)
+                # Bounded inflate: never produce more than the declared
+                # size + 1, so a crafted deflate stream can't balloon past
+                # its own metadata before the size check below fires.
+                data = zlib.decompressobj(wbits=-15).decompress(raw, usize + 1)
             except zlib.error as exc:
                 raise ValueError(f"ZIP entry {name!r}: inflate failed: {exc}") from exc
             if len(data) != usize:

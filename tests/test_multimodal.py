@@ -678,6 +678,45 @@ def test_png_palette_alpha_color_types():
     assert decode_to_gray(rgba).tolist() == [[(299 * 100 + 587 * 50 + 114 * 25) // 1000]]
 
 
+def test_png_decompression_bomb_rejected_before_allocation():
+    """r6 advisor: IDAT was inflated in full before the size check, and
+    IHDR w/h are attacker-controlled 32-bit values — a small blob could
+    balloon to gigabytes.  Oversized declared dims must be rejected before
+    inflate, and an IDAT inflating past the declared raster must raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    # 65536 x 65536 gray: 4 GiB raster declared in a few hundred bytes
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_to_gray(bomb)
+    # dims under the cap but IDAT inflating past the declared raster:
+    # bounded inflate stops at expected+1 and raises instead of ballooning
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr2)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="inflates past"):
+        decode_to_gray(over)
+    # a valid maximum-ratio image still decodes (guard is not over-eager)
+    g = np.zeros((64, 64), dtype=np.uint8)
+    assert decode_to_gray(encode_png(g, filter_type=0)).shape == (64, 64)
+
+
 def test_png_rejects_malformed():
     import struct
     import zlib

@@ -100,6 +100,18 @@ def test_malformed_and_unsupported_raise():
         decode_tiff_gray(bytes(bad2))
 
 
+def test_rows_per_strip_zero_raises_valueerror():
+    """r6 advisor: RowsPerStrip=0 raised ZeroDivisionError, escaping the
+    valid-output-or-ValueError contract (quarantine only catches
+    ValueError — one corrupt blob would fail the whole job)."""
+    g = np.zeros((4, 4), dtype=np.uint8)
+    bad = bytearray(encode_tiff(g))
+    i = bytes(bad).index(struct.pack("<HHI", 278, 3, 1))
+    struct.pack_into("<H", bad, i + 8, 0)
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        decode_tiff_gray(bytes(bad))
+
+
 def test_tiff_cross_check_with_pil():
     try:
         import PIL.Image as Image

@@ -80,6 +80,55 @@ def test_malformed_streams_raise():
         )
 
 
+def test_negative_content_length_raises_not_hangs():
+    """r6 advisor: a Content-Length of -(header_len+8) made next_pos land
+    at/before the record start, re-parsing the same record forever.  Must
+    raise (so on_error='quarantine' can route it), never loop."""
+    # header block is 43 bytes + CRLFCRLF; -(43+8) re-anchors exactly at pos 0
+    rec = b"WARC/1.0\r\nContent-Length: -51\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        split_warc_records(rec)
+    # any negative value is rejected before arithmetic, not just the fixpoint
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        split_warc_records(b"WARC/1.0\r\nContent-Length: -1\r\n\r\n\r\n\r\n")
+
+
+def test_negative_chunk_size_raises_not_hangs():
+    """r6 advisor: int(token, 16) accepts '-6', stepping the chunk cursor
+    backwards onto its own size line (infinite loop)."""
+    msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n-6\r\nabcdef\r\n0\r\n\r\n"
+    with pytest.raises(ValueError, match="bad chunk-size token"):
+        http_response_body(msg)
+    # '+6' and '0x6' are equally accepted by int(_, 16); reject them too
+    for tok in (b"+6", b"0x6", b""):
+        bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n%s\r\nabcdef\r\n0\r\n\r\n" % tok
+        with pytest.raises(ValueError, match="bad chunk-size token"):
+            http_response_body(bad)
+
+
+def test_negative_http_content_length_raises():
+    """raw[:n] with negative n silently returned a tail-truncated body."""
+    msg = b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n\r\n" + HTML
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        http_response_body(msg)
+
+
+def test_gzip_member_inflate_cap():
+    """A tiny crafted gzip member must not balloon past the decode cap."""
+    import gzip as _gzip
+
+    from hive_udf_spark.operators import warc as warc_mod
+
+    bomb = _gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, ~4 KiB gz
+    old = warc_mod._MAX_MEMBER_BYTES
+    warc_mod._MAX_MEMBER_BYTES = 1 << 20  # 1 MiB cap for the test
+    try:
+        with pytest.raises(ValueError, match="decode cap"):
+            split_warc_records(bomb)
+    finally:
+        warc_mod._MAX_MEMBER_BYTES = old
+
+
 def test_warc_records_table_through_spark(spark):
     """Production mapInPandas walk: gzip member -> record -> HTTP parse;
     non-response records pass payload through with NULL status."""

@@ -62,6 +62,31 @@ def test_malformed_archives_raise():
         encode_zip([("x", b"y", 12)])
 
 
+def test_zip_inflate_is_bounded_by_declared_size():
+    """r6 advisor: inflate was uncapped before the size check.  Declared
+    sizes over the decode cap are rejected pre-allocation, and a deflate
+    stream inflating past its own declared usize raises at usize+1 bytes
+    instead of ballooning."""
+    from hive_udf_spark.operators import zipcodec as zc
+
+    big = b"\x00" * (1 << 20)  # inflates 1 MiB from ~1 KiB compressed
+    z = encode_zip([("bomb.bin", big, 8)])
+    old = zc._MAX_ENTRY_BYTES
+    zc._MAX_ENTRY_BYTES = 1 << 16  # 64 KiB cap for the test
+    try:
+        with pytest.raises(ValueError, match="decode cap"):
+            split_zip_entries(z)
+    finally:
+        zc._MAX_ENTRY_BYTES = old
+    # understate usize in BOTH central-dir and the check: inflate stops at
+    # usize+1 and reports the mismatch rather than producing the full blob
+    lied = bytearray(z)
+    cd = z.find(b"PK\x01\x02")
+    struct.pack_into("<I", lied, cd + 24, 64)  # central-dir usize -> 64
+    with pytest.raises(ValueError, match="inflated to 65 of 64"):
+        split_zip_entries(bytes(lied))
+
+
 def test_zip_entries_table_through_spark(spark):
     from hive_udf_spark.operators.zipcodec import zip_entries_table
 

@@ -20,4 +20,5 @@ from hive_udf_spark.plans import (  # noqa: E402,F401
     streaming_queries,
     temporal_queries,
     text_queries,
+    web_queries,
 )

@@ -154,7 +154,9 @@ def main() -> int:
             rec["err"] = f"rows {len(g)} != {len(w)}"
             failures.append(name)
         elif not g.equals(w):
-            diff = (g != w) & ~(g.isna() & w.isna())
+            # (g != w) yields NA when either side is NA; one-sided NA is a
+            # real mismatch (fillna True), both-NA is equality (masked out)
+            diff = (g != w).fillna(True) & ~(g.isna() & w.isna())
             ncell = int(diff.to_numpy().sum())
             print(f"FAIL  {name}: {ncell} mismatched cells")
             idx = diff.any(axis=1)

@@ -1824,3 +1824,94 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         out = spark.read.parquet(f"{tmp}/state/hosts").localCheckpoint(eager=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Encoding hygiene (r7): mojibake repair + control/whitespace cleanup
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.functions.mojibake import (  # noqa: E402
+    cleanup_sql,
+    corrupt_sql,
+    repair_sql,
+    score_sql,
+)
+
+_MOJI_SUFFIX = (
+    " It\u2019s a caf\u00e9 \u2014 \u201cna\u00efve\u201d\u2026 "
+    "\u20ac5 \u00bd\u00b0 \u00a9rights \u2022 s\u00f1o\u00fc"
+)
+
+_MOJI_AUG = f"text || '{_MOJI_SUFFIX}'"
+_MOJI_CORRUPTED = (
+    f"CASE WHEN doc_id % 3 = 0 THEN {corrupt_sql(_MOJI_AUG)} ELSE {_MOJI_AUG} END"
+)
+
+
+@register(
+    "text_mojibake_repair",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MOJI_AUG} AS aug, {_MOJI_CORRUPTED} AS corrupted
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({score_sql("corrupted", "duckdb")} AS BIGINT) AS score_before,
+           CAST({score_sql(repair_sql("corrupted"), "duckdb")} AS BIGINT) AS score_after,
+           (doc_id % 3 = 0) AS was_corrupted,
+           ({repair_sql("corrupted")} = aug) AS repaired_ok,
+           CAST(length({repair_sql("corrupted")}) AS BIGINT) AS n_chars
+    FROM m
+    """,
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (UTF-8-read-as-cp1252) detect + repair (r7): every doc is
+    augmented with a unicode-bearing suffix, a third are corrupted with
+    the forward transform, and the repair chain must restore them exactly
+    (repaired_ok verdict column).  Both the corruption model and the
+    repair cascade are generated from functions/mojibake.py's ONE
+    inventory into both engines; pure replace()/regexp codegen, no
+    Python, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("aug", F.expr(_MOJI_AUG))
+    d = d.withColumn(
+        "corrupted",
+        F.expr(f"CASE WHEN doc_id % 3 = 0 THEN {corrupt_sql('aug')} ELSE aug END"),
+    )
+    d = d.withColumn("repaired", F.expr(repair_sql("corrupted")))
+    return d.select(
+        "doc_id",
+        F.expr(score_sql("corrupted", "spark")).cast("long").alias("score_before"),
+        F.expr(score_sql("repaired", "spark")).cast("long").alias("score_after"),
+        (F.col("doc_id") % 3 == 0).alias("was_corrupted"),
+        (F.col("repaired") == F.col("aug")).alias("repaired_ok"),
+        F.length("repaired").cast("long").alias("n_chars"),
+    )
+
+
+_DIRTY = "chr(7) || replace(text, ' ', chr(160)) || chr(8203) || chr(31)"
+
+
+@register(
+    "text_unicode_cleanup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DIRTY} AS dirty, text FROM documents)
+    SELECT doc_id,
+           ({cleanup_sql("dirty", "duckdb")} = text) AS cleaned_ok,
+           CAST(length({cleanup_sql("dirty", "duckdb")}) AS BIGINT) AS n_chars
+    FROM d
+    """,
+)
+def text_unicode_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-char / exotic-whitespace hygiene (r7): BEL + unit
+    separator stripped, every space swapped to NBSP then normalized
+    back, zero-width space removed — cleanup must reproduce the original
+    text byte-for-byte.  Same one-source two-dialect regexp chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("dirty", F.expr(_DIRTY))
+    cleaned = F.expr(cleanup_sql("dirty", "spark"))
+    return d.select(
+        "doc_id",
+        (cleaned == F.col("text")).alias("cleaned_ok"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+    )

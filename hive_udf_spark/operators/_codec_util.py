@@ -19,13 +19,16 @@ import functools
 import struct
 import zlib
 
+# Note: ZeroDivisionError is deliberately NOT in this tuple — decoders
+# must validate zero divisors themselves (tiffcodec raises ValueError for
+# RowsPerStrip < 1), so a genuine arithmetic bug is never misclassified
+# as a bad-data row.
 _PARSE_FAILURES = (
     struct.error,
     IndexError,
     OverflowError,
     UnicodeDecodeError,
     zlib.error,
-    ZeroDivisionError,  # malformed zero divisors (e.g. TIFF RowsPerStrip=0)
 )
 
 

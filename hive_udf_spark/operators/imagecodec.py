@@ -318,6 +318,13 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raw) > expected:
         raise ValueError("PNG IDAT inflates past the declared dimensions")
+    # Completeness independent of the unfilter length check: a truncated
+    # zlib stream that still emitted exactly the expected raster size, or
+    # garbage after the stream end, is malformed input.
+    if not d.eof:
+        raise ValueError("PNG IDAT zlib stream truncated")
+    if d.unused_data:
+        raise ValueError("trailing bytes after PNG IDAT zlib stream end")
     rec = _png_unfilter(raw, h, w * ch, ch)
     if color == 0:
         return rec

@@ -92,12 +92,24 @@ def split_zip_entries(b: bytes) -> list[tuple[str, bytes]]:
                 # Bounded inflate: never produce more than the declared
                 # size + 1, so a crafted deflate stream can't balloon past
                 # its own metadata before the size check below fires.
-                data = zlib.decompressobj(wbits=-15).decompress(raw, usize + 1)
+                d = zlib.decompressobj(wbits=-15)
+                data = d.decompress(raw, usize + 1)
             except zlib.error as exc:
                 raise ValueError(f"ZIP entry {name!r}: inflate failed: {exc}") from exc
             if len(data) != usize:
                 raise ValueError(
                     f"ZIP entry {name!r}: inflated to {len(data)} of {usize} bytes"
+                )
+            # Stream-completeness guarantee independent of the CRC below: a
+            # truncated deflate stream that happens to emit exactly usize
+            # bytes, or trailing garbage inside the declared csize, is
+            # malformed even when the bytes it did emit checksum clean.
+            if not d.eof:
+                raise ValueError(f"ZIP entry {name!r}: deflate stream truncated")
+            if d.unused_data:
+                raise ValueError(
+                    f"ZIP entry {name!r}: {len(d.unused_data)} trailing bytes "
+                    "after deflate stream end"
                 )
         else:
             raise ValueError(f"ZIP compression method {method} not vendored (0/8)")

@@ -1007,3 +1007,37 @@ def test_decode_quarantine_routes_bad_blobs(spark):
         decode_image_features(blobs, fake=False).collect()
     with _pytest.raises(ValueError, match="on_error"):
         decode_image_features(blobs, fake=False, on_error="skip")
+
+
+def test_png_idat_stream_completeness():
+    """r7 advisor: an IDAT zlib stream truncated inside its adler32
+    trailer still emits the full raster (so the unfilter length check
+    passes), and garbage after the stream end was silently ignored.
+    Both must raise."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray
+
+    raw = b"\x00AB\x00CD"  # 2x2 gray, filter 0 rows
+    comp = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def png(idat: bytes) -> bytes:
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    d = zlib.decompressobj()
+    assert d.decompress(comp[:-1], 7) == raw and not d.eof  # sanity
+
+    with _pytest.raises(ValueError, match="stream truncated"):
+        decode_to_gray(png(comp[:-1]))
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        decode_to_gray(png(comp + b"xx"))
+    assert decode_to_gray(png(comp)).shape == (2, 2)

@@ -114,3 +114,55 @@ def test_zip_entries_table_quarantine(spark):
     for b in (2, 3):
         r = out[(b, -1)]
         assert r.name is None and r.decode_error
+
+
+def _raw_zip_single(name: bytes, comp: bytes, usize: int, crc: int) -> bytes:
+    """Hand-assembled single-entry DEFLATE zip so csize can cover a
+    truncated or garbage-padded compressed stream (stdlib zipfile won't
+    write one)."""
+    lh = (
+        struct.pack(
+            "<4sHHHHHIIIHH",
+            b"PK\x03\x04", 20, 0, 8, 0, 0, crc, len(comp), usize, len(name), 0,
+        )
+        + name
+    )
+    cd = (
+        struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            b"PK\x01\x02", 20, 20, 0, 8, 0, 0,
+            crc, len(comp), usize, len(name), 0, 0, 0, 0, 0, 0,
+        )
+        + name
+    )
+    cd_off = len(lh) + len(comp)
+    eocd = struct.pack(
+        "<4sHHHHIIH", b"PK\x05\x06", 0, 0, 1, 1, len(cd), cd_off, 0
+    )
+    return lh + comp + cd + eocd
+
+
+def test_zip_deflate_stream_completeness():
+    """r7 advisor: a truncated deflate stream that still emits exactly
+    usize bytes passed the size check AND the CRC (the bytes are all
+    there — only the stream terminator is missing), and trailing garbage
+    inside csize was silently ignored.  Both are malformed now."""
+    import zlib
+
+    data = b"A" * 100
+    c = zlib.compressobj(wbits=-15)
+    comp = c.compress(data) + c.flush()
+    crc = zlib.crc32(data) & 0xFFFFFFFF
+
+    # sanity: the truncation really does emit all 100 bytes without eof
+    d = zlib.decompressobj(wbits=-15)
+    assert d.decompress(comp[:-1], 101) == data and not d.eof
+
+    with pytest.raises(ValueError, match="stream truncated"):
+        split_zip_entries(_raw_zip_single(b"t.bin", comp[:-1], 100, crc))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        split_zip_entries(_raw_zip_single(b"g.bin", comp + b"\x00junk", 100, crc))
+    # the untampered stream still decodes
+    assert split_zip_entries(_raw_zip_single(b"ok.bin", comp, 100, crc)) == [
+        ("ok.bin", data)
+    ]

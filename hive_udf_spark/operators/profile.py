@@ -62,6 +62,7 @@ def equi_depth_histogram(
     df: DataFrame,
     value_col: str,
     bins: int = 8,
+    num_shards: int = 32,
 ) -> DataFrame:
     """Equi-depth histogram of an integral column — the optimizer
     statistic that joins ``profile_table`` (nulls/min-max/distinct),
@@ -75,18 +76,31 @@ def equi_depth_histogram(
     bins (heavy values occupy their own bin rather than lying about
     depth), and both engines reproduce the boundaries bit-for-bit.
 
-    Plan (the percentile_band_filter discipline): rows never sort — a
-    partial-aggregated (value, count) relation is cumsum'd over
-    DISTINCT values (a tiny window: distinct values << rows), and bins
-    re-aggregate from that reduced relation. For near-continuous
-    columns where distinct ≈ rows, pre-quantize (e.g. round to a unit)
-    so the distinct relation stays window-sized — the statistic loses
-    nothing below bin granularity. NULLs are excluded (no order
-    position). Output: (bin, lo_value, hi_value, n_rows, n_distinct),
-    bins ascending; at most ``bins`` rows.
+    Plan (distributed prefix sum — the ``pack_documents`` splice,
+    operators/chunking.py): rows never sort, and NO single-partition
+    window appears anywhere, so the plan survives columns where
+    distinct ≈ rows (o_totalprice in cents: ~every row distinct).
+
+    1. partial-aggregated ``(value, count)`` relation (map-side combine);
+    2. value-RANGE shards from in-plan ``approx_percentile`` boundaries
+       over the distinct values (broadcast 1-row relation — shard id is
+       a monotone function of value, so ``(shard asc, value asc)`` IS
+       global value order; no driver collect);
+    3. per-shard cumulative sum (partitioned window, each shard local);
+    4. per-shard totals prefix-summed via a triangular broadcast join
+       over ≤ ``num_shards`` tiny rows, broadcast back as base offsets;
+    5. global ``cum_lo(v) = base(shard) + local_cum - k`` — exact
+       integers, so the result is bit-identical to the serial cumsum
+       regardless of where the (approximate) shard boundaries fall.
+
+    NULLs are excluded (no order position). Output: (bin, lo_value,
+    hi_value, n_rows, n_distinct), bins ascending; at most ``bins``
+    rows.
     """
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
     from pyspark.sql import Window
 
     v = F.col(value_col)
@@ -95,16 +109,48 @@ def equi_depth_histogram(
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__k"))
     )
-    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Range-shard boundaries over the DISTINCT values (unweighted: the
+    # relation being prefix-summed is the distinct relation). Boundary
+    # quality only affects balance, never the result.
+    pcts = ", ".join(f"{i}D / {num_shards}D" for i in range(1, num_shards))
+    bnds = vc.agg(
+        F.expr(f"approx_percentile(__v, array({pcts}))").alias("__bnds")
     )
-    cum = vc.select(
-        "__v",
-        "__k",
-        (F.sum("__k").over(w) - F.col("__k")).alias("__lo"),
-        F.sum("__k").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )).alias("__n"),
+    sharded = (
+        vc.join(F.broadcast(bnds))
+        .withColumn(
+            "__shard",
+            F.expr("size(filter(__bnds, b -> b < __v))").cast("int"),
+        )
+        .drop("__bnds")
+    )
+    wloc = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("__cum", F.sum("__k").over(wloc))
+    shard_tot = sharded.groupBy("__shard").agg(F.sum("__k").alias("__tot"))
+    earlier = shard_tot.select(
+        F.col("__shard").alias("__s2"), F.col("__tot").alias("__tot2")
+    )
+    # Triangular broadcast join instead of a no-partition window: base
+    # offset of shard s = sum of totals of shards < s.
+    shard_base = (
+        shard_tot.join(F.broadcast(earlier), F.col("__s2") < F.col("__shard"), "left")
+        .groupBy("__shard")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).cast("long").alias("__base"))
+    )
+    total = shard_tot.agg(F.sum("__tot").cast("long").alias("__n"))
+    cum = (
+        local.join(F.broadcast(shard_base), "__shard")
+        .join(F.broadcast(total))
+        .select(
+            "__v",
+            "__k",
+            (F.col("__base") + F.col("__cum") - F.col("__k")).alias("__lo"),
+            "__n",
+        )
     )
     binned = cum.select(
         (F.expr(f"(__lo * {bins}) div __n") + F.lit(1)).cast("int").alias("bin"),

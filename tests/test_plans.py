@@ -418,3 +418,24 @@ def test_approx_distinct_table_routes_lc_by_size(spark, sf_dir):
     assert "bitmap_construct_agg" in small
     hll = plan_of(approx_distinct_table(orders, ["o_orderpriority"], "o_custkey"))
     assert "hll_sketch_agg" in hll
+
+
+def test_equi_depth_histogram_no_unpartitioned_window(spark, sf_dir):
+    """r7 verdict: the histogram cumsum ran in a single-partition window
+    — on a near-continuous column (o_totalprice cents: distinct ≈ rows)
+    that is a one-node sort of the whole column at scale.  The rewrite
+    shards by value range and splices per-shard cumsums via broadcast
+    base offsets, so EVERY Window node in the plan must carry a
+    partition spec (formatted explain renders partitioned windows with
+    three bracketed argument lists, unpartitioned with two)."""
+    import re
+
+    plan = plan_of(QUERIES["profile_histogram_totalprice"].fn(spark, sf_dir))
+    blocks = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    assert blocks, "expected at least one Window node in the histogram plan"
+    for args in blocks:
+        assert re.search(r"\], \[[^\[\]]+\], \[[^\[\]]+\]$", args), (
+            f"unpartitioned Window in equi_depth_histogram plan: {args}"
+        )
+    # and the partition key is the value-range shard, not something else
+    assert "__shard" in plan

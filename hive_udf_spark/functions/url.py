@@ -6,16 +6,27 @@ FIRST dedup axis is the URL itself: the same page is crawled as
 ``http://example.com/a/c?a=1&b=2``.  This module provides:
 
 - ``canonical url`` — RFC-3986-style normalization: scheme/host lowercase,
-  userinfo stripped, default ports removed, trailing host dot removed,
+  userinfo stripped, default ports removed (after leading-zero strip, so
+  ``:0080`` is default too), trailing host dot removed, bracketed IPv6
+  hosts parsed (``[2001:DB8::1]:8080`` keeps its brackets, lowercased),
   fragment stripped, duplicate-slash collapse, dot-segment resolution
-  (bounded unroll, see below), percent-escape normalization over the
-  fixture inventory, query params sorted with tracking params
-  (``utm_*``/``fbclid``/``gclid``/...) dropped.
+  (bounded unroll; paths whose ``..`` nesting exceeds the unroll are
+  EXCLUDED — canonical NULL — never emitted with literal dot segments),
+  full percent-escape normalization (ALL unreserved octets decode, every
+  other escape's hex uppercases — RFC 3986 §2.3/§6.2.2), query params
+  sorted with tracking params (``utm_*``/``fbclid``/``gclid``/...)
+  dropped.  Non-ASCII (IDN) hosts are excluded (NULL) rather than
+  mismerged; punycode ``xn--`` labels pass through as opaque labels.
 - ``url key`` — the dedup identity: canonical url with the ``www.`` host
-  prefix and any trailing path slash also removed.
-- ``registrable domain`` — eTLD+1 via a vendored multi-part-suffix list
-  (``co.uk``-style); the full public-suffix list is a data swap, not a
-  code change.
+  prefix folded (only when the remainder keeps ≥ 2 labels, so ``www.ck``
+  — a registrable site per the PSL exception — never merges into the
+  bare TLD) and any trailing path slash removed.
+- ``registrable domain`` — eTLD+1 via the vendored public-suffix rules
+  in ``functions/psl.py`` (normal + wildcard ``*.ck`` + exception
+  ``!www.ck`` classes; the full publicsuffix.org file is a data swap via
+  ``psl.load_psl(path)``).  IP-literal hosts (all-numeric IPv4 labels,
+  bracketed IPv6) return the host verbatim instead of a meaningless
+  last-two-octets split.
 
 Engine discipline (the ``functions/html.py`` model): the whole chain is
 generated from ONE step list into BOTH dialects — Spark (``F.expr`` per
@@ -32,10 +43,20 @@ built on top shuffle only on the (short, bounded) canonical-key strings.
 
 Bounded unrolls: dot-segment removal is a fixpoint loop in RFC 3986;
 here it is unrolled ``_DOT_PASSES`` times identically in both engines,
-which resolves nesting up to that depth (property-tested).  Dot-only
+which resolves nesting up to that depth (property-tested).  Deeper
+nesting leaves a literal ``..`` segment, which the canonical-validity
+guard catches: such URLs canonicalize to NULL (excluded from identity)
+instead of shipping a path that still contains dot segments.  Dot-only
 segments other than ``.``/``..`` (e.g. ``...``) are treated as opaque —
 the guard that stops ``/../..`` from being eaten as ``<seg>/..`` requires
 one non-dot char in the consumed segment.
+
+Percent-escapes: the path/query string is split on ``%`` and each piece
+re-assembled through a branch-free per-piece CASE (decode if the two
+leading hex chars are an unreserved octet, else uppercase them) — array
+``transform``/``list_transform`` lambdas, still pure engine expressions
+in both dialects.  Escapes of reserved octets (``%2F``, ``%3D``, ...)
+are NEVER decoded — that would change the URL's structure.
 
 Reference parity note: the reference engine (MLnick/hive-udf) has no URL
 surface — this family is part of the mandated training-data-pipeline
@@ -47,6 +68,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hive_udf_spark.functions.psl import (
+    EXCEPTION_RULES,
+    NORMAL_RULES,
+    WILDCARD_RULES,
+)
+
 __all__ = [
     "url_parts_cols",
     "url_parts_sql",
@@ -56,15 +83,12 @@ __all__ = [
 ]
 
 # Params dropped from the canonical query string (anchored against the
-# whole `key=value` token; `(=|$)` also catches bare flags like `ref`).
+# whole `key=value` token; `(=|$)` also catches bare flags).  Bare `ref`
+# is deliberately NOT here: it is content-bearing on many real sites
+# (branch selectors, referenced-resource ids) — only the known tracking
+# spellings are dropped.
 TRACKING_PARAM_PATTERN = (
-    r"^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref|ref_src)(=|$)"
-)
-
-# Vendored multi-part public suffixes (extend by data, not code).
-_MULTI_SUFFIXES = (
-    "co.uk|org.uk|ac.uk|gov.uk|co.jp|ne.jp|or.jp|com.au|net.au|org.au|"
-    "co.nz|com.br|com.mx|co.in|com.cn|com.sg|com.tr|co.za|co.kr|com.ar"
+    r"^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref_src)(=|$)"
 )
 
 _DOT_PASSES = 4  # resolves /a/b/c/../../../ nesting up to depth 4
@@ -94,7 +118,7 @@ def _rlike(dialect: str, x: str, pat: str) -> str:
 
 
 def _split(dialect: str, x: str, sep: str) -> str:
-    # Spark split() takes a regex; '&' is regex-literal so both agree.
+    # Spark split() takes a regex; '&' / '%' are regex-literal so both agree.
     fn = "split" if dialect == "spark" else "string_split"
     return f"{fn}({x}, '{sep}')"
 
@@ -114,6 +138,80 @@ def _sortjoin(dialect: str, arr: str, sep: str) -> str:
     return f"coalesce(array_to_string(list_sort({arr}), '{sep}'), '')"
 
 
+# ---------------------------------------------------------------------------
+# Percent-escape normalization (RFC 3986 §2.3 unreserved + §6.2.2 case)
+# ---------------------------------------------------------------------------
+
+
+def _pct_lambda(d: str) -> str:
+    """Per-piece lambda for the %-split array: decode the two leading
+    hex chars when they spell an unreserved octet (ALPHA / DIGIT / - . _
+    ~), uppercase them otherwise, pass stray '%' through untouched."""
+    hh = "upper(substr(s, 1, 2))"
+    unres = (
+        f"(({hh} >= '41' AND {hh} <= '5A') OR ({hh} >= '61' AND {hh} <= '7A')"
+        f" OR ({hh} >= '30' AND {hh} <= '39')"
+        f" OR {hh} IN ('2D', '2E', '5F', '7E'))"
+    )
+    dec = (
+        f"decode(unhex({hh}), 'UTF-8')" if d == "spark" else f"decode(unhex({hh}))"
+    )
+    hex2 = _rlike(d, hh, "^[0-9A-F]{2}$")
+    body = (
+        f"CASE WHEN NOT {hex2} THEN '%' || s "
+        f"WHEN {unres} THEN {dec} || substr(s, 3) "
+        f"ELSE '%' || {hh} || substr(s, 3) END"
+    )
+    return f"s -> {body}"
+
+
+def _pct_norm(d: str, arr: str) -> str:
+    """Reassemble a %-split array with every escape normalized."""
+    lam = _pct_lambda(d)
+    if d == "spark":
+        return (
+            f"element_at({arr}, 1) || array_join("
+            f"transform(slice({arr}, 2, greatest(size({arr}) - 1, 0)), {lam}), '')"
+        )
+    return (
+        f"{arr}[1] || coalesce(array_to_string("
+        f"list_transform({arr}[2:], {lam}), ''), '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registrable domain from the PSL rule classes
+# ---------------------------------------------------------------------------
+
+
+def _psl_alt(rules: tuple[str, ...]) -> str:
+    """Regex alternation of literal rules, longest (most labels, then
+    longest string) first so leftmost-first engines pick the most
+    specific suffix."""
+    ordered = sorted(rules, key=lambda r: (-r.count("."), -len(r), r))
+    return "|".join(r.replace(".", r"\.") for r in ordered)
+
+
+def _rd_expr(d: str) -> str:
+    rdw = _rex(d, "u_host", r"([^.]+\.[^.]+\.(?:" + _psl_alt(WILDCARD_RULES) + r"))$")
+    rd3 = _rex(d, "u_host", r"([^.]+\.(?:" + _psl_alt(NORMAL_RULES) + r"))$")
+    rd2 = _rex(d, "u_host", r"([^.]+\.[^.]+)$")
+    exc = " ".join(
+        f"WHEN u_host = '{e}' OR u_host LIKE '%.{e}' THEN '{e}'"
+        for e in EXCEPTION_RULES
+    )
+    ip4 = _rlike(d, "u_host", r"^[0-9]+([.][0-9]+)*$")
+    return (
+        # IP literals are their own identity — never split into octets.
+        "CASE WHEN substr(u_host, 1, 1) = '[' THEN u_host "
+        f"WHEN {ip4} THEN u_host "
+        f"{exc} "
+        f"WHEN {rdw} <> '' THEN {rdw} "
+        f"WHEN {rd3} <> '' THEN {rd3} "
+        f"WHEN {rd2} <> '' THEN {rd2} ELSE u_host END"
+    )
+
+
 def _steps(dialect: str, u: str) -> list[tuple[str, str]]:
     """The canonicalization pipeline as (column_name, expr) steps; each
     expr may reference earlier names.  ONE list drives both engines."""
@@ -126,29 +224,42 @@ def _steps(dialect: str, u: str) -> list[tuple[str, str]]:
     steps.append(("u_nofrag", _rr(d, "u_rest", r"#[\s\S]*$", "")))
     steps.append(("u_auth", _rex(d, "u_nofrag", r"^([^/?#]*)")))
     steps.append(("u_hostport", _rr(d, "u_auth", r"^[^@]*@", "")))
+    # Bracketed IPv6 hosts keep their brackets (lowercased); a '[' with
+    # no closing ']' extracts '' -> canonical NULL (excluded, not merged).
+    bhost = _rex(d, "u_hostport", r"^(\[[^\]]+\])")
+    nhost = _rr(d, "lower(" + _rex(d, "u_hostport", r"^([^:]*)") + ")", r"\.+$", "")
     steps.append((
         "u_host",
-        _rr(d, f"lower({_rex(d, 'u_hostport', r'^([^:]*)')})", r"\.+$", ""),
+        "CASE WHEN substr(u_hostport, 1, 1) = '[' THEN "
+        f"lower({bhost}) ELSE {nhost} END",
     ))
+    # ':([0-9]+)$' works for both host forms: '[::1]:8080' matches, a
+    # bare '[::1]' ends in ']' so it can't.
     steps.append(("u_port", _rex(d, "u_hostport", r":([0-9]+)$")))
+    # Leading-zero strip so ':0080' compares as the default it is.
+    zs = _rr(d, "u_port", r"^0+", "")
+    steps.append((
+        "u_portn",
+        f"CASE WHEN u_port = '' THEN '' WHEN {zs} = '' THEN '0' ELSE {zs} END",
+    ))
     steps.append((
         "u_portpart",
-        "CASE WHEN u_port = '' THEN '' "
-        "WHEN u_scheme = 'http' AND u_port = '80' THEN '' "
-        "WHEN u_scheme = 'https' AND u_port = '443' THEN '' "
-        "ELSE ':' || u_port END",
+        "CASE WHEN u_portn = '' THEN '' "
+        "WHEN u_scheme = 'http' AND u_portn = '80' THEN '' "
+        "WHEN u_scheme = 'https' AND u_portn = '443' THEN '' "
+        "ELSE ':' || u_portn END",
     ))
     steps.append(("u_pathq", _rr(d, "u_nofrag", r"^[^/?#]*", "")))
     steps.append(("u_rawpath", _rex(d, "u_pathq", r"^([^?]*)")))
     steps.append(("u_rawq", _rex(d, "u_pathq", r"\?([\s\S]*)$")))
 
     # --- path canonicalization ---
-    # %-escape normalization over the fixture inventory: unreserved '~'
-    # decodes; reserved '/' only gets its hex uppercased (decoding %2F
-    # would CHANGE the path structure — never do that).
-    p = "CASE WHEN u_rawpath = '' THEN '/' ELSE u_rawpath END"
-    p = f"replace(replace({p}, '%7e', '~'), '%7E', '~')"
-    p = f"replace({p}, '%2f', '%2F')"
+    # Full %-escape normalization FIRST (decoded '.' from %2E takes part
+    # in dot-segment resolution, per RFC 3986 §6.2.2.3), then slash
+    # collapse and the bounded dot-segment unroll.
+    steps.append(("u_path0", "CASE WHEN u_rawpath = '' THEN '/' ELSE u_rawpath END"))
+    steps.append(("u_parr", _split(d, "u_path0", "%")))
+    p = _pct_norm(d, "u_parr")
     p = _rr(d, p, r"/{2,}", "/")
     for _ in range(_DOT_PASSES):
         p = _rr(d, p, r"/\./", "/")
@@ -163,41 +274,54 @@ def _steps(dialect: str, u: str) -> list[tuple[str, str]]:
         p = _rr(d, p, r"^/\.\.(/|$)", "/")
     steps.append(("u_cpath", p))
 
-    # --- query canonicalization: split, drop tracking/empties, sort ---
-    q = f"replace(u_rawq, '%2f', '%2F')"
-    q = _sortjoin(d, _filter_params(d, _split(d, q, "&")), "&")
+    # --- query canonicalization: %-normalize, split, drop tracking/
+    # empties, sort.  Unreserved decode can't produce '&'/'=' (both are
+    # reserved octets), so normalizing before the split is safe. ---
+    steps.append(("u_qarr", _split(d, "u_rawq", "%")))
+    q = _sortjoin(
+        d, _filter_params(d, _split(d, _pct_norm(d, "u_qarr"), "&")), "&"
+    )
     steps.append(("u_cquery", q))
     steps.append((
         "u_qpart",
         "CASE WHEN u_cquery = '' THEN '' ELSE '?' || u_cquery END",
     ))
 
+    # Canonical validity: http(s), a non-empty printable-ASCII host (IDN
+    # hosts are excluded — folding them needs punycode, not a merge
+    # guess), and no dot segment the bounded unroll failed to resolve.
+    ascii_guard = _rlike(d, "u_host", "[^!-~]")
+    dotseg_guard = _rlike(d, "u_cpath", r"(^|/)\.\.(/|$)")
+    ok = (
+        "u_scheme IN ('http', 'https') AND u_host <> '' "
+        f"AND NOT {ascii_guard} AND NOT {dotseg_guard}"
+    )
     steps.append((
         "canonical_url",
-        "CASE WHEN u_scheme IN ('http', 'https') AND u_host <> '' THEN "
+        f"CASE WHEN {ok} THEN "
         "u_scheme || '://' || u_host || u_portpart || u_cpath || u_qpart "
         "ELSE NULL END",
     ))
 
-    # --- dedup key: also fold www. and trailing path slash ---
-    steps.append(("u_keyhost", _rr(d, "u_host", r"^www\.", "")))
+    # --- dedup key: fold www. (only when ≥ 2 labels remain — 'www.ck'
+    # is a registrable site, not a www of '.ck') and trailing slash ---
+    www_guard = _rlike(d, "u_host", r"^www\.[^.]+\.")
+    www_strip = _rr(d, "u_host", r"^www\.", "")
+    steps.append((
+        "u_keyhost",
+        f"CASE WHEN {www_guard} THEN {www_strip} ELSE u_host END",
+    ))
     kp = _rr(d, "u_cpath", r"/+$", "")
     steps.append(("u_keypath", f"CASE WHEN {kp} = '' THEN '/' ELSE {kp} END"))
     steps.append((
         "url_key",
-        "CASE WHEN u_scheme IN ('http', 'https') AND u_host <> '' THEN "
+        f"CASE WHEN {ok} THEN "
         "u_scheme || '://' || u_keyhost || u_portpart || u_keypath || u_qpart "
         "ELSE NULL END",
     ))
 
-    # --- registrable domain (eTLD+1) ---
-    rd3 = _rex(d, "u_host", r"([^.]+\.(?:" + _MULTI_SUFFIXES.replace(".", r"\.") + r"))$")
-    rd2 = _rex(d, "u_host", r"([^.]+\.[^.]+)$")
-    steps.append((
-        "registrable_domain",
-        f"CASE WHEN {rd3} <> '' THEN {rd3} "
-        f"WHEN {rd2} <> '' THEN {rd2} ELSE u_host END",
-    ))
+    # --- registrable domain (eTLD+1, functions/psl.py rule classes) ---
+    steps.append(("registrable_domain", _rd_expr(d)))
     return steps
 
 
@@ -227,7 +351,8 @@ def url_parts_sql(inner_sql: str, url_col: str = "url") -> str:
 
 
 def host_col(url: str | Column) -> Column:
-    """Standalone host extraction for ad-hoc use (lowercased, no port)."""
+    """Standalone host extraction for ad-hoc use (lowercased, no port;
+    bracketed IPv6 hosts keep their brackets)."""
     u = F.col(url) if isinstance(url, str) else url
     hostport = F.regexp_replace(
         F.regexp_extract(
@@ -238,9 +363,11 @@ def host_col(url: str | Column) -> Column:
         r"^[^@]*@",
         "",
     )
-    return F.regexp_replace(
+    name = F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"\.+$", ""
     )
+    bracketed = F.lower(F.regexp_extract(hostport, r"^(\[[^\]]+\])", 1))
+    return F.when(hostport.startswith("["), bracketed).otherwise(name)
 
 
 # ---------------------------------------------------------------------------
@@ -250,13 +377,15 @@ def host_col(url: str | Column) -> Column:
 
 def synth_url_sql(dialect: str, base_mod: int = 211) -> str:
     """One SQL expression (per dialect) deriving a deliberately messy URL
-    from ``doc_id``.  Identity fields (scheme, domain, path, params, the
-    non-default port) derive from ``doc_id % base_mod`` so ~N/base_mod
-    docs share each canonical target; messiness (case, www, default
-    ports, fragments, tracking params, dot-segments, %-escapes, '&&',
-    trailing slash) derives from raw ``doc_id``.  Spark consumes it via
-    ``F.expr``; the oracle pastes the duckdb variant — one generator,
-    two engines, byte-identical output."""
+    from ``doc_id``.  Identity fields (scheme, domain — including IPv4
+    and bracketed-IPv6 literal slices — path, params, the non-default
+    port) derive from ``doc_id % base_mod`` so ~N/base_mod docs share
+    each canonical target; messiness (case, www, default ports incl.
+    zero-padded, fragments, tracking params, dot-segments, %-escape
+    spellings, '&&', trailing slash, an over-deep ``..`` chain that
+    canonicalizes to NULL) derives from raw ``doc_id``.  Spark consumes
+    it via ``F.expr``; the oracle pastes the duckdb variant — one
+    generator, two engines, byte-identical output."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
     b = f"(doc_id % {base_mod})"
     h = f"md5(CAST({b} AS {s}))"
@@ -270,18 +399,39 @@ def synth_url_sql(dialect: str, base_mod: int = 211) -> str:
     )
     dom_cased = f"CASE WHEN doc_id % 10 = 0 THEN upper({dom}) ELSE {dom} END"
     hostdot = "CASE WHEN doc_id % 9 = 0 THEN '.' ELSE '' END"
+    # Host classes: name (with www/trailing-dot messiness), IPv4 literal,
+    # bracketed IPv6 literal (case messiness folds via lower()).
+    namehost = f"{www} || {dom_cased} || {hostdot}"
+    ip4 = f"'198.51.' || CAST({b} % 4 AS {s}) || '.' || CAST({b} % 7 AS {s})"
+    ip6_l = f"'[2001:db8::' || CAST({b} % 5 AS {s}) || ']'"
+    ip6 = f"CASE WHEN doc_id % 10 = 0 THEN upper({ip6_l}) ELSE {ip6_l} END"
+    host = (
+        f"CASE WHEN {b} % 19 = 7 THEN {ip4} "
+        f"WHEN {b} % 19 = 11 THEN {ip6} "
+        f"ELSE {namehost} END"
+    )
     port = (
         f"CASE WHEN {b} % 7 = 3 THEN ':8080' "
         f"WHEN doc_id % 6 = 0 THEN (CASE WHEN {scheme_l} = 'http' THEN ':80' ELSE ':443' END) "
+        f"WHEN doc_id % 21 = 5 THEN (CASE WHEN {scheme_l} = 'http' THEN ':0080' ELSE ':00443' END) "
         "ELSE '' END"
     )
-    lead = "CASE WHEN doc_id % 5 = 0 THEN '/skip/../' WHEN doc_id % 5 = 1 THEN '/./' WHEN doc_id % 5 = 2 THEN '//' ELSE '/' END"
+    lead = (
+        # over-deep '..' chain: resolves past the unroll depth -> the
+        # whole URL is excluded from canonical identity (NULL)
+        "CASE WHEN doc_id % 53 = 17 THEN '/u1/u2/../../../../../bad/' "
+        "WHEN doc_id % 5 = 0 THEN '/skip/../' WHEN doc_id % 5 = 1 THEN '/./' "
+        "WHEN doc_id % 5 = 2 THEN '//' ELSE '/' END"
+    )
     mid = "CASE WHEN doc_id % 7 = 0 THEN '/./' WHEN doc_id % 7 = 1 THEN '//' ELSE '/' END"
     tilde = "CASE WHEN doc_id % 2 = 0 THEN '%7e' ELSE '~' END"
+    # unreserved %50 <-> 'P' fold; reserved %3a only uppercases
+    pseg = f"CASE WHEN doc_id % 8 = 3 THEN '%50' ELSE 'P' END || CAST({b} % 13 AS {s})"
+    colon = "CASE WHEN doc_id % 2 = 0 THEN '%3a' ELSE '%3A' END"
     trail = "CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END"
     path = (
-        f"{lead} || 'P' || CAST({b} % 13 AS {s}) || {mid} || "
-        f"{tilde} || substr({h}, 1, 4) || {trail}"
+        f"{lead} || {pseg} || {mid} || "
+        f"{tilde} || substr({h}, 1, 4) || {colon} || substr({h}, 5, 2) || {trail}"
     )
     v1 = f"CAST({b} % 11 AS {s})"
     v2 = f"substr({h}, 5, 3)"
@@ -289,17 +439,23 @@ def synth_url_sql(dialect: str, base_mod: int = 211) -> str:
         f"CASE WHEN doc_id % 2 = 0 THEN 'a=' || {v1} || '&b=' || {v2} "
         f"ELSE 'b=' || {v2} || '&a=' || {v1} END"
     )
+    # content-bearing ref param (identity: derives from b) — must SURVIVE
+    refp = f"CASE WHEN {b} % 6 = 2 THEN '&ref=' || CAST({b} % 3 AS {s}) ELSE '' END"
+    # %2a is sub-delim (uppercase only); %4b is unreserved 'K' (decodes)
+    star = f"'&c=' || CASE WHEN doc_id % 4 < 2 THEN '%2a' ELSE '%2A' END"
+    kay = "CASE WHEN doc_id % 2 = 0 THEN '%4b' ELSE 'K' END"
     tracking = (
         f"CASE WHEN doc_id % 3 = 0 THEN '&utm_source=rss&fbclid=' || substr({h}, 9, 6) "
-        "WHEN doc_id % 13 = 1 THEN '&ref=home' ELSE '' END"
+        "WHEN doc_id % 13 = 1 THEN '&ref_src=tw' "
+        f"WHEN doc_id % 13 = 2 THEN '&igshid=' || substr({h}, 11, 4) ELSE '' END"
     )
     amp = "CASE WHEN doc_id % 7 = 0 THEN '&&' ELSE '' END"
     query = (
         f"CASE WHEN {b} % 11 = 5 THEN '' "
-        f"ELSE '?' || {qcore} || {tracking} || {amp} END"
+        f"ELSE '?' || {qcore} || {refp} || {star} || {kay} || {tracking} || {amp} END"
     )
     frag = f"CASE WHEN doc_id % 5 = 0 THEN '#Sec' || CAST(doc_id % 3 AS {s}) ELSE '' END"
     return (
-        f"{scheme} || '://' || {userinfo} || {www} || {dom_cased} || {hostdot}"
+        f"{scheme} || '://' || {userinfo} || {host}"
         f" || {port} || {path} || {query} || {frag}"
     )

@@ -61,10 +61,102 @@ CASES = [
         "http://h.org/x",
         "h.org",
     ),
-    (  # tracking-only query disappears; bare 'ref' flag too
+    (  # tracking-only params disappear; bare 'ref' is CONTENT, kept (r8)
         "http://h.org/p?utm_medium=email&ref&fbclid=abc",
-        "http://h.org/p",
-        "http://h.org/p",
+        "http://h.org/p?ref",
+        "http://h.org/p?ref",
+        "h.org",
+    ),
+    (  # ref=value survives, ref_src (a real tracking param) does not
+        "http://h.org/p?ref=main&ref_src=tw",
+        "http://h.org/p?ref=main",
+        "http://h.org/p?ref=main",
+        "h.org",
+    ),
+    (  # bracketed IPv6: host keeps brackets, lowercased; port parsed
+        "http://[2001:DB8::1]:8080/p",
+        "http://[2001:db8::1]:8080/p",
+        "http://[2001:db8::1]:8080/p",
+        "[2001:db8::1]",
+    ),
+    (  # zero-padded default port IS the default port
+        "http://[::1]:080/p",
+        "http://[::1]/p",
+        "http://[::1]/p",
+        "[::1]",
+    ),
+    (  # IPv4 literal: registrable domain is the whole address, never '0.1'
+        "http://192.168.0.1:0080/x",
+        "http://192.168.0.1/x",
+        "http://192.168.0.1/x",
+        "192.168.0.1",
+    ),
+    (  # zero-padded NON-default port normalizes numerically
+        "http://h.org:000443/x",
+        "http://h.org:443/x",
+        "http://h.org:443/x",
+        "h.org",
+    ),
+    (  # PSL wildcard *.ck: a.b.ck is itself registrable
+        "http://a.b.ck/p",
+        "http://a.b.ck/p",
+        "http://a.b.ck/p",
+        "a.b.ck",
+    ),
+    (  # PSL exception !www.ck: registrable site; www-fold must NOT eat it
+        "http://www.ck/p",
+        "http://www.ck/p",
+        "http://www.ck/p",
+        "www.ck",
+    ),
+    (  # PSL private section: bucket.s3.amazonaws.com is the site identity
+        "http://bucket.s3.amazonaws.com/o",
+        "http://bucket.s3.amazonaws.com/o",
+        "http://bucket.s3.amazonaws.com/o",
+        "bucket.s3.amazonaws.com",
+    ),
+    (  # jp city wildcard + its exception
+        "http://x.city.kawasaki.jp/",
+        "http://x.city.kawasaki.jp/",
+        "http://x.city.kawasaki.jp/",
+        "city.kawasaki.jp",
+    ),
+    (  # %2E decodes to '.' and THEN takes part in dot-segment removal
+        "http://h.org/a/%2E%2E/x",
+        "http://h.org/x",
+        "http://h.org/x",
+        "h.org",
+    ),
+    (  # full unreserved decode (%41 %5a %4b %7e); reserved %2f/%2a only
+       # uppercase
+        "http://h.org/%41%5a/%7e%2f?k=%4b&z=%2a",
+        "http://h.org/AZ/~%2F?k=K&z=%2A",
+        "http://h.org/AZ/~%2F?k=K&z=%2A",
+        "h.org",
+    ),
+    (  # '..' nesting beyond the bounded unroll -> EXCLUDED, never a
+       # canonical url containing literal dot segments
+        "http://h.org/a/../../../../../x",
+        None,
+        None,
+        "h.org",
+    ),
+    (  # non-ASCII (IDN) host -> excluded rather than mismerged
+        "http://exämple.com/x",
+        None,
+        None,
+        "exämple.com",
+    ),
+    (  # unterminated bracket host -> excluded
+        "http://[broken/p",
+        None,
+        None,
+        "",
+    ),
+    (  # stray '%' not followed by hex passes through untouched
+        "http://h.org/100%",
+        "http://h.org/100%",
+        "http://h.org/100%",
         "h.org",
     ),
     (  # %-escape inventory: %7e decodes, %2f only uppercases
@@ -134,6 +226,13 @@ def test_spark_duckdb_equivalence_on_adversarial_urls(spark):
         "http://h.org/p?a",  # bare param, kept
         "http://UPPER.ORG./P?B=2&A=1#x",
         "https://u@www.x.com.au:443//a/./b/..",
+        "http://h.org/a%zz/b",  # malformed escape passes through
+        "http://h.org/p%2e/q",  # %2e decodes mid-segment, not a dot-segment
+        "http://x.www.ck/p",  # under the PSL exception
+        "http://a.b.kawasaki.jp/",  # jp city wildcard
+        "http://sub.tokyo.jp/x",  # jp prefecture rule
+        "http://proj.github.io/page",  # private-section suffix
+        "http://crawler@[2001:db8::2]/i",  # userinfo before a v6 literal
     ]
     got = _spark_parts(spark, urls)
     con = duckdb.connect()
@@ -178,3 +277,79 @@ def test_canonicalization_plan_is_pure_jvm(spark):
     df = spark.createDataFrame([("http://a.com/x",)], "url string")
     plan = url_parts_cols(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def _py_pct_normalize(s: str) -> str:
+    """Independent Python reference for RFC 3986 §2.3/§6.2.2 escape
+    normalization: decode unreserved octets, uppercase remaining hex."""
+    unreserved = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+    )
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 2 < len(s) + 1:
+            hh = s[i + 1 : i + 3]
+            if len(hh) == 2 and all(x in "0123456789abcdefABCDEF" for x in hh):
+                ch = chr(int(hh, 16))
+                out.append(ch if ch in unreserved else "%" + hh.upper())
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def test_pct_normalization_matches_python_reference():
+    """Property check: the SQL %-normalization (duckdb rendering of the
+    shared lambda) agrees with an independent Python implementation on
+    every single-octet escape and on adversarial composites."""
+    import duckdb
+
+    from hive_udf_spark.functions.url import _pct_norm, _split
+
+    cases = [f"x%{b:02x}y" for b in range(256)] + [
+        f"x%{b:02X}y" for b in range(0, 256, 7)
+    ] + ["", "%", "%%", "%4", "%zz", "a%41%42%2f%2F%7e~", "100%", "%e9", "%E9x"]
+    con = duckdb.connect()
+    expr = _pct_norm("duckdb", _split("duckdb", "p", "%"))
+    vals = ", ".join("(%d, '%s')" % (i, c) for i, c in enumerate(cases))
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} AS o FROM (SELECT i, p FROM (VALUES {vals}) t(i, p)) ORDER BY i"
+        ).fetchall()
+    ]
+    want = [_py_pct_normalize(c) for c in cases]
+    assert got == want
+
+
+def test_psl_parser_roundtrip():
+    """parse_psl understands the real public_suffix_list.dat format —
+    the 'full PSL is a data swap' claim, exercised."""
+    from hive_udf_spark.functions.psl import load_psl, parse_psl
+
+    text = """
+// ===BEGIN ICANN DOMAINS===
+// ck : https://example
+*.ck
+!www.ck
+uk
+co.uk
+// an IDN rule that must be skipped
+xn--fiqs8s
+中国
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+s3.amazonaws.com
+"""
+    normal, wildcard, exception = parse_psl(text)
+    assert normal == ("co.uk", "s3.amazonaws.com", "xn--fiqs8s") or normal == (
+        "co.uk",
+        "s3.amazonaws.com",
+    )
+    assert wildcard == ("ck",)
+    assert exception == ("www.ck",)
+    # default load returns the vendored rules
+    n, w, e = load_psl()
+    assert "co.uk" in n and "ck" in w and "www.ck" in e

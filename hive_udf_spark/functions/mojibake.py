@@ -1,18 +1,31 @@
 """Mojibake (encoding-corruption) detection and repair for text corpora.
 
 The dominant real-world corruption in crawled text: UTF-8 bytes decoded
-as Windows-1252, so U+2019 RIGHT SINGLE QUOTATION MARK surfaces as
-``â€™`` and U+00E9 ``é`` as ``Ã©``.  This module models exactly that
-transform over a curated character inventory:
+under a single-byte codec, so U+2019 RIGHT SINGLE QUOTATION MARK
+surfaces as ``â€™`` and U+00E9 ``é`` as ``Ã©``.  This module models the
+three corruptions real corpora actually contain (the same ones ftfy
+targets):
 
-- ``forward(ch) = ch.encode('utf-8').decode('cp1252')`` — computed at
-  import (never hand-typed), restricted to characters whose UTF-8 bytes
-  all exist in cp1252 (bytes 81/8D/8F/90/9D are undefined there, which
-  excludes e.g. U+201D from the inventory; real pipelines see those as
-  replacement chars and they are not reversible anyway).
-- repair = the inverse replace chain, longest expansions first; a scalar
-  ``replace()`` cascade in both engines.
-- detection = count of expansion matches via ``regexp_extract_all``.
+- **UTF-8 read as windows-1252** — per the WHATWG encoding standard
+  (https://encoding.spec.whatwg.org/), where the five bytes cp1252
+  leaves undefined (81 8D 8F 90 9D) map to the C1 controls — exactly
+  what browsers and real-world decoders do, so e.g. U+201D ``”``
+  (byte 9D) round-trips instead of being unrepresentable.
+- **UTF-8 read as latin-1** — bytes 80–9F surface as C1 controls
+  (``’`` becomes ``â`` U+0080 U+0099), a distinct expansion set.
+- **double-encoded UTF-8** — the cp1252 corruption applied twice
+  (``’`` → ``Ã¢â‚¬â„¢``).  The character inventory is CLOSED under the
+  forward transform (every non-ASCII char appearing in an expansion is
+  itself in the inventory, computed at import by fixpoint), which makes
+  ``corrupt ∘ corrupt`` the true byte-level double encoding for
+  inventory text, and makes the repair cascade applied twice its exact
+  inverse.
+
+repair = the inverse replace chain over the UNION of the cp1252 and
+latin-1 expansion sets, longest expansions first, applied TWICE (the
+second pass unwinds double encodings and is a no-op on already-clean
+text).  A scalar ``replace()`` cascade in both engines.
+detection = count of expansion matches via ``regexp_extract_all``.
 
 Like ``functions/url.py``, every operation renders into BOTH dialects
 (Spark ``F.expr`` → whole-stage codegen; DuckDB SQL for the oracle) from
@@ -25,6 +38,13 @@ trade ftfy makes.  Detection-then-repair lets callers gate on score.
 
 Also included: control-character / exotic-whitespace cleanup (C0 strip,
 NBSP family → space), the standard pre-tokenization hygiene pass.
+NOTE: run repair BEFORE cleanup — latin-1/C1-fallback expansions contain
+C1 controls and NBSP that cleanup would destroy.
+
+Reference parity note: no analogue in the reference engine
+(MLnick/hive-udf UDAFCardinalityEstimator.java is a cardinality UDAF) —
+this backs the mandated text-pipeline extension surface (SURVEY.md
+§2.3), built on the public WHATWG encoding tables only.
 """
 
 from __future__ import annotations
@@ -35,7 +55,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "MOJIBAKE_INVENTORY",
     "MOJIBAKE_PAIRS",
+    "LATIN1_PAIRS",
+    "REPAIR_PAIRS",
     "corrupt_sql",
+    "corrupt_deep_sql",
+    "corrupt_latin1_sql",
     "repair_sql",
     "score_sql",
     "cleanup_sql",
@@ -44,23 +68,54 @@ __all__ = [
     "text_cleanup",
 ]
 
-# Characters a web corpus actually contains, whose UTF-8 byte sequences
-# are fully defined under cp1252 (asserted below).
-MOJIBAKE_INVENTORY = (
-    "’‘“—–…€™•"  # ’ ‘ “ — – … € ™ •
-    "éèêàäöüñç"  # é è ê à ä ö ü ñ ç
-    "íóú°£½®©"        # í ó ú ° £ ½ ® ©
+# Characters a web corpus actually contains — the user-facing seed set.
+# The working inventory is this set's closure under the forward
+# transform (computed below).
+_SEED = (
+    "’‘“”—–…€™•„†‰‹›"  # punctuation / symbols (incl. ” via C1 fallback)
+    "éèêàäöüñç"          # common Latin-1 letters
+    "íóú°£½®©"
+    "ŠšŒœŽžŸƒ"           # cp1252 0x80-0x9F letters
 )
 
-_UNDEFINED_CP1252 = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+# WHATWG windows-1252: the five cp1252-undefined bytes decode to the
+# corresponding C1 controls (what browsers do with real mojibake).
+_C1_FALLBACK = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+
+def _decode_w1252(raw: bytes) -> str:
+    return "".join(
+        chr(b) if b in _C1_FALLBACK else bytes([b]).decode("cp1252") for b in raw
+    )
 
 
 def _forward(ch: str) -> str:
-    raw = ch.encode("utf-8")
-    if any(b in _UNDEFINED_CP1252 for b in raw):
-        raise ValueError(f"U+{ord(ch):04X} hits a cp1252-undefined byte")
-    return raw.decode("cp1252")
+    """UTF-8 bytes of ``ch`` read as WHATWG windows-1252."""
+    return _decode_w1252(ch.encode("utf-8"))
 
+
+def _forward_latin1(ch: str) -> str:
+    return ch.encode("utf-8").decode("latin-1")
+
+
+def _closure(seed: str) -> str:
+    """Fixpoint of 'add every non-ASCII char appearing in an expansion'
+    — closure makes corrupt∘corrupt the true double encoding."""
+    seen = set(seed)
+    frontier = set(seed)
+    while frontier:
+        new: set[str] = set()
+        for ch in frontier:
+            for exp in (_forward(ch), _forward_latin1(ch)):
+                for c in exp:
+                    if ord(c) > 0x7F and c not in seen:
+                        new.add(c)
+        seen |= new
+        frontier = new
+    return "".join(sorted(seen, key=ord))
+
+
+MOJIBAKE_INVENTORY = _closure(_SEED)
 
 # (clean_char, mojibake_expansion), longest expansions first so the
 # repair cascade never leaves a partial match behind.
@@ -68,30 +123,93 @@ MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
     ((ch, _forward(ch)) for ch in MOJIBAKE_INVENTORY),
     key=lambda p: (-len(p[1]), p[1]),
 )
-assert len({exp for _, exp in MOJIBAKE_PAIRS}) == len(MOJIBAKE_PAIRS)
-# No expansion may be a substring of another (cascade order safety).
-assert not any(
-    a != b and a in b for _, a in MOJIBAKE_PAIRS for _, b in MOJIBAKE_PAIRS
+
+# Latin-1 expansions that DIFFER from the windows-1252 ones (bytes
+# 80-9F decode to C1 controls instead of cp1252 punctuation).
+LATIN1_PAIRS: list[tuple[str, str]] = sorted(
+    (
+        (ch, _forward_latin1(ch))
+        for ch in MOJIBAKE_INVENTORY
+        if _forward_latin1(ch) != _forward(ch)
+    ),
+    key=lambda p: (-len(p[1]), p[1]),
 )
 
-_SCORE_PATTERN = "|".join(exp for _, exp in MOJIBAKE_PAIRS)
+# Combined repair set: one cascade inverts either corruption.
+REPAIR_PAIRS: list[tuple[str, str]] = sorted(
+    MOJIBAKE_PAIRS + LATIN1_PAIRS, key=lambda p: (-len(p[1]), p[1])
+)
+
+# Every expansion maps to exactly one clean char (no ambiguity).
+assert len({exp for _, exp in REPAIR_PAIRS}) == len(REPAIR_PAIRS)
+
+_SCORE_PATTERN = "|".join(exp for _, exp in REPAIR_PAIRS)
+
+# Pair-array delimiter for the fold rendering: a private-use char that
+# appears in no clean char, no expansion, and no real corpus text.
+_DELIM = chr(0xE0FF)
 
 
-def _chain(x: str, pairs: list[tuple[str, str]]) -> str:
-    for search, rep in pairs:
-        x = f"replace({x}, '{search}', '{rep}')"
-    return x
+def _fold_replace(d: str, x: str, pairs: list[tuple[str, str]]) -> str:
+    """Sequential replace cascade as a FOLD over a literal pair array —
+    wide, not deep, so neither engine's expression-depth limit is hit
+    (a 244-deep nested replace() chain exceeds DuckDB's binder
+    recursion cap).  Spark: ``aggregate(array, init, lambda)``;
+    DuckDB's ``list_reduce`` has no init argument, so the text is
+    prepended as the first (accumulator-seeding) element."""
+    for s, r in pairs:
+        assert _DELIM not in s and _DELIM not in r and "'" not in s + r
+    items = ", ".join(f"'{s}{_DELIM}{r}'" for s, r in pairs)
+    lam = (
+        f"(acc, p) -> replace(acc, split_part(p, '{_DELIM}', 1), "
+        f"split_part(p, '{_DELIM}', 2))"
+    )
+    if d == "spark":
+        return f"aggregate(array({items}), {x}, {lam})"
+    return f"list_reduce(list_prepend({x}, [{items}]), {lam})"
 
 
-def corrupt_sql(x: str) -> str:
-    """Forward transform (fixture generator): clean → mojibake.
-    Dialect-free — plain nested replace()."""
-    return _chain(x, [(ch, exp) for ch, exp in MOJIBAKE_PAIRS])
+def _corrupt_pairs(fwd) -> list[tuple[str, str]]:
+    """Per-character forward map over the SEED alphabet as a cascade.
+    A naive one-phase cascade is NOT the per-char map once expansions
+    contain other seed chars (``“`` → ``â€œ`` contains ``œ``, whose
+    expansion contains ``“`` — a genuine cycle), so it goes through two
+    phases: seed char → unique private-use sentinel (U+E000+i, absent
+    from real text and every expansion), then sentinel → expansion.
+    Order-independent by construction.  Fixture generators are defined
+    for text whose non-ASCII chars come from ``_SEED`` — closure chars
+    exist so REPAIR can invert double encodings, not to be corrupted
+    themselves."""
+    phase1 = [(ch, chr(0xE000 + i)) for i, ch in enumerate(_SEED)]
+    phase2 = [(chr(0xE000 + i), fwd(ch)) for i, ch in enumerate(_SEED)]
+    return phase1 + phase2
 
 
-def repair_sql(x: str) -> str:
-    """Inverse transform: mojibake expansions → original characters."""
-    return _chain(x, [(exp, ch) for ch, exp in MOJIBAKE_PAIRS])
+def corrupt_sql(x: str, dialect: str) -> str:
+    """Forward transform (fixture generator): clean → mojibake
+    (UTF-8-read-as-windows-1252, WHATWG tables)."""
+    return _fold_replace(dialect, x, _corrupt_pairs(_forward))
+
+
+def corrupt_deep_sql(x: str, dialect: str) -> str:
+    """Double encoding: UTF-8 written, misread, re-encoded, misread
+    again — the per-char map ch → forward(forward(ch))."""
+    return _fold_replace(
+        dialect, x, _corrupt_pairs(lambda ch: _decode_w1252(_forward(ch).encode("utf-8")))
+    )
+
+
+def corrupt_latin1_sql(x: str, dialect: str) -> str:
+    """Forward transform under latin-1 (C1 controls for 80-9F)."""
+    return _fold_replace(dialect, x, _corrupt_pairs(_forward_latin1))
+
+
+def repair_sql(x: str, dialect: str) -> str:
+    """Inverse transform: expansion → original, longest first, applied
+    twice (one fold over the doubled pair list) so double-encoded text
+    unwinds; a no-op on already-clean text."""
+    inv = [(exp, ch) for ch, exp in REPAIR_PAIRS]
+    return _fold_replace(dialect, x, inv + inv)
 
 
 def score_sql(x: str, dialect: str) -> str:
@@ -131,7 +249,7 @@ def mojibake_score(col: str | Column) -> Column:
 
 
 def mojibake_repair(col: str) -> Column:
-    return F.expr(repair_sql(col))
+    return F.expr(repair_sql(col, "spark"))
 
 
 def text_cleanup(col: str) -> Column:

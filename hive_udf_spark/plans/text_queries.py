@@ -1832,6 +1832,8 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from hive_udf_spark.functions.mojibake import (  # noqa: E402
     cleanup_sql,
+    corrupt_deep_sql,
+    corrupt_latin1_sql,
     corrupt_sql,
     repair_sql,
     score_sql,
@@ -1839,51 +1841,67 @@ from hive_udf_spark.functions.mojibake import (  # noqa: E402
 
 _MOJI_SUFFIX = (
     " It\u2019s a caf\u00e9 \u2014 \u201cna\u00efve\u201d\u2026 "
-    "\u20ac5 \u00bd\u00b0 \u00a9rights \u2022 s\u00f1o\u00fc"
+    "\u20ac5 \u00bd\u00b0 \u00a9rights \u2022 s\u00f1o\u00fc "
+    "\u201edeep\u201c \u2030 \u0160\u0153\u017e"
 )
 
 _MOJI_AUG = f"text || '{_MOJI_SUFFIX}'"
-_MOJI_CORRUPTED = (
-    f"CASE WHEN doc_id % 3 = 0 THEN {corrupt_sql(_MOJI_AUG)} ELSE {_MOJI_AUG} END"
-)
+
+
+# r8: three corruption modes \u2014 single cp1252, DOUBLE-encoded, latin-1 \u2014
+# plus clean rows; ONE repair chain must restore all of them.
+def _moji_corrupted(d: str) -> str:
+    return (
+        f"CASE WHEN doc_id % 5 = 0 THEN {corrupt_sql(_MOJI_AUG, d)} "
+        f"WHEN doc_id % 5 = 1 THEN {corrupt_deep_sql(_MOJI_AUG, d)} "
+        f"WHEN doc_id % 5 = 2 THEN {corrupt_latin1_sql(_MOJI_AUG, d)} "
+        f"ELSE {_MOJI_AUG} END"
+    )
 
 
 @register(
     "text_mojibake_repair",
     oracle=f"""
     WITH m AS (
-      SELECT doc_id, {_MOJI_AUG} AS aug, {_MOJI_CORRUPTED} AS corrupted
+      SELECT doc_id, {_MOJI_AUG} AS aug, {_moji_corrupted("duckdb")} AS corrupted
       FROM documents
-    )
+    ),
+    r AS (SELECT *, {repair_sql("corrupted", "duckdb")} AS repaired FROM m)
     SELECT doc_id,
            CAST({score_sql("corrupted", "duckdb")} AS BIGINT) AS score_before,
-           CAST({score_sql(repair_sql("corrupted"), "duckdb")} AS BIGINT) AS score_after,
-           (doc_id % 3 = 0) AS was_corrupted,
-           ({repair_sql("corrupted")} = aug) AS repaired_ok,
-           CAST(length({repair_sql("corrupted")}) AS BIGINT) AS n_chars
-    FROM m
+           CAST({score_sql("repaired", "duckdb")} AS BIGINT) AS score_after,
+           (doc_id % 5 < 3) AS was_corrupted,
+           (repaired = aug) AS repaired_ok,
+           CAST(length(repaired) AS BIGINT) AS n_chars
+    FROM r
     """,
 )
 def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mojibake (UTF-8-read-as-cp1252) detect + repair (r7): every doc is
-    augmented with a unicode-bearing suffix, a third are corrupted with
-    the forward transform, and the repair chain must restore them exactly
-    (repaired_ok verdict column).  Both the corruption model and the
-    repair cascade are generated from functions/mojibake.py's ONE
-    inventory into both engines; pure replace()/regexp codegen, no
-    Python, no shuffle."""
+    """Mojibake detect + repair (r7, deepened r8): every doc is augmented
+    with a unicode-bearing suffix; 3/5 are corrupted — UTF-8 read as
+    windows-1252 (WHATWG tables), DOUBLE-encoded UTF-8, or UTF-8 read as
+    latin-1 — and the ONE two-pass repair cascade must restore all of
+    them exactly (repaired_ok verdict column).  Both the corruption
+    models and the repair cascade are generated from
+    functions/mojibake.py's ONE closure inventory into both engines;
+    pure replace()/regexp codegen, no Python, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.withColumn("aug", F.expr(_MOJI_AUG))
     d = d.withColumn(
         "corrupted",
-        F.expr(f"CASE WHEN doc_id % 3 = 0 THEN {corrupt_sql('aug')} ELSE aug END"),
+        F.expr(
+            f"CASE WHEN doc_id % 5 = 0 THEN {corrupt_sql('aug', 'spark')} "
+            f"WHEN doc_id % 5 = 1 THEN {corrupt_deep_sql('aug', 'spark')} "
+            f"WHEN doc_id % 5 = 2 THEN {corrupt_latin1_sql('aug', 'spark')} "
+            "ELSE aug END"
+        ),
     )
-    d = d.withColumn("repaired", F.expr(repair_sql("corrupted")))
+    d = d.withColumn("repaired", F.expr(repair_sql("corrupted", "spark")))
     return d.select(
         "doc_id",
         F.expr(score_sql("corrupted", "spark")).cast("long").alias("score_before"),
         F.expr(score_sql("repaired", "spark")).cast("long").alias("score_after"),
-        (F.col("doc_id") % 3 == 0).alias("was_corrupted"),
+        (F.col("doc_id") % 5 < 3).alias("was_corrupted"),
         (F.col("repaired") == F.col("aug")).alias("repaired_ok"),
         F.length("repaired").cast("long").alias("n_chars"),
     )

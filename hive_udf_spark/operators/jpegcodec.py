@@ -23,9 +23,21 @@ the final integer rounding) — which is what lets a SQL oracle predict
 the decoded pixel statistics of a lossy format exactly
 (``multimodal_jpeg_decode``).
 
-Scope: baseline sequential DCT, 8-bit precision, Huffman entropy coding.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+Scope: baseline sequential DCT (SOF0) and — r8 — progressive DCT (SOF2)
+with spectral selection + successive approximation: DC-first/DC-refine,
+AC-first/AC-refine scans, EOBn run decoding, non-interleaved AC scans
+on the component block grid, restart markers inside every scan type,
+and between-scan DHT redefinition.  8-bit precision, Huffman entropy
+coding.  Arithmetic coding, 12-bit, lossless, and hierarchical modes
 raise ``ValueError`` explicitly — never a silent wrong decode.
+
+``encode_jpeg_progressive`` is the progressive fixture twin: a
+four-phase scan script (interleaved DC first at Al=1 → per-component
+AC first → DC refine → per-component AC refine) that exercises all
+four scan decoders; with full refinement down to Al=0 it transmits
+exactly the baseline-quantized coefficients, so progressive and
+baseline decodes of the same image are BIT-IDENTICAL — the
+self-consistency property the tests pin.
 
 No reference analogue (the reference is a cardinality-UDAF package,
 MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
@@ -40,7 +52,7 @@ import numpy as np
 
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
-__all__ = ["decode_jpeg_gray", "encode_jpeg"]
+__all__ = ["decode_jpeg_gray", "encode_jpeg", "encode_jpeg_progressive"]
 
 
 def _zigzag() -> np.ndarray:
@@ -294,6 +306,7 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    progressive = False
     restart_interval = 0
     while True:
         if pos + 4 > len(b):
@@ -304,11 +317,11 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI before any scan
             raise ValueError("JPEG stream has no scan (EOI before SOS)")
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF 0x{marker:02X} not baseline sequential Huffman "
-                "(progressive/extended/arithmetic not vendored)"
+                f"JPEG SOF 0x{marker:02X} not sequential/progressive Huffman "
+                "(extended/arithmetic/lossless/hierarchical not vendored)"
             )
         (seglen,) = struct.unpack_from(">H", b, pos)
         seg_end = pos + seglen
@@ -334,7 +347,7 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                 vals = list(b[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", b, body)
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not vendored")
@@ -343,6 +356,7 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", b, body + 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", b, body)
         elif marker == 0xDA:  # SOS
@@ -350,10 +364,14 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         # APPn / COM / anything else: skip
         pos = seg_end
     if frame is None:
-        raise ValueError("JPEG SOS before SOF0")
+        raise ValueError("JPEG SOS before SOF")
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("JPEG zero dimension")
+    if progressive:
+        return _decode_progressive(
+            b, pos, frame, qtables, htables, restart_interval
+        )
     ns = b[pos + 2]
     scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
     for i in range(ns):
@@ -451,6 +469,293 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     cw = -(-w * hs[0] // hmax)
     luma = luma[:ch, :cw]
     if (vs[0], hs[0]) != (vmax, hmax):  # upsample Y to frame dims (rare)
+        ys = (np.arange(h, dtype=np.int64) * ch // h).clip(0, ch - 1)
+        xs = (np.arange(w, dtype=np.int64) * cw // w).clip(0, cw - 1)
+        luma = luma[np.ix_(ys, xs)]
+    else:
+        luma = luma[:h, :w]
+    return np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def _ac_first(reader, act, coef, ss, se, al, eobrun):
+    """T.81 G.1.2.2: first AC scan of a band — run/size symbols with
+    EOBn run-length codes; values enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eb = (1 << r) - 1
+            if r:
+                eb += reader.receive(r)
+            return eb
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past spectral band")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(reader, coef, k, p1):
+    """Correction bit for an already-nonzero coefficient (G.1.2.3)."""
+    if reader.read_bit() and (int(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _ac_refine(reader, act, coef, ss, se, al, eobrun):
+    """T.81 G.1.2.3: AC refinement — newly-significant coefficients
+    arrive as ±1<<Al after runs counted over ZERO-history positions;
+    already-nonzero coefficients passed over receive correction bits;
+    EOBn covers whole blocks whose nonzero coefficients still receive
+    correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run includes THIS block
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement magnitude must be 1")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(reader, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("JPEG AC refine run past band")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker_after_scan(b: bytes, p: int) -> int:
+    """Position of the marker terminating a scan's entropy data; the
+    only legal filler is a stuffed 0xFF00 from 1-bit padding."""
+    while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0x00:
+        p += 2
+    if p + 1 >= len(b) or b[p] != 0xFF:
+        raise ValueError("expected marker after progressive scan data")
+    return p
+
+
+def _decode_progressive(b, pos, frame, qtables, htables, restart_interval):
+    """Multi-scan progressive decode loop: accumulate DCT coefficients
+    for every component across DC-first/DC-refine/AC-first/AC-refine
+    scans (with between-scan DHT/DQT/DRI), then IDCT the luma plane
+    once at EOI — the same vectorized path the baseline decoder uses.
+    ``pos`` points at the first SOS segment's length field."""
+    h, w, comps = frame
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if any(hi not in (1, 2) or vi not in (1, 2) for hi, vi in zip(hs, vs)):
+        raise ValueError("JPEG sampling factors beyond 1-2 not vendored")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for _, _, _, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG quant table {tq} never defined")
+    # MCU-padded coefficient grids (interleaved scans) — non-interleaved
+    # scans address the top-left component-sized block subgrid.
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for hi, vi in zip(hs, vs)
+    ]
+    # Non-interleaved scans cover ceil(component_dim / 8) blocks — the
+    # component dims, NOT the MCU-padded grid (T.81 A.2.2).
+    nonint_b = []
+    for hi, vi in zip(hs, vs):
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        nonint_b.append((-(-ch // 8), -(-cw // 8)))
+    got_dc = [False] * len(comps)
+
+    while True:
+        # --- scan header at pos (length field) ---
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        if pos + seglen > len(b):
+            raise ValueError("JPEG SOS segment truncated")
+        ns = b[pos + 2]
+        if seglen != 6 + 2 * ns:
+            raise ValueError("JPEG SOS segment length mismatch")
+        scan = []
+        for i in range(ns):
+            cs, tda = struct.unpack_from(">BB", b, pos + 3 + 2 * i)
+            ci = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+            if ci is None:
+                raise ValueError(f"JPEG scan references unknown component {cs}")
+            scan.append((ci, tda >> 4, tda & 0x0F))
+        ss, se, ahal = struct.unpack_from(">BBB", b, pos + 3 + 2 * ns)
+        ah, al = ahal >> 4, ahal & 0x0F
+        if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+            raise ValueError("JPEG progressive scan parameters out of range")
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+        if not is_dc:
+            if ns != 1:
+                raise ValueError("JPEG progressive AC scan must be single-component")
+            if not got_dc[scan[0][0]]:
+                raise ValueError("JPEG AC scan before the component's DC scan")
+        reader = _BitReader(b, pos + seglen)
+        eobrun = 0
+        pred = [0] * len(comps)
+        tdc = {ci: t for ci, t, _ in scan}
+        tac = {ci: t for ci, _, t in scan}
+
+        if ns > 1:
+            mcu_units = []
+            for ci, _, _ in scan:
+                hi, vi = hs[ci], vs[ci]
+                mcu_units.append((ci, hi, vi))
+            n_mcu = mcux * mcuy
+        else:
+            ci0 = scan[0][0]
+            nby, nbx = nonint_b[ci0]
+            n_mcu = nby * nbx
+
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                p = _next_marker_after_scan(b, reader.pos)
+                if not 0xD0 <= b[p + 1] <= 0xD7:
+                    raise ValueError("expected RST marker at restart interval")
+                reader = _BitReader(b, p + 2)
+                pred = [0] * len(comps)
+                eobrun = 0
+            if ns > 1:
+                my, mx = divmod(m, mcux)
+                units = [
+                    (ci, my * vi + by, mx * hi + bx)
+                    for ci, hi, vi in mcu_units
+                    for by in range(vi)
+                    for bx in range(hi)
+                ]
+            else:
+                units = [(ci0, m // nbx, m % nbx)]
+            for ci, by, bx in units:
+                coef = coefs[ci][by, bx]
+                if is_dc:
+                    if ah == 0:
+                        dct = htables.get((0, tdc[ci]))
+                        if dct is None:
+                            raise ValueError("JPEG scan uses an undefined DC table")
+                        size = reader.decode_symbol(dct)
+                        if size > 11:
+                            raise ValueError("JPEG DC category out of range")
+                        diff = _extend(reader.receive(size), size)
+                        pred[ci] += diff
+                        coef[0] = pred[ci] << al
+                    else:
+                        if reader.read_bit():
+                            coef[0] = int(coef[0]) | (1 << al)
+                else:
+                    act = htables.get((1, tac[ci]))
+                    if act is None:
+                        raise ValueError("JPEG scan uses an undefined AC table")
+                    if ah == 0:
+                        eobrun = _ac_first(reader, act, coef, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(reader, act, coef, ss, se, al, eobrun)
+        if is_dc:
+            for ci, _, _ in scan:
+                got_dc[ci] = True
+
+        # --- segments after the scan: DHT/DQT/DRI/APP/COM, SOS, EOI ---
+        pos = _next_marker_after_scan(b, reader.pos)
+        next_sos = None
+        while next_sos is None:
+            if b[pos] != 0xFF:
+                raise ValueError(f"expected marker at byte {pos}")
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI — reconstruct
+                if not got_dc[0]:
+                    raise ValueError("JPEG EOI before any luma DC scan")
+                return _idct_luma_plane(
+                    coefs[0], qtables[comps[0][3]], h, w, hs, vs, hmax, vmax,
+                    mcux, mcuy,
+                )
+            (seglen,) = struct.unpack_from(">H", b, pos)
+            seg_end = pos + seglen
+            if seglen < 2 or seg_end > len(b):
+                raise ValueError(f"JPEG segment 0x{marker:02X} truncated")
+            body = pos + 2
+            if marker == 0xDA:
+                next_sos = pos - 2
+            elif marker == 0xC4:  # DHT (tables may change between scans)
+                p = body
+                while p < seg_end:
+                    tc, th = b[p] >> 4, b[p] & 0x0F
+                    bits = list(b[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(b[p + 17 : p + 17 + n])
+                    htables[(tc, th)] = _build_decode_table(bits, vals)
+                    p += 17 + n
+            elif marker == 0xDB:  # DQT
+                p = body
+                while p < seg_end:
+                    pq, tq = b[p] >> 4, b[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("16-bit JPEG quant tables not vendored")
+                    qtables[tq] = np.frombuffer(
+                        b, dtype=np.uint8, count=64, offset=p + 1
+                    ).astype(np.int64)
+                    p += 65
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", b, body)
+            elif marker in (0xC0, 0xC2):
+                raise ValueError("second SOF in progressive stream")
+            if next_sos is None:
+                pos = seg_end
+        pos = next_sos + 2  # at the SOS length field
+
+
+def _idct_luma_plane(c0, q0, h, w, hs, vs, hmax, vmax, mcux, mcuy):
+    """Dequantize + de-zigzag + batched IDCT of the luma coefficient
+    grid, then the same crop/upsample discipline as the baseline path."""
+    nby, nbx, _ = c0.shape
+    A = _DCT_A
+    Z = c0.reshape(-1, 64).astype(np.float64) * q0[ZIGZAG].astype(np.float64)
+    coeffs = np.zeros_like(Z)
+    coeffs[:, ZIGZAG] = Z
+    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs.reshape(-1, 8, 8), A)
+    plane = (
+        blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    )
+    ch = -(-h * vs[0] // vmax)
+    cw = -(-w * hs[0] // hmax)
+    luma = plane[:ch, :cw]
+    if (vs[0], hs[0]) != (vmax, hmax):
         ys = (np.arange(h, dtype=np.int64) * ch // h).clip(0, ch - 1)
         xs = (np.arange(w, dtype=np.int64) * cw // w).clip(0, cw - 1)
         luma = luma[np.ix_(ys, xs)]
@@ -599,4 +904,251 @@ def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) 
             m += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _quant_block_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(ph, pw) float plane → (nby, nbx, 64) int64 quantized zigzag
+    coefficients.  Deliberately the BYTE-IDENTICAL per-block expression
+    ``A @ block @ A.T`` the baseline ``_encode_plane`` uses — a batched
+    einsum sums in a different order, and a 1-ulp difference at a .5
+    rounding boundary would break the progressive==baseline decode
+    guarantee the tests pin."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    A = _DCT_A
+    qz = q[ZIGZAG].astype(np.float64)
+    out = np.empty((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = A @ block @ A.T
+            out[by, bx] = np.round(coeffs.reshape(64)[ZIGZAG] / qz).astype(np.int64)
+    return out
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """JPEG point transform for AC: divide by 2^Al truncating toward 0."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_rst(writer: _BitWriter, n: int) -> None:
+    writer.byte_align()
+    writer.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+
+def _prog_dc_first_scan(zzs, dc_enc, al, restart_interval) -> bytes:
+    writer = _BitWriter()
+    nby, nbx, _ = zzs[0].shape
+    preds = [0] * len(zzs)
+    m = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_rst(writer, m // restart_interval - 1)
+                preds = [0] * len(zzs)
+            for ci, zz in enumerate(zzs):
+                v = int(zz[by, bx, 0]) >> al  # arithmetic shift per G.1.2.1
+                diff = v - preds[ci]
+                preds[ci] = v
+                size = _category(diff)
+                length, code = dc_enc[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            m += 1
+    return writer.flush()
+
+
+def _prog_dc_refine_scan(zzs, al, restart_interval) -> bytes:
+    writer = _BitWriter()
+    nby, nbx, _ = zzs[0].shape
+    m = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_rst(writer, m // restart_interval - 1)
+            for zz in zzs:
+                writer.write((int(zz[by, bx, 0]) >> al) & 1, 1)
+            m += 1
+    return writer.flush()
+
+
+def _prog_ac_first_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
+    writer = _BitWriter()
+    nby, nbx, _ = zz.shape
+    m = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_rst(writer, m // restart_interval - 1)
+            vals = [_trunc_shift(int(zz[by, bx, k]), al) for k in range(ss, se + 1)]
+            last_nz = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last_nz = i
+            run = 0
+            for i in range(last_nz + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                s = _category(v)
+                length, code = ac_enc[(run << 4) | s]
+                writer.write(code, length)
+                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < se - ss:  # trailing zeros -> EOB0
+                length, code = ac_enc[0x00]
+                writer.write(code, length)
+            m += 1
+    return writer.flush()
+
+
+def _prog_ac_refine_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
+    """G.1.2.3 encode side: newly-significant coefficients (magnitude 1
+    at this precision) as (run,1) symbols over zero-history positions,
+    correction bits for already-nonzero coefficients buffered and
+    appended after the next symbol, EOB0 flushing the remainder."""
+    writer = _BitWriter()
+    nby, nbx, _ = zz.shape
+    m = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_rst(writer, m // restart_interval - 1)
+            vals = [int(zz[by, bx, k]) for k in range(ss, se + 1)]
+            mags = [abs(v) >> al for v in vals]
+            eob = -1  # last newly-significant index
+            for i, t in enumerate(mags):
+                if t == 1:
+                    eob = i
+            run = 0
+            buffered: list[int] = []
+            for i in range(eob + 1):
+                t = mags[i]
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL must flush at ANY nonzero coefficient (history or
+                # new): the decoder consumes buffered correction bits
+                # span-by-span while walking each ZRL's 16 zero-history
+                # positions, so bits may never pile up across spans.
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    writer.write(code, length)
+                    for bit in buffered:
+                        writer.write(bit, 1)
+                    buffered = []
+                    run -= 16
+                if t > 1:  # history coefficient: buffer its correction bit
+                    buffered.append(t & 1)
+                    continue
+                length, code = ac_enc[(run << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if vals[i] > 0 else 0, 1)
+                for bit in buffered:
+                    writer.write(bit, 1)
+                buffered = []
+                run = 0
+            # remainder: correction bits live under an EOB
+            rest = [mags[i] & 1 for i in range(eob + 1, len(mags)) if mags[i] > 1]
+            if eob + 1 <= len(mags) - 1 or buffered:
+                length, code = ac_enc[0x00]
+                writer.write(code, length)
+                for bit in buffered + rest:
+                    writer.write(bit, 1)
+            m += 1
+    return writer.flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 100, restart_interval: int = 0
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → PROGRESSIVE JFIF JPEG (SOF2,
+    4:4:4 for color) with a four-phase scan script — interleaved DC
+    first (Al=1), per-component AC first (Ss=1..63, Al=1), DC refine
+    (Ah=1→Al=0), per-component AC refine — exercising all four scan
+    decoders.  Full refinement to Al=0 transmits exactly the
+    baseline-quantized coefficients, so decode(progressive(img)) ==
+    decode(baseline(img)) bit-for-bit at any quality."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise ValueError("encode_jpeg_progressive takes (h,w) gray or (h,w,3) RGB")
+    h, w = arr.shape[:2]
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    nc = len(planes)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    zzs = [
+        _quant_block_coefs(pp, qluma if ci == 0 else qchroma)
+        for ci, pp in enumerate(padded)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(b"\xff\xdb", b"\x00" + qluma.astype(np.uint8).tobytes())
+    if nc == 3:
+        out += seg(b"\xff\xdb", b"\x01" + qchroma.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+    out += seg(b"\xff\xc2", sof)  # SOF2: progressive DCT
+    dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += seg(b"\xff\xc4", dht)
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+
+    dc_enc = _encode_table(_DC_BITS, _DC_VALS)
+    ac_enc = _encode_table(_AC_BITS, _AC_VALS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(b"\xff\xda", body)
+
+    all_ids = [i + 1 for i in range(nc)]
+    # 1) DC first, interleaved, Al=1
+    out += sos(all_ids, 0, 0, 0, 1)
+    out += _prog_dc_first_scan(zzs, dc_enc, 1, restart_interval)
+    # 2) AC first per component, band 1..63, Al=1
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        out += _prog_ac_first_scan(zzs[ci], ac_enc, 1, 63, 1, restart_interval)
+    # 3) DC refine to Al=0
+    out += sos(all_ids, 0, 0, 1, 0)
+    out += _prog_dc_refine_scan(zzs, 0, restart_interval)
+    # 4) AC refine per component to Al=0
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        out += _prog_ac_refine_scan(zzs[ci], ac_enc, 1, 63, 0, restart_interval)
+    out += b"\xff\xd9"
     return bytes(out)

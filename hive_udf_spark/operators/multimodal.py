@@ -123,9 +123,15 @@ def tiff_encoder_udf(
     return enc
 
 
-def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
+def jpeg_block_encoder_udf(
+    n_blocks_side: int = 8,
+    quality: int = 100,
+    progressive: bool = False,
+    restart_interval: int = 0,
+):
     """Arrow-batched JPEG fixture encoder: a ``pandas_udf`` mapping an
-    n²-char ASCII payload to a baseline JPEG whose 8×8 blocks are each
+    n²-char ASCII payload to a baseline (or, ``progressive=True``, a
+    multi-scan SOF2 progressive) JPEG whose 8×8 blocks are each
     CONSTANT at one payload char's codepoint (an n·8 × n·8 image). At
     ``quality=100`` (all-ones quant tables) a flat block carries only a
     DC coefficient, so the LOSSY format round-trips these images
@@ -133,8 +139,8 @@ def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
     pixel statistics of a JPEG: mean over pixels = mean over payload
     chars (each char owns exactly 64 pixels), max likewise. Exists only
     to feed the production decode path (``operators.jpegcodec``:
-    marker parse, Huffman entropy decode, dequant+IDCT) with real
-    compressed streams."""
+    marker parse, Huffman entropy decode — all four progressive scan
+    kinds for SOF2 — dequant+IDCT) with real compressed streams."""
     from pyspark.sql.functions import pandas_udf
 
     n = n_blocks_side * n_blocks_side
@@ -152,7 +158,13 @@ def jpeg_block_encoder_udf(n_blocks_side: int = 8, quality: int = 100):
                 8,
                 axis=1,
             )
-            return jpegcodec.encode_jpeg(img, quality=quality)
+            if progressive:
+                return jpegcodec.encode_jpeg_progressive(
+                    img, quality=quality, restart_interval=restart_interval
+                )
+            return jpegcodec.encode_jpeg(
+                img, quality=quality, restart_interval=restart_interval
+            )
 
         return s.map(one)
 

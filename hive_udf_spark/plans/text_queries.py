@@ -425,6 +425,46 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_jpeg_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_progressive_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode end-to-end (r8, r7 verdict item 2:
+    real crawled JPEGs are heavily progressive and used to quarantine as
+    data loss).  Same flat-block/quality-100 discipline as
+    multimodal_jpeg_decode, but the stream is multi-scan progressive —
+    interleaved DC first at Al=1, AC first, DC refine, AC refine, with
+    restart markers every 5 MCUs — so the production mapInPandas path
+    exercises all four scan decoders plus in-scan restarts, and the
+    lossy multi-pass format is STILL held to a hash-exact oracle."""
+    from hive_udf_spark.operators.multimodal import jpeg_block_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = jpeg_block_encoder_udf(8, quality=100, progressive=True, restart_interval=5)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_gif_decode",
     oracle="""
     WITH t AS (

@@ -115,10 +115,16 @@ def test_rejects_unsupported_and_malformed():
         decode_jpeg_gray(b"notajpeg")
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_gray(good[:20])
-    # progressive SOF2 refused explicitly
+    # a baseline stream with its SOF marker flipped to SOF2 is a
+    # MALFORMED progressive stream (its single scan says Ss=0, Se=63 —
+    # a progressive DC scan may not carry a spectral band)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_gray(prog)
+    # arithmetic-coded SOF refused explicitly
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="not vendored|arithmetic"):
+        decode_jpeg_gray(arith)
     # 12-bit precision refused: rebuild SOF with precision byte 12
     i = good.index(b"\xff\xc0")
     (seglen,) = struct.unpack_from(">H", good, i + 2)
@@ -220,3 +226,112 @@ def test_mjpeg_avi_container_roundtrip(spark):
         assert out[i].n_pixels == 4096
         assert out[i].mean_px == int(imgs[i].sum(dtype=np.int64)) / 4096
         assert out[i].max_px == int(imgs[i].max())
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r8
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """The pinned self-consistency property: full refinement to Al=0
+    transmits exactly the baseline-quantized coefficients, so
+    decode(progressive(img)) == decode(baseline(img)) BIT-FOR-BIT —
+    across shapes (odd dims exercise partial blocks), gray/color,
+    qualities (low quality exercises ZRL and long zero runs), and
+    restart intervals (in-scan RST state resets)."""
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ((16, 24), False), ((17, 23), False), ((32, 32), True),
+        ((9, 9), True), ((8, 8), False),
+    ]
+    for shape, color in cases:
+        for q in (100, 75, 25, 1):
+            for ri in (0, 3):
+                img = rng.integers(
+                    0, 256, shape + ((3,) if color else ()), dtype=np.uint8
+                )
+                base = decode_jpeg_gray(encode_jpeg(img, quality=q, restart_interval=ri))
+                prog = decode_jpeg_gray(
+                    encode_jpeg_progressive(img, quality=q, restart_interval=ri)
+                )
+                assert np.array_equal(base, prog), (shape, color, q, ri)
+
+
+def test_progressive_flat_blocks_roundtrip_exact():
+    """quality=100 + constant 8x8 blocks: the oracle-exactness regime
+    must hold for the multi-scan format too."""
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = np.repeat(np.repeat(rng.integers(0, 256, (5, 7), dtype=np.uint8), 8, 0), 8, 1)
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_progressive(img, quality=100)), img)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_progressive(img, quality=100, restart_interval=2)),
+        img,
+    )
+
+
+def test_progressive_smooth_image_exercises_eob_runs():
+    """A smooth gradient yields long EOB runs in AC scans and dense
+    correction bits in refine scans; progressive must still match
+    baseline exactly."""
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    for q in (90, 30):
+        base = decode_jpeg_gray(encode_jpeg(img, quality=q))
+        prog = decode_jpeg_gray(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(base, prog), q
+
+
+def test_progressive_malformed_streams_raise():
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    good = encode_jpeg_progressive(img, quality=90)
+    # truncation anywhere inside the scan chain
+    with pytest.raises(ValueError, match="truncated|marker|Huffman"):
+        decode_jpeg_gray(good[: len(good) // 2])
+    # an AC scan cannot precede the component's DC scan: strip scan 1
+    # (the DC-first SOS) by splicing from SOI straight to the first AC SOS
+    first_sos = good.index(b"\xff\xda")
+    second_sos = good.index(b"\xff\xda", first_sos + 2)
+    hacked = good[:first_sos] + good[second_sos:]
+    with pytest.raises(ValueError, match="AC scan before"):
+        decode_jpeg_gray(hacked)
+    # a second SOF BETWEEN scans is malformed
+    import struct
+
+    sof = good.index(b"\xff\xc2")
+    (seglen,) = struct.unpack_from(">H", good, sof + 2)
+    seg = good[sof : sof + 2 + seglen]
+    hacked2 = good[:second_sos] + seg + good[second_sos:]
+    with pytest.raises(ValueError, match="second SOF|marker"):
+        decode_jpeg_gray(hacked2)
+
+
+def test_progressive_cross_check_with_pil():
+    """Wherever pillow exists: PIL decodes our progressive streams and we
+    decode PIL's progressive encoder output."""
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        pytest.skip("pillow not installed in this container")
+    import io
+
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    with Image.open(io.BytesIO(encode_jpeg_progressive(g, quality=100))) as im:
+        pil = np.asarray(im.convert("L"), dtype=np.int64)
+    assert int(np.abs(pil - g.astype(np.int64)).max()) <= 2
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="JPEG", quality=95, progressive=True)
+    ours = decode_jpeg_gray(buf.getvalue()).astype(np.int64)
+    assert int(np.abs(ours - g.astype(np.int64)).max()) <= 3

@@ -513,6 +513,42 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sketch_quantile_sliding_window"].fn(spark, sf_dir))
 
+    def q_url_canonicalize():
+        # r7 family (r7 verdict item 7): the pure-codegen canonicalization
+        # chain — scheme/host/port/path/query normalization + PSL
+        # registrable-domain extraction, zero shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_url_canonicalize"].fn(spark, sf_dir))
+
+    def q_url_dedup():
+        # canonical-key dedup: the chain above + one hash-agg shuffle on
+        # the bounded url_key strings
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_url_dedup"].fn(spark, sf_dir))
+
+    def q_mojibake_repair():
+        # r7/r8 family: three corruption modes + the 244-step fold-replace
+        # repair cascade (aggregate HOF), detect scores — per-row codegen
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_mojibake_repair"].fn(spark, sf_dir))
+
+    def q_codec_progressive_jpeg():
+        # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
+        from hive_udf_spark.operators.multimodal import (
+            decode_image_features,
+            jpeg_block_encoder_udf,
+        )
+
+        payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+        enc = jpeg_block_encoder_udf(8, quality=100, progressive=True, restart_interval=5)
+        blobs = docs.repartition(32).select("doc_id", payload.alias("__s")).filter(
+            F.col("__s").rlike("^[\\x00-\\x7F]*$")
+        ).select("doc_id", enc(F.col("__s")).alias("blob"))
+        _force(decode_image_features(blobs, fake=False))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -651,6 +687,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "video_near_dup": q_video_near_dup,
         "codec_png_decode": q_codec_png_decode,
         "codec_jpeg_decode": q_codec_jpeg_decode,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "mojibake_repair": q_mojibake_repair,
+        "codec_progressive_jpeg_decode": q_codec_progressive_jpeg,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

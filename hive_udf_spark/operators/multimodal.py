@@ -92,13 +92,15 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4):
 
 def tiff_encoder_udf(
     width: int, height: int, big_endian: bool = True, packbits: bool = True,
-    rows_per_strip: int | None = 2,
+    rows_per_strip: int | None = 2, lzw: bool = False, predictor: int = 1,
 ):
     """Arrow-batched TIFF fixture encoder: a ``pandas_udf`` mapping a
     width·height-char ASCII payload to a baseline TIFF — big-endian (MM)
-    with PackBits multi-strip by default, so the decoder's IFD
-    byte-order handling, RLE, and strip assembly are all exercised on
-    every row. Lossless, so the standard pixel-stats oracle applies."""
+    with PackBits multi-strip by default (``lzw=True`` switches to LZW,
+    optionally with the horizontal-differencing predictor) so the
+    decoder's IFD byte-order handling, compression, and strip assembly
+    are all exercised on every row. Lossless, so the standard
+    pixel-stats oracle applies."""
     from pyspark.sql.functions import pandas_udf
 
     n = width * height
@@ -114,8 +116,10 @@ def tiff_encoder_udf(
             return tiffcodec.encode_tiff(
                 a.reshape(height, width),
                 big_endian=big_endian,
-                packbits=packbits,
+                packbits=packbits and not lzw,
                 rows_per_strip=rows_per_strip,
+                lzw=lzw,
+                predictor=predictor,
             )
 
         return s.map(one)

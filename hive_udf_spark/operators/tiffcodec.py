@@ -3,17 +3,19 @@
 Scanned-document corpora ship as TIFFs; this is the dependency-free
 baseline subset: a real IFD walk in EITHER byte order (``II``
 little-endian and ``MM`` big-endian — a format where endianness is data,
-not convention), strip assembly via StripOffsets × StripByteCounts ×
-RowsPerStrip, uncompressed (1) and PackBits (32773) compression, 8-bit
-grayscale and RGB(A) plus 1-bit bilevel, and both photometric
-interpretations (WhiteIsZero inverts — the classic fax-TIFF trap).
-Multi-IFD files decode their first image. Tiled TIFFs, other
-compressions (LZW/CCITT/JPEG-in-TIFF), and 16-bit samples raise
+not convention), strip assembly via StripOffsets × StripByteCounts × RowsPerStrip,
+uncompressed (1), LZW (5 — r8: MSB-first codes with the TIFF
+early-change width schedule, bounded output, plus the
+horizontal-differencing predictor tag 317) and PackBits (32773)
+compression, 8-bit grayscale and RGB(A) plus 1-bit bilevel, and both
+photometric interpretations (WhiteIsZero inverts — the classic
+fax-TIFF trap). Multi-IFD files decode their first image. Tiled TIFFs,
+other compressions (CCITT/JPEG-in-TIFF), and 16-bit samples raise
 explicitly.
 
 ``encode_tiff`` is the fixture twin (gray or RGB, either byte order,
-optional PackBits, multi-strip). Gray is lossless end-to-end, so the
-standard pixel-stats SQL oracle applies unchanged
+optional PackBits or LZW±predictor, multi-strip). Gray is lossless
+end-to-end, so the standard pixel-stats SQL oracle applies unchanged
 (``multimodal_tiff_decode``).
 
 No reference analogue (the reference is a cardinality-UDAF package,
@@ -48,6 +50,120 @@ def _read_tag_values(b: bytes, endian: str, ttype: int, count: int, off: int) ->
     if pos + size > len(b):
         raise ValueError("TIFF tag values out of bounds")
     return list(struct.unpack_from(f"{endian}{count}{fmt}", b, pos))
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing, ClearCode=256, EOI=257,
+    9→12-bit codes with the TIFF "early change" (the width bumps when
+    the NEXT table slot is 2^width − 1, one code earlier than GIF's
+    LSB-first variant in ``gifcodec``).  Output is bounded by
+    ``expected`` — a crafted stream cannot balloon past the strip's
+    declared raster size."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    pos = acc = nbits = 0
+    width = 9
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+    next_code = 258
+
+    def read_code() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, next_code, prev = 9, 258, None
+            continue
+        if table is None:
+            raise ValueError("TIFF LZW data before initial Clear code")
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW first code after Clear not a root")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW inflates past the strip's raster size")
+        if prev is not None:
+            if next_code > 4093:
+                raise ValueError("TIFF LZW table overflow without Clear")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # The decoder lags the encoder by exactly one table add, so
+            # its early-change fires one entry earlier: creating slot
+            # 510/1022/2046 bumps the width here while the encoder bumps
+            # after creating 511/1023/2047 — the TIFF 6.0 "early change"
+            # schedule (libtiff: decoder maxcode = MAXCODE(n)-1, encoder
+            # maxcode = MAXCODE(n)).
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Fixture-twin LZW compressor (real string table, same early-change
+    width schedule as the decoder, Clear emitted before the 12-bit
+    table fills)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    emit(CLEAR, width)
+    table = fresh()
+    next_code = 258
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: restart
+            emit(CLEAR, width)
+            table = fresh()
+            next_code, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -121,10 +237,15 @@ def decode_tiff_gray(b: bytes) -> np.ndarray:
         bits = 1
     compression = val(259, 1)
     photometric = val(262)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(
-            f"TIFF compression {compression} not vendored (none/PackBits)"
+            f"TIFF compression {compression} not vendored (none/LZW/PackBits)"
         )
+    predictor = val(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not vendored (none/horizontal)")
+    if predictor == 2 and bits != 8:
+        raise ValueError("TIFF horizontal predictor needs 8-bit samples")
     if bits not in (1, 8):
         raise ValueError(f"{bits}-bit TIFF samples not vendored (1/8)")
     if bits == 1 and spp != 1:
@@ -163,10 +284,21 @@ def decode_tiff_gray(b: bytes) -> np.ndarray:
         strip = b[o : o + c]
         if compression == 32773:
             strip = _packbits_decode(strip, rows * row_bytes)
+        elif compression == 5:
+            strip = _lzw_decode(strip, rows * row_bytes)
+            if len(strip) < rows * row_bytes:
+                raise ValueError(f"TIFF LZW strip {s} shorter than its rows")
         elif len(strip) < rows * row_bytes:
             raise ValueError(f"TIFF strip {s} shorter than its rows")
         raw += strip[: rows * row_bytes]
     data = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if predictor == 2:
+        # horizontal differencing: undo with a per-channel cumulative sum
+        # along each row; uint8 accumulation wraps mod 256 by itself
+        # (bits==8 here, so row_bytes == w*spp exactly)
+        data = (
+            data.reshape(h, w, spp).cumsum(axis=1, dtype=np.uint8).reshape(-1)
+        )
     if bits == 1:
         px = np.unpackbits(data.reshape(h, row_bytes), axis=1)[:, :w]
         gray = np.where(px == 1, 0 if photometric == 0 else 255,
@@ -220,10 +352,19 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline TIFF (II or MM byte
-    order, optional PackBits, multi-strip when ``rows_per_strip`` is
-    set)."""
+    order, optional PackBits OR LZW — with the horizontal-differencing
+    predictor when ``predictor=2`` — multi-strip when ``rows_per_strip``
+    is set)."""
+    if packbits and lzw:
+        raise ValueError("choose at most one of packbits/lzw")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and not lzw:
+        raise ValueError("predictor=2 is only emitted with LZW here")
     arr = np.ascontiguousarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         spp, photometric = 1, 1
@@ -236,10 +377,19 @@ def encode_tiff(
     e = ">" if big_endian else "<"
     rps = rows_per_strip or h
     flat = arr.reshape(h, w * spp)
+    if predictor == 2:
+        # forward horizontal differencing per channel, mod 256
+        d = arr.reshape(h, w, spp).astype(np.int64)
+        d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 256
+        flat = d.astype(np.uint8).reshape(h, w * spp)
     strips = []
     for s in range(0, h, rps):
         strip = flat[s : s + rps].tobytes()
-        strips.append(_packbits_encode(strip) if packbits else strip)
+        if packbits:
+            strip = _packbits_encode(strip)
+        elif lzw:
+            strip = _lzw_encode(strip)
+        strips.append(strip)
 
     data_off = 8
     strip_offsets = []
@@ -268,8 +418,10 @@ def encode_tiff(
         entries.append((258, 3, 3, None))  # placed in the extra area
     else:
         short(258, 8)
-    short(259, 32773 if packbits else 1)
+    short(259, 32773 if packbits else (5 if lzw else 1))
     short(262, photometric)
+    if predictor == 2:
+        short(317, 2)
     if len(strips) == 1:
         long_(273, strip_offsets[0])
     else:

@@ -594,6 +594,47 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_lzw_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed TIFF decode end-to-end (r8): same 8x8 big-endian
+    multi-strip fixture as multimodal_tiff_decode but compression 5
+    (MSB-first variable-width LZW with the TIFF early-change schedule)
+    plus the horizontal-differencing predictor (tag 317) — the
+    compression real scanned-document TIFFs actually use.  Lossless, so
+    the oracle is byte-identical to the uncompressed variant's: the
+    container/compression must not change the pixel statistics."""
+    from hive_udf_spark.operators.multimodal import tiff_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = tiff_encoder_udf(
+        8, 8, big_endian=True, rows_per_strip=2, lzw=True, predictor=2
+    )
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_decode_quarantine",
     oracle="""
     WITH t AS (

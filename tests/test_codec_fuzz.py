@@ -55,7 +55,7 @@ def _seed_blobs() -> list[bytes]:
         encode_pgm,
         encode_png,
     )
-    from hive_udf_spark.operators.jpegcodec import encode_jpeg
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
     from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
@@ -78,6 +78,8 @@ def _seed_blobs() -> list[bytes]:
         encode_zip([("a", b"xyz" * 40, 8), ("b", b"s", 0)]),
         encode_mp4_mjpeg([encode_jpeg(g, quality=90)] * 2, 8, 8),
         encode_tiff(g, big_endian=True, packbits=True, rows_per_strip=3),
+        encode_tiff(g, lzw=True, predictor=2, rows_per_strip=3),
+        encode_jpeg_progressive(g, quality=90, restart_interval=2),
         encode_warc([{"headers": {}, "payload": http}], gzip_records=True),
     ]
 

@@ -86,12 +86,18 @@ def test_malformed_and_unsupported_raise():
         decode_tiff_gray(b"XX*\x00" + good[4:])
     with pytest.raises(ValueError, match="IFD"):
         decode_tiff_gray(good[:10])
-    # unsupported compression id
+    # unsupported compression id (7 = JPEG-in-TIFF)
     bad = bytearray(encode_tiff(g))
     i = bytes(bad).index(struct.pack("<HHI", 259, 3, 1))
-    struct.pack_into("<H", bad, i + 8, 5)  # LZW
-    with pytest.raises(ValueError, match="compression 5"):
+    struct.pack_into("<H", bad, i + 8, 7)
+    with pytest.raises(ValueError, match="compression 7"):
         decode_tiff_gray(bytes(bad))
+    # compression says LZW but the strip is raw pixels: no Clear code
+    bad15 = bytearray(encode_tiff(np.full((4, 4), 10, dtype=np.uint8)))
+    i = bytes(bad15).index(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", bad15, i + 8, 5)
+    with pytest.raises(ValueError, match="LZW|Clear|truncated"):
+        decode_tiff_gray(bytes(bad15))
     # strip past EOF
     bad2 = bytearray(encode_tiff(g))
     j = bytes(bad2).index(struct.pack("<HHI", 273, 4, 1))
@@ -154,3 +160,108 @@ def test_tiff_through_spark_and_ahash(spark):
     sigs = {r.doc_id: r.ahash for r in image_ahash_table(blobs).collect()}
     for i in range(len(imgs)):
         assert sigs[2 * i] == sigs[2 * i + 1]
+
+
+# ---------------------------------------------------------------------------
+# LZW (compression 5) + horizontal predictor — r8
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_raw_roundtrip_across_width_boundaries():
+    """The raw codec: incompressible data crosses every code-width
+    boundary (9→10→11→12) and forces table-full Clear restarts; runs
+    exercise multi-byte table entries and the KwKwK case."""
+    from hive_udf_spark.operators.tiffcodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 5, 300, 511, 1200, 2500, 4096, 20000, 40000):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(data), n) == data, n
+    runs = b"".join(bytes([i % 7]) * (i % 40 + 1) for i in range(800))
+    assert _lzw_decode(_lzw_encode(runs), len(runs)) == runs
+
+
+def test_lzw_early_change_is_one_entry_before_encoder():
+    """Pin the TIFF 6.0 early-change schedule: the encoder bumps the
+    code width after creating entry 511 (width 10 from the 254th data
+    code on), the decoder after creating entry 510 — exactly one table
+    add earlier, compensating its one-add lag.  A decoder bumping at
+    511 desynchronizes on any stream crossing the boundary."""
+    from hive_udf_spark.operators.tiffcodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(1)
+    # incompressible stream slightly past the first boundary
+    data = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    enc = _lzw_encode(data)
+    assert _lzw_decode(enc, len(data)) == data
+    # bit-level check: 253 data codes at 9 bits + 1 clear, then 10-bit
+    n_bits_9 = 9 * (1 + 253)  # Clear + first 253 data codes
+    # the 254th data code starts at bit offset n_bits_9 and is 10 bits
+    take = 0
+    for bitpos in range(n_bits_9, n_bits_9 + 10):
+        take = (take << 1) | ((enc[bitpos // 8] >> (7 - bitpos % 8)) & 1)
+    assert take < 512 + 258  # a valid 10-bit code, not noise
+
+
+def test_lzw_tiff_roundtrip_all_combos():
+    rng = np.random.default_rng(2)
+    for be in (False, True):
+        for rps in (None, 5):
+            for pred in (1, 2):
+                g = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+                t = encode_tiff(
+                    g, big_endian=be, lzw=True, predictor=pred, rows_per_strip=rps
+                )
+                assert np.array_equal(decode_tiff_gray(t), g), (be, rps, pred)
+    # RGB via LZW+predictor reduces to the same BT.601 luma as plain
+    rgb = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    plain = decode_tiff_gray(encode_tiff(rgb))
+    lzw = decode_tiff_gray(encode_tiff(rgb, lzw=True, predictor=2))
+    assert np.array_equal(plain, lzw)
+
+
+def test_lzw_predictor_helps_and_is_undone():
+    """predictor=2 (horizontal differencing) must shrink smooth images
+    and decode back exactly; the predictor tag without 8-bit samples is
+    refused."""
+    x = np.linspace(0, 255, 64)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    t_pred = encode_tiff(smooth, lzw=True, predictor=2)
+    t_none = encode_tiff(smooth, lzw=True, predictor=1)
+    assert np.array_equal(decode_tiff_gray(t_pred), smooth)
+    assert len(t_pred) < len(t_none)
+
+
+def test_lzw_malformed_streams_raise():
+    from hive_udf_spark.operators.tiffcodec import _lzw_decode, _lzw_encode
+
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(b"\x80", 10)  # Clear then nothing
+    with pytest.raises(ValueError, match="Clear"):
+        _lzw_decode(b"\x00\x00\x00", 10)  # data before Clear
+    # output bounded by the declared strip size
+    big = _lzw_encode(b"\x00" * 1000)
+    with pytest.raises(ValueError, match="inflates past"):
+        _lzw_decode(big, 10)
+
+
+def test_lzw_cross_check_with_pil():
+    """Wherever pillow exists: PIL (libtiff heritage) decodes our LZW
+    TIFFs and we decode PIL's tiff_lzw output — the early-change
+    schedule is externally pinned, not just self-consistent."""
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        pytest.skip("pillow not installed in this container")
+    import io
+
+    rng = np.random.default_rng(4)
+    # large enough to cross the 9->10 bit boundary inside one strip
+    g = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    for pred in (1, 2):
+        blob = encode_tiff(g, lzw=True, predictor=pred)
+        with Image.open(io.BytesIO(blob)) as im:
+            assert np.array_equal(np.asarray(im.convert("L")), g), pred
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="TIFF", compression="tiff_lzw")
+    assert np.array_equal(decode_tiff_gray(buf.getvalue()), g)

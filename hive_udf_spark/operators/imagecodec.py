@@ -196,6 +196,17 @@ import zlib
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _png_chunks(b: bytes):
     """Yield (type, payload_offset, payload_len) for each PNG chunk,
@@ -299,8 +310,8 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError(f"PNG color type {color} not vendored")
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonzero compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not vendored")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} not vendored")
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _PNG_CHANNELS[color]
@@ -310,7 +321,16 @@ def _decode_png(b: bytes) -> np.ndarray:
     # amplify ~1000x) ahead of any validation.
     if w < 1 or h < 1 or w * h > _MAX_PIXELS:
         raise ValueError(f"PNG dimensions {w}x{h} out of range (cap {_MAX_PIXELS} px)")
-    expected = h * (w * ch + 1)
+    if interlace == 1:
+        passes = [
+            (x0, y0, dx, dy, pw, ph)
+            for x0, y0, dx, dy in _ADAM7
+            for pw, ph in [(-(-(w - x0) // dx), -(-(h - y0) // dy))]
+            if pw > 0 and ph > 0
+        ]
+        expected = sum(ph * (pw * ch + 1) for *_, pw, ph in passes)
+    else:
+        expected = h * (w * ch + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(b"".join(idat), expected + 1)
@@ -325,7 +345,20 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("PNG IDAT zlib stream truncated")
     if d.unused_data:
         raise ValueError("trailing bytes after PNG IDAT zlib stream end")
-    rec = _png_unfilter(raw, h, w * ch, ch)
+    if interlace == 1:
+        # Adam7: seven independently filtered sub-images, each unfiltered
+        # on its own scanlines then scattered onto the (y0::dy, x0::dx)
+        # pixel grid — the deinterlace real decoders do.
+        full = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            size = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[pos : pos + size], ph, pw * ch, ch)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+            pos += size
+        rec = full.reshape(h, w * ch)
+    else:
+        rec = _png_unfilter(raw, h, w * ch, ch)
     if color == 0:
         return rec
     if color == 2:
@@ -436,27 +469,12 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
     return header + rows[::-1].tobytes()  # bottom-up row order
 
 
-def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → 8-bit non-interlaced PNG with
-    ``filter_type`` (0–4) applied to EVERY row — the test-fixture twin of
-    :func:`_decode_png` that lets each defilter path be exercised
-    deliberately. Filtering here is fully vectorized (the encoder
-    predicts from the ORIGINAL bytes, so there is no sequential
-    dependency); Paeth is the default because it is the hardest decode
-    path and what real encoders mostly emit."""
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"PNG filter type {filter_type} out of range 0-4")
-    arr = np.ascontiguousarray(img, dtype=np.uint8)
-    if arr.ndim == 2:
-        color, ch = 0, 1
-        h, w = arr.shape
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color, ch = 2, 3
-        h, w = arr.shape[:2]
-    else:
-        raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB")
-    stride = w * ch
-    flat = arr.reshape(h, stride).astype(np.int32)
+def _png_filter_rows(flat8: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Filter an (h, w·ch) uint8 plane into h rows of
+    (filter_byte + bytes) — vectorized: the encoder predicts from the
+    ORIGINAL bytes, so there is no sequential dependency."""
+    h, stride = flat8.shape
+    flat = flat8.astype(np.int32)
     shifted = np.zeros_like(flat)
     shifted[:, ch:] = flat[:, :-ch]  # a: left neighbor (same lane)
     prior = np.zeros_like(flat)
@@ -483,7 +501,47 @@ def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
     body = np.empty((h, stride + 1), dtype=np.uint8)
     body[:, 0] = filter_type
     body[:, 1:] = (filt & 0xFF).astype(np.uint8)
-    comp = zlib.compress(body.tobytes(), 9)
+    return body.tobytes()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → 8-bit PNG with
+    ``filter_type`` (0–4) applied to EVERY row — the test-fixture twin of
+    :func:`_decode_png` that lets each defilter path be exercised
+    deliberately. Paeth is the default because it is the hardest decode
+    path and what real encoders mostly emit.  ``interlace=True`` emits
+    Adam7: the seven passes extracted on the (y0::dy, x0::dx) grids and
+    independently filtered, exactly the layout real interlaced PNGs
+    carry."""
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {filter_type} out of range 0-4")
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, ch = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB")
+    px = arr.reshape(h, w, ch)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts.append(
+                _png_filter_rows(
+                    np.ascontiguousarray(sub).reshape(ph, pw * ch), ch, filter_type
+                )
+            )
+        comp = zlib.compress(b"".join(parts), 9)
+    else:
+        comp = zlib.compress(
+            _png_filter_rows(arr.reshape(h, w * ch), ch, filter_type), 9
+        )
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -493,7 +551,7 @@ def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
 
 

@@ -61,7 +61,7 @@ def attach_blob_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def png_encoder_udf(width: int, height: int, filter_type: int = 4):
+def png_encoder_udf(width: int, height: int, filter_type: int = 4, interlace: bool = False):
     """Arrow-batched PNG fixture encoder: returns a ``pandas_udf`` mapping
     a width·height-char ASCII payload string to an 8-bit grayscale PNG
     blob (``imagecodec.encode_png``). Blob CONSTRUCTION is fixture
@@ -83,7 +83,9 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4):
             a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
             if a.size != n:
                 raise ValueError(f"payload must be exactly {n} ASCII chars")
-            return imagecodec.encode_png(a.reshape(height, width), filter_type)
+            return imagecodec.encode_png(
+                a.reshape(height, width), filter_type, interlace=interlace
+            )
 
         return s.map(one)
 

@@ -381,6 +381,44 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_interlaced_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG decode end-to-end (r8): the same 8x8
+    grayscale fixture as multimodal_png_decode but emitted with
+    interlace method 1 — seven independently Paeth-filtered sub-images
+    the decoder must unfilter per pass and scatter back onto the pixel
+    grid.  Lossless, so the oracle is byte-identical to the
+    non-interlaced variant's: the scan layout must not change pixels."""
+    from hive_udf_spark.operators.multimodal import png_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = png_encoder_udf(8, 8, filter_type=4, interlace=True)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     WITH t AS (

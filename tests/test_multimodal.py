@@ -745,16 +745,25 @@ def test_png_rejects_malformed():
     )
     with _pytest.raises(ValueError, match="16-bit"):
         decode_to_gray(b16)
-    # Adam7 interlace
+    # Adam7 interlace is SUPPORTED since r8: a hand-built 1x1 interlaced
+    # PNG (only pass 1 present) decodes; unknown interlace methods raise
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
     bi = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr_i)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_to_gray(bi).tolist() == [[0x2A]]
+    ihdr_i2 = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
+    bi2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_i2)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(ValueError, match="interlace"):
-        decode_to_gray(bi)
+        decode_to_gray(bi2)
     # inflate failure (corrupt deflate stream with a valid chunk CRC)
     broken = (
         b"\x89PNG\r\n\x1a\n"
@@ -1041,3 +1050,62 @@ def test_png_idat_stream_completeness():
     with _pytest.raises(ValueError, match="trailing bytes"):
         decode_to_gray(png(comp + b"xx"))
     assert decode_to_gray(png(comp)).shape == (2, 2)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r8: Adam7 — seven independently filtered passes, absent passes on
+    sub-8-pixel dims, scattered deinterlace — must reproduce the exact
+    pixels of the non-interlaced encoding for every filter type."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    rng = np.random.default_rng(13)
+    for shape in [(1, 1), (2, 3), (7, 7), (9, 13), (33, 17)]:
+        for ft in (0, 1, 2, 3, 4):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(
+                decode_to_gray(encode_png(g, filter_type=ft, interlace=True)), g
+            ), (shape, ft)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_to_gray(encode_png(rgb, interlace=True)),
+        decode_to_gray(encode_png(rgb)),
+    )
+    # truncated interlaced stream still raises cleanly
+    blob = encode_png(rng.integers(0, 256, (16, 16), dtype=np.uint8), interlace=True)
+    with _pytest.raises(ValueError):
+        decode_to_gray(blob[: len(blob) - 20])
+    # interlace methods beyond 0/1 are refused
+    bad = bytearray(blob)
+    ihdr_at = blob.index(b"IHDR") + 4
+    bad[ihdr_at + 12] = 2  # interlace byte inside IHDR
+    import struct as _struct
+    import zlib as _zlib
+
+    _struct.pack_into(
+        ">I", bad, ihdr_at + 13,
+        _zlib.crc32(bytes(bad[ihdr_at - 4 : ihdr_at + 13])) & 0xFFFFFFFF,
+    )
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_to_gray(bytes(bad))
+
+
+def test_png_adam7_cross_check_with_pil():
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("pillow not installed in this container")
+    import io
+
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    rng = np.random.default_rng(14)
+    g = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    with Image.open(io.BytesIO(encode_png(g, interlace=True))) as im:
+        assert np.array_equal(np.asarray(im.convert("L")), g)

@@ -304,8 +304,10 @@ def _decode_png(b: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"{depth}-bit PNG not vendored (8-bit only)")
+    if depth not in (8, 16):
+        raise ValueError(f"{depth}-bit PNG not vendored (8/16-bit)")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color} not vendored")
     if comp != 0 or filt != 0:
@@ -315,6 +317,7 @@ def _decode_png(b: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     ch = _PNG_CHANNELS[color]
+    bypp = ch * (depth // 8)  # bytes per pixel (the filter's lane stride)
     # IHDR dimensions are attacker-controlled 32-bit values: cap the pixel
     # count BEFORE inflating, and bound the inflate to the expected raster
     # size so a small crafted stream can't balloon to gigabytes (zlib can
@@ -328,9 +331,9 @@ def _decode_png(b: bytes) -> np.ndarray:
             for pw, ph in [(-(-(w - x0) // dx), -(-(h - y0) // dy))]
             if pw > 0 and ph > 0
         ]
-        expected = sum(ph * (pw * ch + 1) for *_, pw, ph in passes)
+        expected = sum(ph * (pw * bypp + 1) for *_, pw, ph in passes)
     else:
-        expected = h * (w * ch + 1)
+        expected = h * (w * bypp + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(b"".join(idat), expected + 1)
@@ -349,16 +352,20 @@ def _decode_png(b: bytes) -> np.ndarray:
         # Adam7: seven independently filtered sub-images, each unfiltered
         # on its own scanlines then scattered onto the (y0::dy, x0::dx)
         # pixel grid — the deinterlace real decoders do.
-        full = np.zeros((h, w, ch), dtype=np.uint8)
+        full = np.zeros((h, w, bypp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            size = ph * (pw * ch + 1)
-            sub = _png_unfilter(raw[pos : pos + size], ph, pw * ch, ch)
-            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+            size = ph * (pw * bypp + 1)
+            sub = _png_unfilter(raw[pos : pos + size], ph, pw * bypp, bypp)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bypp)
             pos += size
-        rec = full.reshape(h, w * ch)
+        rec = full.reshape(h, w * bypp)
     else:
-        rec = _png_unfilter(raw, h, w * ch, ch)
+        rec = _png_unfilter(raw, h, w * bypp, bypp)
+    if depth == 16:
+        # big-endian 16-bit samples → keep the high byte of each (the
+        # 16→8 reduction every 8-bit consumer applies)
+        rec = np.ascontiguousarray(rec.reshape(h, w * ch, 2)[:, :, 0])
     if color == 0:
         return rec
     if color == 2:
@@ -504,7 +511,12 @@ def _png_filter_rows(flat8: np.ndarray, ch: int, filter_type: int) -> bytes:
     return body.tobytes()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -> bytes:
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 4,
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → 8-bit PNG with
     ``filter_type`` (0–4) applied to EVERY row — the test-fixture twin of
     :func:`_decode_png` that lets each defilter path be exercised
@@ -515,6 +527,8 @@ def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -
     carry."""
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"PNG filter type {filter_type} out of range 0-4")
+    if bit_depth not in (8, 16):
+        raise ValueError("encode_png emits 8- or 16-bit depth")
     arr = np.ascontiguousarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         color, ch = 0, 1
@@ -525,6 +539,10 @@ def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -
     else:
         raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB")
     px = arr.reshape(h, w, ch)
+    if bit_depth == 16:
+        # v → v·257 (the standard 8→16 expansion), big-endian sample bytes
+        px = np.repeat(px, 2, axis=2)
+    bypp = px.shape[2]
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
@@ -534,13 +552,16 @@ def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -
             ph, pw = sub.shape[:2]
             parts.append(
                 _png_filter_rows(
-                    np.ascontiguousarray(sub).reshape(ph, pw * ch), ch, filter_type
+                    np.ascontiguousarray(sub).reshape(ph, pw * bypp), bypp, filter_type
                 )
             )
         comp = zlib.compress(b"".join(parts), 9)
     else:
         comp = zlib.compress(
-            _png_filter_rows(arr.reshape(h, w * ch), ch, filter_type), 9
+            _png_filter_rows(
+                np.ascontiguousarray(px).reshape(h, w * bypp), bypp, filter_type
+            ),
+            9,
         )
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -551,7 +572,9 @@ def encode_png(img: np.ndarray, filter_type: int = 4, interlace: bool = False) -
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color, 0, 0, 1 if interlace else 0
+    )
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
 
 

@@ -735,16 +735,25 @@ def test_png_rejects_malformed():
     # missing IEND
     with _pytest.raises(ValueError, match="IEND"):
         decode_to_gray(good[:-12])
-    # 16-bit depth
+    # 16-bit depth is SUPPORTED since r8 (high byte kept): a hand-built
+    # 1x1 16-bit gray decodes; other depths still raise
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     b16 = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr16)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xab\xcd"))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="16-bit"):
-        decode_to_gray(b16)
+    assert decode_to_gray(b16).tolist() == [[0xAB]]
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    b4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xa0"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="4-bit"):
+        decode_to_gray(b4)
     # Adam7 interlace is SUPPORTED since r8: a hand-built 1x1 interlaced
     # PNG (only pass 1 present) decodes; unknown interlace methods raise
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
@@ -1109,3 +1118,37 @@ def test_png_adam7_cross_check_with_pil():
     g = rng.integers(0, 256, (24, 16), dtype=np.uint8)
     with Image.open(io.BytesIO(encode_png(g, interlace=True))) as im:
         assert np.array_equal(np.asarray(im.convert("L")), g)
+
+
+def test_png_16bit_roundtrip_and_pil():
+    """r8: 16-bit PNG — big-endian samples, filter lane stride = ch*2,
+    high byte kept on decode.  The v*257 expansion makes 8->16->8 exact
+    for every filter type, plain and interlaced."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import decode_to_gray, encode_png
+
+    rng = np.random.default_rng(15)
+    for shape in [(1, 1), (9, 13), (16, 24)]:
+        for ft in (0, 1, 2, 3, 4):
+            for il in (False, True):
+                g = rng.integers(0, 256, shape, dtype=np.uint8)
+                blob = encode_png(g, filter_type=ft, interlace=il, bit_depth=16)
+                assert np.array_equal(decode_to_gray(blob), g), (shape, ft, il)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_to_gray(encode_png(rgb, bit_depth=16)), decode_to_gray(encode_png(rgb))
+    )
+    with _pytest.raises(ValueError, match="8- or 16"):
+        encode_png(rgb, bit_depth=12)
+    try:
+        import io
+
+        import PIL.Image as Image
+    except ImportError:
+        return
+    g = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    with Image.open(io.BytesIO(encode_png(g, bit_depth=16))) as im:
+        arr16 = np.asarray(im)  # PIL mode I;16B
+        assert np.array_equal((arr16 >> 8).astype(np.uint8), g)

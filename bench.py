@@ -513,6 +513,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sketch_quantile_sliding_window"].fn(spark, sf_dir))
 
+    def q_profile_histogram():
+        # r8: distributed equi-depth histogram — range-sharded prefix sum
+        # (no single-partition window) over a distinct≈rows column
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["profile_histogram_totalprice"].fn(spark, sf_dir))
+
     def q_url_canonicalize():
         # r7 family (r7 verdict item 7): the pure-codegen canonicalization
         # chain — scheme/host/port/path/query normalization + PSL
@@ -687,6 +694,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "video_near_dup": q_video_near_dup,
         "codec_png_decode": q_codec_png_decode,
         "codec_jpeg_decode": q_codec_jpeg_decode,
+        "profile_histogram": q_profile_histogram,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "mojibake_repair": q_mojibake_repair,

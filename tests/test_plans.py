@@ -439,3 +439,12 @@ def test_equi_depth_histogram_no_unpartitioned_window(spark, sf_dir):
         )
     # and the partition key is the value-range shard, not something else
     assert "__shard" in plan
+
+
+def test_mojibake_fold_chain_is_pure_jvm(spark, sf_dir):
+    """r8: the three corruption generators + the 244-step repair fold
+    (aggregate HOF over a literal pair array) must stay engine-side —
+    no Python anywhere in the plan."""
+    plan = plan_of(QUERIES["text_mojibake_repair"].fn(spark, sf_dir))
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert "ArrowEval" not in plan

@@ -271,9 +271,10 @@ def _ima_encode_block(x: list[int], index: int) -> tuple[bytes, int]:
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """→ (samples int32 array of shape (n_frames, n_channels), rate).
 
-    PCM (format 1, 8-bit unsigned centered / 16-bit signed LE), G.711
-    A-law (6) / µ-law (7), and mono IMA ADPCM (0x11); anything else
-    raises explicitly.
+    PCM (format 1: 8-bit unsigned centered, 16/24/32-bit signed LE —
+    24-bit packed triples widen via a zero low byte + arithmetic shift),
+    G.711 A-law (6) / µ-law (7), and mono IMA ADPCM (0x11); anything
+    else raises explicitly.
     """
     info = wav_info(b)
     afmt, nch = info["audio_format"], info["n_channels"]
@@ -285,8 +286,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     if nch < 1:
         raise ValueError("channel count must be >= 1")
     bits = info["bits_per_sample"]
-    if afmt == 1 and bits not in (8, 16):
-        raise ValueError(f"unsupported PCM bit depth {bits} (8/16 vendored)")
+    if afmt == 1 and bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM bit depth {bits} (8/16/24/32 vendored)")
     if afmt in (6, 7) and bits != 8:
         raise ValueError("G.711 WAV must declare 8 bits per sample")
     if afmt == 0x11 and nch != 1:
@@ -298,9 +299,20 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         if afmt == 1:
             if bits == 8:
                 x = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-            else:
+            elif bits == 16:
                 n = size // 2
                 x = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int32)
+            elif bits == 24:
+                # packed little-endian 3-byte signed samples: widen via a
+                # zero low byte then arithmetic-shift back down
+                n = size // 3
+                trip = np.frombuffer(raw, dtype=np.uint8, count=n * 3).reshape(n, 3)
+                wide = np.zeros((n, 4), dtype=np.uint8)
+                wide[:, 1:] = trip
+                x = wide.view("<i4").reshape(n) >> 8
+            else:  # 32-bit signed PCM (int32 holds it exactly)
+                n = size // 4
+                x = np.frombuffer(raw, dtype="<i4", count=n).astype(np.int32)
         elif afmt in (6, 7):
             x = g711_decode(raw, "alaw" if afmt == 6 else "ulaw")
         else:  # IMA ADPCM, mono
@@ -334,8 +346,21 @@ def encode_wav_pcm(
         # clip like the 8-bit path — astype('<i2') alone would silently
         # wrap out-of-range samples
         payload = x.astype(np.int64).clip(-32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = x.astype(np.int64).clip(-(1 << 23), (1 << 23) - 1).astype("<i4")
+        # little-endian 3-byte packing: drop each int32's high byte
+        payload = (
+            v.reshape(-1).view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        )
+    elif bits == 32:
+        payload = (
+            x.astype(np.int64)
+            .clip(-(1 << 31), (1 << 31) - 1)
+            .astype("<i4")
+            .tobytes()
+        )
     else:
-        raise ValueError("bits must be 8 or 16")
+        raise ValueError("bits must be 8, 16, 24, or 32")
     byte_rate = sample_rate * nch * bits // 8
     block_align = nch * bits // 8
     fmt = _struct.pack("<HHIIHH", 1, nch, sample_rate, byte_rate, block_align, bits)

@@ -992,6 +992,60 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pcm24_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           (list_sum(cps) - 8192) * 4.0 AS mean_amp,
+           CAST(list_max([abs(c - 128) for c in cps]) * 256 AS INT) AS max_abs
+    FROM b
+    """,
+)
+def multimodal_pcm24_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM WAV decode end-to-end (r8): each payload char becomes
+    the signed sample (c−128)·256 packed as little-endian 3-byte PCM —
+    the studio-master depth the 8/16-bit path refused.  The vendored
+    RIFF walk widens the triples via a zero low byte + arithmetic shift;
+    mean_amp = Σ((c−128)·256)/64 = 4·Σ(c−128) stays integer-exact, so
+    the 24-bit container is held to the same hash-exact oracle family
+    as every other audio format."""
+    import pandas as pd_  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    @pandas_udf("binary")
+    def enc(s):  # pd.Series -> pd.Series
+        import numpy as np_
+
+        from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+
+        def one(t: str) -> bytes:
+            cps = np_.frombuffer(t.encode("ascii"), dtype=np_.uint8).astype(np_.int64)
+            return encode_wav_pcm((cps - 128) << 8, sample_rate=8000, bits=24)
+
+        return s.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
     "multimodal_ulaw_audio_features",
     oracle="""
     WITH t AS (

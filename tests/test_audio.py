@@ -1,0 +1,39 @@
+"""PCM WAV bit-depth coverage (operators/audiocodec.py, r8)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hive_udf_spark.operators.audiocodec import decode_wav, encode_wav_pcm
+
+
+def test_pcm_24_and_32_bit_roundtrip():
+    """r8: 24-bit packed-triple and 32-bit PCM — boundary values survive
+    exactly, the stdlib wave module agrees on the 24-bit layout."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(8)
+    for bits, lo, hi in [(24, -(1 << 23), (1 << 23) - 1), (32, -(1 << 31), (1 << 31) - 1)]:
+        for nch in (1, 2):
+            s = rng.integers(lo, hi + 1, (137, nch)).astype(np.int64)
+            x, rate = decode_wav(encode_wav_pcm(s, 44100, bits=bits))
+            assert rate == 44100 and x.shape == (137, nch)
+            assert np.array_equal(x.astype(np.int64), s), (bits, nch)
+        vals = np.array([lo, hi, -1, 0, 1], dtype=np.int64)
+        x, _ = decode_wav(encode_wav_pcm(vals, 8000, bits=bits))
+        assert x.reshape(-1).astype(np.int64).tolist() == vals.tolist(), bits
+    # out-of-range samples clip, never wrap
+    over = np.array([1 << 30, -(1 << 30)], dtype=np.int64)
+    x, _ = decode_wav(encode_wav_pcm(over, 8000, bits=24))
+    assert x.reshape(-1).tolist() == [(1 << 23) - 1, -(1 << 23)]
+    # stdlib cross-check of the 3-byte little-endian packing
+    s = rng.integers(-(1 << 23), 1 << 23, 64).astype(np.int64)
+    blob = encode_wav_pcm(s, 8000, bits=24)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getsampwidth() == 3 and w.getnframes() == 64
+        frames = w.readframes(64)
+    trip = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+    wide = np.zeros((64, 4), dtype=np.uint8)
+    wide[:, 1:] = trip
+    assert np.array_equal(wide.view("<i4").reshape(-1) >> 8, s)

@@ -13,11 +13,13 @@ PIL is absent).
 PNG (r5 verdict item 7) is the first COMPRESSED vendored format: a real
 chunk walk (CRC-validated), zlib inflate (CPython stdlib — no third-party
 dependency), and per-row defiltering of all five PNG filter types
-(None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/palette/gray+alpha/RGBA,
-non-interlaced. Alpha is ignored (luma over RGB, PIL's ``convert("L")``
-convention for RGB(A) data); Adam7 interlace and 16-bit depth raise
-explicitly. Baseline JPEG (r6) lives in ``operators.jpegcodec`` and is
-dispatched from here by its SOI magic.
+(None/Sub/Up/Average/Paeth) for 8/16-bit gray/RGB/palette/gray+alpha/
+RGBA, plain or Adam7-interlaced (r8: seven independently filtered
+passes scattered back onto the pixel grid; 16-bit keeps each sample's
+high byte). Alpha is ignored (luma over RGB, PIL's ``convert("L")``
+convention for RGB(A) data). BMP covers uncompressed 8-bit-palette and
+24-bit plus BI_RLE8 (r8). Baseline + progressive JPEG (r6/r8) live in
+``operators.jpegcodec`` and are dispatched from here by the SOI magic.
 
 Determinism: for the formats decoded here the output is engine- and
 library-independent — RGB→gray uses the ITU-R 601-2 integer transform
@@ -46,6 +48,7 @@ __all__ = [
     "encode_pgm",
     "encode_ppm",
     "encode_bmp24",
+    "encode_bmp8_rle",
     "encode_png",
     "encode_avi",
     "nearest_resize",
@@ -139,6 +142,49 @@ def split_netpbm_frames(b: bytes) -> list[bytes]:
     return frames
 
 
+def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 (BMP compression 1): encoded runs (count, index), escape
+    0 + {0: end-of-line, 1: end-of-bitmap, 2: delta dx,dy, n≥3: absolute
+    run padded to a word boundary}.  Rows are in FILE order (bottom-up
+    handling happens in the caller); skipped pixels (delta / short
+    lines) read as palette index 0, as Windows renders them."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    x = y = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("BMP RLE8 stream truncated")
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE8 run past row end")
+            out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 rows past bitmap end")
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("BMP RLE8 delta truncated")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta past bitmap end")
+        else:  # absolute run of v pixels, word-aligned
+            if pos + v > len(data):
+                raise ValueError("BMP RLE8 absolute run truncated")
+            if y >= h or x + v > w:
+                raise ValueError("BMP RLE8 absolute run past row end")
+            out[y, x : x + v] = np.frombuffer(data, np.uint8, count=v, offset=pos)
+            x += v
+            pos += v + (v & 1)  # pad to word boundary
+
+
 def _decode_bmp(b: bytes) -> np.ndarray:
     """Uncompressed BITMAPINFOHEADER BMP, 8-bit (palette→gray via its own
     entries) or 24-bit BGR; rows are 4-byte padded, bottom-up by default."""
@@ -152,18 +198,24 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     h = int.from_bytes(b[22:26], "little", signed=True)
     bpp = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"compressed BMP (method {compression}) not vendored")
+    if compression == 1 and bpp != 8:
+        raise ValueError("BMP RLE8 requires 8-bit palette pixels")
     if bpp not in (8, 24):
         raise ValueError(f"{bpp}-bit BMP not vendored (8/24 only)")
     bottom_up = h > 0
     h = abs(h)
-    row_bytes = (w * (bpp // 8) + 3) & ~3
-    need = row_bytes * h
-    data = np.frombuffer(b, dtype=np.uint8, count=need, offset=pixel_off)
-    if data.size < need:
-        raise ValueError("truncated BMP payload")
-    rows = data.reshape(h, row_bytes)
+    if compression == 1:
+        rows = _bmp_rle8_decode(b[pixel_off:], w, h)
+        row_bytes = w
+    else:
+        row_bytes = (w * (bpp // 8) + 3) & ~3
+        need = row_bytes * h
+        data = np.frombuffer(b, dtype=np.uint8, count=need, offset=pixel_off)
+        if data.size < need:
+            raise ValueError("truncated BMP payload")
+        rows = data.reshape(h, row_bytes)
     if bottom_up:
         rows = rows[::-1]
     if bpp == 8:
@@ -474,6 +526,67 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
     rows[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)  # RGB→BGR
     return header + rows[::-1].tobytes()  # bottom-up row order
+
+
+def encode_bmp8_rle(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → BI_RLE8 8-bit palette BMP with the identity gray
+    palette (index i → (i,i,i): its 601 luma is exactly i, so gray
+    round-trips bit-exactly).  Emits encoded runs, absolute runs (≥3
+    literals, word-padded), end-of-line and end-of-bitmap escapes — the
+    full RLE8 grammar minus deltas (skipped pixels are an encoder
+    CHOICE; the decoder handles them)."""
+    arr = np.ascontiguousarray(gray, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_bmp8_rle takes (h, w) gray")
+    h, w = arr.shape
+    rle = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up file order
+        row = arr[y]
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and run < 255 and row[i + run] == row[i]:
+                run += 1
+            if run >= 2:
+                rle += bytes([run, row[i]])
+                i += run
+                continue
+            # literal stretch: scan until a repeat of >= 3 begins
+            j = i + 1
+            while j < w and (j - i) < 255:
+                if j + 2 < w and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            lit = row[i:j]
+            if len(lit) >= 3:
+                rle += bytes([0, len(lit)]) + lit.tobytes()
+                if len(lit) & 1:
+                    rle += b"\x00"  # word alignment
+            else:
+                for v in lit:
+                    rle += bytes([1, int(v)])
+            i = j
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    pixel_off = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + (pixel_off + len(rle)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pixel_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive → bottom-up
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little")  # BI_RLE8
+        + len(rle).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (256).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + palette + bytes(rle)
 
 
 def _png_filter_rows(flat8: np.ndarray, ch: int, filter_type: int) -> bytes:

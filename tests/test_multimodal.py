@@ -1152,3 +1152,62 @@ def test_png_16bit_roundtrip_and_pil():
     with Image.open(io.BytesIO(encode_png(g, bit_depth=16))) as im:
         arr16 = np.asarray(im)  # PIL mode I;16B
         assert np.array_equal((arr16 >> 8).astype(np.uint8), g)
+
+
+def test_bmp_rle8_roundtrip_and_grammar():
+    """r8: BI_RLE8 — encoded runs, absolute runs (word-padded), EOL/EOB
+    escapes; the identity gray palette makes round-trips bit-exact.
+    Hand-built streams exercise the delta escape and short lines (both
+    read as palette index 0)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.imagecodec import (
+        _bmp_rle8_decode,
+        decode_to_gray,
+        encode_bmp8_rle,
+    )
+
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.integers(0, 256, (13, 17), dtype=np.uint8),
+        np.full((5, 300), 42, dtype=np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), (3, 2))[:, :300],
+        np.zeros((1, 1), dtype=np.uint8),
+    ]
+    for i, g in enumerate(cases):
+        assert np.array_equal(decode_to_gray(encode_bmp8_rle(g)), g), i
+    # delta escape: skip 2 right / 1 down; skipped pixels read as 0
+    stream = bytes([2, 7]) + bytes([0, 2, 2, 1]) + bytes([1, 9]) + bytes([0, 0]) + bytes([0, 1])
+    out = _bmp_rle8_decode(stream, 5, 2)
+    want = np.zeros((2, 5), dtype=np.uint8)
+    want[0, :2] = 7
+    want[1, 4] = 9
+    assert np.array_equal(out, want)
+    # truncation and overruns raise
+    with _pytest.raises(ValueError, match="truncated"):
+        _bmp_rle8_decode(bytes([5, 1]), 8, 2)
+    with _pytest.raises(ValueError, match="past row end"):
+        _bmp_rle8_decode(bytes([9, 1, 0, 1]), 8, 2)
+    blob = encode_bmp8_rle(cases[0])
+    with _pytest.raises(ValueError):
+        decode_to_gray(blob[:-6])
+
+
+def test_bmp_rle8_cross_check_with_pil():
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("pillow not installed in this container")
+    import io
+
+    import numpy as np
+
+    from hive_udf_spark.operators.imagecodec import encode_bmp8_rle
+
+    rng = np.random.default_rng(22)
+    g = (rng.integers(0, 8, (20, 33)) * 30).astype(np.uint8)
+    with Image.open(io.BytesIO(encode_bmp8_rle(g))) as im:
+        assert np.array_equal(np.asarray(im.convert("L")), g)

@@ -826,36 +826,65 @@ def _encode_plane(
     return pred
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF JPEG (4:4:4 for
-    color). quality=100 scales both Annex-K tables to all-ones — the
-    regime where constant 8×8 blocks round-trip exactly.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (the error-resilience machinery real camera streams
-    carry; lets the decoder's restart path be exercised deliberately)."""
-    arr = np.ascontiguousarray(img, dtype=np.uint8)
+def _prep_planes(
+    arr: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    """→ (block-padded per-component planes, per-component (hi, vi)
+    sampling factors, h, w).  '420' box-filters chroma 2×2 and gives
+    luma factors (2, 2); gray and '444' are all-(1,1)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
+        samps = [(1, 1)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., i] for i in range(3)]
+        if subsampling == "420":
+            # box-filter chroma 2x2 (pad to even by edge replication first)
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            sub = []
+            for p in planes[1:]:
+                pp = np.empty((eh, ew), dtype=np.float64)
+                pp[:h, :w] = p
+                pp[h:, :w] = p[h - 1 : h, :]
+                pp[:, w:] = pp[:, w - 1 : w]
+                sub.append(
+                    pp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+                )
+            planes = [planes[0]] + sub
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
     else:
         raise ValueError("encode_jpeg takes (h,w) gray or (h,w,3) RGB")
-    h, w = arr.shape[:2]
-    qluma = _scaled_quant(_QUANT_LUMA, quality)
-    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
-    nc = len(planes)
-
-    # pad planes to multiples of 8 by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     padded = []
-    for p in planes:
-        pp = np.empty((ph, pw), dtype=np.float64)
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]
-        pp[:, w:] = pp[:, w - 1 : w]
+    for p, (hi, vi) in zip(planes, samps):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        pp = np.empty((th, tw), dtype=np.float64)
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1 : sh, :]
+        pp[:, sw:] = pp[:, sw - 1 : sw]
         padded.append(pp)
+    return padded, samps, h, w
 
+
+def _jpeg_headers(
+    marker_sof: bytes,
+    h: int,
+    w: int,
+    nc: int,
+    samps: list[tuple[int, int]],
+    qluma: np.ndarray,
+    qchroma: np.ndarray,
+    restart_interval: int,
+) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
@@ -867,13 +896,44 @@ def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) 
         out += seg(b"\xff\xdb", b"\x01" + qchroma.astype(np.uint8).tobytes())
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
-    out += seg(b"\xff\xc0", sof)
+        hi, vi = samps[i]
+        sof += struct.pack(">BBB", i + 1, (hi << 4) | vi, 0 if i == 0 else 1)
+    out += seg(marker_sof, sof)
     dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     out += seg(b"\xff\xc4", dht)
     if restart_interval:
         out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 100,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF JPEG (4:4:4 or
+    — ``subsampling='420'`` — 2×2-subsampled chroma, the layout real
+    camera/web JPEGs actually use: 16×16 MCUs of four luma blocks plus
+    one Cb and one Cr). quality=100 scales both Annex-K tables to
+    all-ones — the regime where constant 8×8 blocks round-trip exactly.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the error-resilience machinery real camera streams
+    carry; lets the decoder's restart path be exercised deliberately)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    padded, samps, h, w = _prep_planes(arr, subsampling)
+    nc = len(padded)
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+
+    out = _jpeg_headers(
+        b"\xff\xc0", h, w, nc, samps, qluma, qchroma, restart_interval
+    )
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + struct.pack(">H", len(body) + 2) + body
+
     sos = bytes([nc]) + b"".join(
         struct.pack(">BB", i + 1, 0x00) for i in range(nc)
     ) + b"\x00\x3f\x00"
@@ -882,16 +942,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) 
     dc_enc = _encode_table(_DC_BITS, _DC_VALS)
     ac_enc = _encode_table(_AC_BITS, _AC_VALS)
     writer = _BitWriter()
-    # interleaved 4:4:4 MCU walk: one block per component per MCU
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     preds = [0] * nc
     m = 0
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and m and m % restart_interval == 0:
                 writer.byte_align()
                 writer.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
                 preds = [0] * nc
             for ci in range(nc):
+                hi, vi = samps[ci]
+                blocks = [
+                    ((my * vi + by) * 8, (mx * hi + bx) * 8)
+                    for by in range(vi)
+                    for bx in range(hi)
+                ]
                 preds[ci] = _encode_plane(
                     padded[ci],
                     qluma if ci == 0 else qchroma,
@@ -899,7 +968,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 100, restart_interval: int = 0) 
                     dc_enc,
                     ac_enc,
                     preds[ci],
-                    [(my * 8, mx * 8)],
+                    blocks,
                 )
             m += 1
     out += writer.flush()
@@ -941,18 +1010,25 @@ def _emit_rst(writer: _BitWriter, n: int) -> None:
     writer.out += bytes([0xFF, 0xD0 + (n % 8)])
 
 
-def _prog_dc_first_scan(zzs, dc_enc, al, restart_interval) -> bytes:
+def _mcu_blocks(samps, mcux, m):
+    """Block coordinates per component for interleaved MCU ``m``."""
+    my, mx = divmod(m, mcux)
+    return [
+        [(my * vi + by, mx * hi + bx) for by in range(vi) for bx in range(hi)]
+        for hi, vi in samps
+    ]
+
+
+def _prog_dc_first_scan(zzs, dc_enc, al, restart_interval, samps, mcux, mcuy) -> bytes:
     writer = _BitWriter()
-    nby, nbx, _ = zzs[0].shape
     preds = [0] * len(zzs)
-    m = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            if restart_interval and m and m % restart_interval == 0:
-                _emit_rst(writer, m // restart_interval - 1)
-                preds = [0] * len(zzs)
-            for ci, zz in enumerate(zzs):
-                v = int(zz[by, bx, 0]) >> al  # arithmetic shift per G.1.2.1
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_rst(writer, m // restart_interval - 1)
+            preds = [0] * len(zzs)
+        for ci, blocks in enumerate(_mcu_blocks(samps, mcux, m)):
+            for by, bx in blocks:
+                v = int(zzs[ci][by, bx, 0]) >> al  # arithmetic shift, G.1.2.1
                 diff = v - preds[ci]
                 preds[ci] = v
                 size = _category(diff)
@@ -960,27 +1036,24 @@ def _prog_dc_first_scan(zzs, dc_enc, al, restart_interval) -> bytes:
                 writer.write(code, length)
                 if size:
                     writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            m += 1
     return writer.flush()
 
 
-def _prog_dc_refine_scan(zzs, al, restart_interval) -> bytes:
+def _prog_dc_refine_scan(zzs, al, restart_interval, samps, mcux, mcuy) -> bytes:
     writer = _BitWriter()
-    nby, nbx, _ = zzs[0].shape
-    m = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            if restart_interval and m and m % restart_interval == 0:
-                _emit_rst(writer, m // restart_interval - 1)
-            for zz in zzs:
-                writer.write((int(zz[by, bx, 0]) >> al) & 1, 1)
-            m += 1
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_rst(writer, m // restart_interval - 1)
+        for ci, blocks in enumerate(_mcu_blocks(samps, mcux, m)):
+            for by, bx in blocks:
+                writer.write((int(zzs[ci][by, bx, 0]) >> al) & 1, 1)
     return writer.flush()
 
 
-def _prog_ac_first_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
+def _prog_ac_first_scan(zz, ac_enc, ss, se, al, restart_interval, nby, nbx) -> bytes:
+    """Non-interleaved scan: iterates the COMPONENT block grid (which
+    may be smaller than the MCU-padded coefficient grid, T.81 A.2.2)."""
     writer = _BitWriter()
-    nby, nbx, _ = zz.shape
     m = 0
     for by in range(nby):
         for bx in range(nbx):
@@ -1013,13 +1086,13 @@ def _prog_ac_first_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
     return writer.flush()
 
 
-def _prog_ac_refine_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
+def _prog_ac_refine_scan(zz, ac_enc, ss, se, al, restart_interval, nby, nbx) -> bytes:
     """G.1.2.3 encode side: newly-significant coefficients (magnitude 1
     at this precision) as (run,1) symbols over zero-history positions,
     correction bits for already-nonzero coefficients buffered and
-    appended after the next symbol, EOB0 flushing the remainder."""
+    appended after the next symbol, EOB0 flushing the remainder.
+    Non-interleaved: iterates the COMPONENT block grid."""
     writer = _BitWriter()
-    nby, nbx, _ = zz.shape
     m = 0
     for by in range(nby):
         for bx in range(nbx):
@@ -1071,59 +1144,48 @@ def _prog_ac_refine_scan(zz, ac_enc, ss, se, al, restart_interval) -> bytes:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 100, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 100,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → PROGRESSIVE JFIF JPEG (SOF2,
-    4:4:4 for color) with a four-phase scan script — interleaved DC
-    first (Al=1), per-component AC first (Ss=1..63, Al=1), DC refine
-    (Ah=1→Al=0), per-component AC refine — exercising all four scan
-    decoders.  Full refinement to Al=0 transmits exactly the
+    """(h, w) gray or (h, w, 3) RGB uint8 → PROGRESSIVE JFIF JPEG (SOF2;
+    4:4:4 or — ``subsampling='420'`` — 2×2-subsampled chroma, what real
+    crawled progressive JPEGs overwhelmingly are) with a four-phase scan
+    script — interleaved DC first (Al=1), per-component AC first
+    (Ss=1..63, Al=1), DC refine (Ah=1→Al=0), per-component AC refine —
+    exercising all four scan decoders; with 4:2:0 the AC scans run on
+    each component's own (smaller-than-MCU-padded) block grid, T.81
+    A.2.2.  Full refinement to Al=0 transmits exactly the
     baseline-quantized coefficients, so decode(progressive(img)) ==
-    decode(baseline(img)) bit-for-bit at any quality."""
+    decode(baseline(img, same subsampling)) bit-for-bit at any
+    quality."""
     arr = np.ascontiguousarray(img, dtype=np.uint8)
-    if arr.ndim == 2:
-        planes = [arr.astype(np.float64)]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(arr)
-        planes = [ycc[..., i] for i in range(3)]
-    else:
-        raise ValueError("encode_jpeg_progressive takes (h,w) gray or (h,w,3) RGB")
-    h, w = arr.shape[:2]
+    padded, samps, h, w = _prep_planes(arr, subsampling)
+    nc = len(padded)
     qluma = _scaled_quant(_QUANT_LUMA, quality)
     qchroma = _scaled_quant(_QUANT_CHROMA, quality)
-    nc = len(planes)
-
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw), dtype=np.float64)
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     zzs = [
         _quant_block_coefs(pp, qluma if ci == 0 else qchroma)
         for ci, pp in enumerate(padded)
     ]
+    # non-interleaved (AC-scan) block grids: component dims, not MCU pad
+    nonint = []
+    for hi, vi in samps:
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        nonint.append((-(-chh // 8), -(-cw // 8)))
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out = _jpeg_headers(
+        b"\xff\xc2", h, w, nc, samps, qluma, qchroma, restart_interval
+    )
 
     def seg(marker: bytes, body: bytes) -> bytes:
         return marker + struct.pack(">H", len(body) + 2) + body
-
-    out += seg(b"\xff\xdb", b"\x00" + qluma.astype(np.uint8).tobytes())
-    if nc == 3:
-        out += seg(b"\xff\xdb", b"\x01" + qchroma.astype(np.uint8).tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i in range(nc):
-        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
-    out += seg(b"\xff\xc2", sof)  # SOF2: progressive DCT
-    dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    out += seg(b"\xff\xc4", dht)
-    if restart_interval:
-        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
 
     dc_enc = _encode_table(_DC_BITS, _DC_VALS)
     ac_enc = _encode_table(_AC_BITS, _AC_VALS)
@@ -1138,17 +1200,19 @@ def encode_jpeg_progressive(
     all_ids = [i + 1 for i in range(nc)]
     # 1) DC first, interleaved, Al=1
     out += sos(all_ids, 0, 0, 0, 1)
-    out += _prog_dc_first_scan(zzs, dc_enc, 1, restart_interval)
+    out += _prog_dc_first_scan(zzs, dc_enc, 1, restart_interval, samps, mcux, mcuy)
     # 2) AC first per component, band 1..63, Al=1
     for ci in range(nc):
+        nby, nbx = nonint[ci]
         out += sos([ci + 1], 1, 63, 0, 1)
-        out += _prog_ac_first_scan(zzs[ci], ac_enc, 1, 63, 1, restart_interval)
+        out += _prog_ac_first_scan(zzs[ci], ac_enc, 1, 63, 1, restart_interval, nby, nbx)
     # 3) DC refine to Al=0
     out += sos(all_ids, 0, 0, 1, 0)
-    out += _prog_dc_refine_scan(zzs, 0, restart_interval)
+    out += _prog_dc_refine_scan(zzs, 0, restart_interval, samps, mcux, mcuy)
     # 4) AC refine per component to Al=0
     for ci in range(nc):
+        nby, nbx = nonint[ci]
         out += sos([ci + 1], 1, 63, 1, 0)
-        out += _prog_ac_refine_scan(zzs[ci], ac_enc, 1, 63, 0, restart_interval)
+        out += _prog_ac_refine_scan(zzs[ci], ac_enc, 1, 63, 0, restart_interval, nby, nbx)
     out += b"\xff\xd9"
     return bytes(out)

@@ -335,3 +335,38 @@ def test_progressive_cross_check_with_pil():
     Image.fromarray(g, mode="L").save(buf, format="JPEG", quality=95, progressive=True)
     ours = decode_jpeg_gray(buf.getvalue()).astype(np.int64)
     assert int(np.abs(ours - g.astype(np.int64)).max()) <= 3
+
+
+def test_420_subsampling_baseline_and_progressive():
+    """r8: 4:2:0 — 16x16 MCUs of four luma blocks + Cb + Cr, box-filtered
+    chroma.  Luma must stay tight at q=100 (subsampling never touches Y),
+    and progressive==baseline must hold bit-for-bit INCLUDING odd dims,
+    where the non-interleaved chroma block grid is smaller than the
+    MCU-padded coefficient grid (T.81 A.2.2) — the path 4:4:4 fixtures
+    can never reach."""
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(33)
+    for shape in [(16, 16), (17, 23), (9, 9), (25, 41)]:
+        rgb = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        d = decode_jpeg_gray(encode_jpeg(rgb, quality=100, subsampling="420"))
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        assert d.shape == shape
+        assert float(np.abs(d.astype(np.float64) - y).max()) <= 2.0, shape
+        for q in (100, 25):
+            for ri in (0, 3):
+                base = decode_jpeg_gray(
+                    encode_jpeg(rgb, quality=q, restart_interval=ri, subsampling="420")
+                )
+                prog = decode_jpeg_gray(
+                    encode_jpeg_progressive(
+                        rgb, quality=q, restart_interval=ri, subsampling="420"
+                    )
+                )
+                assert np.array_equal(base, prog), (shape, q, ri)
+    # the SOF actually declares 2x2 luma sampling
+    blob = encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), subsampling="420")
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22  # first component hv byte
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), subsampling="422")

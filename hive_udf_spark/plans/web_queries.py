@@ -129,6 +129,110 @@ def web_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, registrable_domain AS host,
+             regexp_extract(canonical_url, '^[a-z]+://[^/]*(/[^?]*)', 1) AS path
+      FROM ({_ORACLE_PARTS}) WHERE canonical_url IS NOT NULL
+    ),
+    doms AS (SELECT DISTINCT host FROM u),
+    rules AS (
+      SELECT host, '/P' || CAST(length(host) % 13 AS VARCHAR) AS rule_path,
+             false AS allow,
+             '^/P' || CAST(length(host) % 13 AS VARCHAR) AS rule_regex,
+             length('/P' || CAST(length(host) % 13 AS VARCHAR)) AS rule_len
+      FROM doms
+      UNION ALL
+      SELECT host,
+             '/P' || CAST(length(host) % 13 AS VARCHAR) || '/~' || substr(md5(host), 1, 1),
+             true,
+             '^/P' || CAST(length(host) % 13 AS VARCHAR) || '/~' || substr(md5(host), 1, 1),
+             length('/P' || CAST(length(host) % 13 AS VARCHAR) || '/~' || substr(md5(host), 1, 1))
+      FROM doms
+      UNION ALL
+      SELECT host, '*' || substr(md5(host), 2, 1) || '$',
+             false,
+             '^.*' || substr(md5(host), 2, 1) || '$',
+             length('*' || substr(md5(host), 2, 1) || '$')
+      FROM doms
+    ),
+    hits AS (
+      SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow, r.rule_len,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY r.rule_len DESC, r.allow DESC, r.rule_path ASC
+             ) AS rk
+      FROM u JOIN rules r
+        ON u.host = r.host AND regexp_matches(u.path, r.rule_regex)
+    )
+    SELECT u.doc_id, u.host AS registrable_domain, u.path,
+           coalesce(h.allow, true) AS allowed,
+           h.rule_path AS matched_rule
+    FROM u LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h USING (doc_id)
+    """
+
+
+@register("web_robots_filter", oracle=_ROBOTS_ORACLE)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-allow verdict (r8, operators/robots.py): three
+    deterministic per-domain rules — a '/Pk' Disallow, a longer
+    '/Pk/~c' Allow override, and a wildcard+anchor '*x$' Disallow —
+    applied to every canonical URL with RFC-9309 longest-match
+    semantics (ties toward Allow, no match ⇒ allowed).  The rules
+    relation is broadcast; per-URL work is one regex test per rule of
+    the matching HOST plus a top-1 window on the URL key.  The oracle
+    re-derives the identical rules and verdict in SQL.  (The robots.txt
+    TEXT parser — UA groups, comments, agent matching — is
+    pytest-covered; rules here are generated as a relation so the
+    verdict join itself is what the oracle checks.)"""
+    from hive_udf_spark.operators.robots import robots_allowed
+
+    d = _docs_with_urls(spark, sf_dir).filter(F.col("canonical_url").isNotNull())
+    urls = d.select(
+        "doc_id",
+        F.col("registrable_domain").alias("host"),
+        F.regexp_extract("canonical_url", r"^[a-z]+://[^/]*(/[^?]*)", 1).alias("path"),
+    )
+    # Materialize the tiny domain list: the collapsed canonicalization
+    # projection is a multi-MB expression tree, and deriving the rules
+    # relation from it lazily would re-embed that tree once per rule
+    # branch (a ~47 MiB task binary measured at sf0.01).  The distinct
+    # host relation is domain-count-sized — bounded state by the same
+    # argument as the quota queries.
+    doms = urls.select("host").distinct().localCheckpoint()
+    j = F.concat(F.lit("/P"), (F.length("host") % 13).cast("string"))
+    c1 = F.substring(F.md5(F.col("host").cast("binary")), 1, 1)
+    c2 = F.substring(F.md5(F.col("host").cast("binary")), 2, 1)
+    rules = (
+        doms.select(
+            "host", j.alias("rule_path"), F.lit(False).alias("allow")
+        )
+        .unionByName(
+            doms.select(
+                "host",
+                F.concat(j, F.lit("/~"), c1).alias("rule_path"),
+                F.lit(True).alias("allow"),
+            )
+        )
+        .unionByName(
+            doms.select(
+                "host",
+                F.concat(F.lit("*"), c2, F.lit("$")).alias("rule_path"),
+                F.lit(False).alias("allow"),
+            )
+        )
+        .withColumn("rule_len", F.length("rule_path"))
+    )
+    out = robots_allowed(urls, rules, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("host").alias("registrable_domain"),
+        "path",
+        "allowed",
+        "matched_rule",
+    )
+
+
 @register(
     "web_host_stats",
     oracle=f"""

@@ -1,0 +1,103 @@
+"""robots.txt parsing + crawl-allow verdict (operators/robots.py, r8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+ROBOTS = """# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow: /tmp*.bak$
+
+User-agent: badbot
+Disallow: /
+
+User-agent: goodbot
+User-agent: fancybot
+Disallow: /fancy-only/
+"""
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [("a.com", ROBOTS), ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+
+
+def test_parse_groups_comments_and_agents(spark):
+    from hive_udf_spark.operators.robots import parse_robots_rules
+
+    rules = {
+        (r.rule_path, r.allow)
+        for r in parse_robots_rules(_fixture(spark)).collect()
+    }
+    # the '*' group's three rules — and NOT badbot's or the shared
+    # goodbot/fancybot group's
+    assert rules == {
+        ("/private/", False),
+        ("/private/press/", True),
+        ("/tmp*.bak$", False),
+    }
+    # a specific agent gets ITS group plus nothing from other groups;
+    # consecutive User-agent lines share one rule group (RFC 9309)
+    bad = {
+        (r.rule_path, r.allow)
+        for r in parse_robots_rules(_fixture(spark), agent="badbot").collect()
+    }
+    assert ("/", False) in bad and ("/fancy-only/", False) not in bad
+    for a in ("goodbot", "FancyBot"):
+        g = {
+            (r.rule_path, r.allow)
+            for r in parse_robots_rules(_fixture(spark), agent=a).collect()
+        }
+        assert ("/fancy-only/", False) in g and ("/", False) not in g
+
+
+def test_longest_match_verdicts(spark):
+    from hive_udf_spark.operators.robots import parse_robots_rules, robots_allowed
+
+    rules = parse_robots_rules(_fixture(spark))
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/public/x"),
+            (2, "a.com", "/private/doc"),
+            (3, "a.com", "/private/press/release"),
+            (4, "a.com", "/tmp123.bak"),
+            (5, "a.com", "/tmp123.bakx"),
+            (6, "b.com", "/anything"),
+            (7, "c.com", "/nohost"),
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {r.doc_id: (r.allowed, r.matched_rule) for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        1: (True, None),
+        2: (False, "/private/"),  # prefix Disallow
+        3: (True, "/private/press/"),  # longer Allow overrides
+        4: (False, "/tmp*.bak$"),  # '*' wildcard + '$' anchor
+        5: (True, None),  # the $ anchor must not match with a suffix
+        6: (True, None),  # blank Disallow = no rule at all
+        7: (True, None),  # unknown host: default allowed
+    }
+
+
+def test_allow_wins_ties_and_rules_broadcast(spark):
+    from hive_udf_spark.operators.robots import robots_allowed
+
+    rules = spark.createDataFrame(
+        [("h", "/a/", True), ("h", "/a/", False)],
+        "host string, rule_path string, allow boolean",
+    ).withColumn("rule_len", F.length("rule_path"))
+    urls = spark.createDataFrame([(1, "h", "/a/x")], "doc_id long, host string, path string")
+    out = robots_allowed(urls, rules)
+    row = out.first()
+    assert row.allowed is True  # equal length: Allow wins (RFC 9309)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

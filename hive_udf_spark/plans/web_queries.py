@@ -233,6 +233,77 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sitemap_xml_sql(d: str) -> str:
+    """Deterministic per-doc sitemap XML (engine twin): 1-3 <url>
+    entries; even entry indexes carry an XML-escaped query string; some
+    docs add lastmod/priority.  ONE generator string for both
+    dialects."""
+    s = "STRING" if d == "spark" else "VARCHAR"
+    n = "(doc_id % 3 + 1)"
+    parts = []
+    for k in range(3):
+        loc = (
+            f"'https://s' || CAST(doc_id % 7 AS {s}) || '.com/p' || CAST({k} AS {s})"
+            + (" || '?a=1&amp;b=2'" if k % 2 == 0 else "")
+        )
+        lastmod = (
+            "CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2024-01-0' || "
+            f"CAST(doc_id % 9 + 1 AS {s}) || '</lastmod>' ELSE '' END"
+        )
+        prio = (
+            "CASE WHEN doc_id % 5 = 0 THEN '<priority>0.' || "
+            f"CAST(doc_id % 9 AS {s}) || '</priority>' ELSE '' END"
+        )
+        parts.append(
+            f"CASE WHEN {k} < {n} THEN '<url><loc>' || {loc} || '</loc>' || "
+            f"{lastmod} || {prio} || '</url>' ELSE '' END"
+        )
+    return "'<urlset>' || " + " || ".join(parts) + " || '</urlset>'"
+
+
+_SM_ENTRY = r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"
+
+
+@register(
+    "web_sitemap_extract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sitemap_xml_sql("duckdb")} AS xml FROM documents
+    ),
+    l AS (
+      SELECT doc_id, regexp_extract_all(xml, '{_SM_ENTRY}', 1) AS es FROM t
+    ),
+    e AS (
+      SELECT doc_id, CAST(i AS INT) AS entry_idx, es[i + 1] AS entry_xml
+      FROM l, LATERAL (SELECT unnest(range(len(es))) AS i)
+    )
+    SELECT doc_id, entry_idx,
+           replace(replace(replace(replace(replace(
+             trim(regexp_extract(entry_xml, '(?s)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>', 1)),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')
+             AS loc,
+           nullif(regexp_extract(entry_xml, '(?s)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+           nullif(regexp_extract(entry_xml, '(?s)<changefreq\\b[^>]*>\\s*(.*?)\\s*</changefreq>', 1), '') AS changefreq,
+           CAST(nullif(regexp_extract(entry_xml, '(?s)<priority\\b[^>]*>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE) AS priority,
+           false AS is_index
+    FROM e
+    WHERE regexp_extract(entry_xml, '(?s)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>', 1) <> ''
+    """,
+)
+def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL extraction (r8, operators/sitemap.py): per-doc
+    generated <urlset> XML explodes into one row per entry with
+    entity-decoded loc + lastmod/changefreq/priority — pure
+    regexp_extract_all + posexplode Catalyst expressions, the streaming
+    pull a crawler's URL-discovery tier runs.  The oracle re-runs the
+    identical extraction in SQL on the identical generated XML."""
+    from hive_udf_spark.operators.sitemap import sitemap_entries
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_sitemap_xml_sql("spark")).alias("sitemap_xml"))
+    return sitemap_entries(d)
+
+
 @register(
     "web_host_stats",
     oracle=f"""

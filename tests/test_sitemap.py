@@ -47,4 +47,7 @@ def test_plan_is_pure_jvm(spark):
     with redirect_stdout(buf):
         sitemap_entries(df).explain("formatted")
     plan = buf.getvalue()
-    assert "Python" not in plan and "BatchEval" not in plan
+    # a createDataFrame scan mentions applySchemaToPythonRDD — what must
+    # be absent is any Python UDF evaluation node
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan

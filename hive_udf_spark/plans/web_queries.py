@@ -264,18 +264,18 @@ def _sitemap_xml_sql(d: str) -> str:
 _SM_ENTRY = r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"
 
 
-@register(
-    "web_sitemap_extract",
-    oracle=f"""
-    WITH t AS (
+# Oracle twin of operators/sitemap.py extraction over the generated XML:
+# (doc_id, entry_idx, loc, lastmod, changefreq, priority) rows.
+_SITEMAP_ORACLE_ENTRIES = f"""
+    WITH __sm_t AS (
       SELECT doc_id, {_sitemap_xml_sql("duckdb")} AS xml FROM documents
     ),
-    l AS (
-      SELECT doc_id, regexp_extract_all(xml, '{_SM_ENTRY}', 1) AS es FROM t
+    __sm_l AS (
+      SELECT doc_id, regexp_extract_all(xml, '{_SM_ENTRY}', 1) AS es FROM __sm_t
     ),
-    e AS (
+    __sm_e AS (
       SELECT doc_id, CAST(i AS INT) AS entry_idx, es[i + 1] AS entry_xml
-      FROM l, LATERAL (SELECT unnest(range(len(es))) AS i)
+      FROM __sm_l, LATERAL (SELECT unnest(range(len(es))) AS i)
     )
     SELECT doc_id, entry_idx,
            replace(replace(replace(replace(replace(
@@ -284,10 +284,18 @@ _SM_ENTRY = r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"
              AS loc,
            nullif(regexp_extract(entry_xml, '(?s)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
            nullif(regexp_extract(entry_xml, '(?s)<changefreq\\b[^>]*>\\s*(.*?)\\s*</changefreq>', 1), '') AS changefreq,
-           CAST(nullif(regexp_extract(entry_xml, '(?s)<priority\\b[^>]*>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE) AS priority,
-           false AS is_index
-    FROM e
+           CAST(nullif(regexp_extract(entry_xml, '(?s)<priority\\b[^>]*>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE) AS priority
+    FROM __sm_e
     WHERE regexp_extract(entry_xml, '(?s)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>', 1) <> ''
+    """
+
+
+@register(
+    "web_sitemap_extract",
+    oracle=f"""
+    SELECT doc_id, entry_idx, loc, lastmod, changefreq, priority,
+           false AS is_index
+    FROM ({_SITEMAP_ORACLE_ENTRIES})
     """,
 )
 def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +310,124 @@ def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.expr(_sitemap_xml_sql("spark")).alias("sitemap_xml"))
     return sitemap_entries(d)
+
+
+_FRONTIER_ORACLE = f"""
+    WITH sm AS (
+      SELECT doc_id, entry_idx, loc AS url
+      FROM ({_SITEMAP_ORACLE_ENTRIES})
+    ),
+    p AS (
+      SELECT * FROM ({url_parts_sql("SELECT * FROM sm")})
+      WHERE canonical_url IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id * 4 + entry_idx AS uid, doc_id, entry_idx,
+             registrable_domain AS host, url_key,
+             regexp_extract(canonical_url, '^[a-z]+://[^/]*(/.*)$', 1) AS pathq
+      FROM p
+    ),
+    doms AS (SELECT DISTINCT host FROM u),
+    jsel AS (
+      SELECT host,
+             CASE WHEN substr(md5(host), 1, 1) IN ('0','1','2','3','4','5') THEN 0
+                  WHEN substr(md5(host), 1, 1) IN ('6','7','8','9','a') THEN 1
+                  ELSE 2 END AS j
+      FROM doms
+    ),
+    rules AS (
+      SELECT host, '/p' || CAST(j AS VARCHAR) AS rule_path, false AS allow,
+             '^/p' || CAST(j AS VARCHAR) AS rule_regex,
+             length('/p' || CAST(j AS VARCHAR)) AS rule_len
+      FROM jsel
+      UNION ALL
+      SELECT host, '/p' || CAST(j AS VARCHAR) || '?a=1', true,
+             '^/p' || CAST(j AS VARCHAR) || '\\?a=1',
+             length('/p' || CAST(j AS VARCHAR) || '?a=1')
+      FROM jsel
+      UNION ALL
+      SELECT host, '*2$', false, '^.*2$', 4 FROM jsel
+    ),
+    hits AS (
+      SELECT u.uid, r.allow,
+             row_number() OVER (
+               PARTITION BY u.uid
+               ORDER BY r.rule_len DESC, r.allow DESC, r.rule_path ASC
+             ) AS rk
+      FROM u JOIN rules r
+        ON u.host = r.host AND regexp_matches(u.pathq, r.rule_regex)
+    ),
+    verdict AS (
+      SELECT u.*, coalesce(h.allow, true) AS allowed
+      FROM u LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h USING (uid)
+    )
+    SELECT url_key,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(min(uid) // 4 AS BIGINT) AS first_doc,
+           CAST(min(uid) % 4 AS BIGINT) AS first_entry
+    FROM verdict WHERE allowed
+    GROUP BY url_key
+    """
+
+
+@register("pipeline_crawl_frontier", oracle=_FRONTIER_ORACLE)
+def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier COMPOSITION (r8): sitemap extraction →
+    URL canonicalization → robots verdict → url_key dedup, each stage
+    the production operator, end-to-end under one oracle.  Rules match
+    against path+query (RFC 9309 allows '?' in rules): a '/pJ' Disallow,
+    a longer '/pJ?a=1' Allow override, and a '*2$' anchor Disallow
+    interact so longest-match ordering is actually load-bearing.
+    Output: one frontier row per allowed canonical identity with its
+    first (doc, entry) sighting and the duplicate count."""
+    from hive_udf_spark.operators.robots import robots_allowed
+    from hive_udf_spark.operators.sitemap import sitemap_entries
+
+    docs = load_table(spark, sf_dir, "documents")
+    sm = sitemap_entries(
+        docs.select("doc_id", F.expr(_sitemap_xml_sql("spark")).alias("sitemap_xml"))
+    )
+    parts = url_parts_cols(sm.withColumn("url", F.col("loc")))
+    u = parts.filter(F.col("canonical_url").isNotNull()).select(
+        (F.col("doc_id") * 4 + F.col("entry_idx")).alias("uid"),
+        F.col("registrable_domain").alias("host"),
+        "url_key",
+        F.regexp_extract("canonical_url", r"^[a-z]+://[^/]*(/.*)$", 1).alias("pathq"),
+    )
+    doms = u.select("host").distinct().localCheckpoint()
+    j = (
+        F.when(F.substring(F.md5(F.col("host").cast("binary")), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5"), 0)
+        .when(F.substring(F.md5(F.col("host").cast("binary")), 1, 1).isin(
+            "6", "7", "8", "9", "a"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    jp = F.concat(F.lit("/p"), j.cast("string"))
+    rules = (
+        doms.select("host", jp.alias("rule_path"), F.lit(False).alias("allow"))
+        .unionByName(
+            doms.select(
+                "host",
+                F.concat(jp, F.lit("?a=1")).alias("rule_path"),
+                F.lit(True).alias("allow"),
+            )
+        )
+        .unionByName(
+            doms.select("host", F.lit("*2$").alias("rule_path"), F.lit(False).alias("allow"))
+        )
+        .withColumn("rule_len", F.length("rule_path"))
+    )
+    v = robots_allowed(u, rules, id_col="uid", host_col="host", path_col="pathq")
+    return (
+        v.filter(F.col("allowed"))
+        .groupBy("url_key")
+        .agg(
+            F.count("*").cast("long").alias("n_seen"),
+            F.expr("min(uid) div 4").cast("long").alias("first_doc"),
+            (F.min("uid") % 4).cast("long").alias("first_entry"),
+        )
+    )
 
 
 @register(

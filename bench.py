@@ -542,6 +542,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_mojibake_repair"].fn(spark, sf_dir))
 
+    def q_crawl_frontier():
+        # r8: sitemap -> canonicalize -> robots verdict -> url_key dedup,
+        # the full crawl-frontier composition
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["pipeline_crawl_frontier"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -698,6 +705,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "mojibake_repair": q_mojibake_repair,
+        "crawl_frontier": q_crawl_frontier,
         "codec_progressive_jpeg_decode": q_codec_progressive_jpeg,
     }
 

@@ -206,10 +206,17 @@ def corrupt_latin1_sql(x: str, dialect: str) -> str:
 
 def repair_sql(x: str, dialect: str) -> str:
     """Inverse transform: expansion → original, longest first, applied
-    twice (one fold over the doubled pair list) so double-encoded text
-    unwinds; a no-op on already-clean text."""
+    twice so double-encoded text unwinds; a no-op on already-clean
+    text.  The second pass only ever sees what the first pass can
+    produce — level-1 windows-1252 expansions over the SEED alphabet
+    (latin-1 and single-encoded inputs repair fully in pass one) — so
+    it folds just the 39 seed pairs instead of all 122, one third the
+    per-row replace work (property-verified across all three modes)."""
     inv = [(exp, ch) for ch, exp in REPAIR_PAIRS]
-    return _fold_replace(dialect, x, inv + inv)
+    seed_inv = sorted(
+        ((_forward(ch), ch) for ch in _SEED), key=lambda p: (-len(p[0]), p[0])
+    )
+    return _fold_replace(dialect, x, inv + seed_inv)
 
 
 def score_sql(x: str, dialect: str) -> str:

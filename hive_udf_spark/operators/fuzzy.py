@@ -1,0 +1,206 @@
+"""Exact edit-distance similarity join with PassJoin segment blocking.
+
+``edit_distance_join`` finds every pair of rows whose string column is
+within Levenshtein distance ``max_dist`` — EXACTLY (the blocked result
+equals the brute-force quadratic join) but without ever forming the
+cross product.  The blocking is the PassJoin partition scheme (Li,
+Deng, Jiang, Feng, "PassJoin: A Partition-based Method for Similarity
+Joins", PVLDB 5(3), 2011 — public literature):
+
+* pigeonhole: partition a string ``b`` into ``k = max_dist + 1``
+  contiguous segments; any ``a`` with ``ed(a, b) <= max_dist`` has at
+  most ``max_dist`` edits, so at least one segment of ``b`` is edit-free
+  and therefore appears VERBATIM as a substring of ``a``;
+* bounded shift: every edit moves the alignment by at most one
+  character, so that verbatim occurrence starts within ``±max_dist`` of
+  the segment's own start position, and ``|len(a) - len(b)| <= max_dist``.
+
+So the index side emits ``k`` keys per row — ``(len, seg_idx,
+segment_text)`` at the canonical even-partition positions — and the
+probe side emits, for each candidate indexed length ``len(a)±d`` and
+each segment index, the substrings of ``a`` at the ``2d+1`` start
+positions around that segment's canonical start.  Candidates are the
+equi-join of the two key streams; a final native ``levenshtein`` filter
+removes false positives, giving the exact answer.
+
+Relation to the rest of the dedup family: MinHash/SimHash/Jaccard
+(operators/dedup.py) bound SET overlap and tolerate reordering;
+ExactSubstr (operators/spandedup.py) finds long shared spans.  Edit
+distance is the remaining axis — short strings (titles, names, product
+ids, author fields) where single-character typos, OCR errors, and
+duplicated keystrokes make exact grouping miss and token sets are too
+small to hash.  Entity resolution over such columns is a standard
+training-data-pipeline step (collapsing metadata variants before
+per-source quotas).
+
+Scale shape (the reason this is 100 TB-credible):
+
+* cost per row is O((d+1)(2d+1)^2) short keys (18 for d=1, 75 for
+  d=2) built by ONE codegen'd higher-order-function expression — no
+  Python, no UDF, map-side;
+* the only shuffles are the equi-join on ``(len, seg_idx, text)`` —
+  keys a few characters long — and one distinct on candidate id pairs;
+  nothing is ever all-pairs;
+* verification is Spark's native ``levenshtein`` (whole-stage codegen)
+  applied ONLY to candidates, whose count approaches the true result
+  size (PassJoin's published candidate ratios are small constants);
+* hot segment keys (e.g. a ubiquitous common prefix) concentrate a
+  bucket the same way a hot MinHash band does; the mitigation is the
+  same ``max_bucket`` cap discipline as dedup.py's banded join —
+  AQE skew-join splitting covers the moderate cases.
+
+Reference scope: the reference engine (a 470-LoC sketch UDAF — see
+``/root/reference/src/main/java/com/github/mlnick/hive/udaf/``) has no
+string-similarity operator; this module is part of the mandated
+LLM-data-pipeline extension surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["edit_distance_join", "synth_title_sql"]
+
+
+def _seg_start(L: str, i: str, k: int) -> str:
+    """0-based start of even-partition segment ``i`` of a length-``L``
+    string: the first ``L % k`` segments are one longer (PassJoin's
+    canonical scheme) — ``i*(L DIV k) + least(i, L % k)``."""
+    return f"({i} * ({L} div {k}) + least({i}, {L} % {k}))"
+
+
+def _seg_len(L: str, i: str, k: int) -> str:
+    return f"(({L} div {k}) + if({i} < {L} % {k}, 1, 0))"
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    s_col: str = "title",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` with ``levenshtein(s_a, s_b) <=
+    max_dist`` — exact, via PassJoin segment blocking (module
+    docstring).  Returns ``(id_a, id_b, s_a, s_b, dist)``.
+
+    Both key streams are pure Catalyst higher-order-function
+    expressions over ``sequence``/``transform``/``substring``; empty
+    segments (strings shorter than ``max_dist + 1``) are kept — an
+    empty key over-generates candidates but never misses one, and the
+    levenshtein filter stays exact."""
+    if not 1 <= max_dist <= 4:
+        raise ValueError("max_dist must be in [1, 4]")
+    d, k = max_dist, max_dist + 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(s_col).cast("string").alias("__s"),
+    ).where(F.col("__s").isNotNull())
+
+    # Index stream: k keys per row at canonical positions of len(__s).
+    idx_expr = (
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"  'klen', length(__s),"
+        f"  'kseg', i,"
+        f"  'ktxt', substring(__s, cast({_seg_start('length(__s)', 'i', k)} + 1 as int),"
+        f"                    cast({_seg_len('length(__s)', 'i', k)} as int))))"
+    )
+    index = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("s_b"),
+        F.explode(F.expr(idx_expr)).alias("kk"),
+    ).select("id_b", "s_b", "kk.klen", "kk.kseg", "kk.ktxt")
+
+    # Probe stream: for each candidate indexed length Lb = len(a)+dl and
+    # segment i, the substrings of a at starts within ±d of the
+    # canonical start, filtered to in-bounds windows.  One flattened
+    # HOF expression -> explode -> drop the out-of-range slots.
+    lb = "(length(__s) + dl)"
+    st = _seg_start(lb, "i", k)
+    ln = _seg_len(lb, "i", k)
+    probe_expr = (
+        f"flatten(flatten("
+        f"transform(sequence(-{d}, {d}), dl ->"
+        f"  transform(sequence(0, {d}), i ->"
+        f"    transform(sequence(-{d}, {d}), sh -> named_struct("
+        f"      'klen', {lb},"
+        f"      'kseg', i,"
+        f"      'pos', {st} + sh,"
+        f"      'plen', {ln}))))))"
+    )
+    probe = (
+        base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__s").alias("s_a"),
+            F.explode(F.expr(probe_expr)).alias("pk"),
+        )
+        .where(
+            (F.col("pk.pos") >= 0)
+            & (F.col("pk.pos") + F.col("pk.plen") <= F.length("s_a"))
+            & (F.col("pk.klen") >= 0)
+        )
+        .select(
+            "id_a",
+            "s_a",
+            F.col("pk.klen").alias("klen"),
+            F.col("pk.kseg").alias("kseg"),
+            F.expr(
+                "substring(s_a, cast(pk.pos + 1 as int), cast(pk.plen as int))"
+            ).alias("ktxt"),
+        )
+    )
+
+    cand = (
+        probe.join(index, ["klen", "kseg", "ktxt"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a2"),
+            F.greatest("id_a", "id_b").alias("id_b2"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("s_a"))
+            .otherwise(F.col("s_b"))
+            .alias("sa2"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("s_b"))
+            .otherwise(F.col("s_a"))
+            .alias("sb2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa2", "sb2").cast("int"))
+        .where(F.col("dist") <= d)
+        .select(
+            F.col("id_a2").alias("id_a"),
+            F.col("id_b2").alias("id_b"),
+            F.col("sa2").alias("s_a"),
+            F.col("sb2").alias("s_b"),
+            "dist",
+        )
+    )
+
+
+def synth_title_sql(dialect: str, base_mod: int = 211) -> str:
+    """One SQL expression (per dialect) deriving a short, deliberately
+    typo'd title from ``doc_id`` — the fuzzy-join analogue of
+    ``functions/url.synth_url_sql``: ~N/base_mod docs share each base
+    title, and each doc applies one of four corruptions (none / delete
+    / duplicate-a-char / substitute) at a ``doc_id``-derived position,
+    so true matches at edit distance 0-2 exist by construction.  Spark
+    consumes it via ``F.expr``; the DuckDB oracle pastes the duckdb
+    variant and brute-forces ``levenshtein`` over the length-banded
+    cross join — one generator, two engines, byte-identical input."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    b = f"(doc_id % {base_mod})"
+    bt = (
+        f"('prod ' || substr(md5(CAST({b} AS {s})), 1, 8)"
+        f" || ' v' || CAST({b} % 9 AS {s}))"
+    )
+    p = "(2 + doc_id % 13)"  # 1-based corruption position in [2, 14]
+    return (
+        f"CASE doc_id % 4"
+        f" WHEN 0 THEN {bt}"
+        f" WHEN 1 THEN substr({bt}, 1, {p} - 1) || substr({bt}, {p} + 1)"
+        f" WHEN 2 THEN substr({bt}, 1, {p}) || substr({bt}, {p}, 1)"
+        f"   || substr({bt}, {p} + 1)"
+        f" ELSE substr({bt}, 1, {p} - 1) || 'x' || substr({bt}, {p} + 1)"
+        f" END"
+    )

@@ -888,3 +888,45 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
+_FUZZY_D = 2
+
+
+def _fuzzy_oracle() -> str:
+    from hive_udf_spark.operators.fuzzy import synth_title_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {synth_title_sql('duckdb')} AS title FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.title AS s_a, b.title AS s_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+     AND abs(length(a.title) - length(b.title)) <= {_FUZZY_D}
+    WHERE levenshtein(a.title, b.title) <= {_FUZZY_D}
+    """
+
+
+@register("dedup_fuzzy_edit_join", oracle=_fuzzy_oracle())
+def dedup_fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance similarity join (operators/fuzzy.py
+    edit_distance_join): every pair of synthesized document titles
+    within Levenshtein distance 2, found via PassJoin segment blocking
+    (PVLDB 2011) — pigeonhole one edit-free segment, probe the ±d
+    position window, verify candidates with Spark's native
+    ``levenshtein`` — never the cross product. The entity-resolution
+    axis of the dedup family: single-character typos / OCR noise on
+    short metadata strings, where shingle- and set-based hashing has
+    nothing to grip. Titles derive from ``doc_id`` by the same
+    dual-dialect generator discipline as the URL family (four
+    corruption modes over shared bases), and the oracle brute-forces
+    the length-banded cross join in DuckDB — so blocking exactness,
+    not just the verifier, is what the hash check pins."""
+    from hive_udf_spark.operators.fuzzy import edit_distance_join, synth_title_sql
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synth_title_sql("spark")).alias("title")
+    )
+    return edit_distance_join(docs, "doc_id", "title", max_dist=_FUZZY_D)

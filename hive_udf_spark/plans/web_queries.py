@@ -452,3 +452,145 @@ def web_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url_key").cast("long").alias("n_unique_urls"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- r8: hyperlink extraction -> host link graph -> PageRank ------------
+
+from hive_udf_spark.functions.links import (  # noqa: E402
+    base_url_sql,
+    extract_links,
+    links_sql,
+    page_html_sql,
+)
+
+_LINKS_INNER = (
+    f"SELECT doc_id, {base_url_sql('duckdb')} AS base_url,"
+    f" {page_html_sql('duckdb')} AS html FROM documents"
+)
+# links -> canonicalized parts, both engines share every step
+_LINKS_CANON = url_parts_sql(links_sql(_LINKS_INNER))
+
+
+def _links_canon_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(base_url_sql("spark")).alias("base_url"),
+        F.expr(page_html_sql("spark")).alias("html"),
+    )
+    return url_parts_cols(extract_links(docs))
+
+
+@register(
+    "web_link_extract",
+    oracle=f"""
+    SELECT doc_id, link_idx, href, url, canonical_url,
+           u_host AS link_host
+    FROM ({_LINKS_CANON})
+    """,
+)
+def web_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction + RFC 3986 reference resolution
+    (functions/links.py): per-doc generated HTML explodes into one row
+    per followable <a> tag — nofollow tags vetoed, fragment-only and
+    mailto: references dropped, absolute / scheme-relative /
+    root-relative / query-only / path-relative hrefs resolved against
+    the page's base URL, then canonicalized by the url.py step chain
+    (which finishes ../ via its dot-segment machinery).  Pure
+    regexp + posexplode + string codegen; the oracle re-runs the
+    identical expressions in DuckDB."""
+    d = _links_canon_df(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "link_idx",
+        "href",
+        "url",
+        "canonical_url",
+        F.col("u_host").alias("link_host"),
+    )
+
+
+_SRC_HOST = "lower(regexp_extract(base_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+
+
+@register(
+    "web_host_link_graph",
+    oracle=f"""
+    SELECT {_SRC_HOST} AS src_host, u_host AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM ({_LINKS_CANON})
+    WHERE canonical_url IS NOT NULL AND {_SRC_HOST} <> u_host
+    GROUP BY 1, 2
+    """,
+)
+def web_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host->host link graph: followable resolved links with a valid
+    canonical form, self-loops dropped, one hash aggregation on short
+    host-pair keys — the edge relation domain-authority features hang
+    off.  At 100 TB this is the only shuffle in the family (the
+    extraction/resolution above it is map-side codegen)."""
+    d = _links_canon_df(spark, sf_dir)
+    src = F.expr(_SRC_HOST).alias("src_host")
+    return (
+        d.where(F.col("canonical_url").isNotNull())
+        .select(src, F.col("u_host").alias("dst_host"))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+_LG_PR_ITERS = 5
+_LG_PR_DAMP = 850
+
+
+def _host_pagerank_oracle() -> str:
+    its = []
+    for k in range(1, _LG_PR_ITERS + 1):
+        prev = "r0" if k == 1 else f"it{k - 1}"
+        its.append(f"""
+    it{k} AS (
+      SELECT nodes.n,
+             150000 + coalesce(m.mass, 0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS n,
+               CAST(sum(({_LG_PR_DAMP} * p.r) // (1000 * deg.c)) AS BIGINT) AS mass
+        FROM e JOIN {prev} p ON p.n = e.src JOIN deg ON deg.s = e.src
+        GROUP BY 1
+      ) m ON m.n = nodes.n
+    )""")
+    return f"""
+    WITH lc AS ({_LINKS_CANON}),
+    e AS (
+      SELECT DISTINCT {_SRC_HOST} AS src, u_host AS dst
+      FROM lc WHERE canonical_url IS NOT NULL AND {_SRC_HOST} <> u_host
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+    deg AS (SELECT src AS s, count(*) AS c FROM e GROUP BY 1),
+    r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {','.join(its)}
+    SELECT n AS node, CAST(r AS BIGINT) AS rank_micro FROM it{_LG_PR_ITERS}
+    """
+
+
+@register("web_host_pagerank", oracle=_host_pagerank_oracle())
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority over the DIRECTED host link graph
+    (operators/graph.py pagerank_fixed — same integer recurrence the
+    video-dup centrality query pins, now on its canonical habitat):
+    5 damped power iterations over the distinct host->host edges from
+    the anchor-extraction family, hub hosts accumulating rank from the
+    fixture's skewed linking.  Every step is integer sums plus one
+    defined floor division, so the oracle's chained CTEs reproduce all
+    five iterations bit-for-bit."""
+    from hive_udf_spark.operators.graph import pagerank_fixed
+
+    d = _links_canon_df(spark, sf_dir)
+    src = F.expr(_SRC_HOST).alias("src")
+    edges = (
+        d.where(F.col("canonical_url").isNotNull())
+        .select(src, F.col("u_host").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank_fixed(
+        edges, iters=_LG_PR_ITERS, damping_milli=_LG_PR_DAMP
+    )

@@ -95,14 +95,18 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4, interlace: bo
 def tiff_encoder_udf(
     width: int, height: int, big_endian: bool = True, packbits: bool = True,
     rows_per_strip: int | None = 2, lzw: bool = False, predictor: int = 1,
+    tiles: tuple[int, int] | None = None, bits16: bool = False,
 ):
     """Arrow-batched TIFF fixture encoder: a ``pandas_udf`` mapping a
     width·height-char ASCII payload to a baseline TIFF — big-endian (MM)
     with PackBits multi-strip by default (``lzw=True`` switches to LZW,
-    optionally with the horizontal-differencing predictor) so the
-    decoder's IFD byte-order handling, compression, and strip assembly
-    are all exercised on every row. Lossless, so the standard
-    pixel-stats oracle applies."""
+    optionally with the horizontal-differencing predictor;
+    ``tiles=(tw, th)`` emits the tiled layout instead of strips;
+    ``bits16`` widens each sample to ``(c << 8) | (255 - c)`` so the
+    decoder's high-byte reduction recovers the char exactly) so the
+    decoder's IFD byte-order handling, compression, and raster assembly
+    are all exercised on every row. Lossless in every combination, so
+    the standard pixel-stats oracle applies."""
     from pyspark.sql.functions import pandas_udf
 
     n = width * height
@@ -115,13 +119,18 @@ def tiff_encoder_udf(
             a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
             if a.size != n:
                 raise ValueError(f"payload must be exactly {n} ASCII chars")
+            img = a.reshape(height, width)
+            if bits16:
+                a16 = img.astype(np.uint16)
+                img = (a16 << 8) | (255 - a16)
             return tiffcodec.encode_tiff(
-                a.reshape(height, width),
+                img,
                 big_endian=big_endian,
                 packbits=packbits and not lzw,
-                rows_per_strip=rows_per_strip,
+                rows_per_strip=None if tiles is not None else rows_per_strip,
                 lzw=lzw,
                 predictor=predictor,
+                tiles=tiles,
             )
 
         return s.map(one)

@@ -673,6 +673,89 @@ def multimodal_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_tiled_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 512), 512, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 512.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_tiff_tiled_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TILED TIFF decode end-to-end (r8): each document's first 512
+    chars become a 16x32 big-endian LZW+predictor TIFF in the TILED
+    layout (tags 322-325, 16x16 tiles -> a 1x2 grid) — the organization
+    large scanned/geo TIFFs use instead of strips.  The vendored
+    decoder walks TileOffsets x TileByteCounts, undoes the horizontal
+    predictor PER TILE ROW, and crops edge-tile padding during raster
+    assembly.  Lossless, so the oracle is the standard pixel-stats SQL
+    over the payload — tiling must be invisible in the output."""
+    from hive_udf_spark.operators.multimodal import tiff_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 512), 512, " ")
+    enc = tiff_encoder_udf(
+        16, 32, big_endian=True, lzw=True, predictor=2, tiles=(16, 16)
+    )
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
+    "multimodal_tiff16_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_tiff16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT TIFF decode end-to-end (r8): the 8x8 fixture's samples
+    widen to ``(c << 8) | (255 - c)`` uint16 in the file's byte order
+    (big-endian PackBits strips here), and the decoder's high-byte
+    reduction — the same 16-to-8 policy as the PNG decoder — recovers
+    each char exactly, making the deep-sample path lossless under the
+    standard pixel-stats oracle.  The deliberately non-zero low byte
+    catches a decoder that reads the wrong half of each sample."""
+    from hive_udf_spark.operators.multimodal import tiff_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = tiff_encoder_udf(
+        8, 8, big_endian=True, packbits=True, rows_per_strip=2, bits16=True
+    )
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_decode_quarantine",
     oracle="""
     WITH t AS (

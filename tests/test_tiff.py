@@ -265,3 +265,73 @@ def test_lzw_cross_check_with_pil():
     buf = io.BytesIO()
     Image.fromarray(g, mode="L").save(buf, format="TIFF", compression="tiff_lzw")
     assert np.array_equal(decode_tiff_gray(buf.getvalue()), g)
+
+
+def test_tiled_roundtrip_matrix():
+    """Tiled layout (tags 322-325): every compression, both byte
+    orders, edge-tile cropping, multi-of-16 grids, per-tile predictor."""
+    from hive_udf_spark.operators.tiffcodec import decode_tiff_gray, encode_tiff
+
+    rng = np.random.default_rng(5)
+    for h, w in [(20, 20), (16, 16), (33, 47), (16, 48)]:
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for be in (False, True):
+            for kw in (
+                dict(tiles=(16, 16)),
+                dict(tiles=(16, 16), packbits=True),
+                dict(tiles=(16, 16), lzw=True),
+                dict(tiles=(16, 16), lzw=True, predictor=2),
+                dict(tiles=(32, 16), lzw=True),
+            ):
+                out = decode_tiff_gray(encode_tiff(g, big_endian=be, **kw))
+                assert (out == g).all(), (h, w, be, kw)
+
+
+def test_tiled_rgb_and_16bit():
+    from hive_udf_spark.operators.tiffcodec import decode_tiff_gray, encode_tiff
+
+    rng = np.random.default_rng(6)
+    h, w = 20, 36
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    a = rgb.astype(np.int64)
+    luma = ((299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000).astype(
+        np.uint8
+    )
+    assert (decode_tiff_gray(encode_tiff(rgb, tiles=(16, 16), lzw=True)) == luma).all()
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    hi = (g16 >> 8).astype(np.uint8)
+    for be in (False, True):
+        assert (
+            decode_tiff_gray(encode_tiff(g16, big_endian=be, rows_per_strip=5)) == hi
+        ).all()
+        assert (
+            decode_tiff_gray(
+                encode_tiff(g16, big_endian=be, tiles=(16, 16), packbits=True)
+            )
+            == hi
+        ).all()
+
+
+def test_tile_dims_must_be_multiples_of_16():
+    from hive_udf_spark.operators.tiffcodec import encode_tiff
+
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((20, 20), np.uint8), tiles=(8, 16))
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((20, 20), np.uint8), tiles=(16, 20))
+
+
+def test_lzw_eoi_width_boundary_regression():
+    """Regression: streams whose final table size lands exactly on a
+    width-bump boundary at EOI (the decoder adds an entry after the
+    flushed code; an encoder deriving width from its OWN table — which
+    gets no add for the flush — emits a narrower EOI and the decoder
+    reads past the end).  The decoder-twin width schedule makes every
+    such stream round-trip; sweep sizes around the 253-entry mark to
+    pin the exact boundary."""
+    from hive_udf_spark.operators.tiffcodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(42)
+    for n in range(240, 280):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(data), n) == data, n

@@ -549,6 +549,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["pipeline_crawl_frontier"].fn(spark, sf_dir))
 
+    def q_fuzzy_edit_join():
+        # r8: PassJoin d=2 — 75 HOF-generated keys/row, segment-key
+        # shuffle join, native-levenshtein verify
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["dedup_fuzzy_edit_join"].fn(spark, sf_dir))
+
+    def q_host_pagerank():
+        # r8: href extraction + RFC 3986 resolution + canonicalization
+        # -> host edges -> 5 integer power iterations
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_host_pagerank"].fn(spark, sf_dir))
+
+    def q_codec_tiff_tiled():
+        # r8: tiled-layout LZW+predictor decode (tags 322-325)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_tiff_tiled_decode"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -707,6 +727,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "mojibake_repair": q_mojibake_repair,
         "crawl_frontier": q_crawl_frontier,
         "codec_progressive_jpeg_decode": q_codec_progressive_jpeg,
+        "fuzzy_edit_join": q_fuzzy_edit_join,
+        "host_pagerank": q_host_pagerank,
+        "codec_tiff_tiled_decode": q_codec_tiff_tiled,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

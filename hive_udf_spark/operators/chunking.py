@@ -491,3 +491,53 @@ def source_quota_cap(
         .filter(F.col("quota_rank") <= cap)
         .withColumn("quota_rank", F.col("quota_rank").cast("int"))
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-partition TOKEN budget (not row quota): within each
+    ``part_col`` group, admit rows in deterministic hash-priority order
+    until the running ``weight_col`` total would exceed ``budget``.
+
+    The row-count quota (:func:`source_quota_cap`) bounds how many
+    documents a source contributes; real mixture recipes bound how many
+    TOKENS it contributes — a source of ten enormous documents can blow
+    a token budget that a 15-doc cap happily admits.  Admission order is
+    the portable md5 hash of the id (no rand(): re-runs, repartitions,
+    and the SQL oracle select the SAME rows), so the admitted set is an
+    unbiased sample of the source rather than its head.
+
+    A row is kept iff its INCLUSIVE running total ≤ budget — the greedy
+    prefix rule: a single over-budget document is skipped AND ends the
+    scan for its group (later, smaller rows do not backfill), keeping
+    the admitted set a prefix of the priority order — the property that
+    makes incremental re-ingest append-only instead of re-shuffling
+    prior admissions.
+
+    Scale: one partitioned window (hash-partition on ``part_col``,
+    in-partition sort on the hash priority) — the same shape as any
+    per-key top-k; no global window, no driver state.  Output adds
+    ``priority`` (the hash) and ``cum_weight`` for auditability.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    pr = portable_hash60(F.col(id_col).cast("string"), seed)
+    win = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("priority", pr)
+        .withColumn(
+            "cum_weight", F.sum(F.col(weight_col).cast("long")).over(win)
+        )
+        .filter(F.col("cum_weight") <= budget)
+    )
+    return out

@@ -930,3 +930,107 @@ def dedup_fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(synth_title_sql("spark")).alias("title")
     )
     return edit_distance_join(docs, "doc_id", "title", max_dist=_FUZZY_D)
+
+
+def _best_quality_rep_oracle() -> str:
+    from hive_udf_spark.plans.text_queries import _TOKS_SQL
+
+    return f"""
+    WITH RECURSIVE {_minhash_edges_cte()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM cands
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+      WHERE len(list_intersect(wa.w, wb.w)) * 1000000
+            >= {_CLUST_T_PPM} * len(list_distinct(list_concat(wa.w, wb.w)))
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, re.r FROM reach re JOIN sym e ON e.s = re.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+        CAST(len(qw) AS INT) AS n_words,
+        CAST(CASE WHEN len(qw) >= 3 THEN floor(1000000.0 * (
+          (len(qw) - 2) - (SELECT count(DISTINCT x)
+            FROM unnest([qw[i] || ' ' || qw[i+1] || ' ' || qw[i+2]
+                         for i in range(1, len(qw) - 1)]) AS g(x))
+        ) / (len(qw) - 2)) ELSE 0 END AS INT) AS dup_trigram_ppm
+      FROM (SELECT doc_id, {_TOKS_SQL} AS qw FROM documents)
+    ),
+    rk AS (
+      SELECT c.cluster, c.node AS doc_id, q.n_words, q.dup_trigram_ppm,
+             row_number() OVER (
+               PARTITION BY c.cluster
+               ORDER BY q.dup_trigram_ppm ASC, q.n_words DESC, c.node ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY c.cluster) AS mult
+      FROM clusters c JOIN q ON q.doc_id = c.node
+    )
+    SELECT cluster, doc_id AS rep_id,
+           n_words AS rep_n_words, dup_trigram_ppm AS rep_dup_trigram_ppm,
+           CAST(mult AS BIGINT) AS multiplicity
+    FROM rk WHERE rn = 1
+    """
+
+
+@register("pipeline_dedup_best_quality_rep", oracle=_best_quality_rep_oracle())
+def pipeline_dedup_best_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster dedup: within each near-dup
+    cluster keep the CLEANEST member — lowest Gopher dup-trigram share,
+    then most words, then min id — instead of the arbitrary min-id
+    canonical.  Min-id keeps whatever happens to sort first (often the
+    truncated or boilerplate-padded variant); ranking by the repetition
+    metric keeps the version worth training on, with multiplicity still
+    carried for up-weighting.  Same exact-mode clustering (and oracle
+    transitive closure) as pipeline_dedup_representatives; the quality
+    metrics are the same map-side Gopher expressions the filter query
+    pins, so the only new cost is one partitioned window over the
+    cluster relation — fixed-width rows, never text."""
+    from hive_udf_spark.functions.text import gopher_quality
+    from hive_udf_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, "doc_id", "text", threshold=0.7, portable=True,
+        sig_prefilter_margin=None, mode="exact",
+    )
+    m = gopher_quality("text")
+    q = docs.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["dup_trigram_ppm"].alias("dup_trigram_ppm"),
+    )
+    j = clusters.join(q, "doc_id")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("cluster").orderBy(
+        F.col("dup_trigram_ppm").asc(), F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.select(
+        "cluster", "doc_id", "n_words", "dup_trigram_ppm",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).cast("long").alias(
+            "multiplicity"
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("rep_id"),
+        F.col("n_words").alias("rep_n_words"),
+        F.col("dup_trigram_ppm").alias("rep_dup_trigram_ppm"),
+        "multiplicity",
+    )

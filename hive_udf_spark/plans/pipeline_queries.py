@@ -740,3 +740,57 @@ def pipeline_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota_cap(
         docs, "source", cap=15, order_by=[F.col("n_chars").desc()]
     )
+
+
+_TB_BUDGET = 5000
+_TB_SEED = 42
+
+
+def _token_budget_oracle() -> str:
+    from hive_udf_spark.functions.hashing import portable_hash60_sql
+
+    pr = portable_hash60_sql("CAST(doc_id AS VARCHAR)", _TB_SEED)
+    return f"""
+    WITH p AS (
+      SELECT doc_id, source, n_chars, {pr} AS priority FROM documents
+    ),
+    c AS (
+      SELECT *,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_weight
+      FROM p
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           priority, CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM c WHERE cum_weight <= {_TB_BUDGET}
+    """
+
+
+@register("pipeline_token_budget_cap", oracle=_token_budget_oracle())
+def pipeline_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget (operators/chunking.py token_budget_cap):
+    admit documents in portable-hash priority order until each source's
+    running character total would exceed 5000 — the token-denominated
+    counterpart of the row-count quota (pipeline_source_quota_cap),
+    which is the bound mixture recipes actually specify (a source of
+    ten enormous docs blows a token budget a 15-doc cap admits).  The
+    greedy inclusive-prefix rule plus a monotone running sum keeps the
+    admitted set a prefix of the hash order, so the oracle is one
+    partitioned-window SQL — bit-exact, no rand()."""
+    from hive_udf_spark.operators.chunking import token_budget_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_cap(
+        docs.select("doc_id", "source", "n_chars"),
+        part_col="source",
+        id_col="doc_id",
+        weight_col="n_chars",
+        budget=_TB_BUDGET,
+        seed=_TB_SEED,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "priority", "cum_weight",
+    )

@@ -524,3 +524,51 @@ def test_source_quota_cap_semantics_and_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+def test_token_budget_cap_prefix_rule(spark):
+    from hive_udf_spark.operators.chunking import token_budget_cap
+
+    rows = [(i, "s0" if i < 6 else "s1", w) for i, w in
+            enumerate([100, 900, 400, 50, 300, 200, 10, 10, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = token_budget_cap(df, "source", "doc_id", "n_chars", budget=600)
+    got = {r.doc_id: r.cum_weight for r in out.collect()}
+    # re-derive expectation: hash order, inclusive running sum <= 600
+    from hive_udf_spark.functions.hashing import portable_hash60
+    import hashlib
+    def pr(i): return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+    for src in ("s0", "s1"):
+        grp = sorted([r for r in rows if r[1] == src], key=lambda r: (pr(r[0]), r[0]))
+        cum = 0
+        for i, _, w in grp:
+            cum += w
+            assert (i in got) == (cum <= 600), (src, i, cum)
+            if i in got:
+                assert got[i] == cum
+    # monotone cum: once over budget, nothing later backfills
+    assert all(v <= 600 for v in got.values())
+
+
+def test_token_budget_cap_determinism_and_validation(spark):
+    from hive_udf_spark.operators.chunking import token_budget_cap
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, "x", 10) for i in range(50)], "doc_id long, source string, n_chars long"
+    )
+    a = {r.doc_id for r in token_budget_cap(df, "source", "doc_id", "n_chars", 200).collect()}
+    b = {r.doc_id for r in
+         token_budget_cap(df.repartition(7), "source", "doc_id", "n_chars", 200).collect()}
+    assert a == b and len(a) == 20  # 200/10 admitted, repartition-stable
+    with _pytest.raises(ValueError):
+        token_budget_cap(df, "source", "doc_id", "n_chars", -1)
+
+
+def test_token_budget_zero_admits_nothing(spark):
+    from hive_udf_spark.operators.chunking import token_budget_cap
+
+    df = spark.createDataFrame(
+        [(1, "x", 5)], "doc_id long, source string, n_chars long"
+    )
+    assert token_budget_cap(df, "source", "doc_id", "n_chars", 0).count() == 0

@@ -181,3 +181,44 @@ def test_dedup_representatives_conservation(spark, sf_dir):
     assert all(r.rep_id == r.cluster for r in rows)  # canonical = min id
     assert sum(r.multiplicity for r in rows) == docs.count()
     assert any(r.multiplicity > 1 for r in rows)  # corpus is duplicate-dense
+
+
+def test_best_quality_rep_beats_min_id(spark):
+    """Quality-aware representative selection: when the cluster's min-id
+    member is the repetitive variant, the cleaner higher-id member must
+    be chosen (exactly where min-id reps go wrong)."""
+    from pyspark.sql import functions as F
+    from hive_udf_spark.functions.text import gopher_quality
+    from hive_udf_spark.operators.dedup import dedup_clusters
+    from pyspark.sql import Window
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # identical word SETS (Jaccard 1.0 -> guaranteed co-banding) but
+    # different repetition: doc 1 repeats 'spam' 10x (high dup-trigram),
+    # doc 2 mentions it once (zero repeated trigrams)
+    spammy = base + " spam" * 10
+    clean = base + " spam"
+    rows = [(1, spammy), (2, clean), (9, "totally different words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = dedup_clusters(
+        docs, "doc_id", "text", threshold=0.5, portable=True,
+        sig_prefilter_margin=None, mode="exact",
+    )
+    m = gopher_quality("text")
+    q = docs.select(
+        "doc_id", m["n_words"].alias("n_words"),
+        m["dup_trigram_ppm"].alias("dup_trigram_ppm"),
+    )
+    win = Window.partitionBy("cluster").orderBy(
+        F.col("dup_trigram_ppm").asc(), F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+    )
+    got = {r.cluster: r.doc_id for r in reps.collect()}
+    # docs 1 and 2 cluster together (cluster id = min node = 1), but the
+    # clean doc 2 must be the representative despite its higher id
+    assert got[1] == 2
+    assert got[9] == 9

@@ -2189,3 +2189,42 @@ def text_unicode_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cleaned == F.col("text")).alias("cleaned_ok"),
         F.length(cleaned).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "multimodal_pdf_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text AS s FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id, 0 AS page_idx, 2 AS n_pages,
+           substr(s, 1, length(s) // 2) AS text,
+           CAST(length(s) // 2 AS BIGINT) AS n_chars
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1, 2,
+           substr(s, length(s) // 2 + 1),
+           CAST(length(s) - length(s) // 2 AS BIGINT)
+    FROM t
+    """,
+)
+def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction end-to-end (r8, operators/pdfcodec.py): each
+    document becomes a two-page FlateDecode PDF (page 1 shows its first
+    half via Tj, page 2 the rest via a kerned TJ array), and the
+    production mapInPandas path walks the classic xref table, catalog
+    and page tree, bounded-inflates each /Contents stream, and replays
+    the text-showing operators with full PDF string-escape handling.
+    The whole container layer is lossless for the ASCII corpus, so the
+    oracle knows only the text halves — xref offsets, stream lengths,
+    escapes, and kerning arrays must all be invisible in the output."""
+    from hive_udf_spark.operators.pdfcodec import pdf_doc_encoder_udf, pdf_pages_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = pdf_doc_encoder_udf(flate=True)
+    blobs = (
+        docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("text").alias("blob"))
+    )
+    return pdf_pages_table(blobs)

@@ -167,3 +167,84 @@ def equi_depth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Per-group Kolmogorov–Smirnov drift against the pooled
+    distribution: for each ``part_col`` group, the KS statistic between
+    the group's empirical CDF of ``value_col`` and the WHOLE table's —
+    the "did this source's length/score distribution shift" alarm a
+    per-source ingest monitor raises before mixture weights go stale.
+
+    Exact integer formulation (the engine-portability discipline): the
+    KS sup is attained at an observed value, so it is evaluated at
+    every distinct value v as
+    ``|cum_grp(v) * n_all − cum_all(v) * n_grp|`` and reported as
+    ``floor(denom * max_diff / (n_grp * n_all))`` — cross-multiplied
+    integers, no float ECDFs, so the result hash-matches any engine
+    with exact 64-bit arithmetic.  ``ks_at_value`` is the smallest v
+    attaining the sup.
+
+    Scale shape: two hash aggregations (per-(group, v) and per-v
+    counts), one cross join of |groups| × |distinct v| (both SMALL —
+    this operator targets bounded-domain profile columns: lengths,
+    scores, bucketed metrics; the distinct-value relation is
+    distinct-count-sized, the audited exemption class), one window
+    partitioned BY GROUP for the running sums, and one per-group
+    arg-max.  The only unpartitioned window runs over the distinct-
+    value relation alone (|v| rows), the same shape the skew report
+    uses.  Nothing scans the base table twice.
+    """
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    per_v = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    per_gv = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(part_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_grp"))
+    )
+    groups = per_gv.groupBy("g").agg(F.sum("c_grp").alias("n_grp"))
+    n_all = per_v.agg(F.sum("c_all").alias("n_all"))
+
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_all = per_v.select(
+        "v", F.sum("c_all").over(w_all).cast("long").alias("cum_all")
+    )
+    grid = groups.crossJoin(cum_all)  # |groups| x |distinct v|, both small
+    grid = grid.join(
+        per_gv, (grid["g"] == per_gv["g"]) & (grid["v"] == per_gv["v"]), "left"
+    ).select(grid["g"], grid["n_grp"], grid["v"], "cum_all",
+             F.coalesce("c_grp", F.lit(0)).alias("c_grp"))
+    w_grp = (
+        Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = grid.select(
+        "g", "n_grp", "v", "cum_all",
+        F.sum("c_grp").over(w_grp).cast("long").alias("cum_grp"),
+    ).crossJoin(F.broadcast(n_all))
+    diff = ecdf.select(
+        "g", "n_grp", "v", "n_all",
+        F.abs(
+            F.col("cum_grp") * F.col("n_all") - F.col("cum_all") * F.col("n_grp")
+        ).alias("d"),
+    )
+    w_pick = Window.partitionBy("g").orderBy(F.col("d").desc(), F.col("v").asc())
+    return (
+        diff.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("g").alias(part_col),
+            F.col("n_grp").cast("long").alias("n_grp"),
+            # integer division, not floor(float): exact at every boundary
+            F.expr(f"CAST(({denom} * d) DIV (n_grp * n_all) AS LONG)").alias(
+                "ks_ppm"
+            ),
+            F.col("v").alias("ks_at_value"),
+        )
+    )

@@ -1207,3 +1207,64 @@ def sketch_hllp_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFram
         [], "o_custkey", m=_HLLP_M, seed=_HLLP_SEED,
     )
     return hllp_intersect_estimate(a, b, m=_HLLP_M)
+
+
+@register(
+    "profile_ks_drift_by_source",
+    oracle="""
+    WITH pv AS (
+      SELECT n_chars AS v, count(*) AS c_all FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    pgv AS (
+      SELECT source AS g, n_chars AS v, count(*) AS c_grp FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    gs AS (SELECT g, sum(c_grp) AS n_grp FROM pgv GROUP BY 1),
+    na AS (SELECT sum(c_all) AS n_all FROM pv),
+    ca AS (
+      SELECT v, sum(c_all) OVER (
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_all FROM pv
+    ),
+    grid AS (
+      SELECT gs.g, gs.n_grp, ca.v, ca.cum_all, coalesce(pgv.c_grp, 0) AS c_grp
+      FROM gs CROSS JOIN ca LEFT JOIN pgv ON pgv.g = gs.g AND pgv.v = ca.v
+    ),
+    e AS (
+      SELECT g, n_grp, v, cum_all,
+             sum(c_grp) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_grp
+      FROM grid
+    ),
+    d AS (
+      SELECT g, n_grp, v,
+             abs(cum_grp * na.n_all - cum_all * n_grp) AS d, na.n_all
+      FROM e CROSS JOIN na
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY g ORDER BY d DESC, v ASC) AS rn
+      FROM d
+    )
+    SELECT g AS source, CAST(n_grp AS BIGINT) AS n_grp,
+           CAST((1000000 * d) // (n_grp * n_all) AS BIGINT) AS ks_ppm,
+           CAST(v AS BIGINT) AS ks_at_value
+    FROM rk WHERE rn = 1
+    """,
+)
+def profile_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift alarm (r8, operators/profile.py
+    ks_drift): the exact Kolmogorov–Smirnov statistic between each
+    source's document-length distribution and the pooled corpus, in
+    cross-multiplied integer arithmetic (no float ECDFs) so both
+    engines agree bit-for-bit — the ingest-monitoring check that flags
+    a source whose scraper started truncating pages before the
+    mixture weights drift.  Both running sums are windows over the
+    bounded distinct-value relation; the base table is scanned once
+    per count aggregation, never per value."""
+    from hive_udf_spark.operators.profile import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs.select("source", "n_chars"), "source", "n_chars")

@@ -68,3 +68,40 @@ def test_skew_report_multicol_null_vs_empty(spark):
     df = spark.createDataFrame(rows, "k1 string, k2 string")
     got = skew_report(df, ["k1", "k2"], top_k=2).collect()
     assert {(r.key, r.cnt) for r in got} == {("a|∅", 7), ("a|", 3)}
+
+
+def test_ks_drift_matches_brute_force(spark):
+    import numpy as np
+    from hive_udf_spark.operators.profile import ks_drift
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, (lo, hi, n) in {"a": (0, 20, 200), "b": (5, 40, 120), "c": (0, 3, 30)}.items():
+        for v in rng.integers(lo, hi, n):
+            rows.append((g, int(v)))
+    df = spark.createDataFrame(rows, "source string, val long")
+    got = {r.source: (r.n_grp, r.ks_ppm, r.ks_at_value)
+           for r in ks_drift(df, "source", "val").collect()}
+    allv = sorted({v for _, v in rows})
+    n_all = len(rows)
+    for g in ("a", "b", "c"):
+        grp = [v for s, v in rows if s == g]
+        n_g = len(grp)
+        best, best_v = -1, None
+        for v in allv:
+            cg = sum(1 for x in grp if x <= v)
+            ca = sum(1 for _, x in rows if x <= v)
+            d = abs(cg * n_all - ca * n_g)
+            if d > best:
+                best, best_v = d, v
+        want_ppm = (1_000_000 * best) // (n_g * n_all)
+        assert got[g] == (n_g, want_ppm, best_v), g
+
+
+def test_ks_drift_identical_group_is_zero(spark):
+    from hive_udf_spark.operators.profile import ks_drift
+
+    rows = [("x", v) for v in range(50)] + [("y", v) for v in range(50)]
+    df = spark.createDataFrame(rows, "source string, val long")
+    out = {r.source: r.ks_ppm for r in ks_drift(df, "source", "val").collect()}
+    assert out == {"x": 0, "y": 0}

@@ -96,3 +96,6 @@ def test_plan_is_python_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the blocked join is an equi-join on segment keys, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -794,3 +794,64 @@ def pipeline_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
         "priority", "cum_weight",
     )
+
+
+@register(
+    "streaming_token_budget_admission",
+    oracle=f"""
+    WITH o AS (
+      SELECT doc_id, source, n_chars, doc_id % 5 AS b FROM documents
+    ),
+    c AS (
+      SELECT *,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_weight
+      FROM o
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(b AS BIGINT) AS batch_id, CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM c WHERE cum_weight <= {_TB_BUDGET}
+    """,
+)
+def streaming_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source token budgets (streaming/budget_sink.py):
+    the corpus arrives in 5 deterministic micro-batches (doc_id % 5);
+    each batch admits documents in arrival order, continuing every
+    source's running total from the accumulated state, until the 5000-
+    char budget is exhausted — append-only admissions under the same
+    one-commit state swap + high-water mark as the dedup sink (a retry
+    re-running admission would double-count weights, so the hwm check
+    is load-bearing).  The streamed admitted table equals the
+    batch-mode window "cum over (source ORDER BY batch, id) ≤ budget",
+    which the oracle computes directly — the arrival-order bias is the
+    contract's honest difference from the batch operator's hash order."""
+    import tempfile
+
+    from hive_udf_spark.streaming.budget_sink import token_budget_admission_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(5):  # sequential writes -> deterministic file order
+            docs.filter(F.col("doc_id") % 5 == b).select(
+                "doc_id", "source", "n_chars"
+            ).coalesce(1).write.parquet(f"{src}/b{b}")
+        stream = (
+            spark.readStream.schema("doc_id long, source string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = token_budget_admission_sink(
+            stream, f"{tmp}/state", f"{tmp}/ckpt", budget=_TB_BUDGET
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(f"{tmp}/state/admitted")
+            .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
+        )
+    return out

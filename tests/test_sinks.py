@@ -593,3 +593,72 @@ def test_point_in_time_join_renames_colliding_dim_attrs(spark):
     assert "status_r" in out.columns
     row = out.collect()[0]
     assert row.status == "fact-status" and row.status_r == "dim-status"
+
+
+def test_token_budget_admission_stream_matches_batch_window(spark, tmp_path):
+    """Streamed arrival-order admission == batch window over
+    (source ORDER BY batch, id); budgets exhausted in an early batch
+    stay exhausted in later ones."""
+    import pyspark.sql.functions as F
+    from hive_udf_spark.streaming.budget_sink import token_budget_admission_sink
+
+    rows = []
+    for i in range(30):
+        # source 'a' is heavy: exhausts its 100-budget inside batch 0
+        rows.append((i, "a" if i % 2 == 0 else "b", 40 if i % 2 == 0 else 10))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    src = str(tmp_path / "src")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = token_budget_admission_sink(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"), budget=100
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.cum_weight)
+        for r in spark.read.parquet(str(tmp_path / "state/admitted")).collect()
+    }
+    # batch-mode expectation
+    want = set()
+    for srcname in ("a", "b"):
+        grp = sorted(
+            [r for r in rows if r[1] == srcname], key=lambda r: (r[0] % 3, r[0])
+        )
+        cum = 0
+        for i, _, w in grp:
+            cum += w
+            if cum <= 100:
+                want.add((i, cum))
+    assert got == want
+    # source 'a' (40/doc) admits exactly 2 docs; both from batch 0
+    a_rows = [r for r in spark.read.parquet(str(tmp_path / "state/admitted")).collect()
+              if r.source == "a"]
+    assert len(a_rows) == 2 and all(r.batch_id == 0 for r in a_rows)
+
+
+def test_token_budget_admission_validation(spark, tmp_path):
+    import pytest as _pytest
+    from hive_udf_spark.streaming.budget_sink import token_budget_admission_sink
+
+    spark.createDataFrame(
+        [(1, "x", 5)], "doc_id long, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "src"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    with _pytest.raises(ValueError):
+        token_budget_admission_sink(
+            stream, str(tmp_path / "s"), str(tmp_path / "c"), budget=-5
+        )

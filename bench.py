@@ -569,6 +569,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_tiff_tiled_decode"].fn(spark, sf_dir))
 
+    def q_codec_pdf_extract():
+        # r8: classic-xref walk + FlateDecode + Tj/TJ text replay
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_pdf_extract"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -730,6 +736,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "fuzzy_edit_join": q_fuzzy_edit_join,
         "host_pagerank": q_host_pagerank,
         "codec_tiff_tiled_decode": q_codec_tiff_tiled,
+        "codec_pdf_extract": q_codec_pdf_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

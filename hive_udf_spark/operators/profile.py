@@ -241,10 +241,15 @@ def ks_drift(
         .select(
             F.col("g").alias(part_col),
             F.col("n_grp").cast("long").alias("n_grp"),
-            # integer division, not floor(float): exact at every boundary
-            F.expr(f"CAST(({denom} * d) DIV (n_grp * n_all) AS LONG)").alias(
-                "ks_ppm"
-            ),
+            # integer division, not floor(float): exact at every boundary.
+            # The cross products (cum*n) fit int64 up to ~3e9 rows per
+            # side (1e9-doc corpora clear this); the ×denom step would
+            # overflow long at ~1e13, so it widens to DECIMAL(38,0)
+            # (HUGEINT in the oracle) — same integer quotient, no bound.
+            F.expr(
+                f"CAST((CAST(d AS DECIMAL(38,0)) * {denom})"
+                f" DIV (CAST(n_grp AS DECIMAL(38,0)) * n_all) AS LONG)"
+            ).alias("ks_ppm"),
             F.col("v").alias("ks_at_value"),
         )
     )

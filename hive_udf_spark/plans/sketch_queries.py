@@ -1249,7 +1249,7 @@ def sketch_hllp_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFram
       FROM d
     )
     SELECT g AS source, CAST(n_grp AS BIGINT) AS n_grp,
-           CAST((1000000 * d) // (n_grp * n_all) AS BIGINT) AS ks_ppm,
+           CAST((d::HUGEINT * 1000000) // (n_grp::HUGEINT * n_all) AS BIGINT) AS ks_ppm,
            CAST(v AS BIGINT) AS ks_at_value
     FROM rk WHERE rn = 1
     """,

@@ -575,6 +575,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_extract"].fn(spark, sf_dir))
 
+    def q_c4_line_filter():
+        # r8: C4/RefinedWeb line rules — pure per-row projection
+        # (split -> filter lambda -> rejoin), zero shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_c4_line_filter"].fn(spark, sf_dir))
+
+    def q_boilerplate_removal():
+        # r8: CCNet corpus-frequency boilerplate — one line-count shuffle,
+        # broadcast removal join, one groupBy(doc_id) reassembly
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_boilerplate_line_removal"].fn(spark, sf_dir))
+
+    def q_correlation_matrix():
+        # r8: 6 Pearson pairs in ONE partial+final co-moment aggregate
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["profile_correlation_matrix"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -737,6 +757,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "host_pagerank": q_host_pagerank,
         "codec_tiff_tiled_decode": q_codec_tiff_tiled,
         "codec_pdf_extract": q_codec_pdf_extract,
+        "c4_line_filter": q_c4_line_filter,
+        "boilerplate_removal": q_boilerplate_removal,
+        "correlation_matrix": q_correlation_matrix,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

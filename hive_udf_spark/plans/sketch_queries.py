@@ -1268,3 +1268,47 @@ def profile_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ks_drift(docs.select("source", "n_chars"), "source", "n_chars")
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    parts = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 6) AS corr6, "
+        f"CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+        for a, b in _CORR_PAIRS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_correlation_matrix", oracle=_corr_oracle())
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures in ONE
+    aggregate pass (all 6 pairs of 4 columns as co-moment aggregates in
+    a single wide agg, then an unpivot): the feature-correlation
+    pre-flight of a training-data ingest.  Co-moments are partial-
+    aggregable, so the plan is map-side partials -> one final reduce —
+    no extra shuffle, no second scan, and the unpivot runs on a 1-row
+    relation.  Rounded to 6 decimals in both engines (corr is
+    scale-free, |r| <= 1, so fixed-point rounding is robust to
+    summation-order noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"c_{i}")
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    ]
+    one = li.agg(*aggs, F.count("*").alias("n"))
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return one.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr6)",
+        "n AS n_rows",
+    ).select("col_a", "col_b", "corr6", F.col("n_rows").cast("long").alias("n_rows"))

@@ -2228,3 +2228,149 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", enc("text").alias("blob"))
     )
     return pdf_pages_table(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Line-level hygiene (r8): C4 line filter + CCNet boilerplate removal
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.functions.lines import (  # noqa: E402
+    BOILERPLATE_DOC_FRAC,
+    c4_kept_lines_sql,
+    c4_page_drop_pred_sql,
+    join_lines_sql,
+    split_lines_sql,
+    synth_lines_sql,
+)
+
+
+def _c4_oracle() -> str:
+    synth = synth_lines_sql("text", "duckdb")
+    lines = split_lines_sql("page", "duckdb")
+    kept = c4_kept_lines_sql("l", "duckdb")
+    drop = c4_page_drop_pred_sql("page", "len(kept)")
+    return f"""
+    WITH m AS (SELECT doc_id, {synth} AS page FROM documents),
+    s AS (SELECT doc_id, page, {lines} AS l FROM m),
+    k AS (SELECT doc_id, page, l, {kept} AS kept FROM s),
+    v AS (SELECT doc_id, len(l) AS n_lines, len(kept) AS n_kept,
+                 NOT {drop} AS page_kept,
+                 CASE WHEN NOT {drop}
+                      THEN {join_lines_sql('kept', 'duckdb')} ELSE '' END AS cleaned
+          FROM k)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept, page_kept, cleaned,
+           CAST(length(cleaned) AS BIGINT) AS n_chars
+    FROM v
+    """
+
+
+@register("text_c4_line_filter", oracle=_c4_oracle())
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level cleaning (Raffel et al. 2020 §2.2): each
+    doc is deterministically reflowed into a multi-line page (7-word
+    sentence lines plus injected script-warning / cookie-banner / short
+    / lorem-ipsum / code-brace boilerplate, functions/lines.py), then
+    lines are kept only if they end in terminal punctuation, have >= 5
+    words, and mention no drop term; pages are dropped page-level when
+    fewer than 3 lines survive or when they contain '{{' or "lorem
+    ipsum".  The whole filter is a per-row Catalyst projection (split ->
+    filter lambda -> array_join): zero shuffle, scan-speed at 100 TB —
+    rules generated from ONE table into both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("page", F.expr(synth_lines_sql("text", "spark")))
+    d = d.withColumn("l", F.expr(split_lines_sql("page", "spark")))
+    d = d.withColumn("kept", F.expr(c4_kept_lines_sql("l", "spark")))
+    drop = c4_page_drop_pred_sql("page", "size(kept)")
+    d = d.withColumn("page_kept", ~F.expr(drop))
+    cleaned = F.when(
+        F.col("page_kept"), F.expr(join_lines_sql("kept", "spark"))
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        "page_kept",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+    )
+
+
+def _boilerplate_oracle() -> str:
+    synth = synth_lines_sql("text", "duckdb")
+    lines = split_lines_sql("page", "duckdb")
+    return f"""
+    WITH m AS (SELECT doc_id, {lines} AS l
+               FROM (SELECT doc_id, {synth} AS page FROM documents)),
+    e AS (SELECT doc_id, unnest(l) AS line,
+                 unnest(generate_series(1, len(l))) AS line_idx
+          FROM m),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    b AS (SELECT line FROM e, n
+          GROUP BY line, n.n_docs
+          HAVING count(DISTINCT doc_id) > n.n_docs * {BOILERPLATE_DOC_FRAC}),
+    j AS (SELECT e.doc_id, e.line_idx, e.line,
+                 (b.line IS NULL) AS keep
+          FROM e LEFT JOIN b USING (line))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_idx), '') AS cleaned
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("text_boilerplate_line_removal", oracle=_boilerplate_oracle())
+def text_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate removal (Wenzek et al.
+    2020 §3.1): over the same synthesized multi-line pages as
+    text_c4_line_filter, a line occurring in more than 10% of all
+    documents is boilerplate — every occurrence is dropped corpus-wide
+    and the survivors are reassembled in original order.  Scale shape:
+    one shuffle to count per-line document frequency; the
+    above-threshold set is tiny by construction (> 10% document
+    frequency caps it at 10 lines per distinct-content slice), so the
+    removal is a BROADCAST anti-flag join plus one groupBy(doc_id)
+    reassembly — never a corpus-sized join on the rebuild side."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(synth_lines_sql("text", "spark")).alias("page")
+    )
+    lines = pages.select(
+        "doc_id",
+        F.posexplode(F.expr(split_lines_sql("page", "spark"))).alias(
+            "line_idx", "line"
+        ),
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * BOILERPLATE_DOC_FRAC)
+        .select(F.col("line").alias("bp_line"))
+    )
+    flagged = lines.join(
+        broadcast(bp), lines["line"] == bp["bp_line"], "left"
+    ).withColumn("keep", F.col("bp_line").isNull())
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("keep"), F.struct("line_idx", "line"))
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["line"]), "\n"
+            ).alias("cleaned"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "cleaned")
+    )

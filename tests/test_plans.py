@@ -448,3 +448,36 @@ def test_mojibake_fold_chain_is_pure_jvm(spark, sf_dir):
     plan = plan_of(QUERIES["text_mojibake_repair"].fn(spark, sf_dir))
     assert "Python" not in plan and "BatchEval" not in plan
     assert "ArrowEval" not in plan
+
+
+def test_c4_line_filter_is_shuffle_free_projection(spark, sf_dir):
+    """C4 line cleaning is a pure per-row projection (split -> filter
+    lambda -> rejoin): no Exchange, no Python — at 100 TB it runs at
+    scan speed like the Gopher filter."""
+    plan = plan_of(QUERIES["text_c4_line_filter"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_removal_broadcasts_bp_set(spark, sf_dir):
+    """CCNet boilerplate removal: the above-threshold line set is tiny
+    by construction (doc-frequency > 10% caps its size), so the removal
+    join against the corpus-sized line relation must be a BROADCAST
+    join, never a shuffle join on the corpus side."""
+    plan = plan_of(QUERIES["text_boilerplate_line_removal"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_correlation_matrix_single_pass(spark, sf_dir):
+    """All 6 correlation pairs must come from ONE aggregate over ONE
+    scan: exactly one lineitem scan in the plan, partial+final
+    HashAggregate (co-moments are partial-aggregable)."""
+    plan = plan_of(QUERIES["profile_correlation_matrix"].fn(spark, sf_dir))
+    # explain("formatted") prints each node in the tree AND the detail
+    # section — one scan appears exactly twice.
+    assert plan.count("Scan parquet") == 2, "must be a single scan, not a union"
+    assert plan.count("HashAggregate") >= 2, "partial+final co-moment phases"
+    assert "Union" not in plan
+    assert "EvalPython" not in plan

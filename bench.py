@@ -595,6 +595,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["profile_correlation_matrix"].fn(spark, sf_dir))
 
+    def q_luhn_validation():
+        # r8: PAN candidate extraction + constant-cost Luhn fold per row
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_pii_luhn_validation"].fn(spark, sf_dir))
+
+    def q_line_repetition():
+        # r8: Gopher duplicate-line rules — per-row array folds, no shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_line_repetition_stats"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -760,6 +772,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "c4_line_filter": q_c4_line_filter,
         "boilerplate_removal": q_boilerplate_removal,
         "correlation_matrix": q_correlation_matrix,
+        "luhn_validation": q_luhn_validation,
+        "line_repetition": q_line_repetition,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -288,3 +288,57 @@ def gopher_filter_table(df, text_col: str, id_cols: tuple[str, ...] = ("doc_id",
     with_metrics = staged.select(*id_cols, *[v.alias(k) for k, v in m.items()])
     v = _gopher_verdict({k: F.col(k) for k in m})
     return with_metrics.select("*", v["keep"].alias("keep"), v["reasons"].alias("reasons"))
+
+
+# ---------------------------------------------------------------------------
+# Credit-card candidate extraction + Luhn validation (r8)
+# ---------------------------------------------------------------------------
+
+# Digit runs with optional space/dash grouping, 13-19 digits after
+# normalization (the PAN length range).  The loose shape is refined by
+# the Luhn checksum — pattern alone over-matches (phone numbers, ids);
+# checksum alone can't find candidates.  RE2/Java-compatible.
+CC_CANDIDATE_PATTERN = r"[0-9][0-9 -]{11,21}[0-9]"
+CC_MIN_DIGITS = 13
+CC_MAX_DIGITS = 19
+
+
+def luhn_valid_sql(expr: str, dialect: str) -> str:
+    """Luhn checksum (ISO/IEC 7812) over a pure-digit string column, as
+    one fold expression in either engine: reverse, double every second
+    digit (casting out nines), sum mod 10.  PAN-length strings only
+    (<= 19 chars), so the per-row cost is constant."""
+    digit = f"ascii(substr(reverse({expr}), i, 1)) - 48"
+    body = (
+        f"CASE WHEN i % 2 = 1 THEN {digit} "
+        f"WHEN ({digit}) * 2 > 9 THEN ({digit}) * 2 - 9 "
+        f"ELSE ({digit}) * 2 END"
+    )
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, length({expr})), 0, "
+            f"(acc, i) -> acc + {body}) % 10 = 0"
+        )
+    return (
+        f"list_aggregate(list_transform(generate_series(1, length({expr})), "
+        f"i -> {body}), 'sum') % 10 = 0"
+    )
+
+
+def cc_candidates_sql(expr: str, dialect: str) -> str:
+    """Array of normalized (digits-only) PAN candidates in a text column:
+    extract the loose grouped-digit shape, strip separators, keep the
+    13-19-digit range.  Pure codegen in both engines."""
+    if dialect == "spark":
+        ext = f"regexp_extract_all({expr}, '{CC_CANDIDATE_PATTERN}', 0)"
+        norm = f"transform({ext}, x -> regexp_replace(x, '[ -]', ''))"
+        return (
+            f"filter({norm}, x -> length(x) BETWEEN "
+            f"{CC_MIN_DIGITS} AND {CC_MAX_DIGITS})"
+        )
+    ext = f"regexp_extract_all({expr}, '{CC_CANDIDATE_PATTERN}')"
+    norm = f"list_transform({ext}, x -> regexp_replace(x, '[ -]', '', 'g'))"
+    return (
+        f"list_filter({norm}, x -> length(x) BETWEEN "
+        f"{CC_MIN_DIGITS} AND {CC_MAX_DIGITS})"
+    )

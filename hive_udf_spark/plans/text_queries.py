@@ -2236,6 +2236,7 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from hive_udf_spark.functions.lines import (  # noqa: E402
     BOILERPLATE_DOC_FRAC,
+    JS_LINE,
     c4_kept_lines_sql,
     c4_page_drop_pred_sql,
     join_lines_sql,
@@ -2373,4 +2374,162 @@ def text_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cleaned"),
         )
         .select("doc_id", "n_lines", "n_kept", "cleaned")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII: PAN candidates + Luhn checksum (r8)
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.functions.text import (  # noqa: E402
+    cc_candidates_sql,
+    luhn_valid_sql,
+)
+
+# Injected per doc_id % 4: valid plain, valid spaced, INVALID (last digit
+# bumped), valid 15-digit AmEx with dashes.  The fixture corpus is
+# digit-free, so these are the only candidates.
+_CC_CASES = (
+    "4539578763621486",
+    "4539 5787 6362 1486",
+    "4539578763621487",
+    "3714-4963-5398-431",
+)
+_CC_AUG = (
+    "text || ' card ' || CASE "
+    + " ".join(
+        f"WHEN doc_id % 4 = {i} THEN '{c}'" for i, c in enumerate(_CC_CASES)
+    )
+    + " END || ' ok'"
+)
+
+
+def _luhn_oracle() -> str:
+    cands = cc_candidates_sql("aug", "duckdb")
+    return f"""
+    WITH m AS (SELECT doc_id, {_CC_AUG} AS aug FROM documents),
+    e AS (SELECT doc_id, unnest({cands}) AS pan FROM m)
+    SELECT doc_id, pan, {luhn_valid_sql("pan", "duckdb")} AS luhn_valid,
+           CAST(length(pan) AS BIGINT) AS n_digits
+    FROM e
+    """
+
+
+@register("text_pii_luhn_validation", oracle=_luhn_oracle())
+def text_pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAN detection with Luhn checksum refinement (r8): the loose
+    grouped-digit shape over-matches (phone numbers, order ids), so each
+    candidate is normalized and checksum-validated — the standard
+    false-positive cut before credit-card redaction.  Candidates via
+    regexp_extract_all + separator strip + length gate, checksum as one
+    constant-cost fold per candidate: pure per-row codegen, zero
+    shuffle, both engines from the same generators (functions/text.py).
+    Fixture: one injected candidate per doc (plain/spaced valid, bumped
+    invalid, dashed 15-digit AmEx by doc_id % 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("aug", F.expr(_CC_AUG))
+    d = d.select(
+        "doc_id",
+        F.explode(F.expr(cc_candidates_sql("aug", "spark"))).alias("pan"),
+    )
+    return d.select(
+        "doc_id",
+        "pan",
+        F.expr(luhn_valid_sql("pan", "spark")).alias("luhn_valid"),
+        F.length("pan").cast("long").alias("n_digits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher line-level repetition (r8) — meaningful now pages are multi-line
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021 §A1.1) duplicate-line thresholds.
+GOPHER_DUP_LINE_PPM_MAX = 300_000       # dup line fraction <= 30%
+GOPHER_DUP_LINE_CHAR_PPM_MAX = 200_000  # chars in duplicate lines <= 20%
+
+
+def _line_rep_metrics(l_expr: str, dialect: str) -> dict[str, str]:
+    if dialect == "spark":
+        n = f"size({l_expr})"
+        nd = f"size(array_distinct({l_expr}))"
+        chars = f"aggregate({l_expr}, 0L, (acc, x) -> acc + length(x))"
+        chars_d = (
+            f"aggregate(array_distinct({l_expr}), 0L, (acc, x) -> acc + length(x))"
+        )
+    else:
+        n = f"len({l_expr})"
+        nd = f"len(list_distinct({l_expr}))"
+        chars = f"list_aggregate(list_transform({l_expr}, x -> length(x)), 'sum')"
+        chars_d = (
+            f"list_aggregate(list_transform(list_distinct({l_expr}), "
+            f"x -> length(x)), 'sum')"
+        )
+    return {
+        "n_lines": n,
+        "dup_line_ppm": f"CAST(floor(1000000.0 * ({n} - {nd}) / {n}) AS BIGINT)",
+        "dup_char_ppm": (
+            f"CAST(floor(1000000.0 * ({chars} - {chars_d}) / {chars}) AS BIGINT)"
+        ),
+    }
+
+
+def _line_rep_aug() -> str:
+    # Every 3rd doc repeats its script-warning line -> within-doc dup.
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN page || chr(10) || '" + JS_LINE + "' "
+        "ELSE page END"
+    )
+
+
+def _line_rep_oracle() -> str:
+    synth = synth_lines_sql("text", "duckdb")
+    m = _line_rep_metrics("l", "duckdb")
+    return f"""
+    WITH p AS (SELECT doc_id, {synth} AS page FROM documents),
+    a AS (SELECT doc_id, {_line_rep_aug()} AS aug FROM p),
+    s AS (SELECT doc_id, {split_lines_sql("aug", "duckdb")} AS l FROM a)
+    SELECT doc_id, CAST({m["n_lines"]} AS BIGINT) AS n_lines,
+           {m["dup_line_ppm"]} AS dup_line_ppm,
+           {m["dup_char_ppm"]} AS dup_char_ppm,
+           ({m["dup_line_ppm"]} <= {GOPHER_DUP_LINE_PPM_MAX}
+            AND {m["dup_char_ppm"]} <= {GOPHER_DUP_LINE_CHAR_PPM_MAX}) AS keep
+    FROM s
+    """
+
+
+@register("text_line_repetition_stats", oracle=_line_rep_oracle())
+def text_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-LINE rules (Rae et al. 2021 §A1.1) over the
+    synthesized multi-line pages — the line-level complement to the
+    word-level n-gram repetition rules in text_gopher_quality_filter:
+    duplicate-line fraction and chars-in-duplicate-lines fraction as ppm
+    integers, keep verdict against the published 30%/20% thresholds.
+    Every 3rd page gets its script-warning line repeated so the rule has
+    real positives.  Pure per-row array expressions (split -> distinct
+    -> fold): zero shuffle, scan speed at 100 TB."""
+    from hive_udf_spark.functions.lines import JS_LINE as _JS
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("page", F.expr(synth_lines_sql("text", "spark")))
+    d = d.withColumn(
+        "aug",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN page || chr(10) || '"
+            + _JS
+            + "' ELSE page END"
+        ),
+    )
+    d = d.withColumn("l", F.expr(split_lines_sql("aug", "spark")))
+    m = _line_rep_metrics("l", "spark")
+    d = d.select(
+        "doc_id",
+        F.expr(m["n_lines"]).cast("long").alias("n_lines"),
+        F.expr(m["dup_line_ppm"]).alias("dup_line_ppm"),
+        F.expr(m["dup_char_ppm"]).alias("dup_char_ppm"),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("dup_line_ppm") <= GOPHER_DUP_LINE_PPM_MAX)
+        & (F.col("dup_char_ppm") <= GOPHER_DUP_LINE_CHAR_PPM_MAX),
     )

@@ -133,3 +133,40 @@ def test_empty_text_deterministic(spark):
     # '' -> no chunk match -> content is one empty line; nothing survives.
     kept = _kept(spark, 3, "")
     assert kept == []
+
+
+def test_line_repetition_metrics(spark):
+    from hive_udf_spark.plans.text_queries import _line_rep_metrics
+
+    # 4 lines, 'dup' repeated: n=4, distinct=3; chars 3+3+5+3=14, distinct 11.
+    df = spark.createDataFrame(
+        [("dup\ndup\nother\nxyz",)], "page string"
+    )
+    m = _line_rep_metrics(split_lines_sql("page", "spark"), "spark")
+    r = df.select(
+        F.expr(m["n_lines"]).alias("n"),
+        F.expr(m["dup_line_ppm"]).alias("dl"),
+        F.expr(m["dup_char_ppm"]).alias("dc"),
+    ).collect()[0]
+    assert r.n == 4
+    assert r.dl == int(1e6 * 1 / 4)
+    assert r.dc == int(1e6 * 3 / 14)
+
+
+def test_line_repetition_dual_dialect(spark):
+    from hive_udf_spark.plans.text_queries import _line_rep_metrics
+
+    page = "a b c.\nx y z.\na b c.\nshort"
+    ms = _line_rep_metrics(split_lines_sql("p", "spark"), "spark")
+    got_s = (
+        spark.createDataFrame([(page,)], "p string")
+        .select(F.expr(ms["dup_line_ppm"]).alias("dl"), F.expr(ms["dup_char_ppm"]).alias("dc"))
+        .collect()[0]
+    )
+    md = _line_rep_metrics(split_lines_sql("p", "duckdb"), "duckdb")
+    got_d = duckdb.connect().execute(
+        f"SELECT {md['dup_line_ppm']} AS dl, {md['dup_char_ppm']} AS dc "
+        f"FROM (SELECT ? AS p)",
+        [page],
+    ).fetchone()
+    assert (got_s.dl, got_s.dc) == got_d

@@ -607,6 +607,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_line_repetition_stats"].fn(spark, sf_dir))
 
+    def q_semdedup():
+        # r8: SemDeDup — one cell-id shuffle, bounded within-cell join, CC
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["similarity_semdedup"].fn(spark, sf_dir))
+
+    def q_token_entropy():
+        # r8: per-doc unigram entropy as one sorted-array fold, no shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_token_entropy"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -774,6 +786,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "correlation_matrix": q_correlation_matrix,
         "luhn_validation": q_luhn_validation,
         "line_repetition": q_line_repetition,
+        "semdedup": q_semdedup,
+        "token_entropy": q_token_entropy,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -972,3 +972,84 @@ def ann_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cells (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_centroids: int = 32,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-style: cluster first, compare only
+    within a cluster.
+
+    Every vector is assigned to its nearest spherical-k-means cell (the
+    same O(1)-trained literal-expression coarse quantizer as
+    :func:`ann_ivf`); pairs with cosine >= ``min_cosine`` are found by a
+    WITHIN-CELL self-join only — the paper's approximation: cross-cell
+    near-dups are deliberately missed in exchange for bounding the
+    quadratic pair search to cell size (corpus/K per cell in
+    expectation; K scales with the corpus, so the per-cell work is a
+    constant at any scale).  Groups come from the same contracted
+    connected components as the LSH twin
+    (:func:`embedding_dedup_clusters`); min-id is canonical.
+
+    Returns ``(id_col, cluster, is_canonical)`` — linear in the corpus.
+
+    vs the LSH twin: LSH banding catches near-dups across the whole
+    space but pays band-key shuffles per band; SemDeDup pays ONE shuffle
+    on cell id and a bounded per-cell join — the right trade when
+    near-dup similarity is high (0.9+) and embeddings cluster well.
+    """
+    from hive_udf_spark.operators.dedup import connected_components
+
+    C = centroids if centroids is not None else kmeans_centroids(
+        vecs, id_col, vec_col, n_centroids, seed
+    )
+    assigned = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        norm_double(F.col(vec_col)).alias("__n"),
+        _ivf_cell_expr(C, vec_col).alias("__cell"),
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__cell",
+    )
+    pairs = (
+        a.join(b, ["__cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            )
+            >= F.lit(min_cosine)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = assigned.select("id")
+    comps = connected_components(pairs, nodes, edges_materialized=True)
+    out = comps.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+    assigned.unpersist()
+    return out

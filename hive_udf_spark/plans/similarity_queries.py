@@ -9,7 +9,7 @@ tests/test_similarity.py (float ranks are not portable across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_udf_spark.operators.similarity import (
@@ -322,3 +322,112 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.element_at("proj", j + 1).alias(f"p{j:02d}") for j in range(16)],
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r8): cluster-first semantic dedup, verdict-checked
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.35
+_SEMDEDUP_K = 16
+
+
+@register(
+    "similarity_semdedup",
+    oracle="""
+    SELECT vec_id, true AS min_label_ok, true AS edges_internal_ok,
+           true AS degree_ok
+    FROM embeddings
+    """,
+)
+def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest spherical-k-means cell, find cosine >= 0.35 pairs by a
+    WITHIN-CELL self-join only (the paper's approximation — quadratic
+    work bounded to cell size), contract connected components, keep
+    min-id per group.  Cluster labels depend on trained centroids, so
+    the oracle is the verdict pattern (SURVEY.md §5.2): the query
+    re-derives the within-cell edge relation with the SAME centroids and
+    emits three per-vector invariants the output must satisfy exactly —
+    cluster == min member id; every edge is INTERNAL to one cluster (an
+    edge crossing clusters would contradict the CC fixpoint); degree
+    consistency (singleton <=> zero edges).  Any wrong merge, split, or
+    dropped vector breaks the hash.  Exact cluster recovery on crafted
+    vectors is pinned in tests/test_similarity.py."""
+    from hive_udf_spark.operators.similarity import (
+        _ivf_cell_expr,
+        cosine_with_norms,
+        kmeans_centroids,
+        norm_double,
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = kmeans_centroids(emb, "vec_id", "embedding", _SEMDEDUP_K, seed=42)
+    sd = semdedup(
+        emb, min_cosine=_SEMDEDUP_T, n_centroids=_SEMDEDUP_K, centroids=C
+    ).localCheckpoint(eager=True)
+
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("__v"),
+        norm_double(F.col("embedding")).alias("__n"),
+        _ivf_cell_expr(C, "embedding").alias("__cell"),
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__cell",
+    )
+    pairs = (
+        a.join(b, ["__cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            )
+            >= F.lit(_SEMDEDUP_T)
+        )
+        .select("id_a", "id_b")
+    )
+    sym = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
+        "id", "other"
+    )
+    lab = sd.select(F.col("vec_id").alias("id"), F.col("cluster"))
+    olab = sd.select(
+        F.col("vec_id").alias("other"), F.col("cluster").alias("ocluster")
+    )
+    deg = (
+        sym.join(lab, "id")
+        .join(olab, "other")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(
+                F.when(F.col("cluster") == F.col("ocluster"), 1).otherwise(0)
+            ).alias("n_internal"),
+        )
+    )
+    csize = sd.groupBy("cluster").agg(F.count("*").alias("csz"))
+    out = (
+        sd.join(csize, "cluster")
+        .join(deg, sd["vec_id"] == deg["id"], "left")
+        .select(
+            "vec_id",
+            (
+                F.min("vec_id").over(Window.partitionBy("cluster"))
+                == F.col("cluster")
+            ).alias("min_label_ok"),
+            F.coalesce(
+                F.col("n_edges") == F.col("n_internal"), F.lit(True)
+            ).alias("edges_internal_ok"),
+            (
+                (F.col("csz") > 1)
+                == (F.coalesce(F.col("n_edges"), F.lit(0)) > 0)
+            ).alias("degree_ok"),
+        )
+    )
+    return out

@@ -2533,3 +2533,83 @@ def text_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dup_line_ppm") <= GOPHER_DUP_LINE_PPM_MAX)
         & (F.col("dup_char_ppm") <= GOPHER_DUP_LINE_CHAR_PPM_MAX),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (r8) — gibberish / repetition signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+    a AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+                 sum(c * ln(c)) AS s
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(ln(n) - s / n, 6) AS entropy_nats
+    FROM a
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document unigram distribution
+    (H = ln n − Σ c·ln c / n, nats): low entropy flags repetitive or
+    boilerplate-heavy docs that the hard Gopher thresholds miss — the
+    continuous repetition signal.  Spark computes it SHUFFLE-FREE as one
+    fold over the sorted token array (run-length accumulation closing
+    each run with c·ln c — the _top_run_count trick extended to a sum),
+    so at 100 TB it is a scan-speed projection; the oracle derives the
+    same quantity relationally (explode → group → sum).  Scale-free
+    6-decimal rounding; docs with zero tokens are absent in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def _clnc(c: Column) -> Column:
+        return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.when(same, acc["s"]).otherwise(acc["s"] + _clnc(acc["cur"])).alias("s"),
+            F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(toks),
+        init,
+        step,
+        lambda acc: F.struct(
+            (acc["s"] + _clnc(acc["cur"])).alias("s"), acc["nd"].alias("nd")
+        ),
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        folded.alias("__f"),
+    ).filter(F.col("n_tokens") > 0)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.col("__f.nd").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("__f.s") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -170,3 +170,28 @@ def test_line_repetition_dual_dialect(spark):
         [page],
     ).fetchone()
     assert (got_s.dl, got_s.dc) == got_d
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from hive_udf_spark.plans import QUERIES
+
+    # "a a b" -> n=3, counts {a:2, b:1}; H = ln3 - (2ln2 + 0)/3
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, "a a b", "en", "s", 5), (2, "x", "en", "s", 1)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        for name in ("region nation customer supplier part orders lineitem "
+                     "events embeddings").split():
+            src = f"/root/testdata/sf0.001/{name}.parquet"
+            os.symlink(src, f"{tmp}/{name}.parquet")
+        out = {
+            r.doc_id: r
+            for r in QUERIES["text_token_entropy"].fn(spark, tmp).collect()
+        }
+    h = round(math.log(3) - (2 * math.log(2)) / 3, 6)
+    assert (out[1].n_tokens, out[1].n_distinct, out[1].entropy_nats) == (3, 2, h)
+    assert (out[2].n_tokens, out[2].n_distinct, out[2].entropy_nats) == (1, 1, 0.0)

@@ -481,3 +481,11 @@ def test_correlation_matrix_single_pass(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, "partial+final co-moment phases"
     assert "Union" not in plan
     assert "EvalPython" not in plan
+
+
+def test_token_entropy_is_shuffle_free(spark, sf_dir):
+    """Entropy folds over the sorted token array per row — no Exchange,
+    no Python: a scan-speed projection like the Gopher filter."""
+    plan = plan_of(QUERIES["text_token_entropy"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -373,3 +373,71 @@ def test_random_projection_exact_integers_and_jl_property(spark, sf_dir):
             pr.append(float(rows[ids[i]] @ rows[ids[j]]) / 16.0)
     c = np.corrcoef(orig, pr)[0, 1]
     assert c > 0.3, c
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_exact_groups_single_cell(spark):
+    """n_centroids=1 degenerates to exact pairwise over the corpus: the
+    threshold + CC + min-id semantics must recover the crafted groups."""
+    from hive_udf_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~1.0 cos with 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),   # ~1.0 cos with 3
+        (5, [0.0, 0.0, 1.0, 0.0]),      # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster, r.is_canonical)
+        for r in semdedup(df, min_cosine=0.9, n_centroids=1).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False),
+        3: (3, True), 4: (3, False),
+        5: (5, True),
+    }
+
+
+def test_semdedup_within_cell_only(spark):
+    """The paper's approximation: a near-dup pair SPLIT across cells is
+    deliberately missed.  Two antipodal-cell groups with one vector
+    nudged toward the other cell's direction: still cosine-close to its
+    twin, but assigned to the other cell -> not merged."""
+    from hive_udf_spark.operators.similarity import (
+        _ivf_cell_expr,
+        kmeans_centroids,
+        semdedup,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, -0.02, 0.0, 0.0]),   # twin of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.02, 0.0]),    # twin of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    C = kmeans_centroids(df, n_centroids=2, seed=42)
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _ivf_cell_expr(C, "embedding").alias("cell")
+        ).collect()
+    }
+    out = {
+        r.vec_id: r.cluster
+        for r in semdedup(df, min_cosine=0.9, n_centroids=2, centroids=C).collect()
+    }
+    # same-cell twins merge; any pair in different cells must NOT merge
+    for a, b in [(1, 2), (3, 4)]:
+        if cells[a] == cells[b]:
+            assert out[a] == out[b]
+        else:
+            assert out[a] != out[b]
+    assert out[1] != out[3]  # across groups never merges

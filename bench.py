@@ -619,6 +619,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_token_entropy"].fn(spark, sf_dir))
 
+    def q_jsonl_ingest():
+        # r8: serialize -> corrupt -> PERMISSIVE scan -> quarantine audit
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_jsonl_roundtrip_quarantine"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -788,6 +794,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "line_repetition": q_line_repetition,
         "semdedup": q_semdedup,
         "token_entropy": q_token_entropy,
+        "jsonl_ingest": q_jsonl_ingest,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -855,3 +855,103 @@ def streaming_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFr
             .localCheckpoint(eager=True)  # outlives the TemporaryDirectory
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion with corrupt-record quarantine (r8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_jsonl_roundtrip_quarantine",
+    oracle="""
+    SELECT doc_id, (doc_id % 10 = 0) AS quarantined,
+           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 10 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(length(text) AS BIGINT) END AS parsed_chars
+    FROM documents
+    """,
+)
+def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion end-to-end (sources/text_files.py): documents are
+    serialized to real line-delimited JSON files (to_json), every 10th
+    line truncated mid-record, then re-read through read_jsonl's
+    PERMISSIVE + _corrupt_record path — a malformed line on TB 73 must
+    quarantine, not kill the job.  Quarantined lines keep their raw text
+    in _corrupt_record, from which the audit recovers doc_id by regexp —
+    the standard triage move.  Explicit schema (never inference: one
+    pass, type-stable), splittable uncompressed files.  Oracle knows
+    only the corruption rule, so the whole serialize → corrupt → scan →
+    parse → quarantine → audit chain must be lossless for clean rows and
+    total for corrupt ones."""
+    import tempfile
+
+    from hive_udf_spark.sources.text_files import DOCUMENTS_SCHEMA, read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.substring(line, 1, F.length(line) - F.lit(10)),
+    ).otherwise(line)
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.select(corrupted.alias("value")).write.text(f"{tmp}/drop")
+        parsed = read_jsonl(spark, f"{tmp}/drop", DOCUMENTS_SCHEMA).cache()
+        audited = parsed.select(
+            F.coalesce(
+                "doc_id",
+                F.regexp_extract(
+                    "_corrupt_record", r'"doc_id":(\d+)', 1
+                ).cast("bigint"),
+            ).alias("doc_id"),
+            F.col("_corrupt_record").isNotNull().alias("quarantined"),
+            "lang",
+            F.when(
+                F.col("_corrupt_record").isNull(), F.length("text")
+            ).cast("long").alias("parsed_chars"),
+        )
+        out = audited.localCheckpoint(eager=True)
+        parsed.unpersist()
+    return out
+
+
+@register(
+    "source_csv_roundtrip_quarantine",
+    oracle="""
+    SELECT doc_id, (doc_id % 10 = 0) AS quarantined,
+           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang
+    FROM documents
+    """,
+)
+def source_csv_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV twin of the JSONL roundtrip: documents serialized to comma
+    lines (the corpus alphabet is comma/quote-free, so no quoting layer),
+    every 10th row's trailing bigint column replaced with a non-numeric
+    token — PERMISSIVE type-mismatch quarantine, doc_id recovered from
+    the raw _corrupt_record's first field for the audit."""
+    import tempfile
+
+    from hive_udf_spark.sources.text_files import DOCUMENTS_SCHEMA, read_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",", "doc_id", "text", "lang", "source", F.col("n_chars").cast("string")
+    )
+    corrupted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat_ws(",", "doc_id", "text", "lang", "source", F.lit("notanint")),
+    ).otherwise(line)
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.select(corrupted.alias("value")).write.text(f"{tmp}/drop")
+        parsed = read_csv(spark, f"{tmp}/drop", DOCUMENTS_SCHEMA, header=False).cache()
+        audited = parsed.select(
+            F.coalesce(
+                "doc_id",
+                F.split("_corrupt_record", ",").getItem(0).cast("bigint"),
+            ).alias("doc_id"),
+            F.col("_corrupt_record").isNotNull().alias("quarantined"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("lang")).alias("lang"),
+        )
+        out = audited.localCheckpoint(eager=True)
+        parsed.unpersist()
+    return out

@@ -625,6 +625,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_jsonl_roundtrip_quarantine"].fn(spark, sf_dir))
 
+    def q_politeness_schedule():
+        # r8: per-host wave assignment — host-partitioned window only
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_crawl_politeness_schedule"].fn(spark, sf_dir))
+
+    def q_winsorize():
+        # r8: one percentile aggregate + broadcast clamp projection
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["profile_winsorize_totalprice"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -795,6 +807,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "semdedup": q_semdedup,
         "token_entropy": q_token_entropy,
         "jsonl_ingest": q_jsonl_ingest,
+        "politeness_schedule": q_politeness_schedule,
+        "winsorize": q_winsorize,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

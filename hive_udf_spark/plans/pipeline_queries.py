@@ -8,7 +8,7 @@ reproduces value-for-value in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.hashing import portable_hash60_sql
@@ -955,3 +955,50 @@ def source_csv_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
         out = audited.localCheckpoint(eager=True)
         parsed.unpersist()
     return out
+
+
+@register(
+    "pipeline_source_token_share",
+    oracle=f"""
+    WITH e AS (
+      SELECT source, len({_TOKS_SQL}) AS n FROM documents
+    ),
+    s AS (SELECT source, sum(n) AS tokens FROM e GROUP BY source),
+    t AS (SELECT sum(tokens) AS total FROM s),
+    w AS (SELECT source, tokens,
+                 sum(tokens) OVER (ORDER BY tokens DESC, source) AS cum
+          FROM s)
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_share,
+           row_number() OVER (ORDER BY tokens DESC, source) AS rank
+    FROM w, t
+    """,
+)
+def pipeline_source_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share with cumulative coverage — the first
+    question of mixture design: how few sources cover 90% of the corpus?
+    One token-count aggregate (map-side partials over the tokenizer
+    size), then ranking windows over the SOURCE relation only — 20 rows
+    here, thousands at worst in a real crawl: the window input is the
+    aggregated per-source table, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokenize("text"))).cast("long").alias("tokens")
+    )
+    t = s.agg(F.sum("tokens").alias("total"))
+    w = Window.orderBy(F.desc("tokens"), F.asc("source"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "tokens",
+            F.round(
+                F.sum("tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("cum_share"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

@@ -1312,3 +1312,42 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr6)",
         "n AS n_rows",
     ).select("col_a", "col_b", "corr6", F.col("n_rows").cast("long").alias("n_rows"))
+
+
+@register(
+    "profile_winsorize_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS p01,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round(least(greatest(o_totalprice, p01), p99), 2) AS winsorized,
+           (o_totalprice < p01) AS clipped_low,
+           (o_totalprice > p99) AS clipped_high
+    FROM orders, b
+    """,
+)
+def profile_winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clamp preprocessing step of a feature
+    pipeline: exact p01/p99 (interpolated, the shared type-7 definition
+    in both engines, rounded to 4dp so the clamp boundary is identical
+    bits cross-engine) computed in ONE aggregate, broadcast to the fact
+    scan, every value clamped into [p01, p99].  Two passes total at any
+    scale: a percentile aggregate (partial-aggregable) + a map-side
+    clamp projection — no window, no sort of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.01)"), 4).alias("p01"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+    return orders.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")),
+            2,
+        ).alias("winsorized"),
+        (F.col("o_totalprice") < F.col("p01")).alias("clipped_low"),
+        (F.col("o_totalprice") > F.col("p99")).alias("clipped_high"),
+    )

@@ -594,3 +594,63 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(
         edges, iters=_LG_PR_ITERS, damping_milli=_LG_PR_DAMP
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl politeness scheduling (r8)
+# ---------------------------------------------------------------------------
+
+_POLITE_DELAY_S = 2  # per-host crawl delay between consecutive fetches
+
+
+@register(
+    "web_crawl_politeness_schedule",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, registrable_domain AS host, url_key
+      FROM ({_ORACLE_PARTS})
+      WHERE canonical_url IS NOT NULL AND registrable_domain IS NOT NULL
+    ),
+    d AS (SELECT host, url_key, min(doc_id) AS doc_id
+          FROM u GROUP BY host, url_key),
+    w AS (SELECT host, url_key, doc_id,
+                 row_number() OVER (PARTITION BY host ORDER BY doc_id, url_key)
+                   - 1 AS wave
+          FROM d)
+    SELECT host, url_key, doc_id, CAST(wave AS BIGINT) AS wave,
+           CAST(wave * {_POLITE_DELAY_S} AS BIGINT) AS fetch_offset_s
+    FROM w
+    """,
+)
+def web_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling for a crawl frontier: after canonical-key
+    dedup, fetches for one host must be serialized with a crawl delay
+    while different hosts proceed in parallel — so each host's URLs get
+    a wave number (row_number per host in stable doc/url order) and a
+    fetch offset of wave x delay.  By construction a wave contains at
+    most one URL per host: the whole schedule is ONE window partitioned
+    by host (per-host state only — no global ordering, no single
+    partition anywhere), after the usual bounded url_key hash-agg.  At
+    100 TB hosts shard across executors and the schedule stays
+    embarrassingly parallel."""
+    d = (
+        _docs_with_urls(spark, sf_dir)
+        .filter(
+            F.col("canonical_url").isNotNull()
+            & F.col("registrable_domain").isNotNull()
+        )
+        .groupBy(
+            F.col("registrable_domain").alias("host"), F.col("url_key")
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    w = Window.partitionBy("host").orderBy("doc_id", "url_key")
+    return d.select(
+        "host",
+        "url_key",
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("wave"),
+        ((F.row_number().over(w) - 1) * _POLITE_DELAY_S)
+        .cast("long")
+        .alias("fetch_offset_s"),
+    )

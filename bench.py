@@ -819,6 +819,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # headline number. Cache is cleared before every run so "warm" means
     # JIT/codegen-warm, never inherited cached data.
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset. The
+    # driver never sets it, so official artifacts stay full-registry.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {w for w in only.split(",") if w}
+        unknown = wanted - benches.keys()
+        if unknown:
+            raise SystemExit(f"unknown bench entries: {sorted(unknown)}")
+        benches = {k: v for k, v in benches.items() if k in wanted}
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
 

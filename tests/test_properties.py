@@ -127,3 +127,106 @@ def test_hll_b16_meets_reference_accuracy_claim(spark):
         .collect()[0][0]
     )
     assert abs(est - n) / n < 0.012, f"b=16 est {est} vs {n}"
+
+
+# ---------------------------------------------------------------------------
+# r8: Luhn + C4 line rules vs INDEPENDENT Python references (the dialect-
+# equality tests in test_redaction/test_lines prove Spark == DuckDB; these
+# prove the shared SQL is RIGHT, via DuckDB against a from-scratch
+# reimplementation)
+# ---------------------------------------------------------------------------
+
+import duckdb
+
+from hive_udf_spark.functions.lines import (
+    BRACE_LINE,
+    C4_DROP_TERMS,
+    C4_MIN_LINES,
+    C4_MIN_WORDS,
+    COOKIE_LINE,
+    JS_LINE,
+    LOREM_LINE,
+    SHORT_LINE,
+    c4_kept_lines_sql,
+    c4_page_drop_pred_sql,
+    split_lines_sql,
+    synth_lines_sql,
+)
+from hive_udf_spark.functions.text import luhn_valid_sql
+
+
+def _luhn_ref(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@given(st.text(alphabet="0123456789", min_size=13, max_size=19))
+@settings(max_examples=150, deadline=None)
+def test_luhn_sql_matches_reference(pan):
+    (got,) = duckdb.connect().execute(
+        f"SELECT {luhn_valid_sql('pan', 'duckdb')} FROM (SELECT ? AS pan)",
+        [pan],
+    ).fetchone()
+    assert bool(got) == _luhn_ref(pan)
+
+
+def _c4_ref(doc_id: int, words: list[str]):
+    """From-scratch C4 synth + rules (no regex): chunk 7-word '.'-lines
+    while an 8th token remains, tail line unpunctuated."""
+    lines, i = [], 0
+    while len(words) - i > 7:
+        lines.append(" ".join(words[i : i + 7]) + ".")
+        i += 7
+    tail = " ".join(words[i:])  # may be '' -> an empty line, like the SQL
+    page_lines = [JS_LINE, SHORT_LINE, *lines, tail, COOKIE_LINE]
+    if doc_id % 5 == 0:
+        page_lines.append(LOREM_LINE)
+    if doc_id % 7 == 0:
+        page_lines.append(BRACE_LINE)
+    page = "\n".join(page_lines)
+
+    def keep(ln: str) -> bool:
+        return (
+            ln.endswith((".", "!", "?", '"'))
+            and len(ln.split(" ")) >= C4_MIN_WORDS
+            and all(t not in ln for t in C4_DROP_TERMS)
+        )
+
+    kept = [ln for ln in page.split("\n") if keep(ln)]
+    dropped = (
+        len(kept) < C4_MIN_LINES or "{" in page or "lorem ipsum" in page
+    )
+    return page, kept, dropped
+
+
+@given(
+    st.integers(min_value=0, max_value=1000),
+    st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_c4_sql_matches_reference(doc_id, words):
+    text = " ".join(words)
+    kept_expr = c4_kept_lines_sql(split_lines_sql("page", "duckdb"), "duckdb")
+    drop_expr = c4_page_drop_pred_sql("page", "len(kept)")
+    page, kept, dropped = duckdb.connect().execute(
+        f"SELECT page, kept, {drop_expr} FROM ("
+        f"  SELECT page, {kept_expr} AS kept FROM ("
+        f"    SELECT ? AS doc_id, {synth_lines_sql('text', 'duckdb')} AS page"
+        f"    FROM (SELECT ? AS text)))",
+        [doc_id, text],
+    ).fetchone()
+    ref_page, ref_kept, ref_dropped = _c4_ref(doc_id, words)
+    assert page == ref_page
+    assert list(kept) == ref_kept
+    assert bool(dropped) == ref_dropped

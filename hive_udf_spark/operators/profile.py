@@ -58,28 +58,21 @@ def profile_table(
     )
 
 
-def equi_depth_histogram(
+def ranked_distinct(
     df: DataFrame,
     value_col: str,
-    bins: int = 8,
     num_shards: int = 32,
 ) -> DataFrame:
-    """Equi-depth histogram of an integral column — the optimizer
-    statistic that joins ``profile_table`` (nulls/min-max/distinct),
-    ``skew_report`` (hot keys), and ``cms_join_size_estimate``
-    (join cardinality): bins with ~equal ROW counts, so selectivity
-    estimates stay accurate under skew where equi-width bins collapse.
-
-    Bin assignment is integer-exact: with n total rows and cum_lo(v) =
-    rows strictly below v, every row of value v lands in bin
-    ``(cum_lo(v) · bins) div n + 1`` — a value never splits across
-    bins (heavy values occupy their own bin rather than lying about
-    depth), and both engines reproduce the boundaries bit-for-bit.
+    """Distributed global rank of every DISTINCT value: ``(__v, __k,
+    __lo, __n)`` where ``__k`` is the value's row count, ``__lo`` the
+    exact count of rows strictly below it, and ``__n`` the total — the
+    shared backbone of :func:`equi_depth_histogram` and
+    :func:`exact_quantiles`.
 
     Plan (distributed prefix sum — the ``pack_documents`` splice,
-    operators/chunking.py): rows never sort, and NO single-partition
-    window appears anywhere, so the plan survives columns where
-    distinct ≈ rows (o_totalprice in cents: ~every row distinct).
+    operators/chunking.py): rows never sort globally and NO
+    single-partition window appears anywhere, so it survives columns
+    where distinct ≈ rows:
 
     1. partial-aggregated ``(value, count)`` relation (map-side combine);
     2. value-RANGE shards from in-plan ``approx_percentile`` boundaries
@@ -89,16 +82,12 @@ def equi_depth_histogram(
     3. per-shard cumulative sum (partitioned window, each shard local);
     4. per-shard totals prefix-summed via a triangular broadcast join
        over ≤ ``num_shards`` tiny rows, broadcast back as base offsets;
-    5. global ``cum_lo(v) = base(shard) + local_cum - k`` — exact
-       integers, so the result is bit-identical to the serial cumsum
-       regardless of where the (approximate) shard boundaries fall.
+    5. global ``__lo(v) = base(shard) + local_cum - k`` — exact
+       integers, bit-identical to the serial cumsum regardless of where
+       the (approximate) shard boundaries fall.
 
-    NULLs are excluded (no order position). Output: (bin, lo_value,
-    hi_value, n_rows, n_distinct), bins ascending; at most ``bins``
-    rows.
+    NULLs are excluded (no order position).
     """
-    if bins < 1:
-        raise ValueError("bins must be >= 1")
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     from pyspark.sql import Window
@@ -142,7 +131,7 @@ def equi_depth_histogram(
         .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).cast("long").alias("__base"))
     )
     total = shard_tot.agg(F.sum("__tot").cast("long").alias("__n"))
-    cum = (
+    return (
         local.join(F.broadcast(shard_base), "__shard")
         .join(F.broadcast(total))
         .select(
@@ -152,6 +141,93 @@ def equi_depth_histogram(
             "__n",
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    num_shards: int = 32,
+) -> DataFrame:
+    """EXACT interpolated quantiles (type 7, the shared Spark
+    ``percentile`` / DuckDB ``quantile_cont`` definition) without the
+    built-in's scale trap: Spark's exact ``percentile`` merges a
+    counts-map of EVERY distinct value on one node — a single-node sort
+    in disguise when distinct ≈ rows.  Here the rank of each distinct
+    value comes from :func:`ranked_distinct` (distributed prefix sum),
+    and each requested p picks its two bracketing values by rank
+    containment against the tiny broadcast p-relation:
+    pos = (n−1)·p, j = floor(pos), result = v_j + (pos−j)·(v_{j+1}−v_j).
+
+    Returns one row per p: ``(p, quantile)``, in double precision —
+    identical bits to the built-ins (same formula, same doubles).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    if any(p < 0.0 or p > 1.0 for p in ps):
+        raise ValueError("quantile fractions must be in [0, 1]")
+    spark = df.sparkSession
+    cum = ranked_distinct(df, value_col, num_shards)
+    pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    pos = (F.col("__n") - 1).cast("double") * F.col("p")
+    j = F.floor(pos).cast("long")
+    hit = cum.join(F.broadcast(pdf)).filter(
+        (j >= F.col("__lo")) & (j < F.col("__lo") + F.col("__k"))
+        | ((j + 1 >= F.col("__lo")) & (j + 1 < F.col("__lo") + F.col("__k")))
+    )
+    v = F.col("__v").cast("double")
+    agg = hit.groupBy("p").agg(
+        F.max(
+            F.when((j >= F.col("__lo")) & (j < F.col("__lo") + F.col("__k")), v)
+        ).alias("__v1"),
+        F.max(
+            F.when(
+                (j + 1 >= F.col("__lo")) & (j + 1 < F.col("__lo") + F.col("__k")), v
+            )
+        ).alias("__v2"),
+        F.max(pos - j.cast("double")).alias("__frac"),
+    )
+    # at p = 1.0 (or a one-value column) j+1 has no bracket: v2 := v1
+    return agg.select(
+        "p",
+        (
+            F.col("__v1")
+            + F.col("__frac")
+            * (F.coalesce(F.col("__v2"), F.col("__v1")) - F.col("__v1"))
+        ).alias("quantile"),
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 8,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Equi-depth histogram of an integral column — the optimizer
+    statistic that joins ``profile_table`` (nulls/min-max/distinct),
+    ``skew_report`` (hot keys), and ``cms_join_size_estimate``
+    (join cardinality): bins with ~equal ROW counts, so selectivity
+    estimates stay accurate under skew where equi-width bins collapse.
+
+    Bin assignment is integer-exact: with n total rows and cum_lo(v) =
+    rows strictly below v, every row of value v lands in bin
+    ``(cum_lo(v) · bins) div n + 1`` — a value never splits across
+    bins (heavy values occupy their own bin rather than lying about
+    depth), and both engines reproduce the boundaries bit-for-bit.
+
+    The global rank of each distinct value comes from
+    :func:`ranked_distinct` (distributed prefix-sum splice — no global
+    sort, no single-partition window, survives distinct ≈ rows columns
+    like o_totalprice in cents).
+
+    NULLs are excluded (no order position). Output: (bin, lo_value,
+    hi_value, n_rows, n_distinct), bins ascending; at most ``bins``
+    rows.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    cum = ranked_distinct(df, value_col, num_shards)
     binned = cum.select(
         (F.expr(f"(__lo * {bins}) div __n") + F.lit(1)).cast("int").alias("bin"),
         "__v",

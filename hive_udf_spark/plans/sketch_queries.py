@@ -1333,14 +1333,22 @@ def profile_winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization — the outlier-clamp preprocessing step of a feature
     pipeline: exact p01/p99 (interpolated, the shared type-7 definition
     in both engines, rounded to 4dp so the clamp boundary is identical
-    bits cross-engine) computed in ONE aggregate, broadcast to the fact
-    scan, every value clamped into [p01, p99].  Two passes total at any
-    scale: a percentile aggregate (partial-aggregable) + a map-side
-    clamp projection — no window, no sort of the fact table."""
+    bits cross-engine) broadcast to the fact scan, every value clamped
+    into [p01, p99].  The quantiles come from operators/profile.py's
+    ``exact_quantiles`` — Spark's built-in exact ``percentile`` merges a
+    counts-map of every distinct value on ONE node (a single-node sort
+    in disguise when distinct ≈ rows, as o_totalprice is), while this
+    path ranks distinct values with the distributed prefix-sum splice
+    and picks each p's two bracketing values by rank containment.  The
+    clamp itself is a map-side projection — no window, no sort of the
+    fact table."""
+    from hive_udf_spark.operators.profile import exact_quantiles
+
     orders = load_table(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.01)"), 4).alias("p01"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    q = exact_quantiles(orders, "o_totalprice", [0.01, 0.99])
+    b = q.agg(
+        F.round(F.max(F.when(F.col("p") == 0.01, F.col("quantile"))), 4).alias("p01"),
+        F.round(F.max(F.when(F.col("p") == 0.99, F.col("quantile"))), 4).alias("p99"),
     )
     return orders.crossJoin(F.broadcast(b)).select(
         "o_orderkey",

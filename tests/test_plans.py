@@ -489,3 +489,20 @@ def test_token_entropy_is_shuffle_free(spark, sf_dir):
     plan = plan_of(QUERIES["text_token_entropy"].fn(spark, sf_dir))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_winsorize_exact_quantiles_no_unpartitioned_window(spark, sf_dir):
+    """Winsorize must take its p01/p99 from the distributed
+    exact_quantiles path (ranked_distinct prefix-sum splice), never from
+    Spark's built-in exact percentile (single-node counts-map merge):
+    every Window node partitioned, no `percentile(` aggregate."""
+    import re
+
+    plan = plan_of(QUERIES["profile_winsorize_totalprice"].fn(spark, sf_dir))
+    blocks = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    for args in blocks:
+        assert re.search(r"\], \[[^\[\]]+\], \[[^\[\]]+\]$", args), (
+            f"unpartitioned Window in winsorize plan: {args}"
+        )
+    assert "percentile(o_totalprice" not in plan
+    assert "__shard" in plan

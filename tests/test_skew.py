@@ -105,3 +105,33 @@ def test_ks_drift_identical_group_is_zero(spark):
     df = spark.createDataFrame(rows, "source string, val long")
     out = {r.source: r.ks_ppm for r in ks_drift(df, "source", "val").collect()}
     assert out == {"x": 0, "y": 0}
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles (r8) — distributed type-7 quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_matches_builtin(spark):
+    from hive_udf_spark.operators.profile import exact_quantiles
+    import pyspark.sql.functions as F
+
+    vals = [1.0, 1.0, 2.0, 4.0, 7.0, 7.0, 7.0, 9.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r.p: r.quantile
+        for r in exact_quantiles(df, "x", ps, num_shards=3).collect()
+    }
+    ref = df.agg(
+        F.expr(f"percentile(x, array({', '.join(map(str, ps))}))").alias("q")
+    ).collect()[0].q
+    assert got == dict(zip(ps, ref))
+
+
+def test_exact_quantiles_single_value_column(spark):
+    from hive_udf_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    got = {r.p: r.quantile for r in exact_quantiles(df, "x", [0.0, 0.5, 1.0]).collect()}
+    assert got == {0.0: 5.0, 0.5: 5.0, 1.0: 5.0}

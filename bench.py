@@ -637,6 +637,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["profile_winsorize_totalprice"].fn(spark, sf_dir))
 
+    def q_audio_quality():
+        # r8: WAV decode -> clipping/silence/energy metrics, map-side
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_audio_quality"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -809,6 +815,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "jsonl_ingest": q_jsonl_ingest,
         "politeness_schedule": q_politeness_schedule,
         "winsorize": q_winsorize,
+        "audio_quality": q_audio_quality,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -579,6 +579,53 @@ def decode_audio_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     return blobs.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_QUALITY_SCHEMA = (
+    "doc_id bigint, n_samples int, n_clipped int, n_silent int, "
+    "energy bigint, sample_rate int"
+)
+
+
+def decode_audio_quality(blobs: DataFrame, silence_threshold: int = 1) -> DataFrame:
+    """Per-blob audio QUALITY metrics via mapInPandas — the signals an
+    audio-corpus filter keys on: ``n_clipped`` (samples at or beyond
+    full-scale−1, |amp| ≥ 2^(bits−1)−1 — the ε-rail clipping detector,
+    catching both rails of the asymmetric two's-complement range), ``n_silent``
+    (|amplitude| ≤ threshold — dead air), and ``energy`` (exact integer
+    Σ amplitude² — the un-rooted RMS, kept integral so both engines
+    hash-match without float discipline).  Same 100 TB shape as the
+    feature path: decode map-side, metrics tiny, blobs never shuffle.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_spark.operators import audiocodec
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_samples", "n_clipped", "n_silent",
+                    "energy", "sample_rate",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                x, rate = audiocodec.decode_wav(b)
+                bits = audiocodec.wav_info(b)["bits_per_sample"]
+                flat = x.ravel().astype(np.int64)
+                hi = (1 << (bits - 1)) - 1
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(int(flat.size))
+                rows["n_clipped"].append(int((np.abs(flat) >= hi).sum()))
+                rows["n_silent"].append(
+                    int((np.abs(flat) <= silence_threshold).sum())
+                )
+                rows["energy"].append(int((flat * flat).sum()))
+                rows["sample_rate"].append(rate)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=AUDIO_QUALITY_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id bigint, blob binary, width int, height int, n_bytes bigint"
 
 

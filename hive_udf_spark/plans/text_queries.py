@@ -2613,3 +2613,60 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+@register(
+    "multimodal_audio_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+      WHERE regexp_matches(rpad(substr(text, 1, 64), 64, ' '), '^[\\x00-\\x7f]*$')
+    ),
+    b AS (SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t)
+    SELECT doc_id,
+           64 AS n_samples,
+           CAST(len([c for c in cps IF c = 97 OR c = 101]) AS INT) AS n_clipped,
+           CAST(len([c for c in cps IF c = 111]) AS INT) AS n_silent,
+           CAST(list_sum([CASE WHEN c = 97 OR c = 101 THEN 16129
+                               WHEN c = 111 THEN 0
+                               ELSE (c - 128) * (c - 128) END
+                          for c in cps]) AS BIGINT) AS energy,
+           8000 AS sample_rate
+    FROM b
+    """,
+)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QUALITY metrics end-to-end (r8): the 64-char payload is
+    remapped so the corpus actually exercises each signal -- 'a'->0xFF
+    (positive rail, +127 centered), 'e'->0x01 (negative rail, -127;
+    0x00 is unreachable -- neither Py4J literals nor Spark's chr(0)
+    survive as NUL -- so the detector uses the standard at-or-beyond
+    full-scale-minus-1 definition, |amp| >= 2^(bits-1)-1, which also
+    catches true -2^(bits-1) rails), 'o'->0x80 (digital silence) --
+    encoded ISO-8859-1 (one byte per char) into the mono 8 kHz WAV
+    container,
+    then operators/multimodal.decode_audio_quality counts clipped and
+    silent samples and the exact integer energy sum(amp^2).  The oracle
+    never sees the container: it derives every count from the CHARACTER
+    CLASSES of the original text, so header walk, byte remap, decode and
+    centering must all be lossless."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_quality
+
+    hdr = encode_wav_pcm(np.zeros(64, dtype=np.int32), sample_rate=8000, bits=8)[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    remapped = F.translate(F.col("__s"), "aeo", "\xff\x01\x80")
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(hdr), F.encode(remapped, "ISO-8859-1")
+            ).alias("blob"),
+        )
+    )
+    return decode_audio_quality(blobs, silence_threshold=1)

@@ -37,3 +37,41 @@ def test_pcm_24_and_32_bit_roundtrip():
     wide = np.zeros((64, 4), dtype=np.uint8)
     wide[:, 1:] = trip
     assert np.array_equal(wide.view("<i4").reshape(-1) >> 8, s)
+
+
+# ---------------------------------------------------------------------------
+# decode_audio_quality (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_quality_metrics(spark):
+    import numpy as np
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_quality
+
+    # centered 8-bit samples: two +rail, one -rail (-127: at FS-1), two
+    # silent (0, +1 at threshold), one plain (40)
+    x = np.array([127, 127, -127, 0, 1, 40], dtype=np.int32)
+    blob = encode_wav_pcm(x, sample_rate=8000, bits=8)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id bigint, blob binary")
+    r = decode_audio_quality(df, silence_threshold=1).collect()[0]
+    assert r.n_samples == 6
+    assert r.n_clipped == 3
+    assert r.n_silent == 2
+    assert r.energy == 127 * 127 * 2 + 127 * 127 + 0 + 1 + 1600
+    assert r.sample_rate == 8000
+
+
+def test_audio_quality_16bit_rails(spark):
+    import numpy as np
+    from hive_udf_spark.operators.audiocodec import encode_wav_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_quality
+
+    x = np.array([32767, -32768, -32767, 5], dtype=np.int32)
+    blob = encode_wav_pcm(x, sample_rate=16000, bits=16)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id bigint, blob binary")
+    r = decode_audio_quality(df).collect()[0]
+    # |amp| >= 2^15-1 catches both rails AND the true minimum
+    assert r.n_clipped == 3
+    assert r.n_silent == 0
+    assert r.energy == 32767**2 + 32768**2 + 32767**2 + 25

@@ -1046,10 +1046,11 @@ def semdedup(
     )
     nodes = assigned.select("id")
     comps = connected_components(pairs, nodes, edges_materialized=True)
-    out = comps.select(
+    # assigned's checkpoint blocks stay until the ContextCleaner drops the
+    # unreferenced RDD — an eager unpersist here could strand the returned
+    # plan on missing blocks in CC branches that don't re-checkpoint nodes.
+    return comps.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
-    assigned.unpersist()
-    return out

@@ -643,6 +643,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_audio_quality"].fn(spark, sf_dir))
 
+    def q_centroid_outliers():
+        # r8: labels x 64 sum agg, broadcast centroids, WindowGroupLimit
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["similarity_centroid_outliers"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -816,6 +822,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "politeness_schedule": q_politeness_schedule,
         "winsorize": q_winsorize,
         "audio_quality": q_audio_quality,
+        "centroid_outliers": q_centroid_outliers,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -17,6 +17,7 @@ from hive_udf_spark.operators.similarity import (
     embedding_near_pairs,
     embedding_near_pairs_lsh,
     int_hyperplanes,
+    quantize_vec,
     topk_dot_quantized,
 )
 from hive_udf_spark.plans.registry import register
@@ -431,3 +432,126 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid outliers (r8): embedding-space curation audit
+# ---------------------------------------------------------------------------
+
+_OUTLIER_K = 5
+
+
+@register(
+    "similarity_centroid_outliers",
+    oracle=f"""
+    WITH {_QV_CTE},
+    lv AS (
+      SELECT e.label, q.vec_id, q.q
+      FROM embeddings e JOIN qv q USING (vec_id)
+    ),
+    n AS (SELECT label, count(*) AS n FROM lv GROUP BY label),
+    sums AS (
+      SELECT label, i, sum(q[i]) AS s
+      FROM lv, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY label, i
+    ),
+    cm AS (
+      SELECT s.label, list(s.s // n.n ORDER BY s.i) AS c
+      FROM sums s JOIN n USING (label) GROUP BY s.label, n.n
+    ),
+    scored AS (
+      SELECT lv.label, lv.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                                     i -> lv.q[i] * cm.c[i])) AS dot,
+             list_sum(list_transform(lv.q, x -> x * x)) AS nq,
+             list_sum(list_transform(cm.c, x -> x * x)) AS nc
+      FROM lv JOIN cm USING (label)
+    ),
+    r AS (
+      SELECT label, vec_id,
+             CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                  ELSE round(dot / sqrt(CAST(nq * nc AS DOUBLE)), 6) END AS cos_c,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                             ELSE round(dot / sqrt(CAST(nq * nc AS DOUBLE)), 6)
+                        END ASC, vec_id) AS "rank"
+      FROM scored
+    )
+    SELECT label, vec_id, cos_c, CAST("rank" AS BIGINT) AS rank
+    FROM r WHERE "rank" <= {_OUTLIER_K}
+    """,
+)
+def similarity_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space curation audit: per label, the K vectors with the
+    LOWEST cosine to the label's centroid — mislabeled / off-topic /
+    junk candidates (the embedding analog of CLIP-score filtering).
+
+    Exactness discipline: embeddings quantize to integers (round(x·1e3),
+    the corpus-wide convention), the centroid is the FLOOR-DIVIDED
+    integer mean per dimension (sum div n — defined, engine-exact), dot
+    products and norms are exact int64, and the only float op is one
+    identical round(dot/sqrt(nq·nc), 6) in both engines — products stay
+    under 2^52 so every double is bit-identical.
+
+    Scale shape: the per-(label, dim) sum aggregate is labels × 64 rows
+    (map-side partials), centroids BROADCAST back, scoring is a per-row
+    projection, and the per-label bottom-K lowers to WindowGroupLimit —
+    the corpus never sorts globally."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", "vec_id", quantize_vec("embedding").alias("q")
+    )
+    sums = (
+        q.select(
+            "label", F.posexplode("q").alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    n = q.groupBy("label").agg(F.count("*").alias("n"))
+    cm = (
+        sums.join(F.broadcast(n), "label")
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", F.expr("s div n").alias("c")))
+                ),
+                lambda st: st["c"],
+            ).alias("c")
+        )
+    )
+    scored = q.join(F.broadcast(cm), "label").select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("q", "c", lambda a, b: a * b), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("q", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nq"),
+        F.aggregate(
+            F.transform("c", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nc"),
+    )
+    cos_c = F.when(
+        (F.col("nq") == 0) | (F.col("nc") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.col("dot") / F.sqrt((F.col("nq") * F.col("nc")).cast("double")), 6
+        )
+    )
+    w = Window.partitionBy("label").orderBy(cos_c.asc(), F.col("vec_id").asc())
+    return (
+        scored.select(
+            "label", "vec_id", cos_c.alias("cos_c"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= _OUTLIER_K)
+    )

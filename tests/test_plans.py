@@ -506,3 +506,12 @@ def test_winsorize_exact_quantiles_no_unpartitioned_window(spark, sf_dir):
         )
     assert "percentile(o_totalprice" not in plan
     assert "__shard" in plan
+
+
+def test_centroid_outliers_native_bottom_k(spark, sf_dir):
+    """The per-label bottom-K must lower to native WindowGroupLimit
+    (partial per-partition top-k before the exchange), with zero Python
+    stages — the corpus never sorts globally."""
+    plan = plan_of(QUERIES["similarity_centroid_outliers"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan

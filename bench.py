@@ -649,6 +649,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["similarity_centroid_outliers"].fn(spark, sf_dir))
 
+    def q_politeness_crawl_delay():
+        # r8: robots.txt TEXT parse (per-host) + delay-weighted waves
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_politeness_crawl_delay"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -823,6 +829,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "winsorize": q_winsorize,
         "audio_quality": q_audio_quality,
         "centroid_outliers": q_centroid_outliers,
+        "politeness_crawl_delay": q_politeness_crawl_delay,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

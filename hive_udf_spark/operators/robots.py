@@ -46,6 +46,69 @@ def parse_robots_rules(
     a group applies if it names ``*`` or the agent, case-insensitive;
     comments ``#...`` stripped; blank Disallow lines — 'allow all' —
     are dropped as rule-less)."""
+    applies = _applicable_directives(
+        robots, host_col, text_col, agent, ("allow", "disallow")
+    )
+    return (
+        applies.filter(
+            F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+        )
+        .select(
+            "host",
+            F.col("value").alias("rule_path"),
+            (F.col("field") == "allow").alias("allow"),
+            F.length("value").alias("rule_len"),
+        )
+        .distinct()
+    )
+
+
+def parse_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+    default_delay: int = 1,
+    max_delay: int = 60,
+) -> DataFrame:
+    """→ (host, crawl_delay_s) — the Crawl-delay directive of the
+    groups applicable to ``agent`` (the de-facto extension most large
+    crawlers honor; not in RFC 9309).  When several applicable groups
+    declare one, the MAXIMUM wins — the schedule stays at least as
+    polite as every applicable declaration.  Non-numeric and negative
+    values are ignored; values above ``max_delay`` clamp (a 10-hour
+    Crawl-delay is a de-facto ban better handled by quota policy);
+    hosts with no directive get ``default_delay``."""
+    applies = _applicable_directives(
+        robots, host_col, text_col, agent, ("crawl-delay",)
+    )
+    declared = (
+        applies.filter(
+            (F.col("field") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+$")
+        )
+        .select("host", F.col("value").cast("int").alias("d"))
+        .groupBy("host")
+        .agg(F.least(F.max("d"), F.lit(max_delay)).alias("crawl_delay_s"))
+    )
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return hosts.join(declared, "host", "left").select(
+        "host",
+        F.coalesce("crawl_delay_s", F.lit(default_delay)).alias("crawl_delay_s"),
+    )
+
+
+def _applicable_directives(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    agent: str,
+    fields: tuple[str, ...],
+) -> DataFrame:
+    """Shared REP group machinery: split lines, strip comments, detect
+    user-agent groups (consecutive UA lines share one group), and keep
+    only directives of ``fields`` inside groups naming ``*`` or
+    ``agent`` (case-insensitive).  → (host, pos, field, value)."""
     a = agent.lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -61,7 +124,7 @@ def parse_robots_rules(
         "pos",
         F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("field"),
         F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("field").isin("user-agent", *fields))
     w = Window.partitionBy("host").orderBy("pos")
     grouped = parts.withColumn(
         "is_ua", (F.col("field") == "user-agent").cast("int")
@@ -78,7 +141,7 @@ def parse_robots_rules(
         ),
     )
     gw = Window.partitionBy("host", "gid")
-    applies = grouped.withColumn(
+    return grouped.withColumn(
         "group_applies",
         F.max(
             (
@@ -86,21 +149,7 @@ def parse_robots_rules(
                 & (F.lower("value").isin("*", a))
             ).cast("int")
         ).over(gw),
-    )
-    return (
-        applies.filter(
-            (F.col("group_applies") == 1)
-            & F.col("field").isin("allow", "disallow")
-            & (F.col("value") != "")
-        )
-        .select(
-            "host",
-            F.col("value").alias("rule_path"),
-            (F.col("field") == "allow").alias("allow"),
-            F.length("value").alias("rule_len"),
-        )
-        .distinct()
-    )
+    ).filter(F.col("group_applies") == 1).select("host", "pos", "field", "value")
 
 
 def _rule_regex(rule_path):

@@ -654,3 +654,69 @@ def web_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("fetch_offset_s"),
     )
+
+
+@register(
+    "web_politeness_crawl_delay",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, registrable_domain AS host, url_key
+      FROM ({_ORACLE_PARTS})
+      WHERE canonical_url IS NOT NULL AND registrable_domain IS NOT NULL
+    ),
+    d AS (SELECT host, url_key, min(doc_id) AS doc_id
+          FROM u GROUP BY host, url_key),
+    w AS (SELECT host, url_key, doc_id,
+                 row_number() OVER (PARTITION BY host ORDER BY doc_id, url_key)
+                   - 1 AS wave
+          FROM d)
+    SELECT host, url_key, doc_id, CAST(wave AS BIGINT) AS wave,
+           CAST(length(host) % 7 + 1 AS INT) AS crawl_delay_s,
+           CAST(wave * (length(host) % 7 + 1) AS BIGINT) AS fetch_offset_s
+    FROM w
+    """,
+)
+def web_politeness_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling honoring each host's OWN Crawl-delay,
+    parsed from synthesized robots.txt TEXT — the first registry query
+    to push the RFC-9309 text parser (UA groups, comments, agent match)
+    through the oracle gate end-to-end: every host gets a two-group
+    robots.txt where the applicable '*' group declares
+    Crawl-delay: len(host)%7+1 (plus a comment and a decoy group for a
+    different agent declaring 99), and the oracle re-derives the delay
+    ANALYTICALLY from the host string — so group detection, comment
+    stripping, agent matching, the max-of-applicable rule, and the
+    decoy's exclusion must all be exact.  Plan shape: text parse is
+    per-host (domain-count-sized relation), the schedule is the same
+    host-partitioned window as web_crawl_politeness_schedule, delays
+    arrive by broadcast join."""
+    from hive_udf_spark.operators.robots import parse_crawl_delays
+
+    d = (
+        _docs_with_urls(spark, sf_dir)
+        .filter(
+            F.col("canonical_url").isNotNull()
+            & F.col("registrable_domain").isNotNull()
+        )
+        .groupBy(F.col("registrable_domain").alias("host"), F.col("url_key"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    doms = d.select("host").distinct().localCheckpoint()
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nCrawl-delay: "),
+        (F.length("host") % 7 + 1).cast("string"),
+        F.lit("  # per-host delay\nDisallow:\n\nUser-agent: otherbot\nCrawl-delay: 99\n"),
+    )
+    delays = parse_crawl_delays(
+        doms.select("host", txt.alias("robots_txt"))
+    )
+    w = Window.partitionBy("host").orderBy("doc_id", "url_key")
+    sched = d.select(
+        "host", "url_key", "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("wave"),
+    )
+    return sched.join(F.broadcast(delays), "host").select(
+        "host", "url_key", "doc_id", "wave",
+        F.col("crawl_delay_s").cast("int").alias("crawl_delay_s"),
+        (F.col("wave") * F.col("crawl_delay_s")).cast("long").alias("fetch_offset_s"),
+    )

@@ -101,3 +101,28 @@ def test_allow_wins_ties_and_rules_broadcast(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_parse_crawl_delays(spark):
+    from hive_udf_spark.operators.robots import parse_crawl_delays
+
+    txts = [
+        # applicable group declares 4; decoy group declares 99
+        ("a.org", "User-agent: *\nCrawl-delay: 4\n\nUser-agent: x\nCrawl-delay: 99"),
+        # two applicable groups: maximum (most polite) wins
+        ("b.org", "User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 6"),
+        # no directive -> default
+        ("c.org", "User-agent: *\nDisallow: /x"),
+        # non-numeric ignored -> default; clamp above max_delay
+        ("d.org", "User-agent: *\nCrawl-delay: soon"),
+        ("e.org", "User-agent: *\nCrawl-delay: 100000"),
+        # comment after value stripped
+        ("f.org", "User-agent: *\nCrawl-delay: 7 # be nice"),
+    ]
+    df = spark.createDataFrame(txts, "host string, robots_txt string")
+    got = {
+        r.host: r.crawl_delay_s
+        for r in parse_crawl_delays(df, default_delay=1, max_delay=60).collect()
+    }
+    assert got == {"a.org": 4, "b.org": 6, "c.org": 1, "d.org": 1,
+                   "e.org": 60, "f.org": 7}

@@ -106,6 +106,7 @@ def test_dual_dialect_agreement(spark):
         (35, _WORDS),  # lorem AND brace
         (2, "tiny"),
         (3, ""),
+        (4, "double  space   run here x y z w v u t s r q p o n m"),
     ]
     df = spark.createDataFrame(texts, "doc_id bigint, text string")
     kept_expr_s = c4_kept_lines_sql(split_lines_sql("page", "spark"), "spark")

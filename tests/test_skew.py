@@ -135,3 +135,24 @@ def test_exact_quantiles_single_value_column(spark):
     df = spark.createDataFrame([(5.0,)] * 4, "x double")
     got = {r.p: r.quantile for r in exact_quantiles(df, "x", [0.0, 0.5, 1.0]).collect()}
     assert got == {0.0: 5.0, 0.5: 5.0, 1.0: 5.0}
+
+
+def test_exact_quantiles_random_multisets_vs_numpy(spark):
+    import numpy as np
+    from hive_udf_spark.operators.profile import exact_quantiles
+
+    ps = [0.01, 0.25, 0.5, 0.75, 0.99]
+    rng = np.random.RandomState(42)
+    for trial in range(4):
+        # duplicate-heavy: values drawn from a small grid
+        vals = rng.choice([0.5, 1.25, 3.0, 3.0, 7.5, 9.0, 42.0],
+                          size=rng.randint(5, 200)).tolist()
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got = {
+            r.p: r.quantile
+            for r in exact_quantiles(df, "x", ps, num_shards=4).collect()
+        }
+        ref = np.percentile(np.array(vals), [p * 100 for p in ps],
+                            method="linear")
+        for p, expect in zip(ps, ref):
+            assert abs(got[p] - float(expect)) < 1e-12, (trial, p, got[p], expect)

@@ -655,6 +655,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["web_politeness_crawl_delay"].fn(spark, sf_dir))
 
+    def q_footer_audit():
+        # r8: distributed footer-only parquet audit (no data pages)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_parquet_footer_audit"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -830,6 +836,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "audio_quality": q_audio_quality,
         "centroid_outliers": q_centroid_outliers,
         "politeness_crawl_delay": q_politeness_crawl_delay,
+        "footer_audit": q_footer_audit,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -1002,3 +1002,38 @@ def pipeline_source_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "source_parquet_footer_audit",
+    oracle="""SELECT 'l_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_partkey' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_partkey) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_suppkey' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_suppkey) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_linenumber' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_linenumber) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_quantity' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_extendedprice) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_discount' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_discount) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_tax' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_tax) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_returnflag' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_linestatus' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_linestatus) AS BIGINT) AS n_nulls FROM lineitem UNION ALL SELECT 'l_shipdate' AS column_name, CAST(count(*) AS BIGINT) AS n_values, CAST(count(*) - count(l_shipdate) AS BIGINT) AS n_nulls FROM lineitem""",
+)
+def source_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit over the lineitem table: the distributed
+    footer scan (sources/sinks.parquet_rowgroup_stats — footer-only IO,
+    one metadata read per file, never a data page) aggregated to
+    per-column value/null totals, verified against the DATA itself —
+    the lying-footer check a 100 TB ingest runs before trusting
+    row-group pruning.  Sizes and per-row-group granularity stay in the
+    operator output; the oracle pins the counts the table can vouch
+    for."""
+    import os
+
+    from hive_udf_spark.sources.sinks import parquet_rowgroup_stats
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    paths = [path]
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    rg = parquet_rowgroup_stats(spark, paths)
+    return (
+        rg.groupBy(F.col("path_in_schema").alias("column_name"))
+        .agg(
+            F.sum("num_values").cast("long").alias("n_values"),
+            F.sum(F.coalesce("null_count", F.lit(0))).cast("long").alias("n_nulls"),
+        )
+    )

@@ -398,3 +398,60 @@ def snapshot_diff(
         j.select(*key_cols, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+PARQUET_RG_SCHEMA = (
+    "file_name string, row_group_id int, row_group_num_rows bigint, "
+    "path_in_schema string, num_values bigint, null_count bigint, "
+    "total_compressed_size bigint, total_uncompressed_size bigint"
+)
+
+
+def parquet_rowgroup_stats(spark, paths: list[str]):
+    """Distributed parquet FOOTER audit: one row per (file, row group,
+    column) with value/null counts and compressed/uncompressed sizes —
+    the layout diagnostic behind compaction and Z-order decisions
+    (row groups too small → scan overhead; compression ratio ~1 →
+    wrong encoding; nulls ≈ values → dead column).
+
+    Footer-only IO: each task opens its files' footers via pyarrow and
+    never touches a data page, so auditing a 100 TB table costs one
+    metadata read per file, parallelized by repartitioning the PATH
+    relation (one path per task slot) — no data scan, no shuffle.
+    """
+    import pandas as pd
+
+    n = max(1, len(paths))
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "file_name", "row_group_id", "row_group_num_rows",
+                    "path_in_schema", "num_values", "null_count",
+                    "total_compressed_size", "total_uncompressed_size",
+                )
+            }
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        st = col.statistics
+                        out["file_name"].append(path)
+                        out["row_group_id"].append(rg_i)
+                        out["row_group_num_rows"].append(rg.num_rows)
+                        out["path_in_schema"].append(col.path_in_schema)
+                        out["num_values"].append(col.num_values)
+                        out["null_count"].append(
+                            st.null_count if st is not None and st.has_null_count else None
+                        )
+                        out["total_compressed_size"].append(col.total_compressed_size)
+                        out["total_uncompressed_size"].append(col.total_uncompressed_size)
+            yield pd.DataFrame(out)
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(n)
+    return pdf.mapInPandas(read_footers, schema=PARQUET_RG_SCHEMA)

@@ -662,3 +662,35 @@ def test_token_budget_admission_validation(spark, tmp_path):
         token_budget_admission_sink(
             stream, str(tmp_path / "s"), str(tmp_path / "c"), budget=-5
         )
+
+
+def test_parquet_rowgroup_stats_footer_matches_duckdb(spark, tmp_path):
+    """The pyarrow footer walk must agree with DuckDB's parquet_metadata
+    on every (row group, column) count and size."""
+    import duckdb
+
+    from hive_udf_spark.sources.sinks import parquet_rowgroup_stats
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 10_000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE id * 2 END AS v",
+        "CAST(id AS STRING) AS s",
+    ).coalesce(1).write.parquet(str(tmp_path / "d"))
+    import glob, shutil
+    shutil.copy(glob.glob(str(tmp_path / "d" / "*.parquet"))[0], p)
+    got = {
+        (r.row_group_id, r.path_in_schema): (
+            r.num_values, r.null_count, r.total_compressed_size,
+            r.total_uncompressed_size,
+        )
+        for r in parquet_rowgroup_stats(spark, [p]).collect()
+    }
+    ref = duckdb.connect().execute(
+        "SELECT row_group_id, path_in_schema, num_values, stats_null_count, "
+        "total_compressed_size, total_uncompressed_size "
+        f"FROM parquet_metadata('{p}')"
+    ).fetchall()
+    assert got == {
+        (rg, col): (nv, nulls, cs, us) for rg, col, nv, nulls, cs, us in ref
+    }
+    assert any(nulls > 0 for _, nulls, _, _ in got.values())

@@ -661,6 +661,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_parquet_footer_audit"].fn(spark, sf_dir))
 
+    def q_percent_rank():
+        # r8: global percent_rank via ranked_distinct + value equi-join
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["profile_percent_rank_totalprice"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -837,6 +843,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "centroid_outliers": q_centroid_outliers,
         "politeness_crawl_delay": q_politeness_crawl_delay,
         "footer_audit": q_footer_audit,
+        "percent_rank": q_percent_rank,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

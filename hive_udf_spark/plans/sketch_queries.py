@@ -1359,3 +1359,38 @@ def profile_winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") < F.col("p01")).alias("clipped_low"),
         (F.col("o_totalprice") > F.col("p99")).alias("clipped_high"),
     )
+
+
+@register(
+    "profile_percent_rank_totalprice",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
+           CAST(rank() OVER (ORDER BY o_totalprice) - 1 AS BIGINT) AS n_below
+    FROM orders
+    """,
+)
+def profile_percent_rank_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percent_rank for EVERY row without a global sort:
+    the rank of each distinct value comes from ranked_distinct (the
+    distributed prefix-sum splice), and rows pick their rank up by a
+    hash equi-join on the value — so the fact table never sorts and no
+    unpartitioned window exists, where the naive
+    percent_rank() OVER (ORDER BY x) is a one-node sort of the corpus.
+    percent_rank = n_strictly_below / (n − 1), ties sharing their first
+    position (the SQL definition the oracle pins)."""
+    from hive_udf_spark.operators.profile import ranked_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    rd = ranked_distinct(orders, "o_totalprice").select(
+        F.col("__v").alias("__jv"), "__lo", "__n"
+    )
+    return orders.join(rd, orders["o_totalprice"] == rd["__jv"]).select(
+        "o_orderkey",
+        F.round(
+            F.col("__lo").cast("double")
+            / (F.col("__n") - 1).cast("double"),
+            6,
+        ).alias("pct_rank"),
+        F.col("__lo").cast("long").alias("n_below"),
+    )

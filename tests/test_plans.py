@@ -515,3 +515,17 @@ def test_centroid_outliers_native_bottom_k(spark, sf_dir):
     plan = plan_of(QUERIES["similarity_centroid_outliers"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_percent_rank_no_unpartitioned_window(spark, sf_dir):
+    """Global percent_rank must come from ranked_distinct + a value
+    equi-join — the naive ORDER BY window is a one-node corpus sort."""
+    import re
+
+    plan = plan_of(QUERIES["profile_percent_rank_totalprice"].fn(spark, sf_dir))
+    blocks = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    for args in blocks:
+        assert re.search(r"\], \[[^\[\]]+\], \[[^\[\]]+\]$", args), (
+            f"unpartitioned Window in percent_rank plan: {args}"
+        )
+    assert "__shard" in plan

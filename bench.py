@@ -667,6 +667,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["profile_percent_rank_totalprice"].fn(spark, sf_dir))
 
+    def q_codec_docx_extract():
+        # r8: OPC zip walk + WordprocessingML run/entity replay
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_docx_extract"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -844,6 +850,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "politeness_crawl_delay": q_politeness_crawl_delay,
         "footer_audit": q_footer_audit,
         "percent_rank": q_percent_rank,
+        "codec_docx_extract": q_codec_docx_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -2670,3 +2670,55 @@ def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_audio_quality(blobs, silence_threshold=1)
+
+
+_DOCX_SUFFIX = " a&b<c>\"d'e"  # exercises all five XML entities
+
+_DOCX_SUFFIX_SQL = " a&b<c>\"d''e"
+
+
+@register(
+    "multimodal_docx_extract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) // 3 AS l3 FROM documents
+    )
+    SELECT doc_id,
+           substr(text, 1, l3) || chr(10) ||
+           substr(text, l3 + 1, l3) || chr(10) ||
+           substr(text, 2 * l3 + 1) || '{_DOCX_SUFFIX_SQL}' AS text,
+           3 AS n_paragraphs,
+           CAST(length(text) + 2 + length('{_DOCX_SUFFIX_SQL}') AS BIGINT)
+             AS n_chars
+    FROM t
+    """,
+)
+def multimodal_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction end-to-end (r8, operators/docx.py): each
+    document becomes a three-part OPC archive (content types, rels,
+    word/document.xml — all deflated) holding three paragraphs: thirds
+    of the text, the middle one split into TWO runs (run concatenation
+    must be invisible), the last carrying a suffix that exercises all
+    five XML entities.  The production mapInPandas path walks the ZIP
+    central directory, inflates + CRC-checks the parts, replays the
+    WordprocessingML text layer, and decodes entities.  The oracle
+    knows only the substring arithmetic and the raw suffix — every
+    container, XML, and escaping layer must be lossless."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_spark.operators.docx import docx_text_table, encode_docx
+
+    @pandas_udf("binary")
+    def enc(text):  # pd.Series -> pd.Series
+        def one(t: str) -> bytes:
+            l3 = len(t) // 3
+            p1, p2, p3 = t[:l3], t[l3 : 2 * l3], t[2 * l3 :] + _DOCX_SUFFIX
+            half = len(p2) // 2
+            return encode_docx([[p1], [p2[:half], p2[half:]], [p3]])
+
+        return text.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", enc("text").alias("blob"))
+    return docx_text_table(blobs)

@@ -315,18 +315,24 @@ def approx_percentile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald–Khanna summaries — the other
     mergeable-sketch family Spark ships) with the §5.2 bounded-error
     verdict: the approx percentile must land inside the exact
-    [p−ε, p+ε] rank window (ε = 1/accuracy, here 0.01). The algorithm
-    guarantees the bound, so the verdict column is deterministically true
-    and hash-matches a literal oracle."""
+    [p−ε′, p+ε′] window, ε′ = ε + 0.01 where ε = 1/accuracy = 0.01.
+    GK guarantees a RANK error of ε·n, but the window edges here are
+    linearly INTERPOLATED percentiles, which can sit strictly inside
+    the data value at the guaranteed rank — at small groups (sf0.001:
+    ~200 rows/type) that one-rank gap broke the naive ±ε window, so the
+    bound carries one extra percent (≥ 1 rank of slack for groups of
+    ≥ 100 rows).  The algorithm guarantees the widened bound, so the
+    verdict column is deterministically true and hash-matches a literal
+    oracle."""
     ev = load_table(spark, sf_dir, "events")
-    acc = 100  # ε = 1/100 rank error
+    acc = 100  # ε = 1/100 rank error; +0.01 interpolation slack below
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, acc).alias("med_a"),
         F.percentile_approx("value", 0.9, acc).alias("p90_a"),
-        F.percentile("value", 0.49).alias("med_lo"),
-        F.percentile("value", 0.51).alias("med_hi"),
-        F.percentile("value", 0.89).alias("p90_lo"),
-        F.percentile("value", 0.91).alias("p90_hi"),
+        F.percentile("value", 0.48).alias("med_lo"),
+        F.percentile("value", 0.52).alias("med_hi"),
+        F.percentile("value", 0.88).alias("p90_lo"),
+        F.percentile("value", 0.92).alias("p90_hi"),
     )
     return agg.select(
         "event_type",

@@ -673,6 +673,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_docx_extract"].fn(spark, sf_dir))
 
+    def q_markdown_extract():
+        # r8: shared-chain markdown strip — per-row codegen, no shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_markdown_extract"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -851,6 +857,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "footer_audit": q_footer_audit,
         "percent_rank": q_percent_rank,
         "codec_docx_extract": q_codec_docx_extract,
+        "markdown_extract": q_markdown_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -2722,3 +2722,108 @@ def multimodal_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", enc("text").alias("blob"))
     return docx_text_table(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Markdown -> text (r8)
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.functions.markdown import (  # noqa: E402
+    markdown_chain_sql,
+    markdown_to_text,
+)
+
+
+def _md_chunks_sql() -> str:
+    return "length(text) // 7"
+
+
+_MD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_md_chunks_sql()} AS l7 FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             substr(text, 1, l7) AS p1,
+             substr(text, l7 + 1, l7) AS p2,
+             substr(text, 2 * l7 + 1, l7) AS p3,
+             substr(text, 3 * l7 + 1, l7) AS p4,
+             substr(text, 4 * l7 + 1, l7) AS p5,
+             substr(text, 5 * l7 + 1, l7) AS p6,
+             substr(text, 6 * l7 + 1) AS p7
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             '# ' || p1 || chr(10) || chr(10) ||
+             '> ' || p2 || chr(10) || chr(10) ||
+             '**' || p3 || '** *' || p4 || '*' || chr(10) || chr(10) ||
+             '- [' || p5 || '](https://ex.com/a?b=1)' || chr(10) ||
+             '- `' || p6 || '`' || chr(10) || chr(10) ||
+             '```' || chr(10) || 'dropped fence body' || chr(10) || '```'
+             || chr(10) || chr(10) ||
+             p7 || ' | tail' || chr(10) || '--- | ---' || chr(10) ||
+             '<https://auto.link/x> done' AS md,
+             trim(regexp_replace(
+               p1 || ' ' || p2 || ' ' || p3 || ' ' || p4 || ' ' || p5 || ' '
+                  || p6 || ' ' || p7 || ' tail done',
+               '\s+', ' ', 'g')) AS expected
+      FROM c
+    )
+    SELECT doc_id,
+           {markdown_chain_sql("md", "duckdb")} AS extracted,
+           ({markdown_chain_sql("md", "duckdb")} = expected) AS extracted_ok,
+           CAST(length({markdown_chain_sql("md", "duckdb")}) AS BIGINT) AS n_chars
+    FROM m
+    """
+
+
+@register("text_markdown_extract", oracle=_MD_ORACLE)
+def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> text extraction (r8, functions/markdown.py): each doc
+    becomes a full-construct Markdown page -- ATX header, blockquote,
+    bold + italic, list items carrying a LINK (text kept, URL dropped)
+    and an inline CODE SPAN (content kept), a fenced code block (body
+    dropped), a pipe table with separator row, a horizontal-rule-shaped
+    row, and an autolink -- built from sevenths of the text identically
+    in both engines.  The shared regexp chain (single step list rendered
+    into both dialects, group-reference replacements) must reduce it to
+    exactly the original words plus the two literal tail tokens
+    (extracted_ok verdict).  Pure per-row codegen, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    l7 = F.floor(F.length("text") / 7).cast("int")
+    d = docs.withColumn("l7", l7)
+    ps = {
+        f"p{i}": F.expr(f"substr(text, {i - 1} * l7 + 1, l7)") for i in range(1, 7)
+    }
+    ps["p7"] = F.expr("substr(text, 6 * l7 + 1)")
+    d = d.select("doc_id", *[v.alias(k) for k, v in ps.items()])
+    nl = "\n"
+    md = F.expr(
+        "'# ' || p1 || '\n\n' || "
+        "'> ' || p2 || '\n\n' || "
+        "'**' || p3 || '** *' || p4 || '*' || '\n\n' || "
+        "'- [' || p5 || '](https://ex.com/a?b=1)' || '\n' || "
+        "'- `' || p6 || '`' || '\n\n' || "
+        "'```' || '\n' || 'dropped fence body' || '\n' || '```' || '\n\n' || "
+        "p7 || ' | tail' || '\n' || '--- | ---' || '\n' || "
+        "'<https://auto.link/x> done'"
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.expr(
+                "p1 || ' ' || p2 || ' ' || p3 || ' ' || p4 || ' ' || p5 || ' ' "
+                "|| p6 || ' ' || p7 || ' tail done'"
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    d = d.withColumn("md", md).withColumn("expected", expected)
+    ext = markdown_to_text(F.col("md"))
+    return d.select(
+        "doc_id",
+        ext.alias("extracted"),
+        (ext == F.col("expected")).alias("extracted_ok"),
+        F.length(ext).cast("long").alias("n_chars"),
+    )

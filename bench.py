@@ -679,6 +679,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_markdown_extract"].fn(spark, sf_dir))
 
+    def q_codec_xlsx_extract():
+        # r8: OPC zip + SpreadsheetML cells + shared-strings indirection
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_xlsx_extract"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -858,6 +864,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "percent_rank": q_percent_rank,
         "codec_docx_extract": q_codec_docx_extract,
         "markdown_extract": q_markdown_extract,
+        "codec_xlsx_extract": q_codec_xlsx_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -2827,3 +2827,57 @@ def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ext == F.col("expected")).alias("extracted_ok"),
         F.length(ext).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "multimodal_xlsx_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             substr(text, 1, length(text) // 2) AS h1,
+             substr(text, length(text) // 2 + 1) AS h2,
+             length(text) AS n
+      FROM documents
+    )
+    SELECT doc_id, cell, s_value, n_value FROM (
+      SELECT doc_id, 'A1' AS cell, h1 AS s_value, CAST(NULL AS DOUBLE) AS n_value FROM t
+      UNION ALL SELECT doc_id, 'B1', NULL, CAST(doc_id AS DOUBLE) FROM t
+      UNION ALL SELECT doc_id, 'C1', lang, NULL FROM t
+      UNION ALL SELECT doc_id, 'A2', h2, NULL FROM t
+      UNION ALL SELECT doc_id, 'B2', NULL, CAST(n AS DOUBLE) FROM t
+      UNION ALL SELECT doc_id, 'C2', h1, NULL FROM t
+    )
+    """,
+)
+def multimodal_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX cell extraction end-to-end (r8, operators/xlsx.py): each doc
+    becomes a two-row sheet whose string cells route through a REAL
+    shared-strings table -- the first half of the text appears in TWO
+    cells (A1, C2) but is stored once and referenced by index, so the
+    decoder's indirection resolution is what the oracle actually checks
+    (naive grep-the-sheet extraction would return row indexes, not
+    text).  Numeric cells (doc_id, n_chars) stay inline.  The vendored
+    ZIP walk + SpreadsheetML replay must be lossless; the oracle knows
+    only halves, lang, and counts."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_spark.operators.xlsx import encode_xlsx, xlsx_cells_table
+
+    @pandas_udf("binary")
+    def enc(doc_id, text, lang):  # pd.Series x3 -> pd.Series
+        def one(did, t, lg):
+            h = len(t) // 2
+            return encode_xlsx(
+                [[t[:h], int(did), lg], [t[h:], len(t), t[:h]]]
+            )
+
+        return pd.Series(
+            [one(d, t, lg) for d, t, lg in zip(doc_id, text, lang)]
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", enc("doc_id", "text", "lang").alias("blob")
+    )
+    return xlsx_cells_table(blobs)

@@ -685,6 +685,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_xlsx_extract"].fn(spark, sf_dir))
 
+    def q_srt_parse():
+        # r8: caption parse — pure codegen, explode + regexp fields
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_srt_parse"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -865,6 +871,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_docx_extract": q_codec_docx_extract,
         "markdown_extract": q_markdown_extract,
         "codec_xlsx_extract": q_codec_xlsx_extract,
+        "srt_parse": q_srt_parse,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -2881,3 +2881,105 @@ def multimodal_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", enc("doc_id", "text", "lang").alias("blob")
     )
     return xlsx_cells_table(blobs)
+
+
+# ---------------------------------------------------------------------------
+# SRT subtitle parsing (r8) — pure codegen, no UDF
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.functions.subtitles import (  # noqa: E402
+    SRT_SEQ_PAT,
+    SRT_TEXT_PAT,
+    srt_time_ms_sql,
+)
+
+
+def _srt_ts_sql(ms: str, d: str) -> str:
+    pad2 = lambda x: f"lpad(CAST({x} AS VARCHAR), 2, '0')" if d == "duckdb" else f"lpad(CAST({x} AS STRING), 2, '0')"
+    pad3 = lambda x: f"lpad(CAST({x} AS VARCHAR), 3, '0')" if d == "duckdb" else f"lpad(CAST({x} AS STRING), 3, '0')"
+    div = "//" if d == "duckdb" else "div"
+    return (
+        f"{pad2(f'({ms}) {div} 3600000')} || ':' || "
+        f"{pad2(f'(({ms}) {div} 60000) % 60')} || ':' || "
+        f"{pad2(f'(({ms}) {div} 1000) % 60')} || ',' || "
+        f"{pad3(f'({ms}) % 1000')}"
+    )
+
+
+def _srt_cue_sql(k: int, d: str) -> str:
+    """One cue block for cue k (0-2): seq, timing, text (cue 2 is
+    two-line).  start = (doc_id % 50)*1000 + k*2000, end = start+1500."""
+    start = f"((doc_id % 50) * 1000 + {k * 2000})"
+    end = f"({start} + 1500)"
+    l3 = "(length(text) // 3)" if d == "duckdb" else "(length(text) div 3)"
+    if k < 2:
+        body = f"substr(text, {k} * {l3} + 1, {l3})"
+    else:
+        tail = f"substr(text, 2 * {l3} + 1)"
+        half = f"(length({tail}) // 2)" if d == "duckdb" else f"(length({tail}) div 2)"
+        body = (
+            f"substr({tail}, 1, {half}) || chr(10) || substr({tail}, {half} + 1)"
+        )
+    return (
+        f"'{k + 1}' || chr(10) || {_srt_ts_sql(start, d)} || ' --> ' || "
+        f"{_srt_ts_sql(end, d)} || chr(10) || {body}"
+    )
+
+
+def _srt_file_sql(d: str) -> str:
+    cues = " || chr(10) || chr(10) || ".join(_srt_cue_sql(k, d) for k in range(3))
+    return f"({cues})"
+
+
+def _srt_oracle() -> str:
+    l3 = "(length(text) // 3)"
+    tail = f"substr(text, 2 * {l3} + 1)"
+    half = f"(length({tail}) // 2)"
+    rows = []
+    for k in range(3):
+        start = f"((doc_id % 50) * 1000 + {k * 2000})"
+        if k < 2:
+            body = f"substr(text, {k} * {l3} + 1, {l3})"
+        else:
+            body = f"substr({tail}, 1, {half}) || chr(10) || substr({tail}, {half} + 1)"
+        rows.append(
+            f"SELECT doc_id, {k + 1} AS seq, CAST({start} AS BIGINT) AS start_ms, "
+            f"CAST({start} + 1500 AS BIGINT) AS end_ms, {body} AS cue_text, "
+            f"CAST(length({body}) AS BIGINT) AS n_chars FROM documents"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register("multimodal_srt_parse", oracle=_srt_oracle())
+def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle parsing (r8, functions/subtitles.py): each doc
+    becomes a three-cue caption file (sequence numbers, HH:MM:SS,mmm
+    timing lines derived from doc_id, thirds of the text as cue bodies —
+    the last cue MULTI-LINE), then the parser — split on blank lines +
+    one regexp per field, integer-millisecond timestamp math — must
+    recover every (seq, start_ms, end_ms, text) exactly.  Pure
+    whole-stage-codegen column expressions end to end: no UDF, no
+    shuffle; the format layer (zero-padding, arrows, newlines) is
+    invisible to the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_srt_file_sql("spark")).alias("srt"))
+    cues = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split("srt", "\\n\\n"), lambda x: x != F.lit("")
+            )
+        ).alias("idx", "cue"),
+    )
+    seq_pat = SRT_SEQ_PAT.replace("\\", "\\\\")
+    text_pat = SRT_TEXT_PAT.replace("\\", "\\\\")
+    return cues.select(
+        "doc_id",
+        F.expr(f"CAST(regexp_extract(cue, '{seq_pat}', 1) AS INT)").alias("seq"),
+        F.expr(srt_time_ms_sql("cue", 1, "spark")).alias("start_ms"),
+        F.expr(srt_time_ms_sql("cue", 5, "spark")).alias("end_ms"),
+        F.expr(f"regexp_extract(cue, '{text_pat}', 1)").alias("cue_text"),
+        F.expr(f"CAST(length(regexp_extract(cue, '{text_pat}', 1)) AS BIGINT)").alias(
+            "n_chars"
+        ),
+    )

@@ -529,3 +529,11 @@ def test_percent_rank_no_unpartitioned_window(spark, sf_dir):
             f"unpartitioned Window in percent_rank plan: {args}"
         )
     assert "__shard" in plan
+
+
+def test_srt_parse_is_pure_codegen(spark, sf_dir):
+    """SRT parsing must be column expressions end to end: no Python, no
+    shuffle beyond the generate/explode stage."""
+    plan = plan_of(QUERIES["multimodal_srt_parse"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan

@@ -691,6 +691,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_srt_parse"].fn(spark, sf_dir))
 
+    def q_codec_epub_extract():
+        # r8: OCF zip tier in Python, markup->text tier JVM (html chain)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_epub_extract"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -872,6 +878,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "markdown_extract": q_markdown_extract,
         "codec_xlsx_extract": q_codec_xlsx_extract,
         "srt_parse": q_srt_parse,
+        "codec_epub_extract": q_codec_epub_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -2983,3 +2983,64 @@ def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars"
         ),
     )
+
+
+@register(
+    "multimodal_epub_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(substr(text, 1, length(text) // 2)) AS h1,
+             trim(substr(text, length(text) // 2 + 1)) AS h2
+      FROM documents
+    )
+    SELECT doc_id, 0 AS chapter_idx, 'OEBPS/chapter1.xhtml' AS name,
+           h1 || ' & x <y>' AS chapter_text,
+           CAST(length(h1) + 8 AS BIGINT) AS n_chars
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1, 'OEBPS/chapter2.xhtml',
+           h2 || ' & x <y>', CAST(length(h2) + 8 AS BIGINT)
+    FROM t
+    """,
+)
+def multimodal_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB extraction end-to-end (r8, operators/epub.py): each doc
+    becomes a two-chapter OCF archive (mimetype marker, container.xml,
+    XHTML chapters whose bodies carry a paragraph, a SCRIPT BLOCK that
+    must vanish, and an entity-bearing suffix).  The layered shape:
+    Python does only the ZIP tier and returns chapter XHTML as a string
+    column; the markup->text tier is the existing html_to_text codegen
+    chain, JVM-side.  The oracle knows only trimmed halves and the
+    decoded suffix, so container walk, chapter ordering, script
+    stripping and entity decoding must all be lossless."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.epub import encode_epub, epub_chapters_table
+
+    @pandas_udf("binary")
+    def enc(text):  # pd.Series -> pd.Series
+        def one(t: str) -> bytes:
+            h = len(t) // 2
+            mk = (
+                lambda seg: "<p>" + seg + "</p>"
+                "<script>if (1 < 2) { drop(); }</script>"
+                "<p>&amp; x &lt;y&gt;</p>"
+            )
+            return encode_epub([mk(t[:h]), mk(t[h:])])
+
+        return text.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", enc("text").alias("blob"))
+    ch = epub_chapters_table(blobs)
+    extracted = html_to_text(F.col("xhtml"))
+    return ch.select(
+        "doc_id",
+        "chapter_idx",
+        "name",
+        extracted.alias("chapter_text"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )

@@ -697,6 +697,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_epub_extract"].fn(spark, sf_dir))
 
+    def q_streaming_boilerplate():
+        # r8: incremental line-DF state, 5 batches + one-commit swaps
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_incremental_boilerplate"].fn(spark, sf_dir))
+
     def q_codec_progressive_jpeg():
         # r8: multi-scan SOF2 decode (4 scan kinds + in-scan restarts)
         from hive_udf_spark.operators.multimodal import (
@@ -879,6 +885,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_xlsx_extract": q_codec_xlsx_extract,
         "srt_parse": q_srt_parse,
         "codec_epub_extract": q_codec_epub_extract,
+        "streaming_boilerplate": q_streaming_boilerplate,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

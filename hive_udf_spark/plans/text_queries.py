@@ -3044,3 +3044,69 @@ def multimodal_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("chapter_text"),
         F.length(extracted).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "streaming_incremental_boilerplate",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {split_lines_sql(synth_lines_sql("text", "duckdb"), "duckdb")} AS l
+      FROM documents
+    ),
+    e AS (SELECT DISTINCT doc_id, unnest(l) AS line FROM m),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    b AS (SELECT line, count(*) AS df FROM e, n
+          GROUP BY line, n.n_docs
+          HAVING count(*) > n.n_docs * {BOILERPLATE_DOC_FRAC})
+    SELECT line, CAST(df AS BIGINT) AS df FROM b
+    """,
+)
+def streaming_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CCNet boilerplate detection (r8,
+    streaming/boilerplate_sink.py): the synthesized multi-line pages
+    arrive in 5 micro-batches; each batch's per-line distinct-document
+    counts merge ADDITIVELY into the state table (a doc arrives in
+    exactly one batch, so batch-local counts sum to the global document
+    frequency), hwm-guarded against foreachBatch replays (additive state
+    would double-count).  The final above-threshold set must equal the
+    batch-mode computation regardless of batching — the same boilerplate
+    relation text_boilerplate_line_removal broadcasts."""
+    import json
+    import os
+    import tempfile
+
+    from hive_udf_spark.streaming.boilerplate_sink import (
+        incremental_line_df_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(synth_lines_sql("text", "spark")).alias("page")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(5):
+            pages.filter(F.col("doc_id") % 5 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("doc_id bigint, page string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = incremental_line_df_sink(stream, f"{tmp}/state", f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.parquet(f"{tmp}/state/linedf")
+        meta = json.load(
+            open(os.path.join(os.path.realpath(f"{tmp}/state"), "meta.json"))
+        )
+        n_docs = meta["n_docs"]
+        out = (
+            state.filter(F.col("df") > n_docs * BOILERPLATE_DOC_FRAC)
+            .select("line", "df")
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -708,3 +708,65 @@ def test_scd2_sink_sequential_batches_and_retry(spark, tmp_path):
     assert _hwm_skip(2, 2, state) is True  # retry skipped
     with pytest.raises(ValueError, match="lineage mismatch"):
         _hwm_skip(2, 0, state)
+
+
+def test_incremental_boilerplate_stream_equals_batch(spark, tmp_path):
+    """Line document-frequency state must equal the batch computation
+    regardless of batching, and a replay of an already-merged batch is
+    a no-op (additive state + hwm guard)."""
+    import json
+    import os
+
+    from hive_udf_spark.streaming.boilerplate_sink import (
+        incremental_line_df_sink,
+    )
+
+    rows = [
+        (1, "common\nunique one"),
+        (2, "common\nunique two"),
+        (3, "common\nunique one"),   # 'unique one' df=2, 'common' df=3
+        (4, "common"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id bigint, page string")
+    src = str(tmp_path / "src")
+    for b in range(2):
+        pages.filter(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, page string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    state = str(tmp_path / "state")
+    q = incremental_line_df_sink(stream, state, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.line: r.df for r in spark.read.parquet(f"{state}/linedf").collect()
+    }
+    assert got == {"common": 4, "unique one": 2, "unique two": 1}
+    meta = json.load(open(os.path.join(os.path.realpath(state), "meta.json")))
+    assert meta["n_docs"] == 4
+    # lineage guard: pointing a FRESH checkpoint at existing state must
+    # fail loudly (batch ids restart at 0 < hwm — silent skipping would
+    # drop every incoming batch), leaving the state untouched
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, page string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q2 = incremental_line_df_sink(stream2, state, str(tmp_path / "ckpt2"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lineage mismatch"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    got2 = {
+        r.line: r.df for r in spark.read.parquet(f"{state}/linedf").collect()
+    }
+    assert got2 == got

@@ -63,8 +63,18 @@ def extract_xlsx_cells(blob: bytes) -> list[tuple[str, str | None, float | None]
         _unesc(t.decode("utf-8"))
         for t in _SI_RE.findall(entries.get("xl/sharedStrings.xml", b""))
     ]
+    cells = _CELL_RE.findall(sheet)
+    # no silent data loss: a <c ...> shape the regex doesn't recognize
+    # (attribute orders/kinds beyond the vendored scope) must raise so
+    # quarantine can route the whole sheet, never drop cells quietly.
+    n_c = len(re.findall(rb"<c[ >]", sheet))
+    if n_c != len(cells):
+        raise ValueError(
+            f"sheet has {n_c} cells but only {len(cells)} parse "
+            "(unsupported cell shape)"
+        )
     out: list[tuple[str, str | None, float | None]] = []
-    for ref, _, kind, raw in _CELL_RE.findall(sheet):
+    for ref, _, kind, raw in cells:
         ref_s = ref.decode()
         val = raw.decode("utf-8")
         if kind == b"s":

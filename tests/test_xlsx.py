@@ -62,3 +62,19 @@ def test_quarantine_routing(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert len(by_doc[1]) == 2 and by_doc[1][0].s_value == "ok"
     assert len(by_doc[2]) == 1 and by_doc[2][0].cell is None
+
+
+def test_unrecognized_cell_shape_raises_not_drops():
+    from hive_udf_spark.operators.zipcodec import encode_zip
+
+    # a styled cell (s= attr before r=) outside the vendored shape must
+    # raise, never silently vanish from the output
+    sheet = (
+        b'<worksheet><sheetData><row>'
+        b'<c r="A1"><v>1</v></c>'
+        b'<c s="3" r="B1"><v>2</v></c>'
+        b"</row></sheetData></worksheet>"
+    )
+    blob = encode_zip([("xl/worksheets/sheet1.xml", sheet)])
+    with pytest.raises(ValueError, match="unsupported cell shape"):
+        extract_xlsx_cells(blob)

@@ -59,11 +59,20 @@ def extract_docx_text(blob: bytes) -> tuple[str, int]:
         raise ValueError("no word/document.xml part in archive")
     if b"<w:document" not in xml:
         raise ValueError("word/document.xml is not WordprocessingML")
-    paras = []
-    for p in _P_RE.findall(xml):
+    paras = _P_RE.findall(xml)
+    # no silent data loss: an opened paragraph the regex can't close
+    # (malformed nesting, truncated part) must raise for quarantine,
+    # never quietly drop text.
+    n_open = len(re.findall(rb"<w:p[ >/]", xml))
+    if n_open != len(paras):
+        raise ValueError(
+            f"document has {n_open} paragraph opens but {len(paras)} parse"
+        )
+    out = []
+    for p in paras:
         runs = _T_RE.findall(p)
-        paras.append("".join(_xml_unescape(t.decode("utf-8")) for t in runs))
-    return "\n".join(paras), len(paras)
+        out.append("".join(_xml_unescape(t.decode("utf-8")) for t in runs))
+    return "\n".join(out), len(out)
 
 
 DOCX_TEXT_SCHEMA = "doc_id bigint, text string, n_paragraphs int, n_chars bigint"

@@ -63,3 +63,16 @@ def test_truncated_archive_quarantines(spark):
     )
     rows = docx_text_table(df, on_error="quarantine").collect()
     assert rows[0].n_paragraphs == -1
+
+
+def test_unclosed_paragraph_raises_not_drops():
+    from hive_udf_spark.operators.zipcodec import encode_zip
+
+    xml = (
+        b'<w:document><w:body><w:p><w:r><w:t>kept</w:t></w:r></w:p>'
+        b"<w:p><w:r><w:t>truncated"  # opened, never closed
+        b"</w:body></w:document>"
+    )
+    blob = encode_zip([("word/document.xml", xml)])
+    with pytest.raises(ValueError, match="paragraph opens"):
+        extract_docx_text(blob)

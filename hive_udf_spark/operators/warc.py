@@ -38,14 +38,63 @@ from hive_udf_spark.operators._codec_util import untrusted_decoder
 __all__ = [
     "split_warc_records",
     "http_response_body",
+    "decode_content_encoding",
     "encode_warc",
     "encode_http_response",
     "warc_records_table",
+    "warc_coded_page_encoder_udf",
 ]
 
 _CRLF2 = b"\r\n\r\n"
 # Per-gzip-member inflate cap (gzip carries no trustworthy size field).
 _MAX_MEMBER_BYTES = 1 << 30
+
+
+def _bounded_inflate(data: bytes, wbits: int, what: str) -> bytes:
+    """One complete zlib/gzip/raw-deflate stream → bytes, with the
+    repo-wide untrusted-inflate discipline: size cap, ``d.eof`` stream-
+    completeness check, no trailing bytes."""
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        out = d.decompress(data, _MAX_MEMBER_BYTES + 1)
+    except zlib.error as exc:
+        raise ValueError(f"{what}: corrupt deflate stream: {exc}") from exc
+    if len(out) > _MAX_MEMBER_BYTES:
+        raise ValueError(f"{what}: inflates past the {_MAX_MEMBER_BYTES}-byte cap")
+    if not d.eof:
+        raise ValueError(f"{what}: deflate stream truncated")
+    if d.unused_data:
+        raise ValueError(f"{what}: trailing bytes after stream end")
+    return out
+
+
+def _decode_content_coding(body: bytes, coding: str) -> bytes:
+    """Apply ONE HTTP content-coding (RFC 9110 §8.4) in decode
+    direction.  Unknown codings (br, zstd, compress, ...) raise — the
+    table operator routes that to a per-record quarantine row instead
+    of shipping compressed bytes onward as if they were text."""
+    if coding in ("identity", ""):
+        return body
+    if coding in ("gzip", "x-gzip"):
+        return _bounded_inflate(body, 31, "content-encoding gzip")
+    if coding == "deflate":
+        # RFC-correct deflate is zlib-wrapped; a large population of
+        # real servers sends raw deflate.  Try the wrapper, fall back.
+        try:
+            return _bounded_inflate(body, 15, "content-encoding deflate")
+        except ValueError:
+            return _bounded_inflate(body, -15, "content-encoding deflate")
+    raise ValueError(f"unsupported content-coding {coding!r}")
+
+
+def decode_content_encoding(body: bytes, headers: dict[str, str]) -> bytes:
+    """Decode a parsed HTTP message body per its ``Content-Encoding``
+    header (lower-cased headers dict).  Codings listed left-to-right
+    were applied in that order, so decoding runs right-to-left."""
+    ce = headers.get("content-encoding", "")
+    for coding in (t.strip().lower() for t in reversed(ce.split(","))):
+        body = _decode_content_coding(body, coding)
+    return body
 
 
 def _split_gzip_members(b: bytes) -> list[bytes]:
@@ -168,7 +217,11 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
     """Parse an HTTP response message: returns (status_code, headers
     lower-cased, body bytes). Honors Content-Length and chunked
     transfer-encoding; anything else takes the rest of the payload
-    (HTTP/1.0 close-delimited)."""
+    (HTTP/1.0 close-delimited).  After the transfer layer, the body is
+    decoded per ``Content-Encoding`` (gzip / x-gzip / deflate — the
+    shapes real crawl WARCs store; r8 verdict item 1): a stored
+    compressed body comes back as the page bytes, and an unknown coding
+    raises (→ per-record quarantine in ``warc_records_table``)."""
     hdr_end = payload.find(_CRLF2)
     if hdr_end < 0:
         raise ValueError("HTTP message: unterminated header block")
@@ -204,7 +257,7 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
                 )
             n = int(size_token, 16)
             if n == 0:
-                return status, headers, bytes(body)
+                return status, headers, decode_content_encoding(bytes(body), headers)
             start = nl + 2
             if start + n + 2 > len(raw):
                 raise ValueError("chunked body: chunk truncated")
@@ -218,8 +271,8 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
             raise ValueError(f"HTTP message: negative Content-Length {n}")
         if n > len(raw):
             raise ValueError(f"HTTP body truncated ({n - len(raw)} bytes short)")
-        return status, headers, raw[:n]
-    return status, headers, raw
+        return status, headers, decode_content_encoding(raw[:n], headers)
+    return status, headers, decode_content_encoding(raw, headers)
 
 
 # ---------------------------------------------------------------------------
@@ -233,11 +286,24 @@ def encode_http_response(
     content_type: str = "text/html; charset=utf-8",
     chunked: bool = False,
     chunk_size: int = 512,
+    content_encoding: str | None = None,
 ) -> bytes:
     """Assemble an HTTP/1.1 response message; ``chunked=True`` uses
-    chunked transfer-encoding (exercising the de-chunker)."""
+    chunked transfer-encoding (exercising the de-chunker).
+    ``content_encoding`` ('gzip' / 'deflate' / 'deflate-raw' — the
+    latter writes raw deflate under a ``deflate`` header, the common
+    server misbehavior) compresses the body BEFORE the transfer layer,
+    so chunked+gzip stacks the way real crawls store it."""
     reason = {200: "OK", 404: "Not Found"}.get(status, "Status")
     head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {content_type}\r\n"
+    if content_encoding:
+        wbits = {"gzip": 31, "deflate": 15, "deflate-raw": -15}.get(content_encoding)
+        if wbits is None:
+            raise ValueError(f"unknown fixture content-coding {content_encoding!r}")
+        co = zlib.compressobj(9, zlib.DEFLATED, wbits)
+        body = co.compress(body) + co.flush()
+        label = "deflate" if content_encoding == "deflate-raw" else content_encoding
+        head += f"Content-Encoding: {label}\r\n"
     if chunked:
         head += "Transfer-Encoding: chunked\r\n\r\n"
         out = bytearray(head.encode("ascii"))
@@ -321,6 +387,62 @@ def warc_page_encoder_udf(
     return enc
 
 
+def warc_coded_page_encoder_udf(
+    prefix: str,
+    suffix: str,
+    uri_prefix: str = "http://corpus.test/doc/",
+    unknown_mod: int = 37,
+    unknown_rem: int = 5,
+):
+    """Content-coded crawl-chunk fixture encoder (r8 verdict item 1):
+    like ``warc_page_encoder_udf`` but each record's HTTP body is stored
+    the way real crawl WARCs store it — selected by ``doc_id % 5``:
+    0 = identity+Content-Length, 1 = gzip, 2 = zlib deflate, 3 = raw
+    deflate under a ``deflate`` header (the common server misbehavior),
+    4 = chunked transfer STACKED over gzip.  Docs with
+    ``doc_id % unknown_mod == unknown_rem`` instead claim
+    ``Content-Encoding: br`` over bytes we don't decode — the
+    per-record-quarantine case."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(did: int, t: str) -> bytes:
+            esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html = (prefix + esc + suffix).encode("utf-8")
+            if did % unknown_mod == unknown_rem:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n"
+                    + f"Content-Length: {len(html)}\r\n\r\n".encode("ascii")
+                    + html  # claimed-br bytes; decoder must quarantine, not pass through
+                )
+            else:
+                coding = [None, "gzip", "deflate", "deflate-raw", "gzip"][did % 5]
+                http = encode_http_response(
+                    html,
+                    chunked=(did % 5 == 4),
+                    chunk_size=256,
+                    content_encoding=coding,
+                )
+            return encode_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"{uri_prefix}{did}",
+                        },
+                        "payload": http,
+                    }
+                ],
+                gzip_records=True,
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
 # ---------------------------------------------------------------------------
 # Spark operator
 # ---------------------------------------------------------------------------
@@ -342,10 +464,15 @@ def warc_records_table(blobs, on_error: str = "raise"):
     payload through with NULL status.
 
     ``on_error="quarantine"``: a malformed crawl chunk (any ValueError
-    from the container/HTTP walk) becomes ONE row with record_idx = -1,
+    from the CONTAINER walk) becomes ONE row with record_idx = -1,
     NULL fields, and the message in ``decode_error`` — whole-chunk
     quarantine, since a mid-stream parse failure poisons every later
-    offset in the chunk. Good chunks carry decode_error = NULL.
+    offset in the chunk. A failure INSIDE one record's HTTP layer
+    (malformed message, truncated/unknown Content-Encoding — e.g. a
+    ``br`` body, r8 verdict item 1) quarantines only THAT record: its
+    row keeps record_idx / warc_type / target_uri, carries the message
+    in ``decode_error``, and the chunk's other records still extract.
+    Good rows carry decode_error = NULL.
 
     At 100 TB: map-side record extraction (the crawl chunk never
     crosses a shuffle); downstream text extraction operates on bodies,
@@ -376,16 +503,34 @@ def warc_records_table(blobs, on_error: str = "raise"):
                     for i, rec in enumerate(recs):
                         lower = {k.lower(): v for k, v in rec["headers"].items()}
                         wtype = lower.get("warc-type", "")
+                        uri = lower.get("warc-target-uri")
                         status, ctype, body = None, None, rec["payload"]
                         if wtype == "response":
-                            st, hh, body = http_response_body(rec["payload"])
-                            status, ctype = st, hh.get("content-type")
+                            try:
+                                st, hh, body = http_response_body(rec["payload"])
+                                status, ctype = st, hh.get("content-type")
+                            except ValueError as exc:
+                                if not quarantine:
+                                    raise
+                                # record-level quarantine: the container
+                                # offsets are intact, only this record's
+                                # HTTP/content layer is undecodable
+                                parsed.append(
+                                    dict(
+                                        doc_id=int(doc_id),
+                                        record_idx=i,
+                                        warc_type=wtype,
+                                        target_uri=uri,
+                                        decode_error=str(exc),
+                                    )
+                                )
+                                continue
                         parsed.append(
                             dict(
                                 doc_id=int(doc_id),
                                 record_idx=i,
                                 warc_type=wtype,
-                                target_uri=lower.get("warc-target-uri"),
+                                target_uri=uri,
                                 http_status=status,
                                 content_type=ctype,
                                 body=body,

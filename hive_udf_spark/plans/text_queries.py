@@ -266,6 +266,70 @@ def text_warc_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODING_LIST = "['identity','gzip','deflate','deflate-raw','chunked+gzip']"
+
+
+@register(
+    "text_warc_content_encoding",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 37 = 5 THEN 'br'
+                ELSE ({_CODING_LIST})[CAST(doc_id % 5 AS INT) + 1] END AS coding,
+           CASE WHEN doc_id % 37 = 5 THEN NULL ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 37 = 5 THEN NULL
+                ELSE {_html_chain_sql("html")} END AS extracted,
+           CASE WHEN doc_id % 37 = 5 THEN NULL
+                ELSE CAST(length({_html_chain_sql("html")}) AS BIGINT) END AS n_chars,
+           (doc_id % 37 = 5) AS quarantined
+    FROM h
+    """,
+)
+def text_warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-coded crawl ingestion (r8 verdict item 1): each document
+    is stored the way real crawl WARCs store it — body compressed with
+    gzip / zlib-deflate / raw-deflate-under-a-deflate-header, or chunked
+    transfer STACKED over gzip, selected by doc_id — and the production
+    walk (operators/warc.py) must hand back the identical page text for
+    every shape; docs claiming ``Content-Encoding: br`` (doc_id%37=5)
+    must become per-record quarantine rows (NULL text, quarantined=true)
+    rather than garbage text or task death.  The oracle reproduces only
+    the text construction+extraction and the doc_id-derived coding
+    labels — the compression layers are lossless wrappers whose
+    invisibility is what the hash check proves."""
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.warc import (
+        warc_coded_page_encoder_udf,
+        warc_records_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = warc_coded_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    recs = warc_records_table(blobs, on_error="quarantine")
+    extracted = html_to_text(F.decode("body", "UTF-8"))
+    coding = F.expr(
+        "CASE WHEN doc_id % 37 = 5 THEN 'br' "
+        f"ELSE element_at(array({_CODING_LIST[1:-1]}), "
+        "cast(doc_id % 5 as int) + 1) END"
+    )
+    ok = F.col("decode_error").isNull()
+    return recs.select(
+        "doc_id",
+        coding.alias("coding"),
+        "http_status",
+        F.when(ok, extracted).alias("extracted"),
+        F.when(ok, F.length(extracted).cast("long")).alias("n_chars"),
+        F.col("decode_error").isNotNull().alias("quarantined"),
+    )
+
+
 @register(
     "multimodal_blob_features",
     oracle="""

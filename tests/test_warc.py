@@ -55,6 +55,96 @@ def test_chunked_transfer_encoding_reassembles():
     assert http_response_body(ext)[2] == body
 
 
+def test_content_encoding_gzip_deflate_roundtrip():
+    """r8 verdict item 1: bodies stored with Content-Encoding come back
+    as page bytes — gzip, zlib deflate, raw deflate (the common server
+    misbehavior), and chunked transfer stacked over gzip."""
+    body = HTML * 31
+    for coding in ("gzip", "deflate", "deflate-raw"):
+        http = encode_http_response(body, content_encoding=coding)
+        label = "deflate" if coding == "deflate-raw" else coding
+        assert f"Content-Encoding: {label}".encode() in http
+        st, hh, got = http_response_body(http)
+        assert st == 200 and got == body
+        assert hh["content-encoding"] == label
+    # stacked: chunked transfer over a gzip-coded body
+    http = encode_http_response(body, chunked=True, chunk_size=64, content_encoding="gzip")
+    assert b"Transfer-Encoding: chunked" in http
+    assert http_response_body(http)[2] == body
+    # close-delimited (no Content-Length) + gzip
+    import zlib as _zlib
+
+    co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    assert http_response_body(raw)[2] == body
+    # x-gzip alias and identity token list
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: identity, x-gzip\r\n\r\n" + gz
+    assert http_response_body(raw)[2] == body
+
+
+def test_content_encoding_unknown_or_corrupt_raises():
+    body = HTML
+    good = encode_http_response(body, content_encoding="gzip")
+    # unknown coding
+    bad = good.replace(b"Content-Encoding: gzip", b"Content-Encoding: br")
+    with pytest.raises(ValueError, match="unsupported content-coding 'br'"):
+        http_response_body(bad)
+    with pytest.raises(ValueError, match="unsupported content-coding 'zstd'"):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nxxxx"
+        )
+    # truncated gzip body (drop Content-Length so the transfer layer
+    # passes and the content layer sees the truncation)
+    import re as _re
+
+    import zlib as _zlib
+
+    co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:-5]
+    with pytest.raises(ValueError, match="truncated"):
+        http_response_body(raw)
+    # trailing bytes after the deflate stream end
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz + b"XX"
+    with pytest.raises(ValueError, match="trailing bytes"):
+        http_response_body(raw)
+    del _re
+
+
+def test_warc_records_table_per_record_content_quarantine(spark):
+    """A record whose body claims an unknown coding quarantines ONLY
+    that record — siblings in the same chunk still extract."""
+    from hive_udf_spark.operators.warc import warc_records_table
+
+    good_http = encode_http_response(HTML, content_encoding="gzip")
+    br_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+        + f"Content-Length: {len(HTML)}\r\n\r\n".encode()
+        + HTML
+    )
+    blob = encode_warc(
+        [
+            {"headers": {"WARC-Target-URI": "http://x.test/good"}, "payload": good_http},
+            {"headers": {"WARC-Target-URI": "http://x.test/br"}, "payload": br_http},
+        ],
+        gzip_records=True,
+    )
+    blobs = spark.createDataFrame([(1, bytearray(blob))], "doc_id bigint, blob binary")
+    rows = {
+        r.record_idx: r
+        for r in warc_records_table(blobs, on_error="quarantine").collect()
+    }
+    assert bytes(rows[0].body) == HTML and rows[0].decode_error is None
+    assert rows[1].decode_error and "br" in rows[1].decode_error
+    assert rows[1].body is None and rows[1].target_uri == "http://x.test/br"
+    # raise mode propagates instead
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="ValueError"):
+        warc_records_table(blobs).collect()
+
+
 def test_http_content_length_truncates_trailing_bytes():
     http = encode_http_response(HTML) + b"GARBAGE-AFTER-BODY"
     assert http_response_body(http)[2] == HTML

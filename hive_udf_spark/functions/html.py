@@ -2,23 +2,51 @@
 
 The first step of nearly every web-scale training-data pipeline
 (CommonCrawl-style corpora arrive as markup). This implementation is a
-deterministic regexp chain — no Python, no UDFs, whole-stage-codegen
+deterministic expression chain — no Python, no UDFs, whole-stage-codegen
 friendly — covering the extraction core: script/style/noscript block
-removal, comment removal, tag stripping, named-entity decoding, and
-whitespace normalization.
+removal (including UNTERMINATED ``<script``/``<style``/``<!--`` blocks
+on truncated pages, stripped to end-of-input), comment removal, tag
+stripping, character-reference decoding, and whitespace normalization.
+
+Character references (r8 verdict item 2) are decoded generically with
+the split+transform technique proven by ``functions/url.py``'s
+%-normalizer: the text is split on ``&`` and each piece is re-assembled
+through one branch-free CASE —
+
+* ``&#NNN;`` (1-7 decimal digits) and ``&#xHH;`` / ``&#XHH;`` (1-6 hex
+  digits) decode via arithmetic UTF-8 byte synthesis (codepoint →
+  byte values → hex string → ``unhex`` → UTF-8 decode), valid for
+  codepoints 1..0x10FFFF excluding the surrogate block — anything else
+  stays literal;
+* named references (``&eacute;`` …) decode through the
+  ``NAMED_ENTITIES`` table below (the common HTML4/web set; the full
+  WHATWG table is a data swap, the ``functions/psl.py`` pattern);
+* an unknown name / malformed reference / bare ``&`` survives as
+  literal text — never an error, never silent truncation;
+* ``&amp;lt;`` decodes to the literal text ``&lt;`` (single pass over
+  the original split — a decoded ``&`` can never re-trigger decoding,
+  which is exactly the HTML semantics).
+
+U+00A0 (``&nbsp;`` / ``&#160;`` / ``&#xA0;``) is normalized to a plain
+space: the downstream whitespace collapse is ASCII-``\\s`` in both
+engines, and extraction-tier text wants no-break spaces folded, not
+preserved as invisible non-collapsing bytes.
 
 Engine-portability constraints (the SQL oracle runs the SAME chain in
-DuckDB/RE2): no backreferences (RE2 lacks them — the script/style/
-noscript blocks are three explicit patterns instead of ``<(x|y)…</\\1>``),
-inline ``(?is)`` flags instead of engine-specific option arguments, and
-non-greedy ``.*?`` (supported by both Java regex and RE2).
+DuckDB/RE2): no backreferences, inline ``(?is)`` flags, non-greedy
+``.*?`` only where both engines agree, and the entity lambda restricted
+to functions both engines share (``regexp_extract``, ``instr``,
+``substr``, ``lpad``, ``unhex``+UTF-8 decode, integer div/mod).  Hex →
+int is the one dialect fork: Spark ``conv(h, 16, 10)``, DuckDB
+``TRY_CAST('0x' || h AS BIGINT)``.  A cross-engine property test
+(tests/test_html.py) pins the two implementations to each other and to
+Python's ``html.unescape`` on the covered set.
 
 Scope: this is the regexp-extraction tier (what CCNet/Gopher-era
 pipelines shipped), not a DOM parser — malformed nesting degrades
-gracefully (a tag is anything matching ``<[^>]+>``), and numeric
-character references are out of scope (documented; a decode would need
-per-match codepoint synthesis, which neither engine's regexp_replace
-can express).
+gracefully (a tag is anything matching ``<[^>]+>``).  Semicolon-less
+references (``&amp`` bare) stay literal (documented divergence from
+browser error-recovery).
 
 No reference analogue (the reference is a cardinality-UDAF package,
 MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
@@ -30,40 +58,246 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text", "html_escape_text", "HTML_TO_TEXT_SQL_STEPS"]
+__all__ = [
+    "html_to_text",
+    "html_to_text_sql",
+    "html_escape_text",
+    "NAMED_ENTITIES",
+    "BLOCK_STRIP_STEPS",
+]
 
 # (pattern, replacement) chain, applied in order. Kept as data so the
-# DuckDB oracle can be generated from the SAME list (single source of
-# truth — the two engines cannot drift apart silently).
-_BLOCK_STRIP = [
+# DuckDB oracle is generated from the SAME list (single source of
+# truth — the two engines cannot drift apart silently).  Closed blocks
+# strip pairwise FIRST; whatever ``<script``/``<style``/``<!--`` then
+# remains has no terminator (truncated page) and strips to end-of-input
+# — previously such a tail leaked its JS/CSS body into the text.
+BLOCK_STRIP_STEPS = [
     (r"(?is)<script\b.*?</script\s*>", " "),
     (r"(?is)<style\b.*?</style\s*>", " "),
     (r"(?is)<noscript\b.*?</noscript\s*>", " "),
     (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[\s\S]*$", " "),
+    (r"(?is)<style\b[\s\S]*$", " "),
+    (r"(?s)<!--[\s\S]*$", " "),
     (r"(?s)<[^>]+>", " "),
 ]
-# Named entities: every other entity first, ampersand LAST — decoding
-# ``&amp;`` first would turn ``&amp;lt;`` into ``<`` (double-decode).
-_ENTITIES = [
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&apos;", "'"),
-    (r"&#39;", "'"),
-    (r"&nbsp;", " "),
-    (r"&amp;", "&"),
-]
-_WS = [(r"\s+", " ")]
 
-HTML_TO_TEXT_SQL_STEPS = _BLOCK_STRIP + _ENTITIES + _WS
+# The common web set (HTML4 core + the punctuation every real page
+# uses).  Full WHATWG coverage is a data swap: extend this dict.  NOTE:
+# nbsp maps to a plain space (module docstring).
+NAMED_ENTITIES: dict[str, str] = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "shy": "­", "copy": "©", "reg": "®",
+    "trade": "™", "deg": "°", "plusmn": "±",
+    "sup2": "²", "sup3": "³", "micro": "µ",
+    "para": "¶", "middot": "·", "laquo": "«",
+    "raquo": "»", "frac14": "¼", "frac12": "½",
+    "frac34": "¾", "times": "×", "divide": "÷",
+    "cent": "¢", "pound": "£", "curren": "¤",
+    "yen": "¥", "euro": "€", "sect": "§",
+    "agrave": "à", "aacute": "á", "acirc": "â",
+    "atilde": "ã", "auml": "ä", "aring": "å",
+    "aelig": "æ", "ccedil": "ç", "egrave": "è",
+    "eacute": "é", "ecirc": "ê", "euml": "ë",
+    "igrave": "ì", "iacute": "í", "icirc": "î",
+    "iuml": "ï", "ntilde": "ñ", "ograve": "ò",
+    "oacute": "ó", "ocirc": "ô", "otilde": "õ",
+    "ouml": "ö", "oslash": "ø", "ugrave": "ù",
+    "uacute": "ú", "ucirc": "û", "uuml": "ü",
+    "yacute": "ý", "yuml": "ÿ", "szlig": "ß",
+    "Agrave": "À", "Aacute": "Á", "Auml": "Ä",
+    "Eacute": "É", "Ouml": "Ö", "Uuml": "Ü",
+    "ndash": "–", "mdash": "—", "lsquo": "‘",
+    "rsquo": "’", "sbquo": "‚", "ldquo": "“",
+    "rdquo": "”", "bdquo": "„", "dagger": "†",
+    "Dagger": "‡", "bull": "•", "hellip": "…",
+    "permil": "‰", "prime": "′", "Prime": "″",
+    "lsaquo": "‹", "rsaquo": "›", "oline": "‾",
+    "frasl": "⁄", "larr": "←", "uarr": "↑",
+    "rarr": "→", "darr": "↓", "harr": "↔",
+    "minus": "−", "lowast": "∗", "radic": "√",
+    "prop": "∝", "infin": "∞", "asymp": "≈",
+    "ne": "≠", "equiv": "≡", "le": "≤", "ge": "≥",
+    "alpha": "α", "beta": "β", "gamma": "γ",
+    "delta": "δ", "epsilon": "ε", "lambda": "λ",
+    "mu": "μ", "pi": "π", "sigma": "σ",
+    "omega": "ω", "ensp": " ", "emsp": " ",
+    "thinsp": " ", "zwnj": "‌", "zwj": "‍",
+    "ordf": "ª", "ordm": "º", "iexcl": "¡",
+    "iquest": "¿", "brvbar": "¦", "uml": "¨",
+    "not": "¬", "macr": "¯", "acute": "´",
+    "cedil": "¸", "sup1": "¹",
+}
+
+_DEC_PAT = r"^#([0-9]{1,7});"
+_HEX_PAT = r"^#[xX]([0-9a-fA-F]{1,6});"
+_NAME_PAT = r"^([a-zA-Z][a-zA-Z0-9]{0,31});"
+
+# ---------------------------------------------------------------------------
+# DuckDB dialect (text generator — the oracle side)
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    """Embed a python string as a SQL single-quoted literal (both
+    dialects agree on '' escaping).  Non-ASCII replacement chars embed
+    verbatim — both parsers take UTF-8 source."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _named_case_sql(var: str) -> str:
+    """CASE mapping an entity NAME to its replacement; NULL if unknown."""
+    whens = " ".join(
+        f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in NAMED_ENTITIES.items()
+    )
+    return f"CASE {var} {whens} END"
+
+
+def _utf8_hex_sql(cp: str, hex_fn) -> str:
+    """Codepoint (int expr) → UTF-8 byte-sequence hex string, pure
+    integer arithmetic — identical formula in both dialects, only the
+    int→hex function name differs."""
+    h = hex_fn
+    return (
+        f"CASE WHEN {cp} < 128 THEN lpad({h}({cp}), 2, '0') "
+        f"WHEN {cp} < 2048 THEN {h}(192 + {cp} // 64) || {h}(128 + {cp} % 64) "
+        f"WHEN {cp} < 65536 THEN {h}(224 + {cp} // 4096) || "
+        f"{h}(128 + ({cp} // 64) % 64) || {h}(128 + {cp} % 64) "
+        f"ELSE {h}(240 + {cp} // 262144) || {h}(128 + ({cp} // 4096) % 64) || "
+        f"{h}(128 + ({cp} // 64) % 64) || {h}(128 + {cp} % 64) END"
+    )
+
+
+def _entity_lambda_sql() -> str:
+    """DuckDB per-piece lambda body (var ``s``): decode one character
+    reference at the head of the piece, else restore the literal '&'."""
+    dec = f"regexp_extract(s, '{_DEC_PAT}', 1)"
+    hexs = f"regexp_extract(s, '{_HEX_PAT}', 1)"
+    name = f"regexp_extract(s, '{_NAME_PAT}', 1)"
+    cp = (
+        f"(CASE WHEN {hexs} <> '' THEN TRY_CAST('0x' || {hexs} AS BIGINT) "
+        f"WHEN {dec} <> '' THEN TRY_CAST({dec} AS BIGINT) ELSE -1 END)"
+    )
+    valid = (
+        f"({cp} >= 1 AND {cp} <= 1114111 "
+        f"AND NOT ({cp} >= 55296 AND {cp} <= 57343))"
+    )
+    rest = "substr(s, instr(s, ';') + 1)"
+    utf8 = f"decode(unhex({_utf8_hex_sql(cp, 'to_hex')}))"
+    named = _named_case_sql(name)
+    return (
+        f"CASE WHEN {valid} AND {cp} = 160 THEN ' ' || {rest} "
+        f"WHEN {valid} THEN {utf8} || {rest} "
+        f"ELSE coalesce({named} || substr(s, length({name}) + 2), '&' || s) END"
+    )
+
+
+def _entity_decode_sql(x: str) -> str:
+    """Split ``x`` on '&' and re-assemble with every reference decoded
+    (the url.py ``_pct_norm`` shape)."""
+    arr = f"string_split({x}, '&')"
+    lam = f"s -> {_entity_lambda_sql()}"
+    return (
+        f"({arr})[1] || coalesce(array_to_string("
+        f"list_transform(({arr})[2:], {lam}), ''), '')"
+    )
+
+
+def html_to_text_sql(x: str) -> str:
+    """DuckDB expression computing the same extraction as
+    ``html_to_text`` — generated from the same step data."""
+    for pat, rep in BLOCK_STRIP_STEPS:
+        x = f"regexp_replace({x}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    x = _entity_decode_sql(x)
+    x = f"regexp_replace({x}, '\\s+', ' ', 'g')"
+    return f"trim({x})"
+
+
+# ---------------------------------------------------------------------------
+# Spark dialect (Column API — the production side).  Mirrors the SQL
+# generator 1:1; the cross-engine property test pins them together.
+# ---------------------------------------------------------------------------
+
+
+def _utf8_hex_col(cp: Column) -> Column:
+    def h(b: Column) -> Column:
+        return F.hex(b.cast("bigint"))
+
+    def fd(x: Column, n: int) -> Column:  # floor-div on non-negative ints
+        return F.floor(x / n).cast("bigint")
+
+    return (
+        F.when(cp < 128, F.lpad(h(cp), 2, "0"))
+        .when(cp < 2048, F.concat(h(fd(cp, 64) + 192), h(cp % 64 + 128)))
+        .when(
+            cp < 65536,
+            F.concat(
+                h(fd(cp, 4096) + 224),
+                h(fd(cp, 64) % 64 + 128),
+                h(cp % 64 + 128),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                h(fd(cp, 262144) + 240),
+                h(fd(cp, 4096) % 64 + 128),
+                h(fd(cp, 64) % 64 + 128),
+                h(cp % 64 + 128),
+            )
+        )
+    )
+
+
+def _entity_piece_col(s: Column) -> Column:
+    dec = F.regexp_extract(s, _DEC_PAT, 1)
+    hexs = F.regexp_extract(s, _HEX_PAT, 1)
+    name = F.regexp_extract(s, _NAME_PAT, 1)
+    cp = (
+        F.when(hexs != "", F.conv(hexs, 16, 10).cast("bigint"))
+        .when(dec != "", dec.cast("bigint"))
+        .otherwise(F.lit(-1))
+    )
+    cpi = cp.cast("bigint")
+    valid = (cpi >= 1) & (cpi <= 1114111) & ~((cpi >= 55296) & (cpi <= 57343))
+    rest = F.substr(s, F.instr(s, ";") + 1)
+    utf8 = F.decode(F.unhex(_utf8_hex_col(cpi)), "UTF-8")
+    named = None
+    for k, v in NAMED_ENTITIES.items():
+        named = (
+            F.when(name == k, F.lit(v))
+            if named is None
+            else named.when(name == k, F.lit(v))
+        )
+    rest_name = F.substr(s, F.length(name) + 2)
+    return (
+        F.when(valid & (cpi == 160), F.concat(F.lit(" "), rest))
+        .when(valid, F.concat(utf8, rest))
+        .otherwise(
+            F.coalesce(F.concat(named, rest_name), F.concat(F.lit("&"), s))
+        )
+    )
+
+
+def _entity_decode_col(c: Column) -> Column:
+    arr = F.split(c, "&")
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.concat(
+        F.element_at(arr, 1),
+        F.array_join(F.transform(tail, _entity_piece_col), ""),
+    )
 
 
 def html_to_text(col: Column | str) -> Column:
-    """Markup → plain text: strip script/style/noscript/comment blocks,
-    strip tags, decode named entities, collapse whitespace, trim."""
+    """Markup → plain text: strip script/style/noscript/comment blocks
+    (closed AND unterminated), strip tags, decode character references
+    (named + numeric, module docstring), collapse whitespace, trim.
+    Pure Catalyst expressions — zero Python in the hot path."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, rep in HTML_TO_TEXT_SQL_STEPS:
+    for pat, rep in BLOCK_STRIP_STEPS:
         c = F.regexp_replace(c, pat, rep)
+    c = _entity_decode_col(c)
+    c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
 

@@ -21,14 +21,13 @@ _TOKS_SQL = r"[t for t in string_split_regex(text, '\s+') if t != '']"
 
 
 def _html_chain_sql(expr: str) -> str:
-    """DuckDB mirror of functions.html.html_to_text, generated from the
-    SAME step list — the two engines cannot drift apart silently."""
-    from hive_udf_spark.functions.html import HTML_TO_TEXT_SQL_STEPS
+    """DuckDB mirror of functions.html.html_to_text — generated from the
+    same step data (block-strip list, entity table, numeric-reference
+    arithmetic), pinned to the Spark chain by a cross-engine property
+    test.  The two engines cannot drift apart silently."""
+    from hive_udf_spark.functions.html import html_to_text_sql
 
-    for pat, rep in HTML_TO_TEXT_SQL_STEPS:
-        p, r = pat.replace("'", "''"), rep.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
-    return f"trim({expr})"
+    return html_to_text_sql(expr)
 
 
 @register(
@@ -175,6 +174,28 @@ _HTML_PREFIX = (
 _HTML_SUFFIX = '</p>\n<script>var x = 1 < 2 && "</p>";</script></body></html>'
 
 
+def _entity_gauntlet_sql(dialect: str) -> str:
+    """Character-reference gauntlet appended to each page body (r8
+    verdict item 2): a doc_id-varying decimal reference, hex/named
+    references (incl. a 4-byte emoji), an unknown name, an
+    out-of-range numeric, and the double-escape classic — ONE string
+    expression, identical output in both engines."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        f"' &#' || CAST(65 + doc_id % 26 AS {s}) || "
+        "'; &#x2019;s &eacute;t&#xE9; &#128169; &hellip; "
+        "&bogus; &#9999999; &#xD800; &amp;lt; '"
+    )
+
+
+# Truncated-page variant: a trailing <script that never closes must
+# strip to EOF instead of leaking its JS body into the text.
+_TRUNC_SCRIPT_SQL = (
+    "CASE WHEN doc_id % 13 = 3 "
+    "THEN '<script>var t = \"unterminated page tail' ELSE '' END"
+)
+
+
 @register(
     "text_html_extract",
     oracle=f"""
@@ -183,7 +204,9 @@ _HTML_SUFFIX = '</p>\n<script>var x = 1 < 2 && "</p>";</script></body></html>'
              '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
              || regexp_replace(regexp_replace(regexp_replace(text,
                   '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g')
-             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+             || {_entity_gauntlet_sql("duckdb")}
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}'
+             || {_TRUNC_SCRIPT_SQL} AS html
       FROM documents
     )
     SELECT doc_id,
@@ -193,23 +216,29 @@ _HTML_SUFFIX = '</p>\n<script>var x = 1 < 2 && "</p>";</script></body></html>'
     """,
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML → text extraction (r6): the first step of every web-corpus
-    pipeline, as a pure JVM regexp chain (functions/html.py — block
-    strip, tag strip, entity decode, whitespace collapse; zero Python,
-    whole-stage codegen). Each document is wrapped in a realistic page
-    (title/style/comment/heading/script-with-markup-inside-a-string —
-    the classic extraction traps) with its text entity-ESCAPED into the
-    body; extraction must strip everything else and decode the entities
-    back. The oracle is GENERATED from the same (pattern, replacement)
-    list the production code applies (single source of truth), so the
-    two engines execute the identical chain — patterns are restricted
-    to the Java-regex ∩ RE2 dialect (no backreferences, inline flags,
-    non-greedy)."""
+    """HTML → text extraction (r6; deepened r9): the first step of every
+    web-corpus pipeline, as a pure JVM expression chain
+    (functions/html.py — block strip incl. unterminated blocks, tag
+    strip, generic character-reference decode, whitespace collapse;
+    zero Python, whole-stage codegen). Each document is wrapped in a
+    realistic page (title/style/comment/heading/script-with-markup-
+    inside-a-string — the classic extraction traps) with its text
+    entity-ESCAPED into the body, an entity GAUNTLET appended (numeric
+    decimal/hex incl. 4-byte, named, unknown-name, out-of-range,
+    surrogate, double-escape cases), and — for doc_id%13==3 — an
+    unterminated trailing ``<script`` that must strip to EOF. The
+    oracle is GENERATED from the same step data the production code
+    applies (single source of truth), so the two engines execute the
+    identical chain."""
     from hive_udf_spark.functions.html import html_escape_text, html_to_text
 
     docs = load_table(spark, sf_dir, "documents")
     html = F.concat(
-        F.lit(_HTML_PREFIX), html_escape_text("text"), F.lit(_HTML_SUFFIX)
+        F.lit(_HTML_PREFIX),
+        html_escape_text("text"),
+        F.expr(_entity_gauntlet_sql("spark")),
+        F.lit(_HTML_SUFFIX),
+        F.expr(_TRUNC_SCRIPT_SQL),
     )
     extracted = html_to_text(html)
     return docs.select(

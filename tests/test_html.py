@@ -60,6 +60,116 @@ def test_whitespace_collapse_and_trim(spark):
     assert _extract(spark, "  <p>\n\n a\t\tb </p>\n ") == "a b"
 
 
+def test_numeric_character_references(spark):
+    # decimal, hex (both cases), 2/3/4-byte UTF-8 synthesis
+    assert _extract(spark, "A&#72;&#105;!") == "AHi!"
+    assert _extract(spark, "caf&#233; caf&#xE9; caf&#xe9;") == "café café café"
+    assert _extract(spark, "q&#8217;s &#x2019;s") == "q’s ’s"
+    assert _extract(spark, "x&#128169;y") == "x💩y"
+    # nbsp (named, decimal, hex) folds to plain space and collapses
+    assert _extract(spark, "a&nbsp;&#160;&#xA0;b") == "a b"
+    # whitespace-producing numerics collapse with their neighbors
+    assert _extract(spark, "a&#9;&#10;b") == "a b"
+
+
+def test_invalid_references_stay_literal(spark):
+    assert _extract(spark, "a &#0; b") == "a &#0; b"
+    assert _extract(spark, "a &#xD800; b") == "a &#xD800; b"  # surrogate
+    assert _extract(spark, "a &#9999999; b") == "a &#9999999; b"  # > 10FFFF
+    assert _extract(spark, "a &bogusname; b") == "a &bogusname; b"
+    assert _extract(spark, "bare & amp &amp no-semicolon") == (
+        "bare & amp &amp no-semicolon"
+    )
+    assert _extract(spark, "&") == "&"
+    assert _extract(spark, "&&amp;&") == "&&&"
+
+
+def test_named_entities_table(spark):
+    assert _extract(spark, "&Eacute;l&eacute;phant &frac12; &ne; &hellip;") == (
+        "Éléphant ½ ≠ …"
+    )
+    assert _extract(spark, "&copy; 2026 &mdash; &laquo;x&raquo;") == (
+        "© 2026 — «x»"
+    )
+
+
+def test_unterminated_blocks_strip_to_eof(spark):
+    """A truncated page whose <script>/<style>/<!-- never closes must
+    not leak its body into the text (r8 verdict item 2)."""
+    assert _extract(spark, "<p>keep</p><script>var t = 'leaky tail';") == "keep"
+    assert _extract(spark, "<p>keep</p><style>p { color: red;") == "keep"
+    assert _extract(spark, "<p>keep</p><!-- truncated comment") == "keep"
+    # a CLOSED block after text still strips pairwise, text survives
+    assert _extract(spark, "<script>a()</script><p>x</p><style>s</style>") == "x"
+
+
+def test_cross_engine_parity_and_unescape_property(spark):
+    """The DuckDB oracle chain and the Spark chain must be byte-equal on
+    adversarial inputs, and both must agree with Python's
+    ``html.unescape`` on the covered set (well-formed refs from the
+    shipped table + valid numerics, excluding the documented nbsp →
+    space normalization and ws-collapsing outputs)."""
+    import html as pyhtml
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from hive_udf_spark.functions.html import (
+        NAMED_ENTITIES,
+        html_to_text_sql,
+    )
+
+    rng = random.Random(90210)
+    # exclude whitespace-valued names: nbsp is normalized to ' ' by the
+    # chain (documented), and Python re's \s is unicode-aware where the
+    # engines' \s is ASCII — unicode-space outputs would diverge in the
+    # reference collapse, not in the engines
+    names = [n for n, v in NAMED_ENTITIES.items() if not v.isspace()]
+    cases = []
+    for _ in range(120):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            kind = rng.randint(0, 4)
+            if kind == 0:
+                parts.append("&" + rng.choice(names) + ";")
+            elif kind == 1:
+                # (no noncharacters: html.unescape DELETES e.g. U+10FFFF
+                # where the chain keeps it — outside the covered set)
+                cp = rng.choice([33, 65, 233, 0x2019, 0x4E2D, 0x1F600, 0x10348])
+                parts.append(f"&#{cp};")
+            elif kind == 2:
+                cp = rng.choice([0x21, 0xE9, 0x2019, 0x1F4A9])
+                parts.append(f"&#x{cp:X};" if rng.random() < 0.5 else f"&#x{cp:x};")
+            elif kind == 3:
+                parts.append(rng.choice(["w", "xy", "a&b", "z&", "&amp;lt;"]))
+            else:
+                parts.append(rng.choice(["&#bad;", "&#xZZ;", "&unknown;"]))
+        cases.append("g ".join(parts))
+    pdf = pd.DataFrame({"i": range(len(cases)), "html": cases})
+    got_spark = {
+        r.i: r.t
+        for r in spark.createDataFrame(pdf)
+        .select("i", html_to_text("html").alias("t"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = dict(
+        con.execute(f"SELECT i, {html_to_text_sql('html')} FROM t").fetchall()
+    )
+    import re
+
+    for i, c in enumerate(cases):
+        assert got_spark[i] == got_duck[i], (c, got_spark[i], got_duck[i])
+        # reference decode on the covered set: unescape, then the same
+        # ws collapse/trim the chain applies
+        if "&#bad" in c or "&#xZZ" in c or "&unknown" in c or "&amp;lt;" in c:
+            continue  # unescape recovers some malformed refs; out of covered set
+        want = re.sub(r"\s+", " ", pyhtml.unescape(c)).strip()
+        assert got_spark[i] == want, (c, got_spark[i], want)
+
+
 def test_plan_is_pure_jvm(spark):
     """The extraction chain must stay in whole-stage codegen — no
     Python/Arrow stages anywhere (this is the 100 TB hot path)."""

@@ -945,19 +945,31 @@ def main() -> None:
 
     times, cold, n_warm = bench_queries(spark, sf_dir)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_cold": cold,
-                "warm_runs": n_warm,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_cold": cold,
+            "warm_runs": n_warm,
+            "sf": sf,
+        }
     )
+    # The stdout line is the driver contract, but r8's committed bench
+    # artifact had "parsed": null with only a truncated stdout tail
+    # surviving (r8 verdict item 8) — so the complete JSON is ALSO
+    # written to a file that gets committed each round.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full_latest.json"),
+            "w",
+        ) as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
+    print(payload)
     spark.stop()
 
 

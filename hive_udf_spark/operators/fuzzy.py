@@ -79,6 +79,8 @@ def edit_distance_join(
     id_col: str = "doc_id",
     s_col: str = "title",
     max_dist: int = 1,
+    max_len: int = 256,
+    on_long: str = "error",
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` with ``levenshtein(s_a, s_b) <=
     max_dist`` — exact, via PassJoin segment blocking (module
@@ -88,14 +90,46 @@ def edit_distance_join(
     expressions over ``sequence``/``transform``/``substring``; empty
     segments (strings shorter than ``max_dist + 1``) are kept — an
     empty key over-generates candidates but never misses one, and the
-    levenshtein filter stays exact."""
+    levenshtein filter stays exact.
+
+    Length guard (r8 verdict item 9): this operator targets SHORT
+    metadata strings (titles, names, ids) — the candidate-pair shuffle
+    carries both full strings, so a document-length value would bloat
+    every shuffle write by its own size times its candidate count.
+    Rows whose string exceeds ``max_len`` chars therefore either fail
+    the job with a clear message (``on_long='error'``, the default —
+    distributed ``raise_error`` inside the plan, no driver-side scan)
+    or drop out of the join entirely (``on_long='skip'``; documented
+    loss: a >max_len string can then never pair, even with another
+    long string)."""
     if not 1 <= max_dist <= 4:
         raise ValueError("max_dist must be in [1, 4]")
+    if on_long not in ("error", "skip"):
+        raise ValueError("on_long must be 'error' or 'skip'")
+    if max_len < max_dist + 1:
+        raise ValueError("max_len must be at least max_dist + 1")
     d, k = max_dist, max_dist + 1
+    s = F.col(s_col).cast("string")
+    if on_long == "error":
+        s = F.when(
+            F.length(s) > max_len,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"edit_distance_join: string longer than max_len={max_len} "
+                        f"in column {s_col!r} (pass on_long='skip' or raise "
+                        "max_len; this operator targets short metadata): "
+                    ),
+                    F.substring(s, 1, 80),
+                )
+            ),
+        ).otherwise(s)
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.col(s_col).cast("string").alias("__s"),
+        s.alias("__s"),
     ).where(F.col("__s").isNotNull())
+    if on_long == "skip":
+        base = base.where(F.length("__s") <= max_len)
 
     # Index stream: k keys per row at canonical positions of len(__s).
     idx_expr = (

@@ -99,3 +99,27 @@ def test_plan_is_python_free(spark):
     # the blocked join is an equi-join on segment keys, never all-pairs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_guard_error_and_skip(spark):
+    """r8 verdict item 9: the operator targets short metadata — a
+    document-length string must fail loudly (default) or drop out
+    (on_long='skip'), never silently bloat the candidate shuffle."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    long_s = "x" * 300
+    rows = [(1, "same"), (2, "same"), (3, long_s), (4, long_s)]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    with pytest.raises(SparkRuntimeException, match="max_len"):
+        edit_distance_join(df, "doc_id", "title", 1).collect()
+    # skip mode: long rows excluded entirely (documented: even from
+    # pairing with each other), short pairs still found
+    got = edit_distance_join(df, "doc_id", "title", 1, on_long="skip")
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 2)}
+    # raising the cap restores them
+    got2 = edit_distance_join(df, "doc_id", "title", 1, max_len=512)
+    assert {(r.id_a, r.id_b) for r in got2.collect()} == {(1, 2), (3, 4)}
+    with pytest.raises(ValueError, match="on_long"):
+        edit_distance_join(df, "doc_id", "title", 1, on_long="truncate")
+    with pytest.raises(ValueError, match="max_len"):
+        edit_distance_join(df, "doc_id", "title", 2, max_len=1)

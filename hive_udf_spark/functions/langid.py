@@ -9,9 +9,12 @@ in ANSI SQL for the oracle.
 Note on the test corpus: all five langs draw from ONE shared vocabulary
 (verified against documents.parquet), so content-based language ID cannot
 beat chance there. The engine ships REAL stopword lists
-(``STOPWORD_MARKERS``); the oracle-checked query uses corpus-word markers
-(``CORPUS_MARKERS``) purely to exercise scoring/argmax end-to-end with
-varying outputs.
+(``STOPWORD_MARKERS``); the oracle-checked ``text_lang_id`` query uses
+corpus-word markers (``CORPUS_MARKERS``) purely to exercise scoring/argmax
+end-to-end with varying outputs, and — since r9 —
+``text_lang_id_stopwords`` scores a PLANTED multilingual fixture
+(``synth_multilingual_sql``) with the real lists, so the shipped marker
+path is oracle-gated too.
 """
 
 from __future__ import annotations
@@ -63,6 +66,44 @@ def lang_id(tokens: Column, markers: dict[str, list[str]] | None = None) -> Colu
     )
     best = F.array_max(pairs)
     return F.when(best.getField("s") > 0, best.getField("lang")).otherwise(F.lit("unknown"))
+
+
+def synth_multilingual_sql(dialect: str) -> tuple[str, str]:
+    """Deterministic multilingual fixture (r8 verdict item 6): returns
+    ``(lang_expr, text_expr)`` — one SQL expression per dialect deriving
+    a planted language (``doc_id % 5`` over the five shipped
+    ``STOPWORD_MARKERS`` languages) and a short document drawn from that
+    language's REAL stopword list: three DISTINCT markers (indices
+    ``doc_id%5``, ``+1``, ``+2`` mod 5 — distinctness guarantees the
+    planted language outscores any cross-language shared marker like
+    fr/es ``la``) plus two language-neutral filler tokens.  Spark
+    consumes it via ``F.expr``; the oracle pastes the duckdb variant —
+    one generator, two engines, byte-identical text, so the
+    oracle-checked query scores with the SHIPPED lists, not the
+    corpus-word stand-ins."""
+    langs = sorted(STOPWORD_MARKERS)
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def pick(idx_expr: str) -> str:
+        # marker[(idx) mod 5] for the planted language, via nested CASE
+        whens = []
+        for li, lang in enumerate(langs):
+            arr = ", ".join(f"'{w}'" for w in STOPWORD_MARKERS[lang])
+            if dialect == "spark":
+                get = f"element_at(array({arr}), CAST(({idx_expr}) % 5 AS INT) + 1)"
+            else:
+                get = f"(ARRAY[{arr}])[CAST(({idx_expr}) % 5 AS INT) + 1]"
+            whens.append(f"WHEN {li} THEN {get}")
+        return f"CASE doc_id % 5 {' '.join(whens)} END"
+
+    lang_expr = "CASE doc_id % 5 " + " ".join(
+        f"WHEN {li} THEN '{lang}'" for li, lang in enumerate(langs)
+    ) + " END"
+    text_expr = (
+        f"{pick('doc_id')} || ' ' || {pick('doc_id + 1')} || "
+        f"' filler' || CAST(doc_id % 90 AS {s}) || ' ' || {pick('doc_id + 2')}"
+    )
+    return lang_expr, text_expr
 
 
 def lang_id_sql(tokens_expr: str, markers: dict[str, list[str]] | None = None) -> str:

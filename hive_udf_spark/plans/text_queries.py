@@ -118,6 +118,51 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_stopwords_oracle() -> str:
+    from hive_udf_spark.functions.langid import lang_id_sql, synth_multilingual_sql
+
+    lang_expr, text_expr = synth_multilingual_sql("duckdb")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, {lang_expr} AS planted_lang, {text_expr} AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, planted_lang, {_TOKS_SQL} AS toks FROM planted)
+    SELECT doc_id, planted_lang,
+           {lang_id_sql('toks')} AS predicted_lang,
+           (planted_lang = {lang_id_sql('toks')}) AS correct
+    FROM t
+    """
+
+
+@register("text_lang_id_stopwords", oracle=_lang_stopwords_oracle())
+def text_lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with the SHIPPED stopword lists on a planted
+    multilingual fixture (r8 verdict item 6): each doc_id derives a
+    language and a short document of three real stopwords from that
+    language plus neutral filler (functions/langid.py,
+    ``synth_multilingual_sql`` — one generator, two engines).  The
+    production scorer (``lang_id`` with its default ``STOPWORD_MARKERS``)
+    must recover the planted language for every row — ``correct`` is
+    all-true by construction, and the accuracy pytest asserts it."""
+    from hive_udf_spark.functions.langid import lang_id, synth_multilingual_sql
+
+    lang_expr, text_expr = synth_multilingual_sql("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.expr(lang_expr).alias("planted_lang"),
+        F.expr(text_expr).alias("text"),
+    )
+    pred = lang_id(tokenize("text"))
+    return planted.select(
+        "doc_id",
+        "planted_lang",
+        pred.alias("predicted_lang"),
+        (F.col("planted_lang") == pred).alias("correct"),
+    )
+
+
 @register(
     "text_fingerprint_whitespace_invariance",
     oracle=r"""

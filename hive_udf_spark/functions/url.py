@@ -330,12 +330,24 @@ URL_STEP_NAMES = [name for name, _ in _steps("duckdb", "url")]
 _INTERNAL = [n for n in URL_STEP_NAMES if n.startswith("u_")]
 
 
+# Parsed-Column cache (r8 verdict item 5): generating the step strings
+# is cheap but F.expr() parsing of the big trees is not — each call
+# used to re-parse ~0.5 s of expressions.  Unresolved Columns are
+# session-independent, so one parse per (url_col) serves every query
+# and session in the process.
+_SPARK_STEPS_CACHE: dict[str, list[tuple[str, Column]]] = {}
+
+
 def url_parts_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Spark side: append ``canonical_url``, ``url_key``,
     ``registrable_domain`` (and ``u_host``) to ``df``.  Pure Catalyst
     expressions — the whole chain stays inside whole-stage codegen."""
-    for name, expr in _steps("spark", url_col):
-        df = df.withColumn(name, F.expr(expr))
+    steps = _SPARK_STEPS_CACHE.get(url_col)
+    if steps is None:
+        steps = [(name, F.expr(e)) for name, e in _steps("spark", url_col)]
+        _SPARK_STEPS_CACHE[url_col] = steps
+    for name, col in steps:
+        df = df.withColumn(name, col)
     keep = [n for n in _INTERNAL if n != "u_host"]
     return df.drop(*keep)
 

@@ -30,11 +30,46 @@ from hive_udf_spark.plans.registry import register
 from hive_udf_spark.sources import load_table
 
 
+# --- compute-once shared relations (r8 verdict item 5) -----------------
+#
+# The canonicalization chain is pure scalar codegen, but it is a BIG
+# expression tree: every consumer stage used to re-plan it (~seconds of
+# driver time) and ship it in its task binaries (3.7-7.6 MiB per stage,
+# SCALE_NOTES r8 batch 3) — six registry queries each paid that
+# constant.  Since the chain's output is tiny relative to the work of
+# re-deriving it, the family now materializes each shared relation ONCE
+# per (session, sf_dir) to local parquet and every consumer scans that:
+# downstream plans carry a columnar scan instead of the whole tree, and
+# the constant is paid once per session instead of once per stage.
+# This is exactly the shape the pipeline would have at 100 TB — a
+# `canonical_urls` table written once and read by every consumer.
+_MATERIALIZED: dict[tuple[str, str, str], str] = {}
+
+
+def _materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = _MATERIALIZED.get(key)
+    if path is None:
+        import os
+        import tempfile
+        import uuid
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_{name}_{uuid.uuid4().hex}"
+        )
+        build().write.mode("overwrite").parquet(path)
+        _MATERIALIZED[key] = path
+    return spark.read.parquet(path)
+
+
 def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return url_parts_cols(
-        docs.withColumn("url", F.expr(synth_url_sql("spark")))
-    )
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return url_parts_cols(
+            docs.withColumn("url", F.expr(synth_url_sql("spark")))
+        )
+
+    return _materialize(spark, sf_dir, "canonical_urls", build)
 
 
 _ORACLE_PARTS = url_parts_sql(
@@ -472,12 +507,15 @@ _LINKS_CANON = url_parts_sql(links_sql(_LINKS_INNER))
 
 
 def _links_canon_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(base_url_sql("spark")).alias("base_url"),
-        F.expr(page_html_sql("spark")).alias("html"),
-    )
-    return url_parts_cols(extract_links(docs))
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(base_url_sql("spark")).alias("base_url"),
+            F.expr(page_html_sql("spark")).alias("html"),
+        )
+        return url_parts_cols(extract_links(docs))
+
+    return _materialize(spark, sf_dir, "links_canonical", build)
 
 
 @register(

@@ -2368,6 +2368,49 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_pages_table(blobs)
 
 
+@register(
+    "multimodal_pdf_xrefstream_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text AS s FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id, 0 AS page_idx, 2 AS n_pages,
+           substr(s, 1, length(s) // 2) AS text,
+           CAST(length(s) // 2 AS BIGINT) AS n_chars
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1, 2,
+           substr(s, length(s) // 2 + 1),
+           CAST(length(s) - length(s) // 2 AS BIGINT)
+    FROM t
+    """,
+)
+def multimodal_pdf_xrefstream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5 text extraction end-to-end (r8 verdict item 3,
+    operators/pdfcodec.py): each document becomes a two-page PDF built
+    on the MODERN container machinery — catalog/page-tree/font inside a
+    FlateDecode /Type /ObjStm, a W-packed /Type /XRef cross-reference
+    STREAM (PNG Up/Paeth predictors), and for half the variants a
+    two-section /Prev incremental-update chain — with the container
+    shape varying by doc_id so every decode path runs across the
+    corpus.  The extracted text must equal the classic-container
+    query's, so the same oracle gates both PDF generations; the
+    previously-quarantined majority of real-world PDFs now extracts."""
+    from hive_udf_spark.operators.pdfcodec import (
+        pdf15_doc_encoder_udf,
+        pdf_pages_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = pdf15_doc_encoder_udf()
+    blobs = (
+        docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", "text").alias("blob"))
+    )
+    return pdf_pages_table(blobs)
+
+
 # ---------------------------------------------------------------------------
 # Line-level hygiene (r8): C4 line filter + CCNet boilerplate removal
 # ---------------------------------------------------------------------------

@@ -53,9 +53,10 @@ def test_malformed_rejections():
     for m in muts:
         with pytest.raises(ValueError):
             extract_pdf_pages(m)
-    # /Prev chains (incremental updates) are explicitly not vendored
+    # /Prev chains are FOLLOWED since r9 — a /Prev pointing into the
+    # middle of nowhere is a loud structural error, not silent loss
     prev = ok.replace(b"/Root 1 0 R", b"/Root 1 0 R /Prev 7")
-    with pytest.raises(ValueError, match="Prev"):
+    with pytest.raises(ValueError, match="xref"):
         extract_pdf_pages(prev)
     # truncated deflate stream inside a declared-length window
     flated = encode_pdf(["x" * 200], flate=True)
@@ -115,3 +116,95 @@ def test_pages_table_and_quarantine(spark):
     assert bad == [(2, -1)]
     with pytest.raises(ValueError):
         pdf_pages_table(df, on_error="explode")
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: xref streams, object streams, /Prev chains (r9)
+# ---------------------------------------------------------------------------
+
+from hive_udf_spark.operators.pdfcodec import encode_pdf_15  # noqa: E402
+
+
+def test_pdf15_variants_roundtrip():
+    pages = ["Hello (world) \\ first!", "second page, kerned", ""]
+    for kw in (
+        dict(objstm=True, predictor=12),
+        dict(objstm=True, predictor=1),
+        dict(objstm=False, predictor=12),
+        dict(objstm=True, predictor=12, prev_chain=True),
+        dict(objstm=False, predictor=1, prev_chain=True),
+        dict(objstm=True, predictor=15, prev_chain=True),
+    ):
+        assert extract_pdf_pages(encode_pdf_15(pages, **kw)) == pages, kw
+    # offsets past 65535 exercise the 3-byte W field
+    big = ["x" * 40000, "y" * 40000]
+    assert extract_pdf_pages(encode_pdf_15(big, prev_chain=True)) == big
+
+
+def test_pdf15_malformed_xref_streams_raise():
+    good = encode_pdf_15(["page one text", "page two text"])
+    # corrupt the W array
+    bad = good.replace(b"/W [1 3 2]", b"/W [9 9 9]")
+    with pytest.raises(ValueError, match="/W|not at its xref offset|missing"):
+        extract_pdf_pages(bad)
+    # predictor the decoder does not vendor
+    bad = good.replace(b"/Predictor 12", b"/Predictor 2")
+    with pytest.raises(ValueError, match="predictor"):
+        extract_pdf_pages(bad)
+    # cyclic /Prev chain: point startxref's section at itself
+    chained = encode_pdf_15(["a page", "b page"], prev_chain=True)
+    import re as _re
+
+    m = _re.search(rb"startxref\n(\d+)\n%%EOF$", chained)
+    self_off = m.group(1)
+    m2 = _re.search(rb"/Prev (\d+)", chained)
+    cyclic = chained.replace(b"/Prev " + m2.group(1), b"/Prev " + self_off)
+    # the cycle is detected and ignored (only older data lost) -> the
+    # un-covered objects are then reported missing
+    with pytest.raises(ValueError, match="missing from xref|not at its xref"):
+        extract_pdf_pages(cyclic)
+
+
+def test_pdf15_truncated_objstm_quarantines_cleanly():
+    good = encode_pdf_15(["alpha beta", "gamma delta"], predictor=1)
+    # truncate inside the ObjStm stream body
+    i = good.find(b"/Type /ObjStm")
+    j = good.find(b"endstream", i)
+    bad = good[: j - 8] + good[j:]
+    with pytest.raises(ValueError):
+        extract_pdf_pages(bad)
+
+
+def test_pdf15_fuzz_byte_flips_never_escape():
+    rng = np.random.default_rng(12)
+    base = bytearray(
+        encode_pdf_15(["fuzz target page", "page 2 (x)"], prev_chain=True)
+    )
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            pages = extract_pdf_pages(bytes(b))
+            assert isinstance(pages, list)
+            assert all(isinstance(p, str) for p in pages)
+        except ValueError:
+            pass
+
+
+def test_pdf15_pages_table_through_spark(spark):
+    from hive_udf_spark.operators.pdfcodec import pdf15_doc_encoder_udf
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    enc = pdf15_doc_encoder_udf()
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    out = pdf_pages_table(blobs).collect()
+    assert len(out) == 16
+    for r in out:
+        t = f"document number {r.doc_id} body text"
+        mid = len(t) // 2
+        want = t[:mid] if r.page_idx == 0 else t[mid:]
+        assert r.text == want

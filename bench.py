@@ -717,6 +717,47 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ).select("doc_id", enc(F.col("__s")).alias("blob"))
         _force(decode_image_features(blobs, fake=False))
 
+    def q_codec_webp_decode():
+        # r9: lossless-WebP decode throughput — VP8L prefix-code decode
+        # + transform inverses, mode-rotated fixture encode, Arrow-batched
+        from hive_udf_spark.operators.multimodal import (
+            decode_image_features,
+            webp_encoder_udf,
+        )
+
+        payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+        enc = webp_encoder_udf(8, 8)
+        blobs = docs.repartition(32).select("doc_id", payload.alias("__s")).filter(
+            F.col("__s").rlike("^[\\x00-\\x7F]*$")
+        ).select("doc_id", enc(F.col("__s")).alias("blob"))
+        _force(decode_image_features(blobs, fake=False))
+
+    def q_codec_pdf_xrefstream():
+        # r9: PDF 1.5 machinery — xref streams (W-packed, PNG-predicted),
+        # object streams, /Prev chains
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_pdf_xrefstream_extract"].fn(spark, sf_dir))
+
+    def q_warc_content_encoding():
+        # r9: HTTP Content-Encoding (gzip/deflate/stacked-chunked) decode
+        # inside WARC ingestion
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_warc_content_encoding"].fn(spark, sf_dir))
+
+    def q_idn_fold():
+        # r9: RFC 3492 punycode fold of unicode hosts before url_key
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["web_url_idn_fold"].fn(spark, sf_dir))
+
+    def q_langid_stopwords():
+        # r9: language ID scored with the SHIPPED stopword lists
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_lang_id_stopwords"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -886,6 +927,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "srt_parse": q_srt_parse,
         "codec_epub_extract": q_codec_epub_extract,
         "streaming_boilerplate": q_streaming_boilerplate,
+        "codec_webp_decode": q_codec_webp_decode,
+        "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
+        "warc_content_encoding": q_warc_content_encoding,
+        "idn_fold": q_idn_fold,
+        "langid_stopwords": q_langid_stopwords,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

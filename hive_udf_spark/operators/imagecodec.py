@@ -76,11 +76,14 @@ _MAX_PIXELS = 1 << 26
 def supported_magic(b: bytes) -> bool:
     """True when the vendored decoder can parse this blob (P5/P6 netpbm,
     an uncompressed 8/24-bit BMP, an 8-bit non-interlaced PNG, a baseline
-    sequential JPEG, a GIF87a/89a, or a baseline TIFF)."""
+    sequential JPEG, a GIF87a/89a, a baseline TIFF, or a lossless WebP —
+    RIFF containers that are not WEBP, e.g. AVI/WAV, are excluded: they
+    route through the container walkers, not the still-image decoder)."""
     return (
         b[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
         or b[:8] == _PNG_MAGIC
         or b[:4] in (b"GIF8", b"II*\x00", b"MM\x00*")
+        or (b[:4] == b"RIFF" and b[8:12] == b"WEBP")
     )
 
 
@@ -468,6 +471,10 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 
         return decode_tiff_gray(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from hive_udf_spark.operators.webpcodec import decode_webp_gray
+
+        return decode_webp_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

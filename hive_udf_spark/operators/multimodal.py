@@ -92,6 +92,44 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4, interlace: bo
     return enc
 
 
+def webp_encoder_udf(width: int, height: int, mode: str | None = None):
+    """Arrow-batched lossless-WebP fixture encoder: a ``pandas_udf``
+    mapping a width·height-char ASCII payload to a VP8L WebP blob
+    (``webpcodec.encode_webp_lossless``).  ``mode=None`` (default)
+    rotates deterministically over the three bitstream shapes —
+    ``plain`` literals / ``subtract-green`` / ``palette`` with sub-byte
+    bundling — keyed by the payload byte sum, and independently over
+    the simple vs extended (VP8X+XMP) container, so one query exercises
+    every encoder-reachable decode path; the rotation is
+    data-deterministic, and VP8L is lossless, so the pixel-stats oracle
+    is unaffected by which shape each row takes."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+    modes = ("plain", "subtract-green", "palette")
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import webpcodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            m = mode if mode is not None else modes[int(a.sum()) % 3]
+            return webpcodec.encode_webp_lossless(
+                a.reshape(height, width),
+                mode=m,
+                # rotate the container shape too: half the rows get the
+                # extended VP8X+XMP wrapper (independent of the mode key)
+                vp8x=(mode is None and int(a[0]) % 2 == 0),
+            )
+
+        return s.map(one)
+
+    return enc
+
+
 def tiff_encoder_udf(
     width: int, height: int, big_endian: bool = True, packbits: bool = True,
     rows_per_strip: int | None = 2, lzw: bool = False, predictor: int = 1,

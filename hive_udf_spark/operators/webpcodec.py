@@ -1,0 +1,925 @@
+"""Vendored WebP lossless (VP8L) codec — RIFF container + the full
+VP8L bitstream, implemented from the public "WebP Lossless Bitstream
+Specification" (RFC 9649 / Google spec), dependency-free.
+
+WebP is a double-digit share of web images; a crawl pipeline that
+quarantines every ``.webp`` blob loses that slice (r8 verdict item 4).
+This module vendors the LOSSLESS half at PNG-tier fidelity:
+
+Decoder coverage (the full spec surface):
+
+* RIFF walk (``RIFF``/``WEBP``/``VP8L`` chunks); extended ``VP8X``
+  containers accepted when the image data is a single lossless VP8L
+  frame (ICCP/EXIF/XMP metadata skipped, canvas-size cross-checked);
+  lossy ``VP8 `` and animated (``ANIM``) files raise → quarantine,
+  never silent garbage;
+* LSB-first bitstream, 14-bit dimensions, version check;
+* all four transforms with correct width bookkeeping and reverse-order
+  inverse application: PREDICTOR (14 modes, block sub-image), COLOR
+  (per-block signed multipliers), SUBTRACT_GREEN, COLOR_INDEXING
+  (palette with delta coding and sub-byte pixel bundling);
+* entropy-coded images: optional color cache (hash ``0x1e35a7bd``),
+  meta-prefix image (per-tile code groups, main image only), five
+  canonical prefix codes per group (green+length+cache, red, blue,
+  alpha, distance);
+* prefix-code storage: simple (1-2 symbol) form AND the full
+  code-length-code form (3-bit lengths in ``kOrder``, repeat codes
+  16/17/18, optional max-symbol cap), with completeness validation
+  (the single-used-symbol 0-bit-code special case included);
+* LZ77 backward references (length/distance prefix+extra-bits coding,
+  the 120-entry 2D neighborhood distance map, overlapping copies) and
+  color-cache hits.
+
+Encoder twin ``encode_webp_lossless`` (fixture generator): grayscale
+pixels → a spec-valid VP8L stream in three container shapes — plain
+literals, SUBTRACT_GREEN (exercising the inverse), or COLOR_INDEXING
+with bundling (exercising palette + packing) — with REAL canonical
+prefix codes serialized through the code-length-code machinery (no
+degenerate fixed tables), so decode exercises the same paths real
+encoders hit.  Lossless round-trip means the standard pixel-stats
+oracle discipline applies unchanged (the PNG/GIF model).
+
+Every entry point follows the valid-output-or-ValueError contract
+(``_codec_util.untrusted_decoder``); byte-flip fuzz runs in tests.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this extends the
+mandated multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
+__all__ = [
+    "decode_webp_gray",
+    "decode_vp8l",
+    "encode_webp_lossless",
+]
+
+_MAX_PIXELS = 1 << 22  # bomb cap: 4 MPix is far above any fixture
+_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+# spec distance-map: the first 120 distance codes address a 2D
+# neighborhood (dx, dy) around the current pixel
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+    (8, 4), (3, 8), (-3, 8), (8, 5), (4, 8), (-4, 8), (8, 6), (7, 6),
+    (-7, 6), (8, 7),
+)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (LSB-first, per spec)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        v = 0
+        p = self.pos
+        for i in range(n):
+            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def read_bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        b = (self.data[self.pos >> 3] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriter:
+    __slots__ = ("bits", "n")
+
+    def __init__(self):
+        self.bits = bytearray()
+        self.n = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.n & 7 == 0:
+                self.bits.append(0)
+            if (value >> i) & 1:
+                self.bits[-1] |= 1 << (self.n & 7)
+            self.n += 1
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go MSB-first into the LSB-first stream."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.bits)
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """lengths[sym] → {sym: (code, len)} canonical assignment (deflate
+    order: by length, then symbol)."""
+    syms = sorted(
+        (ln, s) for s, ln in enumerate(lengths) if ln > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev = 0
+    for ln, s in syms:
+        code <<= ln - prev
+        codes[s] = (code, ln)
+        code += 1
+        prev = ln
+    return codes
+
+
+class _PrefixCode:
+    """Decode-side prefix code: either a 0-bit single symbol or a
+    bit-walk tree built from canonical code lengths (completeness
+    validated)."""
+
+    __slots__ = ("single", "tree")
+
+    def __init__(self, lengths: list[int]):
+        used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(used) == 1:
+            self.single = used[0][0]
+            self.tree = None
+            return
+        kraft = sum(1 << (15 - ln) for _, ln in used)
+        if kraft != 1 << 15:
+            raise ValueError("VP8L prefix code is not complete")
+        self.single = None
+        # tree as flat list: internal nodes -> [left, right] indices,
+        # leaves -> ('L', sym)
+        codes = _canonical_codes(lengths)
+        tree: list = [[None, None]]
+        for s, (code, ln) in codes.items():
+            node = 0
+            for i in range(ln - 1, -1, -1):
+                bit = (code >> i) & 1
+                if i == 0:
+                    tree[node][bit] = ("L", s)
+                else:
+                    nxt = tree[node][bit]
+                    if nxt is None:
+                        tree.append([None, None])
+                        nxt = len(tree) - 1
+                        tree[node][bit] = nxt
+                    node = nxt
+        self.tree = tree
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        node = 0
+        while True:
+            nxt = self.tree[node][br.read_bit()]
+            if isinstance(nxt, tuple):
+                return nxt[1]
+            node = nxt
+
+    @classmethod
+    def from_single(cls, sym: int) -> "_PrefixCode":
+        pc = cls.__new__(cls)
+        pc.single = sym
+        pc.tree = None
+        return pc
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    """Spec §"Prefix Code" storage: simple form or code-length-code."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        if br.read_bit():  # first symbol is 8 bits
+            s0 = br.read(8)
+        else:
+            s0 = br.read_bit()
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of alphabet")
+        if num_symbols == 1:
+            return _PrefixCode.from_single(s0)
+        s1 = br.read(8)
+        if s1 >= alphabet_size or s1 == s0:
+            raise ValueError("VP8L simple code second symbol invalid")
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        return _PrefixCode(lengths)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read_bit():  # limited number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_nonzero = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = cl_code.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_nonzero = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise ValueError("VP8L code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev_nonzero
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise ValueError("VP8L code-length zeros overrun alphabet")
+    return _PrefixCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Entropy-coded image decode
+# ---------------------------------------------------------------------------
+
+
+def _lz77_value(code: int, br: _BitReader) -> int:
+    """Length/distance prefix decode (spec §"LZ77 backward reference")."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _decode_entropy_image(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """One entropy-coded ARGB image → uint32 flat array of length w*h."""
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError("VP8L image dimensions out of bounds")
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits} invalid")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    meta_codes: np.ndarray | None = None
+    meta_bits = 0
+    num_groups = 1
+    if allow_meta and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        # meta index = (red << 8) | green
+        meta_codes = (
+            ((meta_img >> 16) & 0xFF) << 8 | ((meta_img >> 8) & 0xFF)
+        ).astype(np.int64)
+        num_groups = int(meta_codes.max()) + 1
+        meta_w = mw
+    groups = []
+    green_size = 256 + 24 + cache_size
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 40),
+            )
+        )
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+    while pos < total:
+        if meta_codes is not None:
+            x, y = pos % w, pos // w
+            g = int(meta_codes[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            if g >= num_groups:  # pragma: no cover - max bound above
+                raise ValueError("VP8L meta prefix index out of range")
+            gcode, rcode, bcode, acode, dcode = groups[g]
+        else:
+            gcode, rcode, bcode, acode, dcode = groups[0]
+        s = gcode.read(br)
+        if s < 256:
+            r = rcode.read(br)
+            b = bcode.read(br)
+            a = acode.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 256 + 24:
+            length = _lz77_value(s - 256, br)
+            dist_code = _lz77_value(dcode.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos:
+                raise ValueError("VP8L backward reference before image start")
+            if pos + length > total:
+                raise ValueError("VP8L backward reference overruns image")
+            for _ in range(length):  # may overlap; sequential by design
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[
+                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+        else:
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("VP8L color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Inverse transforms
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: np.ndarray | int, b: np.ndarray | int) -> int:
+    return (int(a) + int(b)) >> 1
+
+
+def _unpack(px: int) -> tuple[int, int, int, int]:
+    return (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+
+
+def _add_px(p: int, q: int) -> int:
+    """Per-channel modular add."""
+    pa, pr, pg, pb = _unpack(p)
+    qa, qr, qg, qb = _unpack(q)
+    return _pack(pa + qa, pr + qr, pg + qg, pb + qb)
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    la, lr, lg, lb = _unpack(l)
+    ta, tr, tg, tb = _unpack(t)
+    ca, cr, cg, cb = _unpack(tl)
+    p_l = abs(ta - ca) + abs(tr - cr) + abs(tg - cg) + abs(tb - cb)
+    p_t = abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb)
+    return l if p_l < p_t else t
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _cas_full(l: int, t: int, tl: int) -> int:
+    out = []
+    for sh in (24, 16, 8, 0):
+        a = (l >> sh) & 0xFF
+        b = (t >> sh) & 0xFF
+        c = (tl >> sh) & 0xFF
+        out.append(_clamp(a + b - c))
+    return _pack(*out)
+
+
+def _cas_half(avg: int, tl: int) -> int:
+    out = []
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        # spec pseudocode is C: (a - b) / 2 truncates toward zero, which
+        # differs from Python's floor // for negative odd differences
+        d = a - b
+        out.append(_clamp(a + (d // 2 if d >= 0 else -((-d) // 2))))
+    return _pack(*out)
+
+
+def _avg2_px(p: int, q: int) -> int:
+    out = []
+    for sh in (24, 16, 8, 0):
+        out.append((((p >> sh) & 0xFF) + ((q >> sh) & 0xFF)) >> 1)
+    return _pack(*out)
+
+
+def _inverse_predictor(
+    img: np.ndarray, w: int, h: int, modes: np.ndarray, bits: int, mw: int
+) -> None:
+    """In-place inverse spatial prediction (14 modes + edge rules)."""
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(img[pos - 1])  # top row: L
+        elif x == 0:
+            pred = int(img[pos - w])  # left column: T
+        else:
+            mode = (int(modes[(y >> bits) * mw + (x >> bits)]) >> 8) & 0xFF
+            left = int(img[pos - 1])
+            top = int(img[pos - w])
+            tl = int(img[pos - w - 1])
+            tr = int(img[pos - w + 1])  # x==w-1 wraps to row start: valid
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _avg2_px(_avg2_px(left, tr), top)
+            elif mode == 6:
+                pred = _avg2_px(left, tl)
+            elif mode == 7:
+                pred = _avg2_px(left, top)
+            elif mode == 8:
+                pred = _avg2_px(tl, top)
+            elif mode == 9:
+                pred = _avg2_px(top, tr)
+            elif mode == 10:
+                pred = _avg2_px(_avg2_px(left, tl), _avg2_px(top, tr))
+            elif mode == 11:
+                pred = _select(left, top, tl)
+            elif mode == 12:
+                pred = _cas_full(left, top, tl)
+            elif mode == 13:
+                pred = _cas_half(_avg2_px(left, top), tl)
+            else:
+                raise ValueError(f"VP8L predictor mode {mode} invalid")
+        img[pos] = _add_px(int(img[pos]), pred)
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _inverse_color_transform(
+    img: np.ndarray, w: int, h: int, cts: np.ndarray, bits: int, mw: int
+) -> None:
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        ct = int(cts[(y >> bits) * mw + (x >> bits)])
+        # ColorTransformElement channels per spec: green_to_red in BLUE,
+        # green_to_blue in GREEN, red_to_blue in RED
+        g2r = _s8(ct & 0xFF)
+        g2b = _s8((ct >> 8) & 0xFF)
+        r2b = _s8((ct >> 16) & 0xFF)
+        px = int(img[pos])
+        a, r, g, b = _unpack(px)
+        gs = _s8(g)
+        r = (r + ((g2r * gs) >> 5)) & 0xFF
+        rs = _s8(r)
+        b = (b + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+        img[pos] = _pack(a, r, g, b)
+
+
+def _inverse_subtract_green(img: np.ndarray) -> None:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    img[:] = (img & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _color_index_unpack(
+    img: np.ndarray, packed_w: int, w: int, h: int, palette: np.ndarray
+) -> np.ndarray:
+    n = len(palette)
+    if n <= 2:
+        pbits = 3
+    elif n <= 4:
+        pbits = 2
+    elif n <= 16:
+        pbits = 1
+    else:
+        pbits = 0
+    out = np.zeros(w * h, dtype=np.uint32)
+    per = 1 << pbits
+    mask = (1 << (8 >> pbits)) - 1
+    for y in range(h):
+        for x in range(w):
+            packed = int(img[y * packed_w + (x >> pbits)])
+            bundle = (packed >> 8) & 0xFF
+            idx = (bundle >> ((x % per) * (8 >> pbits))) & mask
+            if idx >= n:
+                raise ValueError("VP8L palette index out of range")
+            out[y * w + x] = palette[idx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VP8L top level
+# ---------------------------------------------------------------------------
+
+
+@untrusted_decoder
+def decode_vp8l(data: bytes) -> tuple[int, int, np.ndarray]:
+    """VP8L payload → (width, height, flat uint32 ARGB array)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    br = _BitReader(data[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read_bit()  # alpha hint (informational)
+    if br.read(3) != 0:
+        raise ValueError("VP8L version must be 0")
+    if w * h > _MAX_PIXELS:
+        raise ValueError("VP8L image exceeds the vendored pixel cap")
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    cur_w = w
+    while br.read_bit():
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L duplicate transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # PREDICTOR / COLOR
+            bits = br.read(3) + 2
+            mw = (cur_w + (1 << bits) - 1) >> bits
+            mh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, mw, mh, False)
+            transforms.append((ttype, cur_w, bits, mw, sub))
+        elif ttype == 2:  # SUBTRACT_GREEN
+            transforms.append((2, cur_w))
+        else:  # COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            deltas = _decode_entropy_image(br, n_colors, 1, False)
+            palette = np.zeros(n_colors, dtype=np.uint32)
+            acc = 0
+            for i in range(n_colors):
+                acc = _add_px(acc, int(deltas[i]))
+                palette[i] = acc
+            if n_colors <= 2:
+                pbits = 3
+            elif n_colors <= 4:
+                pbits = 2
+            elif n_colors <= 16:
+                pbits = 1
+            else:
+                pbits = 0
+            packed_w = (cur_w + (1 << pbits) - 1) >> pbits
+            transforms.append((3, cur_w, packed_w, palette))
+            cur_w = packed_w
+    img = _decode_entropy_image(br, cur_w, h, True)
+    for t in reversed(transforms):
+        if t[0] == 3:
+            _, orig_w, packed_w, palette = t
+            img = _color_index_unpack(img, packed_w, orig_w, h, palette)
+            cur_w = orig_w
+        elif t[0] == 2:
+            _inverse_subtract_green(img)
+        elif t[0] == 1:
+            _, tw, bits, mw, sub = t
+            _inverse_color_transform(img, tw, h, sub, bits, mw)
+        else:
+            _, tw, bits, mw, sub = t
+            _inverse_predictor(img, tw, h, sub, bits, mw)
+    return w, h, img
+
+
+# VP8X flag bits (spec "Extended File Format"): we accept metadata-only
+# extended files that still carry a single lossless VP8L frame, and
+# quarantine animation (which changes decode semantics).
+_VP8X_ANIM = 0x02
+
+
+@untrusted_decoder
+def decode_webp_gray(b: bytes) -> np.ndarray:
+    """WebP blob → 2-D uint8 grayscale (BT.601 integer weights on the
+    decoded RGB, matching the BMP/PNG tier).
+
+    Accepts both the simple container (``VP8L`` at top level) and the
+    extended ``VP8X`` form so long as the image data is a single
+    lossless VP8L frame — real lossless exports routinely gain a VP8X
+    wrapper just to carry ICCP/EXIF/XMP metadata, which is skipped.
+    Animated (``ANIM`` flag) and lossy (``VP8 ``) files raise →
+    quarantine; a VP8X canvas size disagreeing with the VP8L stream's
+    own dimensions is malformed and raises too."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    riff_size = int.from_bytes(b[4:8], "little")
+    if riff_size + 8 > len(b) or riff_size < 4:
+        raise ValueError("WebP RIFF size field out of bounds")
+    pos = 12
+    end = 8 + riff_size
+    canvas: tuple[int, int] | None = None
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + csize > end:
+            raise ValueError(f"WebP chunk {cid!r} overruns container")
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"VP8L":
+            w, h, img = decode_vp8l(body)
+            if canvas is not None and canvas != (w, h):
+                raise ValueError(
+                    f"VP8X canvas {canvas} disagrees with VP8L {(w, h)}"
+                )
+            r = ((img >> 16) & 0xFF).astype(np.uint32)
+            g = ((img >> 8) & 0xFF).astype(np.uint32)
+            bl = (img & 0xFF).astype(np.uint32)
+            gray = ((299 * r + 587 * g + 114 * bl) // 1000).astype(np.uint8)
+            return gray.reshape(h, w)
+        if cid == b"VP8 ":
+            raise ValueError("WebP lossy (VP8) not vendored — lossless only")
+        if cid == b"VP8X":
+            if csize < 10:
+                raise ValueError("WebP VP8X chunk truncated")
+            if body[0] & _VP8X_ANIM:
+                raise ValueError("WebP animation (ANIM) not vendored")
+            canvas = (
+                int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1,
+            )
+        # ICCP / EXIF / XMP / ALPH and unknown chunks: skipped metadata
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("WebP has no VP8L chunk")
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _huff_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Canonical code lengths from frequencies (heap huffman + depth
+    clamp; fixture alphabets are small so the clamp rarely engages)."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(f, s, ("leaf", s)) for s, f in freqs.items() if f > 0]
+    heapq.heapify(heap)
+    cnt = 0
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        cnt += 1
+        heapq.heappush(heap, (f1 + f2, 256 + cnt, ("node", n1, n2)))
+    lengths: dict[int, int] = {}
+
+    def walk(node, depth):
+        if node[0] == "leaf":
+            lengths[node[1]] = max(depth, 1)
+        else:
+            walk(node[1], depth + 1)
+            walk(node[2], depth + 1)
+
+    walk(heap[0][2], 0)
+    if max(lengths.values()) > max_len:
+        # depth overflow (very skewed fixture histograms): fall back to
+        # the balanced complete code — valid and within max_len for any
+        # alphabet we serialize (<= 280 symbols → depth <= 9)
+        lengths = _balanced_lengths(sorted(lengths))
+    return lengths
+
+
+def _balanced_lengths(syms: list[int]) -> dict[int, int]:
+    """Complete prefix code over n symbols: k = floor(log2 n); the
+    first 2^(k+1) - n symbols get length k, the rest k+1 (kraft = 1)."""
+    import math
+
+    n = len(syms)
+    k = math.floor(math.log2(n))
+    short = (1 << (k + 1)) - n
+    return {s: (k if i < short else k + 1) for i, s in enumerate(syms)}
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Serialize a prefix code (simple form when it fits, else the full
+    code-length-code path, no RLE) and return the symbol→(code,len)
+    writer table."""
+    used = sorted(lengths)
+    if len(used) == 1:
+        s0 = used[0]
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if s0 < 2:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        return {s0: (0, 0)}
+    if len(used) == 2 and used[1] < 256:
+        s0, s1 = used
+        bw.write(1, 1)
+        bw.write(1, 1)  # two symbols
+        if s0 < 2:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        bw.write(s1, 8)
+        full = [0] * alphabet_size
+        full[s0] = full[s1] = 1
+        return _canonical_codes(full)
+    full = [0] * alphabet_size
+    for s, ln in lengths.items():
+        full[s] = ln
+    # code-length-code over the length symbols (incl. zeros)
+    cl_freq: dict[int, int] = {}
+    for ln in full:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _huff_lengths(cl_freq, max_len=7)
+    if len(cl_lengths) == 1:
+        (only,) = cl_lengths
+        cl_lengths = {only: 1}
+    cl_codes = _canonical_codes(
+        [cl_lengths.get(i, 0) for i in range(19)]
+    )
+    bw.write(0, 1)  # not simple
+    maxpos = max(_ORDER.index(ln) for ln in cl_lengths)
+    num_cl = max(4, maxpos + 1)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max-symbol cap: all alphabet_size lengths follow
+    for ln in full:
+        if len(cl_codes) == 1:
+            continue  # 0-bit CL code: nothing to write
+        code, cln = cl_codes[ln]
+        bw.write_code(code, cln)
+    return _canonical_codes(full)
+
+
+def _write_entropy_literals(
+    bw: _BitWriter,
+    pixels: list[tuple[int, int, int, int]],
+    main: bool = False,
+) -> None:
+    """Write one entropy-coded image as pure literals (no cache, no
+    meta): 5 real prefix codes + the pixel stream.  ``pixels`` are
+    (a, r, g, b).  ``main=True`` adds the meta-prefix bit the spec
+    reads only for the top-level ARGB image (after the cache bit)."""
+    bw.write(0, 1)  # no color cache
+    if main:
+        bw.write(0, 1)  # no meta prefix (main image only)
+
+    def freqs(vals):
+        f: dict[int, int] = {}
+        for v in vals:
+            f[v] = f.get(v, 0) + 1
+        return f
+
+    g_tab = _write_prefix_code(bw, _huff_lengths(freqs([g for _, _, g, _ in pixels])), 256 + 24)
+    r_tab = _write_prefix_code(bw, _huff_lengths(freqs([r for _, r, _, _ in pixels])), 256)
+    b_tab = _write_prefix_code(bw, _huff_lengths(freqs([b for _, _, _, b in pixels])), 256)
+    a_tab = _write_prefix_code(bw, _huff_lengths(freqs([a for a, _, _, _ in pixels])), 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # distance code: unused single-symbol
+    for a, r, g, b in pixels:
+        bw.write_code(g_tab[g][0], g_tab[g][1])
+        bw.write_code(r_tab[r][0], r_tab[r][1])
+        bw.write_code(b_tab[b][0], b_tab[b][1])
+        bw.write_code(a_tab[a][0], a_tab[a][1])
+
+
+def encode_webp_lossless(
+    gray: np.ndarray, mode: str = "plain", vp8x: bool = False
+) -> bytes:
+    """2-D uint8 grayscale → a lossless WebP.  ``mode``:
+
+    * ``plain`` — literal ARGB pixels (r=g=b=v), real canonical codes;
+    * ``subtract-green`` — the SUBTRACT_GREEN transform (residual
+      red/blue collapse to single-symbol codes, the inverse must
+      reconstruct);
+    * ``palette`` — COLOR_INDEXING with delta-coded palette and sub-byte
+      bundling when ≤16 distinct values (raises above 256 distinct).
+
+    ``vp8x=True`` wraps the frame in the extended container: a VP8X
+    header chunk (canvas size, no flags) plus an XMP metadata chunk the
+    decoder must skip — the shape real metadata-carrying lossless
+    exports have.
+    """
+    if gray.ndim != 2 or gray.dtype != np.uint8:
+        raise ValueError("gray must be a 2-D uint8 array")
+    h, w = gray.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("dimensions out of WebP range")
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    vals = gray.flatten().tolist()
+    if mode == "plain":
+        bw.write(0, 1)  # no transforms
+        _write_entropy_literals(bw, [(255, v, v, v) for v in vals], main=True)
+    elif mode == "subtract-green":
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+        bw.write(0, 1)  # end of transforms
+        _write_entropy_literals(bw, [(255, 0, v, 0) for v in vals], main=True)
+    elif mode == "palette":
+        pal = sorted(set(vals))
+        if len(pal) > 256:
+            raise ValueError("palette mode needs <= 256 distinct values")
+        idx_of = {v: i for i, v in enumerate(pal)}
+        n = len(pal)
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        # transform payload follows its type immediately; the
+        # end-of-transforms bit comes only after the payload
+        bw.write(n - 1, 8)
+        # palette as delta-coded 1xN entropy image
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for v in pal:
+            cur = (255, v, v, v)
+            deltas.append(tuple((c - p) & 0xFF for c, p in zip(cur, prev)))
+            prev = cur
+        _write_entropy_literals(bw, deltas)
+        bw.write(0, 1)  # end of transforms
+        if n <= 2:
+            pbits = 3
+        elif n <= 4:
+            pbits = 2
+        elif n <= 16:
+            pbits = 1
+        else:
+            pbits = 0
+        per = 1 << pbits
+        width_bits = 8 >> pbits
+        packed_w = (w + per - 1) >> pbits
+        packed: list[tuple[int, int, int, int]] = []
+        for y in range(h):
+            for px in range(packed_w):
+                bundle = 0
+                for k in range(per):
+                    x = (px << pbits) + k
+                    if x < w:
+                        bundle |= idx_of[int(gray[y, x])] << (k * width_bits)
+                packed.append((255, 0, bundle, 0))
+        _write_entropy_literals(bw, packed, main=True)
+    else:
+        raise ValueError("mode must be plain / subtract-green / palette")
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    if vp8x:
+        vp8x_body = (
+            b"\x04"  # XMP-metadata flag set; no ANIM/ALPH/ICCP/EXIF
+            + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        xmp = b"<x:xmpmeta/>"
+        chunk = (
+            b"VP8X" + len(vp8x_body).to_bytes(4, "little") + vp8x_body
+            + chunk
+            + b"XMP " + len(xmp).to_bytes(4, "little") + xmp
+        )
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -557,6 +557,54 @@ def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "multimodal_webp_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode end-to-end (r9, r8 verdict item 4): each
+    document's first 64 chars become the pixels of a REAL VP8L WebP —
+    RIFF container, LSB-first bitstream, real canonical prefix codes
+    serialized through the code-length-code machinery
+    (operators/webpcodec.py) — and the production fake=False mapInPandas
+    path decodes it back with the vendored dependency-free decoder.
+    The encoder rotates per-row (keyed by payload byte sum) over plain
+    literals / SUBTRACT_GREEN / COLOR_INDEXING-with-bundling, and
+    independently over simple vs extended (VP8X+XMP metadata)
+    containers, so one query exercises the transform inverses, sub-byte
+    unpacking, and the extended-container walk — not just the literal
+    path.  VP8L is lossless, so the oracle is
+    IDENTICAL to the PNG/netpbm tier's: container format must not
+    change pixel statistics.  mean_byte = sum/64 divides by a power of
+    two → bit-identical floats; the ASCII filter is symmetric with the
+    oracle (see multimodal_real_decode)."""
+    from hive_udf_spark.operators.multimodal import webp_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = webp_encoder_udf(8, 8)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     WITH t AS (
@@ -2948,7 +2996,7 @@ _MD_ORACLE = f"""
              trim(regexp_replace(
                p1 || ' ' || p2 || ' ' || p3 || ' ' || p4 || ' ' || p5 || ' '
                   || p6 || ' ' || p7 || ' tail done',
-               '\s+', ' ', 'g')) AS expected
+               '\\s+', ' ', 'g')) AS expected
       FROM c
     )
     SELECT doc_id,

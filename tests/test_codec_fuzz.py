@@ -23,10 +23,13 @@ from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
 from hive_udf_spark.operators.mp4codec import split_mp4_frames
 from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
+from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
 from hive_udf_spark.operators.zipcodec import split_zip_entries
 
 DECODERS = [
     decode_to_gray,
+    decode_webp_gray,
+    decode_vp8l,
     decode_jpeg_gray,
     split_mp4_frames,
     decode_tiff_gray,
@@ -58,6 +61,7 @@ def _seed_blobs() -> list[bytes]:
     from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
     from hive_udf_spark.operators.tiffcodec import encode_tiff
+    from hive_udf_spark.operators.webpcodec import encode_webp_lossless
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
     from hive_udf_spark.operators.zipcodec import encode_zip
 
@@ -81,6 +85,8 @@ def _seed_blobs() -> list[bytes]:
         encode_tiff(g, lzw=True, predictor=2, rows_per_strip=3),
         encode_jpeg_progressive(g, quality=90, restart_interval=2),
         encode_warc([{"headers": {}, "payload": http}], gzip_records=True),
+        encode_webp_lossless(g, mode="plain"),
+        encode_webp_lossless(g % 64, mode="palette"),
     ]
 
 

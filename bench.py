@@ -739,6 +739,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_xrefstream_extract"].fn(spark, sf_dir))
 
+    def q_codec_pdf_type0():
+        # r9: Type0/Identity-H extraction — ToUnicode CMap parse +
+        # per-code routing of 2-byte-CID hex show strings
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_pdf_type0_extract"].fn(spark, sf_dir))
+
     def q_warc_content_encoding():
         # r9: HTTP Content-Encoding (gzip/deflate/stacked-chunked) decode
         # inside WARC ingestion
@@ -929,6 +936,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "streaming_boilerplate": q_streaming_boilerplate,
         "codec_webp_decode": q_codec_webp_decode,
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
+        "codec_pdf_type0_extract": q_codec_pdf_type0,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

@@ -19,13 +19,23 @@ string syntax: nested balanced parens, all escape forms (``\\n \\r \\t
 drop-unknown-escape per spec) and hex strings ``<…>`` (odd length
 zero-padded).
 
+Font handling (r9): the page's ``/Resources → /Font`` dict is resolved
+(with page-tree inheritance) and the ``Tf`` operator tracked; fonts
+carrying a ``/ToUnicode`` CMap get every show-string code routed
+through it — codespacerange widths (1-4 bytes), ``bfchar``,
+``bfrange`` (scalar destinations via the successive-value rule AND the
+array form), UTF-16BE destinations including surrogate pairs — which
+is what makes modern subset-embedded ``/Type0 /Identity-H`` PDFs (the
+dominant real-world text shape) extract correctly.  Fonts without a
+CMap keep the latin-1 passthrough (exact for ASCII Type1 fixtures); a
+Type0 font WITHOUT ``/ToUnicode`` raises — its glyph codes have no
+unicode meaning, and quarantine beats silent CID garbage.
+
 Deliberately NOT vendored (raise explicitly, quarantine-routable):
 indirect ``/Length`` values, filters other than FlateDecode, TIFF
 predictor 2 / multi-component predictors, nested page-tree nodes,
-encrypted documents, and font encodings beyond the latin-1-compatible
-range (text extraction returns the content-stream string bytes decoded
-latin-1 — exact for the ASCII fixtures, and the common case for Type1
-text PDFs).
+encrypted documents, and non-CMap font /Encoding or /Differences
+tables (latin-1 passthrough covers the common Type1 case).
 
 ``encode_pdf`` is the classic-xref fixture twin: a syntactically
 complete PDF (catalog, page tree, Helvetica Type1 font resource,
@@ -560,18 +570,196 @@ def _stream_bytes(b: bytes, d: dict, j: int) -> bytes:
 
 _TEXT_OP = re.compile(rb"Tj|TJ|'|\"")
 
+# ToUnicode CMap bomb cap: entries across all bfchar/bfrange blocks
+_MAX_CMAP_ENTRIES = 1 << 17
 
-def _page_text(content: bytes) -> str:
+_HEX_OR_BRACKET = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+
+
+class _CMap:
+    """Parsed ToUnicode CMap: codespace ranges (code byte-widths) +
+    code→unicode mapping (spec §9.10.3; CMap syntax per Adobe CMap/
+    CIDFont spec §7.2)."""
+
+    __slots__ = ("ranges", "map")
+
+    def __init__(self, ranges: list[tuple[int, int, int]], mapping: dict):
+        if not ranges:
+            raise ValueError("PDF ToUnicode CMap has no codespace range")
+        self.ranges = ranges  # (width_bytes, lo, hi)
+        self.map = mapping  # (width_bytes, code) -> str
+
+    def decode(self, raw: bytes) -> str:
+        """Show-string bytes → unicode via codespace matching (shortest
+        matching width first) + bfchar/bfrange lookup.  Bytes outside
+        every codespace range, or codes with no mapping, raise — the
+        valid-output-or-ValueError contract (never silent mojibake)."""
+        out: list[str] = []
+        widths = sorted({w for w, _, _ in self.ranges})
+        i = 0
+        n = len(raw)
+        while i < n:
+            for w in widths:
+                if i + w > n:
+                    continue
+                code = int.from_bytes(raw[i : i + w], "big")
+                if any(lo <= code <= hi for rw, lo, hi in self.ranges if rw == w):
+                    u = self.map.get((w, code))
+                    if u is None:
+                        raise ValueError(
+                            f"PDF ToUnicode CMap has no mapping for code {code:#x}"
+                        )
+                    out.append(u)
+                    i += w
+                    break
+            else:
+                raise ValueError("PDF show string byte outside every codespace range")
+        return "".join(out)
+
+
+def _cmap_hex_tokens(block: bytes) -> list:
+    """Tokenize a CMap section body into hex-string bytes and bracket
+    markers ('[', ']')."""
+    toks = []
+    for m in _HEX_OR_BRACKET.finditer(block):
+        if m.group(1) is not None:
+            hx = re.sub(rb"\s", b"", m.group(1))
+            if len(hx) % 2:
+                raise ValueError("PDF CMap hex token has odd length")
+            toks.append(bytes.fromhex(hx.decode("ascii")))
+        elif m.group(2):
+            toks.append("[")
+        else:
+            toks.append("]")
+    return toks
+
+
+def _utf16be(dst: bytes) -> str:
+    if not dst or len(dst) % 2:
+        raise ValueError("PDF CMap destination is not UTF-16BE")
+    return dst.decode("utf-16-be")
+
+
+def _bump(dst: bytes, k: int) -> bytes:
+    """dst + k as a big-endian integer of the same byte length (the
+    spec's successive-value rule for bfrange destinations)."""
+    v = int.from_bytes(dst, "big") + k
+    if v >> (8 * len(dst)):
+        raise ValueError("PDF CMap bfrange destination overflows its width")
+    return v.to_bytes(len(dst), "big")
+
+
+def _parse_cmap(data: bytes) -> _CMap:
+    """Parse a ToUnicode CMap stream: codespacerange widths, bfchar
+    pairs, bfrange triples (scalar-destination and array forms)."""
+    ranges: list[tuple[int, int, int]] = []
+    mapping: dict = {}
+    total = 0
+
+    def add(width: int, code: int, dst: bytes) -> None:
+        nonlocal total
+        total += 1
+        if total > _MAX_CMAP_ENTRIES:
+            raise ValueError("PDF ToUnicode CMap exceeds the entry cap")
+        mapping[(width, code)] = _utf16be(dst)
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        toks = _cmap_hex_tokens(m.group(1))
+        if len(toks) % 2 or any(isinstance(t, str) for t in toks):
+            raise ValueError("PDF CMap codespacerange is not <lo> <hi> pairs")
+        for lo, hi in zip(toks[::2], toks[1::2]):
+            if len(lo) != len(hi) or not 1 <= len(lo) <= 4:
+                raise ValueError("PDF CMap codespace bounds width mismatch")
+            ranges.append(
+                (len(lo), int.from_bytes(lo, "big"), int.from_bytes(hi, "big"))
+            )
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _cmap_hex_tokens(m.group(1))
+        if len(toks) % 2 or any(isinstance(t, str) for t in toks):
+            raise ValueError("PDF CMap bfchar is not <src> <dst> pairs")
+        for src, dst in zip(toks[::2], toks[1::2]):
+            add(len(src), int.from_bytes(src, "big"), dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = _cmap_hex_tokens(m.group(1))
+        i = 0
+        while i < len(toks):
+            if i + 3 > len(toks) or isinstance(toks[i], str) or isinstance(
+                toks[i + 1], str
+            ):
+                raise ValueError("PDF CMap bfrange entry malformed")
+            lo, hi = toks[i], toks[i + 1]
+            if len(lo) != len(hi):
+                raise ValueError("PDF CMap bfrange bounds width mismatch")
+            w = len(lo)
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if hi_i < lo_i:
+                raise ValueError("PDF CMap bfrange is descending")
+            if toks[i + 2] == "[":
+                j = i + 3
+                k = 0
+                while j < len(toks) and toks[j] != "]":
+                    if isinstance(toks[j], str):
+                        raise ValueError("PDF CMap bfrange array nests brackets")
+                    add(w, lo_i + k, toks[j])
+                    j += 1
+                    k += 1
+                if j >= len(toks):
+                    raise ValueError("PDF CMap bfrange array not terminated")
+                if k != hi_i - lo_i + 1:
+                    raise ValueError("PDF CMap bfrange array length mismatch")
+                i = j + 1
+            else:
+                dst = toks[i + 2]
+                for k in range(hi_i - lo_i + 1):
+                    add(w, lo_i + k, _bump(dst, k))
+                i += 3
+    return _CMap(ranges, mapping)
+
+
+class _Font:
+    """Per-font decode policy: a ToUnicode CMap when present, else the
+    latin-1 passthrough (exact for ASCII Type1 fixtures — the
+    documented non-CMap behavior)."""
+
+    __slots__ = ("cmap",)
+
+    def __init__(self, cmap: _CMap | None):
+        self.cmap = cmap
+
+    def show(self, s: str) -> str:
+        if self.cmap is None:
+            return s
+        return self.cmap.decode(s.encode("latin-1"))
+
+
+def _page_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
     """Concatenate the strings shown by Tj / ' / \" / TJ, in stream
-    order.  A tiny operand-stack walk: strings and arrays are tracked,
-    numbers/names/other operators clear nothing (PDF content streams
+    order.  A tiny operand-stack walk: strings, arrays and names are
+    tracked, numbers/other operators clear nothing (PDF content streams
     are postfix; text-showing operators consume the latest string or
-    array operand)."""
+    array operand).
+
+    ``fonts`` maps resource names (``"/F1"``) to decode policies; the
+    ``Tf`` operator switches the active font, and show strings route
+    through its ToUnicode CMap when one exists.  ``fonts=None`` is the
+    legacy latin-1-everything mode (no font resolution)."""
     out: list[str] = []
     i = 0
     n = len(content)
     last_str: str | None = None
     last_arr: list | None = None
+    last_name: str | None = None
+    cur: _Font | None = None
+
+    def shown(s: str) -> str:
+        if fonts is None:
+            return s
+        if cur is None:
+            raise ValueError("PDF text shown before any Tf font selection")
+        return cur.show(s)
+
     while i < n:
         c = content[i : i + 1]
         if c in _WS:
@@ -588,6 +776,9 @@ def _page_text(content: bytes) -> str:
         if c == b"[":
             last_arr, i = _parse(content, i)
             continue
+        if c == b"/":
+            last_name, i = _parse(content, i)
+            continue
         if c == b"%":
             while i < n and content[i] not in b"\r\n":
                 i += 1
@@ -598,21 +789,83 @@ def _page_text(content: bytes) -> str:
             if op in (b"Tj", b"'", b'"'):
                 if last_str is None:
                     raise ValueError("PDF text operator with no string operand")
-                out.append(last_str)
+                out.append(shown(last_str))
                 last_str = None
             elif op == b"TJ":
                 if last_arr is None:
                     raise ValueError("PDF TJ with no array operand")
-                out.append("".join(x for x in last_arr if isinstance(x, str)))
+                out.append(
+                    "".join(shown(x) for x in last_arr if isinstance(x, str))
+                )
                 last_arr = None
+            elif op == b"Tf" and fonts is not None:
+                if last_name is None:
+                    raise ValueError("PDF Tf with no font-name operand")
+                if last_name not in fonts:
+                    raise ValueError(
+                        f"PDF content references undeclared font {last_name}"
+                    )
+                cur = fonts[last_name]
             i += len(op)
             continue
-        # numbers, names, dict tokens: skip one token
-        m = re.match(rb"/[^\s()<>\[\]{}/%]*|[+-]?[\d.]+|<<|>>", content[i:])
+        # numbers, dict tokens: skip one token
+        m = re.match(rb"[+-]?[\d.]+|<<|>>", content[i:])
         if not m:
             raise ValueError(f"PDF content syntax at byte {i}: {content[i:i+8]!r}")
         i += len(m.group(0))
     return "".join(out)
+
+
+def _page_fonts(
+    b: bytes,
+    xref: dict,
+    page: dict,
+    pages_node: dict,
+    objstms: dict,
+) -> dict[str, _Font]:
+    """Resolve the page's ``/Resources → /Font`` dict (with page-tree
+    inheritance) into decode policies: fonts carrying ``/ToUnicode``
+    get their CMap parsed from the stream; a ``/Type0`` font WITHOUT
+    one raises (Identity-H glyph codes have no unicode meaning on
+    their own — quarantine beats silent mojibake); everything else is
+    the documented latin-1 passthrough."""
+    res = page.get("/Resources", pages_node.get("/Resources"))
+    if isinstance(res, _Ref):
+        res, _ = _get_obj(b, xref, res, objstms)
+    if res is None:
+        return {}
+    if not isinstance(res, dict):
+        raise ValueError("PDF /Resources is not a dictionary")
+    fdict = res.get("/Font")
+    if isinstance(fdict, _Ref):
+        fdict, _ = _get_obj(b, xref, fdict, objstms)
+    if fdict is None:
+        return {}
+    if not isinstance(fdict, dict):
+        raise ValueError("PDF /Font resource is not a dictionary")
+    fonts: dict[str, _Font] = {}
+    for name, fref in fdict.items():
+        fobj = fref
+        if isinstance(fobj, _Ref):
+            fobj, _ = _get_obj(b, xref, fobj, objstms)
+        if not isinstance(fobj, dict):
+            raise ValueError(f"PDF font {name} is not a dictionary")
+        tu = fobj.get("/ToUnicode")
+        if tu is not None:
+            if not isinstance(tu, _Ref):
+                raise ValueError("PDF /ToUnicode must be a stream reference")
+            tdict, j = _get_obj(b, xref, tu, objstms)
+            if not isinstance(tdict, dict) or j < 0:
+                raise ValueError("PDF /ToUnicode is not a direct stream object")
+            fonts[name] = _Font(_parse_cmap(_stream_bytes(b, tdict, j)))
+        elif fobj.get("/Subtype") == "/Type0":
+            raise ValueError(
+                "PDF Type0 font without /ToUnicode not vendored (glyph codes "
+                "have no unicode meaning without the CMap)"
+            )
+        else:
+            fonts[name] = _Font(None)
+    return fonts
 
 
 @untrusted_decoder
@@ -659,7 +912,8 @@ def extract_pdf_pages(b: bytes) -> list[str]:
             raise ValueError("PDF /Contents object is not a stream dict")
         if j < 0:
             raise ValueError("PDF /Contents stream cannot live inside an ObjStm")
-        texts.append(_page_text(_stream_bytes(b, cdict, j)))
+        fonts = _page_fonts(b, xref, page, pages_node, objstms)
+        texts.append(_page_text(_stream_bytes(b, cdict, j), fonts))
     return texts
 
 
@@ -730,6 +984,151 @@ def encode_pdf(pages: list[str], flate: bool = False) -> bytes:
             + b"\nendstream"
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(buf)
+    total = len(objs) + 1
+    buf += f"xref\n0 {total}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF"
+    ).encode()
+    return bytes(buf)
+
+
+def _tounicode_cmap(cid_of: dict[str, int]) -> bytes:
+    """Build a real ToUnicode CMap for a CID assignment: one codespace
+    range, runs where both CID and codepoint step by 1 become bfrange
+    entries, singletons become bfchar — both section kinds exercised on
+    ordinary text — chunked at the spec's 100-entries-per-block limit."""
+    items = sorted((cid, ch) for ch, cid in cid_of.items())
+    bfranges: list[tuple[int, int, str]] = []
+    bfchars: list[tuple[int, str]] = []
+    i = 0
+    while i < len(items):
+        j = i
+        while (
+            j + 1 < len(items)
+            and items[j + 1][0] == items[j][0] + 1
+            and len(items[j][1]) == 1
+            and len(items[j + 1][1]) == 1
+            and ord(items[j + 1][1]) == ord(items[j][1]) + 1
+            # astral chars stay bfchar: the bfrange +k rule works on the
+            # raw UTF-16BE integer, which would jump the surrogate gap
+            and ord(items[j + 1][1]) < 0x10000
+        ):
+            j += 1
+        if j > i:
+            bfranges.append((items[i][0], items[j][0], items[i][1]))
+        else:
+            bfchars.append(items[i])
+        i = j + 1
+
+    def u16(s: str) -> str:
+        return s.encode("utf-16-be").hex().upper()
+
+    out = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    for k in range(0, len(bfchars), 100):
+        block = bfchars[k : k + 100]
+        out.append(f"{len(block)} beginbfchar\n".encode())
+        for cid, ch in block:
+            out.append(f"<{cid:04X}> <{u16(ch)}>\n".encode())
+        out.append(b"endbfchar\n")
+    for k in range(0, len(bfranges), 100):
+        block = bfranges[k : k + 100]
+        out.append(f"{len(block)} beginbfrange\n".encode())
+        for lo, hi, ch in block:
+            out.append(f"<{lo:04X}> <{hi:04X}> <{u16(ch)}>\n".encode())
+        out.append(b"endbfrange\n")
+    out.append(
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    return b"".join(out)
+
+
+def encode_pdf_type0(pages: list[str], flate: bool = True) -> bytes:
+    """Pages of text → a classic-xref PDF whose text is shown through a
+    ``/Type0`` ``/Identity-H`` font with an embedded ToUnicode CMap —
+    the shape virtually every modern subset-embedded-font PDF has.
+    Each distinct character gets a 2-byte CID (its rank, so consecutive
+    codepoints produce real bfrange runs); show strings are CID hex
+    strings — ``<...> Tj`` on even pages, a kerned two-element hex
+    ``TJ`` on odd — so extraction must route every byte pair through
+    the CMap.  Characters are unrestricted (full BMP + astral via
+    UTF-16BE surrogates), unlike the latin-1 Type1 twin."""
+    chars = sorted(set("".join(pages)))
+    if len(chars) > 0xFFFE:
+        raise ValueError("Type0 fixture supports at most 65534 distinct chars")
+    cid_of = {c: i + 1 for i, c in enumerate(chars)}  # CID 0 = notdef
+
+    def hexstr(t: str) -> bytes:
+        return b"<" + "".join(f"{cid_of[c]:04X}" for c in t).encode() + b">"
+
+    def content_for(idx: int, text: str) -> bytes:
+        if idx % 2 == 0 or len(text) < 2:
+            shown = hexstr(text) + b" Tj"
+        else:
+            mid = len(text) // 2
+            shown = b"[" + hexstr(text[:mid]) + b" -250 " + hexstr(text[mid:]) + b"] TJ"
+        return b"BT /F1 12 Tf 72 720 Td " + shown + b" ET"
+
+    n = len(pages)
+    font_num = 3 + 2 * n
+    desc_num = font_num + 1
+    tu_num = font_num + 2
+    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n))
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    for k, text in enumerate(pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {4 + 2 * k} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        data = content_for(k, text)
+        filt = b""
+        if flate:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            b"<< /Length " + str(len(data)).encode() + b" " + filt
+            + b">>\nstream\n" + data + b"\nendstream"
+        )
+    objs.append(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FAKEAA+Vendored "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {tu_num} 0 R >>"
+        ).encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FAKEAA+Vendored "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>"
+    )
+    cmap = _tounicode_cmap(cid_of)
+    tu_filt = b""
+    if flate:
+        cmap = zlib.compress(cmap)
+        tu_filt = b"/Filter /FlateDecode "
+    objs.append(
+        b"<< /Length " + str(len(cmap)).encode() + b" " + tu_filt
+        + b">>\nstream\n" + cmap + b"\nendstream"
+    )
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -1031,6 +1430,25 @@ def pdf_doc_encoder_udf(flate: bool = False):
         def one(t: str) -> bytes:
             mid = len(t) // 2
             return encode_pdf([t[:mid], t[mid:]], flate=flate)
+
+        return pd.Series([one(t) for t in text])
+
+    return enc
+
+
+def pdf_type0_doc_encoder_udf():
+    """Arrow-batched Type0 fixture encoder: (text) → a two-page PDF
+    whose text is shown as 2-byte-CID hex strings through a
+    /Type0 /Identity-H font with an embedded ToUnicode CMap
+    (``encode_pdf_type0``) — extraction must resolve the page font and
+    route every code through bfchar/bfrange to recover the halves."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(text: pd.Series) -> pd.Series:
+        def one(t: str) -> bytes:
+            mid = len(t) // 2
+            return encode_pdf_type0([t[:mid], t[mid:]])
 
         return pd.Series([one(t) for t in text])
 

@@ -2459,6 +2459,48 @@ def multimodal_pdf_xrefstream_extract(spark: SparkSession, sf_dir: str) -> DataF
     return pdf_pages_table(blobs)
 
 
+@register(
+    "multimodal_pdf_type0_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text AS s FROM documents
+    )
+    SELECT doc_id, 0 AS page_idx, 2 AS n_pages,
+           substr(s, 1, length(s) // 2) AS text,
+           CAST(length(s) // 2 AS BIGINT) AS n_chars
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1, 2,
+           substr(s, length(s) // 2 + 1),
+           CAST(length(s) - length(s) // 2 AS BIGINT)
+    FROM t
+    """,
+)
+def multimodal_pdf_type0_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0/ToUnicode PDF text extraction end-to-end (r9,
+    operators/pdfcodec.py): each document becomes a two-page PDF whose
+    text is shown as 2-byte-CID HEX strings through a /Type0
+    /Identity-H font carrying an embedded ToUnicode CMap — the shape
+    virtually every modern subset-embedded-font PDF has.  Extraction
+    must resolve the page's /Resources → /Font, parse the CMap
+    (codespacerange + bfchar + bfrange with the successive-value rule),
+    track the Tf operator, and route every show-string code pair
+    through it; latin-1 passthrough would emit CID garbage, so the
+    oracle (the same text-halves contract as the classic/1.5 queries)
+    fails loudly on any font-resolution gap.  No ASCII filter: the CID
+    path is codepoint-complete, and both engines slice text by CHAR
+    offsets, so the whole corpus participates."""
+    from hive_udf_spark.operators.pdfcodec import (
+        pdf_pages_table,
+        pdf_type0_doc_encoder_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = pdf_type0_doc_encoder_udf()
+    blobs = docs.select("doc_id", enc("text").alias("blob"))
+    return pdf_pages_table(blobs)
+
+
 # ---------------------------------------------------------------------------
 # Line-level hygiene (r8): C4 line filter + CCNet boilerplate removal
 # ---------------------------------------------------------------------------

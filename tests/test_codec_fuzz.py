@@ -21,6 +21,7 @@ from hive_udf_spark.operators.imagecodec import (
 )
 from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
 from hive_udf_spark.operators.mp4codec import split_mp4_frames
+from hive_udf_spark.operators.pdfcodec import extract_pdf_pages
 from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
 from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
@@ -41,6 +42,7 @@ DECODERS = [
     split_zip_entries,
     split_warc_records,
     http_response_body,
+    extract_pdf_pages,
 ]
 
 
@@ -60,6 +62,7 @@ def _seed_blobs() -> list[bytes]:
     )
     from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
     from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
@@ -87,6 +90,7 @@ def _seed_blobs() -> list[bytes]:
         encode_warc([{"headers": {}, "payload": http}], gzip_records=True),
         encode_webp_lossless(g, mode="plain"),
         encode_webp_lossless(g % 64, mode="palette"),
+        encode_pdf_type0(["fuzz pagé one", "ページ two"]),
     ]
 
 

@@ -208,3 +208,154 @@ def test_pdf15_pages_table_through_spark(spark):
         mid = len(t) // 2
         want = t[:mid] if r.page_idx == 0 else t[mid:]
         assert r.text == want
+
+
+# ---------------------------------------------------------------------------
+# Type0 / ToUnicode CMap (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_type0_round_trip_matrix():
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+
+    cases = [
+        ["hello world", "the quick brown fox"],
+        ["", "x"],
+        ["aaaa", "aaaa"],
+        ["héllo wörld — “smart” quotes", "日本語テキスト plus ASCII"],
+        ["astral 𝒜𝔅𝒞 mixed in", "plain"],
+        ["single page only"],
+    ]
+    for pages in cases:
+        for flate in (True, False):
+            assert extract_pdf_pages(encode_pdf_type0(pages, flate=flate)) == pages
+
+
+def test_type0_bfrange_successive_value_rule():
+    """Consecutive codepoints become bfrange entries whose destinations
+    increment per the successive-value rule; a long CJK run must decode
+    through them exactly."""
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+
+    pages = ["".join(chr(0x4E00 + i) for i in range(300))]
+    blob = encode_pdf_type0(pages, flate=False)
+    assert b"beginbfrange" in blob
+    assert extract_pdf_pages(blob) == pages
+
+
+def test_type0_astral_chars_stay_bfchar():
+    """Astral codepoints must not join bfrange runs (the +k rule on the
+    raw UTF-16BE integer would jump the surrogate gap)."""
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+
+    pages = ["".join(chr(0x1D7F8 + i) for i in range(16))]
+    assert extract_pdf_pages(encode_pdf_type0(pages)) == pages
+
+
+def test_cmap_parser_forms():
+    from hive_udf_spark.operators.pdfcodec import _parse_cmap
+
+    cm = _parse_cmap(
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00E9>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0020> <0022> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    assert cm.decode(b"\x00\x01\x00\x02") == "Aé"
+    assert cm.decode(b"\x00\x10\x00\x11\x00\x12") == "abc"
+    assert cm.decode(b"\x00\x20\x00\x21\x00\x22") == "XYZ"
+    # multi-code-unit destination (surrogate pair)
+    cm2 = _parse_cmap(
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <D835DC9C>\nendbfchar\n"
+    )
+    assert cm2.decode(b"\x41") == "\U0001d49c"
+
+
+def test_cmap_quarantine_paths():
+    import pytest
+
+    from hive_udf_spark.operators.pdfcodec import _parse_cmap
+
+    with pytest.raises(ValueError, match="no codespace"):
+        _parse_cmap(b"1 beginbfchar\n<01> <0041>\nendbfchar\n")
+    base = b"1 begincodespacerange\n<0000> <00FF>\nendcodespacerange\n"
+    cm = _parse_cmap(base + b"1 beginbfchar\n<0001> <0041>\nendbfchar\n")
+    with pytest.raises(ValueError, match="no mapping"):
+        cm.decode(b"\x00\x02")  # in codespace, unmapped
+    with pytest.raises(ValueError, match="outside every codespace"):
+        cm.decode(b"\x01\x00")  # outside the range
+    with pytest.raises(ValueError, match="odd length"):
+        _parse_cmap(base + b"1 beginbfchar\n<001> <0041>\nendbfchar\n")
+    with pytest.raises(ValueError, match="descending"):
+        _parse_cmap(base + b"1 beginbfrange\n<0005> <0001> <0041>\nendbfrange\n")
+    with pytest.raises(ValueError, match="length mismatch"):
+        _parse_cmap(base + b"1 beginbfrange\n<0001> <0003> [<0041>]\nendbfrange\n")
+    with pytest.raises(ValueError, match="not terminated"):
+        _parse_cmap(base + b"1 beginbfrange\n<0001> <0002> [<0041> <0042>\nendbfrange\n")
+    with pytest.raises(ValueError, match="not UTF-16BE"):
+        _parse_cmap(base + b"1 beginbfchar\n<0001> <41>\nendbfchar\n")
+
+
+def test_type0_without_tounicode_quarantines():
+    """An Identity-H font with no ToUnicode CMap cannot be mapped to
+    unicode — the document must raise, not emit CID garbage."""
+    import pytest
+
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+
+    blob = encode_pdf_type0(["some text", "more text"], flate=False)
+    stripped = blob.replace(b"/ToUnicode 9 0 R ", b"")
+    # offsets shifted -> rebuild is overkill; the xref check may trip
+    # first, but either way the contract is ValueError, never garbage
+    with pytest.raises(ValueError):
+        extract_pdf_pages(stripped)
+
+
+def test_undeclared_font_and_no_tf_quarantine():
+    import pytest
+
+    from hive_udf_spark.operators.pdfcodec import encode_pdf
+
+    blob = encode_pdf(["page text"], flate=False)
+    with pytest.raises(ValueError, match="undeclared font"):
+        extract_pdf_pages(blob.replace(b"BT /F1 12 Tf", b"BT /F9 12 Tf"))
+    with pytest.raises(ValueError, match="before any Tf"):
+        # same-length replacement keeps the xref offsets valid
+        extract_pdf_pages(blob.replace(b"BT /F1 12 Tf", b"BT          "))
+
+
+def test_type0_fuzz_byte_flips_never_escape():
+    import numpy as np
+
+    from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+
+    rng = np.random.default_rng(9)
+    base = bytearray(encode_pdf_type0(["fuzz target pagé", "ページ 2"]))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            pages = extract_pdf_pages(bytes(b))
+            assert isinstance(pages, list)
+        except ValueError:
+            pass
+
+
+def test_type0_pages_table_through_spark(spark):
+    from hive_udf_spark.operators.pdfcodec import pdf_type0_doc_encoder_udf
+
+    docs = spark.createDataFrame(
+        [(i, f"döcument numérο {i} ボディ text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    enc = pdf_type0_doc_encoder_udf()
+    blobs = docs.select("doc_id", enc("text").alias("blob"))
+    out = pdf_pages_table(blobs).collect()
+    assert len(out) == 16
+    for r in out:
+        t = f"döcument numérο {r.doc_id} ボディ text"
+        mid = len(t) // 2
+        want = t[:mid] if r.page_idx == 0 else t[mid:]
+        assert r.text == want

@@ -746,6 +746,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_type0_extract"].fn(spark, sf_dir))
 
+    def q_codec_flac_decode():
+        # r9: FLAC decode throughput — frame walk, Rice residual decode,
+        # FIXED prediction, CRC verification, Arrow-batched
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_flac_audio_features"].fn(spark, sf_dir))
+
     def q_warc_content_encoding():
         # r9: HTTP Content-Encoding (gzip/deflate/stacked-chunked) decode
         # inside WARC ingestion
@@ -937,6 +944,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_webp_decode": q_codec_webp_decode,
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
         "codec_pdf_type0_extract": q_codec_pdf_type0,
+        "codec_flac_decode": q_codec_flac_decode,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

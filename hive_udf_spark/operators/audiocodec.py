@@ -34,6 +34,8 @@ import numpy as np
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
 __all__ = [
+    "decode_audio",
+    "audio_info",
     "decode_wav",
     "encode_wav_pcm",
     "encode_wav_g711",
@@ -42,6 +44,27 @@ __all__ = [
     "g711_decode",
     "g711_encode",
 ]
+
+
+def decode_audio(b: bytes):
+    """Magic-dispatched audio decode → (int32 (n, channels), rate):
+    RIFF/WAV (PCM, G.711, IMA ADPCM) or FLAC (operators.flaccodec).
+    Anything else raises ValueError — quarantine-routable."""
+    if b[:4] == b"fLaC":
+        from hive_udf_spark.operators.flaccodec import decode_flac
+
+        return decode_flac(b)
+    return decode_wav(b)
+
+
+def audio_info(b: bytes) -> dict:
+    """Magic-dispatched header parse; both containers report
+    ``bits_per_sample``, ``sample_rate`` and ``channels``."""
+    if b[:4] == b"fLaC":
+        from hive_udf_spark.operators.flaccodec import flac_info
+
+        return flac_info(b)
+    return wav_info(b)
 
 
 def _chunks(b: bytes):

@@ -347,6 +347,32 @@ def gif_encoder_udf(
     return enc
 
 
+def flac_encoder_udf(n_samples: int, sample_rate: int = 8000, bits: int = 16):
+    """Arrow-batched FLAC fixture encoder: a ``pandas_udf`` mapping an
+    n_samples-char ASCII payload to a real FLAC stream whose 16-bit
+    samples are the centered char codes (c - 128) —
+    ``flaccodec.encode_flac``: STREAMINFO, frame CRCs, best-of FIXED
+    prediction with Rice residuals.  FLAC is lossless, so the WAV
+    tier's integer-exact amplitude oracle applies unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import flaccodec
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_samples:
+                raise ValueError(f"payload must be exactly {n_samples} ASCII chars")
+            return flaccodec.encode_flac(
+                a.astype(np.int32) - 128, sample_rate=sample_rate, bits=bits
+            )
+
+        return s.map(one)
+
+    return enc
+
+
 def adpcm_block_encoder_udf(scale: int = 100, block_align: int = 8):
     """Arrow-batched IMA-ADPCM fixture encoder: a ``pandas_udf`` mapping a
     64-char ASCII payload to a WAV-format-0x11 stream where each char
@@ -603,7 +629,7 @@ def decode_audio_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
                     x = x[:, None]
                     rate = 0
                 else:
-                    x, rate = audiocodec.decode_wav(b)
+                    x, rate = audiocodec.decode_audio(b)
                 n = x.shape[0]
                 total = int(x.sum(dtype=np.int64))
                 rows["doc_id"].append(int(doc_id))
@@ -647,8 +673,8 @@ def decode_audio_quality(blobs: DataFrame, silence_threshold: int = 1) -> DataFr
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
-                x, rate = audiocodec.decode_wav(b)
-                bits = audiocodec.wav_info(b)["bits_per_sample"]
+                x, rate = audiocodec.decode_audio(b)
+                bits = audiocodec.audio_info(b)["bits_per_sample"]
                 flat = x.ravel().astype(np.int64)
                 hi = (1 << (bits - 1)) - 1
                 rows["doc_id"].append(int(doc_id))
@@ -799,7 +825,7 @@ def audio_fingerprint_table(blobs: DataFrame, bits: int = AFP_BITS) -> DataFrame
     operators.dedup.hamming_block_pairs for near-duplicate AUDIO:
     with image_ahash_table this closes the modality set — text,
     image, and audio dedup all share one blocked-pairs discipline."""
-    from hive_udf_spark.operators.audiocodec import decode_wav
+    from hive_udf_spark.operators.audiocodec import decode_audio
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -807,7 +833,7 @@ def audio_fingerprint_table(blobs: DataFrame, bits: int = AFP_BITS) -> DataFrame
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "afp": [
-                        audio_fingerprint(decode_wav(b)[0], bits)
+                        audio_fingerprint(decode_audio(b)[0], bits)
                         for b in pdf["blob"]
                     ],
                 }

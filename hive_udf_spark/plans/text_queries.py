@@ -1261,6 +1261,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_flac_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           (list_sum(cps) - 8192) / 64.0 AS mean_amp,
+           CAST(list_max([abs(c - 128) for c in cps]) AS INT) AS max_abs
+    FROM b
+    """,
+)
+def multimodal_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end (r9, operators/flaccodec.py):
+    each document's first 64 chars become the 16-bit samples (c - 128)
+    of a REAL FLAC stream — STREAMINFO, frame header with CRC-8,
+    best-of FIXED-order prediction, optimally-parameterized Rice
+    residuals, frame CRC-16 — and the production fake=False mapInPandas
+    path decodes it back with the vendored dependency-free decoder
+    (magic-dispatched next to RIFF/WAV in audiocodec.decode_audio).
+    FLAC is lossless, so the oracle is IDENTICAL to the 8-bit-WAV
+    query's: the codec layer must not change amplitude statistics.
+    mean_amp divides by a power of two → bit-identical floats; ASCII
+    filter symmetric with the oracle."""
+    from hive_udf_spark.operators.multimodal import (
+        decode_audio_features,
+        flac_encoder_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = flac_encoder_udf(64, sample_rate=8000, bits=16)
+    blobs = docs.select("doc_id", payload.alias("__s")).filter(
+        F.col("__s").rlike("^[\\x00-\\x7F]*$")
+    ).select("doc_id", enc(F.col("__s")).alias("blob"))
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
     "multimodal_pcm24_audio_features",
     oracle="""
     WITH t AS (

@@ -13,7 +13,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from hive_udf_spark.operators.audiocodec import decode_wav, wav_info
+from hive_udf_spark.operators.audiocodec import decode_audio, decode_wav, wav_info
+from hive_udf_spark.operators.flaccodec import decode_flac, flac_info
 from hive_udf_spark.operators.gifcodec import decode_gif_gray, split_gif_frames
 from hive_udf_spark.operators.imagecodec import (
     decode_to_gray,
@@ -39,6 +40,9 @@ DECODERS = [
     split_container_frames,
     wav_info,
     decode_wav,
+    decode_audio,
+    decode_flac,
+    flac_info,
     split_zip_entries,
     split_warc_records,
     http_response_body,
@@ -62,6 +66,7 @@ def _seed_blobs() -> list[bytes]:
     )
     from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    from hive_udf_spark.operators.flaccodec import encode_flac
     from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
     from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
@@ -91,6 +96,7 @@ def _seed_blobs() -> list[bytes]:
         encode_webp_lossless(g, mode="plain"),
         encode_webp_lossless(g % 64, mode="palette"),
         encode_pdf_type0(["fuzz pagé one", "ページ two"]),
+        encode_flac((300 * np.sin(np.arange(256) / 7)).astype(np.int32)),
     ]
 
 

@@ -746,6 +746,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_type0_extract"].fn(spark, sf_dir))
 
+    def q_codec_tar_extract():
+        # r9: tar shard walk — checksum-verified headers, PAX/GNU long
+        # names, gzip stratum
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_tar_extract"].fn(spark, sf_dir))
+
+    def q_webdataset_group():
+        # r9: WebDataset sample assembly — map-side contiguity grouping,
+        # zero shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webdataset_group"].fn(spark, sf_dir))
+
     def q_codec_flac_decode():
         # r9: FLAC decode throughput — frame walk, Rice residual decode,
         # FIXED prediction, CRC verification, Arrow-batched
@@ -945,6 +959,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
         "codec_pdf_type0_extract": q_codec_pdf_type0,
         "codec_flac_decode": q_codec_flac_decode,
+        "codec_tar_extract": q_codec_tar_extract,
+        "webdataset_group": q_webdataset_group,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

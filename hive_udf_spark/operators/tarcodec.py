@@ -1,0 +1,471 @@
+"""Vendored tar (ustar / GNU / PAX) archive walker + WebDataset-style
+sample grouping, implemented from the POSIX.1-1988/2001 formats.
+
+Tar shards are THE standard distribution container for large-scale
+multimodal training data (the WebDataset convention: each sample's
+members — ``000123.jpg`` / ``000123.txt`` / ``000123.cls`` — stored as
+CONSECUTIVE archive members sharing a filename stem).  This module
+vendors the ingestion surface:
+
+* 512-byte header blocks with the header checksum VERIFIED (unsigned
+  sum, chksum field as spaces);
+* ustar ``prefix`` long names, GNU ``L`` long-name entries, PAX ``x``
+  extended headers (``len key=value\\n`` records; ``path`` and ``size``
+  overrides honored, others skipped), PAX ``g`` globals skipped by
+  length;
+* size fields in both octal-ASCII and GNU base-256 encodings;
+* regular files ('0'/NUL) and directories ('5'); link/device entries
+  skipped by their (zero) payload; end-of-archive zero blocks;
+* transparent ``.tar.gz``: a gzip-wrapped archive is bounded-inflated
+  first (the repo-wide ``d.eof`` discipline).
+
+``webdataset_samples_table`` groups members into samples MAP-SIDE using
+the format's contiguity contract (consecutive members share a stem) —
+the scale answer: no shuffle, no blob movement, exactly how production
+WebDataset loaders stream shards.  ``tar_entries_table`` mirrors the
+ZIP tier's per-entry stats and quarantine semantics.
+
+``encode_tar`` is the fixture twin (ustar, GNU long-name, PAX, each
+optionally gzip-wrapped) so every decode path runs across a corpus.
+
+Every entry point follows the valid-output-or-ValueError contract
+(``_codec_util.untrusted_decoder``); byte-flip fuzz runs in tests.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java:1) — this extends the
+mandated multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
+__all__ = [
+    "split_tar_entries",
+    "encode_tar",
+    "tar_entries_table",
+    "webdataset_samples_table",
+    "tar_doc_encoder_udf",
+    "wds_doc_encoder_udf",
+]
+
+_BLOCK = 512
+_MAX_ARCHIVE_BYTES = 1 << 30
+_MAX_ENTRIES = 1 << 20
+
+
+def _bounded_gunzip(data: bytes) -> bytes:
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(data, _MAX_ARCHIVE_BYTES + 1)
+    except zlib.error as exc:
+        raise ValueError(f"tar.gz: corrupt gzip stream: {exc}") from exc
+    if len(out) > _MAX_ARCHIVE_BYTES:
+        raise ValueError("tar.gz inflates past the archive cap")
+    if not d.eof:
+        raise ValueError("tar.gz gzip stream truncated")
+    if d.unused_data.strip(b"\x00"):
+        raise ValueError("tar.gz trailing bytes after gzip stream end")
+    return out
+
+
+def _field_num(raw: bytes, what: str) -> int:
+    """Tar numeric field: octal ASCII (NUL/space padded) or GNU
+    base-256 (first byte has the high bit set)."""
+    if raw and raw[0] & 0x80:
+        v = raw[0] & 0x7F
+        for byte in raw[1:]:
+            v = (v << 8) | byte
+        return v
+    s = raw.split(b"\x00")[0].strip(b" \x00")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as exc:
+        raise ValueError(f"tar: {what} field is not octal: {raw!r}") from exc
+
+
+def _checksum_ok(header: bytes) -> bool:
+    stored = _field_num(header[148:156], "chksum")
+    unsigned = sum(header[:148]) + 8 * 0x20 + sum(header[156:])
+    return stored == unsigned
+
+
+def _parse_pax(data: bytes) -> dict[str, str]:
+    """PAX extended-header records: ``<len> <key>=<value>\\n`` where len
+    is the decimal byte length of the whole record."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("tar: PAX record missing length delimiter")
+        try:
+            rlen = int(data[pos:sp])
+        except ValueError as exc:
+            raise ValueError("tar: PAX record length is not decimal") from exc
+        if rlen <= 0 or pos + rlen > len(data):
+            raise ValueError("tar: PAX record length out of bounds")
+        rec = data[sp + 1 : pos + rlen]
+        if not rec.endswith(b"\n"):
+            raise ValueError("tar: PAX record not newline-terminated")
+        key, eq, val = rec[:-1].partition(b"=")
+        if not eq:
+            raise ValueError("tar: PAX record has no '='")
+        out[key.decode("utf-8", "strict")] = val.decode("utf-8", "strict")
+        pos += rlen
+    return out
+
+
+@untrusted_decoder
+def split_tar_entries(b: bytes) -> list[tuple[str, bytes]]:
+    """Parse a tar (or tar.gz) archive into ordered regular-file
+    (name, data) entries, header checksums verified; directories and
+    zero-payload special entries are skipped."""
+    if b[:2] == b"\x1f\x8b":
+        b = _bounded_gunzip(b)
+    entries: list[tuple[str, bytes]] = []
+    pos = 0
+    pending_longname: str | None = None
+    pending_pax: dict[str, str] | None = None
+    while pos + _BLOCK <= len(b):
+        header = b[pos : pos + _BLOCK]
+        if header == b"\x00" * _BLOCK:
+            return entries  # end-of-archive marker
+        if not _checksum_ok(header):
+            raise ValueError(f"tar: header checksum mismatch at byte {pos}")
+        magic = header[257:263]
+        if magic not in (b"ustar\x00", b"ustar ", b"\x00" * 6):
+            raise ValueError(f"tar: unknown magic {magic!r}")
+        name = header[:100].split(b"\x00")[0].decode("utf-8", "strict")
+        prefix = header[345:500].split(b"\x00")[0].decode("utf-8", "strict")
+        if prefix and magic == b"ustar\x00":
+            name = prefix + "/" + name
+        size = _field_num(header[124:136], "size")
+        typeflag = header[156:157]
+        pos += _BLOCK
+        padded = (size + _BLOCK - 1) // _BLOCK * _BLOCK
+        if pos + size > len(b):
+            raise ValueError("tar: entry data overruns archive")
+        data = b[pos : pos + size]
+        pos += padded
+        if typeflag == b"L":  # GNU long name for the NEXT entry
+            pending_longname = data.split(b"\x00")[0].decode("utf-8", "strict")
+            continue
+        if typeflag == b"x":  # PAX extended header for the NEXT entry
+            pending_pax = _parse_pax(data)
+            continue
+        if typeflag == b"g":  # PAX global: parsed for validity, skipped
+            _parse_pax(data)
+            continue
+        if pending_longname is not None:
+            name = pending_longname
+            pending_longname = None
+        if pending_pax is not None:
+            if "path" in pending_pax:
+                name = pending_pax["path"]
+            if "size" in pending_pax:
+                # size override applies to THIS entry; re-slice
+                real = int(pending_pax["size"])
+                if real != size:
+                    raise ValueError(
+                        "tar: PAX size overriding a mismatched header size "
+                        "not vendored (sparse/huge entries)"
+                    )
+            pending_pax = None
+        if typeflag in (b"0", b"\x00"):
+            entries.append((name, data))
+            if len(entries) > _MAX_ENTRIES:
+                raise ValueError("tar: archive exceeds the entry cap")
+        elif typeflag in (b"5", b"1", b"2", b"3", b"4", b"6", b"7"):
+            if typeflag == b"5" and size:
+                raise ValueError("tar: directory entry with payload")
+            continue  # non-file entries carry no extractable payload
+        else:
+            raise ValueError(f"tar: typeflag {typeflag!r} not vendored")
+    if pos != len(b):
+        raise ValueError("tar: trailing partial block")
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _octal(v: int, width: int) -> bytes:
+    s = f"{v:0{width - 1}o}".encode()
+    if len(s) != width - 1:
+        raise ValueError(f"value {v} does not fit an octal field of {width}")
+    return s + b"\x00"
+
+
+def _header(name: str, size: int, typeflag: bytes) -> bytes:
+    nb = name.encode("utf-8")
+    if len(nb) > 100:
+        raise ValueError("tar header name over 100 bytes (use gnu/pax format)")
+    h = bytearray(_BLOCK)
+    h[0 : len(nb)] = nb
+    h[100:108] = _octal(0o644, 8)
+    h[108:116] = _octal(0, 8)
+    h[116:124] = _octal(0, 8)
+    h[124:136] = _octal(size, 12)
+    h[136:148] = _octal(0, 12)  # mtime 0: deterministic fixtures
+    h[148:156] = b" " * 8
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chksum = sum(h)
+    h[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def _padded(data: bytes) -> bytes:
+    pad = (-len(data)) % _BLOCK
+    return data + b"\x00" * pad
+
+
+def encode_tar(
+    entries: list[tuple[str, bytes]],
+    fmt: str = "ustar",
+    gzip_wrap: bool = False,
+) -> bytes:
+    """(name, data) entries → a tar archive.  ``fmt``: ``ustar`` (plain
+    headers), ``gnu`` (a GNU ``L`` long-name entry before EVERY member),
+    ``pax`` (a PAX ``x`` header with a ``path`` record before every
+    member) — the latter two exercise the long-name machinery even for
+    short names, the shapes GNU tar / bsdtar actually emit.
+    ``gzip_wrap`` produces the ``.tar.gz`` form (mtime 0: deterministic)."""
+    if fmt not in ("ustar", "gnu", "pax"):
+        raise ValueError("fmt must be ustar / gnu / pax")
+
+    def trunc100(s: str) -> str:
+        # byte-safe truncation for the cosmetic in-header name (the L /
+        # PAX record carries the authoritative one)
+        return s.encode("utf-8")[:100].decode("utf-8", "ignore") or "x"
+
+    out = bytearray()
+    for name, data in entries:
+        if fmt == "gnu":
+            nb = name.encode("utf-8") + b"\x00"
+            out += _header("././@LongLink", len(nb), b"L")
+            out += _padded(nb)
+            out += _header(trunc100(name), len(data), b"0")
+        elif fmt == "pax":
+            body = f"path={name}\n".encode("utf-8")
+            # record length counts its own decimal digits (fixpoint)
+            rlen = len(body) + 3
+            while len(str(rlen)) + 1 + len(body) != rlen:
+                rlen = len(str(rlen)) + 1 + len(body)
+            rec = str(rlen).encode() + b" " + body
+            out += _header(trunc100("./PaxHeaders/" + name), len(rec), b"x")
+            out += _padded(rec)
+            out += _header(trunc100(name), len(data), b"0")
+        else:
+            out += _header(name, len(data), b"0")
+        out += _padded(data)
+    out += b"\x00" * (2 * _BLOCK)
+    raw = bytes(out)
+    if gzip_wrap:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(raw) + co.flush()
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Spark table operators
+# ---------------------------------------------------------------------------
+
+TAR_ENTRIES_SCHEMA = (
+    "doc_id bigint, entry_idx int, name string, n_bytes bigint, byte_sum bigint"
+)
+TAR_ENTRIES_QUARANTINE_SCHEMA = TAR_ENTRIES_SCHEMA + ", decode_error string"
+
+WDS_SAMPLES_SCHEMA = (
+    "doc_id bigint, sample_idx int, key string, n_members int, "
+    "exts string, total_bytes bigint, byte_sum bigint"
+)
+
+
+def tar_entries_table(blobs, on_error: str = "raise"):
+    """(doc_id, blob) → one row per archive member via mapInPandas:
+    (doc_id, entry_idx, name, n_bytes, byte_sum) — the ZIP tier's
+    contract on tar shards.  Map-side only: archives never cross a
+    shuffle.  ``on_error="quarantine"``: a malformed archive becomes
+    ONE row with entry_idx = -1 and the message in ``decode_error``
+    (whole-archive quarantine — a bad header desyncs every later
+    offset)."""
+    from collections.abc import Iterator
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    cols = ["doc_id", "entry_idx", "name", "n_bytes", "byte_sum"] + (
+        ["decode_error"] if quarantine else []
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(**kv) -> None:
+                for k in cols:
+                    rows[k].append(kv.get(k))
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    entries = split_tar_entries(bytes(blob))
+                except ValueError as exc:
+                    if not quarantine:
+                        raise
+                    emit(doc_id=int(doc_id), entry_idx=-1, decode_error=str(exc))
+                    continue
+                for i, (name, data) in enumerate(entries):
+                    emit(
+                        doc_id=int(doc_id),
+                        entry_idx=i,
+                        name=name,
+                        n_bytes=len(data),
+                        byte_sum=sum(data),
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = TAR_ENTRIES_QUARANTINE_SCHEMA if quarantine else TAR_ENTRIES_SCHEMA
+    return blobs.mapInPandas(extract, schema=schema)
+
+
+def _stem_ext(name: str) -> tuple[str, str]:
+    """WebDataset key split: basename up to the FIRST dot is the sample
+    key; the rest (which may itself contain dots, e.g. ``seg.json``) is
+    the member extension."""
+    base = name.rsplit("/", 1)[-1]
+    stem, dot, ext = base.partition(".")
+    prefix = name[: len(name) - len(base)]
+    return prefix + stem, ext if dot else ""
+
+
+def webdataset_samples_table(blobs):
+    """(doc_id, blob=tar shard) → one row per WebDataset SAMPLE:
+    (doc_id, sample_idx, key, n_members, exts, total_bytes, byte_sum).
+
+    Grouping is MAP-SIDE inside the tar walk using the WebDataset
+    contiguity contract — members of one sample are consecutive archive
+    entries sharing a filename stem — so samples assemble with ZERO
+    shuffle and zero blob movement, exactly how production WebDataset
+    loaders stream shards.  (A groupBy on the stem would move every
+    payload byte through an exchange for no reason; at 100 TB that IS
+    the job cost.)  A stem seen again after a different stem intervened
+    violates the contract and raises — quarantine beats silently
+    splitting a sample in two."""
+    from collections.abc import Iterator
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "sample_idx", "key", "n_members", "exts",
+            "total_bytes", "byte_sum",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                entries = split_tar_entries(bytes(blob))
+                seen: set[str] = set()
+                cur_key: str | None = None
+                group: list[tuple[str, bytes]] = []
+                sample_idx = 0
+
+                def flush() -> None:
+                    nonlocal sample_idx
+                    if cur_key is None:
+                        return
+                    rows["doc_id"].append(int(doc_id))
+                    rows["sample_idx"].append(sample_idx)
+                    rows["key"].append(cur_key)
+                    rows["n_members"].append(len(group))
+                    rows["exts"].append(",".join(sorted(e for e, _ in group)))
+                    rows["total_bytes"].append(sum(len(d) for _, d in group))
+                    rows["byte_sum"].append(sum(sum(d) for _, d in group))
+                    sample_idx += 1
+
+                for name, data in entries:
+                    key, ext = _stem_ext(name)
+                    if key != cur_key:
+                        if key in seen:
+                            raise ValueError(
+                                f"tar: sample key {key!r} is not contiguous "
+                                "(WebDataset contract violated)"
+                            )
+                        flush()
+                        cur_key = key
+                        seen.add(key)
+                        group = []
+                    group.append((ext, data))
+                flush()
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=WDS_SAMPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder UDFs
+# ---------------------------------------------------------------------------
+
+
+def tar_doc_encoder_udf():
+    """Arrow-batched tar fixture encoder: (doc_id, text) → a two-member
+    archive — ``doc.txt`` = the text, ``meta.txt`` = ``id=N`` (the ZIP
+    tier's member set, so the same oracle gates both container
+    families) — with the container shape rotating by ``doc_id % 4``:
+    plain ustar, PAX path records, GNU long-name entries, ustar+gzip."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        variants = [
+            dict(fmt="ustar", gzip_wrap=False),
+            dict(fmt="pax", gzip_wrap=False),
+            dict(fmt="gnu", gzip_wrap=False),
+            dict(fmt="ustar", gzip_wrap=True),
+        ]
+
+        def one(did: int, t: str) -> bytes:
+            entries = [
+                ("doc.txt", t.encode("utf-8")),
+                ("meta.txt", f"id={did}".encode()),
+            ]
+            return encode_tar(entries, **variants[did % 4])
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+def wds_doc_encoder_udf():
+    """Arrow-batched WebDataset shard fixture: (doc_id, text) → a tar
+    whose members form TWO samples with the standard member layout —
+    ``<key>a.txt`` + ``<key>a.cls`` for the first half of the text,
+    ``<key>b.txt`` + ``<key>b.cls`` for the rest — members contiguous
+    per the WebDataset contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(did: int, t: str) -> bytes:
+            key = f"{did:08d}"
+            mid = len(t) // 2
+            cls = str(did % 10).encode()
+            entries = [
+                (f"{key}a.txt", t[:mid].encode("utf-8")),
+                (f"{key}a.cls", cls),
+                (f"{key}b.txt", t[mid:].encode("utf-8")),
+                (f"{key}b.cls", cls),
+            ]
+            return encode_tar(entries)
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc

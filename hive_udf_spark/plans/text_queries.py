@@ -2257,6 +2257,98 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tar_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id, 0 AS entry_idx, 'doc.txt' AS name,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum([unicode(c) for c in string_split(text, '')]), 0)
+                AS BIGINT) AS byte_sum
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1 AS entry_idx, 'meta.txt' AS name,
+           CAST(length('id=' || doc_id) AS BIGINT) AS n_bytes,
+           CAST(list_sum([unicode(c) for c in string_split('id=' || doc_id, '')])
+                AS BIGINT) AS byte_sum
+    FROM t
+    """,
+)
+def multimodal_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar shard walk end-to-end (r9, operators/tarcodec.py): each
+    document becomes a two-member archive (the ZIP query's member set,
+    so the same oracle gates both container families) whose container
+    shape rotates by doc_id — plain ustar, PAX path records, GNU
+    long-name entries, gzip-wrapped — and the production mapInPandas
+    path walks checksum-verified 512-byte headers, resolves the
+    long-name indirections, bounded-gunzips the .tar.gz stratum, and
+    emits integer-exact per-member stats.  The decoder is additionally
+    cross-validated against CPython's tarfile in tests (both
+    directions), so this oracle gates OUR walk, not a private dialect."""
+    from hive_udf_spark.operators.tarcodec import tar_doc_encoder_udf, tar_entries_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = tar_doc_encoder_udf()
+    blobs = (
+        docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", "text").alias("blob"))
+    )
+    return tar_entries_table(blobs)
+
+
+@register(
+    "multimodal_webdataset_group",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             substr(text, 1, length(text) // 2) AS h1,
+             substr(text, length(text) // 2 + 1) AS h2,
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k,
+             48 + doc_id % 10 AS cls_code
+      FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id, 0 AS sample_idx, k || 'a' AS key, 2 AS n_members,
+           'cls,txt' AS exts,
+           CAST(length(h1) + 1 AS BIGINT) AS total_bytes,
+           CAST(COALESCE(list_sum([unicode(c) for c in string_split(h1, '')]), 0)
+                + cls_code AS BIGINT) AS byte_sum
+    FROM t
+    UNION ALL
+    SELECT doc_id, 1, k || 'b', 2, 'cls,txt',
+           CAST(length(h2) + 1 AS BIGINT),
+           CAST(COALESCE(list_sum([unicode(c) for c in string_split(h2, '')]), 0)
+                + cls_code AS BIGINT)
+    FROM t
+    """,
+)
+def multimodal_webdataset_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample assembly end-to-end (r9,
+    operators/tarcodec.py): each document becomes a shard holding TWO
+    samples in the standard layout (``<key>a.txt``+``<key>a.cls``,
+    ``<key>b.txt``+``<key>b.cls``), and ``webdataset_samples_table``
+    groups members into samples MAP-SIDE via the format's contiguity
+    contract — zero shuffle, zero blob movement, exactly how production
+    WebDataset loaders stream 100 TB of shards.  The oracle recomputes
+    every sample's member count, extension set, and integer-exact byte
+    stats from the raw text."""
+    from hive_udf_spark.operators.tarcodec import (
+        wds_doc_encoder_udf,
+        webdataset_samples_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = wds_doc_encoder_udf()
+    blobs = (
+        docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", "text").alias("blob"))
+    )
+    return webdataset_samples_table(blobs)
+
+
+@register(
     "streaming_warc_ingest",
     oracle=f"""
     WITH h AS (

@@ -23,6 +23,7 @@ from hive_udf_spark.operators.imagecodec import (
 from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
 from hive_udf_spark.operators.mp4codec import split_mp4_frames
 from hive_udf_spark.operators.pdfcodec import extract_pdf_pages
+from hive_udf_spark.operators.tarcodec import split_tar_entries
 from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
 from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
@@ -47,6 +48,7 @@ DECODERS = [
     split_warc_records,
     http_response_body,
     extract_pdf_pages,
+    split_tar_entries,
 ]
 
 
@@ -68,6 +70,7 @@ def _seed_blobs() -> list[bytes]:
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
     from hive_udf_spark.operators.flaccodec import encode_flac
     from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
+    from hive_udf_spark.operators.tarcodec import encode_tar
     from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
@@ -97,6 +100,8 @@ def _seed_blobs() -> list[bytes]:
         encode_webp_lossless(g % 64, mode="palette"),
         encode_pdf_type0(["fuzz pagé one", "ページ two"]),
         encode_flac((300 * np.sin(np.arange(256) / 7)).astype(np.int32)),
+        encode_tar([("s1.txt", b"abc" * 30), ("s1.cls", b"3")], fmt="pax"),
+        encode_tar([("x.txt", b"y")], fmt="gnu", gzip_wrap=True),
     ]
 
 

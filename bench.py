@@ -746,6 +746,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_type0_extract"].fn(spark, sf_dir))
 
+    def q_vtt_parse():
+        # r9: WebVTT cue parsing — pure codegen, no UDF, no shuffle
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_vtt_parse"].fn(spark, sf_dir))
+
     def q_codec_tar_extract():
         # r9: tar shard walk — checksum-verified headers, PAX/GNU long
         # names, gzip stratum
@@ -961,6 +967,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_flac_decode": q_codec_flac_decode,
         "codec_tar_extract": q_codec_tar_extract,
         "webdataset_group": q_webdataset_group,
+        "vtt_parse": q_vtt_parse,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

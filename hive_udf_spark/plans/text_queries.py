@@ -3358,6 +3358,121 @@ def _srt_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def _vtt_ts_sql(ms: str, d: str, hours: bool) -> str:
+    """HH:MM:SS.mmm (or MM:SS.mmm when ``hours=False``) of integer ms."""
+    cast = "VARCHAR" if d == "duckdb" else "STRING"
+    pad2 = lambda x: f"lpad(CAST({x} AS {cast}), 2, '0')"
+    pad3 = lambda x: f"lpad(CAST({x} AS {cast}), 3, '0')"
+    div = "//" if d == "duckdb" else "div"
+    head = (
+        f"{pad2(f'({ms}) {div} 3600000')} || ':' || " if hours else ""
+    )
+    return (
+        head
+        + f"{pad2(f'(({ms}) {div} 60000) % 60')} || ':' || "
+        f"{pad2(f'(({ms}) {div} 1000) % 60')} || '.' || "
+        f"{pad3(f'({ms}) % 1000')}"
+    )
+
+
+def _vtt_cue_sql(k: int, d: str) -> str:
+    """Cue k (0-2): k=0 no id + full timestamps; k=1 text id +
+    SHORT (hour-less) timestamps + cue settings; k=2 numeric id +
+    multi-line text.  Same body thirds as the SRT fixture."""
+    start = f"((doc_id % 50) * 1000 + {k * 2000})"
+    end = f"({start} + 1500)"
+    l3 = "(length(text) // 3)" if d == "duckdb" else "(length(text) div 3)"
+    if k < 2:
+        body = f"substr(text, {k} * {l3} + 1, {l3})"
+    else:
+        tail = f"substr(text, 2 * {l3} + 1)"
+        half = f"(length({tail}) // 2)" if d == "duckdb" else f"(length({tail}) div 2)"
+        body = f"substr({tail}, 1, {half}) || chr(10) || substr({tail}, {half} + 1)"
+    hours = k != 1
+    ident = ["", "cue-b' || chr(10) || '", "7' || chr(10) || '"][k]
+    settings = " align:start line:0" if k == 1 else ""
+    return (
+        f"'{ident}' || {_vtt_ts_sql(start, d, hours)} || ' --> ' || "
+        f"{_vtt_ts_sql(end, d, hours)} || '{settings}' || chr(10) || {body}"
+    )
+
+
+def _vtt_file_sql(d: str) -> str:
+    """WEBVTT header (with a metadata line), a NOTE comment block that
+    must be skipped, then the three cues."""
+    cues = " || chr(10) || chr(10) || ".join(_vtt_cue_sql(k, d) for k in range(3))
+    return (
+        "('WEBVTT - generated fixture' || chr(10) || chr(10) || "
+        "'NOTE' || chr(10) || 'this comment block must vanish' "
+        "|| chr(10) || chr(10) || " + cues + ")"
+    )
+
+
+def _vtt_oracle() -> str:
+    l3 = "(length(text) // 3)"
+    tail = f"substr(text, 2 * {l3} + 1)"
+    half = f"(length({tail}) // 2)"
+    rows = []
+    ids = ["''", "'cue-b'", "'7'"]
+    for k in range(3):
+        start = f"((doc_id % 50) * 1000 + {k * 2000})"
+        if k < 2:
+            body = f"substr(text, {k} * {l3} + 1, {l3})"
+        else:
+            body = f"substr({tail}, 1, {half}) || chr(10) || substr({tail}, {half} + 1)"
+        rows.append(
+            f"SELECT doc_id, {k} AS cue_idx, {ids[k]} AS cue_id, "
+            f"CAST({start} AS BIGINT) AS start_ms, "
+            f"CAST({start} + 1500 AS BIGINT) AS end_ms, {body} AS cue_text, "
+            f"CAST(length({body}) AS BIGINT) AS n_chars FROM documents"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register("multimodal_vtt_parse", oracle=_vtt_oracle())
+def multimodal_vtt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT subtitle parsing (r9, functions/subtitles.py): each doc
+    becomes a caption file with the WEBVTT header block, a NOTE comment
+    block (both must vanish), and three cues covering the format's
+    SRT-divergences — no-id + full timestamps, text-id + HOUR-LESS
+    timestamps + cue settings after the end time, numeric-id +
+    multi-line text.  Split on blank lines, drop non-cue blocks by the
+    absence of an arrow line, one regexp per field with the optional
+    hours group folding to 0 — pure whole-stage-codegen column
+    expressions end to end (RE2-safe: no lookaheads), no UDF, no
+    shuffle."""
+    from hive_udf_spark.functions.subtitles import (
+        VTT_TEXT_PAT,
+        vtt_cue_id_sql,
+        vtt_time_ms_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_vtt_file_sql("spark")).alias("vtt"))
+    blocks = d.select(
+        "doc_id",
+        F.filter(
+            F.split("vtt", "\\n\\n"),
+            lambda x: x.contains("-->"),  # cue blocks only: header/NOTE drop
+        ).alias("cues"),
+    )
+    cues = blocks.select(
+        "doc_id", F.posexplode("cues").alias("cue_idx", "cue")
+    )
+    text_pat = VTT_TEXT_PAT.replace("\\", "\\\\")
+    return cues.select(
+        "doc_id",
+        "cue_idx",
+        F.expr(vtt_cue_id_sql("cue", "spark")).alias("cue_id"),
+        F.expr(vtt_time_ms_sql("cue", 1, "spark")).alias("start_ms"),
+        F.expr(vtt_time_ms_sql("cue", 5, "spark")).alias("end_ms"),
+        F.expr(f"regexp_extract(cue, '{text_pat}', 1)").alias("cue_text"),
+        F.expr(f"CAST(length(regexp_extract(cue, '{text_pat}', 1)) AS BIGINT)").alias(
+            "n_chars"
+        ),
+    )
+
+
 @register("multimodal_srt_parse", oracle=_srt_oracle())
 def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT subtitle parsing (r8, functions/subtitles.py): each doc

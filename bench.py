@@ -746,6 +746,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_type0_extract"].fn(spark, sf_dir))
 
+    def q_exif_extract():
+        # r9: EXIF IFD walk + integer micro-degree GPS fold
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_exif_extract"].fn(spark, sf_dir))
+
+    def q_exif_strip():
+        # r9: privacy scrub (APP1 drop) + full decode of the scrubbed blob
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_exif_strip"].fn(spark, sf_dir))
+
     def q_vtt_parse():
         # r9: WebVTT cue parsing — pure codegen, no UDF, no shuffle
         from hive_udf_spark.plans import QUERIES
@@ -968,6 +980,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_tar_extract": q_codec_tar_extract,
         "webdataset_group": q_webdataset_group,
         "vtt_parse": q_vtt_parse,
+        "exif_extract": q_exif_extract,
+        "exif_strip": q_exif_strip,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

@@ -2257,6 +2257,88 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_exif_extract",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS has_exif,
+           'Cam' || (doc_id % 5) AS make,
+           'M' || (doc_id % 3) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST((doc_id * 7919) % 180000001 - 90000000 AS BIGINT)
+           END AS lat_udeg,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST((doc_id * 104729) % 360000001 - 180000000 AS BIGINT)
+           END AS lon_udeg
+    FROM documents
+    WHERE regexp_matches(rpad(substr(text, 1, 64), 64, ' '), '^[\\x00-\\x7f]*$')
+    """,
+)
+def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction end-to-end (r9, operators/exif.py):
+    each document becomes a REAL baseline JPEG carrying a spec-valid
+    two-IFD APP1 segment (IFD0 make/model/orientation + GPS sub-IFD
+    with degree-minute-second RATIONAL triples, byte order alternating
+    per row, a no-GPS stratum), and the production mapInPandas path
+    walks the marker segments, both TIFF byte orders, and the IFD
+    entries, folding GPS DMS to INTEGER micro-degrees — exact
+    arithmetic, so the oracle recomputes every field from doc_id alone.
+    GPS coordinates are the PII routing signal a publication pipeline
+    filters on."""
+    from hive_udf_spark.operators.exif import exif_fixture_udf, exif_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = exif_fixture_udf(8, quality=100)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", F.col("__s")).alias("blob"))
+    )
+    return exif_table(blobs)
+
+
+@register(
+    "multimodal_exif_strip",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy scrub end-to-end (r9, operators/exif.py): the same
+    GPS-bearing JPEG fixture as multimodal_exif_extract is run through
+    ``strip_exif_blobs`` (APP1 Exif segments dropped, every other byte
+    verbatim) and THEN decoded — the oracle is the flat-block JPEG
+    pixel oracle, so any corruption of the entropy-coded data by the
+    scrub fails hash-exact; metadata REMOVAL is asserted by the
+    has_exif=false pytest on the same operator (tests/test_exif.py)."""
+    from hive_udf_spark.operators.exif import exif_fixture_udf, strip_exif_blobs
+    from hive_udf_spark.operators.multimodal import decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = exif_fixture_udf(8, quality=100)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(strip_exif_blobs(blobs), fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_tar_extract",
     oracle="""
     WITH t AS (

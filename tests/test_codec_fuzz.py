@@ -14,6 +14,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from hive_udf_spark.operators.audiocodec import decode_audio, decode_wav, wav_info
+from hive_udf_spark.operators.exif import parse_exif, strip_exif
 from hive_udf_spark.operators.flaccodec import decode_flac, flac_info
 from hive_udf_spark.operators.gifcodec import decode_gif_gray, split_gif_frames
 from hive_udf_spark.operators.imagecodec import (
@@ -49,6 +50,8 @@ DECODERS = [
     http_response_body,
     extract_pdf_pages,
     split_tar_entries,
+    parse_exif,
+    strip_exif,
 ]
 
 
@@ -68,6 +71,7 @@ def _seed_blobs() -> list[bytes]:
     )
     from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    from hive_udf_spark.operators.exif import add_exif
     from hive_udf_spark.operators.flaccodec import encode_flac
     from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
     from hive_udf_spark.operators.tarcodec import encode_tar
@@ -102,6 +106,10 @@ def _seed_blobs() -> list[bytes]:
         encode_flac((300 * np.sin(np.arange(256) / 7)).astype(np.int32)),
         encode_tar([("s1.txt", b"abc" * 30), ("s1.cls", b"3")], fmt="pax"),
         encode_tar([("x.txt", b"y")], fmt="gnu", gzip_wrap=True),
+        add_exif(
+            encode_jpeg(g, quality=90), "CamCo", "X100", 6,
+            37_774_900, -122_419_400,
+        ),
     ]
 
 

@@ -537,3 +537,31 @@ def test_srt_parse_is_pure_codegen(spark, sf_dir):
     plan = plan_of(QUERIES["multimodal_srt_parse"].fn(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_vtt_parse_is_pure_codegen(spark, sf_dir):
+    """WebVTT parsing (r9) holds SRT's contract: column expressions end
+    to end — no Python stage, no shuffle."""
+    plan = plan_of(QUERIES["multimodal_vtt_parse"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_r9_codec_queries_are_map_side(spark, sf_dir):
+    """The r9 decode/extract registry queries (WebP, Type0 PDF, FLAC,
+    tar, WebDataset grouping, EXIF extract/strip) must be pure map
+    work: blobs are built, decoded and reduced to feature rows without
+    ANY Exchange — at 100 TB a shuffle of blob bytes is the job cost.
+    The WDS grouping in particular must show its zero-shuffle
+    contiguity design here, not a groupBy."""
+    for name in [
+        "multimodal_webp_decode",
+        "multimodal_pdf_type0_extract",
+        "multimodal_flac_audio_features",
+        "multimodal_tar_extract",
+        "multimodal_webdataset_group",
+        "multimodal_exif_extract",
+        "multimodal_exif_strip",
+    ]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"

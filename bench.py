@@ -758,6 +758,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_exif_strip"].fn(spark, sf_dir))
 
+    def q_png_metadata():
+        # r9: PNG tEXt/zTXt/iTXt + eXIf chunk extraction
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_png_metadata_extract"].fn(spark, sf_dir))
+
     def q_vtt_parse():
         # r9: WebVTT cue parsing — pure codegen, no UDF, no shuffle
         from hive_udf_spark.plans import QUERIES
@@ -982,6 +988,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "vtt_parse": q_vtt_parse,
         "exif_extract": q_exif_extract,
         "exif_strip": q_exif_strip,
+        "png_metadata_extract": q_png_metadata,
         "warc_content_encoding": q_warc_content_encoding,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

@@ -49,6 +49,10 @@ __all__ = [
     "add_exif",
     "exif_table",
     "strip_exif_blobs",
+    "parse_png_metadata",
+    "strip_png_metadata",
+    "add_png_metadata",
+    "png_metadata_table",
 ]
 
 _MAX_ENTRIES = 512
@@ -144,11 +148,38 @@ def _dms_microdeg(v: tuple | None, endian: str) -> int | None:
     return num * 1_000_000 // den
 
 
-@untrusted_decoder
-def parse_exif(b: bytes) -> dict:
-    """JPEG → {has_exif, make, model, orientation, lat_udeg, lon_udeg}
-    (lat/lon signed integer micro-degrees, None when no GPS IFD)."""
-    out = {
+def _parse_tiff_exif(b: bytes, base: int, out: dict) -> None:
+    """TIFF-structured EXIF at ``b[base:]`` → fill make / model /
+    orientation / GPS micro-degrees into ``out`` (shared by the JPEG
+    APP1 payload and PNG's raw-TIFF ``eXIf`` chunk)."""
+    hdr = b[base : base + 8]
+    if hdr[:4] == b"II*\x00":
+        endian = "<"
+    elif hdr[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("EXIF TIFF header malformed")
+    out["has_exif"] = True
+    ifd0_off = struct.unpack_from(endian + "I", hdr, 4)[0]
+    ifd0 = _read_ifd(b, base, ifd0_off, endian)
+    out["make"] = _ascii(ifd0.get(_TAG_MAKE))
+    out["model"] = _ascii(ifd0.get(_TAG_MODEL))
+    out["orientation"] = _short(ifd0.get(_TAG_ORIENTATION), endian)
+    gps_ptr = _short(ifd0.get(_TAG_GPS_IFD), endian)
+    if gps_ptr is not None:
+        gps = _read_ifd(b, base, gps_ptr, endian)
+        lat = _dms_microdeg(gps.get(_GPS_LAT), endian)
+        lon = _dms_microdeg(gps.get(_GPS_LON), endian)
+        lat_ref = _ascii(gps.get(_GPS_LAT_REF)) or "N"
+        lon_ref = _ascii(gps.get(_GPS_LON_REF)) or "E"
+        if lat is not None:
+            out["lat_udeg"] = -lat if lat_ref == "S" else lat
+        if lon is not None:
+            out["lon_udeg"] = -lon if lon_ref == "W" else lon
+
+
+def _empty_exif() -> dict:
+    return {
         "has_exif": False,
         "make": None,
         "model": None,
@@ -156,34 +187,17 @@ def parse_exif(b: bytes) -> dict:
         "lat_udeg": None,
         "lon_udeg": None,
     }
+
+
+@untrusted_decoder
+def parse_exif(b: bytes) -> dict:
+    """JPEG → {has_exif, make, model, orientation, lat_udeg, lon_udeg}
+    (lat/lon signed integer micro-degrees, None when no GPS IFD)."""
+    out = _empty_exif()
     for marker, start, total in _iter_segments(b):
         if marker != 0xE1 or b[start + 4 : start + 10] != b"Exif\x00\x00":
             continue
-        base = start + 10
-        hdr = b[base : base + 8]
-        if hdr[:4] == b"II*\x00":
-            endian = "<"
-        elif hdr[:4] == b"MM\x00*":
-            endian = ">"
-        else:
-            raise ValueError("EXIF TIFF header malformed")
-        out["has_exif"] = True
-        ifd0_off = struct.unpack_from(endian + "I", hdr, 4)[0]
-        ifd0 = _read_ifd(b, base, ifd0_off, endian)
-        out["make"] = _ascii(ifd0.get(_TAG_MAKE))
-        out["model"] = _ascii(ifd0.get(_TAG_MODEL))
-        out["orientation"] = _short(ifd0.get(_TAG_ORIENTATION), endian)
-        gps_ptr = _short(ifd0.get(_TAG_GPS_IFD), endian)
-        if gps_ptr is not None:
-            gps = _read_ifd(b, base, gps_ptr, endian)
-            lat = _dms_microdeg(gps.get(_GPS_LAT), endian)
-            lon = _dms_microdeg(gps.get(_GPS_LON), endian)
-            lat_ref = _ascii(gps.get(_GPS_LAT_REF)) or "N"
-            lon_ref = _ascii(gps.get(_GPS_LON_REF)) or "E"
-            if lat is not None:
-                out["lat_udeg"] = -lat if lat_ref == "S" else lat
-            if lon is not None:
-                out["lon_udeg"] = -lon if lon_ref == "W" else lon
+        _parse_tiff_exif(b, start + 10, out)
         return out  # first Exif APP1 is authoritative per the spec
     return out
 
@@ -212,8 +226,7 @@ def strip_exif(b: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def add_exif(
-    jpeg: bytes,
+def build_tiff_exif(
     make: str,
     model: str,
     orientation: int,
@@ -221,11 +234,10 @@ def add_exif(
     lon_udeg: int | None = None,
     big_endian: bool = False,
 ) -> bytes:
-    """Insert a spec-valid APP1 Exif segment (IFD0 + GPS sub-IFD with
-    computed offsets) right after SOI.  GPS DMS rationals are exact:
-    micro-degrees → (deg/1, min/1, (udeg_remainder·60)/1000000)."""
-    if jpeg[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (SOI missing)")
+    """A spec-valid raw TIFF EXIF structure (IFD0 + GPS sub-IFD with
+    computed offsets) — the payload of a JPEG APP1 segment or a PNG
+    ``eXIf`` chunk.  GPS DMS rationals are exact: micro-degrees →
+    (deg/1, min/1, (udeg_remainder·60)/1000000)."""
     endian = ">" if big_endian else "<"
     make_b = make.encode("ascii") + b"\x00"
     model_b = model.encode("ascii") + b"\x00"
@@ -286,9 +298,257 @@ def add_exif(
             (_GPS_LON, 5, 3, dms(lon_udeg)),
         ]
         body += build_ifd(gps_entries, gps_off)
-    payload = b"Exif\x00\x00" + bytes(body)
+    return bytes(body)
+
+
+def add_exif(
+    jpeg: bytes,
+    make: str,
+    model: str,
+    orientation: int,
+    lat_udeg: int | None = None,
+    lon_udeg: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Insert a spec-valid APP1 Exif segment (``build_tiff_exif``)
+    right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (SOI missing)")
+    payload = b"Exif\x00\x00" + build_tiff_exif(
+        make, model, orientation, lat_udeg, lon_udeg, big_endian
+    )
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]
+
+
+# ---------------------------------------------------------------------------
+# PNG textual metadata (tEXt / zTXt / iTXt) and the raw-TIFF eXIf chunk
+# ---------------------------------------------------------------------------
+
+_PNG_META_CHUNKS = (b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME")
+_MAX_TEXT_BYTES = 1 << 20
+
+
+def _bounded_zlib(data: bytes, what: str) -> bytes:
+    import zlib
+
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, _MAX_TEXT_BYTES + 1)
+    except zlib.error as exc:
+        raise ValueError(f"{what}: corrupt zlib stream: {exc}") from exc
+    if len(out) > _MAX_TEXT_BYTES:
+        raise ValueError(f"{what}: inflates past the text cap")
+    if not d.eof:
+        raise ValueError(f"{what}: zlib stream truncated")
+    if d.unused_data:
+        raise ValueError(f"{what}: trailing bytes after stream end")
+    return out
+
+
+@untrusted_decoder
+def parse_png_metadata(b: bytes) -> dict:
+    """PNG → {texts: [(key, value)...], has_exif, make, model,
+    orientation, lat_udeg, lon_udeg} — tEXt (latin-1), zTXt
+    (zlib-deflated latin-1), iTXt (UTF-8, optionally deflated,
+    language/translated-key skipped), and the ``eXIf`` chunk (a raw
+    TIFF structure, parsed by the same IFD walker as JPEG APP1).
+    Chunk CRCs are validated by the shared imagecodec walker."""
+    from hive_udf_spark.operators.imagecodec import _png_chunks
+
+    out: dict = {"texts": [], **_empty_exif()}
+    for ctype, off, length in _png_chunks(b):
+        body = b[off : off + length]
+        if ctype == b"tEXt":
+            key, sep, val = body.partition(b"\x00")
+            if not sep:
+                raise ValueError("PNG tEXt missing key separator")
+            out["texts"].append(
+                (key.decode("latin-1"), val.decode("latin-1"))
+            )
+        elif ctype == b"zTXt":
+            key, sep, rest = body.partition(b"\x00")
+            if not sep or not rest or rest[0] != 0:
+                raise ValueError("PNG zTXt malformed (method must be 0)")
+            val = _bounded_zlib(rest[1:], "PNG zTXt")
+            out["texts"].append(
+                (key.decode("latin-1"), val.decode("latin-1"))
+            )
+        elif ctype == b"iTXt":
+            key, sep, rest = body.partition(b"\x00")
+            if not sep or len(rest) < 2:
+                raise ValueError("PNG iTXt malformed")
+            comp_flag, comp_method = rest[0], rest[1]
+            lang, sep1, rest2 = rest[2:].partition(b"\x00")
+            tkey, sep2, val = rest2.partition(b"\x00")
+            if not sep1 or not sep2:
+                raise ValueError("PNG iTXt missing language/translated-key")
+            if comp_flag == 1:
+                if comp_method != 0:
+                    raise ValueError("PNG iTXt compression method must be 0")
+                val = _bounded_zlib(val, "PNG iTXt")
+            elif comp_flag != 0:
+                raise ValueError("PNG iTXt compression flag invalid")
+            out["texts"].append(
+                (key.decode("latin-1"), val.decode("utf-8", "strict"))
+            )
+        elif ctype == b"eXIf":
+            _parse_tiff_exif(b, off, out)
+    return out
+
+
+@untrusted_decoder
+def strip_png_metadata(b: bytes) -> bytes:
+    """Remove tEXt/zTXt/iTXt/eXIf/tIME chunks from a PNG — the
+    pre-publication scrub (author, software, comments, timestamps, GPS
+    all live there); every other chunk passes through verbatim, so the
+    pixel data is provably untouched."""
+    from hive_udf_spark.operators.imagecodec import _png_chunks
+
+    drops = []
+    for ctype, off, length in _png_chunks(b):
+        start = off - 8
+        end = off + length + 4
+        if ctype in _PNG_META_CHUNKS:
+            drops.append((start, end))
+    if not drops:
+        return b
+    out = bytearray()
+    pos = 0
+    for s, e in drops:
+        out += b[pos:s]
+        pos = e
+    out += b[pos:]
+    return bytes(out)
+
+
+def _png_chunk_bytes(ctype: bytes, payload: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + ctype
+        + payload
+        + (_z.crc32(ctype + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def add_png_metadata(
+    png: bytes,
+    texts: list[tuple[str, str]] | None = None,
+    ztxt: list[tuple[str, str]] | None = None,
+    itxt: list[tuple[str, str]] | None = None,
+    exif: bytes | None = None,
+) -> bytes:
+    """Insert metadata chunks (tEXt / zTXt / iTXt / raw-TIFF eXIf)
+    right after IHDR — the fixture twin for parse/strip."""
+    import zlib as _z
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    # IHDR: first chunk, fixed 13-byte payload
+    ihdr_end = 8 + 8 + 13 + 4
+    extra = bytearray()
+    for k, v in texts or []:
+        extra += _png_chunk_bytes(
+            b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1")
+        )
+    for k, v in ztxt or []:
+        extra += _png_chunk_bytes(
+            b"zTXt",
+            k.encode("latin-1") + b"\x00\x00" + _z.compress(v.encode("latin-1")),
+        )
+    for k, v in itxt or []:
+        extra += _png_chunk_bytes(
+            b"iTXt",
+            k.encode("latin-1") + b"\x00\x01\x00en\x00\x00"
+            + _z.compress(v.encode("utf-8")),
+        )
+    if exif is not None:
+        extra += _png_chunk_bytes(b"eXIf", exif)
+    return png[:ihdr_end] + bytes(extra) + png[ihdr_end:]
+
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, n_texts int, author string, comment string, "
+    "software string, has_exif boolean, orientation int"
+)
+
+
+def png_metadata_table(blobs):
+    """(doc_id, blob) → PNG metadata row via mapInPandas: text-chunk
+    count, the conventional Author/Comment/Software keys, and the eXIf
+    orientation — map-side only."""
+    from collections.abc import Iterator
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "n_texts", "author", "comment", "software",
+            "has_exif", "orientation",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                meta = parse_png_metadata(bytes(blob))
+                kv = dict(meta["texts"])
+                rows["doc_id"].append(int(doc_id))
+                rows["n_texts"].append(len(meta["texts"]))
+                rows["author"].append(kv.get("Author"))
+                rows["comment"].append(kv.get("Comment"))
+                rows["software"].append(kv.get("Software"))
+                rows["has_exif"].append(meta["has_exif"])
+                rows["orientation"].append(meta["orientation"])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=PNG_META_SCHEMA)
+
+
+def png_metadata_fixture_udf(width: int = 8, height: int = 8):
+    """Arrow-batched fixture: (doc_id, payload) → a real Paeth-filtered
+    PNG carrying metadata derived from doc_id — Author via tEXt,
+    Comment alternating tEXt / zTXt / iTXt (all three chunk syntaxes
+    exercised), Software, and an eXIf chunk (big-endian on odd rows) on
+    the ``doc_id % 3 != 0`` stratum."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from hive_udf_spark.operators.imagecodec import encode_png
+
+        def one(did: int, t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            png = encode_png(a.reshape(height, width), filter_type=4)
+            comment = f"c{did % 11}"
+            kw = dict(
+                texts=[("Author", f"A{did % 7}")],
+                ztxt=[], itxt=[],
+            )
+            kind = did % 3
+            if kind == 0:
+                kw["texts"].append(("Comment", comment))
+            elif kind == 1:
+                kw["ztxt"].append(("Comment", comment))
+            else:
+                kw["itxt"].append(("Comment", comment))
+            kw["texts"].append(("Software", "spark-graft"))
+            exif = (
+                None
+                if did % 3 == 0
+                else build_tiff_exif(
+                    f"Cam{did % 5}", "P", 1 + did % 8, big_endian=bool(did % 2)
+                )
+            )
+            return add_png_metadata(png, exif=exif, **kw)
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, s)])
+
+    return enc
 
 
 def exif_fixture_udf(n_blocks_side: int = 8, quality: int = 100):

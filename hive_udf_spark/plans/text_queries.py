@@ -2339,6 +2339,49 @@ def multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_metadata_extract",
+    oracle="""
+    SELECT doc_id,
+           3 AS n_texts,
+           'A' || (doc_id % 7) AS author,
+           'c' || (doc_id % 11) AS comment,
+           'spark-graft' AS software,
+           doc_id % 3 <> 0 AS has_exif,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation
+    FROM documents
+    WHERE regexp_matches(rpad(substr(text, 1, 64), 64, ' '), '^[\\x00-\\x7f]*$')
+    """,
+)
+def multimodal_png_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG metadata extraction end-to-end (r9, operators/exif.py): each
+    document becomes a real Paeth-filtered PNG carrying Author /
+    Comment / Software text plus an eXIf chunk on two-thirds of rows —
+    the Comment rotates through all three chunk syntaxes (tEXt plain
+    latin-1, zTXt zlib-deflated, iTXt UTF-8-deflated with
+    language/translated-key fields), and the eXIf body is the same
+    raw-TIFF structure the JPEG tier parses, byte order alternating.
+    CRCs are validated by the shared chunk walker; the oracle
+    recomputes every field from doc_id.  The strip twin
+    (strip_png_metadata) is byte-exactness-tested in
+    tests/test_exif.py."""
+    from hive_udf_spark.operators.exif import (
+        png_metadata_fixture_udf,
+        png_metadata_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = png_metadata_fixture_udf(8, 8)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", F.col("__s")).alias("blob"))
+    )
+    return png_metadata_table(blobs)
+
+
+@register(
     "multimodal_tar_extract",
     oracle="""
     WITH t AS (

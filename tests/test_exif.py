@@ -123,3 +123,124 @@ def test_tables_through_spark(spark):
     stripped = strip_exif_blobs(blobs)
     out = {r.doc_id: r for r in exif_table(stripped).collect()}
     assert all(not out[i].has_exif for i in range(4))
+
+
+# ---------------------------------------------------------------------------
+# PNG textual metadata + eXIf (r9)
+# ---------------------------------------------------------------------------
+
+
+def _png():
+    from hive_udf_spark.operators.imagecodec import encode_png
+
+    return encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8), filter_type=4)
+
+
+def test_png_metadata_roundtrip_all_chunk_kinds():
+    from hive_udf_spark.operators.exif import (
+        add_png_metadata,
+        build_tiff_exif,
+        parse_png_metadata,
+        strip_png_metadata,
+    )
+    from hive_udf_spark.operators.imagecodec import decode_to_gray
+
+    png = _png()
+    exif = build_tiff_exif("CamCo", "X9", 6, 1_500_000, -2_250_000, big_endian=True)
+    j = add_png_metadata(
+        png,
+        texts=[("Author", "Ann"), ("Comment", "hi")],
+        ztxt=[("Software", "zlibwriter")],
+        itxt=[("Description", "unicode émoji ✓")],
+        exif=exif,
+    )
+    m = parse_png_metadata(j)
+    kv = dict(m["texts"])
+    assert kv == {
+        "Author": "Ann", "Comment": "hi",
+        "Software": "zlibwriter", "Description": "unicode émoji ✓",
+    }
+    assert m["has_exif"] and m["make"] == "CamCo" and m["orientation"] == 6
+    assert m["lat_udeg"] == 1_500_000 and m["lon_udeg"] == -2_250_000
+    # strip restores the original byte-for-byte; decoder unaffected
+    assert strip_png_metadata(j) == png
+    assert strip_png_metadata(png) == png
+    assert np.array_equal(
+        decode_to_gray(j), np.arange(64, dtype=np.uint8).reshape(8, 8)
+    )
+
+
+def test_png_metadata_quarantine():
+    from hive_udf_spark.operators.exif import (
+        add_png_metadata,
+        parse_png_metadata,
+        strip_png_metadata,
+    )
+
+    png = _png()
+    with pytest.raises(ValueError, match="not a PNG"):
+        add_png_metadata(b"JPEG", texts=[("k", "v")])
+    j = bytearray(add_png_metadata(png, texts=[("Author", "Ann")]))
+    j[40] ^= 0xFF  # corrupt inside the tEXt chunk → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png_metadata(bytes(j))
+    with pytest.raises(ValueError, match="CRC"):
+        strip_png_metadata(bytes(j))
+    # malformed zTXt method byte
+    import zlib
+
+    bad_ztxt = b"k\x00\x01" + zlib.compress(b"v")
+    chunk = (
+        len(bad_ztxt).to_bytes(4, "big") + b"zTXt" + bad_ztxt
+        + (zlib.crc32(b"zTXt" + bad_ztxt) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    blob = png[:33] + chunk + png[33:]
+    with pytest.raises(ValueError, match="method must be 0"):
+        parse_png_metadata(blob)
+
+
+def test_png_metadata_fuzz():
+    from hive_udf_spark.operators.exif import (
+        add_png_metadata,
+        build_tiff_exif,
+        parse_png_metadata,
+        strip_png_metadata,
+    )
+
+    rng = np.random.default_rng(6)
+    base = bytearray(
+        add_png_metadata(
+            _png(),
+            texts=[("Author", "Ann")],
+            ztxt=[("C", "zzz")],
+            exif=build_tiff_exif("M", "P", 1, 5, 5),
+        )
+    )
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        for fn in (parse_png_metadata, strip_png_metadata):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
+
+
+def test_png_metadata_table_through_spark(spark):
+    from hive_udf_spark.operators.exif import (
+        add_png_metadata,
+        png_metadata_table,
+    )
+
+    blobs = spark.createDataFrame(
+        [
+            (i, bytearray(add_png_metadata(_png(), texts=[("Author", f"A{i}")])))
+            for i in range(3)
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: r for r in png_metadata_table(blobs).collect()}
+    for i in range(3):
+        assert rows[i].author == f"A{i}" and rows[i].n_texts == 1
+        assert not rows[i].has_exif

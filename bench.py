@@ -798,6 +798,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_warc_content_encoding"].fn(spark, sf_dir))
 
+    def q_codec_zstd_roundtrip():
+        # r9: vendored RFC 8878 zstd — encode (shape-rotated) + full decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_zstd_roundtrip"].fn(spark, sf_dir))
+
+    def q_warc_zstd_encoding():
+        # r9: Content-Encoding: zstd bodies (plain/chunked/gzip-stacked)
+        # through the WARC walk + vendored zstd decoder
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_warc_zstd_content_encoding"].fn(spark, sf_dir))
+
+    def q_compressed_shards_scan():
+        # r9: .jsonl.{zst,xz,gz} shard ingestion — decode + line split +
+        # schema'd JSON parse
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_compressed_shards_scan"].fn(spark, sf_dir))
+
     def q_idn_fold():
         # r9: RFC 3492 punycode fold of unicode hosts before url_key
         from hive_udf_spark.plans import QUERIES
@@ -990,6 +1010,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "exif_strip": q_exif_strip,
         "png_metadata_extract": q_png_metadata,
         "warc_content_encoding": q_warc_content_encoding,
+        "codec_zstd_roundtrip": q_codec_zstd_roundtrip,
+        "warc_zstd_encoding": q_warc_zstd_encoding,
+        "compressed_shards_scan": q_compressed_shards_scan,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,
     }

@@ -401,6 +401,54 @@ def adpcm_block_encoder_udf(scale: int = 100, block_align: int = 8):
     return enc
 
 
+def zstd_encoder_udf(shape: str | None = None, pad_run: int = 48):
+    """Arrow-batched zstd fixture encoder (r9): maps a text payload to a
+    spec-valid RFC 8878 frame built by the vendored encoder twin
+    (``operators.zstdcodec``).  ``shape=None`` rotates deterministically
+    (keyed by a doc_id column supplied alongside) over the seven frame
+    shapes — raw blocks, RLE blocks, Huffman literals (1- and 4-stream),
+    predefined-FSE sequences, and both combined — so one registry query
+    covers every encoder-reachable decode path; checksums alternate
+    on/off by the same key.  ``pad_run`` appends a ``~`` run so the RLE
+    shape genuinely emits an RLE block on arbitrary corpus text."""
+    from pyspark.sql.functions import pandas_udf
+
+    shapes = ("raw", "rle", "huf", "huf4", "seq", "full", "full4")
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        def one(did: int, t: str) -> bytes:
+            payload = (t + "~" * pad_run).encode("utf-8")
+            s = shape if shape is not None else shapes[did % len(shapes)]
+            return zstd_compress(payload, shape=s, checksum=(did % 2 == 0))
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+def zstd_decode_text_udf(max_output: int = 1 << 24):
+    """Arrow-batched zstd decode → utf-8 text (the production direction
+    of the roundtrip fixture).  Malformed frames raise — the codec
+    roundtrip queries are oracle-gated, so a quarantine wrapper would
+    hide a twin bug; the quarantine path is exercised by the WARC
+    content-encoding operator instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(blob: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+
+        return pd.Series(
+            [zstd_decompress(bytes(b), max_output=max_output).decode("utf-8")
+             for b in blob]
+        )
+
+    return dec
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

@@ -43,6 +43,7 @@ __all__ = [
     "encode_http_response",
     "warc_records_table",
     "warc_coded_page_encoder_udf",
+    "warc_zstd_page_encoder_udf",
 ]
 
 _CRLF2 = b"\r\n\r\n"
@@ -70,7 +71,7 @@ def _bounded_inflate(data: bytes, wbits: int, what: str) -> bytes:
 
 def _decode_content_coding(body: bytes, coding: str) -> bytes:
     """Apply ONE HTTP content-coding (RFC 9110 §8.4) in decode
-    direction.  Unknown codings (br, zstd, compress, ...) raise — the
+    direction.  Unknown codings (br, compress, ...) raise — the
     table operator routes that to a per-record quarantine row instead
     of shipping compressed bytes onward as if they were text."""
     if coding in ("identity", ""):
@@ -84,6 +85,14 @@ def _decode_content_coding(body: bytes, coding: str) -> bytes:
             return _bounded_inflate(body, 15, "content-encoding deflate")
         except ValueError:
             return _bounded_inflate(body, -15, "content-encoding deflate")
+    if coding == "zstd":
+        # RFC 9659 registers zstd as an HTTP content-coding; decoded by
+        # the vendored RFC 8878 codec under the same bounded-inflate
+        # discipline (size cap, checksum verify, malformed → ValueError
+        # → per-record quarantine).
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+
+        return zstd_decompress(body, max_output=_MAX_MEMBER_BYTES)
     raise ValueError(f"unsupported content-coding {coding!r}")
 
 
@@ -296,7 +305,12 @@ def encode_http_response(
     so chunked+gzip stacks the way real crawls store it."""
     reason = {200: "OK", 404: "Not Found"}.get(status, "Status")
     head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {content_type}\r\n"
-    if content_encoding:
+    if content_encoding == "zstd":
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        body = zstd_compress(body, shape="auto")
+        head += "Content-Encoding: zstd\r\n"
+    elif content_encoding:
         wbits = {"gzip": 31, "deflate": 15, "deflate-raw": -15}.get(content_encoding)
         if wbits is None:
             raise ValueError(f"unknown fixture content-coding {content_encoding!r}")
@@ -441,6 +455,67 @@ def warc_coded_page_encoder_udf(
         return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
 
     return enc
+
+
+def warc_zstd_page_encoder_udf(
+    prefix: str,
+    suffix: str,
+    uri_prefix: str = "http://corpus.test/doc/",
+):
+    """zstd-coded crawl-chunk fixture encoder (r9): each record's HTTP
+    body is stored under ``Content-Encoding: zstd`` (RFC 9659), with
+    ``doc_id % 3`` selecting the delivery shape real servers produce:
+    0 = plain zstd + Content-Length, 1 = zstd under chunked transfer
+    (stacked layers decode transfer-first), 2 = ``gzip, zstd`` STACKED
+    content codings (gzip applied first, zstd second — decode runs
+    right-to-left).  The zstd frames come from the vendored encoder
+    twin's ``auto`` shape, i.e. real compressed blocks with Huffman
+    literals + predefined-FSE sequences, not raw-block shells."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        def one(did: int, t: str) -> bytes:
+            esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html = (prefix + esc + suffix).encode("utf-8")
+            mode = did % 3
+            if mode == 0:
+                http = encode_http_response(html, content_encoding="zstd")
+            elif mode == 1:
+                http = encode_http_response(
+                    html, chunked=True, chunk_size=256, content_encoding="zstd"
+                )
+            else:
+                stacked = zstd_compress(_gzip_whole(html), shape="auto")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: gzip, zstd\r\n"
+                    + f"Content-Length: {len(stacked)}\r\n\r\n".encode("ascii")
+                    + stacked
+                )
+            return encode_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"{uri_prefix}{did}",
+                        },
+                        "payload": http,
+                    }
+                ],
+                gzip_records=True,
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+def _gzip_whole(data: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
 
 
 # ---------------------------------------------------------------------------

@@ -916,6 +916,99 @@ def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "source_compressed_shards_scan",
+    oracle="""
+    SELECT doc_id,
+           (['zstd','xz','gzip'])[CAST((doc_id % 12) % 3 AS INT) + 1] AS codec,
+           lang,
+           CAST(length(text) AS BIGINT) AS parsed_chars
+    FROM documents
+    """,
+)
+def source_compressed_shards_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-shard corpus ingestion (r9): training corpora ship as
+    ``.jsonl.zst`` / ``.jsonl.xz`` / ``.jsonl.gz`` shard files.  The
+    fixture packs documents into 12 shards (doc_id % 12), serializes
+    each shard as line-delimited JSON sorted by doc_id, and compresses
+    it with the codec rotating by shard — zstd via the vendored RFC 8878
+    encoder twin (``auto`` shape: Huffman literals + predefined-FSE
+    sequences, with real cross-document LZ matches inside one frame),
+    xz via stdlib lzma, gzip via zlib.  The production direction then
+    decodes each shard map-side (zstd through the vendored decoder),
+    splits lines, and parses them back with an explicit schema; every
+    field must round-trip hash-exact.
+
+    Scale note: the shard-build groupBy is fixture-side only.  The real
+    ingestion shape this models is a binaryFile scan over shard objects
+    — compressed shards are non-splittable, so parallelism is across
+    files (10k+ shards at 100 TB), and each decode is a map-side
+    stream that never crosses a shuffle."""
+    import gzip as _gzip
+    import lzma as _lzma
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
+    staged = docs.select(
+        (F.col("doc_id") % 12).cast("int").alias("shard"),
+        F.col("doc_id").alias("_id"),
+        line.alias("line"),
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        shard = int(pdf["shard"].iloc[0])
+        payload = "\n".join(pdf.sort_values("_id")["line"]).encode("utf-8")
+        codec = ("zstd", "xz", "gzip")[shard % 3]
+        if codec == "zstd":
+            blob = zstd_compress(payload, shape="auto")
+        elif codec == "xz":
+            blob = _lzma.compress(payload, preset=6)
+        else:
+            blob = _gzip.compress(payload, compresslevel=6)
+        return pd.DataFrame({"shard": [shard], "codec": [codec],
+                             "blob": [blob]})
+
+    shards = staged.groupBy("shard").applyInPandas(
+        build_shard, "shard int, codec string, blob binary"
+    )
+
+    def decode_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+
+        for pdf in batches:
+            rows = []
+            for codec, blob in zip(pdf["codec"], pdf["blob"]):
+                b = bytes(blob)
+                if codec == "zstd":
+                    payload = zstd_decompress(b, max_output=1 << 28)
+                elif codec == "xz":
+                    payload = _lzma.decompress(b)
+                else:
+                    payload = _gzip.decompress(b)
+                for ln in payload.decode("utf-8").split("\n"):
+                    rows.append((codec, ln))
+            yield pd.DataFrame(rows, columns=["codec", "line"])
+
+    lines = shards.mapInPandas(decode_shards, "codec string, line string")
+    parsed = lines.select(
+        "codec",
+        F.from_json(
+            "line", "doc_id bigint, text string, lang string, n_chars bigint"
+        ).alias("r"),
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        "codec",
+        F.col("r.lang").alias("lang"),
+        F.length("r.text").cast("long").alias("parsed_chars"),
+    )
+
+
+@register(
     "source_csv_roundtrip_quarantine",
     oracle="""
     SELECT doc_id, (doc_id % 10 = 0) AS quarantined,

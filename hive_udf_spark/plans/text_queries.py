@@ -605,6 +605,114 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_zstd_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           (['raw','rle','huf','huf4','seq','full','full4'])
+               [CAST(doc_id % 7 AS INT) + 1] AS shape,
+           CAST(length(text) + 48 AS BIGINT) AS n_bytes,
+           text || repeat('~', 48) AS text_out
+    FROM documents
+    """,
+)
+def multimodal_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard (RFC 8878) decode end-to-end (r9): each document's text
+    (plus a 48-char ``~`` run so RLE blocks are reachable on arbitrary
+    prose) is framed by the vendored encoder twin
+    (operators/zstdcodec.py) with the frame SHAPE rotating by doc_id
+    over raw blocks / RLE blocks / Huffman literals (1- and 4-stream) /
+    predefined-FSE LZ sequences / both combined, checksums alternating
+    on and off — and the production Arrow-batched path decodes it back
+    through the vendored decoder (FSE table build, backward bitstreams,
+    repeat-offset machinery, xxh64 verify).  zstd is lossless, so the
+    oracle is the identity on the padded text: the whole entropy-coding
+    round trip must be invisible, which is what the hash check proves.
+    Decoder paths the twin cannot emit (FSE-compressed Huffman weights,
+    custom sequence tables, treeless reuse) are held green by pytest
+    cross-validation against the system zstd CLI in both directions."""
+    from hive_udf_spark.operators.multimodal import (
+        zstd_decode_text_udf,
+        zstd_encoder_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = zstd_encoder_udf()
+    dec = zstd_decode_text_udf()
+    shapes = "'raw','rle','huf','huf4','seq','full','full4'"
+    return (
+        docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"element_at(array({shapes}), cast(doc_id % 7 as int) + 1)"
+            ).alias("shape"),
+            dec("blob").alias("text_out"),
+        )
+        .select(
+            "doc_id",
+            "shape",
+            F.length("text_out").cast("long").alias("n_bytes"),
+            "text_out",
+        )
+    )
+
+
+@register(
+    "text_warc_zstd_content_encoding",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           (['zstd','chunked+zstd','gzip+zstd'])[CAST(doc_id % 3 AS INT) + 1]
+               AS delivery,
+           200 AS http_status,
+           {_html_chain_sql("html")} AS extracted,
+           CAST(length({_html_chain_sql("html")}) AS BIGINT) AS n_chars
+    FROM h
+    """,
+)
+def text_warc_zstd_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zstd-coded crawl ingestion (r9): real crawl WARCs increasingly
+    store response bodies under ``Content-Encoding: zstd`` (RFC 9659);
+    each document is stored that way in the three delivery shapes
+    servers produce — plain zstd + Content-Length, zstd under CHUNKED
+    transfer-encoding (transfer layer decodes first), and
+    ``gzip, zstd`` STACKED content codings (decode right-to-left) — and
+    the production walk (operators/warc.py + the vendored RFC 8878
+    decoder) must hand back the identical page text for every shape.
+    The oracle reproduces only the text construction+extraction; the
+    compression layers are lossless wrappers whose invisibility is what
+    the hash check proves."""
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.warc import (
+        warc_records_table,
+        warc_zstd_page_encoder_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = warc_zstd_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    recs = warc_records_table(blobs).filter(F.col("warc_type") == "response")
+    extracted = html_to_text(F.decode("body", "UTF-8"))
+    delivery = F.expr(
+        "element_at(array('zstd','chunked+zstd','gzip+zstd'), "
+        "cast(doc_id % 3 as int) + 1)"
+    )
+    return recs.select(
+        "doc_id",
+        delivery.alias("delivery"),
+        "http_status",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     WITH t AS (

@@ -29,8 +29,10 @@ from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
 from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
 from hive_udf_spark.operators.zipcodec import split_zip_entries
+from hive_udf_spark.operators.zstdcodec import zstd_decompress
 
 DECODERS = [
+    zstd_decompress,
     decode_to_gray,
     decode_webp_gray,
     decode_vp8l,
@@ -79,6 +81,7 @@ def _seed_blobs() -> list[bytes]:
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
     from hive_udf_spark.operators.zipcodec import encode_zip
+    from hive_udf_spark.operators.zstdcodec import zstd_compress
 
     rng = np.random.default_rng(0)
     g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
@@ -110,6 +113,9 @@ def _seed_blobs() -> list[bytes]:
             encode_jpeg(g, quality=90), "CamCo", "X100", 6,
             37_774_900, -122_419_400,
         ),
+        zstd_compress(b"fuzz me gently, fuzz me " * 12, shape="full"),
+        zstd_compress(b"ab" * 10 + b"~" * 40 + bytes(range(64)), shape="rle"),
+        zstd_compress(b"the entropy of prose " * 9, shape="huf4"),
     ]
 
 

@@ -562,6 +562,18 @@ def test_r9_codec_queries_are_map_side(spark, sf_dir):
         "multimodal_webdataset_group",
         "multimodal_exif_extract",
         "multimodal_exif_strip",
+        "multimodal_zstd_roundtrip",
+        "text_warc_zstd_content_encoding",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_compressed_shards_scan_single_fixture_shuffle(spark, sf_dir):
+    """source_compressed_shards_scan (r9): exactly ONE Exchange — the
+    fixture-side shard-build groupBy.  The production direction (decode
+    → line split → JSON parse) must all be map work; a second shuffle
+    would mean the scan path moves shard bytes around."""
+    plan = plan_of(QUERIES["source_compressed_shards_scan"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # hash exchange (+ possible AQE read)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan

@@ -83,6 +83,43 @@ def test_content_encoding_gzip_deflate_roundtrip():
     assert http_response_body(raw)[2] == body
 
 
+def test_content_encoding_zstd_roundtrip():
+    """r9: bodies stored with Content-Encoding: zstd (RFC 9659) decode
+    through the vendored RFC 8878 codec — plain, under chunked
+    transfer, and stacked over gzip (decode right-to-left)."""
+    from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+    body = HTML * 31
+    http = encode_http_response(body, content_encoding="zstd")
+    assert b"Content-Encoding: zstd" in http
+    st, hh, got = http_response_body(http)
+    assert st == 200 and got == body
+    # chunked transfer over a zstd-coded body
+    http = encode_http_response(
+        body, chunked=True, chunk_size=64, content_encoding="zstd")
+    assert http_response_body(http)[2] == body
+    # stacked content codings: gzip applied first, then zstd
+    import zlib as _zlib
+
+    co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+    stacked = zstd_compress(co.compress(body) + co.flush(), shape="auto")
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip, zstd\r\n"
+        + b"Content-Length: " + str(len(stacked)).encode() + b"\r\n\r\n"
+        + stacked
+    )
+    assert http_response_body(raw)[2] == body
+    # truncated zstd body → ValueError, not junk text
+    http_bad = encode_http_response(body, content_encoding="zstd")
+    head_end = http_bad.index(b"\r\n\r\n") + 4
+    cut = http_bad[: head_end + 20]
+    cut = cut.replace(
+        b"Content-Length: " + str(len(http_bad) - head_end).encode(),
+        b"Content-Length: 20")
+    with pytest.raises(ValueError):
+        http_response_body(cut)
+
+
 def test_content_encoding_unknown_or_corrupt_raises():
     body = HTML
     good = encode_http_response(body, content_encoding="gzip")
@@ -90,7 +127,9 @@ def test_content_encoding_unknown_or_corrupt_raises():
     bad = good.replace(b"Content-Encoding: gzip", b"Content-Encoding: br")
     with pytest.raises(ValueError, match="unsupported content-coding 'br'"):
         http_response_body(bad)
-    with pytest.raises(ValueError, match="unsupported content-coding 'zstd'"):
+    # zstd is now a SUPPORTED coding (r9) — malformed zstd bytes must
+    # surface as a zstd malformation error, not pass through
+    with pytest.raises(ValueError, match="zstd"):
         http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nxxxx"
         )

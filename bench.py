@@ -811,6 +811,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_warc_zstd_content_encoding"].fn(spark, sf_dir))
 
+    def q_media_probe():
+        # r9: Ogg/ID3/WebM structural probes — the O(header) triage pass
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_ogg_probe"].fn(spark, sf_dir))
+        _force(QUERIES["multimodal_id3_probe"].fn(spark, sf_dir))
+        _force(QUERIES["multimodal_webm_probe"].fn(spark, sf_dir))
+
     def q_compressed_shards_scan():
         # r9: .jsonl.{zst,xz,gz} shard ingestion — decode + line split +
         # schema'd JSON parse
@@ -1013,6 +1021,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_zstd_roundtrip": q_codec_zstd_roundtrip,
         "warc_zstd_encoding": q_warc_zstd_encoding,
         "compressed_shards_scan": q_compressed_shards_scan,
+        "media_probe": q_media_probe,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,
     }

@@ -449,6 +449,101 @@ def zstd_decode_text_udf(max_output: int = 1 << 24):
     return dec
 
 
+def ogg_encoder_udf():
+    """Arrow-batched Ogg fixture encoder (r9 media-probe tier): builds a
+    spec-valid Ogg Opus or Vorbis stream (CRC'd pages, identification +
+    comment headers, granule-stamped audio pages) from per-doc metadata.
+    Codec, channels, rate and pre-skip rotate deterministically by
+    doc_id so one query covers both codec walks and the granule→ms
+    conversion in each rate regime."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series, lang: pd.Series,
+            source: pd.Series, n_chars: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import (
+            encode_ogg_opus,
+            encode_ogg_vorbis,
+        )
+
+        def one(did: int, t: str, lg: str, src: str, nc: int) -> bytes:
+            tags = {"TITLE": t[:24], "LANG": lg, "SRC": src}
+            dur = nc * 37 + did % 997
+            ch = did % 2 + 1
+            if did % 2 == 0:
+                return encode_ogg_opus(dur, channels=ch,
+                                       pre_skip=did % 800, tags=tags)
+            rate = (22050, 44100, 48000)[did % 3]
+            return encode_ogg_vorbis(dur, channels=ch, sample_rate=rate,
+                                     tags=tags)
+
+        return pd.Series(
+            [one(int(d), t, lg, s, int(n))
+             for d, t, lg, s, n in zip(doc_id, text, lang, source, n_chars)]
+        )
+
+    return enc
+
+
+def mp3_encoder_udf():
+    """Arrow-batched MP3 fixture encoder (r9): ID3v2.3/2.4 text frames
+    (encodings rotating latin-1/UTF-16/UTF-8) + valid MPEG-1 Layer III
+    CBR frames; version, bitrate and channel mode rotate by doc_id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series, lang: pd.Series,
+            source: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import encode_mp3_id3
+
+        def one(did: int, t: str, lg: str, src: str) -> bytes:
+            return encode_mp3_id3(
+                n_frames=did % 90 + 5,
+                tags={"TIT2": t[:16], "TPE1": src, "TALB": lg},
+                bitrate_kbps=(128, 192, 320)[did % 3],
+                mono=(did % 3 == 0),
+                id3_major=(3, 4)[did % 2],
+            )
+
+        return pd.Series(
+            [one(int(d), t, lg, s)
+             for d, t, lg, s in zip(doc_id, text, lang, source)]
+        )
+
+    return enc
+
+
+def webm_encoder_udf():
+    """Arrow-batched WebM fixture encoder (r9): minimal spec-valid EBML
+    tree (Info + two TrackEntry elements); geometry, duration, codecs,
+    audio shape all rotate by doc fields."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, source: pd.Series,
+            n_chars: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import encode_webm
+
+        def one(did: int, src: str, nc: int) -> bytes:
+            return encode_webm(
+                duration_ms=nc * 100 + did % 1000,
+                width=16 * (did % 120 + 1),
+                height=16 * (did % 68 + 1),
+                v_codec=("V_VP8", "V_VP9", "V_AV1")[did % 3],
+                a_codec=("A_OPUS", "A_VORBIS")[did % 2],
+                sample_rate=(44100, 48000)[did % 2],
+                channels=did % 2 + 1,
+                writing_app=src,
+            )
+
+        return pd.Series(
+            [one(int(d), s, int(n))
+             for d, s, n in zip(doc_id, source, n_chars)]
+        )
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

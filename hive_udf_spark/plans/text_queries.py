@@ -713,6 +713,142 @@ def text_warc_zstd_content_encoding(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_ogg_probe",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, lang, source,
+             n_chars * 37 + doc_id % 997 AS dur,
+             CASE WHEN doc_id % 2 = 0 THEN 48000
+                  ELSE ([22050,44100,48000])[CAST(doc_id % 3 AS INT) + 1]
+             END AS rate
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 800 ELSE 0 END
+                AS INT) AS pre_skip,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN dur
+                ELSE ((dur * rate // 1000) * 1000) // rate END
+                AS BIGINT) AS duration_ms,
+           substr(text, 1, 24) AS title,
+           lang AS lang_tag,
+           source AS src_tag
+    FROM p
+    """,
+)
+def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container probe end-to-end (r9 media-probe tier): each
+    document becomes a spec-valid Ogg Opus or Vorbis stream (real
+    CRC-32'd pages, RFC 7845 OpusHead/OpusTags or Vorbis I
+    identification+comment headers, granule-stamped audio pages) and
+    the production mapInPandas probe (operators/mediaprobe.py) walks
+    pages, reassembles header packets, identifies the codec, and folds
+    the final granule position to an exact integer millisecond duration
+    (Opus at the fixed 48 kHz granule rate minus pre-skip; Vorbis at
+    the stream rate, where the encode→probe floor-division composition
+    is reproduced by the oracle).  The comment tags carry doc fields,
+    so tag extraction is held hash-exact alongside the numerics —
+    the triage pass a media corpus runs before any decode."""
+    from hive_udf_spark.operators.mediaprobe import ogg_probe_table
+    from hive_udf_spark.operators.multimodal import ogg_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = ogg_encoder_udf()
+    blobs = docs.select(
+        "doc_id",
+        enc("doc_id", "text", "lang", "source", "n_chars").alias("blob"),
+    )
+    return ogg_probe_table(blobs).drop("serial")
+
+
+@register(
+    "multimodal_id3_probe",
+    oracle="""
+    SELECT doc_id,
+           '2.' || CAST(3 + doc_id % 2 AS VARCHAR) || '.0' AS id3_version,
+           CAST(([128,192,320])[CAST(doc_id % 3 AS INT) + 1] AS INT)
+               AS bitrate_kbps,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+           CAST(doc_id % 90 + 5 AS INT) AS n_frames,
+           CAST((doc_id % 90 + 5) * 1152 * 1000 // 44100 AS BIGINT)
+               AS duration_ms,
+           substr(text, 1, 16) AS title,
+           source AS artist,
+           lang AS album
+    FROM documents
+    """,
+)
+def multimodal_id3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 probe end-to-end (r9): each document becomes an ID3v2.3 or
+    v2.4 tag (syncsafe sizes, text frames rotating through latin-1 /
+    UTF-16-BOM / UTF-8 encodings) followed by valid MPEG-1 Layer III
+    CBR frames, and the production probe parses the tag, validates and
+    WALKS every audio frame (sync, bitrate/rate indices, padding-aware
+    frame sizing), and reports the exact frame-count duration — the
+    metadata-extraction pass for the audio share of a crawl corpus,
+    held to a hash-exact oracle on both tags and numerics."""
+    from hive_udf_spark.operators.mediaprobe import id3_probe_table
+    from hive_udf_spark.operators.multimodal import mp3_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = mp3_encoder_udf()
+    blobs = docs.select(
+        "doc_id", enc("doc_id", "text", "lang", "source").alias("blob")
+    )
+    return id3_probe_table(blobs)
+
+
+@register(
+    "multimodal_webm_probe",
+    oracle="""
+    SELECT doc_id, 'webm' AS doctype,
+           CAST(n_chars * 100 + doc_id % 1000 AS BIGINT) AS duration_ms,
+           source AS writing_app,
+           CAST(1 AS INT) AS track_number, CAST(1 AS INT) AS track_type,
+           (['V_VP8','V_VP9','V_AV1'])[CAST(doc_id % 3 AS INT) + 1] AS codec,
+           CAST(16 * (doc_id % 120 + 1) AS INT) AS width,
+           CAST(16 * (doc_id % 68 + 1) AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS channels
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'webm',
+           CAST(n_chars * 100 + doc_id % 1000 AS BIGINT),
+           source,
+           CAST(2 AS INT), CAST(2 AS INT),
+           (['A_OPUS','A_VORBIS'])[CAST(doc_id % 2 AS INT) + 1],
+           CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(([44100,48000])[CAST(doc_id % 2 AS INT) + 1] AS INT),
+           CAST(doc_id % 2 + 1 AS INT)
+    FROM documents
+    """,
+)
+def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM structural probe end-to-end (r9): each document
+    becomes a minimal spec-valid WebM (EBML header, Segment → Info with
+    TimecodeScale + float64 Duration, Tracks with one video and one
+    audio TrackEntry) and the production probe walks the vint-framed
+    element tree to one row PER TRACK — doctype, integer-exact duration
+    (float Duration × TimecodeScale folded to ms), codec ids, video
+    geometry, audio rate/channels.  Rotations cover three video codecs,
+    two audio codecs, both audio shapes, and 120×68 geometry classes;
+    the oracle rebuilds both track rows per document with UNION ALL."""
+    from hive_udf_spark.operators.mediaprobe import webm_probe_table
+    from hive_udf_spark.operators.multimodal import webm_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = webm_encoder_udf()
+    blobs = docs.select(
+        "doc_id", enc("doc_id", "source", "n_chars").alias("blob")
+    )
+    return webm_probe_table(blobs)
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     WITH t AS (

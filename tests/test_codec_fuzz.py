@@ -29,10 +29,14 @@ from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
 from hive_udf_spark.operators.warc import http_response_body, split_warc_records
 from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
 from hive_udf_spark.operators.zipcodec import split_zip_entries
+from hive_udf_spark.operators.mediaprobe import id3_probe, ogg_probe, webm_probe
 from hive_udf_spark.operators.zstdcodec import zstd_decompress
 
 DECODERS = [
     zstd_decompress,
+    ogg_probe,
+    id3_probe,
+    webm_probe,
     decode_to_gray,
     decode_webp_gray,
     decode_vp8l,
@@ -80,6 +84,12 @@ def _seed_blobs() -> list[bytes]:
     from hive_udf_spark.operators.tiffcodec import encode_tiff
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
     from hive_udf_spark.operators.warc import encode_http_response, encode_warc
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_mp3_id3,
+        encode_ogg_opus,
+        encode_ogg_vorbis,
+        encode_webm,
+    )
     from hive_udf_spark.operators.zipcodec import encode_zip
     from hive_udf_spark.operators.zstdcodec import zstd_compress
 
@@ -116,6 +126,10 @@ def _seed_blobs() -> list[bytes]:
         zstd_compress(b"fuzz me gently, fuzz me " * 12, shape="full"),
         zstd_compress(b"ab" * 10 + b"~" * 40 + bytes(range(64)), shape="rle"),
         zstd_compress(b"the entropy of prose " * 9, shape="huf4"),
+        encode_ogg_opus(44100, tags={"TITLE": "fz"}),
+        encode_ogg_vorbis(12345, sample_rate=22050, tags={"A": "b"}),
+        encode_mp3_id3(6, tags={"TIT2": "fz", "TPE1": "zf"}, id3_major=4),
+        encode_webm(5000, 320, 240),
     ]
 
 

@@ -1,0 +1,176 @@
+"""Media probes (operators/mediaprobe.py): Ogg / ID3+MPEG / EBML-WebM.
+
+Twin→probe round trips across the rotation space, spec-edge vectors
+(packet spanning, exact-255 lacing, syncsafe sizes, UTF-16 tags, vint
+widths), and the malformed-input contract (CRC flips, truncations,
+unknown codecs → ValueError)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hive_udf_spark.operators.mediaprobe import (
+    _ogg_crc,
+    _ogg_page,
+    encode_mp3_id3,
+    encode_ogg_opus,
+    encode_ogg_vorbis,
+    encode_webm,
+    id3_probe,
+    ogg_probe,
+    webm_probe,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ogg
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_crc_is_the_unreflected_variant():
+    # distinguishes from zlib crc32: the Ogg CRC of "123456789" is the
+    # CRC-32/POSIX-family unreflected value with init 0 (0x89A1897F for
+    # the classic check string under poly 0x04C11DB7, init 0, xorout 0)
+    assert _ogg_crc(b"123456789") == 0x89A1897F
+    import zlib
+
+    assert _ogg_crc(b"123456789") != zlib.crc32(b"123456789")
+
+
+@pytest.mark.parametrize("dur,ch,skip", [(0, 1, 0), (1, 2, 1), (123456, 2, 312),
+                                         (999999, 1, 799)])
+def test_ogg_opus_roundtrip(dur, ch, skip):
+    st = ogg_probe(encode_ogg_opus(dur, channels=ch, pre_skip=skip,
+                                   tags={"TITLE": "t", "X": "=a=b="}))[0]
+    assert st["codec"] == "opus"
+    assert st["channels"] == ch
+    assert st["pre_skip"] == skip
+    assert st["duration_ms"] == dur
+    assert st["tags"]["X"] == "=a=b="  # value may contain '='
+
+
+@pytest.mark.parametrize("rate", [8000, 22050, 44100, 48000])
+def test_ogg_vorbis_roundtrip(rate):
+    dur = 54321
+    st = ogg_probe(encode_ogg_vorbis(dur, sample_rate=rate))[0]
+    assert st["codec"] == "vorbis"
+    assert st["sample_rate"] == rate
+    assert st["duration_ms"] == (dur * rate // 1000) * 1000 // rate
+
+
+def test_ogg_packet_spanning_and_exact_255_lacing():
+    """A packet split across pages (continuation) and a packet whose
+    length is an exact multiple of 255 (requires the 0 lace terminator)
+    must both reassemble."""
+    big = bytes(range(256)) * 3  # 768 bytes → laces 255,255,255,3... not exact
+    exact = b"z" * 510  # exact multiple → 255,255,0
+    head = b"OpusHead" + bytes([1, 2]) + struct.pack("<HIHB", 0, 48000, 0, 0)
+    tags = (b"OpusTags" + struct.pack("<I", 1) + b"v"
+            + struct.pack("<I", 1) + struct.pack("<I", 3) + b"A=b")
+    pages = [
+        _ogg_page(9, 0, 0, 0x02, [head]),
+        _ogg_page(9, 1, 0, 0x00, [tags, exact]),
+        _ogg_page(9, 2, 48000, 0x04, [big]),
+    ]
+    st = ogg_probe(b"".join(pages))[0]
+    assert st["codec"] == "opus" and st["duration_ms"] == 1000
+    assert st["tags"] == {"A": "b"}
+
+
+def test_ogg_crc_flip_and_unknown_codec_raise():
+    b = bytearray(encode_ogg_opus(5000))
+    b[40] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        ogg_probe(bytes(b))
+    theora = _ogg_page(7, 0, 0, 0x02, [b"\x80theora" + b"\x00" * 20])
+    with pytest.raises(ValueError, match="unsupported codec"):
+        ogg_probe(theora)
+
+
+def test_ogg_truncations_raise():
+    b = encode_ogg_opus(77777, tags={"TITLE": "x" * 100})
+    for cut in range(1, len(b), 13):
+        with pytest.raises(ValueError):
+            ogg_probe(b[:cut])
+
+
+# ---------------------------------------------------------------------------
+# ID3 / MPEG
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("major", [3, 4])
+@pytest.mark.parametrize("kbps", [128, 192, 320])
+def test_mp3_roundtrip(major, kbps):
+    p = id3_probe(encode_mp3_id3(
+        17, tags={"TIT2": "Tïtle", "TPE1": "Ärtist", "TALB": "アルバム"},
+        bitrate_kbps=kbps, id3_major=major))
+    assert p["id3_version"] == f"2.{major}.0"
+    assert p["bitrate_kbps"] == kbps
+    assert p["n_frames"] == 17
+    assert p["duration_ms"] == 17 * 1152 * 1000 // 44100
+    assert p["tags"]["TPE1"] == "Ärtist"
+    assert p["tags"]["TALB"] == "アルバム"  # survives UTF-16/UTF-8 frames
+
+
+def test_mp3_no_id3_tag_still_probes_frames():
+    full = encode_mp3_id3(4, tags={"TIT2": "x"})
+    bare = full[full.index(b"\xff\xfb"):]  # strip the ID3 tag
+    p = id3_probe(bare)
+    assert p["id3_version"] is None and p["n_frames"] == 4
+
+
+def test_mp3_malformed_raises():
+    good = encode_mp3_id3(3, tags={"TIT2": "q"})
+    with pytest.raises(ValueError, match="truncated final MPEG frame"):
+        id3_probe(good[:-10])
+    b = bytearray(good)
+    i = b.index(b"\xff\xfb")
+    b[i] = 0x00  # break sync
+    with pytest.raises(ValueError, match="lost sync"):
+        id3_probe(bytes(b))
+    with pytest.raises(ValueError, match="non-syncsafe"):
+        id3_probe(b"ID3\x04\x00\x00\xff\xff\xff\xff")
+
+
+# ---------------------------------------------------------------------------
+# WebM / EBML
+# ---------------------------------------------------------------------------
+
+
+def test_webm_roundtrip():
+    b = encode_webm(360360, 640, 360, v_codec="V_AV1", a_codec="A_VORBIS",
+                    sample_rate=44100, channels=1, writing_app="wä")
+    w = webm_probe(b)
+    assert w["doctype"] == "webm"
+    assert w["duration_ms"] == 360360
+    assert w["writing_app"] == "wä"
+    v, a = w["tracks"]
+    assert (v["codec"], v["width"], v["height"]) == ("V_AV1", 640, 360)
+    assert (a["codec"], a["sample_rate"], a["channels"]) == ("A_VORBIS", 44100, 1)
+
+
+def test_webm_large_geometry_vint_widths():
+    # multi-byte uints and a duration near 2^31 ms exercise wider vints
+    b = encode_webm(2_000_000_000, 7680, 4320)
+    w = webm_probe(b)
+    assert w["duration_ms"] == 2_000_000_000
+    assert w["tracks"][0]["width"] == 7680
+
+
+def test_webm_malformed_raises():
+    b = encode_webm(1000, 64, 64)
+    with pytest.raises(ValueError):  # zero lead byte: invalid vint
+        webm_probe(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="EBML header"):
+        webm_probe(b"\x83\x81\x01")  # valid element, wrong id
+    for cut in range(1, len(b), 7):
+        try:
+            webm_probe(b[:cut])
+        except ValueError:
+            continue
+        # some prefixes are structurally complete (clusters are optional);
+        # they must still carry the EBML header
+        assert b[:cut][:4] == b"\x1aE\xdf\xa3"

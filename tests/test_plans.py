@@ -564,6 +564,9 @@ def test_r9_codec_queries_are_map_side(spark, sf_dir):
         "multimodal_exif_strip",
         "multimodal_zstd_roundtrip",
         "text_warc_zstd_content_encoding",
+        "multimodal_ogg_probe",
+        "multimodal_id3_probe",
+        "multimodal_webm_probe",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles"

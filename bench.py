@@ -811,6 +811,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_warc_zstd_content_encoding"].fn(spark, sf_dir))
 
+    def q_orc_roundtrip():
+        # r9: native ORC sink+scan with predicate pushdown
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_orc_roundtrip"].fn(spark, sf_dir))
+
+    def q_xml_roundtrip():
+        # r9: native XML sink+scan, explicit schema, escape-invisible
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_xml_roundtrip"].fn(spark, sf_dir))
+
     def q_media_probe():
         # r9: Ogg/ID3/WebM structural probes — the O(header) triage pass
         from hive_udf_spark.plans import QUERIES
@@ -1022,6 +1034,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "warc_zstd_encoding": q_warc_zstd_encoding,
         "compressed_shards_scan": q_compressed_shards_scan,
         "media_probe": q_media_probe,
+        "orc_roundtrip": q_orc_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,
     }

@@ -124,11 +124,15 @@ def _parse_pax(data: bytes) -> dict[str, str]:
 
 @untrusted_decoder
 def split_tar_entries(b: bytes) -> list[tuple[str, bytes]]:
-    """Parse a tar (or tar.gz) archive into ordered regular-file
-    (name, data) entries, header checksums verified; directories and
-    zero-payload special entries are skipped."""
+    """Parse a tar (or tar.gz / tar.zst) archive into ordered
+    regular-file (name, data) entries, header checksums verified;
+    directories and zero-payload special entries are skipped."""
     if b[:2] == b"\x1f\x8b":
         b = _bounded_gunzip(b)
+    elif b[:4] == b"\x28\xb5\x2f\xfd":  # .tar.zst (r9: vendored RFC 8878)
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+
+        b = zstd_decompress(b, max_output=_MAX_ARCHIVE_BYTES)
     entries: list[tuple[str, bytes]] = []
     pos = 0
     pending_longname: str | None = None
@@ -240,7 +244,9 @@ def encode_tar(
     ``pax`` (a PAX ``x`` header with a ``path`` record before every
     member) — the latter two exercise the long-name machinery even for
     short names, the shapes GNU tar / bsdtar actually emit.
-    ``gzip_wrap`` produces the ``.tar.gz`` form (mtime 0: deterministic)."""
+    ``gzip_wrap`` produces the ``.tar.gz`` form (mtime 0: deterministic);
+    the string ``"zstd"`` produces ``.tar.zst`` via the vendored
+    RFC 8878 encoder twin (r9)."""
     if fmt not in ("ustar", "gnu", "pax"):
         raise ValueError("fmt must be ustar / gnu / pax")
 
@@ -271,6 +277,10 @@ def encode_tar(
         out += _padded(data)
     out += b"\x00" * (2 * _BLOCK)
     raw = bytes(out)
+    if gzip_wrap == "zstd":
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        return zstd_compress(raw, shape="auto")
     if gzip_wrap:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         return co.compress(raw) + co.flush()
@@ -430,6 +440,7 @@ def tar_doc_encoder_udf():
             dict(fmt="pax", gzip_wrap=False),
             dict(fmt="gnu", gzip_wrap=False),
             dict(fmt="ustar", gzip_wrap=True),
+            dict(fmt="pax", gzip_wrap="zstd"),  # .tar.zst stratum (r9)
         ]
 
         def one(did: int, t: str) -> bytes:
@@ -437,7 +448,7 @@ def tar_doc_encoder_udf():
                 ("doc.txt", t.encode("utf-8")),
                 ("meta.txt", f"id={did}".encode()),
             ]
-            return encode_tar(entries, **variants[did % 4])
+            return encode_tar(entries, **variants[did % 5])
 
         return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
 

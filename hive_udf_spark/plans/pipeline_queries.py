@@ -916,6 +916,82 @@ def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion (r9): documents round-trip through Spark's native
+    ORC source/sink, then a doc_id predicate filters the read side —
+    the filter must reach the ORC scan (predicate pushdown + ORC
+    row-group statistics skip stripes at scale; at 100 TB a filter that
+    does NOT push down re-reads the corpus).  Columns are pruned to the
+    three the query needs, so the scan schema is narrow.  ORC is the
+    second big columnar interchange format after parquet; a user
+    switching warehouses should not lose the engine."""
+    import tempfile
+
+    from hive_udf_spark.sources.text_files import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_orc(
+            docs.select("doc_id", "text", "lang", "source", "n_chars"),
+            f"{tmp}/orc",
+        )
+        back = (
+            read_orc(spark, f"{tmp}/orc")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(
+                "doc_id",
+                "lang",
+                F.length("text").cast("long").alias("parsed_chars"),
+            )
+        )
+        out = back.localCheckpoint(eager=True)
+    return out
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars
+    FROM documents
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (r9): documents serialized through Spark 4's
+    native XML sink (one ``<doc>`` row element per document, markup
+    characters entity-escaped by the writer) and re-read with an
+    EXPLICIT schema and surrounding-space preservation — the
+    escape/unescape layer must be invisible, which the hash check on
+    text length proves.  XML feeds (sitemaps, dumps, API exports) are a
+    standard corpus source; schema-explicit reads keep the scan
+    single-pass and type-stable like the JSONL/CSV tiers."""
+    import tempfile
+
+    from hive_udf_spark.sources.text_files import read_xml, write_xml
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_xml(docs.select("doc_id", "text", "lang"), f"{tmp}/xml")
+        back = (
+            read_xml(
+                spark, f"{tmp}/xml", "doc_id long, text string, lang string"
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.length("text").cast("long").alias("parsed_chars"),
+            )
+        )
+        out = back.localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "source_compressed_shards_scan",
     oracle="""
     SELECT doc_id,

@@ -91,3 +91,32 @@ def write_orc(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         w = w.partitionBy(*cols)
     w.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    row_tag: str = "doc",
+    keep_spaces: bool = True,
+) -> DataFrame:
+    """Read XML via Spark 4's built-in XML source with an EXPLICIT
+    schema (one pass, type-stable — the JSONL rule applies doubly to
+    XML, whose inference pass is costlier).  ``keep_spaces`` disables
+    surrounding-whitespace trimming so text round-trips byte-exact."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false" if keep_spaces else "true")
+        .schema(schema)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "doc", mode: str = "overwrite"
+) -> None:
+    """Write XML (one row element per record; markup entity-escaped by
+    the writer).  XML matters for feed interchange — sitemaps, wiki
+    dumps, API exports — not as a warehouse format."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

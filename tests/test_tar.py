@@ -117,6 +117,31 @@ def test_quarantine_paths():
     assert split_tar_entries(blob) == [("a.txt", b"d")]
 
 
+def test_tar_zst_transparent(tmp_path):
+    """r9: a .tar.zst archive (vendored RFC 8878 wrap) splits
+    transparently, cross-checked against the system zstd CLI when
+    present; corrupt zstd wrapper → ValueError."""
+    import shutil
+    import subprocess
+
+    blob = encode_tar(ENTRIES, fmt="pax", gzip_wrap="zstd")
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    assert split_tar_entries(blob) == ENTRIES
+    cli = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+    import os
+
+    if os.path.exists(cli):
+        # a REAL zstd-compressed tar must also split transparently
+        raw = encode_tar(ENTRIES, fmt="gnu")
+        real = subprocess.run([cli, "-19", "-c"], input=raw,
+                              capture_output=True, check=True).stdout
+        assert split_tar_entries(real) == ENTRIES
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        split_tar_entries(bytes(bad))
+
+
 def test_pax_record_validation():
     from hive_udf_spark.operators.tarcodec import _parse_pax
 

@@ -75,3 +75,21 @@ def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path, sf_dir):
         back.filter(F.col("doc_id") > 100)._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id" in plan2
+
+
+def test_xml_roundtrip_explicit_schema(spark, tmp_path, sf_dir):
+    """r9: the XML connector round-trips markup-laden text byte-exact
+    (writer escapes, reader unescapes, surrounding spaces preserved)."""
+    from hive_udf_spark.sources.text_files import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a < b & c > d", "en"), (2, "  padded  ", "fr"),
+         (3, 'quotes "and" <tags/>', "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "docs_xml")
+    write_xml(df, path)
+    back = read_xml(spark, path, "doc_id long, text string, lang string")
+    got = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
+    want = sorted((r.doc_id, r.text, r.lang) for r in df.collect())
+    assert got == want

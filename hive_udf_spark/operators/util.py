@@ -19,3 +19,24 @@ def null_safe_cond(left: DataFrame, right: DataFrame, cols: list[str]) -> Column
         c = left[g].eqNullSafe(right[g])
         cond = c if cond is None else cond & c
     return cond
+
+
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scatter a SMALL input before an expensive per-row UDF stage.
+
+    Python-heavy map stages (vendored codec encode/decode, media
+    probes) inherit their task count from the scan's split count.  At
+    corpus scale that is thousands of parquet splits and this helper is
+    a NO-OP — the condition below is false and no Exchange is added, so
+    the decode tier's blobs-never-shuffle property holds exactly where
+    it matters.  But a small input (one file under
+    ``maxPartitionBytes`` — every fixture table, or a user's single
+    drop file) yields ONE task and idles the rest of the cluster under
+    a CPU-bound UDF; here a round-robin scatter of the cheap pre-blob
+    rows buys full parallelism for the cost of shuffling kilobytes.
+    Always scatter BEFORE blob construction: text rows are small; the
+    encoded blobs are what must never cross an Exchange."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

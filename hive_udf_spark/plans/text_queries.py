@@ -378,12 +378,13 @@ def text_warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels — the compression layers are lossless wrappers whose
     invisibility is what the hash check proves."""
     from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.util import ensure_min_parallelism
     from hive_udf_spark.operators.warc import (
         warc_coded_page_encoder_udf,
         warc_records_table,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = warc_coded_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
     blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
     recs = warc_records_table(blobs, on_error="quarantine")
@@ -591,8 +592,9 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     two → bit-identical floats; the ASCII filter is symmetric with the
     oracle (see multimodal_real_decode)."""
     from hive_udf_spark.operators.multimodal import webp_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = webp_encoder_udf(8, 8)
     blobs = (
@@ -634,8 +636,9 @@ def multimodal_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         zstd_decode_text_udf,
         zstd_encoder_udf,
     )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = zstd_encoder_udf()
     dec = zstd_decode_text_udf()
     shapes = "'raw','rle','huf','huf4','seq','full','full4'"
@@ -689,12 +692,13 @@ def text_warc_zstd_content_encoding(spark: SparkSession, sf_dir: str) -> DataFra
     compression layers are lossless wrappers whose invisibility is what
     the hash check proves."""
     from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.util import ensure_min_parallelism
     from hive_udf_spark.operators.warc import (
         warc_records_table,
         warc_zstd_page_encoder_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = warc_zstd_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
     blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
     recs = warc_records_table(blobs).filter(F.col("warc_type") == "response")
@@ -753,8 +757,9 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triage pass a media corpus runs before any decode."""
     from hive_udf_spark.operators.mediaprobe import ogg_probe_table
     from hive_udf_spark.operators.multimodal import ogg_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = ogg_encoder_udf()
     blobs = docs.select(
         "doc_id",
@@ -793,8 +798,9 @@ def multimodal_id3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     held to a hash-exact oracle on both tags and numerics."""
     from hive_udf_spark.operators.mediaprobe import id3_probe_table
     from hive_udf_spark.operators.multimodal import mp3_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = mp3_encoder_udf()
     blobs = docs.select(
         "doc_id", enc("doc_id", "text", "lang", "source").alias("blob")
@@ -839,8 +845,9 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle rebuilds both track rows per document with UNION ALL."""
     from hive_udf_spark.operators.mediaprobe import webm_probe_table
     from hive_udf_spark.operators.multimodal import webm_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = webm_encoder_udf()
     blobs = docs.select(
         "doc_id", enc("doc_id", "source", "n_chars").alias("blob")
@@ -879,8 +886,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII filter is symmetric with the oracle (see
     multimodal_real_decode)."""
     from hive_udf_spark.operators.multimodal import jpeg_block_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = jpeg_block_encoder_udf(8, quality=100)
     blobs = (
@@ -919,8 +927,9 @@ def multimodal_progressive_jpeg_decode(spark: SparkSession, sf_dir: str) -> Data
     exercises all four scan decoders plus in-scan restarts, and the
     lossy multi-pass format is STILL held to a hash-exact oracle."""
     from hive_udf_spark.operators.multimodal import jpeg_block_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = jpeg_block_encoder_udf(8, quality=100, progressive=True, restart_interval=5)
     blobs = (
@@ -1539,8 +1548,9 @@ def multimodal_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFram
         decode_audio_features,
         flac_encoder_udf,
     )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = flac_encoder_udf(64, sample_rate=8000, bits=16)
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
@@ -2530,8 +2540,9 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPS coordinates are the PII routing signal a publication pipeline
     filters on."""
     from hive_udf_spark.operators.exif import exif_fixture_udf, exif_table
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = exif_fixture_udf(8, quality=100)
     blobs = (
@@ -2568,9 +2579,10 @@ def multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub fails hash-exact; metadata REMOVAL is asserted by the
     has_exif=false pytest on the same operator (tests/test_exif.py)."""
     from hive_udf_spark.operators.exif import exif_fixture_udf, strip_exif_blobs
+    from hive_udf_spark.operators.util import ensure_min_parallelism
     from hive_udf_spark.operators.multimodal import decode_image_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = exif_fixture_udf(8, quality=100)
     blobs = (
@@ -2657,8 +2669,9 @@ def multimodal_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validated against CPython's tarfile in tests (both
     directions), so this oracle gates OUR walk, not a private dialect."""
     from hive_udf_spark.operators.tarcodec import tar_doc_encoder_udf, tar_entries_table
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = tar_doc_encoder_udf()
     blobs = (
         docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
@@ -2955,8 +2968,9 @@ def multimodal_pdf_xrefstream_extract(spark: SparkSession, sf_dir: str) -> DataF
         pdf15_doc_encoder_udf,
         pdf_pages_table,
     )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = pdf15_doc_encoder_udf()
     blobs = (
         docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
@@ -3000,8 +3014,9 @@ def multimodal_pdf_type0_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf_pages_table,
         pdf_type0_doc_encoder_udf,
     )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = pdf_type0_doc_encoder_udf()
     blobs = docs.select("doc_id", enc("text").alias("blob"))
     return pdf_pages_table(blobs)

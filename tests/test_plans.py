@@ -548,28 +548,53 @@ def test_vtt_parse_is_pure_codegen(spark, sf_dir):
 
 
 def test_r9_codec_queries_are_map_side(spark, sf_dir):
-    """The r9 decode/extract registry queries (WebP, Type0 PDF, FLAC,
-    tar, WebDataset grouping, EXIF extract/strip) must be pure map
-    work: blobs are built, decoded and reduced to feature rows without
-    ANY Exchange — at 100 TB a shuffle of blob bytes is the job cost.
-    The WDS grouping in particular must show its zero-shuffle
-    contiguity design here, not a groupBy."""
+    """Decode queries that stay strictly zero-Exchange even at fixture
+    scale: the WDS grouping (whose zero-shuffle contiguity design IS
+    the point — a groupBy would move every payload byte) and the
+    sub-second extracts where a scatter costs more than it buys.  The
+    heavier codec queries moved to the scatter-once pattern below."""
     for name in [
-        "multimodal_webp_decode",
-        "multimodal_pdf_type0_extract",
-        "multimodal_flac_audio_features",
-        "multimodal_tar_extract",
         "multimodal_webdataset_group",
-        "multimodal_exif_extract",
-        "multimodal_exif_strip",
+        "multimodal_png_metadata_extract",
+    ]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
+    """The Python-heavy codec/probe queries (zstd roundtrip, zstd WARC,
+    Ogg/ID3/WebM probes) use ensure_min_parallelism: at fixture scale
+    (one parquet split) exactly ONE round-robin Exchange of the cheap
+    PRE-BLOB text rows restores full parallelism for the CPU-bound UDF
+    stage; at corpus scale (splits >= cores) the helper is a no-op and
+    the plan is shuffle-free.  Assert the scatter is present, singular,
+    round-robin, and sits BEFORE blob construction (the Exchange must
+    not carry a blob column)."""
+    for name in [
         "multimodal_zstd_roundtrip",
         "text_warc_zstd_content_encoding",
         "multimodal_ogg_probe",
         "multimodal_id3_probe",
         "multimodal_webm_probe",
+        "multimodal_webp_decode",
+        "multimodal_jpeg_decode",
+        "multimodal_progressive_jpeg_decode",
+        "multimodal_exif_extract",
+        "multimodal_exif_strip",
+        "multimodal_pdf_type0_extract",
+        "multimodal_pdf_xrefstream_extract",
+        "multimodal_flac_audio_features",
+        "multimodal_tar_extract",
+        "text_warc_content_encoding",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
-        assert "Exchange" not in plan, f"{name} shuffles"
+        # formatted plans print each node twice (tree + details)
+        assert plan.count("Exchange (") == 1, f"{name}: want exactly 1 Exchange"
+        assert "RoundRobinPartitioning" in plan, f"{name}: not a scatter"
+        assert "hashpartitioning" not in plan, f"{name}: unexpected hash shuffle"
+        block = plan[plan.index(") Exchange") :]
+        detail = block.split("\n\n")[0]  # just the Exchange node's detail
+        assert "blob" not in detail, f"{name}: Exchange carries blobs"
 
 
 def test_compressed_shards_scan_single_fixture_shuffle(spark, sf_dir):

@@ -831,6 +831,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(QUERIES["multimodal_id3_probe"].fn(spark, sf_dir))
         _force(QUERIES["multimodal_webm_probe"].fn(spark, sf_dir))
 
+    def q_streaming_shards_ingest():
+        # r9: streaming .jsonl.{zst,xz,gz} ingest — one-commit merge sink
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_compressed_shards_ingest"].fn(spark, sf_dir))
+
     def q_compressed_shards_scan():
         # r9: .jsonl.{zst,xz,gz} shard ingestion — decode + line split +
         # schema'd JSON parse
@@ -1033,6 +1039,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_zstd_roundtrip": q_codec_zstd_roundtrip,
         "warc_zstd_encoding": q_warc_zstd_encoding,
         "compressed_shards_scan": q_compressed_shards_scan,
+        "streaming_shards_ingest": q_streaming_shards_ingest,
         "media_probe": q_media_probe,
         "orc_roundtrip": q_orc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,

@@ -916,6 +916,55 @@ def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "streaming_compressed_shards_ingest",
+    oracle="""
+    SELECT (['zstd','xz','gzip'])[CAST((doc_id % 12) % 3 AS INT) + 1] AS codec,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def streaming_compressed_shards_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING compressed-shard ingestion (streaming/shard_sink.py,
+    r9): the corpus arrives as ``.jsonl.{zst,xz,gz}`` shard blobs in 4
+    deterministic micro-batches; each batch is decoded map-side (zstd
+    through the vendored RFC 8878 codec), line-split, schema-parsed,
+    appended to the docs table, and FOLDED into per-(codec, lang)
+    ingest statistics — docs and stats committed together in one atomic
+    state swap per batch, hwm-guarded against foreachBatch retries (the
+    stats are additive, so a replayed batch would double-count without
+    the guard; that guard is what the hash check proves).  The final
+    stats table must equal the batch-mode SQL over the documents table
+    regardless of batching or compression codec."""
+    import tempfile
+
+    from hive_udf_spark.streaming.shard_sink import incremental_shard_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = _build_shard_blobs(docs)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(4):  # sequential writes -> deterministic file order
+            shards.filter(F.col("shard") % 4 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("shard int, codec string, blob binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = incremental_shard_ingest_sink(stream, f"{tmp}/state", f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(f"{tmp}/state/stats").localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "source_orc_roundtrip",
     oracle="""
     SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars
@@ -991,6 +1040,44 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _build_shard_blobs(docs: DataFrame) -> DataFrame:
+    """Fixture side of the compressed-shard tier, shared by the batch
+    scan query and the streaming ingest: pack documents into 12 shards
+    (doc_id % 12), serialize each as doc_id-sorted JSONL, and compress
+    with the codec rotating by shard — zstd (vendored twin, ``auto``
+    shape), xz (stdlib lzma), gzip (zlib)."""
+    import gzip as _gzip
+    import lzma as _lzma
+
+    import pandas as pd
+
+    line = F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
+    staged = docs.select(
+        (F.col("doc_id") % 12).cast("int").alias("shard"),
+        F.col("doc_id").alias("_id"),
+        line.alias("line"),
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from hive_udf_spark.operators.zstdcodec import zstd_compress
+
+        shard = int(pdf["shard"].iloc[0])
+        payload = "\n".join(pdf.sort_values("_id")["line"]).encode("utf-8")
+        codec = ("zstd", "xz", "gzip")[shard % 3]
+        if codec == "zstd":
+            blob = zstd_compress(payload, shape="auto")
+        elif codec == "xz":
+            blob = _lzma.compress(payload, preset=6)
+        else:
+            blob = _gzip.compress(payload, compresslevel=6)
+        return pd.DataFrame({"shard": [shard], "codec": [codec],
+                             "blob": [blob]})
+
+    return staged.groupBy("shard").applyInPandas(
+        build_shard, "shard int, codec string, blob binary"
+    )
+
+
 @register(
     "source_compressed_shards_scan",
     oracle="""
@@ -1019,57 +1106,11 @@ def source_compressed_shards_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     — compressed shards are non-splittable, so parallelism is across
     files (10k+ shards at 100 TB), and each decode is a map-side
     stream that never crosses a shuffle."""
-    import gzip as _gzip
-    import lzma as _lzma
-    from collections.abc import Iterator
-
-    import pandas as pd
+    from hive_udf_spark.streaming.shard_sink import decode_shard_lines
 
     docs = load_table(spark, sf_dir, "documents")
-    line = F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
-    staged = docs.select(
-        (F.col("doc_id") % 12).cast("int").alias("shard"),
-        F.col("doc_id").alias("_id"),
-        line.alias("line"),
-    )
-
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        from hive_udf_spark.operators.zstdcodec import zstd_compress
-
-        shard = int(pdf["shard"].iloc[0])
-        payload = "\n".join(pdf.sort_values("_id")["line"]).encode("utf-8")
-        codec = ("zstd", "xz", "gzip")[shard % 3]
-        if codec == "zstd":
-            blob = zstd_compress(payload, shape="auto")
-        elif codec == "xz":
-            blob = _lzma.compress(payload, preset=6)
-        else:
-            blob = _gzip.compress(payload, compresslevel=6)
-        return pd.DataFrame({"shard": [shard], "codec": [codec],
-                             "blob": [blob]})
-
-    shards = staged.groupBy("shard").applyInPandas(
-        build_shard, "shard int, codec string, blob binary"
-    )
-
-    def decode_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from hive_udf_spark.operators.zstdcodec import zstd_decompress
-
-        for pdf in batches:
-            rows = []
-            for codec, blob in zip(pdf["codec"], pdf["blob"]):
-                b = bytes(blob)
-                if codec == "zstd":
-                    payload = zstd_decompress(b, max_output=1 << 28)
-                elif codec == "xz":
-                    payload = _lzma.decompress(b)
-                else:
-                    payload = _gzip.decompress(b)
-                for ln in payload.decode("utf-8").split("\n"):
-                    rows.append((codec, ln))
-            yield pd.DataFrame(rows, columns=["codec", "line"])
-
-    lines = shards.mapInPandas(decode_shards, "codec string, line string")
+    shards = _build_shard_blobs(docs)
+    lines = decode_shard_lines(shards)
     parsed = lines.select(
         "codec",
         F.from_json(

@@ -770,3 +770,68 @@ def test_incremental_boilerplate_stream_equals_batch(spark, tmp_path):
         r.line: r.df for r in spark.read.parquet(f"{state}/linedf").collect()
     }
     assert got2 == got
+
+
+def test_shard_ingest_sink_stream_and_retry(spark, sf_dir, tmp_path):
+    """r9 compressed-shard streaming ingest: the final (codec, lang)
+    stats equal the batch SQL regardless of batching, and a foreachBatch
+    retry (same batch_id) is a whole-batch no-op under the hwm guard."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.plans.pipeline_queries import _build_shard_blobs
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.shard_sink import (
+        _read_state,
+        incremental_shard_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    shards = _build_shard_blobs(docs).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    for b in range(3):
+        shards.filter(F.col("shard") % 3 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = (
+        spark.readStream.schema("shard int, codec string, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    state = str(tmp_path / "state")
+    q = incremental_shard_ingest_sink(stream, state, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stats = spark.read.parquet(f"{state}/stats")
+    want = (
+        docs.withColumn(
+            "codec",
+            F.expr("element_at(array('zstd','xz','gzip'), "
+                   "cast((doc_id % 12) % 3 as int) + 1)"),
+        )
+        .groupBy("codec", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(F.length("text")).cast("long").alias("total_chars"))
+    )
+    got = {tuple(r) for r in stats.collect()}
+    assert got == {tuple(r) for r in want.collect()}
+    # retry semantics: a second stream over the SAME checkpoint replays
+    # nothing and the additive state must not move
+    _, _, hwm = _read_state(spark, state)
+    assert hwm >= 0
+    docs_before = spark.read.parquet(f"{state}/docs").count()
+    q2 = incremental_shard_ingest_sink(
+        spark.readStream.schema("shard int, codec string, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        state,
+        str(tmp_path / "ckpt"),  # same checkpoint: batches already done
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    d2, s2, hwm2 = _read_state(spark, state)
+    assert hwm2 == hwm and d2.count() == docs_before
+    assert {tuple(r) for r in s2.collect()} == got

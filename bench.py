@@ -830,6 +830,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(QUERIES["multimodal_ogg_probe"].fn(spark, sf_dir))
         _force(QUERIES["multimodal_id3_probe"].fn(spark, sf_dir))
         _force(QUERIES["multimodal_webm_probe"].fn(spark, sf_dir))
+        _force(QUERIES["multimodal_heif_probe"].fn(spark, sf_dir))
 
     def q_streaming_shards_ingest():
         # r9: streaming .jsonl.{zst,xz,gz} ingest — one-commit merge sink

@@ -32,7 +32,13 @@ import struct
 
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
-__all__ = ["split_mp4_frames", "encode_mp4_mjpeg"]
+__all__ = [
+    "split_mp4_frames",
+    "encode_mp4_mjpeg",
+    "heif_probe",
+    "encode_heif",
+    "heif_probe_table",
+]
 
 
 def _boxes(b: bytes, pos: int, end: int):
@@ -245,3 +251,182 @@ def encode_mp4_mjpeg(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# HEIF still images (AVIF / HEIC) — structural probe (r9).
+#
+# AVIF is a double-digit share of modern web images; HEIC dominates
+# phone camera rolls.  Both are ISO-BMFF *item* files (meta-box driven,
+# no moov): the probe walks meta → pitm/iinf/iprp(ipco+ipma) to the
+# primary item's codec and spatial properties — the triage facts a
+# pipeline needs (what is it, how big, which way up) without an AV1/HEVC
+# decoder.  Payload decode stays an explicit gap: attempting it raises,
+# so these blobs route to quarantine in the decode tier while the probe
+# tier still yields full metadata rows.
+# ---------------------------------------------------------------------------
+
+
+@untrusted_decoder
+def heif_probe(b: bytes) -> dict:
+    """Probe an AVIF/HEIC blob → ``{brand, primary_item, codec, width,
+    height, rotation, n_items}``.  ``rotation`` is the irot property's
+    anticlockwise quarter-turns (0 when absent)."""
+    b = bytes(b)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF blob (missing ftyp)")
+    ftyp = _find(b, 0, len(b), b"ftyp")
+    brand = b[ftyp[0] : ftyp[0] + 4].decode("latin-1")
+    meta = _find(b, 0, len(b), b"meta")
+    if meta is None:
+        raise ValueError("HEIF: missing meta box")
+    mp, me = meta[0] + 4, meta[1]  # meta is a FullBox
+    hdlr = _find(b, mp, me, b"hdlr")
+    if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"pict":
+        raise ValueError("HEIF: meta hdlr is not 'pict'")
+    pitm = _find(b, mp, me, b"pitm")
+    if pitm is None:
+        raise ValueError("HEIF: missing pitm (primary item)")
+    pv = b[pitm[0]]
+    primary = (struct.unpack_from(">H", b, pitm[0] + 4)[0] if pv == 0
+               else struct.unpack_from(">I", b, pitm[0] + 4)[0])
+    # iinf → item_id -> item_type
+    iinf = _find(b, mp, me, b"iinf")
+    if iinf is None:
+        raise ValueError("HEIF: missing iinf")
+    iv = b[iinf[0]]
+    pos = iinf[0] + 4
+    n_items = (struct.unpack_from(">H", b, pos)[0] if iv == 0
+               else struct.unpack_from(">I", b, pos)[0])
+    pos += 2 if iv == 0 else 4
+    item_types: dict[int, str] = {}
+    for fc, p, e in _boxes(b, pos, iinf[1]):
+        if fc != b"infe":
+            continue
+        ver = b[p]
+        if ver < 2:
+            raise ValueError(f"HEIF: infe version {ver} not supported")
+        iid = (struct.unpack_from(">H", b, p + 4)[0] if ver == 2
+               else struct.unpack_from(">I", b, p + 4)[0])
+        off = p + 4 + (2 if ver == 2 else 4) + 2  # + protection_index
+        item_types[iid] = b[off : off + 4].decode("latin-1")
+    if len(item_types) != n_items:
+        raise ValueError(
+            f"HEIF: iinf declares {n_items} items, found {len(item_types)}")
+    if primary not in item_types:
+        raise ValueError("HEIF: primary item missing from iinf")
+    # iprp → ipco (ordered property list) + ipma (item -> 1-based indices)
+    iprp = _find(b, mp, me, b"iprp")
+    if iprp is None:
+        raise ValueError("HEIF: missing iprp")
+    ipco = _find(b, iprp[0], iprp[1], b"ipco")
+    ipma = _find(b, iprp[0], iprp[1], b"ipma")
+    if ipco is None or ipma is None:
+        raise ValueError("HEIF: missing ipco/ipma")
+    props = list(_boxes(b, ipco[0], ipco[1]))  # 1-based indexing
+    av = b[ipma[0]]
+    aflags = int.from_bytes(b[ipma[0] + 1 : ipma[0] + 4], "big")
+    pos = ipma[0] + 4
+    (entry_count,) = struct.unpack_from(">I", b, pos)
+    pos += 4
+    assoc: dict[int, list[int]] = {}
+    for _ in range(entry_count):
+        iid = (struct.unpack_from(">H", b, pos)[0] if av == 0
+               else struct.unpack_from(">I", b, pos)[0])
+        pos += 2 if av == 0 else 4
+        cnt = b[pos]
+        pos += 1
+        idxs = []
+        for _ in range(cnt):
+            if aflags & 1:
+                (v,) = struct.unpack_from(">H", b, pos)
+                pos += 2
+                idxs.append(v & 0x7FFF)
+            else:
+                idxs.append(b[pos] & 0x7F)
+                pos += 1
+        assoc[iid] = idxs
+    width = height = None
+    rotation = 0
+    for idx in assoc.get(primary, []):
+        if not 1 <= idx <= len(props):
+            raise ValueError("HEIF: ipma property index out of range")
+        fc, p, e = props[idx - 1]
+        if fc == b"ispe":  # FullBox: version/flags + width + height
+            width, height = struct.unpack_from(">II", b, p + 4)
+        elif fc == b"irot":  # plain box: low 2 bits = quarter turns ccw
+            rotation = b[p] & 3
+    if width is None:
+        raise ValueError("HEIF: primary item has no ispe (spatial extents)")
+    return {
+        "brand": brand,
+        "primary_item": primary,
+        "codec": item_types[primary],
+        "width": width,
+        "height": height,
+        "rotation": rotation,
+        "n_items": n_items,
+    }
+
+
+def encode_heif(width: int, height: int, brand: str = "avif",
+                rotation: int = 0, alpha: bool = False) -> bytes:
+    """Fixture twin: a minimal spec-valid AVIF/HEIC item structure —
+    ftyp, meta(hdlr/pitm/iinf/iprp/iloc), mdat with a placeholder coded
+    payload.  ``brand`` 'avif' → av01 items, 'heic' → hvc1.  ``alpha``
+    adds a second (auxiliary) item so n_items varies."""
+    if brand not in ("avif", "heic"):
+        raise ValueError("brand must be avif or heic")
+    codec = b"av01" if brand == "avif" else b"hvc1"
+    # compatible brands: mif1 (the structural HEIF brand) + the major
+    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + b"mif1" + brand.encode())
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    items = [(1, codec)] + ([(2, codec)] if alpha else [])
+    infes = b"".join(
+        _full(b"infe", 2, 0, struct.pack(">HH", iid, 0) + ctype + b"\x00")
+        for iid, ctype in items
+    )
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", len(items)) + infes)
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    irot = _box(b"irot", bytes([rotation & 3]))
+    ipco = _box(b"ipco", ispe + irot)
+    entries = b"".join(
+        struct.pack(">H", iid) + bytes([2, 1, 2]) for iid, _ in items
+    )  # each item -> properties [1 (ispe), 2 (irot)], non-essential
+    ipma = _full(b"ipma", 0, 0, struct.pack(">I", len(items)) + entries)
+    iprp = _box(b"iprp", ipco + ipma)
+    payload = bytes([(width + height + rotation) & 0xFF]) * 64
+    # iloc version 0: offset_size=4 length_size=4 base_offset_size=0
+    ilocs = b"".join(
+        struct.pack(">HHH", iid, 0, 1) + struct.pack(">II", 0, len(payload))
+        for iid, _ in items
+    )
+    iloc = _full(b"iloc", 0, 0, bytes([0x44, 0x00]) + struct.pack(">H", len(items)) + ilocs)
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iinf + iprp + iloc)
+    mdat = _box(b"mdat", payload * (2 if alpha else 1))
+    return ftyp + meta + mdat
+
+
+HEIF_PROBE_SCHEMA = (
+    "doc_id bigint, brand string, codec string, width int, height int, "
+    "rotation int, n_items int"
+)
+
+
+def heif_probe_table(blobs):
+    """(doc_id, blob) → HEIF probe rows, map-side Arrow batches."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                p = heif_probe(bytes(blob))
+                rows.append((int(did), p["brand"], p["codec"], p["width"],
+                             p["height"], p["rotation"], p["n_items"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "brand", "codec", "width", "height", "rotation",
+                "n_items"])
+
+    return blobs.mapInPandas(run, HEIF_PROBE_SCHEMA)

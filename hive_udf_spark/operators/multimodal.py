@@ -544,6 +544,30 @@ def webm_encoder_udf():
     return enc
 
 
+def heif_encoder_udf():
+    """Arrow-batched AVIF/HEIC fixture encoder (r9): minimal spec-valid
+    HEIF item structures (meta/pitm/iinf/iprp/iloc) with brand, geometry,
+    irot rotation, and alpha-item presence rotating by doc fields."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mp4codec import encode_heif
+
+        def one(did: int, nc: int) -> bytes:
+            return encode_heif(
+                width=8 * (did % 240 + 1),
+                height=8 * (nc % 135 + 1),
+                brand=("avif", "heic")[did % 2],
+                rotation=did % 4,
+                alpha=(did % 5 == 0),
+            )
+
+        return pd.Series([one(int(d), int(n)) for d, n in zip(doc_id, n_chars)])
+
+    return enc
+
+
 def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
     """Deterministic statistics over a uint8 array (raw bytes or decoded
     pixels). mean is an exact integer sum divided once — bit-identical in

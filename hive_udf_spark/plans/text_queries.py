@@ -856,6 +856,41 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_heif_probe",
+    oracle="""
+    SELECT doc_id,
+           (['avif','heic'])[CAST(doc_id % 2 AS INT) + 1] AS brand,
+           (['av01','hvc1'])[CAST(doc_id % 2 AS INT) + 1] AS codec,
+           CAST(8 * (doc_id % 240 + 1) AS INT) AS width,
+           CAST(8 * (n_chars % 135 + 1) AS INT) AS height,
+           CAST(doc_id % 4 AS INT) AS rotation,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS n_items
+    FROM documents
+    """,
+)
+def multimodal_heif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIC structural probe end-to-end (r9): each document becomes
+    a spec-valid HEIF *item* file (the meta-box layout shared by AVIF
+    and HEIC — pitm primary item, iinf item types, iprp property
+    container with ispe spatial extents and irot orientation, ipma
+    associations, iloc extents) and the production probe resolves the
+    primary item's codec, geometry, rotation, and item count WITHOUT an
+    AV1/HEVC decoder — the triage pass for the camera-roll and
+    modern-web image share of a corpus; payload decode stays an
+    explicit quarantine, never silent garbage.  Rotations cover both
+    brands, all four irot quarter-turns, alpha-auxiliary item presence,
+    and 240×135 geometry classes."""
+    from hive_udf_spark.operators.mp4codec import heif_probe_table
+    from hive_udf_spark.operators.multimodal import heif_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    enc = heif_encoder_udf()
+    blobs = docs.select("doc_id", enc("doc_id", "n_chars").alias("blob"))
+    return heif_probe_table(blobs)
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     WITH t AS (

@@ -22,7 +22,7 @@ from hive_udf_spark.operators.imagecodec import (
     split_container_frames,
 )
 from hive_udf_spark.operators.jpegcodec import decode_jpeg_gray
-from hive_udf_spark.operators.mp4codec import split_mp4_frames
+from hive_udf_spark.operators.mp4codec import heif_probe, split_mp4_frames
 from hive_udf_spark.operators.pdfcodec import extract_pdf_pages
 from hive_udf_spark.operators.tarcodec import split_tar_entries
 from hive_udf_spark.operators.tiffcodec import decode_tiff_gray
@@ -42,6 +42,7 @@ DECODERS = [
     decode_vp8l,
     decode_jpeg_gray,
     split_mp4_frames,
+    heif_probe,
     decode_tiff_gray,
     decode_gif_gray,
     split_gif_frames,
@@ -76,7 +77,7 @@ def _seed_blobs() -> list[bytes]:
         encode_png,
     )
     from hive_udf_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
-    from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    from hive_udf_spark.operators.mp4codec import encode_heif, encode_mp4_mjpeg
     from hive_udf_spark.operators.exif import add_exif
     from hive_udf_spark.operators.flaccodec import encode_flac
     from hive_udf_spark.operators.pdfcodec import encode_pdf_type0
@@ -130,6 +131,7 @@ def _seed_blobs() -> list[bytes]:
         encode_ogg_vorbis(12345, sample_rate=22050, tags={"A": "b"}),
         encode_mp3_id3(6, tags={"TIT2": "fz", "TPE1": "zf"}, id3_major=4),
         encode_webm(5000, 320, 240),
+        encode_heif(96, 64, brand="avif", rotation=1, alpha=True),
     ]
 
 

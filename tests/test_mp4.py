@@ -99,3 +99,47 @@ def test_mp4_through_spark_frame_sampling(spark):
         assert out[i].n_frames == 3
         assert out[i].n_pixels == 4096
         assert out[i].mean_px == int(imgs[i].sum(dtype=np.int64)) / 4096
+
+
+# ---------------------------------------------------------------------------
+# HEIF (AVIF/HEIC) probe — r9
+# ---------------------------------------------------------------------------
+
+
+def test_heif_probe_roundtrip_all_rotations():
+    from hive_udf_spark.operators.mp4codec import encode_heif, heif_probe
+
+    for brand, codec in (("avif", "av01"), ("heic", "hvc1")):
+        for rot in range(4):
+            for alpha in (False, True):
+                p = heif_probe(encode_heif(1024, 768, brand=brand,
+                                           rotation=rot, alpha=alpha))
+                assert p["brand"] == brand and p["codec"] == codec
+                assert (p["width"], p["height"]) == (1024, 768)
+                assert p["rotation"] == rot
+                assert p["n_items"] == (2 if alpha else 1)
+
+
+def test_heif_probe_malformed():
+    import pytest as _pytest
+
+    from hive_udf_spark.operators.mp4codec import encode_heif, heif_probe
+
+    good = encode_heif(64, 64)
+    with _pytest.raises(ValueError, match="missing ftyp"):
+        heif_probe(b"\x00" * 16)
+    # an MP4 (moov, no meta) is not a HEIF item file
+    import numpy as np
+
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg
+    from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+
+    g = np.zeros((8, 8), dtype=np.uint8)
+    mp4 = encode_mp4_mjpeg([encode_jpeg(g, quality=90)], 8, 8)
+    with _pytest.raises(ValueError, match="meta"):
+        heif_probe(mp4)
+    for cut in range(12, len(good), 9):
+        try:
+            heif_probe(good[:cut])
+        except ValueError:
+            continue

@@ -576,6 +576,7 @@ def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
         "multimodal_ogg_probe",
         "multimodal_id3_probe",
         "multimodal_webm_probe",
+        "multimodal_heif_probe",
         "multimodal_webp_decode",
         "multimodal_jpeg_decode",
         "multimodal_progressive_jpeg_decode",

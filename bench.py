@@ -1116,10 +1116,15 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # The stdout line is the driver contract, but r8's committed bench
-    # artifact had "parsed": null with only a truncated stdout tail
-    # surviving (r8 verdict item 8) — so the complete JSON is ALSO
-    # written to a file that gets committed each round.
+    # The stdout line is the driver contract, but the driver's artifact
+    # keeps only the LAST ~2000 chars of stdout — r8/r9 committed
+    # "parsed": null because the full per-query JSON (~5 KB for 100+
+    # entries) can never survive that tail intact. So: the COMPLETE
+    # JSON goes to a committed file + an early stdout line (for humans
+    # reading logs), and the FINAL stdout line is a compact variant
+    # guaranteed to fit in the tail — same metric/value/sf contract,
+    # "queries" filled greedily in registry order until the line would
+    # exceed the budget, with an explicit count of what was elided.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -1128,9 +1133,35 @@ def main() -> None:
         ) as f:
             f.write(payload + "\n")
     except OSError:
-        pass  # read-only checkout: stdout line still carries the result
+        pass  # read-only checkout: stdout lines still carry the result
     print(payload)
-    spark.stop()
+    compact: dict[str, float] = {}
+    budget = 1800  # < the driver's 2000-char stdout tail, with margin
+    base = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "queries_elided": 0,
+        "queries_total": len(times),
+        "full": "BENCH_full_latest.json",
+        "warm_runs": n_warm,
+        "sf": sf,
+    }
+    for name, sec in times.items():
+        compact[name] = sec
+        if len(json.dumps(base)) > budget:
+            del compact[name]
+            break
+    base["queries_elided"] = len(times) - len(compact)
+    line = json.dumps(base)
+    assert len(line) <= 2000, len(line)
+    print(line, flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a teardown hiccup must not turn a finished bench into rc!=0
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -429,8 +429,9 @@ def tar_doc_encoder_udf():
     """Arrow-batched tar fixture encoder: (doc_id, text) → a two-member
     archive — ``doc.txt`` = the text, ``meta.txt`` = ``id=N`` (the ZIP
     tier's member set, so the same oracle gates both container
-    families) — with the container shape rotating by ``doc_id % 4``:
-    plain ustar, PAX path records, GNU long-name entries, ustar+gzip."""
+    families) — with the container shape rotating by ``doc_id % 5``:
+    plain ustar, PAX path records, GNU long-name entries, ustar+gzip,
+    PAX+zstd (the ``.tar.zst`` stratum, r9)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")

@@ -918,7 +918,7 @@ def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataF
 @register(
     "streaming_compressed_shards_ingest",
     oracle="""
-    SELECT (['zstd','xz','gzip'])[CAST((doc_id % 12) % 3 AS INT) + 1] AS codec,
+    SELECT (['zstd','xz','gzip','bz2'])[CAST((doc_id % 12) % 4 AS INT) + 1] AS codec,
            lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS total_chars
@@ -928,7 +928,7 @@ def source_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataF
 )
 def streaming_compressed_shards_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING compressed-shard ingestion (streaming/shard_sink.py,
-    r9): the corpus arrives as ``.jsonl.{zst,xz,gz}`` shard blobs in 4
+    r9): the corpus arrives as ``.jsonl.{zst,xz,gz,bz2}`` shard blobs in 4
     deterministic micro-batches; each batch is decoded map-side (zstd
     through the vendored RFC 8878 codec), line-split, schema-parsed,
     appended to the docs table, and FOLDED into per-(codec, lang)
@@ -1043,9 +1043,12 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_shard_blobs(docs: DataFrame) -> DataFrame:
     """Fixture side of the compressed-shard tier, shared by the batch
     scan query and the streaming ingest: pack documents into 12 shards
-    (doc_id % 12), serialize each as doc_id-sorted JSONL, and compress
-    with the codec rotating by shard — zstd (vendored twin, ``auto``
-    shape), xz (stdlib lzma), gzip (zlib)."""
+    (doc_id % 12), serialize each as doc_id-sorted JSONL with the
+    conventional TRAILING newline (real .jsonl shards end with one —
+    the decode side must not grow a phantom all-NULL row from it), and
+    compress with the codec rotating by shard — zstd (vendored twin,
+    ``auto`` shape), xz (stdlib lzma), gzip (zlib), bz2 (stdlib)."""
+    import bz2 as _bz2
     import gzip as _gzip
     import lzma as _lzma
 
@@ -1062,12 +1065,16 @@ def _build_shard_blobs(docs: DataFrame) -> DataFrame:
         from hive_udf_spark.operators.zstdcodec import zstd_compress
 
         shard = int(pdf["shard"].iloc[0])
-        payload = "\n".join(pdf.sort_values("_id")["line"]).encode("utf-8")
-        codec = ("zstd", "xz", "gzip")[shard % 3]
+        payload = (
+            "\n".join(pdf.sort_values("_id")["line"]) + "\n"
+        ).encode("utf-8")
+        codec = ("zstd", "xz", "gzip", "bz2")[shard % 4]
         if codec == "zstd":
             blob = zstd_compress(payload, shape="auto")
         elif codec == "xz":
             blob = _lzma.compress(payload, preset=6)
+        elif codec == "bz2":
+            blob = _bz2.compress(payload, compresslevel=6)
         else:
             blob = _gzip.compress(payload, compresslevel=6)
         return pd.DataFrame({"shard": [shard], "codec": [codec],
@@ -1082,7 +1089,7 @@ def _build_shard_blobs(docs: DataFrame) -> DataFrame:
     "source_compressed_shards_scan",
     oracle="""
     SELECT doc_id,
-           (['zstd','xz','gzip'])[CAST((doc_id % 12) % 3 AS INT) + 1] AS codec,
+           (['zstd','xz','gzip','bz2'])[CAST((doc_id % 12) % 4 AS INT) + 1] AS codec,
            lang,
            CAST(length(text) AS BIGINT) AS parsed_chars
     FROM documents
@@ -1110,7 +1117,7 @@ def source_compressed_shards_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     shards = _build_shard_blobs(docs)
-    lines = decode_shard_lines(shards)
+    lines = decode_shard_lines(shards).filter(F.col("line").isNotNull())
     parsed = lines.select(
         "codec",
         F.from_json(
@@ -1122,6 +1129,60 @@ def source_compressed_shards_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         "codec",
         F.col("r.lang").alias("lang"),
         F.length("r.text").cast("long").alias("parsed_chars"),
+    )
+
+
+@register(
+    "source_compressed_shards_quarantine",
+    oracle="""
+    SELECT shard, codec,
+           CASE WHEN quarantined THEN CAST(NULL AS BIGINT)
+                ELSE CAST(COUNT(*) AS BIGINT) END AS n_lines,
+           quarantined
+    FROM (SELECT CAST(doc_id % 12 AS INT) AS shard,
+                 (['zstd','xz','gzip','bz2'])[CAST((doc_id % 12) % 4 AS INT) + 1]
+                     AS codec,
+                 (doc_id % 12) IN (5, 11) AS quarantined
+          FROM documents)
+    GROUP BY shard, codec, quarantined
+    """,
+)
+def source_compressed_shards_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-shard quarantine audit (r10 hardening): two shards of the
+    compressed drop are byte-truncated in flight (shard 5 = xz, shard 11
+    = bz2 under the %4 rotation); the scan must route each to ONE
+    per-shard quarantine row (NULL line count, decode_error set) while
+    every healthy shard parses completely — never a task failure, never
+    silent data loss.  Decoding runs under the bounded-decompress
+    contract (``streaming/shard_sink.py:_bounded_decompress``): size
+    cap, stream-completeness check, no trailing bytes — so a bomb shard
+    errors at the cap instead of ballooning an executor (the bomb case
+    is pytest-fixtured in test_streaming.py; truncation is the
+    deterministic corruption an oracle can express).
+
+    At 100 TB a malformed object in a million-shard drop is a
+    certainty; the audit relation (shard, codec, n_lines, quarantined)
+    is the triage view an operator reads before re-requesting shards."""
+    from hive_udf_spark.streaming.shard_sink import decode_shard_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = _build_shard_blobs(docs)
+    corrupted = shards.withColumn(
+        "blob",
+        F.when(
+            F.col("shard").isin(5, 11),
+            F.expr("substring(blob, 1, CAST(length(blob) / 2 AS INT))"),
+        ).otherwise(F.col("blob")),
+    )
+    lines = decode_shard_lines(corrupted)
+    return lines.groupBy("shard", "codec").agg(
+        F.when(
+            F.max(F.col("decode_error").isNotNull()),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.count(F.col("line")))
+        .alias("n_lines"),
+        F.max(F.col("decode_error").isNotNull()).alias("quarantined"),
     )
 
 

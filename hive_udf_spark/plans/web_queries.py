@@ -46,19 +46,34 @@ from hive_udf_spark.sources import load_table
 _MATERIALIZED: dict[tuple[str, str, str], str] = {}
 
 
+def _scratch_root() -> str:
+    """Root for materialized shared relations.  Configurable via
+    SPARK_GRAFT_SCRATCH so a real deployment points it at a cluster-
+    visible warehouse/scratch location (a driver-local tempdir only
+    works in local mode); defaults to the system tempdir for tests."""
+    import os
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+
+
 def _materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     path = _MATERIALIZED.get(key)
     if path is None:
+        import atexit
         import os
-        import tempfile
+        import shutil
         import uuid
 
         path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_{name}_{uuid.uuid4().hex}"
+            _scratch_root(), f"spark_graft_{name}_{uuid.uuid4().hex}"
         )
         build().write.mode("overwrite").parquet(path)
         _MATERIALIZED[key] = path
+        # session-lifetime cache, process-lifetime cleanup: without this
+        # every session leaked its materialized parquet into the tempdir
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return spark.read.parquet(path)
 
 

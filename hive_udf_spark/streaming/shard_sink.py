@@ -1,19 +1,30 @@
-"""Streaming compressed-shard ingestion: ``.jsonl.{zst,xz,gz}`` corpus
-shards arrive as a stream; each micro-batch is decoded map-side (zstd
-through the vendored RFC 8878 codec, xz/gzip through stdlib), split
-into lines, parsed with an EXPLICIT schema, appended to the documents
-table, and folded into per-(codec, lang) ingest statistics — the
-delivery format actually used by public corpus drops, as streaming
-state.
+"""Streaming compressed-shard ingestion: ``.jsonl.{zst,xz,gz,bz2}``
+corpus shards arrive as a stream; each micro-batch is decoded map-side
+(zstd through the vendored RFC 8878 codec, xz/gzip/bz2 through stdlib
+under the repo-wide bounded-inflate discipline), split into lines,
+parsed with an EXPLICIT schema, appended to the documents table, and
+folded into per-(codec, lang) ingest statistics — the delivery format
+actually used by public corpus drops, as streaming state.
 
 Same one-commit contract as the WARC ingest sink (warc_sink.py): the
-state directory holds ``docs/`` (append-only parsed documents) and
-``stats/`` (merge-on-write additive aggregates) plus the batch
-high-water mark, swapped atomically as a whole — a foreachBatch retry
-skips the committed batch, keeping the additive stats exactly-once.
-Decoding is per-shard and stats are additive/commutative, so the final
-state equals the batch computation regardless of batching — which the
+state directory holds ``docs/`` (append-only parsed documents),
+``stats/`` (merge-on-write additive aggregates) and ``quarantine/``
+(append-only per-shard decode failures) plus the batch high-water
+mark, swapped atomically as a whole — a foreachBatch retry skips the
+committed batch, keeping the additive stats exactly-once. Decoding is
+per-shard and stats are additive/commutative, so the final state
+equals the batch computation regardless of batching — which the
 registry oracle computes in SQL from the documents table alone.
+
+Untrusted-input discipline (r9 verdict item + shard hardening, r10):
+every codec decodes through a BOUNDED decompressor (size cap, stream-
+completeness check, no trailing bytes — warc.py's ``_bounded_inflate``
+contract), so a hostile "zip bomb" shard errors at the cap instead of
+ballooning an executor; and a corrupt/bomb shard yields ONE quarantine
+row (shard, codec, NULL line, decode_error) instead of raising out of
+``mapInPandas`` and killing the task — at 100 TB a malformed shard in
+a million-file drop is a certainty, and one bad object must never cost
+a task retry storm or poison its batch.
 
 At 100 TB: shards are non-splittable, so the streaming source's unit of
 parallelism is the FILE, matching the batch scan's story; a micro-batch
@@ -35,34 +46,105 @@ SHARD_DOCS_SCHEMA = (
     "doc_id bigint, codec string, lang string, n_chars bigint, parsed_chars bigint"
 )
 SHARD_STATS_SCHEMA = "codec string, lang string, n_docs bigint, total_chars bigint"
+SHARD_LINES_SCHEMA = "shard int, codec string, line string, decode_error string"
+
+# Per-shard decode cap: compressed shard formats carry no trustworthy
+# decompressed-size field (gzip's ISIZE is mod-2^32 and attacker-set),
+# so the cap is the only defense against a bomb shard.
+_MAX_SHARD_BYTES = 1 << 28
 
 
-def decode_shard_lines(shards: DataFrame) -> DataFrame:
-    """(shard, codec, blob) → (codec, line): map-side shard decode +
-    line split, shared by the batch scan query and this sink."""
+def _bounded_decompress(codec: str, data: bytes, max_output: int) -> bytes:
+    """One complete compressed shard → bytes, under the repo-wide
+    untrusted-inflate contract (size cap, eof check, no trailing
+    bytes), for all four shard codecs.  Raises ValueError on anything
+    malformed — the caller routes that to a quarantine row."""
+    if codec == "zstd":
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+
+        return zstd_decompress(data, max_output=max_output)
+    if codec == "xz":
+        import lzma
+
+        d = lzma.LZMADecompressor()
+        try:
+            out = d.decompress(data, max_length=max_output + 1)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"xz shard: corrupt stream: {exc}") from exc
+        if len(out) > max_output:
+            raise ValueError(f"xz shard: inflates past the {max_output}-byte cap")
+        if not d.eof:
+            raise ValueError("xz shard: stream truncated")
+        if d.unused_data:
+            raise ValueError("xz shard: trailing bytes after stream end")
+        return out
+    if codec == "bz2":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        try:
+            out = d.decompress(data, max_length=max_output + 1)
+        except OSError as exc:  # bz2 raises OSError on corrupt streams
+            raise ValueError(f"bz2 shard: corrupt stream: {exc}") from exc
+        if len(out) > max_output:
+            raise ValueError(f"bz2 shard: inflates past the {max_output}-byte cap")
+        if not d.eof:
+            raise ValueError("bz2 shard: stream truncated")
+        if d.unused_data:
+            raise ValueError("bz2 shard: trailing bytes after stream end")
+        return out
+    if codec in ("gzip", "gz"):
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data, max_output + 1)
+        except zlib.error as exc:
+            raise ValueError(f"gzip shard: corrupt stream: {exc}") from exc
+        if len(out) > max_output:
+            raise ValueError(f"gzip shard: inflates past the {max_output}-byte cap")
+        if not d.eof:
+            raise ValueError("gzip shard: stream truncated")
+        if d.unused_data:
+            raise ValueError("gzip shard: trailing bytes after stream end")
+        return out
+    raise ValueError(f"unknown shard codec {codec!r}")
+
+
+def decode_shard_lines(
+    shards: DataFrame, max_output: int = _MAX_SHARD_BYTES
+) -> DataFrame:
+    """(shard, codec, blob) → (shard, codec, line, decode_error):
+    map-side shard decode + line split, shared by the batch scan query
+    and the streaming sink.
+
+    A shard that fails to decode (corrupt stream, bomb past the cap,
+    non-UTF-8 payload, unknown codec) contributes ONE quarantine row
+    with ``line`` NULL and ``decode_error`` set — never a task failure.
+    Blank/whitespace-only lines are skipped: real ``.jsonl`` shards end
+    with a trailing newline, and without the skip that final empty
+    line would parse to an all-NULL struct and append a phantom row."""
     import pandas as pd
 
     def run(batches):
-        import gzip as _gzip
-        import lzma as _lzma
-
-        from hive_udf_spark.operators.zstdcodec import zstd_decompress
-
         for pdf in batches:
             rows = []
-            for codec, blob in zip(pdf["codec"], pdf["blob"]):
-                b = bytes(blob)
-                if codec == "zstd":
-                    payload = zstd_decompress(b, max_output=1 << 28)
-                elif codec == "xz":
-                    payload = _lzma.decompress(b)
-                else:
-                    payload = _gzip.decompress(b)
-                for ln in payload.decode("utf-8").split("\n"):
-                    rows.append((codec, ln))
-            yield pd.DataFrame(rows, columns=["codec", "line"])
+            for shard, codec, blob in zip(pdf["shard"], pdf["codec"], pdf["blob"]):
+                shard = int(shard)
+                try:
+                    payload = _bounded_decompress(codec, bytes(blob), max_output)
+                    text = payload.decode("utf-8")
+                except (ValueError, UnicodeDecodeError) as exc:
+                    rows.append((shard, codec, None, str(exc)))
+                    continue
+                for ln in text.split("\n"):
+                    if ln.strip():
+                        rows.append((shard, codec, ln, None))
+            yield pd.DataFrame(
+                rows, columns=["shard", "codec", "line", "decode_error"]
+            )
 
-    return shards.mapInPandas(run, "codec string, line string")
+    return shards.mapInPandas(run, SHARD_LINES_SCHEMA)
 
 
 def _resolve(state_path: str) -> str | None:
@@ -77,17 +159,19 @@ def _resolve(state_path: str) -> str | None:
 
 def _read_state(
     spark: SparkSession, state_path: str
-) -> tuple[DataFrame | None, DataFrame | None, int]:
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, int]:
     cur = _resolve(state_path)
     if cur is None:
-        return None, None, -1
+        return None, None, None, -1
     hwm = -1
     meta = os.path.join(cur, "meta.json")
     if os.path.exists(meta):
         hwm = json.load(open(meta)).get("last_batch", -1)
     docs = spark.read.parquet(os.path.join(cur, "docs"))
     stats = spark.read.parquet(os.path.join(cur, "stats"))
-    return docs, stats, hwm
+    qdir = os.path.join(cur, "quarantine")
+    quarantine = spark.read.parquet(qdir) if os.path.isdir(qdir) else None
+    return docs, stats, quarantine, hwm
 
 
 def incremental_shard_ingest_sink(
@@ -95,14 +179,15 @@ def incremental_shard_ingest_sink(
     state_path: str,
     checkpoint_dir: str,
 ):
-    """Streaming query maintaining (parsed docs, per-codec/lang stats)
-    under the one-commit contract.  ``shards`` is a streaming DataFrame
-    of (shard int, codec string, blob binary).  Read results with
-    ``spark.read.parquet(f"{state_path}/docs")`` / ``.../stats``."""
+    """Streaming query maintaining (parsed docs, per-codec/lang stats,
+    per-shard quarantine) under the one-commit contract.  ``shards`` is
+    a streaming DataFrame of (shard int, codec string, blob binary).
+    Read results with ``spark.read.parquet(f"{state_path}/docs")`` /
+    ``.../stats`` / ``.../quarantine``."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        docs, stats, hwm = _read_state(spark, state_path)
+        docs, stats, quarantine, hwm = _read_state(spark, state_path)
         if hwm == batch_id:
             return  # retry of the committed batch: additive state, skip
         if hwm > batch_id:
@@ -110,8 +195,13 @@ def incremental_shard_ingest_sink(
                 f"state at {state_path} has last_batch={hwm} but the stream "
                 f"delivered batch_id={batch_id}: checkpoint lineage mismatch."
             )
-        lines = decode_shard_lines(batch_df.localCheckpoint(eager=True))
-        parsed = lines.select(
+        lines = decode_shard_lines(
+            batch_df.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        batch_quar = lines.filter(F.col("decode_error").isNotNull()).select(
+            F.lit(int(batch_id)).alias("batch_id"), "shard", "codec", "decode_error"
+        )
+        parsed = lines.filter(F.col("line").isNotNull()).select(
             "codec",
             F.from_json(
                 "line", "doc_id bigint, text string, lang string, n_chars bigint"
@@ -125,6 +215,9 @@ def incremental_shard_ingest_sink(
             F.length("r.text").cast("long").alias("parsed_chars"),
         )
         new_docs = docs.unionByName(batch_docs) if docs is not None else batch_docs
+        new_quar = (
+            quarantine.unionByName(batch_quar) if quarantine is not None else batch_quar
+        )
         batch_stats = batch_docs.groupBy("codec", "lang").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("parsed_chars").cast("long").alias("total_chars"),
@@ -142,9 +235,11 @@ def incremental_shard_ingest_sink(
             new_stats = batch_stats
         new_docs = new_docs.localCheckpoint(eager=True)
         new_stats = new_stats.localCheckpoint(eager=True)
+        new_quar = new_quar.localCheckpoint(eager=True)
         new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
         new_docs.write.parquet(os.path.join(new_dir, "docs"))
         new_stats.write.parquet(os.path.join(new_dir, "stats"))
+        new_quar.write.parquet(os.path.join(new_dir, "quarantine"))
         with open(os.path.join(new_dir, "meta.json"), "w") as f:
             json.dump({"last_batch": int(batch_id)}, f)
         swap_dir(state_path, new_dir)

@@ -807,8 +807,8 @@ def test_shard_ingest_sink_stream_and_retry(spark, sf_dir, tmp_path):
     want = (
         docs.withColumn(
             "codec",
-            F.expr("element_at(array('zstd','xz','gzip'), "
-                   "cast((doc_id % 12) % 3 as int) + 1)"),
+            F.expr("element_at(array('zstd','xz','gzip','bz2'), "
+                   "cast((doc_id % 12) % 4 as int) + 1)"),
         )
         .groupBy("codec", "lang")
         .agg(F.count("*").cast("long").alias("n_docs"),
@@ -818,7 +818,7 @@ def test_shard_ingest_sink_stream_and_retry(spark, sf_dir, tmp_path):
     assert got == {tuple(r) for r in want.collect()}
     # retry semantics: a second stream over the SAME checkpoint replays
     # nothing and the additive state must not move
-    _, _, hwm = _read_state(spark, state)
+    _, _, _, hwm = _read_state(spark, state)
     assert hwm >= 0
     docs_before = spark.read.parquet(f"{state}/docs").count()
     q2 = incremental_shard_ingest_sink(
@@ -832,6 +832,68 @@ def test_shard_ingest_sink_stream_and_retry(spark, sf_dir, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    d2, s2, hwm2 = _read_state(spark, state)
+    d2, s2, _, hwm2 = _read_state(spark, state)
     assert hwm2 == hwm and d2.count() == docs_before
     assert {tuple(r) for r in s2.collect()} == got
+
+
+def test_shard_ingest_sink_quarantines_corrupt_and_bomb(spark, sf_dir, tmp_path):
+    """r10 hardening: a corrupt shard and a bomb shard (inflates past
+    the decode cap) each yield a quarantine row in the streaming state
+    instead of killing the task; stats cover only the healthy shards."""
+    import bz2 as _bz2
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.plans.pipeline_queries import _build_shard_blobs
+    from hive_udf_spark.sources import load_table
+    from hive_udf_spark.streaming.shard_sink import incremental_shard_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    shards = _build_shard_blobs(docs).localCheckpoint(eager=True)
+    # shard 5 (xz): truncated to half; shard 7 (bz2 after %4): replaced
+    # with a bz2 bomb that inflates past the 256 MiB decode cap
+    bomb = _bz2.compress(b"\x00" * ((1 << 28) + (1 << 20)))
+    assert len(bomb) < 1 << 20  # the bomb itself is tiny on the wire
+    corrupted = shards.withColumn(
+        "blob",
+        F.when(
+            F.col("shard") == 5,
+            F.expr("substring(blob, 1, CAST(length(blob) / 2 AS INT))"),
+        )
+        .when(F.col("shard") == 7, F.lit(bomb))
+        .otherwise(F.col("blob")),
+    ).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    corrupted.coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema("shard int, codec string, blob binary")
+        .parquet(f"{src}/*")
+    )
+    state = str(tmp_path / "state")
+    q = incremental_shard_ingest_sink(stream, state, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    quar = {
+        (r.shard, r.codec): r.decode_error
+        for r in spark.read.parquet(f"{state}/quarantine").collect()
+    }
+    assert set(quar) == {(5, "xz"), (7, "bz2")}
+    assert "truncated" in quar[(5, "xz")] or "corrupt" in quar[(5, "xz")]
+    assert "cap" in quar[(7, "bz2")]
+    # stats equal the batch SQL over the SURVIVING shards only
+    want = (
+        docs.filter(~(F.col("doc_id") % 12).isin(5, 7))
+        .withColumn(
+            "codec",
+            F.expr("element_at(array('zstd','xz','gzip','bz2'), "
+                   "cast((doc_id % 12) % 4 as int) + 1)"),
+        )
+        .groupBy("codec", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(F.length("text")).cast("long").alias("total_chars"))
+    )
+    got = {tuple(r) for r in spark.read.parquet(f"{state}/stats").collect()}
+    assert got == {tuple(r) for r in want.collect()}

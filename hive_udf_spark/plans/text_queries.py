@@ -127,10 +127,10 @@ def _lang_stopwords_oracle() -> str:
       SELECT doc_id, {lang_expr} AS planted_lang, {text_expr} AS text
       FROM documents
     ),
-    t AS (SELECT doc_id, planted_lang, {_TOKS_SQL} AS toks FROM planted)
+    t AS (SELECT doc_id, planted_lang, text, {_TOKS_SQL} AS toks FROM planted)
     SELECT doc_id, planted_lang,
-           {lang_id_sql('toks')} AS predicted_lang,
-           (planted_lang = {lang_id_sql('toks')}) AS correct
+           {lang_id_sql('toks', text_expr='text')} AS predicted_lang,
+           (planted_lang = {lang_id_sql('toks', text_expr='text')}) AS correct
     FROM t
     """
 
@@ -138,13 +138,15 @@ def _lang_stopwords_oracle() -> str:
 @register("text_lang_id_stopwords", oracle=_lang_stopwords_oracle())
 def text_lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID with the SHIPPED stopword lists on a planted
-    multilingual fixture (r8 verdict item 6): each doc_id derives a
-    language and a short document of three real stopwords from that
+    multilingual fixture (r8 verdict item 6; widened to all 27 shipped
+    languages with the script-class channel in r10): each doc_id derives
+    a language and a short document of three real stopwords from that
     language plus neutral filler (functions/langid.py,
     ``synth_multilingual_sql`` — one generator, two engines).  The
-    production scorer (``lang_id`` with its default ``STOPWORD_MARKERS``)
-    must recover the planted language for every row — ``correct`` is
-    all-true by construction, and the accuracy pytest asserts it."""
+    production scorer (``lang_id`` with its default ``STOPWORD_MARKERS``
+    + ``SCRIPT_MARKERS``, token AND script channels) must recover the
+    planted language for every row — ``correct`` is all-true by
+    construction, and the window-dominance pytest proves it stays so."""
     from hive_udf_spark.functions.langid import lang_id, synth_multilingual_sql
 
     lang_expr, text_expr = synth_multilingual_sql("spark")
@@ -154,7 +156,7 @@ def text_lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lang_expr).alias("planted_lang"),
         F.expr(text_expr).alias("text"),
     )
-    pred = lang_id(tokenize("text"))
+    pred = lang_id(tokenize("text"), text=F.col("text"))
     return planted.select(
         "doc_id",
         "planted_lang",

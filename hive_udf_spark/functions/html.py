@@ -18,9 +18,19 @@ through one branch-free CASE —
   byte values → hex string → ``unhex`` → UTF-8 decode), valid for
   codepoints 1..0x10FFFF excluding the surrogate block — anything else
   stays literal;
-* named references (``&eacute;`` …) decode through the
-  ``NAMED_ENTITIES`` table below (the common HTML4/web set; the full
-  WHATWG table is a data swap, the ``functions/psl.py`` pattern);
+* named references (``&eacute;`` …) decode through the COMPLETE
+  WHATWG table (r9 verdict item 4): ``NAMED_ENTITIES`` holds all
+  ~2,125 semicolon-terminated names (multi-codepoint values like
+  ``&acE;`` → ``∾̳`` included), built from the stdlib's
+  ``html.entities.html5`` — the published WHATWG data, so parity with
+  ``html.unescape`` is by construction; the Spark side looks names up
+  in ONE constant-folded map literal (not a 2,125-branch CASE — the
+  expression tree stays small and the lookup is a scan of folded map
+  data), the DuckDB side via ``list_position`` over list literals;
+* the 106 legacy NO-SEMICOLON forms (``&amp``, ``&copy`` …) decode by
+  longest-prefix match exactly as WHATWG error-recovery specifies
+  (``&notit;`` → ``¬it;``), tried only after the semicolon lookup
+  misses;
 * an unknown name / malformed reference / bare ``&`` survives as
   literal text — never an error, never silent truncation;
 * ``&amp;lt;`` decodes to the literal text ``&lt;`` (single pass over
@@ -44,9 +54,10 @@ Python's ``html.unescape`` on the covered set.
 
 Scope: this is the regexp-extraction tier (what CCNet/Gopher-era
 pipelines shipped), not a DOM parser — malformed nesting degrades
-gracefully (a tag is anything matching ``<[^>]+>``).  Semicolon-less
-references (``&amp`` bare) stay literal (documented divergence from
-browser error-recovery).
+gracefully (a tag is anything matching ``<[^>]+>``).  Numeric
+references synthesize the spec-pure codepoint (no windows-1252 C1
+compat remapping, and ``&#0;`` stays literal rather than becoming
+U+FFFD — the two documented divergences from browser error-recovery).
 
 No reference analogue (the reference is a cardinality-UDAF package,
 MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
@@ -63,6 +74,7 @@ __all__ = [
     "html_to_text_sql",
     "html_escape_text",
     "NAMED_ENTITIES",
+    "LEGACY_ENTITIES",
     "BLOCK_STRIP_STEPS",
 ]
 
@@ -83,52 +95,34 @@ BLOCK_STRIP_STEPS = [
     (r"(?s)<[^>]+>", " "),
 ]
 
-# The common web set (HTML4 core + the punctuation every real page
-# uses).  Full WHATWG coverage is a data swap: extend this dict.  NOTE:
-# nbsp maps to a plain space (module docstring).
-NAMED_ENTITIES: dict[str, str] = {
-    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
-    "nbsp": " ", "shy": "­", "copy": "©", "reg": "®",
-    "trade": "™", "deg": "°", "plusmn": "±",
-    "sup2": "²", "sup3": "³", "micro": "µ",
-    "para": "¶", "middot": "·", "laquo": "«",
-    "raquo": "»", "frac14": "¼", "frac12": "½",
-    "frac34": "¾", "times": "×", "divide": "÷",
-    "cent": "¢", "pound": "£", "curren": "¤",
-    "yen": "¥", "euro": "€", "sect": "§",
-    "agrave": "à", "aacute": "á", "acirc": "â",
-    "atilde": "ã", "auml": "ä", "aring": "å",
-    "aelig": "æ", "ccedil": "ç", "egrave": "è",
-    "eacute": "é", "ecirc": "ê", "euml": "ë",
-    "igrave": "ì", "iacute": "í", "icirc": "î",
-    "iuml": "ï", "ntilde": "ñ", "ograve": "ò",
-    "oacute": "ó", "ocirc": "ô", "otilde": "õ",
-    "ouml": "ö", "oslash": "ø", "ugrave": "ù",
-    "uacute": "ú", "ucirc": "û", "uuml": "ü",
-    "yacute": "ý", "yuml": "ÿ", "szlig": "ß",
-    "Agrave": "À", "Aacute": "Á", "Auml": "Ä",
-    "Eacute": "É", "Ouml": "Ö", "Uuml": "Ü",
-    "ndash": "–", "mdash": "—", "lsquo": "‘",
-    "rsquo": "’", "sbquo": "‚", "ldquo": "“",
-    "rdquo": "”", "bdquo": "„", "dagger": "†",
-    "Dagger": "‡", "bull": "•", "hellip": "…",
-    "permil": "‰", "prime": "′", "Prime": "″",
-    "lsaquo": "‹", "rsaquo": "›", "oline": "‾",
-    "frasl": "⁄", "larr": "←", "uarr": "↑",
-    "rarr": "→", "darr": "↓", "harr": "↔",
-    "minus": "−", "lowast": "∗", "radic": "√",
-    "prop": "∝", "infin": "∞", "asymp": "≈",
-    "ne": "≠", "equiv": "≡", "le": "≤", "ge": "≥",
-    "alpha": "α", "beta": "β", "gamma": "γ",
-    "delta": "δ", "epsilon": "ε", "lambda": "λ",
-    "mu": "μ", "pi": "π", "sigma": "σ",
-    "omega": "ω", "ensp": " ", "emsp": " ",
-    "thinsp": " ", "zwnj": "‌", "zwj": "‍",
-    "ordf": "ª", "ordm": "º", "iexcl": "¡",
-    "iquest": "¿", "brvbar": "¦", "uml": "¨",
-    "not": "¬", "macr": "¯", "acute": "´",
-    "cedil": "¸", "sup1": "¹",
-}
+# The COMPLETE WHATWG named-reference table, from the stdlib's
+# published copy of the spec data (html.entities.html5 — ~2,231 keys).
+# NAMED_ENTITIES: every semicolon-terminated name → replacement (names
+# stored without the ';').  LEGACY_ENTITIES: the 106 historic
+# no-semicolon forms, decoded by longest-prefix match only after the
+# semicolon lookup misses.  U+00A0 is normalized to a plain space in
+# all values (module docstring: the downstream whitespace collapse is
+# ASCII-\\s, and extraction-tier text wants no-break spaces folded).
+
+
+def _build_entity_tables() -> tuple[dict[str, str], dict[str, str]]:
+    from html.entities import html5
+
+    sem: dict[str, str] = {}
+    legacy: dict[str, str] = {}
+    for k, v in html5.items():
+        v = v.replace("\xa0", " ")
+        if k.endswith(";"):
+            sem[k[:-1]] = v
+        else:
+            legacy[k] = v
+    return sem, legacy
+
+
+NAMED_ENTITIES, LEGACY_ENTITIES = _build_entity_tables()
+# longest-first: WHATWG error-recovery takes the maximal matching
+# legacy name ("&notit" → ¬ + "it", never "no" + ...)
+_LEGACY_ORDERED = sorted(LEGACY_ENTITIES.items(), key=lambda kv: (-len(kv[0]), kv[0]))
 
 _DEC_PAT = r"^#([0-9]{1,7});"
 _HEX_PAT = r"^#[xX]([0-9a-fA-F]{1,6});"
@@ -146,12 +140,29 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _named_case_sql(var: str) -> str:
-    """CASE mapping an entity NAME to its replacement; NULL if unknown."""
+def _named_lookup_sql(var: str) -> str:
+    """Entity NAME → replacement over the full ~2,125-entry table;
+    NULL if unknown.  Parallel list literals + ``list_position`` (a
+    2,125-branch CASE would work but parses and evaluates far worse);
+    ``list_position`` yields NULL on a miss, and list extraction at a
+    NULL index is NULL — exactly the wanted miss semantics."""
+    items = sorted(NAMED_ENTITIES.items())
+    keys = "[" + ",".join(_sql_str(k) for k, _ in items) + "]"
+    vals = "[" + ",".join(_sql_str(v) for _, v in items) + "]"
+    return f"({vals})[list_position({keys}, {var})]"
+
+
+def _legacy_case_sql(var: str) -> str:
+    """Longest-prefix match over the 106 legacy no-semicolon names
+    (tried only after the semicolon lookup misses); NULL if none
+    match.  The CASE is emitted longest-name-first, so the first hit
+    IS the maximal munch."""
     whens = " ".join(
-        f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in NAMED_ENTITIES.items()
+        f"WHEN starts_with({var}, {_sql_str(k)}) "
+        f"THEN {_sql_str(v)} || substr({var}, {len(k) + 1})"
+        for k, v in _LEGACY_ORDERED
     )
-    return f"CASE {var} {whens} END"
+    return f"CASE {whens} END"
 
 
 def _utf8_hex_sql(cp: str, hex_fn) -> str:
@@ -185,11 +196,13 @@ def _entity_lambda_sql() -> str:
     )
     rest = "substr(s, instr(s, ';') + 1)"
     utf8 = f"decode(unhex({_utf8_hex_sql(cp, 'to_hex')}))"
-    named = _named_case_sql(name)
+    named = _named_lookup_sql(name)
+    legacy = _legacy_case_sql("s")
     return (
         f"CASE WHEN {valid} AND {cp} = 160 THEN ' ' || {rest} "
         f"WHEN {valid} THEN {utf8} || {rest} "
-        f"ELSE coalesce({named} || substr(s, length({name}) + 2), '&' || s) END"
+        f"ELSE coalesce({named} || substr(s, length({name}) + 2), "
+        f"{legacy}, '&' || s) END"
     )
 
 
@@ -249,6 +262,22 @@ def _utf8_hex_col(cp: Column) -> Column:
     )
 
 
+def _spark_str(s: str) -> str:
+    """Spark-SQL single-quoted literal: unlike DuckDB, Spark's parser
+    treats backslash as a C-style escape (``&bsol;`` → ``\\`` must
+    double), while '' doubling works in both."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _named_map_col() -> Column:
+    """The full entity table as one Spark map literal (built via
+    F.expr: ``map('k','v',...)`` with all-literal children is foldable,
+    so the optimizer collapses it to a single Literal)."""
+    items = sorted(NAMED_ENTITIES.items())
+    pairs = ",".join(f"{_spark_str(k)},{_spark_str(v)}" for k, v in items)
+    return F.expr(f"map({pairs})")
+
+
 def _entity_piece_col(s: Column) -> Column:
     dec = F.regexp_extract(s, _DEC_PAT, 1)
     hexs = F.regexp_extract(s, _HEX_PAT, 1)
@@ -262,19 +291,30 @@ def _entity_piece_col(s: Column) -> Column:
     valid = (cpi >= 1) & (cpi <= 1114111) & ~((cpi >= 55296) & (cpi <= 57343))
     rest = F.substr(s, F.instr(s, ";") + 1)
     utf8 = F.decode(F.unhex(_utf8_hex_col(cpi)), "UTF-8")
-    named = None
-    for k, v in NAMED_ENTITIES.items():
-        named = (
-            F.when(name == k, F.lit(v))
-            if named is None
-            else named.when(name == k, F.lit(v))
+    # full-table name lookup as ONE map literal: constant-folded by
+    # Catalyst into a single Literal(MapData) — the expression tree
+    # stays small where a 2,125-branch CaseWhen would dominate the plan;
+    # try_element_at (not element_at: ANSI mode throws on a missing
+    # key) yields NULL on a miss, matching the SQL list_position shape
+    named = F.try_element_at(_named_map_col(), name)
+    # legacy no-semicolon forms: longest-first prefix CASE (106
+    # branches), evaluated only when the semicolon lookup missed
+    legacy = None
+    for k, v in _LEGACY_ORDERED:
+        hit = F.concat(F.lit(v), F.substr(s, F.lit(len(k) + 1)))
+        legacy = (
+            F.when(s.startswith(k), hit)
+            if legacy is None
+            else legacy.when(s.startswith(k), hit)
         )
     rest_name = F.substr(s, F.length(name) + 2)
     return (
         F.when(valid & (cpi == 160), F.concat(F.lit(" "), rest))
         .when(valid, F.concat(utf8, rest))
         .otherwise(
-            F.coalesce(F.concat(named, rest_name), F.concat(F.lit("&"), s))
+            F.coalesce(
+                F.concat(named, rest_name), legacy, F.concat(F.lit("&"), s)
+            )
         )
     )
 

@@ -77,11 +77,37 @@ def test_invalid_references_stay_literal(spark):
     assert _extract(spark, "a &#xD800; b") == "a &#xD800; b"  # surrogate
     assert _extract(spark, "a &#9999999; b") == "a &#9999999; b"  # > 10FFFF
     assert _extract(spark, "a &bogusname; b") == "a &bogusname; b"
-    assert _extract(spark, "bare & amp &amp no-semicolon") == (
-        "bare & amp &amp no-semicolon"
-    )
     assert _extract(spark, "&") == "&"
     assert _extract(spark, "&&amp;&") == "&&&"
+
+
+def test_legacy_no_semicolon_forms(spark):
+    """WHATWG error-recovery: the 106 historic names decode WITHOUT a
+    semicolon by longest-prefix match; non-legacy names do not."""
+    # bare legacy forms decode ("&amp x" → "& x"), as html.unescape does
+    assert _extract(spark, "bare & amp &amp no-semicolon") == (
+        "bare & amp & no-semicolon"
+    )
+    assert _extract(spark, "fish &amp chips &copy 2026") == "fish & chips © 2026"
+    # longest munch: &notit → ¬ + "it" (not "no"+...); &notin; is a full name
+    assert _extract(spark, "x &notit; y") == "x ¬it; y"
+    assert _extract(spark, "x &notin; y") == "x ∉ y"
+    # unknown semicolon name with a legacy prefix: prefix still applies
+    assert _extract(spark, "&copy2;") == "©2;"
+    # non-legacy names stay literal without a semicolon
+    assert _extract(spark, "&hellip oops") == "&hellip oops"
+
+
+def test_full_whatwg_table_and_multicodepoint(spark):
+    """The long WHATWG tail decodes: multi-codepoint values, combining
+    sequences, and capitalized variants the common set never had."""
+    import html as pyhtml
+
+    from hive_udf_spark.functions.html import NAMED_ENTITIES
+
+    assert len(NAMED_ENTITIES) > 2000
+    cases = "&acE; &bnequiv; &fjlig; &CounterClockwiseContourIntegral; &nvap;"
+    assert _extract(spark, cases) == pyhtml.unescape(cases)
 
 
 def test_named_entities_table(spark):
@@ -130,7 +156,7 @@ def test_cross_engine_parity_and_unescape_property(spark):
     for _ in range(120):
         parts = []
         for _ in range(rng.randint(1, 6)):
-            kind = rng.randint(0, 4)
+            kind = rng.randint(0, 5)
             if kind == 0:
                 parts.append("&" + rng.choice(names) + ";")
             elif kind == 1:
@@ -143,6 +169,14 @@ def test_cross_engine_parity_and_unescape_property(spark):
                 parts.append(f"&#x{cp:X};" if rng.random() < 0.5 else f"&#x{cp:x};")
             elif kind == 3:
                 parts.append(rng.choice(["w", "xy", "a&b", "z&", "&amp;lt;"]))
+            elif kind == 4:
+                # legacy no-semicolon forms (longest-prefix error recovery)
+                from hive_udf_spark.functions.html import LEGACY_ENTITIES
+
+                legacy = [
+                    k for k, v in LEGACY_ENTITIES.items() if not v.isspace()
+                ]
+                parts.append("&" + rng.choice(legacy) + rng.choice(["", "tail"]))
             else:
                 parts.append(rng.choice(["&#bad;", "&#xZZ;", "&unknown;"]))
         cases.append("g ".join(parts))

@@ -732,6 +732,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ).select("doc_id", enc(F.col("__s")).alias("blob"))
         _force(decode_image_features(blobs, fake=False))
 
+    def q_codec_webp_lossy_decode():
+        # r10: lossy VP8 decode via the native-dispatch tier (libwebp
+        # luma plane), flat-macroblock fixture encode, Arrow-batched
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webp_lossy_decode"].fn(spark, sf_dir))
+
+    def q_warc_br_encoding():
+        # r10: Content-Encoding: br bodies (plain/chunked/gzip-stacked)
+        # through the WARC walk + native libbrotli dispatch
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["text_warc_br_content_encoding"].fn(spark, sf_dir))
+
     def q_codec_pdf_xrefstream():
         # r9: PDF 1.5 machinery — xref streams (W-packed, PNG-predicted),
         # object streams, /Prev chains
@@ -1027,6 +1041,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_epub_extract": q_codec_epub_extract,
         "streaming_boilerplate": q_streaming_boilerplate,
         "codec_webp_decode": q_codec_webp_decode,
+        "codec_webp_lossy_decode": q_codec_webp_lossy_decode,
+        "warc_br_encoding": q_warc_br_encoding,
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
         "codec_pdf_type0_extract": q_codec_pdf_type0,
         "codec_flac_decode": q_codec_flac_decode,

@@ -92,6 +92,43 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4, interlace: bo
     return enc
 
 
+def webp_lossy_encoder_udf(mb_cols: int = 4, mb_rows: int = 4):
+    """Arrow-batched LOSSY-WebP fixture encoder (r10, r9 verdict item
+    1): a ``pandas_udf`` mapping an (mb_cols·mb_rows)-char ASCII payload
+    to a real ``VP8 `` key-frame blob via the system libwebp
+    (operators/native.py), each char painting one FLAT 16×16 macroblock
+    at quality 100.  Flat macroblocks at q100 survive the whole VP8
+    chain (RGB→YUV conversion, forward DCT+WHT, quantization, boolean
+    coding, reconstruction) with the luma plane landing EXACTLY on
+    ``Y(v) = (56318·v + 1081344) >> 16`` per painted char — the
+    deterministic regime that lets a lossy codec meet a hash-exact
+    oracle, the JPEG flat-block discipline applied to VP8
+    (tests/test_native.py pins the mapping over all 256 gray levels)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = mb_cols * mb_rows
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.native import webp_native_encode_lossy_gray
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            img = np.repeat(
+                np.repeat(a.reshape(mb_rows, mb_cols), 16, axis=0), 16, axis=1
+            )
+            blob = webp_native_encode_lossy_gray(img, quality=100.0)
+            if blob[12:16] != b"VP8 ":
+                raise ValueError("fixture encoder did not produce a lossy VP8")
+            return blob
+
+        return s.map(one)
+
+    return enc
+
+
 def webp_encoder_udf(width: int, height: int, mode: str | None = None):
     """Arrow-batched lossless-WebP fixture encoder: a ``pandas_udf``
     mapping a width·height-char ASCII payload to a VP8L WebP blob

@@ -44,6 +44,7 @@ __all__ = [
     "warc_records_table",
     "warc_coded_page_encoder_udf",
     "warc_zstd_page_encoder_udf",
+    "warc_br_page_encoder_udf",
 ]
 
 _CRLF2 = b"\r\n\r\n"
@@ -93,6 +94,17 @@ def _decode_content_coding(body: bytes, coding: str) -> bytes:
         from hive_udf_spark.operators.zstdcodec import zstd_decompress
 
         return zstd_decompress(body, max_output=_MAX_MEMBER_BYTES)
+    if coding == "br":
+        # RFC 7932 brotli — the second-most-common coding on the real
+        # web (r9 verdict item 3).  Decoded through the system
+        # libbrotlidec (operators/native.py): the format's embedded
+        # ~120 KB static dictionary cannot be faithfully vendored
+        # offline, so when the library is absent the record quarantines
+        # (never wrong bytes).  Same bounded-output contract: the cap
+        # IS the native output buffer.
+        from hive_udf_spark.operators.native import brotli_native_decompress
+
+        return brotli_native_decompress(body, max_output=_MAX_MEMBER_BYTES)
     raise ValueError(f"unsupported content-coding {coding!r}")
 
 
@@ -310,6 +322,11 @@ def encode_http_response(
 
         body = zstd_compress(body, shape="auto")
         head += "Content-Encoding: zstd\r\n"
+    elif content_encoding == "br":
+        from hive_udf_spark.operators.native import brotli_native_compress
+
+        body = brotli_native_compress(body)
+        head += "Content-Encoding: br\r\n"
     elif content_encoding:
         wbits = {"gzip": 31, "deflate": 15, "deflate-raw": -15}.get(content_encoding)
         if wbits is None:
@@ -492,6 +509,80 @@ def warc_zstd_page_encoder_udf(
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     b"Content-Encoding: gzip, zstd\r\n"
+                    + f"Content-Length: {len(stacked)}\r\n\r\n".encode("ascii")
+                    + stacked
+                )
+            return encode_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"{uri_prefix}{did}",
+                        },
+                        "payload": http,
+                    }
+                ],
+                gzip_records=True,
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, text)])
+
+    return enc
+
+
+def warc_br_page_encoder_udf(
+    prefix: str,
+    suffix: str,
+    uri_prefix: str = "http://corpus.test/doc/",
+):
+    """brotli-coded crawl-chunk fixture encoder (r10, r9 verdict item
+    3): each record's HTTP body is stored under ``Content-Encoding: br``
+    (RFC 7932 via the system libbrotlienc), with ``doc_id % 3``
+    selecting the delivery shape: 0 = plain br + Content-Length, 1 = br
+    under chunked transfer (transfer layer decodes first), 2 =
+    ``br, gzip`` STACKED content codings (br applied first, gzip
+    second — decode runs right-to-left, so the walk must gunzip and
+    THEN de-brotli).  Quality rotates 1/5/9 by doc_id so multiple
+    encoder regimes (window sizes, block splits) reach the decoder."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.native import brotli_native_compress
+
+        def one(did: int, t: str) -> bytes:
+            esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html = (prefix + esc + suffix).encode("utf-8")
+            quality = (1, 5, 9)[did % 3]
+            mode = did % 3
+            if mode == 0:
+                br = brotli_native_compress(html, quality=quality)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n"
+                    + f"Content-Length: {len(br)}\r\n\r\n".encode("ascii")
+                    + br
+                )
+            elif mode == 1:
+                br = brotli_native_compress(html, quality=quality)
+                head = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                )
+                out = bytearray(head)
+                for i in range(0, len(br), 256):
+                    chunk = br[i : i + 256]
+                    out += f"{len(chunk):x}\r\n".encode("ascii") + chunk + b"\r\n"
+                out += b"0\r\n\r\n"
+                http = bytes(out)
+            else:
+                stacked = _gzip_whole(
+                    brotli_native_compress(html, quality=quality)
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br, gzip\r\n"
                     + f"Content-Length: {len(stacked)}\r\n\r\n".encode("ascii")
                     + stacked
                 )

@@ -11,8 +11,11 @@ Decoder coverage (the full spec surface):
 * RIFF walk (``RIFF``/``WEBP``/``VP8L`` chunks); extended ``VP8X``
   containers accepted when the image data is a single lossless VP8L
   frame (ICCP/EXIF/XMP metadata skipped, canvas-size cross-checked);
-  lossy ``VP8 `` and animated (``ANIM``) files raise → quarantine,
-  never silent garbage;
+  lossy ``VP8 `` decodes through the system libwebp when present
+  (operators/native.py, r10 — the luma plane; spec-true VP8 entropy
+  tables cannot be vendored offline) and quarantines when the library
+  is absent; animated (``ANIM``) files raise → quarantine, never
+  silent garbage;
 * LSB-first bitstream, 14-bit dimensions, version check;
 * all four transforms with correct width bookkeeping and reverse-order
   inverse application: PREDICTOR (14 modes, block sub-image), COLOR
@@ -62,7 +65,10 @@ __all__ = [
 ]
 
 _MAX_PIXELS = 1 << 22  # bomb cap: 4 MPix is far above any fixture
-_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# spec kCodeLengthCodeOrder — NOTE 16 sits after 5, not at the end (a
+# DEFLATE-style "16 last" ordering round-trips against itself but is
+# rejected by real decoders; caught by the r10 libwebp cross-check)
+_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # spec distance-map: the first 120 distance codes address a 2D
 # neighborhood (dx, dy) around the current pixel
@@ -641,9 +647,10 @@ def decode_webp_gray(b: bytes) -> np.ndarray:
     extended ``VP8X`` form so long as the image data is a single
     lossless VP8L frame — real lossless exports routinely gain a VP8X
     wrapper just to carry ICCP/EXIF/XMP metadata, which is skipped.
-    Animated (``ANIM`` flag) and lossy (``VP8 ``) files raise →
-    quarantine; a VP8X canvas size disagreeing with the VP8L stream's
-    own dimensions is malformed and raises too."""
+    Lossy ``VP8 `` frames decode natively (libwebp luma plane; r10) and
+    quarantine when the library is absent; animated (``ANIM`` flag)
+    files raise → quarantine; a VP8X canvas size disagreeing with the
+    stream's own dimensions is malformed and raises too."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP header missing)")
     riff_size = int.from_bytes(b[4:8], "little")
@@ -670,7 +677,29 @@ def decode_webp_gray(b: bytes) -> np.ndarray:
             gray = ((299 * r + 587 * g + 114 * bl) // 1000).astype(np.uint8)
             return gray.reshape(h, w)
         if cid == b"VP8 ":
-            raise ValueError("WebP lossy (VP8) not vendored — lossless only")
+            # Lossy VP8 (r9 verdict item 1): decode through the system
+            # libwebp when present (operators/native.py — the RFC 6386
+            # default probability/quant tables cannot be faithfully
+            # vendored offline; wrong tables would mean silently wrong
+            # pixels on real files).  The returned gray is the LUMA
+            # plane — the channel the codec stores, free of chroma
+            # upsampling / YUV→RGB rounding.  Without the library the
+            # blob quarantines, exactly as before.
+            from hive_udf_spark.operators.native import (
+                webp_native_available,
+                webp_native_decode_luma,
+            )
+
+            if not webp_native_available():
+                raise ValueError(
+                    "WebP lossy (VP8) needs the system libwebp (absent)"
+                )
+            y = webp_native_decode_luma(b)
+            if canvas is not None and canvas != (y.shape[1], y.shape[0]):
+                raise ValueError(
+                    f"VP8X canvas {canvas} disagrees with VP8 {y.shape[::-1]}"
+                )
+            return y
         if cid == b"VP8X":
             if csize < 10:
                 raise ValueError("WebP VP8X chunk truncated")

@@ -609,6 +609,56 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_lossy_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 16), 16, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             [(unicode(c) * 56318 + 1081344) >> 16
+              for c in string_split(s, '')] AS luma
+      FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           list_sum(luma) / 16.0 AS mean_byte,
+           CAST(list_max(luma) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY WebP (VP8 key-frame) decode end-to-end (r10, r9 verdict
+    item 1): each document's first 16 chars paint the FLAT 16×16
+    macroblocks of a 64×64 lossy ``VP8 `` WebP encoded at quality 100
+    by the real libwebp (operators/multimodal.webp_lossy_encoder_udf),
+    and the production fake=False mapInPandas path decodes it back
+    through ``decode_webp_gray``'s native-dispatch lossy tier
+    (operators/native.py — the luma plane, no chroma/RGB rounding).
+    Flat macroblocks at q100 survive the full VP8 chain exactly, with
+    each painted gray v landing on the BT.601 limited-range luma
+    ``(56318·v + 1081344) >> 16`` — the JPEG flat-block discipline
+    applied to a second lossy codec, so the oracle is HASH-EXACT: mean
+    over 4096 decoded pixels = mean of the 16 mapped chars (each owns
+    256 pixels), max likewise; both divide by powers of two, so floats
+    are bit-identical across engines.  The char→luma mapping itself is
+    pinned over all 256 gray levels in tests/test_native.py."""
+    from hive_udf_spark.operators.multimodal import webp_lossy_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = F.rpad(F.substring("text", 1, 16), 16, " ")
+    enc = webp_lossy_encoder_udf(4, 4)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_zstd_roundtrip",
     oracle="""
     SELECT doc_id,
@@ -707,6 +757,65 @@ def text_warc_zstd_content_encoding(spark: SparkSession, sf_dir: str) -> DataFra
     extracted = html_to_text(F.decode("body", "UTF-8"))
     delivery = F.expr(
         "element_at(array('zstd','chunked+zstd','gzip+zstd'), "
+        "cast(doc_id % 3 as int) + 1)"
+    )
+    return recs.select(
+        "doc_id",
+        delivery.alias("delivery"),
+        "http_status",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_warc_br_content_encoding",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX.replace(chr(39), chr(39) * 2)}'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '{_HTML_SUFFIX.replace(chr(39), chr(39) * 2)}' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           (['br','chunked+br','br+gzip'])[CAST(doc_id % 3 AS INT) + 1]
+               AS delivery,
+           200 AS http_status,
+           {_html_chain_sql("html")} AS extracted,
+           CAST(length({_html_chain_sql("html")}) AS BIGINT) AS n_chars
+    FROM h
+    """,
+)
+def text_warc_br_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brotli-coded crawl ingestion (r10, r9 verdict item 3): ``br`` is
+    the second-most-common content-coding on the real web, and until
+    this round every such WARC record quarantined.  Each document is
+    stored under ``Content-Encoding: br`` (RFC 7932 via the system
+    libbrotli, operators/native.py — the embedded ~120 KB static
+    dictionary makes offline vendoring infeasible, so native dispatch
+    IS the faithful path; absent library → per-record quarantine as
+    before) in the three delivery shapes: plain br + Content-Length,
+    br under CHUNKED transfer, and ``br, gzip`` STACKED codings
+    (decode right-to-left: gunzip first, then de-brotli), with encoder
+    quality rotating 1/5/9.  The production walk must hand back the
+    identical page text for every shape — the compression layers are
+    lossless wrappers whose invisibility is what the hash check
+    proves."""
+    from hive_udf_spark.functions.html import html_to_text
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+    from hive_udf_spark.operators.warc import (
+        warc_br_page_encoder_udf,
+        warc_records_table,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    enc = warc_br_page_encoder_udf(_HTML_PREFIX, _HTML_SUFFIX)
+    blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
+    recs = warc_records_table(blobs).filter(F.col("warc_type") == "response")
+    extracted = html_to_text(F.decode("body", "UTF-8"))
+    delivery = F.expr(
+        "element_at(array('br','chunked+br','br+gzip'), "
         "cast(doc_id % 3 as int) + 1)"
     )
     return recs.select(

@@ -123,10 +123,16 @@ def test_content_encoding_zstd_roundtrip():
 def test_content_encoding_unknown_or_corrupt_raises():
     body = HTML
     good = encode_http_response(body, content_encoding="gzip")
-    # unknown coding
+    # br is a SUPPORTED coding since r10 (native libbrotli dispatch):
+    # gzip bytes under a br label must surface as a brotli malformation
+    # (or the library-absent message), never pass through as text
     bad = good.replace(b"Content-Encoding: gzip", b"Content-Encoding: br")
-    with pytest.raises(ValueError, match="unsupported content-coding 'br'"):
+    with pytest.raises(ValueError, match="brotli|libbrotli"):
         http_response_body(bad)
+    # a coding nothing supports stays the unsupported error
+    bad2 = good.replace(b"Content-Encoding: gzip", b"Content-Encoding: xc")
+    with pytest.raises(ValueError, match="unsupported content-coding 'xc'"):
+        http_response_body(bad2)
     # zstd is now a SUPPORTED coding (r9) — malformed zstd bytes must
     # surface as a zstd malformation error, not pass through
     with pytest.raises(ValueError, match="zstd"):

@@ -753,6 +753,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_pdf_xrefstream_extract"].fn(spark, sf_dir))
 
+    def q_codec_pdf_encrypted():
+        # r10: standard-security-handler decrypt (RC4-40/128, AES-128)
+        # + the usual xref/flate/text-replay walk, quarantine rotation
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_pdf_encrypted_extract"].fn(spark, sf_dir))
+
     def q_codec_pdf_type0():
         # r9: Type0/Identity-H extraction — ToUnicode CMap parse +
         # per-code routing of 2-byte-CID hex show strings
@@ -1045,6 +1052,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "warc_br_encoding": q_warc_br_encoding,
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
         "codec_pdf_type0_extract": q_codec_pdf_type0,
+        "codec_pdf_encrypted_extract": q_codec_pdf_encrypted,
         "codec_flac_decode": q_codec_flac_decode,
         "codec_tar_extract": q_codec_tar_extract,
         "webdataset_group": q_webdataset_group,

@@ -3082,6 +3082,75 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pdf_encrypted_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text AS s,
+             (['rc4-40','rc4-128','aes-128'])[CAST(doc_id % 3 AS INT) + 1]
+                 AS cipher,
+             (doc_id % 13 = 5) AS protected
+      FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id, cipher, 0 AS page_idx, 2 AS n_pages,
+           substr(s, 1, length(s) // 2) AS text,
+           CAST(length(s) // 2 AS BIGINT) AS n_chars,
+           false AS quarantined
+    FROM t WHERE NOT protected
+    UNION ALL
+    SELECT doc_id, cipher, 1, 2,
+           substr(s, length(s) // 2 + 1),
+           CAST(length(s) - length(s) // 2 AS BIGINT),
+           false
+    FROM t WHERE NOT protected
+    UNION ALL
+    SELECT doc_id, cipher, -1, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), true
+    FROM t WHERE protected
+    """,
+)
+def multimodal_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCRYPTED-PDF extraction end-to-end (r10, r9 verdict item 5):
+    each document becomes the two-page FlateDecode fixture wrapped by
+    the PDF standard security handler (operators/pdfcrypt.py — vendored
+    RC4 + FIPS-197 AES-128 with a COMPUTED S-box, cross-checked against
+    the ``cryptography`` package in tests), cipher rotating by doc_id
+    over RC4-40 / RC4-128 / AES-128-CBC, all with the empty user
+    password (the permissions-only encryption a real web corpus is full
+    of).  The production path authenticates Algorithm 4/5, derives
+    per-object keys (Algorithm 1, ``sAlT`` suffix for AESV2), decrypts
+    each content stream BEFORE FlateDecode, and must surface the
+    identical text — the whole security layer is a lossless wrapper,
+    which the hash check proves.  Every 13th-ish doc instead carries a
+    REAL user password and must come back as ONE whole-document
+    quarantine row (page_idx = -1): wrong-key output is never text."""
+    from hive_udf_spark.operators.pdfcodec import (
+        pdf_encrypted_doc_encoder_udf,
+        pdf_pages_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = pdf_encrypted_doc_encoder_udf()
+    blobs = (
+        docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", "text").alias("blob"))
+    )
+    pages = pdf_pages_table(blobs, on_error="quarantine")
+    cipher = F.expr(
+        "element_at(array('rc4-40','rc4-128','aes-128'), "
+        "cast(doc_id % 3 as int) + 1)"
+    )
+    return pages.select(
+        "doc_id",
+        cipher.alias("cipher"),
+        "page_idx",
+        "n_pages",
+        "text",
+        "n_chars",
+        F.col("decode_error").isNotNull().alias("quarantined"),
+    )
+
+
+@register(
     "multimodal_pdf_xrefstream_extract",
     oracle="""
     WITH t AS (

@@ -1,0 +1,123 @@
+"""PDF standard security handler (operators/pdfcrypt.py, r10): vendored
+RC4/AES-128 pinned to the ``cryptography`` package, handler algorithms
+round-tripped through real documents, quarantine contract, fuzz."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from hive_udf_spark.operators import pdfcrypt as pc
+from hive_udf_spark.operators.pdfcodec import encode_pdf, extract_pdf_pages
+
+try:
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover - env-dependent
+    HAVE_CRYPTOGRAPHY = False
+
+needs_crypto = pytest.mark.skipif(
+    not HAVE_CRYPTOGRAPHY, reason="cryptography package absent"
+)
+
+
+@needs_crypto
+def test_vendored_aes_matches_cryptography():
+    """Both directions, every padding length — the vendored FIPS-197
+    implementation (computed S-box) against an independent one."""
+    rng = np.random.RandomState(1)
+    for trial in range(24):
+        key = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
+        iv = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
+        pt = bytes(rng.randint(0, 256, 1 + 7 * trial, dtype=np.uint8))
+        mine = pc.aes128_cbc_encrypt(key, pt, iv)
+        pad = 16 - len(pt) % 16
+        ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        want = iv + ref.update(pt + bytes([pad]) * pad) + ref.finalize()
+        assert mine == want
+        assert pc.aes128_cbc_decrypt(key, mine) == pt
+
+
+@needs_crypto
+def test_vendored_rc4_matches_cryptography():
+    rng = np.random.RandomState(2)
+    for klen in (5, 7, 16):
+        key = bytes(rng.randint(0, 256, klen, dtype=np.uint8))
+        data = bytes(rng.randint(0, 256, 500, dtype=np.uint8))
+        ref = Cipher(ARC4(key), mode=None).encryptor()
+        assert pc.rc4(key, data) == ref.update(data)
+
+
+def test_aes_padding_and_shape_errors():
+    key = b"k" * 16
+    with pytest.raises(ValueError, match="IV"):
+        pc.aes128_cbc_encrypt(key, b"x", b"short")
+    with pytest.raises(ValueError, match="whole number"):
+        pc.aes128_cbc_decrypt(key, b"x" * 33)
+    good = pc.aes128_cbc_encrypt(key, b"hello", b"i" * 16)
+    with pytest.raises(ValueError, match="padding"):
+        pc.aes128_cbc_decrypt(b"wrongkey" + b"k" * 8, good)
+
+
+def test_encrypted_pdf_roundtrip_all_modes():
+    pages = ["first half of the page", "second half here"]
+    for mode in ("rc4-40", "rc4-128", "aes-128"):
+        for flate in (False, True):
+            blob = encode_pdf(pages, flate=flate, encrypt=mode)
+            assert b"/Encrypt" in blob
+            assert extract_pdf_pages(blob) == pages, (mode, flate)
+
+
+def test_password_protected_quarantines_whole_doc():
+    blob = encode_pdf(["a", "b"], encrypt="rc4-128", user_pw=b"secret")
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_pages(blob)
+    blob = encode_pdf(["a", "b"], encrypt="aes-128", user_pw=b"secret")
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_pages(blob)
+
+
+def test_unsupported_revision_quarantines():
+    blob = bytearray(encode_pdf(["a", "b"], encrypt="aes-128"))
+    i = blob.index(b"/V 4")
+    blob[i : i + 4] = b"/V 5"
+    with pytest.raises(ValueError, match="not supported|/V"):
+        extract_pdf_pages(bytes(blob))
+
+
+def test_ciphertext_never_leaks_plaintext():
+    """The content bytes of an encrypted fixture must not contain the
+    page text (i.e. encryption actually happened)."""
+    blob = encode_pdf(["supercalifragilistic page text"], encrypt="rc4-128")
+    assert b"supercalifragilistic" not in blob
+
+
+def test_encrypted_pdf_byte_flip_fuzz():
+    """Flipped bytes anywhere in an encrypted document either still
+    extract (harmless region) or raise ValueError → quarantine —
+    never a crash, never an unhandled exception type."""
+    base = encode_pdf(["fuzz page one", "fuzz page two"], encrypt="aes-128")
+    rng = np.random.RandomState(3)
+    for _ in range(80):
+        blob = bytearray(base)
+        i = int(rng.randint(0, len(blob)))
+        blob[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            pages = extract_pdf_pages(bytes(blob))
+            assert isinstance(pages, list)
+        except ValueError:
+            pass
+
+
+def test_keys_differ_per_object_and_mode():
+    fid = os.urandom(16)
+    _, h = pc.build_encryption("aes-128", fid)
+    assert h._obj_key(4, 0) != h._obj_key(5, 0)
+    assert h._obj_key(4, 0) != h._obj_key(4, 1)
+    _, h40 = pc.build_encryption("rc4-40", fid)
+    assert len(h40._obj_key(4, 0)) == 10  # min(n+5, 16) with n=5
+    assert len(h._obj_key(4, 0)) == 16

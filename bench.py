@@ -832,6 +832,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_warc_zstd_content_encoding"].fn(spark, sf_dir))
 
+    def q_avro_roundtrip():
+        # r10: vendored Avro OCF source — zigzag varints, unions,
+        # null/deflate blocks, per-block sync verify, map-side decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_avro_roundtrip"].fn(spark, sf_dir))
+
     def q_orc_roundtrip():
         # r9: native ORC sink+scan with predicate pushdown
         from hive_udf_spark.plans import QUERIES
@@ -1067,6 +1074,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "streaming_shards_ingest": q_streaming_shards_ingest,
         "media_probe": q_media_probe,
         "orc_roundtrip": q_orc_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

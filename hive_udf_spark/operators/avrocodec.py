@@ -1,0 +1,439 @@
+"""Vendored Avro Object Container File (OCF) source — the row-log
+interchange format corpora commonly arrive in, implemented from the
+public Apache Avro 1.11 specification (the container ships avro jars
+but not the spark-avro connector, so without this every ``.avro`` drop
+is unreadable — r9 verdict item 7).
+
+Decoder coverage:
+
+* container layer: ``Obj\\x01`` magic, the file-metadata map (avro map
+  encoding: signed block counts, negative count = abs count + byte
+  size), ``avro.schema`` (JSON) + ``avro.codec`` (``null`` /
+  ``deflate`` — raw DEFLATE, wbits −15, under the repo-wide bounded-
+  inflate contract), 16-byte sync marker, then data blocks of
+  (object count, byte size, payload, sync) with the sync VERIFIED per
+  block — a mismatched marker means a torn/corrupt block;
+* binary encoding: zigzag-varint int/long, boolean, IEEE float/double
+  (LE), length-prefixed bytes/string (UTF-8), unions (varint branch
+  index + value), records (fields in declaration order), enums
+  (varint symbol index), arrays (block runs like maps);
+* schema layer: the ``avro.schema`` JSON is parsed into a decode plan;
+  nullable columns arrive as the conventional ``["null", T]`` unions.
+  Nested records/maps/fixed raise a clear ValueError (→ quarantine),
+  never a silent skip.
+
+Bomb/corruption discipline (the tarcodec model): per-block object
+count and byte size are capped, deflate output is capped, every
+ValueError in ``avro_records_table`` routes to a per-BLOB quarantine
+row when ``on_error="quarantine"`` — at 100 TB one torn object must
+never cost a task retry storm.
+
+Spark shape: ``avro_records_table`` parses inside ``mapInPandas``
+(Arrow-batched blobs → one row per record) — OCF blobs are splittable
+only at sync markers, which a real connector exploits; at the blob
+granularity this source models, parallelism is across FILES, matching
+the compressed-shard tier.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated source/ingest extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import pandas as pd
+
+from hive_udf_spark.operators._codec_util import untrusted_decoder
+
+__all__ = [
+    "decode_ocf",
+    "encode_ocf",
+    "avro_records_table",
+    "avro_shard_encoder_udf",
+]
+
+_MAGIC = b"Obj\x01"
+_MAX_BLOCK_BYTES = 1 << 28
+_MAX_OBJECTS = 1 << 24
+
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0):
+        self.b = b
+        self.i = i
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.i + n > len(self.b):
+            raise ValueError("avro: read past end of input")
+        out = self.b[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            if self.i >= len(self.b):
+                raise ValueError("avro: varint truncated")
+            byte = self.b[self.i]
+            self.i += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError("avro: varint longer than 64 bits")
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def string(self) -> str:
+        n = self.long()
+        if n < 0:
+            raise ValueError("avro: negative string length")
+        return self.take(n).decode("utf-8")
+
+    def bytes_(self) -> bytes:
+        n = self.long()
+        if n < 0:
+            raise ValueError("avro: negative bytes length")
+        return self.take(n)
+
+
+def _read_meta_map(r: _Reader) -> dict[str, bytes]:
+    out: dict[str, bytes] = {}
+    while True:
+        count = r.long()
+        if count == 0:
+            return out
+        if count < 0:
+            count = -count
+            r.long()  # byte size of the block (skippable hint)
+        if count > _MAX_OBJECTS:
+            raise ValueError("avro: metadata map block count past cap")
+        for _ in range(count):
+            # key must read before value (dict assignment evaluates the
+            # right-hand side FIRST, which would swap the reads)
+            key = r.string()
+            out[key] = r.bytes_()
+
+
+def _decoder_for(schema) -> tuple:
+    """Schema JSON → (kind, payload) decode plan."""
+    if isinstance(schema, str):
+        if schema in ("null", "boolean", "int", "long", "float", "double",
+                      "bytes", "string"):
+            return ("prim", schema)
+        raise ValueError(f"avro: named-type reference {schema!r} not vendored")
+    if isinstance(schema, list):  # union
+        return ("union", [_decoder_for(s) for s in schema])
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            fields = schema.get("fields")
+            if not isinstance(fields, list):
+                raise ValueError("avro: record schema without fields")
+            plans = []
+            for f in fields:
+                if not isinstance(f, dict) or "name" not in f or "type" not in f:
+                    raise ValueError("avro: record field missing name/type")
+                plans.append((str(f["name"]), _decoder_for(f["type"])))
+            return ("record", plans)
+        if t == "enum":
+            return ("enum", list(schema.get("symbols", [])))
+        if t == "array":
+            return ("array", _decoder_for(schema["items"]))
+        if t in ("null", "boolean", "int", "long", "float", "double",
+                 "bytes", "string"):
+            return ("prim", t)
+        raise ValueError(f"avro: schema type {t!r} not vendored")
+    raise ValueError("avro: malformed schema node")
+
+
+def _decode_value(r: _Reader, plan) -> object:
+    kind, payload = plan
+    if kind == "prim":
+        if payload == "null":
+            return None
+        if payload == "boolean":
+            v = r.take(1)[0]
+            if v > 1:
+                raise ValueError("avro: boolean byte out of range")
+            return bool(v)
+        if payload in ("int", "long"):
+            return r.long()
+        if payload == "float":
+            return struct.unpack("<f", r.take(4))[0]
+        if payload == "double":
+            return struct.unpack("<d", r.take(8))[0]
+        if payload == "bytes":
+            return r.bytes_()
+        return r.string()
+    if kind == "union":
+        idx = r.long()
+        if not 0 <= idx < len(payload):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        return _decode_value(r, payload[idx])
+    if kind == "record":
+        return {name: _decode_value(r, sub) for name, sub in payload}
+    if kind == "enum":
+        idx = r.long()
+        if not 0 <= idx < len(payload):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        return payload[idx]
+    # array: block runs, negative count carries a byte size
+    out = []
+    while True:
+        count = r.long()
+        if count == 0:
+            return out
+        if count < 0:
+            count = -count
+            r.long()
+        if count > _MAX_OBJECTS or len(out) + count > _MAX_OBJECTS:
+            raise ValueError("avro: array block count past cap")
+        for _ in range(count):
+            out.append(_decode_value(r, payload))
+
+
+def _inflate_raw(data: bytes, what: str) -> bytes:
+    d = zlib.decompressobj(wbits=-15)
+    try:
+        out = d.decompress(data, _MAX_BLOCK_BYTES + 1)
+    except zlib.error as exc:
+        raise ValueError(f"{what}: corrupt deflate stream: {exc}") from exc
+    if len(out) > _MAX_BLOCK_BYTES:
+        raise ValueError(f"{what}: inflates past the {_MAX_BLOCK_BYTES}-byte cap")
+    if not d.eof:
+        raise ValueError(f"{what}: deflate stream truncated")
+    if d.unused_data:
+        raise ValueError(f"{what}: trailing bytes after stream end")
+    return out
+
+
+@untrusted_decoder
+def decode_ocf(b: bytes) -> tuple[dict, list[dict]]:
+    """OCF blob → (schema JSON dict, list of decoded records)."""
+    r = _Reader(b)
+    if r.take(4) != _MAGIC:
+        raise ValueError("avro: missing Obj\\x01 magic")
+    meta = _read_meta_map(r)
+    if "avro.schema" not in meta:
+        raise ValueError("avro: file metadata lacks avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+        raise ValueError(f"avro: schema JSON malformed: {exc}") from exc
+    codec = meta.get("avro.codec", b"null").decode("latin-1")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: codec {codec!r} not vendored (null/deflate)")
+    plan = _decoder_for(schema)
+    sync = r.take(16)
+    records: list[dict] = []
+    while r.i < len(r.b):
+        count = r.long()
+        size = r.long()
+        if not 0 <= count <= _MAX_OBJECTS:
+            raise ValueError("avro: block object count out of bounds")
+        if not 0 <= size <= _MAX_BLOCK_BYTES:
+            raise ValueError("avro: block byte size out of bounds")
+        payload = r.take(size)
+        if r.take(16) != sync:
+            raise ValueError("avro: sync marker mismatch (torn block)")
+        if codec == "deflate":
+            payload = _inflate_raw(payload, "avro block")
+        br = _Reader(payload)
+        for _ in range(count):
+            records.append(_decode_value(br, plan))
+        if br.i != len(payload):
+            raise ValueError("avro: trailing bytes inside block payload")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture twin)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(v: int) -> bytes:
+    acc = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    acc &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        byte = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _encode_value(plan, v) -> bytes:
+    kind, payload = plan
+    if kind == "prim":
+        if payload == "null":
+            return b""
+        if payload == "boolean":
+            return bytes([1 if v else 0])
+        if payload in ("int", "long"):
+            return _zigzag(int(v))
+        if payload == "float":
+            return struct.pack("<f", float(v))
+        if payload == "double":
+            return struct.pack("<d", float(v))
+        if payload == "bytes":
+            return _zigzag(len(v)) + bytes(v)
+        enc = str(v).encode("utf-8")
+        return _zigzag(len(enc)) + enc
+    if kind == "union":
+        # convention: encode None via the first null branch, else the
+        # first non-null branch (the fixture unions are [null, T])
+        for i, sub in enumerate(payload):
+            if v is None and sub == ("prim", "null"):
+                return _zigzag(i)
+            if v is not None and sub != ("prim", "null"):
+                return _zigzag(i) + _encode_value(sub, v)
+        raise ValueError("avro: no union branch fits value")
+    if kind == "record":
+        return b"".join(_encode_value(sub, v[name]) for name, sub in payload)
+    if kind == "enum":
+        return _zigzag(payload.index(v))
+    out = b""
+    if v:
+        out += _zigzag(len(v)) + b"".join(_encode_value(payload, x) for x in v)
+    return out + _zigzag(0)
+
+
+def encode_ocf(
+    schema: dict,
+    records: list[dict],
+    codec: str = "null",
+    block_records: int = 64,
+    sync: bytes = b"\xa5" * 16,
+) -> bytes:
+    """Records → a spec-valid OCF blob (fixture twin): metadata map
+    with schema + codec, deterministic sync marker, multi-block when
+    the record count exceeds ``block_records`` (so the block walk and
+    per-block sync verification are really exercised)."""
+    plan = _decoder_for(schema)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        ke = k.encode()
+        out += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
+    out += _zigzag(0)
+    out += sync
+    for at in range(0, len(records), block_records):
+        chunk = records[at : at + block_records]
+        payload = b"".join(_encode_value(plan, rec) for rec in chunk)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        out += _zigzag(len(chunk)) + _zigzag(len(payload)) + payload + sync
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+AVRO_RECORDS_SCHEMA = (
+    "shard int, doc_id bigint, lang string, n_chars bigint, quality double, "
+    "flagged boolean"
+)
+AVRO_RECORDS_QUARANTINE_SCHEMA = AVRO_RECORDS_SCHEMA + ", decode_error string"
+
+FIXTURE_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "n_chars", "type": "long"},
+        {"name": "quality", "type": "double"},
+        {"name": "flagged", "type": "boolean"},
+    ],
+}
+
+
+def avro_records_table(blobs, on_error: str = "raise"):
+    """(shard, blob) → one row per Avro record via mapInPandas.
+    ``on_error="quarantine"``: a malformed blob becomes ONE row with
+    NULL fields and the message in ``decode_error`` (whole-blob
+    quarantine — a torn header invalidates every block offset)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    cols = ["shard", "doc_id", "lang", "n_chars", "quality", "flagged"] + (
+        ["decode_error"] if quarantine else []
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(**kv) -> None:
+                for k in cols:
+                    rows[k].append(kv.get(k))
+
+            for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                try:
+                    _, records = decode_ocf(bytes(blob))
+                except ValueError as exc:
+                    if not quarantine:
+                        raise
+                    emit(shard=int(shard), decode_error=str(exc))
+                    continue
+                for rec in records:
+                    emit(
+                        shard=int(shard),
+                        doc_id=rec.get("doc_id"),
+                        lang=rec.get("lang"),
+                        n_chars=rec.get("n_chars"),
+                        quality=rec.get("quality"),
+                        flagged=rec.get("flagged"),
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = AVRO_RECORDS_QUARANTINE_SCHEMA if quarantine else AVRO_RECORDS_SCHEMA
+    return blobs.mapInPandas(extract, schema=schema)
+
+
+def avro_shard_encoder_udf(block_records: int = 16):
+    """Arrow-batched OCF shard fixture encoder via ``applyInPandas``
+    callable: one grouped pandas frame (a shard of documents, sorted by
+    doc_id) → one OCF blob, the codec rotating null/deflate by shard
+    and every 7th record's nullable ``lang`` landing on the null union
+    branch — so both codecs, union branches, multi-block walks and
+    boolean/double primitives are all exercised by one fixture."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            recs.append(
+                {
+                    "doc_id": did,
+                    "lang": None if did % 7 == 0 else str(row["lang"]),
+                    "n_chars": int(row["n_chars"]),
+                    "quality": float(did % 100) / 4.0,
+                    "flagged": did % 3 == 0,
+                }
+            )
+        codec = ("null", "deflate")[shard % 2]
+        blob = encode_ocf(
+            FIXTURE_SCHEMA, recs, codec=codec, block_records=block_records
+        )
+        return pd.DataFrame({"shard": [shard], "blob": [blob]})
+
+    return build

@@ -92,6 +92,36 @@ def png_encoder_udf(width: int, height: int, filter_type: int = 4, interlace: bo
     return enc
 
 
+def avif_lossless_encoder_udf(width: int, height: int):
+    """Arrow-batched LOSSLESS-AVIF fixture encoder (r10): a
+    ``pandas_udf`` mapping a width·height-char ASCII payload to a real
+    AVIF blob — monochrome AV1 in LOSSLESS mode through the system
+    libheif+libaom (operators/native.py).  AV1 lossless means the
+    PNG-tier pixel-identity oracle gates a real AV1 entropy-coded
+    round trip, upgrading HEIF/AVIF from the r9 structural probe to
+    full pixel decode."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = width * height
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.native import heif_native_encode_lossless_gray
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            blob = heif_native_encode_lossless_gray(a.reshape(height, width))
+            if blob[8:12] != b"avif":
+                raise ValueError("fixture encoder did not produce an AVIF")
+            return blob
+
+        return s.map(one)
+
+    return enc
+
+
 def webp_lossy_encoder_udf(mb_cols: int = 4, mb_rows: int = 4):
     """Arrow-batched LOSSY-WebP fixture encoder (r10, r9 verdict item
     1): a ``pandas_udf`` mapping an (mb_cols·mb_rows)-char ASCII payload
@@ -620,12 +650,25 @@ def _byte_stats(arr: np.ndarray) -> tuple[int, float, int, float]:
 
 def _decode_gray(b: bytes) -> np.ndarray:
     """REAL decode to a 2-D uint8 grayscale array: vendored codec for
-    netpbm/uncompressed-BMP/PNG/baseline-JPEG, PIL for everything else, explicit
-    NotImplementedError when neither applies (never a silent fallback)."""
+    netpbm/uncompressed-BMP/PNG/baseline-JPEG, native libheif dispatch
+    for HEIF/AVIF (r10 — AV1/HEVC entropy decode is out of vendoring
+    scope, the system codec is the faithful path), PIL for everything
+    else, explicit NotImplementedError when none applies (never a
+    silent fallback)."""
     from hive_udf_spark.operators import imagecodec
 
     if imagecodec.supported_magic(b):
         return imagecodec.decode_to_gray(b)
+    from hive_udf_spark.operators.native import (
+        heif_native_available,
+        heif_native_decode_gray,
+        is_heif_magic,
+    )
+
+    if is_heif_magic(b):
+        if heif_native_available():
+            return heif_native_decode_gray(b)
+        raise ValueError("HEIF/AVIF decode needs the system libheif (absent)")
     try:
         import io
 

@@ -56,6 +56,10 @@ __all__ = [
     "webp_native_decode_luma",
     "webp_native_encode_lossy_gray",
     "WEBP_RGB_TO_LUMA",
+    "heif_native_available",
+    "heif_native_decode_gray",
+    "heif_native_encode_lossless_gray",
+    "is_heif_magic",
 ]
 
 
@@ -405,3 +409,218 @@ def webp_native_encode_lossy_gray(gray: np.ndarray, quality: float = 100.0) -> b
         return ctypes.string_at(out, n)
     finally:
         lib.WebPFree(out)
+
+
+# ---------------------------------------------------------------------------
+# HEIF / AVIF (libheif + libaom/libde265) — real pixel decode for the
+# formats the vendored tier could only probe structurally (r9 "missing"
+# list called HEVC/AV1 entropy decode out of vendoring scope; the
+# system codecs ARE the faithful path).  AV1 supports a true lossless
+# mode, so the fixture twin encodes losslessly and the oracle is the
+# PNG-tier pixel identity — a hash-exact gate over a real AV1
+# encode→decode round trip.
+# ---------------------------------------------------------------------------
+
+
+class _HeifError(ctypes.Structure):
+    _fields_ = [
+        ("code", ctypes.c_int),
+        ("subcode", ctypes.c_int),
+        ("message", ctypes.c_char_p),
+    ]
+
+
+# libheif enums (public heif.h)
+_HEIF_CS_RGB = 1
+_HEIF_CS_MONO = 2
+_HEIF_CHROMA_MONO = 0
+_HEIF_CHROMA_INTERLEAVED_RGB = 10
+_HEIF_CH_Y = 0
+_HEIF_CH_INTERLEAVED = 10
+_HEIF_COMPRESSION_AV1 = 4
+_MAX_HEIF_PIXELS = 1 << 24
+
+
+def _hck(err: "_HeifError", what: str) -> None:
+    if err.code != 0:
+        msg = (err.message or b"?").decode("utf-8", "replace")
+        raise ValueError(f"heif {what} failed: {msg}")
+
+
+@lru_cache(maxsize=None)
+def _heif():
+    lib = _load("libheif.so.1", "libheif.so")
+    if lib is None:
+        return None
+    vp = ctypes.c_void_p
+    lib.heif_context_alloc.restype = vp
+    lib.heif_context_free.argtypes = [vp]
+    lib.heif_context_read_from_memory_without_copy.restype = _HeifError
+    lib.heif_context_read_from_memory_without_copy.argtypes = [
+        vp, ctypes.c_char_p, ctypes.c_size_t, vp,
+    ]
+    lib.heif_context_get_primary_image_handle.restype = _HeifError
+    lib.heif_context_get_primary_image_handle.argtypes = [vp, ctypes.POINTER(vp)]
+    lib.heif_image_handle_get_width.restype = ctypes.c_int
+    lib.heif_image_handle_get_width.argtypes = [vp]
+    lib.heif_image_handle_get_height.restype = ctypes.c_int
+    lib.heif_image_handle_get_height.argtypes = [vp]
+    lib.heif_image_handle_release.argtypes = [vp]
+    lib.heif_decode_image.restype = _HeifError
+    lib.heif_decode_image.argtypes = [vp, ctypes.POINTER(vp), ctypes.c_int,
+                                      ctypes.c_int, vp]
+    lib.heif_image_get_plane_readonly.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.heif_image_get_plane_readonly.argtypes = [vp, ctypes.c_int,
+                                                  ctypes.POINTER(ctypes.c_int)]
+    lib.heif_image_release.argtypes = [vp]
+    lib.heif_context_get_encoder_for_format.restype = _HeifError
+    lib.heif_context_get_encoder_for_format.argtypes = [vp, ctypes.c_int,
+                                                        ctypes.POINTER(vp)]
+    lib.heif_encoder_set_lossless.restype = _HeifError
+    lib.heif_encoder_set_lossless.argtypes = [vp, ctypes.c_int]
+    lib.heif_encoder_release.argtypes = [vp]
+    lib.heif_image_create.restype = _HeifError
+    lib.heif_image_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.POINTER(vp)]
+    lib.heif_image_add_plane.restype = _HeifError
+    lib.heif_image_add_plane.argtypes = [vp, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int]
+    lib.heif_image_get_plane.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.heif_image_get_plane.argtypes = [vp, ctypes.c_int,
+                                         ctypes.POINTER(ctypes.c_int)]
+    lib.heif_context_encode_image.restype = _HeifError
+    lib.heif_context_encode_image.argtypes = [vp, vp, vp, vp, ctypes.POINTER(vp)]
+    lib.heif_context_write_to_file.restype = _HeifError
+    lib.heif_context_write_to_file.argtypes = [vp, ctypes.c_char_p]
+    return lib
+
+
+def heif_native_available() -> bool:
+    return _heif() is not None
+
+
+_HEIF_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"hevc", b"mif1", b"msf1")
+
+
+def is_heif_magic(b: bytes) -> bool:
+    """ISO-BMFF ftyp with a HEIF/AVIF brand at the canonical offset."""
+    return len(b) >= 12 and b[4:8] == b"ftyp" and b[8:12] in _HEIF_BRANDS
+
+
+def heif_native_decode_gray(data: bytes) -> np.ndarray:
+    """HEIF/AVIF blob → (h, w) uint8 grayscale via libheif: decode to
+    interleaved RGB (monochrome sources replicate Y exactly), then the
+    repo-standard integer BT.601 fold — malformed → ValueError."""
+    lib = _heif()
+    if lib is None:
+        raise ValueError("libheif not available")
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        raise ValueError("heif context alloc failed")
+    try:
+        _hck(
+            lib.heif_context_read_from_memory_without_copy(
+                ctx, data, len(data), None
+            ),
+            "read",
+        )
+        handle = ctypes.c_void_p()
+        _hck(
+            lib.heif_context_get_primary_image_handle(ctx, ctypes.byref(handle)),
+            "primary handle",
+        )
+        try:
+            w = lib.heif_image_handle_get_width(handle)
+            h = lib.heif_image_handle_get_height(handle)
+            if w <= 0 or h <= 0 or w * h > _MAX_HEIF_PIXELS:
+                raise ValueError("heif dimensions out of bounds")
+            img = ctypes.c_void_p()
+            _hck(
+                lib.heif_decode_image(
+                    handle, ctypes.byref(img), _HEIF_CS_RGB,
+                    _HEIF_CHROMA_INTERLEAVED_RGB, None,
+                ),
+                "decode",
+            )
+            try:
+                stride = ctypes.c_int()
+                p = lib.heif_image_get_plane_readonly(
+                    img, _HEIF_CH_INTERLEAVED, ctypes.byref(stride)
+                )
+                if not p:
+                    raise ValueError("heif decoded image has no RGB plane")
+                buf = ctypes.string_at(p, stride.value * h)
+                rows = np.frombuffer(buf, np.uint8).reshape(h, stride.value)
+                rgb = rows[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                gray = (
+                    299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+                ) // 1000
+                return gray.astype(np.uint8)
+            finally:
+                lib.heif_image_release(img)
+        finally:
+            lib.heif_image_handle_release(handle)
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def heif_native_encode_lossless_gray(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 gray → a LOSSLESS AVIF (AV1 monochrome via libaom)
+    — the fixture twin; AV1 lossless means the PNG-tier pixel-identity
+    oracle applies to a real AV1 entropy-coded round trip."""
+    lib = _heif()
+    if lib is None:
+        raise ValueError("libheif not available")
+    if gray.ndim != 2 or gray.dtype != np.uint8:
+        raise ValueError("gray must be a 2-D uint8 array")
+    h, w = gray.shape
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        raise ValueError("heif context alloc failed")
+    try:
+        enc = ctypes.c_void_p()
+        _hck(
+            lib.heif_context_get_encoder_for_format(
+                ctx, _HEIF_COMPRESSION_AV1, ctypes.byref(enc)
+            ),
+            "get AV1 encoder",
+        )
+        try:
+            _hck(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
+            im = ctypes.c_void_p()
+            _hck(
+                lib.heif_image_create(
+                    w, h, _HEIF_CS_MONO, _HEIF_CHROMA_MONO, ctypes.byref(im)
+                ),
+                "image create",
+            )
+            try:
+                _hck(lib.heif_image_add_plane(im, _HEIF_CH_Y, w, h, 8), "add plane")
+                stride = ctypes.c_int()
+                p = lib.heif_image_get_plane(im, _HEIF_CH_Y, ctypes.byref(stride))
+                if not p:
+                    raise ValueError("heif image has no Y plane")
+                base = ctypes.addressof(p.contents)
+                for r in range(h):
+                    ctypes.memmove(base + r * stride.value, gray[r].tobytes(), w)
+                _hck(
+                    lib.heif_context_encode_image(ctx, im, enc, None, None),
+                    "encode",
+                )
+            finally:
+                lib.heif_image_release(im)
+        finally:
+            lib.heif_encoder_release(enc)
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".avif")
+        os.close(fd)
+        try:
+            _hck(lib.heif_context_write_to_file(ctx, path.encode()), "write")
+            with open(path, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(path)
+    finally:
+        lib.heif_context_free(ctx)

@@ -659,6 +659,52 @@ def multimodal_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avif_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           list_sum(cps) / 64.0 AS mean_byte,
+           CAST(list_max(cps) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF decode end-to-end (r10): each document's first 64 chars
+    become the pixels of a REAL AVIF — monochrome AV1 encoded in
+    LOSSLESS mode by libaom through libheif
+    (operators/native.py, the native-dispatch tier; AV1 entropy decode
+    is out of vendoring scope, so the system codec is the faithful
+    path — absent library → quarantine).  The production fake=False
+    mapInPandas path routes the ISO-BMFF ftyp/avif magic to the native
+    decoder and folds RGB→BT.601 gray.  AV1 lossless means the
+    PNG/VP8L pixel-identity oracle applies unchanged: a real AV1
+    entropy-coded round trip under a hash-exact gate — upgrading
+    HEIF/AVIF coverage from the r9 structural probe to full pixel
+    decode.  mean_byte divides by a power of two → bit-identical
+    floats; the ASCII filter is symmetric with the oracle."""
+    from hive_udf_spark.operators.multimodal import avif_lossless_encoder_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = avif_lossless_encoder_udf(8, 8)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    feats = decode_image_features(blobs, fake=False)
+    return feats.select("doc_id", "n_bytes", "mean_byte", "max_byte")
+
+
+@register(
     "multimodal_zstd_roundtrip",
     oracle="""
     SELECT doc_id,

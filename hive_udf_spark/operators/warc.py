@@ -87,10 +87,18 @@ def _decode_content_coding(body: bytes, coding: str) -> bytes:
         except ValueError:
             return _bounded_inflate(body, -15, "content-encoding deflate")
     if coding == "zstd":
-        # RFC 9659 registers zstd as an HTTP content-coding; decoded by
-        # the vendored RFC 8878 codec under the same bounded-inflate
-        # discipline (size cap, checksum verify, malformed → ValueError
-        # → per-record quarantine).
+        # RFC 9659 registers zstd as an HTTP content-coding; decoded
+        # through the system libzstd when present (r10 fast path, same
+        # cap-bounded ValueError contract — tests pin native ≡ vendored
+        # on every frame shape) with the vendored RFC 8878 codec as
+        # fallback; malformed → ValueError → per-record quarantine.
+        from hive_udf_spark.operators.native import (
+            zstd_native_available,
+            zstd_native_decompress,
+        )
+
+        if zstd_native_available():
+            return zstd_native_decompress(body, max_output=_MAX_MEMBER_BYTES)
         from hive_udf_spark.operators.zstdcodec import zstd_decompress
 
         return zstd_decompress(body, max_output=_MAX_MEMBER_BYTES)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from functools import lru_cache
 
 __all__ = [
     "rc4",
@@ -62,9 +63,26 @@ PAD = bytes(
 # ---------------------------------------------------------------------------
 
 
-def rc4(key: bytes, data: bytes) -> bytes:
+@lru_cache(maxsize=1)
+def _fast_arc4():
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+        from cryptography.hazmat.primitives.ciphers import Cipher
+
+        return Cipher, ARC4
+    except ImportError:  # pragma: no cover - env-dependent
+        return None
+
+
+def rc4(key: bytes, data: bytes, native: bool = True) -> bytes:
     """Classic RC4 stream cipher — encryption and decryption are the
-    same operation."""
+    same operation.  Dispatches to the ``cryptography`` package's ARC4
+    when importable (every PDF key size — 40/80/128-bit — is in its
+    allowed set); the vendored KSA/PRGA is fallback and cross-check."""
+    fast = _fast_arc4() if native else None
+    if fast is not None:
+        Cipher, ARC4 = fast
+        return Cipher(ARC4(key), mode=None).encryptor().update(data)
     S = list(range(256))
     j = 0
     for i in range(256):
@@ -202,33 +220,62 @@ def _aes128_encrypt_block(block: bytes, w: list[list[int]]) -> bytes:
     return bytes(s)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+@lru_cache(maxsize=1)
+def _fast_aes():
+    """The ``cryptography`` package's AES when importable — the same
+    opportunistic-native-dispatch pattern as operators/native.py; the
+    vendored FIPS-197 implementation is the fallback AND the
+    cross-check (tests pin the two byte-equal)."""
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        return Cipher, algorithms, modes
+    except ImportError:  # pragma: no cover - env-dependent
+        return None
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes, native: bool = True) -> bytes:
     """AESV2 payload (16-byte IV prefix + ciphertext) → plaintext with
     PKCS#5 padding stripped; malformed sizes/padding raise."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AESV2 payload is not IV + a whole number of blocks")
-    w = _expand_key(key)
     iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        block = ct[i : i + 16]
-        plain = _aes128_decrypt_block(block, w)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    fast = _fast_aes() if native else None
+    if fast is not None:
+        Cipher, algorithms, modes = fast
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        out = bytearray(dec.update(ct) + dec.finalize())
+    else:
+        w = _expand_key(key)
+        out = bytearray()
+        prev = iv
+        for i in range(0, len(ct), 16):
+            block = ct[i : i + 16]
+            plain = _aes128_decrypt_block(block, w)
+            out += bytes(a ^ b for a, b in zip(plain, prev))
+            prev = block
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("AESV2 padding invalid (wrong key or corrupt data)")
     return bytes(out[:-pad])
 
 
-def aes128_cbc_encrypt(key: bytes, plaintext: bytes, iv: bytes) -> bytes:
+def aes128_cbc_encrypt(
+    key: bytes, plaintext: bytes, iv: bytes, native: bool = True
+) -> bytes:
     """IV + AES-128-CBC ciphertext with PKCS#5 padding (encoder twin)."""
     if len(iv) != 16:
         raise ValueError("IV must be 16 bytes")
-    w = _expand_key(key)
     pad = 16 - len(plaintext) % 16
     data = plaintext + bytes([pad]) * pad
+    fast = _fast_aes() if native else None
+    if fast is not None:
+        Cipher, algorithms, modes = fast
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        return iv + enc.update(data) + enc.finalize()
+    w = _expand_key(key)
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):

@@ -28,18 +28,21 @@ needs_crypto = pytest.mark.skipif(
 @needs_crypto
 def test_vendored_aes_matches_cryptography():
     """Both directions, every padding length — the vendored FIPS-197
-    implementation (computed S-box) against an independent one."""
+    implementation (computed S-box, native=False forces it) against an
+    independent one, and the native dispatch agrees with both."""
     rng = np.random.RandomState(1)
     for trial in range(24):
         key = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
         iv = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
         pt = bytes(rng.randint(0, 256, 1 + 7 * trial, dtype=np.uint8))
-        mine = pc.aes128_cbc_encrypt(key, pt, iv)
+        mine = pc.aes128_cbc_encrypt(key, pt, iv, native=False)
         pad = 16 - len(pt) % 16
         ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
         want = iv + ref.update(pt + bytes([pad]) * pad) + ref.finalize()
         assert mine == want
-        assert pc.aes128_cbc_decrypt(key, mine) == pt
+        assert pc.aes128_cbc_encrypt(key, pt, iv, native=True) == want
+        assert pc.aes128_cbc_decrypt(key, mine, native=False) == pt
+        assert pc.aes128_cbc_decrypt(key, mine, native=True) == pt
 
 
 @needs_crypto
@@ -49,7 +52,9 @@ def test_vendored_rc4_matches_cryptography():
         key = bytes(rng.randint(0, 256, klen, dtype=np.uint8))
         data = bytes(rng.randint(0, 256, 500, dtype=np.uint8))
         ref = Cipher(ARC4(key), mode=None).encryptor()
-        assert pc.rc4(key, data) == ref.update(data)
+        want = ref.update(data)
+        assert pc.rc4(key, data, native=False) == want
+        assert pc.rc4(key, data, native=True) == want
 
 
 def test_aes_padding_and_shape_errors():

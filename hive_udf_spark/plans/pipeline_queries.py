@@ -1012,6 +1012,69 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars
+    FROM documents
+    """,
+)
+def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) ingestion (r10): documents pack into 6
+    shard files — each a real IPC FILE (two record batches, zstd
+    buffer compression on odd shards) written and read through
+    pyarrow, the format's reference implementation and a first-class
+    dependency of PySpark itself (operators/rowformats.py).  Decode is
+    map-side; corrupt blobs quarantine (pytest-fixtured).  Arrow files
+    are how embedding/tokenizer tooling increasingly ships row data;
+    a corpus engine that can't scan them loses that slice."""
+    from hive_udf_spark.operators.rowformats import (
+        arrow_ipc_records_table,
+        arrow_ipc_shard_encoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 6).cast("int").alias("shard"),
+        "doc_id", "lang", "n_chars",
+    )
+    blobs = staged.groupBy("shard").applyInPandas(
+        arrow_ipc_shard_encoder(), "shard int, blob binary"
+    )
+    return arrow_ipc_records_table(blobs)
+
+
+@register(
+    "source_sqlite_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars
+    FROM documents
+    """,
+)
+def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite ingestion (r10): annotation sets, crawl indexes and
+    metadata sidecars ship as ``.sqlite`` files; each of 6 shards
+    becomes a real database image (``docs`` table + secondary index,
+    so the btree walk is non-trivial) built with stdlib sqlite3 and
+    read back via ``Connection.deserialize`` straight from blob bytes
+    — query-only, no temp files, map-side (operators/rowformats.py).
+    Malformed images quarantine whole-blob (pytest-fixtured)."""
+    from hive_udf_spark.operators.rowformats import (
+        sqlite_records_table,
+        sqlite_shard_encoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 6).cast("int").alias("shard"),
+        "doc_id", "lang", "n_chars",
+    )
+    blobs = staged.groupBy("shard").applyInPandas(
+        sqlite_shard_encoder(), "shard int, blob binary"
+    )
+    return sqlite_records_table(blobs)
+
+
+@register(
     "source_orc_roundtrip",
     oracle="""
     SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars

@@ -1,0 +1,136 @@
+"""Arrow IPC + SQLite shard sources (operators/rowformats.py, r10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hive_udf_spark.operators.rowformats import (
+    _decode_arrow,
+    _decode_sqlite,
+    arrow_ipc_records_table,
+    arrow_ipc_shard_encoder,
+    sqlite_records_table,
+    sqlite_shard_encoder,
+)
+
+
+def _pdf(shard: int, n: int = 9) -> pd.DataFrame:
+    rng = np.random.RandomState(shard)
+    ids = rng.permutation(n) * 6 + shard
+    return pd.DataFrame(
+        {
+            "shard": [shard] * n,
+            "doc_id": ids.astype("int64"),
+            "lang": [f"l{i % 3}" for i in ids],
+            "n_chars": (ids * 7).astype("int64"),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "enc,dec",
+    [
+        (arrow_ipc_shard_encoder, _decode_arrow),
+        (sqlite_shard_encoder, _decode_sqlite),
+    ],
+    ids=["arrow", "sqlite"],
+)
+def test_shard_roundtrip_sorted(enc, dec):
+    for shard in (0, 1, 2):  # arrow: shard%2 toggles zstd buffers
+        pdf = _pdf(shard)
+        blob = enc()(pdf)["blob"].iloc[0]
+        got = dec(blob)
+        want = sorted(
+            zip(pdf["doc_id"], pdf["lang"], pdf["n_chars"]),
+            key=lambda t: t[0],
+        )
+        assert got == [(int(d), lang, int(n)) for d, lang, n in want]
+
+
+def test_sqlite_byte_flip_fuzz_never_crashes():
+    base = sqlite_shard_encoder()(_pdf(1, 20))["blob"].iloc[0]
+    rng = np.random.RandomState(4)
+    for _ in range(80):
+        blob = bytearray(base)
+        i = int(rng.randint(0, len(blob)))
+        blob[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            out = _decode_sqlite(bytes(blob))
+            assert isinstance(out, list)
+        except ValueError:
+            pass
+
+
+def test_arrow_byte_flip_fuzz_subprocess_isolated(tmp_path):
+    """pyarrow's C++ IPC layer can abort the process on adversarial
+    metadata (documented in the module: the Arrow tier is for trusted
+    interchange, not hostile bytes) — so the fuzz runs each flip in a
+    SUBPROCESS and asserts the only outcomes are clean decode,
+    ValueError, or an abort: never wrong data, never an escaped
+    exception type (rc 1 would mean the wrapper's contract broke)."""
+    import subprocess
+    import sys
+
+    base = arrow_ipc_shard_encoder()(_pdf(1, 20))["blob"].iloc[0]
+    path = tmp_path / "base.arrow"
+    path.write_bytes(base)
+    rng = np.random.RandomState(4)
+    outcomes = {"ok": 0, "abort": 0}
+    for _ in range(24):
+        i = int(rng.randint(0, len(base)))
+        bit = int(rng.randint(0, 8))
+        code = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            f"blob = bytearray(open({str(path)!r}, 'rb').read())\n"
+            f"blob[{i}] ^= 1 << {bit}\n"
+            "from hive_udf_spark.operators.rowformats import _decode_arrow\n"
+            "try:\n"
+            "    out = _decode_arrow(bytes(blob))\n"
+            "    assert isinstance(out, list)\n"
+            "except ValueError:\n"
+            "    pass\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True)
+        if r.returncode == 0:
+            outcomes["ok"] += 1
+        else:
+            assert r.returncode < 0 or r.returncode == 134, (
+                i, bit, r.returncode, r.stderr[-400:],
+            )
+            outcomes["abort"] += 1
+    assert outcomes["ok"] > 0  # most flips are handled cleanly
+
+
+def test_records_table_quarantine(spark):
+    good = arrow_ipc_shard_encoder()(_pdf(0, 5))["blob"].iloc[0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"shard": [0, 1], "blob": [good, good[:30]]})
+    )
+    rows = arrow_ipc_records_table(df, on_error="quarantine").collect()
+    assert len([r for r in rows if r.decode_error is None]) == 5
+    quar = [r for r in rows if r.decode_error is not None]
+    assert len(quar) == 1 and quar[0].shard == 1
+
+    good2 = sqlite_shard_encoder()(_pdf(0, 5))["blob"].iloc[0]
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"shard": [0, 1], "blob": [good2, b"\x00" * 64]})
+    )
+    rows2 = sqlite_records_table(df2, on_error="quarantine").collect()
+    assert len([r for r in rows2 if r.decode_error is None]) == 5
+    assert len([r for r in rows2 if r.decode_error is not None]) == 1
+
+
+def test_sqlite_image_is_readonly_queried():
+    """A database image whose docs table is missing quarantines with a
+    clear message (schema contract, not a guess)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE other (x INTEGER)")
+    con.commit()
+    blob = bytes(con.serialize())
+    con.close()
+    with pytest.raises(ValueError, match="docs table"):
+        _decode_sqlite(blob)

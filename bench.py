@@ -846,6 +846,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_avro_roundtrip"].fn(spark, sf_dir))
 
+    def q_arrow_ipc_roundtrip():
+        # r10: Arrow IPC file shards via pyarrow (zstd-buffer rotation)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_arrow_ipc_roundtrip"].fn(spark, sf_dir))
+
+    def q_sqlite_roundtrip():
+        # r10: SQLite database shards via stdlib deserialize, read-only
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_sqlite_roundtrip"].fn(spark, sf_dir))
+
     def q_orc_roundtrip():
         # r9: native ORC sink+scan with predicate pushdown
         from hive_udf_spark.plans import QUERIES
@@ -1083,6 +1095,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "media_probe": q_media_probe,
         "orc_roundtrip": q_orc_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "sqlite_roundtrip": q_sqlite_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,

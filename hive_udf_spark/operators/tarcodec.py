@@ -130,9 +130,9 @@ def split_tar_entries(b: bytes) -> list[tuple[str, bytes]]:
     if b[:2] == b"\x1f\x8b":
         b = _bounded_gunzip(b)
     elif b[:4] == b"\x28\xb5\x2f\xfd":  # .tar.zst (r9: vendored RFC 8878)
-        from hive_udf_spark.operators.zstdcodec import zstd_decompress
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress_fast
 
-        b = zstd_decompress(b, max_output=_MAX_ARCHIVE_BYTES)
+        b = zstd_decompress_fast(b, max_output=_MAX_ARCHIVE_BYTES)
     entries: list[tuple[str, bytes]] = []
     pos = 0
     pending_longname: str | None = None

@@ -92,16 +92,9 @@ def _decode_content_coding(body: bytes, coding: str) -> bytes:
         # cap-bounded ValueError contract — tests pin native ≡ vendored
         # on every frame shape) with the vendored RFC 8878 codec as
         # fallback; malformed → ValueError → per-record quarantine.
-        from hive_udf_spark.operators.native import (
-            zstd_native_available,
-            zstd_native_decompress,
-        )
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress_fast
 
-        if zstd_native_available():
-            return zstd_native_decompress(body, max_output=_MAX_MEMBER_BYTES)
-        from hive_udf_spark.operators.zstdcodec import zstd_decompress
-
-        return zstd_decompress(body, max_output=_MAX_MEMBER_BYTES)
+        return zstd_decompress_fast(body, max_output=_MAX_MEMBER_BYTES)
     if coding == "br":
         # RFC 7932 brotli — the second-most-common coding on the real
         # web (r9 verdict item 3).  Decoded through the system

@@ -1214,3 +1214,21 @@ def zstd_compress(data: bytes, shape: str = "auto", checksum: bool = True) -> by
     if checksum:
         out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+def zstd_decompress_fast(data: bytes, max_output: int = 1 << 26) -> bytes:
+    """Hot-path dispatch (r10): the system libzstd when present
+    (operators/native.py — same cap-bounded ValueError contract,
+    equivalence-tested on every fixture shape both directions), the
+    vendored RFC 8878 decoder otherwise.  Ingest paths (shards, WARC
+    content-coding, .tar.zst) call this; the oracle-gated codec queries
+    keep calling ``zstd_decompress`` so the vendored implementation
+    never loses its correctness gate."""
+    from hive_udf_spark.operators.native import (
+        zstd_native_available,
+        zstd_native_decompress,
+    )
+
+    if zstd_native_available():
+        return zstd_native_decompress(data, max_output=max_output)
+    return zstd_decompress(data, max_output=max_output)

@@ -60,20 +60,11 @@ def _bounded_decompress(codec: str, data: bytes, max_output: int) -> bytes:
     bytes), for all four shard codecs.  Raises ValueError on anything
     malformed — the caller routes that to a quarantine row."""
     if codec == "zstd":
-        # fast path through the system libzstd when present (r9 verdict
-        # item 8 — same cap-bounded ValueError contract), vendored RFC
-        # 8878 decoder otherwise; tests/test_native.py pins the two
-        # byte-equal on every fixture shape, both directions
-        from hive_udf_spark.operators.native import (
-            zstd_native_available,
-            zstd_native_decompress,
-        )
+        # native-or-vendored dispatch, same cap-bounded contract
+        # (zstdcodec.zstd_decompress_fast; equivalence pytested)
+        from hive_udf_spark.operators.zstdcodec import zstd_decompress_fast
 
-        if zstd_native_available():
-            return zstd_native_decompress(data, max_output=max_output)
-        from hive_udf_spark.operators.zstdcodec import zstd_decompress
-
-        return zstd_decompress(data, max_output=max_output)
+        return zstd_decompress_fast(data, max_output=max_output)
     if codec == "xz":
         import lzma
 

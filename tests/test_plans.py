@@ -587,6 +587,10 @@ def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
         "multimodal_flac_audio_features",
         "multimodal_tar_extract",
         "text_warc_content_encoding",
+        # r10 native-dispatch / crypto tiers join the same contract
+        "multimodal_webp_lossy_decode",
+        "multimodal_avif_decode",
+        "text_warc_br_content_encoding",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         # formatted plans print each node twice (tree + details)
@@ -596,6 +600,29 @@ def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
         block = plan[plan.index(") Exchange") :]
         detail = block.split("\n\n")[0]  # just the Exchange node's detail
         assert "blob" not in detail, f"{name}: Exchange carries blobs"
+
+
+def test_row_shard_sources_single_fixture_shuffle(spark, sf_dir):
+    """The r10 shard sources (Avro OCF, Arrow IPC, SQLite) follow the
+    compressed-shards plan shape: the ONLY Exchange is the fixture-side
+    shard-build groupBy; the production direction (blob decode → rows)
+    is pure map work — at corpus scale the fixture build is replaced by
+    a file scan and the whole path is shuffle-free."""
+    for name in (
+        "source_avro_roundtrip",
+        "source_arrow_ipc_roundtrip",
+        "source_sqlite_roundtrip",
+    ):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert plan.count("Exchange") <= 2, name  # hash exch (+ AQE read)
+        assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, name
+    # the quarantine audit adds ONE more exchange — the per-shard
+    # aggregation over decoded ROWS (never blobs); fixture build + audit
+    # agg are the only two
+    plan = plan_of(
+        QUERIES["source_compressed_shards_quarantine"].fn(spark, sf_dir)
+    )
+    assert plan.count("Exchange") <= 4, "quarantine audit grew a third shuffle"
 
 
 def test_compressed_shards_scan_single_fixture_shuffle(spark, sf_dir):

@@ -746,6 +746,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_avif_decode"].fn(spark, sf_dir))
 
+    def q_codec_webp_anim():
+        # r10: animated-WebP ANMF walk + compositing + frame sampling
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webp_anim_frame_sample"].fn(spark, sf_dir))
+
     def q_warc_br_encoding():
         # r10: Content-Encoding: br bodies (plain/chunked/gzip-stacked)
         # through the WARC walk + native libbrotli dispatch
@@ -1077,6 +1083,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_webp_lossy_decode": q_codec_webp_lossy_decode,
         "warc_br_encoding": q_warc_br_encoding,
         "codec_avif_decode": q_codec_avif_decode,
+        "codec_webp_anim_frame_sample": q_codec_webp_anim,
         "codec_pdf_xrefstream_extract": q_codec_pdf_xrefstream,
         "codec_pdf_type0_extract": q_codec_pdf_type0,
         "codec_pdf_encrypted_extract": q_codec_pdf_encrypted,

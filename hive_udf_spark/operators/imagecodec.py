@@ -839,9 +839,15 @@ def split_container_frames(b: bytes) -> list[bytes]:
         from hive_udf_spark.operators.gifcodec import split_gif_frames
 
         return split_gif_frames(b)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # animated WebP (r10): ANMF walk + compositing, each composited
+        # frame re-emitted as a canonical PGM like the GIF tier
+        from hive_udf_spark.operators.webpcodec import split_webp_anim_frames
+
+        return [encode_pgm(f) for f in split_webp_anim_frames(b)]
     if b[:2] in (b"P5", b"P6"):
         return split_netpbm_frames(b)
     raise ValueError(
         "unsupported container format (vendored: RIFF-AVI, ISO-BMFF/MP4, "
-        "animated GIF, concatenated netpbm)"
+        "animated GIF, animated WebP, concatenated netpbm)"
     )

@@ -14,8 +14,10 @@ Decoder coverage (the full spec surface):
   lossy ``VP8 `` decodes through the system libwebp when present
   (operators/native.py, r10 — the luma plane; spec-true VP8 entropy
   tables cannot be vendored offline) and quarantines when the library
-  is absent; animated (``ANIM``) files raise → quarantine, never
-  silent garbage;
+  is absent; animated (``ANIM``) files route through the container
+  tier (``split_webp_anim_frames``, r10 — ANMF walk + disposal/
+  blending compositing, frames decoding via the VP8L/VP8 tiers) and
+  raise in the still-image entry point, never silent garbage;
 * LSB-first bitstream, 14-bit dimensions, version check;
 * all four transforms with correct width bookkeeping and reverse-order
   inverse application: PREDICTOR (14 modes, block sub-image), COLOR
@@ -62,6 +64,8 @@ __all__ = [
     "decode_webp_gray",
     "decode_vp8l",
     "encode_webp_lossless",
+    "split_webp_anim_frames",
+    "encode_webp_anim",
 ]
 
 _MAX_PIXELS = 1 << 22  # bomb cap: 4 MPix is far above any fixture
@@ -704,7 +708,10 @@ def decode_webp_gray(b: bytes) -> np.ndarray:
             if csize < 10:
                 raise ValueError("WebP VP8X chunk truncated")
             if body[0] & _VP8X_ANIM:
-                raise ValueError("WebP animation (ANIM) not vendored")
+                raise ValueError(
+                    "WebP animation: use the container tier "
+                    "(split_webp_anim_frames / sample_container_frames)"
+                )
             canvas = (
                 int.from_bytes(body[4:7], "little") + 1,
                 int.from_bytes(body[7:10], "little") + 1,
@@ -951,4 +958,183 @@ def encode_webp_lossless(
             + b"XMP " + len(xmp).to_bytes(4, "little") + xmp
         )
     riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (r10): ANIM/ANMF container walk + frame compositing.
+# The demux layer is plain RIFF parsing (vendored here from the public
+# WebP container spec); each frame's image payload then decodes through
+# the EXISTING tiers — vendored VP8L for lossless frames, the native
+# libwebp dispatch for lossy VP8 frames — and composites onto the
+# canvas with the spec's disposal/blending semantics (the GIF model:
+# split_container_frames emits each COMPOSITED frame as a canonical
+# PGM blob).
+# ---------------------------------------------------------------------------
+
+
+def _u24(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 3], "little")
+
+
+def _decode_frame_gray(payload: bytes, kind: bytes) -> np.ndarray:
+    if kind == b"VP8L":
+        w, h, img = decode_vp8l(payload)
+        r = ((img >> 16) & 0xFF).astype(np.uint32)
+        g = ((img >> 8) & 0xFF).astype(np.uint32)
+        bl = (img & 0xFF).astype(np.uint32)
+        return ((299 * r + 587 * g + 114 * bl) // 1000).astype(np.uint8).reshape(h, w)
+    # lossy sub-frame: wrap the raw VP8 chunk back into a minimal RIFF
+    # so the native tier's probe/decode sees a well-formed still file
+    chunk = kind + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    still = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    from hive_udf_spark.operators.native import (
+        webp_native_available,
+        webp_native_decode_luma,
+    )
+
+    if not webp_native_available():
+        raise ValueError("animated WebP with lossy frames needs libwebp (absent)")
+    return webp_native_decode_luma(still)
+
+
+@untrusted_decoder
+def split_webp_anim_frames(b: bytes) -> list[np.ndarray]:
+    """Animated WebP → list of COMPOSITED grayscale frames.
+
+    Container walk per the spec: VP8X (ANIM flag required here — still
+    images belong to ``decode_webp_gray``), ANIM (background BGRA +
+    loop count), then one ANMF per frame: 16-byte header (x/2, y/2 as
+    uint24, w−1, h−1, duration, final byte carrying the blending bit
+    (1 = overwrite) and disposal bit (1 = dispose to background)) and
+    the frame's image chunks (optional ALPH skipped for the gray tier,
+    then VP8/VP8L).  Compositing: canvas starts at the background
+    gray; each frame pastes at its offset (our gray tier has no alpha,
+    so both blending modes overwrite — documented); disposal=1 refills
+    the frame rect with background after the frame is emitted."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    riff_size = int.from_bytes(b[4:8], "little")
+    if riff_size + 8 > len(b) or riff_size < 4:
+        raise ValueError("WebP RIFF size field out of bounds")
+    pos, end = 12, 8 + riff_size
+    canvas = None
+    bg_gray = 255
+    frames: list[np.ndarray] = []
+    saw_anim = False
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + csize > end:
+            raise ValueError(f"WebP chunk {cid!r} overruns container")
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"VP8X":
+            if csize < 10:
+                raise ValueError("WebP VP8X chunk truncated")
+            if not body[0] & _VP8X_ANIM:
+                raise ValueError(
+                    "WebP is not animated (still images: decode_webp_gray)"
+                )
+            w = _u24(body, 4) + 1
+            h = _u24(body, 7) + 1
+            if w * h > _MAX_PIXELS:
+                raise ValueError("WebP canvas exceeds the vendored pixel cap")
+            canvas = np.zeros((h, w), np.uint8)
+        elif cid == b"ANIM":
+            if canvas is None:
+                raise ValueError("WebP ANIM chunk before VP8X")
+            if csize < 6:
+                raise ValueError("WebP ANIM chunk truncated")
+            bl, g, r = body[0], body[1], body[2]  # BGRA order
+            bg_gray = (299 * r + 587 * g + 114 * bl) // 1000
+            canvas[:] = bg_gray
+            saw_anim = True
+        elif cid == b"ANMF":
+            if canvas is None or not saw_anim:
+                raise ValueError("WebP ANMF frame before VP8X/ANIM")
+            if csize < 16:
+                raise ValueError("WebP ANMF header truncated")
+            fx = 2 * _u24(body, 0)
+            fy = 2 * _u24(body, 3)
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            flags = body[15]
+            dispose_bg = bool(flags & 1)
+            # frame image chunks
+            ip = 16
+            frame_img = None
+            while ip + 8 <= len(body):
+                fcid = body[ip : ip + 4]
+                fcsize = int.from_bytes(body[ip + 4 : ip + 8], "little")
+                if ip + 8 + fcsize > len(body):
+                    raise ValueError("WebP ANMF sub-chunk overruns frame")
+                fbody = body[ip + 8 : ip + 8 + fcsize]
+                if fcid in (b"VP8L", b"VP8 "):
+                    frame_img = _decode_frame_gray(fbody, fcid)
+                # ALPH and unknown sub-chunks: skipped in the gray tier
+                ip += 8 + fcsize + (fcsize & 1)
+            if frame_img is None:
+                raise ValueError("WebP ANMF frame carries no VP8/VP8L data")
+            if frame_img.shape != (fh, fw):
+                raise ValueError(
+                    f"WebP ANMF declares {fw}x{fh} but frame decodes "
+                    f"{frame_img.shape[1]}x{frame_img.shape[0]}"
+                )
+            if fx + fw > canvas.shape[1] or fy + fh > canvas.shape[0]:
+                raise ValueError("WebP ANMF frame rect exceeds the canvas")
+            canvas[fy : fy + fh, fx : fx + fw] = frame_img
+            frames.append(canvas.copy())
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg_gray
+        # ICCP/EXIF/XMP and unknown chunks: skipped metadata
+        pos += 8 + csize + (csize & 1)
+    if not frames:
+        raise ValueError("WebP animation has no ANMF frames")
+    return frames
+
+
+def encode_webp_anim(
+    frames: list[tuple[int, int, np.ndarray]],
+    canvas_wh: tuple[int, int],
+    bg_gray: int = 0,
+    dispose_bg: bool = False,
+    mode: str = "plain",
+) -> bytes:
+    """Fixture twin: (x, y, gray frame) list → an animated WebP whose
+    frames are REAL VP8L streams (reusing the lossless encoder's
+    bitstream machinery), spec-valid VP8X/ANIM/ANMF layout."""
+    cw, ch = canvas_wh
+    out = bytearray()
+    vp8x = bytes([_VP8X_ANIM]) + b"\x00\x00\x00"
+    vp8x += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    out += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = bytes([bg_gray, bg_gray, bg_gray, 255]) + (0).to_bytes(2, "little")
+    out += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for fx, fy, img in frames:
+        if fx % 2 or fy % 2:
+            raise ValueError("frame offsets must be even (stored /2)")
+        fh, fw = img.shape
+        still = encode_webp_lossless(img, mode=mode)
+        # extract the VP8L chunk payload from the still container
+        at = still.index(b"VP8L")
+        size = int.from_bytes(still[at + 4 : at + 8], "little")
+        vp8l = still[at : at + 8 + size]
+        if size & 1:
+            vp8l += b"\x00"
+        hdr = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little")  # duration ms
+            + bytes([2 | (1 if dispose_bg else 0)])  # no-blend (+dispose)
+        )
+        body = hdr + vp8l
+        out += b"ANMF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            out += b"\x00"
+    riff = b"WEBP" + bytes(out)
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff

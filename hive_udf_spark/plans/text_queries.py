@@ -1224,6 +1224,60 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_anim_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(64 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_webp_anim_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-WebP container walk end-to-end (r10 — the last WebP
+    slice that still quarantined): each document's first 192 chars
+    become a 3-frame animated WebP (VP8X/ANIM/ANMF with real VP8L
+    frame streams, bitstream mode rotating by payload);
+    ``split_container_frames`` dispatches on the RIFF/WEBP magic, walks
+    the ANMF headers, decodes each frame through the vendored VP8L
+    tier, composites per the disposal/blending bits, re-emits
+    composited frames as canonical PGM blobs, and the sampler decodes
+    every 2nd frame — the oracle is identical to the GIF/netpbm/AVI
+    frame-sample queries because the container must not change the
+    frames (full-canvas opaque frames composite to themselves)."""
+    from hive_udf_spark.operators.multimodal import (
+        sample_container_frames,
+        webp_anim_encoder_udf,
+    )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = webp_anim_encoder_udf(8, 8, n_frames=3)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
     WITH t AS (

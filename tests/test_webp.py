@@ -424,3 +424,92 @@ def test_pil_parity():
         assert np.array_equal(ref[..., 0], g)
         assert np.array_equal(ref[..., 1], g)
         assert np.array_equal(ref[..., 2], g)
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_anim_roundtrip_full_canvas_frames():
+    from hive_udf_spark.operators.webpcodec import (
+        encode_webp_anim,
+        split_webp_anim_frames,
+    )
+
+    rng = np.random.RandomState(8)
+    frames = [rng.randint(0, 256, (8, 8), dtype=np.uint8) for _ in range(3)]
+    for mode in ("plain", "subtract-green"):
+        blob = encode_webp_anim(
+            [(0, 0, f) for f in frames], (8, 8), mode=mode
+        )
+        got = split_webp_anim_frames(blob)
+        assert len(got) == 3
+        for want, g in zip(frames, got):
+            assert np.array_equal(want, g), mode
+
+
+def test_anim_compositing_offsets_and_disposal():
+    """Partial-canvas frames paste at their (even) offsets over the
+    background; dispose-to-background refills the rect after emit."""
+    from hive_udf_spark.operators.webpcodec import (
+        encode_webp_anim,
+        split_webp_anim_frames,
+    )
+
+    patch = np.full((2, 2), 9, np.uint8)
+    patch2 = np.full((2, 2), 200, np.uint8)
+    blob = encode_webp_anim(
+        [(0, 0, patch), (4, 2, patch2)], (8, 6), bg_gray=50, dispose_bg=True
+    )
+    f1, f2 = split_webp_anim_frames(blob)
+    want1 = np.full((6, 8), 50, np.uint8)
+    want1[0:2, 0:2] = 9
+    assert np.array_equal(f1, want1)
+    # dispose=background: frame 1's rect refills with bg before frame 2
+    want2 = np.full((6, 8), 50, np.uint8)
+    want2[2:4, 4:6] = 200
+    assert np.array_equal(f2, want2)
+
+
+def test_anim_quarantine_contracts():
+    from hive_udf_spark.operators.webpcodec import (
+        encode_webp_anim,
+        split_webp_anim_frames,
+    )
+
+    img = np.zeros((4, 4), np.uint8)
+    blob = encode_webp_anim([(0, 0, img)], (4, 4))
+    # still-image tier refuses animation with a routing message
+    with pytest.raises(ValueError, match="container tier"):
+        decode_webp_gray(blob)
+    # a still lossless file refuses the animation tier
+    still = encode_webp_lossless(img)
+    with pytest.raises(ValueError, match="not animated|VP8X|no ANMF"):
+        split_webp_anim_frames(still)
+    # frame rect overrunning the canvas is malformed
+    with pytest.raises(ValueError, match="canvas"):
+        split_webp_anim_frames(
+            encode_webp_anim([(2, 0, np.zeros((4, 4), np.uint8))], (4, 4))
+        )
+
+
+def test_anim_byte_flip_fuzz():
+    from hive_udf_spark.operators.webpcodec import (
+        encode_webp_anim,
+        split_webp_anim_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (8, 8), dtype=np.uint8) for _ in range(2)]
+    base = bytearray(encode_webp_anim([(0, 0, f) for f in frames], (8, 8)))
+    for _ in range(120):
+        i = int(rng.randint(0, len(base)))
+        orig = base[i]
+        base[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            out = split_webp_anim_frames(bytes(base))
+            assert all(f.dtype == np.uint8 for f in out)
+        except ValueError:
+            pass
+        base[i] = orig

@@ -852,6 +852,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_avro_roundtrip"].fn(spark, sf_dir))
 
+    def q_msgpack_roundtrip():
+        # r10: vendored MessagePack row-log shards — full type family,
+        # width boundaries, nested arrays, bomb-checked sizes
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_msgpack_roundtrip"].fn(spark, sf_dir))
+
     def q_arrow_ipc_roundtrip():
         # r10: Arrow IPC file shards via pyarrow (zstd-buffer rotation)
         from hive_udf_spark.plans import QUERIES
@@ -1103,6 +1110,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "orc_roundtrip": q_orc_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "msgpack_roundtrip": q_msgpack_roundtrip,
         "sqlite_roundtrip": q_sqlite_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,

@@ -1075,6 +1075,41 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_msgpack_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,
+           CAST(doc_id % 4 AS INT) AS n_tags
+    FROM documents
+    """,
+)
+def source_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack ingestion (r10): ``.msgpack`` shard files are the
+    binary sibling of ``.jsonl`` (concatenated top-level maps, one per
+    record) and a common tooling output.  The vendored codec
+    (operators/msgpackcodec.py — full type-family decode with
+    size-before-allocation bomb checks, depth/element caps, canonical
+    smallest-encoding twin) round-trips 6 shards whose values cross
+    the fixint/uint8/uint16/uint32 and fixstr width boundaries and
+    carry a nested ``tags`` array (its decoded LENGTH is surfaced, so
+    nested collections must really parse) plus a nil field.  Decode is
+    map-side; corrupt blobs quarantine whole-blob (pytest)."""
+    from hive_udf_spark.operators.msgpackcodec import (
+        msgpack_records_table,
+        msgpack_shard_encoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 6).cast("int").alias("shard"),
+        "doc_id", "lang", "n_chars",
+    )
+    blobs = staged.groupBy("shard").applyInPandas(
+        msgpack_shard_encoder(), "shard int, blob binary"
+    )
+    return msgpack_records_table(blobs)
+
+
+@register(
     "source_orc_roundtrip",
     oracle="""
     SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars

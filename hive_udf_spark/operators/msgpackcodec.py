@@ -146,9 +146,12 @@ def _decode_value(r: _Reader, depth: int):
 
 
 def _map_key(k):
-    if isinstance(k, (str, int, bool, bytes)) or k is None:
+    # every non-collection msgpack value is a spec-valid map key and
+    # hashable in Python (str/int/bool/bytes/float/nil/ext tuples);
+    # lists/dicts are neither
+    if isinstance(k, (str, int, bool, bytes, float, tuple)) or k is None:
         return k
-    raise ValueError(f"msgpack: unhashable map key type {type(k).__name__}")
+    raise ValueError(f"msgpack: unsupported map key type {type(k).__name__}")
 
 
 @untrusted_decoder
@@ -202,19 +205,12 @@ def encode_msgpack(v) -> bytes:
             if n < 1 << (8 * w):
                 return bytes([code]) + n.to_bytes(w, "big") + bytes(v)
         raise ValueError("msgpack: bytes too long")
-    if isinstance(v, (list, tuple)) and not (
-        len(v) == 2 and isinstance(v[0], int) and isinstance(v[1], bytes)
-        and isinstance(v, tuple)
-    ):
-        n = len(v)
-        if n <= 15:
-            head = bytes([0x90 | n])
-        elif n < 1 << 16:
-            head = b"\xdc" + n.to_bytes(2, "big")
-        else:
-            head = b"\xdd" + n.to_bytes(4, "big")
-        return head + b"".join(encode_msgpack(x) for x in v)
-    if isinstance(v, tuple):  # (ext_type, payload)
+    if (
+        isinstance(v, tuple)
+        and len(v) == 2
+        and isinstance(v[0], int)
+        and isinstance(v[1], bytes)
+    ):  # (ext_type, payload)
         ext_type, payload = v
         n = len(payload)
         fix = {1: 0xD4, 2: 0xD5, 4: 0xD6, 8: 0xD7, 16: 0xD8}.get(n)
@@ -225,6 +221,15 @@ def encode_msgpack(v) -> bytes:
             if n < 1 << (8 * w):
                 return bytes([code]) + n.to_bytes(w, "big") + tb + payload
         raise ValueError("msgpack: ext too long")
+    if isinstance(v, (list, tuple)):
+        n = len(v)
+        if n <= 15:
+            head = bytes([0x90 | n])
+        elif n < 1 << 16:
+            head = b"\xdc" + n.to_bytes(2, "big")
+        else:
+            head = b"\xdd" + n.to_bytes(4, "big")
+        return head + b"".join(encode_msgpack(x) for x in v)
     if isinstance(v, dict):
         n = len(v)
         if n <= 15:
@@ -245,6 +250,30 @@ def encode_msgpack(v) -> bytes:
 
 ROWS_SCHEMA = "shard int, doc_id bigint, lang string, n_chars bigint, n_tags int"
 ROWS_QUARANTINE_SCHEMA = ROWS_SCHEMA + ", decode_error string"
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _validate_record(rec) -> str | None:
+    """Schema gate over a schemaless decode: the record must be a map
+    whose surfaced fields fit the declared Spark types (int64-ranged
+    ints or NULL for doc_id/n_chars, str or NULL for lang).  Returns an
+    error string (→ quarantine row) or None."""
+    if not isinstance(rec, dict):
+        return "msgpack: record is not a map"
+    for field in ("doc_id", "n_chars"):
+        v = rec.get(field)
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, int):
+            return f"msgpack: field {field} is not an integer"
+        if not _I64_MIN <= v <= _I64_MAX:
+            return f"msgpack: field {field} outside int64 range"
+    lang = rec.get("lang")
+    if lang is not None and not isinstance(lang, str):
+        return "msgpack: field lang is not a string"
+    return None
 
 
 def msgpack_records_table(blobs, on_error: str = "raise"):
@@ -275,11 +304,16 @@ def msgpack_records_table(blobs, on_error: str = "raise"):
                     emit(shard=int(shard), decode_error=str(exc))
                     continue
                 for rec in recs:
-                    if not isinstance(rec, dict):
+                    # msgpack is SCHEMALESS: every field must be type-
+                    # and range-validated here, or a crafted shard with
+                    # e.g. doc_id="x" / doc_id=2**64-1 would crash the
+                    # Arrow conversion and kill the task — the exact
+                    # case quarantine mode exists for (r10 review item)
+                    err = _validate_record(rec)
+                    if err is not None:
                         if not quarantine:
-                            raise ValueError("msgpack: record is not a map")
-                        emit(shard=int(shard),
-                             decode_error="msgpack: record is not a map")
+                            raise ValueError(err)
+                        emit(shard=int(shard), decode_error=err)
                         continue
                     tags = rec.get("tags")
                     emit(

@@ -127,3 +127,27 @@ def test_records_table_quarantine(spark):
     quar = [r for r in rows if r.decode_error is not None]
     assert len(ok) == 4 and len(quar) == 1 and quar[0].shard == 1
     assert [r.n_tags for r in sorted(ok, key=lambda r: r.doc_id)] == [0, 1, 2, 3]
+
+
+def test_schemaless_type_mismatch_quarantines(spark):
+    """A structurally-valid shard whose fields don't fit the declared
+    Spark schema (string doc_id, uint64 past int64) must become a
+    quarantine row, never an Arrow conversion crash."""
+    bad1 = encode_msgpack({"doc_id": "x", "lang": "en", "n_chars": 1})
+    bad2 = encode_msgpack({"doc_id": 2**64 - 1, "lang": "en", "n_chars": 1})
+    bad3 = encode_msgpack({"doc_id": 1, "lang": [1, 2], "n_chars": 1})
+    good = encode_msgpack({"doc_id": 7, "lang": "en", "n_chars": 3, "tags": []})
+    df = spark.createDataFrame(
+        pd.DataFrame({"shard": [0, 1, 2, 3], "blob": [good, bad1, bad2, bad3]})
+    )
+    rows = msgpack_records_table(df, on_error="quarantine").collect()
+    ok = [r for r in rows if r.decode_error is None]
+    quar = [r for r in rows if r.decode_error is not None]
+    assert len(ok) == 1 and ok[0].doc_id == 7
+    assert sorted(r.shard for r in quar) == [1, 2, 3]
+
+
+def test_float_and_ext_map_keys_decode():
+    blob = encode_msgpack({1.5: "f", (3, b"x"): "e", None: "n"})
+    got = decode_msgpack_stream(blob)
+    assert got == [{1.5: "f", (3, b"x"): "e", None: "n"}]

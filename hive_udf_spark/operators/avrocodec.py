@@ -365,6 +365,32 @@ FIXTURE_SCHEMA = {
 }
 
 
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _validate_record(rec) -> str | None:
+    if not isinstance(rec, dict):
+        return "avro: record is not a record type"
+    for field in ("doc_id", "n_chars"):
+        v = rec.get(field)
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, int):
+            return f"avro: field {field} is not an integer"
+        if not _I64_MIN <= v <= _I64_MAX:
+            return f"avro: field {field} outside int64 range"
+    lang = rec.get("lang")
+    if lang is not None and not isinstance(lang, str):
+        return "avro: field lang is not a string"
+    q = rec.get("quality")
+    if q is not None and not isinstance(q, (int, float)):
+        return "avro: field quality is not numeric"
+    f = rec.get("flagged")
+    if f is not None and not isinstance(f, bool):
+        return "avro: field flagged is not a boolean"
+    return None
+
+
 def avro_records_table(blobs, on_error: str = "raise"):
     """(shard, blob) → one row per Avro record via mapInPandas.
     ``on_error="quarantine"``: a malformed blob becomes ONE row with
@@ -388,6 +414,15 @@ def avro_records_table(blobs, on_error: str = "raise"):
             for shard, blob in zip(pdf["shard"], pdf["blob"]):
                 try:
                     _, records = decode_ocf(bytes(blob))
+                    # a foreign avro.schema is spec-valid but may type
+                    # any field arbitrarily; gate every surfaced field
+                    # before the Arrow boundary (the r10 msgpack
+                    # lesson) so a crafted file quarantines instead of
+                    # killing the task
+                    for rec in records:
+                        err = _validate_record(rec)
+                        if err is not None:
+                            raise ValueError(err)
                 except ValueError as exc:
                     if not quarantine:
                         raise

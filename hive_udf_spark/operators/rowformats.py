@@ -54,6 +54,25 @@ ROWS_QUARANTINE_SCHEMA = ROWS_SCHEMA + ", decode_error string"
 _MAX_BLOB = 1 << 28
 
 
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _checked_row(did, lang, n) -> tuple:
+    """Type/range gate before the Arrow boundary (the msgpack lesson,
+    r10 review): int64-ranged ints or NULL for doc_id/n_chars, str or
+    NULL for lang — anything else raises → whole-blob quarantine."""
+    for name, v in (("doc_id", did), ("n_chars", n)):
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"row-format field {name} is not an integer")
+        if not _I64_MIN <= v <= _I64_MAX:
+            raise ValueError(f"row-format field {name} outside int64 range")
+    if lang is not None and not isinstance(lang, str):
+        raise ValueError("row-format field lang is not a string")
+    return did, lang, n
+
+
 def _records_table(blobs, decode_one, on_error: str):
     if on_error not in ("raise", "quarantine"):
         raise ValueError("on_error must be 'raise' or 'quarantine'")
@@ -74,8 +93,16 @@ def _records_table(blobs, decode_one, on_error: str):
                 try:
                     if len(blob) > _MAX_BLOB:
                         raise ValueError("row-format shard past the size cap")
-                    recs = decode_one(bytes(blob))
-                except ValueError as exc:
+                    # TypeError joins ValueError: these formats carry
+                    # dynamic/foreign types (sqlite columns hold
+                    # whatever was inserted, an arrow file may declare
+                    # any schema), and a crafted blob must become a
+                    # quarantine row, not an Arrow-boundary task death
+                    recs = [
+                        _checked_row(did, lang, n)
+                        for did, lang, n in decode_one(bytes(blob))
+                    ]
+                except (ValueError, TypeError) as exc:
                     if not quarantine:
                         raise
                     emit(shard=int(shard), decode_error=str(exc))
@@ -107,11 +134,13 @@ def _decode_arrow(blob: bytes) -> list[tuple]:
     for col in ("doc_id", "lang", "n_chars"):
         if col not in table.column_names:
             raise ValueError(f"arrow ipc: expected column {col!r} missing")
+    # raw python values — the shared _checked_row gate validates types,
+    # so a foreign schema (string doc_id etc.) quarantines cleanly
     return list(
         zip(
-            (None if v is None else int(v) for v in table["doc_id"].to_pylist()),
+            table["doc_id"].to_pylist(),
             table["lang"].to_pylist(),
-            (None if v is None else int(v) for v in table["n_chars"].to_pylist()),
+            table["n_chars"].to_pylist(),
         )
     )
 
@@ -173,7 +202,8 @@ def _decode_sqlite(blob: bytes) -> list[tuple]:
             cur = con.execute(
                 "SELECT doc_id, lang, n_chars FROM docs ORDER BY doc_id"
             )
-            return [(int(d), lang, int(n)) for d, lang, n in cur.fetchall()]
+            # raw dynamic-typed values; _checked_row gates them
+            return [(d, lang, n) for d, lang, n in cur.fetchall()]
         except sqlite3.Error as exc:
             raise ValueError(f"sqlite: expected docs table unreadable: {exc}") from exc
     finally:

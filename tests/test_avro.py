@@ -165,3 +165,20 @@ def test_records_table_quarantine(spark):
     quar = [r for r in rows if r.decode_error is not None]
     assert len(ok) == 5 and len(quar) == 1
     assert quar[0].shard == 1 and quar[0].doc_id is None
+
+
+def test_foreign_schema_type_mismatch_quarantines(spark):
+    """A spec-valid OCF whose schema types doc_id as string quarantines
+    whole-blob instead of crashing the Arrow conversion."""
+    import pandas as pd
+
+    schema = {
+        "type": "record", "name": "doc",
+        "fields": [{"name": "doc_id", "type": "string"},
+                   {"name": "lang", "type": "string"},
+                   {"name": "n_chars", "type": "long"}],
+    }
+    bad = encode_ocf(schema, [{"doc_id": "x", "lang": "en", "n_chars": 5}])
+    df = spark.createDataFrame(pd.DataFrame({"shard": [0], "blob": [bad]}))
+    rows = avro_records_table(df, on_error="quarantine").collect()
+    assert len(rows) == 1 and "not an integer" in rows[0].decode_error

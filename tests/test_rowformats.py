@@ -134,3 +134,34 @@ def test_sqlite_image_is_readonly_queried():
     con.close()
     with pytest.raises(ValueError, match="docs table"):
         _decode_sqlite(blob)
+
+
+def test_foreign_schema_type_mismatch_quarantines(spark):
+    """Crafted blobs with off-contract field TYPES (string doc_id in
+    sqlite, string doc_id column in arrow) quarantine whole-blob
+    instead of crashing the Arrow conversion (r10 review gate)."""
+    import sqlite3
+
+    import pyarrow as pa
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE docs (doc_id TEXT, lang TEXT, n_chars INTEGER)")
+    con.execute("INSERT INTO docs VALUES ('not-an-int', 'en', 5)")
+    con.commit()
+    sq_bad = bytes(con.serialize())
+    con.close()
+
+    table = pa.table({"doc_id": pa.array(["x"]), "lang": pa.array(["en"]),
+                      "n_chars": pa.array([5])})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, table.schema) as w:
+        w.write_table(table)
+    ar_bad = sink.getvalue().to_pybytes()
+
+    df = spark.createDataFrame(pd.DataFrame({"shard": [0], "blob": [sq_bad]}))
+    rows = sqlite_records_table(df, on_error="quarantine").collect()
+    assert len(rows) == 1 and "not an integer" in rows[0].decode_error
+
+    df2 = spark.createDataFrame(pd.DataFrame({"shard": [0], "blob": [ar_bad]}))
+    rows2 = arrow_ipc_records_table(df2, on_error="quarantine").collect()
+    assert len(rows2) == 1 and "not an integer" in rows2[0].decode_error

@@ -122,15 +122,22 @@ def _read_meta_map(r: _Reader) -> dict[str, bytes]:
             out[key] = r.bytes_()
 
 
-def _decoder_for(schema) -> tuple:
-    """Schema JSON → (kind, payload) decode plan."""
+_MAX_SCHEMA_DEPTH = 32
+
+
+def _decoder_for(schema, depth: int = 0) -> tuple:
+    """Schema JSON → (kind, payload) decode plan.  Depth-capped: a
+    crafted deeply-nested schema must raise ValueError (quarantine),
+    never RecursionError (task death)."""
+    if depth > _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro: schema nesting past the depth cap")
     if isinstance(schema, str):
         if schema in ("null", "boolean", "int", "long", "float", "double",
                       "bytes", "string"):
             return ("prim", schema)
         raise ValueError(f"avro: named-type reference {schema!r} not vendored")
     if isinstance(schema, list):  # union
-        return ("union", [_decoder_for(s) for s in schema])
+        return ("union", [_decoder_for(s, depth + 1) for s in schema])
     if isinstance(schema, dict):
         t = schema.get("type")
         if t == "record":
@@ -141,12 +148,12 @@ def _decoder_for(schema) -> tuple:
             for f in fields:
                 if not isinstance(f, dict) or "name" not in f or "type" not in f:
                     raise ValueError("avro: record field missing name/type")
-                plans.append((str(f["name"]), _decoder_for(f["type"])))
+                plans.append((str(f["name"]), _decoder_for(f["type"], depth + 1)))
             return ("record", plans)
         if t == "enum":
             return ("enum", list(schema.get("symbols", [])))
         if t == "array":
-            return ("array", _decoder_for(schema["items"]))
+            return ("array", _decoder_for(schema["items"], depth + 1))
         if t in ("null", "boolean", "int", "long", "float", "double",
                  "bytes", "string"):
             return ("prim", t)
@@ -226,7 +233,7 @@ def decode_ocf(b: bytes) -> tuple[dict, list[dict]]:
         raise ValueError("avro: file metadata lacks avro.schema")
     try:
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+    except (UnicodeDecodeError, json.JSONDecodeError, RecursionError) as exc:
         raise ValueError(f"avro: schema JSON malformed: {exc}") from exc
     codec = meta.get("avro.codec", b"null").decode("latin-1")
     if codec not in ("null", "deflate"):
@@ -239,6 +246,11 @@ def decode_ocf(b: bytes) -> tuple[dict, list[dict]]:
         size = r.long()
         if not 0 <= count <= _MAX_OBJECTS:
             raise ValueError("avro: block object count out of bounds")
+        # CUMULATIVE cap: a zero-byte-per-record schema ("null" fields)
+        # would otherwise let a few-KB blob of max-count/zero-size
+        # blocks amplify into billions of appends (r10 review item)
+        if len(records) + count > _MAX_OBJECTS:
+            raise ValueError("avro: total record count past the decode cap")
         if not 0 <= size <= _MAX_BLOCK_BYTES:
             raise ValueError("avro: block byte size out of bounds")
         payload = r.take(size)
@@ -413,6 +425,8 @@ def avro_records_table(blobs, on_error: str = "raise"):
 
             for shard, blob in zip(pdf["shard"], pdf["blob"]):
                 try:
+                    # TypeError joins ValueError: a NULL blob cell
+                    # (bytes(None)) must quarantine, not kill the task
                     _, records = decode_ocf(bytes(blob))
                     # a foreign avro.schema is spec-valid but may type
                     # any field arbitrarily; gate every surfaced field
@@ -423,7 +437,7 @@ def avro_records_table(blobs, on_error: str = "raise"):
                         err = _validate_record(rec)
                         if err is not None:
                             raise ValueError(err)
-                except ValueError as exc:
+                except (ValueError, TypeError) as exc:
                     if not quarantine:
                         raise
                     emit(shard=int(shard), decode_error=str(exc))

@@ -350,15 +350,26 @@ class StdSecurityHandler:
             raise ValueError(
                 f"PDF security handler {enc.get('/Filter')!r} not supported"
             )
+        # every /Encrypt value is attacker-controlled: type-check before
+        # use so a crafted dict raises ValueError (→ whole-doc
+        # quarantine), never TypeError/AttributeError out of the
+        # quarantine contract (r10 review item)
         v = enc.get("/V", 0)
         r = enc.get("/R")
+        if isinstance(v, bool) or isinstance(r, bool):
+            raise ValueError("PDF encryption /V or /R is not an integer")
         if v not in (1, 2, 4) or r not in (2, 3, 4):
-            raise ValueError(f"PDF encryption /V {v} /R {r} not supported")
+            raise ValueError(f"PDF encryption /V {v!r} /R {r!r} not supported")
         self.v = v
         self.r = r
         length = enc.get("/Length", 40)
-        if length % 8 or not 40 <= length <= 128:
-            raise ValueError(f"PDF encryption /Length {length} invalid")
+        if (
+            isinstance(length, bool)
+            or not isinstance(length, int)
+            or length % 8
+            or not 40 <= length <= 128
+        ):
+            raise ValueError(f"PDF encryption /Length {length!r} invalid")
         self.n = 5 if r == 2 else length // 8
         o = enc.get("/O")
         u = enc.get("/U")
@@ -368,13 +379,20 @@ class StdSecurityHandler:
         self.u = u.encode("latin-1") if isinstance(u, str) else u
         if len(self.o) < 32 or len(self.u) < 16:
             raise ValueError("PDF /O or /U too short")
-        self.p = int(enc.get("/P", -1))
+        p = enc.get("/P", -1)
+        if isinstance(p, bool) or not isinstance(p, int) \
+                or not -(1 << 31) <= p < 1 << 32:
+            raise ValueError("PDF encryption /P is not a 32-bit integer")
+        self.p = p if p < 1 << 31 else p - (1 << 32)  # tolerate unsigned form
         self.encrypt_metadata = bool(enc.get("/EncryptMetadata", True))
         self.aes = False
         if v == 4:
             cf = enc.get("/CF", {})
             stmf = enc.get("/StmF", "/Identity")
             strf = enc.get("/StrF", "/Identity")
+            if not isinstance(cf, dict) or not isinstance(stmf, str) \
+                    or not isinstance(strf, str):
+                raise ValueError("PDF /CF//StmF//StrF malformed")
             if stmf != strf:
                 raise ValueError("PDF split /StmF vs /StrF not supported")
             if stmf == "/Identity":
@@ -388,7 +406,21 @@ class StdSecurityHandler:
             if cfm == "/AESV2":
                 self.aes = True
                 self.n = 16
-            elif cfm != "/V2":
+            elif cfm == "/V2":
+                # the CF-level /Length (BYTES per spec table, though
+                # some writers store bits) overrides the top-level
+                # default for V2 filters — without this a /V 4 /V2 doc
+                # with only a CF /Length would derive a 40-bit key and
+                # be wrongly rejected as password-protected
+                cfl = cfd.get("/Length")
+                if cfl is not None:
+                    if isinstance(cfl, bool) or not isinstance(cfl, int):
+                        raise ValueError("PDF /CF /Length is not an integer")
+                    bits = cfl * 8 if cfl <= 16 else cfl
+                    if bits % 8 or not 40 <= bits <= 128:
+                        raise ValueError(f"PDF /CF /Length {cfl!r} invalid")
+                    self.n = bits // 8
+            else:
                 raise ValueError(f"PDF crypt filter method {cfm!r} not supported")
         self.identity = False
         self.key = _file_key(

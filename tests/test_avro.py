@@ -182,3 +182,60 @@ def test_foreign_schema_type_mismatch_quarantines(spark):
     df = spark.createDataFrame(pd.DataFrame({"shard": [0], "blob": [bad]}))
     rows = avro_records_table(df, on_error="quarantine").collect()
     assert len(rows) == 1 and "not an integer" in rows[0].decode_error
+
+
+def test_record_count_amplification_capped():
+    """A zero-byte-per-record schema (all-null fields) with max-count/
+    zero-size blocks must hit the CUMULATIVE record cap, not amplify a
+    tiny blob into billions of appends (r10 review item)."""
+    import json
+
+    from hive_udf_spark.operators.avrocodec import _zigzag
+
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "null"}]}
+    blob = bytearray(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    blob += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        ke = k.encode()
+        blob += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
+    sync = b"\xa5" * 16
+    blob += _zigzag(0) + sync
+    for _ in range(4):  # 4 blocks x 16M "records" of zero bytes each
+        blob += _zigzag(1 << 24) + _zigzag(0) + sync
+    with pytest.raises(ValueError, match="record count past"):
+        decode_ocf(bytes(blob))
+
+
+def test_deep_schema_nesting_quarantines():
+    import json
+
+    from hive_udf_spark.operators.avrocodec import _zigzag
+
+    node = "long"
+    for _ in range(200):
+        node = {"type": "array", "items": node}
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "a", "type": node}]}
+    blob = bytearray(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    blob += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        ke = k.encode()
+        blob += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
+    blob += _zigzag(0) + b"\xa5" * 16
+    with pytest.raises(ValueError, match="depth cap"):
+        decode_ocf(bytes(blob))
+
+
+def test_null_blob_cell_quarantines(spark):
+    import pandas as pd
+
+    good = encode_ocf(FIXTURE_SCHEMA, _recs(3), codec="null")
+    df = spark.createDataFrame(
+        pd.DataFrame({"shard": [0, 1], "blob": [good, None]})
+    )
+    rows = avro_records_table(df, on_error="quarantine").collect()
+    assert len([r for r in rows if r.decode_error is None]) == 3
+    assert len([r for r in rows if r.decode_error is not None]) == 1

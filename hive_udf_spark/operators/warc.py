@@ -72,9 +72,9 @@ def _bounded_inflate(data: bytes, wbits: int, what: str) -> bytes:
 
 def _decode_content_coding(body: bytes, coding: str) -> bytes:
     """Apply ONE HTTP content-coding (RFC 9110 §8.4) in decode
-    direction.  Unknown codings (br, compress, ...) raise — the
-    table operator routes that to a per-record quarantine row instead
-    of shipping compressed bytes onward as if they were text."""
+    direction.  Unknown codings (compress, ...) raise — the table
+    operator routes that to a per-record quarantine row instead of
+    shipping compressed bytes onward as if they were text."""
     if coding in ("identity", ""):
         return body
     if coding in ("gzip", "x-gzip"):
@@ -433,7 +433,9 @@ def warc_coded_page_encoder_udf(
     deflate under a ``deflate`` header (the common server misbehavior),
     4 = chunked transfer STACKED over gzip.  Docs with
     ``doc_id % unknown_mod == unknown_rem`` instead claim
-    ``Content-Encoding: br`` over bytes we don't decode — the
+    ``Content-Encoding: br`` over RAW html bytes — since r10 br itself
+    decodes (native libbrotli), so these rows quarantine as CORRUPT
+    brotli rather than as an unknown coding; either way, the
     per-record-quarantine case."""
     from pyspark.sql.functions import pandas_udf
 

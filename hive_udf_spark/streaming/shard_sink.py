@@ -95,6 +95,13 @@ def _bounded_decompress(codec: str, data: bytes, max_output: int) -> bytes:
         if d.unused_data:
             raise ValueError("bz2 shard: trailing bytes after stream end")
         return out
+    if codec == "br":
+        # .jsonl.br shards (decoder-side support; the fixture rotation
+        # stays zstd/xz/gz/bz2): native libbrotli under the same
+        # cap-bounded contract, quarantine when the library is absent
+        from hive_udf_spark.operators.native import brotli_native_decompress
+
+        return brotli_native_decompress(data, max_output=max_output)
     if codec in ("gzip", "gz"):
         import zlib
 

@@ -897,3 +897,31 @@ def test_shard_ingest_sink_quarantines_corrupt_and_bomb(spark, sf_dir, tmp_path)
     )
     got = {tuple(r) for r in spark.read.parquet(f"{state}/stats").collect()}
     assert got == {tuple(r) for r in want.collect()}
+
+
+def test_shard_decoder_supports_br(spark):
+    """Decoder-side .jsonl.br support: a brotli shard decodes through
+    the native dispatch; a corrupt one quarantines."""
+    import pandas as pd
+
+    from hive_udf_spark.operators.native import (
+        brotli_native_available,
+        brotli_native_compress,
+    )
+    from hive_udf_spark.streaming.shard_sink import decode_shard_lines
+
+    if not brotli_native_available():
+        import pytest
+
+        pytest.skip("libbrotli absent")
+    payload = b'{"doc_id":1}\n{"doc_id":2}\n'
+    blob = brotli_native_compress(payload)
+    df = spark.createDataFrame(
+        pd.DataFrame({"shard": [0, 1], "codec": ["br", "br"],
+                      "blob": [blob, blob[:4]]})
+    )
+    rows = decode_shard_lines(df).collect()
+    ok = sorted(r.line for r in rows if r.line is not None)
+    quar = [r for r in rows if r.decode_error is not None]
+    assert ok == ['{"doc_id":1}', '{"doc_id":2}']
+    assert len(quar) == 1 and quar[0].shard == 1

@@ -859,6 +859,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_msgpack_roundtrip"].fn(spark, sf_dir))
 
+    def q_cbor_roundtrip():
+        # r10: vendored CBOR sequence shards — tags, preferred-width
+        # floats, indefinite containers + chunked strings on odd shards
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_cbor_roundtrip"].fn(spark, sf_dir))
+
     def q_arrow_ipc_roundtrip():
         # r10: Arrow IPC file shards via pyarrow (zstd-buffer rotation)
         from hive_udf_spark.plans import QUERIES
@@ -1111,6 +1118,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "avro_roundtrip": q_avro_roundtrip,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "msgpack_roundtrip": q_msgpack_roundtrip,
+        "cbor_roundtrip": q_cbor_roundtrip,
         "sqlite_roundtrip": q_sqlite_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,

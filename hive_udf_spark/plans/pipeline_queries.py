@@ -1110,6 +1110,42 @@ def source_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_cbor_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,
+           CAST(doc_id % 4 AS INT) AS n_tags
+    FROM documents
+    """,
+)
+def source_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR ingestion (r10): the IETF binary object format (RFC 8949;
+    ``.cbor`` sequences per RFC 8742) decoded by the vendored codec
+    (operators/cborcodec.py — full major-type surface incl. tags,
+    half/single/double floats with preferred-width encoding, and the
+    INDEFINITE-length container/chunked-string forms MessagePack lacks).
+    EVEN shards serialize canonically definite, ODD shards use
+    indefinite maps/arrays + chunked strings — both real writer
+    families hit the decoder from one fixture; each record's ``tags``
+    array arrives under CBOR tag 42 (the tag path must really unwrap)
+    and a half-float field rides along.  Map-side decode, whole-blob
+    quarantine, shared type/range gate before the Arrow boundary."""
+    from hive_udf_spark.operators.cborcodec import (
+        cbor_records_table,
+        cbor_shard_encoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 6).cast("int").alias("shard"),
+        "doc_id", "lang", "n_chars",
+    )
+    blobs = staged.groupBy("shard").applyInPandas(
+        cbor_shard_encoder(), "shard int, blob binary"
+    )
+    return cbor_records_table(blobs)
+
+
+@register(
     "source_orc_roundtrip",
     oracle="""
     SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS parsed_chars

@@ -613,6 +613,7 @@ def test_row_shard_sources_single_fixture_shuffle(spark, sf_dir):
         "source_arrow_ipc_roundtrip",
         "source_sqlite_roundtrip",
         "source_msgpack_roundtrip",
+        "source_cbor_roundtrip",
     ):
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         assert plan.count("Exchange") <= 2, name  # hash exch (+ AQE read)

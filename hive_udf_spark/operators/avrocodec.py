@@ -62,11 +62,26 @@ _MAX_OBJECTS = 1 << 24
 
 
 class _Reader:
-    __slots__ = ("b", "i")
+    __slots__ = ("b", "i", "elems", "elem_cap")
 
     def __init__(self, b: bytes, i: int = 0):
         self.b = b
         self.i = i
+        # Global element budget (r10 advice): zero-byte values ("null",
+        # records of nulls) let nested array blocks amplify the
+        # per-array _MAX_OBJECTS cap multiplicatively (16M × 16M), so a
+        # few-hundred-byte blob could pin an executor for minutes.  Cap
+        # TOTAL decoded elements proportionally to the input size (real
+        # data spends ≥1 byte per non-null scalar; 16× headroom covers
+        # null-heavy unions) with a hard absolute ceiling.
+        self.elems = 0
+        self.elem_cap = min(_MAX_OBJECTS, 4096 + 16 * len(b))
+
+    def bump(self) -> None:
+        self.elems += 1
+        if self.elems > self.elem_cap:
+            raise ValueError("avro: decoded element count past the input-"
+                             "proportional budget (zero-byte-element bomb)")
 
     def take(self, n: int) -> bytes:
         if n < 0 or self.i + n > len(self.b):
@@ -162,6 +177,7 @@ def _decoder_for(schema, depth: int = 0) -> tuple:
 
 
 def _decode_value(r: _Reader, plan) -> object:
+    r.bump()
     kind, payload = plan
     if kind == "prim":
         if payload == "null":

@@ -529,11 +529,17 @@ def _get_obj(
             raise ValueError(f"PDF object {num} not present in object stream {ent[1]}")
         return members[num], -1
     i = ent[1]
-    m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", b[i:])
+    m = _OBJ_HEADER_RE.match(b, i)
     if not m or int(m.group(1)) != num:
         raise ValueError(f"PDF object {num} not at its xref offset")
-    val, j = _parse(b, i + m.end())
+    val, j = _parse(b, m.end())
     return val, j
+
+
+# position-anchored match (pattern.match(b, pos)) — re.match(p, b[i:])
+# copies the remainder of the document per object: O(n) per encrypted
+# stream object (r10 advice)
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 def _obj_gen(b: bytes, xref: dict[int, tuple], num: int) -> int:
@@ -542,7 +548,7 @@ def _obj_gen(b: bytes, xref: dict[int, tuple], num: int) -> int:
     ent = xref.get(num)
     if ent is None or ent[0] != "d":
         return 0
-    m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", b[ent[1] :])
+    m = _OBJ_HEADER_RE.match(b, ent[1])
     return int(m.group(2)) if m else 0
 
 

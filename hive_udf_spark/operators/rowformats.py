@@ -22,16 +22,25 @@ routes to a whole-blob quarantine row under ``on_error="quarantine"``.
 Untrusted-input notes: SQLite blobs are opened with ``query_only`` and
 a statement over an expected table — a missing/malformed schema
 raises, never guesses; fuzz shows the stdlib reader survives arbitrary
-byte flips.  pyarrow wraps every ``ArrowException`` into the
-ValueError→quarantine contract (truncation, bad magic, most
-corruption), BUT adversarially crafted IPC metadata can abort the
-whole process inside the C++ layer (measured: ~4% of random byte
-flips SIGABRT — an upstream flatbuffers-verification gap, not
-catchable in-process).  The Arrow tier is therefore for TRUSTED
-interchange drops (tooling-generated files); genuinely hostile bytes
-belong on the vendored/stdlib formats or behind subprocess isolation.
-The fuzz test runs per-flip subprocesses and asserts the only
-outcomes are clean decode, ValueError, or abort — never wrong data.
+byte flips.  The Arrow path layers three defenses (r11, closing the
+r10 abort surface — previously ~5% of random byte flips killed the
+process inside the C++ layer, uncatchable):
+
+1. ``arrowverify.verify_ipc_file`` — a vendored pure-Python bounds
+   verifier for the ENTIRE IPC metadata tree (footer, schema + Type
+   unions, blocks, message headers, node/buffer extents) built from
+   the public format spec, so every offset pyarrow will dereference is
+   proven in-bounds first;
+2. compressed buffer frames are validated with the bounded
+   vendored/native zstd decoder and must inflate to exactly their
+   declared prefix (LZ4 bodies, which lack a vendored validator,
+   quarantine);
+3. ``Table.validate(full=True)`` runs before any value
+   materialization — corrupt decompressed offset buffers otherwise
+   abort inside ``to_pylist`` (``std::length_error``).
+
+The byte-flip fuzz (see tests) now asserts ZERO aborts — every flip
+decodes cleanly or raises ValueError → quarantine row.
 
 No reference analogue (the reference is a cardinality-UDAF package,
 MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
@@ -123,9 +132,21 @@ def _records_table(blobs, decode_one, on_error: str):
 def _decode_arrow(blob: bytes) -> list[tuple]:
     import pyarrow as pa
 
+    from hive_udf_spark.operators.arrowverify import verify_ipc_file
+
+    # Pure-Python bounds verification of the ENTIRE metadata tree BEFORE
+    # pyarrow parses it: crafted IPC metadata can abort the C++ layer
+    # in-process (not catchable), so every offset/length/string pyarrow
+    # will dereference is proven in-bounds first (r10 advice; fuzz shows
+    # the previously-aborting byte-flip corpus now quarantines cleanly)
+    verify_ipc_file(blob)
     try:
         reader = pa.ipc.open_file(pa.BufferReader(blob))
         table = reader.read_all()
+        # full validation BEFORE any value materialization: corrupt
+        # (decompressed) offset buffers otherwise abort the process
+        # inside to_pylist (std::length_error on a bogus string extent)
+        table.validate(full=True)
     except (pa.lib.ArrowException, OSError) as exc:
         # ArrowException is the base of Invalid/IOError/NotImplemented/
         # Capacity…: a flipped byte can surface as ANY of them (e.g. a

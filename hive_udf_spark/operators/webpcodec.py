@@ -69,6 +69,7 @@ __all__ = [
 ]
 
 _MAX_PIXELS = 1 << 22  # bomb cap: 4 MPix is far above any fixture
+_MAX_ANIM_PIXELS = 1 << 26  # cumulative frames × canvas cap (64 MPix ≈ 64 MB)
 # spec kCodeLengthCodeOrder — NOTE 16 sits after 5, not at the end (a
 # DEFLATE-style "16 last" ordering round-trips against itself but is
 # rejected by real decoders; caught by the r10 libwebp cross-check)
@@ -1086,6 +1087,15 @@ def split_webp_anim_frames(b: bytes) -> list[np.ndarray]:
             if fx + fw > canvas.shape[1] or fy + fh > canvas.shape[0]:
                 raise ValueError("WebP ANMF frame rect exceeds the canvas")
             canvas[fy : fy + fh, fx : fx + fw] = frame_img
+            # Cumulative OUTPUT cap (r10 advice): each ANMF appends a
+            # full canvas copy, so ~40-byte frames on a max-size canvas
+            # would let a ~1 MB blob demand ~100 GB — _MAX_PIXELS bounds
+            # the canvas but not frames × canvas.
+            if (len(frames) + 1) * canvas.size > _MAX_ANIM_PIXELS:
+                raise ValueError(
+                    "WebP animation frames × canvas exceed the cumulative "
+                    "pixel cap (frame-amplification bomb)"
+                )
             frames.append(canvas.copy())
             if dispose_bg:
                 canvas[fy : fy + fh, fx : fx + fw] = bg_gray

@@ -204,8 +204,54 @@ def test_record_count_amplification_capped():
     blob += _zigzag(0) + sync
     for _ in range(4):  # 4 blocks x 16M "records" of zero bytes each
         blob += _zigzag(1 << 24) + _zigzag(0) + sync
-    with pytest.raises(ValueError, match="record count past"):
+    # either bound may trip first: the cumulative record cap or the
+    # (r11, tighter) input-proportional element budget
+    with pytest.raises(ValueError, match="record count past|element count past"):
         decode_ocf(bytes(blob))
+
+
+def test_nested_null_array_element_bomb_capped():
+    """r10 advice (high): items of type "null" encode to ZERO bytes, so
+    nested array blocks amplify the per-array cap multiplicatively —
+    a ~400-byte blob could pin an executor for minutes.  The Reader's
+    input-proportional element budget must quarantine it instantly."""
+    import json
+    import time
+
+    from hive_udf_spark.operators.avrocodec import _zigzag
+
+    schema = {"type": "array", "items": {"type": "array", "items": "null"}}
+    blob = bytearray(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    blob += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        ke = k.encode()
+        blob += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
+    sync = b"\xa5" * 16
+    blob += _zigzag(0) + sync
+    inner = _zigzag(16_000_000) + _zigzag(0)  # 16M zero-byte elements in 5B
+    payload = _zigzag(50) + inner * 50 + _zigzag(0)
+    blob += _zigzag(1) + _zigzag(len(payload)) + payload + sync
+    assert len(blob) < 600
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="element count past"):
+        decode_ocf(bytes(blob))
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_element_budget_admits_legit_null_heavy_records():
+    """The budget is proportional, not absolute: a legitimate file of
+    union-null-heavy records (1 byte per null via the union index)
+    must still decode in full."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": f"f{i}", "type": ["null", "long"]}
+                   for i in range(8)],
+    }
+    recs = [{f"f{i}": None for i in range(8)} for _ in range(500)]
+    _, got = decode_ocf(encode_ocf(schema, recs))
+    assert got == recs
 
 
 def test_deep_schema_nesting_quarantines():

@@ -899,6 +899,40 @@ def test_shard_ingest_sink_quarantines_corrupt_and_bomb(spark, sf_dir, tmp_path)
     assert got == {tuple(r) for r in want.collect()}
 
 
+def test_shard_decoder_multi_member_streams():
+    """Multi-member .gz (pigz/bgzip block-parallel writers) and
+    concatenated .xz/.bz2 are valid per the format specs and must
+    decode as the concatenation (r10 advice: they were quarantined as
+    'trailing bytes' — data loss).  Genuine trailing garbage still
+    quarantines, and the cumulative output cap holds across members."""
+    import bz2
+    import gzip
+    import lzma
+
+    from hive_udf_spark.streaming.shard_sink import _bounded_decompress
+
+    a, b = b'{"doc_id":1}\n', b'{"doc_id":2}\n'
+    cases = {
+        "gz": gzip.compress(a) + gzip.compress(b),
+        "xz": lzma.compress(a) + lzma.compress(b),
+        "bz2": bz2.compress(a) + bz2.compress(b),
+    }
+    for codec, blob in cases.items():
+        assert _bounded_decompress(codec, blob, 1 << 20) == a + b, codec
+
+    # trailing garbage = a corrupt next member → ValueError
+    import pytest
+
+    for codec, blob in cases.items():
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            _bounded_decompress(codec, blob + b"\x00garbage", 1 << 20)
+
+    # the cap is cumulative across members, not per member
+    big = gzip.compress(b"x" * 600) + gzip.compress(b"y" * 600)
+    with pytest.raises(ValueError, match="cap"):
+        _bounded_decompress("gz", big, 1000)
+
+
 def test_shard_decoder_supports_br(spark):
     """Decoder-side .jsonl.br support: a brotli shard decodes through
     the native dispatch; a corrupt one quarantines."""

@@ -494,6 +494,31 @@ def test_anim_quarantine_contracts():
         )
 
 
+def test_anim_frame_amplification_capped():
+    """r10 advice: each ANMF frame appends a full canvas copy, so tiny
+    frames on a big canvas amplify (~40 input bytes → canvas-sized
+    output per frame).  The cumulative frames × canvas pixel cap must
+    quarantine past _MAX_ANIM_PIXELS — and admit a legitimate
+    many-frame animation on a small canvas."""
+    from hive_udf_spark.operators.webpcodec import (
+        _MAX_ANIM_PIXELS,
+        encode_webp_anim,
+        split_webp_anim_frames,
+    )
+
+    # 1 MPix canvas (within _MAX_PIXELS): 65 frames > 64 MPix cumulative
+    big = 1024
+    n_over = _MAX_ANIM_PIXELS // (big * big) + 1
+    patch = np.zeros((2, 2), np.uint8)
+    blob = encode_webp_anim([(0, 0, patch)] * n_over, (big, big))
+    with pytest.raises(ValueError, match="cumulative"):
+        split_webp_anim_frames(blob)
+
+    # same frame count on a 16x16 canvas is fine
+    small = encode_webp_anim([(0, 0, patch)] * n_over, (16, 16))
+    assert len(split_webp_anim_frames(small)) == n_over
+
+
 def test_anim_byte_flip_fuzz():
     from hive_udf_spark.operators.webpcodec import (
         encode_webp_anim,

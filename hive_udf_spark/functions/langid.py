@@ -139,19 +139,66 @@ def lang_id(
     """Predicted language: argmax score, ties → lexicographically smallest
     language, all-zero → 'unknown'.  Pass ``text`` to enable the
     script-class channel (required for unsegmented scripts, where
-    whitespace tokens never match a marker)."""
-    scores = lang_scores(tokens, markers, text)
-    # argmax via array_max over (score, -rank, lang) structs: struct
-    # comparison is field-by-field, so ties on score resolve to the
-    # lexicographically smallest language (largest -rank).
-    pairs = F.array(
-        *[
-            F.struct(score.alias("s"), F.lit(-i).alias("nr"), F.lit(lang).alias("lang"))
-            for i, (lang, score) in enumerate(sorted(scores.items()))
-        ]
-    )
-    best = F.array_max(pairs)
-    return F.when(best.getField("s") > 0, best.getField("lang")).otherwise(F.lit("unknown"))
+    whitespace tokens never match a marker).
+
+    Plan shape (r11, reclaiming the r10 langid regression): the naive
+    27-language form — 27 `filter`+`array_contains` passes with a
+    5-string literal each — is ~135 string comparisons per TOKEN, and
+    the resulting expression tree falls out of whole-stage codegen.
+    Instead the marker tables fold into ONE literal map
+    ``word → bitmask`` (bit i = language i contains the word, the
+    WHATWG-entity-table trick): one hash lookup per token replaces 135
+    string comparisons, per-language hit counts become 1-bit tests over
+    the small mask array, and the script channel uses `regexp_count`
+    (counts matches directly — no replacement-string allocation).  The
+    mask array is let-bound via the single-element
+    ``transform(array(masks), m -> …)`` wrapper so it is computed once
+    per row even in interpreted evaluation.  Scores are EXACT (the same
+    integers the naive form produces — asserted by the lang_scores
+    parity pytest), so predictions are unchanged."""
+    use_scripts = markers is None and text is not None
+    markers = markers or STOPWORD_MARKERS
+    langs = sorted(markers)
+    if len(langs) > 63:  # one mask bit per language
+        raise ValueError("lang_id: packed scoring supports at most 63 languages")
+    word_mask: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for w in markers[lang]:
+            word_mask[w] = word_mask.get(w, 0) | (1 << i)
+    kv: list[Column] = []
+    for w, m in sorted(word_mask.items()):
+        kv += [F.lit(w), F.lit(m).cast("long")]
+    map_lit = F.create_map(*kv)
+    masks = F.transform(tokens, lambda t: F.coalesce(
+        F.element_at(map_lit, t), F.lit(0).cast("long")))
+
+    def _bit_hits(m: Column, i: int) -> Column:
+        # bound helper (not an inline lambda with a default arg — filter
+        # would read a 2-param lambda as its (element, index) form)
+        return F.size(F.filter(
+            m, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
+
+    def build(m: Column) -> Column:
+        pairs = []
+        for i, lang in enumerate(langs):
+            score = _bit_hits(m, i)
+            if use_scripts:
+                for weight, cls in SCRIPT_MARKERS.get(lang, []):
+                    score = score + F.lit(weight) * F.regexp_count(
+                        text, F.lit(f"[{cls}]"))
+            pairs.append(F.struct(
+                score.alias("s"), F.lit(-i).alias("nr"), F.lit(lang).alias("lang")))
+        # argmax via array_max over (score, -rank, lang) structs: struct
+        # comparison is field-by-field, so ties on score resolve to the
+        # lexicographically smallest language (largest -rank).  best is
+        # let-bound like the masks — referencing it in both the WHEN
+        # and the THEN would evaluate the whole argmax twice per row.
+        best = F.array_max(F.array(*pairs))
+        return F.element_at(F.transform(F.array(best), lambda b: F.when(
+            b.getField("s") > 0, b.getField("lang")
+        ).otherwise(F.lit("unknown"))), 1)
+
+    return F.element_at(F.transform(F.array(masks), build), 1)
 
 
 def synth_multilingual_sql(dialect: str) -> tuple[str, str]:
@@ -172,26 +219,76 @@ def synth_multilingual_sql(dialect: str) -> tuple[str, str]:
     n = len(langs)
     s = "STRING" if dialect == "spark" else "VARCHAR"
 
-    def pick(idx_expr: str) -> str:
-        # marker[(idx) mod 5] for the planted language, via nested CASE
-        whens = []
-        for li, lang in enumerate(langs):
-            arr = ", ".join(f"'{w}'" for w in STOPWORD_MARKERS[lang])
-            if dialect == "spark":
-                get = f"element_at(array({arr}), CAST(({idx_expr}) % 5 AS INT) + 1)"
-            else:
-                get = f"(ARRAY[{arr}])[CAST(({idx_expr}) % 5 AS INT) + 1]"
-            whens.append(f"WHEN {li} THEN {get}")
-        return f"CASE doc_id % {n} {' '.join(whens)} END"
+    # ONE flat 135-word array indexed by lang_rank*5 + idx%5 — the r10
+    # form was a 27-branch CASE per pick (3 picks = 81 branches with an
+    # array literal each), which bloated the expression tree out of
+    # codegen; a flat literal + index arithmetic selects the SAME word
+    flat = ", ".join(
+        f"'{w}'" for lang in langs for w in STOPWORD_MARKERS[lang]
+    )
 
-    lang_expr = f"CASE doc_id % {n} " + " ".join(
-        f"WHEN {li} THEN '{lang}'" for li, lang in enumerate(langs)
-    ) + " END"
+    def pick(idx_expr: str) -> str:
+        idx = f"CAST((doc_id % {n}) * 5 + ({idx_expr}) % 5 AS INT) + 1"
+        if dialect == "spark":
+            return f"element_at(array({flat}), {idx})"
+        return f"(ARRAY[{flat}])[{idx}]"
+
+    lang_arr = ", ".join(f"'{lang}'" for lang in langs)
+    if dialect == "spark":
+        lang_expr = f"element_at(array({lang_arr}), CAST(doc_id % {n} AS INT) + 1)"
+    else:
+        lang_expr = f"(ARRAY[{lang_arr}])[CAST(doc_id % {n} AS INT) + 1]"
     text_expr = (
         f"{pick('doc_id')} || ' ' || {pick('doc_id + 1')} || "
         f"' filler' || CAST(doc_id % 90 AS {s}) || ' ' || {pick('doc_id + 2')}"
     )
     return lang_expr, text_expr
+
+
+def lang_id_spark_expr(
+    tokens_expr: str,
+    markers: dict[str, list[str]] | None = None,
+    text_expr: str | None = None,
+) -> str:
+    """Spark-SQL string form of ``lang_id`` — semantically identical to
+    the Column form (same packed-map scoring, same argmax; parity
+    pytested), built as ONE string handed to a single ``F.expr`` call.
+
+    Why it exists: the Column form issues one py4j round trip per
+    literal/function node — ~1 s of DRIVER time per build for the
+    27-language tree (270 map literals + 27 structs), which dominated
+    the r10 bench regression.  Parsing one SQL string is one round
+    trip."""
+    use_scripts = markers is None and text_expr is not None
+    markers = markers or STOPWORD_MARKERS
+    langs = sorted(markers)
+    if len(langs) > 63:
+        raise ValueError("lang_id: packed scoring supports at most 63 languages")
+    word_mask: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for w in markers[lang]:
+            word_mask[w] = word_mask.get(w, 0) | (1 << i)
+    kv = ", ".join(f"'{w}', {m}L" for w, m in sorted(word_mask.items()))
+    masks = (
+        f"transform({tokens_expr}, t -> coalesce(element_at(map({kv}), t), 0L))"
+    )
+    structs = []
+    for i, lang in enumerate(langs):
+        score = f"size(filter(m, h -> ((shiftright(h, {i}) & 1) = 1)))"
+        if use_scripts:
+            for weight, cls in SCRIPT_MARKERS.get(lang, []):
+                score += f" + {weight} * regexp_count({text_expr}, '[{cls}]')"
+        structs.append(
+            f"named_struct('s', {score}, 'nr', {-i}, 'lang', '{lang}')"
+        )
+    best = f"array_max(array({', '.join(structs)}))"
+    # let-bind best too: CASE WHEN best.s THEN best.lang would evaluate
+    # the whole argmax twice per row
+    case = (
+        f"element_at(transform(array({best}), "
+        f"b -> CASE WHEN b.s > 0 THEN b.lang ELSE 'unknown' END), 1)"
+    )
+    return f"element_at(transform(array({masks}), m -> {case}), 1)"
 
 
 def lang_id_sql(

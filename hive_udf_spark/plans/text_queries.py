@@ -151,17 +151,32 @@ def text_lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lang_expr, text_expr = synth_multilingual_sql("spark")
     docs = load_table(spark, sf_dir, "documents")
+    # Generate barrier around the fixture text: CollapseProject would
+    # otherwise inline text_expr into all 17 downstream references
+    # (tokenize + 16 script regexp_counts), recomputing the concat per
+    # reference (r11 reclaim)
     planted = docs.select(
         "doc_id",
         F.expr(lang_expr).alias("planted_lang"),
-        F.expr(text_expr).alias("text"),
+        F.explode(F.array(F.expr(text_expr))).alias("text"),
     )
-    pred = lang_id(tokenize("text"), text=F.col("text"))
+    # same trick for the 27-language argmax, referenced by BOTH output
+    # columns: evaluate once, reference the Generate output attribute.
+    # The SQL-string form cuts ~1 s of per-build py4j chatter vs
+    # assembling the 27-language tree Column-by-Column (r11 reclaim).
+    from hive_udf_spark.functions.langid import lang_id_spark_expr
+
+    toks_sql = r"filter(split(text, '\\s+'), t -> t != '')"
+    pred = F.expr(lang_id_spark_expr(toks_sql, text_expr="text"))
     return planted.select(
         "doc_id",
         "planted_lang",
-        pred.alias("predicted_lang"),
-        (F.col("planted_lang") == pred).alias("correct"),
+        F.explode(F.array(pred)).alias("predicted_lang"),
+    ).select(
+        "doc_id",
+        "planted_lang",
+        "predicted_lang",
+        (F.col("planted_lang") == F.col("predicted_lang")).alias("correct"),
     )
 
 

@@ -8,6 +8,9 @@ reproduces value-for-value in DuckDB.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1072,6 +1075,92 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sqlite_shard_encoder(), "shard int, blob binary"
     )
     return sqlite_records_table(blobs)
+
+
+@register(
+    "source_delta_roundtrip",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake table source (r11, verdict item 4): the vendored
+    ``_delta_log`` reader (sources/delta.py — JSON commit replay,
+    checkpoint parquet, add/remove reconciliation, protocol gates)
+    scans a transaction-logged table written by the spec-shaped writer
+    twin.  The fixture exercises the full lifecycle: v0 adds even-doc
+    and odd-doc files, v1 REWRITES the odd file (remove + add with
+    n_chars+1000 — the update pattern), a checkpoint compacts v0–v1,
+    and v2 appends a third file (doc_id+10000000 for every 10th doc),
+    so the reader must start from the checkpoint, replay the tail,
+    and drop the tombstoned file.  The data scan is an ordinary
+    distributed parquet read over the live set with the schema pinned
+    from metaData.schemaString.
+
+    Scale note: the LOG walk is driver-side (KB–MB even for PB
+    tables — the division real Delta readers use); data parallelism is
+    Spark's parquet source unchanged."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.delta import (
+        checkpoint_delta,
+        read_delta,
+        write_delta_commits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+
+        def stage(name: str, df: DataFrame) -> None:
+            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            part = next(
+                p for p in os.listdir(f"{tmp}/stage_{name}")
+                if p.endswith(".parquet")
+            )
+            os.makedirs(table, exist_ok=True)
+            shutil.move(f"{tmp}/stage_{name}/{part}", f"{table}/{name}.parquet")
+
+        stage("even", docs.filter(F.col("doc_id") % 2 == 0))
+        stage("odd_v0", docs.filter(F.col("doc_id") % 2 == 1))
+        stage("odd_v1", docs.filter(F.col("doc_id") % 2 == 1)
+              .withColumn("n_chars", F.col("n_chars") + 1000))
+        stage("tenth", docs.filter(F.col("doc_id") % 10 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 10000000))
+        schema_json = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "lang", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "n_chars", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        })
+        write_delta_commits(table, [
+            [{"add": {"path": "even.parquet"}},
+             {"add": {"path": "odd_v0.parquet"}}],
+            [{"remove": {"path": "odd_v0.parquet"}},
+             {"add": {"path": "odd_v1.parquet"}}],
+        ], schema_json)
+        checkpoint_delta(table, 1)
+        with open(f"{table}/_delta_log/{2:020d}.json", "w") as fh:
+            fh.write(json.dumps({"commitInfo": {"timestamp": 2}}) + "\n")
+            add = {"path": "tenth.parquet", "partitionValues": {},
+                   "size": os.path.getsize(f"{table}/tenth.parquet"),
+                   "modificationTime": 0, "dataChange": True}
+            fh.write(json.dumps({"add": add}) + "\n")
+        return read_delta(spark, table).localCheckpoint(eager=True)
 
 
 @register(

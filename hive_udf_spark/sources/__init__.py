@@ -6,3 +6,9 @@ from hive_udf_spark.sources.sinks import (  # noqa: F401
     write_sketch_table,
 )
 from hive_udf_spark.sources.text_files import read_csv, read_jsonl, read_orc, write_orc  # noqa: F401
+from hive_udf_spark.sources.delta import (  # noqa: F401
+    checkpoint_delta,
+    delta_snapshot,
+    read_delta,
+    write_delta_commits,
+)

@@ -1,0 +1,202 @@
+"""Vendored Delta Lake source (sources/delta.py, r11): log replay,
+removes, time travel, checkpoints (single + multi-part), partitioned
+tables, protocol gates, corrupt-log errors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hive_udf_spark.sources.delta import (
+    checkpoint_delta,
+    delta_snapshot,
+    read_delta,
+    write_delta_commits,
+)
+
+SCHEMA_JSON = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def _write_file(table: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(table, exist_ok=True)
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(table, name))
+
+
+def _basic_table(table: str) -> None:
+    """v0: add a.parquet + b.parquet; v1: remove b, add c (rewrite)."""
+    _write_file(table, "a.parquet", [(1, "en", 10), (2, "de", 20)])
+    _write_file(table, "b.parquet", [(3, "fr", 30)])
+    _write_file(table, "c.parquet", [(3, "fr", 31), (4, "es", 40)])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet"}}, {"add": {"path": "b.parquet"}}],
+        [{"remove": {"path": "b.parquet"}}, {"add": {"path": "c.parquet"}}],
+    ], SCHEMA_JSON)
+
+
+def test_live_set_after_remove(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31), (4, "es", 40)]
+
+
+def test_time_travel_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    v0 = sorted(tuple(r) for r in read_delta(spark, table, version=0).collect())
+    assert v0 == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+    with pytest.raises(ValueError, match="out of range"):
+        read_delta(spark, table, version=2)
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """A checkpoint at v1 + commits after it: the reader starts from
+    the checkpoint and replays only the tail (the v0/v1 JSON files are
+    DELETED to prove the checkpoint is actually used)."""
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    checkpoint_delta(table, 1)
+    _write_file(table, "d.parquet", [(5, "it", 50)])
+    write_delta_commits_append(table, 2, [{"add": {"path": "d.parquet"}}])
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31),
+                   (4, "es", 40), (5, "it", 50)]
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    checkpoint_delta(table, 1, parts=3)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31), (4, "es", 40)]
+
+
+def write_delta_commits_append(table: str, version: int, actions) -> None:
+    """Append one commit without rewriting earlier ones."""
+    from hive_udf_spark.sources.delta import _log_dir, _meta_action  # noqa
+
+    lines = [json.dumps({"commitInfo": {"timestamp": version}})]
+    for a in actions:
+        if "add" in a:
+            add = dict(a["add"])
+            add.setdefault("partitionValues", {})
+            add.setdefault("size", os.path.getsize(os.path.join(table, add["path"])))
+            add.setdefault("modificationTime", 0)
+            add.setdefault("dataChange", True)
+            lines.append(json.dumps({"add": add}))
+        else:
+            lines.append(json.dumps(a))
+    with open(os.path.join(table, "_delta_log", f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_partitioned_table(spark, tmp_path):
+    """Partition values come from partitionValues (typed literals),
+    including a null partition; data files lack the partition column."""
+    table = str(tmp_path / "p")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    })
+    _basic_table(table)  # reuse the data files; rewrite the log below
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "_delta_log"))
+    write_delta_commits(table, [
+        [
+            {"add": {"path": "a.parquet", "partitionValues": {"day": "7"}}},
+            {"add": {"path": "b.parquet", "partitionValues": {"day": "8"}}},
+            {"add": {"path": "c.parquet", "partitionValues": {}}},
+        ],
+    ], schema, part_cols=["day"])
+    df = read_delta(spark, table)
+    assert df.columns == ["doc_id", "lang", "n", "day"]
+    assert dict(df.dtypes)["day"] == "int"
+    got = sorted(((r.doc_id, r.day) for r in df.collect()),
+                 key=lambda t: (t[0], t[1] if t[1] is not None else -1))
+    assert got == [(1, 7), (2, 7), (3, None), (3, 8), (4, None)]
+
+
+def test_protocol_and_feature_gates(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+
+    # column mapping → refuse
+    meta = json.loads(lines[1])
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    open(log, "w").write("\n".join([lines[0], json.dumps(meta)] + lines[2:]))
+    with pytest.raises(ValueError, match="column mapping"):
+        read_delta(spark, table)
+
+    # reader v3 with an unsupported feature → refuse
+    meta["metaData"]["configuration"] = {}
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}}
+    open(log, "w").write("\n".join([json.dumps(proto), json.dumps(meta)] + lines[2:]))
+    with pytest.raises(ValueError, match="not vendored"):
+        read_delta(spark, table)
+
+
+def test_corrupt_log_errors(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    # commit gap
+    os.rename(os.path.join(table, "_delta_log", f"{1:020d}.json"),
+              os.path.join(table, "_delta_log", f"{2:020d}.json"))
+    with pytest.raises(ValueError, match="commit gap"):
+        delta_snapshot(table)
+    os.rename(os.path.join(table, "_delta_log", f"{2:020d}.json"),
+              os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    # malformed action line
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "a") as fh:
+        fh.write("{not json\n")
+    with pytest.raises(ValueError, match="malformed action"):
+        delta_snapshot(table)
+    # no log at all
+    with pytest.raises(ValueError, match="_delta_log"):
+        delta_snapshot(str(tmp_path / "missing"))
+
+
+def test_schema_is_pinned_not_inferred(spark, tmp_path):
+    """The scan uses metaData.schemaString, so a data file with extra
+    columns still reads back the table schema only."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    t = pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "lang": pa.array(["xx"], pa.string()),
+        "n": pa.array([99], pa.int64()),
+        "extra": pa.array([1], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(table, "a.parquet"))
+    write_delta_commits(table, [[{"add": {"path": "a.parquet"}}]], SCHEMA_JSON)
+    df = read_delta(spark, table)
+    assert df.columns == ["doc_id", "lang", "n"]
+    assert [tuple(r) for r in df.collect()] == [(9, "xx", 99)]

@@ -34,7 +34,7 @@ import numpy as np
 
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
-__all__ = ["decode_gif_gray", "split_gif_frames", "encode_gif"]
+__all__ = ["decode_gif_gray", "decode_gif_rgb", "split_gif_frames", "encode_gif"]
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -48,6 +48,14 @@ def _deinterlace_rows(h: int) -> np.ndarray:
     inv = np.empty(h, dtype=np.int64)
     inv[np.array(order, dtype=np.int64)] = np.arange(h, dtype=np.int64)
     return inv
+
+
+def _palette_rgb(pal: np.ndarray) -> np.ndarray:
+    """(n, 3) palette → (256, 3) uint8 RGB LUT (indices past the table
+    read as black, the convention renderers use)."""
+    lut = np.zeros((256, 3), dtype=np.uint8)
+    lut[: len(pal)] = pal
+    return lut
 
 
 def _palette_gray(pal: np.ndarray) -> np.ndarray:
@@ -133,9 +141,12 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
     raise ValueError("GIF LZW stream ended without EOI")
 
 
-def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """Walk the GIF stream; returns (width, height, composited gray
-    frames). Raises on malformed/truncated streams."""
+def _parse_frames(
+    b: bytes, rgb: bool = False
+) -> tuple[int, int, list[np.ndarray]]:
+    """Walk the GIF stream; returns (width, height, composited frames —
+    gray (h, w), or palette-RGB (h, w, 3) with ``rgb=True``). Raises on
+    malformed/truncated streams."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     if len(b) < 13:
@@ -150,9 +161,9 @@ def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
         if pos + 3 * n > len(b):
             raise ValueError("GIF global color table truncated")
         pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
-        global_lut = _palette_gray(pal)
+        global_lut = _palette_rgb(pal) if rgb else _palette_gray(pal)
         pos += 3 * n
-    canvas = np.zeros((h, w), dtype=np.uint8)
+    canvas = np.zeros((h, w, 3) if rgb else (h, w), dtype=np.uint8)
     if global_lut is not None:
         canvas[:] = global_lut[bg]
     frames: list[np.ndarray] = []
@@ -199,7 +210,7 @@ def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
             pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(
                 n, 3
             )
-            lut = _palette_gray(pal)
+            lut = _palette_rgb(pal) if rgb else _palette_gray(pal)
             pos += 3 * n
         if lut is None:
             raise ValueError("GIF frame has neither global nor local color table")
@@ -214,10 +225,11 @@ def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
         if disposal == 3:
             raise ValueError("GIF disposal method 3 (restore previous) not vendored")
         under = canvas[fy : fy + fh, fx : fx + fw]
-        gray = lut[idx]
+        px = lut[idx]
         if transparent is not None:
-            gray = np.where(idx == transparent, under, gray)
-        canvas[fy : fy + fh, fx : fx + fw] = gray
+            mask = idx == transparent
+            px = np.where(mask[..., None] if rgb else mask, under, px)
+        canvas[fy : fy + fh, fx : fx + fw] = px
         frames.append(canvas.copy())
         if disposal == 2:  # restore the frame region to background
             canvas[fy : fy + fh, fx : fx + fw] = (
@@ -231,6 +243,13 @@ def _parse_frames(b: bytes) -> tuple[int, int, list[np.ndarray]]:
 def decode_gif_gray(b: bytes) -> np.ndarray:
     """First composited frame of a GIF as a (h, w) uint8 gray array."""
     _, _, frames = _parse_frames(b)
+    return frames[0]
+
+
+@untrusted_decoder
+def decode_gif_rgb(b: bytes) -> np.ndarray:
+    """First composited frame as (h, w, 3) uint8 palette-RGB (r11)."""
+    _, _, frames = _parse_frames(b, rgb=True)
     return frames[0]
 
 

@@ -44,6 +44,7 @@ from hive_udf_spark.operators._codec_util import untrusted_decoder
 
 __all__ = [
     "decode_to_gray",
+    "decode_to_rgb",
     "supported_magic",
     "encode_pgm",
     "encode_ppm",
@@ -95,7 +96,14 @@ def _gray_601(rgb: np.ndarray) -> np.ndarray:
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
-def _decode_netpbm(b: bytes) -> np.ndarray:
+def _replicate3(gray: np.ndarray) -> np.ndarray:
+    """(h, w) gray → (h, w, 3) by channel replication (the standard
+    gray-in-RGB embedding; 601 luma of it returns the gray exactly
+    since 299+587+114 = 1000)."""
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_netpbm(b: bytes, rgb: bool = False) -> np.ndarray:
     m = _NETPBM_HEADER.match(b)
     if not m:
         raise ValueError("malformed netpbm header")
@@ -108,8 +116,10 @@ def _decode_netpbm(b: bytes) -> np.ndarray:
     if data.size < need:
         raise ValueError("truncated netpbm payload")
     if channels == 1:
-        return data.reshape(h, w)
-    return _gray_601(data.reshape(h, w, 3))
+        gray = data.reshape(h, w)
+        return _replicate3(gray) if rgb else gray
+    px = data.reshape(h, w, 3)
+    return px.copy() if rgb else _gray_601(px)
 
 
 @untrusted_decoder
@@ -188,9 +198,10 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
             pos += v + (v & 1)  # pad to word boundary
 
 
-def _decode_bmp(b: bytes) -> np.ndarray:
+def _decode_bmp(b: bytes, rgb: bool = False) -> np.ndarray:
     """Uncompressed BITMAPINFOHEADER BMP, 8-bit (palette→gray via its own
-    entries) or 24-bit BGR; rows are 4-byte padded, bottom-up by default."""
+    entries, or palette RGB with ``rgb=True``) or 24-bit BGR; rows are
+    4-byte padded, bottom-up by default."""
     if len(b) < 54:
         raise ValueError("truncated BMP header")
     pixel_off = int.from_bytes(b[10:14], "little")
@@ -227,6 +238,8 @@ def _decode_bmp(b: bytes) -> np.ndarray:
         pal = np.frombuffer(b, dtype=np.uint8, count=256 * 4, offset=pal_off).reshape(
             256, 4
         )
+        if rgb:
+            return pal[:, 2::-1][rows[:, :w]]  # BGRX → RGB lookup
         # every channel widened BEFORE multiplying: scalar·uint8 wraps mod
         # 256 under NumPy 2 (NEP 50) instead of promoting
         gray_lut = (
@@ -239,7 +252,7 @@ def _decode_bmp(b: bytes) -> np.ndarray:
         ).astype(np.uint8)
         return gray_lut[rows[:, :w]]
     bgr = rows[:, : w * 3].reshape(h, w, 3)
-    return _gray_601(bgr[..., ::-1])
+    return np.ascontiguousarray(bgr[..., ::-1]) if rgb else _gray_601(bgr[..., ::-1])
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +351,7 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _decode_png(b: bytes) -> np.ndarray:
+def _decode_png(b: bytes, rgb: bool = False) -> np.ndarray:
     if b[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
     ihdr = None
@@ -422,12 +435,17 @@ def _decode_png(b: bytes) -> np.ndarray:
         # 16→8 reduction every 8-bit consumer applies)
         rec = np.ascontiguousarray(rec.reshape(h, w * ch, 2)[:, :, 0])
     if color == 0:
-        return rec
+        return _replicate3(rec) if rgb else rec
     if color == 2:
-        return _gray_601(rec.reshape(h, w, 3))
+        px = rec.reshape(h, w, 3)
+        return px.copy() if rgb else _gray_601(px)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
+        if int(rec.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        if rgb:
+            return plte[rec]
         lut = np.zeros(256, dtype=np.uint8)
         lut[: len(plte)] = (
             (
@@ -437,12 +455,12 @@ def _decode_png(b: bytes) -> np.ndarray:
             )
             // 1000
         ).astype(np.uint8)
-        if int(rec.max(initial=0)) >= len(plte):
-            raise ValueError("PNG palette index out of range")
         return lut[rec]
     if color == 4:  # gray+alpha: luma channel, alpha ignored
-        return np.ascontiguousarray(rec.reshape(h, w, 2)[..., 0])
-    return _gray_601(rec.reshape(h, w, 4)[..., :3])  # RGBA: alpha ignored
+        gray = np.ascontiguousarray(rec.reshape(h, w, 2)[..., 0])
+        return _replicate3(gray) if rgb else gray
+    px = rec.reshape(h, w, 4)[..., :3]  # RGBA: alpha ignored
+    return np.ascontiguousarray(px) if rgb else _gray_601(px)
 
 
 @untrusted_decoder
@@ -476,6 +494,35 @@ def decode_to_gray(b: bytes) -> np.ndarray:
 
         return decode_webp_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
+
+
+@untrusted_decoder
+def decode_to_rgb(b: bytes) -> np.ndarray:
+    """Decode a supported blob to a (h, w, 3) uint8 RGB array (r11,
+    verdict item 3 — color stats / color aHash need the channels the
+    gray tier discards).  Gray sources replicate into all three
+    channels; palette formats look the palette's RGB up directly.
+    WebP stays gray-tier-only (its vendored decoders materialize the
+    luma transform inline) and routes to ValueError → quarantine."""
+    if b[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(b, rgb=True)
+    if b[:2] == b"BM":
+        return _decode_bmp(b, rgb=True)
+    if b[:8] == _PNG_MAGIC:
+        return _decode_png(b, rgb=True)
+    if b[:2] == b"\xff\xd8":
+        from hive_udf_spark.operators.jpegcodec import decode_jpeg_rgb
+
+        return decode_jpeg_rgb(b)
+    if b[:4] == b"GIF8":
+        from hive_udf_spark.operators.gifcodec import decode_gif_rgb
+
+        return decode_gif_rgb(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from hive_udf_spark.operators.tiffcodec import decode_tiff_rgb
+
+        return decode_tiff_rgb(b)
+    raise ValueError("unsupported image magic for vendored RGB decoder")
 
 
 def nearest_resize(gray: np.ndarray, width: int, height: int) -> np.ndarray:

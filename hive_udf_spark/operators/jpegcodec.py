@@ -52,7 +52,8 @@ import numpy as np
 
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
-__all__ = ["decode_jpeg_gray", "encode_jpeg", "encode_jpeg_progressive"]
+__all__ = ["decode_jpeg_gray", "decode_jpeg_rgb", "encode_jpeg",
+           "encode_jpeg_progressive"]
 
 
 def _zigzag() -> np.ndarray:
@@ -300,6 +301,22 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     factors) and for malformed streams (truncation, bad Huffman codes,
     marker desync, dimension overrun).
     """
+    return _decode_jpeg(b, rgb=False)
+
+
+@untrusted_decoder
+def decode_jpeg_rgb(b: bytes) -> np.ndarray:
+    """Decode a baseline JFIF/JPEG stream to (h, w, 3) uint8 RGB (r11,
+    verdict item 3 — the chroma components were already entropy-decoded
+    to keep the bitstream in sync; this materializes them): per-
+    component dequant + IDCT, nearest upsample of subsampled chroma to
+    the frame grid (the same index mapping the luma path uses), then
+    the JFIF YCbCr→RGB transform.  Grayscale JPEGs replicate the luma.
+    Progressive color is not vendored (gray tier only) and raises."""
+    return _decode_jpeg(b, rgb=True)
+
+
+def _decode_jpeg(b: bytes, rgb: bool = False) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -369,6 +386,10 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     if h == 0 or w == 0:
         raise ValueError("JPEG zero dimension")
     if progressive:
+        if rgb:
+            raise ValueError(
+                "progressive JPEG color decode not vendored (gray tier only)"
+            )
         return _decode_progressive(
             b, pos, frame, qtables, htables, restart_interval
         )
@@ -391,9 +412,6 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         raise ValueError("JPEG sampling factors beyond 1-2 not vendored")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # only the luma plane is materialized (chroma is entropy-decoded but
-    # never stored — output is the Y plane)
-    plane0 = np.zeros((mcuy * vs[0] * 8, mcux * hs[0] * 8), dtype=np.float64)
     for _, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError(f"JPEG quant table {tq} never defined")
@@ -404,13 +422,15 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
     n_mcu = mcux * mcuy
     # Two-phase decode: the entropy walk is inherently sequential (each
     # Huffman code's length depends on the bits before it), but the
-    # dequantize→de-zigzag→IDCT of every block is not — LUMA blocks are
+    # dequantize→de-zigzag→IDCT of every block is not — blocks are
     # collected as plain int lists and transformed in ONE vectorized
-    # einsum at the end (chroma blocks are entropy-decoded purely to
-    # keep the bitstream in sync and never stored: output is the Y
-    # plane). ~2× over per-block matmuls at fixture image sizes.
-    luma_zz: list[list[int]] = []
-    luma_pos: list[tuple[int, int]] = []
+    # einsum per component at the end.  The gray path stores LUMA only
+    # (chroma is entropy-decoded purely to keep the bitstream in sync);
+    # the rgb path (r11) stores every component to materialize color.
+    # ~2× over per-block matmuls at fixture image sizes.
+    want = range(len(comps)) if rgb else (0,)
+    comp_zz: dict[int, list[list[int]]] = {ci: [] for ci in want}
+    comp_pos: dict[int, list[tuple[int, int]]] = {ci: [] for ci in want}
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             reader.align_to_marker()
@@ -450,31 +470,54 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                             raise ValueError("JPEG AC run past block end")
                         zz[k] = _extend(reader.receive(s), s)
                         k += 1
-                    if ci == 0:
-                        luma_zz.append(zz)
-                        luma_pos.append(((my * vi + by) * 8, (mx * hi + bx) * 8))
-    # batched dequant + de-zigzag + IDCT over every luma block at once
-    q0 = qtables[comps[0][3]]
-    Z = np.asarray(luma_zz, dtype=np.float64) * q0[ZIGZAG].astype(np.float64)
-    coeffs = np.zeros((len(luma_zz), 64), dtype=np.float64)
-    coeffs[:, ZIGZAG] = Z
-    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs.reshape(-1, 8, 8), A)
-    for (y0, x0), blk in zip(luma_pos, blocks):
-        plane0[y0 : y0 + 8, x0 : x0 + 8] = blk
-    # luma plane only: JPEG Y IS BT.601 luma — chroma was entropy-decoded
-    # above purely to keep the bitstream in sync.
-    luma = plane0[: vs[0] * mcuy * 8, : hs[0] * mcux * 8]
-    # component plane may itself be subsampled relative to the frame grid
-    ch = -(-h * vs[0] // vmax)
-    cw = -(-w * hs[0] // hmax)
-    luma = luma[:ch, :cw]
-    if (vs[0], hs[0]) != (vmax, hmax):  # upsample Y to frame dims (rare)
-        ys = (np.arange(h, dtype=np.int64) * ch // h).clip(0, ch - 1)
-        xs = (np.arange(w, dtype=np.int64) * cw // w).clip(0, cw - 1)
-        luma = luma[np.ix_(ys, xs)]
-    else:
-        luma = luma[:h, :w]
-    return np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
+                    if ci in comp_zz:
+                        comp_zz[ci].append(zz)
+                        comp_pos[ci].append(
+                            ((my * vi + by) * 8, (mx * hi + bx) * 8)
+                        )
+
+    def _component_plane(ci: int) -> np.ndarray:
+        """Batched dequant + de-zigzag + IDCT of one component's blocks,
+        cropped to its own dims and nearest-upsampled to (h, w)."""
+        _, hi, vi, tq = comps[ci]
+        plane = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        q = qtables[tq]
+        zz_list = comp_zz[ci]
+        Z = np.asarray(zz_list, dtype=np.float64) * q[ZIGZAG].astype(np.float64)
+        coeffs = np.zeros((len(zz_list), 64), dtype=np.float64)
+        coeffs[:, ZIGZAG] = Z
+        blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs.reshape(-1, 8, 8), A)
+        for (y0, x0), blk in zip(comp_pos[ci], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        # component plane may be subsampled relative to the frame grid
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if (vi, hi) != (vmax, hmax):
+            ys = (np.arange(h, dtype=np.int64) * ch // h).clip(0, ch - 1)
+            xs = (np.arange(w, dtype=np.int64) * cw // w).clip(0, cw - 1)
+            return plane[np.ix_(ys, xs)]
+        return plane[:h, :w]
+
+    if not rgb:
+        # JPEG Y IS BT.601 luma — chroma was entropy-decoded above
+        # purely to keep the bitstream in sync.
+        luma = _component_plane(0)
+        return np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
+    y = _component_plane(0) + 128.0
+    if len(comps) == 1:
+        gray = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if len(comps) != 3:
+        raise ValueError(f"{len(comps)}-component JPEG color not vendored")
+    cb = _component_plane(1)  # already centered on 0 (128 offset is in Y only)
+    cr = _component_plane(2)
+    # JFIF YCbCr → RGB
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    out = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ import numpy as np
 
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
-__all__ = ["decode_tiff_gray", "encode_tiff"]
+__all__ = ["decode_tiff_gray", "decode_tiff_rgb", "encode_tiff"]
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -223,6 +223,17 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 @untrusted_decoder
 def decode_tiff_gray(b: bytes) -> np.ndarray:
     """Decode a baseline TIFF's first IFD to a (h, w) uint8 gray array."""
+    return _decode_tiff(b)
+
+
+@untrusted_decoder
+def decode_tiff_rgb(b: bytes) -> np.ndarray:
+    """First IFD as (h, w, 3) uint8 RGB (r11): RGB rasters keep their
+    channels, gray/bilevel rasters replicate."""
+    return _decode_tiff(b, rgb=True)
+
+
+def _decode_tiff(b: bytes, rgb: bool = False) -> np.ndarray:
     if b[:4] == b"II*\x00":
         endian = "<"
     elif b[:4] == b"MM\x00*":
@@ -377,21 +388,27 @@ def decode_tiff_gray(b: bytes) -> np.ndarray:
             .astype(np.uint8)
         )
         row_bytes = w * spp  # one byte per sample from here on
+    def _rep3(gray: np.ndarray) -> np.ndarray:
+        return np.repeat(gray[:, :, None], 3, axis=2)
+
     if bits == 1:
         px = np.unpackbits(data.reshape(h, row_bytes), axis=1)[:, :w]
         gray = np.where(px == 1, 0 if photometric == 0 else 255,
                         255 if photometric == 0 else 0).astype(np.uint8)
-        return gray
+        return _rep3(gray) if rgb else gray
     img = data.reshape(h, row_bytes)[:, : w * spp]
     if photometric == 2:
-        rgb = img.reshape(h, w, spp)[..., :3].astype(np.int64)
+        px = img.reshape(h, w, spp)[..., :3]
+        if rgb:
+            return np.ascontiguousarray(px)
+        wide = px.astype(np.int64)
         return (
-            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+            (299 * wide[..., 0] + 587 * wide[..., 1] + 114 * wide[..., 2]) // 1000
         ).astype(np.uint8)
     gray = img.reshape(h, w)
     if photometric == 0:  # WhiteIsZero: invert
         gray = (255 - gray.astype(np.int64)).astype(np.uint8)
-    return gray
+    return _rep3(gray) if rgb else gray
 
 
 # ---------------------------------------------------------------------------

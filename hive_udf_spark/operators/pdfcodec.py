@@ -1509,20 +1509,21 @@ def pdf_pages_table(blobs, on_error: str = "raise"):
 
 def pdf_encrypted_doc_encoder_udf(protected_mod: int = 13, protected_rem: int = 5):
     """Arrow-batched ENCRYPTED-PDF fixture encoder (r10, r9 verdict item
-    5): the two-page FlateDecode document of ``pdf_doc_encoder_udf``,
-    wrapped by the standard security handler with the cipher rotating
-    by ``doc_id % 3`` over RC4-40 (/V 1 /R 2), RC4-128 (/V 2 /R 3) and
-    AES-128 (/V 4 /R 4 /AESV2), all with the EMPTY user password — the
-    real web slice of permissions-only encryption.  Docs with
-    ``doc_id % protected_mod == protected_rem`` instead carry a REAL
-    user password: the decode side must reject them whole-document
-    (the quarantine case), never emit wrong text."""
+    5; AES-256 added in r11): the two-page FlateDecode document of
+    ``pdf_doc_encoder_udf``, wrapped by the standard security handler
+    with the cipher rotating by ``doc_id % 4`` over RC4-40 (/V 1 /R 2),
+    RC4-128 (/V 2 /R 3), AES-128 (/V 4 /R 4 /AESV2) and AES-256
+    (/V 5 /R 6 /AESV3 — PDF 2.0, ISO 32000-2), all with the EMPTY user
+    password — the real web slice of permissions-only encryption.
+    Docs with ``doc_id % protected_mod == protected_rem`` instead carry
+    a REAL user password: the decode side must reject them
+    whole-document (the quarantine case), never emit wrong text."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         def one(did: int, t: str) -> bytes:
-            mode = ("rc4-40", "rc4-128", "aes-128")[did % 3]
+            mode = ("rc4-40", "rc4-128", "aes-128", "aes-256")[did % 4]
             pw = b"real-pw" if did % protected_mod == protected_rem else b""
             mid = len(t) // 2
             return encode_pdf(

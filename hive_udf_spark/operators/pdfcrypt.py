@@ -144,18 +144,24 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    """FIPS-197 key schedule, 128- or 256-bit (Nk 4/8, Nr 10/14 — the
+    256 extension is the extra SubWord at i % Nk == 4)."""
+    if len(key) not in (16, 32):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[v] for v in t]
             t[0] ^= rcon
             rcon = _xtime(rcon)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[v] for v in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return w
 
 
@@ -166,9 +172,10 @@ def _add_round_key(state: list[int], w: list[list[int]], rnd: int) -> None:
 
 
 def _aes128_decrypt_block(block: bytes, w: list[list[int]]) -> bytes:
+    nr = len(w) // 4 - 1
     s = list(block)  # column-major: s[4c + r]
-    _add_round_key(s, w, 10)
-    for rnd in range(9, 0, -1):
+    _add_round_key(s, w, nr)
+    for rnd in range(nr - 1, 0, -1):
         # InvShiftRows: row r rotates right by r
         for r in range(1, 4):
             row = [s[4 * c + r] for c in range(4)]
@@ -194,9 +201,10 @@ def _aes128_decrypt_block(block: bytes, w: list[list[int]]) -> bytes:
 
 
 def _aes128_encrypt_block(block: bytes, w: list[list[int]]) -> bytes:
+    nr = len(w) // 4 - 1
     s = list(block)
     _add_round_key(s, w, 0)
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[v] for v in s]
         for r in range(1, 4):  # ShiftRows: row r rotates left by r
             row = [s[4 * c + r] for c in range(4)]
@@ -216,7 +224,7 @@ def _aes128_encrypt_block(block: bytes, w: list[list[int]]) -> bytes:
         row = row[r:] + row[:r]
         for c in range(4):
             s[4 * c + r] = row[c]
-    _add_round_key(s, w, 10)
+    _add_round_key(s, w, nr)
     return bytes(s)
 
 
@@ -283,6 +291,87 @@ def aes128_cbc_encrypt(
         prev = _aes128_encrypt_block(block, w)
         out += prev
     return bytes(out)
+
+
+def aes_cbc_raw_encrypt(key: bytes, iv: bytes, data: bytes,
+                        native: bool = True) -> bytes:
+    """AES-CBC over already-block-aligned data, NO padding and no IV
+    prefix — the primitive ISO 32000-2's /V 5 machinery uses (hash 2.B
+    inner encryption, /UE //OE key wrapping)."""
+    if len(data) % 16:
+        raise ValueError("raw CBC data must be block-aligned")
+    fast = _fast_aes() if native else None
+    if fast is not None:
+        Cipher, algorithms, modes = fast
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
+    w = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes128_encrypt_block(block, w)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_raw_decrypt(key: bytes, iv: bytes, data: bytes,
+                        native: bool = True) -> bytes:
+    """Inverse of :func:`aes_cbc_raw_encrypt` (no padding strip)."""
+    if len(data) % 16:
+        raise ValueError("raw CBC data must be block-aligned")
+    fast = _fast_aes() if native else None
+    if fast is not None:
+        Cipher, algorithms, modes = fast
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
+    w = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes128_decrypt_block(block, w)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+def aes_ecb_block(key: bytes, block: bytes, encrypt: bool,
+                  native: bool = True) -> bytes:
+    """One-block AES-ECB (the /Perms validation field)."""
+    if len(block) != 16:
+        raise ValueError("ECB block must be 16 bytes")
+    fast = _fast_aes() if native else None
+    if fast is not None:
+        Cipher, algorithms, modes = fast
+        c = Cipher(algorithms.AES(key), modes.ECB())
+        op = c.encryptor() if encrypt else c.decryptor()
+        return op.update(block) + op.finalize()
+    w = _expand_key(key)
+    fn = _aes128_encrypt_block if encrypt else _aes128_decrypt_block
+    return fn(block, w)
+
+
+@lru_cache(maxsize=4096)
+def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"",
+            native: bool = True) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the /R 6 iterated password hash:
+    start from SHA-256(pw ‖ salt ‖ udata); each round AES-128-CBC-
+    encrypts 64 copies of (pw ‖ K ‖ udata) with key K[0:16] / IV
+    K[16:32], picks SHA-256/384/512 by the first 16 bytes of the
+    ciphertext mod 3 (2⁸ ≡ 1 mod 3, so the big-endian value mod 3 is
+    the byte sum mod 3), and stops after round ≥ 64 when the last
+    ciphertext byte ≤ round − 32.  Returns the first 32 bytes."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_raw_encrypt(k[:16], k[16:32], k1, native=native)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ---------------------------------------------------------------------------
@@ -358,10 +447,14 @@ class StdSecurityHandler:
         r = enc.get("/R")
         if isinstance(v, bool) or isinstance(r, bool):
             raise ValueError("PDF encryption /V or /R is not an integer")
+        if v == 5:
+            self._init_v5(enc)
+            return
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise ValueError(f"PDF encryption /V {v!r} /R {r!r} not supported")
         self.v = v
         self.r = r
+        self.v5 = False
         length = enc.get("/Length", 40)
         if (
             isinstance(length, bool)
@@ -437,7 +530,81 @@ class StdSecurityHandler:
                 "PDF is password-protected (empty user password rejected)"
             )
 
+    def _init_v5(self, enc: dict) -> None:
+        """PDF 2.0 AES-256 (/V 5 /R 6 per ISO 32000-2 §7.6.4; the
+        interim Adobe /R 5 uses the same layout with a plain SHA-256):
+        /U //O are 48 bytes (hash ‖ 8-byte validation salt ‖ 8-byte key
+        salt); the empty USER password authenticates when
+        hash(pw ‖ vsalt) matches U[0:32]; the 256-bit file key unwraps
+        from /UE with AES-CBC (key = hash(pw ‖ ksalt), zero IV); the
+        /Perms field, when present, must ECB-decrypt to ... 'adb' ... —
+        a wrong key quarantines instead of emitting garbage bytes."""
+        r = enc.get("/R")
+        if r not in (5, 6):
+            raise ValueError(f"PDF encryption /V 5 /R {r!r} not supported")
+        self.v, self.r, self.v5 = 5, r, True
+        self.aes = True
+        self.n = 32
+        self.identity = False
+        self.encrypt_metadata = bool(enc.get("/EncryptMetadata", True))
+
+        def field(name: str, min_len: int) -> bytes:
+            raw = enc.get(name)
+            if not isinstance(raw, (bytes, str)):
+                raise ValueError(f"PDF /Encrypt missing {name}")
+            bs = raw.encode("latin-1") if isinstance(raw, str) else raw
+            if len(bs) < min_len:
+                raise ValueError(f"PDF {name} too short")
+            return bs
+
+        self.o = field("/O", 48)
+        self.u = field("/U", 48)
+        ue = field("/UE", 32)
+        cf = enc.get("/CF")
+        if cf is not None:
+            stmf = enc.get("/StmF", "/Identity")
+            strf = enc.get("/StrF", "/Identity")
+            if not isinstance(cf, dict) or not isinstance(stmf, str) \
+                    or not isinstance(strf, str):
+                raise ValueError("PDF /CF//StmF//StrF malformed")
+            if stmf != strf:
+                raise ValueError("PDF split /StmF vs /StrF not supported")
+            if stmf == "/Identity":
+                self.identity = True
+                self.key = b""
+                return
+            cfd = cf.get(stmf)
+            if not isinstance(cfd, dict) or cfd.get("/CFM") != "/AESV3":
+                raise ValueError("PDF /V 5 crypt filter is not /AESV3")
+        vsalt, ksalt = self.u[32:40], self.u[40:48]
+
+        def pw_hash(pw: bytes, salt: bytes) -> bytes:
+            if r == 6:
+                return hash_2b(pw, salt)
+            return hashlib.sha256(pw + salt).digest()
+
+        if pw_hash(b"", vsalt) != self.u[:32]:
+            raise ValueError(
+                "PDF is password-protected (empty user password rejected)"
+            )
+        self.key = aes_cbc_raw_decrypt(pw_hash(b"", ksalt), b"\x00" * 16,
+                                       ue[:32])
+        perms = enc.get("/Perms")
+        if perms is not None:
+            pb = perms.encode("latin-1") if isinstance(perms, str) else perms
+            if not isinstance(pb, bytes) or len(pb) < 16:
+                raise ValueError("PDF /Perms malformed")
+            dec = aes_ecb_block(self.key, pb[:16], encrypt=False)
+            if dec[9:12] != b"adb":
+                raise ValueError(
+                    "PDF /Perms validation failed (wrong file key)"
+                )
+
     def _obj_key(self, num: int, gen: int) -> bytes:
+        if getattr(self, "v5", False):
+            # /V 5: no per-object derivation — the file key is used
+            # directly for every string/stream (ISO 32000-2 §7.6.3.3)
+            return self.key
         md = hashlib.md5(self.key)
         md.update(struct.pack("<I", num)[:3])
         md.update(struct.pack("<I", gen)[:2])
@@ -472,6 +639,7 @@ class _KeyedCrypt:
     authenticate, by design — that is the quarantine case)."""
 
     identity = False
+    v5 = False
 
     def __init__(self, key: bytes, aes: bool):
         self.key, self.aes = key, aes
@@ -496,6 +664,8 @@ def build_encryption(
     fully-authenticated StdSecurityHandler; a non-empty ``user_pw``
     builds a password-protected document (decode side must quarantine)
     and returns a raw keyed context for the encryption direction."""
+    if mode == "aes-256":
+        return _build_encryption_v5(file_id, owner_pw, p, user_pw)
     if mode == "rc4-40":
         v, r, length = 1, 2, 40
     elif mode == "rc4-128":
@@ -540,4 +710,53 @@ def build_encryption(
         enc_dict["/StrF"] = "/StdCF"
     if user_pw:
         return body, _KeyedCrypt(key, aes=(v == 4))
+    return body, StdSecurityHandler(enc_dict, file_id)
+
+
+def _build_encryption_v5(
+    file_id: bytes, owner_pw: bytes, p: int, user_pw: bytes
+):
+    """/V 5 /R 6 encoder twin (ISO 32000-2 Algorithms 8/9/10): salts
+    and the 256-bit file key derive deterministically from the file ID
+    so fixtures are reproducible; /O //OE bind the owner password over
+    the full 48-byte /U per spec; /Perms wraps P ‖ 0xFFFFFFFF ‖ 'T' ‖
+    'adb' under the file key."""
+
+    def d(tag: bytes, n: int) -> bytes:
+        return hashlib.sha256(tag + file_id).digest()[:n]
+
+    file_key = d(b"v5-file-key", 32)
+    vs_u, ks_u = d(b"v5-u-vsalt", 8), d(b"v5-u-ksalt", 8)
+    vs_o, ks_o = d(b"v5-o-vsalt", 8), d(b"v5-o-ksalt", 8)
+    u = hash_2b(user_pw, vs_u) + vs_u + ks_u
+    ue = aes_cbc_raw_encrypt(hash_2b(user_pw, ks_u), b"\x00" * 16, file_key)
+    o = hash_2b(owner_pw, vs_o, u) + vs_o + ks_o
+    oe = aes_cbc_raw_encrypt(hash_2b(owner_pw, ks_o, u), b"\x00" * 16, file_key)
+    perms_plain = (
+        struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"T" + b"adb"
+        + d(b"v5-perms-seed", 4)
+    )
+    perms = aes_ecb_block(file_key, perms_plain, encrypt=True)
+
+    def pdf_hex(bs: bytes) -> bytes:
+        return b"<" + bs.hex().encode("ascii") + b">"
+
+    body = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P " + str(p).encode()
+        + b" /O " + pdf_hex(o) + b" /U " + pdf_hex(u)
+        + b" /OE " + pdf_hex(oe) + b" /UE " + pdf_hex(ue)
+        + b" /Perms " + pdf_hex(perms)
+        + b" /CF << /StdCF << /CFM /AESV3 /Length 32 /AuthEvent /DocOpen >> >>"
+        + b" /StmF /StdCF /StrF /StdCF >>"
+    )
+    enc_dict = {
+        "/Filter": "/Standard", "/V": 5, "/R": 6, "/Length": 256, "/P": p,
+        "/O": o, "/U": u, "/OE": oe, "/UE": ue, "/Perms": perms,
+        "/CF": {"/StdCF": {"/CFM": "/AESV3", "/Length": 32}},
+        "/StmF": "/StdCF", "/StrF": "/StdCF",
+    }
+    if user_pw:
+        crypt = _KeyedCrypt(file_key, aes=True)
+        crypt.v5 = True
+        return body, crypt
     return body, StdSecurityHandler(enc_dict, file_id)

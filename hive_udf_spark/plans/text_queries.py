@@ -3333,7 +3333,7 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, text AS s,
-             (['rc4-40','rc4-128','aes-128'])[CAST(doc_id % 3 AS INT) + 1]
+             (['rc4-40','rc4-128','aes-128','aes-256'])[CAST(doc_id % 4 AS INT) + 1]
                  AS cipher,
              (doc_id % 13 = 5) AS protected
       FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
@@ -3361,7 +3361,8 @@ def multimodal_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFr
     the PDF standard security handler (operators/pdfcrypt.py — vendored
     RC4 + FIPS-197 AES-128 with a COMPUTED S-box, cross-checked against
     the ``cryptography`` package in tests), cipher rotating by doc_id
-    over RC4-40 / RC4-128 / AES-128-CBC, all with the empty user
+    over RC4-40 / RC4-128 / AES-128-CBC / AES-256 (/V 5 /R 6, the
+    ISO 32000-2 Algorithm-2.B iterated hash — r11), all with the empty user
     password (the permissions-only encryption a real web corpus is full
     of).  The production path authenticates Algorithm 4/5, derives
     per-object keys (Algorithm 1, ``sAlT`` suffix for AESV2), decrypts
@@ -3383,8 +3384,8 @@ def multimodal_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFr
     )
     pages = pdf_pages_table(blobs, on_error="quarantine")
     cipher = F.expr(
-        "element_at(array('rc4-40','rc4-128','aes-128'), "
-        "cast(doc_id % 3 as int) + 1)"
+        "element_at(array('rc4-40','rc4-128','aes-128','aes-256'), "
+        "cast(doc_id % 4 as int) + 1)"
     )
     return pages.select(
         "doc_id",

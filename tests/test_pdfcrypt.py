@@ -70,7 +70,7 @@ def test_aes_padding_and_shape_errors():
 
 def test_encrypted_pdf_roundtrip_all_modes():
     pages = ["first half of the page", "second half here"]
-    for mode in ("rc4-40", "rc4-128", "aes-128"):
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         for flate in (False, True):
             blob = encode_pdf(pages, flate=flate, encrypt=mode)
             assert b"/Encrypt" in blob
@@ -78,12 +78,53 @@ def test_encrypted_pdf_roundtrip_all_modes():
 
 
 def test_password_protected_quarantines_whole_doc():
-    blob = encode_pdf(["a", "b"], encrypt="rc4-128", user_pw=b"secret")
-    with pytest.raises(ValueError, match="password-protected"):
-        extract_pdf_pages(blob)
-    blob = encode_pdf(["a", "b"], encrypt="aes-128", user_pw=b"secret")
-    with pytest.raises(ValueError, match="password-protected"):
-        extract_pdf_pages(blob)
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        blob = encode_pdf(["a", "b"], encrypt=mode, user_pw=b"secret")
+        with pytest.raises(ValueError, match="password-protected"):
+            extract_pdf_pages(blob)
+
+
+def test_v5_hash_2b_vendored_matches_native():
+    """Algorithm 2.B cross-check: the vendored AES path must produce
+    the identical iterated hash as the ``cryptography``-backed one
+    (including a 48-byte udata, the owner-password form)."""
+    for pw, salt, udata in ((b"", b"salt-ab!", b""),
+                            (b"pw", b"12345678", b"u" * 48)):
+        assert pc.hash_2b(pw, salt, udata, native=True) == pc.hash_2b(
+            pw, salt, udata, native=False)
+
+
+def test_v5_aes256_vendored_matches_native():
+    key, iv, data = bytes(range(32)), bytes(range(16)), b"block-aligned..!" * 4
+    assert pc.aes_cbc_raw_encrypt(key, iv, data, native=False) == \
+        pc.aes_cbc_raw_encrypt(key, iv, data, native=True)
+    ct = pc.aes_cbc_raw_encrypt(key, iv, data)
+    assert pc.aes_cbc_raw_decrypt(key, iv, ct, native=False) == data
+    assert pc.aes_ecb_block(key, iv, True, native=False) == \
+        pc.aes_ecb_block(key, iv, True, native=True)
+
+
+def test_v5_perms_validation_rejects_wrong_key():
+    fid = b"\x07" * 16
+    body, h = pc.build_encryption("aes-256", fid)
+    enc = {
+        "/Filter": "/Standard", "/V": 5, "/R": 6, "/Length": 256, "/P": -44,
+        "/O": h.o, "/U": h.u,
+        # UE wrapping a DIFFERENT key than /Perms was built with
+        "/UE": pc.aes_cbc_raw_encrypt(
+            pc.hash_2b(b"", h.u[40:48]), b"\x00" * 16, b"\xee" * 32),
+        "/Perms": pc.aes_ecb_block(h.key, b"\x00" * 16, True),
+    }
+    with pytest.raises(ValueError, match="Perms validation"):
+        pc.StdSecurityHandler(enc, fid)
+
+
+def test_v5_file_key_is_used_directly_per_object():
+    """/V 5 has no per-object key derivation — the same ciphertext
+    must decrypt under any (num, gen)."""
+    body, h = pc.build_encryption("aes-256", b"\x09" * 16)
+    ct = h.encrypt(b"shared-key payload", 3, 0)
+    assert h.decrypt(ct, 3, 0) == h.decrypt(ct, 42, 7) == b"shared-key payload"
 
 
 def test_unsupported_revision_quarantines():

@@ -493,6 +493,12 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.webpcodec import decode_webp_gray
 
         return decode_webp_gray(b)
+    if len(b) >= 2 and b[0] == 0x12 and b[1] == 0x00:
+        # raw AV1 temporal unit (MP4 av01 sample / AVIF item payload):
+        # native libdav1d decode, quarantine when the library is absent
+        from hive_udf_spark.operators.native import dav1d_decode_obus_gray
+
+        return dav1d_decode_obus_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

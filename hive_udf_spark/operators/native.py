@@ -60,6 +60,9 @@ __all__ = [
     "heif_native_decode_gray",
     "heif_native_encode_lossless_gray",
     "is_heif_magic",
+    "dav1d_available",
+    "dav1d_decode_obus_gray",
+    "is_av1_temporal_unit",
 ]
 
 
@@ -624,3 +627,100 @@ def heif_native_encode_lossless_gray(gray: np.ndarray) -> bytes:
             os.unlink(path)
     finally:
         lib.heif_context_free(ctx)
+
+
+# ---------------------------------------------------------------------------
+# dav1d — AV1 decode (r11, verdict item 1: inter-coded video frames).
+#
+# AV1 is the codec this container actually ships a decoder for
+# (libdav1d.so; libavcodec/libopenh264 are absent, so avc1/hev1 keep
+# quarantining — the quarantine-when-absent discipline).  The binding
+# follows the public dav1d 1.x API/ABI (dav1d/dav1d.h): opaque context,
+# Dav1dData (data pointer first member), Dav1dPicture with plane
+# pointers at offsets 16/24/32, strides at 40/48 and
+# Dav1dPictureParameters {w, h, layout, bpc} at offset 56 on LP64.
+# Struct buffers are allocated generously and zeroed; only those fixed
+# leading offsets are read.  The ABI is pinned by an end-to-end pytest
+# that decodes a libheif-encoded LOSSLESS AV1 stream and compares
+# pixels against BOTH the input and libheif's own decode.
+# ---------------------------------------------------------------------------
+
+_MAX_AV1_PIXELS = 1 << 24
+_DAV1D_EAGAIN = -11
+
+
+@lru_cache(maxsize=1)
+def _dav1d():
+    lib = _load("libdav1d.so.7", "libdav1d.so.6", "libdav1d.so.5", "dav1d")
+    if lib is None:
+        return None
+    lib.dav1d_data_create.restype = ctypes.c_void_p
+    lib.dav1d_data_create.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.dav1d_open.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dav1d_send_data.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dav1d_get_picture.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    return lib
+
+
+def dav1d_available() -> bool:
+    return _dav1d() is not None
+
+
+def is_av1_temporal_unit(b: bytes) -> bool:
+    """Structural probe for a raw AV1 temporal unit as our MP4 muxer
+    emits it: a temporal-delimiter OBU (header 0x12 = type 2 with
+    has_size, zero payload) first — the standard TU lead-in."""
+    return len(b) >= 2 and b[0] == 0x12 and b[1] == 0x00
+
+
+def dav1d_decode_obus_gray(obus: bytes) -> np.ndarray:
+    """One AV1 temporal unit (raw OBU stream) → (h, w) uint8 LUMA plane
+    via libdav1d.  8-bit only; malformed streams, absent library, or
+    out-of-bounds dimensions raise ValueError → quarantine."""
+    import struct as _struct
+
+    lib = _dav1d()
+    if lib is None:
+        raise ValueError("AV1 decode needs the system libdav1d (absent)")
+    if not obus:
+        raise ValueError("AV1: empty OBU stream")
+    settings = ctypes.create_string_buffer(512)
+    lib.dav1d_default_settings(settings)
+    ctx = ctypes.c_void_p()
+    if lib.dav1d_open(ctypes.byref(ctx), settings) != 0:
+        raise ValueError("AV1: dav1d context open failed")
+    data = ctypes.create_string_buffer(128)
+    pic = ctypes.create_string_buffer(1024)
+    got = False
+    try:
+        buf = lib.dav1d_data_create(data, len(obus))
+        if not buf:
+            raise ValueError("AV1: dav1d data alloc failed")
+        ctypes.memmove(buf, obus, len(obus))
+        r = lib.dav1d_send_data(ctx, data)
+        if r != 0:
+            lib.dav1d_data_unref(data)
+            raise ValueError(f"AV1: dav1d rejected the OBU stream ({r})")
+        r = _DAV1D_EAGAIN
+        for _ in range(16):
+            r = lib.dav1d_get_picture(ctx, pic)
+            if r != _DAV1D_EAGAIN:
+                break
+        if r != 0:
+            raise ValueError(f"AV1: dav1d produced no picture ({r})")
+        got = True
+        w, h, layout, bpc = _struct.unpack_from("<iiii", pic.raw, 56)
+        if bpc != 8:
+            raise ValueError(f"AV1: {bpc}-bit streams not supported (8-bit)")
+        if w <= 0 or h <= 0 or w * h > _MAX_AV1_PIXELS:
+            raise ValueError("AV1: picture dimensions out of bounds")
+        yptr = _struct.unpack_from("<Q", pic.raw, 16)[0]
+        stride = _struct.unpack_from("<q", pic.raw, 40)[0]
+        if not yptr or stride < w:
+            raise ValueError("AV1: picture has no luma plane")
+        raw = ctypes.string_at(yptr, stride * h)
+        return np.frombuffer(raw, np.uint8).reshape(h, stride)[:, :w].copy()
+    finally:
+        if got:
+            lib.dav1d_picture_unref(pic)
+        lib.dav1d_close(ctypes.byref(ctx))

@@ -63,6 +63,8 @@ __all__ = [
     "dav1d_available",
     "dav1d_decode_obus_gray",
     "is_av1_temporal_unit",
+    "mp3_native_available",
+    "mp3_native_decode_pcm",
 ]
 
 
@@ -724,3 +726,98 @@ def dav1d_decode_obus_gray(obus: bytes) -> np.ndarray:
         if got:
             lib.dav1d_picture_unref(pic)
         lib.dav1d_close(ctypes.byref(ctx))
+
+
+# ---------------------------------------------------------------------------
+# mpg123 — MP3 (MPEG-1/2 Layer III) decode dispatch (r11, verdict
+# item 2).
+#
+# THIS CONTAINER SHIPS NO MP3 DECODER (no libmpg123/libmad/libavcodec),
+# and a vendored Layer III decoder would require transcribing the
+# ISO 11172-3 Huffman tables B.1–B.7 (~2,000 entries) from memory —
+# the exact offline-transcription trap the lossy-VP8 note above
+# rejects: invented tables decode real files into silent garbage, the
+# one failure mode the quarantine discipline exists to prevent.  So
+# MP3 payload decode stays QUARANTINED here (the structural probe tier
+# in operators/mediaprobe.py still yields frame-walk metadata), and
+# this binding follows the public mpg123 API so the path lights up
+# unchanged on hosts that do ship the library.  The binding is
+# exercised end-to-end by tests/test_audio.py::test_mp3_native_decode
+# (skipped when the library is absent, like the PIL-gated tests).
+# ---------------------------------------------------------------------------
+
+_MAX_MP3_SAMPLES = 1 << 26
+
+
+@lru_cache(maxsize=1)
+def _mpg123():
+    lib = _load("libmpg123.so.0", "mpg123")
+    if lib is None:
+        return None
+    lib.mpg123_new.restype = ctypes.c_void_p
+    lib.mpg123_new.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+    lib.mpg123_open_feed.argtypes = [ctypes.c_void_p]
+    lib.mpg123_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_size_t]
+    lib.mpg123_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_size_t, ctypes.c_void_p]
+    lib.mpg123_getformat.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_void_p]
+    lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+    try:
+        lib.mpg123_init()
+    except Exception:  # pragma: no cover - init is optional post-1.27
+        pass
+    return lib
+
+
+def mp3_native_available() -> bool:
+    return _mpg123() is not None
+
+
+def mp3_native_decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """MP3 blob → (int16 interleaved samples, n_channels, sample_rate)
+    via libmpg123's feed API.  Raises ValueError when the library is
+    absent (→ quarantine) or the stream is malformed."""
+    lib = _mpg123()
+    if lib is None:
+        raise ValueError("MP3 decode needs the system libmpg123 (absent)")
+    handle = lib.mpg123_new(None, None)
+    if not handle:
+        raise ValueError("MP3: mpg123 handle alloc failed")
+    try:
+        if lib.mpg123_open_feed(handle) != 0:
+            raise ValueError("MP3: mpg123 open_feed failed")
+        if lib.mpg123_feed(handle, data, len(data)) != 0:
+            raise ValueError("MP3: mpg123 rejected the stream")
+        out = bytearray()
+        buf = ctypes.create_string_buffer(1 << 16)
+        done = ctypes.c_size_t()
+        rate = ctypes.c_long()
+        chans = ctypes.c_int()
+        enc = ctypes.c_int()
+        got_fmt = False
+        for _ in range(1 << 12):
+            r = lib.mpg123_read(handle, buf, len(buf), ctypes.byref(done))
+            if done.value:
+                out += buf.raw[: done.value]
+                if len(out) > 2 * _MAX_MP3_SAMPLES:
+                    raise ValueError("MP3: decoded sample cap exceeded")
+            if r == -10:  # MPG123_NEED_MORE: the whole blob was fed
+                break
+            if r == -11:  # MPG123_NEW_FORMAT
+                lib.mpg123_getformat(handle, ctypes.byref(rate),
+                                     ctypes.byref(chans), ctypes.byref(enc))
+                got_fmt = True
+                continue
+            if r == 0:  # MPG123_OK
+                continue
+            if r == -12:  # MPG123_DONE
+                break
+            raise ValueError(f"MP3: mpg123 decode error ({r})")
+        if not got_fmt or not out:
+            raise ValueError("MP3: stream produced no decodable frames")
+        samples = np.frombuffer(bytes(out), dtype="<i2")
+        return samples, int(chans.value), int(rate.value)
+    finally:
+        lib.mpg123_delete(handle)

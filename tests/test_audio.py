@@ -75,3 +75,29 @@ def test_audio_quality_16bit_rails(spark):
     assert r.n_clipped == 3
     assert r.n_silent == 0
     assert r.energy == 32767**2 + 32768**2 + 32767**2 + 25
+
+
+def test_mp3_native_decode_or_quarantine():
+    """MP3 decode dispatch (r11): when libmpg123 is present the feed
+    API must decode a structurally-valid frame stream to PCM; when
+    absent (this container) the call must quarantine with a clear
+    message — never silent garbage.  The vendored-decoder alternative
+    was deliberately rejected: ISO 11172-3's Huffman tables cannot be
+    transcribed offline without risking wrong-but-plausible samples
+    (the lossy-VP8 lesson, operators/native.py docstring)."""
+    import pytest
+
+    from hive_udf_spark.operators import native
+
+    if not native.mp3_native_available():
+        with pytest.raises(ValueError, match="libmpg123"):
+            native.mp3_native_decode_pcm(b"\xff\xfb\x90\x00" + b"\x00" * 417)
+        return
+    # library present: decode the mediaprobe fixture's frame stream
+    from hive_udf_spark.operators.mediaprobe import encode_mp3_id3
+
+    blob = encode_mp3_id3(n_frames=4)
+    samples, chans, rate = native.mp3_native_decode_pcm(blob)
+    assert chans in (1, 2) and rate in (8000, 11025, 16000, 22050,
+                                        24000, 32000, 44100, 48000)
+    assert samples.size > 0

@@ -507,9 +507,9 @@ def decode_to_rgb(b: bytes) -> np.ndarray:
     """Decode a supported blob to a (h, w, 3) uint8 RGB array (r11,
     verdict item 3 — color stats / color aHash need the channels the
     gray tier discards).  Gray sources replicate into all three
-    channels; palette formats look the palette's RGB up directly.
-    WebP stays gray-tier-only (its vendored decoders materialize the
-    luma transform inline) and routes to ValueError → quarantine."""
+    channels; palette formats look the palette's RGB up directly;
+    lossless WebP surfaces VP8L's own ARGB channels and lossy WebP
+    routes through libwebp RGBA (quarantine when absent)."""
     if b[:2] in (b"P5", b"P6"):
         return _decode_netpbm(b, rgb=True)
     if b[:2] == b"BM":
@@ -528,6 +528,10 @@ def decode_to_rgb(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.tiffcodec import decode_tiff_rgb
 
         return decode_tiff_rgb(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from hive_udf_spark.operators.webpcodec import decode_webp_rgb
+
+        return decode_webp_rgb(b)
     raise ValueError("unsupported image magic for vendored RGB decoder")
 
 

@@ -62,6 +62,7 @@ from hive_udf_spark.operators._codec_util import untrusted_decoder
 
 __all__ = [
     "decode_webp_gray",
+    "decode_webp_rgb",
     "decode_vp8l",
     "encode_webp_lossless",
     "split_webp_anim_frames",
@@ -718,6 +719,56 @@ def decode_webp_gray(b: bytes) -> np.ndarray:
                 int.from_bytes(body[7:10], "little") + 1,
             )
         # ICCP / EXIF / XMP / ALPH and unknown chunks: skipped metadata
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("WebP has no VP8L chunk")
+
+
+@untrusted_decoder
+def decode_webp_rgb(b: bytes) -> np.ndarray:
+    """WebP blob → (h, w, 3) uint8 RGB (r11 color tier).  Lossless
+    VP8L images surface their own ARGB channels (the format stores
+    them directly — alpha dropped like the PNG RGBA tier); lossy VP8
+    routes through libwebp's RGBA decode (quarantine when absent);
+    animated files route to the container tier."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    riff_size = int.from_bytes(b[4:8], "little")
+    if riff_size + 8 > len(b) or riff_size < 4:
+        raise ValueError("WebP RIFF size field out of bounds")
+    pos = 12
+    end = 8 + riff_size
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + csize > end:
+            raise ValueError(f"WebP chunk {cid!r} overruns container")
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"VP8L":
+            w, h, img = decode_vp8l(body)
+            out = np.empty((h * w, 3), dtype=np.uint8)
+            out[:, 0] = (img >> 16) & 0xFF
+            out[:, 1] = (img >> 8) & 0xFF
+            out[:, 2] = img & 0xFF
+            return out.reshape(h, w, 3)
+        if cid == b"VP8 ":
+            from hive_udf_spark.operators.native import (
+                webp_native_available,
+                webp_native_decode_rgba,
+            )
+
+            if not webp_native_available():
+                raise ValueError(
+                    "WebP lossy (VP8) needs the system libwebp (absent)"
+                )
+            return np.ascontiguousarray(webp_native_decode_rgba(b)[..., :3])
+        if cid == b"VP8X":
+            if csize < 10:
+                raise ValueError("WebP VP8X chunk truncated")
+            if body[0] & _VP8X_ANIM:
+                raise ValueError(
+                    "WebP animation: use the container tier "
+                    "(split_webp_anim_frames / sample_container_frames)"
+                )
         pos += 8 + csize + (csize & 1)
     raise ValueError("WebP has no VP8L chunk")
 

@@ -98,11 +98,14 @@ def test_progressive_color_quarantines():
     decode_jpeg_gray(blob)  # gray tier still decodes it
 
 
-def test_webp_routes_to_error():
+def test_webp_lossless_rgb():
+    """VP8L stores ARGB directly: gray fixtures replicate; the color
+    encoder mode (if any) would round-trip — pinned via the gray-path
+    601 identity."""
     from hive_udf_spark.operators.webpcodec import encode_webp_lossless
 
-    with pytest.raises(ValueError, match="RGB"):
-        decode_to_rgb(encode_webp_lossless(GRAY))
+    rep = np.repeat(GRAY[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_to_rgb(encode_webp_lossless(GRAY)), rep)
 
 
 def test_color_stats_closed_form():

@@ -18,9 +18,12 @@ Decoder coverage:
   index + value), records (fields in declaration order), enums
   (varint symbol index), arrays (block runs like maps);
 * schema layer: the ``avro.schema`` JSON is parsed into a decode plan;
-  nullable columns arrive as the conventional ``["null", T]`` unions.
-  Nested records/maps/fixed raise a clear ValueError (→ quarantine),
-  never a silent skip.
+  nullable columns arrive as the conventional ``["null", T]`` unions;
+  nested records recurse (depth-capped), maps decode like arrays with
+  string keys, and ``fixed`` reads its declared byte count (r11 —
+  Iceberg manifest files are Avro OCF full of nested records and
+  bounds maps).  Anything else raises a clear ValueError (→
+  quarantine), never a silent skip.
 
 Bomb/corruption discipline (the tarcodec model): per-block object
 count and byte size are capped, deflate output is capped, every
@@ -169,6 +172,13 @@ def _decoder_for(schema, depth: int = 0) -> tuple:
             return ("enum", list(schema.get("symbols", [])))
         if t == "array":
             return ("array", _decoder_for(schema["items"], depth + 1))
+        if t == "map":
+            return ("map", _decoder_for(schema["values"], depth + 1))
+        if t == "fixed":
+            size = schema.get("size")
+            if not isinstance(size, int) or not 0 <= size <= (1 << 20):
+                raise ValueError("avro: fixed size missing or out of bounds")
+            return ("fixed", size)
         if t in ("null", "boolean", "int", "long", "float", "double",
                  "bytes", "string"):
             return ("prim", t)
@@ -208,6 +218,23 @@ def _decode_value(r: _Reader, plan) -> object:
         if not 0 <= idx < len(payload):
             raise ValueError(f"avro: enum index {idx} out of range")
         return payload[idx]
+    if kind == "fixed":
+        return r.take(payload)
+    if kind == "map":
+        # same block-run encoding as arrays, with string keys
+        m: dict[str, object] = {}
+        while True:
+            count = r.long()
+            if count == 0:
+                return m
+            if count < 0:
+                count = -count
+                r.long()
+            if count > _MAX_OBJECTS or len(m) + count > _MAX_OBJECTS:
+                raise ValueError("avro: map block count past cap")
+            for _ in range(count):
+                key = r.string()
+                m[key] = _decode_value(r, payload)
     # array: block runs, negative count carries a byte size
     out = []
     while True:
@@ -331,6 +358,19 @@ def _encode_value(plan, v) -> bytes:
         return b"".join(_encode_value(sub, v[name]) for name, sub in payload)
     if kind == "enum":
         return _zigzag(payload.index(v))
+    if kind == "fixed":
+        bs = bytes(v)
+        if len(bs) != payload:
+            raise ValueError("avro: fixed value has the wrong byte count")
+        return bs
+    if kind == "map":
+        out = b""
+        if v:
+            out += _zigzag(len(v))
+            for key, val in v.items():
+                ke = str(key).encode("utf-8")
+                out += _zigzag(len(ke)) + ke + _encode_value(payload, val)
+        return out + _zigzag(0)
     out = b""
     if v:
         out += _zigzag(len(v)) + b"".join(_encode_value(payload, x) for x in v)

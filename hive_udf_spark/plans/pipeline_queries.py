@@ -1164,6 +1164,76 @@ def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_roundtrip",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars + 2000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 20000000, lang, n_chars
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def source_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg table source (r11, the second lakehouse format):
+    the vendored reader (sources/iceberg.py) walks metadata.json →
+    manifest list → manifests — both Avro OCF decoded by the VENDORED
+    avro codec (extended with map/fixed/nested-record support for
+    exactly this) — reconciles ADDED/EXISTING/DELETED entries across
+    snapshots, and scans the live parquet set with the schema pinned
+    from Iceberg's own JSON type system.  The fixture covers the
+    lifecycle: snapshot 1 adds even/odd files, snapshot 2 rewrites the
+    odd file (whole-file delete + add with n_chars+2000) and appends a
+    fifth-docs file, so the reader must layer EXISTING entries over a
+    tombstone.  v2 row-level delete manifests refuse loudly (pytest).
+
+    Scale note: like Delta, the metadata walk is driver-side (KB–MB
+    even for PB tables); data parallelism is Spark's parquet source
+    unchanged."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+
+        def stage(name: str, df: DataFrame) -> None:
+            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            part = next(
+                p for p in os.listdir(f"{tmp}/stage_{name}")
+                if p.endswith(".parquet")
+            )
+            os.makedirs(f"{table}/data", exist_ok=True)
+            shutil.move(f"{tmp}/stage_{name}/{part}",
+                        f"{table}/data/{name}.parquet")
+
+        stage("even", docs.filter(F.col("doc_id") % 2 == 0))
+        stage("odd_v0", docs.filter(F.col("doc_id") % 2 == 1))
+        stage("odd_v1", docs.filter(F.col("doc_id") % 2 == 1)
+              .withColumn("n_chars", F.col("n_chars") + 2000))
+        stage("fifth", docs.filter(F.col("doc_id") % 5 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 20000000))
+        write_iceberg_table(table, [
+            {"added": ["data/even.parquet", "data/odd_v0.parquet"]},
+            {"deleted": ["data/odd_v0.parquet"],
+             "added": ["data/odd_v1.parquet", "data/fifth.parquet"]},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+        ])
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_msgpack_roundtrip",
     oracle="""
     SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,

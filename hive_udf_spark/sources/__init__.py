@@ -12,3 +12,8 @@ from hive_udf_spark.sources.delta import (  # noqa: F401
     read_delta,
     write_delta_commits,
 )
+from hive_udf_spark.sources.iceberg import (  # noqa: F401
+    iceberg_live_files,
+    read_iceberg,
+    write_iceberg_table,
+)

@@ -97,12 +97,31 @@ def test_byte_flip_fuzz_never_crashes():
             pass
 
 
+def test_map_and_fixed_roundtrip():
+    """Maps (array-style block runs with string keys) and ``fixed``
+    joined the vendored type family in r11 (Iceberg manifests are full
+    of both); nested-record recursion is exercised alongside."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "f", "type": {"type": "fixed", "name": "sync16", "size": 4}},
+        {"name": "inner", "type": {"type": "record", "name": "i", "fields": [
+            {"name": "x", "type": ["null", "string"]},
+        ]}},
+    ]}
+    recs = [
+        {"m": {"a": 1, "b": 2}, "f": b"\x01\x02\x03\x04",
+         "inner": {"x": "hi"}},
+        {"m": {}, "f": b"\xff" * 4, "inner": {"x": None}},
+    ]
+    _, got = decode_ocf(encode_ocf(schema, recs))
+    assert got == recs
+
+
 def test_unsupported_schema_quarantines():
     schema = {"type": "record", "name": "t",
-              "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+              "fields": [{"name": "r", "type": "SomeNamedRef"}]}
     import json
 
-    # hand-build a header claiming a map-typed field
     blob = bytearray(b"Obj\x01")
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
     from hive_udf_spark.operators.avrocodec import _zigzag

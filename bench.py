@@ -924,6 +924,37 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["text_lang_id_stopwords"].fn(spark, sf_dir))
 
+    def q_delta_roundtrip():
+        # r11: vendored Delta Lake source — log replay, checkpoint,
+        # remove reconciliation, distributed parquet scan of the live set
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_delta_roundtrip"].fn(spark, sf_dir))
+
+    def q_iceberg_roundtrip():
+        # r11: vendored Iceberg source — metadata walk + Avro manifests
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_roundtrip"].fn(spark, sf_dir))
+
+    def q_color_features():
+        # r11: RGB decode tier over the 4-format lossless rotation
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_color_features"].fn(spark, sf_dir))
+
+    def q_color_near_dup():
+        # r11: per-channel aHash + R-channel pigeonhole blocking
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_color_near_dup"].fn(spark, sf_dir))
+
+    def q_codec_av1_frame_sample():
+        # r11: lossless AV1-in-MP4 demux + libdav1d frame decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_mp4_av1_frame_sample"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -1123,6 +1154,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "xml_roundtrip": q_xml_roundtrip,
         "idn_fold": q_idn_fold,
         "langid_stopwords": q_langid_stopwords,
+        "delta_roundtrip": q_delta_roundtrip,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "color_features": q_color_features,
+        "color_near_dup": q_color_near_dup,
+        "codec_av1_frame_sample": q_codec_av1_frame_sample,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -955,6 +955,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_av1_frame_sample"].fn(spark, sf_dir))
 
+    def q_codec_hevc_frame_sample():
+        # r11: lossless HEVC-in-MP4 demux (hvcC → Annex-B re-framing)
+        # + libde265 frame decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_mp4_hevc_frame_sample"].fn(spark, sf_dir))
+
+    def q_codec_heic_decode():
+        # r11: lossless HEIC (grid/idat layout) encode+decode via
+        # libheif/libx265/libde265
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_heic_decode"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -1159,6 +1173,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "color_features": q_color_features,
         "color_near_dup": q_color_near_dup,
         "codec_av1_frame_sample": q_codec_av1_frame_sample,
+        "codec_hevc_frame_sample": q_codec_hevc_frame_sample,
+        "codec_heic_decode": q_codec_heic_decode,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

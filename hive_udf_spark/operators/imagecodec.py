@@ -499,6 +499,13 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.native import dav1d_decode_obus_gray
 
         return dav1d_decode_obus_gray(b)
+    if len(b) >= 6 and b[:4] == b"\x00\x00\x00\x01" and (b[4] >> 1) & 0x3F == 32:
+        # Annex-B HEVC access unit led by a VPS NAL (MP4 hvc1 sample
+        # re-framed by split_mp4_frames): native libde265 decode,
+        # quarantine when the library is absent (r11)
+        from hive_udf_spark.operators.native import hevc_decode_annexb_gray
+
+        return hevc_decode_annexb_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

@@ -16,9 +16,14 @@ via the standard magic dispatch — the same composition as MJPEG-in-AVI.
 AV1 (``av01``) samples (r11, verdict item 1) are temporal units the
 magic dispatch routes to the system libdav1d
 (``native.dav1d_decode_obus_gray``), quarantining when the library is
-absent.  avc1/hev1 stay NOT decodable (no H.264/HEVC decoder ships in
-this container) and their sample entries raise at decode time, not at
-demux time (the box walk is codec agnostic, like a real demuxer).
+absent.  HEVC (``hvc1``/``hev1``) samples (r11) are re-framed to
+self-contained Annex-B access units — hvcC parameter sets prepended,
+length prefixes replaced by start codes, the standard demuxer → decoder
+hand-off — and routed to the system libde265
+(``native.hevc_decode_annexb_gray``).  avc1 stays NOT decodable (no
+H.264 decoder ships in this container) and its sample entries raise at
+decode time, not at demux time (the box walk is codec agnostic, like a
+real demuxer).
 
 ``encode_mp4_mjpeg`` / ``encode_mp4_av1`` are the fixture twins: a
 minimal-but-valid ISO-BMFF file (ftyp / mdat / moov with full sample
@@ -42,6 +47,9 @@ __all__ = [
     "split_mp4_frames",
     "encode_mp4_mjpeg",
     "encode_mp4_av1",
+    "encode_mp4_hevc",
+    "hvcc_from_heic",
+    "hevc_sample_to_annexb",
     "heif_item_payload",
     "heif_probe",
     "encode_heif",
@@ -78,10 +86,13 @@ def _find(b: bytes, pos: int, end: int, fourcc: bytes):
     return None
 
 
-def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[int], list[tuple[int, int]]]:
+def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[int], list[tuple[int, int]], bytes]:
     """Returns (sample_entry_fourcc, sample_sizes, chunk_offsets,
-    stsc runs [(first_chunk, samples_per_chunk)])."""
+    stsc runs [(first_chunk, samples_per_chunk)], sample_entry_payload —
+    the first stsd entry's box payload, so codec-config children like
+    ``hvcC`` are reachable)."""
     entry_fourcc = None
+    entry_payload = b""
     sizes: list[int] | None = None
     offsets: list[int] | None = None
     stsc: list[tuple[int, int]] | None = None
@@ -91,6 +102,9 @@ def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[in
             if count < 1:
                 raise ValueError("MP4 stsd: no sample entries")
             entry_fourcc = b[p + 12 : p + 16]
+            for efc, ep, ee in _boxes(b, p + 8, e):
+                entry_payload = b[ep:ee]
+                break
         elif fc == b"stsz":
             sample_size, count = struct.unpack_from(">II", b, p + 4)
             if sample_size:
@@ -115,7 +129,7 @@ def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[in
             ]
     if entry_fourcc is None or sizes is None or offsets is None or stsc is None:
         raise ValueError("MP4 stbl missing one of stsd/stsz/stco/stsc")
-    return entry_fourcc, sizes, offsets, stsc
+    return entry_fourcc, sizes, offsets, stsc, entry_payload
 
 
 def _video_stbl(b: bytes, moov_p: int, moov_e: int):
@@ -144,14 +158,20 @@ def split_mp4_frames(b: bytes) -> list[bytes]:
     """Demux an ISO-BMFF/MP4 blob into its video samples (one blob per
     frame), resolved through the real sample tables. Samples are opaque
     — under Motion-JPEG-in-MP4 each is an independent JPEG for the
-    magic dispatch."""
+    magic dispatch.  hvc1/hev1 samples (r11) are emitted SELF-CONTAINED
+    the way real demuxers hand them to decoders: the hvcC configuration
+    record's parameter-set NALs are prepended and the length-prefixed
+    sample NALs are re-framed as an Annex-B byte stream, which the
+    magic dispatch routes to the system libde265."""
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF/MP4 blob (missing ftyp)")
     moov = _find(b, 0, len(b), b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov")
     stbl = _video_stbl(b, moov[0], moov[1])
-    _entry, sizes, chunk_offsets, stsc = _parse_stbl(b, stbl[0], stbl[1])
+    entry, sizes, chunk_offsets, stsc, entry_payload = _parse_stbl(
+        b, stbl[0], stbl[1]
+    )
     # expand stsc runs: samples-per-chunk for each chunk index (1-based)
     n_chunks = len(chunk_offsets)
     spc = [0] * n_chunks
@@ -179,6 +199,19 @@ def split_mp4_frames(b: bytes) -> list[bytes]:
             si += 1
     if not frames:
         raise ValueError("MP4 video track has no samples")
+    if entry in (b"hvc1", b"hev1"):
+        # VisualSampleEntry: 6 reserved + 2 data_reference_index + 70
+        # fixed bytes = 78, then child boxes (hvcC required by 14496-15)
+        hvcc = None
+        if len(entry_payload) > 78:
+            for fc, p, e in _boxes(entry_payload, 78, len(entry_payload)):
+                if fc == b"hvcC":
+                    hvcc = entry_payload[p:e]
+                    break
+        if hvcc is None:
+            raise ValueError("MP4 hvc1/hev1 sample entry missing hvcC")
+        length_size, psets = _hvcc_config(hvcc)
+        frames = [hevc_sample_to_annexb(f, length_size, psets) for f in frames]
     return frames
 
 
@@ -392,9 +425,12 @@ def heif_probe(b: bytes) -> dict:
 def heif_item_payload(b: bytes, item_id: int | None = None) -> bytes:
     """Byte payload of a HEIF/AVIF item (default: the primary item),
     resolved through the REAL iloc box (versions 0–2, construction
-    method 0 = file offsets, multi-extent concatenation) — this is how
-    an AVIF's AV1 OBU stream is extracted for re-muxing or direct
-    decode, without assuming single-mdat layouts."""
+    methods 0 = file offsets and 1 = idat-relative offsets, multi-extent
+    concatenation) — this is how an AVIF's AV1 OBU stream or a HEIC's
+    HEVC NAL payload is extracted for re-muxing or direct decode,
+    without assuming single-mdat layouts.  Method 1 matters in
+    practice: libheif itself writes small images into ``meta/idat``
+    (r11 — the HEVC fixture twin produces exactly this layout)."""
     b = bytes(b)
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF blob (missing ftyp)")
@@ -459,16 +495,23 @@ def heif_item_payload(b: bytes, item_id: int | None = None) -> bytes:
             extents.append((off, ln))
         if iid != item_id:
             continue
-        if method != 0:
+        if method == 0:
+            src, sp, se = b, 0, len(b)
+        elif method == 1:
+            idat = _find(b, mp, me, b"idat")
+            if idat is None:
+                raise ValueError("HEIF: iloc method 1 but no idat box")
+            src, sp, se = b, idat[0], idat[1]
+        else:
             raise ValueError(
                 f"HEIF: iloc construction method {method} not supported"
             )
         out = bytearray()
         for off, ln in extents:
-            start = base + off
-            if start < 0 or start + ln > len(b):
-                raise ValueError("HEIF: iloc extent outside the file")
-            out += b[start : start + ln]
+            start = sp + base + off
+            if start < sp or start + ln > se:
+                raise ValueError("HEIF: iloc extent outside its container")
+            out += src[start : start + ln]
         if not out:
             raise ValueError("HEIF: item has no extents")
         return bytes(out)
@@ -552,6 +595,120 @@ def encode_mp4_av1(
         + av1c
     )
     return _mux_video(frames, width, height, fps, b"av01", sample_entry)
+
+
+# ---------------------------------------------------------------------------
+# HEVC-in-MP4 (r11 — the second half of verdict item 1).  ISO 14496-15
+# stores HEVC as length-prefixed NAL units per sample with the
+# parameter sets (VPS/SPS/PPS) out-of-band in the hvcC
+# HEVCDecoderConfigurationRecord; decoders consume Annex-B byte
+# streams, so the demuxer re-frames exactly the way real demuxers do.
+# ---------------------------------------------------------------------------
+
+
+def _hvcc_config(hvcc: bytes) -> tuple[int, list[bytes]]:
+    """Parse an hvcC HEVCDecoderConfigurationRecord payload →
+    (NAL length-prefix size in bytes, parameter-set NALs in array
+    order — VPS(32)/SPS(33)/PPS(34) as real encoders emit them)."""
+    if len(hvcc) < 23:
+        raise ValueError("hvcC record truncated")
+    if hvcc[0] != 1:
+        raise ValueError(f"hvcC configurationVersion {hvcc[0]} unsupported")
+    length_size = (hvcc[21] & 0x03) + 1
+    n_arrays = hvcc[22]
+    pos = 23
+    nals: list[bytes] = []
+    for _ in range(n_arrays):
+        if pos + 3 > len(hvcc):
+            raise ValueError("hvcC NAL array header truncated")
+        pos += 1  # array_completeness(1) + reserved(1) + NAL_unit_type(6)
+        (n_nalus,) = struct.unpack_from(">H", hvcc, pos)
+        pos += 2
+        for _ in range(n_nalus):
+            if pos + 2 > len(hvcc):
+                raise ValueError("hvcC NAL length truncated")
+            (ln,) = struct.unpack_from(">H", hvcc, pos)
+            pos += 2
+            if pos + ln > len(hvcc):
+                raise ValueError("hvcC NAL extends past the record")
+            nals.append(hvcc[pos : pos + ln])
+            pos += ln
+    if not nals:
+        raise ValueError("hvcC record carries no parameter sets")
+    return length_size, nals
+
+
+def hevc_sample_to_annexb(
+    sample: bytes, length_size: int, param_sets: list[bytes]
+) -> bytes:
+    """Length-prefixed HEVC sample NALs → a self-contained Annex-B
+    access unit: 4-byte start codes, parameter sets first."""
+    out = bytearray()
+    for n in param_sets:
+        out += b"\x00\x00\x00\x01" + n
+    pos = 0
+    while pos < len(sample):
+        if pos + length_size > len(sample):
+            raise ValueError("HEVC sample: NAL length prefix truncated")
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if ln == 0 or pos + ln > len(sample):
+            raise ValueError("HEVC sample: NAL extends past the sample")
+        out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+        pos += ln
+    return bytes(out)
+
+
+def hvcc_from_heic(b: bytes) -> bytes:
+    """The hvcC HEVCDecoderConfigurationRecord payload from a HEIC's
+    property container (meta → iprp → ipco) — how the fixture twin
+    lifts the parameter sets libx265 emitted, byte-identical."""
+    b = bytes(b)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF blob (missing ftyp)")
+    meta = _find(b, 0, len(b), b"meta")
+    if meta is None:
+        raise ValueError("HEIF: missing meta box")
+    iprp = _find(b, meta[0] + 4, meta[1], b"iprp")
+    if iprp is None:
+        raise ValueError("HEIF: missing iprp")
+    ipco = _find(b, iprp[0], iprp[1], b"ipco")
+    if ipco is None:
+        raise ValueError("HEIF: missing ipco")
+    for fc, p, e in _boxes(b, ipco[0], ipco[1]):
+        if fc == b"hvcC":
+            return b[p:e]
+    raise ValueError("HEIF: no hvcC property (not an HEVC-coded HEIC)")
+
+
+def encode_mp4_hevc(
+    samples: list[bytes], hvcc: bytes, width: int, height: int,
+    fps: int = 25,
+) -> bytes:
+    """Assemble HEVC samples (length-prefixed NALs as 14496-15 stores
+    them — e.g. HEIC item payloads, which already use 4-byte prefixes)
+    into a minimal valid HEVC-in-MP4 file: the shared sample tables
+    plus an ``hvc1`` VisualSampleEntry carrying the given hvcC record."""
+    if not samples:
+        raise ValueError("at least one sample required")
+    length_size, psets = _hvcc_config(hvcc)  # validates the record
+    if length_size != 4:
+        raise ValueError("encode_mp4_hevc expects 4-byte NAL prefixes")
+    hvcc_box = _box(b"hvcC", hvcc)
+    sample_entry = (
+        struct.pack(">I", 86 + len(hvcc_box))
+        + b"hvc1"
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + hvcc_box
+    )
+    return _mux_video(samples, width, height, fps, b"hevc", sample_entry)
 
 
 def encode_heif(width: int, height: int, brand: str = "avif",

@@ -63,6 +63,9 @@ __all__ = [
     "dav1d_available",
     "dav1d_decode_obus_gray",
     "is_av1_temporal_unit",
+    "de265_available",
+    "hevc_decode_annexb_gray",
+    "is_hevc_annexb",
     "mp3_native_available",
     "mp3_native_decode_pcm",
 ]
@@ -442,6 +445,7 @@ _HEIF_CHROMA_MONO = 0
 _HEIF_CHROMA_INTERLEAVED_RGB = 10
 _HEIF_CH_Y = 0
 _HEIF_CH_INTERLEAVED = 10
+_HEIF_COMPRESSION_HEVC = 1
 _HEIF_COMPRESSION_AV1 = 4
 _MAX_HEIF_PIXELS = 1 << 24
 
@@ -483,6 +487,10 @@ def _heif():
                                                         ctypes.POINTER(vp)]
     lib.heif_encoder_set_lossless.restype = _HeifError
     lib.heif_encoder_set_lossless.argtypes = [vp, ctypes.c_int]
+    lib.heif_encoder_set_parameter_string.restype = _HeifError
+    lib.heif_encoder_set_parameter_string.argtypes = [
+        vp, ctypes.c_char_p, ctypes.c_char_p,
+    ]
     lib.heif_encoder_release.argtypes = [vp]
     lib.heif_image_create.restype = _HeifError
     lib.heif_image_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -569,15 +577,24 @@ def heif_native_decode_gray(data: bytes) -> np.ndarray:
         lib.heif_context_free(ctx)
 
 
-def heif_native_encode_lossless_gray(gray: np.ndarray) -> bytes:
+def heif_native_encode_lossless_gray(
+    gray: np.ndarray, codec: str = "av1"
+) -> bytes:
     """(h, w) uint8 gray → a LOSSLESS AVIF (AV1 monochrome via libaom)
-    — the fixture twin; AV1 lossless means the PNG-tier pixel-identity
-    oracle applies to a real AV1 entropy-coded round trip."""
+    or, with ``codec="hevc"``, a LOSSLESS HEIC (HEVC via libx265) — the
+    fixture twins; lossless coding means the PNG-tier pixel-identity
+    oracle applies to a real entropy-coded round trip of either codec.
+    HEVC note: libheif pads coded tiles to the 64-px CTU and crops via
+    a derived ``grid`` item, so HEVC fixtures use 64-multiple sides to
+    stay single-item (pinned in tests/test_hevc.py)."""
     lib = _heif()
     if lib is None:
         raise ValueError("libheif not available")
     if gray.ndim != 2 or gray.dtype != np.uint8:
         raise ValueError("gray must be a 2-D uint8 array")
+    if codec not in ("av1", "hevc"):
+        raise ValueError("codec must be 'av1' or 'hevc'")
+    fmt = _HEIF_COMPRESSION_AV1 if codec == "av1" else _HEIF_COMPRESSION_HEVC
     h, w = gray.shape
     ctx = lib.heif_context_alloc()
     if not ctx:
@@ -586,11 +603,18 @@ def heif_native_encode_lossless_gray(gray: np.ndarray) -> bytes:
         enc = ctypes.c_void_p()
         _hck(
             lib.heif_context_get_encoder_for_format(
-                ctx, _HEIF_COMPRESSION_AV1, ctypes.byref(enc)
+                ctx, fmt, ctypes.byref(enc)
             ),
-            "get AV1 encoder",
+            f"get {codec} encoder",
         )
         try:
+            if codec == "hevc":
+                # x265 default preset costs ~3x for identical lossless
+                # output on 64-px tiles; a failed set (plugin without
+                # the knob) is fine — lossless below is what's REQUIRED
+                lib.heif_encoder_set_parameter_string(
+                    enc, b"preset", b"ultrafast"
+                )
             _hck(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
             im = ctypes.c_void_p()
             _hck(
@@ -726,6 +750,124 @@ def dav1d_decode_obus_gray(obus: bytes) -> np.ndarray:
         if got:
             lib.dav1d_picture_unref(pic)
         lib.dav1d_close(ctypes.byref(ctx))
+
+
+# ---------------------------------------------------------------------------
+# de265 — HEVC/H.265 decode (r11, the second half of verdict item 1:
+# inter-coded video frames).
+#
+# This container ships TWO real video decoders: libdav1d (AV1, above)
+# and libde265 (HEVC — libheif links it for HEIC stills, and the shared
+# object exposes the public de265.h push-data API directly).  Routing
+# hvc1/hev1 MP4 samples and HEIC items through it upgrades HEVC from
+# "always quarantine" to real pixel decode, with the same discipline as
+# AV1: the fixture twin encodes LOSSLESS HEVC via libheif+libx265, so
+# the pixel-identity oracle gates a genuine CABAC entropy-coded round
+# trip, and decode agreement between libde265 (this binding) and
+# libheif's own decode of the identical payload is pinned in
+# tests/test_hevc.py.  avc1 (H.264) still has no system decoder here
+# and keeps quarantining — never wrong pixels.
+#
+# The binding uses only pointer-returning/taking functions from the
+# public de265.h API (no struct layout assumptions at all): new_decoder
+# → push_data (Annex-B byte stream, start-code framed) → flush_data →
+# decode loop → peek_next_picture → get_image_width/height/plane →
+# release_next_picture → free_decoder.
+# ---------------------------------------------------------------------------
+
+_MAX_HEVC_PIXELS = 1 << 24
+
+
+@lru_cache(maxsize=1)
+def _de265():
+    lib = _load("libde265.so.0", "libde265.so", "de265")
+    if lib is None:
+        return None
+    lib.de265_new_decoder.restype = ctypes.c_void_p
+    lib.de265_push_data.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.de265_flush_data.argtypes = [ctypes.c_void_p]
+    lib.de265_decode.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+    lib.de265_peek_next_picture.restype = ctypes.c_void_p
+    lib.de265_peek_next_picture.argtypes = [ctypes.c_void_p]
+    lib.de265_release_next_picture.argtypes = [ctypes.c_void_p]
+    lib.de265_get_image_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.de265_get_image_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.de265_get_bits_per_pixel.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.de265_get_image_plane.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.de265_get_image_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.de265_free_decoder.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def de265_available() -> bool:
+    return _de265() is not None
+
+
+def is_hevc_annexb(b: bytes) -> bool:
+    """Structural probe for an Annex-B HEVC stream as our MP4 demuxer
+    emits it: a 4-byte start code followed by a VPS NAL (type 32,
+    forbidden-zero bit clear) — the standard parameter-set lead-in."""
+    return (
+        len(b) >= 6
+        and b[:4] == b"\x00\x00\x00\x01"
+        and (b[4] & 0x80) == 0
+        and (b[4] >> 1) & 0x3F == 32
+    )
+
+
+def hevc_decode_annexb_gray(annexb: bytes) -> np.ndarray:
+    """One Annex-B HEVC access unit (VPS/SPS/PPS + slice NALs, start-code
+    framed) → (h, w) uint8 LUMA plane via libde265.  8-bit only;
+    malformed streams, absent library, or out-of-bounds dimensions raise
+    ValueError → quarantine."""
+    lib = _de265()
+    if lib is None:
+        raise ValueError("HEVC decode needs the system libde265 (absent)")
+    if not annexb:
+        raise ValueError("HEVC: empty Annex-B stream")
+    if len(annexb) > (64 << 20):
+        raise ValueError("HEVC: access unit exceeds the 64 MiB cap")
+    ctx = lib.de265_new_decoder()
+    if not ctx:
+        raise ValueError("HEVC: de265 decoder alloc failed")
+    try:
+        if lib.de265_push_data(ctx, annexb, len(annexb), 0, None) != 0:
+            raise ValueError("HEVC: de265 rejected the byte stream")
+        if lib.de265_flush_data(ctx) != 0:
+            raise ValueError("HEVC: de265 flush failed")
+        img = None
+        more = ctypes.c_int(1)
+        for _ in range(64):
+            err = lib.de265_decode(ctx, ctypes.byref(more))
+            img = lib.de265_peek_next_picture(ctx)
+            if img:
+                break
+            if err != 0 or not more.value:
+                break
+        if not img:
+            raise ValueError("HEVC: de265 produced no picture")
+        try:
+            w = lib.de265_get_image_width(img, 0)
+            h = lib.de265_get_image_height(img, 0)
+            if w <= 0 or h <= 0 or w * h > _MAX_HEVC_PIXELS:
+                raise ValueError("HEVC: picture dimensions out of bounds")
+            if lib.de265_get_bits_per_pixel(img, 0) != 8:
+                raise ValueError("HEVC: only 8-bit streams supported")
+            stride = ctypes.c_int()
+            p = lib.de265_get_image_plane(img, 0, ctypes.byref(stride))
+            if not p or stride.value < w:
+                raise ValueError("HEVC: picture has no luma plane")
+            raw = ctypes.string_at(p, stride.value * h)
+            return np.frombuffer(raw, np.uint8).reshape(h, stride.value)[:, :w].copy()
+        finally:
+            lib.de265_release_next_picture(ctx)
+    finally:
+        lib.de265_free_decoder(ctx)
 
 
 # ---------------------------------------------------------------------------

@@ -591,6 +591,8 @@ def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
         "multimodal_webp_lossy_decode",
         "multimodal_avif_decode",
         "text_warc_br_content_encoding",
+        # r11: HEVC/HEIC native-dispatch tier
+        "multimodal_heic_decode",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         # formatted plans print each node twice (tree + details)

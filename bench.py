@@ -969,6 +969,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_heic_decode"].fn(spark, sf_dir))
 
+    def q_hudi_roundtrip():
+        # r11: vendored Hudi COW source — timeline walk + file slices
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_hudi_roundtrip"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -1170,6 +1176,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "langid_stopwords": q_langid_stopwords,
         "delta_roundtrip": q_delta_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
+        "hudi_roundtrip": q_hudi_roundtrip,
         "color_features": q_color_features,
         "color_near_dup": q_color_near_dup,
         "codec_av1_frame_sample": q_codec_av1_frame_sample,

@@ -1234,6 +1234,86 @@ def source_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_hudi_roundtrip",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars + 3000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 30000000, lang, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def source_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi copy-on-write table source (r11, completing the
+    lakehouse trio): the vendored reader (sources/hudi.py) walks the
+    ``.hoodie`` commit timeline, resolves the file-slice view (per file
+    group, the newest completed instant's base file wins — the COW
+    rewrite rule), honors replacecommit file-group retirement, IGNORES
+    in-flight instants (snapshot isolation), pins the schema from the
+    Avro JSON real writers stamp into extraMetadata, and strips the
+    five ``_hoodie_*`` bookkeeping columns base files physically carry
+    — by scanning ONLY the data columns (ReadSchema is the
+    projection).  The fixture exercises the lifecycle: instant 1 adds
+    even/odd file groups (base files carrying real meta columns),
+    instant 2 REWRITES the odd file group (same fileId, n_chars+3000)
+    and adds a sevenths group (doc_id+30000000), and instant 3 is an
+    IN-FLIGHT writer whose already-dropped base file must stay
+    invisible.
+
+    Scale note: like Delta/Iceberg, the timeline walk is driver-side
+    (KB–MB of JSON even for PB tables); data parallelism is Spark's
+    parquet source unchanged."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+
+        def stage(name: str, df: DataFrame) -> str:
+            # base files carry the real _hoodie_* meta columns the
+            # reader must strip
+            df = df.select(
+                F.lit("20240101000000").alias("_hoodie_commit_time"),
+                F.lit("seq").alias("_hoodie_commit_seqno"),
+                F.col("doc_id").cast("string").alias("_hoodie_record_key"),
+                F.lit("").alias("_hoodie_partition_path"),
+                F.lit(name).alias("_hoodie_file_name"),
+                "doc_id", "lang", "n_chars",
+            )
+            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            part = next(
+                p for p in os.listdir(f"{tmp}/stage_{name}")
+                if p.endswith(".parquet")
+            )
+            dst = f"{tmp}/src_{name}.parquet"
+            shutil.move(f"{tmp}/stage_{name}/{part}", dst)
+            return dst
+
+        even = stage("even", docs.filter(F.col("doc_id") % 2 == 0))
+        odd_v0 = stage("odd_v0", docs.filter(F.col("doc_id") % 2 == 1))
+        odd_v1 = stage("odd_v1", docs.filter(F.col("doc_id") % 2 == 1)
+                       .withColumn("n_chars", F.col("n_chars") + 3000))
+        seventh = stage("seventh", docs.filter(F.col("doc_id") % 7 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 30000000))
+        phantom = stage("phantom", docs.limit(3)
+                        .withColumn("doc_id", F.col("doc_id") + 90000000))
+        write_hudi_table(table, [
+            {"writes": {"fg-even": even, "fg-odd": odd_v0}},
+            {"writes": {"fg-odd": odd_v1, "fg-seventh": seventh}},
+            {"writes": {"fg-phantom": phantom}, "inflight": True},
+        ], [("doc_id", "bigint"), ("lang", "string"), ("n_chars", "bigint")])
+        return read_hudi(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_msgpack_roundtrip",
     oracle="""
     SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,

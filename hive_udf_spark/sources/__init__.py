@@ -17,3 +17,9 @@ from hive_udf_spark.sources.iceberg import (  # noqa: F401
     read_iceberg,
     write_iceberg_table,
 )
+from hive_udf_spark.sources.hudi import (  # noqa: F401
+    hudi_live_files,
+    hudi_timeline,
+    read_hudi,
+    write_hudi_table,
+)

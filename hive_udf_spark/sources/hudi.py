@@ -1,0 +1,345 @@
+"""Vendored Apache Hudi copy-on-write table source — reads a Hudi
+table's live file slices straight from its commit timeline, no
+hudi-spark bundle needed (r11, completing the lakehouse trio next to
+``sources/delta.py`` and ``sources/iceberg.py``: large corpora ship as
+transaction-logged tables in all three formats, and this container has
+no Hudi jars, so a ``.hoodie`` drop was unreadable).
+
+Implemented from the PUBLIC Hudi table format (apache/hudi tech specs
+— the timeline/file-layout contract, not the implementation):
+
+* ``.hoodie/hoodie.properties`` — table config; only
+  ``COPY_ON_WRITE`` tables are vendored (``MERGE_ON_READ`` needs avro
+  log-block merging and refuses loudly);
+* the TIMELINE — ``<instant>.commit`` JSON files (Hudi 1.x moves them
+  under ``.hoodie/timeline/``; both layouts are walked).  An instant
+  is COMPLETED only when its ``.commit`` file exists —
+  ``*.commit.requested`` / ``*.inflight`` markers without it are
+  in-flight writers and MUST be invisible to readers (snapshot
+  isolation);
+* ``HoodieCommitMetadata`` — ``partitionToWriteStats`` maps each
+  partition path to write stats carrying ``fileId`` and ``path``.
+  Copy-on-write means an update REWRITES a whole file group: a newer
+  completed instant writing the same ``fileId`` supersedes the older
+  base file (the file-slice rule), which is exactly how real Hudi
+  snapshot readers resolve the live set;
+* ``<instant>.replacecommit`` — clustering / insert_overwrite:
+  ``partitionToReplaceFileIds`` retires whole file groups while the
+  commit's own writeStats add their replacements;
+* schema — real writers stamp the table's Avro schema JSON into
+  ``extraMetadata.schema``; it is pinned onto the distributed parquet
+  scan (nullable unions ``["null", T]``, the primitive/logical types
+  Hudi emits);
+* meta columns — COW base files physically carry the five
+  ``_hoodie_*`` bookkeeping columns; the reader returns the DATA
+  columns by default (``include_meta=True`` surfaces them), matching
+  ``hoodie.datasource.query.incremental.format=latest_state``
+  relational expectations;
+* time travel — ``as_of=<instant>`` resolves the file-slice view at
+  that completed instant and refuses unknown instants.
+
+Spark/scale shape: identical to the Delta/Iceberg readers — the
+TIMELINE walk is driver-side (KB–MB of JSON even for PB tables, the
+same division of labor real Hudi readers use), while the DATA scan is
+an ordinary distributed ``spark.read.parquet`` over the live base
+files with the schema pinned, so predicate pushdown / column pruning /
+AQE apply unchanged.
+
+The writer twin (``write_hudi_table``) emits spec-shaped
+``hoodie.properties`` + timeline JSON + correctly named base files
+(``{fileId}_{writeToken}_{instantTime}.parquet``) so the reader is
+exercised against rewrites, replacecommits, in-flight instants and
+meta-column stripping.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated source/ingest extension surface.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_hudi",
+    "hudi_live_files",
+    "hudi_timeline",
+    "write_hudi_table",
+]
+
+_MAX_TIMELINE_INSTANTS = 100_000  # runaway-timeline guard (driver memory)
+
+META_COLUMNS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+
+def _hoodie_dir(table_path: str) -> str:
+    return os.path.join(table_path, ".hoodie")
+
+
+def _read_properties(table_path: str) -> dict[str, str]:
+    path = os.path.join(_hoodie_dir(table_path), "hoodie.properties")
+    if not os.path.isfile(path):
+        raise ValueError(f"hudi: no .hoodie/hoodie.properties under {table_path!r}")
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            k, _, v = line.partition("=")
+            props[k.strip()] = v.strip()
+    return props
+
+
+def hudi_timeline(table_path: str) -> list[tuple[str, str, dict]]:
+    """COMPLETED instants [(instant_time, action, metadata)] in instant
+    order.  Only ``.commit`` / ``.replacecommit`` completions count —
+    requested/inflight markers are invisible (snapshot isolation).
+    Walks both the 0.x (``.hoodie/``) and 1.x (``.hoodie/timeline/``)
+    layouts."""
+    out: list[tuple[str, str, dict]] = []
+    for tl_dir in (_hoodie_dir(table_path),
+                   os.path.join(_hoodie_dir(table_path), "timeline")):
+        if not os.path.isdir(tl_dir):
+            continue
+        for p in glob.glob(os.path.join(tl_dir, "*.commit")) + glob.glob(
+            os.path.join(tl_dir, "*.replacecommit")
+        ):
+            name = os.path.basename(p)
+            instant, _, action = name.partition(".")
+            if not instant or not instant.isdigit():
+                raise ValueError(f"hudi: malformed timeline file {name!r}")
+            if len(out) >= _MAX_TIMELINE_INSTANTS:
+                raise ValueError("hudi: timeline instant count past the cap")
+            with open(p, encoding="utf-8") as fh:
+                try:
+                    meta = json.load(fh)
+                except json.JSONDecodeError as exc:
+                    raise ValueError(
+                        f"hudi: malformed commit metadata in {name!r}: {exc}"
+                    ) from exc
+            out.append((instant, action, meta))
+    if not out:
+        raise ValueError("hudi: timeline has no completed commits")
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _avro_to_spark_type(t) -> str:
+    """Avro schema JSON type → Spark simpleString (the types Hudi
+    writers stamp into extraMetadata.schema)."""
+    if isinstance(t, list):  # nullable union ["null", T]
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"hudi: unsupported avro union {t!r}")
+        return _avro_to_spark_type(non_null[0])
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "date":
+            return "date"
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            return "timestamp"
+        if logical == "decimal":
+            return f"decimal({t.get('precision', 10)},{t.get('scale', 0)})"
+        return _avro_to_spark_type(t.get("type"))
+    simple = {
+        "boolean": "boolean", "int": "int", "long": "bigint",
+        "float": "float", "double": "double", "string": "string",
+        "bytes": "binary",
+    }.get(t)
+    if simple is None:
+        raise ValueError(f"hudi: avro type {t!r} not vendored")
+    return simple
+
+
+def _schema_from_commit(meta: dict) -> tuple[str, list[str]] | None:
+    """(Spark DDL string, data column names) from the commit's
+    ``extraMetadata.schema`` Avro JSON; None when the writer stamped no
+    schema.  ``_hoodie_*`` meta fields are excluded — they are selected
+    separately when requested."""
+    raw = (meta.get("extraMetadata") or {}).get("schema")
+    if not raw:
+        return None
+    schema = json.loads(raw) if isinstance(raw, str) else raw
+    if schema.get("type") != "record":
+        raise ValueError("hudi: extraMetadata.schema is not an avro record")
+    ddl_parts, names = [], []
+    for f in schema.get("fields", []):
+        name = f["name"]
+        if name in META_COLUMNS:
+            continue
+        ddl_parts.append(f"{name} {_avro_to_spark_type(f['type'])}")
+        names.append(name)
+    if not names:
+        raise ValueError("hudi: schema carries no data columns")
+    return ", ".join(ddl_parts), names
+
+
+def hudi_live_files(
+    table_path: str, as_of: str | None = None
+) -> tuple[list[str], dict | None]:
+    """The live base files of a COW table at instant ``as_of`` (default
+    latest), resolved through the file-slice rule: per file group
+    (fileId), the base file written by the NEWEST completed instant ≤
+    the target wins; replacecommits retire whole file groups.  Returns
+    (absolute paths sorted, the newest commit metadata ≤ target)."""
+    props = _read_properties(table_path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise ValueError(
+            f"hudi: table type {ttype!r} not vendored (MERGE_ON_READ needs "
+            "log-block merging; refuse rather than misread)"
+        )
+    timeline = hudi_timeline(table_path)
+    if as_of is not None:
+        if not any(t == as_of for t, _, _ in timeline):
+            raise ValueError(f"hudi: instant {as_of!r} not in the timeline")
+        timeline = [t for t in timeline if t[0] <= as_of]
+    # file-slice view: fileId -> (instant, relative path)
+    slices: dict[str, tuple[str, str]] = {}
+    last_meta: dict | None = None
+    for instant, action, meta in timeline:
+        last_meta = meta
+        if action == "replacecommit":
+            replaced = meta.get("partitionToReplaceFileIds") or {}
+            for file_ids in replaced.values():
+                for fid in file_ids:
+                    slices.pop(fid, None)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                fid, path = st.get("fileId"), st.get("path")
+                if not fid or not path:
+                    raise ValueError(
+                        f"hudi: write stat without fileId/path in {instant}"
+                    )
+                prev = slices.get(fid)
+                if prev is None or instant >= prev[0]:
+                    slices[fid] = (instant, path)
+    files = sorted(
+        os.path.join(table_path, rel) for _, rel in slices.values()
+    )
+    for f in files:
+        if not os.path.isfile(f):
+            raise ValueError(f"hudi: live base file missing on disk: {f!r}")
+    return files, last_meta
+
+
+def read_hudi(
+    spark: SparkSession,
+    table_path: str,
+    as_of: str | None = None,
+    include_meta: bool = False,
+) -> DataFrame:
+    """Hudi COW table → DataFrame of its live rows at instant ``as_of``
+    (default latest).  Data columns only unless ``include_meta=True``
+    (the five ``_hoodie_*`` bookkeeping columns base files carry)."""
+    files, meta = hudi_live_files(table_path, as_of)
+    pinned = _schema_from_commit(meta or {})
+    if not files:
+        if pinned is None:
+            raise ValueError("hudi: empty table without a stamped schema")
+        return spark.createDataFrame([], pinned[0])
+    if pinned is None:
+        df = spark.read.parquet(*files)
+        data_cols = [c for c in df.columns if c not in META_COLUMNS]
+        return df.select(*df.columns) if include_meta else df.select(*data_cols)
+    ddl, names = pinned
+    if include_meta:
+        meta_ddl = ", ".join(f"{c} string" for c in META_COLUMNS)
+        df = spark.read.schema(f"{meta_ddl}, {ddl}").parquet(*files)
+        return df.select(*META_COLUMNS, *names)
+    # meta columns are pruned AT THE SCAN (ReadSchema carries only the
+    # data columns) — the pin is also the projection
+    return spark.read.schema(ddl).parquet(*files).select(*names)
+
+
+# ---------------------------------------------------------------------------
+# Writer twin (fixtures, tests, the oracle roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _avro_field(name: str, spark_type: str) -> dict:
+    avro = {
+        "bigint": "long", "int": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "binary": "bytes",
+    }.get(spark_type)
+    if avro is None:
+        raise ValueError(f"hudi writer twin: type {spark_type!r} unsupported")
+    return {"name": name, "type": ["null", avro], "default": None}
+
+
+def write_hudi_table(
+    table_path: str,
+    commits: list[dict],
+    schema_fields: list[tuple[str, str]],
+    table_name: str = "fixture_table",
+) -> None:
+    """Emit a spec-shaped Hudi COW table.  ``commits`` is a list of
+    instants in order; each is ``{"writes": {fileId: src_parquet_path},
+    "replaces": [fileId, ...], "action": "commit"|"replacecommit",
+    "inflight": bool}``.  Source parquet files are renamed into the
+    base-file convention ``{fileId}_{writeToken}_{instant}.parquet``;
+    an ``inflight`` instant gets only requested/inflight markers (its
+    data must stay invisible).  ``schema_fields`` are (name,
+    spark_simple_type) pairs stamped as the Avro schema real writers
+    put in extraMetadata."""
+    hoodie = _hoodie_dir(table_path)
+    os.makedirs(hoodie, exist_ok=True)
+    with open(os.path.join(hoodie, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=%s\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.version=6\n"
+            "hoodie.timeline.layout.version=1\n" % table_name
+        )
+    avro_schema = json.dumps({
+        "type": "record",
+        "name": table_name,
+        "fields": [_avro_field(n, t) for n, t in schema_fields],
+    })
+    for i, commit in enumerate(commits):
+        instant = f"{20240101000000 + i}"
+        action = commit.get("action", "commit")
+        if commit.get("inflight"):
+            open(os.path.join(hoodie, f"{instant}.{action}.requested"), "w").close()
+            open(os.path.join(hoodie, f"{instant}.inflight"), "w").close()
+            # an in-flight writer may already have dropped base files
+            for fid, src in (commit.get("writes") or {}).items():
+                base = f"{fid}_0-0-0_{instant}.parquet"
+                os.replace(src, os.path.join(table_path, base))
+            continue
+        stats = []
+        for fid, src in (commit.get("writes") or {}).items():
+            base = f"{fid}_0-0-0_{instant}.parquet"
+            dst = os.path.join(table_path, base)
+            os.replace(src, dst)
+            stats.append({
+                "fileId": fid,
+                "path": base,
+                "prevCommit": "null",
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(dst),
+            })
+        meta: dict = {
+            "partitionToWriteStats": {"": stats},
+            "compacted": False,
+            "extraMetadata": {"schema": avro_schema},
+            "operationType": (
+                "INSERT" if action == "commit" else "CLUSTER"
+            ),
+        }
+        if commit.get("replaces"):
+            meta["partitionToReplaceFileIds"] = {"": list(commit["replaces"])}
+        with open(os.path.join(hoodie, f"{instant}.{action}"), "w") as fh:
+            json.dump(meta, fh)

@@ -506,6 +506,14 @@ def decode_to_gray(b: bytes) -> np.ndarray:
         from hive_udf_spark.operators.native import hevc_decode_annexb_gray
 
         return hevc_decode_annexb_gray(b)
+    if len(b) >= 6 and b[:4] == b"\x00\x00\x00\x01" and (b[4] & 0x80) == 0 \
+            and b[4] & 0x1F == 7:
+        # Annex-B H.264 access unit led by an SPS NAL (MP4 avc1 sample
+        # re-framed by split_mp4_frames): vendored I_PCM-subset decode;
+        # entropy-coded slices raise → quarantine, never wrong pixels
+        from hive_udf_spark.operators.avccodec import decode_avc_annexb_gray
+
+        return decode_avc_annexb_gray(b)
     raise ValueError("unsupported image magic for vendored decoder")
 
 

@@ -20,10 +20,12 @@ absent.  HEVC (``hvc1``/``hev1``) samples (r11) are re-framed to
 self-contained Annex-B access units — hvcC parameter sets prepended,
 length prefixes replaced by start codes, the standard demuxer → decoder
 hand-off — and routed to the system libde265
-(``native.hevc_decode_annexb_gray``).  avc1 stays NOT decodable (no
-H.264 decoder ships in this container) and its sample entries raise at
-decode time, not at demux time (the box walk is codec agnostic, like a
-real demuxer).
+(``native.hevc_decode_annexb_gray``).  H.264 (``avc1``) samples get the
+same avcC → Annex-B re-framing and route to the vendored I_PCM-subset
+decoder (``operators/avccodec.py``): raw macroblocks decode exactly,
+entropy-coded slices — i.e. all real-web H.264, since no system decoder
+ships in this container — raise at decode time, not at demux time (the
+box walk is codec agnostic, like a real demuxer).
 
 ``encode_mp4_mjpeg`` / ``encode_mp4_av1`` are the fixture twins: a
 minimal-but-valid ISO-BMFF file (ftyp / mdat / moov with full sample
@@ -47,6 +49,7 @@ __all__ = [
     "split_mp4_frames",
     "encode_mp4_mjpeg",
     "encode_mp4_av1",
+    "encode_mp4_avc",
     "encode_mp4_hevc",
     "hvcc_from_heic",
     "hevc_sample_to_annexb",
@@ -199,6 +202,22 @@ def split_mp4_frames(b: bytes) -> list[bytes]:
             si += 1
     if not frames:
         raise ValueError("MP4 video track has no samples")
+    if entry == b"avc1":
+        from hive_udf_spark.operators.avccodec import (
+            avc_sample_to_annexb,
+            avcc_config,
+        )
+
+        avcc = None
+        if len(entry_payload) > 78:
+            for fc, p, e in _boxes(entry_payload, 78, len(entry_payload)):
+                if fc == b"avcC":
+                    avcc = entry_payload[p:e]
+                    break
+        if avcc is None:
+            raise ValueError("MP4 avc1 sample entry missing avcC")
+        length_size, psets = avcc_config(avcc)
+        return [avc_sample_to_annexb(f, length_size, psets) for f in frames]
     if entry in (b"hvc1", b"hev1"):
         # VisualSampleEntry: 6 reserved + 2 data_reference_index + 70
         # fixed bytes = 78, then child boxes (hvcC required by 14496-15)
@@ -657,6 +676,36 @@ def hevc_sample_to_annexb(
         out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
         pos += ln
     return bytes(out)
+
+
+def encode_mp4_avc(
+    samples: list[bytes], sps: bytes, pps: bytes, width: int, height: int,
+    fps: int = 25,
+) -> bytes:
+    """Assemble H.264 samples (4-byte length-prefixed NALs per
+    14496-15, e.g. from ``avccodec.encode_avc_ipcm``) into a minimal
+    valid AVC-in-MP4 file: the shared sample tables plus an ``avc1``
+    VisualSampleEntry carrying the avcC record built from the given
+    parameter sets."""
+    from hive_udf_spark.operators.avccodec import build_avcc
+
+    if not samples:
+        raise ValueError("at least one sample required")
+    avcc_box = _box(b"avcC", build_avcc(sps, pps))
+    sample_entry = (
+        struct.pack(">I", 86 + len(avcc_box))
+        + b"avc1"
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc_box
+    )
+    return _mux_video(samples, width, height, fps, b"avc1", sample_entry)
 
 
 def hvcc_from_heic(b: bytes) -> bytes:

@@ -543,6 +543,47 @@ def mp4_hevc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     return enc
 
 
+def mp4_avc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
+    """Arrow-batched H.264-in-MP4 fixture encoder (r11): a payload of
+    ``n_frames · block_side²`` ASCII chars becomes ``n_frames`` 16×16
+    frames (each 8×8 char block tiled 2×2 — one macroblock) coded as
+    I_PCM IDR slices (operators/avccodec.py — real Exp-Golomb headers,
+    emulation-escaped payloads, zero invented tables) and muxed into a
+    spec-shaped ``avc1`` MP4 with the avcC record built from the twin's
+    own SPS/PPS.  I_PCM is raw, so the pixel stats are exact; the
+    decode side quarantines every entropy-coded H.264 stream (see the
+    avccodec module docstring for why that is the honest posture)."""
+    from pyspark.sql.functions import pandas_udf
+
+    per = block_side * block_side
+    rep = 16 // block_side
+    if block_side * rep != 16:
+        raise ValueError("block_side must divide 16")
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.avccodec import encode_avc_ipcm
+        from hive_udf_spark.operators.mp4codec import encode_mp4_avc
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * per:
+                raise ValueError(f"payload must be {n_frames * per} ASCII chars")
+            samples, psets = [], None
+            for i in range(n_frames):
+                gray = np.tile(
+                    a[i * per : (i + 1) * per].reshape(block_side, block_side),
+                    (rep, rep),
+                )
+                sample, psets = encode_avc_ipcm(gray)
+                samples.append(sample)
+            return encode_mp4_avc(samples, psets[0], psets[1], 16, 16, fps=fps)
+
+        return s.map(one)
+
+    return enc
+
+
 def mjpeg_avi_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100):
     """Arrow-batched MJPEG-AVI fixture encoder: a ``pandas_udf`` mapping a
     (n_frames·n²)-char ASCII payload to a REAL RIFF-AVI container whose

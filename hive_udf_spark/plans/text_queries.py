@@ -1894,6 +1894,62 @@ def multimodal_mp4_hevc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "multimodal_mp4_avc_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(256 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_mp4_avc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 video decode end-to-end for the PROVABLE subset (r11):
+    each document's first 192 chars become three 16×16 I_PCM IDR frames
+    (raw macroblocks — the one H.264 coding mode with exactly one
+    correct decode and zero entropy tables to transcribe, see
+    operators/avccodec.py), muxed into a spec-shaped ``avc1`` MP4 with
+    a real avcC AVCDecoderConfigurationRecord, demuxed through the
+    sample tables with the 14496-15 length-prefix → Annex-B re-framing
+    every real H.264 consumer performs, and every 2nd sample decoded by
+    the vendored spec-derived parser (NAL unescape, Exp-Golomb SPS/PPS/
+    slice headers, macroblock walk).  Entropy-coded H.264 — i.e. all
+    real-web video — still QUARANTINES (never wrong pixels); what this
+    query proves is the avc1 container plumbing end-to-end by pixels,
+    ready to route to a system decoder the moment one ships.  Each char
+    appears 4×, so mean_px = Σchars/64 — hash-exact."""
+    from hive_udf_spark.operators.multimodal import (
+        mp4_avc_encoder_udf,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = mp4_avc_encoder_udf(3, 8)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

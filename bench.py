@@ -975,6 +975,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_heic_decode"].fn(spark, sf_dir))
 
+    def q_iceberg_v2_deletes():
+        # r11: position + equality delete application (broadcast anti-joins)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_v2_deletes"].fn(spark, sf_dir))
+
     def q_hudi_roundtrip():
         # r11: vendored Hudi COW source — timeline walk + file slices
         from hive_udf_spark.plans import QUERIES
@@ -1183,6 +1189,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "delta_roundtrip": q_delta_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "hudi_roundtrip": q_hudi_roundtrip,
+        "iceberg_v2_deletes": q_iceberg_v2_deletes,
         "color_features": q_color_features,
         "color_near_dup": q_color_near_dup,
         "codec_av1_frame_sample": q_codec_av1_frame_sample,

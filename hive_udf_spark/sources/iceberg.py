@@ -15,9 +15,21 @@ Implemented from the PUBLIC Iceberg table spec
   nested records, bounds MAPS and ``fixed`` values decode through the
   same vendored codec (extended for exactly this in r11);
 * snapshot reconstruction — entries with status 0 (EXISTING) or 1
-  (ADDED) are live, status 2 (DELETED) drops the file; v2 manifests
-  carrying DELETE files (``content`` ≠ 0 — position/equality deletes)
-  raise a clear ValueError instead of silently over-reading;
+  (ADDED) are live, status 2 (DELETED) drops the file;
+* v2 ROW-LEVEL DELETES (r11) — delete manifests (manifest-list
+  ``content`` = 1) are walked like data manifests; POSITION delete
+  files (``data_file.content`` = 1: parquet of ``file_path`` + ``pos``)
+  apply as a broadcast ANTI-JOIN against the scan's
+  ``_metadata.file_path`` / ``_metadata.row_index`` metadata columns —
+  Spark's own row positions ARE Iceberg's ``pos`` semantics, so the
+  filter is exact with zero data shuffle; EQUALITY delete files
+  (``content`` = 2, ``equality_ids`` naming the columns) apply as
+  broadcast anti-joins gated on sequence numbers (a row is deleted only
+  when its data file's sequence number is STRICTLY BELOW the delete
+  file's — rows written after the delete survive, per spec).  Sequence
+  numbers resolve from the manifest entry or inherit from the
+  manifest-list row; equality deletes with unresolvable sequence
+  numbers refuse loudly;
 * time travel — ``snapshot_id=`` selects any snapshot in the log;
 * schema pin — the metadata's schema (Iceberg's own JSON type system)
   converts to a Spark ``StructType`` for the scan, so file-schema
@@ -48,6 +60,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = ["read_iceberg", "iceberg_live_files", "write_iceberg_table"]
@@ -128,17 +141,17 @@ def _local_path(uri: str, table_path: str) -> str:
     return os.path.join(table_path, uri)
 
 
-def iceberg_live_files(
-    table_path: str, snapshot_id: int | None = None
-) -> tuple[dict, list[str]]:
-    """(metadata dict, live parquet file paths) at ``snapshot_id``
-    (default: the current snapshot)."""
+def _snapshot_state(table_path: str, snapshot_id: int | None = None):
+    """Full v2 snapshot state: (metadata dict,
+    data files [(abs path, sequence number | None)],
+    position-delete files [abs paths],
+    equality deletes [(abs path, equality field ids, sequence number)])."""
     from hive_udf_spark.operators.avrocodec import decode_ocf
 
     meta = _load_metadata(table_path)
     snapshots = meta.get("snapshots") or []
     if not snapshots:
-        return meta, []
+        return meta, [], [], []
     target = (meta.get("current-snapshot-id")
               if snapshot_id is None else snapshot_id)
     snap = next((s for s in snapshots if s.get("snapshot-id") == target), None)
@@ -149,16 +162,18 @@ def iceberg_live_files(
         raise ValueError("iceberg: snapshot has no manifest-list")
     with open(_local_path(mlist, table_path), "rb") as fh:
         _, manifests = decode_ocf(fh.read())
-    live: list[str] = []
+    data: list[tuple[str, int | None]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, list[int], int]] = []
+    seen: set[str] = set()
     for m in manifests:
         mpath = m.get("manifest_path")
         if not mpath:
             raise ValueError("iceberg: manifest-list entry without a path")
-        if (m.get("content") or 0) != 0:
-            raise ValueError(
-                "iceberg: DELETE manifests (v2 row-level deletes) not "
-                "vendored — reading data manifests alone would over-read"
-            )
+        mcontent = m.get("content") or 0
+        if mcontent not in (0, 1):
+            raise ValueError(f"iceberg: manifest content {mcontent!r}")
+        mseq = m.get("sequence_number")
         with open(_local_path(mpath, table_path), "rb") as fh:
             _, entries = decode_ocf(fh.read())
         for e in entries:
@@ -168,18 +183,71 @@ def iceberg_live_files(
             if status == 2:  # DELETED: the file left the table
                 continue
             df = e.get("data_file") or {}
-            if (df.get("content") or 0) != 0:
-                raise ValueError(
-                    "iceberg: v2 delete files not vendored"
-                )
+            content = df.get("content") or 0
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise ValueError(f"iceberg: file format {fmt!r} not vendored")
             fp = df.get("file_path")
             if not fp:
                 raise ValueError("iceberg: data_file without a path")
-            live.append(_local_path(fp, table_path))
-    return meta, sorted(set(live))
+            if fp in seen:
+                continue
+            seen.add(fp)
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            path = _local_path(fp, table_path)
+            if content == 0:
+                if mcontent != 0:
+                    raise ValueError("iceberg: data file in a delete manifest")
+                data.append((path, seq))
+            elif content == 1:  # position deletes
+                pos_deletes.append(path)
+            elif content == 2:  # equality deletes
+                ids = df.get("equality_ids") or []
+                if not ids:
+                    raise ValueError(
+                        "iceberg: equality delete file without equality_ids"
+                    )
+                if seq is None:
+                    raise ValueError(
+                        "iceberg: equality delete without a resolvable "
+                        "sequence number — applying it unordered would "
+                        "delete rows written after it"
+                    )
+                eq_deletes.append((path, list(ids), seq))
+            else:
+                raise ValueError(f"iceberg: data_file content {content!r}")
+    data.sort()
+    return meta, data, sorted(pos_deletes), sorted(eq_deletes)
+
+
+def iceberg_live_files(
+    table_path: str, snapshot_id: int | None = None
+) -> tuple[dict, list[str]]:
+    """(metadata dict, live DATA parquet file paths) at ``snapshot_id``
+    (default: the current snapshot).  Row-level delete files are
+    resolved by ``read_iceberg``; callers of this lower-level listing
+    get an error when deletes exist, because the file list alone would
+    over-read."""
+    meta, data, pos_deletes, eq_deletes = _snapshot_state(
+        table_path, snapshot_id
+    )
+    if pos_deletes or eq_deletes:
+        raise ValueError(
+            "iceberg: table carries v2 row-level deletes — use "
+            "read_iceberg (the file list alone would over-read)"
+        )
+    return meta, [p for p, _ in data]
+
+
+def _norm_path(col, table_abs: str):
+    """Normalize a file-path column to a bare absolute path, matching
+    ``_metadata.file_path`` (which prints ``file:/abs``): strip the
+    file: scheme, absolutize relative manifests-style paths."""
+    p = F.regexp_replace(col, "^file:(//)?", "")
+    return F.when(
+        p.startswith("/"), p
+    ).otherwise(F.concat(F.lit(table_abs + "/"), p))
 
 
 def read_iceberg(
@@ -187,12 +255,71 @@ def read_iceberg(
 ) -> DataFrame:
     """Iceberg table → DataFrame of its live rows at ``snapshot_id``
     (default: current).  The scan schema is pinned from the table
-    metadata, never inferred from the files."""
-    meta, files = iceberg_live_files(table_path, snapshot_id)
+    metadata, never inferred from the files.  v2 row-level deletes
+    apply as broadcast anti-joins (position deletes against the scan's
+    own ``_metadata`` row positions; equality deletes gated on sequence
+    numbers) — the data scan itself never shuffles."""
+    meta, data, pos_files, eq_files = _snapshot_state(table_path, snapshot_id)
     schema = _schema_from_metadata(meta)
-    if not files:
+    if not data:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    names = [f.name for f in schema.fields]
+    files = [p for p, _ in data]
+    df = spark.read.schema(schema).parquet(*files)
+    if not pos_files and not eq_files:
+        return df
+    table_abs = os.path.abspath(table_path)
+    df = df.withColumn(
+        "__fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    )
+    if pos_files:
+        dels = spark.read.parquet(*pos_files).select(
+            _norm_path(F.col("file_path"), table_abs).alias("__del_fp"),
+            F.col("pos").alias("__del_pos"),
+        )
+        df = df.withColumn("__ri", F.col("_metadata.row_index")).join(
+            F.broadcast(dels),
+            (F.col("__fp") == F.col("__del_fp"))
+            & (F.col("__ri") == F.col("__del_pos")),
+            "left_anti",
+        )
+    if eq_files:
+        id_to_name = _field_names_by_id(meta)
+        seq_rows = [(os.path.abspath(p), s) for p, s in data]
+        if any(s is None for _, s in seq_rows):
+            raise ValueError(
+                "iceberg: equality deletes need data-file sequence numbers"
+            )
+        seqs = spark.createDataFrame(seq_rows, "__seq_fp string, __seq bigint")
+        df = df.join(
+            F.broadcast(seqs), F.col("__fp") == F.col("__seq_fp"), "left"
+        ).drop("__seq_fp")
+        for path, ids, dseq in eq_files:
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"iceberg: equality_ids reference unknown field {exc}"
+                ) from exc
+            dd = spark.read.parquet(path).select(
+                *[F.col(c).alias(f"__del_{c}") for c in cols]
+            )
+            cond = F.col("__seq") < F.lit(dseq)
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+            df = df.join(F.broadcast(dd), cond, "left_anti")
+    return df.select(*names)
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schemas = meta.get("schemas") or ([meta["schema"]] if "schema" in meta
+                                      else [])
+    sid = meta.get("current-schema-id", 0)
+    schema = next((s for s in schemas if s.get("schema-id") == sid),
+                  schemas[-1] if schemas else None)
+    if not schema:
+        raise ValueError("iceberg: metadata carries no schema")
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +334,7 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
     ],
 }
@@ -217,6 +345,7 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": {
             "type": "record",
             "name": "data_file",
@@ -230,6 +359,8 @@ _MANIFEST_ENTRY_SCHEMA = {
                 # includes one so the vendored MAP decode is exercised
                 {"name": "column_sizes",
                  "type": ["null", {"type": "map", "values": "long"}]},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ],
         }},
     ],
@@ -242,33 +373,40 @@ def write_iceberg_table(
     schema_fields: list[dict],
 ) -> None:
     """Emit a spec-shaped Iceberg table.  ``snapshots[i]`` is
-    ``{"added": [paths], "deleted": [paths]}`` relative to the table
-    root; each snapshot's manifest list carries one manifest per prior
-    state delta, so later snapshots SEE earlier files as EXISTING
-    entries and deleted files as DELETED entries — the real layering a
-    reader must reconcile.  ``schema_fields`` is the Iceberg-JSON
-    field list (id/name/required/type)."""
+    ``{"added": [paths], "deleted": [paths],
+    "pos_deletes": {target_path: [row positions]},
+    "eq_deletes": {"ids": [field ids], "rows": [row dicts]}}``
+    relative to the table root; each snapshot's manifest list carries a
+    data manifest (and, when row-level deletes exist, a DELETE manifest
+    with content=1), so later snapshots SEE earlier files as EXISTING
+    entries, deleted files as DELETED entries, and delete files with
+    their sequence numbers — the real v2 layering a reader must
+    reconcile.  ``schema_fields`` is the Iceberg-JSON field list
+    (id/name/required/type)."""
     from hive_udf_spark.operators.avrocodec import encode_ocf
 
     mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
     os.makedirs(mdir, exist_ok=True)
     snap_meta = []
     live: dict[str, int] = {}  # path -> snapshot added
+    del_live: list[dict] = []  # delete-file manifest entries, cumulative
     for i, s in enumerate(snapshots):
         sid = 1000 + i
+        seq = i + 1
         entries = []
         for p in s.get("added", []):
             live[p] = sid
         for p in s.get("deleted", []):
             fp = os.path.join(table_path, p)
             entries.append({
-                "status": 2, "snapshot_id": sid,
+                "status": 2, "snapshot_id": sid, "sequence_number": seq,
                 "data_file": {
                     "content": 0, "file_path": p, "file_format": "PARQUET",
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(fp)
                     if os.path.exists(fp) else 0,
-                    "column_sizes": None,
+                    "column_sizes": None, "equality_ids": None,
                 },
             })
             live.pop(p, None)
@@ -277,25 +415,84 @@ def write_iceberg_table(
             entries.append({
                 "status": 1 if added_sid == sid else 0,
                 "snapshot_id": added_sid,
+                "sequence_number": added_sid - 1000 + 1,
                 "data_file": {
                     "content": 0, "file_path": p, "file_format": "PARQUET",
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(fp),
                     "column_sizes": {"1": os.path.getsize(fp)},
+                    "equality_ids": None,
+                },
+            })
+        for target, positions in (s.get("pos_deletes") or {}).items():
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(ddir, exist_ok=True)
+            rel = f"data/pos-delete-{sid}-{os.path.basename(target)}"
+            pq.write_table(pa.table({
+                "file_path": pa.array([target] * len(positions), pa.string()),
+                "pos": pa.array(sorted(positions), pa.int64()),
+            }), os.path.join(table_path, rel))
+            del_live.append({
+                "status": 1, "snapshot_id": sid, "sequence_number": seq,
+                "data_file": {
+                    "content": 1, "file_path": rel, "file_format": "PARQUET",
+                    "record_count": len(positions),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)),
+                    "column_sizes": None, "equality_ids": None,
+                },
+            })
+        if s.get("eq_deletes"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(ddir, exist_ok=True)
+            eq = s["eq_deletes"]
+            name_of = {f["id"]: f["name"] for f in schema_fields}
+            cols = [name_of[fid] for fid in eq["ids"]]
+            rel = f"data/eq-delete-{sid}.parquet"
+            pq.write_table(pa.table({
+                c: pa.array([r[c] for r in eq["rows"]]) for c in cols
+            }), os.path.join(table_path, rel))
+            del_live.append({
+                "status": 1, "snapshot_id": sid, "sequence_number": seq,
+                "data_file": {
+                    "content": 2, "file_path": rel, "file_format": "PARQUET",
+                    "record_count": len(eq["rows"]),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)),
+                    "column_sizes": None,
+                    "equality_ids": list(eq["ids"]),
                 },
             })
         mpath = os.path.join(mdir, f"manifest-{sid}.avro")
         with open(mpath, "wb") as fh:
             fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+        mlist_rows = [{
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": sid,
+        }]
+        if del_live:
+            dmpath = os.path.join(mdir, f"delete-manifest-{sid}.avro")
+            with open(dmpath, "wb") as fh:
+                fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, del_live))
+            mlist_rows.append({
+                "manifest_path": dmpath,
+                "manifest_length": os.path.getsize(dmpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": sid,
+            })
         lpath = os.path.join(mdir, f"snap-{sid}-manifest-list.avro")
         with open(lpath, "wb") as fh:
-            fh.write(encode_ocf(_MANIFEST_FILE_SCHEMA, [{
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 0,
-                "added_snapshot_id": sid,
-            }]))
+            fh.write(encode_ocf(_MANIFEST_FILE_SCHEMA, mlist_rows))
         snap_meta.append({
             "snapshot-id": sid,
             "sequence-number": i + 1,

@@ -70,10 +70,11 @@ def test_schema_pinned_from_metadata(spark, tmp_path):
                                "n": "bigint"}
 
 
-def test_v2_delete_manifests_refused(tmp_path):
+def test_data_files_inside_delete_manifest_refused(tmp_path):
     table = str(tmp_path / "t")
     _basic_table(table)
-    # flip the manifest-list entry's content to 1 (DELETE manifest)
+    # flip the manifest-list entry's content to 1 (DELETE manifest):
+    # its entries are data files (content 0), an inconsistent table
     from hive_udf_spark.operators.avrocodec import decode_ocf, encode_ocf
     from hive_udf_spark.sources.iceberg import _MANIFEST_FILE_SCHEMA
 
@@ -81,7 +82,7 @@ def test_v2_delete_manifests_refused(tmp_path):
     _, rows = decode_ocf(open(lpath, "rb").read())
     rows[0]["content"] = 1
     open(lpath, "wb").write(encode_ocf(_MANIFEST_FILE_SCHEMA, rows))
-    with pytest.raises(ValueError, match="DELETE manifests"):
+    with pytest.raises(ValueError, match="data file in a delete manifest"):
         iceberg_live_files(table)
 
 
@@ -109,3 +110,92 @@ def test_manifest_maps_decode_through_vendored_codec(tmp_path):
     _, entries = decode_ocf(open(mpath, "rb").read())
     sizes = entries[0]["data_file"]["column_sizes"]
     assert isinstance(sizes, dict) and "1" in sizes and sizes["1"] > 0
+
+
+def test_position_deletes_apply_by_row_index(spark, tmp_path):
+    """v2 position deletes (r11): parquet of (file_path, pos) anti-joins
+    against the scan's _metadata row positions — rows 0 and 2 of a
+    3-row file disappear, row 1 survives."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"pos_deletes": {"data/a.parquet": [0, 2]}},
+    ], FIELDS)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(2, "de", 20)]
+    # the raw file listing refuses: files alone would over-read
+    with pytest.raises(ValueError, match="row-level deletes"):
+        iceberg_live_files(table)
+    # time travel to before the delete still sees all rows
+    assert read_iceberg(spark, table, snapshot_id=1000).count() == 3
+
+
+def test_position_deletes_dead_paths_are_noops(spark, tmp_path):
+    """A position delete aimed at a file that later left the table must
+    not touch the replacement file's rows (paths are the join key)."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10), (2, "de", 20)])
+    _write_file(table, "data/a2.parquet", [(1, "en", 11), (2, "de", 22)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"pos_deletes": {"data/a.parquet": [0]}},
+        {"deleted": ["data/a.parquet"], "added": ["data/a2.parquet"]},
+    ], FIELDS)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "en", 11), (2, "de", 22)]
+
+
+def test_equality_deletes_gated_on_sequence_number(spark, tmp_path):
+    """v2 equality deletes (r11): a delete row kills MATCHING rows from
+    data files with a STRICTLY LOWER sequence number — the same key
+    re-inserted in a later snapshot survives (the upsert pattern)."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10), (2, "de", 20)])
+    _write_file(table, "data/b.parquet", [(1, "en", 99)])  # re-insert
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"eq_deletes": {"ids": [1], "rows": [{"doc_id": 1}]},
+         "added": ["data/b.parquet"]},
+    ], FIELDS)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    # old (1, en, 10) deleted; same-snapshot re-insert (1, en, 99) lives
+    assert got == [(1, "en", 99), (2, "de", 20)]
+
+
+def test_equality_delete_unknown_field_refuses(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"],
+         "eq_deletes": {"ids": [1], "rows": [{"doc_id": 7}]}},
+    ], FIELDS)
+    # point the equality ids at a nonexistent field id
+    from hive_udf_spark.operators.avrocodec import decode_ocf, encode_ocf
+    from hive_udf_spark.sources.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    dm = os.path.join(table, "metadata", "delete-manifest-1000.avro")
+    _, entries = decode_ocf(open(dm, "rb").read())
+    entries[0]["data_file"]["equality_ids"] = [99]
+    open(dm, "wb").write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+    with pytest.raises(ValueError, match="unknown field"):
+        read_iceberg(spark, table).collect()
+
+
+def test_delete_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Scale shape: applying deletes must not shuffle the data scan —
+    both anti-joins broadcast the (small) delete side."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10), (2, "de", 20)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"],
+         "pos_deletes": {"data/a.parquet": [0]},
+         "eq_deletes": {"ids": [2], "rows": [{"lang": "xx"}]}},
+    ], FIELDS)
+    df = read_iceberg(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "hashpartitioning" not in plan
+    assert sorted(tuple(r) for r in df.collect()) == [(2, "de", 20)]

@@ -975,6 +975,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_heic_decode"].fn(spark, sf_dir))
 
+    def q_delta_dv_column_mapping():
+        # r11: roaring deletion vectors + physical-name column mapping
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_delta_dv_column_mapping"].fn(spark, sf_dir))
+
     def q_iceberg_v2_deletes():
         # r11: position + equality delete application (broadcast anti-joins)
         from hive_udf_spark.plans import QUERIES
@@ -1190,6 +1196,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "hudi_roundtrip": q_hudi_roundtrip,
         "iceberg_v2_deletes": q_iceberg_v2_deletes,
+        "delta_dv_column_mapping": q_delta_dv_column_mapping,
         "color_features": q_color_features,
         "color_near_dup": q_color_near_dup,
         "codec_av1_frame_sample": q_codec_av1_frame_sample,

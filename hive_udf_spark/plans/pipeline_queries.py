@@ -1234,6 +1234,82 @@ def source_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_dv_column_mapping",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM base WHERE pos % 3 <> 0
+    """,
+)
+def source_delta_dv_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion vectors + column mapping end-to-end (r11 — the
+    two refusals the first Delta cut documented, now implemented): the
+    documents land as ONE doc_id-ordered parquet file whose ON-DISK
+    column names are the opaque physical names a column-mapped writer
+    uses (``col-<uuid>`` style), the table config sets
+    ``delta.columnMapping.mode=name`` with per-field physicalName
+    annotations, and the add action carries a REAL deletion vector —
+    every 3rd row position, serialized with the vendored RoaringBitmap
+    codec (operators/roaring.py) into a spec-shaped version-1
+    ``deletion_vector_<uuid>.bin`` (z85 uuid path, big-endian size +
+    CRC-32 framing).  The reader scans by physical name, renames to
+    logical, decodes the bitmap, and anti-joins on
+    ``_metadata.row_index`` — so the oracle's row_number() arithmetic
+    hash-checks genuine protocol row-index semantics through a real
+    roaring bitmap.
+
+    Scale shape: the vector side broadcasts (roaring-compressed, KB per
+    file group); the data scan never shuffles (pytest plan assert)."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.delta import (
+        read_delta,
+        write_delta_commits,
+        write_deletion_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("col-d1"),
+        F.col("lang").alias("col-d2"),
+        F.col("n_chars").alias("col-d3"),
+    )
+    n_docs = docs.count()
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-d1"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-d2"}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-d3"}},
+        ],
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+        docs.coalesce(1).sortWithinPartitions("col-d1").write.parquet(
+            f"{tmp}/stage"
+        )
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        shutil.move(f"{tmp}/stage/{part}", f"{table}/base.parquet")
+        dv = write_deletion_vector(table, list(range(0, n_docs, 3)))
+        write_delta_commits(table, [
+            [{"add": {"path": "base.parquet", "deletionVector": dv}}],
+        ], schema_json,
+            configuration={"delta.columnMapping.mode": "name"})
+        return read_delta(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_iceberg_v2_deletes",
     oracle="""
     WITH base AS (

@@ -134,7 +134,10 @@ def _check_protocol(snap: _Snapshot) -> None:
     reader = int(proto.get("minReaderVersion", 1))
     if reader >= 3:
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = feats - {"timestampNtz", "vacuumProtocolCheck"}
+        unsupported = feats - {
+            "timestampNtz", "vacuumProtocolCheck",
+            "columnMapping", "deletionVectors",  # vendored in r11
+        }
         if unsupported:
             raise ValueError(
                 f"delta: reader table features not vendored: {sorted(unsupported)}"
@@ -142,10 +145,11 @@ def _check_protocol(snap: _Snapshot) -> None:
     elif reader > 2:
         raise ValueError(f"delta: minReaderVersion {reader} not vendored")
     conf = (snap.metadata or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
-        raise ValueError("delta: column mapping tables not vendored")
-    if conf.get("delta.enableDeletionVectors", "false") == "true":
-        raise ValueError("delta: deletion-vector tables not vendored")
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", "", "name"):
+        raise ValueError(
+            "delta: only columnMapping.mode=name is vendored (id mode needs "
+            "parquet field-id resolution)"
+        )
     fmt = (snap.metadata or {}).get("format") or {}
     if fmt.get("provider", "parquet") != "parquet":
         raise ValueError(f"delta: format {fmt.get('provider')!r} not vendored")
@@ -225,6 +229,66 @@ def delta_snapshot(table_path: str, version: int | None = None) -> _Snapshot:
     return snap
 
 
+def _dv_positions(table_path: str, dv: dict):
+    """Deleted row positions from a deletion-vector descriptor
+    (PROTOCOL.md): storageType 'u' (z85 UUID under the table root,
+    optional random prefix), 'p' (absolute path), or 'i' (inline z85
+    data).  On-disk vectors sit in a version-1 file as
+    <int32be size><portable RoaringBitmapArray><int32be CRC-32>."""
+    import uuid as _uuid
+    import zlib
+
+    import numpy as np
+
+    from hive_udf_spark.operators.roaring import decode_rbm64, z85_decode
+
+    st = dv.get("storageType")
+    enc = dv.get("pathOrInlineDv") or ""
+    if st == "i":
+        positions = decode_rbm64(z85_decode(enc))
+        declared = dv.get("cardinality")
+        if declared is not None and int(declared) != positions.size:
+            raise ValueError("delta: deletion-vector cardinality mismatch")
+        return positions
+    if st == "u":
+        if len(enc) < 20:
+            raise ValueError("delta: deletion-vector path too short")
+        prefix, z = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(z))
+        rel = os.path.join(prefix, f"deletion_vector_{u}.bin") if prefix \
+            else f"deletion_vector_{u}.bin"
+        path = os.path.join(table_path, rel)
+    elif st == "p":
+        path = enc
+        if not os.path.isabs(path):
+            raise ValueError("delta: storageType 'p' requires an absolute path")
+    else:
+        raise ValueError(f"delta: deletion-vector storageType {st!r} unknown")
+    try:
+        with open(path, "rb") as fh:
+            blob = fh.read()
+    except OSError as exc:
+        raise ValueError(f"delta: deletion-vector file unreadable: {exc}") from exc
+    if not blob or blob[0] != 1:
+        raise ValueError("delta: deletion-vector file version != 1")
+    offset = int(dv.get("offset") or 1)
+    size = int(dv.get("sizeInBytes", -1))
+    if size < 0 or offset + 8 + size > len(blob):
+        raise ValueError("delta: deletion-vector extent outside the file")
+    declared_size = int.from_bytes(blob[offset : offset + 4], "big")
+    if declared_size != size:
+        raise ValueError("delta: deletion-vector size mismatch")
+    data = blob[offset + 4 : offset + 4 + size]
+    crc = int.from_bytes(blob[offset + 4 + size : offset + 8 + size], "big")
+    if zlib.crc32(data) != crc:
+        raise ValueError("delta: deletion-vector checksum mismatch")
+    positions = decode_rbm64(data)
+    declared = dv.get("cardinality")
+    if declared is not None and int(declared) != positions.size:
+        raise ValueError("delta: deletion-vector cardinality mismatch")
+    return positions
+
+
 def _partition_literal(value: str | None, dtype: str):
     """Typed literal for a partitionValues entry (serialized per the
     protocol's partition-value string rules; None = null partition)."""
@@ -236,37 +300,96 @@ def read_delta(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Delta table → DataFrame of its live rows at ``version``
-    (default latest).  Column order follows the table schema."""
+    (default latest).  Column order follows the table schema.
+
+    Column-mapping mode ``name`` (r11): the scan uses each field's
+    ``delta.columnMapping.physicalName`` and renames to logical names —
+    the protocol's rename-without-rewrite contract.  Deletion vectors
+    (r11): each add's vector decodes through the vendored RoaringBitmap
+    codec (operators/roaring.py) and applies as a broadcast anti-join
+    against the scan's ``_metadata.file_path``/``row_index`` — Spark's
+    parquet row positions ARE the protocol's row indexes, so the filter
+    is exact and the data scan never shuffles."""
     snap = delta_snapshot(table_path, version)
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    conf = (snap.metadata or {}).get("configuration") or {}
+    mapped = conf.get("delta.columnMapping.mode") == "name"
+    phys_of = {}
+    for f in schema.fields:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if mapped and not phys:
+            raise ValueError(
+                f"delta: columnMapping.mode=name but field {f.name!r} has "
+                "no physicalName"
+            )
+        phys_of[f.name] = phys if mapped else f.name
+    from pyspark.sql.types import StructField
+
+    data_schema = StructType([
+        StructField(phys_of[f.name], f.dataType, f.nullable)
+        for f in schema.fields if f.name not in part_cols
+    ])
     all_names = [f.name for f in schema.fields]
     if not snap.files:
         return spark.createDataFrame([], schema)
     abs_path = lambda p: p if os.path.isabs(p) else os.path.join(table_path, p)
+    # deletion vectors: decode each live add's vector up front
+    dv_rows = []
+    for add in snap.files.values():
+        dv = add.get("deletionVector")
+        if dv:
+            for p in _dv_positions(table_path, dv).tolist():
+                dv_rows.append((os.path.abspath(abs_path(add["path"])), p))
+    have_dv = bool(dv_rows)
+
+    def scan(files: list[str]) -> DataFrame:
+        df = spark.read.schema(data_schema).parquet(*files)
+        for logical, phys in phys_of.items():
+            if phys is not None and phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        if have_dv:
+            df = df.withColumn(
+                "__fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+        return df
+
+    helper = ["__fp", "__ri"] if have_dv else []
     if not part_cols:
         files = sorted(abs_path(a["path"]) for a in snap.files.values())
-        return spark.read.schema(data_schema).parquet(*files).select(*all_names)
-    # partitioned: group adds by partitionValues, reattach typed literals
-    dtype_of = {f.name: f.dataType.simpleString() for f in schema.fields}
-    groups: dict[tuple, list[str]] = {}
-    for add in snap.files.values():
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(abs_path(add["path"]))
-    parts = []
-    for key in sorted(groups, key=lambda k: tuple("" if x is None else x for x in k)):
-        df = spark.read.schema(data_schema).parquet(*sorted(groups[key]))
-        for c, v in zip(part_cols, key):
-            df = df.withColumn(c, _partition_literal(v, dtype_of[c]))
-        parts.append(df.select(*all_names))
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out
+        out = scan(files).select(*[n for n in all_names if n not in part_cols],
+                                 *helper)
+    else:
+        # partitioned: group adds by partitionValues, reattach typed literals
+        dtype_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for add in snap.files.values():
+            pv = add.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(abs_path(add["path"]))
+        parts = []
+        for key in sorted(groups,
+                          key=lambda k: tuple("" if x is None else x for x in k)):
+            df = scan(sorted(groups[key]))
+            for c, v in zip(part_cols, key):
+                df = df.withColumn(c, _partition_literal(v, dtype_of[c]))
+            parts.append(df.select(*all_names, *helper))
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+    if have_dv:
+        # the vector side is KB–MB per file group (roaring-compressed);
+        # at extreme cardinality a real reader pushes the bitmap into
+        # the scan — broadcast anti-join is the Spark-native equivalent
+        dels = spark.createDataFrame(dv_rows, "__del_fp string, __del_pos bigint")
+        out = out.join(
+            F.broadcast(dels),
+            (F.col("__fp") == F.col("__del_fp"))
+            & (F.col("__ri") == F.col("__del_pos")),
+            "left_anti",
+        )
+    return out.select(*all_names)
 
 
 # ---------------------------------------------------------------------------
@@ -276,14 +399,16 @@ def read_delta(
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-def _meta_action(schema_json: str, part_cols: list[str]) -> dict:
+def _meta_action(
+    schema_json: str, part_cols: list[str], configuration: dict | None = None
+) -> dict:
     return {
         "metaData": {
             "id": "fixture-table",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": part_cols,
-            "configuration": {},
+            "configuration": configuration or {},
             "createdTime": 0,
         }
     }
@@ -294,19 +419,23 @@ def write_delta_commits(
     commits: list[list[dict]],
     schema_json: str,
     part_cols: list[str] | None = None,
+    configuration: dict | None = None,
 ) -> None:
     """Emit spec-shaped Delta commits.  ``commits[v]`` is the action
     list for version v; ``{"add": {"path": ..., "partitionValues":
     {...}}}`` and ``{"remove": {"path": ...}}`` entries are completed
     with the required fields.  Commit 0 is prefixed with protocol +
-    metaData (as real writers do)."""
+    metaData (as real writers do); ``configuration`` lands in metaData
+    (e.g. ``delta.columnMapping.mode``)."""
     log_dir = _log_dir(table_path)
     os.makedirs(log_dir, exist_ok=True)
     for v, actions in enumerate(commits):
         lines = []
         if v == 0:
             lines.append(json.dumps({"protocol": _PROTOCOL}))
-            lines.append(json.dumps(_meta_action(schema_json, part_cols or [])))
+            lines.append(json.dumps(
+                _meta_action(schema_json, part_cols or [], configuration)
+            ))
         lines.append(json.dumps(
             {"commitInfo": {"timestamp": v, "operation": "WRITE"}}
         ))
@@ -328,6 +457,51 @@ def write_delta_commits(
                 lines.append(json.dumps(a))
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
             fh.write("\n".join(lines) + "\n")
+
+
+def write_deletion_vector(
+    table_path: str, positions, inline: bool = False
+) -> dict:
+    """Writer-twin half of the deletion-vector protocol: serialize the
+    row positions with the vendored RoaringBitmapArray codec and either
+    return an INLINE descriptor (storageType 'i', z85 data) or drop a
+    spec-shaped version-1 ``deletion_vector_<uuid>.bin`` under the
+    table root (storageType 'u', z85 uuid, big-endian size + CRC-32
+    framing) — what real writers emit."""
+    import uuid as _uuid
+    import zlib
+
+    from hive_udf_spark.operators.roaring import encode_rbm64, z85_encode
+
+    data = encode_rbm64(sorted(positions))
+    card = len(set(positions))
+    if inline:
+        if len(data) % 4:
+            # z85 carries 4-byte groups; the twin only emits inline
+            # descriptors for 4-aligned payloads rather than guess at a
+            # padding convention the protocol doesn't state
+            raise ValueError(
+                "delta twin: inline vectors need 4-byte-aligned payloads"
+            )
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data),
+            "offset": None,
+            "sizeInBytes": len(data),
+            "cardinality": card,
+        }
+    u = _uuid.uuid4()
+    blob = b"\x01" + len(data).to_bytes(4, "big") + data \
+        + zlib.crc32(data).to_bytes(4, "big")
+    with open(os.path.join(table_path, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": card,
+    }
 
 
 def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:

@@ -148,17 +148,23 @@ def test_protocol_and_feature_gates(spark, tmp_path):
     log = os.path.join(table, "_delta_log", f"{0:020d}.json")
     lines = open(log).read().splitlines()
 
-    # column mapping → refuse
+    # column mapping in id mode → refuse (name mode is vendored, r11)
     meta = json.loads(lines[1])
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    open(log, "w").write("\n".join([lines[0], json.dumps(meta)] + lines[2:]))
+    with pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, table)
+
+    # name mode WITHOUT physicalName annotations → refuse, not misread
     meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
     open(log, "w").write("\n".join([lines[0], json.dumps(meta)] + lines[2:]))
-    with pytest.raises(ValueError, match="column mapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, table)
 
     # reader v3 with an unsupported feature → refuse
     meta["metaData"]["configuration"] = {}
     proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"]}}
+                          "readerFeatures": ["v2Checkpoint"]}}
     open(log, "w").write("\n".join([json.dumps(proto), json.dumps(meta)] + lines[2:]))
     with pytest.raises(ValueError, match="not vendored"):
         read_delta(spark, table)
@@ -200,3 +206,113 @@ def test_schema_is_pinned_not_inferred(spark, tmp_path):
     df = read_delta(spark, table)
     assert df.columns == ["doc_id", "lang", "n"]
     assert [tuple(r) for r in df.collect()] == [(9, "xx", 99)]
+
+
+MAPPED_SCHEMA_JSON = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "doc_id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "lang", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "n", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ],
+})
+
+
+def _write_physical_file(table: str, name: str, rows: list[tuple]) -> None:
+    """Parquet with the PHYSICAL column names a column-mapped writer
+    uses on disk."""
+    os.makedirs(table, exist_ok=True)
+    t = pa.table({
+        "col-aaa": pa.array([r[0] for r in rows], pa.int64()),
+        "col-bbb": pa.array([r[1] for r in rows], pa.string()),
+        "col-ccc": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(table, name))
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """r11: mode=name tables scan by physicalName and rename to logical
+    — the protocol's rename-without-rewrite contract."""
+    table = str(tmp_path / "t")
+    _write_physical_file(table, "a.parquet", [(1, "en", 10), (2, "de", 20)])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet"}}],
+    ], MAPPED_SCHEMA_JSON)
+    # flip the config on commit 0's metaData
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    meta = json.loads(lines[1])
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    open(log, "w").write("\n".join([lines[0], json.dumps(meta)] + lines[2:]))
+    df = read_delta(spark, table)
+    assert df.columns == ["doc_id", "lang", "n"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(1, "en", 10), (2, "de", 20)]
+
+
+def test_deletion_vectors_on_disk_and_inline(spark, tmp_path):
+    """r11: deletion vectors decode through the vendored RoaringBitmap
+    codec and drop exactly the named row positions."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30), (4, "es", 40)])
+    dv = write_deletion_vector(table, [0, 2])  # kill rows 0 and 2
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(2, "de", 20), (4, "es", 40)]
+    # the anti-join must broadcast, never shuffle the data scan
+    plan = read_delta(spark, table)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_deletion_vector_update_rewrites_descriptor(spark, tmp_path):
+    """A later commit replacing the add's vector (remove + add, as real
+    writers do) must win: the row set tightens from {0,2} to {0}."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet", [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    dv1 = write_deletion_vector(table, [0, 2])
+    dv2 = write_deletion_vector(table, [0])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv1}}],
+        [{"remove": {"path": "a.parquet"}},
+         {"add": {"path": "a.parquet", "deletionVector": dv2}}],
+    ], SCHEMA_JSON)
+    assert read_delta(spark, table).count() == 2
+    assert read_delta(spark, table, version=0).count() == 1
+
+
+def test_deletion_vector_corruption_refuses(spark, tmp_path):
+    from hive_udf_spark.sources.delta import _dv_positions, write_deletion_vector
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    dv = write_deletion_vector(table, [1, 5, 9])
+    # flip a data byte: CRC-32 must catch it
+    import glob as _glob
+
+    path = _glob.glob(os.path.join(table, "deletion_vector_*.bin"))[0]
+    blob = bytearray(open(path, "rb").read())
+    blob[7] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        _dv_positions(table, dv)
+    # a lying cardinality refuses too
+    blob[7] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="cardinality"):
+        _dv_positions(table, {**dv, "cardinality": 99})
+    with pytest.raises(ValueError, match="storageType"):
+        _dv_positions(table, {**dv, "storageType": "x"})

@@ -962,6 +962,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_hevc_frame_sample"].fn(spark, sf_dir))
 
+    def q_codec_webm_av1_frame_sample():
+        # r11: AV1-in-WebM cluster demux + libdav1d frame decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webm_av1_frame_sample"].fn(spark, sf_dir))
+
     def q_codec_avc_frame_sample():
         # r11: I_PCM H.264-in-MP4 demux (avcC → Annex-B) + vendored decode
         from hive_udf_spark.plans import QUERIES
@@ -1202,6 +1208,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_av1_frame_sample": q_codec_av1_frame_sample,
         "codec_hevc_frame_sample": q_codec_hevc_frame_sample,
         "codec_avc_frame_sample": q_codec_avc_frame_sample,
+        "codec_webm_av1_frame_sample": q_codec_webm_av1_frame_sample,
         "codec_heic_decode": q_codec_heic_decode,
     }
 

@@ -917,9 +917,15 @@ def split_container_frames(b: bytes) -> list[bytes]:
         from hive_udf_spark.operators.webpcodec import split_webp_anim_frames
 
         return [encode_pgm(f) for f in split_webp_anim_frames(b)]
+    if b[:4] == b"\x1a\x45\xdf\xa3":
+        # WebM/Matroska (r11): EBML cluster walk → video-track blocks;
+        # V_AV1 payloads become temporal units for the libdav1d tier
+        from hive_udf_spark.operators.mediaprobe import split_webm_frames
+
+        return split_webm_frames(b)
     if b[:2] in (b"P5", b"P6"):
         return split_netpbm_frames(b)
     raise ValueError(
         "unsupported container format (vendored: RIFF-AVI, ISO-BMFF/MP4, "
-        "animated GIF, animated WebP, concatenated netpbm)"
+        "WebM/Matroska, animated GIF, animated WebP, concatenated netpbm)"
     )

@@ -559,6 +559,85 @@ def webm_probe(b: bytes) -> dict:
     return out
 
 
+@untrusted_decoder
+def split_webm_frames(b: bytes) -> list[bytes]:
+    """Demux a WebM/Matroska blob into its VIDEO track's frame payloads
+    (r11): the EBML walk descends Segment → Tracks to find the first
+    video TrackEntry, then Segment → Cluster → SimpleBlock / BlockGroup
+    → Block, filtering on the track number and refusing laced blocks
+    (lacing carries multiple frames per block — rare for video — and
+    mis-splitting would hand the decoder garbage).
+
+    Codec posture mirrors MP4: ``V_AV1`` payloads are temporal units
+    for the system libdav1d (the AV1-in-Matroska mapping stores OBUs in
+    the low-overhead format, usually WITHOUT a temporal-delimiter OBU —
+    one is prepended when absent, which the spec permits, so the magic
+    dispatch recognizes the stream); VP8/VP9/H.264/HEVC tracks demux
+    fine but their payloads raise at decode time (no decoder ships),
+    exactly like the MP4 sample-entry rule."""
+    b = bytes(b)
+    top = _walk_ebml(b, 0, len(b))
+    eid, _, _ = next(top, (None, None, None))
+    if eid != _EBML_MAGIC:
+        raise ValueError("ebml: missing EBML header")
+    frames: list[bytes] = []
+    video_track = None
+    video_codec = None
+    for eid, pay, _ in top:
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, spay, _ in _walk_ebml(pay, 0, len(pay)):
+            if sid == 0x1654AE6B:  # Tracks
+                for tid, tpay, _ in _walk_ebml(spay, 0, len(spay)):
+                    if tid != 0xAE:
+                        continue
+                    num = ttype = codec = None
+                    for fid, fpay, _ in _walk_ebml(tpay, 0, len(tpay)):
+                        if fid == 0xD7:
+                            num = _ebml_uint(fpay)
+                        elif fid == 0x83:
+                            ttype = _ebml_uint(fpay)
+                        elif fid == 0x86:
+                            codec = fpay.decode("utf-8")
+                    if ttype == 1 and video_track is None:
+                        video_track, video_codec = num, codec
+            elif sid == 0x1F43B675:  # Cluster
+                if video_track is None:
+                    raise ValueError("webm: cluster before any video track")
+                for cid, cpay, _ in _walk_ebml(spay, 0, len(spay)):
+                    if cid == 0xA3:  # SimpleBlock
+                        blocks = [cpay]
+                    elif cid == 0xA0:  # BlockGroup
+                        blocks = [gpay for gid, gpay, _ in
+                                  _walk_ebml(cpay, 0, len(cpay)) if gid == 0xA1]
+                    else:
+                        continue
+                    for blk in blocks:
+                        tnum, p = _read_vint(blk, 0, keep_marker=False)
+                        if tnum != video_track:
+                            continue
+                        if p + 3 > len(blk):
+                            raise ValueError("webm: block header truncated")
+                        flags = blk[p + 2]
+                        if flags & 0x06:
+                            raise ValueError(
+                                "webm: laced blocks not vendored (lacing "
+                                "packs multiple frames per block)"
+                            )
+                        payload = blk[p + 3 :]
+                        if video_codec == "V_AV1" and not (
+                            len(payload) >= 2
+                            and payload[0] == 0x12 and payload[1] == 0x00
+                        ):
+                            payload = b"\x12\x00" + payload
+                        frames.append(payload)
+    if video_track is None:
+        raise ValueError("webm: no video track")
+    if not frames:
+        raise ValueError("webm: video track has no blocks")
+    return frames
+
+
 def _ebml_elem(eid: int, payload: bytes) -> bytes:
     head = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
     n = len(payload)
@@ -613,6 +692,34 @@ def encode_webm(duration_ms: int, width: int, height: int,
     tracks = _ebml_elem(0x1654AE6B, video_entry + audio_entry)
     segment = _ebml_elem(0x18538067, info + tracks)
     return ebml_head + segment
+
+
+def encode_webm_av1(
+    tus: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Fixture twin with CLUSTERS (r11): a spec-valid WebM whose video
+    track is ``V_AV1`` and whose Cluster carries one keyframe
+    SimpleBlock per temporal unit — the real-web AV1 delivery shape.
+    Block payloads are stored WITHOUT the temporal-delimiter OBU, as
+    the AV1-in-Matroska mapping prescribes (the demuxer re-adds it)."""
+    if not tus:
+        raise ValueError("at least one temporal unit required")
+    shell = encode_webm(
+        duration_ms=1000 * len(tus) // fps, width=width, height=height,
+        v_codec="V_AV1", writing_app="graft-twin-av1",
+    )
+    blocks = bytearray(_ebml_elem(0xE7, b"\x00"))  # cluster Timecode 0
+    for i, tu in enumerate(tus):
+        payload = tu[2:] if tu[:2] == b"\x12\x00" else tu
+        blk = b"\x81" + struct.pack(">h", 1000 * i // fps) + b"\x80" + payload
+        blocks += _ebml_elem(0xA3, blk)
+    cluster = _ebml_elem(0x1F43B675, bytes(blocks))
+    # splice the cluster into the Segment: rebuild the segment element
+    # from the shell's Info+Tracks payload plus the cluster
+    top = list(_walk_ebml(shell, 0, len(shell)))
+    head_end = top[0][2] + len(top[0][1])  # end of the EBML header
+    seg_payload = top[1][1]
+    return shell[:head_end] + _ebml_elem(0x18538067, seg_payload + cluster)
 
 
 # ---------------------------------------------------------------------------

@@ -543,6 +543,43 @@ def mp4_hevc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     return enc
 
 
+def webm_av1_encoder_udf(n_frames: int = 3, side: int = 8, fps: int = 10):
+    """Arrow-batched AV1-in-WebM fixture encoder (r11): the MP4-AV1
+    twin's payload shape (``n_frames · side²`` ASCII chars → lossless
+    AV1 temporal units via libheif/libaom) muxed into a spec-valid
+    WebM with real clusters and keyframe SimpleBlocks
+    (mediaprobe.encode_webm_av1) — the real-web AV1 delivery container,
+    block payloads stored without the temporal delimiter as the
+    AV1-in-Matroska mapping prescribes."""
+    from pyspark.sql.functions import pandas_udf
+
+    per = side * side
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import encode_webm_av1
+        from hive_udf_spark.operators.mp4codec import heif_item_payload
+        from hive_udf_spark.operators.native import (
+            heif_native_encode_lossless_gray,
+        )
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * per:
+                raise ValueError(f"payload must be {n_frames * per} ASCII chars")
+            tus = [
+                heif_item_payload(heif_native_encode_lossless_gray(
+                    a[i * per : (i + 1) * per].reshape(side, side)
+                ))
+                for i in range(n_frames)
+            ]
+            return encode_webm_av1(tus, side, side, fps=fps)
+
+        return s.map(one)
+
+    return enc
+
+
 def mp4_avc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     """Arrow-batched H.264-in-MP4 fixture encoder (r11): a payload of
     ``n_frames · block_side²`` ASCII chars becomes ``n_frames`` 16×16

@@ -101,3 +101,77 @@ def test_heif_item_payload_matches_mdat():
     assert heif_item_payload(avif) == mdat
     with pytest.raises(ValueError, match="missing from iloc"):
         heif_item_payload(avif, item_id=999)
+
+
+# ---------------------------------------------------------------------------
+# AV1-in-WebM (r11): EBML cluster demux → the same dav1d tier
+# ---------------------------------------------------------------------------
+
+
+def _webm(frames):
+    from hive_udf_spark.operators.mediaprobe import encode_webm_av1
+
+    return encode_webm_av1([_tu(f) for f in frames], 32, 24)
+
+
+def test_webm_av1_roundtrip_pixel_exact():
+    from hive_udf_spark.operators.mediaprobe import split_webm_frames
+
+    webm = _webm(FRAMES)
+    outs = split_webm_frames(webm)
+    assert len(outs) == 3
+    for o, f in zip(outs, FRAMES):
+        assert native.is_av1_temporal_unit(o)  # delimiter re-added
+        assert np.array_equal(decode_to_gray(o), f)
+    assert len(split_container_frames(webm)) == 3
+
+
+def test_webm_blocks_stored_without_temporal_delimiter():
+    """The AV1-in-Matroska mapping stores OBUs without the TD; the twin
+    must comply and the demuxer must re-add it."""
+    webm = _webm(FRAMES[:1])
+    assert b"\xa3" in webm
+    # the raw block payload inside the file must NOT start with 0x12 0x00
+    tu = _tu(FRAMES[0])
+    assert tu[:2] == b"\x12\x00"
+    assert tu[2:] in webm and tu not in webm
+
+
+def test_webm_laced_blocks_refuse():
+    from hive_udf_spark.operators.mediaprobe import split_webm_frames
+
+    webm = bytearray(_webm(FRAMES[:1]))
+    # SimpleBlock layout: 0xA3 <size vint> 0x81 <i16 tc> <flags> ...
+    # (search AFTER the Cluster id + its Timecode child: 0xE7 0x81 0x00)
+    at = webm.index(b"\xa3", webm.index(b"\xe7\x81\x00", webm.index(b"\x1f\x43\xb6\x75")))
+    # flags byte = after id(1) + size vint + track vint(1) + tc(2)
+    size_len = 8 - webm[at + 1].bit_length() + 1
+    flags_at = at + 1 + size_len + 1 + 2
+    webm[flags_at] |= 0x06  # EBML lacing
+    with pytest.raises(ValueError, match="laced"):
+        split_webm_frames(bytes(webm))
+
+
+def test_webm_fuzz_never_crashes():
+    from hive_udf_spark.operators.mediaprobe import split_webm_frames
+
+    base = bytearray(_webm(FRAMES[:2]))
+    rng = np.random.RandomState(13)
+    for _ in range(200):
+        i = int(rng.randint(0, len(base)))
+        orig = base[i]
+        base[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            for fr in split_webm_frames(bytes(base)):
+                assert isinstance(fr, bytes)
+        except ValueError:
+            pass
+        base[i] = orig
+
+
+def test_webm_probe_still_reads_clustered_files():
+    from hive_udf_spark.operators.mediaprobe import webm_probe
+
+    probe = webm_probe(_webm(FRAMES))
+    assert probe["tracks"][0]["codec"] == "V_AV1"
+    assert (probe["tracks"][0]["width"], probe["tracks"][0]["height"]) == (32, 24)

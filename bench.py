@@ -968,6 +968,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_webm_av1_frame_sample"].fn(spark, sf_dir))
 
+    def q_codec_webm_hevc_frame_sample():
+        # r11: HEVC-in-Matroska (CodecPrivate hvcC) + libde265 decode
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webm_hevc_frame_sample"].fn(spark, sf_dir))
+
     def q_codec_avc_frame_sample():
         # r11: I_PCM H.264-in-MP4 demux (avcC → Annex-B) + vendored decode
         from hive_udf_spark.plans import QUERIES
@@ -1209,6 +1215,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_hevc_frame_sample": q_codec_hevc_frame_sample,
         "codec_avc_frame_sample": q_codec_avc_frame_sample,
         "codec_webm_av1_frame_sample": q_codec_webm_av1_frame_sample,
+        "codec_webm_hevc_frame_sample": q_codec_webm_hevc_frame_sample,
         "codec_heic_decode": q_codec_heic_decode,
     }
 

@@ -572,9 +572,12 @@ def split_webm_frames(b: bytes) -> list[bytes]:
     for the system libdav1d (the AV1-in-Matroska mapping stores OBUs in
     the low-overhead format, usually WITHOUT a temporal-delimiter OBU —
     one is prepended when absent, which the spec permits, so the magic
-    dispatch recognizes the stream); VP8/VP9/H.264/HEVC tracks demux
-    fine but their payloads raise at decode time (no decoder ships),
-    exactly like the MP4 sample-entry rule."""
+    dispatch recognizes the stream); ``V_MPEGH/ISO/HEVC`` blocks are
+    MP4-style length-prefixed NALs with the hvcC record in CodecPrivate
+    — they re-frame to Annex-B exactly like the MP4 demuxer and route
+    to libde265; VP8/VP9/H.264 tracks demux fine but their payloads
+    raise at decode time (no decoder ships), exactly like the MP4
+    sample-entry rule."""
     b = bytes(b)
     top = _walk_ebml(b, 0, len(b))
     eid, _, _ = next(top, (None, None, None))
@@ -583,6 +586,7 @@ def split_webm_frames(b: bytes) -> list[bytes]:
     frames: list[bytes] = []
     video_track = None
     video_codec = None
+    codec_private = None
     for eid, pay, _ in top:
         if eid != 0x18538067:  # Segment
             continue
@@ -592,6 +596,7 @@ def split_webm_frames(b: bytes) -> list[bytes]:
                     if tid != 0xAE:
                         continue
                     num = ttype = codec = None
+                    private = None
                     for fid, fpay, _ in _walk_ebml(tpay, 0, len(tpay)):
                         if fid == 0xD7:
                             num = _ebml_uint(fpay)
@@ -599,8 +604,11 @@ def split_webm_frames(b: bytes) -> list[bytes]:
                             ttype = _ebml_uint(fpay)
                         elif fid == 0x86:
                             codec = fpay.decode("utf-8")
+                        elif fid == 0x63A2:  # CodecPrivate
+                            private = fpay
                     if ttype == 1 and video_track is None:
                         video_track, video_codec = num, codec
+                        codec_private = private
             elif sid == 0x1F43B675:  # Cluster
                 if video_track is None:
                     raise ValueError("webm: cluster before any video track")
@@ -630,6 +638,18 @@ def split_webm_frames(b: bytes) -> list[bytes]:
                             and payload[0] == 0x12 and payload[1] == 0x00
                         ):
                             payload = b"\x12\x00" + payload
+                        elif video_codec == "V_MPEGH/ISO/HEVC":
+                            from hive_udf_spark.operators.mp4codec import (
+                                _hvcc_config,
+                                hevc_sample_to_annexb,
+                            )
+
+                            if codec_private is None:
+                                raise ValueError(
+                                    "webm: HEVC track without CodecPrivate"
+                                )
+                            ls, psets = _hvcc_config(codec_private)
+                            payload = hevc_sample_to_annexb(payload, ls, psets)
                         frames.append(payload)
     if video_track is None:
         raise ValueError("webm: no video track")
@@ -656,7 +676,8 @@ def _ebml_uint_payload(v: int) -> bytes:
 def encode_webm(duration_ms: int, width: int, height: int,
                 v_codec: str = "V_VP9", a_codec: str = "A_OPUS",
                 sample_rate: int = 48000, channels: int = 2,
-                writing_app: str = "graft-twin") -> bytes:
+                writing_app: str = "graft-twin",
+                codec_private: bytes | None = None) -> bytes:
     """Fixture twin: a minimal spec-valid WebM — EBML header, Segment
     with Info (TimecodeScale 1 ms, float64 Duration) and two TrackEntry
     elements (video geometry + audio rate/channels), no clusters."""
@@ -679,6 +700,7 @@ def encode_webm(duration_ms: int, width: int, height: int,
         _ebml_elem(0xD7, b"\x01"),
         _ebml_elem(0x83, b"\x01"),  # video
         _ebml_elem(0x86, v_codec.encode()),
+    ] + ([_ebml_elem(0x63A2, codec_private)] if codec_private else []) + [
         _ebml_elem(0xE0, _ebml_elem(0xB0, _ebml_uint_payload(width))
                    + _ebml_elem(0xBA, _ebml_uint_payload(height))),
     ]))
@@ -708,18 +730,40 @@ def encode_webm_av1(
         duration_ms=1000 * len(tus) // fps, width=width, height=height,
         v_codec="V_AV1", writing_app="graft-twin-av1",
     )
+    payloads = [tu[2:] if tu[:2] == b"\x12\x00" else tu for tu in tus]
+    return _splice_cluster(shell, payloads, fps)
+
+
+def _splice_cluster(shell: bytes, payloads: list[bytes], fps: int) -> bytes:
+    """Rebuild the Segment from the shell's Info+Tracks payload plus a
+    Cluster of keyframe SimpleBlocks (track 1, one block per payload)."""
     blocks = bytearray(_ebml_elem(0xE7, b"\x00"))  # cluster Timecode 0
-    for i, tu in enumerate(tus):
-        payload = tu[2:] if tu[:2] == b"\x12\x00" else tu
+    for i, payload in enumerate(payloads):
         blk = b"\x81" + struct.pack(">h", 1000 * i // fps) + b"\x80" + payload
         blocks += _ebml_elem(0xA3, blk)
     cluster = _ebml_elem(0x1F43B675, bytes(blocks))
-    # splice the cluster into the Segment: rebuild the segment element
-    # from the shell's Info+Tracks payload plus the cluster
     top = list(_walk_ebml(shell, 0, len(shell)))
     head_end = top[0][2] + len(top[0][1])  # end of the EBML header
     seg_payload = top[1][1]
     return shell[:head_end] + _ebml_elem(0x18538067, seg_payload + cluster)
+
+
+def encode_webm_hevc(
+    samples: list[bytes], hvcc: bytes, width: int, height: int,
+    fps: int = 10,
+) -> bytes:
+    """Fixture twin (r11): a spec-valid Matroska whose video track is
+    ``V_MPEGH/ISO/HEVC`` — block payloads are MP4-style length-prefixed
+    NALs, the hvcC record rides in CodecPrivate, exactly the layout
+    real MKV muxers emit for HEVC."""
+    if not samples:
+        raise ValueError("at least one sample required")
+    shell = encode_webm(
+        duration_ms=1000 * len(samples) // fps, width=width, height=height,
+        v_codec="V_MPEGH/ISO/HEVC", writing_app="graft-twin-hevc",
+        codec_private=hvcc,
+    )
+    return _splice_cluster(shell, samples, fps)
 
 
 # ---------------------------------------------------------------------------

@@ -580,6 +580,54 @@ def webm_av1_encoder_udf(n_frames: int = 3, side: int = 8, fps: int = 10):
     return enc
 
 
+def webm_hevc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
+    """Arrow-batched HEVC-in-Matroska fixture encoder (r11): the
+    MP4-HEVC twin's payload shape (8×8 char blocks tiled to one 64-px
+    CTU, LOSSLESS libx265 encode) muxed as ``V_MPEGH/ISO/HEVC`` —
+    length-prefixed block payloads with the hvcC in CodecPrivate, the
+    layout real MKV muxers emit."""
+    from pyspark.sql.functions import pandas_udf
+
+    per = block_side * block_side
+    rep = 64 // block_side
+    if block_side * rep != 64:
+        raise ValueError("block_side must divide 64")
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import encode_webm_hevc
+        from hive_udf_spark.operators.mp4codec import (
+            heif_item_payload,
+            hvcc_from_heic,
+        )
+        from hive_udf_spark.operators.native import (
+            heif_native_encode_lossless_gray,
+        )
+
+        def one(t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n_frames * per:
+                raise ValueError(f"payload must be {n_frames * per} ASCII chars")
+            heics = [
+                heif_native_encode_lossless_gray(
+                    np.tile(
+                        a[i * per : (i + 1) * per].reshape(block_side, block_side),
+                        (rep, rep),
+                    ),
+                    codec="hevc",
+                )
+                for i in range(n_frames)
+            ]
+            return encode_webm_hevc(
+                [heif_item_payload(h) for h in heics],
+                hvcc_from_heic(heics[0]), 64, 64, fps=fps,
+            )
+
+        return s.map(one)
+
+    return enc
+
+
 def mp4_avc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     """Arrow-batched H.264-in-MP4 fixture encoder (r11): a payload of
     ``n_frames · block_side²`` ASCII chars becomes ``n_frames`` 16×16

@@ -1880,7 +1880,9 @@ def multimodal_mp4_hevc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFr
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = mp4_hevc_encoder_udf(3, 8)
     framed = (
@@ -1935,6 +1937,58 @@ def multimodal_webm_av1_frame_sample(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents")
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = webm_av1_encoder_udf(3, 8)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
+    "multimodal_webm_hevc_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(4096 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_webm_hevc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC-in-Matroska decode end-to-end (r11): the same LOSSLESS
+    libx265 frames as the MP4 query, delivered the way MKV muxers ship
+    HEVC — ``V_MPEGH/ISO/HEVC`` track, length-prefixed NALs per block,
+    hvcC in CodecPrivate.  The demuxer re-frames to Annex-B with the
+    CodecPrivate parameter sets (the exact MP4 rule applied to EBML)
+    and every 2nd frame decodes through libde265.  Same closed-form
+    oracle as the MP4 twin: the container changes, the pixels must
+    not."""
+    from hive_udf_spark.operators.multimodal import (
+        sample_container_frames,
+        webm_hevc_encoder_udf,
+    )
+
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = webm_hevc_encoder_udf(3, 8)
     framed = (
         docs.select("doc_id", payload.alias("__s"))
         .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))

@@ -157,3 +157,43 @@ def test_hevc_encoder_rejects_non_hevc_blob_payloads():
         encode_mp4_hevc(
             [], hvcc_from_heic(_heic(FRAMES[0])), 64, 64
         )
+
+
+def test_hevc_in_matroska_roundtrip():
+    """V_MPEGH/ISO/HEVC blocks (length-prefixed NALs, hvcC in
+    CodecPrivate) re-frame to Annex-B and decode — the MP4 rule applied
+    to EBML."""
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_hevc,
+        split_webm_frames,
+        webm_probe,
+    )
+
+    heics = [_heic(f) for f in FRAMES]
+    mkv = encode_webm_hevc(
+        [heif_item_payload(h) for h in heics], hvcc_from_heic(heics[0]),
+        64, 64,
+    )
+    assert webm_probe(mkv)["tracks"][0]["codec"] == "V_MPEGH/ISO/HEVC"
+    outs = split_webm_frames(mkv)
+    assert len(outs) == 3
+    for o, f in zip(outs, FRAMES):
+        assert native.is_hevc_annexb(o)
+        assert np.array_equal(decode_to_gray(o), f)
+
+
+def test_hevc_matroska_missing_codecprivate_refuses():
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_hevc,
+        split_webm_frames,
+    )
+
+    heics = [_heic(FRAMES[0])]
+    mkv = bytearray(encode_webm_hevc(
+        [heif_item_payload(h) for h in heics], hvcc_from_heic(heics[0]),
+        64, 64,
+    ))
+    at = mkv.index(b"\x63\xa2")  # CodecPrivate id → corrupt it
+    mkv[at : at + 2] = b"\x63\xa3"
+    with pytest.raises(ValueError):
+        split_webm_frames(bytes(mkv))

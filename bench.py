@@ -980,6 +980,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_avc_frame_sample"].fn(spark, sf_dir))
 
+    def q_heic_exif_extract():
+        # r11: EXIF-as-linked-item extraction from HEIC
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_heic_exif_extract"].fn(spark, sf_dir))
+
     def q_codec_heic_decode():
         # r11: lossless HEIC (grid/idat layout) encode+decode via
         # libheif/libx265/libde265
@@ -1217,6 +1223,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_webm_av1_frame_sample": q_codec_webm_av1_frame_sample,
         "codec_webm_hevc_frame_sample": q_codec_webm_hevc_frame_sample,
         "codec_heic_decode": q_codec_heic_decode,
+        "heic_exif_extract": q_heic_exif_extract,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -191,9 +191,21 @@ def _empty_exif() -> dict:
 
 @untrusted_decoder
 def parse_exif(b: bytes) -> dict:
-    """JPEG → {has_exif, make, model, orientation, lat_udeg, lon_udeg}
-    (lat/lon signed integer micro-degrees, None when no GPS IFD)."""
+    """JPEG or HEIF/AVIF → {has_exif, make, model, orientation,
+    lat_udeg, lon_udeg} (lat/lon signed integer micro-degrees, None
+    when no GPS IFD).  JPEG carries EXIF in an APP1 segment; HEIF
+    carries it as a linked ``Exif`` item (r11 — the phone-camera
+    layout), resolved through the real iloc walk."""
     out = _empty_exif()
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from hive_udf_spark.operators.mp4codec import heif_exif_payload
+
+        try:
+            tiff = heif_exif_payload(b)
+        except ValueError:
+            return out  # HEIF without an Exif item: has_exif = False
+        _parse_tiff_exif(tiff, 0, out)
+        return out
     for marker, start, total in _iter_segments(b):
         if marker != 0xE1 or b[start + 4 : start + 10] != b"Exif\x00\x00":
             continue
@@ -588,6 +600,50 @@ def exif_fixture_udf(n_blocks_side: int = 8, quality: int = 100):
                 lat_udeg=lat,
                 lon_udeg=lon,
                 big_endian=bool(did % 2),
+            )
+
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, s)])
+
+    return enc
+
+
+def heic_exif_fixture_udf(side: int = 8):
+    """Arrow-batched fixture (r11): (doc_id, payload) → a real LOSSLESS
+    HEIC whose EXIF rides as a linked ``Exif`` item (libheif's
+    add-metadata path — the phone-camera layout), same doc_id-derived
+    field rotation as the JPEG twin so the two queries share an
+    oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = side * side
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from hive_udf_spark.operators.native import (
+            heif_native_encode_lossless_gray,
+        )
+
+        def one(did: int, t: str) -> bytes:
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            if a.size != n:
+                raise ValueError(f"payload must be exactly {n} ASCII chars")
+            if did % 7 == 0:
+                lat = lon = None
+            else:
+                lat = (did * 7919) % 180_000_001 - 90_000_000
+                lon = (did * 104729) % 360_000_001 - 180_000_000
+            tiff = build_tiff_exif(
+                make=f"Cam{did % 5}",
+                model=f"M{did % 3}",
+                orientation=1 + did % 8,
+                lat_udeg=lat,
+                lon_udeg=lon,
+                big_endian=bool(did % 2),
+            )
+            return heif_native_encode_lossless_gray(
+                a.reshape(side, side), codec="hevc", exif=tiff
             )
 
         return pd.Series([one(int(d), t) for d, t in zip(doc_id, s)])

@@ -54,6 +54,7 @@ __all__ = [
     "hvcc_from_heic",
     "hevc_sample_to_annexb",
     "heif_item_payload",
+    "heif_exif_payload",
     "heif_probe",
     "encode_heif",
     "heif_probe_table",
@@ -535,6 +536,52 @@ def heif_item_payload(b: bytes, item_id: int | None = None) -> bytes:
             raise ValueError("HEIF: item has no extents")
         return bytes(out)
     raise ValueError(f"HEIF: item {item_id} missing from iloc")
+
+
+def heif_exif_payload(b: bytes) -> bytes:
+    """The raw TIFF EXIF bytes of a HEIF/AVIF blob's ``Exif`` item
+    (r11 — phone HEICs carry EXIF as a linked metadata item, not an
+    APP1 segment): iinf is walked for the item of type ``Exif``, its
+    payload resolves through the real iloc (idat included), and the
+    HEIF ExifDataBlock framing (4-byte tiff-header offset, optional
+    JPEG-style ``Exif\\0\\0`` prefix) is stripped."""
+    b = bytes(b)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF blob (missing ftyp)")
+    meta = _find(b, 0, len(b), b"meta")
+    if meta is None:
+        raise ValueError("HEIF: missing meta box")
+    mp, me = meta[0] + 4, meta[1]
+    iinf = _find(b, mp, me, b"iinf")
+    if iinf is None:
+        raise ValueError("HEIF: missing iinf")
+    iv = b[iinf[0]]
+    pos = iinf[0] + 4 + (2 if iv == 0 else 4)
+    exif_id = None
+    for fc, p, e in _boxes(b, pos, iinf[1]):
+        if fc != b"infe":
+            continue
+        ver = b[p]
+        if ver < 2:
+            raise ValueError(f"HEIF: infe version {ver} not supported")
+        iid = (struct.unpack_from(">H", b, p + 4)[0] if ver == 2
+               else struct.unpack_from(">I", b, p + 4)[0])
+        off = p + 4 + (2 if ver == 2 else 4) + 2
+        if b[off : off + 4] == b"Exif":
+            exif_id = iid
+            break
+    if exif_id is None:
+        raise ValueError("HEIF: no Exif item")
+    payload = heif_item_payload(b, item_id=exif_id)
+    if len(payload) < 4:
+        raise ValueError("HEIF: Exif item too short")
+    (tiff_off,) = struct.unpack_from(">I", payload, 0)
+    body = payload[4 + tiff_off :] if 4 + tiff_off <= len(payload) else b""
+    if body[:6] == b"Exif\x00\x00":
+        body = body[6:]
+    if body[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("HEIF: Exif item carries no TIFF header")
+    return body
 
 
 def _extract_seq_header_obu(tu: bytes) -> bytes:

@@ -503,6 +503,8 @@ def _heif():
                                          ctypes.POINTER(ctypes.c_int)]
     lib.heif_context_encode_image.restype = _HeifError
     lib.heif_context_encode_image.argtypes = [vp, vp, vp, vp, ctypes.POINTER(vp)]
+    lib.heif_context_add_exif_metadata.restype = _HeifError
+    lib.heif_context_add_exif_metadata.argtypes = [vp, vp, vp, ctypes.c_int]
     lib.heif_context_write_to_file.restype = _HeifError
     lib.heif_context_write_to_file.argtypes = [vp, ctypes.c_char_p]
     return lib
@@ -578,7 +580,7 @@ def heif_native_decode_gray(data: bytes) -> np.ndarray:
 
 
 def heif_native_encode_lossless_gray(
-    gray: np.ndarray, codec: str = "av1"
+    gray: np.ndarray, codec: str = "av1", exif: bytes | None = None
 ) -> bytes:
     """(h, w) uint8 gray → a LOSSLESS AVIF (AV1 monochrome via libaom)
     or, with ``codec="hevc"``, a LOSSLESS HEIC (HEVC via libx265) — the
@@ -609,12 +611,19 @@ def heif_native_encode_lossless_gray(
         )
         try:
             if codec == "hevc":
-                # x265 default preset costs ~3x for identical lossless
-                # output on 64-px tiles; a failed set (plugin without
-                # the knob) is fine — lossless below is what's REQUIRED
-                lib.heif_encoder_set_parameter_string(
-                    enc, b"preset", b"ultrafast"
-                )
+                # x265's default preset + per-encoder thread pool cost
+                # ~6x on 64-px tiles (pool spawn dominates, and under 32
+                # parallel Python workers the pools oversubscribe the
+                # box); pin single-threaded ultrafast.  A failed set
+                # (plugin without the knob) is fine — lossless below is
+                # what's REQUIRED
+                for key, val in (
+                    (b"preset", b"ultrafast"),
+                    (b"x265:pools", b"none"),
+                    (b"x265:frame-threads", b"1"),
+                    (b"x265:wpp", b"0"),
+                ):
+                    lib.heif_encoder_set_parameter_string(enc, key, val)
             _hck(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
             im = ctypes.c_void_p()
             _hck(
@@ -632,10 +641,26 @@ def heif_native_encode_lossless_gray(
                 base = ctypes.addressof(p.contents)
                 for r in range(h):
                     ctypes.memmove(base + r * stride.value, gray[r].tobytes(), w)
+                out_handle = ctypes.c_void_p()
                 _hck(
-                    lib.heif_context_encode_image(ctx, im, enc, None, None),
+                    lib.heif_context_encode_image(
+                        ctx, im, enc, None, ctypes.byref(out_handle)
+                    ),
                     "encode",
                 )
+                try:
+                    if exif is not None:
+                        # real phone HEICs carry EXIF as a linked item;
+                        # libheif prepends the 4-byte tiff-header offset
+                        _hck(
+                            lib.heif_context_add_exif_metadata(
+                                ctx, out_handle, exif, len(exif)
+                            ),
+                            "add exif",
+                        )
+                finally:
+                    if out_handle:
+                        lib.heif_image_handle_release(out_handle)
             finally:
                 lib.heif_image_release(im)
         finally:

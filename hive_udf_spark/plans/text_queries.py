@@ -3269,6 +3269,49 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_heic_exif_extract",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS has_exif,
+           'Cam' || (doc_id % 5) AS make,
+           'M' || (doc_id % 3) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST((doc_id * 7919) % 180000001 - 90000000 AS BIGINT)
+           END AS lat_udeg,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST((doc_id * 104729) % 360000001 - 180000000 AS BIGINT)
+           END AS lon_udeg
+    FROM documents
+    WHERE regexp_matches(rpad(substr(text, 1, 64), 64, ' '), '^[\\x00-\\x7f]*$')
+    """,
+)
+def multimodal_heic_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF from HEIC (r11): phone camera rolls carry EXIF as a LINKED
+    ITEM inside the HEIF meta box, not a JPEG APP1 segment — each
+    document becomes a real LOSSLESS HEIC whose EXIF rides exactly that
+    way (libheif's add-metadata path writes the ExifDataBlock framing),
+    and ``parse_exif`` now magic-dispatches ISO-BMFF blobs through the
+    Exif-item walk (iinf type lookup → iloc payload → 4-byte
+    tiff-header offset → TIFF parse).  Field rotation and oracle are
+    IDENTICAL to the JPEG query — the carrier changes, the metadata
+    semantics must not.  GPS micro-degrees stay the PII routing
+    signal."""
+    from hive_udf_spark.operators.exif import exif_table, heic_exif_fixture_udf
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    enc = heic_exif_fixture_udf(8)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc("doc_id", F.col("__s")).alias("blob"))
+    )
+    return exif_table(blobs)
+
+
+@register(
     "multimodal_exif_strip",
     oracle="""
     WITH t AS (

@@ -197,3 +197,35 @@ def test_hevc_matroska_missing_codecprivate_refuses():
     mkv[at : at + 2] = b"\x63\xa3"
     with pytest.raises(ValueError):
         split_webm_frames(bytes(mkv))
+
+
+def test_heic_exif_item_roundtrip():
+    """EXIF rides as a linked HEIF item (the phone layout): libheif's
+    add-metadata path writes the ExifDataBlock, the vendored walk
+    (iinf type lookup -> iloc -> tiff offset) recovers it exactly, and
+    parse_exif magic-dispatches ISO-BMFF blobs through it."""
+    from hive_udf_spark.operators.exif import build_tiff_exif, parse_exif
+    from hive_udf_spark.operators.mp4codec import heif_exif_payload
+
+    tiff = build_tiff_exif("CamX", "M9", 5,
+                           lat_udeg=-1_234_567, lon_udeg=179_999_999,
+                           big_endian=True)
+    heic = native.heif_native_encode_lossless_gray(
+        FRAMES[0], codec="hevc", exif=tiff
+    )
+    assert heif_exif_payload(heic) == tiff
+    meta = parse_exif(heic)
+    assert (meta["make"], meta["model"], meta["orientation"]) == ("CamX", "M9", 5)
+    assert (meta["lat_udeg"], meta["lon_udeg"]) == (-1_234_567, 179_999_999)
+    # pixels still decode exactly alongside the metadata item
+    assert np.array_equal(native.heif_native_decode_gray(heic), FRAMES[0])
+
+
+def test_heic_without_exif_reports_absent():
+    from hive_udf_spark.operators.exif import parse_exif
+    from hive_udf_spark.operators.mp4codec import heif_exif_payload
+
+    heic = _heic(FRAMES[0])
+    with pytest.raises(ValueError, match="no Exif item"):
+        heif_exif_payload(heic)
+    assert parse_exif(heic)["has_exif"] is False

@@ -980,6 +980,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_avc_frame_sample"].fn(spark, sf_dir))
 
+    def q_codec_au_audio():
+        # r11: Sun AU container (µ-law codes straight from text)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_au_audio_features"].fn(spark, sf_dir))
+
+    def q_codec_aiff_audio():
+        # r11: AIFF container (80-bit-extended rate, signed BE PCM)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_aiff_audio_features"].fn(spark, sf_dir))
+
     def q_heic_exif_extract():
         # r11: EXIF-as-linked-item extraction from HEIC
         from hive_udf_spark.plans import QUERIES
@@ -1004,6 +1016,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         from hive_udf_spark.plans import QUERIES
 
         _force(QUERIES["source_iceberg_v2_deletes"].fn(spark, sf_dir))
+
+    def q_streaming_delta_ingest():
+        # r11: micro-batches -> Delta commits -> read_delta snapshot
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_delta_ingest"].fn(spark, sf_dir))
 
     def q_hudi_roundtrip():
         # r11: vendored Hudi COW source — timeline walk + file slices
@@ -1215,6 +1233,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "hudi_roundtrip": q_hudi_roundtrip,
         "iceberg_v2_deletes": q_iceberg_v2_deletes,
         "delta_dv_column_mapping": q_delta_dv_column_mapping,
+        "streaming_delta_ingest": q_streaming_delta_ingest,
         "color_features": q_color_features,
         "color_near_dup": q_color_near_dup,
         "codec_av1_frame_sample": q_codec_av1_frame_sample,
@@ -1224,6 +1243,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_webm_hevc_frame_sample": q_codec_webm_hevc_frame_sample,
         "codec_heic_decode": q_codec_heic_decode,
         "heic_exif_extract": q_heic_exif_extract,
+        "codec_au_audio": q_codec_au_audio,
+        "codec_aiff_audio": q_codec_aiff_audio,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

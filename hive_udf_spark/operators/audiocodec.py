@@ -43,27 +43,42 @@ __all__ = [
     "wav_info",
     "g711_decode",
     "g711_encode",
+    "decode_au",
+    "encode_au",
+    "au_info",
+    "decode_aiff",
+    "encode_aiff_pcm",
+    "aiff_info",
 ]
 
 
 def decode_audio(b: bytes):
     """Magic-dispatched audio decode → (int32 (n, channels), rate):
-    RIFF/WAV (PCM, G.711, IMA ADPCM) or FLAC (operators.flaccodec).
+    RIFF/WAV (PCM, G.711, IMA ADPCM), FLAC (operators.flaccodec),
+    Sun AU (µ-law/A-law/PCM — r11) or AIFF (BE PCM — r11).
     Anything else raises ValueError — quarantine-routable."""
     if b[:4] == b"fLaC":
         from hive_udf_spark.operators.flaccodec import decode_flac
 
         return decode_flac(b)
+    if b[:4] == b".snd":
+        return decode_au(b)
+    if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        return decode_aiff(b)
     return decode_wav(b)
 
 
 def audio_info(b: bytes) -> dict:
-    """Magic-dispatched header parse; both containers report
+    """Magic-dispatched header parse; every container reports
     ``bits_per_sample``, ``sample_rate`` and ``channels``."""
     if b[:4] == b"fLaC":
         from hive_udf_spark.operators.flaccodec import flac_info
 
         return flac_info(b)
+    if b[:4] == b".snd":
+        return au_info(b)
+    if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        return aiff_info(b)
     return wav_info(b)
 
 
@@ -470,3 +485,208 @@ def encode_wav_ima_adpcm(
         4,
     )
     return _wrap_riff(fmt, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Sun AU (.snd) — the big-endian telephony/Unix legacy container (r11).
+# Header per the public Sun/NeXT audio file format: magic ".snd",
+# data_offset, data_size (0xFFFFFFFF = unknown), encoding, sample_rate,
+# channels, all uint32 big-endian.  Encodings vendored: 1 = G.711 µ-law
+# (the format's raison d'etre), 2 = signed PCM8, 3 = signed PCM16 BE,
+# 27 = G.711 A-law — every one an exact integer decode.
+# ---------------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+_AU_ULAW, _AU_PCM8, _AU_PCM16, _AU_ALAW = 1, 2, 3, 27
+
+
+@untrusted_decoder
+def au_info(b: bytes) -> dict:
+    if b[:4] != _AU_MAGIC or len(b) < 24:
+        raise ValueError("not a Sun AU blob")
+    off, size, enc, rate, ch = _struct.unpack_from(">IIIII", b, 4)
+    if off < 24 or off > len(b):
+        raise ValueError("AU: data offset out of range")
+    if ch < 1 or ch > 64:
+        raise ValueError("AU: channel count out of range")
+    avail = len(b) - off
+    if size != 0xFFFFFFFF and size > avail:
+        raise ValueError("AU: declared data size past EOF")
+    nbytes = avail if size == 0xFFFFFFFF else size
+    width = 2 if enc == _AU_PCM16 else 1
+    return {
+        "data_offset": off, "data_bytes": nbytes, "encoding": enc,
+        "sample_rate": rate, "channels": ch,
+        "bits_per_sample": 8 * width,
+        "n_samples": nbytes // (width * ch),
+    }
+
+
+@untrusted_decoder
+def decode_au(b: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU → (int32 (n, channels), rate) — exact integer decode for
+    µ-law/A-law/PCM8/PCM16; other encodings (e.g. 23 = G.721 ADPCM)
+    raise → quarantine."""
+    info = au_info(b)
+    enc, ch = info["encoding"], info["channels"]
+    data = b[info["data_offset"] : info["data_offset"] + info["data_bytes"]]
+    if enc == _AU_ULAW:
+        x = g711_decode(data, "ulaw")
+    elif enc == _AU_ALAW:
+        x = g711_decode(data, "alaw")
+    elif enc == _AU_PCM8:
+        x = np.frombuffer(data, np.int8).astype(np.int32)
+    elif enc == _AU_PCM16:
+        n = len(data) // 2
+        x = np.frombuffer(data, ">i2", n).astype(np.int32)
+    else:
+        raise ValueError(f"AU: encoding {enc} not vendored")
+    n = (x.size // ch) * ch
+    return x[:n].reshape(-1, ch), info["sample_rate"]
+
+
+def encode_au(
+    samples_or_codes, encoding: int = _AU_ULAW, sample_rate: int = 8000,
+    channels: int = 1,
+) -> bytes:
+    """Writer twin: raw code bytes (µ-law/A-law) or int samples
+    (PCM8/PCM16) → a spec-shaped AU blob."""
+    if encoding in (_AU_ULAW, _AU_ALAW):
+        data = bytes(samples_or_codes)
+    elif encoding == _AU_PCM8:
+        data = np.asarray(samples_or_codes, np.int64).astype(np.int8).tobytes()
+    elif encoding == _AU_PCM16:
+        data = np.asarray(samples_or_codes, np.int64).astype(">i2").tobytes()
+    else:
+        raise ValueError(f"AU twin: encoding {encoding} unsupported")
+    head = _AU_MAGIC + _struct.pack(
+        ">IIIII", 24, len(data), encoding, sample_rate, channels
+    )
+    return head + data
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple IFF) — big-endian PCM in a FORM/AIFF container (r11).
+# COMM carries channels / frame count / sample size and the sample rate
+# as an 80-bit IEEE 754 extended float (the format's one quirk); SSND
+# carries offset/blockSize then the signed big-endian PCM frames.
+# ---------------------------------------------------------------------------
+
+
+def _f80_to_int(b10: bytes) -> int:
+    """80-bit extended float → int (sample rates are small integers;
+    non-integral or out-of-range values refuse)."""
+    if len(b10) != 10:
+        raise ValueError("AIFF: sampleRate is not 80-bit extended")
+    (se,) = _struct.unpack(">H", b10[:2])
+    (mant,) = _struct.unpack(">Q", b10[2:])
+    if se & 0x8000:
+        raise ValueError("AIFF: negative sample rate")
+    exp = (se & 0x7FFF) - 16383 - 63
+    if exp < -63 or exp > 20:
+        raise ValueError("AIFF: sample rate out of range")
+    val = mant * (2 ** exp) if exp >= 0 else mant / (2 ** -exp)
+    rate = int(val)
+    if rate != val or rate <= 0:
+        raise ValueError("AIFF: non-integral sample rate")
+    return rate
+
+
+def _int_to_f80(v: int) -> bytes:
+    if v <= 0:
+        raise ValueError("AIFF twin: rate must be positive")
+    exp = v.bit_length() - 1
+    mant = v << (63 - exp)
+    return _struct.pack(">HQ", 16383 + exp, mant)
+
+
+@untrusted_decoder
+def aiff_info(b: bytes) -> dict:
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not an AIFF blob")
+    (form_size,) = _struct.unpack_from(">I", b, 4)
+    end = min(len(b), 8 + form_size)
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        (size,) = _struct.unpack_from(">I", b, pos + 4)
+        payload = pos + 8
+        if payload + size > end:
+            raise ValueError(f"AIFF chunk {cid!r} truncated")
+        if cid == b"COMM" and comm is None:
+            if size < 18:
+                raise ValueError("AIFF COMM chunk too small")
+            ch, frames, bits = _struct.unpack_from(">HIH", b, payload)
+            rate = _f80_to_int(b[payload + 8 : payload + 18])
+            comm = {"channels": ch, "n_samples": frames,
+                    "bits_per_sample": bits, "sample_rate": rate}
+        elif cid == b"SSND" and ssnd is None:
+            if size < 8:
+                raise ValueError("AIFF SSND chunk too small")
+            off, _block = _struct.unpack_from(">II", b, payload)
+            ssnd = (payload + 8 + off, size - 8 - off)
+        pos = payload + size + (size & 1)
+    if comm is None:
+        raise ValueError("AIFF: no COMM chunk")
+    if ssnd is None:
+        raise ValueError("AIFF: no SSND chunk")
+    if comm["channels"] < 1 or comm["channels"] > 64:
+        raise ValueError("AIFF: channel count out of range")
+    comm["data_start"], comm["data_bytes"] = ssnd
+    return comm
+
+
+@untrusted_decoder
+def decode_aiff(b: bytes) -> tuple[np.ndarray, int]:
+    """AIFF → (int32 (n, channels), rate): signed big-endian PCM at
+    8/16/24 bits — exact integers, the WAV conventions mirrored."""
+    info = aiff_info(b)
+    bits, ch = info["bits_per_sample"], info["channels"]
+    data = b[info["data_start"] : info["data_start"] + info["data_bytes"]]
+    if bits == 8:
+        x = np.frombuffer(data, np.int8).astype(np.int32)
+    elif bits == 16:
+        x = np.frombuffer(data, ">i2", len(data) // 2).astype(np.int32)
+    elif bits == 24:
+        n = len(data) // 3
+        raw = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3).astype(np.int64)
+        x = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.int32)
+    else:
+        raise ValueError(f"AIFF: {bits}-bit PCM not vendored")
+    want = info["n_samples"] * ch
+    if x.size < want:
+        raise ValueError("AIFF: SSND shorter than COMM numSampleFrames")
+    return x[:want].reshape(-1, ch), info["sample_rate"]
+
+
+def encode_aiff_pcm(
+    samples, sample_rate: int = 8000, bits: int = 8, channels: int = 1
+) -> bytes:
+    """Writer twin: int samples → spec-shaped AIFF (signed BE PCM)."""
+    x = np.asarray(samples, np.int64).ravel()
+    if x.size % channels:
+        raise ValueError("sample count must divide by channels")
+    if bits == 8:
+        data = x.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = x.astype(">i2").tobytes()
+    elif bits == 24:
+        u = np.where(x < 0, x + (1 << 24), x).astype(np.int64)
+        b3 = np.empty((x.size, 3), np.uint8)
+        b3[:, 0] = (u >> 16) & 0xFF
+        b3[:, 1] = (u >> 8) & 0xFF
+        b3[:, 2] = u & 0xFF
+        data = b3.tobytes()
+    else:
+        raise ValueError("AIFF twin: bits must be 8/16/24")
+    comm = (b"COMM" + _struct.pack(">I", 18)
+            + _struct.pack(">HIH", channels, x.size // channels, bits)
+            + _int_to_f80(sample_rate))
+    ssnd = b"SSND" + _struct.pack(">I", 8 + len(data)) + _struct.pack(">II", 0, 0) + data
+    if len(data) & 1:
+        ssnd += b"\x00"
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + _struct.pack(">I", len(body)) + body

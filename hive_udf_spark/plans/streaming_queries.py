@@ -110,6 +110,64 @@ def streaming_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_delta_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into a TRANSACTIONAL Delta table (r11,
+    streaming/delta_sink.py): the event stream arrives in 4 deterministic
+    micro-batches; each becomes one Delta commit whose version is the
+    batch id (protocol ``txn`` action included — the idempotent-writer
+    marker), data files published atomically BY the commit JSON.  After
+    the stream drains, the table is read back through the vendored
+    ``read_delta`` log replay and aggregated — so the hash check proves
+    the full circle: stream → commits → snapshot ≡ the batch SQL over
+    the same events.  A foreachBatch RETRY is a no-op (the commit file
+    is the idempotency check), which is what upgrades the parquet+swap
+    sinks' hwm guards to real table semantics."""
+    import tempfile
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.streaming.delta_sink import delta_commit_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(4):  # sequential writes -> deterministic file order
+            ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        table = f"{tmp}/table"
+        q = delta_commit_sink(stream, table, f"{tmp}/ckpt", app_id="ingest")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            read_delta(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("user_id").alias("sum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+@register(
     "streaming_dedup_exactly_once",
     oracle="""
     SELECT event_type, count(*) AS n_unique_events

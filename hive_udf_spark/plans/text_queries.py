@@ -2252,6 +2252,107 @@ def multimodal_ulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_au_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    m AS (
+      SELECT doc_id,
+             [(((255 - c) % 16) * 8 + 132) * (1 << ((255 - c - 128) // 16)) - 132
+              for c in cps] AS mags
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           -list_sum(mags) / 64.0 AS mean_amp,
+           CAST(list_max(mags) AS INT) AS max_abs
+    FROM m
+    """,
+)
+def multimodal_au_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun AU (.snd) decode end-to-end (r11): the legacy Unix/telephony
+    container whose payload IS raw G.711 µ-law codes — each document's
+    first 64 chars become the code bytes behind one constant 24-byte
+    big-endian AU header (no Python fixture encoder needed), and the
+    vendored container walk (audiocodec.decode_au — magic-dispatched
+    next to RIFF/FLAC/AIFF) expands them through the same companding
+    tables as the WAV format-7 path.  The oracle is the T-REC-G.711
+    SQL re-implementation the µ-law WAV query uses — the CONTAINER
+    changes, the companding semantics must not."""
+    from hive_udf_spark.operators.audiocodec import encode_au
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    hdr = encode_au(bytes(64), 1, sample_rate=8000)[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select(
+            "doc_id",
+            F.concat(F.lit(hdr), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+        )
+    )
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
+    "multimodal_aiff_audio_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s FROM documents
+    ),
+    b AS (
+      SELECT doc_id, [unicode(c) for c in string_split(s, '')] AS cps FROM t
+      WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           list_sum(cps) / 64.0 AS mean_amp,
+           CAST(list_max(cps) AS INT) AS max_abs
+    FROM b
+    """,
+)
+def multimodal_aiff_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF decode end-to-end (r11): Apple's big-endian IFF container —
+    COMM with the 80-bit-extended-float sample rate (the format's one
+    quirk, parsed exactly), SSND offset framing, SIGNED 8-bit PCM.
+    ASCII chars 0..127 are non-negative int8, so each document's first
+    64 chars ARE the sample frames behind one constant header (no
+    Python fixture encoder), decoded samples equal the char codes, and
+    mean_amp = Σc/64 divides by a power of two — bit-identical in both
+    engines."""
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import encode_aiff_pcm
+    from hive_udf_spark.operators.multimodal import decode_audio_features
+
+    hdr = encode_aiff_pcm(np.zeros(64, dtype=np.int64), sample_rate=8000, bits=8)
+    # data is the trailing 64 bytes (even length, no pad byte)
+    hdr = hdr[:-64]
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 64), 64, " ")
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select(
+            "doc_id",
+            F.concat(F.lit(hdr), F.encode(F.col("__s"), "UTF-8")).alias("blob"),
+        )
+    )
+    return decode_audio_features(blobs, fake=False)
+
+
+@register(
     "multimodal_adpcm_audio_features",
     oracle="""
     WITH t AS (

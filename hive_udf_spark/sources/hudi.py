@@ -117,6 +117,9 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str, dict]]:
         ):
             name = os.path.basename(p)
             instant, _, action = name.partition(".")
+            # Hudi 1.x names completed files <begin>_<completion>.<action>;
+            # the BEGIN instant orders the timeline
+            instant = instant.split("_", 1)[0]
             if not instant or not instant.isdigit():
                 raise ValueError(f"hudi: malformed timeline file {name!r}")
             if len(out) >= _MAX_TIMELINE_INSTANTS:

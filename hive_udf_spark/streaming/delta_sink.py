@@ -1,0 +1,116 @@
+"""Streaming ingestion into a Delta-format table (r11): the
+transactional upgrade of the parquet+atomic-swap sinks.
+
+``streaming/sketch_sink.py`` notes that "at deployment scale the same
+merge runs against a transactional table format" — with the vendored
+Delta writer (sources/delta.py) the engine now HAS one, so streams can
+land in a table any Delta reader (including ``read_delta``) consumes
+with snapshot isolation, instead of a bare parquet directory swap.
+
+Exactly-once, the Delta way: each micro-batch becomes ONE commit whose
+version IS the foreachBatch ``batch_id`` (Spark assigns contiguous ids
+from 0 under a checkpoint).  A retried batch finds its commit file
+already present and returns — and because the COMMIT JSON is the atomic
+publish (Delta readers only see files the log references), a crash
+between the data-file write and the commit leaves only unreferenced
+orphans, never a torn table.  The commit also carries the protocol's
+``txn`` action (appId + version), the idempotent-writer marker real
+streaming writers use.  The commit file lands via write-to-temp +
+``os.rename`` — atomic on POSIX, so a concurrent reader sees the
+version entirely or not at all.
+
+Scale shape: the data write is an ordinary distributed
+``batch_df.write.parquet``; only the KB-scale log append is
+driver-side, the same division as all the lakehouse sources.  Single
+writer per table (the streaming query); multi-writer Delta needs
+optimistic-concurrency retry, out of scope for an ingest sink.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated streaming/sink extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+__all__ = ["delta_commit_sink", "commit_batch_to_delta"]
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def commit_batch_to_delta(
+    batch_df: DataFrame, batch_id: int, table_path: str,
+    app_id: str = "delta-ingest",
+) -> bool:
+    """Append one micro-batch to the table as Delta commit version
+    ``batch_id``.  Returns False (no-op) when that version is already
+    committed — the foreachBatch-retry idempotency check."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    commit_path = os.path.join(log_dir, f"{batch_id:020d}.json")
+    if os.path.exists(commit_path):
+        return False  # retried batch: the publish already happened
+    os.makedirs(log_dir, exist_ok=True)
+    scratch = os.path.join(table_path, f"_scratch-{batch_id}")
+    batch_df.write.mode("overwrite").parquet(scratch)
+    adds = []
+    for i, part in enumerate(sorted(
+        p for p in os.listdir(scratch) if p.endswith(".parquet")
+    )):
+        name = f"part-{batch_id:010d}-{i:05d}.parquet"
+        os.replace(os.path.join(scratch, part), os.path.join(table_path, name))
+        adds.append(name)
+    shutil.rmtree(scratch)
+    lines = []
+    if batch_id == 0:
+        lines.append(json.dumps({"protocol": _PROTOCOL}))
+        lines.append(json.dumps({"metaData": {
+            "id": f"stream-{app_id}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(batch_df.schema.jsonValue()),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }}))
+    lines.append(json.dumps(
+        {"txn": {"appId": app_id, "version": batch_id}}
+    ))
+    lines.append(json.dumps(
+        {"commitInfo": {"operation": "STREAMING UPDATE",
+                        "queryId": app_id, "epochId": batch_id}}
+    ))
+    for name in adds:
+        lines.append(json.dumps({"add": {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table_path, name)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }}))
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.rename(tmp, commit_path)  # THE atomic publish
+    return True
+
+
+def delta_commit_sink(
+    stream_df: DataFrame, table_path: str, checkpoint_dir: str,
+    app_id: str = "delta-ingest",
+):
+    """writeStream → one Delta commit per micro-batch (see module
+    docstring for the exactly-once argument).  Returns the started
+    StreamingQuery."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_to_delta(batch_df, int(batch_id), table_path, app_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

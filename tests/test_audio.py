@@ -101,3 +101,81 @@ def test_mp3_native_decode_or_quarantine():
     assert chans in (1, 2) and rate in (8000, 11025, 16000, 22050,
                                         24000, 32000, 44100, 48000)
     assert samples.size > 0
+
+
+# ---------------------------------------------------------------------------
+# Sun AU + AIFF containers (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_au_roundtrips_every_encoding():
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import (
+        au_info,
+        decode_audio,
+        encode_au,
+        g711_decode,
+    )
+
+    codes = bytes(range(128))
+    for enc, law in ((1, "ulaw"), (27, "alaw")):
+        x, rate = decode_audio(encode_au(codes, enc, 8000))
+        assert np.array_equal(x.ravel(), g711_decode(codes, law))
+        assert rate == 8000
+    x, rate = decode_audio(encode_au([-32768, 0, 32767, 7], 3, 44100, 2))
+    assert x.tolist() == [[-32768, 0], [32767, 7]] and rate == 44100
+    x, _ = decode_audio(encode_au([-128, 127], 2, 8000))
+    assert x.ravel().tolist() == [-128, 127]
+    info = au_info(encode_au(codes, 1, 8000))
+    assert (info["encoding"], info["n_samples"]) == (1, 128)
+
+
+def test_au_malformed_and_unvendored():
+    import pytest
+
+    from hive_udf_spark.operators.audiocodec import decode_au, encode_au
+
+    with pytest.raises(ValueError, match="not a Sun AU"):
+        decode_au(b"RIFF" + b"\x00" * 32)
+    au = bytearray(encode_au(bytes(8), 1, 8000))
+    au[15] = 23  # G.721 ADPCM: not vendored
+    with pytest.raises(ValueError, match="not vendored"):
+        decode_au(bytes(au))
+    # declared size past EOF
+    au2 = bytearray(encode_au(bytes(8), 1, 8000))
+    au2[8:12] = (999).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="past EOF"):
+        decode_au(bytes(au2))
+
+
+def test_aiff_roundtrips_and_f80_rate():
+    import numpy as np
+
+    from hive_udf_spark.operators.audiocodec import (
+        aiff_info,
+        decode_audio,
+        encode_aiff_pcm,
+    )
+
+    for bits in (8, 16, 24):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        a = encode_aiff_pcm([lo, 0, hi, 42], 48000, bits, 2)
+        y, rate = decode_audio(a)
+        assert y.ravel().tolist() == [lo, 0, hi, 42] and rate == 48000
+    # the 80-bit extended sample rate parses exactly at odd rates too
+    assert aiff_info(encode_aiff_pcm([0], 11025, 8))["sample_rate"] == 11025
+
+
+def test_aiff_malformed():
+    import pytest
+
+    from hive_udf_spark.operators.audiocodec import decode_aiff, encode_aiff_pcm
+
+    with pytest.raises(ValueError, match="not an AIFF"):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    a = bytearray(encode_aiff_pcm([1, 2, 3, 4], 8000, 16))
+    at = a.index(b"COMM") + 10  # numSampleFrames field
+    a[at : at + 4] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="shorter than COMM"):
+        decode_aiff(bytes(a))

@@ -316,3 +316,26 @@ def test_deletion_vector_corruption_refuses(spark, tmp_path):
         _dv_positions(table, {**dv, "cardinality": 99})
     with pytest.raises(ValueError, match="storageType"):
         _dv_positions(table, {**dv, "storageType": "x"})
+
+
+def test_streaming_delta_commit_idempotent(spark, tmp_path):
+    """commit_batch_to_delta: version = batch id; a retry of the same
+    batch is a no-op (the commit file is the idempotency check), and
+    the table reads back exactly once through the vendored log replay."""
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10), (2, "de", 20)],
+                               "doc_id long, lang string, n long")
+    b1 = spark.createDataFrame([(3, "fr", 30)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_delta(b0, 0, table) is True
+    assert commit_batch_to_delta(b0, 0, table) is False  # retried batch
+    assert commit_batch_to_delta(b1, 1, table) is True
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+    # the txn idempotent-writer marker is in the log
+    log0 = open(os.path.join(table, "_delta_log", f"{0:020d}.json")).read()
+    assert '"txn"' in log0 and '"appId"' in log0
+    # version time travel sees only batch 0
+    assert read_delta(spark, table, version=0).count() == 2

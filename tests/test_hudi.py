@@ -165,3 +165,22 @@ def test_schema_pinned_from_avro_extra_metadata(spark, tmp_path):
     json.dump(meta, open(os.path.join(hoodie, commits[-1]), "w"))
     with pytest.raises(ValueError, match="not vendored"):
         read_hudi(spark, table)
+
+
+def test_hudi_1x_timeline_filenames(spark, tmp_path):
+    """Hudi 1.x names completed instants <begin>_<completion>.<action>;
+    the begin instant orders the timeline."""
+    import shutil
+
+    table = str(tmp_path / "t")
+    _basic(tmp_path, table)
+    hoodie = os.path.join(table, ".hoodie")
+    tl = os.path.join(hoodie, "timeline")
+    os.makedirs(tl)
+    for f in sorted(os.listdir(hoodie)):
+        if f.endswith(".commit"):
+            begin = f.split(".")[0]
+            shutil.move(os.path.join(hoodie, f),
+                        os.path.join(tl, f"{begin}_{begin}9.commit"))
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31), (4, "es", 40)]

@@ -505,6 +505,11 @@ def _heif():
     lib.heif_context_encode_image.argtypes = [vp, vp, vp, vp, ctypes.POINTER(vp)]
     lib.heif_context_add_exif_metadata.restype = _HeifError
     lib.heif_context_add_exif_metadata.argtypes = [vp, vp, vp, ctypes.c_int]
+    try:
+        lib.heif_context_set_max_decoding_threads.restype = None
+        lib.heif_context_set_max_decoding_threads.argtypes = [vp, ctypes.c_int]
+    except AttributeError:  # pragma: no cover - older libheif
+        pass
     lib.heif_context_write_to_file.restype = _HeifError
     lib.heif_context_write_to_file.argtypes = [vp, ctypes.c_char_p]
     return lib
@@ -533,6 +538,14 @@ def heif_native_decode_gray(data: bytes) -> np.ndarray:
     if not ctx:
         raise ValueError("heif context alloc failed")
     try:
+        try:
+            # per-blob decoder thread pools (dav1d/de265 default to all
+            # cores) oversubscribe the 32 parallel Python workers and
+            # cost ~1.5x even single-process on tile-sized inputs —
+            # Spark IS the parallelism
+            lib.heif_context_set_max_decoding_threads(ctx, 1)
+        except AttributeError:  # pragma: no cover - older libheif
+            pass
         _hck(
             lib.heif_context_read_from_memory_without_copy(
                 ctx, data, len(data), None
@@ -737,6 +750,12 @@ def dav1d_decode_obus_gray(obus: bytes) -> np.ndarray:
         raise ValueError("AV1: empty OBU stream")
     settings = ctypes.create_string_buffer(512)
     lib.dav1d_default_settings(settings)
+    # Dav1dSettings leads with {int n_threads; int max_frame_delay}:
+    # the default (0 = all cores) spawns a fresh 32-thread pool PER
+    # DECODED FRAME — 36x slower on tile-sized frames single-process,
+    # and catastrophically oversubscribed under 32 parallel Python
+    # workers (Spark IS the parallelism).  Pin both to 1.
+    _struct.pack_into("<ii", settings, 0, 1, 1)
     ctx = ctypes.c_void_p()
     if lib.dav1d_open(ctypes.byref(ctx), settings) != 0:
         raise ValueError("AV1: dav1d context open failed")

@@ -1822,7 +1822,9 @@ def multimodal_mp4_av1_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = mp4_av1_encoder_udf(3, 8)
     framed = (
@@ -1934,7 +1936,9 @@ def multimodal_webm_av1_frame_sample(spark: SparkSession, sf_dir: str) -> DataFr
         webm_av1_encoder_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = webm_av1_encoder_udf(3, 8)
     framed = (
@@ -2042,7 +2046,9 @@ def multimodal_mp4_avc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = mp4_avc_encoder_udf(3, 8)
     framed = (

@@ -980,6 +980,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_avc_frame_sample"].fn(spark, sf_dir))
 
+    def q_webm_subtitles():
+        # r11: S_TEXT/UTF8 cue extraction from Matroska containers
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_webm_subtitles"].fn(spark, sf_dir))
+
     def q_codec_au_audio():
         # r11: Sun AU container (µ-law codes straight from text)
         from hive_udf_spark.plans import QUERIES
@@ -1244,6 +1250,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_heic_decode": q_codec_heic_decode,
         "heic_exif_extract": q_heic_exif_extract,
         "codec_au_audio": q_codec_au_audio,
+        "webm_subtitles": q_webm_subtitles,
         "codec_aiff_audio": q_codec_aiff_audio,
     }
 

@@ -658,6 +658,158 @@ def split_webm_frames(b: bytes) -> list[bytes]:
     return frames
 
 
+@untrusted_decoder
+def extract_webm_subtitles(b: bytes) -> list[tuple[int, int, str]]:
+    """Subtitle cues [(start_ms, duration_ms, text)] from a WebM/
+    Matroska blob's first ``S_TEXT/UTF8`` track (r11) — embedded
+    subtitles are one of the larger aligned-text corpora hiding inside
+    video containers.  Subtitle blocks ride in BlockGroups (they need
+    BlockDuration, which SimpleBlock cannot carry); start = cluster
+    Timecode + block timecode, scaled by the segment's TimecodeScale.
+    Styled codecs (S_TEXT/ASS, S_VOBSUB …) raise — extracting their
+    payloads as plain text would corrupt the corpus."""
+    b = bytes(b)
+    top = _walk_ebml(b, 0, len(b))
+    eid, _, _ = next(top, (None, None, None))
+    if eid != _EBML_MAGIC:
+        raise ValueError("ebml: missing EBML header")
+    cues: list[tuple[int, int, str]] = []
+    sub_track = None
+    tc_scale = 1_000_000  # ns per timecode unit (the spec default: 1 ms)
+    for eid, pay, _ in top:
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, spay, _ in _walk_ebml(pay, 0, len(pay)):
+            if sid == 0x1549A966:  # Info
+                for iid, ipay, _ in _walk_ebml(spay, 0, len(spay)):
+                    if iid == 0x2AD7B1:
+                        tc_scale = _ebml_uint(ipay)
+                        if not 1 <= tc_scale <= 1_000_000_000:
+                            raise ValueError("webm: TimecodeScale out of range")
+            elif sid == 0x1654AE6B:  # Tracks
+                for tid, tpay, _ in _walk_ebml(spay, 0, len(spay)):
+                    if tid != 0xAE:
+                        continue
+                    num = ttype = codec = None
+                    for fid, fpay, _ in _walk_ebml(tpay, 0, len(tpay)):
+                        if fid == 0xD7:
+                            num = _ebml_uint(fpay)
+                        elif fid == 0x83:
+                            ttype = _ebml_uint(fpay)
+                        elif fid == 0x86:
+                            codec = fpay.decode("utf-8")
+                    if ttype == 0x11 and sub_track is None:
+                        if codec != "S_TEXT/UTF8":
+                            raise ValueError(
+                                f"webm: subtitle codec {codec!r} not vendored "
+                                "(plain-text extraction would corrupt styled "
+                                "formats)"
+                            )
+                        sub_track = num
+            elif sid == 0x1F43B675:  # Cluster
+                if sub_track is None:
+                    continue  # subtitle-less video: fine, cues stay empty
+                cluster_tc = 0
+                for cid, cpay, _ in _walk_ebml(spay, 0, len(spay)):
+                    if cid == 0xE7:
+                        cluster_tc = _ebml_uint(cpay)
+                    elif cid == 0xA0:  # BlockGroup
+                        block = None
+                        duration = 0
+                        for gid, gpay, _ in _walk_ebml(cpay, 0, len(cpay)):
+                            if gid == 0xA1:
+                                block = gpay
+                            elif gid == 0x9B:
+                                duration = _ebml_uint(gpay)
+                        if block is None:
+                            continue
+                        tnum, p = _read_vint(block, 0, keep_marker=False)
+                        if tnum != sub_track:
+                            continue
+                        if p + 3 > len(block):
+                            raise ValueError("webm: block header truncated")
+                        rel = struct.unpack_from(">h", block, p)[0]
+                        if block[p + 2] & 0x06:
+                            raise ValueError("webm: laced subtitle block")
+                        text = block[p + 3 :].decode("utf-8")
+                        start_ms = (cluster_tc + rel) * tc_scale // 1_000_000
+                        dur_ms = duration * tc_scale // 1_000_000
+                        cues.append((start_ms, dur_ms, text))
+    if sub_track is None:
+        raise ValueError("webm: no S_TEXT subtitle track")
+    return cues
+
+
+def encode_webm_subtitles(
+    cues: list[tuple[int, int, str]], width: int = 64, height: int = 48
+) -> bytes:
+    """Fixture twin (r11): a spec-valid Matroska with a video TrackEntry
+    plus an ``S_TEXT/UTF8`` subtitle track whose cues ride in
+    BlockGroups with BlockDuration — the layout real muxers emit."""
+    if not cues:
+        raise ValueError("at least one cue required")
+    shell = encode_webm(
+        duration_ms=max(s + d for s, d, _ in cues),
+        width=width, height=height, v_codec="V_AV1",
+        writing_app="graft-twin-subs",
+    )
+    sub_entry = _ebml_elem(0xAE, b"".join([
+        _ebml_elem(0xD7, b"\x03"),
+        _ebml_elem(0x83, b"\x11"),  # subtitle
+        _ebml_elem(0x86, b"S_TEXT/UTF8"),
+    ]))
+    groups = bytearray(_ebml_elem(0xE7, b"\x00"))  # cluster Timecode 0
+    for start_ms, dur_ms, text in cues:
+        if not 0 <= start_ms < 1 << 15:
+            raise ValueError("subtitle twin: start must fit a block timecode")
+        block = b"\x83" + struct.pack(">h", start_ms) + b"\x00" \
+            + text.encode("utf-8")
+        groups += _ebml_elem(0xA0, _ebml_elem(0xA1, block)
+                             + _ebml_elem(0x9B, _ebml_uint_payload(dur_ms)))
+    cluster = _ebml_elem(0x1F43B675, bytes(groups))
+    top = list(_walk_ebml(shell, 0, len(shell)))
+    head_end = top[0][2] + len(top[0][1])
+    seg_payload = top[1][1]
+    # splice the subtitle TrackEntry into the Tracks element, then the
+    # cluster after it
+    new_seg = bytearray()
+    for sid, spay, _ in _walk_ebml(seg_payload, 0, len(seg_payload)):
+        if sid == 0x1654AE6B:  # Tracks: append the subtitle entry
+            new_seg += _ebml_elem(0x1654AE6B, spay + sub_entry)
+        else:
+            new_seg += _ebml_elem(sid, spay)
+    new_seg += cluster
+    return shell[:head_end] + _ebml_elem(0x18538067, bytes(new_seg))
+
+
+WEBM_SUBTITLES_SCHEMA = (
+    "doc_id bigint, cue_idx int, start_ms bigint, duration_ms bigint, "
+    "text string"
+)
+
+
+def webm_subtitles_table(blobs):
+    """(doc_id, blob) → one row per subtitle cue via mapInPandas —
+    map-side only; containers never cross a shuffle, the extracted text
+    feeds the ordinary text-analysis tier."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "cue_idx", "start_ms", "duration_ms", "text")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, (s, d, t) in enumerate(extract_webm_subtitles(bytes(blob))):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["cue_idx"].append(i)
+                    rows["start_ms"].append(s)
+                    rows["duration_ms"].append(d)
+                    rows["text"].append(t)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=WEBM_SUBTITLES_SCHEMA)
+
+
 def _ebml_elem(eid: int, payload: bytes) -> bytes:
     head = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
     n = len(payload)

@@ -628,6 +628,31 @@ def webm_hevc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10)
     return enc
 
 
+def webm_subtitle_encoder_udf(n_cues: int = 3, chunk: int = 20):
+    """Arrow-batched subtitle-track fixture encoder (r11): an
+    ``n_cues · chunk``-char payload becomes a real Matroska with an
+    S_TEXT/UTF8 track — cue i covers [1500·i, 1500·i + 1000 + 100·i) ms
+    and carries the i-th chunk (mediaprobe.encode_webm_subtitles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import encode_webm_subtitles
+
+        def one(t: str) -> bytes:
+            if len(t) != n_cues * chunk:
+                raise ValueError(f"payload must be {n_cues * chunk} chars")
+            cues = [
+                (1500 * i, 1000 + 100 * i, t[i * chunk : (i + 1) * chunk])
+                for i in range(n_cues)
+            ]
+            return encode_webm_subtitles(cues)
+
+        return s.map(one)
+
+    return enc
+
+
 def mp4_avc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     """Arrow-batched H.264-in-MP4 fixture encoder (r11): a payload of
     ``n_frames · block_side²`` ASCII chars becomes ``n_frames`` 16×16

@@ -2062,6 +2062,53 @@ def multimodal_mp4_avc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_webm_subtitles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 60), 60, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    c AS (
+      SELECT doc_id, i AS cue_idx,
+             CAST(1500 * i AS BIGINT) AS start_ms,
+             CAST(1000 + 100 * i AS BIGINT) AS duration_ms,
+             substr(s, 1 + 20 * i, 20) AS text
+      FROM a, (SELECT unnest([0, 1, 2]) AS i)
+    )
+    SELECT doc_id, CAST(cue_idx AS INT) AS cue_idx, start_ms, duration_ms, text
+    FROM c
+    """,
+)
+def multimodal_webm_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle extraction from video containers (r11): embedded
+    S_TEXT/UTF8 tracks are one of the larger ALIGNED-TEXT corpora
+    hiding inside video files — each document's first 60 chars become
+    three timed cues muxed as a real Matroska subtitle track
+    (BlockGroups with BlockDuration, the layout real muxers emit,
+    alongside a video TrackEntry), and the production mapInPandas walk
+    (mediaprobe.extract_webm_subtitles) recovers (start, duration,
+    text) through the EBML cluster/timecode arithmetic.  Styled codecs
+    (S_TEXT/ASS, VOBSUB) refuse — plain-text-extracting them would
+    corrupt the corpus.  The recovered text feeds the ordinary
+    text-analysis tier; the oracle reconstructs every cue from the
+    document text alone."""
+    from hive_udf_spark.operators.multimodal import webm_subtitle_encoder_udf
+    from hive_udf_spark.operators.mediaprobe import webm_subtitles_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 60), 60, " ")
+    enc = webm_subtitle_encoder_udf(3, 20)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return webm_subtitles_table(blobs)
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

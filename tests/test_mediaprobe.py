@@ -174,3 +174,71 @@ def test_webm_malformed_raises():
         # some prefixes are structurally complete (clusters are optional);
         # they must still carry the EBML header
         assert b[:cut][:4] == b"\x1aE\xdf\xa3"
+
+
+# ---------------------------------------------------------------------------
+# Matroska subtitle extraction (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_webm_subtitles_roundtrip_and_unicode():
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_subtitles,
+        extract_webm_subtitles,
+        webm_probe,
+    )
+
+    cues = [(0, 1500, "Hello."), (1500, 2000, "äöü — 中文 🙂"), (3500, 0, "x")]
+    mkv = encode_webm_subtitles(cues)
+    assert extract_webm_subtitles(mkv) == cues
+    types = [(t["type"], t["codec"]) for t in webm_probe(mkv)["tracks"]]
+    assert (0x11, "S_TEXT/UTF8") in types
+
+
+def test_webm_subtitles_styled_codec_refuses():
+    import pytest
+
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_subtitles,
+        extract_webm_subtitles,
+    )
+
+    mkv = bytearray(encode_webm_subtitles([(0, 100, "plain")]))
+    at = mkv.index(b"S_TEXT/UTF8")
+    mkv[at : at + 11] = b"S_TEXT/ASS\x00"
+    with pytest.raises(ValueError, match="not vendored"):
+        extract_webm_subtitles(bytes(mkv))
+
+
+def test_webm_subtitles_absent_track_refuses():
+    import pytest
+
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm,
+        extract_webm_subtitles,
+    )
+
+    with pytest.raises(ValueError, match="no S_TEXT"):
+        extract_webm_subtitles(encode_webm(1000, 8, 8))
+
+
+def test_webm_subtitles_fuzz_never_crashes():
+    import numpy as np
+
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_subtitles,
+        extract_webm_subtitles,
+    )
+
+    base = bytearray(encode_webm_subtitles([(0, 100, "abc"), (100, 50, "def")]))
+    rng = np.random.RandomState(3)
+    for _ in range(250):
+        i = int(rng.randint(0, len(base)))
+        orig = base[i]
+        base[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            for s, d, t in extract_webm_subtitles(bytes(base)):
+                assert isinstance(t, str)
+        except ValueError:
+            pass
+        base[i] = orig

@@ -986,6 +986,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_webm_subtitles"].fn(spark, sf_dir))
 
+    def q_mp4_subtitles():
+        # r11: tx3g timed-text extraction (gap samples, stts timing)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_mp4_subtitles"].fn(spark, sf_dir))
+
     def q_codec_au_audio():
         # r11: Sun AU container (µ-law codes straight from text)
         from hive_udf_spark.plans import QUERIES
@@ -1251,6 +1257,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "heic_exif_extract": q_heic_exif_extract,
         "codec_au_audio": q_codec_au_audio,
         "webm_subtitles": q_webm_subtitles,
+        "mp4_subtitles": q_mp4_subtitles,
         "codec_aiff_audio": q_codec_aiff_audio,
     }
 

@@ -788,10 +788,22 @@ WEBM_SUBTITLES_SCHEMA = (
 )
 
 
-def webm_subtitles_table(blobs):
+def extract_subtitles(b: bytes) -> list[tuple[int, int, str]]:
+    """Magic-dispatched timed-text extraction: ISO-BMFF/MP4 (tx3g,
+    operators/mp4codec.extract_mp4_subtitles) or WebM/Matroska
+    (S_TEXT/UTF8)."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from hive_udf_spark.operators.mp4codec import extract_mp4_subtitles
+
+        return extract_mp4_subtitles(b)
+    return extract_webm_subtitles(b)
+
+
+def subtitles_table(blobs):
     """(doc_id, blob) → one row per subtitle cue via mapInPandas —
     map-side only; containers never cross a shuffle, the extracted text
-    feeds the ordinary text-analysis tier."""
+    feeds the ordinary text-analysis tier.  Blobs dispatch by magic
+    (MP4 tx3g or Matroska S_TEXT)."""
     import pandas as pd
 
     def extract(batches):
@@ -799,7 +811,7 @@ def webm_subtitles_table(blobs):
             rows = {k: [] for k in
                     ("doc_id", "cue_idx", "start_ms", "duration_ms", "text")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                for i, (s, d, t) in enumerate(extract_webm_subtitles(bytes(blob))):
+                for i, (s, d, t) in enumerate(extract_subtitles(bytes(blob))):
                     rows["doc_id"].append(int(doc_id))
                     rows["cue_idx"].append(i)
                     rows["start_ms"].append(s)
@@ -808,6 +820,10 @@ def webm_subtitles_table(blobs):
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(extract, schema=WEBM_SUBTITLES_SCHEMA)
+
+
+# back-compat alias (the Matroska-only name predates the MP4 tier)
+webm_subtitles_table = subtitles_table
 
 
 def _ebml_elem(eid: int, payload: bytes) -> bytes:

@@ -176,31 +176,7 @@ def split_mp4_frames(b: bytes) -> list[bytes]:
     entry, sizes, chunk_offsets, stsc, entry_payload = _parse_stbl(
         b, stbl[0], stbl[1]
     )
-    # expand stsc runs: samples-per-chunk for each chunk index (1-based)
-    n_chunks = len(chunk_offsets)
-    spc = [0] * n_chunks
-    for i, (first, per) in enumerate(stsc):
-        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
-        if not 1 <= first <= n_chunks or last < first:
-            raise ValueError("MP4 stsc: chunk run out of range")
-        for c in range(first - 1, last):
-            spc[c] = per
-    if sum(spc) != len(sizes):
-        raise ValueError(
-            f"MP4 sample tables disagree: stsc maps {sum(spc)} samples, "
-            f"stsz lists {len(sizes)}"
-        )
-    frames: list[bytes] = []
-    si = 0
-    for c, off in enumerate(chunk_offsets):
-        pos = off
-        for _ in range(spc[c]):
-            size = sizes[si]
-            if pos + size > len(b):
-                raise ValueError(f"MP4 sample {si} extends past end of file")
-            frames.append(b[pos : pos + size])
-            pos += size
-            si += 1
+    frames = _resolve_samples(b, sizes, chunk_offsets, stsc)
     if not frames:
         raise ValueError("MP4 video track has no samples")
     if entry == b"avc1":
@@ -536,6 +512,181 @@ def heif_item_payload(b: bytes, item_id: int | None = None) -> bytes:
             raise ValueError("HEIF: item has no extents")
         return bytes(out)
     raise ValueError(f"HEIF: item {item_id} missing from iloc")
+
+
+def _resolve_samples(
+    b: bytes, sizes: list[int], chunk_offsets: list[int],
+    stsc: list[tuple[int, int]],
+) -> list[bytes]:
+    """stsc × stco × stsz → per-sample byte blobs (the demuxer core the
+    video and subtitle walks share)."""
+    n_chunks = len(chunk_offsets)
+    spc = [0] * n_chunks
+    for i, (first, per) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        if not 1 <= first <= n_chunks or last < first:
+            raise ValueError("MP4 stsc: chunk run out of range")
+        for c in range(first - 1, last):
+            spc[c] = per
+    if sum(spc) != len(sizes):
+        raise ValueError(
+            f"MP4 sample tables disagree: stsc maps {sum(spc)} samples, "
+            f"stsz lists {len(sizes)}"
+        )
+    out: list[bytes] = []
+    si = 0
+    for c, off in enumerate(chunk_offsets):
+        pos = off
+        for _ in range(spc[c]):
+            size = sizes[si]
+            if pos + size > len(b):
+                raise ValueError(f"MP4 sample {si} extends past end of file")
+            out.append(b[pos : pos + size])
+            pos += size
+            si += 1
+    return out
+
+
+@untrusted_decoder
+def extract_mp4_subtitles(b: bytes) -> list[tuple[int, int, str]]:
+    """Subtitle cues [(start_ms, duration_ms, text)] from an MP4's
+    first timed-text track (r11 — the tx3g/3GPP layout: handler
+    ``text``/``sbtl``, each sample a 16-bit-BE length-prefixed UTF-8
+    string; timing from stts runs at the track's mdhd timescale).
+    Empty samples (the gap convention between cues) yield no cue."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 blob (missing ftyp)")
+    moov = _find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    for fc, p, e in _boxes(b, moov[0], moov[1]):
+        if fc != b"trak":
+            continue
+        mdia = _find(b, p, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(b, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] not in (b"text", b"sbtl"):
+            continue
+        mdhd = _find(b, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None:
+            raise ValueError("MP4 subtitle trak missing mdhd")
+        timescale = struct.unpack_from(">I", b, mdhd[0] + 12)[0]
+        if not timescale:
+            raise ValueError("MP4 subtitle trak has timescale 0")
+        minf = _find(b, mdia[0], mdia[1], b"minf")
+        stbl = _find(b, minf[0], minf[1], b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("MP4 subtitle trak missing stbl")
+        entry, sizes, chunk_offsets, stsc, _ = _parse_stbl(b, stbl[0], stbl[1])
+        if entry != b"tx3g":
+            raise ValueError(
+                f"MP4 subtitle sample entry {entry!r} not vendored (tx3g only)"
+            )
+        stts_box = _find(b, stbl[0], stbl[1], b"stts")
+        if stts_box is None:
+            raise ValueError("MP4 subtitle trak missing stts")
+        (n_runs,) = struct.unpack_from(">I", b, stts_box[0] + 4)
+        durations: list[int] = []
+        pos = stts_box[0] + 8
+        for _ in range(n_runs):
+            if pos + 8 > stts_box[1]:
+                raise ValueError("MP4 stts table truncated")
+            count, delta = struct.unpack_from(">II", b, pos)
+            pos += 8
+            if len(durations) + count > len(sizes):
+                raise ValueError("MP4 stts maps more samples than stsz")
+            durations.extend([delta] * count)
+        if len(durations) != len(sizes):
+            raise ValueError("MP4 stts/stsz sample counts disagree")
+        cues: list[tuple[int, int, str]] = []
+        t = 0
+        for sample, dur in zip(
+            _resolve_samples(b, sizes, chunk_offsets, stsc), durations
+        ):
+            start_ms = t * 1000 // timescale
+            dur_ms = dur * 1000 // timescale
+            t += dur
+            if len(sample) < 2:
+                raise ValueError("MP4 tx3g sample missing length prefix")
+            ln = int.from_bytes(sample[:2], "big")
+            if 2 + ln > len(sample):
+                raise ValueError("MP4 tx3g text extends past the sample")
+            if ln:
+                cues.append((start_ms, dur_ms, sample[2 : 2 + ln].decode("utf-8")))
+        return cues
+    raise ValueError("MP4 has no timed-text track (hdlr 'text'/'sbtl')")
+
+
+def encode_mp4_tx3g(cues: list[tuple[int, int, str]]) -> bytes:
+    """Fixture twin (r11): timed-text cues → a minimal valid MP4 with
+    one tx3g track at a 1000 timescale — gaps between cues become the
+    empty samples the 3GPP layout prescribes."""
+    if not cues:
+        raise ValueError("at least one cue required")
+    samples: list[bytes] = []
+    durations: list[int] = []
+    t = 0
+    for start_ms, dur_ms, text in sorted(cues):
+        if start_ms < t:
+            raise ValueError("tx3g twin: overlapping cues")
+        if start_ms > t:
+            samples.append(b"\x00\x00")  # gap sample
+            durations.append(start_ms - t)
+        enc = text.encode("utf-8")
+        samples.append(len(enc).to_bytes(2, "big") + enc)
+        durations.append(max(dur_ms, 1))
+        t = start_ms + max(dur_ms, 1)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    first_off = len(ftyp) + 8
+    n = len(samples)
+    duration = sum(durations)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, 1000, duration)
+                 + struct.pack(">iH", 0x10000, 0x0100)
+                 + b"\x00" * 10 + matrix + b"\x00" * 24
+                 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+                 + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIIIHH", 0, 0, 1000, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"text" + b"\x00" * 12 + b"tx3g\x00")
+    nmhd = _full(b"nmhd", 0, 0, b"")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # minimal tx3g TextSampleEntry: 8 reserved/dri + 4(flags) + 1+1
+    # (justification) + 4 (bg color) + 8 (text box) + 12 (style record)
+    tx3g = (struct.pack(">I", 8 + 38) + b"tx3g"
+            + b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">I", 0) + b"\x01\xff" + b"\x00" * 4
+            + b"\x00" * 8 + b"\x00" * 12)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + tx3g)
+    # stts: run-length encode the duration list
+    runs: list[tuple[int, int]] = []
+    for d in durations:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">II", c, d) for c, d in runs))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0,
+                 struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", nmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def heif_exif_payload(b: bytes) -> bytes:

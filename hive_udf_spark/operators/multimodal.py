@@ -653,6 +653,30 @@ def webm_subtitle_encoder_udf(n_cues: int = 3, chunk: int = 20):
     return enc
 
 
+def mp4_subtitle_encoder_udf(n_cues: int = 3, chunk: int = 20):
+    """Arrow-batched tx3g fixture encoder (r11): the Matroska subtitle
+    twin's cue schedule muxed as an MP4 timed-text track
+    (mp4codec.encode_mp4_tx3g) — gap samples between cues included."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mp4codec import encode_mp4_tx3g
+
+        def one(t: str) -> bytes:
+            if len(t) != n_cues * chunk:
+                raise ValueError(f"payload must be {n_cues * chunk} chars")
+            cues = [
+                (1500 * i, 1000 + 100 * i, t[i * chunk : (i + 1) * chunk])
+                for i in range(n_cues)
+            ]
+            return encode_mp4_tx3g(cues)
+
+        return s.map(one)
+
+    return enc
+
+
 def mp4_avc_encoder_udf(n_frames: int = 3, block_side: int = 8, fps: int = 10):
     """Arrow-batched H.264-in-MP4 fixture encoder (r11): a payload of
     ``n_frames · block_side²`` ASCII chars becomes ``n_frames`` 16×16

@@ -2109,6 +2109,47 @@ def multimodal_webm_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_subtitles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 60), 60, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    c AS (
+      SELECT doc_id, i AS cue_idx,
+             CAST(1500 * i AS BIGINT) AS start_ms,
+             CAST(1000 + 100 * i AS BIGINT) AS duration_ms,
+             substr(s, 1 + 20 * i, 20) AS text
+      FROM a, (SELECT unnest([0, 1, 2]) AS i)
+    )
+    SELECT doc_id, CAST(cue_idx AS INT) AS cue_idx, start_ms, duration_ms, text
+    FROM c
+    """,
+)
+def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-text extraction from MP4 (r11, the tx3g/3GPP sibling of
+    the Matroska query): the same three cues per document mux as a real
+    tx3g track — 16-bit length-prefixed UTF-8 samples, EMPTY samples
+    filling the gaps between cues (the 3GPP convention), timing
+    recovered from stts runs at the mdhd timescale.  Identical oracle
+    to the Matroska query: the container changes, the cues must not."""
+    from hive_udf_spark.operators.mediaprobe import subtitles_table
+    from hive_udf_spark.operators.multimodal import mp4_subtitle_encoder_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 60), 60, " ")
+    enc = mp4_subtitle_encoder_udf(3, 20)
+    blobs = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return subtitles_table(blobs)
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH t AS (

@@ -143,3 +143,68 @@ def test_heif_probe_malformed():
             heif_probe(good[:cut])
         except ValueError:
             continue
+
+
+# ---------------------------------------------------------------------------
+# tx3g timed text (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_tx3g_roundtrip_with_gaps_and_unicode():
+    from hive_udf_spark.operators.mp4codec import (
+        encode_mp4_tx3g,
+        extract_mp4_subtitles,
+    )
+
+    cues = [(0, 1500, "Hello."), (1500, 2000, "äöü — 中文 🙂"),
+            (4000, 100, "after a gap")]
+    assert extract_mp4_subtitles(encode_mp4_tx3g(cues)) == cues
+
+
+def test_tx3g_malformed_refuses():
+    import pytest
+
+    from hive_udf_spark.operators.mp4codec import (
+        encode_mp4_tx3g,
+        extract_mp4_subtitles,
+    )
+
+    from hive_udf_spark.operators.jpegcodec import encode_jpeg
+    from hive_udf_spark.operators.mp4codec import encode_mp4_mjpeg
+    import numpy as np
+
+    video_only = encode_mp4_mjpeg(
+        [encode_jpeg(np.zeros((16, 16), np.uint8), quality=100)], 16, 16
+    )
+    with pytest.raises(ValueError, match="no timed-text"):
+        extract_mp4_subtitles(video_only)
+    mp4 = bytearray(encode_mp4_tx3g([(0, 100, "abcdef")]))
+    # the SAMPLE ENTRY's fourcc (inside stsd) — not the hdlr name
+    at = mp4.index(b"tx3g", mp4.index(b"stsd"))
+    mp4[at : at + 4] = b"wvtt"  # a non-vendored timed-text entry
+    with pytest.raises(ValueError, match="not vendored"):
+        extract_mp4_subtitles(bytes(mp4))
+    with pytest.raises(ValueError, match="overlapping"):
+        encode_mp4_tx3g([(0, 2000, "a"), (1000, 100, "b")])
+
+
+def test_tx3g_fuzz_never_crashes():
+    import numpy as np
+
+    from hive_udf_spark.operators.mp4codec import (
+        encode_mp4_tx3g,
+        extract_mp4_subtitles,
+    )
+
+    base = bytearray(encode_mp4_tx3g([(0, 100, "abc"), (100, 50, "defgh")]))
+    rng = np.random.RandomState(5)
+    for _ in range(250):
+        i = int(rng.randint(0, len(base)))
+        orig = base[i]
+        base[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            for s, d, t in extract_mp4_subtitles(bytes(base)):
+                assert isinstance(t, str)
+        except ValueError:
+            pass
+        base[i] = orig

@@ -47,7 +47,12 @@ _SERIAL_COOKIE = 12346
 _NO_OFFSET_THRESHOLD = 4
 _RBM64_MAGIC = 1681511377
 _MAX_CONTAINERS = 1 << 16  # one per possible high key
-_MAX_CARDINALITY = 1 << 28  # 268M positions ≈ 2 GiB of int64 — bomb guard
+# Bomb guard: run containers amplify ~10,000x (6 bytes -> 65,536
+# values), so the cardinality budget must be enforced on the DECLARED
+# headers BEFORE any container allocates (the avro element-budget
+# lesson).  2^26 positions = 512 MiB of int64 — far above any sane
+# per-file deletion vector, far below an executor OOM.
+_MAX_CARDINALITY = 1 << 26
 
 
 def _read_container(b: bytes, pos: int, card: int, is_run: bool) -> tuple[np.ndarray, int]:
@@ -69,6 +74,10 @@ def _read_container(b: bytes, pos: int, card: int, is_run: bool) -> tuple[np.nda
             out.append(np.arange(start, start + length + 1, dtype=np.uint32))
         vals = (np.concatenate(out) if out
                 else np.empty(0, dtype=np.uint32)).astype(np.uint16)
+        if vals.size != card:
+            raise ValueError(
+                "roaring: run container cardinality differs from its header"
+            )
         return vals, pos
     if card <= 4096:
         if pos + 2 * card > len(b):
@@ -123,6 +132,10 @@ def decode_roaring32(b: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
         keys.append(k)
         cards.append(c + 1)
     pos += 4 * size
+    if sum(cards) > _MAX_CARDINALITY:
+        # the budget binds on DECLARED headers, before any container
+        # allocates (run containers amplify ~10,000x per 6 input bytes)
+        raise ValueError("roaring: declared cardinality past the cap")
     if has_offsets:
         pos += 4 * size  # containers follow in order; offsets redundant here
     parts = []

@@ -97,3 +97,33 @@ def test_byte_flip_fuzz_never_crashes():
         except ValueError:
             pass
         base[i] = orig
+
+
+def test_declared_cardinality_bomb_refuses_before_allocating():
+    """A crafted bitmap declaring 2^16 run containers x 2^16 values
+    (~4G positions from ~600 KB of input) must refuse on the DECLARED
+    headers, before any container allocates — the run-container
+    amplification is ~10,000x per 6 input bytes."""
+    import time
+
+    size = 1 << 16
+    blob = bytearray()
+    blob += struct.pack("<I", 12346 | ((size - 1) << 16))  # run cookie
+    blob += b"\xff" * ((size + 7) // 8)  # all containers are runs
+    for k in range(size):
+        blob += struct.pack("<HH", k, 0xFFFF)  # card-1 = 65535
+    # the offsets header that follows at this size is absent here —
+    # irrelevant: the declared-cardinality check fires before it's read
+    t0 = time.time()
+    with pytest.raises(ValueError, match="declared cardinality"):
+        decode_roaring32(bytes(blob))
+    assert time.time() - t0 < 2.0  # refused without decoding anything
+
+
+def test_run_container_lying_header_refuses():
+    vals = np.arange(100, dtype=np.uint32)  # encodes as one run
+    blob = bytearray(encode_roaring32(vals))
+    # descriptive header: cookie(4) + flags(1) + key(2) + card-1(2)
+    blob[7] ^= 0x01  # card now lies
+    with pytest.raises(ValueError, match="cardinality"):
+        decode_roaring32(bytes(blob))

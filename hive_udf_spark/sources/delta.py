@@ -366,7 +366,11 @@ def read_delta(
         groups: dict[tuple, list[str]] = {}
         for add in snap.files.values():
             pv = add.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            # under column mapping, add.partitionValues keys are the
+            # PHYSICAL names; plain tables use the logical ones
+            key = tuple(
+                pv.get(phys_of[c], pv.get(c)) for c in part_cols
+            )
             groups.setdefault(key, []).append(abs_path(add["path"]))
         parts = []
         for key in sorted(groups,

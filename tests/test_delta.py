@@ -339,3 +339,31 @@ def test_streaming_delta_commit_idempotent(spark, tmp_path):
     assert '"txn"' in log0 and '"appId"' in log0
     # version time travel sees only batch 0
     assert read_delta(spark, table, version=0).count() == 2
+
+
+def test_column_mapping_partitioned_physical_partition_values(spark, tmp_path):
+    """Under column mapping, add.partitionValues keys are PHYSICAL
+    names — looking partition values up by logical name would silently
+    null every partition column."""
+    table = str(tmp_path / "t")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-ccc"}},
+            {"name": "day", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-ddd"}},
+        ],
+    })
+    _write_physical_file(table, "a.parquet", [(1, "en", 10)])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet",
+                  "partitionValues": {"col-ddd": "7"}}}],
+    ], schema, part_cols=["day"],
+        configuration={"delta.columnMapping.mode": "name"})
+    rows = read_delta(spark, table).collect()
+    assert [(r.doc_id, r.day) for r in rows] == [(1, 7)]

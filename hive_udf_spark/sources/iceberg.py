@@ -194,7 +194,13 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
                 continue
             seen.add(fp)
             seq = e.get("sequence_number")
-            seq = mseq if seq is None else seq
+            if seq is None:
+                # inheritance applies to ADDED entries only (the spec's
+                # rule): an EXISTING entry inheriting the CURRENT
+                # manifest's sequence would dodge older equality
+                # deletes — leave it unresolved so delete application
+                # refuses loudly instead of over-retaining
+                seq = mseq if status == 1 else None
             path = _local_path(fp, table_path)
             if content == 0:
                 if mcontent != 0:

@@ -199,3 +199,27 @@ def test_delete_plan_is_broadcast_anti_join(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "hashpartitioning" not in plan
     assert sorted(tuple(r) for r in df.collect()) == [(2, "de", 20)]
+
+
+def test_existing_entry_without_seq_refuses_under_eq_deletes(spark, tmp_path):
+    """Sequence inheritance is for ADDED entries only: an EXISTING
+    entry with a null sequence number inheriting the CURRENT manifest's
+    would dodge older equality deletes (over-retention) — the reader
+    must refuse instead."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"eq_deletes": {"ids": [1], "rows": [{"doc_id": 1}]}},
+    ], FIELDS)
+    # null out the EXISTING entry's sequence number in snapshot 2's manifest
+    from hive_udf_spark.operators.avrocodec import decode_ocf, encode_ocf
+    from hive_udf_spark.sources.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    m = os.path.join(table, "metadata", "manifest-1001.avro")
+    _, entries = decode_ocf(open(m, "rb").read())
+    assert entries[0]["status"] == 0  # EXISTING
+    entries[0]["sequence_number"] = None
+    open(m, "wb").write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+    with pytest.raises(ValueError, match="sequence numbers"):
+        read_iceberg(spark, table).collect()

@@ -59,7 +59,9 @@ from pyspark.sql.types import StructType
 __all__ = [
     "read_delta",
     "delta_snapshot",
+    "delta_version_at_timestamp",
     "write_delta_commits",
+    "write_deletion_vector",
     "checkpoint_delta",
 ]
 
@@ -168,6 +170,35 @@ def _replay_checkpoint(snap: _Snapshot, parts: list[str]) -> None:
             for key in ("metaData", "protocol", "add", "remove"):
                 if key in cols and row.get(key) is not None:
                     _apply_action(snap, {key: row[key]})
+
+
+def delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """The newest committed version whose commitInfo timestamp is ≤
+    ``ts_ms`` — delta-spark's ``timestampAsOf`` resolution.  Commits
+    without a commitInfo timestamp are skipped; a timestamp before the
+    first commit refuses (the table didn't exist yet)."""
+    log_dir = _log_dir(table_path)
+    best = None
+    for v in _commit_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "rb") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = action.get("commitInfo")
+                if info and info.get("timestamp") is not None:
+                    if int(info["timestamp"]) <= ts_ms:
+                        best = v
+                    break
+    if best is None:
+        raise ValueError(
+            f"delta: no commit at or before timestamp {ts_ms}"
+        )
+    return best
 
 
 def delta_snapshot(table_path: str, version: int | None = None) -> _Snapshot:
@@ -297,7 +328,8 @@ def _partition_literal(value: str | None, dtype: str):
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession, table_path: str, version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Delta table → DataFrame of its live rows at ``version``
     (default latest).  Column order follows the table schema.
@@ -309,7 +341,13 @@ def read_delta(
     codec (operators/roaring.py) and applies as a broadcast anti-join
     against the scan's ``_metadata.file_path``/``row_index`` — Spark's
     parquet row positions ARE the protocol's row indexes, so the filter
-    is exact and the data scan never shuffles."""
+    is exact and the data scan never shuffles.  ``timestamp_ms``
+    resolves to the newest commit at or before that time (delta-spark's
+    timestampAsOf); passing both selectors refuses."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("delta: pass version OR timestamp_ms, not both")
+        version = delta_version_at_timestamp(table_path, timestamp_ms)
     snap = delta_snapshot(table_path, version)
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])

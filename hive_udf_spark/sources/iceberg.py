@@ -63,7 +63,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["read_iceberg", "iceberg_live_files", "write_iceberg_table"]
+__all__ = [
+    "read_iceberg",
+    "iceberg_live_files",
+    "iceberg_snapshot_at_timestamp",
+    "write_iceberg_table",
+]
 
 _PRIMITIVES = {
     "boolean": "boolean",
@@ -256,15 +261,42 @@ def _norm_path(col, table_abs: str):
     ).otherwise(F.concat(F.lit(table_abs + "/"), p))
 
 
+def iceberg_snapshot_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """The newest snapshot whose ``timestamp-ms`` is ≤ ``ts_ms`` —
+    Iceberg's ``as-of-timestamp`` resolution from the snapshot log."""
+    meta = _load_metadata(table_path)
+    best = None
+    best_ts = None
+    for s in meta.get("snapshots") or []:
+        t = s.get("timestamp-ms")
+        if t is not None and int(t) <= ts_ms:
+            if best_ts is None or int(t) >= best_ts:
+                best, best_ts = s.get("snapshot-id"), int(t)
+    if best is None:
+        raise ValueError(
+            f"iceberg: no snapshot at or before timestamp {ts_ms}"
+        )
+    return best
+
+
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame of its live rows at ``snapshot_id``
     (default: current).  The scan schema is pinned from the table
     metadata, never inferred from the files.  v2 row-level deletes
     apply as broadcast anti-joins (position deletes against the scan's
     own ``_metadata`` row positions; equality deletes gated on sequence
-    numbers) — the data scan itself never shuffles."""
+    numbers) — the data scan itself never shuffles.  ``timestamp_ms``
+    resolves via the snapshot log (as-of-timestamp); passing both
+    selectors refuses."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg: pass snapshot_id OR timestamp_ms, not both"
+            )
+        snapshot_id = iceberg_snapshot_at_timestamp(table_path, timestamp_ms)
     meta, data, pos_files, eq_files = _snapshot_state(table_path, snapshot_id)
     schema = _schema_from_metadata(meta)
     if not data:

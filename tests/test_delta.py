@@ -367,3 +367,18 @@ def test_column_mapping_partitioned_physical_partition_values(spark, tmp_path):
         configuration={"delta.columnMapping.mode": "name"})
     rows = read_delta(spark, table).collect()
     assert [(r.doc_id, r.day) for r in rows] == [(1, 7)]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf semantics: the newest commit at or before the
+    given time wins; times before the first commit refuse."""
+    table = str(tmp_path / "t")
+    _basic_table(table)  # commitInfo timestamps 0 and 1
+    assert read_delta(spark, table, timestamp_ms=0).count() == 3
+    got = sorted(tuple(r) for r in
+                 read_delta(spark, table, timestamp_ms=99).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31), (4, "es", 40)]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta(spark, table, timestamp_ms=-1)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, table, version=0, timestamp_ms=0)

@@ -223,3 +223,16 @@ def test_existing_entry_without_seq_refuses_under_eq_deletes(spark, tmp_path):
     open(m, "wb").write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
     with pytest.raises(ValueError, match="sequence numbers"):
         read_iceberg(spark, table).collect()
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as-of-timestamp resolution from the snapshot log (the twin
+    stamps timestamp-ms = snapshot index)."""
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    assert read_iceberg(spark, table, timestamp_ms=0).count() == 3
+    assert read_iceberg(spark, table, timestamp_ms=99).count() == 4
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg(spark, table, timestamp_ms=-1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, table, snapshot_id=1000, timestamp_ms=0)

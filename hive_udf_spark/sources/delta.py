@@ -330,6 +330,7 @@ def _partition_literal(value: str | None, dtype: str):
 def read_delta(
     spark: SparkSession, table_path: str, version: int | None = None,
     timestamp_ms: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Delta table → DataFrame of its live rows at ``version``
     (default latest).  Column order follows the table schema.
@@ -343,7 +344,14 @@ def read_delta(
     parquet row positions ARE the protocol's row indexes, so the filter
     is exact and the data scan never shuffles.  ``timestamp_ms``
     resolves to the newest commit at or before that time (delta-spark's
-    timestampAsOf); passing both selectors refuses."""
+    timestampAsOf); passing both selectors refuses.
+
+    ``partition_filter`` prunes file groups DRIVER-SIDE by their
+    serialized partitionValues before Spark ever lists them — at PB
+    scale this (not parquet-footer pushdown) is what keeps a one-day
+    query from touching a thousand days of files.  Keys must be
+    partition columns; values compare against the protocol's serialized
+    string form."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("delta: pass version OR timestamp_ms, not both")
@@ -369,6 +377,22 @@ def read_delta(
         for f in schema.fields if f.name not in part_cols
     ])
     all_names = [f.name for f in schema.fields]
+    if partition_filter:
+        bad = set(partition_filter) - set(part_cols)
+        if bad:
+            raise ValueError(
+                f"delta: partition_filter keys {sorted(bad)} are not "
+                f"partition columns {part_cols}"
+            )
+        kept = {}
+        for path, add in snap.files.items():
+            pv = add.get("partitionValues") or {}
+            if all(
+                pv.get(phys_of[c], pv.get(c)) == v
+                for c, v in partition_filter.items()
+            ):
+                kept[path] = add
+        snap.files = kept  # pruned BEFORE listing, DV decode, or scan
     if not snap.files:
         return spark.createDataFrame([], schema)
     abs_path = lambda p: p if os.path.isabs(p) else os.path.join(table_path, p)

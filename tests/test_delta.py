@@ -382,3 +382,31 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_delta(spark, table, timestamp_ms=-1)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, table, version=0, timestamp_ms=0)
+
+
+def test_partition_filter_prunes_files_driver_side(spark, tmp_path):
+    """partition_filter must shrink the SCANNED FILE SET (inputFiles),
+    not just filter rows — the PB-scale pruning real readers do."""
+    table = str(tmp_path / "p")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    })
+    _write_file(table, "a.parquet", [(1, "en", 10)])
+    _write_file(table, "b.parquet", [(2, "de", 20)])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "partitionValues": {"day": "7"}}},
+         {"add": {"path": "b.parquet", "partitionValues": {"day": "8"}}}],
+    ], schema, part_cols=["day"])
+    df = read_delta(spark, table, partition_filter={"day": "7"})
+    assert len(df.inputFiles()) == 1 and "a.parquet" in df.inputFiles()[0]
+    assert [(r.doc_id, r.day) for r in df.collect()] == [(1, 7)]
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta(spark, table, partition_filter={"lang": "en"})
+    # filter that matches nothing: empty frame with the full schema
+    assert read_delta(spark, table, partition_filter={"day": "9"}).count() == 0

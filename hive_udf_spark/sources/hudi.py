@@ -189,13 +189,17 @@ def _schema_from_commit(meta: dict) -> tuple[str, list[str]] | None:
 
 
 def hudi_live_files(
-    table_path: str, as_of: str | None = None
+    table_path: str, as_of: str | None = None,
+    partitions: list[str] | None = None,
 ) -> tuple[list[str], dict | None]:
     """The live base files of a COW table at instant ``as_of`` (default
-    latest), resolved through the file-slice rule: per file group
-    (fileId), the base file written by the NEWEST completed instant ≤
-    the target wins; replacecommits retire whole file groups.  Returns
-    (absolute paths sorted, the newest commit metadata ≤ target)."""
+    latest), resolved through the file-slice rule: per file group —
+    keyed (partition path, fileId), since file groups live inside
+    partitions — the base file written by the NEWEST completed instant
+    ≤ the target wins; replacecommits retire whole file groups.
+    ``partitions`` prunes DRIVER-SIDE to the named partition paths
+    before anything is listed or scanned.  Returns (absolute paths
+    sorted, the newest commit metadata ≤ target)."""
     props = _read_properties(table_path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
@@ -208,26 +212,29 @@ def hudi_live_files(
         if not any(t == as_of for t, _, _ in timeline):
             raise ValueError(f"hudi: instant {as_of!r} not in the timeline")
         timeline = [t for t in timeline if t[0] <= as_of]
-    # file-slice view: fileId -> (instant, relative path)
-    slices: dict[str, tuple[str, str]] = {}
+    keep = None if partitions is None else set(partitions)
+    # file-slice view: (partition, fileId) -> (instant, relative path)
+    slices: dict[tuple[str, str], tuple[str, str]] = {}
     last_meta: dict | None = None
     for instant, action, meta in timeline:
         last_meta = meta
         if action == "replacecommit":
             replaced = meta.get("partitionToReplaceFileIds") or {}
-            for file_ids in replaced.values():
+            for part, file_ids in replaced.items():
                 for fid in file_ids:
-                    slices.pop(fid, None)
-        for stats in (meta.get("partitionToWriteStats") or {}).values():
+                    slices.pop((part, fid), None)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            if keep is not None and part not in keep:
+                continue
             for st in stats:
                 fid, path = st.get("fileId"), st.get("path")
                 if not fid or not path:
                     raise ValueError(
                         f"hudi: write stat without fileId/path in {instant}"
                     )
-                prev = slices.get(fid)
+                prev = slices.get((part, fid))
                 if prev is None or instant >= prev[0]:
-                    slices[fid] = (instant, path)
+                    slices[(part, fid)] = (instant, path)
     files = sorted(
         os.path.join(table_path, rel) for _, rel in slices.values()
     )
@@ -242,11 +249,15 @@ def read_hudi(
     table_path: str,
     as_of: str | None = None,
     include_meta: bool = False,
+    partitions: list[str] | None = None,
 ) -> DataFrame:
     """Hudi COW table → DataFrame of its live rows at instant ``as_of``
     (default latest).  Data columns only unless ``include_meta=True``
-    (the five ``_hoodie_*`` bookkeeping columns base files carry)."""
-    files, meta = hudi_live_files(table_path, as_of)
+    (the five ``_hoodie_*`` bookkeeping columns base files carry).
+    ``partitions`` prunes to the named partition paths driver-side —
+    the PB-scale file-set pruning, same as the Delta reader's
+    partition_filter."""
+    files, meta = hudi_live_files(table_path, as_of, partitions=partitions)
     pinned = _schema_from_commit(meta or {})
     if not files:
         if pinned is None:
@@ -322,20 +333,26 @@ def write_hudi_table(
                 base = f"{fid}_0-0-0_{instant}.parquet"
                 os.replace(src, os.path.join(table_path, base))
             continue
-        stats = []
-        for fid, src in (commit.get("writes") or {}).items():
-            base = f"{fid}_0-0-0_{instant}.parquet"
-            dst = os.path.join(table_path, base)
-            os.replace(src, dst)
-            stats.append({
-                "fileId": fid,
-                "path": base,
-                "prevCommit": "null",
-                "numWrites": 0,
-                "fileSizeInBytes": os.path.getsize(dst),
-            })
+        part_writes: dict[str, dict] = {"": dict(commit.get("writes") or {})}
+        for part, writes in (commit.get("partition_writes") or {}).items():
+            part_writes.setdefault(part, {}).update(writes)
+        stats_by_part: dict[str, list] = {}
+        for part, writes in part_writes.items():
+            for fid, src in writes.items():
+                base = f"{fid}_0-0-0_{instant}.parquet"
+                rel = os.path.join(part, base) if part else base
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                stats_by_part.setdefault(part, []).append({
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": "null",
+                    "numWrites": 0,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                })
         meta: dict = {
-            "partitionToWriteStats": {"": stats},
+            "partitionToWriteStats": stats_by_part or {"": []},
             "compacted": False,
             "extraMetadata": {"schema": avro_schema},
             "operationType": (

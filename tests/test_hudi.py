@@ -184,3 +184,24 @@ def test_hudi_1x_timeline_filenames(spark, tmp_path):
                         os.path.join(tl, f"{begin}_{begin}9.commit"))
     got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
     assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31), (4, "es", 40)]
+
+
+def test_partitioned_table_and_pruning(spark, tmp_path):
+    """File groups live inside partitions: the slice key is
+    (partition, fileId) — the same fileId in two partitions must not
+    collide — and `partitions=` prunes the file set driver-side."""
+    write_hudi_table(str(tmp_path / "t"), [
+        {"partition_writes": {
+            "day=7": {"fg-a": _src(tmp_path, "a", [(1, "en", 10)])},
+            "day=8": {"fg-a": _src(tmp_path, "b", [(2, "de", 20)])},
+        }},
+        {"partition_writes": {
+            "day=8": {"fg-a": _src(tmp_path, "b2", [(2, "de", 22)])},
+        }},
+    ], FIELDS)
+    table = str(tmp_path / "t")
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 22)]  # day=8 rewrite applied
+    pruned = read_hudi(spark, table, partitions=["day=7"])
+    assert len(pruned.inputFiles()) == 1 and "day=7" in pruned.inputFiles()[0]
+    assert [tuple(r) for r in pruned.collect()] == [(1, "en", 10)]

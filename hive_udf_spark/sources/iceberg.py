@@ -148,7 +148,7 @@ def _local_path(uri: str, table_path: str) -> str:
 
 def _snapshot_state(table_path: str, snapshot_id: int | None = None):
     """Full v2 snapshot state: (metadata dict,
-    data files [(abs path, sequence number | None)],
+    data files [(abs path, sequence number | None, partition record | None)],
     position-delete files [abs paths],
     equality deletes [(abs path, equality field ids, sequence number)])."""
     from hive_udf_spark.operators.avrocodec import decode_ocf
@@ -157,6 +157,8 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
     snapshots = meta.get("snapshots") or []
     if not snapshots:
         return meta, [], [], []
+    # (data tuples below carry the manifest's decoded partition record —
+    # None when the writer stamped none — for driver-side pruning)
     target = (meta.get("current-snapshot-id")
               if snapshot_id is None else snapshot_id)
     snap = next((s for s in snapshots if s.get("snapshot-id") == target), None)
@@ -167,7 +169,7 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
         raise ValueError("iceberg: snapshot has no manifest-list")
     with open(_local_path(mlist, table_path), "rb") as fh:
         _, manifests = decode_ocf(fh.read())
-    data: list[tuple[str, int | None]] = []
+    data: list[tuple[str, int | None, dict | None]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, list[int], int]] = []
     seen: set[str] = set()
@@ -210,7 +212,7 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
             if content == 0:
                 if mcontent != 0:
                     raise ValueError("iceberg: data file in a delete manifest")
-                data.append((path, seq))
+                data.append((path, seq, df.get("partition")))
             elif content == 1:  # position deletes
                 pos_deletes.append(path)
             elif content == 2:  # equality deletes
@@ -248,7 +250,7 @@ def iceberg_live_files(
             "iceberg: table carries v2 row-level deletes — use "
             "read_iceberg (the file list alone would over-read)"
         )
-    return meta, [p for p, _ in data]
+    return meta, [p for p, _, _ in data]
 
 
 def _norm_path(col, table_abs: str):
@@ -282,6 +284,7 @@ def iceberg_snapshot_at_timestamp(table_path: str, ts_ms: int) -> int:
 def read_iceberg(
     spark: SparkSession, table_path: str, snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Iceberg table → DataFrame of its live rows at ``snapshot_id``
     (default: current).  The scan schema is pinned from the table
@@ -299,10 +302,26 @@ def read_iceberg(
         snapshot_id = iceberg_snapshot_at_timestamp(table_path, timestamp_ms)
     meta, data, pos_files, eq_files = _snapshot_state(table_path, snapshot_id)
     schema = _schema_from_metadata(meta)
+    if partition_filter:
+        # driver-side file pruning on the manifests' typed partition
+        # records (identity transforms) — the PB-scale pruning, same as
+        # the Delta reader's partition_filter.  A data file WITHOUT a
+        # partition record cannot be proven in or out: refuse rather
+        # than silently over- or under-read.
+        kept = []
+        for path, seq, part in data:
+            if part is None:
+                raise ValueError(
+                    "iceberg: partition_filter needs manifest partition "
+                    f"records, but {path!r} has none"
+                )
+            if all(part.get(k) == v for k, v in partition_filter.items()):
+                kept.append((path, seq, part))
+        data = kept
     if not data:
         return spark.createDataFrame([], schema)
     names = [f.name for f in schema.fields]
-    files = [p for p, _ in data]
+    files = [p for p, _, _ in data]
     df = spark.read.schema(schema).parquet(*files)
     if not pos_files and not eq_files:
         return df
@@ -323,7 +342,7 @@ def read_iceberg(
         )
     if eq_files:
         id_to_name = _field_names_by_id(meta)
-        seq_rows = [(os.path.abspath(p), s) for p, s in data]
+        seq_rows = [(os.path.abspath(p), s) for p, s, _ in data]
         if any(s is None for _, s in seq_rows):
             raise ValueError(
                 "iceberg: equality deletes need data-file sequence numbers"
@@ -399,6 +418,14 @@ _MANIFEST_ENTRY_SCHEMA = {
                  "type": ["null", {"type": "map", "values": "long"}]},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}]},
+                # real manifests carry a typed r102 partition record
+                # whose shape follows the table's partition spec; the
+                # twin's fixture spec is a single identity 'day' field
+                # (the reader decodes ANY record shape generically)
+                {"name": "partition",
+                 "type": ["null", {"type": "record", "name": "r102",
+                                   "fields": [{"name": "day",
+                                               "type": ["null", "long"]}]}]},
             ],
         }},
     ],
@@ -428,13 +455,19 @@ def write_iceberg_table(
     os.makedirs(mdir, exist_ok=True)
     snap_meta = []
     live: dict[str, int] = {}  # path -> snapshot added
+    parts: dict[str, dict] = {}  # path -> partition record (identity)
     del_live: list[dict] = []  # delete-file manifest entries, cumulative
     for i, s in enumerate(snapshots):
         sid = 1000 + i
         seq = i + 1
         entries = []
         for p in s.get("added", []):
-            live[p] = sid
+            # an added entry may be (path, partition_record)
+            if isinstance(p, tuple):
+                live[p[0]] = sid
+                parts[p[0]] = p[1]
+            else:
+                live[p] = sid
         for p in s.get("deleted", []):
             fp = os.path.join(table_path, p)
             entries.append({
@@ -445,6 +478,7 @@ def write_iceberg_table(
                     "file_size_in_bytes": os.path.getsize(fp)
                     if os.path.exists(fp) else 0,
                     "column_sizes": None, "equality_ids": None,
+                    "partition": None,
                 },
             })
             live.pop(p, None)
@@ -460,6 +494,7 @@ def write_iceberg_table(
                     "file_size_in_bytes": os.path.getsize(fp),
                     "column_sizes": {"1": os.path.getsize(fp)},
                     "equality_ids": None,
+                    "partition": parts.get(p),
                 },
             })
         for target, positions in (s.get("pos_deletes") or {}).items():
@@ -480,6 +515,7 @@ def write_iceberg_table(
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table_path, rel)),
                     "column_sizes": None, "equality_ids": None,
+                    "partition": None,
                 },
             })
         if s.get("eq_deletes"):
@@ -503,6 +539,7 @@ def write_iceberg_table(
                         os.path.join(table_path, rel)),
                     "column_sizes": None,
                     "equality_ids": list(eq["ids"]),
+                    "partition": None,
                 },
             })
         mpath = os.path.join(mdir, f"manifest-{sid}.avro")

@@ -236,3 +236,25 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_iceberg(spark, table, timestamp_ms=-1)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, table, snapshot_id=1000, timestamp_ms=0)
+
+
+def test_partition_pruning_from_manifest_records(spark, tmp_path):
+    """Identity-partition pruning on the manifests' typed partition
+    records: the file set (inputFiles) shrinks driver-side, and files
+    without partition records refuse under a filter."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/d7.parquet", [(1, "en", 10)])
+    _write_file(table, "data/d8.parquet", [(2, "de", 20)])
+    write_iceberg_table(table, [
+        {"added": [("data/d7.parquet", {"day": 7}),
+                   ("data/d8.parquet", {"day": 8})]},
+    ], FIELDS)
+    df = read_iceberg(spark, table, partition_filter={"day": 7})
+    assert len(df.inputFiles()) == 1 and "d7.parquet" in df.inputFiles()[0]
+    assert [tuple(r) for r in df.collect()] == [(1, "en", 10)]
+    # unpartitioned files under a filter: refuse, never guess
+    table2 = str(tmp_path / "u")
+    _write_file(table2, "data/a.parquet", [(1, "en", 10)])
+    write_iceberg_table(table2, [{"added": ["data/a.parquet"]}], FIELDS)
+    with pytest.raises(ValueError, match="partition records"):
+        read_iceberg(spark, table2, partition_filter={"day": 7})

@@ -135,3 +135,23 @@ def test_avcc_malformed_raises():
         avcc_config(b"\x01\x42\x00\x28")
     with pytest.raises(ValueError, match="configurationVersion"):
         avcc_config(b"\x02" + b"\x00" * 10)
+
+
+def test_ipcm_roundtrip_property():
+    """Hypothesis: any uint8 frame with 16-multiple sides round-trips
+    bit-exact through encode_avc_ipcm -> Annex-B -> decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2 ** 32 - 1),
+    )
+    def prop(wm, hm, seed):
+        rng = np.random.RandomState(seed % (2 ** 31))
+        g = rng.randint(0, 256, (16 * hm, 16 * wm), dtype=np.uint8)
+        assert np.array_equal(decode_avc_annexb_gray(_annexb(g)), g)
+
+    prop()

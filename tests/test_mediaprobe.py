@@ -242,3 +242,37 @@ def test_webm_subtitles_fuzz_never_crashes():
         except ValueError:
             pass
         base[i] = orig
+
+
+def test_subtitle_cue_roundtrip_property():
+    """Hypothesis: arbitrary cue schedules (unicode text, 0-duration
+    cues, arbitrary gaps) round-trip through both containers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_webm_subtitles,
+        extract_webm_subtitles,
+    )
+    from hive_udf_spark.operators.mp4codec import (
+        encode_mp4_tx3g,
+        extract_mp4_subtitles,
+    )
+
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 200), st.integers(1, 500), texts),
+                    min_size=1, max_size=5))
+    def prop(raw):
+        t, cues = 0, []
+        for gap, dur, text in raw:
+            cues.append((t + gap, dur, text))
+            t += gap + dur
+        assert extract_webm_subtitles(encode_webm_subtitles(cues)) == cues
+        assert extract_mp4_subtitles(encode_mp4_tx3g(cues)) == cues
+
+    prop()

@@ -579,9 +579,10 @@ def extract_mp4_subtitles(b: bytes) -> list[tuple[int, int, str]]:
         if stbl is None:
             raise ValueError("MP4 subtitle trak missing stbl")
         entry, sizes, chunk_offsets, stsc, _ = _parse_stbl(b, stbl[0], stbl[1])
-        if entry != b"tx3g":
+        if entry not in (b"tx3g", b"wvtt"):
             raise ValueError(
-                f"MP4 subtitle sample entry {entry!r} not vendored (tx3g only)"
+                f"MP4 subtitle sample entry {entry!r} not vendored "
+                "(tx3g/wvtt only)"
             )
         stts_box = _find(b, stbl[0], stbl[1], b"stts")
         if stts_box is None:
@@ -607,6 +608,24 @@ def extract_mp4_subtitles(b: bytes) -> list[tuple[int, int, str]]:
             start_ms = t * 1000 // timescale
             dur_ms = dur * 1000 // timescale
             t += dur
+            if entry == b"wvtt":
+                # 14496-30: each sample is ISO boxes — vttc{payl} cues,
+                # vtte for the empty stretches between them
+                for sfc, sp, se in _boxes(sample, 0, len(sample)):
+                    if sfc == b"vtte":
+                        continue
+                    if sfc != b"vttc":
+                        raise ValueError(
+                            f"MP4 wvtt sample box {sfc!r} not vendored"
+                        )
+                    payl = _find(sample, sp, se, b"payl")
+                    if payl is None:
+                        raise ValueError("MP4 wvtt cue without a payl box")
+                    cues.append((
+                        start_ms, dur_ms,
+                        sample[payl[0] : payl[1]].decode("utf-8"),
+                    ))
+                continue
             if len(sample) < 2:
                 raise ValueError("MP4 tx3g sample missing length prefix")
             ln = int.from_bytes(sample[:2], "big")
@@ -618,25 +637,67 @@ def extract_mp4_subtitles(b: bytes) -> list[tuple[int, int, str]]:
     raise ValueError("MP4 has no timed-text track (hdlr 'text'/'sbtl')")
 
 
+def _timed_text_samples(
+    cues: list[tuple[int, int, str]], gap: bytes, wrap
+) -> tuple[list[bytes], list[int]]:
+    """Cue schedule → (samples, durations) with gap samples between
+    cues; ``wrap`` serializes one cue text into a sample."""
+    samples: list[bytes] = []
+    durations: list[int] = []
+    t = 0
+    for start_ms, dur_ms, text in sorted(cues):
+        if start_ms < t:
+            raise ValueError("timed-text twin: overlapping cues")
+        if start_ms > t:
+            samples.append(gap)
+            durations.append(start_ms - t)
+        samples.append(wrap(text))
+        durations.append(max(dur_ms, 1))
+        t = start_ms + max(dur_ms, 1)
+    return samples, durations
+
+
+def encode_mp4_wvtt(cues: list[tuple[int, int, str]]) -> bytes:
+    """Fixture twin (r11): timed-text cues → a minimal valid MP4 with
+    one ``wvtt`` track (ISO 14496-30, the CMAF/WebVTT layout) —
+    box-structured samples: ``vttc{payl}`` per cue, ``vtte`` for the
+    empty stretches between them."""
+    if not cues:
+        raise ValueError("at least one cue required")
+    samples, durations = _timed_text_samples(
+        cues, _box(b"vtte", b""),
+        lambda text: _box(b"vttc", _box(b"payl", text.encode("utf-8"))),
+    )
+    vttC = _box(b"vttC", b"WEBVTT\n")
+    entry = (
+        struct.pack(">I", 16 + len(vttC)) + b"wvtt"
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + vttC
+    )
+    return _mux_timed_text(samples, durations, entry)
+
+
 def encode_mp4_tx3g(cues: list[tuple[int, int, str]]) -> bytes:
     """Fixture twin (r11): timed-text cues → a minimal valid MP4 with
     one tx3g track at a 1000 timescale — gaps between cues become the
     empty samples the 3GPP layout prescribes."""
     if not cues:
         raise ValueError("at least one cue required")
-    samples: list[bytes] = []
-    durations: list[int] = []
-    t = 0
-    for start_ms, dur_ms, text in sorted(cues):
-        if start_ms < t:
-            raise ValueError("tx3g twin: overlapping cues")
-        if start_ms > t:
-            samples.append(b"\x00\x00")  # gap sample
-            durations.append(start_ms - t)
-        enc = text.encode("utf-8")
-        samples.append(len(enc).to_bytes(2, "big") + enc)
-        durations.append(max(dur_ms, 1))
-        t = start_ms + max(dur_ms, 1)
+    samples, durations = _timed_text_samples(
+        cues, b"\x00\x00",
+        lambda text: len(text.encode("utf-8")).to_bytes(2, "big")
+        + text.encode("utf-8"),
+    )
+    tx3g = (struct.pack(">I", 8 + 38) + b"tx3g"
+            + b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">I", 0) + b"\x01\xff" + b"\x00" * 4
+            + b"\x00" * 8 + b"\x00" * 12)
+    return _mux_timed_text(samples, durations, tx3g)
+
+
+def _mux_timed_text(
+    samples: list[bytes], durations: list[int], sample_entry: bytes
+) -> bytes:
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
@@ -660,13 +721,7 @@ def encode_mp4_tx3g(cues: list[tuple[int, int, str]]) -> bytes:
     nmhd = _full(b"nmhd", 0, 0, b"")
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
     dinf = _box(b"dinf", dref)
-    # minimal tx3g TextSampleEntry: 8 reserved/dri + 4(flags) + 1+1
-    # (justification) + 4 (bg color) + 8 (text box) + 12 (style record)
-    tx3g = (struct.pack(">I", 8 + 38) + b"tx3g"
-            + b"\x00" * 6 + struct.pack(">H", 1)
-            + struct.pack(">I", 0) + b"\x01\xff" + b"\x00" * 4
-            + b"\x00" * 8 + b"\x00" * 12)
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + tx3g)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     # stts: run-length encode the duration list
     runs: list[tuple[int, int]] = []
     for d in durations:

@@ -654,25 +654,31 @@ def webm_subtitle_encoder_udf(n_cues: int = 3, chunk: int = 20):
 
 
 def mp4_subtitle_encoder_udf(n_cues: int = 3, chunk: int = 20):
-    """Arrow-batched tx3g fixture encoder (r11): the Matroska subtitle
-    twin's cue schedule muxed as an MP4 timed-text track
-    (mp4codec.encode_mp4_tx3g) — gap samples between cues included."""
+    """Arrow-batched MP4 timed-text fixture encoder (r11): the Matroska
+    subtitle twin's cue schedule muxed as an MP4 track, ROTATING the
+    two real layouts — tx3g (3GPP length-prefixed samples) and wvtt
+    (ISO 14496-30 box-structured samples, the CMAF/WebVTT form) — per
+    row, so one oracle gates both decoders: the cues must be
+    container-invariant."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
-    def enc(s: pd.Series) -> pd.Series:
-        from hive_udf_spark.operators.mp4codec import encode_mp4_tx3g
+    def enc(doc_id: pd.Series, s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mp4codec import (
+            encode_mp4_tx3g,
+            encode_mp4_wvtt,
+        )
 
-        def one(t: str) -> bytes:
+        def one(did: int, t: str) -> bytes:
             if len(t) != n_cues * chunk:
                 raise ValueError(f"payload must be {n_cues * chunk} chars")
             cues = [
                 (1500 * i, 1000 + 100 * i, t[i * chunk : (i + 1) * chunk])
                 for i in range(n_cues)
             ]
-            return encode_mp4_tx3g(cues)
+            return (encode_mp4_tx3g if did % 2 else encode_mp4_wvtt)(cues)
 
-        return s.map(one)
+        return pd.Series([one(int(d), t) for d, t in zip(doc_id, s)])
 
     return enc
 

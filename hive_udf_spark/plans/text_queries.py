@@ -2144,7 +2144,7 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = (
         docs.select("doc_id", payload.alias("__s"))
         .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
-        .select("doc_id", enc(F.col("__s")).alias("blob"))
+        .select("doc_id", enc("doc_id", F.col("__s")).alias("blob"))
     )
     return subtitles_table(blobs)
 

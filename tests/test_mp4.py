@@ -181,7 +181,7 @@ def test_tx3g_malformed_refuses():
     mp4 = bytearray(encode_mp4_tx3g([(0, 100, "abcdef")]))
     # the SAMPLE ENTRY's fourcc (inside stsd) — not the hdlr name
     at = mp4.index(b"tx3g", mp4.index(b"stsd"))
-    mp4[at : at + 4] = b"wvtt"  # a non-vendored timed-text entry
+    mp4[at : at + 4] = b"stpp"  # TTML: a non-vendored timed-text entry
     with pytest.raises(ValueError, match="not vendored"):
         extract_mp4_subtitles(bytes(mp4))
     with pytest.raises(ValueError, match="overlapping"):
@@ -208,3 +208,24 @@ def test_tx3g_fuzz_never_crashes():
         except ValueError:
             pass
         base[i] = orig
+
+
+def test_wvtt_roundtrip_and_refusals():
+    """ISO 14496-30 wvtt samples (vttc{payl} cues, vtte gaps) decode
+    through the same timed-text walk; unknown cue boxes refuse."""
+    import pytest
+
+    from hive_udf_spark.operators.mp4codec import (
+        encode_mp4_wvtt,
+        extract_mp4_subtitles,
+    )
+
+    cues = [(0, 1500, "Hello."), (1500, 2000, "äöü 中文"), (4000, 100, "x")]
+    mp4 = encode_mp4_wvtt(cues)
+    assert b"vttc" in mp4 and b"vtte" in mp4  # gap sample present
+    assert extract_mp4_subtitles(mp4) == cues
+    bad = bytearray(mp4)
+    at = bad.index(b"payl")
+    bad[at : at + 4] = b"oops"
+    with pytest.raises(ValueError, match="payl"):
+        extract_mp4_subtitles(bytes(bad))

@@ -3935,8 +3935,12 @@ def multimodal_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFr
         pdf_encrypted_doc_encoder_udf,
         pdf_pages_table,
     )
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the Algorithm-2.B KDF (AES-256 stratum) costs ~ms per DOC on both
+    # the fixture and decode sides — scatter before the blob build or a
+    # single corpus split serializes it (the r11 batch-6 lesson)
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = pdf_encrypted_doc_encoder_udf()
     blobs = (
         docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))

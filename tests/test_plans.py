@@ -593,6 +593,8 @@ def test_udf_heavy_codec_queries_scatter_small_inputs_only(spark, sf_dir):
         "text_warc_br_content_encoding",
         # r11: HEVC/HEIC native-dispatch tier
         "multimodal_heic_decode",
+        # r11: the AES-256 KDF stratum made the scatter load-bearing
+        "multimodal_pdf_encrypted_extract",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf_dir))
         # formatted plans print each node twice (tree + details)

@@ -298,7 +298,8 @@ def decode_avc_annexb_gray(b: bytes) -> np.ndarray:
             pps = _parse_pps(rbsp)
             pps_by_id[pps["id"]] = pps
         elif ntype in (1, 5):
-            luma = _decode_slice(rbsp, ntype, sps_by_id, pps_by_id)
+            nri = (nal[0] >> 5) & 0x3
+            luma = _decode_slice(rbsp, ntype, nri, sps_by_id, pps_by_id)
         elif ntype in (6, 9, 10, 11, 12):  # SEI / AU delimiter / end-of-*
             continue
         else:
@@ -309,7 +310,8 @@ def decode_avc_annexb_gray(b: bytes) -> np.ndarray:
 
 
 def _decode_slice(
-    rbsp: bytes, ntype: int, sps_by_id: dict, pps_by_id: dict
+    rbsp: bytes, ntype: int, nal_ref_idc: int, sps_by_id: dict,
+    pps_by_id: dict,
 ) -> np.ndarray:
     r = _Bits(rbsp)
     if r.ue() != 0:
@@ -334,11 +336,14 @@ def _decode_slice(
             r.se()  # delta_pic_order_cnt_bottom
     if pps["redundant_pic_cnt_present"]:
         r.ue()
-    if ntype == 5:  # dec_ref_pic_marking for IDR
-        r.u(1)  # no_output_of_prior_pics
-        r.u(1)  # long_term_reference_flag
-    elif r.u(1):  # adaptive_ref_pic_marking_mode_flag on non-IDR
-        raise ValueError("H.264: adaptive ref-pic marking not vendored")
+    # dec_ref_pic_marking is present only for REFERENCE pictures
+    # (nal_ref_idc != 0, §7.3.3) — a non-reference I slice has none
+    if nal_ref_idc != 0:
+        if ntype == 5:  # dec_ref_pic_marking for IDR
+            r.u(1)  # no_output_of_prior_pics
+            r.u(1)  # long_term_reference_flag
+        elif r.u(1):  # adaptive_ref_pic_marking_mode_flag on non-IDR
+            raise ValueError("H.264: adaptive ref-pic marking not vendored")
     r.se()  # slice_qp_delta
     if pps["deblocking_control_present"]:
         idc = r.ue()

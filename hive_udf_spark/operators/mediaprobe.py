@@ -679,6 +679,9 @@ def extract_webm_subtitles(b: bytes) -> list[tuple[int, int, str]]:
     for eid, pay, _ in top:
         if eid != 0x18538067:  # Segment
             continue
+        # pass 1 — resolve Info/Tracks BEFORE touching any Cluster: a
+        # legal Matroska may interleave Clusters ahead of Tracks, and a
+        # one-pass walk would silently drop their cues
         for sid, spay, _ in _walk_ebml(pay, 0, len(pay)):
             if sid == 0x1549A966:  # Info
                 for iid, ipay, _ in _walk_ebml(spay, 0, len(spay)):
@@ -706,7 +709,9 @@ def extract_webm_subtitles(b: bytes) -> list[tuple[int, int, str]]:
                                 "formats)"
                             )
                         sub_track = num
-            elif sid == 0x1F43B675:  # Cluster
+        # pass 2 — cue extraction, now that the subtitle track is known
+        for sid, spay, _ in _walk_ebml(pay, 0, len(pay)):
+            if sid == 0x1F43B675:  # Cluster
                 if sub_track is None:
                     continue  # subtitle-less video: fine, cues stay empty
                 cluster_tc = 0

@@ -438,6 +438,17 @@ class _HeifError(ctypes.Structure):
     ]
 
 
+# x265 per-encoder thread pools cost ~6x on 64-px tiles (pool spawn
+# dominates) and oversubscribe the box under 32 parallel Python
+# workers — pin single-threaded ultrafast (the r11 batch-6 lesson;
+# regression-guarded by tests/test_native.py)
+_X265_PIN_PARAMS = (
+    (b"preset", b"ultrafast"),
+    (b"x265:pools", b"none"),
+    (b"x265:frame-threads", b"1"),
+    (b"x265:wpp", b"0"),
+)
+
 # libheif enums (public heif.h)
 _HEIF_CS_RGB = 1
 _HEIF_CS_MONO = 2
@@ -630,12 +641,7 @@ def heif_native_encode_lossless_gray(
                 # box); pin single-threaded ultrafast.  A failed set
                 # (plugin without the knob) is fine — lossless below is
                 # what's REQUIRED
-                for key, val in (
-                    (b"preset", b"ultrafast"),
-                    (b"x265:pools", b"none"),
-                    (b"x265:frame-threads", b"1"),
-                    (b"x265:wpp", b"0"),
-                ):
+                for key, val in _X265_PIN_PARAMS:
                     lib.heif_encoder_set_parameter_string(enc, key, val)
             _hck(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
             im = ctypes.c_void_p()
@@ -723,7 +729,34 @@ def _dav1d():
     lib.dav1d_open.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.dav1d_send_data.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.dav1d_get_picture.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dav1d_version.restype = ctypes.c_char_p
+    lib.dav1d_version.argtypes = []
     return lib
+
+
+def _dav1d_abi_major(lib) -> int:
+    """Major version from ``dav1d_version()`` ("1.4.3" → 1); 0 when the
+    string is unparsable (treated as unknown ABI)."""
+    try:
+        head = (lib.dav1d_version() or b"").split(b".")[0]
+        return int(head) if head.isdigit() else 0
+    except (ValueError, OSError):
+        return 0
+
+
+def _pin_dav1d_settings(lib, settings) -> bool:
+    """Pin the decoder single-threaded by poking Dav1dSettings'
+    leading {int n_threads; int max_frame_delay} — ONLY on the dav1d
+    1.x ABI that layout belongs to (pre-1.0 led with
+    n_frame_threads/n_tile_threads; an unknown major would be poked in
+    unrelated fields).  Returns whether it pinned; False keeps the slow
+    defaults (correctness over speed)."""
+    import struct as _struct
+
+    if _dav1d_abi_major(lib) != 1:
+        return False
+    _struct.pack_into("<ii", settings, 0, 1, 1)
+    return True
 
 
 def dav1d_available() -> bool:
@@ -750,12 +783,11 @@ def dav1d_decode_obus_gray(obus: bytes) -> np.ndarray:
         raise ValueError("AV1: empty OBU stream")
     settings = ctypes.create_string_buffer(512)
     lib.dav1d_default_settings(settings)
-    # Dav1dSettings leads with {int n_threads; int max_frame_delay}:
     # the default (0 = all cores) spawns a fresh 32-thread pool PER
     # DECODED FRAME — 36x slower on tile-sized frames single-process,
     # and catastrophically oversubscribed under 32 parallel Python
-    # workers (Spark IS the parallelism).  Pin both to 1.
-    _struct.pack_into("<ii", settings, 0, 1, 1)
+    # workers (Spark IS the parallelism)
+    _pin_dav1d_settings(lib, settings)
     ctx = ctypes.c_void_p()
     if lib.dav1d_open(ctypes.byref(ctx), settings) != 0:
         raise ValueError("AV1: dav1d context open failed")

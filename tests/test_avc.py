@@ -155,3 +155,29 @@ def test_ipcm_roundtrip_property():
         assert np.array_equal(decode_avc_annexb_gray(_annexb(g)), g)
 
     prop()
+
+
+def test_non_reference_i_slice_has_no_ref_pic_marking():
+    """ADVICE r11: a spec-valid NON-REFERENCE I slice (NAL type 1,
+    nal_ref_idc 0) carries NO dec_ref_pic_marking (§7.3.3 — present
+    only when nal_ref_idc != 0); it must decode, not false-quarantine."""
+    from hive_udf_spark.operators.avccodec import _Writer, _escape, _sps_nal
+
+    g = RNG.randint(0, 256, (16, 16), dtype=np.uint8)
+    w = _Writer()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(2)      # slice_type: I (this slice only)
+    w.ue(0)      # pps_id
+    w.u(0, 4)    # frame_num (twin SPS: log2_max_frame_num = 4)
+    # nal_ref_idc == 0: NO dec_ref_pic_marking here
+    w.se(0)      # slice_qp_delta
+    w.ue(1)      # disable_deblocking_filter_idc
+    w.ue(25)     # mb_type I_PCM
+    w.align_zero()
+    w.raw(g.tobytes())
+    w.raw(b"\x80" * 128)
+    slice_nal = b"\x01" + _escape(w.trailing())  # nri=0, type=1
+    ab = (b"\x00\x00\x00\x01" + _sps_nal(1, 1)
+          + b"\x00\x00\x00\x01" + _pps_nal()
+          + b"\x00\x00\x00\x01" + slice_nal)
+    assert np.array_equal(decode_avc_annexb_gray(ab), g)

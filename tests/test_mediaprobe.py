@@ -276,3 +276,27 @@ def test_subtitle_cue_roundtrip_property():
         assert extract_mp4_subtitles(encode_mp4_tx3g(cues)) == cues
 
     prop()
+
+
+def test_webm_subtitles_cluster_before_tracks():
+    """ADVICE r11: a legal Matroska may put Clusters ahead of Tracks;
+    the extractor must two-pass the Segment rather than silently drop
+    cues from early clusters."""
+    from hive_udf_spark.operators.mediaprobe import (
+        _ebml_elem,
+        _walk_ebml,
+        encode_webm_subtitles,
+        extract_webm_subtitles,
+    )
+
+    cues = [(0, 700, "early"), (900, 300, "late")]
+    mkv = encode_webm_subtitles(cues)
+    top = list(_walk_ebml(mkv, 0, len(mkv)))
+    header = _ebml_elem(top[0][0], top[0][1])
+    seg_children = list(_walk_ebml(top[1][1], 0, len(top[1][1])))
+    clusters = [(i, p) for i, p, _ in seg_children if i == 0x1F43B675]
+    others = [(i, p) for i, p, _ in seg_children if i != 0x1F43B675]
+    assert clusters, "fixture must carry clusters"
+    reordered = b"".join(_ebml_elem(i, p) for i, p in clusters + others)
+    mkv2 = header + _ebml_elem(0x18538067, reordered)
+    assert extract_webm_subtitles(mkv2) == cues

@@ -250,3 +250,60 @@ def test_warc_br_content_coding_decodes():
     stacked = co.compress(br) + co.flush()
     got = decode_content_encoding(stacked, {"content-encoding": "br, gzip"})
     assert got == body
+
+
+def test_thread_pin_regression_guard():
+    """r11 verdict task 8: per-blob codec thread pools MUST stay pinned
+    to 1 (Spark's 32 parallel Python workers are the parallelism; the
+    r11 batch-6 oversubscription cost 36x on dav1d, 6x on x265).  This
+    guard fails loudly if a future binding change drops a pin."""
+    import ctypes
+    import struct
+
+    import numpy as np
+
+    from hive_udf_spark.operators import native
+
+    # dav1d — the known 1.x ABI pokes n_threads/max_frame_delay to 1
+    if native.dav1d_available():
+        lib = native._dav1d()
+        assert native._dav1d_abi_major(lib) == 1
+        settings = ctypes.create_string_buffer(512)
+        lib.dav1d_default_settings(settings)
+        assert native._pin_dav1d_settings(lib, settings)
+        assert struct.unpack_from("<ii", settings, 0) == (1, 1)
+
+    # an unrecognized ABI major must NOT be poked (ADVICE r11)
+    class _FakeLib:
+        @staticmethod
+        def dav1d_version():
+            return b"0.9.2"
+
+    buf = bytearray(b"\x7f" * 16)
+    assert not native._pin_dav1d_settings(_FakeLib(), buf)
+    assert bytes(buf) == b"\x7f" * 16
+
+    # x265 encoder knobs — pools off, single frame thread, no WPP
+    pins = dict(native._X265_PIN_PARAMS)
+    assert pins[b"x265:pools"] == b"none"
+    assert pins[b"x265:frame-threads"] == b"1"
+    assert pins[b"x265:wpp"] == b"0"
+
+    # libheif decode — every decode must cap decoding threads at 1
+    if native.heif_native_available():
+        lib = native._heif()
+        calls = []
+        orig = lib.heif_context_set_max_decoding_threads
+
+        def rec(ctx, n):
+            calls.append(n)
+            return orig(ctx, n)
+
+        lib.heif_context_set_max_decoding_threads = rec
+        try:
+            g = np.full((16, 16), 77, np.uint8)
+            blob = native.heif_native_encode_lossless_gray(g, codec="av1")
+            assert np.array_equal(native.heif_native_decode_gray(blob), g)
+        finally:
+            lib.heif_context_set_max_decoding_threads = orig
+        assert calls and all(n == 1 for n in calls)

@@ -1261,8 +1261,11 @@ def source_delta_dv_column_mapping(spark: SparkSession, sf_dir: str) -> DataFram
     hash-checks genuine protocol row-index semantics through a real
     roaring bitmap.
 
-    Scale shape: the vector side broadcasts (roaring-compressed, KB per
-    file group); the data scan never shuffles (pytest plan assert)."""
+    Scale shape (r12): only the roaring-COMPRESSED bitmap bytes ship to
+    executors; a vectorized Arrow filter inside the scan decodes each
+    file's bitmap once per task — positions never materialize
+    row-per-row on the driver, and the scan has no join, no exchange
+    (pytest plan assert + a 10⁶-position stress test)."""
     import shutil
     import tempfile
 

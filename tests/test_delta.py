@@ -270,9 +270,11 @@ def test_deletion_vectors_on_disk_and_inline(spark, tmp_path):
     ], SCHEMA_JSON)
     got = sorted(tuple(r) for r in read_delta(spark, table).collect())
     assert got == [(2, "de", 20), (4, "es", 40)]
-    # the anti-join must broadcast, never shuffle the data scan
+    # r12: the vector applies as an Arrow filter INSIDE the scan — no
+    # join, no exchange, nothing shuffles or broadcasts row positions
     plan = read_delta(spark, table)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Exchange" not in plan
     assert "hashpartitioning" not in plan
 
 
@@ -410,3 +412,76 @@ def test_partition_filter_prunes_files_driver_side(spark, tmp_path):
         read_delta(spark, table, partition_filter={"lang": "en"})
     # filter that matches nothing: empty frame with the full schema
     assert read_delta(spark, table, partition_filter={"day": "9"}).count() == 0
+
+
+def test_deletion_vector_million_position_stress(spark, tmp_path):
+    """r11 verdict task 1: a DV with ≥10⁶ positions must apply without
+    the driver ever expanding it row-per-row (only the roaring bytes
+    broadcast; decode happens in the scan filter, executor-side)."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    n = 2_000_000
+    ids = pa.array(range(n), pa.int64())
+    pq.write_table(pa.table({
+        "doc_id": ids,
+        "lang": pa.array(["xx"] * n, pa.string()),
+        "n": ids,
+    }), os.path.join(table, "big.parquet"))
+    dv = write_deletion_vector(table, range(0, n, 2))  # 1e6 even rows
+    write_delta_commits(table, [
+        [{"add": {"path": "big.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+    df = read_delta(spark, table)
+    agg = df.agg({"doc_id": "count", "n": "sum"}).collect()[0]
+    assert agg["count(doc_id)"] == n // 2
+    # surviving rows are exactly the odd positions
+    assert agg["sum(n)"] == sum(range(1, n, 2))
+
+
+def test_deletion_vector_never_decodes_on_driver(spark, tmp_path):
+    """r11 verdict task 1's 'no driver materialization' assert: poison
+    the DRIVER's bitmap decoder — the read must still succeed, because
+    positions only ever decode inside executor python workers."""
+    import hive_udf_spark.operators.roaring as roaring
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30), (4, "es", 40)])
+    dv = write_deletion_vector(table, [1, 3])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+
+    orig = roaring.decode_rbm64
+
+    def poisoned(_b):
+        raise AssertionError(
+            "deletion-vector positions decoded on the DRIVER"
+        )
+
+    roaring.decode_rbm64 = poisoned
+    try:
+        got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    finally:
+        roaring.decode_rbm64 = orig
+    assert got == [1, 3]
+
+
+def test_deletion_vector_percent_encoded_table_path(spark, tmp_path):
+    """ADVICE r11: _metadata.file_path is a percent-encoded URI; a
+    table path with spaces must not silently miss the DV lookup and
+    resurface deleted rows."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t with space")
+    _write_file(table, "a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    dv = write_deletion_vector(table, [1])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+    got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    assert got == [1, 3]

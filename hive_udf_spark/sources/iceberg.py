@@ -16,20 +16,25 @@ Implemented from the PUBLIC Iceberg table spec
   same vendored codec (extended for exactly this in r11);
 * snapshot reconstruction — entries with status 0 (EXISTING) or 1
   (ADDED) are live, status 2 (DELETED) drops the file;
-* v2 ROW-LEVEL DELETES (r11) — delete manifests (manifest-list
-  ``content`` = 1) are walked like data manifests; POSITION delete
-  files (``data_file.content`` = 1: parquet of ``file_path`` + ``pos``)
-  apply as a broadcast ANTI-JOIN against the scan's
+* v2 ROW-LEVEL DELETES (r11, hardened r12) — delete manifests
+  (manifest-list ``content`` = 1) are walked like data manifests;
+  POSITION delete files (``data_file.content`` = 1: parquet of
+  ``file_path`` + ``pos``) apply as an ANTI-JOIN against the scan's
   ``_metadata.file_path`` / ``_metadata.row_index`` metadata columns —
   Spark's own row positions ARE Iceberg's ``pos`` semantics, so the
-  filter is exact with zero data shuffle; EQUALITY delete files
-  (``content`` = 2, ``equality_ids`` naming the columns) apply as
-  broadcast anti-joins gated on sequence numbers (a row is deleted only
-  when its data file's sequence number is STRICTLY BELOW the delete
-  file's — rows written after the delete survive, per spec).  Sequence
-  numbers resolve from the manifest entry or inherit from the
-  manifest-list row; equality deletes with unresolvable sequence
-  numbers refuse loudly;
+  filter is exact with zero data shuffle — gated on sequence numbers
+  (data seq ≤ delete seq: a path DELETED and re-ADDED later must not
+  see stale deletes); EQUALITY delete files (``content`` = 2,
+  ``equality_ids`` naming the columns) apply as anti-joins gated
+  STRICTLY BELOW the delete's sequence number (rows written after the
+  delete survive, per spec).  Sequence numbers resolve from the
+  manifest entry or inherit from the manifest-list row; deletes with
+  unresolvable sequence numbers refuse loudly.  Delete-side broadcasts
+  are SIZE-GATED on the manifests' ``file_size_in_bytes`` — a delete
+  relation past the gate takes a plain anti-join (AQE's runtime call)
+  instead of a forced broadcast that could blow executor memory at
+  real scale.  Path comparison url-decodes both sides (the
+  ``_metadata.file_path`` URI percent-encodes; manifests may not);
 * time travel — ``snapshot_id=`` selects any snapshot in the log;
 * schema pin — the metadata's schema (Iceberg's own JSON type system)
   converts to a Spark ``StructType`` for the scan, so file-schema
@@ -149,8 +154,10 @@ def _local_path(uri: str, table_path: str) -> str:
 def _snapshot_state(table_path: str, snapshot_id: int | None = None):
     """Full v2 snapshot state: (metadata dict,
     data files [(abs path, sequence number | None, partition record | None)],
-    position-delete files [abs paths],
-    equality deletes [(abs path, equality field ids, sequence number)])."""
+    position deletes [(abs path, sequence number, size bytes)],
+    equality deletes [(abs path, equality field ids, sequence number,
+    size bytes)]).  Delete-file sizes come from the manifests'
+    ``file_size_in_bytes`` and size-gate the delete-side broadcasts."""
     from hive_udf_spark.operators.avrocodec import decode_ocf
 
     meta = _load_metadata(table_path)
@@ -170,8 +177,8 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
     with open(_local_path(mlist, table_path), "rb") as fh:
         _, manifests = decode_ocf(fh.read())
     data: list[tuple[str, int | None, dict | None]] = []
-    pos_deletes: list[str] = []
-    eq_deletes: list[tuple[str, list[int], int]] = []
+    pos_deletes: list[tuple[str, int, int]] = []
+    eq_deletes: list[tuple[str, list[int], int, int]] = []
     seen: set[str] = set()
     for m in manifests:
         mpath = m.get("manifest_path")
@@ -209,12 +216,19 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
                 # refuses loudly instead of over-retaining
                 seq = mseq if status == 1 else None
             path = _local_path(fp, table_path)
+            size = int(df.get("file_size_in_bytes") or 0)
             if content == 0:
                 if mcontent != 0:
                     raise ValueError("iceberg: data file in a delete manifest")
                 data.append((path, seq, df.get("partition")))
             elif content == 1:  # position deletes
-                pos_deletes.append(path)
+                if seq is None:
+                    raise ValueError(
+                        "iceberg: position delete without a resolvable "
+                        "sequence number — applying it unordered would "
+                        "delete rows of files re-added after it"
+                    )
+                pos_deletes.append((path, seq, size))
             elif content == 2:  # equality deletes
                 ids = df.get("equality_ids") or []
                 if not ids:
@@ -227,7 +241,7 @@ def _snapshot_state(table_path: str, snapshot_id: int | None = None):
                         "sequence number — applying it unordered would "
                         "delete rows written after it"
                     )
-                eq_deletes.append((path, list(ids), seq))
+                eq_deletes.append((path, list(ids), seq, size))
             else:
                 raise ValueError(f"iceberg: data_file content {content!r}")
     data.sort()
@@ -253,11 +267,34 @@ def iceberg_live_files(
     return meta, [p for p, _, _ in data]
 
 
+# delete relations whose manifests declare more bytes than this take a
+# plain (shuffled/AQE-planned) anti-join instead of a forced broadcast —
+# position-delete files at real scale can exceed executor broadcast
+# memory, and a forced broadcast there is a scale defect, not a hint
+_BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+
+def _maybe_broadcast(df: DataFrame, size_bytes: int) -> DataFrame:
+    return F.broadcast(df) if size_bytes <= _BROADCAST_DELETE_MAX_BYTES \
+        else df
+
+
+def _decode_uri(col):
+    """Percent-decode a path column with ``urllib.parse.unquote``
+    semantics: literal ``+`` is protected first (Spark's url_decode
+    follows java.net.URLDecoder, which would turn it into a space), and
+    undecodable inputs pass through unchanged (plain OS paths with a
+    stray ``%`` are not URIs)."""
+    protected = F.regexp_replace(col, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(protected), col)
+
+
 def _norm_path(col, table_abs: str):
     """Normalize a file-path column to a bare absolute path, matching
-    ``_metadata.file_path`` (which prints ``file:/abs``): strip the
-    file: scheme, absolutize relative manifests-style paths."""
-    p = F.regexp_replace(col, "^file:(//)?", "")
+    the url-decoded ``_metadata.file_path`` (which prints a
+    percent-encoded ``file:/abs`` URI): strip the file: scheme,
+    url-decode, absolutize relative manifests-style paths."""
+    p = _decode_uri(F.regexp_replace(col, "^file:(//)?", ""))
     return F.when(
         p.startswith("/"), p
     ).otherwise(F.concat(F.lit(table_abs + "/"), p))
@@ -327,31 +364,49 @@ def read_iceberg(
         return df
     table_abs = os.path.abspath(table_path)
     df = df.withColumn(
-        "__fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+        "__fp",
+        _decode_uri(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+        ),
     )
-    if pos_files:
-        dels = spark.read.parquet(*pos_files).select(
-            _norm_path(F.col("file_path"), table_abs).alias("__del_fp"),
-            F.col("pos").alias("__del_pos"),
+    # both delete families gate on sequence numbers (the spec's
+    # ordering: a delete applies only to data written at or before it),
+    # so every data file needs a resolvable one
+    seq_rows = [(os.path.abspath(p), s) for p, s, _ in data]
+    if any(s is None for _, s in seq_rows):
+        raise ValueError(
+            "iceberg: row-level deletes need data-file sequence numbers"
         )
+    seqs = spark.createDataFrame(seq_rows, "__seq_fp string, __seq bigint")
+    df = df.join(
+        F.broadcast(seqs), F.col("__fp") == F.col("__seq_fp"), "left"
+    ).drop("__seq_fp")
+    if pos_files:
+        # group delete files by their sequence number so the relation
+        # carries one __del_seq literal per group; the anti-join then
+        # enforces the spec gate __seq <= __del_seq (a data file
+        # DELETED and re-ADDED later must not see stale deletes)
+        by_seq: dict[int, list[str]] = {}
+        for p, s, _ in pos_files:
+            by_seq.setdefault(s, []).append(p)
+        dels = None
+        for s in sorted(by_seq):
+            rel = spark.read.parquet(*sorted(by_seq[s])).select(
+                _norm_path(F.col("file_path"), table_abs).alias("__del_fp"),
+                F.col("pos").alias("__del_pos"),
+                F.lit(s).cast("bigint").alias("__del_seq"),
+            )
+            dels = rel if dels is None else dels.unionByName(rel)
         df = df.withColumn("__ri", F.col("_metadata.row_index")).join(
-            F.broadcast(dels),
+            _maybe_broadcast(dels, sum(sz for _, _, sz in pos_files)),
             (F.col("__fp") == F.col("__del_fp"))
-            & (F.col("__ri") == F.col("__del_pos")),
+            & (F.col("__ri") == F.col("__del_pos"))
+            & (F.col("__seq") <= F.col("__del_seq")),
             "left_anti",
         )
     if eq_files:
         id_to_name = _field_names_by_id(meta)
-        seq_rows = [(os.path.abspath(p), s) for p, s, _ in data]
-        if any(s is None for _, s in seq_rows):
-            raise ValueError(
-                "iceberg: equality deletes need data-file sequence numbers"
-            )
-        seqs = spark.createDataFrame(seq_rows, "__seq_fp string, __seq bigint")
-        df = df.join(
-            F.broadcast(seqs), F.col("__fp") == F.col("__seq_fp"), "left"
-        ).drop("__seq_fp")
-        for path, ids, dseq in eq_files:
+        for path, ids, dseq, size in eq_files:
             try:
                 cols = [id_to_name[i] for i in ids]
             except KeyError as exc:
@@ -364,7 +419,7 @@ def read_iceberg(
             cond = F.col("__seq") < F.lit(dseq)
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
-            df = df.join(F.broadcast(dd), cond, "left_anti")
+            df = df.join(_maybe_broadcast(dd, size), cond, "left_anti")
     return df.select(*names)
 
 

@@ -258,3 +258,66 @@ def test_partition_pruning_from_manifest_records(spark, tmp_path):
     write_iceberg_table(table2, [{"added": ["data/a.parquet"]}], FIELDS)
     with pytest.raises(ValueError, match="partition records"):
         read_iceberg(spark, table2, partition_filter={"day": 7})
+
+
+def test_stale_position_deletes_gated_on_sequence_number(spark, tmp_path):
+    """ADVICE r11: a data file whose PATH was deleted and later
+    re-ADDED must not see the old path's position deletes — the spec
+    gates pos deletes on data seq <= delete seq."""
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet", [(1, "en", 10), (2, "de", 20)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},          # seq 1
+        {"pos_deletes": {"data/a.parquet": [0]}},  # seq 2
+        {"deleted": ["data/a.parquet"]},        # seq 3: path leaves
+        {"added": ["data/a.parquet"]},          # seq 4: path returns
+    ], FIELDS)
+    # the re-added file's rows (seq 4) outrank the seq-2 delete
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20)]
+    # at the delete's own snapshot the row IS gone
+    assert read_iceberg(spark, table, snapshot_id=1001).count() == 1
+
+
+def test_position_deletes_percent_encoded_table_path(spark, tmp_path):
+    """ADVICE r11: _metadata.file_path percent-encodes the URI; a
+    table path with spaces must still match the delete file's paths
+    instead of silently resurfacing deleted rows."""
+    table = str(tmp_path / "t with space")
+    _write_file(table, "data/a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"pos_deletes": {"data/a.parquet": [1]}},
+    ], FIELDS)
+    got = sorted(r.doc_id for r in read_iceberg(spark, table).collect())
+    assert got == [1, 3]
+
+
+def test_delete_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
+    """r11 verdict watch item: delete relations larger than the gate
+    must take a plain anti-join (AQE's call), not a forced broadcast
+    that can blow executor memory at real scale."""
+    import hive_udf_spark.sources.iceberg as ice
+
+    table = str(tmp_path / "t")
+    _write_file(table, "data/a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"],
+         "pos_deletes": {"data/a.parquet": [0]},
+         "eq_deletes": {"ids": [2], "rows": [{"lang": "xx"}]}},
+    ], FIELDS)
+    def delete_hints(df):
+        """Broadcast hints on the two DELETE anti-joins (the data-file
+        sequence-number relation is always hinted — it is bounded by
+        the driver-held file list, so it doesn't count)."""
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if "LeftAnti" in ln and "strategy=broadcast" in ln]
+
+    assert len(delete_hints(read_iceberg(spark, table))) == 2
+    monkeypatch.setattr(ice, "_BROADCAST_DELETE_MAX_BYTES", 0)
+    df = read_iceberg(spark, table)
+    assert delete_hints(df) == []  # past the gate: AQE's call, no hint
+    assert sorted(r.doc_id for r in df.collect()) == [2, 3]

@@ -1387,6 +1387,81 @@ def source_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_nested_types",
+    oracle="""
+    SELECT doc_id, lang AS meta_src, n_chars % 100 AS meta_score,
+           lang AS tag0, 2 AS n_tags, n_chars % 7 AS prop_q
+    FROM documents
+    """,
+)
+def source_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NESTED column types (r12 — the r11 verdict's task 2):
+    the table's schema carries a ``struct<src,score>``, an
+    ``array<string>`` and a ``map<string,long>`` column, converted
+    RECURSIVELY from Iceberg's JSON type system
+    (sources/iceberg.py _spark_type) and pinned onto the scan.  The
+    query projects the nested values back to scalars
+    (``meta.src``, ``element_at(tags, 1)``, ``props['q']``) so the
+    DuckDB oracle hash-checks every nested level's VALUES, not just
+    that the scan didn't crash.
+
+    Scale note: nested columns ride the ordinary distributed parquet
+    scan; struct-field projection prunes at the reader (ReadSchema
+    carries the nested subfields only)."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("src"),
+            (F.col("n_chars") % 100).alias("score"),
+        ).alias("meta"),
+        F.array(F.col("lang"), F.lit("x")).alias("tags"),
+        F.create_map(F.lit("q"), F.col("n_chars") % 7).alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        docs.coalesce(1).write.parquet(f"{tmp}/stage")
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        os.makedirs(f"{table}/data", exist_ok=True)
+        shutil.move(f"{tmp}/stage/{part}", f"{table}/data/docs.parquet")
+        write_iceberg_table(table, [
+            {"added": ["data/docs.parquet"]},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "meta", "required": False, "type": {
+                "type": "struct", "fields": [
+                    {"id": 3, "name": "src", "required": False,
+                     "type": "string"},
+                    {"id": 4, "name": "score", "required": False,
+                     "type": "long"},
+                ]}},
+            {"id": 5, "name": "tags", "required": False, "type": {
+                "type": "list", "element-id": 6, "element": "string",
+                "element-required": False}},
+            {"id": 7, "name": "props", "required": False, "type": {
+                "type": "map", "key-id": 8, "key": "string",
+                "value-id": 9, "value": "long", "value-required": False}},
+        ])
+        out = read_iceberg(spark, table).select(
+            "doc_id",
+            F.col("meta.src").alias("meta_src"),
+            F.col("meta.score").alias("meta_score"),
+            F.element_at("tags", 1).alias("tag0"),
+            F.size("tags").alias("n_tags"),
+            F.element_at("props", "q").alias("prop_q"),
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@register(
     "source_hudi_roundtrip",
     oracle="""
     SELECT doc_id, lang,

@@ -90,14 +90,43 @@ _PRIMITIVES = {
 }
 
 
-def _spark_type(t) -> str:
+def _spark_type(t, depth: int = 0):
+    """Iceberg JSON type → Spark DataType, RECURSIVELY (r12 — nested
+    struct/list/map columns are routine in real Iceberg tables; the
+    spec's type JSON nests the same three shapes all the way down).
+    Unknown primitives and exotic types still refuse loudly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    if depth > 32:
+        raise ValueError("iceberg: type nesting past the cap")
     if isinstance(t, str):
         if t in _PRIMITIVES:
-            return _PRIMITIVES[t]
+            return _parse_datatype_string(_PRIMITIVES[t])
         if t.startswith("decimal("):
-            return t
+            return _parse_datatype_string(t)
         raise ValueError(f"iceberg: type {t!r} not vendored")
-    raise ValueError("iceberg: nested column types not vendored")
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return StructType([
+                StructField(f["name"], _spark_type(f["type"], depth + 1),
+                            not f.get("required", False))
+                for f in t.get("fields", [])
+            ])
+        if kind == "list":
+            return ArrayType(_spark_type(t["element"], depth + 1),
+                             not t.get("element-required", False))
+        if kind == "map":
+            return MapType(_spark_type(t["key"], depth + 1),
+                           _spark_type(t["value"], depth + 1),
+                           not t.get("value-required", False))
+    raise ValueError(f"iceberg: type {t!r} not vendored")
 
 
 def _schema_from_metadata(meta: dict) -> StructType:
@@ -110,12 +139,10 @@ def _schema_from_metadata(meta: dict) -> StructType:
         schema = meta.get("schema")
     if not schema or "fields" not in schema:
         raise ValueError("iceberg: metadata carries no schema")
-    from pyspark.sql.types import _parse_datatype_string
-
-    cols = ", ".join(
-        f"{f['name']} {_spark_type(f['type'])}" for f in schema["fields"]
-    )
-    return _parse_datatype_string(cols)
+    st = _spark_type({"type": "struct", "fields": schema["fields"]})
+    if not isinstance(st, StructType):  # pragma: no cover - struct in, struct out
+        raise ValueError("iceberg: schema did not convert to a struct")
+    return st
 
 
 def _load_metadata(table_path: str) -> dict:

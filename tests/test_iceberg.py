@@ -321,3 +321,54 @@ def test_delete_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
     df = read_iceberg(spark, table)
     assert delete_hints(df) == []  # past the gate: AQE's call, no hint
     assert sorted(r.doc_id for r in df.collect()) == [2, 3]
+
+
+def test_nested_column_types_roundtrip(spark, tmp_path):
+    """r12 (r11 verdict task 2): struct / list / map columns convert
+    recursively from Iceberg's JSON type system and scan pinned."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "meta": pa.array(
+            [{"src": "web", "score": 7}, {"src": "book", "score": None}],
+            pa.struct([("src", pa.string()), ("score", pa.int64())]),
+        ),
+        "tags": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+        "props": pa.array([[("k", 1)], []], pa.map_(pa.string(), pa.int64())),
+    })
+    pq.write_table(t, os.path.join(table, "data/a.parquet"))
+    nested_fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "meta", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 3, "name": "src", "required": False, "type": "string"},
+                {"id": 4, "name": "score", "required": False, "type": "long"},
+            ]}},
+        {"id": 5, "name": "tags", "required": False, "type": {
+            "type": "list", "element-id": 6, "element": "string",
+            "element-required": False}},
+        {"id": 7, "name": "props", "required": False, "type": {
+            "type": "map", "key-id": 8, "key": "string",
+            "value-id": 9, "value": "long", "value-required": False}},
+    ]
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], nested_fields)
+    df = read_iceberg(spark, table)
+    assert dict(df.dtypes) == {
+        "doc_id": "bigint",
+        "meta": "struct<src:string,score:bigint>",
+        "tags": "array<string>",
+        "props": "map<string,bigint>",
+    }
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].meta.src == "web" and rows[1].meta.score == 7
+    assert rows[2].meta.score is None
+    assert rows[1].tags == ["a", "b"] and rows[2].tags == ["c"]
+    assert rows[1].props == {"k": 1} and rows[2].props == {}
+    # unknown exotic types still refuse loudly
+    import hive_udf_spark.sources.iceberg as ice
+
+    with pytest.raises(ValueError, match="not vendored"):
+        ice._spark_type("variant")
+    with pytest.raises(ValueError, match="not vendored"):
+        ice._spark_type({"type": "unknown-shape"})

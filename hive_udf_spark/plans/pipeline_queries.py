@@ -1313,6 +1313,76 @@ def source_delta_dv_column_mapping(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "source_delta_dv_id_mode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM base WHERE pos % 4 <> 0
+    """,
+)
+def source_delta_dv_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``columnMapping.mode=id`` + a deletion vector (r12 — the
+    r11 verdict's task 6, the last column-mapping refusal): the data
+    file carries OPAQUE physical column names plus the parquet FIELD
+    IDS id-mode writers stamp; the reader resolves columns by id
+    through Spark's native ``parquet.field.id`` matching (names are
+    ignored entirely — the protocol's contract), then drops every 4th
+    row position through the executor-side roaring-bitmap scan filter.
+
+    Scale note: field-id resolution happens inside the parquet reader
+    (no rename pass, no extra projection); the DV path is the r12
+    in-scan Arrow filter — no join, no driver expansion."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.delta import (
+        read_delta,
+        write_delta_commits,
+        write_deletion_vector,
+    )
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("col-x9", metadata={"parquet.field.id": 1}),
+        F.col("lang").alias("col-y8", metadata={"parquet.field.id": 2}),
+        F.col("n_chars").alias("col-z7", metadata={"parquet.field.id": 3}),
+    )
+    n_docs = docs.count()
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-x9"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-y8"}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-z7"}},
+        ],
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+        docs.coalesce(1).sortWithinPartitions("col-x9").write.parquet(
+            f"{tmp}/stage"
+        )
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        shutil.move(f"{tmp}/stage/{part}", f"{table}/base.parquet")
+        dv = write_deletion_vector(table, list(range(0, n_docs, 4)))
+        write_delta_commits(table, [
+            [{"add": {"path": "base.parquet", "deletionVector": dv}}],
+        ], schema_json,
+            configuration={"delta.columnMapping.mode": "id"})
+        return read_delta(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_iceberg_v2_deletes",
     oracle="""
     WITH base AS (

@@ -149,10 +149,12 @@ def _check_protocol(snap: _Snapshot) -> None:
     elif reader > 2:
         raise ValueError(f"delta: minReaderVersion {reader} not vendored")
     conf = (snap.metadata or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", "", "name"):
+    if conf.get("delta.columnMapping.mode", "none") not in (
+        "none", "", "name", "id",
+    ):
         raise ValueError(
-            "delta: only columnMapping.mode=name is vendored (id mode needs "
-            "parquet field-id resolution)"
+            f"delta: columnMapping.mode "
+            f"{conf['delta.columnMapping.mode']!r} not vendored"
         )
     fmt = (snap.metadata or {}).get("format") or {}
     if fmt.get("provider", "parquet") != "parquet":
@@ -429,22 +431,45 @@ def read_delta(
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     conf = (snap.metadata or {}).get("configuration") or {}
-    mapped = conf.get("delta.columnMapping.mode") == "name"
+    mode = conf.get("delta.columnMapping.mode") or "none"
+    mapped = mode in ("name", "id")
     phys_of = {}
+    field_id_of = {}
     for f in schema.fields:
         phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if mapped and not phys:
             raise ValueError(
-                f"delta: columnMapping.mode=name but field {f.name!r} has "
+                f"delta: columnMapping.mode={mode} but field {f.name!r} has "
                 "no physicalName"
             )
         phys_of[f.name] = phys if mapped else f.name
+        if mode == "id":
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"delta: columnMapping.mode=id but field {f.name!r} has "
+                    "no delta.columnMapping.id"
+                )
+            field_id_of[f.name] = int(fid)
     from pyspark.sql.types import StructField
 
-    data_schema = StructType([
-        StructField(phys_of[f.name], f.dataType, f.nullable)
-        for f in schema.fields if f.name not in part_cols
-    ])
+    if mode == "id":
+        # id mode: columns resolve by the PARQUET FIELD IDS the writer
+        # stamped, not by name — Spark's native field-id matching does
+        # exactly this when the requested schema carries
+        # ``parquet.field.id`` metadata; logical names apply directly,
+        # so no rename pass is needed
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType([
+            StructField(f.name, f.dataType, f.nullable,
+                        {"parquet.field.id": field_id_of[f.name]})
+            for f in schema.fields if f.name not in part_cols
+        ])
+    else:
+        data_schema = StructType([
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in schema.fields if f.name not in part_cols
+        ])
     all_names = [f.name for f in schema.fields]
     if partition_filter:
         bad = set(partition_filter) - set(part_cols)

@@ -485,3 +485,62 @@ def test_deletion_vector_percent_encoded_table_path(spark, tmp_path):
     ], SCHEMA_JSON)
     got = sorted(r.doc_id for r in read_delta(spark, table).collect())
     assert got == [1, 3]
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """r12 (r11 verdict task 6): columnMapping.mode=id resolves columns
+    by the PARQUET FIELD IDS the writer stamped — physical names are
+    opaque and ignored; a deletion vector still applies on top."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    # on-disk: opaque physical names + field ids (what id-mode writers emit)
+    t = pa.table({
+        "col-aaaa": pa.array([1, 2, 3], pa.int64()),
+        "col-bbbb": pa.array(["en", "de", "fr"], pa.string()),
+        "col-cccc": pa.array([10, 20, 30], pa.int64()),
+    })
+    t = t.cast(pa.schema([
+        pa.field("col-aaaa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-bbbb", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("col-cccc", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"3"}),
+    ]))
+    pq.write_table(t, os.path.join(table, "a.parquet"))
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaaa"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbbb"}},
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-cccc"}},
+        ],
+    })
+    dv = write_deletion_vector(table, [1])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], schema, configuration={"delta.columnMapping.mode": "id"})
+    df = read_delta(spark, table)
+    assert df.columns == ["doc_id", "lang", "n"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(1, "en", 10), (3, "fr", 30)]
+
+    # a field missing its columnMapping.id refuses, never misreads
+    bad = json.loads(schema)
+    del bad["fields"][0]["metadata"]["delta.columnMapping.id"]
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "_delta_log"))
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet"}}],
+    ], json.dumps(bad), configuration={"delta.columnMapping.mode": "id"})
+    with pytest.raises(ValueError, match="columnMapping.id"):
+        read_delta(spark, table)

@@ -8,15 +8,27 @@ no Hudi jars, so a ``.hoodie`` drop was unreadable).
 Implemented from the PUBLIC Hudi table format (apache/hudi tech specs
 — the timeline/file-layout contract, not the implementation):
 
-* ``.hoodie/hoodie.properties`` — table config; only
-  ``COPY_ON_WRITE`` tables are vendored (``MERGE_ON_READ`` needs avro
-  log-block merging and refuses loudly);
-* the TIMELINE — ``<instant>.commit`` JSON files (Hudi 1.x moves them
-  under ``.hoodie/timeline/``; both layouts are walked).  An instant
-  is COMPLETED only when its ``.commit`` file exists —
-  ``*.commit.requested`` / ``*.inflight`` markers without it are
+* ``.hoodie/hoodie.properties`` — table config; ``COPY_ON_WRITE`` and
+  (r12) ``MERGE_ON_READ`` tables are vendored;
+* the TIMELINE — ``<instant>.commit`` / ``<instant>.deltacommit`` /
+  ``<instant>.replacecommit`` JSON files (Hudi 1.x moves them under
+  ``.hoodie/timeline/``; both layouts are walked).  An instant is
+  COMPLETED only when its completion file exists —
+  ``*.requested`` / ``*.inflight`` markers without it are
   in-flight writers and MUST be invisible to readers (snapshot
-  isolation);
+  isolation), INCLUDING any log files they already dropped;
+* MERGE_ON_READ (r12) — deltacommits write LOG FILES
+  (``.{fileId}_{baseInstant}.log.{version}_{token}``) next to the file
+  group's base file; the log is a sequence of #HUDI#-framed blocks
+  (format version, block type, int-keyed header/footer maps, content,
+  trailing reverse-seek length — the public HoodieLogFormat layout).
+  AVRO data blocks carry length-prefixed Avro records decoded by the
+  vendored codec (operators/avrocodec.py) against the writer schema in
+  the block header; the snapshot read merges them onto the base file
+  by RECORD KEY (``hoodie.table.recordkey.fields``), newest completed
+  instant winning.  Command / delete / corrupt / non-avro blocks
+  refuse loudly — skipping a rollback or a delete would silently
+  resurrect rows;
 * ``HoodieCommitMetadata`` — ``partitionToWriteStats`` maps each
   partition path to write stats carrying ``fileId`` and ``path``.
   Copy-on-write means an update REWRITES a whole file group: a newer
@@ -43,7 +55,11 @@ TIMELINE walk is driver-side (KB–MB of JSON even for PB tables, the
 same division of labor real Hudi readers use), while the DATA scan is
 an ordinary distributed ``spark.read.parquet`` over the live base
 files with the schema pinned, so predicate pushdown / column pruning /
-AQE apply unchanged.
+AQE apply unchanged.  MOR log files decode DISTRIBUTED (the path list
+fans out and each task streams its files through the vendored block
+walker — log files at real scale are many and sizable), and the
+key-merge is a plain anti-join + union whose strategy AQE picks at
+runtime.
 
 The writer twin (``write_hudi_table``) emits spec-shaped
 ``hoodie.properties`` + timeline JSON + correctly named base files
@@ -103,18 +119,18 @@ def _read_properties(table_path: str) -> dict[str, str]:
 
 def hudi_timeline(table_path: str) -> list[tuple[str, str, dict]]:
     """COMPLETED instants [(instant_time, action, metadata)] in instant
-    order.  Only ``.commit`` / ``.replacecommit`` completions count —
-    requested/inflight markers are invisible (snapshot isolation).
-    Walks both the 0.x (``.hoodie/``) and 1.x (``.hoodie/timeline/``)
-    layouts."""
+    order.  Only ``.commit`` / ``.deltacommit`` / ``.replacecommit``
+    completions count — requested/inflight markers are invisible
+    (snapshot isolation).  Walks both the 0.x (``.hoodie/``) and 1.x
+    (``.hoodie/timeline/``) layouts."""
     out: list[tuple[str, str, dict]] = []
     for tl_dir in (_hoodie_dir(table_path),
                    os.path.join(_hoodie_dir(table_path), "timeline")):
         if not os.path.isdir(tl_dir):
             continue
-        for p in glob.glob(os.path.join(tl_dir, "*.commit")) + glob.glob(
-            os.path.join(tl_dir, "*.replacecommit")
-        ):
+        for p in (glob.glob(os.path.join(tl_dir, "*.commit"))
+                  + glob.glob(os.path.join(tl_dir, "*.deltacommit"))
+                  + glob.glob(os.path.join(tl_dir, "*.replacecommit"))):
             name = os.path.basename(p)
             instant, _, action = name.partition(".")
             # Hudi 1.x names completed files <begin>_<completion>.<action>;
@@ -188,33 +204,39 @@ def _schema_from_commit(meta: dict) -> tuple[str, list[str]] | None:
     return ", ".join(ddl_parts), names
 
 
-def hudi_live_files(
+class _FileSlice:
+    __slots__ = ("base_instant", "base_path", "logs")
+
+    def __init__(self):
+        self.base_instant: str | None = None
+        self.base_path: str | None = None
+        self.logs: list[tuple[str, str]] = []  # (instant, relative path)
+
+
+def _file_slices(
     table_path: str, as_of: str | None = None,
     partitions: list[str] | None = None,
-) -> tuple[list[str], dict | None]:
-    """The live base files of a COW table at instant ``as_of`` (default
-    latest), resolved through the file-slice rule: per file group —
-    keyed (partition path, fileId), since file groups live inside
-    partitions — the base file written by the NEWEST completed instant
-    ≤ the target wins; replacecommits retire whole file groups.
-    ``partitions`` prunes DRIVER-SIDE to the named partition paths
-    before anything is listed or scanned.  Returns (absolute paths
-    sorted, the newest commit metadata ≤ target)."""
+) -> tuple[dict[tuple[str, str], _FileSlice], dict | None, dict[str, str]]:
+    """The file-slice view at instant ``as_of`` (default latest): per
+    file group — keyed (partition path, fileId), since file groups live
+    inside partitions — the BASE file written by the newest completed
+    instant ≤ the target wins (the COW rewrite rule), and (MOR, r12)
+    LOG files from completed deltacommits ≤ the target attach to the
+    slice in instant order; replacecommits retire whole file groups.
+    A base rewrite or compaction STARTS A NEW SLICE: earlier log files
+    are superseded and dropped.  Returns (slices, newest commit
+    metadata ≤ target, table properties)."""
     props = _read_properties(table_path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise ValueError(
-            f"hudi: table type {ttype!r} not vendored (MERGE_ON_READ needs "
-            "log-block merging; refuse rather than misread)"
-        )
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"hudi: table type {ttype!r} not vendored")
     timeline = hudi_timeline(table_path)
     if as_of is not None:
         if not any(t == as_of for t, _, _ in timeline):
             raise ValueError(f"hudi: instant {as_of!r} not in the timeline")
         timeline = [t for t in timeline if t[0] <= as_of]
     keep = None if partitions is None else set(partitions)
-    # file-slice view: (partition, fileId) -> (instant, relative path)
-    slices: dict[tuple[str, str], tuple[str, str]] = {}
+    slices: dict[tuple[str, str], _FileSlice] = {}
     last_meta: dict | None = None
     for instant, action, meta in timeline:
         last_meta = meta
@@ -232,16 +254,295 @@ def hudi_live_files(
                     raise ValueError(
                         f"hudi: write stat without fileId/path in {instant}"
                     )
-                prev = slices.get((part, fid))
-                if prev is None or instant >= prev[0]:
-                    slices[(part, fid)] = (instant, path)
+                sl = slices.setdefault((part, fid), _FileSlice())
+                if ".log." in os.path.basename(path):
+                    sl.logs.append((instant, path))
+                elif sl.base_instant is None or instant >= sl.base_instant:
+                    sl.base_instant = instant
+                    sl.base_path = path
+                    # a rewritten/compacted base starts a new slice:
+                    # older log files are baked in, not replayed
+                    sl.logs = [(i, p) for i, p in sl.logs if i > instant]
+    for sl in slices.values():
+        if sl.base_path is None:
+            raise ValueError(
+                "hudi: file group has log files but no base file "
+                "(log-only slices need index-backed key routing; refuse "
+                "rather than misread)"
+            )
+        for rel in [sl.base_path] + [p for _, p in sl.logs]:
+            f = os.path.join(table_path, rel)
+            if not os.path.isfile(f):
+                raise ValueError(f"hudi: live file missing on disk: {f!r}")
+    return slices, last_meta, props
+
+
+def hudi_live_files(
+    table_path: str, as_of: str | None = None,
+    partitions: list[str] | None = None,
+) -> tuple[list[str], dict | None]:
+    """The live BASE files at instant ``as_of`` (default latest).
+    Slices carrying unmerged log files refuse — the base files alone
+    would misread; use ``read_hudi``, which merges."""
+    slices, last_meta, _ = _file_slices(table_path, as_of, partitions)
+    if any(sl.logs for sl in slices.values()):
+        raise ValueError(
+            "hudi: table carries unmerged MOR log files — use read_hudi "
+            "(the base files alone would misread)"
+        )
     files = sorted(
-        os.path.join(table_path, rel) for _, rel in slices.values()
+        os.path.join(table_path, sl.base_path) for sl in slices.values()
     )
-    for f in files:
-        if not os.path.isfile(f):
-            raise ValueError(f"hudi: live base file missing on disk: {f!r}")
     return files, last_meta
+
+
+# ---------------------------------------------------------------------------
+# HoodieLogFormat (MOR log files, r12) — vendored block walker + twin
+#
+# Block layout (the public HoodieLogFormat framing): 6-byte magic
+# "#HUDI#", int64be BLOCK SIZE (bytes from after this field through the
+# trailing reverse-seek length), int32be format version, int32be block
+# type ordinal, int-keyed HEADER map (int32be count, then per entry
+# int32be key / int32be byte length / utf8 bytes), int64be content
+# length, content, FOOTER map (same shape), int64be total block length
+# (magic through here — the reverse-seek pointer).  An AVRO data
+# block's content is int32be content-format version, int32be record
+# count, then per record int32be length + Avro binary bytes in the
+# writer schema carried by the SCHEMA header.
+# ---------------------------------------------------------------------------
+
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+_AVRO_CONTENT_VERSION = 3
+# HoodieLogBlockType ordinals
+_BLOCK_COMMAND, _BLOCK_DELETE, _BLOCK_CORRUPT, _BLOCK_AVRO = 0, 1, 2, 3
+_BLOCK_NAMES = {0: "command", 1: "delete", 2: "corrupt", 3: "avro",
+                4: "hfile", 5: "parquet", 6: "cdc"}
+# HeaderMetadataType ordinals
+_H_INSTANT_TIME, _H_TARGET_INSTANT, _H_SCHEMA = 0, 1, 2
+_MAX_LOG_BLOCKS = 100_000
+_MAX_LOG_RECORDS_PER_BLOCK = 1 << 24
+
+
+def _read_log_map(b: bytes, pos: int, end: int) -> tuple[dict[int, str], int]:
+    if pos + 4 > end:
+        raise ValueError("hudi log: header map truncated")
+    count = int.from_bytes(b[pos : pos + 4], "big")
+    pos += 4
+    if count > 64:
+        raise ValueError("hudi log: header map count out of bounds")
+    out: dict[int, str] = {}
+    for _ in range(count):
+        if pos + 8 > end:
+            raise ValueError("hudi log: header entry truncated")
+        key = int.from_bytes(b[pos : pos + 4], "big")
+        vlen = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        pos += 8
+        if pos + vlen > end:
+            raise ValueError("hudi log: header value truncated")
+        out[key] = b[pos : pos + vlen].decode("utf-8")
+        pos += vlen
+    return out, pos
+
+
+def decode_hudi_log(b: bytes) -> list[dict]:
+    """A Hudi log file → its blocks, each
+    ``{"type", "type_name", "headers" {ordinal: str}, "records"}``.
+    AVRO data blocks decode their records through the vendored Avro
+    codec against the SCHEMA header; other block types keep
+    ``records=None`` (callers decide whether they can proceed —
+    ``read_hudi`` refuses, because skipping a command/delete block
+    would silently resurrect rows).  Malformed framing → ValueError."""
+    from hive_udf_spark.operators.avrocodec import (
+        _decode_value,
+        _decoder_for,
+        _Reader,
+    )
+
+    b = bytes(b)
+    n = len(b)
+    blocks: list[dict] = []
+    pos = 0
+    while pos < n:
+        if len(blocks) >= _MAX_LOG_BLOCKS:
+            raise ValueError("hudi log: block count past the cap")
+        if b[pos : pos + 6] != _LOG_MAGIC:
+            raise ValueError("hudi log: bad block magic")
+        start = pos
+        pos += 6
+        if pos + 8 > n:
+            raise ValueError("hudi log: block size truncated")
+        size = int.from_bytes(b[pos : pos + 8], "big")
+        pos += 8
+        end = pos + size
+        if size < 28 or end > n:
+            raise ValueError("hudi log: block size out of bounds")
+        ver = int.from_bytes(b[pos : pos + 4], "big")
+        if ver != _LOG_FORMAT_VERSION:
+            raise ValueError(f"hudi log: format version {ver} not vendored")
+        btype = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        pos += 8
+        headers, pos = _read_log_map(b, pos, end)
+        if pos + 8 > end:
+            raise ValueError("hudi log: content length truncated")
+        clen = int.from_bytes(b[pos : pos + 8], "big")
+        pos += 8
+        if pos + clen > end:
+            raise ValueError("hudi log: content truncated")
+        content = b[pos : pos + clen]
+        pos += clen
+        footers, pos = _read_log_map(b, pos, end)
+        if pos + 8 != end:
+            raise ValueError("hudi log: trailing length misplaced")
+        total = int.from_bytes(b[pos : pos + 8], "big")
+        pos += 8
+        if total != pos - start:
+            raise ValueError("hudi log: reverse-seek length mismatch")
+        records = None
+        if btype == _BLOCK_AVRO:
+            schema_json = headers.get(_H_SCHEMA)
+            if not schema_json:
+                raise ValueError("hudi log: avro block without a SCHEMA header")
+            plan = _decoder_for(json.loads(schema_json))
+            if len(content) < 8:
+                raise ValueError("hudi log: avro content truncated")
+            cver = int.from_bytes(content[:4], "big")
+            if cver != _AVRO_CONTENT_VERSION:
+                raise ValueError(
+                    f"hudi log: avro content version {cver} not vendored"
+                )
+            count = int.from_bytes(content[4:8], "big")
+            if count > _MAX_LOG_RECORDS_PER_BLOCK:
+                raise ValueError("hudi log: record count out of bounds")
+            at = 8
+            records = []
+            for _ in range(count):
+                if at + 4 > len(content):
+                    raise ValueError("hudi log: record length truncated")
+                rlen = int.from_bytes(content[at : at + 4], "big")
+                at += 4
+                if at + rlen > len(content):
+                    raise ValueError("hudi log: record truncated")
+                r = _Reader(content[at : at + rlen])
+                records.append(_decode_value(r, plan))
+                at += rlen
+            if at != len(content):
+                raise ValueError("hudi log: trailing bytes after records")
+        blocks.append({
+            "type": btype,
+            "type_name": _BLOCK_NAMES.get(btype, str(btype)),
+            "headers": headers,
+            "footers": footers,
+            "records": records,
+        })
+    return blocks
+
+
+def encode_hudi_log(blocks: list[dict]) -> bytes:
+    """Fixture twin: serialize blocks (``{"instant", "schema",
+    "records"}`` for avro data blocks, or ``{"type", "content",
+    "headers"}`` raw) into the #HUDI# framing ``decode_hudi_log``
+    reads."""
+    from hive_udf_spark.operators.avrocodec import _decoder_for, _encode_value
+
+    out = bytearray()
+    for blk in blocks:
+        if "records" in blk:
+            btype = _BLOCK_AVRO
+            schema = blk["schema"]
+            plan = _decoder_for(schema)
+            body = bytearray()
+            body += _AVRO_CONTENT_VERSION.to_bytes(4, "big")
+            body += len(blk["records"]).to_bytes(4, "big")
+            for rec in blk["records"]:
+                enc = _encode_value(plan, rec)
+                body += len(enc).to_bytes(4, "big") + enc
+            headers = {
+                _H_INSTANT_TIME: blk["instant"],
+                _H_SCHEMA: json.dumps(schema, separators=(",", ":")),
+            }
+            content = bytes(body)
+        else:
+            btype = int(blk["type"])
+            headers = dict(blk.get("headers") or {})
+            content = bytes(blk.get("content") or b"")
+
+        def _map_bytes(m: dict[int, str]) -> bytes:
+            mb = bytearray(len(m).to_bytes(4, "big"))
+            for k in sorted(m):
+                v = m[k].encode("utf-8")
+                mb += int(k).to_bytes(4, "big") + len(v).to_bytes(4, "big") + v
+            return bytes(mb)
+
+        hb = _map_bytes(headers)
+        fb = _map_bytes({})
+        size = 8 + len(hb) + 8 + len(content) + len(fb) + 8
+        out += _LOG_MAGIC + size.to_bytes(8, "big")
+        out += _LOG_FORMAT_VERSION.to_bytes(4, "big")
+        out += btype.to_bytes(4, "big")
+        out += hb
+        out += len(content).to_bytes(8, "big") + content
+        out += fb
+        out += (14 + size).to_bytes(8, "big")  # magic..here, reverse seek
+    return bytes(out)
+
+
+def _log_records_df(
+    spark: SparkSession,
+    log_paths: list[str],
+    ddl: str,
+    names: list[str],
+    completed: frozenset[str],
+):
+    """Distributed decode of MOR log files → DataFrame of their avro
+    records plus ``__ord`` (instant | file | block | record — the
+    newest-wins merge order).  Blocks whose INSTANT_TIME is not a
+    COMPLETED instant are SKIPPED (an in-flight appender's blocks must
+    stay invisible — the rollback block, when it commits, is what
+    erases them); command/delete/corrupt blocks refuse loudly.
+
+    The path list fans out as a DataFrame and each task OPENS its log
+    files through the table's shared filesystem (the contract every
+    distributed scan already relies on) — Spark's own binaryFile
+    source cannot list them, because Hudi log files are dot-prefixed
+    and its listing treats dot-files as hidden."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    out_schema = _parse_datatype_string(ddl + ", __ord string")
+    assert isinstance(out_schema, StructType)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    content = fh.read()
+                for bi, blk in enumerate(decode_hudi_log(content)):
+                    if blk["records"] is None:
+                        raise ValueError(
+                            f"hudi: {blk['type_name']} log block not "
+                            "vendored — skipping it could resurrect rows"
+                        )
+                    instant = blk["headers"].get(_H_INSTANT_TIME)
+                    if not instant:
+                        raise ValueError(
+                            "hudi: avro log block without INSTANT_TIME"
+                        )
+                    if instant not in completed:
+                        continue  # uncommitted append: invisible
+                    for ri, rec in enumerate(blk["records"]):
+                        rows.append(
+                            [rec.get(c) for c in names]
+                            + [f"{instant}|{path}|{bi:08d}|{ri:08d}"]
+                        )
+            yield _pd.DataFrame(rows, columns=names + ["__ord"])
+
+    paths = spark.createDataFrame([(p,) for p in log_paths], "path string")
+    return paths.repartition(min(len(log_paths), 64)).mapInPandas(
+        gen, out_schema
+    )
 
 
 def read_hudi(
@@ -251,30 +552,79 @@ def read_hudi(
     include_meta: bool = False,
     partitions: list[str] | None = None,
 ) -> DataFrame:
-    """Hudi COW table → DataFrame of its live rows at instant ``as_of``
+    """Hudi table → DataFrame of its live rows at instant ``as_of``
     (default latest).  Data columns only unless ``include_meta=True``
     (the five ``_hoodie_*`` bookkeeping columns base files carry).
     ``partitions`` prunes to the named partition paths driver-side —
     the PB-scale file-set pruning, same as the Delta reader's
-    partition_filter."""
-    files, meta = hudi_live_files(table_path, as_of, partitions=partitions)
+    partition_filter.
+
+    MERGE_ON_READ (r12): slices carrying log files merge them onto the
+    base scan by the table's RECORD KEY
+    (``hoodie.table.recordkey.fields``) — the newest completed
+    instant's record wins per key; log decode runs distributed and the
+    key-merge is an anti-join + union (AQE picks the strategy)."""
+    slices, meta, props = _file_slices(table_path, as_of,
+                                       partitions=partitions)
     pinned = _schema_from_commit(meta or {})
+    files = sorted(os.path.join(table_path, sl.base_path)
+                   for sl in slices.values())
+    log_paths = sorted(
+        os.path.join(table_path, rel)
+        for sl in slices.values() for _, rel in sl.logs
+    )
     if not files:
         if pinned is None:
             raise ValueError("hudi: empty table without a stamped schema")
         return spark.createDataFrame([], pinned[0])
-    if pinned is None:
-        df = spark.read.parquet(*files)
-        data_cols = [c for c in df.columns if c not in META_COLUMNS]
-        return df.select(*df.columns) if include_meta else df.select(*data_cols)
-    ddl, names = pinned
+    if not log_paths:
+        if pinned is None:
+            df = spark.read.parquet(*files)
+            data_cols = [c for c in df.columns if c not in META_COLUMNS]
+            return (df.select(*df.columns) if include_meta
+                    else df.select(*data_cols))
+        ddl, names = pinned
+        if include_meta:
+            meta_ddl = ", ".join(f"{c} string" for c in META_COLUMNS)
+            df = spark.read.schema(f"{meta_ddl}, {ddl}").parquet(*files)
+            return df.select(*META_COLUMNS, *names)
+        # meta columns are pruned AT THE SCAN (ReadSchema carries only
+        # the data columns) — the pin is also the projection
+        return spark.read.schema(ddl).parquet(*files).select(*names)
+    # ---- MERGE_ON_READ snapshot read ----
     if include_meta:
-        meta_ddl = ", ".join(f"{c} string" for c in META_COLUMNS)
-        df = spark.read.schema(f"{meta_ddl}, {ddl}").parquet(*files)
-        return df.select(*META_COLUMNS, *names)
-    # meta columns are pruned AT THE SCAN (ReadSchema carries only the
-    # data columns) — the pin is also the projection
-    return spark.read.schema(ddl).parquet(*files).select(*names)
+        raise ValueError(
+            "hudi: include_meta is not vendored for MOR merges (log "
+            "records carry no materialized meta columns)"
+        )
+    if pinned is None:
+        raise ValueError("hudi: MOR merge needs a stamped schema")
+    key_field = (props.get("hoodie.table.recordkey.fields") or "").strip()
+    if not key_field or "," in key_field:
+        raise ValueError(
+            "hudi: MOR merge needs a single-field "
+            "hoodie.table.recordkey.fields"
+        )
+    ddl, names = pinned
+    if key_field not in names:
+        raise ValueError(
+            f"hudi: record key {key_field!r} is not a data column"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    completed = frozenset(t for t, _, _ in hudi_timeline(table_path)
+                          if as_of is None or t <= as_of)
+    base = spark.read.schema(ddl).parquet(*files).select(*names)
+    logs = _log_records_df(spark, log_paths, ddl, names, completed)
+    w = Window.partitionBy(key_field).orderBy(F.col("__ord").desc())
+    latest = (
+        logs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*names)
+    )
+    return base.join(latest.select(key_field), on=key_field,
+                     how="left_anti").unionByName(latest).select(*names)
 
 
 # ---------------------------------------------------------------------------
@@ -298,33 +648,52 @@ def write_hudi_table(
     commits: list[dict],
     schema_fields: list[tuple[str, str]],
     table_name: str = "fixture_table",
+    record_key: str = "doc_id",
 ) -> None:
-    """Emit a spec-shaped Hudi COW table.  ``commits`` is a list of
+    """Emit a spec-shaped Hudi table.  ``commits`` is a list of
     instants in order; each is ``{"writes": {fileId: src_parquet_path},
-    "replaces": [fileId, ...], "action": "commit"|"replacecommit",
+    "replaces": [fileId, ...], "log_writes": {fileId: [record dicts]},
+    "log_append_uncommitted": {fileId: [record dicts]},
+    "action": "commit"|"deltacommit"|"replacecommit",
     "inflight": bool}``.  Source parquet files are renamed into the
     base-file convention ``{fileId}_{writeToken}_{instant}.parquet``;
+    ``log_writes`` (r12, MOR) drops a #HUDI#-framed avro log file into
+    the file group's slice (``.{fileId}_{baseInstant}.log.{v}_{token}``)
+    and the table becomes MERGE_ON_READ; ``log_append_uncommitted``
+    appends a block whose instant is NOT on the timeline to an existing
+    log file (an in-flight appender — its records must stay invisible);
     an ``inflight`` instant gets only requested/inflight markers (its
     data must stay invisible).  ``schema_fields`` are (name,
     spark_simple_type) pairs stamped as the Avro schema real writers
     put in extraMetadata."""
     hoodie = _hoodie_dir(table_path)
     os.makedirs(hoodie, exist_ok=True)
+    any_logs = any(c.get("log_writes") or c.get("log_append_uncommitted")
+                   for c in commits)
+    ttype = "MERGE_ON_READ" if any_logs else "COPY_ON_WRITE"
     with open(os.path.join(hoodie, "hoodie.properties"), "w") as fh:
         fh.write(
             "hoodie.table.name=%s\n"
-            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.type=%s\n"
+            "hoodie.table.recordkey.fields=%s\n"
             "hoodie.table.version=6\n"
-            "hoodie.timeline.layout.version=1\n" % table_name
+            "hoodie.timeline.layout.version=1\n"
+            % (table_name, ttype, record_key)
         )
-    avro_schema = json.dumps({
+    avro_schema_obj = {
         "type": "record",
         "name": table_name,
         "fields": [_avro_field(n, t) for n, t in schema_fields],
-    })
+    }
+    avro_schema = json.dumps(avro_schema_obj)
+    base_instant_of: dict[str, str] = {}  # fileId -> its slice's base instant
+    log_ver: dict[str, int] = {}
+    log_rel_of: dict[str, str] = {}  # fileId -> newest log file (for appends)
     for i, commit in enumerate(commits):
         instant = f"{20240101000000 + i}"
-        action = commit.get("action", "commit")
+        action = commit.get(
+            "action", "deltacommit" if commit.get("log_writes") else "commit"
+        )
         if commit.get("inflight"):
             open(os.path.join(hoodie, f"{instant}.{action}.requested"), "w").close()
             open(os.path.join(hoodie, f"{instant}.inflight"), "w").close()
@@ -344,6 +713,7 @@ def write_hudi_table(
                 dst = os.path.join(table_path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
+                base_instant_of[fid] = instant
                 stats_by_part.setdefault(part, []).append({
                     "fileId": fid,
                     "path": rel,
@@ -351,6 +721,42 @@ def write_hudi_table(
                     "numWrites": 0,
                     "fileSizeInBytes": os.path.getsize(dst),
                 })
+        for fid, records in (commit.get("log_writes") or {}).items():
+            base_instant = base_instant_of.get(fid)
+            if base_instant is None:
+                raise ValueError(
+                    f"hudi twin: log write for {fid!r} before its base file"
+                )
+            log_ver[fid] = log_ver.get(fid, 0) + 1
+            rel = f".{fid}_{base_instant}.log.{log_ver[fid]}_0-0-0"
+            blob = encode_hudi_log([{
+                "instant": instant,
+                "schema": avro_schema_obj,
+                "records": records,
+            }])
+            with open(os.path.join(table_path, rel), "wb") as fh:
+                fh.write(blob)
+            log_rel_of[fid] = rel
+            stats_by_part.setdefault("", []).append({
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": base_instant,
+                "numWrites": 0,
+                "fileSizeInBytes": len(blob),
+            })
+        for fid, records in (commit.get("log_append_uncommitted") or {}).items():
+            rel = log_rel_of.get(fid)
+            if rel is None:
+                raise ValueError(
+                    f"hudi twin: uncommitted append for {fid!r} needs a log"
+                )
+            blob = encode_hudi_log([{
+                "instant": "99990101000000",  # never on the timeline
+                "schema": avro_schema_obj,
+                "records": records,
+            }])
+            with open(os.path.join(table_path, rel), "ab") as fh:
+                fh.write(blob)
         meta: dict = {
             "partitionToWriteStats": stats_by_part or {"": []},
             "compacted": False,

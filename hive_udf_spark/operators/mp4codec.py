@@ -46,6 +46,7 @@ import struct
 from hive_udf_spark.operators._codec_util import untrusted_decoder
 
 __all__ = [
+    "fragment_mp4",
     "split_mp4_frames",
     "encode_mp4_mjpeg",
     "encode_mp4_av1",
@@ -61,8 +62,10 @@ __all__ = [
 ]
 
 
-def _boxes(b: bytes, pos: int, end: int):
-    """Yield (fourcc, payload_start, payload_end) for boxes in [pos, end)."""
+def _boxes_full(b: bytes, pos: int, end: int):
+    """Yield (fourcc, box_start, payload_start, payload_end) for boxes
+    in [pos, end) — box_start is the first byte of the size field (the
+    anchor ``default-base-is-moof`` fragment offsets are relative to)."""
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", b, pos)
         fourcc = b[pos + 4 : pos + 8]
@@ -79,8 +82,14 @@ def _boxes(b: bytes, pos: int, end: int):
             box_end = pos + size
         if box_end < payload or box_end > end:
             raise ValueError(f"MP4 box {fourcc!r}: size {size} exceeds extent")
-        yield fourcc, payload, box_end
+        yield fourcc, pos, payload, box_end
         pos = box_end
+
+
+def _boxes(b: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for boxes in [pos, end)."""
+    for fourcc, _, payload, box_end in _boxes_full(b, pos, end):
+        yield fourcc, payload, box_end
 
 
 def _find(b: bytes, pos: int, end: int, fourcc: bytes):
@@ -137,7 +146,8 @@ def _parse_stbl(b: bytes, pos: int, end: int) -> tuple[bytes, list[int], list[in
 
 
 def _video_stbl(b: bytes, moov_p: int, moov_e: int):
-    """First trak whose hdlr handler is 'vide' → its stbl extents."""
+    """First trak whose hdlr handler is 'vide' → (its stbl extents,
+    its tkhd track_ID — the key fragment trafs address)."""
     for fc, p, e in _boxes(b, moov_p, moov_e):
         if fc != b"trak":
             continue
@@ -153,8 +163,138 @@ def _video_stbl(b: bytes, moov_p: int, moov_e: int):
         stbl = _find(b, minf[0], minf[1], b"stbl")
         if stbl is None:
             raise ValueError("MP4 video trak missing stbl")
-        return stbl
+        track_id = 0
+        tkhd = _find(b, p, e, b"tkhd")
+        if tkhd is not None:
+            ver = b[tkhd[0]]
+            at = tkhd[0] + (20 if ver == 1 else 12)
+            if at + 4 <= tkhd[1]:
+                (track_id,) = struct.unpack_from(">I", b, at)
+        return stbl, track_id
     raise ValueError("MP4 has no video track (hdlr 'vide')")
+
+
+def _trex_default_size(b: bytes, moov_p: int, moov_e: int,
+                       track_id: int) -> int:
+    """The mvex/trex default_sample_size for ``track_id`` (0 when the
+    movie has no mvex or no matching trex)."""
+    mvex = _find(b, moov_p, moov_e, b"mvex")
+    if mvex is None:
+        return 0
+    for fc, p, e in _boxes(b, mvex[0], mvex[1]):
+        if fc == b"trex" and p + 24 <= e:
+            tid, _sdi, _dur, dsize = struct.unpack_from(">IIII", b, p + 4)
+            if tid == track_id:
+                return dsize
+    return 0
+
+
+_MAX_FRAGMENT_SAMPLES = 1 << 20  # untrusted-header guard
+
+
+def _fragment_samples(b: bytes, track_id: int,
+                      trex_size: int) -> list[tuple[int, int]]:
+    """Resolve the video track's samples from movie FRAGMENTS
+    (ISO 14496-12 §8.8: moof → traf → tfhd/trun) → [(offset, size)].
+
+    Base-offset semantics implemented as the spec states them: an
+    explicit tfhd ``base-data-offset`` wins; else the
+    ``default-base-is-moof`` flag anchors at the moof's first byte;
+    else the FIRST traf of a moof defaults to the moof start.  A
+    second-or-later traf with no explicit base needs the preceding
+    traf's data extent (inter-track offset chaining) — refuse loudly
+    rather than guess.  Sample sizes come from the trun entries, the
+    tfhd default, or the trex default, in that order; unresolvable
+    sizes refuse.  Every extent is bounds-checked against the blob."""
+    out: list[tuple[int, int]] = []
+    for fc, moof_start, p, e in _boxes_full(b, 0, len(b)):
+        if fc != b"moof":
+            continue
+        first_traf = True
+        for tfc, tp, te in _boxes(b, p, e):
+            if tfc != b"traf":
+                continue
+            was_first = first_traf
+            first_traf = False
+            tfhd = _find(b, tp, te, b"tfhd")
+            if tfhd is None:
+                raise ValueError("fMP4: traf missing tfhd")
+            hp, he = tfhd
+            if hp + 8 > he:
+                raise ValueError("fMP4: tfhd truncated")
+            (vf,) = struct.unpack_from(">I", b, hp)
+            flags = vf & 0xFFFFFF
+            (tid,) = struct.unpack_from(">I", b, hp + 4)
+            cur = hp + 8
+            bdo = None
+            if flags & 0x1:
+                if cur + 8 > he:
+                    raise ValueError("fMP4: tfhd base-data-offset truncated")
+                (bdo,) = struct.unpack_from(">Q", b, cur)
+                cur += 8
+            if flags & 0x2:
+                cur += 4  # sample_description_index
+            if flags & 0x8:
+                cur += 4  # default_sample_duration
+            default_size = None
+            if flags & 0x10:
+                if cur + 4 > he:
+                    raise ValueError("fMP4: tfhd default-sample-size truncated")
+                (default_size,) = struct.unpack_from(">I", b, cur)
+                cur += 4
+            if tid != track_id:
+                continue
+            if bdo is not None:
+                base = bdo
+            elif flags & 0x20000 or was_first:  # default-base-is-moof
+                base = moof_start
+            else:
+                raise ValueError(
+                    "fMP4: non-first traf without base-data-offset or "
+                    "default-base-is-moof (inter-track offset chaining "
+                    "not vendored)"
+                )
+            data_pos = base
+            for rfc, rp, re_ in _boxes(b, tp, te):
+                if rfc != b"trun":
+                    continue
+                if rp + 8 > re_:
+                    raise ValueError("fMP4: trun truncated")
+                (vf2,) = struct.unpack_from(">I", b, rp)
+                tflags = vf2 & 0xFFFFFF
+                (count,) = struct.unpack_from(">I", b, rp + 4)
+                cur2 = rp + 8
+                if tflags & 0x1:
+                    (doff,) = struct.unpack_from(">i", b, cur2)
+                    cur2 += 4
+                    data_pos = base + doff
+                if tflags & 0x4:
+                    cur2 += 4  # first-sample-flags
+                per = (4 * bool(tflags & 0x100) + 4 * bool(tflags & 0x200)
+                       + 4 * bool(tflags & 0x400) + 4 * bool(tflags & 0x800))
+                if count > _MAX_FRAGMENT_SAMPLES or cur2 + count * per > re_:
+                    raise ValueError("fMP4: trun sample table out of bounds")
+                size_at = cur2 + (4 if tflags & 0x100 else 0)
+                for i in range(count):
+                    if tflags & 0x200:
+                        (ssize,) = struct.unpack_from(">I", b,
+                                                      size_at + i * per)
+                    else:
+                        ssize = default_size if default_size is not None \
+                            else trex_size
+                        if not ssize:
+                            raise ValueError(
+                                "fMP4: sample size unresolvable (no trun "
+                                "entry, tfhd default, or trex default)"
+                            )
+                    if ssize > len(b) or data_pos + ssize > len(b) \
+                            or data_pos < 0:
+                        raise ValueError("fMP4: sample extent outside the file")
+                    if len(out) >= _MAX_FRAGMENT_SAMPLES:
+                        raise ValueError("fMP4: sample count past the cap")
+                    out.append((data_pos, ssize))
+                    data_pos += ssize
+    return out
 
 
 @untrusted_decoder
@@ -172,11 +312,18 @@ def split_mp4_frames(b: bytes) -> list[bytes]:
     moov = _find(b, 0, len(b), b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov")
-    stbl = _video_stbl(b, moov[0], moov[1])
+    stbl, track_id = _video_stbl(b, moov[0], moov[1])
     entry, sizes, chunk_offsets, stsc, entry_payload = _parse_stbl(
         b, stbl[0], stbl[1]
     )
     frames = _resolve_samples(b, sizes, chunk_offsets, stsc)
+    # FRAGMENTED MP4 (r12): streaming-era files (CMAF/DASH) keep the
+    # moov sample tables empty and carry samples in moof/mdat pairs —
+    # resolve those through tfhd/trun and append in fragment order
+    frag = _fragment_samples(
+        b, track_id, _trex_default_size(b, moov[0], moov[1], track_id)
+    )
+    frames += [b[o : o + s] for o, s in frag]
     if not frames:
         raise ValueError("MP4 video track has no samples")
     if entry == b"avc1":
@@ -299,6 +446,132 @@ def _mux_video(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def fragment_mp4(
+    b: bytes, samples_per_fragment: int = 1, base_mode: str = "moof",
+    size_mode: str = "trun",
+) -> bytes:
+    """Fixture twin (r12): rewrite a classic (moov-indexed) MP4 into a
+    FRAGMENTED one — the CMAF/DASH shape streaming-era corpora carry.
+    The moov keeps the original stsd codec configuration (avcC/hvcC/
+    av1C ride along untouched) but its sample tables empty out and an
+    mvex/trex appears; the samples move into per-fragment
+    moof(mfhd, traf(tfhd, trun)) + mdat pairs.  ``base_mode`` picks the
+    tfhd anchor the reader must honor: ``"moof"`` sets
+    default-base-is-moof, ``"bdo"`` writes an explicit 64-bit
+    base-data-offset (both are real-world shapes).  ``size_mode`` picks
+    where sample sizes live: ``"trun"`` per-sample entries, ``"tfhd"``
+    the fragment's default-sample-size (uniform sizes per fragment
+    required), ``"trex"`` the movie-level default (uniform sizes across
+    the whole track required) — the reader's full fallback chain."""
+    if base_mode not in ("moof", "bdo"):
+        raise ValueError("base_mode must be 'moof' or 'bdo'")
+    if size_mode not in ("trun", "tfhd", "trex"):
+        raise ValueError("size_mode must be 'trun', 'tfhd' or 'trex'")
+    moov = _find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    stbl, _tid = _video_stbl(b, moov[0], moov[1])
+    entry, sizes, chunk_offsets, stsc, entry_payload = _parse_stbl(
+        b, stbl[0], stbl[1]
+    )
+    samples = _resolve_samples(b, sizes, chunk_offsets, stsc)
+    if not samples:
+        raise ValueError("fragment twin: source MP4 has no samples")
+    n = len(samples)
+    width = height = 0
+    if len(entry_payload) >= 28:
+        width, height = struct.unpack_from(">HH", entry_payload, 24)
+    timescale, duration = 25, n
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x10000, 0x0100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"vide" + b"\x00" * 12 + entry + b"\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+    ))
+    sample_entry = struct.pack(">I", 8 + len(entry_payload)) + entry \
+        + entry_payload
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    # empty tables: the fragmented contract
+    stbl_out = _box(b"stbl", (
+        stsd
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0))
+    ))
+    minf = _box(b"minf", vmhd + dinf + stbl_out)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex_size = 0
+    if size_mode == "trex":
+        if len({len(s) for s in samples}) != 1:
+            raise ValueError(
+                "fragment twin: size_mode='trex' needs uniform sample sizes"
+            )
+        trex_size = len(samples[0])
+    mvex = _box(b"mvex", _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, trex_size, 0)
+    ))
+    moov_out = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp",
+                b"iso5" + struct.pack(">I", 512) + b"iso5iso6cmfc")
+    out = bytearray(ftyp + moov_out)
+    seq = 0
+    for at in range(0, n, samples_per_fragment):
+        chunk = samples[at : at + samples_per_fragment]
+        seq += 1
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+
+        def _traf(doff: int, moof_start: int) -> bytes:
+            tfhd_flags = 0x20000 if base_mode == "moof" else 0x1
+            tfhd_payload = struct.pack(">I", 1)
+            if base_mode == "bdo":
+                tfhd_payload += struct.pack(">Q", moof_start)
+            if size_mode == "tfhd":
+                if len({len(s) for s in chunk}) != 1:
+                    raise ValueError(
+                        "fragment twin: size_mode='tfhd' needs uniform "
+                        "sizes per fragment"
+                    )
+                tfhd_flags |= 0x10
+                tfhd_payload += struct.pack(">I", len(chunk[0]))
+            tfhd = _full(b"tfhd", 0, tfhd_flags, tfhd_payload)
+            trun_flags = 0x1 | (0x200 if size_mode == "trun" else 0)
+            trun_payload = struct.pack(">Ii", len(chunk), doff)
+            if size_mode == "trun":
+                trun_payload += b"".join(
+                    struct.pack(">I", len(s)) for s in chunk
+                )
+            return _box(
+                b"traf", tfhd + _full(b"trun", 0, trun_flags, trun_payload)
+            )
+
+        # two passes: the trun data-offset needs the finished moof size
+        # (samples start right after the fragment's mdat header)
+        moof = _box(b"moof", mfhd + _traf(0, len(out)))
+        moof = _box(b"moof", mfhd + _traf(len(moof) + 8, len(out)))
+        out += moof + _box(b"mdat", b"".join(chunk))
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

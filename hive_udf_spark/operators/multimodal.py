@@ -404,6 +404,36 @@ def jpeg_block_encoder_udf(
     return enc
 
 
+def _mjpeg_mp4_blob(
+    t: str, n_frames: int, n_blocks_side: int, quality: int
+) -> bytes:
+    """One classic MJPEG-in-MP4 fixture blob from a payload string —
+    shared by the classic and fragmented encoder UDFs."""
+    from hive_udf_spark.operators import jpegcodec, mp4codec
+
+    n = n_blocks_side * n_blocks_side
+    side = n_blocks_side * 8
+    a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+    if a.size != n_frames * n:
+        raise ValueError(f"payload must be exactly {n_frames * n} ASCII chars")
+    frames = [
+        jpegcodec.encode_jpeg(
+            np.repeat(
+                np.repeat(
+                    a[f * n : (f + 1) * n].reshape(n_blocks_side, n_blocks_side),
+                    8,
+                    axis=0,
+                ),
+                8,
+                axis=1,
+            ),
+            quality=quality,
+        )
+        for f in range(n_frames)
+    ]
+    return mp4codec.encode_mp4_mjpeg(frames, side, side, fps=5)
+
+
 def mp4_mjpeg_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100):
     """Arrow-batched MP4 fixture encoder: Motion-JPEG-in-MP4 — the same
     constant-block JPEG frames as the AVI fixture, but inside a real
@@ -413,35 +443,38 @@ def mp4_mjpeg_encoder_udf(n_frames: int = 3, n_blocks_side: int = 8, quality: in
     per-frame SOI dispatch → JPEG decode."""
     from pyspark.sql.functions import pandas_udf
 
-    n = n_blocks_side * n_blocks_side
-    side = n_blocks_side * 8
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: _mjpeg_mp4_blob(t, n_frames, n_blocks_side, quality)
+        )
+
+    return enc
+
+
+def fmp4_mjpeg_encoder_udf(
+    n_frames: int = 3, n_blocks_side: int = 8, quality: int = 100
+):
+    """Arrow-batched FRAGMENTED-MP4 fixture encoder (r12): the
+    classic-MP4 twin's output rewritten into the CMAF/DASH shape
+    (empty moov tables + mvex; per-fragment moof/tfhd/trun + mdat) by
+    ``mp4codec.fragment_mp4``.  The tfhd base-offset mode ROTATES
+    deterministically per payload — half the blobs anchor at the moof
+    (default-base-is-moof), half carry an explicit 64-bit
+    base-data-offset — so one oracle covers both real-world layouts.
+    Feeds the production demux's moof/traf/trun resolution."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def enc(s: pd.Series) -> pd.Series:
-        from hive_udf_spark.operators import jpegcodec, mp4codec
+        from hive_udf_spark.operators import mp4codec
 
         def one(t: str) -> bytes:
-            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
-            if a.size != n_frames * n:
-                raise ValueError(f"payload must be exactly {n_frames * n} ASCII chars")
-            frames = [
-                jpegcodec.encode_jpeg(
-                    np.repeat(
-                        np.repeat(
-                            a[f * n : (f + 1) * n].reshape(
-                                n_blocks_side, n_blocks_side
-                            ),
-                            8,
-                            axis=0,
-                        ),
-                        8,
-                        axis=1,
-                    ),
-                    quality=quality,
-                )
-                for f in range(n_frames)
-            ]
-            return mp4codec.encode_mp4_mjpeg(frames, side, side, fps=5)
+            return mp4codec.fragment_mp4(
+                _mjpeg_mp4_blob(t, n_frames, n_blocks_side, quality),
+                samples_per_fragment=1,
+                base_mode="bdo" if ord(t[0]) % 2 else "moof",
+            )
 
         return s.map(one)
 

@@ -1781,6 +1781,58 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_fmp4_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+    ),
+    a AS (
+      SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
+    ),
+    f AS (
+      SELECT doc_id, 0 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+      FROM a
+      UNION ALL
+      SELECT doc_id, 2 AS frame_idx,
+             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+      FROM a
+    )
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(4096 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    FROM f
+    """,
+)
+def multimodal_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 demux end-to-end (r12 — the r11 verdict's task 3:
+    streaming-era corpora are heavily CMAF/DASH, where the moov sample
+    tables are EMPTY and samples ride in moof/mdat pairs): the
+    MJPEG-in-MP4 fixture is rewritten into one-sample fragments whose
+    tfhd base-offset mode rotates per blob (default-base-is-moof vs an
+    explicit 64-bit base-data-offset — both real layouts under ONE
+    oracle), and ``split_mp4_frames`` resolves the samples through
+    mfhd/traf/tfhd/trun instead of stsc × stco × stsz.  The oracle is
+    identical to the classic-MP4 query because fragmentation must not
+    change the frames."""
+    from hive_udf_spark.operators.multimodal import (
+        fmp4_mjpeg_encoder_udf,
+        sample_container_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
+    enc = fmp4_mjpeg_encoder_udf(3, 8, quality=100)
+    framed = (
+        docs.select("doc_id", payload.alias("__s"))
+        .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", enc(F.col("__s")).alias("blob"))
+    )
+    return sample_container_frames(framed, every_nth=2, fake=False).select(
+        "doc_id", "frame_idx", "n_frames", "n_pixels", "mean_px", "max_px"
+    )
+
+
+@register(
     "multimodal_mp4_av1_frame_sample",
     oracle="""
     WITH t AS (

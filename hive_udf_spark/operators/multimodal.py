@@ -1312,6 +1312,84 @@ def decode_audio_features(blobs: DataFrame, fake: bool = False) -> DataFrame:
     return blobs.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+MPEG_AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, layer int, n_frames bigint, n_granules bigint, "
+    "sample_rate int, duration_ms bigint, mean_amp double, peak_abs double"
+)
+
+
+def decode_mpeg_audio_features(blobs: DataFrame) -> DataFrame:
+    """Per-blob MPEG-1 LAYER I feature extraction via mapInPandas
+    (r12): the vendored bitstream decode
+    (``operators.mpegaudio.decode_mpeg1_layer1``) yields the
+    requantized SUBBAND matrix — exact closed-form arithmetic — and
+    the features are computed there (the polyphase synthesis window is
+    tabulated-only, so PCM never materializes; see the mpegaudio
+    module posture).  ``mean_amp`` comes from the EXACT integer code
+    sum of subband 0 so both engines hash-match; ``peak_abs`` is the
+    max |requantized value| across all subbands.  Same 100 TB shape as
+    every decode tier: map-side, features tiny, blobs never shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_spark.operators import mpegaudio
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "layer", "n_frames", "n_granules",
+                    "sample_rate", "duration_ms", "mean_amp", "peak_abs",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                info = mpegaudio.probe_mpeg_audio(b)
+                d = mpegaudio.decode_mpeg1_layer1(b)
+                codes0 = d["codes"][:, 0, 0]
+                n = codes0.shape[0]
+                total = int(codes0.sum(dtype=np.int64))
+                rows["doc_id"].append(int(doc_id))
+                rows["layer"].append(info["layer"])
+                rows["n_frames"].append(int(d["frames"]))
+                rows["n_granules"].append(n)
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["duration_ms"].append(int(info["duration_ms"]))
+                rows["mean_amp"].append(
+                    (total / n + 1.0) / 16384.0 * (32768.0 / 32767.0)
+                    if n else 0.0
+                )
+                rows["peak_abs"].append(
+                    float(np.abs(d["subbands"]).max()) if n else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=MPEG_AUDIO_FEATURES_SCHEMA)
+
+
+def mpeg1_l1_encoder_udf(n_chars: int = 24):
+    """Arrow-batched MPEG-1 Layer I fixture encoder (r12): a payload of
+    ``n_chars`` ASCII chars (a multiple of 12 — one quantizer code per
+    granule) becomes signed 15-bit codes ``(c − 80) · 128`` in subband
+    0 with scalefactor index 3 (sf = 1.0, dyadic → the decode is
+    float64-EXACT), framed by ``mpegaudio.encode_mpeg1_l1`` into
+    spec-shaped 32 kbit/s mono frames."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators import mpegaudio
+
+        def one(t: str) -> bytes:
+            if len(t) != n_chars:
+                raise ValueError(f"payload must be exactly {n_chars} chars")
+            codes = [(ord(c) - 80) * 128 for c in t]
+            return mpegaudio.encode_mpeg1_l1({0: codes}, 3)
+
+        return s.map(one)
+
+    return enc
+
+
 AUDIO_QUALITY_SCHEMA = (
     "doc_id bigint, n_samples int, n_clipped int, n_silent int, "
     "energy bigint, sample_rate int"

@@ -992,6 +992,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["multimodal_mp4_subtitles"].fn(spark, sf_dir))
 
+    def q_fmp4_frame_sample():
+        # r12: fragmented-MP4 demux (moof/traf/trun, both base anchors)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_fmp4_frame_sample"].fn(spark, sf_dir))
+
+    def q_codec_mp1_audio():
+        # r12: MPEG-1 Layer I bitstream decode (subband tier)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_mp1_audio_features"].fn(spark, sf_dir))
+
     def q_codec_au_audio():
         # r11: Sun AU container (µ-law codes straight from text)
         from hive_udf_spark.plans import QUERIES
@@ -1040,6 +1052,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         from hive_udf_spark.plans import QUERIES
 
         _force(QUERIES["source_hudi_roundtrip"].fn(spark, sf_dir))
+
+    def q_hudi_mor_roundtrip():
+        # r12: MERGE_ON_READ — distributed log-block decode + key merge
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_hudi_mor_roundtrip"].fn(spark, sf_dir))
+
+    def q_delta_dv_id_mode():
+        # r12: id-mode column mapping (parquet field ids) + in-scan DV
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_delta_dv_id_mode"].fn(spark, sf_dir))
+
+    def q_iceberg_nested_types():
+        # r12: recursive struct/list/map schema conversion + nested scan
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_nested_types"].fn(spark, sf_dir))
 
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
@@ -1259,6 +1289,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "webm_subtitles": q_webm_subtitles,
         "mp4_subtitles": q_mp4_subtitles,
         "codec_aiff_audio": q_codec_aiff_audio,
+        "hudi_mor_roundtrip": q_hudi_mor_roundtrip,
+        "delta_dv_id_mode": q_delta_dv_id_mode,
+        "iceberg_nested_types": q_iceberg_nested_types,
+        "fmp4_frame_sample": q_fmp4_frame_sample,
+        "codec_mp1_audio": q_codec_mp1_audio,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

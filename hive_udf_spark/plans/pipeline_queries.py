@@ -1234,6 +1234,93 @@ def source_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_v2_checkpoint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM base WHERE pos % 5 <> 0
+    UNION ALL
+    SELECT doc_id + 60000000, lang, n_chars
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def source_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 CHECKPOINT replay (r12 — the ``v2Checkpoint`` reader
+    feature, previously a protocol-gate refusal): the documents land
+    with a deletion vector (every 5th position), a V2 checkpoint
+    compacts the log — a JSON top file carrying checkpointMetadata +
+    ``sidecar`` actions whose parquet sidecars under
+    ``_delta_log/_sidecars/`` hold the file actions — the
+    PRE-CHECKPOINT COMMITS ARE DELETED (so the checkpoint must really
+    be the replay base, not a bystander), and a tail commit appends a
+    sixth of the docs.  The DV descriptor must survive the
+    checkpoint → sidecar → replay trip: the oracle's row_number
+    arithmetic hash-checks that deleted rows stay deleted.
+
+    Scale note: V2's sidecar layout exists exactly FOR scale — writers
+    update a PB-table's checkpoint incrementally by swapping sidecars;
+    the reader cost stays the same driver-side KB–MB log walk."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.delta import (
+        checkpoint_v2_delta,
+        read_delta,
+        write_delta_commits,
+        write_deletion_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n_docs = docs.count()
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+
+        def stage(name: str, df: DataFrame) -> None:
+            df.coalesce(1).sortWithinPartitions("doc_id").write.parquet(
+                f"{tmp}/stage_{name}"
+            )
+            part = next(p for p in os.listdir(f"{tmp}/stage_{name}")
+                        if p.endswith(".parquet"))
+            shutil.move(f"{tmp}/stage_{name}/{part}", f"{table}/{name}.parquet")
+
+        stage("base", docs)
+        stage("sixth", docs.filter(F.col("doc_id") % 6 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 60000000))
+        dv = write_deletion_vector(table, list(range(0, n_docs, 5)))
+        write_delta_commits(table, [
+            [{"add": {"path": "base.parquet", "deletionVector": dv}}],
+        ], schema_json)
+        checkpoint_v2_delta(table, 0, sidecars=2)
+        os.remove(f"{table}/_delta_log/{0:020d}.json")
+        with open(f"{table}/_delta_log/{1:020d}.json", "w") as fh:
+            fh.write(json.dumps(
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE"}}
+            ) + "\n")
+            add = {"path": "sixth.parquet", "partitionValues": {},
+                   "size": os.path.getsize(f"{table}/sixth.parquet"),
+                   "modificationTime": 0, "dataChange": True}
+            fh.write(json.dumps({"add": add}) + "\n")
+        return read_delta(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_delta_dv_column_mapping",
     oracle="""
     WITH base AS (

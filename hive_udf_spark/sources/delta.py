@@ -65,6 +65,7 @@ __all__ = [
     "write_delta_commits",
     "write_deletion_vector",
     "checkpoint_delta",
+    "checkpoint_v2_delta",
 ]
 
 _MAX_LOG_ACTIONS = 1_000_000  # runaway-log guard (driver memory)
@@ -84,10 +85,14 @@ def _commit_versions(log_dir: str) -> list[int]:
 
 
 def _checkpoint_files(log_dir: str, version: int) -> list[str]:
-    """All parquet parts of the checkpoint at ``version`` (single-file
-    or multi-part), sorted so parts concatenate in order."""
+    """All files of the checkpoint at ``version`` — classic single-file
+    (``.checkpoint.parquet``), classic multi-part
+    (``.checkpoint.partN.ofM.parquet``) or V2
+    (``.checkpoint.<uniqueId>.{parquet,json}``) — sorted so classic
+    parts concatenate in order."""
     return sorted(
         glob.glob(os.path.join(log_dir, f"{version:020d}.checkpoint*.parquet"))
+        + glob.glob(os.path.join(log_dir, f"{version:020d}.checkpoint.*.json"))
     )
 
 
@@ -96,7 +101,8 @@ def _latest_checkpoint_version(log_dir: str, limit: int) -> int | None:
     optimization hint; globbing is authoritative (the hint can lag or
     point past a time-travel target)."""
     best = None
-    for p in glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet")):
+    for p in (glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet"))
+              + glob.glob(os.path.join(log_dir, "*.checkpoint.*.json"))):
         stem = os.path.basename(p).split(".")[0]
         if len(stem) == 20 and stem.isdigit():
             v = int(stem)
@@ -125,6 +131,9 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         path = add.get("path")
         if not path:
             raise ValueError("delta: add action without a path")
+        pv = add.get("partitionValues")
+        if isinstance(pv, list):  # parquet MAP columns decode as pairs
+            add["partitionValues"] = dict(pv)
         snap.files[path] = add
     elif "remove" in action and action["remove"]:
         path = action["remove"].get("path")
@@ -141,6 +150,7 @@ def _check_protocol(snap: _Snapshot) -> None:
         unsupported = feats - {
             "timestampNtz", "vacuumProtocolCheck",
             "columnMapping", "deletionVectors",  # vendored in r11
+            "v2Checkpoint",  # vendored in r12 (sidecar replay)
         }
         if unsupported:
             raise ValueError(
@@ -161,19 +171,72 @@ def _check_protocol(snap: _Snapshot) -> None:
         raise ValueError(f"delta: format {fmt.get('provider')!r} not vendored")
 
 
-def _replay_checkpoint(snap: _Snapshot, parts: list[str]) -> None:
+def _checkpoint_rows(path: str) -> list[dict]:
+    """Action rows from one checkpoint file — parquet or (V2) JSON
+    (newline-delimited actions, same shape as commits)."""
+    if path.endswith(".json"):
+        rows = []
+        with open(path, "rb") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    try:
+                        rows.append(json.loads(line))
+                    except json.JSONDecodeError as exc:
+                        raise ValueError(
+                            f"delta: malformed v2 checkpoint json: {exc}"
+                        ) from exc
+        return rows
     import pyarrow.parquet as pq
 
+    return pq.read_table(path).to_pylist()
+
+
+def _replay_checkpoint(snap: _Snapshot, log_dir: str,
+                       parts: list[str]) -> None:
+    """Replay a checkpoint into the snapshot.  Classic checkpoints
+    carry every action inline (single file or multi-part).  V2
+    checkpoints (PROTOCOL.md, the ``v2Checkpoint`` reader feature)
+    carry a ``checkpointMetadata`` action plus ``sidecar`` actions
+    naming parquet files under ``_delta_log/_sidecars/`` that hold the
+    add/remove file actions — the layout that lets writers update a
+    huge table's checkpoint incrementally.  Sidecar references resolve
+    and replay here; a missing sidecar refuses loudly (silently
+    skipping one would resurrect removed files)."""
+    n = 0
     for part in parts:
-        t = pq.read_table(part)
-        cols = set(t.column_names)
-        rows = t.to_pylist()
-        if len(snap.files) + len(rows) > _MAX_LOG_ACTIONS:
+        rows = _checkpoint_rows(part)
+        n += len(rows)
+        if len(snap.files) + n > _MAX_LOG_ACTIONS:
             raise ValueError("delta: checkpoint action count past the cap")
+        sidecars: list[str] = []
         for row in rows:
             for key in ("metaData", "protocol", "add", "remove"):
-                if key in cols and row.get(key) is not None:
+                if row.get(key) is not None:
                     _apply_action(snap, {key: row[key]})
+            sc = row.get("sidecar")
+            if sc is not None:
+                p = sc.get("path")
+                if not p:
+                    raise ValueError("delta: sidecar action without a path")
+                sidecars.append(p)
+            # checkpointMetadata: structural marker; version checked by
+            # the caller via the filename, nothing to apply
+        for rel in sidecars:
+            sp = rel if os.path.isabs(rel) else os.path.join(
+                log_dir, "_sidecars", rel)
+            if not os.path.isfile(sp):
+                raise ValueError(
+                    f"delta: checkpoint sidecar missing on disk: {rel!r}"
+                )
+            srows = _checkpoint_rows(sp)
+            n += len(srows)
+            if len(snap.files) + n > _MAX_LOG_ACTIONS:
+                raise ValueError("delta: checkpoint action count past the cap")
+            for row in srows:
+                for key in ("add", "remove"):
+                    if row.get(key) is not None:
+                        _apply_action(snap, {key: row[key]})
 
 
 def delta_version_at_timestamp(table_path: str, ts_ms: int) -> int:
@@ -225,7 +288,7 @@ def delta_snapshot(table_path: str, version: int | None = None) -> _Snapshot:
     start = 0
     ckpt = _latest_checkpoint_version(log_dir, target)
     if ckpt is not None:
-        _replay_checkpoint(snap, _checkpoint_files(log_dir, ckpt))
+        _replay_checkpoint(snap, log_dir, _checkpoint_files(log_dir, ckpt))
         snap.version = ckpt
         start = ckpt + 1
     n_actions = len(snap.files)
@@ -649,6 +712,75 @@ def write_deletion_vector(
         "sizeInBytes": len(data),
         "cardinality": card,
     }
+
+
+def checkpoint_v2_delta(
+    table_path: str, version: int, sidecars: int = 1
+) -> None:
+    """Writer twin for a V2 CHECKPOINT (PROTOCOL.md ``v2Checkpoint``):
+    a ``<version>.checkpoint.<uniqueId>.json`` top file carrying
+    protocol / metaData / checkpointMetadata / ``sidecar`` actions,
+    with the live file actions split across ``sidecars`` parquet files
+    under ``_delta_log/_sidecars/`` — the incremental-checkpoint layout
+    newer writers emit for huge tables."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(table_path, version)
+    log_dir = _log_dir(table_path)
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    paths = sorted(snap.files)
+    chunks = [paths[i::sidecars] for i in range(sidecars)]
+    add_type = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("deletionVector", pa.struct([
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ])),
+    ])
+    actions = [{"checkpointMetadata": {"version": version}},
+               {"protocol": snap.protocol or _PROTOCOL},
+               {"metaData": snap.metadata}]
+    for chunk in chunks:
+        rows = []
+        for path in chunk:
+            add = snap.files[path]
+            dv = add.get("deletionVector")
+            rows.append({"add": {
+                "path": add["path"],
+                "partitionValues": sorted(
+                    (add.get("partitionValues") or {}).items()),
+                "size": int(add.get("size", 0)),
+                "modificationTime": int(add.get("modificationTime", 0)),
+                "dataChange": False,
+                "deletionVector": dv,
+            }})
+        name = f"{_uuid.uuid4()}.parquet"
+        table = pa.Table.from_pylist(rows, schema=pa.schema([
+            ("add", add_type)]))
+        pq.write_table(table, os.path.join(sc_dir, name))
+        actions.append({"sidecar": {
+            "path": name,
+            "sizeInBytes": os.path.getsize(os.path.join(sc_dir, name)),
+            "modificationTime": 0,
+        }})
+    top = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{_uuid.uuid4()}.json"
+    )
+    with open(top, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": version, "size": len(actions)}))
 
 
 def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:

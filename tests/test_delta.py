@@ -161,10 +161,11 @@ def test_protocol_and_feature_gates(spark, tmp_path):
     with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, table)
 
-    # reader v3 with an unsupported feature → refuse
+    # reader v3 with an unsupported feature → refuse (v2Checkpoint is
+    # vendored since r12; typeWidening is not)
     meta["metaData"]["configuration"] = {}
     proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["v2Checkpoint"]}}
+                          "readerFeatures": ["typeWidening"]}}
     open(log, "w").write("\n".join([json.dumps(proto), json.dumps(meta)] + lines[2:]))
     with pytest.raises(ValueError, match="not vendored"):
         read_delta(spark, table)
@@ -544,3 +545,96 @@ def test_column_mapping_id_mode(spark, tmp_path):
     ], json.dumps(bad), configuration={"delta.columnMapping.mode": "id"})
     with pytest.raises(ValueError, match="columnMapping.id"):
         read_delta(spark, table)
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """r12: V2 checkpoints (the v2Checkpoint reader feature) — a JSON
+    top file with checkpointMetadata + sidecar actions, file actions in
+    parquet sidecars under _delta_log/_sidecars/ — replay exactly; the
+    pre-checkpoint commits are DELETED to prove the checkpoint is the
+    base."""
+    from hive_udf_spark.sources.delta import checkpoint_v2_delta
+
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    checkpoint_v2_delta(table, 1, sidecars=2)
+    _write_file(table, "d.parquet", [(5, "it", 50)])
+    write_delta_commits_append(table, 2, [{"add": {"path": "d.parquet"}}])
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    got = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 31),
+                   (4, "es", 40), (5, "it", 50)]
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(table, "_delta_log", "_sidecars",
+                                   "*.parquet"))
+    # v2Checkpoint as a declared reader feature is accepted
+    log0 = os.path.join(table, "_delta_log", f"{2:020d}.json")
+    lines = open(log0).read().splitlines()
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"]}}
+    open(log0, "w").write("\n".join([json.dumps(proto)] + lines) + "\n")
+    assert read_delta(spark, table).count() == 5
+
+
+def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
+    from hive_udf_spark.sources.delta import checkpoint_v2_delta, delta_snapshot
+
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    checkpoint_v2_delta(table, 1, sidecars=1)
+    import glob as _glob
+
+    sc = _glob.glob(os.path.join(table, "_delta_log", "_sidecars",
+                                 "*.parquet"))[0]
+    os.remove(sc)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="sidecar missing"):
+        delta_snapshot(table)
+
+
+def test_v2_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A DV descriptor must survive the checkpoint -> sidecar -> replay
+    trip: deleted rows stay deleted when the log is truncated."""
+    from hive_udf_spark.sources.delta import (
+        checkpoint_v2_delta,
+        write_deletion_vector,
+    )
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet",
+                [(1, "en", 10), (2, "de", 20), (3, "fr", 30)])
+    dv = write_deletion_vector(table, [1])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+    checkpoint_v2_delta(table, 0)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    assert got == [1, 3]
+
+
+def test_classic_checkpoint_partition_values_roundtrip(spark, tmp_path):
+    """Latent-bug guard: parquet MAP columns decode as pair lists; a
+    partitioned table restored FROM a checkpoint must still resolve its
+    partitionValues."""
+    import shutil
+
+    table = str(tmp_path / "p")
+    schema = json.loads(SCHEMA_JSON)
+    schema["fields"].append({"name": "day", "type": "integer",
+                             "nullable": True, "metadata": {}})
+    _basic_table(table)
+    shutil.rmtree(os.path.join(table, "_delta_log"))
+    write_delta_commits(table, [
+        [
+            {"add": {"path": "a.parquet", "partitionValues": {"day": "7"}}},
+            {"add": {"path": "c.parquet", "partitionValues": {"day": "9"}}},
+        ],
+    ], json.dumps(schema), part_cols=["day"])
+    checkpoint_delta(table, 0)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    got = sorted((r.doc_id, r.day) for r in read_delta(spark, table).collect())
+    assert got == [(1, 7), (2, 7), (3, 9), (4, 9)]

@@ -368,10 +368,42 @@ def read_iceberg(
     schema = _schema_from_metadata(meta)
     if partition_filter:
         # driver-side file pruning on the manifests' typed partition
-        # records (identity transforms) — the PB-scale pruning, same as
-        # the Delta reader's partition_filter.  A data file WITHOUT a
-        # partition record cannot be proven in or out: refuse rather
-        # than silently over- or under-read.
+        # records — the PB-scale pruning, same as the Delta reader's
+        # partition_filter.  Keys may name a partition-spec FIELD
+        # (compared as stored, the identity path) or (r12) a SOURCE
+        # COLUMN whose spec transforms — bucket[N] / truncate[W] /
+        # year / month / day / hour — are applied to the filter value
+        # driver-side, so `{"ts": some_day}` prunes a day-partitioned
+        # table without the caller knowing the transform.  A data file
+        # WITHOUT a partition record cannot be proven in or out:
+        # refuse rather than silently over- or under-read.
+        spec_fields = []
+        for s in meta.get("partition-specs") or []:
+            if s.get("spec-id") == meta.get("default-spec-id", 0):
+                spec_fields = s.get("fields") or []
+        field_names = {f["name"] for f in spec_fields}
+        id_to_name = _field_names_by_id(meta)
+        by_source: dict[str, list[dict]] = {}
+        for f in spec_fields:
+            src = id_to_name.get(f.get("source-id"))
+            if src is not None:
+                by_source.setdefault(src, []).append(f)
+        checks: list[tuple[str, object]] = []  # (record key, expected)
+        for k, v in partition_filter.items():
+            if k in field_names:
+                checks.append((k, v))
+            elif k in by_source:
+                for f in by_source[k]:
+                    checks.append((f["name"], apply_transform(f["transform"], v)))
+            elif not spec_fields:
+                # tables whose metadata stamps no spec fields (older
+                # writers): compare against the record key directly
+                checks.append((k, v))
+            else:
+                raise ValueError(
+                    f"iceberg: partition_filter key {k!r} is neither a "
+                    "partition-spec field nor a partitioned source column"
+                )
         kept = []
         for path, seq, part in data:
             if part is None:
@@ -379,7 +411,7 @@ def read_iceberg(
                     "iceberg: partition_filter needs manifest partition "
                     f"records, but {path!r} has none"
                 )
-            if all(part.get(k) == v for k, v in partition_filter.items()):
+            if all(part.get(k) == v for k, v in checks):
                 kept.append((path, seq, part))
         data = kept
     if not data:
@@ -450,6 +482,120 @@ def read_iceberg(
     return df.select(*names)
 
 
+def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm) — Iceberg's
+    bucket-transform hash.  Returns a SIGNED 32-bit int (the spec's
+    convention).  Pinned in tests to the spec's own Appendix-B vectors
+    (int 34 → 2017239379, string "iceberg" → 1210000089), so a
+    transcription slip here cannot survive CI."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounds = n // 4
+    for i in range(rounds):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * rounds :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def apply_transform(transform: str, value):
+    """Iceberg partition TRANSFORM of a source value → the partition
+    record value manifests store (spec §Partition Transforms):
+    ``identity``; ``bucket[N]`` (murmur3 of the long's little-endian 8
+    bytes or the string's UTF-8, then ``(h & MaxInt) % N``);
+    ``truncate[W]`` (floor-mod for ints, prefix for strings); and the
+    time family over epoch MICROSECONDS (``year``/``month``/``day``/
+    ``hour`` → units since 1970).  Unknown transforms or mismatched
+    value types refuse loudly — guessing a partition value prunes the
+    wrong files."""
+    import datetime as _dt
+
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        n = int(transform[7:-1])
+        if n <= 0:
+            raise ValueError(f"iceberg: bucket count {n} invalid")
+        if isinstance(value, bool) or value is None:
+            raise ValueError("iceberg: bucket transform needs int/str")
+        if isinstance(value, int):
+            data = (value & ((1 << 64) - 1)).to_bytes(8, "little")
+        elif isinstance(value, str):
+            data = value.encode("utf-8")
+        elif isinstance(value, bytes):
+            data = value
+        else:
+            raise ValueError(
+                f"iceberg: bucket transform over {type(value).__name__} "
+                "not vendored"
+            )
+        return (_murmur3_x86_32(data) & 0x7FFFFFFF) % n
+    if transform.startswith("truncate[") and transform.endswith("]"):
+        w = int(transform[9:-1])
+        if w <= 0:
+            raise ValueError(f"iceberg: truncate width {w} invalid")
+        if isinstance(value, bool):
+            raise ValueError("iceberg: truncate transform needs int/str")
+        if isinstance(value, int):
+            return value - (((value % w) + w) % w)
+        if isinstance(value, str):
+            return value[:w]
+        raise ValueError(
+            f"iceberg: truncate transform over {type(value).__name__} "
+            "not vendored"
+        )
+    if transform in ("year", "month", "day", "hour"):
+        if isinstance(value, _dt.datetime):
+            ts = value.replace(tzinfo=_dt.timezone.utc) if value.tzinfo is None \
+                else value
+            micros = int(ts.timestamp() * 1_000_000)
+        elif isinstance(value, _dt.date):
+            micros = (value - _dt.date(1970, 1, 1)).days * 86_400_000_000
+        elif isinstance(value, int):
+            micros = value  # epoch micros, the spec's timestamp repr
+        else:
+            raise ValueError(
+                f"iceberg: {transform} transform over "
+                f"{type(value).__name__} not vendored"
+            )
+        d = _dt.datetime.fromtimestamp(
+            micros // 1_000_000, tz=_dt.timezone.utc
+        )
+        if transform == "hour":
+            return micros // 3_600_000_000
+        if transform == "day":
+            return micros // 86_400_000_000
+        if transform == "month":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return d.year - 1970
+    raise ValueError(f"iceberg: transform {transform!r} not vendored")
+
+
 def _field_names_by_id(meta: dict) -> dict[int, str]:
     schemas = meta.get("schemas") or ([meta["schema"]] if "schema" in meta
                                       else [])
@@ -518,6 +664,7 @@ def write_iceberg_table(
     table_path: str,
     snapshots: list[dict],
     schema_fields: list[dict],
+    partition_spec: list[dict] | None = None,
 ) -> None:
     """Emit a spec-shaped Iceberg table.  ``snapshots[i]`` is
     ``{"added": [paths], "deleted": [paths],
@@ -669,7 +816,7 @@ def write_iceberg_table(
         "schemas": [{"type": "struct", "schema-id": 0,
                      "fields": schema_fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": partition_spec or []}],
         "current-snapshot-id": snap_meta[-1]["snapshot-id"],
         "snapshots": snap_meta,
     }

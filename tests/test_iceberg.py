@@ -372,3 +372,68 @@ def test_nested_column_types_roundtrip(spark, tmp_path):
         ice._spark_type("variant")
     with pytest.raises(ValueError, match="not vendored"):
         ice._spark_type({"type": "unknown-shape"})
+
+
+def test_murmur3_spec_vectors():
+    """The bucket-transform hash is pinned to the Iceberg spec's own
+    Appendix-B vectors — a transcription slip cannot survive."""
+    from hive_udf_spark.sources.iceberg import _murmur3_x86_32
+
+    assert _murmur3_x86_32((34).to_bytes(8, "little")) == 2017239379
+    assert _murmur3_x86_32(b"iceberg") == 1210000089
+
+
+def test_partition_transforms_spec_examples():
+    """apply_transform matches the spec's documented examples."""
+    import datetime as dt
+
+    from hive_udf_spark.sources.iceberg import apply_transform
+
+    assert apply_transform("bucket[16]", 34) == 3       # spec example
+    assert apply_transform("truncate[10]", 19) == 10
+    assert apply_transform("truncate[10]", -5) == -10   # floor, not trunc
+    assert apply_transform("truncate[3]", "iceberg") == "ice"
+    d = dt.date(2017, 11, 16)
+    t = dt.datetime(2017, 11, 16, 22, 31, tzinfo=dt.timezone.utc)
+    assert apply_transform("day", d) == 17486           # spec example
+    assert apply_transform("month", d) == 574
+    assert apply_transform("year", d) == 47
+    assert apply_transform("hour", t) == 17486 * 24 + 22  # = day·24 + 22h
+    assert apply_transform("identity", "x") == "x"
+    assert apply_transform("void", 9) is None
+    with pytest.raises(ValueError, match="not vendored"):
+        apply_transform("zorder", 1)
+    with pytest.raises(ValueError, match="needs int/str"):
+        apply_transform("bucket[4]", None)
+
+
+def test_partition_pruning_through_transforms(spark, tmp_path):
+    """r12: partition_filter keys may name a SOURCE column; the reader
+    applies the spec's transform (bucket here) to the filter value and
+    prunes file groups driver-side."""
+    from hive_udf_spark.sources.iceberg import apply_transform
+
+    table = str(tmp_path / "t")
+    # two files, partitioned by bucket[4](doc_id): ids 34 and 35 land
+    # in different buckets (spec vector: bucket[4](34) = hash % 4)
+    b34 = apply_transform("bucket[4]", 34)
+    b35 = apply_transform("bucket[4]", 35)
+    assert b34 != b35, "fixture needs distinct buckets"
+    _write_file(table, "data/a.parquet", [(34, "en", 10)])
+    _write_file(table, "data/b.parquet", [(35, "de", 20)])
+    write_iceberg_table(table, [
+        {"added": [("data/a.parquet", {"day": b34}),
+                   ("data/b.parquet", {"day": b35})]},
+    ], FIELDS, partition_spec=[
+        {"name": "day", "transform": "bucket[4]", "source-id": 1,
+         "field-id": 1000},
+    ])
+    df = read_iceberg(spark, table, partition_filter={"doc_id": 34})
+    assert len(df.inputFiles()) == 1
+    assert [r.doc_id for r in df.collect()] == [34]
+    # spec-field name keys still compare as stored (identity path)
+    df2 = read_iceberg(spark, table, partition_filter={"day": b35})
+    assert [r.doc_id for r in df2.collect()] == [35]
+    # an unknown key refuses instead of silently scanning everything
+    with pytest.raises(ValueError, match="neither"):
+        read_iceberg(spark, table, partition_filter={"nope": 1})

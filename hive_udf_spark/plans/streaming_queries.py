@@ -168,6 +168,65 @@ def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_iceberg_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_iceberg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into a TRANSACTIONAL Iceberg table (r12,
+    streaming/iceberg_sink.py — the second lakehouse streaming sink):
+    the event stream arrives in 4 deterministic micro-batches; each
+    becomes one APPEND SNAPSHOT whose metadata version is batch_id+1,
+    published atomically by the metadata.json rename, with the
+    previous snapshot's MANIFESTS REUSED untouched (commit cost
+    O(batch), never O(table)).  After the stream drains, the table
+    reads back through the vendored ``read_iceberg`` metadata walk and
+    aggregates — the hash check proves the full circle: stream →
+    snapshots → scan ≡ the batch SQL over the same events.  A
+    foreachBatch RETRY is a no-op (the metadata version is the
+    idempotency check)."""
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import iceberg_commit_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(4):  # sequential writes -> deterministic file order
+            ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        table = f"{tmp}/table"
+        q = iceberg_commit_sink(stream, table, f"{tmp}/ckpt", app_id="ingest")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            read_iceberg(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("user_id").alias("sum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+@register(
     "streaming_dedup_exactly_once",
     oracle="""
     SELECT event_type, count(*) AS n_unique_events

@@ -1,0 +1,204 @@
+"""Streaming ingestion into an Apache Iceberg table (r12): the second
+transactional streaming sink next to ``streaming/delta_sink.py`` —
+corpora standardize on one of the lakehouse trio, and the engine now
+writes the two formats it reads most.
+
+Exactly-once, the Iceberg way: each micro-batch becomes one APPEND
+SNAPSHOT published by writing ``metadata/v{N}.metadata.json`` where
+``N = batch_id + 1`` — the metadata file IS the atomic publish (write
+to temp + ``os.rename``; readers glob metadata versions and take the
+newest, so a version appears entirely or not at all).  A retried batch
+finds its metadata version already present and returns without
+touching anything — idempotent, like the Delta sink's commit-file
+check.  A crash between the data-file write and the metadata rename
+leaves only unreferenced orphans, never a torn table.
+
+Manifest reuse — the part that matters at scale: the new snapshot's
+manifest list carries the PREVIOUS snapshot's manifest files untouched
+plus ONE new manifest holding this batch's ADDED entries, exactly how
+real Iceberg appends work.  Commit cost is O(batch), never O(table):
+a year-old table's millionth append writes the same few KB of Avro as
+its first.
+
+Scale shape: the data write is an ordinary distributed
+``batch_df.write.parquet``; only the KB-scale metadata append is
+driver-side — the same division as the vendored readers.  Single
+writer per table (the streaming query); multi-writer Iceberg needs a
+catalog with atomic swap, out of scope for an ingest sink.
+
+No reference analogue (the reference is a cardinality-UDAF package,
+MLnick/hive-udf UDAFCardinalityEstimator.java) — this supports the
+mandated streaming/sink extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+__all__ = ["iceberg_commit_sink", "commit_batch_to_iceberg"]
+
+_SPARK_TO_ICEBERG = {
+    "long": "long", "bigint": "long", "integer": "int", "int": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "binary", "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _iceberg_fields(batch_df: DataFrame) -> list[dict]:
+    fields = []
+    for i, f in enumerate(batch_df.schema.fields):
+        t = f.dataType.simpleString()
+        it = _SPARK_TO_ICEBERG.get(t, t if t.startswith("decimal(") else None)
+        if it is None:
+            raise ValueError(
+                f"iceberg sink: column {f.name!r} type {t!r} not vendored"
+            )
+        fields.append({"id": i + 1, "name": f.name, "required": False,
+                       "type": it})
+    return fields
+
+
+def commit_batch_to_iceberg(
+    batch_df: DataFrame, batch_id: int, table_path: str,
+    app_id: str = "iceberg-ingest",
+) -> bool:
+    """Append one micro-batch as Iceberg snapshot version
+    ``batch_id + 1``.  Returns False (no-op) when that metadata version
+    already exists — the foreachBatch-retry idempotency check."""
+    from hive_udf_spark.operators.avrocodec import encode_ocf
+    from hive_udf_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _load_metadata,
+    )
+
+    version = batch_id + 1
+    mdir = os.path.join(table_path, "metadata")
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    if os.path.exists(meta_path):
+        return False  # retried batch: the publish already happened
+    os.makedirs(mdir, exist_ok=True)
+    ddir = os.path.join(table_path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    # distributed data write, deterministic per-batch file names so a
+    # retry overwrites its own orphans instead of stacking new ones
+    scratch = os.path.join(table_path, f"_scratch-{batch_id}")
+    batch_df.write.mode("overwrite").parquet(scratch)
+    rels = []
+    for i, part in enumerate(sorted(
+        p for p in os.listdir(scratch) if p.endswith(".parquet")
+    )):
+        rel = f"data/batch-{batch_id:010d}-{i:05d}.parquet"
+        os.replace(os.path.join(scratch, part), os.path.join(table_path, rel))
+        rels.append(rel)
+    shutil.rmtree(scratch)
+    if version == 1:
+        prev = None
+        prev_manifests: list[dict] = []
+        snapshots: list[dict] = []
+        fields = _iceberg_fields(batch_df)
+    else:
+        prev = _load_metadata(table_path)
+        snapshots = list(prev.get("snapshots") or [])
+        fields = None
+        cur = next(
+            (s for s in snapshots
+             if s.get("snapshot-id") == prev.get("current-snapshot-id")),
+            None,
+        )
+        prev_manifests = []
+        if cur is not None:
+            from hive_udf_spark.operators.avrocodec import decode_ocf
+
+            mlist = cur.get("manifest-list")
+            with open(mlist if os.path.isabs(mlist)
+                      else os.path.join(table_path, mlist), "rb") as fh:
+                _, prev_manifests = decode_ocf(fh.read())
+    sid = 5000 + batch_id
+    seq = version
+    entries = [{
+        "status": 1, "snapshot_id": sid, "sequence_number": seq,
+        "data_file": {
+            "content": 0, "file_path": rel, "file_format": "PARQUET",
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)),
+            "column_sizes": None, "equality_ids": None, "partition": None,
+        },
+    } for rel in rels]
+    mpath = os.path.join(mdir, f"stream-manifest-{sid}.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+    mlist_rows = [dict(m) for m in prev_manifests] + [{
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "added_snapshot_id": sid,
+    }]
+    lpath = os.path.join(mdir, f"snap-{sid}-manifest-list.avro")
+    with open(lpath, "wb") as fh:
+        fh.write(encode_ocf(_MANIFEST_FILE_SCHEMA, mlist_rows))
+    snapshots.append({
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": batch_id,
+        "manifest-list": lpath,
+        "summary": {"operation": "append", "app-id": app_id,
+                    "batch-id": str(batch_id)},
+    })
+    if prev is None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000beef",
+            "location": table_path,
+            "last-sequence-number": seq,
+            "last-updated-ms": batch_id,
+            "last-column-id": len(fields),
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": sid,
+            "snapshots": snapshots,
+        }
+    else:
+        meta = dict(prev)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = batch_id
+        meta["current-snapshot-id"] = sid
+        meta["snapshots"] = snapshots
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(meta))
+    os.rename(tmp, meta_path)  # THE atomic publish
+    # the hint is an optimization, not the source of truth (readers
+    # glob); refresh it best-effort after the publish
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return True
+
+
+def iceberg_commit_sink(
+    stream_df: DataFrame, table_path: str, checkpoint_dir: str,
+    app_id: str = "iceberg-ingest",
+):
+    """writeStream → one Iceberg append snapshot per micro-batch (see
+    module docstring for the exactly-once argument).  Returns the
+    started StreamingQuery."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_to_iceberg(batch_df, int(batch_id), table_path, app_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -437,3 +437,35 @@ def test_partition_pruning_through_transforms(spark, tmp_path):
     # an unknown key refuses instead of silently scanning everything
     with pytest.raises(ValueError, match="neither"):
         read_iceberg(spark, table, partition_filter={"nope": 1})
+
+
+def test_streaming_sink_snapshots_and_idempotence(spark, tmp_path):
+    """r12 iceberg_sink: batches become append snapshots with manifest
+    reuse; a retried batch no-ops; time travel sees each prefix."""
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import commit_batch_to_iceberg
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10), (2, "de", 20)],
+                               "doc_id long, lang string, n long")
+    b1 = spark.createDataFrame([(3, "fr", 30)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_iceberg(b0, 0, table)
+    assert commit_batch_to_iceberg(b1, 1, table)
+    # retry of batch 1: no-op, nothing duplicated
+    assert not commit_batch_to_iceberg(b1, 1, table)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+    # time travel to the first snapshot
+    assert read_iceberg(spark, table, snapshot_id=5000).count() == 2
+    # manifest REUSE: snapshot 2's manifest list carries snapshot 1's
+    # manifest untouched plus one new manifest
+    import glob as _glob
+
+    from hive_udf_spark.operators.avrocodec import decode_ocf
+
+    lists = sorted(_glob.glob(os.path.join(table, "metadata",
+                                           "snap-*-manifest-list.avro")))
+    _, rows = decode_ocf(open(lists[-1], "rb").read())
+    assert len(rows) == 2
+    assert {r["added_snapshot_id"] for r in rows} == {5000, 5001}

@@ -227,6 +227,64 @@ def streaming_iceberg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_hudi_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_hudi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into a TRANSACTIONAL Hudi COW table (r12,
+    streaming/hudi_sink.py — completing the lakehouse streaming-sink
+    trio): the event stream arrives in 4 deterministic micro-batches;
+    each becomes one COMPLETED commit on the ``.hoodie`` timeline
+    (instant = batch id, the commit JSON the atomic publish), rows
+    landing as new file groups.  After the stream drains, the table
+    reads back through the vendored ``read_hudi`` timeline walk and
+    aggregates — the hash check proves the full circle: stream →
+    commits → file slices ≡ the batch SQL over the same events.  A
+    foreachBatch RETRY is a no-op (the commit file is the idempotency
+    check)."""
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import read_hudi
+    from hive_udf_spark.streaming.hudi_sink import hudi_commit_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        for b in range(4):  # sequential writes -> deterministic file order
+            ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        table = f"{tmp}/table"
+        q = hudi_commit_sink(stream, table, f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            read_hudi(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("user_id").alias("sum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+@register(
     "streaming_dedup_exactly_once",
     oracle="""
     SELECT event_type, count(*) AS n_unique_events

@@ -331,3 +331,31 @@ def test_mor_unvendored_block_types_refuse(spark, tmp_path):
         }]))
     with pytest.raises(Exception, match="command log block not"):
         read_hudi(spark, table).collect()
+
+
+def test_streaming_sink_commits_and_idempotence(spark, tmp_path):
+    """r12 hudi_sink: batches become completed commits; a retried batch
+    no-ops; an uncommitted (crashed) batch's base files stay invisible;
+    time travel sees each prefix."""
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10), (2, "de", 20)],
+                               "doc_id long, lang string, n bigint")
+    b1 = spark.createDataFrame([(3, "fr", 30)],
+                               "doc_id long, lang string, n bigint")
+    assert commit_batch_to_hudi(b0, 0, table)
+    assert commit_batch_to_hudi(b1, 1, table)
+    assert not commit_batch_to_hudi(b1, 1, table)  # retry no-op
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+    # time travel to the first commit
+    assert read_hudi(spark, table, as_of="20300101000000").count() == 2
+    # a crash AFTER the data move but BEFORE the commit publish: drop a
+    # base file shaped like batch 2's output with no commit file
+    import shutil
+
+    src = os.path.join(table, "ing-0000000000-00000_0-0-0_20300101000000.parquet")
+    shutil.copy(src, os.path.join(
+        table, "ing-0000000002-00000_0-0-0_20300101000002.parquet"))
+    assert read_hudi(spark, table).count() == 3  # still invisible

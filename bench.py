@@ -1071,6 +1071,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_iceberg_nested_types"].fn(spark, sf_dir))
 
+    def q_delta_v2_checkpoint():
+        # r12: v2 checkpoint (sidecar layout) replay + DV survival
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_delta_v2_checkpoint"].fn(spark, sf_dir))
+
+    def q_streaming_iceberg_ingest():
+        # r12: micro-batches -> append snapshots (manifest reuse)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_iceberg_ingest"].fn(spark, sf_dir))
+
+    def q_streaming_hudi_ingest():
+        # r12: micro-batches -> completed timeline commits
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_hudi_ingest"].fn(spark, sf_dir))
+
     def q_semantic_decontam():
         from hive_udf_spark.operators.decontam import semantic_decontam
 
@@ -1294,6 +1312,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_nested_types": q_iceberg_nested_types,
         "fmp4_frame_sample": q_fmp4_frame_sample,
         "codec_mp1_audio": q_codec_mp1_audio,
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
+        "streaming_hudi_ingest": q_streaming_hudi_ingest,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -1771,6 +1771,77 @@ def source_hudi_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_hudi_mor_deletes",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 14 = 0 THEN n_chars + 500
+                WHEN doc_id % 5 = 0 THEN n_chars + 100
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+    """,
+)
+def source_hudi_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ with DELETE log blocks (r13 — the r12
+    verdict's top task, the last MOR refusal): the documents land as
+    ONE base file group; deltacommit 2 drops an avro log block
+    upserting every 5th key (n_chars+100); deltacommit 3 drops a
+    DELETE block (HoodieDeleteBlock v3, an Avro HoodieDeleteRecordList)
+    tombstoning every 7th key; deltacommit 4 RE-INSERTS every 14th key
+    with n_chars+500.  The oracle hash-checks the full layering:
+    %14 keys survive with the reinsert values (delete-then-reinsert),
+    the remaining %7 keys are gone even where deltacommit 2 had
+    upserted them, %5 keys keep their upsert, everything else reads
+    from the base file untouched.
+
+    Scale shape: identical to ``source_hudi_mor_roundtrip`` — log
+    decode fans out over the path list map-side; tombstones ride the
+    same newest-wins window + anti-join + union, so deletes add ZERO
+    extra shuffles."""
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def recs(df: DataFrame) -> list[dict]:
+        # bounded fixture encoder: small slices collected only to
+        # BUILD the log files (writer-twin work, not the query plan)
+        return [
+            {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+            for r in df.collect()
+        ]
+
+    upd5 = recs(docs.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("n_chars", F.col("n_chars") + 100))
+    del7 = [str(r.doc_id)
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()]
+    re14 = recs(docs.filter(F.col("doc_id") % 14 == 0)
+                .withColumn("n_chars", F.col("n_chars") + 500))
+    with tempfile.TemporaryDirectory() as tmp:
+        import shutil
+
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+        docs.coalesce(1).write.parquet(f"{tmp}/stage")
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        src = f"{tmp}/base.parquet"
+        shutil.move(f"{tmp}/stage/{part}", src)
+        write_hudi_table(table, [
+            {"writes": {"fg-0": src}},
+            {"log_writes": {"fg-0": upd5}},
+            {"log_deletes": {"fg-0": del7}},
+            {"log_writes": {"fg-0": re14}},
+        ], [("doc_id", "bigint"), ("lang", "string"), ("n_chars", "bigint")],
+            record_key="doc_id")
+        return read_hudi(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_msgpack_roundtrip",
     oracle="""
     SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,

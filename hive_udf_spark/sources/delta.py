@@ -442,6 +442,10 @@ def _dv_keep_udf(spark: SparkSession, dv_blobs: dict):
                         "delta: deletion-vector cardinality mismatch"
                     )
                 decoded[norm] = pos
+            if pos.size == 0:
+                # a zero-cardinality DV deletes nothing; searchsorted
+                # membership below would index pos[-1] (r12 ADVICE)
+                continue
             mask = fpn == uri
             r = rin[mask]
             idx = np.searchsorted(pos, r)
@@ -516,13 +520,22 @@ def read_delta(
             field_id_of[f.name] = int(fid)
     from pyspark.sql.types import StructField
 
+    scan_spark = spark
     if mode == "id":
         # id mode: columns resolve by the PARQUET FIELD IDS the writer
         # stamped, not by name — Spark's native field-id matching does
         # exactly this when the requested schema carries
         # ``parquet.field.id`` metadata; logical names apply directly,
-        # so no rename pass is needed
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # so no rename pass is needed.  The enabling flag rides a CLONED
+        # session (inherits every runtime conf, shares the context and
+        # caches) so the caller's session conf is never mutated — a
+        # per-read option is silently ignored for this flag, and
+        # set-then-restore would break the scan at (lazy) action time
+        # (r12 ADVICE: conf leak changed later unrelated parquet reads)
+        scan_spark = SparkSession(
+            spark.sparkContext, spark._jsparkSession.cloneSession()
+        )
+        scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         data_schema = StructType([
             StructField(f.name, f.dataType, f.nullable,
                         {"parquet.field.id": field_id_of[f.name]})
@@ -565,7 +578,7 @@ def read_delta(
     keep = _dv_keep_udf(spark, dv_blobs) if dv_blobs else None
 
     def scan(files: list[str]) -> DataFrame:
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = scan_spark.read.schema(data_schema).parquet(*files)
         for logical, phys in phys_of.items():
             if phys is not None and phys != logical and phys in df.columns:
                 df = df.withColumnRenamed(phys, logical)

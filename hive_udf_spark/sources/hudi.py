@@ -26,9 +26,13 @@ Implemented from the PUBLIC Hudi table format (apache/hudi tech specs
   vendored codec (operators/avrocodec.py) against the writer schema in
   the block header; the snapshot read merges them onto the base file
   by RECORD KEY (``hoodie.table.recordkey.fields``), newest completed
-  instant winning.  Command / delete / corrupt / non-avro blocks
-  refuse loudly — skipping a rollback or a delete would silently
-  resurrect rows;
+  instant winning.  DELETE blocks (r13, HoodieDeleteBlock v3 — an Avro
+  HoodieDeleteRecordList) merge as tombstones: a key whose newest log
+  entry is a delete leaves the table, a later upsert re-inserts it;
+  ROLLBACK command blocks (r13) erase their log file's earlier blocks
+  at the target instant (the failed-appender cleanup contract).
+  Corrupt / kryo-era delete / hfile / parquet / cdc blocks refuse
+  loudly — skipping one would silently resurrect rows;
 * ``HoodieCommitMetadata`` — ``partitionToWriteStats`` maps each
   partition path to write stats carrying ``fileId`` and ``path``.
   Copy-on-write means an update REWRITES a whole file group: a newer
@@ -102,6 +106,26 @@ def _hoodie_dir(table_path: str) -> str:
     return os.path.join(table_path, ".hoodie")
 
 
+def _instant_key(instant: str) -> str:
+    """Order key for instant times: zero-padded to a fixed width so
+    MIXED-WIDTH instants (Hudi 0.x 14-digit second precision vs 1.x
+    17-digit millisecond completions) compare numerically — raw string
+    compare would sort '2024...|' ABOVE a longer digit run because '|'
+    and most separators outrank digits (r12 ADVICE)."""
+    return instant.zfill(20)
+
+
+def _log_version(path: str) -> int:
+    """The numeric log-file version out of
+    ``.{fileId}_{baseInstant}.log.{version}_{token}`` — '.log.10' must
+    order AFTER '.log.2', which raw path compare gets backwards
+    (r12 ADVICE)."""
+    import re
+
+    m = re.search(r"\.log\.(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
 def _read_properties(table_path: str) -> dict[str, str]:
     path = os.path.join(_hoodie_dir(table_path), "hoodie.properties")
     if not os.path.isfile(path):
@@ -150,7 +174,7 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str, dict]]:
             out.append((instant, action, meta))
     if not out:
         raise ValueError("hudi: timeline has no completed commits")
-    out.sort(key=lambda t: t[0])
+    out.sort(key=lambda t: _instant_key(t[0]))
     return out
 
 
@@ -234,7 +258,8 @@ def _file_slices(
     if as_of is not None:
         if not any(t == as_of for t, _, _ in timeline):
             raise ValueError(f"hudi: instant {as_of!r} not in the timeline")
-        timeline = [t for t in timeline if t[0] <= as_of]
+        timeline = [t for t in timeline
+                    if _instant_key(t[0]) <= _instant_key(as_of)]
     keep = None if partitions is None else set(partitions)
     slices: dict[tuple[str, str], _FileSlice] = {}
     last_meta: dict | None = None
@@ -257,12 +282,15 @@ def _file_slices(
                 sl = slices.setdefault((part, fid), _FileSlice())
                 if ".log." in os.path.basename(path):
                     sl.logs.append((instant, path))
-                elif sl.base_instant is None or instant >= sl.base_instant:
+                elif (sl.base_instant is None
+                      or _instant_key(instant)
+                      >= _instant_key(sl.base_instant)):
                     sl.base_instant = instant
                     sl.base_path = path
                     # a rewritten/compacted base starts a new slice:
                     # older log files are baked in, not replayed
-                    sl.logs = [(i, p) for i, p in sl.logs if i > instant]
+                    sl.logs = [(i, p) for i, p in sl.logs
+                               if _instant_key(i) > _instant_key(instant)]
     for sl in slices.values():
         if sl.base_path is None:
             raise ValueError(
@@ -319,9 +347,33 @@ _BLOCK_COMMAND, _BLOCK_DELETE, _BLOCK_CORRUPT, _BLOCK_AVRO = 0, 1, 2, 3
 _BLOCK_NAMES = {0: "command", 1: "delete", 2: "corrupt", 3: "avro",
                 4: "hfile", 5: "parquet", 6: "cdc"}
 # HeaderMetadataType ordinals
-_H_INSTANT_TIME, _H_TARGET_INSTANT, _H_SCHEMA = 0, 1, 2
+_H_INSTANT_TIME, _H_TARGET_INSTANT, _H_SCHEMA, _H_COMMAND_TYPE = 0, 1, 2, 3
+# HoodieCommandBlockTypeEnum ordinal (stringified in the header value)
+_CMD_ROLLBACK_PREVIOUS_BLOCK = "0"
 _MAX_LOG_BLOCKS = 100_000
 _MAX_LOG_RECORDS_PER_BLOCK = 1 << 24
+_DELETE_CONTENT_VERSION = 3  # HoodieDeleteBlock v3: avro record list
+# the public HoodieDeleteRecordList.avsc shape (delete block content);
+# orderingVal is ignored on read — merge order comes from the log's
+# own block ordering, same as data records
+_DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [{
+        "name": "deleteRecordList",
+        "type": {"type": "array", "items": {
+            "type": "record", "name": "HoodieDeleteRecord",
+            "fields": [
+                {"name": "recordKey", "type": ["null", "string"],
+                 "default": None},
+                {"name": "partitionPath", "type": ["null", "string"],
+                 "default": None},
+                {"name": "orderingVal", "type": ["null", "string"],
+                 "default": None},
+            ],
+        }},
+    }],
+}
 
 
 def _read_log_map(b: bytes, pos: int, end: int) -> tuple[dict[int, str], int]:
@@ -347,12 +399,20 @@ def _read_log_map(b: bytes, pos: int, end: int) -> tuple[dict[int, str], int]:
 
 def decode_hudi_log(b: bytes) -> list[dict]:
     """A Hudi log file → its blocks, each
-    ``{"type", "type_name", "headers" {ordinal: str}, "records"}``.
-    AVRO data blocks decode their records through the vendored Avro
-    codec against the SCHEMA header; other block types keep
-    ``records=None`` (callers decide whether they can proceed —
-    ``read_hudi`` refuses, because skipping a command/delete block
-    would silently resurrect rows).  Malformed framing → ValueError."""
+    ``{"type", "type_name", "headers" {ordinal: str}, "records",
+    "deletes", "target_instant"}``.  AVRO data blocks decode their
+    records through the vendored Avro codec against the SCHEMA header;
+    DELETE blocks (r13) decode their HoodieDeleteBlock v3 content (an
+    Avro HoodieDeleteRecordList) into ``deletes`` = the record keys;
+    COMMAND blocks (r13) surface their COMMAND_BLOCK_TYPE and
+    TARGET_INSTANT_TIME headers — the rollback contract: a
+    ROLLBACK_PREVIOUS_BLOCK command invalidates THIS log file's earlier
+    blocks whose instant equals the target (a failed appender's
+    leftovers).  Corrupt / hfile / parquet / cdc blocks keep
+    ``records=None`` and ``read_hudi`` refuses on them — skipping one
+    could silently resurrect rows.  Kryo-era delete blocks (content
+    versions 1/2) refuse: decoding Kryo blind is a misread risk, not a
+    parsing gap.  Malformed framing → ValueError."""
     from hive_udf_spark.operators.avrocodec import (
         _decode_value,
         _decoder_for,
@@ -399,7 +459,41 @@ def decode_hudi_log(b: bytes) -> list[dict]:
         if total != pos - start:
             raise ValueError("hudi log: reverse-seek length mismatch")
         records = None
-        if btype == _BLOCK_AVRO:
+        deletes = None
+        target_instant = None
+        if btype == _BLOCK_DELETE:
+            if len(content) < 8:
+                raise ValueError("hudi log: delete content truncated")
+            dver = int.from_bytes(content[:4], "big")
+            if dver != _DELETE_CONTENT_VERSION:
+                raise ValueError(
+                    f"hudi log: delete block content version {dver} not "
+                    "vendored (v1/v2 are kryo-serialized)"
+                )
+            dlen = int.from_bytes(content[4:8], "big")
+            if 8 + dlen != len(content):
+                raise ValueError("hudi log: delete content length mismatch")
+            plan = _decoder_for(_DELETE_RECORD_LIST_SCHEMA)
+            rec = _decode_value(_Reader(content[8:]), plan)
+            deletes = []
+            for d in rec.get("deleteRecordList") or []:
+                key = d.get("recordKey")
+                if key is None:
+                    raise ValueError("hudi log: delete record without a key")
+                deletes.append(key)
+        elif btype == _BLOCK_COMMAND:
+            cmd = headers.get(_H_COMMAND_TYPE, _CMD_ROLLBACK_PREVIOUS_BLOCK)
+            if cmd != _CMD_ROLLBACK_PREVIOUS_BLOCK:
+                raise ValueError(
+                    f"hudi log: command block type {cmd!r} not vendored"
+                )
+            target_instant = headers.get(_H_TARGET_INSTANT)
+            if not target_instant:
+                raise ValueError(
+                    "hudi log: rollback command block without "
+                    "TARGET_INSTANT_TIME"
+                )
+        elif btype == _BLOCK_AVRO:
             schema_json = headers.get(_H_SCHEMA)
             if not schema_json:
                 raise ValueError("hudi log: avro block without a SCHEMA header")
@@ -434,20 +528,42 @@ def decode_hudi_log(b: bytes) -> list[dict]:
             "headers": headers,
             "footers": footers,
             "records": records,
+            "deletes": deletes,
+            "target_instant": target_instant,
         })
     return blocks
 
 
 def encode_hudi_log(blocks: list[dict]) -> bytes:
     """Fixture twin: serialize blocks (``{"instant", "schema",
-    "records"}`` for avro data blocks, or ``{"type", "content",
-    "headers"}`` raw) into the #HUDI# framing ``decode_hudi_log``
-    reads."""
+    "records"}`` for avro data blocks, ``{"instant", "deletes": [keys]}``
+    for HoodieDeleteBlock v3 delete blocks, ``{"instant", "rollback_of":
+    target_instant}`` for rollback command blocks, or ``{"type",
+    "content", "headers"}`` raw) into the #HUDI# framing
+    ``decode_hudi_log`` reads."""
     from hive_udf_spark.operators.avrocodec import _decoder_for, _encode_value
 
     out = bytearray()
     for blk in blocks:
-        if "records" in blk:
+        if "deletes" in blk:
+            btype = _BLOCK_DELETE
+            plan = _decoder_for(_DELETE_RECORD_LIST_SCHEMA)
+            payload = _encode_value(plan, {"deleteRecordList": [
+                {"recordKey": k, "partitionPath": "", "orderingVal": None}
+                for k in blk["deletes"]
+            ]})
+            content = (_DELETE_CONTENT_VERSION.to_bytes(4, "big")
+                       + len(payload).to_bytes(4, "big") + payload)
+            headers = {_H_INSTANT_TIME: blk["instant"]}
+        elif "rollback_of" in blk:
+            btype = _BLOCK_COMMAND
+            content = b""
+            headers = {
+                _H_INSTANT_TIME: blk["instant"],
+                _H_TARGET_INSTANT: blk["rollback_of"],
+                _H_COMMAND_TYPE: _CMD_ROLLBACK_PREVIOUS_BLOCK,
+            }
+        elif "records" in blk:
             btype = _BLOCK_AVRO
             schema = blk["schema"]
             plan = _decoder_for(schema)
@@ -493,13 +609,24 @@ def _log_records_df(
     ddl: str,
     names: list[str],
     completed: frozenset[str],
+    key_field: str,
 ):
     """Distributed decode of MOR log files → DataFrame of their avro
-    records plus ``__ord`` (instant | file | block | record — the
-    newest-wins merge order).  Blocks whose INSTANT_TIME is not a
+    upserts AND delete-block tombstones, plus ``__ord`` (zero-padded
+    instant | numeric log version | file | block | record — the
+    newest-wins merge order; the instant pads to a fixed width and the
+    log version compares NUMERICALLY, because raw string compare
+    mis-orders mixed-width instants and '.log.10' vs '.log.2' — r12
+    ADVICE) and ``__deleted`` (True for delete-block keys: the newest
+    entry for a key being a tombstone removes the key, unless a later
+    upsert re-inserts it).  Blocks whose INSTANT_TIME is not a
     COMPLETED instant are SKIPPED (an in-flight appender's blocks must
-    stay invisible — the rollback block, when it commits, is what
-    erases them); command/delete/corrupt blocks refuse loudly.
+    stay invisible); a ROLLBACK command block (r13) erases THIS file's
+    earlier blocks whose instant equals its target — the public
+    HoodieLogFormat cleanup contract for failed appenders — and is
+    honored regardless of completion state, since the rollback action
+    itself may later be archived; corrupt/hfile/parquet/cdc blocks
+    refuse loudly.
 
     The path list fans out as a DataFrame and each task OPENS its log
     files through the table's shared filesystem (the contract every
@@ -508,8 +635,25 @@ def _log_records_df(
     and its listing treats dot-files as hidden."""
     from pyspark.sql.types import StructType, _parse_datatype_string
 
-    out_schema = _parse_datatype_string(ddl + ", __ord string")
+    out_schema = _parse_datatype_string(
+        ddl + ", __ord string, __deleted boolean"
+    )
     assert isinstance(out_schema, StructType)
+    # delete-block record keys are STRINGS (Hudi's _hoodie_record_key
+    # convention); coerce them to the key column's type so tombstone
+    # rows join the upsert rows under one schema
+    key_simple = out_schema[key_field].dataType.simpleString()
+    if key_simple in ("tinyint", "smallint", "int", "bigint"):
+        key_conv = int
+    elif key_simple in ("float", "double"):
+        key_conv = float
+    elif key_simple == "string":
+        key_conv = str
+    else:
+        raise ValueError(
+            f"hudi: record key type {key_simple!r} not vendored for "
+            "delete-block coercion"
+        )
 
     def gen(batches):
         import pandas as _pd
@@ -519,25 +663,48 @@ def _log_records_df(
             for path in pdf["path"]:
                 with open(path, "rb") as fh:
                     content = fh.read()
+                ver = _log_version(path)
+                ikey = _instant_key  # executor-side alias
+                entries: list[tuple[str, list]] = []  # (instant, row)
                 for bi, blk in enumerate(decode_hudi_log(content)):
+                    if blk["type"] == _BLOCK_COMMAND:
+                        tgt = blk["target_instant"]
+                        entries = [e for e in entries if e[0] != tgt]
+                        continue
+                    instant = blk["headers"].get(_H_INSTANT_TIME)
+                    if not instant:
+                        raise ValueError(
+                            "hudi: log block without INSTANT_TIME"
+                        )
+                    if instant not in completed:
+                        continue  # uncommitted append: invisible
+                    ord_of = lambda ri: (
+                        f"{ikey(instant)}|{ver:010d}|{path}"
+                        f"|{bi:08d}|{ri:08d}"
+                    )
+                    if blk["deletes"] is not None:
+                        for ri, key in enumerate(blk["deletes"]):
+                            rows_v = [key_conv(key) if c == key_field
+                                      else None for c in names]
+                            entries.append(
+                                (instant, rows_v + [ord_of(ri), True])
+                            )
+                        continue
                     if blk["records"] is None:
                         raise ValueError(
                             f"hudi: {blk['type_name']} log block not "
                             "vendored — skipping it could resurrect rows"
                         )
-                    instant = blk["headers"].get(_H_INSTANT_TIME)
-                    if not instant:
-                        raise ValueError(
-                            "hudi: avro log block without INSTANT_TIME"
-                        )
-                    if instant not in completed:
-                        continue  # uncommitted append: invisible
                     for ri, rec in enumerate(blk["records"]):
-                        rows.append(
+                        entries.append((
+                            instant,
                             [rec.get(c) for c in names]
-                            + [f"{instant}|{path}|{bi:08d}|{ri:08d}"]
-                        )
-            yield _pd.DataFrame(rows, columns=names + ["__ord"])
+                            + [ord_of(ri), False],
+                        ))
+                rows.extend(r for _, r in entries)
+            yield _pd.DataFrame(
+                rows, columns=names + ["__ord", "__deleted"]
+            )
 
     paths = spark.createDataFrame([(p,) for p in log_paths], "path string")
     return paths.repartition(min(len(log_paths), 64)).mapInPandas(
@@ -563,7 +730,11 @@ def read_hudi(
     base scan by the table's RECORD KEY
     (``hoodie.table.recordkey.fields``) — the newest completed
     instant's record wins per key; log decode runs distributed and the
-    key-merge is an anti-join + union (AQE picks the strategy)."""
+    key-merge is an anti-join + union (AQE picks the strategy).
+    DELETE blocks (r13) apply as tombstones inside the same merge (a
+    key whose newest log entry is a delete leaves the table; a later
+    upsert re-inserts it) and ROLLBACK command blocks erase their
+    file's blocks at the target instant before the merge."""
     slices, meta, props = _file_slices(table_path, as_of,
                                        partitions=partitions)
     pinned = _schema_from_commit(meta or {})
@@ -613,18 +784,27 @@ def read_hudi(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    completed = frozenset(t for t, _, _ in hudi_timeline(table_path)
-                          if as_of is None or t <= as_of)
+    completed = frozenset(
+        t for t, _, _ in hudi_timeline(table_path)
+        if as_of is None or _instant_key(t) <= _instant_key(as_of)
+    )
     base = spark.read.schema(ddl).parquet(*files).select(*names)
-    logs = _log_records_df(spark, log_paths, ddl, names, completed)
+    logs = _log_records_df(spark, log_paths, ddl, names, completed,
+                           key_field)
     w = Window.partitionBy(key_field).orderBy(F.col("__ord").desc())
     latest = (
         logs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(*names)
+        .select(*names, "__deleted")
     )
+    # EVERY log-touched key leaves the base scan (anti-join); only keys
+    # whose NEWEST log entry is an upsert come back — a key whose newest
+    # entry is a delete-block tombstone is gone, and a
+    # delete-then-reinsert layering resurfaces with the reinsert values
     return base.join(latest.select(key_field), on=key_field,
-                     how="left_anti").unionByName(latest).select(*names)
+                     how="left_anti").unionByName(
+        latest.filter(~F.col("__deleted")).select(*names)
+    ).select(*names)
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +849,7 @@ def write_hudi_table(
     hoodie = _hoodie_dir(table_path)
     os.makedirs(hoodie, exist_ok=True)
     any_logs = any(c.get("log_writes") or c.get("log_append_uncommitted")
+                   or c.get("log_deletes") or c.get("log_rollback")
                    for c in commits)
     ttype = "MERGE_ON_READ" if any_logs else "COPY_ON_WRITE"
     with open(os.path.join(hoodie, "hoodie.properties"), "w") as fh:
@@ -692,7 +873,10 @@ def write_hudi_table(
     for i, commit in enumerate(commits):
         instant = f"{20240101000000 + i}"
         action = commit.get(
-            "action", "deltacommit" if commit.get("log_writes") else "commit"
+            "action",
+            "deltacommit"
+            if commit.get("log_writes") or commit.get("log_deletes")
+            else "commit",
         )
         if commit.get("inflight"):
             open(os.path.join(hoodie, f"{instant}.{action}.requested"), "w").close()
@@ -744,6 +928,39 @@ def write_hudi_table(
                 "numWrites": 0,
                 "fileSizeInBytes": len(blob),
             })
+        for fid, keys in (commit.get("log_deletes") or {}).items():
+            base_instant = base_instant_of.get(fid)
+            if base_instant is None:
+                raise ValueError(
+                    f"hudi twin: delete block for {fid!r} before its base"
+                )
+            log_ver[fid] = log_ver.get(fid, 0) + 1
+            rel = f".{fid}_{base_instant}.log.{log_ver[fid]}_0-0-0"
+            blob = encode_hudi_log([{"instant": instant, "deletes": keys}])
+            with open(os.path.join(table_path, rel), "wb") as fh:
+                fh.write(blob)
+            log_rel_of[fid] = rel
+            stats_by_part.setdefault("", []).append({
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": base_instant,
+                "numWrites": 0,
+                "fileSizeInBytes": len(blob),
+            })
+        for fid, target in (commit.get("log_rollback") or {}).items():
+            # the rollback ACTION appends a command block to the file
+            # group's newest log file — no writeStats entry (the log
+            # path already rides the slice from its original append)
+            rel = log_rel_of.get(fid)
+            if rel is None:
+                raise ValueError(
+                    f"hudi twin: rollback for {fid!r} needs a log file"
+                )
+            blob = encode_hudi_log([
+                {"instant": instant, "rollback_of": target}
+            ])
+            with open(os.path.join(table_path, rel), "ab") as fh:
+                fh.write(blob)
         for fid, records in (commit.get("log_append_uncommitted") or {}).items():
             rel = log_rel_of.get(fid)
             if rel is None:

@@ -679,6 +679,14 @@ def write_iceberg_table(
     (id/name/required/type)."""
     from hive_udf_spark.operators.avrocodec import encode_ocf
 
+    def _pq_rows(path: str) -> int:
+        # the spec REQUIRES true per-file record counts — external
+        # engines plan metadata-only count(*) from them (r12 verdict)
+        import pyarrow.parquet as _pq
+
+        return _pq.ParquetFile(path).metadata.num_rows \
+            if os.path.exists(path) else 0
+
     mdir = os.path.join(table_path, "metadata")
     ddir = os.path.join(table_path, "data")
     os.makedirs(mdir, exist_ok=True)
@@ -703,7 +711,7 @@ def write_iceberg_table(
                 "status": 2, "snapshot_id": sid, "sequence_number": seq,
                 "data_file": {
                     "content": 0, "file_path": p, "file_format": "PARQUET",
-                    "record_count": 0,
+                    "record_count": _pq_rows(fp),
                     "file_size_in_bytes": os.path.getsize(fp)
                     if os.path.exists(fp) else 0,
                     "column_sizes": None, "equality_ids": None,
@@ -719,7 +727,7 @@ def write_iceberg_table(
                 "sequence_number": added_sid - 1000 + 1,
                 "data_file": {
                     "content": 0, "file_path": p, "file_format": "PARQUET",
-                    "record_count": 0,
+                    "record_count": _pq_rows(fp),
                     "file_size_in_bytes": os.path.getsize(fp),
                     "column_sizes": {"1": os.path.getsize(fp)},
                     "equality_ids": None,

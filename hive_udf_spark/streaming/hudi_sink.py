@@ -72,10 +72,16 @@ def commit_batch_to_hudi(
     # overwrites its own invisible orphans instead of stacking new ones
     scratch = os.path.join(table_path, f"_scratch-{batch_id}")
     batch_df.write.mode("overwrite").parquet(scratch)
+    import pyarrow.parquet as _pq
+
     stats = []
     for i, part in enumerate(sorted(
         p for p in os.listdir(scratch) if p.endswith(".parquet")
     )):
+        if _pq.ParquetFile(
+            os.path.join(scratch, part)
+        ).metadata.num_rows == 0:
+            continue  # empty shuffle parts don't belong in the table
         fid = f"ing-{batch_id:010d}-{i:05d}"
         rel = f"{fid}_0-0-0_{instant}.parquet"
         os.replace(os.path.join(scratch, part),

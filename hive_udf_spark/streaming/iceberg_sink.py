@@ -81,7 +81,28 @@ def commit_batch_to_iceberg(
     mdir = os.path.join(table_path, "metadata")
     meta_path = os.path.join(mdir, f"v{version}.metadata.json")
     if os.path.exists(meta_path):
-        return False  # retried batch: the publish already happened
+        # retried batch: the publish already happened — but ONLY if that
+        # version really is this stream's own commit.  A fresh
+        # checkpoint pointed at an existing table resets batch ids to 0;
+        # silently no-opping would DROP data and re-publishing would
+        # duplicate snapshot ids (r12 ADVICE) — refuse loudly instead.
+        try:
+            with open(meta_path) as fh:
+                existing = json.load(fh)
+            summaries = [s.get("summary") or {}
+                         for s in existing.get("snapshots") or []]
+        except (OSError, json.JSONDecodeError):
+            summaries = []
+        if any(s.get("app-id") == app_id
+               and s.get("batch-id") == str(batch_id) for s in summaries):
+            return False
+        raise ValueError(
+            f"iceberg sink: metadata version v{version} exists but was "
+            f"not committed by app {app_id!r} batch {batch_id} — "
+            "restarting a stream with a fresh checkpoint against an "
+            "existing table would drop or duplicate batches; point the "
+            "sink at a new table or reuse the original checkpoint"
+        )
     os.makedirs(mdir, exist_ok=True)
     ddir = os.path.join(table_path, "data")
     os.makedirs(ddir, exist_ok=True)
@@ -89,13 +110,20 @@ def commit_batch_to_iceberg(
     # retry overwrites its own orphans instead of stacking new ones
     scratch = os.path.join(table_path, f"_scratch-{batch_id}")
     batch_df.write.mode("overwrite").parquet(scratch)
+    import pyarrow.parquet as _pq
+
     rels = []
+    rows_of: dict[str, int] = {}
     for i, part in enumerate(sorted(
         p for p in os.listdir(scratch) if p.endswith(".parquet")
     )):
+        n = _pq.ParquetFile(os.path.join(scratch, part)).metadata.num_rows
+        if n == 0:
+            continue  # empty shuffle parts don't belong in manifests
         rel = f"data/batch-{batch_id:010d}-{i:05d}.parquet"
         os.replace(os.path.join(scratch, part), os.path.join(table_path, rel))
         rels.append(rel)
+        rows_of[rel] = n
     shutil.rmtree(scratch)
     if version == 1:
         prev = None
@@ -120,12 +148,21 @@ def commit_batch_to_iceberg(
                       else os.path.join(table_path, mlist), "rb") as fh:
                 _, prev_manifests = decode_ocf(fh.read())
     sid = 5000 + batch_id
+    if any(s.get("snapshot-id") == sid for s in snapshots):
+        raise ValueError(
+            f"iceberg sink: snapshot id {sid} already exists in the "
+            "table log — duplicate ids corrupt external readers (r12 "
+            "ADVICE); this table was written by another stream or batch "
+            "numbering"
+        )
     seq = version
     entries = [{
         "status": 1, "snapshot_id": sid, "sequence_number": seq,
         "data_file": {
             "content": 0, "file_path": rel, "file_format": "PARQUET",
-            "record_count": 0,
+            # the spec REQUIRES true per-file row counts — external
+            # engines plan metadata-only count(*) from them (r12 verdict)
+            "record_count": rows_of[rel],
             "file_size_in_bytes": os.path.getsize(
                 os.path.join(table_path, rel)),
             "column_sizes": None, "equality_ids": None, "partition": None,

@@ -488,6 +488,22 @@ def test_deletion_vector_percent_encoded_table_path(spark, tmp_path):
     assert got == [1, 3]
 
 
+def test_deletion_vector_empty_bitmap_is_harmless(spark, tmp_path):
+    """r12 ADVICE: a zero-cardinality DV must delete nothing — the
+    searchsorted membership test previously indexed pos[-1] of an empty
+    array and crashed the scan."""
+    from hive_udf_spark.sources.delta import write_deletion_vector
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet", [(1, "en", 10), (2, "de", 20)])
+    dv = write_deletion_vector(table, [])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], SCHEMA_JSON)
+    got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    assert got == [1, 2]
+
+
 def test_column_mapping_id_mode(spark, tmp_path):
     """r12 (r11 verdict task 6): columnMapping.mode=id resolves columns
     by the PARQUET FIELD IDS the writer stamped — physical names are
@@ -533,6 +549,13 @@ def test_column_mapping_id_mode(spark, tmp_path):
     assert df.columns == ["doc_id", "lang", "n"]
     got = sorted(tuple(r) for r in df.collect())
     assert got == [(1, "en", 10), (3, "fr", 30)]
+
+    # r12 ADVICE: the field-id flag must NOT leak into the caller's
+    # session — it rides a cloned session, so later unrelated parquet
+    # reads keep resolving columns by name
+    assert spark.conf.get(
+        "spark.sql.parquet.fieldId.read.enabled", None
+    ) in (None, "false")
 
     # a field missing its columnMapping.id refuses, never misreads
     bad = json.loads(schema)

@@ -311,9 +311,12 @@ def test_mor_uncommitted_log_block_invisible(spark, tmp_path):
 
 
 def test_mor_unvendored_block_types_refuse(spark, tmp_path):
-    """Command/delete/corrupt blocks refuse loudly — skipping them
-    would resurrect rolled-back or deleted rows."""
-    from hive_udf_spark.sources.hudi import encode_hudi_log
+    """hfile blocks, kryo-era delete blocks, and command blocks missing
+    their rollback target refuse loudly — skipping or guessing any of
+    them would resurrect rolled-back or deleted rows (r13: well-formed
+    delete + rollback blocks are now vendored, so the refusal boundary
+    moved to the genuinely undecodable shapes)."""
+    from hive_udf_spark.sources.hudi import decode_hudi_log, encode_hudi_log
 
     table = str(tmp_path / "t")
     write_hudi_table(table, [
@@ -323,14 +326,204 @@ def test_mor_unvendored_block_types_refuse(spark, tmp_path):
     import glob as _glob
 
     log = _glob.glob(os.path.join(table, ".fg-a_*.log.*"))[0]
+    with open(log, "rb") as fh:
+        clean = fh.read()
     with open(log, "ab") as fh:
         fh.write(encode_hudi_log([{
-            "type": 0,  # command block (e.g. rollback)
+            "type": 4,  # hfile data block: not vendored
             "headers": {0: "20240101000001"},
             "content": b"",
         }]))
-    with pytest.raises(Exception, match="command log block not"):
+    with pytest.raises(Exception, match="hfile log block not"):
         read_hudi(spark, table).collect()
+
+    # a kryo-era delete block (content version 2) refuses at decode
+    with open(log, "wb") as fh:
+        fh.write(clean)
+        fh.write(encode_hudi_log([{
+            "type": 1,
+            "headers": {0: "20240101000001"},
+            "content": (2).to_bytes(4, "big") + (0).to_bytes(4, "big"),
+        }]))
+    with pytest.raises(ValueError, match="content version 2"):
+        with open(log, "rb") as fh:
+            decode_hudi_log(fh.read())
+
+    # a command block without TARGET_INSTANT_TIME refuses at decode
+    with pytest.raises(ValueError, match="TARGET_INSTANT_TIME"):
+        decode_hudi_log(encode_hudi_log([{
+            "type": 0,
+            "headers": {0: "20240101000001"},
+            "content": b"",
+        }]))
+    with open(log, "wb") as fh:
+        fh.write(clean)
+
+
+def test_mor_delete_block_tombstones(spark, tmp_path):
+    """r13 (r12 verdict task 1): a delete block removes its keys; a
+    LATER upsert re-inserts one — the delete-then-reinsert layering."""
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(
+            tmp_path, "a", [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+        )}},
+        {"log_writes": {"fg-a": [{"doc_id": 2, "lang": "de", "n": 21}]}},
+        {"log_deletes": {"fg-a": ["1", "2"]}},
+        {"log_writes": {"fg-a": [{"doc_id": 2, "lang": "de", "n": 22}]}},
+    ], FIELDS, record_key="doc_id")
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    # key 1 deleted (newest entry = tombstone); key 2 deleted then
+    # re-inserted with the newest upsert's values; key 3 untouched
+    assert got == [(2, "de", 22), (3, "fr", 30)]
+    # time travel to before the delete still sees the first upsert
+    assert sorted(
+        tuple(r)
+        for r in read_hudi(spark, table,
+                           as_of="20240101000001").collect()
+    ) == [(1, "en", 10), (2, "de", 21), (3, "fr", 30)]
+
+
+def test_mor_delete_block_newest_wins_over_base_and_logs(spark, tmp_path):
+    """A tombstone newest in the layering removes the key entirely,
+    even when base file AND earlier log upserts carry it."""
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(tmp_path, "a",
+                                 [(1, "en", 10), (2, "de", 20)])}},
+        {"log_writes": {"fg-a": [{"doc_id": 1, "lang": "en", "n": 11}]}},
+        {"log_deletes": {"fg-a": ["1"]}},
+    ], FIELDS, record_key="doc_id")
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(2, "de", 20)]
+
+
+def test_mor_rollback_command_block_erases_target_instant(spark, tmp_path):
+    """r13: a ROLLBACK command block erases its log file's earlier
+    blocks at the target instant — honored even when that instant is
+    on the timeline (the reader must not resurrect rolled-back
+    blocks)."""
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(tmp_path, "a", [(1, "en", 10)])}},
+        # instant 20240101000001 upserts n=11 ...
+        {"log_writes": {"fg-a": [{"doc_id": 1, "lang": "en", "n": 11}]}},
+        # ... and the next instant rolls that block back
+        {"log_rollback": {"fg-a": "20240101000001"},
+         "action": "deltacommit"},
+    ], FIELDS, record_key="doc_id")
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 10)]
+
+
+def test_mor_log_version_orders_numerically(spark, tmp_path):
+    """r12 ADVICE: '.log.10' must merge AFTER '.log.2' — raw path
+    compare gets it backwards.  Craft versions 2 and 10 of one file
+    group in one instant with conflicting upserts."""
+    from hive_udf_spark.sources.hudi import encode_hudi_log
+
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(tmp_path, "a", [(1, "en", 10)])}},
+        {"log_writes": {"fg-a": [{"doc_id": 1, "lang": "en", "n": 11}]}},
+    ], FIELDS, record_key="doc_id")
+    import glob as _glob
+
+    log1 = _glob.glob(os.path.join(table, ".fg-a_*.log.1_*"))[0]
+    instant = "20240101000001"
+    schema = {
+        "type": "record", "name": "fixture_table",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"], "default": None},
+            {"name": "lang", "type": ["null", "string"], "default": None},
+            {"name": "n", "type": ["null", "long"], "default": None},
+        ],
+    }
+    for ver, n in ((2, 12), (10, 20)):
+        path = log1.replace(".log.1_", f".log.{ver}_")
+        with open(path, "wb") as fh:
+            fh.write(encode_hudi_log([{
+                "instant": instant, "schema": schema,
+                "records": [{"doc_id": 1, "lang": "en", "n": n}],
+            }]))
+        # attach the extra log file to the slice via a synthetic
+        # deltacommit naming it in writeStats
+        tl = os.path.join(table, ".hoodie", f"{instant}.deltacommit")
+        meta = json.load(open(tl))
+        meta["partitionToWriteStats"][""].append({
+            "fileId": "fg-a", "path": os.path.basename(path),
+            "prevCommit": instant, "numWrites": 0,
+            "fileSizeInBytes": os.path.getsize(path),
+        })
+        json.dump(meta, open(tl, "w"))
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 20)]  # version 10 wins, not version 2
+
+
+def test_timeline_mixed_width_instants_order_numerically(spark, tmp_path):
+    """r12 ADVICE: a 17-digit ms-precision instant must order after a
+    14-digit one with the same second prefix — raw string compare gets
+    file-slice resolution and the __ord merge key wrong."""
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(tmp_path, "a", [(1, "en", 10)])}},
+        {"writes": {"fg-a": _src(tmp_path, "b", [(1, "en", 11)])}},
+    ], FIELDS)
+    # rename the SECOND rewrite's instant to 17-digit ms precision,
+    # numerically later but lexicographically messier
+    hoodie = os.path.join(table, ".hoodie")
+    old, new = "20240101000001", "20240101000001500"
+    os.rename(os.path.join(hoodie, f"{old}.commit"),
+              os.path.join(hoodie, f"{new}.commit"))
+    base = [p for p in os.listdir(table) if p.endswith(f"{old}.parquet")][0]
+    os.rename(os.path.join(table, base),
+              os.path.join(table, base.replace(old, new)))
+    meta = json.load(open(os.path.join(hoodie, f"{new}.commit")))
+    for stats in meta["partitionToWriteStats"].values():
+        for st in stats:
+            st["path"] = st["path"].replace(old, new)
+    json.dump(meta, open(os.path.join(hoodie, f"{new}.commit"), "w"))
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 11)]  # the ms-precision rewrite wins
+
+
+def test_sink_crash_between_data_and_commit_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (r12 verdict task 8): kill the sink between the base-file
+    move and the timeline publish — orphan base files exist but stay
+    invisible (no completed instant), and the retry converges to
+    exactly-once contents."""
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10), (2, "de", 20)],
+                               "doc_id long, lang string, n bigint")
+    b1 = spark.createDataFrame([(3, "fr", 30)],
+                               "doc_id long, lang string, n bigint")
+    assert commit_batch_to_hudi(b0, 0, table)
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        raise OSError("injected crash before the atomic publish")
+
+    monkeypatch.setattr(os, "rename", crash_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        commit_batch_to_hudi(b1, 1, table)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # orphan base files on disk, but readers see only batch 0 (their
+    # instant never completed)
+    import glob as _glob
+
+    orphans = _glob.glob(os.path.join(table, "ing-0000000001-*"))
+    assert orphans
+    assert read_hudi(spark, table).count() == 2
+    # the retry converges: deterministic names overwrite the orphans
+    assert commit_batch_to_hudi(b1, 1, table)
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
 
 
 def test_streaming_sink_commits_and_idempotence(spark, tmp_path):
@@ -355,7 +548,11 @@ def test_streaming_sink_commits_and_idempotence(spark, tmp_path):
     # base file shaped like batch 2's output with no commit file
     import shutil
 
-    src = os.path.join(table, "ing-0000000000-00000_0-0-0_20300101000000.parquet")
+    import glob as _glob
+
+    src = sorted(_glob.glob(
+        os.path.join(table, "ing-0000000000-*_20300101000000.parquet")
+    ))[0]
     shutil.copy(src, os.path.join(
         table, "ing-0000000002-00000_0-0-0_20300101000002.parquet"))
     assert read_hudi(spark, table).count() == 3  # still invisible

@@ -469,3 +469,102 @@ def test_streaming_sink_snapshots_and_idempotence(spark, tmp_path):
     _, rows = decode_ocf(open(lists[-1], "rb").read())
     assert len(rows) == 2
     assert {r["added_snapshot_id"] for r in rows} == {5000, 5001}
+
+
+def test_sink_manifest_record_counts_are_real(spark, tmp_path):
+    """r13 (r12 verdict task 4): manifest record_count is a required
+    spec field external engines use for metadata-only count(*) — it
+    must equal each data file's true parquet row count, in BOTH the
+    streaming sink and the fixture writer."""
+    from hive_udf_spark.operators.avrocodec import decode_ocf
+    from hive_udf_spark.streaming.iceberg_sink import commit_batch_to_iceberg
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(7)],
+        "doc_id long, lang string, n long",
+    )
+    assert commit_batch_to_iceberg(b0, 0, table)
+    import glob as _glob
+
+    total = 0
+    for mpath in _glob.glob(os.path.join(table, "metadata",
+                                         "stream-manifest-*.avro")):
+        _, entries = decode_ocf(open(mpath, "rb").read())
+        for e in entries:
+            df = e["data_file"]
+            actual = pq.ParquetFile(
+                os.path.join(table, df["file_path"])).metadata.num_rows
+            assert df["record_count"] == actual > 0
+            total += df["record_count"]
+    assert total == 7
+
+    # the fixture writer stamps true counts too
+    table2 = str(tmp_path / "t2")
+    _basic_table(table2)
+    for mpath in _glob.glob(os.path.join(table2, "metadata",
+                                         "manifest-*.avro")):
+        _, entries = decode_ocf(open(mpath, "rb").read())
+        for e in entries:
+            df = e["data_file"]
+            fp = os.path.join(table2, df["file_path"])
+            if e["status"] != 2 and os.path.exists(fp):
+                assert df["record_count"] == pq.ParquetFile(
+                    fp).metadata.num_rows > 0
+
+
+def test_sink_refuses_fresh_checkpoint_against_existing_table(
+    spark, tmp_path
+):
+    """r12 ADVICE: restarting a DIFFERENT stream (fresh checkpoint →
+    batch ids reset) against an existing table must refuse loudly —
+    no-opping would drop data and re-publishing would duplicate
+    snapshot ids."""
+    from hive_udf_spark.streaming.iceberg_sink import commit_batch_to_iceberg
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_iceberg(b0, 0, table, app_id="stream-A")
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        commit_batch_to_iceberg(b0, 0, table, app_id="stream-B")
+    # the SAME app retrying the same batch stays a no-op
+    assert not commit_batch_to_iceberg(b0, 0, table, app_id="stream-A")
+
+
+def test_sink_crash_between_data_and_metadata_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (r12 verdict task 8): kill the sink between the data-file
+    move and the metadata publish — orphan data files exist, the table
+    is unchanged for readers, and the retry converges to exactly-once
+    contents."""
+    from hive_udf_spark.streaming.iceberg_sink import commit_batch_to_iceberg
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "en", 10), (2, "de", 20)],
+                               "doc_id long, lang string, n long")
+    b1 = spark.createDataFrame([(3, "fr", 30)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_iceberg(b0, 0, table)
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        raise OSError("injected crash before the atomic publish")
+
+    monkeypatch.setattr(os, "rename", crash_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        commit_batch_to_iceberg(b1, 1, table)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # orphan data files are on disk, but readers see only batch 0
+    import glob as _glob
+
+    orphans = _glob.glob(os.path.join(table, "data", "batch-0000000001-*"))
+    assert orphans
+    assert read_iceberg(spark, table).count() == 2
+    # the retry converges: no duplicates, all three rows, one v2 file
+    assert commit_batch_to_iceberg(b1, 1, table)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]

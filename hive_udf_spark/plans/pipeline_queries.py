@@ -1619,6 +1619,137 @@ def source_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_renamed_column",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def source_iceberg_renamed_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg FIELD-ID column resolution across a rename (r13 — the
+    r12 verdict's task 2): half the documents land in a file written
+    BEFORE the rename (physical column ``lang_code``, field id 2), the
+    other half AFTER (physical ``lang``, same id 2); the table schema's
+    current name is ``lang``.  The reader spot-checks one footer,
+    switches the scan to Spark's native ``parquet.field.id`` matching
+    on a cloned session, and the pre-rename file's values SURVIVE —
+    by-name resolution would silently null half the table, the exact
+    silent-row-loss class the r12 sequence gate closed for deletes.
+
+    Scale note: resolution happens inside the parquet reader (no rename
+    pass, no extra projection, no joins); detection is ONE driver-side
+    footer read regardless of table size."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def staged(df: DataFrame, lang_name: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias("doc_id",
+                                  metadata={"parquet.field.id": 1}),
+            F.col("lang").alias(lang_name,
+                                metadata={"parquet.field.id": 2}),
+            F.col("n_chars").alias("n_chars",
+                                   metadata={"parquet.field.id": 3}),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(f"{table}/data", exist_ok=True)
+        for name, df in (
+            ("old", staged(docs.filter(F.col("doc_id") % 2 == 0),
+                           "lang_code")),
+            ("new", staged(docs.filter(F.col("doc_id") % 2 == 1), "lang")),
+        ):
+            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            part = next(p for p in os.listdir(f"{tmp}/stage_{name}")
+                        if p.endswith(".parquet"))
+            shutil.move(f"{tmp}/stage_{name}/{part}",
+                        f"{table}/data/{name}.parquet")
+        write_iceberg_table(table, [
+            {"added": ["data/old.parquet"]},
+            {"added": ["data/new.parquet"]},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+        ])
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "source_iceberg_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def source_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION reads (r13 — the r12 verdict's task 7),
+    three evolutions in one table, all under field-id resolution:
+    (a) INT→LONG promotion — the old file stores ``doc_id`` as int32,
+    the current schema says long, and the scan widens; (b) ADD COLUMN —
+    the old file predates ``n_chars`` (current id 4) and reads NULL;
+    (c) DROP+RE-ADD poison — the old file carries a RETIRED ``n_chars``
+    under field id 3 holding poisoned values (n_chars+999): by-name
+    resolution would resurrect them, by-id reads NULL.  The oracle's
+    CASE hash-checks all three at once.
+
+    Scale note: same plan shape as every Iceberg scan — schema pinned,
+    no joins, evolution resolved per file inside the parquet reader."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("int").alias(
+            "doc_id", metadata={"parquet.field.id": 1}),
+        F.col("lang").alias("lang", metadata={"parquet.field.id": 2}),
+        (F.col("n_chars") + 999).alias(  # poison under the RETIRED id
+            "n_chars", metadata={"parquet.field.id": 3}),
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("doc_id", metadata={"parquet.field.id": 1}),
+        F.col("lang").alias("lang", metadata={"parquet.field.id": 2}),
+        F.col("n_chars").alias("n_chars", metadata={"parquet.field.id": 4}),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(f"{table}/data", exist_ok=True)
+        for name, df in (("old", old), ("new", new)):
+            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            part = next(p for p in os.listdir(f"{tmp}/stage_{name}")
+                        if p.endswith(".parquet"))
+            shutil.move(f"{tmp}/stage_{name}/{part}",
+                        f"{table}/data/{name}.parquet")
+        write_iceberg_table(table, [
+            {"added": ["data/old.parquet"]},
+            {"added": ["data/new.parquet"]},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 4, "name": "n_chars", "required": False, "type": "long"},
+        ])
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_hudi_roundtrip",
     oracle="""
     SELECT doc_id, lang,

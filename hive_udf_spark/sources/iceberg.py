@@ -90,11 +90,15 @@ _PRIMITIVES = {
 }
 
 
-def _spark_type(t, depth: int = 0):
+def _spark_type(t, depth: int = 0, with_ids: bool = False):
     """Iceberg JSON type → Spark DataType, RECURSIVELY (r12 — nested
     struct/list/map columns are routine in real Iceberg tables; the
     spec's type JSON nests the same three shapes all the way down).
-    Unknown primitives and exotic types still refuse loudly."""
+    Unknown primitives and exotic types still refuse loudly.
+    ``with_ids`` stamps ``parquet.field.id`` metadata on struct fields
+    (r13) — ONLY for scans over id-carrying files: Spark treats an
+    id-carrying read schema as a field-id contract and refuses id-less
+    files outright."""
     from pyspark.sql.types import (
         ArrayType,
         MapType,
@@ -115,21 +119,26 @@ def _spark_type(t, depth: int = 0):
         kind = t.get("type")
         if kind == "struct":
             return StructType([
-                StructField(f["name"], _spark_type(f["type"], depth + 1),
-                            not f.get("required", False))
+                StructField(
+                    f["name"],
+                    _spark_type(f["type"], depth + 1, with_ids),
+                    not f.get("required", False),
+                    {"parquet.field.id": int(f["id"])}
+                    if with_ids and f.get("id") is not None else None,
+                )
                 for f in t.get("fields", [])
             ])
         if kind == "list":
-            return ArrayType(_spark_type(t["element"], depth + 1),
+            return ArrayType(_spark_type(t["element"], depth + 1, with_ids),
                              not t.get("element-required", False))
         if kind == "map":
-            return MapType(_spark_type(t["key"], depth + 1),
-                           _spark_type(t["value"], depth + 1),
+            return MapType(_spark_type(t["key"], depth + 1, with_ids),
+                           _spark_type(t["value"], depth + 1, with_ids),
                            not t.get("value-required", False))
     raise ValueError(f"iceberg: type {t!r} not vendored")
 
 
-def _schema_from_metadata(meta: dict) -> StructType:
+def _schema_from_metadata(meta: dict, with_ids: bool = False) -> StructType:
     schemas = meta.get("schemas")
     if schemas:
         sid = meta.get("current-schema-id", 0)
@@ -139,7 +148,8 @@ def _schema_from_metadata(meta: dict) -> StructType:
         schema = meta.get("schema")
     if not schema or "fields" not in schema:
         raise ValueError("iceberg: metadata carries no schema")
-    st = _spark_type({"type": "struct", "fields": schema["fields"]})
+    st = _spark_type({"type": "struct", "fields": schema["fields"]},
+                     with_ids=with_ids)
     if not isinstance(st, StructType):  # pragma: no cover - struct in, struct out
         raise ValueError("iceberg: schema did not convert to a struct")
     return st
@@ -418,7 +428,25 @@ def read_iceberg(
         return spark.createDataFrame([], schema)
     names = [f.name for f in schema.fields]
     files = [p for p, _, _ in data]
-    df = spark.read.schema(schema).parquet(*files)
+    # r13 (r12 verdict task 2): resolve parquet columns by ICEBERG FIELD
+    # ID when the data files carry ids — the spec's rename-safe
+    # resolution (a renamed column would silently read nulls by name;
+    # a dropped-and-re-added column must NOT resurrect old values).
+    # Detection spot-checks ONE footer driver-side (files of one table
+    # share a writer lineage); the flag rides a CLONED session so the
+    # caller's conf never mutates, and Spark's fieldId path refuses
+    # loudly on id-less files in a mixed table (ignoreMissingIds stays
+    # false) — refusal preserved, never a silent misread.  Tables whose
+    # files carry no ids keep the name path (the pre-field-id
+    # fallback real readers use absent a name mapping).
+    scan_spark, scan_schema = spark, schema
+    if _parquet_has_field_ids(files[0]):
+        scan_spark = SparkSession(
+            spark.sparkContext, spark._jsparkSession.cloneSession()
+        )
+        scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = _schema_from_metadata(meta, with_ids=True)
+    df = scan_spark.read.schema(scan_schema).parquet(*files)
     if not pos_files and not eq_files:
         return df
     table_abs = os.path.abspath(table_path)
@@ -594,6 +622,20 @@ def apply_transform(transform: str, value):
             return (d.year - 1970) * 12 + (d.month - 1)
         return d.year - 1970
     raise ValueError(f"iceberg: transform {transform!r} not vendored")
+
+
+def _parquet_has_field_ids(path: str) -> bool:
+    """True when the parquet file's top-level columns carry
+    ``PARQUET:field_id`` metadata (what Iceberg writers stamp)."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(path)
+    except Exception as exc:
+        raise ValueError(f"iceberg: unreadable parquet footer {path!r}: "
+                         f"{exc}") from exc
+    return any((f.metadata or {}).get(b"PARQUET:field_id")
+               for f in sch)
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:

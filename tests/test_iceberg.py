@@ -471,6 +471,128 @@ def test_streaming_sink_snapshots_and_idempotence(spark, tmp_path):
     assert {r["added_snapshot_id"] for r in rows} == {5000, 5001}
 
 
+def _write_file_with_ids(
+    table: str, name: str, cols: dict, ids: dict[str, int]
+) -> None:
+    """Parquet file stamped with PARQUET:field_id metadata — what real
+    Iceberg writers emit."""
+    os.makedirs(os.path.dirname(os.path.join(table, name)), exist_ok=True)
+    t = pa.table(cols)
+    t = t.cast(pa.schema([
+        pa.field(f.name, f.type,
+                 metadata={b"PARQUET:field_id": str(ids[f.name]).encode()})
+        for f in t.schema
+    ]))
+    pq.write_table(t, os.path.join(table, name))
+
+
+def test_field_id_resolution_renamed_column(spark, tmp_path):
+    """r13 (r12 verdict task 2): a column renamed between snapshots
+    must resolve by FIELD ID — by-name resolution silently reads nulls
+    from pre-rename files."""
+    table = str(tmp_path / "t")
+    # file written BEFORE the rename: physical column name 'old_name'
+    _write_file_with_ids(table, "data/a.parquet", {
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "old_name": pa.array(["x", "y"], pa.string()),
+    }, {"doc_id": 1, "old_name": 2})
+    # file written AFTER the rename: physical name matches
+    _write_file_with_ids(table, "data/b.parquet", {
+        "doc_id": pa.array([3], pa.int64()),
+        "new_name": pa.array(["z"], pa.string()),
+    }, {"doc_id": 1, "new_name": 2})
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "new_name", "required": False, "type": "string"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet"]},
+    ], fields)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "x"), (2, "y"), (3, "z")]  # pre-rename values SURVIVE
+
+
+def test_field_id_drop_readd_does_not_resurrect(spark, tmp_path):
+    """A dropped-then-re-added column gets a NEW field id; old files'
+    values for the retired id must read as NULL, never resurrect."""
+    table = str(tmp_path / "t")
+    _write_file_with_ids(table, "data/a.parquet", {
+        "doc_id": pa.array([1], pa.int64()),
+        "tag": pa.array(["stale"], pa.string()),  # written under id 2
+    }, {"doc_id": 1, "tag": 2})
+    _write_file_with_ids(table, "data/b.parquet", {
+        "doc_id": pa.array([2], pa.int64()),
+        "tag": pa.array(["fresh"], pa.string()),  # re-added as id 4
+    }, {"doc_id": 1, "tag": 4})
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 4, "name": "tag", "required": False, "type": "string"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet"]},
+    ], fields)
+    got = sorted((tuple(r) for r in read_iceberg(spark, table).collect()),
+                 key=lambda t: t[0])
+    assert got == [(1, None), (2, "fresh")]
+
+
+def test_field_id_add_column_and_int_promotion(spark, tmp_path):
+    """Schema evolution over old files: an added column reads NULL and
+    an int column promoted to long widens — both under field-id
+    resolution (r12 verdict task 7)."""
+    table = str(tmp_path / "t")
+    _write_file_with_ids(table, "data/a.parquet", {
+        "doc_id": pa.array([7], pa.int32()),  # written as int, now long
+    }, {"doc_id": 1})
+    _write_file_with_ids(table, "data/b.parquet", {
+        "doc_id": pa.array([8], pa.int32()),
+        "extra": pa.array([80], pa.int64()),
+    }, {"doc_id": 1, "extra": 3})
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 3, "name": "extra", "required": False, "type": "long"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet"]},
+    ], fields)
+    df = read_iceberg(spark, table)
+    assert [f.dataType.simpleString() for f in df.schema.fields] \
+        == ["bigint", "bigint"]
+    got = sorted((tuple(r) for r in df.collect()), key=lambda t: t[0])
+    assert got == [(7, None), (8, 80)]
+
+
+def test_field_id_mixed_table_refuses_idless_files(spark, tmp_path):
+    """An id-less file inside an id-carrying table REFUSES at scan time
+    (Spark's fieldId contract) — never silently name-matched."""
+    table = str(tmp_path / "t")
+    _write_file_with_ids(table, "data/a.parquet", {
+        "doc_id": pa.array([1], pa.int64()),
+        "lang": pa.array(["en"], pa.string()),
+    }, {"doc_id": 1, "lang": 2})
+    _write_file(table, "data/z.parquet", [(9, "zz", 99)])  # no field ids
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/z.parquet"]},
+    ], fields)
+    with pytest.raises(Exception, match="[Ff]ield [Ii]d"):
+        read_iceberg(spark, table).collect()
+
+
+def test_idless_tables_keep_name_resolution(spark, tmp_path):
+    """Tables whose files carry no ids (older writers) keep the by-name
+    path and the caller's session conf stays untouched."""
+    table = str(tmp_path / "t")
+    _basic_table(table)
+    assert read_iceberg(spark, table).count() == 4
+    assert spark.conf.get(
+        "spark.sql.parquet.fieldId.read.enabled", None
+    ) in (None, "false")
+
+
 def test_sink_manifest_record_counts_are_real(spark, tmp_path):
     """r13 (r12 verdict task 4): manifest record_count is a required
     spec field external engines use for metadata-only count(*) — it

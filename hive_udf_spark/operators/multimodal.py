@@ -1366,6 +1366,77 @@ def decode_mpeg_audio_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(extract, schema=MPEG_AUDIO_FEATURES_SCHEMA)
 
 
+MP3_NATIVE_FEATURES_SCHEMA = (
+    "doc_id bigint, status string, layer int, n_frames bigint, "
+    "sample_rate int, n_channels int, n_samples bigint"
+)
+
+
+def decode_mp3_native_features(blobs: DataFrame) -> DataFrame:
+    """MPEG-audio NATIVE-decode dispatch end-to-end (r13 — the r12
+    verdict's task 3): per blob, the vendored structural probe
+    (``mpegaudio.probe_mpeg_audio``) always yields the header-walk
+    facts (layer, frame count, sample rate); PCM decode then goes
+    through the libmpg123 binding (``native.mp3_native_decode_pcm``)
+    WHEN a system decoder is present — ``status='decoded'`` with the
+    real channel count and per-channel sample count from the actual
+    PCM buffer — and QUARANTINES otherwise (``status='quarantined'``,
+    NULL pcm columns), the dav1d/de265 dispatch pattern: the biggest
+    real-corpus audio gap closes automatically the day the container
+    ships a decoder, and until then nothing is guessed.
+
+    Same 100 TB shape as every decode tier: map-side over blobs that
+    never cross a shuffle; the availability check is one cached dlopen
+    per worker."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "status", "layer", "n_frames",
+                    "sample_rate", "n_channels", "n_samples",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                feat = mp3_native_feature_row(bytes(blob))
+                rows["doc_id"].append(int(doc_id))
+                for k, v in feat.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, schema=MP3_NATIVE_FEATURES_SCHEMA)
+
+
+def mp3_native_feature_row(b: bytes) -> dict:
+    """One blob's native-dispatch features (the per-row logic of
+    ``decode_mp3_native_features``, module-level so BOTH regimes are
+    unit-testable): probe always; decode through libmpg123 when
+    available, quarantine otherwise or on decoder failure."""
+    from hive_udf_spark.operators import mpegaudio, native
+
+    info = mpegaudio.probe_mpeg_audio(b)
+    status, nch, nsamp = "quarantined", None, None
+    if native.mp3_native_available():
+        try:
+            samples, nch_, rate_ = native.mp3_native_decode_pcm(b)
+            if rate_ != info["sample_rate"]:
+                raise ValueError("mp3: decoder/probe rate mismatch")
+            status = "decoded"
+            nch = int(nch_)
+            nsamp = int(len(samples) // max(nch, 1))
+        except ValueError:
+            status, nch, nsamp = "quarantined", None, None
+    return {
+        "status": status,
+        "layer": info["layer"],
+        "n_frames": int(info["frames"]),
+        "sample_rate": info["sample_rate"],
+        "n_channels": nch,
+        "n_samples": nsamp,
+    }
+
+
 def mpeg1_l1_encoder_udf(n_chars: int = 24):
     """Arrow-batched MPEG-1 Layer I fixture encoder (r12): a payload of
     ``n_chars`` ASCII chars (a multiple of 12 — one quantizer code per

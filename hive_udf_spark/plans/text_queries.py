@@ -1784,22 +1784,22 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_fmp4_frame_sample",
     oracle="""
     WITH t AS (
-      SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s FROM documents
+      SELECT doc_id, rpad(substr(text, 1, 12), 12, ' ') AS s FROM documents
     ),
     a AS (
       SELECT doc_id, s FROM t WHERE regexp_matches(s, '^[\\x00-\\x7f]*$')
     ),
     f AS (
       SELECT doc_id, 0 AS frame_idx,
-             [unicode(c) for c in string_split(substr(s, 1, 64), '')] AS cps
+             [unicode(c) for c in string_split(substr(s, 1, 4), '')] AS cps
       FROM a
       UNION ALL
       SELECT doc_id, 2 AS frame_idx,
-             [unicode(c) for c in string_split(substr(s, 129, 64), '')] AS cps
+             [unicode(c) for c in string_split(substr(s, 9, 4), '')] AS cps
       FROM a
     )
-    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(4096 AS BIGINT) AS n_pixels,
-           list_sum(cps) / 64.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
+    SELECT doc_id, frame_idx, 3 AS n_frames, CAST(256 AS BIGINT) AS n_pixels,
+           list_sum(cps) / 4.0 AS mean_px, CAST(list_max(cps) AS INT) AS max_px
     FROM f
     """,
 )
@@ -1811,17 +1811,23 @@ def multimodal_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfhd base-offset mode rotates per blob (default-base-is-moof vs an
     explicit 64-bit base-data-offset — both real layouts under ONE
     oracle), and ``split_mp4_frames`` resolves the samples through
-    mfhd/traf/tfhd/trun instead of stsc × stco × stsz.  The oracle is
-    identical to the classic-MP4 query because fragmentation must not
-    change the frames."""
+    mfhd/traf/tfhd/trun instead of stsc × stco × stsz.
+
+    Fixture frames are 16x16 (r13 bench hygiene, the r12 verdict's
+    task 5: the old 64x64 quality-100 frames made the bench entry 97%
+    fixture-ENCODE cost — ~52 s measuring the vendored JPEG encoder
+    instead of the moof demux under test; 16x16 keeps each char on its
+    own constant 8x8 JPEG block, so the quality-100 exactness argument
+    is unchanged and the oracle still hash-checks which SAMPLE the
+    fragment walk resolved)."""
     from hive_udf_spark.operators.multimodal import (
         fmp4_mjpeg_encoder_udf,
         sample_container_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.rpad(F.substring("text", 1, 192), 192, " ")
-    enc = fmp4_mjpeg_encoder_udf(3, 8, quality=100)
+    payload = F.rpad(F.substring("text", 1, 12), 12, " ")
+    enc = fmp4_mjpeg_encoder_udf(3, 2, quality=100)
     framed = (
         docs.select("doc_id", payload.alias("__s"))
         .filter(F.col("__s").rlike("^[\\x00-\\x7F]*$"))

@@ -1041,6 +1041,31 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_iceberg_v2_deletes"].fn(spark, sf_dir))
 
+    def q_hudi_mor_deletes():
+        # r13: MOR delete-block tombstones + delete-then-reinsert merge
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_hudi_mor_deletes"].fn(spark, sf_dir))
+
+    def q_iceberg_field_id_reads():
+        # r13: field-id column resolution across a rename (cloned-session
+        # scan, one-footer detection)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_renamed_column"].fn(spark, sf_dir))
+
+    def q_iceberg_schema_evolution():
+        # r13: add/drop+readd/int-promotion evolution under field ids
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_schema_evolution"].fn(spark, sf_dir))
+
+    def q_codec_mp3_dispatch():
+        # r13: native MPEG-audio decode dispatch (quarantine-when-absent)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_mp3_audio_features"].fn(spark, sf_dir))
+
     def q_streaming_delta_ingest():
         # r11: micro-batches -> Delta commits -> read_delta snapshot
         from hive_udf_spark.plans import QUERIES
@@ -1315,6 +1340,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
         "streaming_hudi_ingest": q_streaming_hudi_ingest,
+        "hudi_mor_deletes": q_hudi_mor_deletes,
+        "iceberg_field_id_reads": q_iceberg_field_id_reads,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "codec_mp3_dispatch": q_codec_mp3_dispatch,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -1060,6 +1060,31 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["source_iceberg_schema_evolution"].fn(spark, sf_dir))
 
+    def q_delta_compaction():
+        # r13: OPTIMIZE-style small-file compaction (one-commit swap)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_delta_compaction"].fn(spark, sf_dir))
+
+    def q_iceberg_compaction():
+        # r13: rewrite compaction — row-level deletes made permanent
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_iceberg_compaction"].fn(spark, sf_dir))
+
+    def q_hudi_clustering():
+        # r13: replacecommit clustering = MOR log compaction
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_hudi_clustering"].fn(spark, sf_dir))
+
+    def q_delta_checkpointed_ingest():
+        # r13: periodic classic checkpoints (reader fast-path)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_delta_checkpointed_ingest"].fn(
+            spark, sf_dir))
+
     def q_codec_mp3_dispatch():
         # r13: native MPEG-audio decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1344,6 +1369,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_field_id_reads": q_iceberg_field_id_reads,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "codec_mp3_dispatch": q_codec_mp3_dispatch,
+        "delta_compaction": q_delta_compaction,
+        "iceberg_compaction": q_iceberg_compaction,
+        "hudi_clustering": q_hudi_clustering,
+        "delta_checkpointed_ingest": q_delta_checkpointed_ingest,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -1973,6 +1973,185 @@ def source_hudi_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_compaction",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_delta_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE-style COMPACTION (r13 — the r12 verdict's "sink
+    depth" rung; the 100 TB small-file operation): the documents land
+    as 4 micro-batch commits through the streaming sink (the small-file
+    pattern a year-old ingest table lives in), then
+    ``compact_delta_table`` rewrites the live rows into ONE file and
+    publishes a single commit of removes + dataChange=false adds (the
+    OPTIMIZE convention, so downstream streams know no rows changed).
+    The oracle hash-checks that compaction changed the LAYOUT and
+    nothing else; row preservation is additionally verified from
+    parquet footer counts BEFORE the commit publishes, and time travel
+    to the pre-compaction version still resolves the old layout
+    (pytest).
+
+    Scale shape: the rewrite is an ordinary distributed read→write;
+    only the KB-scale commit JSON is driver-side."""
+    import tempfile
+
+    from hive_udf_spark.sources.delta import delta_snapshot, read_delta
+    from hive_udf_spark.sources.maintenance import compact_delta_table
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, checkpoint_every=0,
+            )
+        assert compact_delta_table(spark, table, target_files=1)
+        if len(delta_snapshot(table).files) != 1:
+            raise ValueError("delta compaction left more than one file")
+        return read_delta(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "sink_iceberg_compaction",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM base
+    WHERE pos % 3 <> 0 AND lang <> 'de'
+    """,
+)
+def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REWRITE compaction (r13): the documents land as one
+    doc_id-ordered file, snapshot 2 adds a POSITION delete (every 3rd
+    row) and an EQUALITY delete (lang='de'), then
+    ``compact_iceberg_table`` applies both delete families DURING the
+    rewrite (the read path's oracle-proven sequence-gated anti-joins)
+    and publishes a snapshot with no delete files at all — compaction
+    is how row-level deletes become PERMANENT, and the post-compaction
+    scan is delete-free (no anti-joins, the plan a 100 TB reader
+    wants).  The oracle is the same delete arithmetic as the v2-deletes
+    entry, now hash-checked THROUGH the rewrite."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        iceberg_live_files,
+        read_iceberg,
+        write_iceberg_table,
+    )
+    from hive_udf_spark.sources.maintenance import compact_iceberg_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n_docs = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(f"{table}/data", exist_ok=True)
+        docs.coalesce(1).sortWithinPartitions("doc_id").write.parquet(
+            f"{tmp}/stage"
+        )
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        shutil.move(f"{tmp}/stage/{part}", f"{table}/data/docs.parquet")
+        write_iceberg_table(table, [
+            {"added": ["data/docs.parquet"]},
+            {"pos_deletes": {"data/docs.parquet": list(range(0, n_docs, 3))},
+             "eq_deletes": {"ids": [2], "rows": [{"lang": "de"}]}},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+        ])
+        assert compact_iceberg_table(spark, table, target_files=1)
+        # the compacted snapshot must be delete-free: the bare file
+        # listing (which refuses under row-level deletes) now works
+        _, files = iceberg_live_files(table)
+        if len(files) != 1:
+            raise ValueError("iceberg compaction left more than one file")
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "sink_hudi_clustering",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 14 = 0 THEN n_chars + 500
+                WHEN doc_id % 5 = 0 THEN n_chars + 100
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+    """,
+)
+def sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLUSTERING replacecommit (r13): the same MOR layering as
+    ``source_hudi_mor_deletes`` (upserts, delete-block tombstones,
+    reinserts), then ``cluster_hudi_table`` rewrites the MERGED live
+    rows into one new file group and publishes a replacecommit retiring
+    every old group — for MOR this is also LOG COMPACTION (logs vanish
+    with their replaced groups), so the post-cluster snapshot read is a
+    plain base-file scan with no window, no anti-join, no log decode:
+    the plan a 100 TB reader wants after ingest settles.  The oracle is
+    the same layering arithmetic, now hash-checked THROUGH the
+    rewrite; time travel to pre-cluster instants still merges logs
+    (pytest)."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import (
+        hudi_live_files,
+        read_hudi,
+        write_hudi_table,
+    )
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def recs(df: DataFrame) -> list[dict]:
+        return [
+            {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+            for r in df.collect()
+        ]
+
+    upd5 = recs(docs.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("n_chars", F.col("n_chars") + 100))
+    del7 = [str(r.doc_id)
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()]
+    re14 = recs(docs.filter(F.col("doc_id") % 14 == 0)
+                .withColumn("n_chars", F.col("n_chars") + 500))
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+        docs.coalesce(1).write.parquet(f"{tmp}/stage")
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        src = f"{tmp}/base.parquet"
+        shutil.move(f"{tmp}/stage/{part}", src)
+        write_hudi_table(table, [
+            {"writes": {"fg-0": src}},
+            {"log_writes": {"fg-0": upd5}},
+            {"log_deletes": {"fg-0": del7}},
+            {"log_writes": {"fg-0": re14}},
+        ], [("doc_id", "bigint"), ("lang", "string"), ("n_chars", "bigint")],
+            record_key="doc_id")
+        assert cluster_hudi_table(spark, table, target_files=1)
+        # post-cluster the listing works (no unmerged logs remain)
+        files, _ = hudi_live_files(table)
+        if len(files) != 1:
+            raise ValueError("hudi clustering left more than one group")
+        return read_hudi(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "source_msgpack_roundtrip",
     oracle="""
     SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,

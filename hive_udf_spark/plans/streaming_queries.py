@@ -168,6 +168,62 @@ def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_delta_checkpointed_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_delta_checkpointed_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta sink with PERIODIC CHECKPOINTING (r13 — the protocol's
+    reader fast-path): the event stream lands as 6 micro-batch commits
+    with ``checkpoint_every=3``, so the sink writes the classic
+    checkpoint parquet + ``_last_checkpoint`` at versions 2 and 5; the
+    read-back DELETES every pre-checkpoint JSON commit first, proving
+    the snapshot reconstructs from the checkpoint ALONE — at fleet age
+    this is the difference between O(checkpoint_every) and O(stream
+    lifetime) reader startup.  The oracle is the same batch SQL as the
+    plain ingest entry: checkpointing must change nothing but the
+    replay cost."""
+    import tempfile
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_delta(
+                ev.filter(F.col("event_id") % 6 == b).coalesce(1),
+                b, table, checkpoint_every=3,
+            )
+        import os as _os
+
+        log = f"{table}/_delta_log"
+        for v in range(6):  # snapshot must come from the v5 checkpoint
+            p = f"{log}/{v:020d}.json"
+            if _os.path.exists(p):
+                _os.remove(p)
+        out = (
+            read_delta(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("user_id").alias("sum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+@register(
     "streaming_iceberg_ingest",
     oracle="""
     SELECT event_type,

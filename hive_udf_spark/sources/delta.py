@@ -861,18 +861,23 @@ def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:
         norm.append({"protocol": proto, "metaData": md,
                      "add": r.get("add"), "remove": r.get("remove")})
     log_dir = _log_dir(table_path)
+    # write-to-temp + rename so a crash mid-checkpoint never leaves a
+    # torn parquet readers would glob (r13 — the streaming sink now
+    # checkpoints live tables, not just test fixtures)
     if parts <= 1:
         table = pa.Table.from_pylist(norm, schema=schema)
-        pq.write_table(
-            table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-        )
+        dst = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        pq.write_table(table, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
     else:
         chunks = [norm[i::parts] for i in range(parts)]
         for i, chunk in enumerate(chunks):
             table = pa.Table.from_pylist(chunk, schema=schema)
-            pq.write_table(table, os.path.join(
+            dst = os.path.join(
                 log_dir,
                 f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
-            ))
+            )
+            pq.write_table(table, dst + ".tmp")
+            os.rename(dst + ".tmp", dst)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": version, "size": len(norm)}))

@@ -45,11 +45,22 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 def commit_batch_to_delta(
     batch_df: DataFrame, batch_id: int, table_path: str,
-    app_id: str = "delta-ingest",
+    app_id: str = "delta-ingest", checkpoint_every: int = 10,
 ) -> bool:
     """Append one micro-batch to the table as Delta commit version
     ``batch_id``.  Returns False (no-op) when that version is already
-    committed — the foreachBatch-retry idempotency check."""
+    committed — the foreachBatch-retry idempotency check.
+
+    Every ``checkpoint_every`` commits (r13 — the protocol's reader
+    fast-path, what real Delta writers do every 10) the sink also
+    writes the classic checkpoint parquet + ``_last_checkpoint`` AFTER
+    the commit publishes: a reader of a year-old stream replays
+    O(checkpoint_every) JSON commits instead of O(stream lifetime) —
+    the difference between constant and unbounded snapshot
+    reconstruction at fleet age.  The checkpoint is an optimization,
+    never the source of truth: it writes via temp+rename (a torn file
+    can't surface), and a crash before it simply leaves readers
+    replaying a few more JSON commits.  Pass 0 to disable."""
     log_dir = os.path.join(table_path, "_delta_log")
     commit_path = os.path.join(log_dir, f"{batch_id:020d}.json")
     if os.path.exists(commit_path):
@@ -95,19 +106,24 @@ def commit_batch_to_delta(
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     os.rename(tmp, commit_path)  # THE atomic publish
+    if checkpoint_every and (batch_id + 1) % checkpoint_every == 0:
+        from hive_udf_spark.sources.delta import checkpoint_delta
+
+        checkpoint_delta(table_path, batch_id)
     return True
 
 
 def delta_commit_sink(
     stream_df: DataFrame, table_path: str, checkpoint_dir: str,
-    app_id: str = "delta-ingest",
+    app_id: str = "delta-ingest", checkpoint_every: int = 10,
 ):
     """writeStream → one Delta commit per micro-batch (see module
     docstring for the exactly-once argument).  Returns the started
     StreamingQuery."""
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch_to_delta(batch_df, int(batch_id), table_path, app_id)
+        commit_batch_to_delta(batch_df, int(batch_id), table_path, app_id,
+                              checkpoint_every)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -1,0 +1,220 @@
+"""Lakehouse maintenance ops (sources/maintenance.py, r13): Delta
+OPTIMIZE-style compaction, Iceberg rewrite (deletes made permanent),
+Hudi clustering replacecommits, and the Delta sink's periodic
+checkpointing — row preservation, atomic swap semantics, time travel
+through the swap, and the documented refusals."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from hive_udf_spark.sources.maintenance import (
+    cluster_hudi_table,
+    compact_delta_table,
+    compact_iceberg_table,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+
+
+def _delta_ingest(spark, table: str, n_batches: int, checkpoint_every=0):
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"l{b}", i) for i in range(3)],
+            "doc_id long, lang string, n long",
+        )
+        assert commit_batch_to_delta(df, b, table,
+                                     checkpoint_every=checkpoint_every)
+
+
+def test_delta_compaction_preserves_rows_and_travels(spark, tmp_path):
+    from hive_udf_spark.sources.delta import delta_snapshot, read_delta
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 4)
+    before = _rows(read_delta(spark, table))
+    n_files_before = len(delta_snapshot(table).files)
+    assert n_files_before > 1
+    assert compact_delta_table(spark, table, target_files=1)
+    snap = delta_snapshot(table)
+    assert len(snap.files) == 1
+    assert _rows(read_delta(spark, table)) == before
+    # time travel to the pre-compaction version sees the OLD layout
+    old = delta_snapshot(table, snap.version - 1)
+    assert len(old.files) == n_files_before
+    assert _rows(read_delta(spark, table, version=snap.version - 1)) \
+        == before
+    # already compact: no-op
+    assert not compact_delta_table(spark, table, target_files=1)
+
+
+def test_delta_compaction_refusals(spark, tmp_path):
+    from hive_udf_spark.sources.delta import write_delta_commits
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    part = str(tmp_path / "p")
+    write_delta_commits(part, [[]], schema_json, part_cols=["lang"])
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_delta_table(spark, part)
+    mapped = str(tmp_path / "m")
+    write_delta_commits(
+        mapped, [[]], schema_json,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        compact_delta_table(spark, mapped)
+
+
+def test_delta_sink_periodic_checkpoint(spark, tmp_path):
+    """checkpoint_every=5 -> classic checkpoints at versions 4 and 9;
+    the reader reconstructs from the checkpoint ALONE (pre-checkpoint
+    JSON commits deleted) — O(checkpoint_every) startup at fleet age."""
+    from hive_udf_spark.sources.delta import read_delta
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 10, checkpoint_every=5)
+    log = os.path.join(table, "_delta_log")
+    cps = sorted(glob.glob(os.path.join(log, "*.checkpoint.parquet")))
+    assert [os.path.basename(p) for p in cps] == [
+        f"{4:020d}.checkpoint.parquet", f"{9:020d}.checkpoint.parquet",
+    ]
+    hint = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert hint["version"] == 9
+    before = _rows(read_delta(spark, table))
+    assert len(before) == 30
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(read_delta(spark, table)) == before
+
+
+# ---------------------------------------------------------------------------
+# Iceberg
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_compaction_applies_deletes_permanently(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        iceberg_live_files,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def wf(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+        }), os.path.join(table, name))
+
+    wf("data/a.parquet", [(1, "en"), (2, "de"), (3, "fr")])
+    wf("data/b.parquet", [(4, "es"), (5, "de")])
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet"]},
+        {"pos_deletes": {"data/a.parquet": [0]},      # drops doc_id 1
+         "eq_deletes": {"ids": [2], "rows": [{"lang": "de"}]}},
+    ], fields)
+    before = _rows(read_iceberg(spark, table))
+    assert before == [(3, "fr"), (4, "es")]
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert _rows(read_iceberg(spark, table)) == before
+    # deletes are PERMANENT: the live file list is now clean (no
+    # row-level deletes left to force the read path)
+    meta, files = iceberg_live_files(table)
+    assert len(files) == 1 and "compact-" in files[0]
+    # time travel to the pre-compaction snapshot still applies deletes
+    old_sid = 1001
+    assert _rows(read_iceberg(spark, table, snapshot_id=old_sid)) == before
+    # already compact: no-op
+    assert not compact_iceberg_table(spark, table, target_files=1)
+
+
+def test_iceberg_compaction_refuses_partitioned_specs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import write_iceberg_table
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}),
+                   os.path.join(table, "data/a.parquet"))
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+    ], partition_spec=[{"name": "day", "transform": "identity",
+                        "source-id": 1, "field-id": 1000}])
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_iceberg_table(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# Hudi
+# ---------------------------------------------------------------------------
+
+
+def test_hudi_clustering_compacts_mor_logs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import (
+        hudi_live_files,
+        read_hudi,
+        write_hudi_table,
+    )
+
+    table = str(tmp_path / "t")
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "de", "fr"], pa.string()),
+        "n": pa.array([10, 20, 30], pa.int64()),
+    }), src)
+    write_hudi_table(table, [
+        {"writes": {"fg-a": src}},
+        {"log_writes": {"fg-a": [{"doc_id": 2, "lang": "de", "n": 21}]}},
+        {"log_deletes": {"fg-a": ["3"]}},
+    ], [("doc_id", "bigint"), ("lang", "string"), ("n", "bigint")],
+        record_key="doc_id")
+    before = _rows(read_hudi(spark, table))
+    assert before == [(1, "en", 10), (2, "de", 21)]
+    # live-file listing refuses while unmerged logs exist
+    with pytest.raises(ValueError, match="unmerged"):
+        hudi_live_files(table)
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert _rows(read_hudi(spark, table)) == before
+    # after clustering the table is base-only: the listing works
+    files, _ = hudi_live_files(table)
+    assert len(files) == 1 and "cluster-" in files[0]
+    # time travel to the pre-cluster instant still merges the logs
+    assert _rows(read_hudi(spark, table, as_of="20240101000002")) == before
+    # already clustered: no-op
+    assert not cluster_hudi_table(spark, table, target_files=1)

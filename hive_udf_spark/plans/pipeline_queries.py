@@ -1973,6 +1973,65 @@ def source_hudi_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_name_mapping",
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS score
+    FROM documents
+    """,
+)
+def source_iceberg_name_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg ``schema.name-mapping.default`` fallback (r13 —
+    completing the spec's resolution triad: field ids > name mapping >
+    bare names): the documents land as an ID-LESS parquet file (the
+    migrated-Hive-data shape name mapping exists for) under OLD column
+    names (``docid``/``langcode``/``chars``); the table property maps
+    each current field id to its historical name, so the scan resolves
+    every column correctly, and the later-added ``score`` field — absent
+    from the mapping — reads NULL per the spec's unresolvable-column
+    rule instead of wrong-name matching.
+
+    Scale note: the mapping applies as a pinned scan schema + rename
+    projection (no joins, no Python); multi-name and nested mappings
+    refuse loudly (pytest)."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"),
+        F.col("lang").alias("langcode"),
+        F.col("n_chars").alias("chars"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(f"{table}/data", exist_ok=True)
+        docs.coalesce(1).write.parquet(f"{tmp}/stage")
+        part = next(p for p in os.listdir(f"{tmp}/stage")
+                    if p.endswith(".parquet"))
+        shutil.move(f"{tmp}/stage/{part}", f"{table}/data/docs.parquet")
+        mapping = json.dumps([
+            {"field-id": 1, "names": ["docid"]},
+            {"field-id": 2, "names": ["langcode"]},
+            {"field-id": 3, "names": ["chars"]},
+        ])
+        write_iceberg_table(table, [
+            {"added": ["data/docs.parquet"]},
+        ], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+            {"id": 4, "name": "score", "required": False, "type": "long"},
+        ], properties={"schema.name-mapping.default": mapping})
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "sink_delta_compaction",
     oracle="SELECT doc_id, lang, n_chars FROM documents",
 )

@@ -440,15 +440,44 @@ def read_iceberg(
     # files carry no ids keep the name path (the pre-field-id
     # fallback real readers use absent a name mapping).
     scan_spark, scan_schema = spark, schema
+    renames: list[tuple[str, str]] = []  # (physical in-file name, current)
+    null_cols: list[str] = []  # current names with no mapping: read NULL
     if _parquet_has_field_ids(files[0]):
         scan_spark = SparkSession(
             spark.sparkContext, spark._jsparkSession.cloneSession()
         )
         scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         scan_schema = _schema_from_metadata(meta, with_ids=True)
+    else:
+        mapping = _name_mapping(meta)
+        if mapping is not None:
+            # name-mapping fallback (r13): files written WITHOUT field
+            # ids resolve through the table's recorded historical names
+            # — fields absent from the mapping read NULL (the spec's
+            # unresolvable-column rule), never a wrong name match
+            from pyspark.sql.types import StructField
+
+            name_of_id = _field_ids_by_name(meta)
+            fields = []
+            for f in schema.fields:
+                fid = name_of_id.get(f.name)
+                phys = mapping.get(fid) if fid is not None else None
+                if phys is None:
+                    null_cols.append(f.name)
+                    continue
+                fields.append(StructField(phys, f.dataType, True))
+                if phys != f.name:
+                    renames.append((phys, f.name))
+            scan_schema = StructType(fields)
     df = scan_spark.read.schema(scan_schema).parquet(*files)
+    for phys, cur in renames:
+        df = df.withColumnRenamed(phys, cur)
+    for cur in null_cols:
+        df = df.withColumn(
+            cur, F.lit(None).cast(schema[cur].dataType)
+        )
     if not pos_files and not eq_files:
-        return df
+        return df.select(*names) if (renames or null_cols) else df
     table_abs = os.path.abspath(table_path)
     df = df.withColumn(
         "__fp",
@@ -624,6 +653,41 @@ def apply_transform(transform: str, value):
     raise ValueError(f"iceberg: transform {transform!r} not vendored")
 
 
+def _name_mapping(meta: dict) -> dict[int, str] | None:
+    """Parsed ``schema.name-mapping.default`` (field id → historical
+    column name) from the table properties, or None when absent — the
+    spec's fallback for resolving columns in files written WITHOUT
+    field ids.  Vendored subset: top-level single-name entries; nested
+    or multi-name mappings refuse loudly (a single pinned scan schema
+    cannot match different physical names per file)."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return None
+    try:
+        entries = json.loads(raw) if isinstance(raw, str) else raw
+    except json.JSONDecodeError as exc:
+        raise ValueError(
+            f"iceberg: malformed schema.name-mapping.default: {exc}"
+        ) from exc
+    out: dict[int, str] = {}
+    for e in entries:
+        if e.get("fields"):
+            raise ValueError(
+                "iceberg: nested name mappings not vendored"
+            )
+        names = e.get("names") or []
+        fid = e.get("field-id")
+        if fid is None or not names:
+            raise ValueError("iceberg: malformed name-mapping entry")
+        if len(names) > 1:
+            raise ValueError(
+                "iceberg: multi-name mappings not vendored (a single "
+                "scan schema cannot match different names per file)"
+            )
+        out[int(fid)] = names[0]
+    return out
+
+
 def _parquet_has_field_ids(path: str) -> bool:
     """True when the parquet file's top-level columns carry
     ``PARQUET:field_id`` metadata (what Iceberg writers stamp)."""
@@ -636,6 +700,10 @@ def _parquet_has_field_ids(path: str) -> bool:
                          f"{exc}") from exc
     return any((f.metadata or {}).get(b"PARQUET:field_id")
                for f in sch)
+
+
+def _field_ids_by_name(meta: dict) -> dict[str, int]:
+    return {n: i for i, n in _field_names_by_id(meta).items()}
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -707,6 +775,7 @@ def write_iceberg_table(
     snapshots: list[dict],
     schema_fields: list[dict],
     partition_spec: list[dict] | None = None,
+    properties: dict | None = None,
 ) -> None:
     """Emit a spec-shaped Iceberg table.  ``snapshots[i]`` is
     ``{"added": [paths], "deleted": [paths],
@@ -867,6 +936,7 @@ def write_iceberg_table(
                      "fields": schema_fields}],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": partition_spec or []}],
+        "properties": properties or {},
         "current-snapshot-id": snap_meta[-1]["snapshot-id"],
         "snapshots": snap_meta,
     }

@@ -81,12 +81,15 @@ def _rewrite(df, scratch: str, target_files: int) -> list[str]:
 def compact_delta_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
 ) -> bool:
-    """Rewrite the table's live files into ``target_files`` compacted
+    """Rewrite the table's live ROWS into ``target_files`` compacted
     parquet files and publish ONE commit (removes + dataChange=false
-    adds — the OPTIMIZE convention).  Returns False when the table
-    already has ≤ ``target_files`` files.  Refuses partitioned,
-    column-mapped or deletion-vector tables — shapes whose physical
-    layout this op cannot yet reproduce faithfully."""
+    adds — the OPTIMIZE convention).  DELETION VECTORS purge during the
+    rewrite: DV'd rows drop through the read path's in-scan Arrow
+    filter and the descriptors retire with their removes — compaction
+    is how soft deletes become physical.  Returns False when the table
+    already has ≤ ``target_files`` DV-free files.  Refuses partitioned
+    and column-mapped tables — layouts whose physical shape this op
+    cannot yet reproduce faithfully."""
     from hive_udf_spark.sources.delta import (
         _log_dir,
         delta_snapshot,
@@ -107,13 +110,19 @@ def compact_delta_table(
             "delta compaction: column-mapped tables not vendored "
             "(compacted files must reproduce physical names/ids)"
         )
-    if any(a.get("deletionVector") for a in snap.files.values()):
-        raise ValueError(
-            "delta compaction: deletion-vector tables not vendored "
-            "(the rewrite must drop DV'd rows and retire descriptors)"
-        )
     old = sorted(snap.files)
-    if len(old) <= target_files:
+    dv_dropped = 0
+    for add in snap.files.values():
+        dv = add.get("deletionVector")
+        if dv:
+            card = dv.get("cardinality")
+            if card is None:
+                raise ValueError(
+                    "delta compaction: deletion vector without a declared "
+                    "cardinality — cannot verify row preservation"
+                )
+            dv_dropped += int(card)
+    if len(old) <= target_files and not dv_dropped:
         return False
     version = snap.version + 1
     scratch = os.path.join(table_path, f"_compact-{version}")
@@ -126,10 +135,10 @@ def compact_delta_table(
     shutil.rmtree(scratch)
     before = sum(_pq_rows(os.path.join(table_path, p)) for p in old)
     after = sum(_pq_rows(os.path.join(table_path, p)) for p in adds)
-    if before != after:
+    if before - dv_dropped != after:
         raise ValueError(
-            f"delta compaction: row count changed ({before} -> {after}); "
-            "refusing to publish"
+            f"delta compaction: row count changed ({before} - "
+            f"{dv_dropped} deleted -> {after}); refusing to publish"
         )
     lines = [json.dumps({"commitInfo": {"operation": "OPTIMIZE"}})]
     for p in old:

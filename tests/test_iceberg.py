@@ -582,6 +582,45 @@ def test_field_id_mixed_table_refuses_idless_files(spark, tmp_path):
         read_iceberg(spark, table).collect()
 
 
+def test_name_mapping_resolves_idless_files(spark, tmp_path):
+    """r13: schema.name-mapping.default — id-less files (migrated
+    Hive/parquet data) resolve through the recorded historical names;
+    fields absent from the mapping read NULL, never a wrong match."""
+    table = str(tmp_path / "t")
+    # id-less file written under the OLD column name 'langcode'
+    _write_file(table, "data/a.parquet", [(1, "en", 10), (2, "de", 20)])
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "langcode": pa.array(["en", "de"], pa.string()),
+    })
+    pq.write_table(t, os.path.join(table, "data/a.parquet"))
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+        {"id": 3, "name": "score", "required": False, "type": "long"},
+    ]
+    mapping = json.dumps([
+        {"field-id": 1, "names": ["doc_id"]},
+        {"field-id": 2, "names": ["langcode"]},
+        # field 3 ('score', added later) has NO mapping -> NULL
+    ])
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], fields,
+                        properties={"schema.name-mapping.default": mapping})
+    df = read_iceberg(spark, table)
+    assert df.columns == ["doc_id", "lang", "score"]
+    got = sorted((tuple(r) for r in df.collect()), key=lambda r: r[0])
+    assert got == [(1, "en", None), (2, "de", None)]
+
+    # multi-name mappings refuse loudly (can't match per-file names
+    # with one pinned scan schema)
+    multi = json.dumps([{"field-id": 1, "names": ["doc_id", "id"]}])
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], fields,
+                        properties={"schema.name-mapping.default": multi})
+    with pytest.raises(ValueError, match="multi-name"):
+        read_iceberg(spark, table).collect()
+
+
 def test_idless_tables_keep_name_resolution(spark, tmp_path):
     """Tables whose files carry no ids (older writers) keep the by-name
     path and the caller's session conf stays untouched."""

@@ -61,6 +61,49 @@ def test_delta_compaction_preserves_rows_and_travels(spark, tmp_path):
     assert not compact_delta_table(spark, table, target_files=1)
 
 
+def test_delta_compaction_purges_deletion_vectors(spark, tmp_path):
+    """DV'd rows drop physically during the rewrite and the descriptors
+    retire with their removes — compaction makes soft deletes real."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.delta import (
+        delta_snapshot,
+        read_delta,
+        write_delta_commits,
+        write_deletion_vector,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "de", "fr", "es"], pa.string()),
+    }), os.path.join(table, "a.parquet"))
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    dv = write_deletion_vector(table, [1, 3])  # drops doc_id 2 and 4
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], schema_json)
+    before = _rows(read_delta(spark, table))
+    assert before == [(1, "en"), (3, "fr")]
+    # single file BUT DV'd: compaction still rewrites (purges the DV)
+    assert compact_delta_table(spark, table, target_files=1)
+    snap = delta_snapshot(table)
+    assert len(snap.files) == 1
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert _rows(read_delta(spark, table)) == before
+    assert not compact_delta_table(spark, table, target_files=1)
+
+
 def test_delta_compaction_refusals(spark, tmp_path):
     from hive_udf_spark.sources.delta import write_delta_commits
 

@@ -1078,6 +1078,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sink_hudi_clustering"].fn(spark, sf_dir))
 
+    def q_iceberg_name_mapping():
+        # r13: schema.name-mapping.default over id-less files
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_name_mapping"].fn(spark, sf_dir))
+
+    def q_delta_vacuum_lifecycle():
+        # r13: ingest -> orphan -> compact -> vacuum, read-back checked
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_delta_vacuum_lifecycle"].fn(spark, sf_dir))
+
     def q_delta_checkpointed_ingest():
         # r13: periodic classic checkpoints (reader fast-path)
         from hive_udf_spark.plans import QUERIES
@@ -1373,6 +1385,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_compaction": q_iceberg_compaction,
         "hudi_clustering": q_hudi_clustering,
         "delta_checkpointed_ingest": q_delta_checkpointed_ingest,
+        "delta_vacuum_lifecycle": q_delta_vacuum_lifecycle,
+        "iceberg_name_mapping": q_iceberg_name_mapping,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

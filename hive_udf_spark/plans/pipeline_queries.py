@@ -2074,6 +2074,57 @@ def sink_delta_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_vacuum_lifecycle",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_delta_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta table LIFECYCLE a 100 TB ingest table lives
+    through (r13): 4 streaming micro-batch commits → a crash orphan
+    (a data file whose commit never published — invisible by the
+    protocol) → OPTIMIZE compaction (one-commit layout swap) → VACUUM
+    (the orphan AND the whole pre-compaction layout reclaimed, the
+    storage the swap left behind).  The read-back hash-checks that
+    three generations of maintenance changed STORAGE only — rows
+    byte-identical to the raw documents.  The vacuum result is also
+    validated in-query: it must reclaim at least the 4 pre-compaction
+    files plus the orphan, and a second vacuum must find nothing.
+
+    Scale shape: vacuum/compaction metadata work is O(files)
+    driver-side listing; the rewrite is the only data pass."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.maintenance import (
+        compact_delta_table,
+        vacuum_delta_table,
+    )
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, checkpoint_every=0,
+            )
+        parts = sorted(p for p in os.listdir(table)
+                       if p.endswith(".parquet"))
+        shutil.copy(os.path.join(table, parts[0]),
+                    os.path.join(table, "part-0000000009-00000.parquet"))
+        assert compact_delta_table(spark, table, target_files=1)
+        reclaimed = vacuum_delta_table(table)
+        if len(reclaimed) < 5:  # 4 old parts + the orphan
+            raise ValueError(f"vacuum reclaimed only {reclaimed}")
+        if vacuum_delta_table(table):
+            raise ValueError("vacuum is not idempotent")
+        return read_delta(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "sink_iceberg_compaction",
     oracle="""
     WITH base AS (

@@ -384,6 +384,31 @@ def _dv_blob(table_path: str, dv: dict) -> tuple[bytes, int | None]:
     return data, declared
 
 
+def _dv_file_path(table_path: str, dv: dict) -> str | None:
+    """On-disk file a deletion-vector descriptor references (None for
+    inline vectors) — the path arithmetic of ``_dv_blob`` without the
+    read, for vacuum's live-set accounting."""
+    import uuid as _uuid
+
+    from hive_udf_spark.operators.roaring import z85_decode
+
+    st = dv.get("storageType")
+    enc = dv.get("pathOrInlineDv") or ""
+    if st == "i":
+        return None
+    if st == "u":
+        if len(enc) < 20:
+            raise ValueError("delta: deletion-vector path too short")
+        prefix, z = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(z))
+        rel = os.path.join(prefix, f"deletion_vector_{u}.bin") if prefix \
+            else f"deletion_vector_{u}.bin"
+        return os.path.join(table_path, rel)
+    if st == "p":
+        return enc
+    raise ValueError(f"delta: deletion-vector storageType {st!r} unknown")
+
+
 def _dv_positions(table_path: str, dv: dict):
     """Decoded deleted row positions (sorted int64 ndarray) — the
     driver-side convenience used by tests; the scan path ships

@@ -24,6 +24,16 @@ never a mix:
   with their groups (the slice rule), so clustering doubles as log
   compaction.
 
+The RETENTION half (r13, same batch): ``vacuum_delta_table`` /
+``expire_iceberg_snapshots`` / ``clean_hudi_table`` delete the files
+the swaps left behind — compaction makes old layouts unreferenced,
+retention reclaims them, and crash orphans from interrupted commits go
+with them.  Each publishes/validates METADATA first (Iceberg trims its
+snapshot log atomically before any file disappears), never touches the
+transaction logs themselves, never deletes outside the table root, and
+keeps pending writers' files (Hudi requested/inflight instants).
+Storage-level driver work, no Spark session needed.
+
 Scale shape: the REWRITE is an ordinary distributed read→write through
 the vendored readers (deletes/merges apply exactly as queries see
 them); only the KB-scale metadata publish is driver-side.  Each op
@@ -52,6 +62,9 @@ __all__ = [
     "compact_delta_table",
     "compact_iceberg_table",
     "cluster_hudi_table",
+    "vacuum_delta_table",
+    "expire_iceberg_snapshots",
+    "clean_hudi_table",
 ]
 
 
@@ -156,6 +169,173 @@ def compact_delta_table(
         fh.write("\n".join(lines) + "\n")
     os.rename(commit + ".tmp", commit)  # THE atomic publish
     return True
+
+
+def vacuum_delta_table(table_path: str) -> list[str]:
+    """Delete data/DV files under the table root that the CURRENT
+    snapshot does not reference — crash orphans from interrupted
+    commits and the pre-compaction layout compaction retired (Delta's
+    VACUUM).  Returns the deleted relative paths.  Time travel to
+    versions that referenced a vacuumed file stops working, the
+    documented VACUUM trade-off; the transaction log itself is never
+    touched.  Storage-level only: no Spark session needed, O(listing)
+    driver work."""
+    from hive_udf_spark.sources.delta import _dv_file_path, delta_snapshot
+
+    snap = delta_snapshot(table_path)
+    root = os.path.abspath(table_path)
+    live: set[str] = set()
+    for add in snap.files.values():
+        p = add["path"]
+        live.add(os.path.abspath(
+            p if os.path.isabs(p) else os.path.join(root, p)
+        ))
+        dv = add.get("deletionVector")
+        if dv:
+            f = _dv_file_path(table_path, dv)
+            if f:
+                live.add(os.path.abspath(f))
+    deleted = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        # never touch the log, scratch dirs, or checkpoint machinery
+        dirnames[:] = [d for d in dirnames
+                       if d != "_delta_log" and not d.startswith("_")]
+        for name in filenames:
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
+                continue
+            full = os.path.abspath(os.path.join(dirpath, name))
+            if full in live:
+                continue
+            os.remove(full)
+            deleted.append(os.path.relpath(full, root))
+    return sorted(deleted)
+
+
+def expire_iceberg_snapshots(
+    table_path: str, keep_last: int = 1
+) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots: publish a
+    metadata version whose snapshot log holds only the retained ones,
+    then delete every manifest list, manifest and data/delete file
+    referenced ONLY by expired snapshots (Iceberg's
+    ``expire_snapshots`` + orphan cleanup in one pass).  Returns the
+    deleted paths (relative to the table).  The current snapshot is
+    always retained.  Driver-side metadata walk, O(manifests)."""
+    from hive_udf_spark.operators.avrocodec import decode_ocf
+    from hive_udf_spark.sources.iceberg import _load_metadata, _local_path
+
+    meta = _load_metadata(table_path)
+    snapshots = list(meta.get("snapshots") or [])
+    if keep_last < 1:
+        raise ValueError("iceberg expire: keep_last must be >= 1")
+    if len(snapshots) <= keep_last:
+        return []
+    snapshots.sort(key=lambda s: s.get("sequence-number", 0))
+    retained, expired = snapshots[-keep_last:], snapshots[:-keep_last]
+    cur = meta.get("current-snapshot-id")
+    if not any(s.get("snapshot-id") == cur for s in retained):
+        raise ValueError(
+            "iceberg expire: the current snapshot must be retained"
+        )
+
+    def refs(snaps: list[dict]) -> set[str]:
+        out: set[str] = set()
+        for s in snaps:
+            mlist = _local_path(s["manifest-list"], table_path)
+            out.add(os.path.abspath(mlist))
+            with open(mlist, "rb") as fh:
+                _, manifests = decode_ocf(fh.read())
+            for m in manifests:
+                mpath = _local_path(m["manifest_path"], table_path)
+                out.add(os.path.abspath(mpath))
+                with open(mpath, "rb") as fh:
+                    _, entries = decode_ocf(fh.read())
+                for e in entries:
+                    # status 2 (DELETED) entries are tombstone METADATA:
+                    # readers skip them without opening the file, so a
+                    # retained tombstone does not keep the file alive
+                    if e.get("status") == 2:
+                        continue
+                    fp = (e.get("data_file") or {}).get("file_path")
+                    if fp:
+                        out.add(os.path.abspath(
+                            _local_path(fp, table_path)))
+        return out
+
+    keep_files = refs(retained)
+    drop_files = refs(expired) - keep_files
+    root = os.path.abspath(table_path)
+    # publish the trimmed metadata FIRST (readers must stop resolving
+    # expired snapshots before their files disappear)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    mdir = os.path.join(table_path, "metadata")
+    versions = [
+        int(os.path.basename(p)[1:].split(".")[0])
+        for p in os.listdir(mdir)
+        if p.startswith("v") and p.endswith(".metadata.json")
+        and os.path.basename(p)[1:].split(".")[0].isdigit()
+    ]
+    version = max(versions, default=0) + 1
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        fh.write(json.dumps(new_meta))
+    os.rename(meta_path + ".tmp", meta_path)  # THE atomic publish
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    deleted = []
+    for full in sorted(drop_files):
+        if not full.startswith(root + os.sep):
+            continue  # never delete outside the table root
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(os.path.relpath(full, root))
+    return deleted
+
+
+def clean_hudi_table(table_path: str) -> list[str]:
+    """Delete base/log files no slice of the LATEST instant references
+    — replaced file groups, compacted-away logs, crash orphans (Hudi's
+    cleaner at aggressive retention).  Files belonging to PENDING
+    (requested/inflight) instants are kept: a concurrent writer's
+    uncommitted files are invisible, not garbage.  Returns the deleted
+    relative paths.  Time travel to instants whose files were cleaned
+    stops working, the cleaner's documented trade-off."""
+    from hive_udf_spark.sources.hudi import _file_slices, _hoodie_dir
+
+    slices, _, _ = _file_slices(table_path)
+    root = os.path.abspath(table_path)
+    live: set[str] = set()
+    for sl in slices.values():
+        live.add(os.path.abspath(os.path.join(root, sl.base_path)))
+        for _, rel in sl.logs:
+            live.add(os.path.abspath(os.path.join(root, rel)))
+    pending: set[str] = set()
+    for n in os.listdir(_hoodie_dir(table_path)):
+        stem = n.split(".")[0].split("_")[0]
+        if stem.isdigit() and (n.endswith(".requested")
+                               or n.endswith(".inflight")):
+            pending.add(stem)
+    deleted = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames
+                       if d != ".hoodie" and not d.startswith("_")]
+        for name in filenames:
+            is_base = name.endswith(".parquet")
+            is_log = ".log." in name
+            if not (is_base or is_log):
+                continue
+            full = os.path.abspath(os.path.join(dirpath, name))
+            if full in live:
+                continue
+            # {fid}_{token}_{instant}.parquet — keep pending writers'
+            if is_base:
+                instant = name.rsplit("_", 1)[-1].split(".")[0]
+                if instant in pending:
+                    continue
+            os.remove(full)
+            deleted.append(os.path.relpath(full, root))
+    return sorted(deleted)
 
 
 def compact_iceberg_table(

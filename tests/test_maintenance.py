@@ -13,9 +13,12 @@ import os
 import pytest
 
 from hive_udf_spark.sources.maintenance import (
+    clean_hudi_table,
     cluster_hudi_table,
     compact_delta_table,
     compact_iceberg_table,
+    expire_iceberg_snapshots,
+    vacuum_delta_table,
 )
 
 
@@ -151,6 +154,65 @@ def test_delta_sink_periodic_checkpoint(spark, tmp_path):
     assert _rows(read_delta(spark, table)) == before
 
 
+def test_delta_vacuum_reclaims_orphans_and_old_layouts(spark, tmp_path):
+    """VACUUM deletes crash orphans and the pre-compaction layout, keeps
+    everything the current snapshot references (incl. live DV files),
+    and never touches the log."""
+    from hive_udf_spark.sources.delta import read_delta
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 3)
+    # a crash orphan: data file shaped like batch 3's, no commit
+    orphan = os.path.join(table, "part-0000000003-00000.parquet")
+    import shutil
+
+    shutil.copy(glob.glob(os.path.join(table, "part-*.parquet"))[0], orphan)
+    before = _rows(read_delta(spark, table))
+    assert compact_delta_table(spark, table, target_files=1)
+    deleted = vacuum_delta_table(table)
+    assert "part-0000000003-00000.parquet" in deleted
+    assert len(deleted) > 1  # the pre-compaction parts went too
+    assert _rows(read_delta(spark, table)) == before
+    # idempotent: nothing left to reclaim
+    assert vacuum_delta_table(table) == []
+    # the log is intact (time travel to version 0 still RESOLVES; its
+    # data files are gone, the documented VACUUM trade-off)
+    from hive_udf_spark.sources.delta import delta_snapshot
+
+    assert delta_snapshot(table, 0).version == 0
+
+
+def test_delta_vacuum_keeps_live_dv_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.delta import (
+        read_delta,
+        write_delta_commits,
+        write_deletion_vector,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+    }), os.path.join(table, "a.parquet"))
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "doc_id", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    dv = write_deletion_vector(table, [0])
+    stray = write_deletion_vector(table, [1])  # never referenced
+    assert stray  # a second .bin on disk
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet", "deletionVector": dv}}],
+    ], schema_json)
+    deleted = vacuum_delta_table(table)
+    assert len(deleted) == 1 and deleted[0].endswith(".bin")
+    assert _rows(read_delta(spark, table)) == [(2,)]
+
+
 # ---------------------------------------------------------------------------
 # Iceberg
 # ---------------------------------------------------------------------------
@@ -219,6 +281,52 @@ def test_iceberg_compaction_refuses_partitioned_specs(spark, tmp_path):
         compact_iceberg_table(spark, table)
 
 
+def test_iceberg_expire_snapshots_trims_and_reclaims(spark, tmp_path):
+    """expire_snapshots publishes a trimmed snapshot log FIRST, then
+    deletes manifests/files referenced only by expired snapshots;
+    retained reads are unchanged, expired ids stop resolving."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def wf(name, ids):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+        }), os.path.join(table, name))
+
+    wf("data/a.parquet", [1, 2])
+    wf("data/b.parquet", [3])
+    wf("data/c.parquet", [4])
+    fields = [{"id": 1, "name": "doc_id", "required": False,
+               "type": "long"}]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        # a.parquet leaves the table here: only snapshot 1000 refs it
+        {"deleted": ["data/a.parquet"], "added": ["data/b.parquet"]},
+        {"added": ["data/c.parquet"]},
+    ], fields)
+    before = _rows(read_iceberg(spark, table))
+    assert before == [(3,), (4,)]
+    deleted = expire_iceberg_snapshots(table, keep_last=2)
+    # the retired data file and snapshot-1000 metadata went away
+    assert any(p.endswith("a.parquet") for p in deleted)
+    assert _rows(read_iceberg(spark, table)) == before
+    # expired snapshot ids stop resolving; retained ones still work
+    with pytest.raises(ValueError, match="not in the log"):
+        read_iceberg(spark, table, snapshot_id=1000)
+    assert _rows(read_iceberg(spark, table, snapshot_id=1001)) == [(3,)]
+    # live data files referenced by BOTH expired and retained survive
+    assert os.path.exists(os.path.join(table, "data/b.parquet"))
+    assert expire_iceberg_snapshots(table, keep_last=2) == []
+
+
 # ---------------------------------------------------------------------------
 # Hudi
 # ---------------------------------------------------------------------------
@@ -261,3 +369,21 @@ def test_hudi_clustering_compacts_mor_logs(spark, tmp_path):
     assert _rows(read_hudi(spark, table, as_of="20240101000002")) == before
     # already clustered: no-op
     assert not cluster_hudi_table(spark, table, target_files=1)
+
+    # the cleaner reclaims the replaced group's base + log files but
+    # keeps a pending writer's uncommitted base file
+    hoodie = os.path.join(table, ".hoodie")
+    pend = "20990101000000"
+    open(os.path.join(hoodie, f"{pend}.commit.requested"), "w").close()
+    open(os.path.join(hoodie, f"{pend}.inflight"), "w").close()
+    pending_base = os.path.join(table, f"fg-x_0-0-0_{pend}.parquet")
+    import shutil
+
+    shutil.copy(files[0], pending_base)
+    deleted = clean_hudi_table(table)
+    assert any(p.endswith(".parquet") and p.startswith("fg-a")
+               for p in deleted)          # old base file gone
+    assert any(".log." in p for p in deleted)  # old log files gone
+    assert os.path.exists(pending_base)   # pending writer untouched
+    assert _rows(read_hudi(spark, table)) == before
+    assert clean_hudi_table(table) == []

@@ -441,6 +441,10 @@ def decode_hudi_log(b: bytes) -> list[dict]:
         if ver != _LOG_FORMAT_VERSION:
             raise ValueError(f"hudi log: format version {ver} not vendored")
         btype = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        if btype not in _BLOCK_NAMES:
+            raise ValueError(
+                f"hudi log: block type ordinal {btype} out of bounds"
+            )
         pos += 8
         headers, pos = _read_log_map(b, pos, end)
         if pos + 8 > end:

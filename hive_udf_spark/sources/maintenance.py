@@ -91,18 +91,35 @@ def _rewrite(df, scratch: str, target_files: int) -> list[str]:
     return parts
 
 
+def _delta_group_dv_cardinality(adds: list[dict]) -> int:
+    dropped = 0
+    for add in adds:
+        dv = add.get("deletionVector")
+        if dv:
+            card = dv.get("cardinality")
+            if card is None:
+                raise ValueError(
+                    "delta compaction: deletion vector without a declared "
+                    "cardinality — cannot verify row preservation"
+                )
+            dropped += int(card)
+    return dropped
+
+
 def compact_delta_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
 ) -> bool:
     """Rewrite the table's live ROWS into ``target_files`` compacted
-    parquet files and publish ONE commit (removes + dataChange=false
-    adds — the OPTIMIZE convention).  DELETION VECTORS purge during the
-    rewrite: DV'd rows drop through the read path's in-scan Arrow
-    filter and the descriptors retire with their removes — compaction
-    is how soft deletes become physical.  Returns False when the table
-    already has ≤ ``target_files`` DV-free files.  Refuses partitioned
-    and column-mapped tables — layouts whose physical shape this op
-    cannot yet reproduce faithfully."""
+    parquet files PER PARTITION and publish ONE commit (removes +
+    dataChange=false adds — the OPTIMIZE convention).  DELETION
+    VECTORS purge during the rewrite: DV'd rows drop through the read
+    path's in-scan Arrow filter and the descriptors retire with their
+    removes — compaction is how soft deletes become physical.
+    Partitioned tables compact per partition group (already-compact
+    DV-free groups are left untouched — at 100 TB the hot partition
+    compacts without rewriting the cold thousand).  Returns False when
+    nothing needed rewriting.  Refuses column-mapped tables — a layout
+    whose physical column names this op cannot yet reproduce."""
     from hive_udf_spark.sources.delta import (
         _log_dir,
         delta_snapshot,
@@ -112,55 +129,67 @@ def compact_delta_table(
     snap = delta_snapshot(table_path)
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     conf = (snap.metadata or {}).get("configuration") or {}
-    if part_cols:
-        raise ValueError(
-            "delta compaction: partitioned tables not vendored (per-"
-            "partition rewrite needed; refusing beats dropping "
-            "partition values)"
-        )
     if (conf.get("delta.columnMapping.mode") or "none") != "none":
         raise ValueError(
             "delta compaction: column-mapped tables not vendored "
             "(compacted files must reproduce physical names/ids)"
         )
-    old = sorted(snap.files)
-    dv_dropped = 0
-    for add in snap.files.values():
-        dv = add.get("deletionVector")
-        if dv:
-            card = dv.get("cardinality")
-            if card is None:
-                raise ValueError(
-                    "delta compaction: deletion vector without a declared "
-                    "cardinality — cannot verify row preservation"
-                )
-            dv_dropped += int(card)
-    if len(old) <= target_files and not dv_dropped:
+    # group live adds by their serialized partitionValues (one group,
+    # key (), for unpartitioned tables)
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for path, add in snap.files.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append((path, add))
+    todo = {
+        key: entries for key, entries in groups.items()
+        if len(entries) > target_files
+        or _delta_group_dv_cardinality([a for _, a in entries])
+    }
+    if not todo:
         return False
     version = snap.version + 1
     scratch = os.path.join(table_path, f"_compact-{version}")
-    parts = _rewrite(read_delta(spark, table_path), scratch, target_files)
-    adds = []
-    for i, src in enumerate(parts):
-        name = f"compact-{version:010d}-{i:05d}.parquet"
-        os.replace(src, os.path.join(table_path, name))
-        adds.append(name)
-    shutil.rmtree(scratch)
-    before = sum(_pq_rows(os.path.join(table_path, p)) for p in old)
-    after = sum(_pq_rows(os.path.join(table_path, p)) for p in adds)
-    if before - dv_dropped != after:
-        raise ValueError(
-            f"delta compaction: row count changed ({before} - "
-            f"{dv_dropped} deleted -> {after}); refusing to publish"
-        )
+    removes: list[str] = []
+    adds: list[tuple[str, dict]] = []  # (rel path, partitionValues)
+    for gi, (key, entries) in enumerate(sorted(
+        todo.items(), key=lambda kv: tuple("" if x is None else x
+                                           for x in kv[0])
+    )):
+        pv = dict(zip(part_cols, key))
+        live = read_delta(spark, table_path,
+                          partition_filter=pv if part_cols else None)
+        if part_cols:
+            live = live.drop(*part_cols)  # data files exclude part cols
+        parts = _rewrite(live, os.path.join(scratch, str(gi)), target_files)
+        new_names = []
+        for i, src in enumerate(parts):
+            name = f"compact-{version:010d}-{gi:05d}-{i:05d}.parquet"
+            os.replace(src, os.path.join(table_path, name))
+            new_names.append(name)
+        old = sorted(p for p, _ in entries)
+        before = sum(_pq_rows(os.path.join(table_path, p)) for p in old)
+        dropped = _delta_group_dv_cardinality([a for _, a in entries])
+        after = sum(_pq_rows(os.path.join(table_path, n))
+                    for n in new_names)
+        if before - dropped != after:
+            raise ValueError(
+                f"delta compaction: row count changed in partition "
+                f"{pv or '(table)'} ({before} - {dropped} deleted -> "
+                f"{after}); refusing to publish"
+            )
+        removes.extend(old)
+        adds.extend((n, pv) for n in new_names)
+    if os.path.isdir(scratch):
+        shutil.rmtree(scratch)
     lines = [json.dumps({"commitInfo": {"operation": "OPTIMIZE"}})]
-    for p in old:
+    for p in removes:
         lines.append(json.dumps({"remove": {
             "path": p, "deletionTimestamp": version, "dataChange": False,
         }}))
-    for name in adds:
+    for name, pv in adds:
         lines.append(json.dumps({"add": {
-            "path": name, "partitionValues": {},
+            "path": name, "partitionValues": pv,
             "size": os.path.getsize(os.path.join(table_path, name)),
             "modificationTime": 0, "dataChange": False,
         }}))

@@ -249,6 +249,41 @@ def test_hudi_log_codec_roundtrip():
             pass
 
 
+def test_hudi_log_delete_command_codec_roundtrip_and_fuzz():
+    """r13: delete + rollback blocks survive encode -> decode exactly,
+    and byte flips / truncation over the new block types never crash
+    with anything but ValueError."""
+    from hive_udf_spark.sources.hudi import decode_hudi_log, encode_hudi_log
+
+    blob = encode_hudi_log([
+        {"instant": "20240101000001", "deletes": ["7", "42"]},
+        {"instant": "20240101000002", "rollback_of": "20240101000001"},
+    ])
+    blocks = decode_hudi_log(blob)
+    assert [b["type_name"] for b in blocks] == ["delete", "command"]
+    assert blocks[0]["deletes"] == ["7", "42"]
+    assert blocks[0]["records"] is None
+    assert blocks[1]["target_instant"] == "20240101000001"
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for _ in range(300):
+        m = bytearray(blob)
+        m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        try:
+            out = decode_hudi_log(bytes(m))
+            # a surviving decode must still be structurally sane
+            for b in out:
+                assert b["type"] in (0, 1, 2, 3, 4, 5, 6)
+        except ValueError:
+            pass
+    for cut in range(0, len(blob), 5):
+        try:
+            decode_hudi_log(blob[:cut])
+        except ValueError:
+            pass
+
+
 def test_mor_snapshot_merges_newest_record_per_key(spark, tmp_path):
     """r12 (r11 verdict task 4): deltacommit log records override base
     rows by record key; two stacked updates — the newest wins."""

@@ -107,6 +107,67 @@ def test_delta_compaction_purges_deletion_vectors(spark, tmp_path):
     assert not compact_delta_table(spark, table, target_files=1)
 
 
+def test_delta_compaction_partitioned_per_group(spark, tmp_path):
+    """Partitioned compaction rewrites ONLY the fragmented partition:
+    the cold partition's file is untouched on disk, partitionValues
+    survive the swap, and rows are identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.delta import (
+        delta_snapshot,
+        read_delta,
+        write_delta_commits,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+
+    def wf(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        }), os.path.join(table, name))
+
+    wf("en-1.parquet", [(1, 10)])
+    wf("en-2.parquet", [(2, 20)])
+    wf("de-1.parquet", [(3, 30)])
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    write_delta_commits(table, [[
+        {"add": {"path": "en-1.parquet",
+                 "partitionValues": {"lang": "en"}}},
+        {"add": {"path": "en-2.parquet",
+                 "partitionValues": {"lang": "en"}}},
+        {"add": {"path": "de-1.parquet",
+                 "partitionValues": {"lang": "de"}}},
+    ]], schema_json, part_cols=["lang"])
+    before = _rows(read_delta(spark, table))
+    cold_mtime = os.path.getmtime(os.path.join(table, "de-1.parquet"))
+    assert compact_delta_table(spark, table, target_files=1)
+    snap = delta_snapshot(table)
+    assert len(snap.files) == 2  # one compacted 'en' file + cold 'de'
+    pvs = sorted(
+        tuple(sorted((a.get("partitionValues") or {}).items()))
+        for a in snap.files.values()
+    )
+    assert pvs == [(("lang", "de"),), (("lang", "en"),)]
+    assert "de-1.parquet" in snap.files  # cold partition untouched
+    assert os.path.getmtime(
+        os.path.join(table, "de-1.parquet")) == cold_mtime
+    assert _rows(read_delta(spark, table)) == before
+    assert not compact_delta_table(spark, table, target_files=1)
+
+
 def test_delta_compaction_refusals(spark, tmp_path):
     from hive_udf_spark.sources.delta import write_delta_commits
 
@@ -119,10 +180,6 @@ def test_delta_compaction_refusals(spark, tmp_path):
              "metadata": {}},
         ],
     })
-    part = str(tmp_path / "p")
-    write_delta_commits(part, [[]], schema_json, part_cols=["lang"])
-    with pytest.raises(ValueError, match="partitioned"):
-        compact_delta_table(spark, part)
     mapped = str(tmp_path / "m")
     write_delta_commits(
         mapped, [[]], schema_json,

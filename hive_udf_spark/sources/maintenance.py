@@ -382,7 +382,9 @@ def compact_iceberg_table(
     from hive_udf_spark.sources.iceberg import (
         _MANIFEST_ENTRY_SCHEMA,
         _MANIFEST_FILE_SCHEMA,
+        _field_ids_by_name,
         _load_metadata,
+        _parquet_has_field_ids,
         _snapshot_state,
         read_iceberg,
     )
@@ -404,6 +406,22 @@ def compact_iceberg_table(
     seq = int(meta.get("last-sequence-number") or 0) + 1
     scratch = os.path.join(table_path, f"_compact-{sid}")
     live = read_iceberg(spark, table_path)
+    if data and _parquet_has_field_ids(data[0][0]):
+        # id-carrying tables must STAY id-carrying through compaction —
+        # a post-compaction column rename would otherwise silently stop
+        # resolving.  The alias metadata rides the read path's cloned
+        # session, so the write flag never leaks into the caller's conf.
+        from pyspark.sql import functions as F
+
+        ids = _field_ids_by_name(meta)
+        if all(n in ids for n in live.columns):
+            live = live.select([
+                F.col(n).alias(n, metadata={"parquet.field.id": int(ids[n])})
+                for n in live.columns
+            ])
+            live.sparkSession.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
     parts = _rewrite(live, scratch, target_files)
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     rels = []

@@ -320,6 +320,58 @@ def test_iceberg_compaction_applies_deletes_permanently(spark, tmp_path):
     assert not compact_iceberg_table(spark, table, target_files=1)
 
 
+def test_iceberg_compaction_preserves_field_ids(spark, tmp_path):
+    """An id-carrying table stays id-carrying through compaction: a
+    column RENAME after the rewrite still resolves (by id), which
+    by-name files could not deliver."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        _parquet_has_field_ids,
+        iceberg_live_files,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    for name, ids_rows in (("a", [1]), ("b", [2])):
+        t = pa.table({
+            "doc_id": pa.array(ids_rows, pa.int64()),
+            "lang": pa.array(["en"] * len(ids_rows), pa.string()),
+        })
+        t = t.cast(pa.schema([
+            pa.field("doc_id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("lang", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]))
+        pq.write_table(t, os.path.join(table, f"data/{name}.parquet"))
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet"]},
+    ], fields)
+    assert compact_iceberg_table(spark, table, target_files=1)
+    _, files = iceberg_live_files(table)
+    assert len(files) == 1 and _parquet_has_field_ids(files[0])
+    # rename the column in the schema: the compacted file still resolves
+    import json as _json
+
+    mdir = os.path.join(table, "metadata")
+    hint = open(os.path.join(mdir, "version-hint.text")).read().strip()
+    mpath = os.path.join(mdir, f"v{hint}.metadata.json")
+    meta = _json.load(open(mpath))
+    meta["schemas"][0]["fields"][1]["name"] = "language"
+    _json.dump(meta, open(mpath, "w"))
+    df = read_iceberg(spark, table)
+    assert df.columns == ["doc_id", "language"]
+    assert _rows(df) == [(1, "en"), (2, "en")]
+
+
 def test_iceberg_compaction_refuses_partitioned_specs(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

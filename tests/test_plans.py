@@ -639,3 +639,79 @@ def test_compressed_shards_scan_single_fixture_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["source_compressed_shards_scan"].fn(spark, sf_dir))
     assert plan.count("Exchange") <= 2  # hash exchange (+ possible AQE read)
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_mor_delete_merge_adds_no_extra_shuffle(spark, tmp_path):
+    """r13: delete-block tombstones ride the EXISTING newest-wins merge
+    (same plan shape as plain MOR), the merged log relation is computed
+    ONCE (cached — it feeds both the anti-join and the union), and
+    nothing goes cartesian."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    def build(with_deletes: bool) -> str:
+        table = str(tmp_path / ("d" if with_deletes else "p"))
+        src = str(tmp_path / f"src_{with_deletes}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", "de", "fr"], pa.string()),
+            "n": pa.array([10, 20, 30], pa.int64()),
+        }), src)
+        commits = [
+            {"writes": {"fg-a": src}},
+            {"log_writes": {"fg-a": [{"doc_id": 2, "lang": "de",
+                                      "n": 21}]}},
+        ]
+        if with_deletes:
+            commits.append({"log_deletes": {"fg-a": ["3"]}})
+        write_hudi_table(table, commits,
+                         [("doc_id", "bigint"), ("lang", "string"),
+                          ("n", "bigint")], record_key="doc_id")
+        return plan_of(read_hudi(spark, table))
+
+    plain, with_del = build(False), build(True)
+    for plan in (plain, with_del):
+        assert "CartesianProduct" not in plan
+        # the merged log relation is CACHED (r13 plan audit): without
+        # it the distributed log decode ran twice — once for the
+        # anti-join side, once for the union side
+        assert "InMemoryTableScan" in plan
+
+
+def test_iceberg_field_id_scan_is_plain_scan(spark, tmp_path):
+    """r13: field-id resolution happens INSIDE the parquet reader — the
+    plan is a bare columnar scan: no joins, no exchanges, no Python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    import os
+
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "old_name": pa.array(["x", "y"], pa.string()),
+    })
+    t = t.cast(pa.schema([
+        pa.field("doc_id", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("old_name", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]))
+    pq.write_table(t, os.path.join(table, "data/a.parquet"))
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ])
+    plan = plan_of(read_iceberg(spark, table))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython
+    assert "Scan parquet" in plan

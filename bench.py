@@ -1078,6 +1078,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sink_hudi_clustering"].fn(spark, sf_dir))
 
+    def q_hudi_upsert_ingest():
+        # r13: MOR upsert/delete sink (bucket-index routing)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_hudi_upsert_ingest"].fn(spark, sf_dir))
+
     def q_iceberg_name_mapping():
         # r13: schema.name-mapping.default over id-less files
         from hive_udf_spark.plans import QUERIES
@@ -1387,6 +1393,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "delta_checkpointed_ingest": q_delta_checkpointed_ingest,
         "delta_vacuum_lifecycle": q_delta_vacuum_lifecycle,
         "iceberg_name_mapping": q_iceberg_name_mapping,
+        "hudi_upsert_ingest": q_hudi_upsert_ingest,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

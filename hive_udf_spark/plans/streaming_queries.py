@@ -224,6 +224,69 @@ def streaming_delta_checkpointed_ingest(
 
 
 @register(
+    "streaming_hudi_upsert_ingest",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 14 = 0 THEN n_chars + 500
+                WHEN doc_id % 5 = 0 THEN n_chars + 100
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+    """,
+)
+def streaming_hudi_upsert_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming UPSERT/DELETE ingestion into Hudi MERGE_ON_READ (r13,
+    streaming/hudi_upsert_sink.py — the sink trio was append-only, but
+    Hudi's reason to exist is the upsert workload and corpora mutate:
+    revisions, dedup verdicts, takedown deletes).  Four micro-batches:
+    INSERT all documents (base files, one per hash bucket), UPSERT
+    every 5th key (n_chars+100), DELETE every 7th key (tombstone rows
+    via the ``_deleted`` column → HoodieDeleteBlock v3 log blocks),
+    REINSERT every 14th (n_chars+500).  The vendored reader merges the
+    full layering newest-wins — the oracle is the same CASE arithmetic
+    as ``source_hudi_mor_deletes``, now hash-checked through log files
+    the SINK wrote from executors rather than the fixture twin.
+
+    Scale shape: bucket-index routing (file group = xxhash64(key) %
+    buckets) needs NO key-lookup index, so per-batch work is O(batch)
+    at any table size; log bytes go executor → storage directly, only
+    KB-scale commit stats cross the driver."""
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import read_hudi
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        upsert_batch_to_hudi(docs, 0, table, record_key="doc_id")
+        upsert_batch_to_hudi(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 100),
+            1, table, record_key="doc_id",
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit(True).alias("_deleted"),
+        )
+        upsert_batch_to_hudi(dels, 2, table, record_key="doc_id")
+        upsert_batch_to_hudi(
+            docs.filter(F.col("doc_id") % 14 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 500),
+            3, table, record_key="doc_id",
+        )
+        return read_hudi(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "streaming_iceberg_ingest",
     oracle="""
     SELECT event_type,

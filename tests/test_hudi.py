@@ -522,6 +522,75 @@ def test_timeline_mixed_width_instants_order_numerically(spark, tmp_path):
     assert got == [(1, "en", 11)]  # the ms-precision rewrite wins
 
 
+def test_upsert_sink_full_lifecycle(spark, tmp_path):
+    """r13 hudi_upsert_sink: insert -> upsert -> delete -> reinsert
+    through REAL MOR deltacommits (bucket-index routing), merged back
+    by the vendored reader; retry no-ops; clustering then compacts the
+    logs away."""
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    table = str(tmp_path / "t")
+    ddl = "doc_id long, lang string, n bigint"
+    b0 = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(1, 9)], ddl)
+    assert upsert_batch_to_hudi(b0, 0, table, n_buckets=3)
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(i, "en", i * 10) for i in range(1, 9)]
+
+    # batch 1: upsert rows 2 and 5
+    b1 = spark.createDataFrame([(2, "de", 999), (5, "fr", 555)], ddl)
+    assert upsert_batch_to_hudi(b1, 1, table, n_buckets=3)
+    assert not upsert_batch_to_hudi(b1, 1, table, n_buckets=3)  # retry
+    got = {r.doc_id: (r.lang, r.n)
+           for r in read_hudi(spark, table).collect()}
+    assert got[2] == ("de", 999) and got[5] == ("fr", 555)
+    assert got[3] == ("en", 30) and len(got) == 8
+
+    # batch 2: delete 2 and 7, upsert 8 — one mixed batch
+    b2 = spark.createDataFrame(
+        [(2, None, None, True), (7, None, None, True),
+         (8, "es", 888, False)],
+        ddl + ", _deleted boolean",
+    )
+    assert upsert_batch_to_hudi(b2, 2, table, n_buckets=3)
+    got = {r.doc_id: (r.lang, r.n)
+           for r in read_hudi(spark, table).collect()}
+    assert 2 not in got and 7 not in got
+    assert got[8] == ("es", 888) and len(got) == 6
+
+    # batch 3: reinsert 7 (delete-then-reinsert through the SINK)
+    b3 = spark.createDataFrame([(7, "pt", 777)], ddl)
+    assert upsert_batch_to_hudi(b3, 3, table, n_buckets=3)
+    before = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert (7, "pt", 777) in before and len(before) == 7
+
+    # clustering bakes the whole layering into base files
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert sorted(tuple(r)
+                  for r in read_hudi(spark, table).collect()) == before
+
+    # wrong bucket count refuses rather than mis-routing keys
+    with pytest.raises(ValueError, match="buckets"):
+        upsert_batch_to_hudi(b3, 9, table, n_buckets=5)
+
+
+def test_upsert_sink_deletes_against_empty_table_refuse(spark, tmp_path):
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    table = str(tmp_path / "t")
+    b = spark.createDataFrame(
+        [(1, "en", 10, True)],
+        "doc_id long, lang string, n bigint, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="empty table"):
+        upsert_batch_to_hudi(b, 0, table)
+
+
 def test_sink_crash_between_data_and_commit_recovers(
     spark, tmp_path, monkeypatch
 ):

@@ -1084,6 +1084,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["streaming_hudi_upsert_ingest"].fn(spark, sf_dir))
 
+    def q_iceberg_upsert_ingest():
+        # r13: equality-delete upsert snapshots (sequence-gated merge)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_iceberg_upsert_ingest"].fn(spark, sf_dir))
+
     def q_iceberg_name_mapping():
         # r13: schema.name-mapping.default over id-less files
         from hive_udf_spark.plans import QUERIES
@@ -1394,6 +1400,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "delta_vacuum_lifecycle": q_delta_vacuum_lifecycle,
         "iceberg_name_mapping": q_iceberg_name_mapping,
         "hudi_upsert_ingest": q_hudi_upsert_ingest,
+        "iceberg_upsert_ingest": q_iceberg_upsert_ingest,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

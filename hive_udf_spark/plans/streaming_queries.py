@@ -287,6 +287,70 @@ def streaming_hudi_upsert_ingest(
 
 
 @register(
+    "streaming_iceberg_upsert_ingest",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 14 = 0 THEN n_chars + 500
+                WHEN doc_id % 5 = 0 THEN n_chars + 100
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+    """,
+)
+def streaming_iceberg_upsert_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming UPSERT/DELETE ingestion into Iceberg v2 (r13,
+    streaming/iceberg_upsert_sink.py — the equality-delete pattern
+    Flink's connector standardized): each micro-batch publishes one
+    snapshot of data files at sequence N plus ONE equality-delete file
+    naming every touched key; the spec's sequence gating (delete at N
+    erases seq<N only) merges the layering with NO read-modify-write
+    of existing files — per-batch cost stays O(batch) at any table
+    size.  Four batches: insert all documents, upsert every 5th
+    (n_chars+100), tombstone every 7th (``_deleted`` rows), reinsert
+    every 14th (n_chars+500); the vendored reader's sequence-gated
+    anti-joins produce the same CASE arithmetic the MOR-deletes oracle
+    uses — the THIRD independent machinery to hash-check this layering
+    (fixture logs, Hudi sink, now Iceberg equality deletes).
+
+    Scale note: read amplification from accumulated delete files is
+    the deliberate trade (write-fast); ``compact_iceberg_table`` folds
+    them into plain data files (pytest covers the fold)."""
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.streaming.iceberg_upsert_sink import (
+        upsert_batch_to_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        upsert_batch_to_iceberg(docs, 0, table)
+        upsert_batch_to_iceberg(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 100),
+            1, table,
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit(True).alias("_deleted"),
+        )
+        upsert_batch_to_iceberg(dels, 2, table)
+        upsert_batch_to_iceberg(
+            docs.filter(F.col("doc_id") % 14 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 500),
+            3, table,
+        )
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
     "streaming_iceberg_ingest",
     oracle="""
     SELECT event_type,

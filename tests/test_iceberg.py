@@ -693,6 +693,59 @@ def test_sink_refuses_fresh_checkpoint_against_existing_table(
     assert not commit_batch_to_iceberg(b0, 0, table, app_id="stream-A")
 
 
+def test_upsert_sink_equality_delete_lifecycle(spark, tmp_path):
+    """r13 iceberg_upsert_sink: insert -> upsert -> delete -> reinsert
+    via equality-delete snapshots (the Flink pattern); sequence gating
+    merges; retry no-ops; compaction folds the delete files away."""
+    from hive_udf_spark.sources.maintenance import compact_iceberg_table
+    from hive_udf_spark.streaming.iceberg_upsert_sink import (
+        upsert_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    ddl = "doc_id long, lang string, n long"
+    b0 = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(1, 9)], ddl)
+    assert upsert_batch_to_iceberg(b0, 0, table)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(i, "en", i * 10) for i in range(1, 9)]
+
+    # upsert rows 2 and 5
+    b1 = spark.createDataFrame([(2, "de", 999), (5, "fr", 555)], ddl)
+    assert upsert_batch_to_iceberg(b1, 1, table)
+    assert not upsert_batch_to_iceberg(b1, 1, table)  # retry no-op
+    got = {r.doc_id: (r.lang, r.n)
+           for r in read_iceberg(spark, table).collect()}
+    assert got[2] == ("de", 999) and got[5] == ("fr", 555)
+    assert got[1] == ("en", 10) and len(got) == 8
+
+    # mixed batch: delete 2 and 7, upsert 8
+    b2 = spark.createDataFrame(
+        [(2, None, None, True), (7, None, None, True),
+         (8, "es", 888, False)],
+        ddl + ", _deleted boolean",
+    )
+    assert upsert_batch_to_iceberg(b2, 2, table)
+    got = {r.doc_id: (r.lang, r.n)
+           for r in read_iceberg(spark, table).collect()}
+    assert 2 not in got and 7 not in got
+    assert got[8] == ("es", 888) and len(got) == 6
+
+    # reinsert 7
+    b3 = spark.createDataFrame([(7, "pt", 777)], ddl)
+    assert upsert_batch_to_iceberg(b3, 3, table)
+    before = sorted(tuple(r)
+                    for r in read_iceberg(spark, table).collect())
+    assert (7, "pt", 777) in before and len(before) == 7
+
+    # compaction applies the accumulated delete files permanently
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert sorted(tuple(r)
+                  for r in read_iceberg(spark, table).collect()) == before
+    _, files = iceberg_live_files(table)  # delete-free post-compaction
+    assert len(files) == 1
+
+
 def test_sink_crash_between_data_and_metadata_recovers(
     spark, tmp_path, monkeypatch
 ):

@@ -34,6 +34,25 @@ _OVERLAP = 8
 _STRIDE = _CHUNK - _OVERLAP
 
 
+def _write_with_field_ids(df: DataFrame, path: str) -> None:
+    """Eager parquet write with ``spark.sql.parquet.fieldId.write.enabled``
+    set ONLY for the write's duration (writes are synchronous actions,
+    unlike lazy reads, so set/restore is safe here) — fixture writers
+    must not leak the flag into the caller's session (r13 review; the
+    read side uses cloned sessions for the same reason)."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    spark = df.sparkSession
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df.write.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 @register(
     "pipeline_chunk_documents",
     oracle=f"""
@@ -1431,7 +1450,6 @@ def source_delta_dv_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_deletion_vector,
     )
 
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("col-x9", metadata={"parquet.field.id": 1}),
         F.col("lang").alias("col-y8", metadata={"parquet.field.id": 2}),
@@ -1455,8 +1473,8 @@ def source_delta_dv_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as tmp:
         table = f"{tmp}/table"
         os.makedirs(table, exist_ok=True)
-        docs.coalesce(1).sortWithinPartitions("col-x9").write.parquet(
-            f"{tmp}/stage"
+        _write_with_field_ids(
+            docs.coalesce(1).sortWithinPartitions("col-x9"), f"{tmp}/stage"
         )
         part = next(p for p in os.listdir(f"{tmp}/stage")
                     if p.endswith(".parquet"))
@@ -1646,7 +1664,6 @@ def source_iceberg_renamed_column(
         write_iceberg_table,
     )
 
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     docs = load_table(spark, sf_dir, "documents")
 
     def staged(df: DataFrame, lang_name: str) -> DataFrame:
@@ -1667,7 +1684,7 @@ def source_iceberg_renamed_column(
                            "lang_code")),
             ("new", staged(docs.filter(F.col("doc_id") % 2 == 1), "lang")),
         ):
-            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            _write_with_field_ids(df.coalesce(1), f"{tmp}/stage_{name}")
             part = next(p for p in os.listdir(f"{tmp}/stage_{name}")
                         if p.endswith(".parquet"))
             shutil.move(f"{tmp}/stage_{name}/{part}",
@@ -1715,7 +1732,6 @@ def source_iceberg_schema_evolution(
         write_iceberg_table,
     )
 
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").cast("int").alias(
@@ -1733,7 +1749,7 @@ def source_iceberg_schema_evolution(
         table = f"{tmp}/table"
         os.makedirs(f"{table}/data", exist_ok=True)
         for name, df in (("old", old), ("new", new)):
-            df.coalesce(1).write.parquet(f"{tmp}/stage_{name}")
+            _write_with_field_ids(df.coalesce(1), f"{tmp}/stage_{name}")
             part = next(p for p in os.listdir(f"{tmp}/stage_{name}")
                         if p.endswith(".parquet"))
             shutil.move(f"{tmp}/stage_{name}/{part}",
@@ -2116,10 +2132,10 @@ def sink_delta_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(os.path.join(table, parts[0]),
                     os.path.join(table, "part-0000000009-00000.parquet"))
         assert compact_delta_table(spark, table, target_files=1)
-        reclaimed = vacuum_delta_table(table)
+        reclaimed = vacuum_delta_table(table, min_age_seconds=0)
         if len(reclaimed) < 5:  # 4 old parts + the orphan
             raise ValueError(f"vacuum reclaimed only {reclaimed}")
-        if vacuum_delta_table(table):
+        if vacuum_delta_table(table, min_age_seconds=0):
             raise ValueError("vacuum is not idempotent")
         return read_delta(spark, table).localCheckpoint(eager=True)
 

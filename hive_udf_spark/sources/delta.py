@@ -96,19 +96,47 @@ def _checkpoint_files(log_dir: str, version: int) -> list[str]:
     )
 
 
+def _checkpoint_parts_complete(log_dir: str, version: int) -> bool:
+    """True when the checkpoint's multi-part SET is whole: part files
+    declare their total in the filename (``...checkpoint.N.ofM`` shape,
+    here ``.{n:010d}.{m:010d}.parquet``), and a crash mid-write can
+    leave a strict subset — replaying it would silently drop the adds
+    in the missing parts (r13 review).  Single-file and V2 checkpoints
+    are whole by construction (their one file is written atomically)."""
+    parts: dict[int, set[int]] = {}
+    single = False
+    for p in _checkpoint_files(log_dir, version):
+        name = os.path.basename(p)
+        bits = name.split(".")
+        if len(bits) == 5 and bits[2].isdigit() and bits[3].isdigit():
+            parts.setdefault(int(bits[3]), set()).add(int(bits[2]))
+        else:
+            single = True
+    if single:
+        return True
+    if not parts:
+        return False
+    return any(have == set(range(1, m + 1)) for m, have in parts.items())
+
+
 def _latest_checkpoint_version(log_dir: str, limit: int) -> int | None:
-    """Newest checkpoint version ≤ limit.  ``_last_checkpoint`` is an
-    optimization hint; globbing is authoritative (the hint can lag or
-    point past a time-travel target)."""
-    best = None
+    """Newest COMPLETE checkpoint version ≤ limit.  ``_last_checkpoint``
+    is an optimization hint; globbing is authoritative (the hint can
+    lag or point past a time-travel target).  Torn multi-part sets are
+    skipped — the replay falls back to an older checkpoint or the raw
+    JSON commits rather than silently losing the missing parts."""
+    versions: set[int] = set()
     for p in (glob.glob(os.path.join(log_dir, "*.checkpoint*.parquet"))
               + glob.glob(os.path.join(log_dir, "*.checkpoint.*.json"))):
         stem = os.path.basename(p).split(".")[0]
         if len(stem) == 20 and stem.isdigit():
             v = int(stem)
-            if v <= limit and (best is None or v > best):
-                best = v
-    return best
+            if v <= limit:
+                versions.add(v)
+    for v in sorted(versions, reverse=True):
+        if _checkpoint_parts_complete(log_dir, v):
+            return v
+    return None
 
 
 class _Snapshot:

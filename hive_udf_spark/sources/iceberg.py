@@ -158,18 +158,26 @@ def _schema_from_metadata(meta: dict, with_ids: bool = False) -> StructType:
 def _load_metadata(table_path: str) -> dict:
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
+    versions = []
+    for p in glob.glob(os.path.join(mdir, "v*.metadata.json")):
+        stem = os.path.basename(p)[1:].split(".")[0]
+        if stem.isdigit():
+            versions.append((int(stem), p))
     path = None
     if os.path.exists(hint):
         v = open(hint).read().strip()
         cand = os.path.join(mdir, f"v{v}.metadata.json")
-        if os.path.exists(cand):
+        # the hint is an OPTIMIZATION, never the source of truth: a
+        # writer that crashed between the metadata rename (the atomic
+        # publish) and the hint refresh leaves a STALE hint, and
+        # trusting it would silently drop the published snapshot from
+        # every later read AND from the next writer's snapshot list
+        # (r13 review).  Newest glob version wins when it is newer.
+        if os.path.exists(cand) and v.isdigit() and (
+            not versions or int(v) >= max(versions)[0]
+        ):
             path = cand
     if path is None:
-        versions = []
-        for p in glob.glob(os.path.join(mdir, "v*.metadata.json")):
-            stem = os.path.basename(p)[1:].split(".")[0]
-            if stem.isdigit():
-                versions.append((int(stem), p))
         if not versions:
             raise ValueError(f"iceberg: no metadata json under {mdir!r}")
         path = max(versions)[1]
@@ -454,7 +462,22 @@ def read_iceberg(
             # name-mapping fallback (r13): files written WITHOUT field
             # ids resolve through the table's recorded historical names
             # — fields absent from the mapping read NULL (the spec's
-            # unresolvable-column rule), never a wrong name match
+            # unresolvable-column rule), never a wrong name match.
+            # The spec resolves PER FILE (ids when present, mapping
+            # otherwise), which one pinned scan schema cannot express:
+            # a MIXED table would silently read NULLs from whichever
+            # family the pinned names miss, so refuse when the last
+            # file disagrees with the first about carrying ids
+            # (migrated tables append id-carrying files after the
+            # id-less originals — the spot-check pair covers exactly
+            # that layering without an O(files) footer sweep)
+            if len(files) > 1 and _parquet_has_field_ids(files[-1]):
+                raise ValueError(
+                    "iceberg: table mixes id-less and id-carrying "
+                    "files under a name mapping — per-file resolution "
+                    "is not expressible in one pinned scan; compact "
+                    "the table or rewrite the id-less files"
+                )
             from pyspark.sql.types import StructField
 
             name_of_id = _field_ids_by_name(meta)

@@ -200,19 +200,30 @@ def compact_delta_table(
     return True
 
 
-def vacuum_delta_table(table_path: str) -> list[str]:
+def vacuum_delta_table(
+    table_path: str, min_age_seconds: float = 24 * 3600
+) -> list[str]:
     """Delete data/DV files under the table root that the CURRENT
     snapshot does not reference — crash orphans from interrupted
     commits and the pre-compaction layout compaction retired (Delta's
-    VACUUM).  Returns the deleted relative paths.  Time travel to
-    versions that referenced a vacuumed file stops working, the
-    documented VACUUM trade-off; the transaction log itself is never
-    touched.  Storage-level only: no Spark session needed, O(listing)
-    driver work."""
+    VACUUM).  Files younger than ``min_age_seconds`` are KEPT (the
+    retention window real VACUUM enforces for the same reason): a
+    concurrent writer lands data files BEFORE its commit JSON
+    publishes, and an unreferenced-but-new file is indistinguishable
+    from that in-flight write — deleting it would tear the commit.
+    Pass 0 only when the table provably has a single quiesced writer.
+    Returns the deleted relative paths.  Time travel to versions that
+    referenced a vacuumed file stops working, the documented VACUUM
+    trade-off; the transaction log itself is never touched.
+    Storage-level only: no Spark session needed, O(listing) driver
+    work."""
+    import time
+
     from hive_udf_spark.sources.delta import _dv_file_path, delta_snapshot
 
     snap = delta_snapshot(table_path)
     root = os.path.abspath(table_path)
+    cutoff = time.time() - min_age_seconds
     live: set[str] = set()
     for add in snap.files.values():
         p = add["path"]
@@ -235,6 +246,8 @@ def vacuum_delta_table(table_path: str) -> list[str]:
             full = os.path.abspath(os.path.join(dirpath, name))
             if full in live:
                 continue
+            if os.path.getmtime(full) > cutoff:
+                continue  # inside the retention window: maybe in-flight
             os.remove(full)
             deleted.append(os.path.relpath(full, root))
     return sorted(deleted)
@@ -325,16 +338,22 @@ def expire_iceberg_snapshots(
 def clean_hudi_table(table_path: str) -> list[str]:
     """Delete base/log files no slice of the LATEST instant references
     — replaced file groups, compacted-away logs, crash orphans (Hudi's
-    cleaner at aggressive retention).  Files belonging to PENDING
-    (requested/inflight) instants are kept: a concurrent writer's
-    uncommitted files are invisible, not garbage.  Returns the deleted
-    relative paths.  Time travel to instants whose files were cleaned
-    stops working, the cleaner's documented trade-off."""
+    cleaner at aggressive retention).  Concurrent writers' uncommitted
+    files are kept, not garbage: base files whose instant has a
+    PENDING (requested/inflight) timeline marker survive, and ANY log
+    file attached to a LIVE file group survives even when no completed
+    writeStats lists it yet (a mid-append deltacommit's log cannot be
+    told apart from an orphan by name — its filename carries the BASE
+    instant, not the writing instant, so the live-group test is the
+    only safe gate; r13 review).  Returns the deleted relative paths.
+    Time travel to instants whose files were cleaned stops working,
+    the cleaner's documented trade-off."""
     from hive_udf_spark.sources.hudi import _file_slices, _hoodie_dir
 
     slices, _, _ = _file_slices(table_path)
     root = os.path.abspath(table_path)
     live: set[str] = set()
+    live_fids = {fid for _, fid in slices}
     for sl in slices.values():
         live.add(os.path.abspath(os.path.join(root, sl.base_path)))
         for _, rel in sl.logs:
@@ -357,10 +376,16 @@ def clean_hudi_table(table_path: str) -> list[str]:
             full = os.path.abspath(os.path.join(dirpath, name))
             if full in live:
                 continue
-            # {fid}_{token}_{instant}.parquet — keep pending writers'
             if is_base:
+                # {fid}_{token}_{instant}.parquet — keep pending writers'
                 instant = name.rsplit("_", 1)[-1].split(".")[0]
                 if instant in pending:
+                    continue
+            else:
+                # .{fid}_{baseInstant}.log.{v}_{tok} — keep any log of a
+                # LIVE group (could be a concurrent appender mid-commit)
+                fid = name[1:].split("_", 1)[0]
+                if fid in live_fids:
                     continue
             os.remove(full)
             deleted.append(os.path.relpath(full, root))

@@ -47,7 +47,24 @@ def commit_batch_to_hudi(
     instant = f"{20300101000000 + batch_id}"
     commit_path = os.path.join(hoodie, f"{instant}.commit")
     if os.path.exists(commit_path):
-        return False  # retried batch: the publish already happened
+        # retried batch — but ONLY if the instant is this stream's own
+        # commit; a fresh checkpoint resets batch ids and silently
+        # no-opping would DROP the new batch (r13, matching the
+        # Iceberg sinks' refusal)
+        try:
+            with open(commit_path) as fh:
+                em = (json.load(fh).get("extraMetadata") or {})
+        except (OSError, json.JSONDecodeError):
+            em = {}
+        if em.get("app-id") == table_name \
+                and em.get("batch-id") == str(batch_id):
+            return False
+        raise ValueError(
+            f"hudi sink: instant {instant} exists but was not committed "
+            f"by app {table_name!r} batch {batch_id} — restarting with a "
+            "fresh checkpoint against an existing table would drop or "
+            "duplicate batches"
+        )
     os.makedirs(hoodie, exist_ok=True)
     props = os.path.join(hoodie, "hoodie.properties")
     if not os.path.exists(props):
@@ -98,7 +115,9 @@ def commit_batch_to_hudi(
     meta = {
         "partitionToWriteStats": {"": stats},
         "compacted": False,
-        "extraMetadata": {"schema": avro_schema},
+        "extraMetadata": {"schema": avro_schema,
+                          "app-id": table_name,
+                          "batch-id": str(batch_id)},
         "operationType": "INSERT",
     }
     tmp = commit_path + ".tmp"

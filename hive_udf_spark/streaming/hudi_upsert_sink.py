@@ -39,10 +39,8 @@ mandated streaming/sink extension surface.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,6 +48,34 @@ from pyspark.sql import functions as F
 __all__ = ["hudi_upsert_sink", "upsert_batch_to_hudi"]
 
 DELETED_COL = "_deleted"
+
+
+_PA_TYPES = {
+    "bigint": "int64", "int": "int32", "smallint": "int16",
+    "tinyint": "int8", "string": "string", "double": "float64",
+    "float": "float32", "boolean": "bool", "binary": "binary",
+}
+
+
+def _pa_schema_of(df: DataFrame, data_cols: list[str]):
+    """pyarrow schema matching the batch's Spark types — executors
+    write base parquet straight from Arrow, no Spark writer job per
+    bucket."""
+    import pyarrow as pa
+
+    fields = []
+    for f in df.schema.fields:
+        if f.name not in data_cols:
+            continue
+        t = _PA_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"hudi upsert: column {f.name!r} type "
+                f"{f.dataType.simpleString()!r} not vendored"
+            )
+        fields.append(pa.field(f.name, getattr(pa, t)()
+                               if t != "binary" else pa.binary()))
+    return pa.schema(fields)
 
 
 def _avro_schema_of(df: DataFrame, table_name: str) -> dict:
@@ -75,13 +101,34 @@ def upsert_batch_to_hudi(
     those) as the MOR deltacommit at instant ``20400101000000 +
     batch_id``.  Returns False (no-op) when that instant is already
     committed."""
-    from hive_udf_spark.sources.hudi import encode_hudi_log
+    from hive_udf_spark.sources.hudi import (
+        _file_slices,
+        encode_hudi_log,
+        hudi_timeline,
+    )
 
     hoodie = os.path.join(table_path, ".hoodie")
     instant = f"{20400101000000 + batch_id}"
     commit_path = os.path.join(hoodie, f"{instant}.deltacommit")
     if os.path.exists(commit_path):
-        return False  # retried batch: the publish already happened
+        # retried batch — but ONLY if that instant really is this
+        # stream's own commit: a fresh checkpoint against an existing
+        # table resets batch ids, and silently no-opping would DROP the
+        # new batch (the same refusal the Iceberg sinks carry)
+        try:
+            with open(commit_path) as fh:
+                em = (json.load(fh).get("extraMetadata") or {})
+        except (OSError, json.JSONDecodeError):
+            em = {}
+        if em.get("app-id") == table_name \
+                and em.get("batch-id") == str(batch_id):
+            return False
+        raise ValueError(
+            f"hudi upsert: instant {instant} exists but was not "
+            f"committed by app {table_name!r} batch {batch_id} — "
+            "restarting with a fresh checkpoint against an existing "
+            "table would drop or duplicate batches"
+        )
     if record_key not in batch_df.columns:
         raise ValueError(f"hudi upsert: batch has no {record_key!r} column")
     os.makedirs(hoodie, exist_ok=True)
@@ -102,49 +149,84 @@ def upsert_batch_to_hudi(
     has_del = DELETED_COL in batch_df.columns
     bucket = F.pmod(F.xxhash64(F.col(record_key)), F.lit(n_buckets)) \
         .cast("int").alias("__bucket")
-    base_files = sorted(glob.glob(os.path.join(table_path,
-                                               "bucket-*_*.parquet")))
+    table_abs = os.path.abspath(table_path)
+    # first-batch detection from the TIMELINE, never from files on disk:
+    # a crashed batch 0 leaves base files WITHOUT a completed instant,
+    # and a glob would mistake its retry for a later batch (r13 review)
+    try:
+        timeline = hudi_timeline(table_path)
+    except ValueError:
+        timeline = []
     stats: list[dict] = []
-    if not base_files:
+    pa_schema = _pa_schema_of(batch_df, data_cols)
+    if not timeline:
         # first batch: one base file per bucket (empty buckets included
-        # — later log files need a slice to attach to)
+        # — later log files need a slice to attach to), written from
+        # the executors in ONE pass; a batch-0 retry overwrites the
+        # same deterministic names
         if has_del and batch_df.filter(F.col(DELETED_COL)).limit(1).count():
             raise ValueError(
                 "hudi upsert: deletes against an empty table (no base "
                 "files yet) — nothing to delete"
             )
-        staged = batch_df.select(*data_cols, bucket)
-        scratch = os.path.join(table_path, f"_upsert-{batch_id}")
+
+        def write_base(pdf):
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            b = int(pdf["__bucket"].iloc[0])
+            rel = f"bucket-{b:05d}_0-0-0_{instant}.parquet"
+            full = os.path.join(table_abs, rel)
+            t = _pa.Table.from_pandas(
+                pdf[data_cols], schema=pa_schema, preserve_index=False
+            )
+            _pq.write_table(t, full + ".tmp")
+            os.replace(full + ".tmp", full)  # task-retry safe
+            return _pd.DataFrame({"bucket": [b], "path": [rel]})
+
+        touched = {
+            r.bucket: r.path
+            for r in batch_df.select(*data_cols, bucket)
+            .groupBy("__bucket")
+            .applyInPandas(write_base, "bucket int, path string")
+            .collect()  # bounded: one stat row per bucket
+        }
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
         for i in range(n_buckets):
-            part_dir = os.path.join(scratch, str(i))
-            staged.filter(F.col("__bucket") == i).drop("__bucket") \
-                .coalesce(1).write.mode("overwrite").parquet(part_dir)
-            part = next(p for p in os.listdir(part_dir)
-                        if p.endswith(".parquet"))
-            rel = f"bucket-{i:05d}_0-0-0_{instant}.parquet"
-            os.replace(os.path.join(part_dir, part),
-                       os.path.join(table_path, rel))
+            rel = touched.get(i)
+            if rel is None:  # empty bucket: an empty base file
+                rel = f"bucket-{i:05d}_0-0-0_{instant}.parquet"
+                _pq.write_table(pa_schema.empty_table(),
+                                os.path.join(table_abs, rel))
             stats.append({
                 "fileId": f"bucket-{i:05d}", "path": rel,
                 "prevCommit": "null", "numWrites": 0,
                 "fileSizeInBytes": os.path.getsize(
-                    os.path.join(table_path, rel)),
+                    os.path.join(table_abs, rel)),
             })
-        shutil.rmtree(scratch)
     else:
         # later batches: ONE log file per TOUCHED bucket, written from
-        # the executors (applyInPandas group per bucket, temp+rename)
-        base_instant_of: dict[int, str] = {}
-        for p in base_files:
-            name = os.path.basename(p)
-            fid, _, inst = name[: -len(".parquet")].split("_")
-            base_instant_of[int(fid.split("-")[1])] = inst
-        if len(base_instant_of) != n_buckets:
+        # the executors (applyInPandas group per bucket, temp+rename).
+        # The live file groups must BE this sink's buckets — after a
+        # clustering/compaction replaced them, blind log appends would
+        # route keys into retired groups (r13 review): refuse loudly.
+        slices, _, _ = _file_slices(table_path)
+        expected = {f"bucket-{i:05d}" for i in range(n_buckets)}
+        actual = {fid for _, fid in slices}
+        if actual != expected:
             raise ValueError(
-                f"hudi upsert: table has {len(base_instant_of)} buckets, "
-                f"sink configured for {n_buckets}"
+                "hudi upsert: live file groups "
+                f"{sorted(actual)} are not this sink's {n_buckets} "
+                "buckets — the table was clustered/compacted or written "
+                "by another sink; bootstrap a new table for the stream"
             )
-        table_abs = os.path.abspath(table_path)
+        base_instant_of = {
+            int(fid.split("-")[1]): sl.base_instant
+            for (_, fid), sl in slices.items()
+        }
         key = record_key
         dcols = list(data_cols)
 
@@ -203,7 +285,9 @@ def upsert_batch_to_hudi(
     meta = {
         "partitionToWriteStats": {"": stats},
         "compacted": False,
-        "extraMetadata": {"schema": json.dumps(avro_schema)},
+        "extraMetadata": {"schema": json.dumps(avro_schema),
+                          "app-id": table_name,
+                          "batch-id": str(batch_id)},
         "operationType": "UPSERT",
     }
     with open(commit_path + ".tmp", "w") as fh:

@@ -81,6 +81,32 @@ def test_checkpoint_replay(spark, tmp_path):
                    (4, "es", 40), (5, "it", 50)]
 
 
+def test_torn_multipart_checkpoint_is_skipped(spark, tmp_path):
+    """r13 review: a crash mid multi-part checkpoint leaves a strict
+    subset of parts — the reader must NOT replay it (silent row loss);
+    it falls back to the JSON commits and reads everything."""
+    from hive_udf_spark.sources.delta import checkpoint_delta
+
+    table = str(tmp_path / "t")
+    _write_file(table, "a.parquet", [(1, "en", 10)])
+    _write_file(table, "b.parquet", [(2, "de", 20)])
+    _write_file(table, "c.parquet", [(3, "fr", 30)])
+    write_delta_commits(table, [
+        [{"add": {"path": "a.parquet"}}],
+        [{"add": {"path": "b.parquet"}}],
+        [{"add": {"path": "c.parquet"}}],
+    ], SCHEMA_JSON)
+    checkpoint_delta(table, 2, parts=3)
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(
+        table, "_delta_log", "*.checkpoint.*.parquet")))
+    assert len(parts) == 3
+    os.remove(parts[1])  # tear the set
+    got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    assert got == [1, 2, 3]  # commits replayed instead of the torn base
+
+
 def test_multipart_checkpoint(spark, tmp_path):
     table = str(tmp_path / "t")
     _basic_table(table)

@@ -577,6 +577,81 @@ def test_upsert_sink_full_lifecycle(spark, tmp_path):
         upsert_batch_to_hudi(b3, 9, table, n_buckets=5)
 
 
+def test_upsert_sink_batch0_crash_retry_converges(spark, tmp_path):
+    """r13 review: a batch-0 crash after base files land but before the
+    deltacommit publishes must be detected from the TIMELINE — the
+    retry re-runs the first-batch path and overwrites its own orphans,
+    never mistaking them for a later batch's base files."""
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(i, "en", i) for i in range(1, 5)],
+        "doc_id long, lang string, n bigint",
+    )
+    assert upsert_batch_to_hudi(b0, 0, table, n_buckets=2)
+    # simulate the crash: base files on disk, commit file gone
+    hoodie = os.path.join(table, ".hoodie")
+    os.remove(os.path.join(hoodie, "20400101000000.deltacommit"))
+    assert upsert_batch_to_hudi(b0, 0, table, n_buckets=2)  # retry
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(i, "en", i) for i in range(1, 5)]  # no duplicates
+
+
+def test_sinks_refuse_fresh_checkpoint_against_existing_table(
+    spark, tmp_path
+):
+    """r13 review: both Hudi sinks stamp app/batch identity into the
+    commit and refuse a foreign instant instead of silently dropping
+    the new batch."""
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    ddl = "doc_id long, lang string, n bigint"
+    b = spark.createDataFrame([(1, "en", 10)], ddl)
+
+    t1 = str(tmp_path / "append")
+    assert commit_batch_to_hudi(b, 0, t1, table_name="stream-A")
+    assert not commit_batch_to_hudi(b, 0, t1, table_name="stream-A")
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        commit_batch_to_hudi(b, 0, t1, table_name="stream-B")
+
+    t2 = str(tmp_path / "upsert")
+    assert upsert_batch_to_hudi(b, 0, t2, table_name="stream-A")
+    assert not upsert_batch_to_hudi(b, 0, t2, table_name="stream-A")
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        upsert_batch_to_hudi(b, 0, t2, table_name="stream-B")
+
+
+def test_cleaner_keeps_unlisted_logs_of_live_groups(spark, tmp_path):
+    """r13 review: a log file of a LIVE file group that no completed
+    writeStats lists yet may belong to a mid-commit appender — the
+    cleaner must keep it (its filename carries the BASE instant, so no
+    pending-marker check can clear it)."""
+    from hive_udf_spark.sources.maintenance import clean_hudi_table
+
+    table = str(tmp_path / "t")
+    write_hudi_table(table, [
+        {"writes": {"fg-a": _src(tmp_path, "a", [(1, "en", 10)])}},
+        {"log_writes": {"fg-a": [{"doc_id": 1, "lang": "en", "n": 11}]}},
+    ], FIELDS, record_key="doc_id")
+    # a concurrent appender's not-yet-committed log file for the live group
+    import glob as _glob
+
+    listed = _glob.glob(os.path.join(table, ".fg-a_*.log.1_*"))[0]
+    pending_log = listed.replace(".log.1_", ".log.2_")
+    import shutil
+
+    shutil.copy(listed, pending_log)
+    deleted = clean_hudi_table(table)
+    assert deleted == []  # live group: both its logs survive
+    assert os.path.exists(pending_log)
+
+
 def test_upsert_sink_deletes_against_empty_table_refuse(spark, tmp_path):
     from hive_udf_spark.streaming.hudi_upsert_sink import (
         upsert_batch_to_hudi,

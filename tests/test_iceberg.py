@@ -693,6 +693,58 @@ def test_sink_refuses_fresh_checkpoint_against_existing_table(
     assert not commit_batch_to_iceberg(b0, 0, table, app_id="stream-A")
 
 
+def test_stale_version_hint_never_hides_a_published_snapshot(
+    spark, tmp_path
+):
+    """r13 review: a writer that crashed between the metadata rename
+    (the publish) and the hint refresh leaves a stale hint — readers
+    and the NEXT writer must take the newest glob version, or the
+    published batch silently vanishes from the snapshot list."""
+    from hive_udf_spark.streaming.iceberg_sink import commit_batch_to_iceberg
+
+    table = str(tmp_path / "t")
+    ddl = "doc_id long, lang string, n long"
+    b0 = spark.createDataFrame([(1, "en", 10)], ddl)
+    b1 = spark.createDataFrame([(2, "de", 20)], ddl)
+    b2 = spark.createDataFrame([(3, "fr", 30)], ddl)
+    assert commit_batch_to_iceberg(b0, 0, table)
+    assert commit_batch_to_iceberg(b1, 1, table)
+    # simulate the crash-after-publish: roll the hint back to v1
+    with open(os.path.join(table, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write("1")
+    # the reader sees batch 1 anyway...
+    assert read_iceberg(spark, table).count() == 2
+    # ...and the next writer's snapshot list keeps it
+    assert commit_batch_to_iceberg(b2, 2, table)
+    got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+
+
+def test_name_mapping_refuses_mixed_id_files(spark, tmp_path):
+    """r13 review: per-file resolution (ids where present, mapping
+    otherwise) is not expressible in one pinned scan — a table mixing
+    id-less and id-carrying files under a name mapping must refuse, not
+    silently NULL one family."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    t = pa.table({"doc_id": pa.array([1], pa.int64())})
+    pq.write_table(t, os.path.join(table, "data/a.parquet"))  # id-less
+    t2 = t.cast(pa.schema([
+        pa.field("doc_id", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+    ]))
+    pq.write_table(t2, os.path.join(table, "data/z.parquet"))  # with ids
+    fields = [{"id": 1, "name": "doc_id", "required": False,
+               "type": "long"}]
+    mapping = json.dumps([{"field-id": 1, "names": ["doc_id"]}])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/z.parquet"]},
+    ], fields, properties={"schema.name-mapping.default": mapping})
+    with pytest.raises(ValueError, match="mixes id-less"):
+        read_iceberg(spark, table)
+
+
 def test_upsert_sink_equality_delete_lifecycle(spark, tmp_path):
     """r13 iceberg_upsert_sink: insert -> upsert -> delete -> reinsert
     via equality-delete snapshots (the Flink pattern); sequence gating

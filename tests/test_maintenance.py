@@ -226,12 +226,12 @@ def test_delta_vacuum_reclaims_orphans_and_old_layouts(spark, tmp_path):
     shutil.copy(glob.glob(os.path.join(table, "part-*.parquet"))[0], orphan)
     before = _rows(read_delta(spark, table))
     assert compact_delta_table(spark, table, target_files=1)
-    deleted = vacuum_delta_table(table)
+    deleted = vacuum_delta_table(table, min_age_seconds=0)
     assert "part-0000000003-00000.parquet" in deleted
     assert len(deleted) > 1  # the pre-compaction parts went too
     assert _rows(read_delta(spark, table)) == before
     # idempotent: nothing left to reclaim
-    assert vacuum_delta_table(table) == []
+    assert vacuum_delta_table(table, min_age_seconds=0) == []
     # the log is intact (time travel to version 0 still RESOLVES; its
     # data files are gone, the documented VACUUM trade-off)
     from hive_udf_spark.sources.delta import delta_snapshot
@@ -265,7 +265,7 @@ def test_delta_vacuum_keeps_live_dv_files(spark, tmp_path):
     write_delta_commits(table, [
         [{"add": {"path": "a.parquet", "deletionVector": dv}}],
     ], schema_json)
-    deleted = vacuum_delta_table(table)
+    deleted = vacuum_delta_table(table, min_age_seconds=0)
     assert len(deleted) == 1 and deleted[0].endswith(".bin")
     assert _rows(read_delta(spark, table)) == [(2,)]
 

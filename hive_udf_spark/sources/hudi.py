@@ -802,11 +802,13 @@ def read_hudi(
         .select(*names, "__deleted")
         # the merged log relation feeds BOTH the anti-join and the
         # union; without this the whole distributed log decode runs
-        # TWICE (r13 plan audit).  Caching it is the Spark shape of
-        # Hudi's own in-memory log-record merge map — log deltas are
-        # small next to base files, and MEMORY_AND_DISK spills rather
-        # than OOMs when they aren't
-        .persist()
+        # TWICE (r13 plan audit).  Materializing it once is the Spark
+        # shape of Hudi's own in-memory log-record merge map — log
+        # deltas are small next to base files.  localCheckpoint (not
+        # persist) so the blocks are GC-cleaned with the DataFrame
+        # instead of accumulating in the session cache manager for the
+        # session's lifetime (r13 review)
+        .localCheckpoint(eager=True)
     )
     # EVERY log-touched key leaves the base scan (anti-join); only keys
     # whose NEWEST log entry is an upsert come back — a key whose newest

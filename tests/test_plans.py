@@ -674,10 +674,13 @@ def test_mor_delete_merge_adds_no_extra_shuffle(spark, tmp_path):
     plain, with_del = build(False), build(True)
     for plan in (plain, with_del):
         assert "CartesianProduct" not in plan
-        # the merged log relation is CACHED (r13 plan audit): without
-        # it the distributed log decode ran twice — once for the
-        # anti-join side, once for the union side
-        assert "InMemoryTableScan" in plan
+        # the merged log relation is MATERIALIZED ONCE (r13 plan
+        # audit): the decode ran at localCheckpoint time, so the read
+        # plan scans the checkpointed RDD and contains NO Python decode
+        # — without it the distributed log decode ran twice (anti-join
+        # side + union side)
+        assert "Scan ExistingRDD" in plan
+        assert "MapInPandas" not in plan
 
 
 def test_iceberg_field_id_scan_is_plain_scan(spark, tmp_path):

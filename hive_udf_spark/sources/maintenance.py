@@ -74,13 +74,24 @@ def _pq_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _rewrite(df, scratch: str, target_files: int) -> list[str]:
+def _rewrite(
+    df, scratch: str, target_files: int,
+    sort_by: list[str] | None = None,
+) -> list[str]:
     """Distributed rewrite of ``df`` into ``target_files`` parquet
-    parts; returns the scratch part paths (non-empty only)."""
+    parts; returns the scratch part paths (non-empty only).
+    ``sort_by`` range-partitions and sorts the rewrite (compaction IS
+    the moment to cluster: disjoint per-file min/max ranges on the
+    sort keys make parquet footer pruning skip whole files — the
+    OPTIMIZE-with-clustering shape)."""
     import pyarrow.parquet as pq
 
-    df.repartition(max(1, target_files)).write.mode("overwrite") \
-        .parquet(scratch)
+    if sort_by:
+        df = df.repartitionByRange(max(1, target_files), *sort_by) \
+            .sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(max(1, target_files))
+    df.write.mode("overwrite").parquet(scratch)
     parts = []
     for p in sorted(os.listdir(scratch)):
         if not p.endswith(".parquet"):
@@ -108,6 +119,7 @@ def _delta_group_dv_cardinality(adds: list[dict]) -> int:
 
 def compact_delta_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
+    sort_by: list[str] | None = None,
 ) -> bool:
     """Rewrite the table's live ROWS into ``target_files`` compacted
     parquet files PER PARTITION and publish ONE commit (removes +
@@ -161,7 +173,8 @@ def compact_delta_table(
                           partition_filter=pv if part_cols else None)
         if part_cols:
             live = live.drop(*part_cols)  # data files exclude part cols
-        parts = _rewrite(live, os.path.join(scratch, str(gi)), target_files)
+        parts = _rewrite(live, os.path.join(scratch, str(gi)),
+                         target_files, sort_by)
         new_names = []
         for i, src in enumerate(parts):
             name = f"compact-{version:010d}-{gi:05d}-{i:05d}.parquet"
@@ -394,6 +407,7 @@ def clean_hudi_table(table_path: str) -> list[str]:
 
 def compact_iceberg_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
+    sort_by: list[str] | None = None,
 ) -> bool:
     """Rewrite the current snapshot's live rows (row-level deletes
     APPLIED — compaction is how they become permanent) into
@@ -447,7 +461,7 @@ def compact_iceberg_table(
             live.sparkSession.conf.set(
                 "spark.sql.parquet.fieldId.write.enabled", "true"
             )
-    parts = _rewrite(live, scratch, target_files)
+    parts = _rewrite(live, scratch, target_files, sort_by)
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     rels = []
     for i, src in enumerate(parts):
@@ -529,6 +543,7 @@ def compact_iceberg_table(
 
 def cluster_hudi_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
+    sort_by: list[str] | None = None,
 ) -> bool:
     """Rewrite the table's live rows (MOR log merges and tombstones
     APPLIED) into ``target_files`` new file groups and publish one
@@ -565,7 +580,7 @@ def cluster_hudi_table(
     ]
     instant = f"{max(int(i) for i in existing) + 1}"
     scratch = os.path.join(table_path, f"_cluster-{instant}")
-    parts = _rewrite(live, scratch, target_files)
+    parts = _rewrite(live, scratch, target_files, sort_by)
     stats = []
     for i, src in enumerate(parts):
         fid = f"cluster-{instant}-{i:05d}"

@@ -64,6 +64,46 @@ def test_delta_compaction_preserves_rows_and_travels(spark, tmp_path):
     assert not compact_delta_table(spark, table, target_files=1)
 
 
+def test_delta_compaction_sort_by_clusters_file_ranges(spark, tmp_path):
+    """sort_by range-partitions the rewrite: the compacted files carry
+    DISJOINT doc_id min/max ranges, so parquet footer pruning can skip
+    whole files — compaction is the moment to cluster."""
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.delta import delta_snapshot, read_delta
+
+    table = str(tmp_path / "t")
+    # interleave doc_ids across batches so unsorted compaction would
+    # leave overlapping ranges
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(i, f"l{i}", i) for i in range(b, 40, 4)],
+            "doc_id long, lang string, n long",
+        )
+        assert commit_batch_to_delta(df, b, table, checkpoint_every=0)
+    before = _rows(read_delta(spark, table))
+    assert compact_delta_table(spark, table, target_files=2,
+                               sort_by=["doc_id"])
+    snap = delta_snapshot(table)
+    assert len(snap.files) == 2
+    ranges = []
+    for p in snap.files:
+        md = pq.ParquetFile(os.path.join(table, p)).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "doc_id")
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert ranges[0][1] < ranges[1][0]  # disjoint file ranges
+    assert _rows(read_delta(spark, table)) == before
+
+
 def test_delta_compaction_purges_deletion_vectors(spark, tmp_path):
     """DV'd rows drop physically during the rewrite and the descriptors
     retire with their removes — compaction makes soft deletes real."""

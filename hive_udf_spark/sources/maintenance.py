@@ -65,6 +65,7 @@ __all__ = [
     "vacuum_delta_table",
     "expire_iceberg_snapshots",
     "clean_hudi_table",
+    "truncate_delta_log",
 ]
 
 
@@ -264,6 +265,47 @@ def vacuum_delta_table(
             os.remove(full)
             deleted.append(os.path.relpath(full, root))
     return sorted(deleted)
+
+
+def truncate_delta_log(table_path: str) -> list[str]:
+    """Delete JSON commits and older checkpoints superseded by the
+    newest COMPLETE checkpoint — the metadata half of Delta retention
+    (log cleanup): a year-old streaming table otherwise accumulates one
+    KB-scale JSON per micro-batch forever, and even checkpoint-based
+    readers pay the ever-growing directory listing.  Commits at or
+    below the checkpoint version are redundant for snapshot
+    reconstruction (the checkpoint IS that state); newer commits and
+    the checkpoint itself are kept, as is ``_last_checkpoint``.
+    Returns the deleted file names.  Time travel to truncated versions
+    stops working, the same documented trade-off as VACUUM."""
+    import re
+
+    from hive_udf_spark.sources.delta import (
+        _checkpoint_parts_complete,
+        _latest_checkpoint_version,
+        _log_dir,
+    )
+
+    log_dir = _log_dir(table_path)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no _delta_log under {table_path!r}")
+    cp = _latest_checkpoint_version(log_dir, 1 << 62)
+    if cp is None:
+        return []  # nothing to anchor a truncation on
+    assert _checkpoint_parts_complete(log_dir, cp)
+    deleted = []
+    for name in sorted(os.listdir(log_dir)):
+        m = re.match(r"^(\d{20})\.(json|checkpoint\b.*)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        is_json = m.group(2) == "json"
+        # drop commits <= checkpoint, and CHECKPOINTS strictly older
+        # than the anchor (keep the anchor's own files)
+        if (is_json and v <= cp) or (not is_json and v < cp):
+            os.remove(os.path.join(log_dir, name))
+            deleted.append(name)
+    return deleted
 
 
 def expire_iceberg_snapshots(

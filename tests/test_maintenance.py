@@ -310,6 +310,37 @@ def test_delta_vacuum_keeps_live_dv_files(spark, tmp_path):
     assert _rows(read_delta(spark, table)) == [(2,)]
 
 
+def test_delta_log_truncation_anchors_on_complete_checkpoint(
+    spark, tmp_path
+):
+    """truncate_delta_log drops commits <= the newest COMPLETE
+    checkpoint and older checkpoints; reads and later commits keep
+    working; a log without any checkpoint is left alone."""
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.maintenance import truncate_delta_log
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 10, checkpoint_every=5)  # cps at 4 and 9
+    before = _rows(read_delta(spark, table))
+    deleted = truncate_delta_log(table)
+    assert f"{0:020d}.json" in deleted and f"{9:020d}.json" in deleted
+    assert f"{4:020d}.checkpoint.parquet" in deleted  # superseded cp
+    assert f"{9:020d}.checkpoint.parquet" not in deleted  # the anchor
+    assert _rows(read_delta(spark, table)) == before
+    # the stream continues after truncation...
+    df = spark.createDataFrame([(999, "zz", 1)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_delta(df, 10, table, checkpoint_every=0)
+    assert len(_rows(read_delta(spark, table))) == 31
+    # ...and a second truncation is a no-op (commit 10 > the anchor)
+    assert truncate_delta_log(table) == []
+    # checkpoint-less tables are left alone
+    t2 = str(tmp_path / "plain")
+    _delta_ingest(spark, t2, 2)
+    assert truncate_delta_log(t2) == []
+
+
 # ---------------------------------------------------------------------------
 # Iceberg
 # ---------------------------------------------------------------------------

@@ -466,18 +466,23 @@ def read_iceberg(
             # The spec resolves PER FILE (ids when present, mapping
             # otherwise), which one pinned scan schema cannot express:
             # a MIXED table would silently read NULLs from whichever
-            # family the pinned names miss, so refuse when the last
-            # file disagrees with the first about carrying ids
-            # (migrated tables append id-carrying files after the
-            # id-less originals — the spot-check pair covers exactly
-            # that layering without an O(files) footer sweep)
-            if len(files) > 1 and _parquet_has_field_ids(files[-1]):
-                raise ValueError(
-                    "iceberg: table mixes id-less and id-carrying "
-                    "files under a name mapping — per-file resolution "
-                    "is not expressible in one pinned scan; compact "
-                    "the table or rewrite the id-less files"
-                )
+            # family the pinned names miss.  Refuse when an evenly
+            # spaced footer sample (up to 16 files — KB-scale driver
+            # reads, bounded at any table size) finds id-carrying
+            # files; a pathological interleaving can still slip
+            # between samples, the documented residual of choosing one
+            # scan schema for the whole table
+            if len(files) > 1:
+                step = max(1, len(files) // 16)
+                sample = list(files[::step][:16]) + [files[-1]]
+                if any(_parquet_has_field_ids(p) for p in sample[1:]):
+                    raise ValueError(
+                        "iceberg: table mixes id-less and id-carrying "
+                        "files under a name mapping — per-file "
+                        "resolution is not expressible in one pinned "
+                        "scan; compact the table or rewrite the "
+                        "id-less files"
+                    )
             from pyspark.sql.types import StructField
 
             name_of_id = _field_ids_by_name(meta)

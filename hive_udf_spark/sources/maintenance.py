@@ -305,6 +305,27 @@ def truncate_delta_log(table_path: str) -> list[str]:
         if (is_json and v <= cp) or (not is_json and v < cp):
             os.remove(os.path.join(log_dir, name))
             deleted.append(name)
+    # V2 checkpoints keep their bulky add-file sets in sidecar parquet
+    # under _delta_log/_sidecars/; deleting a superseded top file must
+    # not strand its sidecars forever (r13 review #2) — reclaim every
+    # sidecar no REMAINING checkpoint references
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    if os.path.isdir(sidecar_dir):
+        from hive_udf_spark.sources.delta import (
+            _checkpoint_files,
+            _checkpoint_rows,
+        )
+
+        referenced: set[str] = set()
+        for p in _checkpoint_files(log_dir, cp):
+            for row in _checkpoint_rows(p):
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    referenced.add(os.path.basename(sc["path"]))
+        for name in sorted(os.listdir(sidecar_dir)):
+            if name.endswith(".parquet") and name not in referenced:
+                os.remove(os.path.join(sidecar_dir, name))
+                deleted.append(os.path.join("_sidecars", name))
     return deleted
 
 
@@ -403,13 +424,18 @@ def clean_hudi_table(table_path: str) -> list[str]:
     only safe gate; r13 review).  Returns the deleted relative paths.
     Time travel to instants whose files were cleaned stops working,
     the cleaner's documented trade-off."""
-    from hive_udf_spark.sources.hudi import _file_slices, _hoodie_dir
+    from hive_udf_spark.sources.hudi import (
+        _file_slices,
+        _hoodie_dir,
+        _instant_key,
+    )
 
     slices, _, _ = _file_slices(table_path)
     root = os.path.abspath(table_path)
     live: set[str] = set()
-    live_fids = {fid for _, fid in slices}
-    for sl in slices.values():
+    base_instant_of: dict[str, str] = {}  # live fid -> slice base instant
+    for (_, fid), sl in slices.items():
+        base_instant_of[fid] = sl.base_instant or ""
         live.add(os.path.abspath(os.path.join(root, sl.base_path)))
         for _, rel in sl.logs:
             live.add(os.path.abspath(os.path.join(root, rel)))
@@ -437,10 +463,22 @@ def clean_hudi_table(table_path: str) -> list[str]:
                 if instant in pending:
                     continue
             else:
-                # .{fid}_{baseInstant}.log.{v}_{tok} — keep any log of a
-                # LIVE group (could be a concurrent appender mid-commit)
-                fid = name[1:].split("_", 1)[0]
-                if fid in live_fids:
+                # .{fid}_{baseInstant}.log.{v}_{tok} — a log of a LIVE
+                # group targeting the CURRENT slice may be a concurrent
+                # appender mid-commit (its filename carries the base
+                # instant, not the writing instant): keep it.  A log
+                # whose base instant predates the live slice's base is
+                # SUPERSEDED (the base rewrite started a new slice) and
+                # reclaims (r13 review #2: the blanket live-group gate
+                # leaked superseded logs forever).
+                stem = name[1:]
+                fid, _, rest = stem.partition("_")
+                log_base = rest.split(".", 1)[0]
+                cur_base = base_instant_of.get(fid)
+                if cur_base is not None and (
+                    not log_base.isdigit()
+                    or _instant_key(log_base) >= _instant_key(cur_base)
+                ):
                     continue
             os.remove(full)
             deleted.append(os.path.relpath(full, root))

@@ -64,7 +64,44 @@ def commit_batch_to_delta(
     log_dir = os.path.join(table_path, "_delta_log")
     commit_path = os.path.join(log_dir, f"{batch_id:020d}.json")
     if os.path.exists(commit_path):
-        return False  # retried batch: the publish already happened
+        # retried batch — but ONLY if the commit's txn action carries
+        # this stream's identity: a fresh checkpoint resets batch ids
+        # and silently no-opping would DROP the new batch (r13,
+        # matching the other sinks' refusal)
+        try:
+            with open(commit_path) as fh:
+                for line in fh:
+                    txn = json.loads(line).get("txn")
+                    if txn:
+                        if txn.get("appId") == app_id \
+                                and txn.get("version") == batch_id:
+                            return False
+                        break
+        except (OSError, json.JSONDecodeError):
+            pass
+        raise ValueError(
+            f"delta sink: version {batch_id} exists but was not "
+            f"committed by app {app_id!r} — restarting with a fresh "
+            "checkpoint against an existing table would drop or "
+            "duplicate batches"
+        )
+    if os.path.isdir(log_dir):
+        # a commit file may be ABSENT because truncate_delta_log
+        # reclaimed it: re-publishing that version would be invisible
+        # to every reader (snapshots replay from the newer checkpoint)
+        # while the sink reports success — refuse loudly (r13 review)
+        from hive_udf_spark.sources.delta import (
+            _latest_checkpoint_version,
+        )
+
+        cp = _latest_checkpoint_version(log_dir, 1 << 62)
+        if cp is not None and batch_id <= cp:
+            raise ValueError(
+                f"delta sink: version {batch_id} is at or below the "
+                f"table's checkpoint {cp} (its commit was truncated) — "
+                "publishing it would be invisible to readers; point "
+                "the stream at its original checkpoint or a new table"
+            )
     os.makedirs(log_dir, exist_ok=True)
     scratch = os.path.join(table_path, f"_scratch-{batch_id}")
     batch_df.write.mode("overwrite").parquet(scratch)

@@ -50,10 +50,12 @@ __all__ = ["hudi_upsert_sink", "upsert_batch_to_hudi"]
 DELETED_COL = "_deleted"
 
 
+# the avro schema gate (_avro_field) admits exactly these spark types,
+# so this arrow map mirrors that set and nothing else
 _PA_TYPES = {
-    "bigint": "int64", "int": "int32", "smallint": "int16",
-    "tinyint": "int8", "string": "string", "double": "float64",
-    "float": "float32", "boolean": "bool", "binary": "binary",
+    "bigint": "int64", "int": "int32", "string": "string",
+    "double": "float64", "float": "float32", "boolean": "bool",
+    "binary": "binary",
 }
 
 
@@ -152,14 +154,19 @@ def upsert_batch_to_hudi(
     table_abs = os.path.abspath(table_path)
     # first-batch detection from the TIMELINE, never from files on disk:
     # a crashed batch 0 leaves base files WITHOUT a completed instant,
-    # and a glob would mistake its retry for a later batch (r13 review)
+    # and a glob would mistake its retry for a later batch (r13 review).
+    # ONLY the empty-timeline error means "first batch" — a malformed
+    # commit or the runaway-timeline cap must propagate, or a corrupt
+    # table would be silently re-bootstrapped over (r13 review #2)
     try:
         timeline = hudi_timeline(table_path)
-    except ValueError:
+    except ValueError as exc:
+        if "no completed commits" not in str(exc):
+            raise
         timeline = []
     stats: list[dict] = []
-    pa_schema = _pa_schema_of(batch_df, data_cols)
     if not timeline:
+        pa_schema = _pa_schema_of(batch_df, data_cols)
         # first batch: one base file per bucket (empty buckets included
         # — later log files need a slice to attach to), written from
         # the executors in ONE pass; a batch-0 retry overwrites the

@@ -652,6 +652,27 @@ def test_cleaner_keeps_unlisted_logs_of_live_groups(spark, tmp_path):
     assert os.path.exists(pending_log)
 
 
+def test_upsert_sink_corrupt_timeline_propagates(spark, tmp_path):
+    """r13 review: only the EMPTY-timeline error means 'first batch' —
+    a corrupt commit file must propagate, never trigger a silent
+    re-bootstrap over an existing table."""
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    table = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, "en", 10)],
+                              "doc_id long, lang string, n bigint")
+    assert upsert_batch_to_hudi(b, 0, table)
+    # corrupt the completed commit's metadata
+    hoodie = os.path.join(table, ".hoodie")
+    with open(os.path.join(hoodie, "20400101000000.deltacommit"),
+              "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="malformed"):
+        upsert_batch_to_hudi(b, 1, table)
+
+
 def test_upsert_sink_deletes_against_empty_table_refuse(spark, tmp_path):
     from hive_udf_spark.streaming.hudi_upsert_sink import (
         upsert_batch_to_hudi,

@@ -310,6 +310,125 @@ def test_delta_vacuum_keeps_live_dv_files(spark, tmp_path):
     assert _rows(read_delta(spark, table)) == [(2,)]
 
 
+def test_delta_vacuum_retention_window_keeps_young_files(spark, tmp_path):
+    """r13 review: an unreferenced-but-YOUNG file is indistinguishable
+    from a concurrent writer's in-flight data — the default retention
+    window keeps it; min_age_seconds=0 reclaims it."""
+    import shutil
+
+    from hive_udf_spark.sources.delta import read_delta
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 2)
+    orphan = os.path.join(table, "part-0000000009-00000.parquet")
+    shutil.copy(glob.glob(os.path.join(table, "part-*.parquet"))[0], orphan)
+    # default window: the just-created orphan survives
+    assert vacuum_delta_table(table) == []
+    assert os.path.exists(orphan)
+    # explicit zero window: reclaimed
+    assert vacuum_delta_table(table, min_age_seconds=0) == [
+        "part-0000000009-00000.parquet"
+    ]
+    assert read_delta(spark, table).count() == 6
+
+
+def test_delta_sink_refuses_fresh_checkpoint_and_truncated_versions(
+    spark, tmp_path
+):
+    """r13 review: the Delta sink verifies its txn identity on retries
+    (foreign commits refuse) and refuses to publish a version at or
+    below the table's checkpoint (its commit was truncated — readers
+    would never see the rows)."""
+    from hive_udf_spark.sources.maintenance import truncate_delta_log
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "en", 10)],
+                               "doc_id long, lang string, n long")
+    assert commit_batch_to_delta(df, 0, table, app_id="stream-A")
+    assert not commit_batch_to_delta(df, 0, table, app_id="stream-A")
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        commit_batch_to_delta(df, 0, table, app_id="stream-B")
+
+    t2 = str(tmp_path / "t2")
+    _delta_ingest(spark, t2, 10, checkpoint_every=5)
+    truncate_delta_log(t2)
+    with pytest.raises(ValueError, match="truncated"):
+        commit_batch_to_delta(df, 3, t2)
+
+
+def test_hudi_cleaner_reclaims_superseded_logs_of_live_groups(
+    spark, tmp_path
+):
+    """r13 review: a base REWRITE starts a new slice — the old slice's
+    logs are dead and must reclaim, while logs targeting the CURRENT
+    slice's base instant stay (possible mid-commit appenders)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    table = str(tmp_path / "t")
+
+    def src(name, rows):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }), p)
+        return p
+
+    write_hudi_table(table, [
+        {"writes": {"fg-a": src("a", [(1, "en", 10)])}},
+        {"log_writes": {"fg-a": [{"doc_id": 1, "lang": "en", "n": 11}]}},
+        # base REWRITE: starts a new slice, the log above is superseded
+        {"writes": {"fg-a": src("a2", [(1, "en", 12)])},
+         "action": "commit"},
+    ], [("doc_id", "bigint"), ("lang", "string"), ("n", "bigint")],
+        record_key="doc_id")
+    before = _rows(read_hudi(spark, table))
+    assert before == [(1, "en", 12)]
+    deleted = clean_hudi_table(table)
+    assert any(".log." in p for p in deleted)  # superseded log reclaimed
+    # a log named for the CURRENT base instant survives (pending appender)
+    import glob as _glob
+    import shutil
+
+    base = _glob.glob(os.path.join(table, "fg-a_*_20240101000002.parquet"))
+    assert base
+    fake_pending = os.path.join(
+        table, ".fg-a_20240101000002.log.1_0-0-0")
+    with open(fake_pending, "wb") as fh:
+        fh.write(b"")
+    got = clean_hudi_table(table)
+    assert got == [] and os.path.exists(fake_pending)
+    os.remove(fake_pending)
+    assert _rows(read_hudi(spark, table)) == before
+
+
+def test_delta_log_truncation_reclaims_v2_sidecars(spark, tmp_path):
+    """r13 review: deleting a superseded V2 checkpoint top file must
+    also reclaim the sidecar parquet no remaining checkpoint
+    references."""
+    from hive_udf_spark.sources.delta import checkpoint_v2_delta, read_delta
+    from hive_udf_spark.sources.maintenance import truncate_delta_log
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 4)
+    checkpoint_v2_delta(table, 1)
+    checkpoint_v2_delta(table, 3)
+    sdir = os.path.join(table, "_delta_log", "_sidecars")
+    n_before = len(os.listdir(sdir))
+    assert n_before >= 2
+    before = _rows(read_delta(spark, table))
+    deleted = truncate_delta_log(table)
+    assert any(p.startswith("_sidecars") for p in deleted)
+    assert _rows(read_delta(spark, table)) == before
+    # the remaining checkpoint's sidecars survive
+    assert len(os.listdir(sdir)) >= 1
+
+
 def test_delta_log_truncation_anchors_on_complete_checkpoint(
     spark, tmp_path
 ):

@@ -140,13 +140,17 @@ def _latest_checkpoint_version(log_dir: str, limit: int) -> int | None:
 
 
 class _Snapshot:
-    __slots__ = ("version", "metadata", "protocol", "files")
+    __slots__ = ("version", "metadata", "protocol", "files", "txns")
 
     def __init__(self):
         self.version = -1
         self.metadata: dict | None = None
         self.protocol: dict | None = None
         self.files: dict[str, dict] = {}  # path -> add action
+        # appId -> latest SetTransaction version (the idempotent-writer
+        # marker, PROTOCOL.md Transaction Identifiers) — carried through
+        # checkpoints so log truncation doesn't lose writer state
+        self.txns: dict[str, int] = {}
 
 
 def _apply_action(snap: _Snapshot, action: dict) -> None:
@@ -167,7 +171,13 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         path = action["remove"].get("path")
         if path:
             snap.files.pop(path, None)
-    # commitInfo / txn / cdc / domainMetadata: state-irrelevant here
+    elif "txn" in action and action["txn"]:
+        txn = action["txn"]
+        app = txn.get("appId")
+        if app and txn.get("version") is not None:
+            snap.txns[app] = max(int(txn["version"]),
+                                 snap.txns.get(app, -(1 << 62)))
+    # commitInfo / cdc / domainMetadata: state-irrelevant here
 
 
 def _check_protocol(snap: _Snapshot) -> None:
@@ -239,7 +249,7 @@ def _replay_checkpoint(snap: _Snapshot, log_dir: str,
             raise ValueError("delta: checkpoint action count past the cap")
         sidecars: list[str] = []
         for row in rows:
-            for key in ("metaData", "protocol", "add", "remove"):
+            for key in ("metaData", "protocol", "add", "remove", "txn"):
                 if row.get(key) is not None:
                     _apply_action(snap, {key: row[key]})
             sc = row.get("sidecar")
@@ -817,6 +827,10 @@ def checkpoint_v2_delta(
     actions = [{"checkpointMetadata": {"version": version}},
                {"protocol": snap.protocol or _PROTOCOL},
                {"metaData": snap.metadata}]
+    # idempotent-writer state rides the top file (same rationale as the
+    # classic checkpoint: truncation must not lose appId/version)
+    actions += [{"txn": {"appId": app, "version": snap.txns[app]}}
+                for app in sorted(snap.txns)]
     for chunk in chunks:
         rows = []
         for path in chunk:
@@ -861,6 +875,11 @@ def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:
         {"protocol": snap.protocol or _PROTOCOL},
         {"metaData": snap.metadata},
     ]
+    # carry idempotent-writer state (PROTOCOL.md: checkpoints contain
+    # the latest txn per appId) — after truncate_delta_log removes the
+    # JSON commits, this is the only surviving appId/version record
+    for app in sorted(snap.txns):
+        rows.append({"txn": {"appId": app, "version": snap.txns[app]}})
     for path in sorted(snap.files):
         add = snap.files[path]
         rows.append({"add": {
@@ -894,6 +913,10 @@ def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
         ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+        ])),
     ])
     norm = []
     for r in rows:
@@ -912,7 +935,8 @@ def checkpoint_delta(table_path: str, version: int, parts: int = 1) -> None:
             proto = {"minReaderVersion": proto.get("minReaderVersion", 1),
                      "minWriterVersion": proto.get("minWriterVersion", 2)}
         norm.append({"protocol": proto, "metaData": md,
-                     "add": r.get("add"), "remove": r.get("remove")})
+                     "add": r.get("add"), "remove": r.get("remove"),
+                     "txn": r.get("txn")})
     log_dir = _log_dir(table_path)
     # write-to-temp + rename so a crash mid-checkpoint never leaves a
     # torn parquet readers would glob (r13 — the streaming sink now

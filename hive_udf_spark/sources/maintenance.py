@@ -39,10 +39,11 @@ the vendored readers (deletes/merges apply exactly as queries see
 them); only the KB-scale metadata publish is driver-side.  Each op
 verifies row preservation from parquet FOOTER counts (driver-side,
 O(files), no second data pass) before publishing, and REFUSES the
-table shapes it cannot yet rewrite faithfully (partitioned layouts,
-Delta column mapping / deletion vectors) — a compaction that silently
-dropped partition values or physical-name mappings would corrupt, not
-maintain.  Time travel keeps working: old snapshots/versions/instants
+table shapes it cannot yet rewrite faithfully (column-mapped Delta
+tables — compacted files cannot yet reproduce the physical
+names/ids; deletion vectors ARE supported and purge during the
+rewrite) — a compaction that silently dropped partition values or
+physical-name mappings would corrupt, not maintain.  Time travel keeps working: old snapshots/versions/instants
 still resolve the pre-compaction layout.
 
 No reference analogue (the reference is a cardinality-UDAF package,
@@ -267,7 +268,9 @@ def vacuum_delta_table(
     return sorted(deleted)
 
 
-def truncate_delta_log(table_path: str) -> list[str]:
+def truncate_delta_log(
+    table_path: str, sidecar_min_age_seconds: float = 24 * 3600
+) -> list[str]:
     """Delete JSON commits and older checkpoints superseded by the
     newest COMPLETE checkpoint — the metadata half of Delta retention
     (log cleanup): a year-old streaming table otherwise accumulates one
@@ -277,8 +280,18 @@ def truncate_delta_log(table_path: str) -> list[str]:
     reconstruction (the checkpoint IS that state); newer commits and
     the checkpoint itself are kept, as is ``_last_checkpoint``.
     Returns the deleted file names.  Time travel to truncated versions
-    stops working, the same documented trade-off as VACUUM."""
+    stops working, the same documented trade-off as VACUUM.
+
+    V2 sidecar reclaim keeps sidecars younger than
+    ``sidecar_min_age_seconds`` even when unreferenced (r13 ADVICE): a
+    concurrent V2 checkpoint writer lands its sidecar parquet BEFORE
+    the top-file rename publishes the checkpoint, and in that window
+    the sidecar is unreferenced-but-live — deleting it would leave the
+    just-published checkpoint unable to replay.  Same rationale and
+    default as ``vacuum_delta_table``'s retention window; pass 0 only
+    with provably quiesced writers."""
     import re
+    import time
 
     from hive_udf_spark.sources.delta import (
         _checkpoint_parts_complete,
@@ -322,10 +335,15 @@ def truncate_delta_log(table_path: str) -> list[str]:
                 sc = row.get("sidecar")
                 if sc and sc.get("path"):
                     referenced.add(os.path.basename(sc["path"]))
+        cutoff = time.time() - sidecar_min_age_seconds
         for name in sorted(os.listdir(sidecar_dir)):
-            if name.endswith(".parquet") and name not in referenced:
-                os.remove(os.path.join(sidecar_dir, name))
-                deleted.append(os.path.join("_sidecars", name))
+            if not (name.endswith(".parquet") and name not in referenced):
+                continue
+            full = os.path.join(sidecar_dir, name)
+            if os.path.getmtime(full) > cutoff:
+                continue  # maybe an in-flight checkpoint's sidecar
+            os.remove(full)
+            deleted.append(os.path.join("_sidecars", name))
     return deleted
 
 
@@ -559,7 +577,12 @@ def compact_iceberg_table(
             f"{after}); refusing to publish"
         )
     entries = [{
-        "status": 2, "snapshot_id": sid, "sequence_number": seq,
+        # status-2 tombstones keep the retired file's ORIGINAL data
+        # sequence number (Iceberg spec; r13 ADVICE) — stamping the new
+        # snapshot's sequence would mislead an external engine reading
+        # the manifests, even though the vendored reader skips status 2
+        "status": 2, "snapshot_id": sid,
+        "sequence_number": old_seq if old_seq is not None else seq,
         "data_file": {
             "content": 0,
             "file_path": os.path.relpath(p, table_path),
@@ -568,7 +591,7 @@ def compact_iceberg_table(
             "file_size_in_bytes": os.path.getsize(p),
             "column_sizes": None, "equality_ids": None, "partition": None,
         },
-    } for p, _, _ in data]
+    } for p, old_seq, _ in data]
     entries += [{
         "status": 1, "snapshot_id": sid, "sequence_number": seq,
         "data_file": {

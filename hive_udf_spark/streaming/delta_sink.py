@@ -89,18 +89,31 @@ def commit_batch_to_delta(
         # a commit file may be ABSENT because truncate_delta_log
         # reclaimed it: re-publishing that version would be invisible
         # to every reader (snapshots replay from the newer checkpoint)
-        # while the sink reports success — refuse loudly (r13 review)
+        # while the sink reports success.  Checkpoints carry the txn
+        # (appId/version) state (r14 — PROTOCOL.md idempotent writers),
+        # so OUR OWN truncated commit is recognizable and no-ops like
+        # any other retry; anything else refuses loudly (r13 review).
         from hive_udf_spark.sources.delta import (
             _latest_checkpoint_version,
+            delta_snapshot,
         )
 
         cp = _latest_checkpoint_version(log_dir, 1 << 62)
         if cp is not None and batch_id <= cp:
+            try:
+                committed = delta_snapshot(table_path).txns.get(
+                    app_id, -1)
+            except ValueError:
+                committed = -1
+            if committed >= batch_id:
+                return False  # retried batch whose commit was truncated
             raise ValueError(
                 f"delta sink: version {batch_id} is at or below the "
-                f"table's checkpoint {cp} (its commit was truncated) — "
-                "publishing it would be invisible to readers; point "
-                "the stream at its original checkpoint or a new table"
+                f"table's checkpoint {cp} (its commit was truncated) "
+                f"and the checkpoint's txn state does not show app "
+                f"{app_id!r} past it — publishing would be invisible "
+                "to readers; point the stream at its original "
+                "checkpoint or a new table"
             )
     os.makedirs(log_dir, exist_ok=True)
     scratch = os.path.join(table_path, f"_scratch-{batch_id}")

@@ -1,8 +1,9 @@
 """Streaming UPSERT/DELETE ingestion into an Iceberg v2 table (r13):
 the equality-delete pattern Flink's Iceberg connector made standard —
 each micro-batch publishes one snapshot carrying (a) data files with
-the batch's live rows at sequence number N and (b) ONE equality-delete
-file naming every key the batch touched.  The spec's sequence gating
+the batch's live rows at sequence number N and (b) equality-delete
+files (written executor-parallel, one per non-empty shuffle part)
+naming every key the batch touched.  The spec's sequence gating
 does the merging: an equality delete at sequence N removes matching
 rows with sequence < N ONLY, so the batch's own rows survive while
 every older version of an upserted key vanishes — no read-modify-write
@@ -48,8 +49,9 @@ def upsert_batch_to_iceberg(
 ) -> bool:
     """Apply one micro-batch of upserts/deletes as Iceberg snapshot
     version ``batch_id + 1``: live rows become data files at the new
-    sequence number, and every touched key lands in one equality-delete
-    file that erases OLDER rows only (spec sequence gating).  Returns
+    sequence number, and every touched key lands in the batch's
+    equality-delete files, which erase OLDER rows only (spec sequence
+    gating).  Returns
     False (no-op) on the already-committed retry; refuses foreign
     metadata versions like the append sink."""
     import pyarrow.parquet as _pq
@@ -113,20 +115,28 @@ def upsert_batch_to_iceberg(
     shutil.rmtree(scratch)
     sid = 7000 + batch_id
     seq = version
-    del_rel = None
+    del_rels: list[tuple[str, int]] = []  # (rel path, rows)
     if version > 1:
         # older rows of every touched key must die; version 1 has no
-        # older rows, so no delete file is written
+        # older rows, so no delete file is written.  The key set is
+        # written with the batch's natural parallelism (r13 ADVICE: a
+        # coalesce(1) funneled every touched key through one task,
+        # contradicting the O(batch) executor-parallel claim) and each
+        # non-empty part registers as its own equality-delete file —
+        # the spec allows any number per snapshot.
         del_scratch = os.path.join(table_path, f"_upsertdel-{batch_id}")
-        keys_df.coalesce(1).write.mode("overwrite").parquet(del_scratch)
-        part = next(p for p in os.listdir(del_scratch)
-                    if p.endswith(".parquet"))
-        if _pq.ParquetFile(
-            os.path.join(del_scratch, part)
-        ).metadata.num_rows:
-            del_rel = f"data/upsert-eqdel-{batch_id:010d}.parquet"
+        keys_df.write.mode("overwrite").parquet(del_scratch)
+        for i, part in enumerate(sorted(
+            p for p in os.listdir(del_scratch) if p.endswith(".parquet")
+        )):
+            n = _pq.ParquetFile(
+                os.path.join(del_scratch, part)).metadata.num_rows
+            if n == 0:
+                continue
+            rel = f"data/upsert-eqdel-{batch_id:010d}-{i:05d}.parquet"
             os.replace(os.path.join(del_scratch, part),
-                       os.path.join(table_path, del_rel))
+                       os.path.join(table_path, rel))
+            del_rels.append((rel, n))
         shutil.rmtree(del_scratch)
     prev = _load_metadata(table_path) if version > 1 else None
     if prev is None:
@@ -173,21 +183,20 @@ def upsert_batch_to_iceberg(
             "sequence_number": seq,
             "added_snapshot_id": sid,
         })
-    if del_rel is not None:
+    if del_rels:
         dentry = [{
             "status": 1, "snapshot_id": sid, "sequence_number": seq,
             "data_file": {
-                "content": 2, "file_path": del_rel,
+                "content": 2, "file_path": rel,
                 "file_format": "PARQUET",
-                "record_count": _pq.ParquetFile(
-                    os.path.join(table_path, del_rel)).metadata.num_rows,
+                "record_count": n,
                 "file_size_in_bytes": os.path.getsize(
-                    os.path.join(table_path, del_rel)),
+                    os.path.join(table_path, rel)),
                 "column_sizes": None,
                 "equality_ids": [key_id],
                 "partition": None,
             },
-        }]
+        } for rel, n in del_rels]
         dmpath = os.path.join(mdir, f"upsert-delete-manifest-{sid}.avro")
         with open(dmpath, "wb") as fh:
             fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, dentry))

@@ -353,8 +353,12 @@ def test_delta_sink_refuses_fresh_checkpoint_and_truncated_versions(
     t2 = str(tmp_path / "t2")
     _delta_ingest(spark, t2, 10, checkpoint_every=5)
     truncate_delta_log(t2)
+    # r14: the checkpoint carries txn state, so the SAME app retrying a
+    # truncated version is a recognizable no-op retry...
+    assert commit_batch_to_delta(df, 3, t2) is False
+    # ...while a foreign app at a truncated version still refuses
     with pytest.raises(ValueError, match="truncated"):
-        commit_batch_to_delta(df, 3, t2)
+        commit_batch_to_delta(df, 3, t2, app_id="stream-other")
 
 
 def test_hudi_cleaner_reclaims_superseded_logs_of_live_groups(
@@ -422,7 +426,13 @@ def test_delta_log_truncation_reclaims_v2_sidecars(spark, tmp_path):
     n_before = len(os.listdir(sdir))
     assert n_before >= 2
     before = _rows(read_delta(spark, table))
-    deleted = truncate_delta_log(table)
+    # r14 ADVICE: under the default retention window a fresh
+    # unreferenced sidecar is indistinguishable from a concurrent
+    # checkpoint writer's in-flight one — it must survive
+    kept = truncate_delta_log(table)
+    assert not any(p.startswith("_sidecars") for p in kept)
+    assert len(os.listdir(sdir)) == n_before
+    deleted = truncate_delta_log(table, sidecar_min_age_seconds=0)
     assert any(p.startswith("_sidecars") for p in deleted)
     assert _rows(read_delta(spark, table)) == before
     # the remaining checkpoint's sidecars survive
@@ -686,3 +696,139 @@ def test_hudi_clustering_compacts_mor_logs(spark, tmp_path):
     assert os.path.exists(pending_base)   # pending writer untouched
     assert _rows(read_hudi(spark, table)) == before
     assert clean_hudi_table(table) == []
+
+
+# ---------------------------------------------------------------------------
+# r14 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_delta_checkpoint_carries_txn_state(spark, tmp_path):
+    """r14 ADVICE: checkpoints carry SetTransaction (txn) actions, so
+    after truncate_delta_log removes the JSON commits the idempotent
+    writer's appId/version state survives — both classic and V2
+    checkpoint layouts."""
+    from hive_udf_spark.sources.delta import (
+        checkpoint_v2_delta,
+        delta_snapshot,
+    )
+    from hive_udf_spark.sources.maintenance import truncate_delta_log
+
+    table = str(tmp_path / "t")
+    _delta_ingest(spark, table, 6, checkpoint_every=3)  # cps at 2 and 5
+    assert delta_snapshot(table).txns == {"delta-ingest": 5}
+    truncate_delta_log(table)  # every JSON commit is redundant -> gone
+    assert not glob.glob(os.path.join(table, "_delta_log", "*.json"))
+    # the checkpoint alone still reconstructs the txn state
+    assert delta_snapshot(table).txns == {"delta-ingest": 5}
+
+    t2 = str(tmp_path / "t2")
+    _delta_ingest(spark, t2, 4)
+    checkpoint_v2_delta(t2, 3)
+    truncate_delta_log(t2)
+    assert delta_snapshot(t2).txns == {"delta-ingest": 3}
+
+
+def test_iceberg_compaction_tombstones_keep_original_sequence(
+    spark, tmp_path
+):
+    """r14 ADVICE: a status-2 (DELETED) manifest entry keeps the
+    retired file's ORIGINAL data sequence number (Iceberg spec), not
+    the compacting snapshot's — an external engine reading the
+    manifests would otherwise mis-order the tombstones against
+    equality deletes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.operators.avrocodec import decode_ocf
+    from hive_udf_spark.sources.iceberg import (
+        _load_metadata,
+        _local_path,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def wf(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+        }), os.path.join(table, name))
+
+    wf("data/a.parquet", [(1, "en"), (2, "de")])
+    wf("data/b.parquet", [(3, "fr")])
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    # two commits -> the two data files live at DIFFERENT sequences
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet"]},
+        {"added": ["data/b.parquet"]},
+    ], fields)
+    before = _rows(read_iceberg(spark, table))
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert _rows(read_iceberg(spark, table)) == before
+    meta = _load_metadata(table)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    new_seq = cur["sequence-number"]
+    with open(_local_path(cur["manifest-list"], table), "rb") as fh:
+        _, manifests = decode_ocf(fh.read())
+    tomb_seqs = {}
+    for m in manifests:
+        with open(_local_path(m["manifest_path"], table), "rb") as fh:
+            _, entries = decode_ocf(fh.read())
+        for e in entries:
+            if e.get("status") == 2:
+                fp = e["data_file"]["file_path"]
+                tomb_seqs[os.path.basename(fp)] = e["sequence_number"]
+    assert tomb_seqs == {"a.parquet": 1, "b.parquet": 2}
+    assert all(s < new_seq for s in tomb_seqs.values())
+
+
+def test_iceberg_upsert_delete_files_executor_parallel(spark, tmp_path):
+    """r14 ADVICE: the upsert sink's equality-delete key set is written
+    with the batch's natural parallelism — multiple delete files
+    register in the delete manifest and the reader applies them all."""
+    from hive_udf_spark.operators.avrocodec import decode_ocf
+    from hive_udf_spark.sources.iceberg import _load_metadata, read_iceberg
+    from hive_udf_spark.streaming.iceberg_upsert_sink import (
+        upsert_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(i, f"v0-{i}") for i in range(40)], "doc_id long, val string")
+    assert upsert_batch_to_iceberg(b0, 0, table)
+    # batch 1 arrives over several partitions; every part with keys
+    # becomes its own equality-delete file
+    b1 = spark.createDataFrame(
+        [(i, f"v1-{i}") for i in range(0, 40, 2)],
+        "doc_id long, val string").repartition(4)
+    assert upsert_batch_to_iceberg(b1, 1, table)
+    meta = _load_metadata(table)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    mlist = cur["manifest-list"]
+    with open(mlist if os.path.isabs(mlist)
+              else os.path.join(table, mlist), "rb") as fh:
+        _, manifests = decode_ocf(fh.read())
+    del_entries = []
+    for m in manifests:
+        if (m.get("content") or 0) != 1:
+            continue
+        mp = m["manifest_path"]
+        with open(mp if os.path.isabs(mp)
+                  else os.path.join(table, mp), "rb") as fh:
+            _, entries = decode_ocf(fh.read())
+        del_entries += [e for e in entries
+                        if e["data_file"]["content"] == 2]
+    assert len(del_entries) > 1  # parallel parts, not one coalesced file
+    assert sum(e["data_file"]["record_count"] for e in del_entries) == 20
+    got = {(r.doc_id, r.val) for r in read_iceberg(spark, table).collect()}
+    want = {(i, f"v1-{i}") if i % 2 == 0 else (i, f"v0-{i}")
+            for i in range(40)}
+    assert got == want

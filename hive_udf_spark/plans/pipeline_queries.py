@@ -2692,3 +2692,167 @@ def source_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("null_count", F.lit(0))).cast("long").alias("n_nulls"),
         )
     )
+
+
+@register(
+    "sink_iceberg_partitioned_compaction",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_iceberg_partitioned_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED Iceberg compaction (r14 — the r13 verdict's top
+    task): documents land under a ``truncate[200](doc_id)`` partition
+    spec with the FIRST range split across several small files (the
+    hot ingest partition) and every other range as one file (the cold
+    history).  ``compact_iceberg_table`` rewrites ONLY the hot
+    group — cold groups carry forward as EXISTING manifest entries
+    with their original sequence numbers and partition records — and
+    the swap is validated in-query: the hot partition reads back as
+    one ``compact-`` file, a cold partition still reads its ORIGINAL
+    file (proof the 100 TB cold tail is never rewritten), and
+    driver-side partition pruning works unchanged on the swapped
+    layout.  The oracle hash-checks that per-partition maintenance
+    changed the layout and nothing else."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+    from hive_udf_spark.sources.maintenance import compact_iceberg_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    W = 200
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(f"{table}/data", exist_ok=True)
+        # one staged file per truncate[200] range; the lowest range is
+        # split in two (the hot partition)
+        part_col = (F.col("doc_id") - F.col("doc_id") % W)
+        ranges = sorted(
+            r[0] for r in docs.select(part_col.alias("p"))
+            .distinct().collect()
+        )
+        hot = ranges[0]
+        added = []
+        i = 0
+
+        def stage(df, day):
+            nonlocal i
+            df.coalesce(1).write.parquet(f"{tmp}/stage{i}")
+            part = next(p for p in os.listdir(f"{tmp}/stage{i}")
+                        if p.endswith(".parquet"))
+            rel = f"data/f{i:04d}.parquet"
+            shutil.move(f"{tmp}/stage{i}/{part}", f"{table}/{rel}")
+            added.append((rel, {"day": int(day)}))
+            i += 1
+
+        for day in ranges:
+            sub = docs.filter(part_col == day)
+            if day == hot:
+                stage(sub.filter(F.col("doc_id") % 2 == 0), day)
+                stage(sub.filter(F.col("doc_id") % 2 == 1), day)
+            else:
+                stage(sub, day)
+        write_iceberg_table(table, [{"added": added}], [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+            {"id": 3, "name": "n_chars", "required": False, "type": "long"},
+        ], partition_spec=[
+            {"name": "day", "transform": "truncate[200]", "source-id": 1,
+             "field-id": 1000},
+        ])
+        assert compact_iceberg_table(spark, table, target_files=1)
+        hot_files = read_iceberg(
+            spark, table, partition_filter={"day": int(hot)}
+        ).inputFiles()
+        if len(hot_files) != 1 or "compact-" not in hot_files[0]:
+            raise ValueError(f"hot partition not compacted: {hot_files}")
+        if len(ranges) > 1:
+            cold_files = read_iceberg(
+                spark, table, partition_filter={"day": int(ranges[-1])}
+            ).inputFiles()
+            if len(cold_files) != 1 or "compact-" in cold_files[0]:
+                raise ValueError(
+                    f"cold partition was rewritten: {cold_files}"
+                )
+        return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "sink_hudi_partitioned_clustering",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_hudi_partitioned_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED Hudi clustering (r14 — the r13 verdict's top task):
+    documents land under ``lang=<code>`` partition paths with the
+    first language split across two file groups (the hot partition)
+    and every other language as one group.  ``cluster_hudi_table``
+    publishes one replacecommit that retires ONLY the hot partition's
+    groups — cold partitions stay out of the commit entirely — and
+    the swap is validated in-query: the hot partition reads back as
+    one ``cluster-`` group under its own path, a cold partition still
+    reads its ORIGINAL group, and driver-side partition pruning works
+    unchanged.  The oracle hash-checks the layout swap changed
+    nothing."""
+    import shutil
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    hot = langs[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        os.makedirs(table, exist_ok=True)
+        part_writes: dict = {}
+        i = 0
+
+        def stage(df) -> str:
+            nonlocal i
+            df.coalesce(1).write.parquet(f"{tmp}/stage{i}")
+            part = next(p for p in os.listdir(f"{tmp}/stage{i}")
+                        if p.endswith(".parquet"))
+            src = f"{tmp}/src{i}.parquet"
+            shutil.move(f"{tmp}/stage{i}/{part}", src)
+            i += 1
+            return src
+
+        for lang in langs:
+            sub = docs.filter(F.col("lang") == lang)
+            pdir = f"lang={lang}"
+            if lang == hot:
+                part_writes[pdir] = {
+                    "fg-hot-a": stage(sub.filter(F.col("doc_id") % 2 == 0)),
+                    "fg-hot-b": stage(sub.filter(F.col("doc_id") % 2 == 1)),
+                }
+            else:
+                part_writes[pdir] = {f"fg-{i:04d}": stage(sub)}
+        write_hudi_table(table, [{"partition_writes": part_writes}], [
+            ("doc_id", "bigint"), ("lang", "string"), ("n_chars", "bigint"),
+        ])
+        assert cluster_hudi_table(spark, table, target_files=1)
+        hot_files = read_hudi(
+            spark, table, partitions=[f"lang={hot}"]
+        ).inputFiles()
+        if len(hot_files) != 1 or "cluster-" not in hot_files[0]:
+            raise ValueError(f"hot partition not clustered: {hot_files}")
+        if len(langs) > 1:
+            cold_files = read_hudi(
+                spark, table, partitions=[f"lang={langs[-1]}"]
+            ).inputFiles()
+            if len(cold_files) != 1 or "cluster-" in cold_files[0]:
+                raise ValueError(
+                    f"cold partition was rewritten: {cold_files}"
+                )
+        return read_hudi(spark, table).localCheckpoint(eager=True)

@@ -503,21 +503,64 @@ def clean_hudi_table(table_path: str) -> list[str]:
     return sorted(deleted)
 
 
+def _avro_type_of(values: list) -> str:
+    """Avro type for a partition-record field, inferred from the
+    DECODED values the manifests carried (the round-trip type)."""
+    for v in values:
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+    return "long"  # all-null field: any nullable type round-trips
+
+
+def _iceberg_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """``_MANIFEST_ENTRY_SCHEMA`` with the partition record shaped to
+    the table's ACTUAL spec fields (name, avro type) — the fixture
+    schema's single ``day`` field only fits the fixture spec."""
+    import copy
+
+    from hive_udf_spark.sources.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    if not part_fields:
+        return schema
+    rec = {"type": "record", "name": "r102", "fields": [
+        {"name": n, "type": ["null", t]} for n, t in part_fields
+    ]}
+    for f in schema["fields"]:
+        if f["name"] == "data_file":
+            for df_f in f["type"]["fields"]:
+                if df_f["name"] == "partition":
+                    df_f["type"] = ["null", rec]
+    return schema
+
+
 def compact_iceberg_table(
     spark: SparkSession, table_path: str, target_files: int = 1,
     sort_by: list[str] | None = None,
 ) -> bool:
     """Rewrite the current snapshot's live rows (row-level deletes
     APPLIED — compaction is how they become permanent) into
-    ``target_files`` files and publish one new snapshot whose single
-    data manifest retires every old data file; delete manifests do not
-    carry forward.  Returns False when the table already has ≤
-    ``target_files`` data files and no delete files.  Refuses
-    partitioned specs (the rewrite would drop partition records that
-    driver-side pruning depends on)."""
+    ``target_files`` files PER PARTITION and publish one new snapshot;
+    delete manifests do not carry forward.  Partitioned specs (r14 —
+    the r13 verdict's top task) compact per partition group, mirroring
+    the Delta per-group design: only HOT groups rewrite (more than
+    ``target_files`` files, or reachable by a row-level delete under
+    the spec's sequence gating — a group whose every file is NEWER
+    than every delete is provably unaffected), cold groups carry
+    forward as EXISTING entries with their original sequence numbers
+    and partition records, so at 100 TB the hot partition compacts
+    without rewriting the cold thousand and driver-side pruning keeps
+    working.  Returns False when nothing needs rewriting."""
     from hive_udf_spark.operators.avrocodec import encode_ocf
     from hive_udf_spark.sources.iceberg import (
-        _MANIFEST_ENTRY_SCHEMA,
         _MANIFEST_FILE_SCHEMA,
         _field_ids_by_name,
         _load_metadata,
@@ -531,27 +574,56 @@ def compact_iceberg_table(
     for s in meta.get("partition-specs") or []:
         if s.get("spec-id") == meta.get("default-spec-id", 0):
             spec_fields = s.get("fields") or []
-    if spec_fields:
-        raise ValueError(
-            "iceberg compaction: partitioned specs not vendored (the "
-            "rewrite would drop the partition records pruning uses)"
-        )
-    if len(data) <= target_files and not pos_deletes and not eq_deletes:
+    part_names = [f["name"] for f in spec_fields]
+    groups: dict[tuple, list[tuple[str, int | None, dict | None]]] = {}
+    for p, fseq, part in data:
+        if part_names and part is None:
+            raise ValueError(
+                "iceberg compaction: partitioned spec but data file "
+                f"{p!r} has no partition record — a rewrite could not "
+                "preserve the pruning metadata"
+            )
+        key = tuple((part or {}).get(n) for n in part_names)
+        groups.setdefault(key, []).append((p, fseq, part))
+    # a position delete at sequence N reaches data files with seq <= N;
+    # an equality delete at N reaches seq < N (the spec's gating) — any
+    # group containing a reachable file must rewrite for the dropped
+    # delete manifests to be sound
+    max_pos = max((s for _, s, _ in pos_deletes), default=None)
+    max_eq = max((s for _, _, s, _ in eq_deletes), default=None)
+
+    def _delete_reachable(entries) -> bool:
+        for _, fseq, _ in entries:
+            if fseq is None:
+                return True  # unresolvable: assume reachable
+            if max_pos is not None and fseq <= max_pos:
+                return True
+            if max_eq is not None and fseq < max_eq:
+                return True
+        return False
+
+    todo = {
+        key: entries for key, entries in groups.items()
+        if len(entries) > target_files or _delete_reachable(entries)
+    }
+    if not todo:
         return False
     sid = max((s.get("snapshot-id", 0) for s in meta.get("snapshots") or []),
               default=999) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
     scratch = os.path.join(table_path, f"_compact-{sid}")
-    live = read_iceberg(spark, table_path)
-    if data and _parquet_has_field_ids(data[0][0]):
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    carry_ids = bool(data) and _parquet_has_field_ids(data[0][0])
+    ids = _field_ids_by_name(meta) if carry_ids else {}
+
+    def _stamp_ids(live):
         # id-carrying tables must STAY id-carrying through compaction —
         # a post-compaction column rename would otherwise silently stop
         # resolving.  The alias metadata rides the read path's cloned
         # session, so the write flag never leaks into the caller's conf.
         from pyspark.sql import functions as F
 
-        ids = _field_ids_by_name(meta)
-        if all(n in ids for n in live.columns):
+        if carry_ids and all(n in ids for n in live.columns):
             live = live.select([
                 F.col(n).alias(n, metadata={"parquet.field.id": int(ids[n])})
                 for n in live.columns
@@ -559,59 +631,100 @@ def compact_iceberg_table(
             live.sparkSession.conf.set(
                 "spark.sql.parquet.fieldId.write.enabled", "true"
             )
-    parts = _rewrite(live, scratch, target_files, sort_by)
-    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
-    rels = []
-    for i, src in enumerate(parts):
-        rel = f"data/compact-{sid}-{i:05d}.parquet"
-        os.replace(src, os.path.join(table_path, rel))
-        rels.append(rel)
-    shutil.rmtree(scratch)
-    after = sum(_pq_rows(os.path.join(table_path, r)) for r in rels)
-    expected = live.count() if pos_deletes or eq_deletes else sum(
-        _pq_rows(p) for p, _, _ in data
-    )
-    if after != expected:
-        raise ValueError(
-            f"iceberg compaction: row count changed ({expected} -> "
-            f"{after}); refusing to publish"
+        return live
+
+    entries: list[dict] = []
+    for gi, (key, group) in enumerate(sorted(
+        todo.items(),
+        key=lambda kv: tuple(("", "") if x is None else (type(x).__name__,
+                                                         str(x))
+                             for x in kv[0])
+    )):
+        part_rec = group[0][2] if part_names else None
+        pfilter = dict(zip(part_names, key)) if part_names else None
+        live = _stamp_ids(read_iceberg(spark, table_path,
+                                       partition_filter=pfilter))
+        parts = _rewrite(live, os.path.join(scratch, str(gi)),
+                         target_files, sort_by)
+        rels = []
+        for i, src in enumerate(parts):
+            rel = f"data/compact-{sid}-{gi:05d}-{i:05d}.parquet"
+            os.replace(src, os.path.join(table_path, rel))
+            rels.append(rel)
+        after = sum(_pq_rows(os.path.join(table_path, r)) for r in rels)
+        expected = live.count() if _delete_reachable(group) else sum(
+            _pq_rows(p) for p, _, _ in group
         )
-    entries = [{
-        # status-2 tombstones keep the retired file's ORIGINAL data
-        # sequence number (Iceberg spec; r13 ADVICE) — stamping the new
-        # snapshot's sequence would mislead an external engine reading
-        # the manifests, even though the vendored reader skips status 2
-        "status": 2, "snapshot_id": sid,
-        "sequence_number": old_seq if old_seq is not None else seq,
-        "data_file": {
-            "content": 0,
-            "file_path": os.path.relpath(p, table_path),
-            "file_format": "PARQUET",
-            "record_count": _pq_rows(p),
-            "file_size_in_bytes": os.path.getsize(p),
-            "column_sizes": None, "equality_ids": None, "partition": None,
-        },
-    } for p, old_seq, _ in data]
-    entries += [{
-        "status": 1, "snapshot_id": sid, "sequence_number": seq,
-        "data_file": {
-            "content": 0, "file_path": rel, "file_format": "PARQUET",
-            "record_count": _pq_rows(os.path.join(table_path, rel)),
-            "file_size_in_bytes": os.path.getsize(
-                os.path.join(table_path, rel)),
-            "column_sizes": None, "equality_ids": None, "partition": None,
-        },
-    } for rel in rels]
+        if after != expected:
+            raise ValueError(
+                f"iceberg compaction: row count changed in partition "
+                f"{pfilter or '(table)'} ({expected} -> {after}); "
+                "refusing to publish"
+            )
+        entries += [{
+            # status-2 tombstones keep the retired file's ORIGINAL data
+            # sequence number (Iceberg spec; r13 ADVICE) — stamping the
+            # new snapshot's sequence would mislead an external engine
+            # reading the manifests, even though the vendored reader
+            # skips status 2
+            "status": 2, "snapshot_id": sid,
+            "sequence_number": old_seq if old_seq is not None else seq,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.relpath(p, table_path),
+                "file_format": "PARQUET",
+                "record_count": _pq_rows(p),
+                "file_size_in_bytes": os.path.getsize(p),
+                "column_sizes": None, "equality_ids": None,
+                "partition": old_part if part_names else None,
+            },
+        } for p, old_seq, old_part in group]
+        entries += [{
+            "status": 1, "snapshot_id": sid, "sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": rel, "file_format": "PARQUET",
+                "record_count": _pq_rows(os.path.join(table_path, rel)),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table_path, rel)),
+                "column_sizes": None, "equality_ids": None,
+                "partition": part_rec,
+            },
+        } for rel in rels]
+    if os.path.isdir(scratch):
+        shutil.rmtree(scratch)
+    # cold groups carry forward as EXISTING (status 0) with their
+    # original sequence numbers — nothing about them changed
+    for key, group in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        if key in todo:
+            continue
+        entries += [{
+            "status": 0, "snapshot_id": sid,
+            "sequence_number": old_seq if old_seq is not None else seq,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.relpath(p, table_path),
+                "file_format": "PARQUET",
+                "record_count": _pq_rows(p),
+                "file_size_in_bytes": os.path.getsize(p),
+                "column_sizes": None, "equality_ids": None,
+                "partition": old_part if part_names else None,
+            },
+        } for p, old_seq, old_part in group]
+    part_types = [
+        (n, _avro_type_of([k[i] for k in groups]))
+        for i, n in enumerate(part_names)
+    ]
+    entry_schema = _iceberg_entry_schema(part_types)
     mdir = os.path.join(table_path, "metadata")
     mpath = os.path.join(mdir, f"compact-manifest-{sid}.avro")
     with open(mpath, "wb") as fh:
-        fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+        fh.write(encode_ocf(entry_schema, entries))
     lpath = os.path.join(mdir, f"snap-{sid}-manifest-list.avro")
     with open(lpath, "wb") as fh:
         fh.write(encode_ocf(_MANIFEST_FILE_SCHEMA, [{
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,
             "sequence_number": seq,
             "added_snapshot_id": sid,
@@ -649,12 +762,16 @@ def cluster_hudi_table(
     sort_by: list[str] | None = None,
 ) -> bool:
     """Rewrite the table's live rows (MOR log merges and tombstones
-    APPLIED) into ``target_files`` new file groups and publish one
-    ``replacecommit`` retiring every live group — Hudi's clustering,
-    which for MOR tables is also log compaction (logs vanish with
-    their replaced groups).  Returns False when the table already has
-    ≤ ``target_files`` base-only file groups.  Refuses partitioned
-    layouts."""
+    APPLIED) into ``target_files`` new file groups PER PARTITION and
+    publish one ``replacecommit`` retiring the rewritten groups —
+    Hudi's clustering, which for MOR tables is also log compaction
+    (logs vanish with their replaced groups).  Partitioned layouts
+    (r14 — the r13 verdict's top task) cluster per partition path,
+    mirroring the Delta per-group design: only HOT partitions rewrite
+    (more than ``target_files`` file groups, or any slice carrying
+    MOR logs); cold partitions stay out of the replacecommit entirely,
+    so at 100 TB the hot partition clusters without rewriting the cold
+    thousand.  Returns False when nothing needs rewriting."""
     from hive_udf_spark.sources.hudi import (
         _file_slices,
         _hoodie_dir,
@@ -663,18 +780,19 @@ def cluster_hudi_table(
     )
 
     slices, last_meta, props = _file_slices(table_path)
-    if any(part for part, _ in slices):
-        raise ValueError(
-            "hudi clustering: partitioned tables not vendored"
-        )
-    has_logs = any(sl.logs for sl in slices.values())
-    if len(slices) <= target_files and not has_logs:
+    by_part: dict[str, list[str]] = {}  # partition path -> fileIds
+    hot: set[str] = set()
+    for (part, fid), sl in slices.items():
+        by_part.setdefault(part, []).append(fid)
+        if sl.logs:
+            hot.add(part)
+    hot |= {part for part, fids in by_part.items()
+            if len(fids) > target_files}
+    if not hot:
         return False
     pinned = _schema_from_commit(last_meta or {})
     if pinned is None:
         raise ValueError("hudi clustering: table has no stamped schema")
-    live = read_hudi(spark, table_path)
-    expected = live.count()
     timeline_dir = _hoodie_dir(table_path)
     existing = [
         n.split(".")[0].split("_")[0]
@@ -683,29 +801,40 @@ def cluster_hudi_table(
     ]
     instant = f"{max(int(i) for i in existing) + 1}"
     scratch = os.path.join(table_path, f"_cluster-{instant}")
-    parts = _rewrite(live, scratch, target_files, sort_by)
-    stats = []
-    for i, src in enumerate(parts):
-        fid = f"cluster-{instant}-{i:05d}"
-        rel = f"{fid}_0-0-0_{instant}.parquet"
-        os.replace(src, os.path.join(table_path, rel))
-        stats.append({
-            "fileId": fid, "path": rel, "prevCommit": "null",
-            "numWrites": _pq_rows(os.path.join(table_path, rel)),
-            "fileSizeInBytes": os.path.getsize(
-                os.path.join(table_path, rel)),
-        })
-    shutil.rmtree(scratch)
-    after = sum(st["numWrites"] for st in stats)
-    if after != expected:
-        raise ValueError(
-            f"hudi clustering: row count changed ({expected} -> {after}); "
-            "refusing to publish"
-        )
+    stats_by_part: dict[str, list[dict]] = {}
+    for gi, part in enumerate(sorted(hot)):
+        live = read_hudi(spark, table_path, partitions=[part])
+        expected = live.count()
+        parts = _rewrite(live, os.path.join(scratch, str(gi)),
+                         target_files, sort_by)
+        dest_dir = os.path.join(table_path, part) if part else table_path
+        os.makedirs(dest_dir, exist_ok=True)
+        stats = []
+        for i, src in enumerate(parts):
+            fid = f"cluster-{instant}-{gi:05d}-{i:05d}"
+            name = f"{fid}_0-0-0_{instant}.parquet"
+            rel = os.path.join(part, name) if part else name
+            os.replace(src, os.path.join(table_path, rel))
+            stats.append({
+                "fileId": fid, "path": rel, "prevCommit": "null",
+                "numWrites": _pq_rows(os.path.join(table_path, rel)),
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(table_path, rel)),
+            })
+        after = sum(st["numWrites"] for st in stats)
+        if after != expected:
+            raise ValueError(
+                f"hudi clustering: row count changed in partition "
+                f"{part or '(table)'} ({expected} -> {after}); "
+                "refusing to publish"
+            )
+        stats_by_part[part] = stats
+    if os.path.isdir(scratch):
+        shutil.rmtree(scratch)
     meta = {
-        "partitionToWriteStats": {"": stats},
+        "partitionToWriteStats": stats_by_part,
         "partitionToReplaceFileIds": {
-            "": sorted(fid for _, fid in slices)
+            part: sorted(by_part[part]) for part in sorted(hot)
         },
         "compacted": True,
         "extraMetadata": dict((last_meta or {}).get("extraMetadata") or {}),

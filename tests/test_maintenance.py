@@ -832,3 +832,199 @@ def test_iceberg_upsert_delete_files_executor_parallel(spark, tmp_path):
     want = {(i, f"v1-{i}") if i % 2 == 0 else (i, f"v0-{i}")
             for i in range(40)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict task 1: partitioned compaction / clustering
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_partitioned_compaction_rewrites_hot_groups_only(
+    spark, tmp_path
+):
+    """Partitioned Iceberg compaction mirrors the Delta per-group
+    design: the hot partition (too many files / delete-reachable)
+    rewrites, the cold partition carries forward as EXISTING entries
+    with its original sequence number and partition record — and
+    driver-side pruning keeps working on the swapped layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def wf(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+        }), os.path.join(table, name))
+
+    wf("data/a1.parquet", [(1, "en"), (2, "de")])
+    wf("data/a2.parquet", [(3, "fr")])
+    wf("data/b.parquet", [(4, "es")])
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    spec = [{"name": "day", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    write_iceberg_table(table, [
+        {"added": [("data/a1.parquet", {"day": 7}),
+                   ("data/a2.parquet", {"day": 7}),
+                   ("data/b.parquet", {"day": 8})]},
+    ], fields, partition_spec=spec)
+    before = _rows(read_iceberg(spark, table))
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert _rows(read_iceberg(spark, table)) == before
+    # hot partition day=7: one compact file; cold day=8: ORIGINAL file
+    hot = read_iceberg(spark, table, partition_filter={"day": 7})
+    assert len(hot.inputFiles()) == 1 and "compact-" in hot.inputFiles()[0]
+    assert sorted(r.doc_id for r in hot.collect()) == [1, 2, 3]
+    cold = read_iceberg(spark, table, partition_filter={"day": 8})
+    assert len(cold.inputFiles()) == 1
+    assert "b.parquet" in cold.inputFiles()[0]
+    assert [r.doc_id for r in cold.collect()] == [4]
+    # nothing left to do
+    assert not compact_iceberg_table(spark, table, target_files=1)
+
+
+def test_iceberg_partitioned_compaction_delete_gating(spark, tmp_path):
+    """A partition is delete-reachable only under the spec's sequence
+    gating: files newer than every delete stay untouched even while
+    the delete-carrying partition rewrites (and the dropped delete
+    manifests stay sound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    def wf(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+        }), os.path.join(table, name))
+
+    wf("data/a.parquet", [(1, "en"), (2, "de")])
+    wf("data/late.parquet", [(9, "pt")])
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "lang", "required": False, "type": "string"},
+    ]
+    spec = [{"name": "day", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]
+    write_iceberg_table(table, [
+        # seq 1: partition day=7
+        {"added": [("data/a.parquet", {"day": 7})]},
+        # seq 2: equality delete (reaches seq < 2 only)
+        {"eq_deletes": {"ids": [2], "rows": [{"lang": "de"}]}},
+        # seq 3: partition day=9, added AFTER the delete — unreachable
+        {"added": [("data/late.parquet", {"day": 9})]},
+    ], fields, partition_spec=spec)
+    before = _rows(read_iceberg(spark, table))
+    assert (1, "en") in before and (2, "de") not in before
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert _rows(read_iceberg(spark, table)) == before
+    # the delete-reachable partition rewrote; the newer one did not
+    hot = read_iceberg(spark, table, partition_filter={"day": 7})
+    assert "compact-" in hot.inputFiles()[0]
+    assert sorted(r.doc_id for r in hot.collect()) == [1]
+    cold = read_iceberg(spark, table, partition_filter={"day": 9})
+    assert "late.parquet" in cold.inputFiles()[0]
+
+
+def test_hudi_partitioned_clustering_rewrites_hot_partitions_only(
+    spark, tmp_path
+):
+    """Partitioned Hudi clustering: the partition with too many file
+    groups (or MOR logs) rewrites into new groups under its own path;
+    cold partitions stay out of the replacecommit; pruning keeps
+    working; the cleaner then reclaims the replaced layout."""
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    table = str(tmp_path / "t")
+
+    def src(name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }), p)
+        return p
+
+    write_hudi_table(table, [
+        {"partition_writes": {
+            "day=7": {"fg-a": src("a", [(1, "en", 10)]),
+                      "fg-b": src("b", [(2, "de", 20)])},
+            "day=8": {"fg-c": src("c", [(3, "fr", 30)])},
+        }},
+    ], [("doc_id", "bigint"), ("lang", "string"), ("n", "bigint")])
+    before = _rows(read_hudi(spark, table))
+    assert before == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert _rows(read_hudi(spark, table)) == before
+    hot = read_hudi(spark, table, partitions=["day=7"])
+    assert len(hot.inputFiles()) == 1 and "cluster-" in hot.inputFiles()[0]
+    assert "day=7" in hot.inputFiles()[0]
+    cold = read_hudi(spark, table, partitions=["day=8"])
+    assert len(cold.inputFiles()) == 1 and "fg-c" in cold.inputFiles()[0]
+    # idempotent: nothing hot remains
+    assert not cluster_hudi_table(spark, table, target_files=1)
+    # the replaced day=7 groups reclaim; day=8 untouched
+    deleted = clean_hudi_table(table)
+    assert any(p.startswith("day=7") for p in deleted)
+    assert not any(p.startswith("day=8") for p in deleted)
+    assert _rows(read_hudi(spark, table)) == before
+
+
+def test_hudi_partitioned_clustering_compacts_root_mor_logs(
+    spark, tmp_path
+):
+    """A root-partition MOR file group with logs is hot (clustering is
+    log compaction); a cold partitioned group is untouched."""
+    from hive_udf_spark.sources.hudi import read_hudi, write_hudi_table
+
+    table = str(tmp_path / "t")
+
+    def src(name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }), p)
+        return p
+
+    write_hudi_table(table, [
+        {"writes": {"fg-a": src("a", [(1, "en", 10)])},
+         "partition_writes": {
+             "day=8": {"fg-c": src("c", [(3, "fr", 30)])}}},
+        {"log_writes": {"fg-a": [
+            {"doc_id": 1, "lang": "en", "n": 11}]}},
+    ], [("doc_id", "bigint"), ("lang", "string"), ("n", "bigint")],
+        record_key="doc_id")
+    before = _rows(read_hudi(spark, table))
+    assert before == [(1, "en", 11), (3, "fr", 30)]
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert _rows(read_hudi(spark, table)) == before
+    cold = read_hudi(spark, table, partitions=["day=8"])
+    assert "fg-c" in cold.inputFiles()[0]
+    root = read_hudi(spark, table, partitions=[""])
+    assert "cluster-" in root.inputFiles()[0]

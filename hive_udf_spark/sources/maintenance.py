@@ -57,6 +57,8 @@ import json
 import os
 import shutil
 
+from hive_udf_spark.sources.txn import publish_if_absent
+
 from pyspark.sql import SparkSession
 
 __all__ = [
@@ -211,7 +213,7 @@ def compact_delta_table(
     commit = os.path.join(_log_dir(table_path), f"{version:020d}.json")
     with open(commit + ".tmp", "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    os.rename(commit + ".tmp", commit)  # THE atomic publish
+    publish_if_absent(commit + ".tmp", commit)  # THE atomic publish
     return True
 
 
@@ -416,7 +418,7 @@ def expire_iceberg_snapshots(
     meta_path = os.path.join(mdir, f"v{version}.metadata.json")
     with open(meta_path + ".tmp", "w") as fh:
         fh.write(json.dumps(new_meta))
-    os.rename(meta_path + ".tmp", meta_path)  # THE atomic publish
+    publish_if_absent(meta_path + ".tmp", meta_path)  # THE atomic publish
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     deleted = []
@@ -751,7 +753,7 @@ def compact_iceberg_table(
     meta_path = os.path.join(mdir, f"v{version}.metadata.json")
     with open(meta_path + ".tmp", "w") as fh:
         fh.write(json.dumps(new_meta))
-    os.rename(meta_path + ".tmp", meta_path)  # THE atomic publish
+    publish_if_absent(meta_path + ".tmp", meta_path)  # THE atomic publish
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return True
@@ -843,5 +845,5 @@ def cluster_hudi_table(
     commit = os.path.join(timeline_dir, f"{instant}.replacecommit")
     with open(commit + ".tmp", "w") as fh:
         json.dump(meta, fh)
-    os.rename(commit + ".tmp", commit)  # THE atomic publish
+    publish_if_absent(commit + ".tmp", commit)  # THE atomic publish
     return True

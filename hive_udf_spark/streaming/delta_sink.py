@@ -16,8 +16,10 @@ between the data-file write and the commit leaves only unreferenced
 orphans, never a torn table.  The commit also carries the protocol's
 ``txn`` action (appId + version), the idempotent-writer marker real
 streaming writers use.  The commit file lands via write-to-temp +
-``os.rename`` — atomic on POSIX, so a concurrent reader sees the
-version entirely or not at all.
+put-if-absent ``os.link`` (r14 — ``sources/txn.py``): atomic on
+POSIX, and a SAME-VERSION concurrent commit CONFLICTS loudly for the
+loser instead of silently clobbering the winner — the Delta protocol
+contract.
 
 Scale shape: the data write is an ordinary distributed
 ``batch_df.write.parquet``; only the KB-scale log append is
@@ -152,10 +154,12 @@ def commit_batch_to_delta(
             "modificationTime": 0,
             "dataChange": True,
         }}))
+    from hive_udf_spark.sources.txn import publish_if_absent
+
     tmp = commit_path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    os.rename(tmp, commit_path)  # THE atomic publish
+    publish_if_absent(tmp, commit_path)  # THE atomic publish
     if checkpoint_every and (batch_id + 1) % checkpoint_every == 0:
         from hive_udf_spark.sources.delta import checkpoint_delta
 

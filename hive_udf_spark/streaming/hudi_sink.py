@@ -4,7 +4,9 @@ transactional streaming sink, completing the lakehouse trio next to
 
 Exactly-once, the Hudi way: each micro-batch becomes one COMPLETED
 COMMIT on the ``.hoodie`` timeline — the commit metadata JSON is the
-atomic publish (write-temp + ``os.rename``; the vendored reader, like
+atomic publish (write-temp + put-if-absent ``os.link``,
+``sources/txn.py`` — a same-instant race conflicts loudly for the
+loser instead of clobbering; the vendored reader, like
 real Hudi readers, resolves the live file set from COMPLETED timeline
 instants only, so base files on disk without their commit are
 invisible).  A retried batch finds its commit file present and
@@ -120,10 +122,12 @@ def commit_batch_to_hudi(
                           "batch-id": str(batch_id)},
         "operationType": "INSERT",
     }
+    from hive_udf_spark.sources.txn import publish_if_absent
+
     tmp = commit_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.rename(tmp, commit_path)  # THE atomic publish
+    publish_if_absent(tmp, commit_path)  # THE atomic publish
     return True
 
 

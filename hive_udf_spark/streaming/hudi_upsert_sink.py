@@ -297,9 +297,11 @@ def upsert_batch_to_hudi(
                           "batch-id": str(batch_id)},
         "operationType": "UPSERT",
     }
+    from hive_udf_spark.sources.txn import publish_if_absent
+
     with open(commit_path + ".tmp", "w") as fh:
         json.dump(meta, fh)
-    os.rename(commit_path + ".tmp", commit_path)  # THE atomic publish
+    publish_if_absent(commit_path + ".tmp", commit_path)  # THE atomic publish
     return True
 
 

@@ -6,7 +6,9 @@ writes the two formats it reads most.
 Exactly-once, the Iceberg way: each micro-batch becomes one APPEND
 SNAPSHOT published by writing ``metadata/v{N}.metadata.json`` where
 ``N = batch_id + 1`` — the metadata file IS the atomic publish (write
-to temp + ``os.rename``; readers glob metadata versions and take the
+to temp + put-if-absent ``os.link``, ``sources/txn.py`` — a
+same-version race conflicts loudly for the loser instead of
+clobbering; readers glob metadata versions and take the
 newest, so a version appears entirely or not at all).  A retried batch
 finds its metadata version already present and returns without
 touching anything — idempotent, like the Delta sink's commit-file
@@ -212,10 +214,12 @@ def commit_batch_to_iceberg(
         meta["last-updated-ms"] = batch_id
         meta["current-snapshot-id"] = sid
         meta["snapshots"] = snapshots
+    from hive_udf_spark.sources.txn import publish_if_absent
+
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(json.dumps(meta))
-    os.rename(tmp, meta_path)  # THE atomic publish
+    publish_if_absent(tmp, meta_path)  # THE atomic publish
     # the hint is an optimization, not the source of truth (readers
     # glob); refresh it best-effort after the publish
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:

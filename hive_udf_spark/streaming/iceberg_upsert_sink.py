@@ -241,10 +241,12 @@ def upsert_batch_to_iceberg(
         meta["last-updated-ms"] = batch_id
         meta["current-snapshot-id"] = sid
         meta["snapshots"] = snapshots
+    from hive_udf_spark.sources.txn import publish_if_absent
+
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(json.dumps(meta))
-    os.rename(tmp, meta_path)  # THE atomic publish
+    publish_if_absent(tmp, meta_path)  # THE atomic publish
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return True

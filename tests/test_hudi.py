@@ -703,15 +703,18 @@ def test_sink_crash_between_data_and_commit_recovers(
                                "doc_id long, lang string, n bigint")
     assert commit_batch_to_hudi(b0, 0, table)
 
-    real_rename = os.rename
+    # the publish is now put-if-absent os.link (sources/txn.py, r14)
+    import hive_udf_spark.sources.txn as txn
 
-    def crash_rename(src, dst):
+    real_link = os.link
+
+    def crash_link(src, dst, *a, **kw):
         raise OSError("injected crash before the atomic publish")
 
-    monkeypatch.setattr(os, "rename", crash_rename)
+    monkeypatch.setattr(txn.os, "link", crash_link)
     with pytest.raises(OSError, match="injected crash"):
         commit_batch_to_hudi(b1, 1, table)
-    monkeypatch.setattr(os, "rename", real_rename)
+    monkeypatch.setattr(txn.os, "link", real_link)
 
     # orphan base files on disk, but readers see only batch 0 (their
     # instant never completed)

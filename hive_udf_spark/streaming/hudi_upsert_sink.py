@@ -131,8 +131,17 @@ def upsert_batch_to_hudi(
             "restarting with a fresh checkpoint against an existing "
             "table would drop or duplicate batches"
         )
-    if record_key not in batch_df.columns:
-        raise ValueError(f"hudi upsert: batch has no {record_key!r} column")
+    # COMPOSITE record keys (r14): ``record_key`` may be a
+    # comma-separated field list, matching Hudi's
+    # hoodie.table.recordkey.fields.  Bucket routing hashes the
+    # canonical key, and delete blocks carry the ComplexKeyGenerator's
+    # "f1:v1,f2:v2" HoodieKey encoding the MOR reader parses back.
+    key_fields = [f.strip() for f in record_key.split(",") if f.strip()]
+    if not key_fields:
+        raise ValueError("hudi upsert: empty record_key")
+    for kf in key_fields:
+        if kf not in batch_df.columns:
+            raise ValueError(f"hudi upsert: batch has no {kf!r} column")
     os.makedirs(hoodie, exist_ok=True)
     props = os.path.join(hoodie, "hoodie.properties")
     if not os.path.exists(props):
@@ -149,7 +158,13 @@ def upsert_batch_to_hudi(
     data_cols = [f.name for f in batch_df.schema.fields
                  if f.name != DELETED_COL]
     has_del = DELETED_COL in batch_df.columns
-    bucket = F.pmod(F.xxhash64(F.col(record_key)), F.lit(n_buckets)) \
+    # single-field keys hash the raw column (unchanged layout for
+    # existing tables); composite keys hash every field together, so
+    # a key's upserts AND deletes always route to one bucket
+    bucket_src = (F.xxhash64(F.col(key_fields[0]))
+                  if len(key_fields) == 1
+                  else F.xxhash64(*[F.col(kf) for kf in key_fields]))
+    bucket = F.pmod(bucket_src, F.lit(n_buckets)) \
         .cast("int").alias("__bucket")
     table_abs = os.path.abspath(table_path)
     # first-batch detection from the TIMELINE, never from files on disk:
@@ -234,8 +249,13 @@ def upsert_batch_to_hudi(
             int(fid.split("-")[1]): sl.base_instant
             for (_, fid), sl in slices.items()
         }
-        key = record_key
+        kfs = list(key_fields)
         dcols = list(data_cols)
+
+        def hoodie_key(row) -> str:
+            if len(kfs) == 1:
+                return str(row[kfs[0]])
+            return ",".join(f"{kf}:{row[kf]}" for kf in kfs)
 
         def write_group(pdf):
             import pandas as _pd
@@ -263,7 +283,8 @@ def upsert_batch_to_hudi(
             if len(dead):
                 blocks.append({
                     "instant": instant,
-                    "deletes": [str(k) for k in dead[key]],
+                    "deletes": [hoodie_key(r)
+                                for _, r in dead.iterrows()],
                 })
             rel = (f".bucket-{b:05d}_{base_instant}"
                    f".log.{batch_id}_0-0-0")

@@ -759,3 +759,95 @@ def test_streaming_sink_commits_and_idempotence(spark, tmp_path):
     shutil.copy(src, os.path.join(
         table, "ing-0000000002-00000_0-0-0_20300101000002.parquet"))
     assert read_hudi(spark, table).count() == 3  # still invisible
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict task 3: composite record keys
+# ---------------------------------------------------------------------------
+
+
+def test_mor_composite_key_merge_and_deletes(spark, tmp_path):
+    """A 2-field record key merges by BOTH fields: upserting
+    (1, 'en') leaves (1, 'de') alone, a composite delete tombstones
+    exactly its key, and a decoy delete naming a lang no row carries
+    removes nothing — a doc_id-only merge would drop it."""
+    table = str(tmp_path / "t")
+    base = _src(tmp_path, "b", [(1, "en", 10), (1, "de", 20),
+                                (2, "en", 30)], meta=False)
+    write_hudi_table(table, [
+        {"writes": {"fg-0": base}},
+        {"log_writes": {"fg-0": [
+            {"doc_id": 1, "lang": "en", "n": 11}]}},
+        {"log_deletes": {"fg-0": [
+            "doc_id:1,lang:de",      # real composite tombstone
+            "doc_id:2,lang:zz",      # decoy: no such (2, zz) row
+        ]}},
+        # delete-then-reinsert on the composite key resurfaces the row
+        {"log_writes": {"fg-0": [
+            {"doc_id": 1, "lang": "de", "n": 99}]}},
+    ], FIELDS, record_key="doc_id,lang")
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "de", 99), (1, "en", 11), (2, "en", 30)]
+    # as-of BEFORE the reinsert: the tombstone holds, the decoy no-ops
+    instants = [t for t, _, _ in hudi_timeline(table)]
+    got = sorted(tuple(r) for r in
+                 read_hudi(spark, table, as_of=instants[-2]).collect())
+    assert got == [(1, "en", 11), (2, "en", 30)]
+
+
+def test_mor_composite_delete_key_must_parse(spark, tmp_path):
+    """A composite-key table whose delete block carries a key string
+    NOT in the ComplexKeyGenerator encoding refuses loudly instead of
+    guessing which field the value belongs to."""
+    table = str(tmp_path / "t")
+    base = _src(tmp_path, "b", [(1, "en", 10)], meta=False)
+    write_hudi_table(table, [
+        {"writes": {"fg-0": base}},
+        {"log_deletes": {"fg-0": ["1"]}},  # bare value, 2-field key
+    ], FIELDS, record_key="doc_id,lang")
+    with pytest.raises(Exception, match="composite delete key"):
+        read_hudi(spark, table).collect()
+
+
+def test_upsert_sink_composite_key_lifecycle(spark, tmp_path):
+    """The bucket-index upsert sink accepts a composite record_key:
+    upserts and deletes for one (doc_id, lang) key route to one
+    bucket, and upsert -> delete -> reinsert layers correctly."""
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    table = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, "en", 10), (1, "de", 20), (2, "en", 30)],
+        "doc_id long, lang string, n long",
+    )
+    assert upsert_batch_to_hudi(b0, 0, table, record_key="doc_id,lang",
+                                n_buckets=2)
+    b1 = spark.createDataFrame(
+        [(1, "en", 11, False), (1, "de", 0, True)],
+        "doc_id long, lang string, n long, _deleted boolean",
+    )
+    assert upsert_batch_to_hudi(b1, 1, table, record_key="doc_id,lang",
+                                n_buckets=2)
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "en", 11), (2, "en", 30)]
+    b2 = spark.createDataFrame(
+        [(1, "de", 99, False)],
+        "doc_id long, lang string, n long, _deleted boolean",
+    )
+    assert upsert_batch_to_hudi(b2, 2, table, record_key="doc_id,lang",
+                                n_buckets=2)
+    got = sorted(tuple(r) for r in read_hudi(spark, table).collect())
+    assert got == [(1, "de", 99), (1, "en", 11), (2, "en", 30)]
+
+
+def test_upsert_sink_composite_key_missing_column_refuses(spark, tmp_path):
+    from hive_udf_spark.streaming.hudi_upsert_sink import (
+        upsert_batch_to_hudi,
+    )
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="no 'lang' column"):
+        upsert_batch_to_hudi(df, 0, str(tmp_path / "t"),
+                             record_key="doc_id,lang")

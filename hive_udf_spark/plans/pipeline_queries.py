@@ -2934,3 +2934,41 @@ def source_hudi_mor_composite_key(
         ], [("doc_id", "bigint"), ("lang", "string"), ("n_chars", "bigint")],
             record_key="doc_id,lang")
         return read_hudi(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "source_tfrecord_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 6 AS INT) AS shard, doc_id, lang, n_chars,
+           CAST(doc_id % 4 AS INT) AS n_floats
+    FROM documents
+    """,
+)
+def source_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord ingestion (r14 — the r13 verdict's task 5): the
+    length-prefixed masked-CRC32C training-shard format, decoded by
+    the vendored codec (operators/tfrecordcodec.py — framing with both
+    CRCs verified, pre-allocation length bombs refused, plus a
+    protobuf wire-format ``tf.train.Example`` decoder covering packed
+    AND unpacked list encodings).  Six shards rotate raw / gzip /
+    zstd shard compression (the ``.tfrecord.gz``/``.zst`` tooling
+    convention — gzip via stdlib, zstd via the vendored RFC 8878
+    decoder), so one fixture exercises all three decode routes; each
+    record is an Example carrying int64/bytes/float-list features and
+    the float list's decoded LENGTH is surfaced (the proto path must
+    really parse).  Decode is map-side over shard blobs; a CRC
+    mismatch or truncation quarantines the whole shard (pytest)."""
+    from hive_udf_spark.operators.tfrecordcodec import (
+        tfrecord_records_table,
+        tfrecord_shard_encoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 6).cast("int").alias("shard"),
+        "doc_id", "lang", "n_chars",
+    )
+    blobs = staged.groupBy("shard").applyInPandas(
+        tfrecord_shard_encoder(), "shard int, blob binary"
+    )
+    return tfrecord_records_table(blobs)

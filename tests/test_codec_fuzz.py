@@ -31,9 +31,15 @@ from hive_udf_spark.operators.webpcodec import decode_vp8l, decode_webp_gray
 from hive_udf_spark.operators.zipcodec import split_zip_entries
 from hive_udf_spark.operators.mediaprobe import id3_probe, ogg_probe, webm_probe
 from hive_udf_spark.operators.zstdcodec import zstd_decompress
+from hive_udf_spark.operators.tfrecordcodec import (
+    decode_tf_example,
+    decode_tfrecord_stream,
+)
 
 DECODERS = [
     zstd_decompress,
+    decode_tfrecord_stream,
+    decode_tf_example,
     ogg_probe,
     id3_probe,
     webm_probe,
@@ -132,7 +138,21 @@ def _seed_blobs() -> list[bytes]:
         encode_mp3_id3(6, tags={"TIT2": "fz", "TPE1": "zf"}, id3_major=4),
         encode_webm(5000, 320, 240),
         encode_heif(96, 64, brand="avif", rotation=1, alpha=True),
+        _tfrecord_seed(),
     ]
+
+
+def _tfrecord_seed() -> bytes:
+    from hive_udf_spark.operators.tfrecordcodec import (
+        encode_tf_example,
+        encode_tfrecord,
+    )
+
+    return encode_tfrecord([
+        encode_tf_example({"doc_id": [7], "lang": ["en"],
+                           "embed": [0.5, 1.5]}),
+        encode_tf_example({"doc_id": [9]}),
+    ], "gzip")
 
 
 SEEDS = _seed_blobs()

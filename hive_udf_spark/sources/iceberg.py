@@ -447,18 +447,26 @@ def read_iceberg(
     # false) — refusal preserved, never a silent misread.  Tables whose
     # files carry no ids keep the name path (the pre-field-id
     # fallback real readers use absent a name mapping).
-    scan_spark, scan_schema = spark, schema
-    renames: list[tuple[str, str]] = []  # (physical in-file name, current)
-    null_cols: list[str] = []  # current names with no mapping: read NULL
+    scan_spark = spark
+    # each scan group is (scan_schema, renames, null_cols, files) — one
+    # group per physical-name PROFILE.  Field-id tables, no-mapping
+    # tables, and single-name mappings always produce exactly one group
+    # (today's single-scan plan); a MULTI-name mapping (r14 — the r13
+    # verdict's task 6) resolves per file and may produce one group per
+    # historical-name era, unioned below.
+    scan_groups: list[tuple] = []
     if _parquet_has_field_ids(files[0]):
         scan_spark = SparkSession(
             spark.sparkContext, spark._jsparkSession.cloneSession()
         )
         scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        scan_schema = _schema_from_metadata(meta, with_ids=True)
+        scan_groups = [(_schema_from_metadata(meta, with_ids=True),
+                        [], [], files)]
     else:
         mapping = _name_mapping(meta)
-        if mapping is not None:
+        if mapping is None:
+            scan_groups = [(schema, [], [], files)]
+        elif all(len(ns) == 1 for ns in mapping.values()):
             # name-mapping fallback (r13): files written WITHOUT field
             # ids resolve through the table's recorded historical names
             # — fields absent from the mapping read NULL (the spec's
@@ -486,33 +494,114 @@ def read_iceberg(
             from pyspark.sql.types import StructField
 
             name_of_id = _field_ids_by_name(meta)
-            fields = []
+            fields, renames, null_cols = [], [], []
             for f in schema.fields:
                 fid = name_of_id.get(f.name)
-                phys = mapping.get(fid) if fid is not None else None
-                if phys is None:
+                aliases = mapping.get(fid) if fid is not None else None
+                if not aliases:
                     null_cols.append(f.name)
                     continue
+                phys = aliases[0]
                 fields.append(StructField(phys, f.dataType, True))
                 if phys != f.name:
                     renames.append((phys, f.name))
-            scan_schema = StructType(fields)
-    df = scan_spark.read.schema(scan_schema).parquet(*files)
-    for phys, cur in renames:
-        df = df.withColumnRenamed(phys, cur)
-    for cur in null_cols:
-        df = df.withColumn(
-            cur, F.lit(None).cast(schema[cur].dataType)
-        )
-    if not pos_files and not eq_files:
-        return df.select(*names) if (renames or null_cols) else df
+            scan_groups = [(StructType(fields), renames, null_cols, files)]
+        else:
+            # MULTI-name mapping (r14): a field whose historical names
+            # differ across writer eras ("names": ["chars", "nchars"])
+            # cannot resolve through one pinned schema — the spec
+            # resolves per file, so read every footer's COLUMN NAMES
+            # driver-side (KB each, the same O(files) driver listing
+            # the manifests already cost) and group files by their
+            # resolved physical-name profile: one scan per era, never
+            # a per-file scan.  A file carrying TWO aliases of one
+            # field is ambiguous and refuses; a file carrying none
+            # reads NULL for that field (the unresolvable rule).
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.types import StructField
+
+            name_of_id = _field_ids_by_name(meta)
+            profiles: dict[tuple, list[str]] = {}
+            for path in files:
+                try:
+                    fsch = pq.read_schema(path)
+                except Exception as exc:
+                    raise ValueError(
+                        f"iceberg: unreadable parquet footer {path!r}: "
+                        f"{exc}"
+                    ) from exc
+                if any((fld.metadata or {}).get(b"PARQUET:field_id")
+                       for fld in fsch):
+                    raise ValueError(
+                        "iceberg: table mixes id-less and id-carrying "
+                        "files under a name mapping — per-file "
+                        "resolution across resolution MODES is not "
+                        "vendored; compact the table or rewrite the "
+                        "id-less files"
+                    )
+                cols = set(fsch.names)
+                resolved, used = [], {}
+                for f in schema.fields:
+                    fid = name_of_id.get(f.name)
+                    aliases = mapping.get(fid) if fid is not None else None
+                    if not aliases:
+                        resolved.append(None)
+                        continue
+                    present = [a for a in aliases if a in cols]
+                    if len(present) > 1:
+                        raise ValueError(
+                            f"iceberg: file {path!r} carries multiple "
+                            f"aliases {present} of one mapped field — "
+                            "ambiguous name mapping"
+                        )
+                    phys = present[0] if present else None
+                    if phys is not None:
+                        if phys in used:
+                            raise ValueError(
+                                f"iceberg: file {path!r} resolves two "
+                                f"fields to one column {phys!r}"
+                            )
+                        used[phys] = f.name
+                    resolved.append(phys)
+                profiles.setdefault(tuple(resolved), []).append(path)
+            for resolved in sorted(profiles,
+                                   key=lambda t: [x or "" for x in t]):
+                fields, renames, null_cols = [], [], []
+                for f, phys in zip(schema.fields, resolved):
+                    if phys is None:
+                        null_cols.append(f.name)
+                        continue
+                    fields.append(StructField(phys, f.dataType, True))
+                    if phys != f.name:
+                        renames.append((phys, f.name))
+                scan_groups.append((StructType(fields), renames,
+                                    null_cols, profiles[resolved]))
+    need_meta = bool(pos_files or eq_files)
+    group_dfs = []
+    for scan_schema, renames, null_cols, gfiles in scan_groups:
+        d = scan_spark.read.schema(scan_schema).parquet(*gfiles)
+        if need_meta:
+            # the metadata pseudo-columns must bind per SCAN (they do
+            # not resolve through a Union), so attach them here
+            d = d.withColumn(
+                "__fp",
+                _decode_uri(F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", "")),
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+        for phys, cur in renames:
+            d = d.withColumnRenamed(phys, cur)
+        for cur in null_cols:
+            d = d.withColumn(cur, F.lit(None).cast(schema[cur].dataType))
+        if renames or null_cols or need_meta or len(scan_groups) > 1:
+            d = d.select(*names, *(["__fp", "__ri"] if need_meta else []))
+        group_dfs.append(d)
+    df = group_dfs[0]
+    for d in group_dfs[1:]:
+        df = df.unionByName(d)
+    if not need_meta:
+        return df
     table_abs = os.path.abspath(table_path)
-    df = df.withColumn(
-        "__fp",
-        _decode_uri(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-        ),
-    )
     # both delete families gate on sequence numbers (the spec's
     # ordering: a delete applies only to data written at or before it),
     # so every data file needs a resolvable one
@@ -541,7 +630,7 @@ def read_iceberg(
                 F.lit(s).cast("bigint").alias("__del_seq"),
             )
             dels = rel if dels is None else dels.unionByName(rel)
-        df = df.withColumn("__ri", F.col("_metadata.row_index")).join(
+        df = df.join(
             _maybe_broadcast(dels, sum(sz for _, _, sz in pos_files)),
             (F.col("__fp") == F.col("__del_fp"))
             & (F.col("__ri") == F.col("__del_pos"))
@@ -681,13 +770,14 @@ def apply_transform(transform: str, value):
     raise ValueError(f"iceberg: transform {transform!r} not vendored")
 
 
-def _name_mapping(meta: dict) -> dict[int, str] | None:
-    """Parsed ``schema.name-mapping.default`` (field id → historical
-    column name) from the table properties, or None when absent — the
-    spec's fallback for resolving columns in files written WITHOUT
-    field ids.  Vendored subset: top-level single-name entries; nested
-    or multi-name mappings refuse loudly (a single pinned scan schema
-    cannot match different physical names per file)."""
+def _name_mapping(meta: dict) -> dict[int, list[str]] | None:
+    """Parsed ``schema.name-mapping.default`` (field id → ordered
+    historical column-name ALIASES) from the table properties, or None
+    when absent — the spec's fallback for resolving columns in files
+    written WITHOUT field ids.  Multi-name entries (r14 — the r13
+    verdict's task 6) are resolved PER FILE by the scan (whichever
+    alias that file's footer carries); nested mappings still refuse
+    loudly (the vendored schema surface is top-level columns)."""
     raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
     if not raw:
         return None
@@ -697,7 +787,7 @@ def _name_mapping(meta: dict) -> dict[int, str] | None:
         raise ValueError(
             f"iceberg: malformed schema.name-mapping.default: {exc}"
         ) from exc
-    out: dict[int, str] = {}
+    out: dict[int, list[str]] = {}
     for e in entries:
         if e.get("fields"):
             raise ValueError(
@@ -707,12 +797,7 @@ def _name_mapping(meta: dict) -> dict[int, str] | None:
         fid = e.get("field-id")
         if fid is None or not names:
             raise ValueError("iceberg: malformed name-mapping entry")
-        if len(names) > 1:
-            raise ValueError(
-                "iceberg: multi-name mappings not vendored (a single "
-                "scan schema cannot match different names per file)"
-            )
-        out[int(fid)] = names[0]
+        out[int(fid)] = [str(n) for n in names]
     return out
 
 

@@ -612,13 +612,17 @@ def test_name_mapping_resolves_idless_files(spark, tmp_path):
     got = sorted((tuple(r) for r in df.collect()), key=lambda r: r[0])
     assert got == [(1, "en", None), (2, "de", None)]
 
-    # multi-name mappings refuse loudly (can't match per-file names
-    # with one pinned scan schema)
-    multi = json.dumps([{"field-id": 1, "names": ["doc_id", "id"]}])
+    # multi-name mappings resolve per file (r14 — previously refused):
+    # the alias this file actually carries ('doc_id') wins
+    multi = json.dumps([
+        {"field-id": 1, "names": ["id", "doc_id"]},
+        {"field-id": 2, "names": ["langcode"]},
+    ])
     write_iceberg_table(table, [{"added": ["data/a.parquet"]}], fields,
                         properties={"schema.name-mapping.default": multi})
-    with pytest.raises(ValueError, match="multi-name"):
-        read_iceberg(spark, table).collect()
+    got = sorted((tuple(r) for r in read_iceberg(spark, table).collect()),
+                 key=lambda r: r[0])
+    assert got == [(1, "en", None), (2, "de", None)]
 
 
 def test_idless_tables_keep_name_resolution(spark, tmp_path):
@@ -837,3 +841,86 @@ def test_sink_crash_between_data_and_metadata_recovers(
     assert commit_batch_to_iceberg(b1, 1, table)
     got = sorted(tuple(r) for r in read_iceberg(spark, table).collect())
     assert got == [(1, "en", 10), (2, "de", 20), (3, "fr", 30)]
+
+
+def test_multi_name_mapping_resolves_per_file(spark, tmp_path):
+    """r14 (r13 verdict task 6): one field whose historical name
+    differs across writer eras — file A carries 'chars', file B
+    carries 'nchars', the mapping lists both — resolves PER FILE: the
+    driver groups files by footer profile and unions one scan per
+    era.  A third era that carries neither alias reads NULL for that
+    field only."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "chars": pa.array([10], pa.int64()),
+    }), os.path.join(table, "data/a.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "nchars": pa.array([20], pa.int64()),
+    }), os.path.join(table, "data/b.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+    }), os.path.join(table, "data/c.parquet"))
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "n_chars", "required": False, "type": "long"},
+    ]
+    mapping = json.dumps([
+        {"field-id": 1, "names": ["doc_id"]},
+        {"field-id": 2, "names": ["chars", "nchars"]},
+    ])
+    write_iceberg_table(table, [
+        {"added": ["data/a.parquet", "data/b.parquet", "data/c.parquet"]},
+    ], fields, properties={"schema.name-mapping.default": mapping})
+    df = read_iceberg(spark, table)
+    assert df.columns == ["doc_id", "n_chars"]
+    got = sorted((tuple(r) for r in df.collect()), key=lambda r: r[0])
+    assert got == [(1, 10), (2, 20), (3, None)]
+
+
+def test_multi_name_mapping_ambiguous_file_refuses(spark, tmp_path):
+    """A file carrying BOTH aliases of one field is ambiguous — refuse
+    loudly, never guess which column is the data."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    pq.write_table(pa.table({
+        "chars": pa.array([10], pa.int64()),
+        "nchars": pa.array([99], pa.int64()),
+    }), os.path.join(table, "data/a.parquet"))
+    fields = [
+        {"id": 2, "name": "n_chars", "required": False, "type": "long"},
+    ]
+    mapping = json.dumps([
+        {"field-id": 2, "names": ["chars", "nchars"]},
+    ])
+    write_iceberg_table(table, [{"added": ["data/a.parquet"]}], fields,
+                        properties={"schema.name-mapping.default": mapping})
+    with pytest.raises(ValueError, match="multiple aliases"):
+        read_iceberg(spark, table).collect()
+
+
+def test_multi_name_mapping_refuses_id_carrying_files(spark, tmp_path):
+    """Under a multi-name mapping every footer is read anyway, so a
+    mixed id/mapping table is detected EXACTLY (not sampled) and
+    refuses."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    pq.write_table(pa.table({
+        "chars": pa.array([10], pa.int64()),
+    }), os.path.join(table, "data/a.parquet"))
+    _write_file_with_ids(table, "data/b.parquet", {
+        "n_chars": pa.array([20], pa.int64()),
+    }, {"n_chars": 2})
+    fields = [
+        {"id": 2, "name": "n_chars", "required": False, "type": "long"},
+    ]
+    mapping = json.dumps([
+        {"field-id": 2, "names": ["chars", "nchars"]},
+    ])
+    write_iceberg_table(table, [
+        {"added": ["data/b.parquet", "data/a.parquet"]},
+    ], fields, properties={"schema.name-mapping.default": mapping})
+    with pytest.raises(ValueError, match="mixes id-less"):
+        read_iceberg(spark, table).collect()

@@ -3037,3 +3037,48 @@ def source_iceberg_multiname_mapping(
             {"id": 3, "name": "n_chars", "required": False, "type": "long"},
         ], properties={"schema.name-mapping.default": mapping})
         return read_iceberg(spark, table).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_delta_auto_maintained_ingest",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def streaming_delta_auto_maintained_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest WITH the auto-maintenance cadence (r14 — the
+    r13 verdict's task 8): the documents land as 12 micro-batch
+    commits while the sink compacts to 2 files and vacuums every 4
+    batches — so the long-lived stream keeps an O(target_files) layout
+    with no external scheduler.  In-query asserts pin the lifecycle:
+    the final table reads back hash-identical to the input AND its
+    plan touches a BOUNDED file set (compacted + at most one cadence
+    of fresh batches), proof the cadence actually swapped layouts and
+    retention reclaimed the old ones.  Commit versions decouple from
+    batch ids in this mode (the txn action is the idempotency key, the
+    real Delta streaming-writer design)."""
+    import tempfile
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(12):
+            batch = docs.filter(F.col("doc_id") % 12 == b).coalesce(1)
+            commit_batch_to_delta(
+                batch, b, table, app_id="auto-maint",
+                checkpoint_every=4, maintain_every=4,
+                maintain_target_files=2, retention_seconds=0.0,
+            )
+        out = read_delta(spark, table)
+        n_files = len(out.inputFiles())
+        if n_files > 2 + 4:
+            raise ValueError(
+                f"auto-maintenance did not bound the layout: {n_files} "
+                "files after 12 batches at cadence 4"
+            )
+        return out.localCheckpoint(eager=True)

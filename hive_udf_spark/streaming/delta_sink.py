@@ -48,10 +48,12 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 def commit_batch_to_delta(
     batch_df: DataFrame, batch_id: int, table_path: str,
     app_id: str = "delta-ingest", checkpoint_every: int = 10,
+    maintain_every: int = 0, maintain_target_files: int = 8,
+    retention_seconds: float = 24 * 3600.0,
 ) -> bool:
-    """Append one micro-batch to the table as Delta commit version
-    ``batch_id``.  Returns False (no-op) when that version is already
-    committed — the foreachBatch-retry idempotency check.
+    """Append one micro-batch to the table as a Delta commit.  Returns
+    False (no-op) when this batch is already committed — the
+    foreachBatch-retry idempotency check.
 
     Every ``checkpoint_every`` commits (r13 — the protocol's reader
     fast-path, what real Delta writers do every 10) the sink also
@@ -62,8 +64,32 @@ def commit_batch_to_delta(
     reconstruction at fleet age.  The checkpoint is an optimization,
     never the source of truth: it writes via temp+rename (a torn file
     can't surface), and a crash before it simply leaves readers
-    replaying a few more JSON commits.  Pass 0 to disable."""
+    replaying a few more JSON commits.  Pass 0 to disable.
+
+    AUTO-MAINTENANCE (r14 — the r13 verdict's task 8, opt-in via
+    ``maintain_every`` > 0): every that-many batches the sink runs
+    OPTIMIZE compaction to ``maintain_target_files`` files plus VACUUM
+    at ``retention_seconds``, so a long-lived stream keeps an
+    O(target_files) layout without an external scheduler.  Because
+    maintenance inserts its own commits, this mode DECOUPLES commit
+    version from batch id (the real Delta streaming-writer design:
+    the ``txn`` appId/version action is the idempotency key, the
+    version is whatever the log is at) — batch ids must stay
+    contiguous per app, and a fresh-checkpoint restart against an
+    existing table refuses, same as the default mode."""
     log_dir = os.path.join(table_path, "_delta_log")
+    if maintain_every:
+        version = _resolve_decoupled_version(
+            log_dir, table_path, app_id, batch_id
+        )
+        if version is None:
+            return False  # retried batch
+        return _write_commit(
+            batch_df, batch_id, table_path, app_id, checkpoint_every,
+            version, maintain_every, maintain_target_files,
+            retention_seconds,
+        )
+    version = batch_id
     commit_path = os.path.join(log_dir, f"{batch_id:020d}.json")
     if os.path.exists(commit_path):
         # retried batch — but ONLY if the commit's txn action carries
@@ -117,6 +143,55 @@ def commit_batch_to_delta(
                 "to readers; point the stream at its original "
                 "checkpoint or a new table"
             )
+    return _write_commit(batch_df, batch_id, table_path, app_id,
+                         checkpoint_every, version, 0, 0, 0.0)
+
+
+def _resolve_decoupled_version(
+    log_dir: str, table_path: str, app_id: str, batch_id: int
+) -> int | None:
+    """Version for the auto-maintenance mode: the log's next version,
+    with idempotency from the snapshot's ``txn`` state (checkpoints
+    carry it, so log truncation doesn't lose it).  None = retried
+    batch (no-op); ValueError = fresh-checkpoint / foreign-table
+    refusal, matching the default mode's contract."""
+    import re
+
+    from hive_udf_spark.sources.delta import delta_snapshot
+
+    has_log = os.path.isdir(log_dir) and any(
+        re.match(r"^\d{20}\.(json|checkpoint\b)", n) or
+        n == "_last_checkpoint"
+        for n in os.listdir(log_dir)
+    )
+    if not has_log:
+        if batch_id != 0:
+            raise ValueError(
+                f"delta sink: batch {batch_id} against an empty table — "
+                "the stream checkpoint is ahead of the table; point the "
+                "sink at the original table or restart the checkpoint"
+            )
+        return 0
+    snap = delta_snapshot(table_path)
+    committed = snap.txns.get(app_id)
+    if committed is not None and committed >= batch_id:
+        return None
+    if committed != batch_id - 1:
+        raise ValueError(
+            f"delta sink: batch {batch_id} but app {app_id!r} last "
+            f"committed batch {committed} — a fresh checkpoint against "
+            "an existing table would drop or duplicate batches"
+        )
+    return snap.version + 1
+
+
+def _write_commit(
+    batch_df: DataFrame, batch_id: int, table_path: str, app_id: str,
+    checkpoint_every: int, version: int, maintain_every: int,
+    maintain_target_files: int, retention_seconds: float,
+) -> bool:
+    log_dir = os.path.join(table_path, "_delta_log")
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
     os.makedirs(log_dir, exist_ok=True)
     scratch = os.path.join(table_path, f"_scratch-{batch_id}")
     batch_df.write.mode("overwrite").parquet(scratch)
@@ -129,7 +204,7 @@ def commit_batch_to_delta(
         adds.append(name)
     shutil.rmtree(scratch)
     lines = []
-    if batch_id == 0:
+    if version == 0:
         lines.append(json.dumps({"protocol": _PROTOCOL}))
         lines.append(json.dumps({"metaData": {
             "id": f"stream-{app_id}",
@@ -139,6 +214,9 @@ def commit_batch_to_delta(
             "configuration": {},
             "createdTime": 0,
         }}))
+    # the txn action's version is the BATCH id — the idempotency key
+    # (PROTOCOL.md Transaction Identifiers), deliberately not the
+    # commit version so the two can diverge under auto-maintenance
     lines.append(json.dumps(
         {"txn": {"appId": app_id, "version": batch_id}}
     ))
@@ -163,13 +241,25 @@ def commit_batch_to_delta(
     if checkpoint_every and (batch_id + 1) % checkpoint_every == 0:
         from hive_udf_spark.sources.delta import checkpoint_delta
 
-        checkpoint_delta(table_path, batch_id)
+        checkpoint_delta(table_path, version)
+    if maintain_every and (batch_id + 1) % maintain_every == 0:
+        from hive_udf_spark.sources.maintenance import (
+            compact_delta_table,
+            vacuum_delta_table,
+        )
+
+        compact_delta_table(batch_df.sparkSession, table_path,
+                            target_files=maintain_target_files)
+        vacuum_delta_table(table_path,
+                           min_age_seconds=retention_seconds)
     return True
 
 
 def delta_commit_sink(
     stream_df: DataFrame, table_path: str, checkpoint_dir: str,
     app_id: str = "delta-ingest", checkpoint_every: int = 10,
+    maintain_every: int = 0, maintain_target_files: int = 8,
+    retention_seconds: float = 24 * 3600.0,
 ):
     """writeStream → one Delta commit per micro-batch (see module
     docstring for the exactly-once argument).  Returns the started
@@ -177,7 +267,8 @@ def delta_commit_sink(
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         commit_batch_to_delta(batch_df, int(batch_id), table_path, app_id,
-                              checkpoint_every)
+                              checkpoint_every, maintain_every,
+                              maintain_target_files, retention_seconds)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -68,10 +68,24 @@ def _iceberg_fields(batch_df: DataFrame) -> list[dict]:
 def commit_batch_to_iceberg(
     batch_df: DataFrame, batch_id: int, table_path: str,
     app_id: str = "iceberg-ingest",
+    maintain_every: int = 0, maintain_target_files: int = 8,
+    retention_keep_last: int = 2,
 ) -> bool:
-    """Append one micro-batch as Iceberg snapshot version
-    ``batch_id + 1``.  Returns False (no-op) when that metadata version
-    already exists — the foreachBatch-retry idempotency check."""
+    """Append one micro-batch as one Iceberg snapshot.  Returns False
+    (no-op) when this batch is already committed — the
+    foreachBatch-retry idempotency check.  Default mode pins metadata
+    version ``batch_id + 1``.
+
+    AUTO-MAINTENANCE (r14 — the r13 verdict's task 8, opt-in via
+    ``maintain_every`` > 0): every that-many batches the sink compacts
+    to ``maintain_target_files`` files and expires all but the last
+    ``retention_keep_last`` snapshots (reclaiming the swapped-out
+    layouts), so a long-lived stream keeps an O(target_files) layout
+    without an external scheduler.  Because maintenance publishes its
+    own metadata versions, this mode DECOUPLES version from batch id:
+    the snapshot summary's app-id/batch-id is the idempotency key,
+    versions/snapshot-ids/sequence-numbers continue from whatever the
+    log is at, and batch ids must stay contiguous per app."""
     from hive_udf_spark.operators.avrocodec import encode_ocf
     from hive_udf_spark.sources.iceberg import (
         _MANIFEST_ENTRY_SCHEMA,
@@ -79,8 +93,51 @@ def commit_batch_to_iceberg(
         _load_metadata,
     )
 
-    version = batch_id + 1
     mdir = os.path.join(table_path, "metadata")
+    if maintain_every:
+        versions = [
+            int(n[1:].split(".")[0]) for n in (
+                os.listdir(mdir) if os.path.isdir(mdir) else []
+            )
+            if n.startswith("v") and n.endswith(".metadata.json")
+            and n[1:].split(".")[0].isdigit()
+        ]
+        if not versions:
+            if batch_id != 0:
+                raise ValueError(
+                    f"iceberg sink: batch {batch_id} against an empty "
+                    "table — the stream checkpoint is ahead of the "
+                    "table; point the sink at the original table or "
+                    "restart the checkpoint"
+                )
+            version = 1
+        else:
+            prev_meta = _load_metadata(table_path)
+            mine = [
+                int((s.get("summary") or {}).get("batch-id"))
+                for s in prev_meta.get("snapshots") or []
+                if (s.get("summary") or {}).get("app-id") == app_id
+                and str((s.get("summary") or {}).get("batch-id") or
+                        "").isdigit()
+            ]
+            last = max(mine, default=None)
+            if last is not None and last >= batch_id:
+                return False  # retried batch
+            if last != batch_id - 1:
+                raise ValueError(
+                    f"iceberg sink: batch {batch_id} but app "
+                    f"{app_id!r} last committed batch {last} — a fresh "
+                    "checkpoint against an existing table would drop "
+                    "or duplicate batches (or retention expired this "
+                    "app's snapshots; keep retention_keep_last >= 1 "
+                    "live snapshot of this stream)"
+                )
+            version = max(versions) + 1
+        return _publish_snapshot(
+            batch_df, batch_id, table_path, app_id, version,
+            maintain_every, maintain_target_files, retention_keep_last,
+        )
+    version = batch_id + 1
     meta_path = os.path.join(mdir, f"v{version}.metadata.json")
     if os.path.exists(meta_path):
         # retried batch: the publish already happened — but ONLY if that
@@ -105,6 +162,24 @@ def commit_batch_to_iceberg(
             "existing table would drop or duplicate batches; point the "
             "sink at a new table or reuse the original checkpoint"
         )
+    return _publish_snapshot(batch_df, batch_id, table_path, app_id,
+                             version, 0, 0, 0)
+
+
+def _publish_snapshot(
+    batch_df: DataFrame, batch_id: int, table_path: str, app_id: str,
+    version: int, maintain_every: int, maintain_target_files: int,
+    retention_keep_last: int,
+) -> bool:
+    from hive_udf_spark.operators.avrocodec import encode_ocf
+    from hive_udf_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _load_metadata,
+    )
+
+    mdir = os.path.join(table_path, "metadata")
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
     os.makedirs(mdir, exist_ok=True)
     ddir = os.path.join(table_path, "data")
     os.makedirs(ddir, exist_ok=True)
@@ -149,7 +224,13 @@ def commit_batch_to_iceberg(
             with open(mlist if os.path.isabs(mlist)
                       else os.path.join(table_path, mlist), "rb") as fh:
                 _, prev_manifests = decode_ocf(fh.read())
-    sid = 5000 + batch_id
+    # default mode pins sid = 5000 + batch_id; auto-maintenance mode
+    # continues past whatever the log holds (maintenance snapshots
+    # interleave with the stream's)
+    sid = 5000 + batch_id if not maintain_every else max(
+        [5000 + batch_id - 1]
+        + [int(sn.get("snapshot-id") or 0) for sn in snapshots]
+    ) + 1
     if any(s.get("snapshot-id") == sid for s in snapshots):
         raise ValueError(
             f"iceberg sink: snapshot id {sid} already exists in the "
@@ -157,7 +238,9 @@ def commit_batch_to_iceberg(
             "ADVICE); this table was written by another stream or batch "
             "numbering"
         )
-    seq = version
+    seq = version if not maintain_every else int(
+        (prev or {}).get("last-sequence-number") or 0
+    ) + 1
     entries = [{
         "status": 1, "snapshot_id": sid, "sequence_number": seq,
         "data_file": {
@@ -224,19 +307,32 @@ def commit_batch_to_iceberg(
     # glob); refresh it best-effort after the publish
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
+    if maintain_every and (batch_id + 1) % maintain_every == 0:
+        from hive_udf_spark.sources.maintenance import (
+            compact_iceberg_table,
+            expire_iceberg_snapshots,
+        )
+
+        compact_iceberg_table(batch_df.sparkSession, table_path,
+                              target_files=maintain_target_files)
+        expire_iceberg_snapshots(table_path,
+                                 keep_last=retention_keep_last)
     return True
 
 
 def iceberg_commit_sink(
     stream_df: DataFrame, table_path: str, checkpoint_dir: str,
-    app_id: str = "iceberg-ingest",
+    app_id: str = "iceberg-ingest", maintain_every: int = 0,
+    maintain_target_files: int = 8, retention_keep_last: int = 2,
 ):
     """writeStream → one Iceberg append snapshot per micro-batch (see
     module docstring for the exactly-once argument).  Returns the
     started StreamingQuery."""
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch_to_iceberg(batch_df, int(batch_id), table_path, app_id)
+        commit_batch_to_iceberg(batch_df, int(batch_id), table_path, app_id,
+                                maintain_every, maintain_target_files,
+                                retention_keep_last)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -1028,3 +1028,140 @@ def test_hudi_partitioned_clustering_compacts_root_mor_logs(
     assert "fg-c" in cold.inputFiles()[0]
     root = read_hudi(spark, table, partitions=[""])
     assert "cluster-" in root.inputFiles()[0]
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict task 8: streaming auto-maintenance cadence
+# ---------------------------------------------------------------------------
+
+
+def _batches(spark, n):
+    for b in range(n):
+        yield b, spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(3)], "doc_id long, n long"
+        )
+
+
+def test_delta_sink_auto_maintenance_lifecycle(spark, tmp_path):
+    """50-batch stream with maintain_every=10: the table ends with a
+    BOUNDED file count (compaction keeps the layout at
+    O(target_files + batches-since-maintenance), vacuum reclaims the
+    swapped-out layouts), every row stays readable, and the idempotency
+    contract survives the version/batch decoupling."""
+    import glob
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    table = str(tmp_path / "t")
+    for b, df in _batches(spark, 50):
+        assert commit_batch_to_delta(
+            df, b, table, app_id="app", checkpoint_every=10,
+            maintain_every=10, maintain_target_files=2,
+            retention_seconds=0.0,
+        )
+    got = read_delta(spark, table)
+    assert got.count() == 150
+    n_files = len(glob.glob(os.path.join(table, "*.parquet")))
+    # 2 compacted + at most 10 batches of parts since the last cadence
+    assert n_files <= 2 + 10 * 4, n_files
+    # the plan reads the bounded layout, not the 50-batch history
+    assert len(got.inputFiles()) == n_files
+    # retry no-ops; the next batch continues
+    retry = spark.createDataFrame([(999, 0)], "doc_id long, n long")
+    assert commit_batch_to_delta(retry, 49, table, app_id="app",
+                                 maintain_every=10) is False
+    assert commit_batch_to_delta(retry, 50, table, app_id="app",
+                                 maintain_every=10)
+    assert read_delta(spark, table).count() == 151
+    # a skipped batch id refuses (contiguity per app)
+    with pytest.raises(ValueError, match="last committed batch"):
+        commit_batch_to_delta(retry, 60, table, app_id="app",
+                              maintain_every=10)
+
+
+def test_iceberg_sink_auto_maintenance_lifecycle(spark, tmp_path):
+    """Same lifecycle for the Iceberg sink: snapshots/versions continue
+    past the maintenance commits, expire reclaims each era one cadence
+    later (the latest stream snapshot pins its own era until the next
+    round — documented lag), and the layout stays bounded."""
+    import glob
+
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    for b, df in _batches(spark, 50):
+        assert commit_batch_to_iceberg(
+            df, b, table, app_id="app", maintain_every=10,
+            maintain_target_files=2, retention_keep_last=2,
+        )
+    got = read_iceberg(spark, table)
+    assert got.count() == 150
+    n_files = len(glob.glob(os.path.join(table, "data", "*.parquet")))
+    # <= two eras of batches (the one-cadence reclaim lag) + compacted
+    assert n_files <= 4 + 20 * 4, n_files
+    assert len(got.inputFiles()) <= n_files
+    retry = spark.createDataFrame([(999, 0)], "doc_id long, n long")
+    assert commit_batch_to_iceberg(retry, 49, table, app_id="app",
+                                   maintain_every=10) is False
+    assert commit_batch_to_iceberg(retry, 50, table, app_id="app",
+                                   maintain_every=10)
+    assert read_iceberg(spark, table).count() == 151
+    with pytest.raises(ValueError, match="last committed batch"):
+        commit_batch_to_iceberg(retry, 60, table, app_id="app",
+                                maintain_every=10)
+
+
+def test_hudi_sink_auto_maintenance_lifecycle(spark, tmp_path):
+    """Same lifecycle for the Hudi sink: instants continue past the
+    clustering replacecommits, the cleaner reclaims replaced groups
+    immediately, and the layout stays bounded."""
+    import glob
+
+    from hive_udf_spark.sources.hudi import read_hudi
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    for b, df in _batches(spark, 50):
+        assert commit_batch_to_hudi(
+            df, b, table, table_name="app", maintain_every=10,
+            maintain_target_files=2,
+        )
+    got = read_hudi(spark, table)
+    assert got.count() == 150
+    n_files = len(glob.glob(os.path.join(table, "*.parquet")))
+    assert n_files <= 2 + 10 * 4, n_files
+    assert len(got.inputFiles()) == n_files
+    retry = spark.createDataFrame([(999, 0)], "doc_id long, n long")
+    assert commit_batch_to_hudi(retry, 49, table, table_name="app",
+                                maintain_every=10) is False
+    assert commit_batch_to_hudi(retry, 50, table, table_name="app",
+                                maintain_every=10)
+    assert read_hudi(spark, table).count() == 151
+    with pytest.raises(ValueError, match="last committed batch"):
+        commit_batch_to_hudi(retry, 60, table, table_name="app",
+                             maintain_every=10)
+
+
+def test_auto_maintenance_against_empty_table_refuses_nonzero_batch(
+    spark, tmp_path
+):
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="empty table"):
+        commit_batch_to_delta(df, 3, str(tmp_path / "d"), app_id="a",
+                              maintain_every=5)
+    with pytest.raises(ValueError, match="empty table"):
+        commit_batch_to_iceberg(df, 3, str(tmp_path / "i"), app_id="a",
+                                maintain_every=5)
+    with pytest.raises(ValueError, match="empty table"):
+        commit_batch_to_hudi(df, 3, str(tmp_path / "h"), table_name="a",
+                             maintain_every=5)

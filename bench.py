@@ -1410,6 +1410,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # SPARK_GRAFT_BENCH_RUNS warm runs (default 3) whose MEDIAN is the
     # headline number. Cache is cleared before every run so "warm" means
     # JIT/codegen-warm, never inherited cached data.
+    # Quiet-first ordering (r14 — the r13 verdict's task 7): three
+    # entries moved 1.5-2.5x between in-run and standalone measurement
+    # in EVERY round since r11 with git-verified unchanged code
+    # (SCALE_NOTES r12 batch 4 / r13 batch 6) — heavy Python-worker
+    # entries whose cost is sensitive to the session state the
+    # preceding ~150 entries leave behind (GC pressure, allocator
+    # fragmentation in the 32 long-lived workers).  Running them FIRST,
+    # against the same just-warmed session state the standalone
+    # protocol measures, removes the recurring in-run skew every
+    # verdict has had to re-adjudicate instead of re-measuring by hand.
+    quiet_first = ("exif_strip", "media_probe", "pagerank_1m")
+    benches = {
+        **{k: benches[k] for k in quiet_first if k in benches},
+        **{k: v for k, v in benches.items() if k not in quiet_first},
+    }
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset. The
     # driver never sets it, so official artifacts stay full-registry.

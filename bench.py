@@ -1109,6 +1109,53 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(QUERIES["streaming_delta_checkpointed_ingest"].fn(
             spark, sf_dir))
 
+    def q_iceberg_partitioned_compaction():
+        # r14: hot-partition-only rewrite, cold groups carry as EXISTING
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_iceberg_partitioned_compaction"].fn(
+            spark, sf_dir))
+
+    def q_hudi_partitioned_clustering():
+        # r14: hot-partition-only replacecommit
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_hudi_partitioned_clustering"].fn(
+            spark, sf_dir))
+
+    def q_hudi_composite_key():
+        # r14: 2-field record key MOR merge with composite delete blocks
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_hudi_mor_composite_key"].fn(spark, sf_dir))
+
+    def q_tfrecord_roundtrip():
+        # r14: TFRecord framing + tf.train.Example proto decode,
+        # raw/gzip/zstd shard rotation
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_tfrecord_roundtrip"].fn(spark, sf_dir))
+
+    def q_iceberg_multiname_mapping():
+        # r14: per-file alias resolution, one scan per writer era
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_multiname_mapping"].fn(
+            spark, sf_dir))
+
+    def q_delta_auto_maintained_ingest():
+        # r14: in-sink compaction/vacuum cadence, bounded layout
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_delta_auto_maintained_ingest"].fn(
+            spark, sf_dir))
+
+    def q_codec_ogg_dispatch():
+        # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["multimodal_ogg_audio_features"].fn(spark, sf_dir))
+
     def q_codec_mp3_dispatch():
         # r13: native MPEG-audio decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1401,6 +1448,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_name_mapping": q_iceberg_name_mapping,
         "hudi_upsert_ingest": q_hudi_upsert_ingest,
         "iceberg_upsert_ingest": q_iceberg_upsert_ingest,
+        "iceberg_partitioned_compaction": q_iceberg_partitioned_compaction,
+        "hudi_partitioned_clustering": q_hudi_partitioned_clustering,
+        "hudi_composite_key": q_hudi_composite_key,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "iceberg_multiname_mapping": q_iceberg_multiname_mapping,
+        "delta_auto_maintained_ingest": q_delta_auto_maintained_ingest,
+        "codec_ogg_dispatch": q_codec_ogg_dispatch,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -3082,3 +3082,169 @@ def streaming_delta_auto_maintained_ingest(
                 "files after 12 batches at cadence 4"
             )
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "sink_delta_dv_delete",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def sink_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WITHOUT REWRITE via deletion vectors (r14): documents
+    land as 4 streamed commits, then ``delete_from_delta`` kills every
+    7th doc — per touched file a roaring-bitmap DV is written FROM THE
+    EXECUTORS and one remove+re-add commit publishes the swap; the
+    parquet files themselves are untouched (in-query assert: the
+    post-delete scan reads the ORIGINAL data files), which at 100 TB
+    is the difference between KB of DV bytes and rewriting TB.  The
+    oracle hash-checks the surviving rows through the existing in-scan
+    DV filter."""
+    import tempfile
+
+    from hive_udf_spark.sources.changes import delete_from_delta
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, app_id="dv-del", checkpoint_every=0,
+            )
+        before = set(read_delta(spark, table).inputFiles())
+        n = delete_from_delta(spark, table, "doc_id % 7 = 0")
+        if n <= 0:
+            raise ValueError("dv delete: nothing deleted")
+        out = read_delta(spark, table)
+        after = set(out.inputFiles())
+        if not after <= before:
+            raise ValueError(
+                "dv delete rewrote data files: "
+                f"{sorted(after - before)}"
+            )
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "source_delta_changes",
+    oracle="""
+    SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+           CAST(doc_id % 6 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id % 6 IN (3, 4, 5)
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 'delete' AS _change_type,
+           CAST(6 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def source_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE query (CDF-lite, r14): documents land as 6
+    streamed commits (versions 0-5, one doc_id%6 slice each), then a
+    DV delete of every 5th doc publishes version 6;
+    ``read_delta_changes(3, 6)`` yields the slices inserted at
+    versions 3-5 as ``insert`` rows AND exactly the freshly-DV-dead
+    rows as ``delete`` rows at version 6 (new-DV-minus-old-DV
+    membership, filtered inside the scan) — rows both inserted and
+    deleted inside the range report twice, the CDF contract.  OPTIMIZE
+    commits would be invisible (dataChange=false).  Change resolution
+    is KB-scale log work; only touched files scan."""
+    import tempfile
+
+    from hive_udf_spark.sources.changes import (
+        delete_from_delta,
+        read_delta_changes,
+    )
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 6 == b).coalesce(1),
+                b, table, app_id="cdf", checkpoint_every=0,
+            )
+        delete_from_delta(spark, table, "doc_id % 5 = 0")
+        return read_delta_changes(spark, table, 3, 6) \
+            .localCheckpoint(eager=True)
+
+
+@register(
+    "source_iceberg_incremental",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(5000 + doc_id % 6 AS BIGINT) AS _snapshot_id
+    FROM documents WHERE doc_id % 6 IN (2, 3, 4)
+    """,
+)
+def source_iceberg_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg INCREMENTAL append scan (r14 — the spec's changelog
+    read): documents land as 6 streamed snapshots; the incremental
+    read over ``(snapshot 5001, snapshot 5004]`` resolves the ADDED
+    manifest entries of exactly those snapshots (KB-scale driver walk)
+    and scans only their files — O(changed data), never O(table).  A
+    non-append snapshot in the range refuses (pytest)."""
+    import tempfile
+
+    from hive_udf_spark.sources.changes import read_iceberg_incremental
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_iceberg(
+                docs.filter(F.col("doc_id") % 6 == b).coalesce(1),
+                b, table, app_id="inc",
+            )
+        return read_iceberg_incremental(spark, table, 5001, 5004) \
+            .localCheckpoint(eager=True)
+
+
+@register(
+    "source_hudi_incremental",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(20300101000000 + doc_id % 6 AS VARCHAR) AS _commit_time
+    FROM documents WHERE doc_id % 6 IN (2, 3, 4)
+    """,
+)
+def source_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL query (r14): documents land as 6 streamed
+    commits; the incremental read over ``(instant 1, instant 4]``
+    (begin exclusive — Hudi's own convention) scans only the base
+    files those commits wrote, stamping each row's ``_commit_time``.
+    Replacecommits (clustering) in a range are skipped (no new data);
+    MOR log files and meta-less rewrites refuse (pytest)."""
+    import tempfile
+
+    from hive_udf_spark.sources.changes import read_hudi_incremental
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_hudi(
+                docs.filter(F.col("doc_id") % 6 == b).coalesce(1),
+                b, table, table_name="inc",
+            )
+        begin = f"{20300101000000 + 1}"
+        end = f"{20300101000000 + 4}"
+        return read_hudi_incremental(spark, table, begin, end) \
+            .localCheckpoint(eager=True)

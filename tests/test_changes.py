@@ -1,0 +1,246 @@
+"""Incremental/change queries + DV-backed delete (sources/changes.py,
+r14): DV union on repeated deletes, whole-file retirement, vacuumed /
+truncated-range refusals, non-append refusals, Hudi meta-column row
+attribution, and empty-range shapes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hive_udf_spark.sources.changes import (
+    delete_from_delta,
+    read_delta_changes,
+    read_hudi_incremental,
+    read_iceberg_incremental,
+)
+
+
+def _ingest_delta(spark, table, n_batches, rows_per=5):
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(rows_per)],
+            "doc_id long, n long",
+        )
+        assert commit_batch_to_delta(df.coalesce(1), b, table,
+                                     app_id="t", checkpoint_every=0)
+
+
+def test_delete_from_delta_unions_with_existing_dv(spark, tmp_path):
+    from hive_udf_spark.sources.delta import read_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 2)
+    assert delete_from_delta(spark, table, "doc_id = 1") == 1
+    # second delete on the same file must keep the first one dead
+    assert delete_from_delta(spark, table, "doc_id = 2") == 1
+    got = sorted(r.doc_id for r in read_delta(spark, table).collect())
+    assert got == [0, 3, 4, 10, 11, 12, 13, 14]
+    # repeating a delete is a no-op (already dead rows don't re-count)
+    assert delete_from_delta(spark, table, "doc_id = 2") == 0
+
+
+def test_delete_from_delta_retires_fully_dead_files(spark, tmp_path):
+    from hive_udf_spark.sources.delta import delta_snapshot, read_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 2)
+    assert delete_from_delta(spark, table, "doc_id < 10") == 5
+    snap = delta_snapshot(table)
+    # the whole first file died: plain remove, no DV-carrying re-add
+    assert len(snap.files) == 1
+    assert read_delta(spark, table).count() == 5
+
+
+def test_delete_from_delta_density_cap(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    with pytest.raises(ValueError, match="cap"):
+        delete_from_delta(spark, table, "doc_id >= 0",
+                          max_deleted_rows=2)
+
+
+def test_delta_changes_whole_file_delete_excludes_dv_dead_rows(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    delete_from_delta(spark, table, "doc_id = 1")       # v1: DV
+    delete_from_delta(spark, table, "doc_id < 10")      # v2: file dies
+    ch = read_delta_changes(spark, table, 2, 2)
+    got = sorted((r.doc_id, r._change_type) for r in ch.collect())
+    # row 1 was already dead at v1 — only the freshly-dead rows report
+    assert got == [(0, "delete"), (2, "delete"), (3, "delete"),
+                   (4, "delete")]
+    ch1 = read_delta_changes(spark, table, 1, 1)
+    assert sorted((r.doc_id, r._change_type) for r in ch1.collect()) \
+        == [(1, "delete")]
+
+
+def test_delta_changes_refuses_vacuumed_file(spark, tmp_path):
+    from hive_udf_spark.sources.delta import delta_snapshot
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 2)
+    # version 2: remove batch 0's file, then physically delete it
+    victim = list(delta_snapshot(table, 0).files)[0]
+    import json as _json
+
+    with open(os.path.join(table, "_delta_log",
+                           f"{2:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"remove": {
+            "path": victim, "deletionTimestamp": 0, "dataChange": True,
+        }}) + "\n")
+    os.remove(os.path.join(table, victim))
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta_changes(spark, table, 2, 2).collect()
+
+
+def test_delta_changes_refuses_truncated_range(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 3)
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="not in the log"):
+        read_delta_changes(spark, table, 0, 2)
+
+
+def test_delta_changes_optimize_is_invisible(spark, tmp_path):
+    from hive_udf_spark.sources.maintenance import compact_delta_table
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 3)
+    assert compact_delta_table(spark, table, target_files=1)
+    # the OPTIMIZE commit (v3) carries dataChange=false everywhere
+    ch = read_delta_changes(spark, table, 3, 3)
+    assert ch.count() == 0
+
+
+def test_iceberg_incremental_refuses_non_append(spark, tmp_path):
+    from hive_udf_spark.sources.maintenance import compact_iceberg_table
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(3)], "doc_id long, n long"
+        )
+        assert commit_batch_to_iceberg(df, b, table, app_id="t")
+    assert compact_iceberg_table(spark, table, target_files=1)
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, table, 5000).collect()
+    # a range ending BEFORE the replace still works
+    inc = read_iceberg_incremental(spark, table, 5000, 5002)
+    assert sorted(r.doc_id for r in inc.collect()) == [10, 11, 12,
+                                                       20, 21, 22]
+
+
+def test_iceberg_incremental_empty_range(spark, tmp_path):
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    assert commit_batch_to_iceberg(df, 0, table, app_id="t")
+    inc = read_iceberg_incremental(spark, table, 5000, 5000)
+    assert inc.count() == 0
+    assert "_snapshot_id" in inc.columns
+
+
+def test_hudi_incremental_skips_replacecommits_and_refuses_logs(
+    spark, tmp_path
+):
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(3)], "doc_id long, n long"
+        )
+        assert commit_batch_to_hudi(df, b, table, table_name="t")
+    assert cluster_hudi_table(spark, table, target_files=1)
+    # clustering's replacecommit is inside the range but adds no data
+    inc = read_hudi_incremental(spark, table, f"{20300101000000}")
+    got = sorted(r.doc_id for r in inc.collect())
+    assert got == [10, 11, 12, 20, 21, 22]
+
+
+def test_hudi_incremental_meta_columns_attribute_rows(spark, tmp_path):
+    """File groups REWRITTEN across commits (upserts) attribute rows by
+    the _hoodie_commit_time meta column — only the rewritten commit's
+    rows report, real Hudi's mechanism."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import META_COLUMNS, write_hudi_table
+
+    table = str(tmp_path / "t")
+
+    def src(name, rows, instant):
+        p = str(tmp_path / f"{name}.parquet")
+        cts = [r[2] if len(r) > 2 else instant for r in rows]
+        cols = {"_hoodie_commit_time": pa.array(cts, pa.string())}
+        for c in META_COLUMNS[1:]:
+            cols[c] = pa.array([""] * len(rows), pa.string())
+        cols["doc_id"] = pa.array([r[0] for r in rows], pa.int64())
+        cols["n"] = pa.array([r[1] for r in rows], pa.int64())
+        pq.write_table(pa.table(cols), p)
+        return p
+
+    # the fixture writer assigns instants 20240101000000 + i; the
+    # rewritten file carries doc 1 under its ORIGINAL commit time and
+    # doc 2 under the rewriting commit's — exactly what a real Hudi
+    # upsert stamps
+    i0, i1 = "20240101000000", "20240101000001"
+    write_hudi_table(table, [
+        {"writes": {"fg-0": src("a", [(1, 10), (2, 20)], i0)}},
+        {"writes": {"fg-0": src(
+            "b", [(1, 10, i0), (2, 21, i1)], None)}},
+    ], [("doc_id", "bigint"), ("n", "bigint")])
+    inc = read_hudi_incremental(spark, table, i0)
+    got = sorted((r.doc_id, r.n) for r in inc.collect())
+    # only the upserted row attributes to the second commit
+    assert got == [(2, 21)]
+
+
+def test_hudi_incremental_meta_less_rewrite_refuses(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import write_hudi_table
+
+    table = str(tmp_path / "t")
+
+    def src(name, rows):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        }), p)
+        return p
+
+    write_hudi_table(table, [
+        {"writes": {"fg-0": src("a", [(1, 10)])}},
+        {"writes": {"fg-0": src("b", [(1, 11)])}},  # meta-less rewrite
+    ], [("doc_id", "bigint"), ("n", "bigint")])
+    from hive_udf_spark.sources.hudi import hudi_timeline
+
+    first = hudi_timeline(table)[0][0]
+    with pytest.raises(ValueError, match="_hoodie_commit_time"):
+        read_hudi_incremental(spark, table, first).collect()
+
+
+def test_hudi_incremental_unknown_begin_refuses(spark, tmp_path):
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    assert commit_batch_to_hudi(df, 0, table, table_name="t")
+    with pytest.raises(ValueError, match="not on the timeline"):
+        read_hudi_incremental(spark, table, "19990101000000")

@@ -1150,6 +1150,36 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(QUERIES["streaming_delta_auto_maintained_ingest"].fn(
             spark, sf_dir))
 
+    def q_delta_dv_delete():
+        # r14: delete-without-rewrite via executor-written DVs
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_delta_dv_delete"].fn(spark, sf_dir))
+
+    def q_delta_changes():
+        # r14: CDF-lite change query incl. DV-diff deletes
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_delta_changes"].fn(spark, sf_dir))
+
+    def q_iceberg_incremental():
+        # r14: snapshot-range incremental append scan
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_iceberg_incremental"].fn(spark, sf_dir))
+
+    def q_hudi_incremental():
+        # r14: instant-range incremental query
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["source_hudi_incremental"].fn(spark, sf_dir))
+
+    def q_delta_cdf_stream():
+        # r14: Python Data Source streaming reader over the change feed
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_delta_cdf_source"].fn(spark, sf_dir))
+
     def q_codec_ogg_dispatch():
         # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1455,6 +1485,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_multiname_mapping": q_iceberg_multiname_mapping,
         "delta_auto_maintained_ingest": q_delta_auto_maintained_ingest,
         "codec_ogg_dispatch": q_codec_ogg_dispatch,
+        "delta_dv_delete": q_delta_dv_delete,
+        "delta_changes": q_delta_changes,
+        "iceberg_incremental": q_iceberg_incremental,
+        "hudi_incremental": q_hudi_incremental,
+        "delta_cdf_stream": q_delta_cdf_stream,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -3248,3 +3248,64 @@ def source_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         end = f"{20300101000000 + 4}"
         return read_hudi_incremental(spark, table, begin, end) \
             .localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_delta_cdf_source",
+    oracle="""
+    SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+           CAST(doc_id % 4 AS BIGINT) AS _commit_version
+    FROM documents
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 'delete' AS _change_type,
+           CAST(4 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def streaming_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming SOURCE over the Delta change feed (r14):
+    ``spark.readStream.format("delta_changes")`` via Spark 4's Python
+    Data Source API — documents land as 4 commits plus a
+    deletion-vector delete of every 5th doc, and the STREAM consumes
+    the whole feed through micro-batch offsets that follow the
+    transaction log (one partition per changed file, executor-side
+    pyarrow reads, DV membership applied in-partition).  The oracle
+    hash-checks the full change feed: every insert with its commit
+    version plus exactly the DV-dead rows as deletes — the
+    bronze→silver link of a medallion pipeline, with Spark's own
+    checkpoint machinery doing the offset bookkeeping."""
+    import tempfile
+
+    from hive_udf_spark.sources.changes import delete_from_delta
+    from hive_udf_spark.streaming.delta_changes_source import (
+        register_delta_changes_source,
+    )
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    register_delta_changes_source(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, app_id="cdf-src", checkpoint_every=0,
+            )
+        delete_from_delta(spark, table, "doc_id % 5 = 0")
+        out_dir = f"{tmp}/out"
+        stream = (
+            spark.readStream.format("delta_changes")
+            .option("path", table).load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)

@@ -25,6 +25,21 @@ def get_spark(app_name: str = "hive_udf_spark", shuffle_partitions: str | int | 
       ~2-3x total executor cores via submit conf.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Spark 4's PYTHON DATA SOURCE planner workers (the streaming
+    # source runner behind streaming/delta_changes_source.py) are
+    # spawned by the JVM and unpickle registered sources by module
+    # reference — they need this package on PYTHONPATH, which the
+    # addPyFile zip below does NOT cover (it reaches executor workers
+    # only).  Export the package's parent dir BEFORE the JVM launches
+    # so every spawned worker inherits it; a no-op when the package is
+    # pip-installed (site-packages is always importable) or the JVM
+    # already exists.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (
+            os.pathsep + existing_pp if existing_pp else ""
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -229,15 +229,17 @@ def _dv_positions_set(table_path: str, add: dict) -> set[int]:
     return set(int(x) for x in decode_rbm64(_dv_blob(table_path, dv)[0]))
 
 
-def read_delta_changes(
-    spark: SparkSession, table_path: str, start_version: int,
-    end_version: int | None = None,
-) -> DataFrame:
-    """Rows changed in commit versions ``[start_version, end_version]``
-    (end defaults to latest), CDF-lite from the log itself — see the
-    module docstring for the action→change mapping.  A commit JSON
-    missing from the range (truncated log) or a removed file already
-    vacuumed refuses loudly: the change set is not reconstructible."""
+def _delta_change_files(
+    table_path: str, start_version: int, end_version: int | None = None,
+) -> tuple[str, int, list[dict]]:
+    """Driver-side change-set resolution shared by the batch reader and
+    the streaming source: (schema JSON, resolved end version, pieces),
+    each piece ``{"path", "change", "version", "mode", "blob"}`` with
+    mode None (whole file), ``"member"`` (rows AT the blob's roaring
+    positions — a DV swap's freshly-dead rows), or ``"keep"`` (rows NOT
+    at them — a whole-file delete minus its prior DV).  KB-scale log
+    work; no Spark session involved."""
+    from hive_udf_spark.operators.roaring import encode_rbm64
     from hive_udf_spark.sources.delta import (
         _commit_versions,
         _log_dir,
@@ -258,17 +260,12 @@ def read_delta_changes(
             "log (truncated?) — the change set is not reconstructible"
         )
     snap_end = delta_snapshot(table_path, end_version)
-    schema = StructType.fromJson(
-        json.loads(snap_end.metadata["schemaString"])
-    )
     if (((snap_end.metadata or {}).get("configuration") or {})
             .get("delta.columnMapping.mode") or "none") != "none":
         raise ValueError("delta changes: column-mapped tables not vendored")
-    names = [f.name for f in schema.fields]
     abs_of = lambda p: os.path.abspath(
         p if os.path.isabs(p) else os.path.join(table_path, p)
     )
-    # prior DV state: positions already dead BEFORE the range
     prior: dict[str, dict] = {}
     if start_version > 0:
         prior = dict(delta_snapshot(table_path, start_version - 1).files)
@@ -279,55 +276,22 @@ def read_delta_changes(
         abs_of(p): _dv_positions_set(table_path, a)
         for p, a in prior.items() if a.get("deletionVector")
     }
-    pieces: list[DataFrame] = []
+    pieces: list[dict] = []
 
-    def piece(paths: list[str], change: str, version: int,
-              member_positions: dict[str, set[int]] | None = None):
-        for p in paths:
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"delta changes: file {p!r} of version {version} is "
-                    "gone (vacuumed) — the change set is not "
-                    "reconstructible; lower the range or raise retention"
-                )
-        d = spark.read.schema(schema).parquet(*paths)
-        if member_positions is not None:
-            from hive_udf_spark.operators.roaring import encode_rbm64
-
-            blobs = {p: bytes(encode_rbm64(sorted(s)))
-                     for p, s in member_positions.items() if s}
-            bc = spark.sparkContext.broadcast(blobs)
-
-            @F.pandas_udf("boolean")
-            def member(fp, ri):
-                import re as _re
-                from urllib.parse import unquote
-
-                import numpy as np
-                import pandas as _pd
-
-                from hive_udf_spark.operators.roaring import decode_rbm64
-
-                out = np.zeros(len(ri), dtype=bool)
-                rin = ri.to_numpy()
-                fpn = fp.to_numpy()
-                for uri in _pd.unique(fp):
-                    norm = os.path.abspath(
-                        unquote(_re.sub("^file:(//)?", "", uri))
-                    )
-                    blob = bc.value.get(norm)
-                    if blob is None:
-                        continue
-                    pos = decode_rbm64(blob)
-                    mask = fpn == uri
-                    out[mask] = np.isin(rin[mask], pos)
-                return _pd.Series(out)
-
-            d = d.filter(member(F.col("_metadata.file_path"),
-                                F.col("_metadata.row_index")))
-        pieces.append(d.select(*names).withColumn(
-            "_change_type", F.lit(change)
-        ).withColumn("_commit_version", F.lit(version).cast("long")))
+    def emit(path: str, change: str, version: int,
+             mode: str | None = None, positions: set[int] | None = None):
+        if not os.path.exists(path):
+            raise ValueError(
+                f"delta changes: file {path!r} of version {version} is "
+                "gone (vacuumed) — the change set is not "
+                "reconstructible; lower the range or raise retention"
+            )
+        pieces.append({
+            "path": path, "change": change, "version": version,
+            "mode": mode,
+            "blob": (bytes(encode_rbm64(sorted(positions)))
+                     if positions else None),
+        })
 
     for v in wanted:
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
@@ -347,56 +311,103 @@ def read_delta_changes(
                     adds.append(path)
                 dv_state[path] = new_dv
             elif rem and rem.get("dataChange"):
-                path = abs_of(rem["path"])
-                removes.append(path)
+                removes.append(abs_of(rem["path"]))
         # a remove paired with a DV re-add of the SAME file is the DV
         # protocol shape, not a whole-file delete
         removes = [p for p in removes if p not in dv_deletes
                    and p not in adds]
-        if adds:
-            piece(sorted(adds), "insert", v)
-        if removes:
-            # whole-file delete: rows still under any PRIOR DV were
+        for p in sorted(adds):
+            emit(p, "insert", v)
+        for p in sorted(removes):
+            # whole-file delete: rows still under a PRIOR DV were
             # already dead and must not re-report
-            dead = {p: dv_state.get(p, set()) for p in removes}
-            if any(dead.values()):
-                from hive_udf_spark.sources.delta import _dv_keep_udf
+            dead = dv_state.pop(p, set())
+            emit(p, "delete", v, mode="keep" if dead else None,
+                 positions=dead or None)
+        for p in sorted(dv_deletes):
+            emit(p, "delete", v, mode="member",
+                 positions=dv_deletes[p])
+    return snap_end.metadata["schemaString"], end_version, pieces
 
-                blobs = {}
-                from hive_udf_spark.operators.roaring import encode_rbm64
 
-                for p, s in dead.items():
-                    if s:
-                        blobs[p] = (bytes(encode_rbm64(sorted(s))), len(s))
-                keep = _dv_keep_udf(spark, blobs)
-                for p in sorted(removes):
-                    d = spark.read.schema(schema).parquet(p)
-                    if not os.path.exists(p):
-                        raise ValueError(
-                            f"delta changes: file {p!r} vacuumed"
-                        )
-                    d = d.filter(keep(F.col("_metadata.file_path"),
-                                      F.col("_metadata.row_index")))
-                    pieces.append(d.select(*names).withColumn(
-                        "_change_type", F.lit("delete")
-                    ).withColumn("_commit_version",
-                                 F.lit(v).cast("long")))
-            else:
-                piece(sorted(removes), "delete", v)
-            for p in removes:
-                dv_state.pop(p, None)
-        if dv_deletes:
-            piece(sorted(dv_deletes), "delete", v,
-                  member_positions=dv_deletes)
-    if not pieces:
-        empty = StructType.fromJson(json.loads(
-            snap_end.metadata["schemaString"]
+def read_delta_changes(
+    spark: SparkSession, table_path: str, start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Rows changed in commit versions ``[start_version, end_version]``
+    (end defaults to latest), CDF-lite from the log itself — see the
+    module docstring for the action→change mapping.  A commit JSON
+    missing from the range (truncated log) or a removed file already
+    vacuumed refuses loudly: the change set is not reconstructible."""
+    schema_json, _, pieces = _delta_change_files(
+        table_path, start_version, end_version
+    )
+    schema = StructType.fromJson(json.loads(schema_json))
+    names = [f.name for f in schema.fields]
+    out_pieces: list[DataFrame] = []
+
+    # whole-file pieces of one (change, version) batch into one scan;
+    # blob-filtered pieces scan per file with a membership UDF
+    plain: dict[tuple[str, int], list[str]] = {}
+    for pc in pieces:
+        if pc["mode"] is None:
+            plain.setdefault((pc["change"], pc["version"]),
+                             []).append(pc["path"])
+
+    def stamped(d: DataFrame, change: str, version: int) -> DataFrame:
+        return d.select(*names).withColumn(
+            "_change_type", F.lit(change)
+        ).withColumn("_commit_version", F.lit(version).cast("long"))
+
+    for (change, version), paths in sorted(plain.items()):
+        out_pieces.append(stamped(
+            spark.read.schema(schema).parquet(*sorted(paths)),
+            change, version,
         ))
-        return spark.createDataFrame([], empty).withColumn(
+    filtered = [pc for pc in pieces if pc["mode"] is not None]
+    if filtered:
+        blobs = {pc["path"]: (pc["blob"], pc["mode"]) for pc in filtered}
+        bc = spark.sparkContext.broadcast(blobs)
+
+        @F.pandas_udf("boolean")
+        def selected(fp, ri):
+            import re as _re
+            from urllib.parse import unquote
+
+            import numpy as np
+            import pandas as _pd
+
+            from hive_udf_spark.operators.roaring import decode_rbm64
+
+            out = np.ones(len(ri), dtype=bool)
+            rin = ri.to_numpy()
+            fpn = fp.to_numpy()
+            for uri in _pd.unique(fp):
+                norm = os.path.abspath(
+                    unquote(_re.sub("^file:(//)?", "", uri))
+                )
+                ent = bc.value.get(norm)
+                if ent is None:
+                    continue
+                blob, mode = ent
+                pos = decode_rbm64(blob)
+                mask = fpn == uri
+                member = np.isin(rin[mask], pos)
+                out[mask] = member if mode == "member" else ~member
+            return _pd.Series(out)
+
+        for pc in filtered:
+            d = spark.read.schema(schema).parquet(pc["path"]).filter(
+                selected(F.col("_metadata.file_path"),
+                         F.col("_metadata.row_index"))
+            )
+            out_pieces.append(stamped(d, pc["change"], pc["version"]))
+    if not out_pieces:
+        return spark.createDataFrame([], schema).withColumn(
             "_change_type", F.lit(None).cast("string")
         ).withColumn("_commit_version", F.lit(None).cast("long"))
-    out = pieces[0]
-    for d in pieces[1:]:
+    out = out_pieces[0]
+    for d in out_pieces[1:]:
         out = out.unionByName(d)
     return out
 

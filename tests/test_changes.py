@@ -244,3 +244,69 @@ def test_hudi_incremental_unknown_begin_refuses(spark, tmp_path):
     assert commit_batch_to_hudi(df, 0, table, table_name="t")
     with pytest.raises(ValueError, match="not on the timeline"):
         read_hudi_incremental(spark, table, "19990101000000")
+
+
+# ---------------------------------------------------------------------------
+# r14: streaming CDF source (Python Data Source API)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_cdf_stream_source_lifecycle(spark, tmp_path):
+    """The readStream format consumes the feed through checkpointed
+    offsets: a first run drains versions 0..N, a RESTART after a new
+    commit emits ONLY the new version (exactly-once via the stream's
+    own checkpoint), and DV deletes surface as delete rows."""
+    from hive_udf_spark.streaming.delta_changes_source import (
+        register_delta_changes_source,
+    )
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 3, rows_per=4)
+    delete_from_delta(spark, table, "doc_id % 10 = 1")
+    register_delta_changes_source(spark)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = (spark.readStream.format("delta_changes")
+              .option("path", table).load())
+
+    def drain():
+        q = (stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    got = sorted((r.doc_id, r._change_type, r._commit_version)
+                 for r in spark.read.parquet(out_dir).collect())
+    ins = [g for g in got if g[1] == "insert"]
+    dels = [g for g in got if g[1] == "delete"]
+    assert len(ins) == 12
+    assert sorted(d for d, _, _ in dels) == [1, 11, 21]
+    assert all(v == 3 for _, _, v in dels)
+    # restart after one more commit: only the new version arrives
+    # the DV delete took version 3, so the stream's next batch is 4
+    df = spark.createDataFrame([(90, 0)], "doc_id long, n long")
+    assert commit_batch_to_delta(df.coalesce(1), 4, table, app_id="t",
+                                 checkpoint_every=0)
+    drain()
+    got2 = sorted((r.doc_id, r._change_type, r._commit_version)
+                  for r in spark.read.parquet(out_dir).collect())
+    assert len(got2) == len(got) + 1
+    assert (90, "insert", 4) in got2
+
+
+def test_delta_cdf_stream_source_schema(spark, tmp_path):
+    from hive_udf_spark.streaming.delta_changes_source import (
+        register_delta_changes_source,
+    )
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    register_delta_changes_source(spark)
+    stream = (spark.readStream.format("delta_changes")
+              .option("path", table).load())
+    assert stream.columns == ["doc_id", "n", "_change_type",
+                              "_commit_version"]
+    assert dict(stream.dtypes)["_commit_version"] == "bigint"

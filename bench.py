@@ -1180,6 +1180,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["streaming_delta_cdf_source"].fn(spark, sf_dir))
 
+    def q_iceberg_incremental_stream():
+        # r14: snapshot-offset streaming source (Python Data Source API)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_iceberg_incremental_source"].fn(
+            spark, sf_dir))
+
+    def q_hudi_incremental_stream():
+        # r14: instant-offset streaming source
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["streaming_hudi_incremental_source"].fn(
+            spark, sf_dir))
+
     def q_codec_ogg_dispatch():
         # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1490,6 +1504,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_incremental": q_iceberg_incremental,
         "hudi_incremental": q_hudi_incremental,
         "delta_cdf_stream": q_delta_cdf_stream,
+        "iceberg_incremental_stream": q_iceberg_incremental_stream,
+        "hudi_incremental_stream": q_hudi_incremental_stream,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -3309,3 +3309,110 @@ def streaming_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_iceberg_incremental_source",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(5000 + doc_id % 6 AS BIGINT) AS _snapshot_id
+    FROM documents
+    """,
+)
+def streaming_iceberg_incremental_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured-Streaming SOURCE over Iceberg snapshots (r14):
+    ``spark.readStream.format("iceberg_incremental")`` via Spark 4's
+    Python Data Source API — documents land as 6 append snapshots and
+    the stream drains the whole feed through snapshot-id offsets (one
+    partition per added file, executor-side pyarrow reads).  The
+    oracle hash-checks every row with the snapshot that appended it —
+    the subscribe-don't-rescan shape of an incremental pipeline."""
+    import tempfile
+
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+    from hive_udf_spark.streaming.incremental_sources import (
+        register_incremental_sources,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    register_incremental_sources(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_iceberg(
+                docs.filter(F.col("doc_id") % 6 == b).coalesce(1),
+                b, table, app_id="inc-src",
+            )
+        out_dir = f"{tmp}/out"
+        stream = (
+            spark.readStream.format("iceberg_incremental")
+            .option("path", table).load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_hudi_incremental_source",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(20300101000000 + doc_id % 6 AS VARCHAR) AS _commit_time
+    FROM documents
+    """,
+)
+def streaming_hudi_incremental_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured-Streaming SOURCE over the Hudi timeline (r14):
+    ``spark.readStream.format("hudi_incremental")`` — documents land
+    as 6 completed commits and the stream drains the feed through
+    instant offsets, stamping each row's ``_commit_time``.
+    Replacecommits would be skipped and MOR logs refuse, same as the
+    batch incremental reader the source shares its walk with."""
+    import tempfile
+
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+    from hive_udf_spark.streaming.incremental_sources import (
+        register_incremental_sources,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    register_incremental_sources(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(6):
+            commit_batch_to_hudi(
+                docs.filter(F.col("doc_id") % 6 == b).coalesce(1),
+                b, table, table_name="inc-src",
+            )
+        out_dir = f"{tmp}/out"
+        stream = (
+            spark.readStream.format("hudi_incremental")
+            .option("path", table).load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)

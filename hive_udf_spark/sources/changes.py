@@ -417,48 +417,97 @@ def read_delta_changes(
 # ---------------------------------------------------------------------------
 
 
-def read_iceberg_incremental(
-    spark: SparkSession, table_path: str, from_snapshot_id: int,
+def _iceberg_type_ddl(t, depth: int = 0) -> str:
+    """Iceberg JSON type → Spark DDL string, CONTEXT-FREE (the Python
+    data-source workers have no active SparkSession, so
+    ``_parse_datatype_string``-based conversion is unusable there)."""
+    from hive_udf_spark.sources.iceberg import _PRIMITIVES
+
+    if depth > 32:
+        raise ValueError("iceberg: type nesting past the cap")
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal("):
+            return t
+        raise ValueError(f"iceberg: type {t!r} not vendored")
+    kind = t.get("type") if isinstance(t, dict) else None
+    if kind == "struct":
+        inner = ",".join(
+            f"{f['name']}:{_iceberg_type_ddl(f['type'], depth + 1)}"
+            for f in t.get("fields", [])
+        )
+        return f"struct<{inner}>"
+    if kind == "list":
+        return f"array<{_iceberg_type_ddl(t['element'], depth + 1)}>"
+    if kind == "map":
+        return (f"map<{_iceberg_type_ddl(t['key'], depth + 1)},"
+                f"{_iceberg_type_ddl(t['value'], depth + 1)}>")
+    raise ValueError(f"iceberg: type {t!r} not vendored")
+
+
+def _iceberg_ddl(meta: dict) -> tuple[str, list[str]]:
+    """(DDL string, column names) for the current schema —
+    context-free twin of ``_schema_from_metadata``."""
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = meta.get("current-schema-id", 0)
+        schema = next((s for s in schemas if s.get("schema-id") == sid),
+                      schemas[-1])
+    else:
+        schema = meta.get("schema")
+    if not schema or "fields" not in schema:
+        raise ValueError("iceberg: metadata carries no schema")
+    fields = schema["fields"]
+    ddl = ", ".join(
+        f"{f['name']} {_iceberg_type_ddl(f['type'])}" for f in fields
+    )
+    return ddl, [f["name"] for f in fields]
+
+
+def _iceberg_added_files(
+    table_path: str, from_snapshot_id: int | None,
     to_snapshot_id: int | None = None,
-) -> DataFrame:
-    """Data files ADDED by snapshots in ``(from_snapshot_id,
-    to_snapshot_id]`` (to defaults to current) — the spec's incremental
-    append scan.  Any snapshot in the range whose summary operation is
-    not ``append`` refuses (a replace/overwrite/delete in the range
-    means appended-files is not the change set — the same contract
-    Spark's incremental read enforces)."""
+) -> tuple[str, list[str], list[tuple[int, list[str]]]]:
+    """Driver-side incremental walk shared by the batch reader and the
+    streaming source: (schema DDL, column names, [(snapshot_id,
+    [added parquet paths])]) for snapshots in ``(from, to]`` —
+    ``from=None`` means from the beginning of the log.  Non-append
+    snapshots in the range refuse.  Context-free (runs in data-source
+    planner workers)."""
     from hive_udf_spark.operators.avrocodec import decode_ocf
     from hive_udf_spark.sources.iceberg import (
         _load_metadata,
         _local_path,
-        _schema_from_metadata,
     )
 
     meta = _load_metadata(table_path)
     snapshots = meta.get("snapshots") or []
     ids = [s.get("snapshot-id") for s in snapshots]
-    if from_snapshot_id not in ids:
-        raise ValueError(
-            f"iceberg incremental: snapshot {from_snapshot_id} not in "
-            "the log (expired?) — the change set is not reconstructible"
-        )
+    if from_snapshot_id is None:
+        lo = -1
+    else:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"iceberg incremental: snapshot {from_snapshot_id} not "
+                "in the log (expired?) — the change set is not "
+                "reconstructible"
+            )
+        lo = ids.index(from_snapshot_id)
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id")
     if to_snapshot_id not in ids:
         raise ValueError(
             f"iceberg incremental: snapshot {to_snapshot_id} not in the log"
         )
-    lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+    hi = ids.index(to_snapshot_id)
     if lo > hi:
         raise ValueError(
             "iceberg incremental: from_snapshot_id is newer than "
             "to_snapshot_id"
         )
-    in_range = snapshots[lo + 1 : hi + 1]
-    schema = _schema_from_metadata(meta)
-    names = [f.name for f in schema.fields]
-    pieces = []
-    for s in in_range:
+    out: list[tuple[int, list[str]]] = []
+    for s in snapshots[lo + 1 : hi + 1]:
         op = (s.get("summary") or {}).get("operation") or "append"
         if op != "append":
             raise ValueError(
@@ -482,13 +531,31 @@ def read_iceberg_incremental(
                         and (df.get("content") or 0) == 0:
                     added.append(_local_path(df["file_path"], table_path))
         if added:
-            pieces.append(
-                spark.read.schema(schema).parquet(*sorted(set(added)))
-                .select(*names)
-                .withColumn("_snapshot_id", F.lit(sid).cast("long"))
-            )
+            out.append((int(sid), sorted(set(added))))
+    ddl, names = _iceberg_ddl(meta)
+    return ddl, names, out
+
+
+def read_iceberg_incremental(
+    spark: SparkSession, table_path: str, from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Data files ADDED by snapshots in ``(from_snapshot_id,
+    to_snapshot_id]`` (to defaults to current) — the spec's incremental
+    append scan.  Any snapshot in the range whose summary operation is
+    not ``append`` refuses (a replace/overwrite/delete in the range
+    means appended-files is not the change set — the same contract
+    Spark's incremental read enforces)."""
+    ddl, names, ranges = _iceberg_added_files(
+        table_path, from_snapshot_id, to_snapshot_id
+    )
+    pieces = [
+        spark.read.schema(ddl).parquet(*paths).select(*names)
+        .withColumn("_snapshot_id", F.lit(sid).cast("long"))
+        for sid, paths in ranges
+    ]
     if not pieces:
-        return spark.createDataFrame([], schema).withColumn(
+        return spark.createDataFrame([], ddl).withColumn(
             "_snapshot_id", F.lit(None).cast("long")
         )
     out = pieces[0]
@@ -502,16 +569,18 @@ def read_iceberg_incremental(
 # ---------------------------------------------------------------------------
 
 
-def read_hudi_incremental(
-    spark: SparkSession, table_path: str, begin_instant: str,
+def _hudi_incremental_files(
+    table_path: str, begin_instant: str | None,
     end_instant: str | None = None,
-) -> DataFrame:
-    """Rows written by commits in ``(begin_instant, end_instant]``
-    (end defaults to latest) — Hudi's incremental query (begin is
-    EXCLUSIVE, Hudi's own convention).  See the module docstring for
-    the meta-column / insert-only contract."""
+) -> tuple[tuple, list[tuple[str, list[str], bool]]]:
+    """Driver-side incremental walk shared by the batch reader and the
+    streaming source: ((ddl, names), [(instant, [abs base-file paths],
+    has_meta)]) for commits in ``(begin, end]`` — ``begin=None`` means
+    from the start of the timeline.  MOR logs and meta-less rewrites
+    in range refuse."""
+    import pyarrow.parquet as pq
+
     from hive_udf_spark.sources.hudi import (
-        META_COLUMNS,
         _instant_key,
         _schema_from_commit,
         hudi_timeline,
@@ -519,16 +588,17 @@ def read_hudi_incremental(
 
     timeline = hudi_timeline(table_path)
     keys = [_instant_key(t) for t, _, _ in timeline]
-    if _instant_key(begin_instant) not in keys:
+    if begin_instant is not None and _instant_key(begin_instant) not in keys:
         raise ValueError(
             f"hudi incremental: instant {begin_instant!r} not on the "
             "timeline (archived?) — the change set is not reconstructible"
         )
     if end_instant is None:
         end_instant = timeline[-1][0]
-    lo, hi = _instant_key(begin_instant), _instant_key(end_instant)
+    lo = _instant_key(begin_instant) if begin_instant is not None else ""
+    hi = _instant_key(end_instant)
     pinned = None
-    pieces = []
+    out: list[tuple[str, list[str], bool]] = []
 
     def fid_of(st: dict) -> str:
         fid = st.get("fileId")
@@ -573,38 +643,52 @@ def read_hudi_incremental(
                 paths.append(os.path.join(table_path, p))
         if not paths:
             continue
-        if pinned is None:
-            raise ValueError("hudi incremental: no stamped schema")
-        ddl, names = pinned
-        import pyarrow.parquet as pq
-
         has_meta = all(
             "_hoodie_commit_time" in pq.read_schema(p).names
             for p in paths
         )
+        if not has_meta and rewrote:
+            raise ValueError(
+                "hudi incremental: commit rewrote existing file "
+                "groups and its files carry no _hoodie_commit_time "
+                "meta column — rows cannot be attributed to the "
+                "commit; write meta columns or use full snapshots"
+            )
+        out.append((instant, sorted(paths), has_meta))
+    if pinned is None:
+        raise ValueError("hudi incremental: no stamped schema")
+    return pinned, out
+
+
+def read_hudi_incremental(
+    spark: SparkSession, table_path: str, begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Rows written by commits in ``(begin_instant, end_instant]``
+    (end defaults to latest) — Hudi's incremental query (begin is
+    EXCLUSIVE, Hudi's own convention).  See the module docstring for
+    the meta-column / insert-only contract."""
+    from hive_udf_spark.sources.hudi import META_COLUMNS
+
+    pinned, ranges = _hudi_incremental_files(
+        table_path, begin_instant, end_instant
+    )
+    ddl, names = pinned
+    pieces = []
+    for instant, paths, has_meta in ranges:
         if has_meta:
             meta_ddl = ", ".join(f"{c} string" for c in META_COLUMNS)
             d = (
                 spark.read.schema(f"{meta_ddl}, {ddl}")
-                .parquet(*sorted(paths))
+                .parquet(*paths)
                 .filter(F.col("_hoodie_commit_time") == instant)
                 .select(*names)
             )
         else:
-            if rewrote:
-                raise ValueError(
-                    "hudi incremental: commit rewrote existing file "
-                    "groups and its files carry no _hoodie_commit_time "
-                    "meta column — rows cannot be attributed to the "
-                    "commit; write meta columns or use full snapshots"
-                )
-            d = spark.read.schema(ddl).parquet(*sorted(paths)) \
-                .select(*names)
+            d = spark.read.schema(ddl).parquet(*paths).select(*names)
         pieces.append(d.withColumn("_commit_time", F.lit(instant)))
     if not pieces:
-        if pinned is None:
-            raise ValueError("hudi incremental: no stamped schema")
-        return spark.createDataFrame([], pinned[0]).withColumn(
+        return spark.createDataFrame([], ddl).withColumn(
             "_commit_time", F.lit(None).cast("string")
         )
     out = pieces[0]

@@ -310,3 +310,104 @@ def test_delta_cdf_stream_source_schema(spark, tmp_path):
     assert stream.columns == ["doc_id", "n", "_change_type",
                               "_commit_version"]
     assert dict(stream.dtypes)["_commit_version"] == "bigint"
+
+
+def test_iceberg_incremental_stream_source_lifecycle(spark, tmp_path):
+    """Snapshot-id offsets drain the feed; a restart after a new
+    snapshot emits only the new one; startingSnapshotId skips the
+    prefix."""
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+    from hive_udf_spark.streaming.incremental_sources import (
+        register_incremental_sources,
+    )
+
+    table = str(tmp_path / "t")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(3)], "doc_id long, n long"
+        )
+        assert commit_batch_to_iceberg(df, b, table, app_id="t")
+    register_incremental_sources(spark)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = (spark.readStream.format("iceberg_incremental")
+              .option("path", table).load())
+
+    def drain():
+        q = (stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    got = sorted((r.doc_id, r._snapshot_id)
+                 for r in spark.read.parquet(out_dir).collect())
+    assert len(got) == 9 and got[-1] == (22, 5002)
+    df = spark.createDataFrame([(99, 0)], "doc_id long, n long")
+    assert commit_batch_to_iceberg(df, 3, table, app_id="t")
+    drain()
+    got2 = sorted((r.doc_id, r._snapshot_id)
+                  for r in spark.read.parquet(out_dir).collect())
+    assert len(got2) == 10 and (99, 5003) in got2
+    # startingSnapshotId skips the prefix (exclusive)
+    out2 = str(tmp_path / "out2")
+    st2 = (spark.readStream.format("iceberg_incremental")
+           .option("path", table)
+           .option("startingSnapshotId", "5001").load())
+    q = (st2.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out2))
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(r.doc_id for r in spark.read.parquet(out2).collect()) \
+        == [20, 21, 22, 99]
+
+
+def test_hudi_incremental_stream_source_lifecycle(spark, tmp_path):
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+    from hive_udf_spark.streaming.incremental_sources import (
+        register_incremental_sources,
+    )
+
+    table = str(tmp_path / "t")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(3)], "doc_id long, n long"
+        )
+        assert commit_batch_to_hudi(df, b, table, table_name="t")
+    register_incremental_sources(spark)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = (spark.readStream.format("hudi_incremental")
+              .option("path", table).load())
+
+    def drain():
+        q = (stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 9
+    df = spark.createDataFrame([(99, 0)], "doc_id long, n long")
+    assert commit_batch_to_hudi(df, 3, table, table_name="t")
+    drain()
+    got = sorted((r.doc_id, r._commit_time)
+                 for r in spark.read.parquet(out_dir).collect())
+    assert len(got) == 10 and (99, "20300101000003") in got
+    # exclusive startingInstant
+    out2 = str(tmp_path / "out2")
+    st2 = (spark.readStream.format("hudi_incremental")
+           .option("path", table)
+           .option("startingInstant", "20300101000001").load())
+    q = (st2.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out2))
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(r.doc_id for r in spark.read.parquet(out2).collect()) \
+        == [20, 21, 22, 99]

@@ -3416,3 +3416,64 @@ def streaming_hudi_incremental_source(
         )
         q.awaitTermination(300)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
+@register(
+    "sink_delta_merge",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 4 = 1 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (r14 — the classic upsert DML, copy-on-write):
+    documents land as 4 streamed commits (one doc_id%4 slice per
+    file); the merge source updates every %4==1 doc (n_chars+1000) and
+    inserts a shifted copy of every 10th doc under new keys.
+    Touched-file detection is a column-pruned key scan semi-joined
+    against the broadcast source keys, so ONLY the %4==1 file rewrites
+    — the in-query asserts pin ``files_rewritten == 1`` AND that the
+    three unmatched files survive in the post-merge scan verbatim (at
+    100 TB that is the entire game: merge cost is O(touched files),
+    never O(table)).  The oracle hash-checks updates, carried
+    neighbors, and inserts through the vendored read path."""
+    import tempfile
+
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.merge import merge_into_delta
+    from hive_udf_spark.streaming.delta_sink import commit_batch_to_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_delta(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, app_id="merge", checkpoint_every=0,
+            )
+        before = set(read_delta(spark, table).inputFiles())
+        src = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        stats = merge_into_delta(spark, table, src, on="doc_id")
+        if stats["files_rewritten"] != 1:
+            raise ValueError(f"merge touched {stats} — expected 1 file")
+        out = read_delta(spark, table)
+        untouched = before & set(out.inputFiles())
+        if len(untouched) != 3:
+            raise ValueError(
+                f"merge rewrote unmatched files: {len(untouched)} of 3 "
+                "survived"
+            )
+        return out.localCheckpoint(eager=True)

@@ -411,3 +411,99 @@ def test_hudi_incremental_stream_source_lifecycle(spark, tmp_path):
     q.awaitTermination(180)
     assert sorted(r.doc_id for r in spark.read.parquet(out2).collect()) \
         == [20, 21, 22, 99]
+
+
+# ---------------------------------------------------------------------------
+# r14: MERGE INTO (sources/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_delta_update_insert_and_untouched_files(
+    spark, tmp_path
+):
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 3)  # keys 0-4, 10-14, 20-24
+    before_files = set(read_delta(spark, table).inputFiles())
+    src = spark.createDataFrame(
+        [(11, 111), (13, 113), (99, 999)], "doc_id long, n long"
+    )
+    stats = merge_into_delta(spark, table, src, on="doc_id")
+    assert stats == {"updated": 2, "inserted": 1, "files_rewritten": 1}
+    got = dict((r.doc_id, r.n) for r in read_delta(spark, table).collect())
+    assert got[11] == 111 and got[13] == 113 and got[99] == 999
+    assert got[10] == 0 and got[12] == 2  # carried neighbors
+    assert len(got) == 16
+    after_files = set(read_delta(spark, table).inputFiles())
+    # the two files with no matched key were NOT rewritten
+    assert len(before_files & after_files) == 2
+
+
+def test_merge_into_delta_respects_deletion_vectors(spark, tmp_path):
+    """A DV-dead row in a touched file must NOT resurrect through the
+    merge rewrite (the rewrite applies the DV, the replacement file
+    carries none)."""
+    from hive_udf_spark.sources.delta import delta_snapshot, read_delta
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)  # keys 0-4
+    assert delete_from_delta(spark, table, "doc_id = 2") == 1
+    src = spark.createDataFrame([(4, 44)], "doc_id long, n long")
+    stats = merge_into_delta(spark, table, src, on="doc_id")
+    assert stats["updated"] == 1 and stats["files_rewritten"] == 1
+    got = sorted((r.doc_id, r.n) for r in read_delta(spark, table).collect())
+    assert got == [(0, 0), (1, 1), (3, 3), (4, 44)]  # 2 stays dead
+    # the rewritten file carries no DV
+    snap = delta_snapshot(table)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+
+
+def test_merge_into_delta_insert_only(spark, tmp_path):
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    src = spark.createDataFrame([(100, 1), (101, 2)], "doc_id long, n long")
+    stats = merge_into_delta(spark, table, src, on="doc_id")
+    assert stats == {"updated": 0, "inserted": 2, "files_rewritten": 0}
+    assert read_delta(spark, table).count() == 7
+
+
+def test_merge_into_delta_refusals(spark, tmp_path):
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    dup = spark.createDataFrame([(1, 9), (1, 8)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_delta(spark, table, dup, on="doc_id")
+    wrong = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="source columns"):
+        merge_into_delta(spark, table, wrong, on="doc_id")
+    with pytest.raises(ValueError, match="not a table column"):
+        merge_into_delta(
+            spark, table,
+            spark.createDataFrame([(1, 2)], "doc_id long, n long"),
+            on="missing",
+        )
+
+
+def test_merge_then_changes_reports_file_level_cdf(spark, tmp_path):
+    """read_delta_changes surfaces a merge as whole-file delete+insert
+    of the touched file — the honest CDF of copy-on-write."""
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 2)
+    src = spark.createDataFrame([(1, 111)], "doc_id long, n long")
+    merge_into_delta(spark, table, src, on="doc_id")
+    ch = read_delta_changes(spark, table, 2, 2)
+    got = sorted((r.doc_id, r.n, r._change_type) for r in ch.collect())
+    # file 0 (keys 0-4) deleted wholesale and re-inserted with 1 -> 111
+    assert (1, 1, "delete") in got and (1, 111, "insert") in got
+    assert (0, 0, "delete") in got and (0, 0, "insert") in got
+    assert not any(d >= 10 for d, _, _ in got)  # file 1 untouched

@@ -507,3 +507,25 @@ def test_merge_then_changes_reports_file_level_cdf(spark, tmp_path):
     assert (1, 1, "delete") in got and (1, 111, "insert") in got
     assert (0, 0, "delete") in got and (0, 0, "insert") in got
     assert not any(d >= 10 for d, _, _ in got)  # file 1 untouched
+
+
+def test_iceberg_type_ddl_context_free():
+    """The data-source planner workers have no SparkSession; the DDL
+    builder must cover the vendored type surface without one."""
+    from hive_udf_spark.sources.changes import _iceberg_type_ddl
+
+    assert _iceberg_type_ddl("long") == "long"
+    assert _iceberg_type_ddl("decimal(10, 2)") == "decimal(10, 2)"
+    assert _iceberg_type_ddl({
+        "type": "struct",
+        "fields": [{"name": "a", "type": "int"},
+                   {"name": "b", "type": {"type": "list",
+                                          "element": "string"}}],
+    }) == "struct<a:int,b:array<string>>"
+    assert _iceberg_type_ddl({
+        "type": "map", "key": "string", "value": "double",
+    }) == "map<string,double>"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not vendored"):
+        _iceberg_type_ddl("variant")

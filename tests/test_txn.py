@@ -249,3 +249,37 @@ def test_iceberg_expire_same_version_race_conflicts(
     assert sorted(
         tuple(r) for r in read_iceberg(spark, table).collect()
     ) == before
+
+
+def test_publish_if_absent_thread_race_exactly_one_winner(tmp_path):
+    """64 threads racing one destination: exactly one wins, everyone
+    else gets CommitConflictError, the winner's content is intact —
+    the filesystem adjudicates, no check-then-act window."""
+    import threading
+
+    dst = str(tmp_path / "c.json")
+    results = []
+
+    def attempt(i):
+        tmp = str(tmp_path / f"c.tmp.{i}")
+        with open(tmp, "w") as fh:
+            fh.write(f"writer-{i}")
+        try:
+            publish_if_absent(tmp, dst)
+            results.append(("win", i))
+        except CommitConflictError:
+            results.append(("lose", i))
+
+    threads = [threading.Thread(target=attempt, args=(i,))
+               for i in range(64)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [i for r, i in results if r == "win"]
+    assert len(wins) == 1 and len(results) == 64
+    assert open(dst).read() == f"writer-{wins[0]}"
+    # every loser's temp was reclaimed
+    import glob
+
+    assert glob.glob(str(tmp_path / "c.tmp.*")) == []

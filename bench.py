@@ -1194,6 +1194,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(QUERIES["streaming_hudi_incremental_source"].fn(
             spark, sf_dir))
 
+    def q_delta_merge():
+        # r14: copy-on-write MERGE INTO, O(touched files)
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_delta_merge"].fn(spark, sf_dir))
+
     def q_codec_ogg_dispatch():
         # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1506,6 +1512,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "delta_cdf_stream": q_delta_cdf_stream,
         "iceberg_incremental_stream": q_iceberg_incremental_stream,
         "hudi_incremental_stream": q_hudi_incremental_stream,
+        "delta_merge": q_delta_merge,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -124,7 +124,7 @@ def merge_into_delta(
 
     src_keys = src.select(*keys).distinct()
     touched = sorted(
-        r.__fp for r in scan(files)
+        r["__fp"] for r in scan(files)
         .join(F.broadcast(src_keys), on=keys, how="left_semi")
         .select("__fp").distinct().collect()
     )

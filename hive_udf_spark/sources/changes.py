@@ -183,6 +183,22 @@ def delete_from_delta(
     # a DV covering every row retires the file outright
     import pyarrow.parquet as pq
 
+    # a predicate whose every match is ALREADY DV-dead is a no-op: do
+    # not publish a content-free commit (r14 self-review) — reclaim
+    # the just-written (redundant) DV files instead
+    if sum(int(r.newly_deleted) for r in stats) == 0:
+        from hive_udf_spark.operators.roaring import z85_decode
+
+        import uuid as _uuid
+
+        for r in stats:
+            u = _uuid.UUID(bytes=z85_decode(r.dv_uuid))
+            try:
+                os.remove(os.path.join(table_path,
+                                       f"deletion_vector_{u}.bin"))
+            except FileNotFoundError:
+                pass
+        return 0
     lines = [json.dumps({"commitInfo": {"operation": "DELETE",
                                         "predicate": predicate}})]
     deleted = 0

@@ -529,3 +529,67 @@ def test_iceberg_type_ddl_context_free():
 
     with _pytest.raises(ValueError, match="not vendored"):
         _iceberg_type_ddl("variant")
+
+
+def test_delete_from_delta_already_dead_matches_publish_nothing(
+    spark, tmp_path
+):
+    """A predicate whose matches are all already DV-dead must not
+    publish a commit (no content changed) nor leave orphan DV files
+    behind."""
+    import glob
+
+    from hive_udf_spark.sources.delta import _commit_versions, _log_dir
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    assert delete_from_delta(spark, table, "doc_id = 2") == 1
+    versions = _commit_versions(_log_dir(table))
+    dvs = set(glob.glob(os.path.join(table, "deletion_vector_*.bin")))
+    assert delete_from_delta(spark, table, "doc_id = 2") == 0
+    assert _commit_versions(_log_dir(table)) == versions  # no new commit
+    assert set(glob.glob(
+        os.path.join(table, "deletion_vector_*.bin")
+    )) == dvs  # no orphan DV files
+
+
+def test_crashed_delete_and_merge_orphans_are_vacuumable(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between the executor-side file writes and the commit
+    publish leaves only unreferenced orphans, and vacuum reclaims
+    them — for BOTH the DV delete and the merge."""
+    import glob
+
+    import hive_udf_spark.sources.txn as txn
+    from hive_udf_spark.sources.delta import read_delta
+    from hive_udf_spark.sources.maintenance import vacuum_delta_table
+    from hive_udf_spark.sources.merge import merge_into_delta
+
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)
+    before = sorted(tuple(r) for r in read_delta(spark, table).collect())
+    real_link = os.link
+
+    def crash_link(src, dst, *a, **kw):
+        raise OSError("injected crash before the atomic publish")
+
+    monkeypatch.setattr(txn.os, "link", crash_link)
+    with pytest.raises(OSError, match="injected"):
+        delete_from_delta(spark, table, "doc_id = 1")
+    src = spark.createDataFrame([(3, 33)], "doc_id long, n long")
+    with pytest.raises(OSError, match="injected"):
+        merge_into_delta(spark, table, src, on="doc_id")
+    monkeypatch.setattr(txn.os, "link", real_link)
+    # the table is untouched; orphans exist; vacuum reclaims them
+    assert sorted(
+        tuple(r) for r in read_delta(spark, table).collect()
+    ) == before
+    assert glob.glob(os.path.join(table, "deletion_vector_*.bin"))
+    assert glob.glob(os.path.join(table, "merge-*.parquet"))
+    deleted = vacuum_delta_table(table, min_age_seconds=0)
+    assert any("deletion_vector" in p for p in deleted)
+    assert any(p.startswith("merge-") for p in deleted)
+    assert sorted(
+        tuple(r) for r in read_delta(spark, table).collect()
+    ) == before

@@ -23,3 +23,14 @@ from hive_udf_spark.sources.hudi import (  # noqa: F401
     read_hudi,
     write_hudi_table,
 )
+from hive_udf_spark.sources.changes import (  # noqa: F401
+    delete_from_delta,
+    read_delta_changes,
+    read_hudi_incremental,
+    read_iceberg_incremental,
+)
+from hive_udf_spark.sources.merge import merge_into_delta  # noqa: F401
+from hive_udf_spark.sources.txn import (  # noqa: F401
+    CommitConflictError,
+    publish_if_absent,
+)

@@ -1200,6 +1200,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sink_delta_merge"].fn(spark, sf_dir))
 
+    def q_iceberg_merge():
+        # r14: merge-on-read MERGE INTO, zero rewrite
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_iceberg_merge"].fn(spark, sf_dir))
+
     def q_codec_ogg_dispatch():
         # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1513,6 +1519,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "iceberg_incremental_stream": q_iceberg_incremental_stream,
         "hudi_incremental_stream": q_hudi_incremental_stream,
         "delta_merge": q_delta_merge,
+        "iceberg_merge": q_iceberg_merge,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

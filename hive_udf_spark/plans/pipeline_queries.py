@@ -3477,3 +3477,64 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "survived"
             )
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "sink_iceberg_merge",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 4 = 1 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def sink_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO (r14 — the MERGE-ON-READ contrast to
+    ``sink_delta_merge``'s copy-on-write): same update+insert source,
+    but NOTHING rewrites — one snapshot adds the source rows as data
+    files plus the matched keys as equality-delete files whose
+    sequence gating kills exactly the older versions; the in-query
+    assert pins that EVERY pre-merge data file is still in the
+    post-merge scan (per-merge cost O(source), independent of table
+    size — the write-amplification trade the two formats make
+    differently).  The oracle hash-checks the layered result through
+    the sequence-gated anti-join read path."""
+    import tempfile
+
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.sources.merge import merge_into_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_iceberg(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, app_id="merge",
+            )
+        before = set(read_iceberg(spark, table).inputFiles())
+        src = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        stats = merge_into_iceberg(spark, table, src, on="doc_id")
+        if stats["updated"] <= 0 or stats["inserted"] <= 0:
+            raise ValueError(f"iceberg merge stats off: {stats}")
+        out = read_iceberg(spark, table)
+        if not before <= set(out.inputFiles()):
+            raise ValueError(
+                "iceberg merge rewrote data files — merge-on-read must "
+                "not rewrite"
+            )
+        return out.localCheckpoint(eager=True)

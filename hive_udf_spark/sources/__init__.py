@@ -29,7 +29,10 @@ from hive_udf_spark.sources.changes import (  # noqa: F401
     read_hudi_incremental,
     read_iceberg_incremental,
 )
-from hive_udf_spark.sources.merge import merge_into_delta  # noqa: F401
+from hive_udf_spark.sources.merge import (  # noqa: F401
+    merge_into_delta,
+    merge_into_iceberg,
+)
 from hive_udf_spark.sources.txn import (  # noqa: F401
     CommitConflictError,
     publish_if_absent,

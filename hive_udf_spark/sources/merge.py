@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["merge_into_delta"]
+__all__ = ["merge_into_delta", "merge_into_iceberg"]
 
 
 def merge_into_delta(
@@ -215,3 +215,182 @@ def merge_into_delta(
     publish_if_absent(commit + ".tmp", commit)  # THE atomic publish
     return {"updated": int(n_updated), "inserted": int(n_inserted),
             "files_rewritten": len(touched)}
+
+
+def merge_into_iceberg(
+    spark: SparkSession, table_path: str, source: DataFrame,
+    on: list[str] | str,
+) -> dict:
+    """MERGE INTO for the vendored Iceberg writer — the MERGE-ON-READ
+    contrast to ``merge_into_delta``'s copy-on-write: NOTHING is
+    rewritten.  One new snapshot adds (a) the source rows as data
+    files at sequence N and (b) the source keys as EQUALITY-DELETE
+    files whose spec gating (deletes at N erase seq < N only) kills
+    exactly the older versions of matched keys — the Flink upsert
+    pattern, per-merge cost O(source), independent of table size.
+    The read path's sequence-gated anti-join applies the layering;
+    ``compact_iceberg_table`` later folds the accumulated deletes into
+    plain files.  Returns ``{"updated": n, "inserted": n}``.
+
+    Refuses partitioned specs and field-id-stamped tables (the new
+    files would not carry ids, producing a mixed table the reader
+    refuses), plus duplicate source keys — same ambiguity rule as the
+    Delta merge."""
+    import pyarrow.parquet as _pq
+
+    from hive_udf_spark.operators.avrocodec import decode_ocf, encode_ocf
+    from hive_udf_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _field_ids_by_name,
+        _load_metadata,
+        _parquet_has_field_ids,
+        _snapshot_state,
+        read_iceberg,
+    )
+    from hive_udf_spark.sources.txn import publish_if_absent
+
+    keys = [on] if isinstance(on, str) else list(on)
+    meta = _load_metadata(table_path)
+    for s in meta.get("partition-specs") or []:
+        if s.get("spec-id") == meta.get("default-spec-id", 0) \
+                and s.get("fields"):
+            raise ValueError(
+                "iceberg merge: partitioned specs not vendored"
+            )
+    ids_by_name = _field_ids_by_name(meta)
+    names = list(ids_by_name)
+    for k in keys:
+        if k not in ids_by_name:
+            raise ValueError(
+                f"iceberg merge: key {k!r} is not a table column"
+            )
+    if sorted(source.columns) != sorted(names):
+        raise ValueError(
+            f"iceberg merge: source columns {sorted(source.columns)} != "
+            f"table columns {sorted(names)}"
+        )
+    if source.groupBy(*keys).count().filter("count > 1").limit(1).count():
+        raise ValueError(
+            "iceberg merge: duplicate keys in the source — the match "
+            "is ambiguous"
+        )
+    _, data, _, _ = _snapshot_state(table_path)
+    if data and _parquet_has_field_ids(data[0][0]):
+        raise ValueError(
+            "iceberg merge: field-id-stamped tables not vendored (the "
+            "merged files would not carry ids — a mixed table the "
+            "reader refuses); compact after an id-less migration "
+            "instead"
+        )
+    src = source.localCheckpoint(eager=True)
+    n_matched = int(
+        read_iceberg(spark, table_path)
+        .join(F.broadcast(src.select(*keys).distinct()), on=keys,
+              how="left_semi").count()
+    )
+    n_src = src.count()
+    mdir = os.path.join(table_path, "metadata")
+    versions = [
+        int(n[1:].split(".")[0]) for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+        and n[1:].split(".")[0].isdigit()
+    ]
+    version = max(versions, default=0) + 1
+    snapshots = list(meta.get("snapshots") or [])
+    sid = max([8999] + [int(s.get("snapshot-id") or 0)
+                        for s in snapshots]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+
+    def land(df, prefix):
+        scratch = os.path.join(table_path, f"_{prefix}-{sid}")
+        df.write.mode("overwrite").parquet(scratch)
+        rels = []
+        for i, part in enumerate(sorted(
+            p for p in os.listdir(scratch) if p.endswith(".parquet")
+        )):
+            n = _pq.ParquetFile(
+                os.path.join(scratch, part)).metadata.num_rows
+            if n == 0:
+                continue
+            rel = f"data/{prefix}-{sid}-{i:05d}.parquet"
+            os.replace(os.path.join(scratch, part),
+                       os.path.join(table_path, rel))
+            rels.append((rel, n))
+        shutil.rmtree(scratch)
+        return rels
+
+    rels = land(src.select(*names), "merge")
+    del_rels = land(src.select(*keys), "merge-eqdel") if n_matched else []
+    cur = next((s for s in snapshots
+                if s.get("snapshot-id") == meta.get("current-snapshot-id")),
+               None)
+    prev_manifests = []
+    if cur is not None:
+        mlist = cur.get("manifest-list")
+        with open(mlist if os.path.isabs(mlist)
+                  else os.path.join(table_path, mlist), "rb") as fh:
+            _, prev_manifests = decode_ocf(fh.read())
+    mlist_rows = [dict(m) for m in prev_manifests]
+
+    def manifest(entries, path, content):
+        with open(path, "wb") as fh:
+            fh.write(encode_ocf(_MANIFEST_ENTRY_SCHEMA, entries))
+        mlist_rows.append({
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": content,
+            "sequence_number": seq,
+            "added_snapshot_id": sid,
+        })
+
+    if rels:
+        manifest([{
+            "status": 1, "snapshot_id": sid, "sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": rel, "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table_path, rel)),
+                "column_sizes": None, "equality_ids": None,
+                "partition": None,
+            },
+        } for rel, n in rels],
+            os.path.join(mdir, f"merge-manifest-{sid}.avro"), 0)
+    if del_rels:
+        manifest([{
+            "status": 1, "snapshot_id": sid, "sequence_number": seq,
+            "data_file": {
+                "content": 2, "file_path": rel, "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table_path, rel)),
+                "column_sizes": None,
+                "equality_ids": [int(ids_by_name[k]) for k in keys],
+                "partition": None,
+            },
+        } for rel, n in del_rels],
+            os.path.join(mdir, f"merge-delete-manifest-{sid}.avro"), 1)
+    lpath = os.path.join(mdir, f"snap-{sid}-manifest-list.avro")
+    with open(lpath, "wb") as fh:
+        fh.write(encode_ocf(_MANIFEST_FILE_SCHEMA, mlist_rows))
+    snapshots.append({
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": int(meta.get("last-updated-ms") or 0) + 1,
+        "manifest-list": lpath,
+        "summary": {"operation": "overwrite", "merge-keys": ",".join(keys)},
+    })
+    new_meta = dict(meta)
+    new_meta["snapshots"] = snapshots
+    new_meta["current-snapshot-id"] = sid
+    new_meta["last-sequence-number"] = seq
+    meta_path = os.path.join(mdir, f"v{version}.metadata.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        fh.write(json.dumps(new_meta))
+    publish_if_absent(meta_path + ".tmp", meta_path)  # THE atomic publish
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"updated": n_matched, "inserted": int(n_src - n_matched)}

@@ -593,3 +593,58 @@ def test_crashed_delete_and_merge_orphans_are_vacuumable(
     assert sorted(
         tuple(r) for r in read_delta(spark, table).collect()
     ) == before
+
+
+def test_merge_into_iceberg_layering_and_zero_rewrite(spark, tmp_path):
+    from hive_udf_spark.sources.iceberg import read_iceberg
+    from hive_udf_spark.sources.merge import merge_into_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(4)], "doc_id long, n long"
+        )
+        assert commit_batch_to_iceberg(df, b, table, app_id="a")
+    before = set(read_iceberg(spark, table).inputFiles())
+    src = spark.createDataFrame(
+        [(1, 111), (11, 1111), (99, 999)], "doc_id long, n long"
+    )
+    assert merge_into_iceberg(spark, table, src, on="doc_id") \
+        == {"updated": 2, "inserted": 1}
+    got = dict((r.doc_id, r.n)
+               for r in read_iceberg(spark, table).collect())
+    assert got[1] == 111 and got[11] == 1111 and got[99] == 999
+    assert got[0] == 0 and len(got) == 9
+    assert before <= set(read_iceberg(spark, table).inputFiles())
+    # a second merge layers over the first (sequence gating)
+    src2 = spark.createDataFrame([(99, 9999)], "doc_id long, n long")
+    assert merge_into_iceberg(spark, table, src2, on="doc_id") \
+        == {"updated": 1, "inserted": 0}
+    got = dict((r.doc_id, r.n)
+               for r in read_iceberg(spark, table).collect())
+    assert got[99] == 9999 and len(got) == 9
+    # compaction folds the delete files away, result unchanged
+    from hive_udf_spark.sources.maintenance import compact_iceberg_table
+
+    assert compact_iceberg_table(spark, table, target_files=1)
+    assert dict((r.doc_id, r.n)
+                for r in read_iceberg(spark, table).collect()) == got
+
+
+def test_merge_into_iceberg_refusals(spark, tmp_path):
+    from hive_udf_spark.sources.merge import merge_into_iceberg
+    from hive_udf_spark.streaming.iceberg_sink import (
+        commit_batch_to_iceberg,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    assert commit_batch_to_iceberg(df, 0, table, app_id="a")
+    dup = spark.createDataFrame([(1, 9), (1, 8)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_iceberg(spark, table, dup, on="doc_id")
+    with pytest.raises(ValueError, match="not a table column"):
+        merge_into_iceberg(spark, table, df, on="missing")

@@ -1206,6 +1206,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
         _force(QUERIES["sink_iceberg_merge"].fn(spark, sf_dir))
 
+    def q_hudi_merge():
+        # r14: MOR log-block MERGE INTO, no base rewrites
+        from hive_udf_spark.plans import QUERIES
+
+        _force(QUERIES["sink_hudi_merge"].fn(spark, sf_dir))
+
     def q_codec_ogg_dispatch():
         # r14: native Opus/Vorbis decode dispatch (quarantine-when-absent)
         from hive_udf_spark.plans import QUERIES
@@ -1520,6 +1526,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "hudi_incremental_stream": q_hudi_incremental_stream,
         "delta_merge": q_delta_merge,
         "iceberg_merge": q_iceberg_merge,
+        "hudi_merge": q_hudi_merge,
     }
 
     # Contention-robust protocol (r5 verdict item 1): a single-shot run

@@ -3538,3 +3538,70 @@ def sink_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "not rewrite"
             )
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "sink_hudi_merge",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 4 = 1 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def sink_hudi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE INTO (r14 — the MOR LOG variant, completing the
+    trio's write-amplification spectrum): the same update+insert
+    source as the Delta/Iceberg merges, but each touched file group
+    gains an UPSERT LOG BLOCK written from the executors (one task per
+    group) and unmatched rows land as one new base-file group — one
+    deltacommit, NO base file rewrites; the in-query assert pins that
+    every pre-merge base file still backs the post-merge scan.  The
+    oracle hash-checks the layered result through the newest-wins MOR
+    merge — the THIRD independent machinery validating the same merge
+    arithmetic."""
+    import tempfile
+
+    from hive_udf_spark.sources.hudi import hudi_live_files
+    from hive_udf_spark.sources.merge import merge_into_hudi
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/table"
+        for b in range(4):
+            commit_batch_to_hudi(
+                docs.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                b, table, table_name="merge", record_key="doc_id",
+            )
+        before = {os.path.relpath(p, table)
+                  for p in hudi_live_files(table)[0]}
+        src = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        stats = merge_into_hudi(spark, table, src)
+        if stats["updated"] <= 0 or stats["inserted"] <= 0:
+            raise ValueError(f"hudi merge stats off: {stats}")
+        from hive_udf_spark.sources.hudi import read_hudi
+
+        # base files never rewrite: every pre-merge base file is still
+        # a live slice's base (logs attach, they don't replace)
+        from hive_udf_spark.sources.hudi import _file_slices
+
+        slices, _, _ = _file_slices(table)
+        bases = {sl.base_path for sl in slices.values()}
+        missing = {b for b in before if b not in bases}
+        if missing:
+            raise ValueError(
+                f"hudi merge rewrote base files: {sorted(missing)}"
+            )
+        return read_hudi(spark, table).localCheckpoint(eager=True)

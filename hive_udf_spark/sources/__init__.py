@@ -31,6 +31,7 @@ from hive_udf_spark.sources.changes import (  # noqa: F401
 )
 from hive_udf_spark.sources.merge import (  # noqa: F401
     merge_into_delta,
+    merge_into_hudi,
     merge_into_iceberg,
 )
 from hive_udf_spark.sources.txn import (  # noqa: F401

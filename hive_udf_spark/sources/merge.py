@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["merge_into_delta", "merge_into_iceberg"]
+__all__ = ["merge_into_delta", "merge_into_iceberg", "merge_into_hudi"]
 
 
 def merge_into_delta(
@@ -394,3 +394,182 @@ def merge_into_iceberg(
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return {"updated": n_matched, "inserted": int(n_src - n_matched)}
+
+
+def merge_into_hudi(
+    spark: SparkSession, table_path: str, source: DataFrame,
+) -> dict:
+    """MERGE INTO for the vendored Hudi writer — the MOR LOG variant,
+    completing the trio's write-amplification spectrum: Delta rewrites
+    touched files (copy-on-write), Iceberg adds delete files
+    (merge-on-read by anti-join), Hudi appends UPSERT LOG BLOCKS to
+    each touched file group (merge-on-read by newest-wins).  The merge
+    key is the table's OWN record key (``hoodie.table.recordkey.fields``
+    — Hudi's invariant: upserts key on it, composite keys included);
+    matched rows route to their group by a distributed base-file scan
+    joined against the broadcast source keys, each touched group's log
+    file is written FROM THE EXECUTORS (one applyInPandas task per
+    group, the upsert sink's pattern), unmatched source rows land as
+    one new base-file group, and ONE deltacommit publishes it all.
+    Per-merge cost: one key-pruned scan + O(source) writes — no base
+    file rewrites; ``cluster_hudi_table`` later compacts the logs.
+    Returns ``{"updated": n, "inserted": n}``.
+
+    Refuses partitioned layouts and tables without a stamped schema;
+    duplicate source keys refuse (ambiguity, as in the other two)."""
+    import pyarrow.parquet as _pq
+
+    from hive_udf_spark.sources.hudi import (
+        _file_slices,
+        _hoodie_dir,
+        _schema_from_commit,
+        encode_hudi_log,
+    )
+    from hive_udf_spark.sources.txn import publish_if_absent
+    from hive_udf_spark.streaming.hudi_upsert_sink import _avro_schema_of
+
+    slices, last_meta, props = _file_slices(table_path)
+    if any(part for part, _ in slices):
+        raise ValueError("hudi merge: partitioned tables not vendored")
+    pinned = _schema_from_commit(last_meta or {})
+    if pinned is None:
+        raise ValueError("hudi merge: table has no stamped schema")
+    ddl, names = pinned
+    raw_key = (props.get("hoodie.table.recordkey.fields") or "").strip()
+    keys = [f.strip() for f in raw_key.split(",") if f.strip()]
+    if not keys:
+        raise ValueError(
+            "hudi merge: the table declares no record key — upserts "
+            "key on hoodie.table.recordkey.fields"
+        )
+    if sorted(source.columns) != sorted(names):
+        raise ValueError(
+            f"hudi merge: source columns {sorted(source.columns)} != "
+            f"table columns {sorted(names)}"
+        )
+    if source.groupBy(*keys).count().filter("count > 1").limit(1).count():
+        raise ValueError(
+            "hudi merge: duplicate keys in the source — the match is "
+            "ambiguous"
+        )
+    src = source.localCheckpoint(eager=True)
+    src_keys = src.select(*keys).distinct()
+    # matched keys → their file group, from a key-pruned base scan
+    # (log-layered rows still belong to their group, so base files
+    # are the complete key→group map)
+    base_paths = sorted(
+        os.path.join(table_path, sl.base_path) for sl in slices.values()
+    )
+    fid_of_base = {
+        os.path.abspath(os.path.join(table_path, sl.base_path)): fid
+        for (_, fid), sl in slices.items()
+    }
+    base_instant_of = {
+        fid: sl.base_instant for (_, fid), sl in slices.items()
+    }
+    scan = spark.read.schema(ddl).parquet(*base_paths).select(
+        *keys,
+        F.regexp_replace(F.col("_metadata.file_path"),
+                         "^file:(//)?", "").alias("__fp"),
+    )
+    matched = scan.join(F.broadcast(src_keys), on=keys, how="left_semi")
+    # (source row, fid) for every matched key
+    routed = src.join(matched, on=keys, how="inner")
+    timeline_dir = _hoodie_dir(table_path)
+    existing = [
+        n.split(".")[0].split("_")[0]
+        for n in os.listdir(timeline_dir)
+        if n.split(".")[0].split("_")[0].isdigit()
+    ]
+    instant = f"{max(int(i) for i in existing) + 1}"
+    avro_schema = _avro_schema_of(src, "hudi_merge")
+    table_abs = os.path.abspath(table_path)
+    dcols = list(names)
+    # per-group log VERSION: the next number after the slice's existing
+    # logs — a fixed version would make a second merge's log file
+    # CLOBBER the first one's for the same group (r14 self-review)
+    fid_json = json.dumps({
+        fid: [sl.base_instant or "", len(sl.logs) + 1]
+        for (_, fid), sl in slices.items()
+    })
+
+    def write_group(pdf):
+        import pandas as _pd
+        from urllib.parse import unquote
+
+        from hive_udf_spark.sources.hudi import encode_hudi_log as _enc
+
+        fp = os.path.abspath(unquote(str(pdf["__fp"].iloc[0])))
+        fid = os.path.basename(fp).split("_")[0]
+        base_instant, log_v = json.loads(fid_json).get(fid, ["", 1])
+        blob = _enc([{
+            "instant": instant,
+            "schema": avro_schema,
+            "records": [
+                {c: (None if _pd.isna(r[c])
+                     else r[c].item() if hasattr(r[c], "item")
+                     else r[c])
+                 for c in dcols}
+                for _, r in pdf.iterrows()
+            ],
+        }])
+        rel = f".{fid}_{base_instant}.log.{log_v}_0-0-0"
+        full = os.path.join(table_abs, rel)
+        with open(full + ".tmp", "wb") as fh:
+            fh.write(blob)
+        os.replace(full + ".tmp", full)  # task-retry safe
+        return _pd.DataFrame({
+            "fid": [fid], "path": [rel], "nbytes": [len(blob)],
+        })
+
+    touched = (
+        routed.groupBy("__fp")
+        .applyInPandas(write_group, "fid string, path string, nbytes long")
+        .collect()  # bounded: one KB-scale stat row per touched group
+    )
+    n_updated = int(routed.count())
+    stats = [{
+        "fileId": r.fid, "path": r.path,
+        "prevCommit": base_instant_of.get(r.fid, "null") or "null",
+        "numWrites": 0, "fileSizeInBytes": int(r.nbytes),
+    } for r in sorted(touched, key=lambda r: r.fid)]
+    # unmatched source rows: one new base-file group
+    inserts = src.join(F.broadcast(
+        matched.select(*keys).distinct()
+    ), on=keys, how="left_anti").select(*names)
+    n_inserted = int(inserts.count())
+    if n_inserted:
+        scratch = os.path.join(table_path, f"_merge-{instant}")
+        inserts.write.mode("overwrite").parquet(scratch)
+        i = 0
+        for part in sorted(p for p in os.listdir(scratch)
+                           if p.endswith(".parquet")):
+            if _pq.ParquetFile(
+                os.path.join(scratch, part)
+            ).metadata.num_rows == 0:
+                continue
+            fid = f"merge-{instant}-{i:05d}"
+            rel = f"{fid}_0-0-0_{instant}.parquet"
+            os.replace(os.path.join(scratch, part),
+                       os.path.join(table_path, rel))
+            stats.append({
+                "fileId": fid, "path": rel, "prevCommit": "null",
+                "numWrites": _pq.ParquetFile(
+                    os.path.join(table_path, rel)).metadata.num_rows,
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(table_path, rel)),
+            })
+            i += 1
+        shutil.rmtree(scratch)
+    meta = {
+        "partitionToWriteStats": {"": stats},
+        "compacted": False,
+        "extraMetadata": {"schema": json.dumps(avro_schema),
+                          "merge-keys": ",".join(keys)},
+        "operationType": "UPSERT",
+    }
+    commit_path = os.path.join(timeline_dir, f"{instant}.deltacommit")
+    with open(commit_path + ".tmp", "w") as fh:
+        json.dump(meta, fh)
+    publish_if_absent(commit_path + ".tmp", commit_path)
+    return {"updated": n_updated, "inserted": n_inserted}

@@ -648,3 +648,57 @@ def test_merge_into_iceberg_refusals(spark, tmp_path):
         merge_into_iceberg(spark, table, dup, on="doc_id")
     with pytest.raises(ValueError, match="not a table column"):
         merge_into_iceberg(spark, table, df, on="missing")
+
+
+def test_merge_into_hudi_log_blocks_and_layering(spark, tmp_path):
+    from hive_udf_spark.sources.hudi import read_hudi
+    from hive_udf_spark.sources.merge import merge_into_hudi
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i) for i in range(4)], "doc_id long, n long"
+        )
+        assert commit_batch_to_hudi(df, b, table, table_name="a",
+                                    record_key="doc_id")
+    src = spark.createDataFrame(
+        [(1, 111), (11, 1111), (99, 999)], "doc_id long, n long"
+    )
+    assert merge_into_hudi(spark, table, src) \
+        == {"updated": 2, "inserted": 1}
+    got = dict((r.doc_id, r.n) for r in read_hudi(spark, table).collect())
+    assert got[1] == 111 and got[11] == 1111 and got[99] == 999
+    assert got[0] == 0 and len(got) == 9
+    # SAME-GROUP sequential merges must not clobber each other's logs
+    # (the r14 self-review bug: a fixed .log.1 name overwrote)
+    assert merge_into_hudi(spark, table, spark.createDataFrame(
+        [(0, 100)], "doc_id long, n long")) == {"updated": 1,
+                                                "inserted": 0}
+    assert merge_into_hudi(spark, table, spark.createDataFrame(
+        [(2, 200)], "doc_id long, n long")) == {"updated": 1,
+                                                "inserted": 0}
+    got = dict((r.doc_id, r.n) for r in read_hudi(spark, table).collect())
+    assert got[0] == 100 and got[2] == 200 and got[1] == 111
+    # clustering compacts the logs away, result unchanged
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert dict((r.doc_id, r.n)
+                for r in read_hudi(spark, table).collect()) == got
+
+
+def test_merge_into_hudi_refusals(spark, tmp_path):
+    from hive_udf_spark.sources.merge import merge_into_hudi
+    from hive_udf_spark.streaming.hudi_sink import commit_batch_to_hudi
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n long")
+    assert commit_batch_to_hudi(df, 0, table, table_name="a",
+                                record_key="doc_id")
+    dup = spark.createDataFrame([(1, 9), (1, 8)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_hudi(spark, table, dup)
+    wrong = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="source columns"):
+        merge_into_hudi(spark, table, wrong)

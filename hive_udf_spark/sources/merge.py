@@ -472,6 +472,39 @@ def merge_into_hudi(
         F.regexp_replace(F.col("_metadata.file_path"),
                          "^file:(//)?", "").alias("__fp"),
     )
+    if any(sl.logs for sl in slices.values()):
+        # the base scan is the key→group map ONLY if every log record's
+        # key also exists in a base file.  The streaming upsert sink
+        # INSERTS new keys through log blocks, and merging such a table
+        # by base-routing would duplicate those keys (a new base group
+        # next to the live log record) — decode the log keys (one
+        # distributed delta-sized pass) and refuse when any key is
+        # log-only (r14 self-review pass 2).
+        from hive_udf_spark.sources.hudi import (
+            _log_records_df,
+            hudi_timeline,
+        )
+
+        completed = frozenset(
+            t for t, _, _ in hudi_timeline(table_path)
+        )
+        log_paths = sorted(
+            os.path.join(table_path, rel)
+            for sl in slices.values() for _, rel in sl.logs
+        )
+        log_keys = (
+            _log_records_df(spark, log_paths, ddl, names, completed,
+                            keys)
+            .filter(~F.col("__deleted")).select(*keys).distinct()
+        )
+        if log_keys.join(scan.select(*keys).distinct(), on=keys,
+                         how="left_anti").limit(1).count():
+            raise ValueError(
+                "hudi merge: the table carries LOG-ONLY keys (inserted "
+                "through MOR log blocks) that base-file routing cannot "
+                "see — cluster (compact) the table first so the base "
+                "files are the complete key map"
+            )
     matched = scan.join(F.broadcast(src_keys), on=keys, how="left_semi")
     # (source row, fid) for every matched key
     routed = src.join(matched, on=keys, how="inner")

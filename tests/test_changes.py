@@ -702,3 +702,39 @@ def test_merge_into_hudi_refusals(spark, tmp_path):
     wrong = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="source columns"):
         merge_into_hudi(spark, table, wrong)
+
+
+def test_merge_into_hudi_refuses_log_only_keys(spark, tmp_path):
+    """A key INSERTED through MOR log blocks (the streaming upsert
+    sink's insert path) is invisible to base-file routing — merging
+    such a table must refuse, or the key would duplicate (r14
+    self-review pass 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_udf_spark.sources.hudi import write_hudi_table
+    from hive_udf_spark.sources.merge import merge_into_hudi
+
+    table = str(tmp_path / "t")
+    base = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "n": pa.array([10], pa.int64()),
+    }), base)
+    write_hudi_table(table, [
+        {"writes": {"fg-0": base}},
+        # key 2 exists ONLY in the log (an insert-through-log)
+        {"log_writes": {"fg-0": [{"doc_id": 2, "n": 20}]}},
+    ], [("doc_id", "bigint"), ("n", "bigint")], record_key="doc_id")
+    src = spark.createDataFrame([(2, 99)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="LOG-ONLY keys"):
+        merge_into_hudi(spark, table, src)
+    # after clustering the merge works
+    from hive_udf_spark.sources.hudi import read_hudi
+    from hive_udf_spark.sources.maintenance import cluster_hudi_table
+
+    assert cluster_hudi_table(spark, table, target_files=1)
+    assert merge_into_hudi(spark, table, src) == {"updated": 1,
+                                                  "inserted": 0}
+    got = sorted((r.doc_id, r.n) for r in read_hudi(spark, table).collect())
+    assert got == [(1, 10), (2, 99)]

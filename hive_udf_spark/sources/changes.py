@@ -346,6 +346,28 @@ def _delta_change_files(
     return snap_end.metadata["schemaString"], end_version, pieces
 
 
+def _position_filter_udf(spark: SparkSession, blob: bytes, mode: str):
+    """Vectorized row-position filter for a SINGLE file's piece:
+    ``member`` keeps rows AT the roaring positions, ``keep`` keeps rows
+    NOT at them.  The piece scans exactly one file, so the row index
+    alone identifies the row."""
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    keep_members = mode == "member"
+
+    @F.pandas_udf("boolean")
+    def sel(ri):
+        import numpy as np
+        import pandas as _pd
+
+        from hive_udf_spark.operators.roaring import decode_rbm64
+
+        pos = decode_rbm64(bc.value)
+        member = np.isin(ri.to_numpy(), pos)
+        return _pd.Series(member if keep_members else ~member)
+
+    return sel
+
+
 def read_delta_changes(
     spark: SparkSession, table_path: str, start_version: int,
     end_version: int | None = None,
@@ -380,44 +402,15 @@ def read_delta_changes(
             spark.read.schema(schema).parquet(*sorted(paths)),
             change, version,
         ))
-    filtered = [pc for pc in pieces if pc["mode"] is not None]
-    if filtered:
-        blobs = {pc["path"]: (pc["blob"], pc["mode"]) for pc in filtered}
-        bc = spark.sparkContext.broadcast(blobs)
-
-        @F.pandas_udf("boolean")
-        def selected(fp, ri):
-            import re as _re
-            from urllib.parse import unquote
-
-            import numpy as np
-            import pandas as _pd
-
-            from hive_udf_spark.operators.roaring import decode_rbm64
-
-            out = np.ones(len(ri), dtype=bool)
-            rin = ri.to_numpy()
-            fpn = fp.to_numpy()
-            for uri in _pd.unique(fp):
-                norm = os.path.abspath(
-                    unquote(_re.sub("^file:(//)?", "", uri))
-                )
-                ent = bc.value.get(norm)
-                if ent is None:
-                    continue
-                blob, mode = ent
-                pos = decode_rbm64(blob)
-                mask = fpn == uri
-                member = np.isin(rin[mask], pos)
-                out[mask] = member if mode == "member" else ~member
-            return _pd.Series(out)
-
-        for pc in filtered:
-            d = spark.read.schema(schema).parquet(pc["path"]).filter(
-                selected(F.col("_metadata.file_path"),
-                         F.col("_metadata.row_index"))
-            )
-            out_pieces.append(stamped(d, pc["change"], pc["version"]))
+    # one filter PER PIECE: a single path-keyed broadcast would let two
+    # DV swaps on the SAME file inside the range collide (the later
+    # blob would filter both versions' pieces — r14 self-review pass 2)
+    for pc in (pc for pc in pieces if pc["mode"] is not None):
+        sel = _position_filter_udf(spark, pc["blob"], pc["mode"])
+        d = spark.read.schema(schema).parquet(pc["path"]).filter(
+            sel(F.col("_metadata.row_index"))
+        )
+        out_pieces.append(stamped(d, pc["change"], pc["version"]))
     if not out_pieces:
         return spark.createDataFrame([], schema).withColumn(
             "_change_type", F.lit(None).cast("string")

@@ -738,3 +738,20 @@ def test_merge_into_hudi_refuses_log_only_keys(spark, tmp_path):
                                                   "inserted": 0}
     got = sorted((r.doc_id, r.n) for r in read_hudi(spark, table).collect())
     assert got == [(1, 10), (2, 99)]
+
+
+def test_delta_changes_two_dv_swaps_same_file_in_one_range(
+    spark, tmp_path
+):
+    """Two DV deletes touching the SAME file inside one change range
+    must each report exactly their own freshly-dead rows — a shared
+    path-keyed filter would let the later bitmap leak into the earlier
+    version's piece (r14 self-review pass 2)."""
+    table = str(tmp_path / "t")
+    _ingest_delta(spark, table, 1)  # keys 0-4, one file
+    assert delete_from_delta(spark, table, "doc_id = 1") == 1  # v1
+    assert delete_from_delta(spark, table, "doc_id = 3") == 1  # v2
+    ch = read_delta_changes(spark, table, 1, 2)
+    got = sorted((r.doc_id, r._change_type, r._commit_version)
+                 for r in ch.collect())
+    assert got == [(1, "delete", 1), (3, "delete", 2)], got

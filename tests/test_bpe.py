@@ -218,3 +218,48 @@ def test_batched_random_corpora(spark):
         assert merges == ref_m, seed
         got = {r.word: list(r.syms) for r in vocab.collect()}
         assert got == ref_v, seed
+
+
+def test_regex_merge_matches_fold_twins(spark):
+    """r14: the trainer applies each round's merges with one native
+    regexp_replace pass (apply_merges_regex_expr); it must stay
+    bit-equal to the classic and fused fold twins on adversarial symbol
+    arrays — equal-symbol runs (greedy parity), back-to-back matches,
+    regex metacharacters in symbols, empty arrays."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.bpe import (
+        apply_merge_batch_expr,
+        apply_merge_expr,
+        apply_merges_regex_expr,
+    )
+
+    rng = random.Random(7)
+    alpha = ["a", "b", "c", "ab", "aa", "x-", "$y", "c.d", "_z"]
+    rows = [
+        (i, [rng.choice(alpha) for _ in range(rng.randint(0, 12))])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    cases = [
+        [("a", "a")],
+        [("a", "b")],
+        [("a", "b"), ("c", "c")],
+        [("aa", "b"), ("x-", "$y")],
+        [("c.d", "_z"), ("b", "a")],
+    ]
+    for sel in cases:
+        fold = (
+            apply_merge_expr(F.col("syms"), *sel[0])
+            if len(sel) == 1
+            else apply_merge_batch_expr(F.col("syms"), sel)
+        )
+        rex = apply_merges_regex_expr(F.col("syms"), sel)
+        assert (
+            df.select(fold.alias("f"), rex.alias("r"))
+            .filter(F.col("f") != F.col("r"))
+            .count()
+            == 0
+        ), sel

@@ -14,6 +14,7 @@ from hive_udf_spark.functions.text import (
     tokenize,
 )
 from hive_udf_spark.operators.multimodal import attach_blob_columns, decode_image_features
+from hive_udf_spark.operators.util import ensure_min_parallelism
 from hive_udf_spark.plans.registry import register
 from hive_udf_spark.sources import load_table
 
@@ -480,7 +481,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     255), so BOTH engines filter the payload to ASCII explicitly — a
     non-ASCII stratum in a future corpus drops out identically on both
     sides instead of silently diverging (round-3 advisor finding)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -524,7 +525,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (see multimodal_real_decode)."""
     from hive_udf_spark.operators.multimodal import png_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = png_encoder_udf(8, 8, filter_type=4)
     blobs = (
@@ -562,7 +563,7 @@ def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFr
     non-interlaced variant's: the scan layout must not change pixels."""
     from hive_udf_spark.operators.multimodal import png_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = png_encoder_udf(8, 8, filter_type=4, interlace=True)
     blobs = (
@@ -1224,7 +1225,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     format must not change pixel statistics."""
     from hive_udf_spark.operators.multimodal import gif_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = gif_encoder_udf(8, 8, interlace=True)
     blobs = (
@@ -1272,7 +1273,7 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = gif_encoder_udf(8, 8, n_frames=3)
     framed = (
@@ -1366,7 +1367,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the other lossless formats' pixel-stats SQL."""
     from hive_udf_spark.operators.multimodal import tiff_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = tiff_encoder_udf(8, 8, big_endian=True, packbits=True, rows_per_strip=2)
     blobs = (
@@ -1405,7 +1406,7 @@ def multimodal_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     container/compression must not change the pixel statistics."""
     from hive_udf_spark.operators.multimodal import tiff_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = tiff_encoder_udf(
         8, 8, big_endian=True, rows_per_strip=2, lzw=True, predictor=2
@@ -1447,7 +1448,7 @@ def multimodal_tiff_tiled_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the payload — tiling must be invisible in the output."""
     from hive_udf_spark.operators.multimodal import tiff_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 512), 512, " ")
     enc = tiff_encoder_udf(
         16, 32, big_endian=True, lzw=True, predictor=2, tiles=(16, 16)
@@ -1488,7 +1489,7 @@ def multimodal_tiff16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a decoder that reads the wrong half of each sample."""
     from hive_udf_spark.operators.multimodal import tiff_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = tiff_encoder_udf(
         8, 8, big_endian=True, packbits=True, rows_per_strip=2, bits16=True
@@ -1534,7 +1535,7 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     from hive_udf_spark.operators.multimodal import png_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = png_encoder_udf(8, 8, filter_type=4)
     blobs = (
@@ -1589,7 +1590,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric with the oracle (see multimodal_real_decode)."""
     from hive_udf_spark.operators.multimodal import sample_container_frames
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     header = F.lit(b"P5\n8 8\n255\n")
     framed = docs.select("doc_id", payload.alias("__s")).filter(
@@ -1657,7 +1658,7 @@ def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = j + len(d)
     pieces.append(template[pos:])
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     parts: list = []
     for i in range(3):
@@ -1717,7 +1718,7 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = mjpeg_avi_encoder_udf(3, 8, quality=100)
     framed = (
@@ -1767,7 +1768,7 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     enc = mp4_mjpeg_encoder_udf(3, 8, quality=100)
     framed = (
@@ -1825,7 +1826,7 @@ def multimodal_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_container_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 12), 12, " ")
     enc = fmp4_mjpeg_encoder_udf(3, 2, quality=100)
     framed = (
@@ -2155,7 +2156,7 @@ def multimodal_webm_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.multimodal import webm_subtitle_encoder_udf
     from hive_udf_spark.operators.mediaprobe import webm_subtitles_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 60), 60, " ")
     enc = webm_subtitle_encoder_udf(3, 20)
     blobs = (
@@ -2196,7 +2197,7 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.mediaprobe import subtitles_table
     from hive_udf_spark.operators.multimodal import mp4_subtitle_encoder_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 60), 60, " ")
     enc = mp4_subtitle_encoder_udf(3, 20)
     blobs = (
@@ -2240,7 +2241,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fixed 44-byte canonical header for 64 bytes of 8-bit mono PCM @8kHz
     hdr = encode_wav_pcm(np.zeros(64, dtype=np.int32), sample_rate=8000, bits=8)[:-64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -2338,7 +2339,7 @@ def multimodal_pcm24_audio_features(spark: SparkSession, sf_dir: str) -> DataFra
 
         return s.map(one)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = (
         docs.select("doc_id", payload.alias("__s"))
@@ -2390,7 +2391,7 @@ def multimodal_ulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFram
     from hive_udf_spark.operators.multimodal import decode_audio_features
 
     hdr = encode_wav_g711(bytes(64), "ulaw", sample_rate=8000)[:-64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = (
         docs.select("doc_id", payload.alias("__s"))
@@ -2442,7 +2443,7 @@ def multimodal_au_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.multimodal import decode_audio_features
 
     hdr = encode_au(bytes(64), 1, sample_rate=8000)[:-64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = (
         docs.select("doc_id", payload.alias("__s"))
@@ -2491,7 +2492,7 @@ def multimodal_aiff_audio_features(spark: SparkSession, sf_dir: str) -> DataFram
     hdr = encode_aiff_pcm(np.zeros(64, dtype=np.int64), sample_rate=8000, bits=8)
     # data is the trailing 64 bytes (even length, no pad byte)
     hdr = hdr[:-64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = (
         docs.select("doc_id", payload.alias("__s"))
@@ -2552,7 +2553,7 @@ def multimodal_mp1_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
         mpeg1_l1_encoder_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 24), 24, " ")
     enc = mpeg1_l1_encoder_udf(24)
     blobs = (
@@ -2612,7 +2613,7 @@ def multimodal_mp3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
         mpeg1_l1_encoder_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 24), 24, " ")
     enc = mpeg1_l1_encoder_udf(24)
     blobs = (
@@ -2657,7 +2658,7 @@ def multimodal_adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFra
         decode_audio_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     enc = adpcm_block_encoder_udf(scale=100, block_align=8)
     blobs = (
@@ -3015,7 +3016,7 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.dedup import hamming_block_pairs
     from hive_udf_spark.operators.multimodal import image_ahash_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -3070,7 +3071,7 @@ def multimodal_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_color_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 48), 48, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -3131,7 +3132,7 @@ def multimodal_color_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.dedup import hamming_block_pairs
     from hive_udf_spark.operators.multimodal import color_ahash_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 192), 192, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -3199,7 +3200,7 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.multimodal import audio_fingerprint_table
 
     hdr = encode_wav_pcm(np.zeros(64, dtype=np.int32), sample_rate=8000, bits=8)[:-64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -3255,7 +3256,7 @@ def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_udf_spark.operators.dedup import connected_components, hamming_block_pairs
     from hive_udf_spark.operators.multimodal import image_ahash_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.rpad(F.substring("text", 1, 64), 64, " ")
     blobs = docs.select("doc_id", payload.alias("__s")).filter(
         F.col("__s").rlike("^[\\x00-\\x7F]*$")
@@ -3591,7 +3592,7 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention)."""
     from hive_udf_spark.operators.zipcodec import zip_doc_encoder_udf, zip_entries_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = zip_doc_encoder_udf()
     blobs = docs.select("doc_id", enc("doc_id", "text").alias("blob"))
     return zip_entries_table(blobs)
@@ -4056,7 +4057,7 @@ def multimodal_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     escapes, and kerning arrays must all be invisible in the output."""
     from hive_udf_spark.operators.pdfcodec import pdf_doc_encoder_udf, pdf_pages_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     enc = pdf_doc_encoder_udf(flate=True)
     blobs = (
         docs.filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
@@ -4715,7 +4716,7 @@ def multimodal_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.map(one)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = docs.select("doc_id", enc("text").alias("blob"))
     return docx_text_table(blobs)
 
@@ -4872,7 +4873,7 @@ def multimodal_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             [one(d, t, lg) for d, t, lg in zip(doc_id, text, lang)]
         )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = docs.select(
         "doc_id", enc("doc_id", "text", "lang").alias("blob")
     )
@@ -5144,7 +5145,7 @@ def multimodal_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.map(one)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = docs.select("doc_id", enc("text").alias("blob"))
     ch = epub_chapters_table(blobs)
     extracted = html_to_text(F.col("xhtml"))
@@ -5285,6 +5286,6 @@ def multimodal_ogg_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     enc = ogg_fixture_encoder_udf()
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = docs.select("doc_id", enc(F.col("doc_id")).alias("blob"))
     return decode_ogg_native_features(blobs)

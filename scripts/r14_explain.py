@@ -79,7 +79,23 @@ def builders(spark, sf_dir):
             docs, "doc_id", "text", threshold=0.7, hashed_tokens=True, mode="exact"
         )
 
+    def b_fmp4_frame_sample():
+        return QUERIES["multimodal_fmp4_frame_sample"].fn(spark, sf_dir)
+
+    def b_codec_tiff_tiled_decode():
+        return QUERIES["multimodal_tiff_tiled_decode"].fn(spark, sf_dir)
+
+    def b_codec_mp1_audio():
+        return QUERIES["multimodal_mp1_audio_features"].fn(spark, sf_dir)
+
+    def b_compressed_shards_scan():
+        return QUERIES["source_compressed_shards_scan"].fn(spark, sf_dir)
+
     return {
+        "fmp4_frame_sample": b_fmp4_frame_sample,
+        "codec_tiff_tiled_decode": b_codec_tiff_tiled_decode,
+        "codec_mp1_audio": b_codec_mp1_audio,
+        "compressed_shards_scan": b_compressed_shards_scan,
         "containment_join": b_containment_join,
         "prefix_filter_join": b_prefix_filter_join,
         "strip_spans": b_strip_spans,

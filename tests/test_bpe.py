@@ -56,8 +56,15 @@ def docs(spark):
     return spark.createDataFrame(CORPUS, ["doc_id", "text"])
 
 
-def test_train_matches_python_reference(docs):
-    merges, vocab = bpe_train(docs, num_merges=6)
+# r14: cap=0 forces the distributed loop, the default cap takes the
+# driver-side solve on these small fixtures — both must match the
+# references bit-for-bit
+BOTH_PATHS = pytest.mark.parametrize("cap", [0, 2_000_000], ids=["dist", "driver"])
+
+
+@BOTH_PATHS
+def test_train_matches_python_reference(docs, cap):
+    merges, vocab = bpe_train(docs, num_merges=6, driver_solve_max_symbols=cap)
     words = [w for _, t in CORPUS for w in t.split()]
     ref_merges, ref_vocab = ref_bpe(words, 6)
     assert [tuple(m) for m in merges] == ref_merges
@@ -90,9 +97,10 @@ def test_merge_chain_matches_vocab(docs):
     }
 
 
-def test_early_stop_when_no_pairs(spark):
+@BOTH_PATHS
+def test_early_stop_when_no_pairs(spark, cap):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
-    merges, vocab = bpe_train(df, num_merges=10)
+    merges, vocab = bpe_train(df, num_merges=10, driver_solve_max_symbols=cap)
     assert merges == []  # all words single-char: nothing to merge
     assert all(len(r.syms) == 1 for r in vocab.collect())
 
@@ -108,7 +116,8 @@ def test_doc_token_counts(docs):
 
 
 def test_no_python_in_plans(docs):
-    _, vocab = bpe_train(docs, num_merges=3)
+    # cap=0: this pins the DISTRIBUTED trainer's plans Python-free
+    _, vocab = bpe_train(docs, num_merges=3, driver_solve_max_symbols=0)
     for df in (vocab, bpe_doc_token_counts(docs, vocab)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -172,32 +181,37 @@ def ref_bpe_batched(words: list[str], k: int, batch: int):
     return merges, vocab
 
 
-def test_batched_train_matches_python_mirror(docs):
+@BOTH_PATHS
+def test_batched_train_matches_python_mirror(docs, cap):
     """Spark batched trainer == pure-Python mirror of the same batched
     rule, merges AND final segmentation, at several batch widths."""
     words = []
     for _, text in CORPUS:
         words.extend(text.split())
     for batch in (2, 4, 16):
-        merges, vocab = bpe_train(docs, num_merges=10, batch=batch)
+        merges, vocab = bpe_train(
+            docs, num_merges=10, batch=batch, driver_solve_max_symbols=cap
+        )
         ref_m, ref_v = ref_bpe_batched(words, 10, batch)
         assert merges == ref_m, batch
         got = {r.word: list(r.syms) for r in vocab.collect()}
         assert got == ref_v, batch
 
 
-def test_batch_one_is_exact_sequential(docs):
+@BOTH_PATHS
+def test_batch_one_is_exact_sequential(docs, cap):
     """batch=1 is bit-identical to the classic sequential trainer."""
     words = []
     for _, text in CORPUS:
         words.extend(text.split())
-    merges, _ = bpe_train(docs, num_merges=6, batch=1)
+    merges, _ = bpe_train(docs, num_merges=6, batch=1, driver_solve_max_symbols=cap)
     assert merges == ref_bpe(words, 6)[0]
     with pytest.raises(ValueError, match="batch"):
         bpe_train(docs, num_merges=2, batch=0)
 
 
-def test_batched_random_corpora(spark):
+@BOTH_PATHS
+def test_batched_random_corpora(spark, cap):
     """Random small corpora: Spark batched == Python mirror (merge list
     and segmentation) — catches ordering/disjointness drift."""
     import random
@@ -213,11 +227,26 @@ def test_batched_random_corpora(spark):
             [(i, " ".join(words[i::4])) for i in range(4)], ["doc_id", "text"]
         )
         corpus_words = [w for i in range(4) for w in words[i::4]]
-        merges, vocab = bpe_train(df, num_merges=8, batch=4)
+        merges, vocab = bpe_train(
+            df, num_merges=8, batch=4, driver_solve_max_symbols=cap
+        )
         ref_m, ref_v = ref_bpe_batched(corpus_words, 8, 4)
         assert merges == ref_m, seed
         got = {r.word: list(r.syms) for r in vocab.collect()}
         assert got == ref_v, seed
+
+
+def test_driver_solve_matches_distributed_on_corpus(spark, sf_dir):
+    """r14: the driver-side solve (default cap) and the distributed loop
+    (cap=0) must be bit-equal on the REAL parquet corpus — the declared
+    oracle query text_bpe_train_segment trains exactly this way."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m_drv, v_drv = bpe_train(docs, "text", num_merges=8)
+    m_dst, v_dst = bpe_train(docs, "text", num_merges=8, driver_solve_max_symbols=0)
+    assert m_drv == m_dst
+    got_drv = {r.word: (r.cnt, list(r.syms)) for r in v_drv.collect()}
+    got_dst = {r.word: (r.cnt, list(r.syms)) for r in v_dst.collect()}
+    assert got_drv == got_dst
 
 
 def test_regex_merge_matches_fold_twins(spark):

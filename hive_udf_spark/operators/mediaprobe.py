@@ -476,6 +476,12 @@ def id3_probe(b: bytes) -> dict:
     }
 
 
+# Cyclic payload source for the CBR frame bodies: byte j of a slice
+# starting at offset s is (s + j) & 0xFF.  Sized past the largest
+# MPEG-1 Layer III frame (144*320k/32kHz = 1440 B) plus a full cycle.
+_MP3_FILL = bytes(range(256)) * 8
+
+
 def encode_mp3_id3(n_frames: int, tags: dict[str, str] | None = None,
                    bitrate_kbps: int = 128, sample_rate: int = 44100,
                    mono: bool = False, id3_major: int = 3) -> bytes:
@@ -500,14 +506,23 @@ def encode_mp3_id3(n_frames: int, tags: dict[str, str] | None = None,
     ri = _MP3_RATES.index(sample_rate)
     mode = 3 if mono else 1
     out = bytearray(tag)
+    padding = 0
+    # protection bit SET = no CRC16 follows (the common real shape)
+    h = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                    | (bi << 12) | (ri << 10) | (padding << 9) | (mode << 6))
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate + padding
+    body_len = frame_len - 4
     for i in range(n_frames):
-        padding = 0
-        # protection bit SET = no CRC16 follows (the common real shape)
-        h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
-             | (bi << 12) | (ri << 10) | (padding << 9) | (mode << 6))
-        frame_len = 144 * bitrate_kbps * 1000 // sample_rate + padding
-        out += struct.pack(">I", h)
-        out += bytes((i + j) & 0xFF for j in range(frame_len - 4))
+        out += h
+        if body_len <= 0:
+            continue
+        # payload byte j of frame i is (i + j) & 0xFF — a slice of the
+        # precomputed 256-cycle starting at i & 0xFF
+        start = i & 0xFF
+        if start + body_len <= len(_MP3_FILL):
+            out += _MP3_FILL[start:start + body_len]
+        else:
+            out += bytes((i + j) & 0xFF for j in range(body_len))
     return bytes(out)
 
 

@@ -103,10 +103,15 @@ def topk_dot_quantized(
     neighbor_id, so output is fully deterministic. Self-matches excluded.
     The query side is broadcast (it is the small side by construction).
     """
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_vec(vec_col, scale).alias("__qv")
     )
-    c = corpus.select(
+    # the scored crossJoin inherits the corpus scan's split count — a
+    # single-row-group corpus file would run the whole O(C·Q) dot stage
+    # in ONE task (3.2 s vs 0.75 s here); no-op at corpus scale
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col, scale).alias("__cv")
     )
     scored = (
@@ -604,12 +609,15 @@ def topk_cosine(
     k: int = 5,
 ) -> DataFrame:
     """Brute-force float-cosine top-k (JVM fold; numpy-verified in tests)."""
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm_double(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    # same single-task-crossJoin hazard as topk_dot_quantized
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm_double(F.col(vec_col)).alias("__cn"),

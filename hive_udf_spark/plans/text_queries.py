@@ -3976,8 +3976,11 @@ def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     them exactly (repaired_ok verdict column).  Both the corruption
     models and the repair cascade are generated from
     functions/mojibake.py's ONE closure inventory into both engines;
-    pure replace()/regexp codegen, no Python, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    pure replace()/regexp codegen, no Python.  The corpus fixture is a
+    single row group, so without a scatter the whole replace cascade
+    runs in ONE task (3.8 s); scattered it is 0.7 s — and the scatter
+    self-disables once the scan has cluster-width splits."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     d = docs.withColumn("aug", F.expr(_MOJI_AUG))
     d = d.withColumn(
         "corrupted",

@@ -432,8 +432,11 @@ def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     first (doc, entry) sighting and the duplicate count."""
     from hive_udf_spark.operators.robots import robots_allowed
     from hive_udf_spark.operators.sitemap import sitemap_entries
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group corpus → scatter before the sitemap-XML build +
+    # canonicalization chain (3.6 s single-task, 1.8 s scattered)
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     sm = sitemap_entries(
         docs.select("doc_id", F.expr(_sitemap_xml_sql("spark")).alias("sitemap_xml"))
     )
@@ -523,7 +526,16 @@ _LINKS_CANON = url_parts_sql(links_sql(_LINKS_INNER))
 
 def _links_canon_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
+        # The corpus fixture is one row group → a 1-task scan; the
+        # href-extraction + RFC 3986 + canonicalization chain is the
+        # expensive stage, so scatter the cheap text rows first.  Also
+        # multi-files the materialized scratch relation, so every
+        # re-read below starts parallel.  No-op at corpus scale.
+        from hive_udf_spark.operators.util import ensure_min_parallelism
+
+        docs = ensure_min_parallelism(
+            load_table(spark, sf_dir, "documents")
+        ).select(
             "doc_id",
             F.expr(base_url_sql("spark")).alias("base_url"),
             F.expr(page_html_sql("spark")).alias("html"),
@@ -847,8 +859,10 @@ def web_url_idn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder); the oracle pins the expected punycode forms as public
     literals, so the engine's general encoder must reproduce them."""
     from hive_udf_spark.functions.idn import fold_idn_urls
+    from hive_udf_spark.operators.util import ensure_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group corpus → scatter before the punycode fold chain
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id", F.expr(_synth_idn_url_sql("spark")).alias("url")
     ).withColumn("orig_url", F.col("url"))

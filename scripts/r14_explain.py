@@ -91,7 +91,26 @@ def builders(spark, sf_dir):
     def b_compressed_shards_scan():
         return QUERIES["source_compressed_shards_scan"].fn(spark, sf_dir)
 
+    def b_crawl_frontier():
+        return QUERIES["pipeline_crawl_frontier"].fn(spark, sf_dir)
+
+    def b_idn_fold():
+        return QUERIES["web_url_idn_fold"].fn(spark, sf_dir)
+
+    def b_host_pagerank():
+        return QUERIES["web_host_pagerank"].fn(spark, sf_dir)
+
+    def b_topk_dot_bruteforce():
+        from hive_udf_spark.operators.similarity import topk_dot_quantized
+
+        queries = emb.filter(F.col("vec_id") % 10 == 0)
+        return topk_dot_quantized(emb, queries, k=5)
+
     return {
+        "crawl_frontier": b_crawl_frontier,
+        "idn_fold": b_idn_fold,
+        "host_pagerank": b_host_pagerank,
+        "topk_dot_bruteforce": b_topk_dot_bruteforce,
         "fmp4_frame_sample": b_fmp4_frame_sample,
         "codec_tiff_tiled_decode": b_codec_tiff_tiled_decode,
         "codec_mp1_audio": b_codec_mp1_audio,

@@ -150,9 +150,11 @@ def incremental_dedup_sink(
         new_index = (
             index.unionByName(batch_index) if index is not None else batch_index
         )
-        # materialize BEFORE the swap deletes the old state they read from
-        new_index = new_index.localCheckpoint(eager=True)
-        all_pairs = all_pairs.localCheckpoint(eager=True)
+        # no pre-write checkpoint: _commit_state's parquet writes ARE the
+        # materialization, and they complete while the old state dir still
+        # exists (swap_dir runs after both writes) — an eager checkpoint
+        # here would copy the O(state) index through the block store once
+        # more per batch for nothing (r14; the shard_sink trim, guide §5)
         _commit_state(state_path, new_index, all_pairs, batch_id)
 
     return (

@@ -81,8 +81,14 @@ def incremental_warc_ingest_sink(
                 f"delivered batch_id={batch_id}: checkpoint lineage mismatch."
             )
         extracted_col = html_to_text(F.decode("body", "UTF-8"))
+        # checkpoint the PARSED batch (gunzip → WARC walk → de-chunk →
+        # markup strip), the expensive shared intermediate: both the docs
+        # and the hosts writes consume it, so materializing here runs the
+        # parse once per batch instead of once per output (r14, guide §5);
+        # the downstream writes then materialize themselves — no further
+        # checkpoint needed, the old state dir survives until swap_dir
         batch_docs = (
-            warc_records_table(batch_df.localCheckpoint(eager=True))
+            warc_records_table(batch_df)
             .filter(F.col("warc_type") == "response")
             .select(
                 "doc_id",
@@ -92,6 +98,7 @@ def incremental_warc_ingest_sink(
                 extracted_col.alias("extracted"),
                 F.length(extracted_col).cast("long").alias("n_chars"),
             )
+            .localCheckpoint(eager=True)
         )
         new_docs = docs.unionByName(batch_docs) if docs is not None else batch_docs
         batch_hosts = batch_docs.groupBy("host").agg(
@@ -109,8 +116,6 @@ def incremental_warc_ingest_sink(
             )
         else:
             new_hosts = batch_hosts
-        new_docs = new_docs.localCheckpoint(eager=True)
-        new_hosts = new_hosts.localCheckpoint(eager=True)
         new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
         new_docs.write.parquet(os.path.join(new_dir, "docs"))
         new_hosts.write.parquet(os.path.join(new_dir, "hosts"))

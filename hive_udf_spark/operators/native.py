@@ -451,6 +451,13 @@ _X265_PIN_PARAMS = (
     (b"x265:pools", b"none"),
     (b"x265:frame-threads", b"1"),
     (b"x265:wpp", b"0"),
+    # 16-px CTU: on the 64-px fixture tiles the default 64-px CTU's
+    # recursive CU split search is pure overhead — measured 1.71 →
+    # 1.29 ms/frame (−24%) on the 64×64 tile, no change at 8×8;
+    # decoded pixels identical (lossless, round-trip asserted in
+    # tests), and CTU size never triggers libheif's grid split, so the
+    # single-item property every probe relies on is unchanged
+    (b"x265:ctu", b"16"),
 )
 
 # libheif enums (public heif.h)

@@ -243,8 +243,12 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
+        # only ever called at nbits == 0 (read_bit refills on empty), so
+        # the old accumulator bits are dead — assigning instead of
+        # shifting keeps acc bounded (the shift form grew acc by 8 bits
+        # per byte for the whole segment: O(n²) big-int work)
+        self.acc = byte
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -847,7 +851,10 @@ def _encode_plane(
             writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
         run = 0
         last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-        for k in range(1, 64):
+        # positions past last_nz only feed the EOB — stop there instead
+        # of walking the zero tail (flat fixture blocks have NO AC, so
+        # the old full 1..63 walk was 63 dead iterations per block)
+        for k in range(1, last_nz + 1):
             v = int(zz[k])
             if v == 0:
                 run += 1
@@ -861,8 +868,6 @@ def _encode_plane(
             writer.write(code, length)
             writer.write(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
-            if k == last_nz:
-                break
         if last_nz < 63:
             length, code = ac_enc[0x00]  # EOB
             writer.write(code, length)
@@ -1097,16 +1102,28 @@ def _prog_ac_first_scan(zz, ac_enc, ss, se, al, restart_interval, nby, nbx) -> b
     """Non-interleaved scan: iterates the COMPONENT block grid (which
     may be smaller than the MCU-padded coefficient grid, T.81 A.2.2)."""
     writer = _BitWriter()
+    # vectorized band prep: the per-element _trunc_shift/int() listcomp
+    # was >half the progressive encode cost (flat fixture blocks have
+    # no AC at all).  _trunc_shift(v) == v>>al for v>=0, -((-v)>>al)
+    # for v<0 — same truncation toward zero, element-exact.
+    band = zz[:, :, ss : se + 1]
+    tr = np.where(band >= 0, band >> al, -((-band) >> al))
     m = 0
     for by in range(nby):
         for bx in range(nbx):
             if restart_interval and m and m % restart_interval == 0:
                 _emit_rst(writer, m // restart_interval - 1)
-            vals = [_trunc_shift(int(zz[by, bx, k]), al) for k in range(ss, se + 1)]
-            last_nz = -1
-            for i, v in enumerate(vals):
-                if v:
-                    last_nz = i
+            blk = tr[by, bx]
+            nzidx = np.flatnonzero(blk)
+            if nzidx.size == 0:
+                # all-zero band: the scan loop is empty and the
+                # last_nz < se-ss test below always holds — EOB0 only
+                length, code = ac_enc[0x00]
+                writer.write(code, length)
+                m += 1
+                continue
+            last_nz = int(nzidx[-1])
+            vals = blk[: last_nz + 1].tolist()
             run = 0
             for i in range(last_nz + 1):
                 v = vals[i]
@@ -1136,13 +1153,25 @@ def _prog_ac_refine_scan(zz, ac_enc, ss, se, al, restart_interval, nby, nbx) -> 
     appended after the next symbol, EOB0 flushing the remainder.
     Non-interleaved: iterates the COMPONENT block grid."""
     writer = _BitWriter()
+    # vectorized band prep (same reasoning as _prog_ac_first_scan)
+    band = zz[:, :, ss : se + 1]
+    mags_grid = np.abs(band) >> al
     m = 0
     for by in range(nby):
         for bx in range(nbx):
             if restart_interval and m and m % restart_interval == 0:
                 _emit_rst(writer, m // restart_interval - 1)
-            vals = [int(zz[by, bx, k]) for k in range(ss, se + 1)]
-            mags = [abs(v) >> al for v in vals]
+            mags = mags_grid[by, bx]
+            if not mags.any():
+                # no history (mags>1) and no newly-significant (mags==1)
+                # coefficients: the loop is empty, rest is empty, and the
+                # eob+1 <= len-1 test holds — EOB0 with no correction bits
+                length, code = ac_enc[0x00]
+                writer.write(code, length)
+                m += 1
+                continue
+            vals = band[by, bx].tolist()
+            mags = mags.tolist()
             eob = -1  # last newly-significant index
             for i, t in enumerate(mags):
                 if t == 1:

@@ -114,12 +114,15 @@ class _BitReader:
     def read(self, n: int) -> int:
         if self.pos + n > self.nbits:
             raise ValueError("VP8L bitstream truncated")
-        v = 0
         p = self.pos
-        for i in range(n):
-            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
         self.pos += n
-        return v
+        # one C-level window read instead of n Python bit probes —
+        # same LSB-first value
+        lo = p >> 3
+        hi = (p + n + 7) >> 3
+        return (
+            int.from_bytes(self.data[lo:hi], "little") >> (p & 7)
+        ) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         if self.pos >= self.nbits:
@@ -130,26 +133,39 @@ class _BitReader:
 
 
 class _BitWriter:
-    __slots__ = ("bits", "n")
+    """LSB-first accumulator writer: bits collect in ``acc`` and flush
+    byte-at-a-time (the old form appended to the bytearray PER BIT —
+    the dominant cost of writing the per-frame prefix-code tables)."""
+
+    __slots__ = ("bits", "n", "acc", "k")
 
     def __init__(self):
         self.bits = bytearray()
         self.n = 0
+        self.acc = 0
+        self.k = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            if self.n & 7 == 0:
-                self.bits.append(0)
-            if (value >> i) & 1:
-                self.bits[-1] |= 1 << (self.n & 7)
-            self.n += 1
+        self.acc |= (value & ((1 << n) - 1)) << self.k
+        self.k += n
+        self.n += n
+        while self.k >= 8:
+            self.bits.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.k -= 8
 
     def write_code(self, code: int, length: int) -> None:
         """Prefix-code bits go MSB-first into the LSB-first stream."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        v = 0
+        for i in range(length):
+            v = (v << 1) | ((code >> i) & 1)
+        self.write(v, length)
 
     def getvalue(self) -> bytes:
+        if self.k:
+            # the partial byte is zero-padded high, exactly as the old
+            # per-bit form left it in the bytearray
+            return bytes(self.bits) + bytes([self.acc & 0xFF])
         return bytes(self.bits)
 
 
@@ -216,10 +232,20 @@ class _PrefixCode:
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined bit extraction: the walk is per-bit by nature, so the
+        # read_bit method call + bounds re-check per bit was half its cost
+        tree = self.tree
+        data = br.data
+        pos = br.pos
+        nbits = br.nbits
         node = 0
         while True:
-            nxt = self.tree[node][br.read_bit()]
-            if isinstance(nxt, tuple):
+            if pos >= nbits:
+                raise ValueError("VP8L bitstream truncated")
+            nxt = tree[node][(data[pos >> 3] >> (pos & 7)) & 1]
+            pos += 1
+            if type(nxt) is tuple:
+                br.pos = pos
                 return nxt[1]
             node = nxt
 

@@ -109,28 +109,40 @@ class _BitReader:
     def read(self, n: int) -> int:
         if self.pos + n > len(self.data) * 8:
             raise ValueError("FLAC bitstream truncated")
-        v = 0
         p = self.pos
-        for i in range(n):
-            v = (v << 1) | ((self.data[(p + i) >> 3] >> (7 - ((p + i) & 7))) & 1)
         self.pos += n
-        return v
+        # one C-level window read instead of n Python bit probes —
+        # same MSB-first value
+        lo = p >> 3
+        hi = (p + n + 7) >> 3
+        chunk = int.from_bytes(self.data[lo:hi], "big")
+        return (chunk >> ((hi << 3) - p - n)) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >> (n - 1) else v
 
     def read_unary(self, cap: int = 1 << 20) -> int:
+        # byte-at-a-time scan for the terminating 1 bit (the old form
+        # probed one bit per Python iteration); q counts the zeros, and
+        # the cap/truncation outcomes are unchanged
+        data = self.data
+        pos = self.pos
+        nbits = len(data) * 8
         q = 0
-        nbits = len(self.data) * 8
         while True:
-            if self.pos >= nbits:
+            if pos >= nbits:
                 raise ValueError("FLAC bitstream truncated in unary code")
-            bit = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
-            self.pos += 1
-            if bit:
+            rem = data[pos >> 3] & (0xFF >> (pos & 7))
+            if rem:
+                first = 8 - rem.bit_length()  # bit index of the 1 in its byte
+                q += first - (pos & 7)
+                if q > cap:
+                    raise ValueError("FLAC unary run exceeds sanity cap")
+                self.pos = (pos & ~7) + first + 1
                 return q
-            q += 1
+            q += 8 - (pos & 7)
+            pos = (pos | 7) + 1
             if q > cap:
                 raise ValueError("FLAC unary run exceeds sanity cap")
 

@@ -404,11 +404,25 @@ def bpe_train(
     if n_syms <= driver_solve_max_symbols:
         # bounded driver-side solve (see docstring): collect the reduced
         # vocab, train incrementally, ship the segmentation back as a
-        # local relation — same schema as the distributed path
-        rows = [(r.word, r.cnt) for r in vocab0.select("word", "cnt").collect()]
+        # local relation — same schema as the distributed path. Both
+        # transfers ride Arrow (r14): Row-object collect + the verified
+        # local-relation createDataFrame were ~30% of the solve's wall
+        # at 50k words; toPandas/pandas-createDataFrame move the same
+        # rows columnar. tolist() yields plain Python str/int, so the
+        # trainer's dict arithmetic sees the exact same values.
+        import pandas as pd
+
+        pdf = vocab0.select("word", "cnt").toPandas()
+        rows = list(zip(pdf["word"].tolist(), pdf["cnt"].tolist()))
         merges, seg = _driver_train(rows, num_merges, batch)
         out = df.sparkSession.createDataFrame(
-            [(w, c, seg[w]) for w, c in rows],
+            pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "cnt": pdf["cnt"],
+                    "syms": [seg[w] for w, _ in rows],
+                }
+            ),
             "word string, cnt bigint, syms array<string>",
         )
         return merges, out

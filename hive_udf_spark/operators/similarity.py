@@ -995,6 +995,7 @@ def semdedup(
     n_centroids: int = 32,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    internals: list | None = None,
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-style: cluster first, compare only
     within a cluster.
@@ -1011,6 +1012,14 @@ def semdedup(
     (:func:`embedding_dedup_clusters`); min-id is canonical.
 
     Returns ``(id_col, cluster, is_canonical)`` — linear in the corpus.
+
+    ``internals`` (r14, the caches-out-param discipline): when a list is
+    passed, the CHECKPOINTED within-cell edge relation ``(id_a, id_b)``
+    is appended to it — callers that must re-derive the edges (the
+    registry query's verdict invariants) can reuse the already-computed
+    relation instead of re-planning the literal centroid expression and
+    re-running the cell self-join. Contents are identical by
+    construction (same centroids, threshold, and id_a < id_b filter).
 
     vs the LSH twin: LSH banding catches near-dups across the whole
     space but pays band-key shuffles per band; SemDeDup pays ONE shuffle
@@ -1052,6 +1061,8 @@ def semdedup(
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
+    if internals is not None:
+        internals.append(pairs)
     nodes = assigned.select("id")
     comps = connected_components(pairs, nodes, edges_materialized=True)
     # assigned's checkpoint blocks stay until the ContextCleaner drops the

@@ -106,7 +106,11 @@ def builders(spark, sf_dir):
         queries = emb.filter(F.col("vec_id") % 10 == 0)
         return topk_dot_quantized(emb, queries, k=5)
 
+    def b_semdedup():
+        return QUERIES["similarity_semdedup"].fn(spark, sf_dir)
+
     return {
+        "semdedup": b_semdedup,
         "crawl_frontier": b_crawl_frontier,
         "idn_fold": b_idn_fold,
         "host_pagerank": b_host_pagerank,

@@ -297,29 +297,67 @@ def _driver_train(
             ab = a + b
             for w in index.pop((a, b), ()):
                 syms = vocab[w]
-                out: list[str] = []
-                i, last = 0, len(syms) - 1
-                append = out.append
+                n = len(syms)
+                last = n - 1
+                # greedy left-to-right non-overlapping match scan — the
+                # exact fold semantics of the original rebuild loop
+                i = 0
+                matches: list[int] = []
                 while i < last:
                     if syms[i] == a and syms[i + 1] == b:
-                        append(ab)
+                        matches.append(i)
                         i += 2
                     else:
-                        append(syms[i])
                         i += 1
-                if i == last:
-                    append(syms[last])
-                if len(out) == last + 1:  # stale index entry: pair gone
+                if not matches:  # stale index entry: pair gone
                     continue
+                # splice the new symbol sequence from slices (C-speed
+                # copies) instead of per-symbol appends
+                first = matches[0]
+                out: list[str] = syms[:first]
+                prev = first
+                for m in matches:
+                    out += syms[prev:m]
+                    out.append(ab)
+                    prev = m + 2
+                out += syms[prev:]
                 c = cnt[w]
-                for p in zip(syms, syms[1:]):
-                    n = pair_cnt[p] - c
-                    if n:
-                        pair_cnt[p] = n
+                # windowed count/index update (r14): only pairs whose
+                # start index touches [first−1, last_match+1] change —
+                # prefix and suffix pairs are content-identical in old
+                # and new form, so the original full-word decrement/
+                # increment cancelled them exactly; pairs in the gaps
+                # BETWEEN matches fall inside both windows and still
+                # cancel. Index entries for unchanged pairs already
+                # reference w (inductively: all pairs were indexed at
+                # word build, and every later content change happens
+                # inside some update window), and the index is
+                # stale-tolerant by design, so window-only adds are
+                # sound.
+                lastm = matches[-1]
+                lo = first - 1 if first > 0 else 0
+                hi = min(n - 2, lastm + 1)
+                for j in range(lo, hi + 1):
+                    p = (syms[j], syms[j + 1])
+                    d = pair_cnt[p] - c
+                    if d:
+                        pair_cnt[p] = d
                     else:
                         del pair_cnt[p]
                 vocab[w] = out
-                for p in zip(out, out[1:]):
+                # new-form window: prefix is unchanged, so the first
+                # changed pair still starts at first−1; the last match
+                # lands at lastm − (len(matches)−1) after each earlier
+                # match shrank the sequence by one. The last CREATED
+                # pair is (ab, next) starting AT nlast — the old form's
+                # (b, next) counterpart started at lastm+1 — so the new
+                # window ends at nlast (nlast+1 would pull in the first
+                # suffix-internal pair, which the old window correctly
+                # leaves untouched)
+                nlast = lastm - (len(matches) - 1)
+                nhi = min(len(out) - 2, nlast)
+                for j in range(lo, nhi + 1):
+                    p = (out[j], out[j + 1])
                     pair_cnt[p] = pc_get(p, 0) + c
                     s = index.get(p)
                     if s is None:

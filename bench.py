@@ -1577,6 +1577,32 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times, cold, n_warm
 
 
+# The compact stdout line's key set (see main()): every key any prior
+# round's compact line printed, in the r14 printed order. Append-only —
+# removing or renaming a key here makes the driver's round-over-round
+# diff report a dropped query.
+_COMPACT_PINNED = (
+    "exif_strip", "media_probe", "pagerank_1m", "hll_grouped_lineitem",
+    "hll_vs_exact_events", "lc_grouped_orders", "sketch_rollup", "tpch_q1",
+    "tpch_q5", "window_topk", "minhash_lsh_dedup", "dedup_clusters",
+    "dedup_clusters_exact", "dedup_clusters_star", "simhash_blocked",
+    "topk_dot_bruteforce", "near_pairs_lsh", "vec_dedup_clusters",
+    "ann_lsh", "ann_ivf", "ann_pq", "ann_pq_pretrained", "pipeline_prep",
+    "decontaminate", "bloom_prefilter", "freq_sketches", "asof_join",
+    "range_join", "tpch_q7", "tpch_q10", "lc_two_phase", "lc_struct_table",
+    "lc_struct_table_default", "quantile_sketch", "text_profile",
+    "gopher_filter", "kmv_grouped", "incremental_dedup",
+    "incremental_dedup_shuffle", "dsir_weights", "strip_spans", "bpe_train",
+    "bpe_train_256", "image_near_dup", "prefix_filter_join", "pcsa_grouped",
+    "kmv_sliding_7d", "funnel_cohort", "incremental_spans", "bm25_search",
+    "semantic_decontam", "quantile_sliding_7d", "lm_perplexity",
+    "containment_join", "hybrid_rrf", "hllp_grouped", "nb_classify",
+    "video_near_dup", "codec_png_decode", "codec_jpeg_decode",
+    "profile_histogram", "url_canonicalize", "url_dedup", "mojibake_repair",
+    "crawl_frontier", "codec_progressive_jpeg_decode",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -1631,25 +1657,30 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout lines still carry the result
     print(payload)
-    compact: dict[str, float] = {}
-    budget = 1800  # < the driver's 2000-char stdout tail, with margin
+    # r15 (r14 verdict "What's wrong" #2): the compact line's key set is
+    # PINNED, not filled greedily in registry order. Greedy fill meant any
+    # dict reorder or added entry shifted which ~65 keys got printed — the
+    # r14 PERF diff reported one "dropped" and two "new" queries that were
+    # neither. The pinned set is exactly the 65 keys the r14 line printed
+    # plus codec_progressive_jpeg_decode (the r14 phantom drop, restored).
+    # Additions-only vs every previous round's printed set; deterministic
+    # under any future registry edit. New registry entries stay in
+    # BENCH_full_latest.json (the complete artifact) by design.
+    compact = {k: times[k] for k in _COMPACT_PINNED if k in times}
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # iteration-aid subset runs (never the driver): print what ran
+        compact = dict(times)
     base = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": compact,
-        "queries_elided": 0,
+        "queries_elided": len(times) - len(compact),
         "queries_total": len(times),
         "full": "BENCH_full_latest.json",
         "warm_runs": n_warm,
         "sf": sf,
     }
-    for name, sec in times.items():
-        compact[name] = sec
-        if len(json.dumps(base)) > budget:
-            del compact[name]
-            break
-    base["queries_elided"] = len(times) - len(compact)
     line = json.dumps(base)
     assert len(line) <= 2000, len(line)
     print(line, flush=True)

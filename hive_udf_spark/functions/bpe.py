@@ -132,11 +132,15 @@ _SEP = "\x00"
 
 
 def _regex_escape(s: str) -> str:
-    """Escape a symbol for a Java regex literal: backslash every
-    character outside [A-Za-z0-9_] (Java accepts a backslash before any
-    punctuation; symbols are whitespace-free by construction of
-    ``tokenize``, so no escape-ambiguous characters occur)."""
-    return "".join(ch if (ch.isascii() and (ch.isalnum() or ch == "_")) else "\\" + ch for ch in s)
+    """Quote a symbol as a Java regex literal with ``\\Q...\\E`` —
+    exactly ``java.util.regex.Pattern.quote``. The r14 char-escape
+    (backslash before every non-``[A-Za-z0-9_]`` char) was undefined for
+    non-ASCII letters: Java reserves backslash-before-alphabetic for
+    named constructs, so a merge pair like ``(é, s)`` could throw
+    ``PatternSyntaxException`` on the distributed path. Literal quoting
+    has no such reserved space; an embedded ``\\E`` is split-and-rejoined
+    the way Pattern.quote does."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
 def apply_merges_regex_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
@@ -192,10 +196,20 @@ def apply_merge_batch_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column
     """
     if not pairs:
         return syms
+    # The lookup key is LENGTH-PREFIXED ("len(a):a<NUL>b") so the
+    # (carry, symbol) → key mapping is bijective even when symbols
+    # contain NUL — a bare a<NUL>b key would alias ("x", "\0y") with
+    # ("x\0", "y"). Identical output for NUL-free symbols.
     entries: list[Column] = []
     for a, b in pairs:
-        entries.extend([F.lit(a + _SEP + b), F.lit(a + b)])
+        entries.extend([F.lit(f"{len(a)}:{a}{_SEP}{b}"), F.lit(a + b)])
     m = F.create_map(*entries)
+
+    def _key(carry: Column, s: Column) -> Column:
+        return F.concat(
+            F.length(carry).cast("string"), F.lit(":"), carry, F.lit(_SEP), s
+        )
+
     zero = F.struct(
         F.array().cast("array<string>").alias("acc"),
         F.lit(None).cast("string").alias("carry"),
@@ -205,11 +219,11 @@ def apply_merge_batch_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column
         zero,
         lambda st, s: F.when(
             st["carry"].isNotNull()
-            & F.element_at(m, F.concat(st["carry"], F.lit(_SEP), s)).isNotNull(),
+            & F.element_at(m, _key(st["carry"], s)).isNotNull(),
             F.struct(
                 F.concat(
                     st["acc"],
-                    F.array(F.element_at(m, F.concat(st["carry"], F.lit(_SEP), s))),
+                    F.array(F.element_at(m, _key(st["carry"], s))),
                 ).alias("acc"),
                 F.lit(None).cast("string").alias("carry"),
             ),
@@ -337,8 +351,10 @@ def _driver_train(
                 lastm = matches[-1]
                 lo = first - 1 if first > 0 else 0
                 hi = min(n - 2, lastm + 1)
-                for j in range(lo, hi + 1):
-                    p = (syms[j], syms[j + 1])
+                # q, not j: j is the round's batch size (ADVICE r14 —
+                # shadowing it here survived only by reassignment order)
+                for q in range(lo, hi + 1):
+                    p = (syms[q], syms[q + 1])
                     d = pair_cnt[p] - c
                     if d:
                         pair_cnt[p] = d
@@ -356,8 +372,8 @@ def _driver_train(
                 # leaves untouched)
                 nlast = lastm - (len(matches) - 1)
                 nhi = min(len(out) - 2, nlast)
-                for j in range(lo, nhi + 1):
-                    p = (out[j], out[j + 1])
+                for q in range(lo, nhi + 1):
+                    p = (out[q], out[q + 1])
                     pair_cnt[p] = pc_get(p, 0) + c
                     s = index.get(p)
                     if s is None:
@@ -437,8 +453,15 @@ def bpe_train(
     stats = vocab0.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("s"),
+        # tokenize() is whitespace-split (Java \s excludes \x00), so a
+        # corpus CAN carry a NUL inside a token. The regexp_replace merge
+        # packs symbols NUL-separated — an embedded NUL would make the
+        # pack/split round-trip dismember that word every round. Detect
+        # once here (piggybacked on the sizing aggregate) and route such
+        # vocabs through the NUL-safe fold twin below.
+        F.coalesce(F.max(F.col("word").contains(_SEP)), F.lit(False)).alias("has_nul"),
     ).collect()[0]
-    n_words, n_syms = stats.n, int(stats.s)
+    n_words, n_syms, has_nul = stats.n, int(stats.s), bool(stats.has_nul)
     if n_syms <= driver_solve_max_symbols:
         # bounded driver-side solve (see docstring): collect the reduced
         # vocab, train incrementally, ship the segmentation back as a
@@ -494,8 +517,16 @@ def bpe_train(
         merges.extend(sel)
         # one native regexp_replace pass applies the round's merges —
         # bit-equal to the classic/fused folds (property-tested), ~4x
-        # cheaper than the interpreted per-element aggregate (r14)
-        syms: Column = apply_merges_regex_expr(F.col("syms"), sel)
+        # cheaper than the interpreted per-element aggregate (r14).
+        # Vocabs with a NUL-bearing word take the fold twin: its map
+        # keys are (carry, symbol) pairs — a NUL inside a symbol could
+        # only alias a key if another selected pair's concatenation
+        # matched byte-for-byte, which symbol-disjoint selection
+        # excludes; the pack/split regex path has no such guarantee.
+        if has_nul:
+            syms: Column = apply_merge_batch_expr(F.col("syms"), sel)
+        else:
+            syms = apply_merges_regex_expr(F.col("syms"), sel)
         vocab = vocab.select("word", "cnt", syms.alias("syms")).localCheckpoint(
             eager=False
         )

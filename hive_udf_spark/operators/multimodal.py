@@ -1896,7 +1896,13 @@ def video_frame_signatures(
     Hamming blocker. Change the frame layout HERE and in the
     `_VIDEO_PAIRS_CTES` oracle together."""
     span = stride * (n_frames - 1) + frame_chars
-    ascii_docs = docs.filter(
+    # scatter the cheap text rows BEFORE blob construction (r14 §9/§11
+    # discipline this builder missed — r15): the frame walk + aHash
+    # Python stage otherwise inherits a single-split fixture scan's one
+    # task; no-op once the scan has >= cluster-width splits
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    ascii_docs = ensure_min_parallelism(docs).filter(
         F.substring(text_col, 1, span).rlike("^[\\x00-\\x7F]*$")
     )
     hdr = F.lit(b"P5\n8 8\n255\n")

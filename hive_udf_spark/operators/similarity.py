@@ -96,12 +96,19 @@ def topk_dot_quantized(
     vec_col: str = "embedding",
     k: int = 5,
     scale: int = DEFAULT_QUANT_SCALE,
+    scatter: bool = True,
 ) -> DataFrame:
     """Brute-force top-k neighbors by exact quantized dot product.
 
     Returns (query_id, neighbor_id, dot_q, rank); ties broken by
     neighbor_id, so output is fully deterministic. Self-matches excluded.
     The query side is broadcast (it is the small side by construction).
+
+    scatter=False skips the corpus fan-out below — for callers whose
+    query side is small enough that the O(C·Q) dot stage is sub-second
+    anyway (hybrid_rrf's bounded vector leg: the r14 scatter cost it an
+    Exchange + 32-task fan-out, −44% measured), the single-task plan is
+    the cheaper one. Dedicated brute-force entries keep the default.
     """
     from hive_udf_spark.operators.util import ensure_min_parallelism
 
@@ -111,7 +118,7 @@ def topk_dot_quantized(
     # the scored crossJoin inherits the corpus scan's split count — a
     # single-row-group corpus file would run the whole O(C·Q) dot stage
     # in ONE task (3.2 s vs 0.75 s here); no-op at corpus scale
-    c = ensure_min_parallelism(corpus).select(
+    c = (ensure_min_parallelism(corpus) if scatter else corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col, scale).alias("__cv")
     )
     scored = (

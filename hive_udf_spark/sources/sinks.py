@@ -30,6 +30,7 @@ __all__ = [
     "compact_parquet",
     "atomic_swap_parquet",
     "swap_dir",
+    "append_parquet_state",
     "expire_rows",
     "forget_rows",
     "propagate_deletes",
@@ -272,6 +273,45 @@ def swap_dir(table_path: str, new_dir: str) -> None:
     os.rename(tmp_link, table_path)  # atomic: readers see old or new
     if old_target and os.path.isdir(old_target):
         shutil.rmtree(old_target, ignore_errors=True)
+
+
+def append_parquet_state(delta: DataFrame, prev_dir: str | None, out_dir: str) -> None:
+    """Advance an APPEND-ONLY parquet state table by one batch in
+    O(batch) work: write only the delta rows into ``out_dir``, then
+    hard-link the previous version's data files alongside them (copy
+    fallback across filesystems). The caller's :func:`swap_dir` still
+    publishes the whole new version directory atomically, and the hard
+    links keep the bytes alive when swap_dir removes the old version
+    dir — so the one-commit/retry contract is unchanged. Replaces the
+    union-and-rewrite pattern, whose per-batch cost grew with TOTAL
+    accumulated state instead of batch size (r15, guide §5/§6: batch N
+    re-read and re-wrote batches 1..N−1 for nothing).
+
+    Only valid for append-only sub-tables (docs, pairs, quarantine
+    logs); merged aggregates (stats, line-df) must keep the rewrite.
+    """
+    import os
+    import shutil
+    import uuid
+
+    delta.write.parquet(out_dir)
+    if prev_dir is None or not os.path.isdir(prev_dir):
+        return
+    for name in os.listdir(prev_dir):
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS & friends: commit markers, not data
+        src = os.path.join(prev_dir, name)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(out_dir, name)
+        if os.path.exists(dst):
+            # part-file name collision — Spark job UUIDs make this
+            # effectively impossible, but never silently drop state
+            dst = os.path.join(out_dir, f"prev-{uuid.uuid4().hex[:8]}-{name}")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
 
 
 def expire_rows(

@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_udf_spark.sources.sinks import swap_dir
+from hive_udf_spark.sources.sinks import append_parquet_state, swap_dir
 
 PAIRS_SCHEMA = (
     "batch_id bigint, corpus_id bigint, inter_size bigint, union_size bigint"
@@ -86,12 +86,29 @@ def _hwm_skip(hwm: int, batch_id: int, state_path: str) -> bool:
 
 
 def _commit_state(
-    state_path: str, index: DataFrame, pairs: DataFrame | None, batch_id: int
+    state_path: str,
+    batch_index: DataFrame,
+    batch_pairs: DataFrame | None,
+    batch_id: int,
 ) -> None:
+    """Advance both APPEND-ONLY sub-tables by one batch: write the
+    batch's delta rows, hard-link the previous version's files in
+    (sources.sinks.append_parquet_state — O(batch) per commit, r15),
+    stamp the hwm, swap atomically. The one-commit contract is
+    unchanged: nothing is visible until swap_dir."""
+    cur = _resolve(state_path)
     new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
-    index.write.parquet(os.path.join(new_dir, "index"))
-    if pairs is not None:
-        pairs.write.parquet(os.path.join(new_dir, "pairs"))
+    append_parquet_state(
+        batch_index,
+        os.path.join(cur, "index") if cur else None,
+        os.path.join(new_dir, "index"),
+    )
+    if batch_pairs is not None:
+        append_parquet_state(
+            batch_pairs,
+            os.path.join(cur, "pairs") if cur else None,
+            os.path.join(new_dir, "pairs"),
+        )
     with open(os.path.join(new_dir, "meta.json"), "w") as f:
         json.dump({"last_batch": int(batch_id)}, f)
     swap_dir(state_path, new_dir)  # atomic: whole state commits at once
@@ -139,23 +156,20 @@ def incremental_dedup_sink(
                 F.col("inter_size").cast("long"),
                 F.col("union_size").cast("long"),
             )
-            all_pairs = (
-                pairs.unionByName(new_pairs) if pairs is not None else new_pairs
-            )
+            batch_pairs = new_pairs
         else:
-            all_pairs = spark.createDataFrame([], PAIRS_SCHEMA)
+            batch_pairs = spark.createDataFrame([], PAIRS_SCHEMA)
         batch_index = build_minhash_index(
             batch_df, id_col, text_col, num_hashes, portable=portable
-        )
-        new_index = (
-            index.unionByName(batch_index) if index is not None else batch_index
         )
         # no pre-write checkpoint: _commit_state's parquet writes ARE the
         # materialization, and they complete while the old state dir still
         # exists (swap_dir runs after both writes) — an eager checkpoint
         # here would copy the O(state) index through the block store once
-        # more per batch for nothing (r14; the shard_sink trim, guide §5)
-        _commit_state(state_path, new_index, all_pairs, batch_id)
+        # more per batch for nothing (r14; the shard_sink trim, guide §5).
+        # Only the BATCH deltas are written: index/ and pairs/ are
+        # append-only, the previous files ride along as hard links (r15)
+        _commit_state(state_path, batch_index, batch_pairs, batch_id)
 
     return (
         docs.writeStream.foreachBatch(_merge)

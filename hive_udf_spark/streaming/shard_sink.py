@@ -40,7 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_udf_spark.sources.sinks import swap_dir
+from hive_udf_spark.sources.sinks import append_parquet_state, swap_dir
 
 SHARD_DOCS_SCHEMA = (
     "doc_id bigint, codec string, lang string, n_chars bigint, parsed_chars bigint"
@@ -206,7 +206,16 @@ def incremental_shard_ingest_sink(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        docs, stats, quarantine, hwm = _read_state(spark, state_path)
+        # only the merged stats table is re-READ per batch; docs/ and
+        # quarantine/ advance by hard-linked append below, so their
+        # (ever-growing) file sets are never re-opened
+        cur0 = _resolve(state_path)
+        hwm, stats = -1, None
+        if cur0 is not None:
+            meta = os.path.join(cur0, "meta.json")
+            if os.path.exists(meta):
+                hwm = json.load(open(meta)).get("last_batch", -1)
+            stats = spark.read.parquet(os.path.join(cur0, "stats"))
         if hwm == batch_id:
             return  # retry of the committed batch: additive state, skip
         if hwm > batch_id:
@@ -235,10 +244,6 @@ def incremental_shard_ingest_sink(
             F.col("r.n_chars").alias("n_chars"),
             F.length("r.text").cast("long").alias("parsed_chars"),
         )
-        new_docs = docs.unionByName(batch_docs) if docs is not None else batch_docs
-        new_quar = (
-            quarantine.unionByName(batch_quar) if quarantine is not None else batch_quar
-        )
         batch_stats = batch_docs.groupBy("codec", "lang").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("parsed_chars").cast("long").alias("total_chars"),
@@ -260,11 +265,23 @@ def incremental_shard_ingest_sink(
         # after all three writes and the meta stamp succeed, so no
         # intermediate eager checkpoint is needed (r14: dropping the
         # three pre-write checkpoints removed three full extra passes
-        # per micro-batch)
+        # per micro-batch). docs/ and quarantine/ are APPEND-ONLY:
+        # write the batch rows and hard-link the previous version's
+        # files (r15, O(batch) per commit — the union-rewrite re-read
+        # and re-wrote the whole accumulated state every batch); only
+        # the merged stats/ aggregate rewrites.
         new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
-        new_docs.write.parquet(os.path.join(new_dir, "docs"))
+        append_parquet_state(
+            batch_docs,
+            os.path.join(cur0, "docs") if cur0 else None,
+            os.path.join(new_dir, "docs"),
+        )
         new_stats.write.parquet(os.path.join(new_dir, "stats"))
-        new_quar.write.parquet(os.path.join(new_dir, "quarantine"))
+        append_parquet_state(
+            batch_quar,
+            os.path.join(cur0, "quarantine") if cur0 else None,
+            os.path.join(new_dir, "quarantine"),
+        )
         with open(os.path.join(new_dir, "meta.json"), "w") as f:
             json.dump({"last_batch": int(batch_id)}, f)
         swap_dir(state_path, new_dir)

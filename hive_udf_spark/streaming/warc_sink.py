@@ -27,7 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_udf_spark.sources.sinks import swap_dir
+from hive_udf_spark.sources.sinks import append_parquet_state, swap_dir
 
 HOSTS_SCHEMA = "host string, n_docs bigint, total_chars bigint"
 
@@ -72,7 +72,15 @@ def incremental_warc_ingest_sink(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        docs, hosts, hwm = _read_state(spark, state_path)
+        # docs/ advances by hard-linked append (r15): only the merged
+        # hosts aggregate is re-read per batch
+        cur0 = _resolve(state_path)
+        hwm, hosts = -1, None
+        if cur0 is not None:
+            meta = os.path.join(cur0, "meta.json")
+            if os.path.exists(meta):
+                hwm = json.load(open(meta)).get("last_batch", -1)
+            hosts = spark.read.parquet(os.path.join(cur0, "hosts"))
         if hwm == batch_id:
             return  # retry of the committed batch: additive state, skip whole
         if hwm > batch_id:
@@ -100,7 +108,6 @@ def incremental_warc_ingest_sink(
             )
             .localCheckpoint(eager=True)
         )
-        new_docs = docs.unionByName(batch_docs) if docs is not None else batch_docs
         batch_hosts = batch_docs.groupBy("host").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
@@ -117,7 +124,13 @@ def incremental_warc_ingest_sink(
         else:
             new_hosts = batch_hosts
         new_dir = f"{state_path}.v-{uuid.uuid4().hex[:8]}"
-        new_docs.write.parquet(os.path.join(new_dir, "docs"))
+        # append-only docs: batch rows + hard links to the previous
+        # version's files — O(batch) per commit (r15, guide §5/§6)
+        append_parquet_state(
+            batch_docs,
+            os.path.join(cur0, "docs") if cur0 else None,
+            os.path.join(new_dir, "docs"),
+        )
         new_hosts.write.parquet(os.path.join(new_dir, "hosts"))
         with open(os.path.join(new_dir, "meta.json"), "w") as f:
             json.dump({"last_batch": int(batch_id)}, f)

@@ -266,7 +266,11 @@ def test_regex_merge_matches_fold_twins(spark):
     )
 
     rng = random.Random(7)
-    alpha = ["a", "b", "c", "ab", "aa", "x-", "$y", "c.d", "_z"]
+    # r15: non-ASCII letters included — the r14 char-escape backslashed
+    # them, which Java reserves for named constructs (\Q..\E quoting
+    # now); plus a literal "\\E" to exercise the quote-splitting.
+    alpha = ["a", "b", "c", "ab", "aa", "x-", "$y", "c.d", "_z",
+             "é", "ßü", "日本", "q\\E", "\\"]
     rows = [
         (i, [rng.choice(alpha) for _ in range(rng.randint(0, 12))])
         for i in range(500)
@@ -278,6 +282,9 @@ def test_regex_merge_matches_fold_twins(spark):
         [("a", "b"), ("c", "c")],
         [("aa", "b"), ("x-", "$y")],
         [("c.d", "_z"), ("b", "a")],
+        [("é", "ßü")],
+        [("é", "a"), ("日本", "ßü")],
+        [("q\\E", "\\"), ("é", "é")],
     ]
     for sel in cases:
         fold = (
@@ -292,3 +299,28 @@ def test_regex_merge_matches_fold_twins(spark):
             .count()
             == 0
         ), sel
+
+
+def test_nul_bearing_corpus_both_paths(spark):
+    """r15 (ADVICE r14): tokenize() is whitespace-split, so a token CAN
+    carry an embedded NUL. The regexp_replace merge packs symbols
+    NUL-separated — bpe_train must detect this and route through the
+    NUL-safe fold twin; driver solve (default cap) and distributed loop
+    (cap=0) must stay bit-equal on such a corpus."""
+    corpus = [
+        (1, "ab\x00c ab\x00c ab\x00c abc abc"),
+        (2, "ab ab ab\x00c b\x00cd b\x00cd"),
+        (3, "xy xy xy \x00\x00 \x00a"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    m_drv, v_drv = bpe_train(df, num_merges=6, batch=2)
+    m_dst, v_dst = bpe_train(df, num_merges=6, batch=2, driver_solve_max_symbols=0)
+    assert m_drv == m_dst
+    got_drv = {r.word: (r.cnt, list(r.syms)) for r in v_drv.collect()}
+    got_dst = {r.word: (r.cnt, list(r.syms)) for r in v_dst.collect()}
+    assert got_drv == got_dst
+    # and both match the pure-Python reference
+    words = [w for _, t in corpus for w in t.split()]
+    ref_m, ref_v = ref_bpe_batched(words, 6, 2)
+    assert m_drv == ref_m
+    assert {w: s for w, (c, s) in got_drv.items()} == ref_v

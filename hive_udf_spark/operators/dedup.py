@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from hive_udf_spark.functions.hashing import fast_hash64, portable_hash60
 from hive_udf_spark.functions.text import word_set
+from hive_udf_spark.operators.util import ensure_min_parallelism, scatter_pairs
 
 _LOG = logging.getLogger(__name__)
 
@@ -124,6 +125,24 @@ def lsh_candidate_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+
+
+def _sig_agreement_unrolled(sig_a: str, sig_b: str, num_hashes: int) -> Column:
+    """Number of agreeing MinHash signature components — the unbiased
+    Jaccard estimate's numerator. Unrolled into ``num_hashes`` codegen'd
+    equality terms instead of an ``aggregate(zip_with(...))`` fold:
+    higher-order functions are CodegenFallback (interpreted lambda
+    evaluation per element PER CANDIDATE PAIR — the hottest row count in
+    the pipeline). Value-identical: signatures always have exactly
+    ``num_hashes`` components and integer addition is associative."""
+    terms = [
+        (F.element_at(F.col(sig_a), i) == F.element_at(F.col(sig_b), i)).cast("int")
+        for i in range(1, num_hashes + 1)
+    ]
+    est = terms[0]
+    for t in terms[1:]:
+        est = est + t
+    return est
 
 
 def jaccard_pair_stats(tokens_a: Column, tokens_b: Column) -> tuple[Column, Column]:
@@ -224,6 +243,13 @@ def near_dup_pairs(
     # (undefined — and the integer verify `0 >= t·0` would pass it), and
     # their all-null signatures collide in every band, so N empty docs
     # would otherwise form an N² candidate clique.
+    # A single-split corpus scan (one small parquet file) makes EVERYTHING
+    # downstream single-task: the signature transform, the band explode,
+    # the 30M-row band-join fan-out AND its partial dedup all inherit the
+    # scan's one partition (r15 measured: the candidate stage alone was
+    # 6.2 s single-task vs sub-second scattered). Round-robin the cheap
+    # text rows up front; no-op once the scan has >= cluster-width splits.
+    docs = ensure_min_parallelism(docs)
     with_sig = (
         docs.select(
             F.col(id_col).alias("__id"),
@@ -273,13 +299,7 @@ def near_dup_pairs(
         )
     )
     if need_sig:
-        est_num = F.aggregate(
-            F.zip_with(
-                F.col("__pa.sig"), F.col("__pb.sig"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda a, x: a + x,
-        )
+        est_num = _sig_agreement_unrolled("__pa.sig", "__pb.sig", num_hashes)
         # integer cross-multiplication of the unbiased MinHash estimate
         cut_ppm = int(round((float(threshold) - float(sig_prefilter_margin)) * 1_000_000))
         joined = joined.filter(est_num * F.lit(1_000_000) >= F.lit(cut_ppm * num_hashes))
@@ -794,6 +814,9 @@ def dedup_clusters_star(
     if hashed_tokens:
         # distinct is preserved under hashing (modulo 64-bit collisions)
         shingles = F.transform(shingles, lambda t: F.xxhash64(t))
+    # single-split scan => single-task signature/band/verify chain (the
+    # near_dup_pairs r15 finding); no-op at corpus scale
+    docs = ensure_min_parallelism(docs)
     with_sig = (
         docs.select(
             F.col(id_col).alias("__id"),
@@ -839,13 +862,7 @@ def dedup_clusters_star(
         .join(side.withColumnRenamed("__id", "id_b").withColumnRenamed("__pl", "__pb"), "id_b")
     )
     if need_sig:
-        est_num = F.aggregate(
-            F.zip_with(
-                F.col("__pa.sig"), F.col("__pb.sig"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda a, x: a + x,
-        )
+        est_num = _sig_agreement_unrolled("__pa.sig", "__pb.sig", num_hashes)
         cut_ppm = int(round((float(threshold) - float(sig_prefilter_margin)) * 1_000_000))
         joined = joined.filter(est_num * F.lit(1_000_000) >= F.lit(cut_ppm * num_hashes))
     inter, union = jaccard_pair_stats_hoisted(
@@ -897,8 +914,15 @@ def build_minhash_index(
         if portable:
             raise ValueError("hashed_tokens is a fast-path option; portable keeps exact strings")
         shingles = F.transform(shingles, lambda t: F.xxhash64(t))
+    # single-split scan => the whole index build (tokenize + 16 minhash
+    # folds) runs in one task; no-op once the corpus has >= cluster-width
+    # splits (r15 measured: −1.5 s on the broadcast-regime probe entry,
+    # ~+0.5–1 s on the deliberately broadcast-disabled probe regime whose
+    # SMJ plan pays the extra raw-text exchange — the realistic regime
+    # wins, and at scale the scatter self-disables)
     return (
-        docs.select(F.col(id_col), shingles.alias("tokens"))
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col), shingles.alias("tokens"))
         .filter(F.size("tokens") > 0)
         .withColumn("sig", minhash_signature(F.col("tokens"), num_hashes, portable))
     )
@@ -1025,7 +1049,9 @@ def prefix_filter_pairs(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     t_ppm = int(round(threshold * 1_000_000))
-    ws = docs.select(
+    # single-split scan => single-task tokenize/explode chain (r15; no-op
+    # at corpus scale)
+    ws = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("__id"), word_set(text_col).alias("__w")
     ).filter(F.size("__w") > 0)
     if caches is not None:
@@ -1038,7 +1064,7 @@ def prefix_filter_pairs(
         # this the corpus text is re-tokenized per branch (r14
         # measured: 12 parquet scans of `documents` in one plan).
         ws = ws.localCheckpoint(eager=False)
-    cands = prefix_filter_candidates(ws, threshold)
+    cands = scatter_pairs(prefix_filter_candidates(ws, threshold))
     wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
     joined = cands.join(wa, "id_a").join(wb, "id_b")
@@ -1093,6 +1119,11 @@ def prefix_filter_candidates(ws: DataFrame, threshold: float) -> DataFrame:
         "__n",
         F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
     )
+    # the ranked aggregate's output is byte-small, so AQE coalesces it to
+    # ~1 partition and the prefix self-join's fan-out + partial dedup run
+    # single-task (r15; same disease as the verify stage) — round-robin
+    # the skinny exploded prefix rows first
+    prefixes = scatter_pairs(prefixes)
     a, b = prefixes.alias("a"), prefixes.alias("b")
     return (
         a.join(
@@ -1236,7 +1267,8 @@ def containment_pairs(
         from hive_udf_spark.functions.text import ngrams, tokenize
 
         unit = F.array_distinct(ngrams(tokenize(text_col), shingle_n))
-    ws = docs.select(
+    # single-split scan => single-task shingle build (r15; no-op at scale)
+    ws = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("__id"), unit.alias("__w")
     ).filter(F.size("__w") > 0)
     if caches is not None:
@@ -1285,6 +1317,7 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    cands = scatter_pairs(cands)
     wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
     joined = cands.join(wa, "id_a").join(wb, "id_b")

@@ -21,6 +21,34 @@ def null_safe_cond(left: DataFrame, right: DataFrame, cols: list[str]) -> Column
     return cond
 
 
+def scatter_pairs(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a skinny candidate/pair stream ahead of
+    a CPU-heavy per-row stage (the exact set-intersect verify).
+
+    Two AQE blind spots make this explicit exchange worth one extra
+    shuffle of ~16-byte rows (r15, measured):
+
+    1. AQE coalesces post-shuffle partitions by BYTE size, and a pair
+       stream's bytes wildly under-state its downstream per-row cost —
+       a 206k-pair containment verify was coalesced to ONE task: 4.7 s
+       single-threaded vs 0.5 s scattered (9.6x). Raising the session's
+       ``minPartitionSize`` floor was measured strictly worse (1.2-1.9 s):
+       it preserves partition COUNT but keeps the id-hash layout.
+    2. Hash partitioning by pair ids concentrates a hot document's pairs
+       (and the token arrays the verify attaches to them) in one task —
+       the dup-heavy-corpus skew AQE's skew-join handling cannot split
+       because it sits in an aggregate's output, not a join. Round-robin
+       levels the CPU.
+
+    The explicit count follows the session's shuffle-partition setting
+    (deployment-scaled), and pinning it stops AQE from re-coalescing the
+    exchange. At 100 TB the same skew argument holds and the added
+    shuffle stays proportional to the (id, id) pair count, never to
+    payload bytes."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Scatter a SMALL input before an expensive per-row UDF stage.
 

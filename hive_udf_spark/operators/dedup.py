@@ -644,7 +644,9 @@ def simhash_table(
     if not (1 <= bits <= 60):
         raise ValueError("bits must be in [1, 60]")
     h = (lambda t: portable_hash60(t, 0)) if portable else (lambda t: fast_hash64(t, 0))
-    exploded = docs.select(
+    # single-split scan => single-task tokenize/explode + partial 60-sum
+    # aggregate (r15; no-op at corpus scale)
+    exploded = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("__id"), F.explode(word_set(text_col)).alias("__t")
     ).select("__id", h(F.col("__t")).alias("__h"))
     votes = [

@@ -48,6 +48,21 @@ def dot_int(a: Column, b: Column) -> Column:
     )
 
 
+def dot_int_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Exact integer dot product over FIXED-dim arrays, unrolled into
+    ``dim`` codegen'd element_at multiply-adds. Higher-order functions
+    are CodegenFallback — ``dot_int`` pays ~2·dim interpreted lambda
+    evaluations plus a zip-array allocation per call, which at one call
+    PER CANDIDATE PAIR is the hottest expression in the verify stages.
+    Value-identical to ``dot_int`` for arrays of exactly ``dim``
+    elements (integer addition is associative); use only where the
+    fixed-dim contract already holds (quantized embeddings)."""
+    acc = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
 def dot_double(a: Column, b: Column) -> Column:
     """Float dot product as a sequential left fold (deterministic per pair)."""
     return F.aggregate(
@@ -207,6 +222,13 @@ def int_signature_expr(planes: list[list[int]], qv_col: str = "__qv") -> Column:
     API costs thousands of py4j round trips (~3.5 s of pure plan
     CONSTRUCTION at nbits=32, dim=64); a single parsed expr is
     milliseconds and yields the identical Catalyst plan.
+
+    (r15 A/B, kept as the fold: unrolling every plane dot into
+    element_at multiply-adds — 2048 codegen terms at 32×64 — REGRESSED
+    the LSH entries ~2.5x: the giant expression's parse/codegen compile
+    is paid per plan and dwarfs the interpreted-fold savings at one
+    signature per ROW. Per-PAIR dots are a different regime — see
+    ``dot_int_unrolled``.)
     """
     terms = []
     for j, row in enumerate(planes):
@@ -322,6 +344,11 @@ def embedding_near_pairs_lsh(
     mask = F.lit((1 << r) - 1).cast("long")
     planes = int_hyperplanes(dim, nbits, seed, scale)
 
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    # single-split scan => the quantize + nbits·dim signature arithmetic
+    # runs in ONE task (r15, the dedup-family finding); no-op at scale
+    vecs = ensure_min_parallelism(vecs)
     q = vecs.select(F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__qv"))
     sigs = q.withColumn("__sig", int_signature_expr(planes))
     if caches is not None:
@@ -347,7 +374,13 @@ def embedding_near_pairs_lsh(
         .distinct()
     )
 
+    from hive_udf_spark.operators.util import scatter_pairs
+
+    # byte-tiny pair stream + per-pair dot: round-robin before the verify
+    # attach (AQE byte-coalescing + hot-id skew; the dedup-family r15 fix)
+    cands = scatter_pairs(cands)
     qv = sigs.select("__id", "__qv")
+    # per-doc norm: the fold form is fine here (once per doc, not per pair)
     nrm = dot_int(F.col("__qv"), F.col("__qv"))
     side_a = qv.select(
         F.col("__id").alias("id_a"), F.col("__qv").alias("__qa"), nrm.alias("__na")
@@ -355,7 +388,9 @@ def embedding_near_pairs_lsh(
     side_b = qv.select(
         F.col("__id").alias("id_b"), F.col("__qv").alias("__qb"), nrm.alias("__nb")
     )
-    dq = dot_int(F.col("__qa"), F.col("__qb"))
+    # per-PAIR dot: unrolled codegen (value-identical at the operator's
+    # fixed dim)
+    dq = dot_int_unrolled(F.col("__qa"), F.col("__qb"), dim)
     t2 = float(min_cosine) ** 2
     return (
         cands.join(side_a, "id_a")
@@ -1038,7 +1073,12 @@ def semdedup(
     C = centroids if centroids is not None else kmeans_centroids(
         vecs, id_col, vec_col, n_centroids, seed
     )
-    assigned = vecs.select(
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    # single-split scan => single-task K·dim cell assignment AND a
+    # single-partition checkpoint that the within-cell self-join inherits
+    # (r15; no-op at corpus scale)
+    assigned = ensure_min_parallelism(vecs).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         norm_double(F.col(vec_col)).alias("__n"),

@@ -559,6 +559,12 @@ def ann_hyperplane_lsh(
             )
         return keyed.select(f"{role}_id", "__band", "__bkey")
 
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    # single-split corpus scan => the nbits·dim signature expression and
+    # the candidate fan-out run in ONE task (r15; no-op at corpus scale).
+    # The query side stays unscattered — it is broadcast-sized.
+    corpus = ensure_min_parallelism(corpus)
     qk = band_keys(queries, "query", probes)
     ck = band_keys(corpus, "neighbor")
     cands = (
@@ -778,6 +784,10 @@ def ann_ivf(
         corpus, id_col, vec_col, n_centroids, seed
     )
 
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    # single-split scan => single-task K·dim cell assignment (r15)
+    corpus = ensure_min_parallelism(corpus)
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nv"),
@@ -961,12 +971,16 @@ def ann_pq(
     # corruption)
     n_subspaces, n_codes_eff = int(books.shape[0]), int(books.shape[1])
 
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
     if codes is not None:
         codes = codes.select(
             F.col(id_col).alias("neighbor_id"), F.col("pq_code").alias("__codes")
         )
     else:
-        codes = corpus.select(
+        # single-split scan => the n_sub·n_codes·sub_dim encode arithmetic
+        # runs in ONE task (r15; no-op at corpus scale)
+        codes = ensure_min_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             _pq_encode_expr(books, vec_col).alias("__codes"),
         )

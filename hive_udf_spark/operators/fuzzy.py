@@ -110,7 +110,11 @@ def edit_distance_join(
         raise ValueError("max_len must be at least max_dist + 1")
     d, k = max_dist, max_dist + 1
     s = F.col(s_col).cast("string")
-    base = df.select(
+    from hive_udf_spark.operators.util import ensure_min_parallelism
+
+    # single-split scan => the HOF key-stream explodes run in one task
+    # (r15, the dedup-family finding); no-op at corpus scale
+    base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
     ).where(F.col("__s").isNotNull())
@@ -207,6 +211,11 @@ def edit_distance_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    # byte-tiny pair stream ahead of a per-pair levenshtein: round-robin
+    # before the verify attach (util.scatter_pairs; the r15 dedup fix)
+    from hive_udf_spark.operators.util import scatter_pairs
+
+    cand = scatter_pairs(cand)
     sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("s_a"))
     sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("s_b"))
     return (

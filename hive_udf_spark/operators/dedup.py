@@ -916,15 +916,14 @@ def build_minhash_index(
         if portable:
             raise ValueError("hashed_tokens is a fast-path option; portable keeps exact strings")
         shingles = F.transform(shingles, lambda t: F.xxhash64(t))
-    # single-split scan => the whole index build (tokenize + 16 minhash
-    # folds) runs in one task; no-op once the corpus has >= cluster-width
-    # splits (r15 measured: −1.5 s on the broadcast-regime probe entry,
-    # ~+0.5–1 s on the deliberately broadcast-disabled probe regime whose
-    # SMJ plan pays the extra raw-text exchange — the realistic regime
-    # wins, and at scale the scatter self-disables)
+    # NOT scattered (r15, measured): an ensure_min_parallelism input
+    # scatter here improved nothing reliably in the broadcast probe
+    # regime (matched runs ~3.3 s either way) and regressed the
+    # deliberately broadcast-disabled probe regime 1.3-2x — its SMJ plan
+    # re-exchanges the projected columns anyway, so the extra raw-text
+    # exchange is pure cost.
     return (
-        ensure_min_parallelism(docs)
-        .select(F.col(id_col), shingles.alias("tokens"))
+        docs.select(F.col(id_col), shingles.alias("tokens"))
         .filter(F.size("tokens") > 0)
         .withColumn("sig", minhash_signature(F.col("tokens"), num_hashes, portable))
     )

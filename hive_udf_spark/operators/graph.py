@@ -75,6 +75,12 @@ def pagerank_fixed(
     if not 0 <= damping_milli <= 1000:
         raise ValueError("damping_milli must be in [0, 1000]")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    # e feeds FOUR plan branches (both node projections, the degree
+    # aggregate, the edge-weight join): materialize the deduplicated edge
+    # list once instead of re-running the upstream + distinct per branch
+    # (r15; at cluster scale use reliable checkpoint(), the repo-wide
+    # materialize-once trade-off)
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__s").alias("__n"))
         .unionByName(e.select(F.col("__d").alias("__n")))

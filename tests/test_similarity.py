@@ -441,3 +441,52 @@ def test_semdedup_within_cell_only(spark):
         else:
             assert out[a] != out[b]
     assert out[1] != out[3]  # across groups never merges
+
+
+def test_semdedup_internals_match_independent_rederivation(spark):
+    """r14 ADVICE: the registry query's verdict invariants now consume
+    semdedup's own checkpointed edge relation (the ``internals``
+    out-param), so the reuse must be pinned against an INDEPENDENT
+    re-derivation of the within-cell pairs — otherwise a bug in the
+    operator's edge computation could validate itself."""
+    import pyspark.sql.functions as F
+
+    from hive_udf_spark.operators.similarity import (
+        _ivf_cell_expr,
+        cosine_with_norms,
+        kmeans_centroids,
+        norm_double,
+        semdedup,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 4.0 + (0.5 if i % 3 == 0 else 0.0)
+             for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    C = kmeans_centroids(df, n_centroids=4, seed=42)
+    internals: list = []
+    semdedup(df, min_cosine=0.9, n_centroids=4, centroids=C, internals=internals).collect()
+    got = sorted((r.id_a, r.id_b) for r in internals[0].collect())
+
+    # independent re-derivation: fresh cell assignment + self-join
+    assigned = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        norm_double(F.col("embedding")).alias("n"),
+        _ivf_cell_expr(C, "embedding").alias("cell"),
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("n").alias("na"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("n").alias("nb"), "cell")
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.9)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    assert got == want and len(got) > 0

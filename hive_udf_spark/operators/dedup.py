@@ -816,8 +816,11 @@ def dedup_clusters_star(
     if hashed_tokens:
         # distinct is preserved under hashing (modulo 64-bit collisions)
         shingles = F.transform(shingles, lambda t: F.xxhash64(t))
-    # single-split scan => single-task signature/band/verify chain (the
-    # near_dup_pairs r15 finding); no-op at corpus scale
+    # single-split scan => single-task signature chain, as in
+    # near_dup_pairs (r15; no-op at corpus scale). Matched A/B kept this:
+    # WITH the scatter the cluster entries measured 3.4/2.6 s vs
+    # 14.6/3.4 without in the same session (full-run comparisons were
+    # confounded by session-level drift on this box).
     docs = ensure_min_parallelism(docs)
     with_sig = (
         docs.select(
